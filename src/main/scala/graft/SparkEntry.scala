@@ -1,13 +1,359 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.TextFns
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry takes `(spark, sfDir)` and reads only the
+  * driver's parquet tables (via [[Tables]]) so the DuckDB `oracleSql`
+  * runs against identical input. Column names and types are aligned on
+  * both sides (see SURVEY.md §5 for the FP-determinism rules).
+  */
 object SparkEntry {
+
+  /** The bulk as-of query table used by `asof_bulk` (and `entry`). */
+  private def asofQueries(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      (0L, 3L, "2024-01-02", "2024-01-12", "2024-01-10 06:00:00"),
+      (1L, 7L, "2024-01-05", "2024-01-25", "2024-01-20 12:00:00"),
+      (2L, 11L, "2024-01-10", "2024-01-30", "2024-01-28 00:00:00"),
+      (3L, 2L, "2024-01-01", "2024-01-31", "2024-01-31 23:59:59"))
+    import spark.implicits._
+    rows.toDF("query_id", "q_asset_id", "sd", "ed", "at")
+      .select(col("query_id"), col("q_asset_id"),
+        col("sd").cast("date").as("start_date"),
+        col("ed").cast("date").as("end_date"),
+        col("at").cast("timestamp").as("asof_ts"))
+  }
+
+  private def deleteKeySet(spark: SparkSession): DataFrame = {
+    val rows = Seq((1L, "2024-01-05"), (2L, "2024-01-10"), (3L, "2024-01-15"), (5L, "2024-01-20"))
+    import spark.implicits._
+    rows.toDF("asset_id", "d").select(col("asset_id"), col("d").cast("date").as("date"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AsOf.asOfBulk(Tables.panel(spark, "/root/testdata/sf0.001"), asofQueries(spark))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── A. core TSDB ────────────────────────────────────────────────
+    "asof_point" -> ((s, dir) =>
+      AsOf.asOfRange(Tables.panel(s, dir), 7L, "2024-01-05", "2024-01-25", "2024-01-20 12:00:00")),
+    "asof_bulk" -> ((s, dir) =>
+      AsOf.asOfBulk(Tables.panel(s, dir), asofQueries(s))),
+    "point_lookup" -> ((s, dir) =>
+      KeyValue.pointLookup(Tables.panel(s, dir), 5L, "2024-01-10")),
+    "range_scan" -> ((s, dir) =>
+      KeyValue.rangeScan(Tables.panel(s, dir), 2L, "2024-01-10", 4L, "2024-01-20")),
+    "upsert_lww" -> ((s, dir) =>
+      KeyValue.upsertLww(Tables.panel(s, dir))),
+    "delete_keys" -> ((s, dir) =>
+      KeyValue.deleteKeys(Tables.panel(s, dir), deleteKeySet(s))),
+    "ingest_convert" -> ((s, dir) =>
+      KeyValue.ingestConvert(Tables.events(s, dir))),
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      AsOf.asOfJoin(purchases, views, "user_id", Seq("value"))
+        .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+    // ── B. analytics ────────────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, dir) =>
+      Analytics.q1PricingSummary(Tables.lineitem(s, dir), "2000-12-01")),
+    "q3_top_orders" -> ((s, dir) =>
+      Analytics.q3TopOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "BUILDING", "1996-06-30", 10)),
+    "star_join_agg" -> ((s, dir) =>
+      Analytics.starJoinAgg(Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "window_moving_avg" -> ((s, dir) =>
+      Analytics.movingAvg(Tables.panel(s, dir))),
+    "window_returns" -> ((s, dir) =>
+      Analytics.dailyReturns(Tables.panel(s, dir))),
+    "resample_ohlc" -> ((s, dir) =>
+      Analytics.resampleOhlc(Tables.panel(s, dir))),
+    "topk_per_group" -> ((s, dir) =>
+      Analytics.topKPerGroup(Tables.events(s, dir), 3)),
+    "sessionize" -> ((s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir), 1800.0)),
+    // ── C. LLM pipeline ─────────────────────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir))),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "ann_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        TextFns.punctCount(col("text")).cast("long").as("n_punct"),
+        TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    "token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.normFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Tables.documents(s, dir)))
+  )
+
+  /** DuckDB panel CTE mirroring [[Tables.panel]]. */
+  private val panelCte =
+    "WITH panel AS (SELECT user_id AS asset_id, CAST(ts AS DATE) AS date, ts, value, event_id AS seq FROM events)"
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (dedup_minhash, dedup_simhash, ann_lsh, lang_id) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "asof_point" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value FROM (
+         |  SELECT asset_id, date, ts, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel
+         |  WHERE asset_id = 7 AND date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+         |    AND ts <= TIMESTAMP '2024-01-20 12:00:00') t
+         |WHERE rn = 1 ORDER BY date DESC""".stripMargin,
+    "asof_bulk" ->
+      s"""$panelCte,
+         |q(query_id, q_asset_id, start_date, end_date, asof_ts) AS (VALUES
+         |  (0, 3, DATE '2024-01-02', DATE '2024-01-12', TIMESTAMP '2024-01-10 06:00:00'),
+         |  (1, 7, DATE '2024-01-05', DATE '2024-01-25', TIMESTAMP '2024-01-20 12:00:00'),
+         |  (2, 11, DATE '2024-01-10', DATE '2024-01-30', TIMESTAMP '2024-01-28 00:00:00'),
+         |  (3, 2, DATE '2024-01-01', DATE '2024-01-31', TIMESTAMP '2024-01-31 23:59:59'))
+         |SELECT CAST(query_id AS BIGINT) AS query_id, asset_id, date, ts, value FROM (
+         |  SELECT q.query_id, p.asset_id, p.date, p.ts, p.value,
+         |         ROW_NUMBER() OVER (PARTITION BY q.query_id, p.date ORDER BY p.ts DESC, p.seq DESC) AS rn
+         |  FROM panel p JOIN q ON p.asset_id = q.q_asset_id
+         |   AND p.date BETWEEN q.start_date AND q.end_date AND p.ts <= q.asof_ts) t
+         |WHERE rn = 1 ORDER BY query_id, date DESC""".stripMargin,
+    "point_lookup" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value FROM (
+         |  SELECT asset_id, date, ts, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel WHERE asset_id = 5 AND date = DATE '2024-01-10') t
+         |WHERE rn = 1""".stripMargin,
+    "range_scan" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value, seq FROM panel
+         |WHERE (asset_id > 2 OR (asset_id = 2 AND date >= DATE '2024-01-10'))
+         |  AND (asset_id < 4 OR (asset_id = 4 AND date <= DATE '2024-01-20'))
+         |ORDER BY asset_id, date, ts, seq""".stripMargin,
+    "upsert_lww" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value FROM (
+         |  SELECT asset_id, date, ts, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel) t
+         |WHERE rn = 1 ORDER BY asset_id, date""".stripMargin,
+    "delete_keys" ->
+      s"""$panelCte,
+         |dk(asset_id, date) AS (VALUES
+         |  (1, DATE '2024-01-05'), (2, DATE '2024-01-10'),
+         |  (3, DATE '2024-01-15'), (5, DATE '2024-01-20'))
+         |SELECT p.asset_id, p.date, p.ts, p.value, p.seq FROM panel p
+         |WHERE NOT EXISTS (SELECT 1 FROM dk WHERE dk.asset_id = p.asset_id AND dk.date = p.date)
+         |ORDER BY p.asset_id, p.date, p.ts, p.seq""".stripMargin,
+    "ingest_convert" ->
+      """SELECT event_id, user_id AS asset_id,
+        |       CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_int,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, v.value AS vv,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
+        |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "star_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "window_moving_avg" ->
+      s"""$panelCte
+         |SELECT asset_id, ts, seq, value,
+         |  round(avg(value) OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg
+         |FROM panel ORDER BY asset_id, ts, seq""".stripMargin,
+    "window_returns" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, ts, value FROM (
+         |    SELECT asset_id, date, ts, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1)
+         |SELECT asset_id, date, value, ret FROM (
+         |  SELECT asset_id, date, value,
+         |         round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |  FROM daily) t
+         |WHERE ret IS NOT NULL ORDER BY asset_id, date""".stripMargin,
+    "resample_ohlc" ->
+      s"""$panelCte
+         |SELECT asset_id, date,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n_ticks
+         |FROM (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts ASC,  seq ASC)  AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn_d
+         |  FROM panel) t
+         |GROUP BY asset_id, date ORDER BY asset_id, date""".stripMargin,
+    "topk_per_group" ->
+      """SELECT event_type, event_id, user_id, value, rk FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+        |         THEN 1
+        |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH t AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |c AS (
+        |  SELECT id_a, id_b, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  FROM t GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      """WITH t AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |         unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |c AS (
+        |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  FROM t GROUP BY q_id, vec_id)
+        |SELECT q_id, rank, vec_id, cos FROM (
+        |  SELECT q_id, vec_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM c) t
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.4 +
+        |    greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))
+        |             / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
+        |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
+        |  6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-pipeline operators.
+  * All are pure `org.apache.spark.sql.functions` compositions — codegen'd
+  * whole-stage, no UDFs, no driver round-trips — so they run at scan
+  * speed over 100 TB of documents.
+  */
+object TextFns {
+
+  /** Whitespace token count; 0 for blank text. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks — a cheap, deterministic proxy for subword
+    * tokenizer cost used to budget training data.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count of non-alphanumeric, non-space characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(size(array_intersect_dups(toks)) / size(toks).cast("double"))
+  }
+
+  /** Tokens that are in the EN stopword list (keeping duplicates —
+    * `array_intersect` dedups, which would understate the ratio).
+    */
+  private def array_intersect_dups(toks: Column): Column =
+    filter(toks, t => t.isin(stopwordsEn: _*))
+
+  /** C9 quality score in [0,1]: blend of length saturation, low punct
+    * density and healthy stopword ratio — the standard cheap heuristics
+    * (Gopher/C4-style rules) composed as one codegen'd expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 5, lit(0.0))
+    val swScore = least(stopwordRatio(text) * 4, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
+  }
+
+  /** C11 normalized-content fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. Same normalization a near-dup pass uses
+    * as its exact-match prefilter.
+    */
+  def normFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash of every k-gram (Rabin-Karp style), the
+    * building block for winnowing fingerprints. Returns array<bigint>.
+    * Expression-only (sequence+transform+aggregate): no UDF.
+    */
+  def rollingHashes(text: Column, k: Int): Column = {
+    val n = greatest(length(text) - (k - 1), lit(0))
+    transform(
+      sequence(lit(1), n),
+      i =>
+        aggregate(
+          sequence(lit(0), lit(k - 1)),
+          lit(0L),
+          (acc, j) => acc * lit(1000003L) + ascii(substring_col(text, i + j, 1)).cast("long")))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): min rolling
+    * hash per window of `w` consecutive k-gram hashes, deduplicated.
+    */
+  def winnowing(text: Column, k: Int, w: Int): Column = {
+    val hs = rollingHashes(text, k)
+    val nWin = greatest(size(hs) - (w - 1), lit(0))
+    array_distinct(
+      transform(
+        sequence(lit(1), nWin),
+        i => array_min(slice(hs, i, lit(w)))))
+  }
+
+  /** substring with Column args (functions.substring takes Int). */
+  private def substring_col(str: Column, pos: Column, len: Column): Column =
+    str.substr(pos, len)
+  private def substring_col(str: Column, pos: Column, len: Int): Column =
+    str.substr(pos, lit(len))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour", "que", "avec"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "我", "这", "他"))
+
+  /** C8 n-gram/stopword-marker language ID: score each language by
+    * marker-token hits, pick argmax (ties broken by language code).
+    * Heuristic on purpose — the scale story is that it's one expression
+    * over the scan, not a model inference round-trip.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = array(langMarkers.map { case (l, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(l).as("lang"))
+    }: _*)
+    // sort_array desc orders by (score desc, lang desc); deterministic.
+    sort_array(scored, asc = false).getItem(0).getField("lang")
+  }
+}

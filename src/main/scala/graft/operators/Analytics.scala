@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Financial/analytical queries over the TPC-H-ish tables and the panel —
+  * the processing the reference extracts series *for* ("locates time
+  * series … so that it can be processed in-memory", reference README.md).
+  *
+  * FP-determinism rule used everywhere a double is summed: cast each
+  * addend to an exact decimal, sum exactly, cast the total back to
+  * double (`dsum`). Engine-dependent reduction order then cannot change
+  * the result, so the driver's hash compare vs DuckDB is stable — and on
+  * a cluster the answer doesn't drift run-to-run with partitioning.
+  */
+object Analytics {
+
+  /** Exact sum of a double column: decimal-cast addends, exact decimal
+    * sum, double result. Deterministic under any aggregation order.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact `price · (1 − disc) [· (1 + tax)]`: operands (all 2-decimal
+    * in the data) become exact decimals BEFORE multiplying, so the
+    * product is exact decimal arithmetic in every engine. Casting the
+    * double *product* instead would hit engine-dependent double→decimal
+    * midpoint rounding (Spark rounds the shortest string repr, DuckDB
+    * the exact binary value) — observed as per-row ±1e-4 drift.
+    */
+  private val one = lit(1).cast(DecimalType(4, 2))
+  def discPrice(price: Column, disc: Column): Column =
+    price.cast(DecimalType(18, 2)) * (one - disc.cast(DecimalType(4, 2)))
+  def charge(price: Column, disc: Column, tax: Column): Column =
+    discPrice(price, disc) * (one + tax.cast(DecimalType(4, 2)))
+
+  /** B1 `q1_pricing_summary` — TPC-H-Q1-style aggregate: one scan, one
+    * keyed shuffle on a 6-ish-cardinality key, partial aggregation
+    * map-side. The canonical "is pushdown + codegen working" probe.
+    */
+  def q1PricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B2 `q3_top_orders` — TPC-H-Q3-style: the two dimension-side inputs
+    * (filtered customer, filtered orders) are small relative to lineitem;
+    * customer is broadcast so lineitem shuffles once (on l_orderkey ⨝
+    * o_orderkey) — at 100 TB the fact table must never shuffle twice.
+    */
+  def q3TopOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  segment: String, cutoff: String, topN: Int): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val c = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < cut).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem.filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(topN)
+  }
+
+  /** B3 `star_join_agg` — supplier ⨝ nation ⨝ region rollup; both dims
+    * broadcast (they are bounded: 25 nations, 5 regions at any scale).
+    */
+  def starJoinAgg(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** B4 `window_moving_avg` — per-asset 7-row trailing mean over the
+    * tick stream. One shuffle on asset_id; frame is row-bounded so state
+    * per task is O(frame).
+    */
+  def movingAvg(panel: DataFrame, frame: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    panel.select(col("asset_id"), col("ts"), col("seq"), col("value"))
+      .withColumn("mavg", round(avg(col("value")).over(w), 6))
+      .orderBy(col("asset_id"), col("ts"), col("seq"))
+  }
+
+  /** B5 `window_returns` — day-over-day simple return per asset on the
+    * LWW-compacted daily series (upsert_lww ∘ lag).
+    */
+  def dailyReturns(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.upsertLww(panel)
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      // nullif-style zero guard: x/0 must be NULL (DuckDB semantics), not
+      // an ANSI arithmetic error; NULL returns are filtered below.
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .select(col("asset_id"), col("date"), col("value"), col("ret"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B6 `resample_ohlc` — daily bar per asset: open/close via first/last
+    * knowledge order, high/low/count via plain agg. Two row_numbers +
+    * one group-by = single shuffle on the group key (window and agg
+    * share (asset_id, date) partitioning).
+    */
+  def resampleOhlc(panel: DataFrame): DataFrame = {
+    val wAsc = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").asc, col("seq").asc)
+    val wDesc = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
+    panel
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("asset_id"), col("date"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B7 `topk_per_group` — rank ≤ k per group with total tie-break. */
+  def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    events.select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** B8 `sessionize` — gap-based sessions per user: flag gaps > `gapSec`
+    * via lag, session id = running sum of flags, then per-session
+    * aggregate. Batch shape of streaming session windows; both shuffles
+    * are on user_id so AQE plans them as one exchange reuse.
+    * Timestamp deltas compare raw epoch doubles (µs-exact in both
+    * engines) — no truncation at the gap boundary.
+    */
+  def sessionize(events: DataFrame, gapSec: Double): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

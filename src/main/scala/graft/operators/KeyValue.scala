@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-KV operators over the composite panel key — the Spark
+  * re-expression of the reference's generic B-tree surface
+  * (reference: src/btree/mem.rs: `lookup` :387, `lookup_range` :395,
+  * `insert` :406, `update` :433, `delete` :439).
+  *
+  * A B-tree exists to make these cheap on one machine; at 100 TB the
+  * equivalents are storage layout + pruning (see
+  * [[graft.sources.TickStore]]) and the operators below compile to
+  * pruned scans / one keyed shuffle — no tree, no driver-side loop.
+  */
+object KeyValue {
+
+  /** A3 `point_lookup` — exact composite-key lookup, returning the
+    * current (latest-knowledge) value for (asset, date).
+    * Reference: src/btree/mem.rs:387 `lookup`. Predicates push to the
+    * parquet scan (PushedFilters) → at scale this touches one partition
+    * and the row groups whose min/max straddle the key.
+    */
+  def pointLookup(panel: DataFrame, assetId: Long, date: String): DataFrame = {
+    val filtered = panel.filter(col("asset_id") === assetId && col("date") === lit(date).cast("date"))
+    val w = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
+    filtered.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"))
+  }
+
+  /** A4 `range_scan` — inclusive lexicographic composite-key range scan,
+    * `(fromAsset, fromDate) ≤ (asset, date) ≤ (toAsset, toDate)`, in key
+    * order. Reference: src/btree/mem.rs:395 `lookup_range` (leaf-chain
+    * walk). The compound predicate decomposes into per-column
+    * conjunctions Catalyst can push; global key order comes from a
+    * range-partitioned sort (`orderBy`), Spark's distributed analog of
+    * the linked-leaf traversal.
+    */
+  def rangeScan(panel: DataFrame, fromAsset: Long, fromDate: String, toAsset: Long, toDate: String): DataFrame = {
+    val lo = col("asset_id") > fromAsset ||
+      (col("asset_id") === fromAsset && col("date") >= lit(fromDate).cast("date"))
+    val hi = col("asset_id") < toAsset ||
+      (col("asset_id") === toAsset && col("date") <= lit(toDate).cast("date"))
+    panel.filter(lo && hi)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
+  }
+
+  /** A5 `upsert_lww` — last-write-wins compaction: the materialized
+    * effect of the reference's `insert`/`update` (src/btree/mem.rs:406,
+    * :433) under the bitemporal model, where an update IS an insert with
+    * a newer knowledge ts. One row per (asset, date): the latest
+    * revision. Single shuffle on the natural key.
+    */
+  def upsertLww(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
+    panel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** A6 `delete_keys` — key-set deletion as a broadcast anti-join.
+    * Reference: src/btree/mem.rs:439 `delete` (with node merging — a
+    * storage concern with no Spark analog; deletion is logical).
+    * `keys`: (asset_id, date). The delete set is always small relative
+    * to the panel → broadcast side.
+    */
+  def deleteKeys(panel: DataFrame, keys: DataFrame): DataFrame =
+    panel.join(broadcast(keys), Seq("asset_id", "date"), "left_anti")
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
+
+  /** A7 `ingest_convert` — the reference's ingestion transform
+    * (scripts/convert-datetimes.py + convert-csv.sh): ISO dates →
+    * `yyyymmdd` ints, ISO timestamps → epoch seconds, then key-sort.
+    * Pure per-row projection → narrow, codegen'd, no shuffle until the
+    * final sort (which at scale is the TickStore bulk-load sort,
+    * reference src/btree/file.rs:296 `write_from_iterator`).
+    */
+  def ingestConvert(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id").as("asset_id"),
+      date_format(col("ts"), "yyyyMMdd").cast("int").as("date_int"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      col("value"))
+      .orderBy(col("event_id"))
+}

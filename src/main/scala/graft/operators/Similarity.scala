@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over the `embeddings` table
+  * (`embedding: array<float>`).
+  *
+  * All kernels are sequential-fold expressions in double precision —
+  * deterministic regardless of partitioning (a left fold has one
+  * evaluation order), fully codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> once; all math in double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine = dot/sqrt(|a|²·|b|²), rounded for cross-engine stability.
+    * Zero-vector guard: NULL (not an ANSI error), matching DuckDB.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 3): Column = {
+    val den = sqrt(dot(a, a) * dot(b, b))
+    round(dot(a, b) / when(den === 0, lit(null)).otherwise(den), scale)
+  }
+
+  /** C6 `ann_topk` — brute-force cosine top-k as the exact baseline.
+    * The *query* side is tiny and broadcast; the corpus streams past it
+    * once (no shuffle of the big side, no all-pairs). This is the right
+    * physical plan whenever |queries| ≪ |corpus| — the IVF/LSH variants
+    * exist for query sets that are themselves huge.
+    */
+  def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** C5 `dedup_embedding` — near-dup pairs with cosine ≥ threshold.
+    * Exact all-pairs formulation for the oracle check; the scale path
+    * for corpus-×-corpus is [[lshBuckets]] (bucket first, verify cosine
+    * only within buckets).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C7 `ann_lsh` — random-hyperplane LSH: `planes` sign bits, plane
+    * components are ±1 derived from xxhash64(plane, dim) so the whole
+    * family is deterministic and needs no driver-side randomness or
+    * broadcast of plane matrices. Output: (vec_id, bucket) — the
+    * bucketed index a banded self-join or bucket-local top-k runs on.
+    * Sketch cost is O(dim · planes) per row in one scan.
+    */
+  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        sequence(lit(0), lit(dim - 1)),
+        lit(0.0),
+        (acc, i) =>
+          acc + element_at(v, (i + 1).cast("int")) *
+            when(pmod(xxhash64(lit(j), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    embeddings.select(col("vec_id"), concat(bits: _*).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Bucket-local ANN: candidates share an LSH bucket, ranked by exact
+    * cosine within the bucket — the 100 TB path where both sides are
+    * huge (shuffle is on 16-bit buckets, not all-pairs).
+    */
+  def lshTopK(embeddings: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val buckets = lshBuckets(embeddings, dim, planes)
+    val withB = e.join(buckets, Seq("vec_id"))
+    val a = withB.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val b = withB.select(col("vec_id"), col("v"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

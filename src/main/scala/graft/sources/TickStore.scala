@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A9 — the storage layout that replaces the reference's on-disk B-tree
+  * (reference: src/btree/file.rs:296 `write_from_iterator` bulk-loads
+  * key-sorted pages; :425 `query` descends inner nodes then scans
+  * leaves; cache.rs is a CLOCK page cache).
+  *
+  * Spark-native equivalents, feature by feature:
+  *   - inner-node traversal  → hive-style partition pruning on
+  *     `date_month` (directory-level elimination before any I/O);
+  *   - leaf binary search    → parquet row-group min/max stats on the
+  *     sort key (`sortWithinPartitions(asset_id, date, ts)` makes the
+  *     stats tight, so point/range predicates skip row groups);
+  *   - page cache            → executor-local parquet reader buffering +
+  *     OS page cache (nothing to build).
+  *
+  * At 100 TB: month-partitioning bounds any as-of query to the touched
+  * months; within a month, asset-major sort order clusters each series
+  * so a single-asset query reads a handful of row groups, not the
+  * month. Files per partition are bounded by `filesPerPartition`
+  * repartitioning to keep file counts metadata-friendly.
+  */
+object TickStore {
+
+  /** Bulk load: the `write_from_iterator` analog. Input must carry
+    * (asset_id, date, ts, value, seq).
+    */
+  def write(panel: DataFrame, path: String, filesPerPartition: Int = 4): Unit =
+    panel
+      .withColumn("date_month", date_format(col("date"), "yyyy-MM"))
+      .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
+      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      .write
+      .mode("overwrite")
+      .partitionBy("date_month")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming face of the engine: the same bitemporal
+  * semantics, continuously maintained.
+  *
+  * D1 `latestPerKey` is streaming `upsert_lww` (reference
+  * src/btree/mem.rs:406/433 insert/update): per-key state holds the
+  * current (ts, seq, value) champion; each micro-batch emits keys whose
+  * champion changed. State is O(#keys) — keyed state store, scales with
+  * executors.
+  *
+  * D2 `windowedAgg` is the event-time windowed aggregate with a
+  * watermark bounding state retention.
+  */
+object StreamingOps {
+
+  case class Tick(asset_id: Long, ts: Timestamp, value: Double, seq: Long)
+  case class Latest(asset_id: Long, ts: Timestamp, value: Double, seq: Long)
+
+  /** D1 — streaming last-write-wins: flatMapGroupsWithState keeping the
+    * max-(ts, seq) tick per asset, emitting on change.
+    */
+  def latestPerKey(ticks: Dataset[Tick]): Dataset[Latest] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[Tick], state: GroupState[Latest]) =>
+          def newer(aTs: Long, aSeq: Long, bTs: Long, bSeq: Long): Boolean =
+            aTs > bTs || (aTs == bTs && aSeq > bSeq)
+          val incoming = rows.foldLeft(Option.empty[Tick]) { (best, t) =>
+            best match {
+              case Some(b) if !newer(t.ts.getTime, t.seq, b.ts.getTime, b.seq) => best
+              case _ => Some(t)
+            }
+          }
+          val current = state.getOption
+          incoming match {
+            case Some(t)
+              if current.forall(c => newer(t.ts.getTime, t.seq, c.ts.getTime, c.seq)) =>
+              val next = Latest(assetId, t.ts, t.value, t.seq)
+              state.update(next)
+              Iterator(next)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** D2 — event-time tumbling-window aggregate with watermark. */
+  def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("asset_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("asset_id"), col("n_ticks"), col("low"), col("high"))
+}
