@@ -1,0 +1,159 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst kernel expressions for the similarity/dedup hot paths.
+  *
+  * Rationale (SURVEY.md §4): Spark's higher-order functions
+  * (`transform`/`aggregate`/`zip_with`) evaluate their lambda per element
+  * *interpreted* — measured 128 s for the all-pairs cosine at sf0.1.
+  * These kernels run the same math as a tight compiled loop inside
+  * whole-stage codegen (DotProduct emits Java directly; the hash kernels
+  * are invoked via a reference call from generated code), preserving the
+  * declarative plan around them: predicate pushdown, broadcast joins and
+  * AQE are untouched.
+  */
+object Kernels {
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(text), k, numHashes))
+
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+}
+
+/** Dot product of two array<double> columns; full whole-stage codegen. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $x.getDouble($i) * $y.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature straight from text: slides a k-char window, hashes
+  * each shingle once (XXH64), then derives the `numHashes` permutation
+  * values as XXH64(base, seed=i) — one long-hash each, not a re-hash of
+  * the string. Duplicate shingles need no dedup (min is idempotent).
+  * Output: array<long> of length `numHashes`.
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = math.max(s.length - (k - 1), 1)
+    var i = 0
+    while (i < n) {
+      val sh = s.substring(i, math.min(i + k, s.length))
+      val base = XXH64.hashUTF8String(UTF8String.fromString(sh), 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(base, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of the whitespace-token multiset of lowercased text.
+  * Per token: one XXH64; each hash bit votes ±1; the sign vector is the
+  * fingerprint (bit j set ⟺ votes[j] > 0). Output: long.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val votes = new Array[Int](64)
+    var start = -1
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val isWs = i == len || Character.isWhitespace(s.charAt(i))
+      if (!isWs && start < 0) start = i
+      else if (isWs && start >= 0) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(s.substring(start, i)), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        start = -1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -138,7 +138,7 @@ object Analytics {
   def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
     events.select(col("event_type"), col("event_id"), col("user_id"), col("value"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("event_type"), col("rk"))
   }

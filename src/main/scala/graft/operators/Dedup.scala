@@ -31,31 +31,20 @@ object Dedup {
         sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
         i => text.substr(i, lit(k))))
 
-  /** MinHash signature: for seed s in [0, nHashes), min over shingles of
-    * xxhash64(shingle, s). Computed as a fold over the shingle array —
-    * one pass, no shuffle, entirely codegen-friendly expressions.
-    */
-  def minhashSignature(shingleArr: Column, nHashes: Int): Column = {
-    val seeds = sequence(lit(0), lit(nHashes - 1))
-    aggregate(
-      shingleArr,
-      transform(seeds, _ => lit(Long.MaxValue)),
-      (acc, s) => zip_with(acc, seeds, (a, i) => least(a, xxhash64(s, i))))
-  }
-
   /** C2 `dedup_minhash` — MinHash+LSH near-dup candidate pairs:
     * shingle → 64-hash signature → `bands` bands of `rows` hashes →
     * band-bucket equality join → distinct candidate pairs. The join is
     * on (band_id, bucket_hash): docs collide only if one band matches
     * exactly, giving the classic S-curve selectivity; nothing here is
-    * O(n²).
+    * O(n²). Signatures come from the [[graft.expressions.MinHashSig]]
+    * kernel (tight loop inside codegen, one string hash per shingle).
     */
   def minhashLshPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
     val rows = nHashes / bands
     val sig = documents.select(
       col("doc_id"),
-      minhashSignature(shingles(col("text"), k), nHashes).as("sig"))
+      graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(
@@ -73,50 +62,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash of the token multiset, returned as a 64-char bit
-    * string (MSB first). Sign of per-bit vote, votes weighted +1/-1 by
-    * each token-hash bit. Pure expression fold.
-    */
-  def simhash(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitIdx = sequence(lit(0), lit(63))
-    val pows = array((0 until 64).map(j => lit(1L << j)): _*)
-    val votes = aggregate(
-      hashes,
-      transform(bitIdx, _ => lit(0L)),
-      (acc, h) =>
-        zip_with(acc, bitIdx, (a, j) =>
-          a + when(h.bitwiseAND(element_at(pows, (j + 1).cast("int"))) =!= 0, 1L).otherwise(-1L)))
-    // MSB-first bit string: bit 63 .. bit 0
-    concat_ws("", reverse(transform(votes, v => when(v > 0, "1").otherwise("0"))))
-  }
-
-  /** C3 `dedup_simhash` — SimHash near-dup pairs: fingerprints are cut
-    * into `chunks` equal substrings; by pigeonhole, any pair within
-    * hamming distance `chunks - 1` shares at least one exact chunk, so
-    * candidates come from a chunk-equality join and the true hamming
-    * distance is verified on the candidates only.
+  /** C3 `dedup_simhash` — SimHash near-dup pairs: the 64-bit fingerprint
+    * ([[graft.expressions.SimHash64]] kernel) is cut into `chunks`
+    * 16-bit words; by pigeonhole, any pair within hamming distance
+    * `chunks - 1` shares at least one exact chunk, so candidates come
+    * from a chunk-equality join and true hamming (`bit_count(xor)`) is
+    * verified on candidates only.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
-    val fp = documents.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val fp = documents.select(col("doc_id"),
+      graft.expressions.Kernels.simhash64(col("text")).as("fp"))
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit((1L << width) - 1)))
     val chunked = fp.select(
       col("doc_id"), col("fp"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c => col("fp").substr(c * lit(width) + lit(1), lit(width)))))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk")
-    val hamming = {
-      // count of differing bit chars between two 64-char bit strings
-      (a: Column, b: Column) =>
-        aggregate(
-          sequence(lit(1), lit(64)),
-          lit(0),
-          (acc, i) => acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
-    }
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
@@ -124,7 +87,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

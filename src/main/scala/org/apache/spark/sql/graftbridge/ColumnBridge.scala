@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Column↔Expression converters.
+  * Standard extension-library pattern (cf. the public Qbeast/Spark
+  * `DatasetFactory` trick): live one package under
+  * `org.apache.spark.sql` to lift custom Catalyst expressions into the
+  * public `Column` API without reflection.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
