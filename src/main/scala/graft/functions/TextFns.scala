@@ -65,7 +65,9 @@ object TextFns {
 
   /** Rolling polynomial hash of every k-gram (Rabin-Karp style), the
     * building block for winnowing fingerprints. Returns array<bigint>.
-    * Expression-only (sequence+transform+aggregate): no UDF.
+    * Expression-only (sequence+transform+aggregate): no UDF. Modular
+    * (prime 1e9+7) so ANSI mode can't overflow: acc < 2^30, base < 2^20
+    * → products stay far below 2^63.
     */
   def rollingHashes(text: Column, k: Int): Column = {
     val n = greatest(length(text) - (k - 1), lit(0))
@@ -75,7 +77,9 @@ object TextFns {
         aggregate(
           sequence(lit(0), lit(k - 1)),
           lit(0L),
-          (acc, j) => acc * lit(1000003L) + ascii(substring_col(text, i + j, 1)).cast("long")))
+          (acc, j) =>
+            pmod(acc * lit(1000003L) + ascii(substring_col(text, i + j, 1)).cast("long"),
+              lit(1000000007L))))
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): min rolling

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  // ts values are globally increasing (day*100 + intra) so knowledge
+  // order and date order agree, as in the real panel.
+  private lazy val panel: DataFrame = Seq(
+    (1L, "2024-01-01", 110, 10.0, 1L),
+    (1L, "2024-01-01", 120, 12.0, 2L),
+    (1L, "2024-01-02", 210, 18.0, 3L),
+    (1L, "2024-01-03", 310, 9.0, 4L),
+    (2L, "2024-01-01", 110, 100.0, 5L))
+    .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+    .toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("moving average over a 2-row frame") {
+    val out = Analytics.movingAvg(panel, frame = 2)
+      .filter($"asset_id" === 1).select("mavg").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(10.0, 11.0, 15.0, 13.5))
+  }
+
+  test("daily returns on the LWW series") {
+    // LWW daily for asset 1: 12.0 (01-01), 18.0 (01-02), 9.0 (01-03)
+    val out = Analytics.dailyReturns(panel)
+      .filter($"asset_id" === 1).select("ret").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.5, -0.5))
+  }
+
+  test("returns yield NULL (dropped), not an error, across a zero value") {
+    val p = Seq(
+      (1L, d("2024-01-01"), ts(1), 0.0, 1L),
+      (1L, d("2024-01-02"), ts(1), 5.0, 2L),
+      (1L, d("2024-01-03"), ts(1), 10.0, 3L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.dailyReturns(p).select("ret").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(1.0)) // only 01-02→01-03 survives
+  }
+
+  test("resample_ohlc computes open/high/low/close in knowledge order") {
+    val r = Analytics.resampleOhlc(panel)
+      .filter($"asset_id" === 1 && $"date" === d("2024-01-01")).collect()(0)
+    assert(r.getAs[Double]("open") === 10.0)
+    assert(r.getAs[Double]("close") === 12.0)
+    assert(r.getAs[Double]("high") === 12.0)
+    assert(r.getAs[Double]("low") === 10.0)
+    assert(r.getAs[Long]("n_ticks") === 2L)
+  }
+
+  test("sessionize splits on gaps > threshold and aggregates per session") {
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(100), 2L),          // session 1
+      (1L, ts(3000), 3L),                          // gap 2900 > 1800 → session 2
+      (2L, ts(50), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Analytics.sessionize(ev, 1800.0)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("topk_per_group ranks deterministically with id tie-break") {
+    val ev = Seq(
+      (1L, "a", 5.0, 1L), (2L, "a", 5.0, 2L), (3L, "a", 1.0, 3L), (4L, "b", 9.0, 4L))
+      .toDF("event_id", "event_type", "value", "user_id")
+    val out = Analytics.topKPerGroup(ev, 2)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 2L, 4L)) // ties at 5.0 → lower event_id first
+  }
+
+  test("q1 money aggregates are exact decimals (engine-order independent)") {
+    val li = Seq(
+      ("A", "F", 10.0, 100.00, 0.05, 0.02, "1995-01-01"),
+      ("A", "F", 20.0, 200.00, 0.10, 0.04, "1995-01-02"),
+      ("R", "O", 30.0, 300.00, 0.00, 0.00, "2002-01-01")) // filtered out
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "ship")
+      .withColumn("l_shipdate", $"ship".cast("timestamp")).drop("ship")
+    val r = Analytics.q1PricingSummary(li, "2000-12-01").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("sum_qty") === 30.0)
+    assert(r(0).getAs[Double]("sum_disc_price") === 95.0 + 180.0)
+    assert(r(0).getAs[Double]("sum_charge") === 95.0 * 1.02 + 180.0 * 1.04)
+    assert(r(0).getAs[Long]("count_order") === 2L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** Transplants the reference's own B-tree query test
+  * (reference: src/btree/file.rs:613-697 `test_small` / `check_query`)
+  * onto the Spark as-of operators: same 18 (asset, date, ts, value)
+  * rows, same four queries, same expected value sequences.
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // file.rs:621-640 `inputs`, dates yyyymmdd → java dates, ts ints →
+  // epoch-second timestamps.
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val panel: DataFrame = Seq(
+    (0L, "2020-01-31", 0, 1.0), (0L, "2020-01-31", 10, 2.0), (0L, "2020-01-31", 20, 3.0),
+    (0L, "2020-02-29", 5, 11.0), (0L, "2020-02-29", 15, 12.0), (0L, "2020-02-29", 25, 13.0),
+    (0L, "2020-03-31", 10, 110.0), (0L, "2020-03-31", 20, 120.0), (0L, "2020-03-31", 25, 130.0),
+    (1L, "2020-02-29", 5, 21.0), (1L, "2020-02-29", 15, 22.0), (1L, "2020-02-29", 25, 23.0),
+    (1L, "2020-03-31", 10, 220.0), (1L, "2020-03-31", 20, 220.0), (1L, "2020-03-31", 25, 230.0),
+    (1L, "2020-04-30", 10, 2100.0), (1L, "2020-04-30", 20, 2200.0), (1L, "2020-04-30", 25, 2300.0))
+    .zipWithIndex
+    .map { case ((a, dt, t, v), i) => (a, d(dt), ts(t), v, i.toLong) }
+    .toDF("asset_id", "date", "ts", "value", "seq")
+
+  private def values(df: DataFrame): Seq[Double] =
+    df.select("value").collect().map(_.getDouble(0)).toSeq
+
+  private def asOf(asset: Long, s: String, e: String, t: Int): Seq[Double] =
+    values(AsOf.asOfRange(panel, asset, s, e,
+      new Timestamp(t * 1000L).toString))
+
+  test("reference check_query 1: exact date, asof at last revision (file.rs:649)") {
+    assert(asOf(0, "2020-01-31", "2020-01-31", 20) === Seq(3.0))
+  }
+
+  test("reference check_query 2: asof between revisions picks earlier (file.rs:661)") {
+    assert(asOf(0, "2020-01-31", "2020-01-31", 15) === Seq(2.0))
+  }
+
+  test("reference check_query 3: range over three dates, desc order (file.rs:673)") {
+    assert(asOf(0, "2020-01-15", "2020-04-05", 20) === Seq(120.0, 12.0, 3.0))
+  }
+
+  test("reference check_query 4: second asset, asof before any revision hides date (file.rs:685)") {
+    assert(asOf(1, "2020-03-15", "2020-05-15", 21) === Seq(2200.0, 220.0))
+  }
+
+  test("asof_bulk matches per-query asOfRange") {
+    val queries = Seq(
+      (0L, 0L, d("2020-01-15"), d("2020-04-05"), ts(20)),
+      (1L, 1L, d("2020-03-15"), d("2020-05-15"), ts(21)))
+      .toDF("query_id", "q_asset_id", "start_date", "end_date", "asof_ts")
+    val out = AsOf.asOfBulk(panel, queries)
+      .select("query_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((0L, 120.0), (0L, 12.0), (0L, 3.0), (1L, 2200.0), (1L, 220.0)))
+  }
+
+  test("asof_join enriches left rows with latest strictly-earlier right value") {
+    val left = Seq((1L, ts(10), 100L, 50.0), (1L, ts(20), 101L, 60.0), (2L, ts(5), 102L, 70.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq((1L, ts(5), 1L, 1.5), (1L, ts(10), 2L, 2.5), (1L, ts(15), 3L, 3.5))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOf.asOfJoin(left, right, "user_id", Seq("value"))
+      .orderBy("seq")
+      .select("seq", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // left@10 sees right@5 only (strict <, right@10 excluded);
+    // left@20 sees right@15; user 2 has no rights → null.
+    assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
+  }
+}

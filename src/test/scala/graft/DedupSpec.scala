@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Long doc (6× a 17-token sentence — odd token count, so simhash bit
+  // votes are never zero) with a one-token append as the near-dup: the
+  // ±1 vote shift can't flip any |vote| ≥ 6 bit, giving hamming 0, and
+  // the perturbation is tiny for shingle-based measures too.
+  private val base = Seq.fill(6)(
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill")
+    .mkString(" ")
+  private val nearDup = base + " postscript"
+  private val distinct1 =
+    "completely unrelated text about distributed query engines shuffling partitions across executors"
+  private val distinct2 =
+    "yet another different document mentioning parquet row groups and predicate pushdown mechanics"
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length === 4) // 0 and 4 collapse
+    val dupRow = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupRow.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair and the exact dup") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // identical docs always collide
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // near-dup
+    assert(!pairs.contains((2L, 3L))) // unrelated docs don't
+  }
+
+  test("simhash pairs: identical docs at hamming 0, near-dups within threshold") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toList
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 4L)
+    assert(exact.exists(_._3 === 0))
+    assert(pairs.exists(p => (p._1, p._2) == ((0L, 1L))))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, unrelated pair absent") {
+    val out = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(out(((0L, 4L))) === 1.0)
+    assert(out(((0L, 1L))) > 0.5 && out(((0L, 1L))) < 1.0)
+    assert(!out.contains((2L, 3L)))
+  }
+
+  test("shingles produce distinct k-grams") {
+    val s = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles($"text", 8)).collect()(0).getSeq[String](0)
+    assert(s.toSet.size === s.length)
+    assert(s.forall(_.length <= 8))
+  }
+}

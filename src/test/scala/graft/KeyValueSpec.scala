@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.KeyValue
+
+/** Ordered-KV semantics vs reference src/btree/mem.rs (lookup :387,
+  * lookup_range :395, insert/update :406/:433, delete :439).
+  */
+class KeyValueSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val panel: DataFrame = Seq(
+    (1L, "2024-01-01", 10, 100.0, 1L),
+    (1L, "2024-01-01", 20, 101.0, 2L), // revision: LWW winner for (1, 01-01)
+    (1L, "2024-01-02", 10, 102.0, 3L),
+    (2L, "2024-01-01", 10, 200.0, 4L),
+    (2L, "2024-01-03", 10, 201.0, 5L),
+    (3L, "2024-01-02", 10, 300.0, 6L))
+    .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+    .toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("point_lookup returns current (latest-ts) value — mem.rs lookup + update semantics") {
+    val out = KeyValue.pointLookup(panel, 1L, "2024-01-01").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("value") === 101.0)
+  }
+
+  test("range_scan is inclusive and lexicographic on the composite key — mem.rs lookup_range") {
+    val out = KeyValue.rangeScan(panel, 1L, "2024-01-02", 2L, "2024-01-01")
+      .select("value").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(102.0, 200.0))
+  }
+
+  test("upsert_lww keeps exactly the newest revision per key — insert+update materialized") {
+    val out = KeyValue.upsertLww(panel)
+      .select("asset_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 101.0), (1L, 102.0), (2L, 200.0), (2L, 201.0), (3L, 300.0)))
+  }
+
+  test("upsert_lww ties on ts break by seq (total order)") {
+    val p = Seq((9L, d("2024-01-01"), ts(10), 1.0, 1L), (9L, d("2024-01-01"), ts(10), 2.0, 2L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(KeyValue.upsertLww(p).collect()(0).getAs[Double]("value") === 2.0)
+  }
+
+  test("delete_keys removes exactly the listed composite keys — mem.rs delete") {
+    val keys = Seq((1L, d("2024-01-01")), (2L, d("2024-01-03"))).toDF("asset_id", "date")
+    val out = KeyValue.deleteKeys(panel, keys).select("value").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(102.0, 200.0, 300.0))
+  }
+
+  test("ingest_convert encodes yyyymmdd ints and epoch seconds — convert-datetimes.py") {
+    val ev = Seq((7L, new Timestamp(1704067207179L), 5L, 42.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = KeyValue.ingestConvert(ev).collect()(0)
+    assert(r.getAs[Int]("date_int") === 20240101)      // 2024-01-01 UTC
+    assert(r.getAs[Long]("epoch_s") === 1704067207L)   // floor to seconds
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy embeddings (stored float, math in double)
+  private lazy val emb: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)))   // identical to 0
+    .toDF("vec_id", "embedding")
+
+  test("dot kernel computes the exact dot product") {
+    val d = emb.filter($"vec_id" === 0)
+      .select(Similarity.dot(
+        Similarity.toDouble($"embedding"), Similarity.toDouble($"embedding")))
+      .collect()(0).getDouble(0)
+    assert(d === 1.0)
+  }
+
+  test("cosine top-k ranks identical > near > orthogonal > opposite") {
+    val out = Similarity.cosineTopK(emb, Seq(0L), 4)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(4L, 1L, 2L, 3L))
+    assert(out(0)._2 === 1.0)
+    assert(out(3)._2 === -1.0)
+  }
+
+  test("near-dup pairs above threshold include (0,4) and (0,1) but not orthogonals") {
+    val pairs = Similarity.embeddingNearDupPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("LSH buckets: identical vectors share a bucket, opposite vectors never do") {
+    val b = Similarity.lshBuckets(emb, dim = 4, planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) === b(4L))
+    assert(b(0L) !== b(3L)) // all 8 sign bits flip for -v
+  }
+
+  test("LSH top-k finds the identical neighbor within its bucket") {
+    val out = Similarity.lshTopK(emb, dim = 4, planes = 2, k = 3)
+      .filter($"q_id" === 0).select("vec_id").collect().map(_.getLong(0))
+    assert(out.contains(4L))
+  }
+}

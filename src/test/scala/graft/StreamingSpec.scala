@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Tick
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+
+  test("streaming latestPerKey maintains LWW state across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = StreamingOps.latestPerKey(input.toDS())
+      .writeStream.format("memory").queryName("latest_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Tick(1L, ts(10), 100.0, 1L), Tick(1L, ts(20), 200.0, 2L), Tick(2L, ts(5), 50.0, 3L))
+      q.processAllAvailable()
+      val batch1 = spark.table("latest_sink").as[StreamingOps.Latest]
+        .collect().map(l => l.asset_id -> l.value).toMap
+      assert(batch1 === Map(1L -> 200.0, 2L -> 50.0))
+
+      // older tick must NOT displace state; newer one must
+      input.addData(Tick(1L, ts(15), 150.0, 4L), Tick(2L, ts(30), 75.0, 5L))
+      q.processAllAvailable()
+      val all = spark.table("latest_sink").as[StreamingOps.Latest].collect()
+      val latestPer = all.groupBy(_.asset_id).map { case (k, v) => k -> v.maxBy(_.ts.getTime).value }
+      assert(latestPer === Map(1L -> 200.0, 2L -> 75.0))
+      // asset 1 emitted no second update (stale tick suppressed)
+      assert(all.count(_.asset_id == 1L) === 1)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark produces per-window OHL counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val agg = StreamingOps.windowedAgg(input.toDS().toDF(), "1 minute", "2 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Tick(1L, ts(10), 10.0, 1L), Tick(1L, ts(30), 30.0, 2L),
+        Tick(1L, ts(70), 70.0, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("win_sink")
+        .select("asset_id", "n_ticks", "low", "high").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(rows === Set((1L, 2L, 10.0, 30.0), (1L, 1L, 70.0, 70.0)))
+    } finally q.stop()
+  }
+}
