@@ -57,19 +57,72 @@ object Similarity {
   }
 
   /** C5 `dedup_embedding` — near-dup pairs with cosine ≥ threshold.
-    * Exact all-pairs formulation for the oracle check; the scale path
-    * for corpus-×-corpus is [[lshBuckets]] (bucket first, verify cosine
-    * only within buckets).
+    *
+    * Exact all-pairs, computed TILED: vectors are grouped into id-hashed
+    * blocks, block *pairs* are cross-joined (tiny row count), and each
+    * task runs the dense pairwise loop over its two blocks. A row-level
+    * pairwise join materializes both 64-float vectors into every joined
+    * row (O(pairs · dim) shuffle bytes — measured 15 s at 2k vectors);
+    * tiling moves O(pairs · dim) work into registers and keeps rows at
+    * O(blocks²). `mapPartitions`-style imperative code is justified here
+    * (SURVEY.md §4 case (d)): the kernel is a dense numeric loop Catalyst
+    * has no operator for.
+    *
+    * Exactness: same normalize→dot→round(3) float path as the expression
+    * kernels, so results are bit-identical to the declarative form.
+    * Zero vectors produce cos 0 (threshold > 0 drops them, matching the
+    * NULL-cosine semantics of the expression path). Scale path for
+    * corpora where even blocks² is too many tasks: [[lshBuckets]] first,
+    * exact tiled verify within buckets.
     */
-  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")), 3))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            blockSize: Int = 1024): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(threshold > 0, "threshold must be positive (zero vectors score 0)")
+
+    val vecs = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val out = new Array[Double](v.length)
+        if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+        (id, out)
+      }
+    val nBlocks = math.max(1, (embeddings.count() / blockSize).toInt + 1)
+    val blocked = vecs
+      .map { case (id, v) => ((id % nBlocks).toInt, id, v) }
+      .groupByKey(_._1)
+      .mapGroups { (b, it) => (b, it.map(t => (t._2, t._3)).toArray) }
+    val pairsOut = blocked.as("a")
+      .joinWith(blocked.as("b"), col("a._1") <= col("b._1"))
+      .flatMap { case ((ba, arrA), (bb, arrB)) =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < arrA.length) {
+          val (ida, va) = arrA(i)
+          var j = if (ba == bb) i + 1 else 0
+          while (j < arrB.length) {
+            val (idb, vb) = arrB(j)
+            if (ida != idb) {
+              var s = 0.0; var k = 0
+              while (k < va.length && k < vb.length) { s += va(k) * vb(k); k += 1 }
+              // identical rounding to Spark's round(col, 3)
+              val c = java.math.BigDecimal.valueOf(s)
+                .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (c >= threshold) {
+                out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    pairsOut.toDF("id_a", "id_b", "cos").orderBy(col("id_a"), col("id_b"))
   }
 
   /** C7 `ann_lsh` — random-hyperplane LSH: `planes` sign bits, plane
