@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{DotProduct, MinHashSig, SimHash64}
+
+/** Registers the graft kernel expressions as SQL functions, so
+  * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the standard Spark extension mechanism), or
+  *  - [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(s"graft.expressions", name)
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, k, n) - n-hash MinHash signature over k-char shingles"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children(0), intArg(children(1), "k"), intArg(children(2), "numHashes"))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the whitespace token multiset"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+
+  /** Register on a live session (same registry `injectFunction` feeds). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}
