@@ -102,18 +102,21 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
                         maxDf: Long = Long.MaxValue): DataFrame = {
+    // Inverted index: one shuffle builds posting lists per shingle; the
+    // df cap (stop-shingle removal) bounds each list. Pairs are emitted
+    // in place by the SortedPairs generator and partially aggregated
+    // map-side — no shingle⨝shingle self-join, no second scan shuffle.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
-    val filtered =
-      if (maxDf == Long.MaxValue) sh
-      else {
-        val dfCounts = sh.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        sh.join(dfCounts.select("s"), Seq("s"))
-      }
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // (The posts subtree appears twice below; Spark's ReusedExchange
+    // dedups the shuffle, so no explicit persist is needed.)
+    val posts = sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    val sizes = posts.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = posts
+      .select(graft.expressions.SortedPairs(col("ids")).as(Seq("doc_a", "doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
