@@ -29,6 +29,9 @@ object Kernels {
 
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  def lshBucket(vec: Column, planes: Int): Column =
+    ExpressionUtils.column(LshBucket(ExpressionUtils.expression(vec), planes))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */
@@ -150,6 +153,47 @@ case class SimHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket of an array<double>: `planes` sign bits
+  * packed into a long (bit j = sign of the projection onto plane j).
+  * Plane components are ±1 derived from XXH64(j·2³² | i) — the whole
+  * family is deterministic, no plane matrix to broadcast. Output: long.
+  */
+case class LshBucket(child: Expression, planes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((XXH64.hashLong((j.toLong << 32) | i.toLong, 42L) & 1L) == 0L) 1.0 else -1.0
+        s += v.getDouble(i) * sign
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshBucket].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (Long) $ref.nullSafeEval($c);")
   }

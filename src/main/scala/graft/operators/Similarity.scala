@@ -125,27 +125,18 @@ object Similarity {
     pairsOut.toDF("id_a", "id_b", "cos").orderBy(col("id_a"), col("id_b"))
   }
 
-  /** C7 `ann_lsh` — random-hyperplane LSH: `planes` sign bits, plane
-    * components are ±1 derived from xxhash64(plane, dim) so the whole
-    * family is deterministic and needs no driver-side randomness or
-    * broadcast of plane matrices. Output: (vec_id, bucket) — the
-    * bucketed index a banded self-join or bucket-local top-k runs on.
-    * Sketch cost is O(dim · planes) per row in one scan.
+  /** C7 `ann_lsh` — random-hyperplane LSH: `planes` sign bits packed in
+    * a long by the [[graft.expressions.LshBucket]] kernel (deterministic
+    * hash-derived ±1 plane components — no driver-side randomness, no
+    * plane matrix broadcast). Output: (vec_id, bucket) — the bucketed
+    * index a banded self-join or bucket-local top-k runs on. Sketch cost
+    * is O(dim · planes) per row in one scan.
     */
-  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int): DataFrame = {
-    val v = toDouble(col("embedding"))
-    val bits = (0 until planes).map { j =>
-      val proj = aggregate(
-        sequence(lit(0), lit(dim - 1)),
-        lit(0.0),
-        (acc, i) =>
-          acc + element_at(v, (i + 1).cast("int")) *
-            when(pmod(xxhash64(lit(j), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    embeddings.select(col("vec_id"), concat(bits: _*).as("bucket"))
+  def lshBuckets(embeddings: DataFrame, dim: Int, planes: Int): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), planes).as("bucket"))
       .orderBy(col("vec_id"))
-  }
 
   /** Bucket-local ANN: candidates share an LSH bucket, ranked by exact
     * cosine within the bucket — the 100 TB path where both sides are

@@ -43,7 +43,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH buckets: identical vectors share a bucket, opposite vectors never do") {
     val b = Similarity.lshBuckets(emb, dim = 4, planes = 8)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(0L) === b(4L))
     assert(b(0L) !== b(3L)) // all 8 sign bits flip for -v
   }
