@@ -100,6 +100,11 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Ivf.train(emb, k = 8, iters = 3)
+      Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 2)
+    }),
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_guess"))

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.NearestCentroid
+
+/** IVF (inverted-file) approximate nearest neighbor — the similarity
+  * index for corpora where even LSH bucket joins are too coarse.
+  *
+  * Train/assign/search, all deterministic:
+  *  - [[train]]: hash-spread seed pick + Lloyd iterations. Per
+  *    iteration: one scan assigns (NearestCentroid kernel — centroids
+  *    travel inside the expression, no join), one narrow shuffle of
+  *    (cluster, pos, component) averages the new means. Train on a
+  *    sample at scale; k·dim doubles always fit on the driver.
+  *  - [[index]]: one scan tags every vector with its cluster → write
+  *    partitioned by cluster, and ANN probes become partition-pruned
+  *    reads.
+  *  - [[search]]: probe the `nProbe` nearest centroids per query (a
+  *    driver-side k·|q| computation), exact cosine only within probed
+  *    clusters — corpus work drops to nProbe/k of brute force.
+  */
+object Ivf {
+
+  /** Deterministic Lloyd k-means on the embedding column. */
+  def train(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val vecs = embeddings.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    // hash-spread deterministic seeds (not first-k: those may be correlated)
+    var centroids: Array[Array[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"))
+      .limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs.withColumn("c", NearestCentroid(col("v"), centroids))
+      val means = assigned
+        .select(col("c"), posexplode(col("v")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            m
+          case None => old // empty cluster keeps its seed
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Tag every vector with its coarse cluster. */
+  def index(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    embeddings
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("cluster", NearestCentroid(col("v"), centroids))
+
+  /** ANN: probe the nProbe nearest clusters per query id, exact cosine
+    * top-k within the probed subset.
+    */
+  def search(embeddings: DataFrame, centroids: Array[Array[Double]],
+             queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val idx = index(embeddings, centroids)
+    val queries = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv")).collect()
+    // driver-side probe list: nProbe nearest centroids per query
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n)
+    }
+    val probes = queries.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val scored = normed.zipWithIndex.map { case (c, ci) =>
+        (ci, if (qn == 0) 0.0 else c.zip(qv).map { case (a, b) => a * b }.sum / qn)
+      }
+      scored.sortBy { case (ci, s) => (-s, ci) }.take(nProbe)
+        .map { case (ci, _) => (r.getLong(0), ci) }
+    }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probeDf = probes.toDF("q_id", "cluster")
+    val qDf = queries.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .toDF("q_id", "qv")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    idx.join(broadcast(probeDf), Seq("cluster"))
+      .join(broadcast(qDf), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        Similarity.dot(Similarity.normalize(col("qv")), Similarity.normalize(col("v"))), 3))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated groups in 4-d + a query near group A
+  private lazy val emb: DataFrame = (
+    (0 until 10).map(i => (i.toLong, Array(10f + i * 0.1f, 0f, 0f, 0f))) ++     // group A
+    (10 until 20).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 0f, 0f))) ++    // group B
+    (20 until 30).map(i => (i.toLong, Array(0f, 0f, 10f + i * 0.1f, 0f)))       // group C
+  ).toDF("vec_id", "embedding")
+
+  test("train converges to one centroid per separated group") {
+    val cs = Ivf.train(emb, k = 3, iters = 4)
+    assert(cs.length === 3)
+    // each centroid is dominated by exactly one axis and all axes covered
+    val domAxes = cs.map(c => c.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes === Set(0, 1, 2))
+  }
+
+  test("index assigns each group to a single cluster") {
+    val cs = Ivf.train(emb, k = 3, iters = 4)
+    val idx = Ivf.index(emb, cs).select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val groups = idx.groupBy(_._1 / 10).map { case (g, rows) => g -> rows.map(_._2).toSet }
+    assert(groups.values.forall(_.size === 1)) // pure clusters
+    assert(groups.values.toSet.size === 3)     // distinct clusters
+  }
+
+  test("search with nProbe=1 finds the same-group neighbors, matching brute force") {
+    val cs = Ivf.train(emb, k = 3, iters = 4)
+    val ivfTop = Ivf.search(emb, cs, Seq(0L), k = 5, nProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bruteTop = Similarity.cosineTopK(emb, Seq(0L), 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfTop === bruteTop) // separated groups → probe-1 recall is exact
+    assert(ivfTop.forall(_ < 10)) // all neighbors from group A
+  }
+}
