@@ -40,5 +40,16 @@ object TickStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"),
+        col("date_month"))
+
+  /** Date-range scan with the month partition predicate derived from the
+    * range — the inner-node traversal analog: directories outside
+    * [from, to] months are never opened (`PartitionFilters` in the
+    * plan), then row-group stats narrow within each month.
+    */
+  def scan(spark: SparkSession, path: String, fromDate: String, toDate: String): DataFrame =
+    read(spark, path)
+      .filter(col("date_month").between(fromDate.substring(0, 7), toDate.substring(0, 7)) &&
+        col("date").between(lit(fromDate).cast("date"), lit(toDate).cast("date")))
 }

@@ -54,6 +54,15 @@ object StreamingOps {
       }
   }
 
+  /** D3 — streaming exact dedup: drop repeat observations of a key
+    * within the watermark horizon (the streaming face of `dedup_exact`;
+    * state is bounded by the watermark, unlike an unbounded
+    * `dropDuplicates`).
+    */
+  def dedupStream(ticks: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

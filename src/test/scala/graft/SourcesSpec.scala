@@ -42,6 +42,36 @@ class SourcesSpec extends SparkSpec {
   private def KeyCount(df: org.apache.spark.sql.DataFrame, asset: Long): Long =
     df.filter(col("asset_id") === asset).count()
 
+  test("as-of query over TickStore prunes month partitions and matches the raw panel") {
+    import java.sql.{Date, Timestamp}
+    // multi-month panel (reference test_small's date spread)
+    val panel = Seq(
+      (0L, "2020-01-31", 10, 1.0, 1L), (0L, "2020-02-29", 20, 2.0, 2L),
+      (0L, "2020-03-31", 30, 3.0, 3L), (1L, "2020-04-30", 40, 4.0, 4L))
+      .map { case (a, d, t, v, q) =>
+        (a, Date.valueOf(d), new Timestamp(t * 1000L), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val path = java.nio.file.Files.createTempDirectory("tickstore2").toString + "/store"
+    graft.sources.TickStore.write(panel, path)
+    val store = graft.sources.TickStore.read(spark, path)
+
+    val fromStore = graft.operators.AsOf
+      .asOfRange(store, 0L, "2020-01-01", "2020-02-29", "2020-03-01 00:00:00")
+      .select("date", "value").collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val fromPanel = graft.operators.AsOf
+      .asOfRange(panel, 0L, "2020-01-01", "2020-02-29", "2020-03-01 00:00:00")
+      .select("date", "value").collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+    assert(fromStore.toSeq === fromPanel.toSeq)
+    assert(fromStore.toSeq === Seq(("2020-02-29", 2.0), ("2020-01-31", 1.0)))
+
+    // partition pruning is visible in the plan when scanning a date
+    // range (the B-tree inner-node traversal analog)
+    val pruned = graft.sources.TickStore.scan(spark, path, "2020-02-01", "2020-02-29")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("date_month"))
+    assert(pruned.count() === 1)
+  }
+
   test("multimodal decode pipeline emits deterministic features per record") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)

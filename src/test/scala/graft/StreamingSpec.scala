@@ -38,6 +38,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeat keys within the watermark horizon") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val deduped = StreamingOps.dedupStream(input.toDS().toDF(), "10 minutes", Seq("asset_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Tick(1L, ts(10), 1.0, 1L), Tick(1L, ts(20), 2.0, 2L), Tick(2L, ts(30), 3.0, 3L))
+      q.processAllAvailable()
+      input.addData(Tick(1L, ts(40), 4.0, 4L)) // duplicate key within horizon
+      q.processAllAvailable()
+      val perKey = spark.table("dedup_sink").groupBy("asset_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perKey === Map(1L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark produces per-window OHL counts") {
     val spark0 = spark
     import spark0.implicits._
