@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+import graft.plans.AsOfJoinNative
+
+/** The custom-operator as-of join must agree exactly with the
+  * declarative union+window formulation — on a hand fixture and on the
+  * real testdata (purchases enriched with latest prior view).
+  */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+
+  test("native exec matches hand-computed strict as-of semantics") {
+    val left = Seq((1L, ts(10), 100L, 50.0), (1L, ts(20), 101L, 60.0), (2L, ts(5), 102L, 70.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq((1L, ts(5), 1L, 1.5), (1L, ts(10), 2L, 2.5), (1L, ts(15), 3L, 3.5))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOfJoinNative(left, right, "user_id", "ts", "rvalue")
+      .orderBy("seq")
+      .select("seq", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
+  }
+
+  test("native exec agrees with the union+window operator on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+
+    val declarative = AsOf.asOfJoin(purchases, views, "user_id", Seq("value"))
+      .select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val native = AsOfJoinNative(purchases, views, "user_id", "ts", "rvalue")
+      .select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(native.size === declarative.size)
+    assert(native === declarative)
+  }
+
+  test("plan shows the custom exec with planner-provided exchange and sort") {
+    val left = Seq((1L, ts(10), 1L, 1.0)).toDF("user_id", "ts", "seq", "value")
+    val right = Seq((1L, ts(5), 1L, 9.0)).toDF("user_id", "ts", "seq", "rvalue")
+    val plan = AsOfJoinNative(left, right, "user_id", "ts", "rvalue")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Exchange hashpartitioning(user_id"))
+    assert(plan.contains("Sort [user_id"))
+  }
+}
