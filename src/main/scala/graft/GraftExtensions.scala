@@ -16,8 +16,11 @@ import graft.expressions.{DotProduct, MinHashSig, SimHash64}
   *  - [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.DeriveMonthPartitionFilter)
+  }
 }
 
 object GraftFunctions {

@@ -95,6 +95,14 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.events(s, dir), 3)),
     "sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800.0)),
+    "quantiles" -> ((s, dir) =>
+      Analytics.quantiles(Tables.events(s, dir))),
+    "histogram" -> ((s, dir) =>
+      Analytics.histogram(Tables.events(s, dir), 50.0)),
+    "corr_qty_price" -> ((s, dir) =>
+      Analytics.corrQtyPrice(Tables.lineitem(s, dir))),
+    "json_props" -> ((s, dir) =>
+      Analytics.jsonProps(Tables.events(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir))),
@@ -305,6 +313,31 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6)  AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)
+        |ORDER BY event_type, bin""".stripMargin,
+    "corr_qty_price" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k,
+        |  max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -143,6 +143,60 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** B9 `quantiles` — exact interpolated percentiles per group (the
+    * risk-metric shape: p50/p95/p99 of the tick value). Exact
+    * `percentile` (not approx sketches) so the oracle can match; swap to
+    * `percentile_approx` at 100 TB where a t-digest's bounded memory
+    * beats a per-group sort.
+    */
+  def quantiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** B10 `histogram` — fixed-width value binning per group; one
+    * map-side-combinable aggregation.
+    */
+  def histogram(events: DataFrame, binWidth: Double): DataFrame =
+    events
+      .groupBy(col("event_type"), floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  /** B11 `corr_qty_price` — Pearson correlation + covariance of quantity
+    * and price per flag (portfolio-analytics shape). Co-moment
+    * accumulation differs in order across engines → round(6).
+    */
+  def corrQtyPrice(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** C13 `json_props` — semi-structured column handling: parse the
+    * `props` JSON, aggregate the typed field per group. `from_json` with
+    * an explicit schema (codegen'd Jackson parse) — at scale prefer
+    * parsing once into a materialized column over repeated
+    * `get_json_object` calls.
+    */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).cast("long").as("sum_k"),
+        count_distinct(col("k")).as("n_distinct_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** B8 `sessionize` — gap-based sessions per user: flag gaps > `gapSec`
     * via lag, session id = running sum of flags, then per-session
     * aggregate. Batch shape of streaming session windows; both shuffles

@@ -70,6 +70,21 @@ class SourcesSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("date_month"))
     assert(pruned.count() === 1)
+
+    // DeriveMonthPartitionFilter: a date-only filter gains the month
+    // partition predicate automatically
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.DeriveMonthPartitionFilter)
+    try {
+      val auto = store.filter(
+        col("date") >= lit("2020-02-01").cast("date") &&
+          col("date") <= lit("2020-02-29").cast("date"))
+      val pfLine = auto.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PartitionFilters")).mkString
+      // the derived month bound must be INSIDE the partition filter list
+      assert(pfLine.matches(""".*PartitionFilters: \[[^\]]*date_month[^\]]*2020-02[^\]]*\].*"""), pfLine)
+      assert(auto.count() === 1)
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("multimodal decode pipeline emits deterministic features per record") {
