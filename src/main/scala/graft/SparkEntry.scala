@@ -114,6 +114,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "top_ngrams" -> ((s, dir) =>
+      Dedup.topNgrams(Tables.documents(s, dir), 20)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L)
+      Dedup.nearDupClusters(docs, pairs)
+    }),
     "ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh" -> ((s, dir) =>
@@ -359,6 +366,43 @@ object SparkEntry {
         |         round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
+        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH t AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

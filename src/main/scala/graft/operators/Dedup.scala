@@ -93,6 +93,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C14 `top_ngrams` — corpus-wide token-bigram frequencies, top `k`.
+    * One explode + one shuffle with map-side combine; rank with a total
+    * tie-break so the cut is deterministic.
+    */
+  def topNgrams(documents: DataFrame, k: Int): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(
+        zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+    bigrams
+  }
+
+  /** C15 `dedup_clusters` — connected components over the near-dup pair
+    * graph: every document labeled with the smallest doc_id reachable
+    * through near-dup edges (its dedup cluster representative).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges and takes the min; converges in ≤ diameter rounds
+    * (near-dup clusters are tiny — a handful of rounds). Driver loop
+    * only checks convergence counts; all data work is distributed. At
+    * web scale this is the standard large-star/small-star shape.
+    */
+  def nearDupClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster_id", "nbr"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
   /** C4 `ngram_jaccard` — n-gram shingle Jaccard pairs ≥ threshold.
     * Candidates via the inverted shingle index (explode + equality
     * join); |∩| from the join, |∪| from per-doc set sizes. At corpus

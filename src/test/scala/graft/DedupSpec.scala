@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((2L, 3L)))
   }
 
+  test("near-dup clusters: transitive chain collapses to the min id") {
+    // chain: 0~1 (append), 1~5 (append to nearDup) → {0,1,4,5} one cluster
+    val chained = docs.union(Seq((5L, nearDup + " more")).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairs(chained, k = 8, threshold = 0.3)
+    val clusters = Dedup.nearDupClusters(chained, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) === 0L && clusters(1L) === 0L && clusters(4L) === 0L && clusters(5L) === 0L)
+    assert(clusters(2L) === 2L && clusters(3L) === 3L) // unrelated docs stay singleton
+  }
+
+  test("top ngrams surfaces the repeated bigram with deterministic ranking") {
+    val out = Dedup.topNgrams(docs, 30).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 30)
+    assert(out.head._2 >= out.last._2)
+    // "the quick" appears 6 times in each of docs 0, 1, 4 (base × 6)
+    assert(out.toMap.get("the quick").exists(_ >= 18L))
+  }
+
   test("shingles produce distinct k-grams") {
     val s = docs.filter($"doc_id" === 0)
       .select(Dedup.shingles($"text", 8)).collect()(0).getSeq[String](0)
