@@ -1,0 +1,162 @@
+package graft.sources.findb
+
+import java.io.RandomAccessFile
+
+import org.apache.spark.sql.types._
+
+/** Binary layout of the reference's on-disk B-tree (all integers
+  * big-endian u32, values big-endian f32):
+  *
+  *  - file header (reference src/btree/file.rs:53-59): page_size,
+  *    page_count, root_page_num — 12 bytes.
+  *  - page (file.rs:92-99): header of 4 u32s (page_type 0=leaf/1=inner,
+  *    num_keys, extra_page_num, unused), then `num_keys` fixed 16-byte
+  *    entries: key = (asset_id, date, timestamp) u32×3 (file.rs:21-25),
+  *    value = f32 for leaves / child page number for inner nodes
+  *    (file.rs:128-147).
+  *  - leaves are chained backwards through extra_page_num
+  *    (file.rs:346-348); u32::MAX terminates the chain.
+  *
+  * Implemented from the format spec — no reference code is used.
+  */
+object FindbFormat {
+  val FileHeaderSize = 12
+  val PageHeaderSize = 16
+  val KeyValueSize = 16
+  val LeafType = 0L
+  val InnerType = 1L
+  val NoPage: Long = 0xFFFFFFFFL
+
+  /** u32 fields surface as long (unsigned-safe); yyyymmdd dates fit int;
+    * f32 values stay float.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("date", IntegerType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("value", FloatType, nullable = false)))
+
+  case class Header(pageSize: Int, pageCount: Int, rootPageNum: Long)
+
+  def readHeader(raf: RandomAccessFile): Header = {
+    raf.seek(0)
+    val pageSize = raf.readInt()
+    val pageCount = raf.readInt()
+    val root = Integer.toUnsignedLong(raf.readInt())
+    Header(pageSize, pageCount, root)
+  }
+
+  def pageOffset(pageNum: Long, pageSize: Int): Long =
+    FileHeaderSize + pageNum * pageSize.toLong
+
+  def keyCapacity(pageSize: Int): Int = (pageSize - PageHeaderSize) / KeyValueSize
+
+  def u32(buf: Array[Byte], off: Int): Long =
+    ((buf(off) & 0xFFL) << 24) | ((buf(off + 1) & 0xFFL) << 16) |
+      ((buf(off + 2) & 0xFFL) << 8) | (buf(off + 3) & 0xFFL)
+
+  def f32(buf: Array[Byte], off: Int): Float =
+    java.lang.Float.intBitsToFloat(u32(buf, off).toInt)
+
+  def putU32(buf: Array[Byte], off: Int, v: Long): Unit = {
+    buf(off) = ((v >>> 24) & 0xFF).toByte
+    buf(off + 1) = ((v >>> 16) & 0xFF).toByte
+    buf(off + 2) = ((v >>> 8) & 0xFF).toByte
+    buf(off + 3) = (v & 0xFF).toByte
+  }
+
+  def putF32(buf: Array[Byte], off: Int, v: Float): Unit =
+    putU32(buf, off, Integer.toUnsignedLong(java.lang.Float.floatToIntBits(v)))
+}
+
+/** Bulk writer: key-sorted entries → a format-valid B-tree file
+  * (`write_from_iterator` analog, reference file.rs:296). Layout: leaf
+  * pages first (backward-chained), then inner levels bottom-up, root
+  * last; separator key i of an inner node is the first key of child
+  * i+1. Structurally valid for any descending reader; graft's own scan
+  * walks leaves only.
+  */
+object FindbWriter {
+  import FindbFormat._
+
+  /** entry = (asset_id, dateInt, timestamp, value); must be key-sorted. */
+  def write(path: String, pageSize: Int, entries: Seq[(Long, Int, Long, Float)]): Unit = {
+    val cap = keyCapacity(pageSize)
+    require(cap >= 2, s"page size $pageSize too small")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try {
+      val leaves = entries.grouped(cap).toIndexedSeq
+      val pageBuf = new Array[Byte](pageSize)
+
+      def writePage(pageType: Long, numKeys: Int, extra: Long)(fill: Array[Byte] => Unit): Unit = {
+        java.util.Arrays.fill(pageBuf, 0.toByte)
+        putU32(pageBuf, 0, pageType)
+        putU32(pageBuf, 4, numKeys.toLong)
+        putU32(pageBuf, 8, extra)
+        fill(pageBuf)
+        out.write(pageBuf)
+      }
+
+      // header placeholder
+      out.writeInt(pageSize); out.writeInt(0); out.writeInt(0)
+
+      // leaves, backward-chained
+      leaves.zipWithIndex.foreach { case (chunk, i) =>
+        writePage(LeafType, chunk.size, if (i == 0) NoPage else (i - 1).toLong) { buf =>
+          chunk.zipWithIndex.foreach { case ((a, d, t, v), j) =>
+            val off = PageHeaderSize + j * KeyValueSize
+            putU32(buf, off, a); putU32(buf, off + 4, d.toLong)
+            putU32(buf, off + 8, t); putF32(buf, off + 12, v)
+          }
+        }
+      }
+
+      // inner levels bottom-up: children of level L become entries of L+1
+      var pageCount = leaves.size.toLong
+      // (firstKey, pageNum) per child
+      var level: IndexedSeq[((Long, Int, Long), Long)] =
+        leaves.zipWithIndex.map { case (chunk, i) =>
+          val (a, d, t, _) = chunk.head
+          ((a, d, t), i.toLong)
+        }
+      while (level.size > 1) {
+        val parents = level.grouped(cap + 1).toIndexedSeq
+        val next = parents.map { children =>
+          val myPage = pageCount
+          // Row j of an inner page carries separator key j (= first key
+          // of child j+1) and, in its value slot, the pointer to child
+          // j. The last pointer overflows to extra_page_num exactly when
+          // all `cap` rows hold keys (reference file.rs:396-403).
+          val nKeys = children.size - 1
+          val extra = if (nKeys == cap) children.last._2 else NoPage
+          writePage(InnerType, nKeys, extra) { buf =>
+            var j = 0
+            while (j < nKeys) { // separator keys from children 1..n
+              val ((a, d, t), _) = children(j + 1)
+              val off = PageHeaderSize + j * KeyValueSize
+              putU32(buf, off, a); putU32(buf, off + 4, d.toLong); putU32(buf, off + 8, t)
+              j += 1
+            }
+            val inSlots = if (nKeys == cap) children.size - 1 else children.size
+            j = 0
+            while (j < inSlots) { // child pointers in value slots 0..
+              putU32(buf, PageHeaderSize + j * KeyValueSize + 12, children(j)._2)
+              j += 1
+            }
+          }
+          pageCount += 1
+          (children.head._1, myPage)
+        }
+        level = next
+      }
+      out.flush()
+      // patch header with page_count and root
+      val raf = new RandomAccessFile(path, "rw")
+      try {
+        raf.seek(4); raf.writeInt(pageCount.toInt)
+        raf.writeInt((pageCount - 1).toInt)
+      } finally raf.close()
+    } finally out.close()
+  }
+}

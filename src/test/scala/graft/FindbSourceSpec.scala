@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.findb.{FindbFormat, FindbWriter}
+
+/** The `.db` connector must round-trip the reference's own test panel
+  * (file.rs:621-640 fixture) and survive multi-page/multi-partition
+  * layouts.
+  */
+class FindbSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference src/btree/file.rs:621-640 `inputs`
+  private val referenceFixture: Seq[(Long, Int, Long, Float)] = Seq(
+    (0L, 20200131, 0L, 1.0f), (0L, 20200131, 10L, 2.0f), (0L, 20200131, 20L, 3.0f),
+    (0L, 20200229, 5L, 11.0f), (0L, 20200229, 15L, 12.0f), (0L, 20200229, 25L, 13.0f),
+    (0L, 20200331, 10L, 110.0f), (0L, 20200331, 20L, 120.0f), (0L, 20200331, 25L, 130.0f),
+    (1L, 20200229, 5L, 21.0f), (1L, 20200229, 15L, 22.0f), (1L, 20200229, 25L, 23.0f),
+    (1L, 20200331, 10L, 220.0f), (1L, 20200331, 20L, 220.0f), (1L, 20200331, 25L, 230.0f),
+    (1L, 20200430, 10L, 2100.0f), (1L, 20200430, 20L, 2200.0f), (1L, 20200430, 25L, 2300.0f))
+
+  private def writeDb(entries: Seq[(Long, Int, Long, Float)], pageKeys: Int): String = {
+    val path = Files.createTempDirectory("findb").toString + "/panel.db"
+    val pageSize = FindbFormat.PageHeaderSize + pageKeys * FindbFormat.KeyValueSize
+    FindbWriter.write(path, pageSize, entries)
+    path
+  }
+
+  private def readDb(path: String, pagesPerPartition: Int = 4096) =
+    spark.read
+      .format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", pagesPerPartition)
+      .load(path)
+
+  test("round-trips the reference test_small panel (3-key pages, multi-level tree)") {
+    val path = writeDb(referenceFixture, pageKeys = 3)
+    val rows = readDb(path)
+      .orderBy("asset_id", "date", "timestamp")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getFloat(3)))
+    assert(rows.toSeq === referenceFixture)
+  }
+
+  test("parallel page-range partitions see each leaf exactly once") {
+    val entries = (0 until 5000).map { i =>
+      (i.toLong / 50, 20240101 + (i % 28), i.toLong, i.toFloat)
+    }.sorted
+    val path = writeDb(entries, pageKeys = 16)
+    val df = readDb(path, pagesPerPartition = 7) // many small partitions
+    assert(df.rdd.getNumPartitions > 10)
+    assert(df.count() === 5000)
+    val back = df.orderBy("asset_id", "date", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getFloat(3)))
+    assert(back.toSeq === entries)
+  }
+
+  test("as-of query semantics work directly over a .db file") {
+    val path = writeDb(referenceFixture, pageKeys = 3)
+    // reference check_query 3 (file.rs:673): asset 0, dates
+    // 20200115-20200405, asof ts 20 → values [120, 12, 3] date-desc
+    val panel = readDb(path).select(
+      $"asset_id",
+      to_date($"date".cast("string"), "yyyyMMdd").as("date"),
+      org.apache.spark.sql.functions.timestamp_seconds($"timestamp").as("ts"),
+      $"value".cast("double").as("value"),
+      $"timestamp".as("seq"))
+    val out = graft.operators.AsOf
+      .asOfRange(panel, 0L, "2020-01-15", "2020-04-05", "1970-01-01 00:00:20")
+      .select("value").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(120.0, 12.0, 3.0))
+  }
+
+  private def to_date(c: org.apache.spark.sql.Column, fmt: String) =
+    org.apache.spark.sql.functions.to_date(c, fmt)
+}
