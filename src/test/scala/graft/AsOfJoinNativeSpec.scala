@@ -45,6 +45,37 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native === declarative)
   }
 
+  test("bucketed co-located tables feed the native as-of join with zero exchanges") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      .withColumnRenamed("user_id", "asset_id")
+      .withColumn("date", to_date(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      .withColumnRenamed("user_id", "asset_id")
+      .withColumn("date", to_date(col("ts")))
+    val base = java.nio.file.Files.createTempDirectory("buckets").toString
+    spark.sql("DROP TABLE IF EXISTS t_purchases")
+    spark.sql("DROP TABLE IF EXISTS t_views")
+    graft.sources.TickStore.writeBucketedTable(purchases, "t_purchases", s"$base/p", buckets = 4)
+    graft.sources.TickStore.writeBucketedTable(views, "t_views", s"$base/v", buckets = 4)
+
+    val joined = AsOfJoinNative(
+      spark.table("t_purchases"), spark.table("t_views"), "asset_id", "ts", "rvalue")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"), plan) // co-located: no shuffle
+
+    // results equal the unbucketed run
+    val bucketed = joined.select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val unbucketed = AsOfJoinNative(purchases, views, "asset_id", "ts", "rvalue")
+      .select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(bucketed === unbucketed)
+  }
+
   test("plan shows the custom exec with planner-provided exchange and sort") {
     val left = Seq((1L, ts(10), 1L, 1.0)).toDF("user_id", "ts", "seq", "value")
     val right = Seq((1L, ts(5), 1L, 9.0)).toDF("user_id", "ts", "seq", "rvalue")
