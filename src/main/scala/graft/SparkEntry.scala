@@ -97,6 +97,10 @@ object SparkEntry {
       Analytics.sessionize(Tables.events(s, dir), 1800.0)),
     "quantiles" -> ((s, dir) =>
       Analytics.quantiles(Tables.events(s, dir))),
+    "gap_fill" -> ((s, dir) =>
+      Analytics.gapFill(Tables.panel(s, dir))),
+    "bars_5min" -> ((s, dir) =>
+      Analytics.bars5Min(Tables.panel(s, dir))),
     "histogram" -> ((s, dir) =>
       Analytics.histogram(Tables.events(s, dir), 50.0)),
     "corr_qty_price" -> ((s, dir) =>
@@ -326,6 +330,37 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "gap_fill" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1),
+         |spans AS (SELECT asset_id, min(date) AS d0, max(date) AS d1 FROM daily GROUP BY asset_id),
+         |cal AS (
+         |  SELECT asset_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+         |  FROM spans)
+         |SELECT cal.asset_id, cal.date,
+         |  last_value(daily.value IGNORE NULLS) OVER (
+         |    PARTITION BY cal.asset_id ORDER BY cal.date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+         |  daily.value IS NULL AS is_filled
+         |FROM cal LEFT JOIN daily ON cal.asset_id = daily.asset_id AND cal.date = daily.date
+         |ORDER BY cal.asset_id, cal.date""".stripMargin,
+    "bars_5min" ->
+      s"""$panelCte
+         |SELECT asset_id, bucket_s,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n_ticks
+         |FROM (
+         |  SELECT asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 ORDER BY ts ASC,  seq ASC)  AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 ORDER BY ts DESC, seq DESC) AS rn_d
+         |  FROM panel) t
+         |GROUP BY asset_id, bucket_s ORDER BY asset_id, bucket_s""".stripMargin,
     "histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
         |FROM events GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)

@@ -143,6 +143,50 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** B12 `gap_fill` — forward-fill the daily LWW series over each
+    * asset's full calendar span (kdb/questdb FILL): dates with no ticks
+    * carry the previous value. Calendar generation is per-asset
+    * `sequence(d0, d1)` (no driver loop); the fill is one
+    * `last(ignoreNulls)` window on the natural key.
+    */
+  def gapFill(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.upsertLww(panel).select(col("asset_id"), col("date"), col("value"))
+    val spans = daily.groupBy(col("asset_id"))
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val cal = spans.select(col("asset_id"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("date"))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("asset_id", "date"), "left")
+      .withColumn("value_ff", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("value").isNull)
+      .select(col("asset_id"), col("date"), col("value_ff"), col("is_filled"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B13 `bars_5min` — intraday resample: OHLC+count per asset per
+    * 5-minute bucket. Buckets are integer epoch arithmetic (no
+    * timezone/format round-trips); same single-shuffle shape as the
+    * daily resample.
+    */
+  def bars5Min(panel: DataFrame): DataFrame = {
+    val bucket = expr("(unix_timestamp(ts) div 300) * 300").as("bucket_s")
+    val base = panel.select(col("asset_id"), bucket, col("ts"), col("value"), col("seq"))
+    val wAsc = Window.partitionBy(col("asset_id"), col("bucket_s")).orderBy(col("ts").asc, col("seq").asc)
+    val wDesc = Window.partitionBy(col("asset_id"), col("bucket_s")).orderBy(col("ts").desc, col("seq").desc)
+    base
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("asset_id"), col("bucket_s"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("asset_id"), col("bucket_s"))
+  }
+
   /** B9 `quantiles` — exact interpolated percentiles per group (the
     * risk-metric shape: p50/p95/p99 of the tick value). Exact
     * `percentile` (not approx sketches) so the oracle can match; swap to

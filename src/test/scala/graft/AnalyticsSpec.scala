@@ -77,6 +77,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 2L, 4L)) // ties at 5.0 → lower event_id first
   }
 
+  test("gap_fill forward-fills missing calendar days per asset") {
+    // asset 1 has 01-01, 01-02, 01-03; drop 01-02 → filled from 01-01
+    val sparse = panel.filter(!($"asset_id" === 1 && $"date" === d("2024-01-02")))
+    val out = Analytics.gapFill(sparse).filter($"asset_id" === 1)
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 12.0, false),  // LWW of the two 01-01 ticks
+      ("2024-01-02", 12.0, true),   // filled forward
+      ("2024-01-03", 9.0, false)))
+  }
+
+  test("bars_5min buckets intraday ticks into 300s bars") {
+    import java.sql.Timestamp
+    val p = Seq(
+      (1L, d("2024-01-01"), new Timestamp(0L), 10.0, 1L),      // bucket 0
+      (1L, d("2024-01-01"), new Timestamp(200 * 1000L), 20.0, 2L), // bucket 0
+      (1L, d("2024-01-01"), new Timestamp(301 * 1000L), 5.0, 3L))  // bucket 300
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.bars5Min(p).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(5), r.getLong(6)))
+    assert(out.toSeq === Seq((0L, 10.0, 20.0, 2L), (300L, 5.0, 5.0, 1L)))
+  }
+
   test("q1 money aggregates are exact decimals (engine-order independent)") {
     val li = Seq(
       ("A", "F", 10.0, 100.00, 0.05, 0.02, "1995-01-01"),
