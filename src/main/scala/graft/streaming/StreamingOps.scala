@@ -54,6 +54,53 @@ object StreamingOps {
       }
   }
 
+  case class SessionAcc(start: Long, end: Long, n: Long)
+  case class Session(asset_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** D4 — streaming sessionization: gap-closed sessions per key with an
+    * event-time timeout (the streaming face of batch `sessionize`).
+    * In-batch gaps close sessions immediately; the open session closes
+    * when the watermark passes `last_event + gap` (state removed — no
+    * unbounded growth).
+    */
+  def sessionizeStream(ticks: Dataset[Tick], gapSec: Long, watermark: String): Dataset[Session] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .withWatermark("ts", watermark)
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Tick], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator(Session(key, new Timestamp(a.start), new Timestamp(a.end), a.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.seq))
+            val out = scala.collection.mutable.Buffer[Session]()
+            var acc = state.getOption
+            sorted.foreach { t =>
+              val tMs = t.ts.getTime
+              acc match {
+                case Some(a) if tMs - a.end <= gapSec * 1000 =>
+                  acc = Some(a.copy(end = math.max(a.end, tMs), n = a.n + 1))
+                case Some(a) =>
+                  out += Session(key, new Timestamp(a.start), new Timestamp(a.end), a.n)
+                  acc = Some(SessionAcc(tMs, tMs, 1))
+                case None =>
+                  acc = Some(SessionAcc(tMs, tMs, 1))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end + gapSec * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** D3 — streaming exact dedup: drop repeat observations of a key
     * within the watermark horizon (the streaming face of `dedup_exact`;
     * state is bounded by the watermark, unlike an unbounded

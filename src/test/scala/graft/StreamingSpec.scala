@@ -57,6 +57,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gaps and on event-time timeout") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapSec = 60, watermark = "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: t=10,20; then a 500s gap inside the SAME batch closes it
+      input.addData(Tick(1L, ts(10), 1.0, 1L), Tick(1L, ts(20), 2.0, 2L), Tick(1L, ts(520), 3.0, 3L))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_sink").as[StreamingOps.Session].collect()
+      assert(afterBatch1.map(s => (s.session_start.getTime / 1000, s.session_end.getTime / 1000, s.n_events)).toSet
+        === Set((10L, 20L, 2L)))
+
+      // advancing the watermark far past 520+60 times out the open session
+      input.addData(Tick(2L, ts(2000), 9.0, 4L))
+      q.processAllAvailable()
+      input.addData(Tick(2L, ts(2001), 9.0, 5L)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sess_sink").as[StreamingOps.Session].collect()
+      assert(all.exists(s => s.asset_id == 1L && s.session_start.getTime / 1000 == 520L && s.n_events == 1L))
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark produces per-window OHL counts") {
     val spark0 = spark
     import spark0.implicits._
