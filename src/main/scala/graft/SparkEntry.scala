@@ -57,6 +57,17 @@ object SparkEntry {
       KeyValue.deleteKeys(Tables.panel(s, dir), deleteKeySet(s))),
     "ingest_convert" -> ((s, dir) =>
       KeyValue.ingestConvert(Tables.events(s, dir))),
+    "insert_strict" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.panel(s, dir)
+      val dups = p.filter(col("asset_id") === 1).orderBy(col("ts"), col("seq")).limit(3)
+      val newRow = Seq((999L, "2024-06-01", "2024-06-01 00:00:00", 1.0, 999999L))
+        .toDF("asset_id", "d", "t", "value", "seq")
+        .select(col("asset_id"), col("d").cast("date").as("date"),
+          col("t").cast("timestamp").as("ts"), col("value"), col("seq"))
+      KeyValue.insertStrict(p, dups.unionByName(newRow))
+        .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
+    }),
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -219,6 +230,22 @@ object SparkEntry {
          |SELECT p.asset_id, p.date, p.ts, p.value, p.seq FROM panel p
          |WHERE NOT EXISTS (SELECT 1 FROM dk WHERE dk.asset_id = p.asset_id AND dk.date = p.date)
          |ORDER BY p.asset_id, p.date, p.ts, p.seq""".stripMargin,
+    "insert_strict" ->
+      s"""$panelCte,
+         |dups AS (SELECT * FROM panel WHERE asset_id = 1 ORDER BY ts, seq LIMIT 3),
+         |newrows(asset_id, date, ts, value, seq) AS (VALUES
+         |  (999, DATE '2024-06-01', TIMESTAMP '2024-06-01 00:00:00', 1.0, 999999)),
+         |batch AS (
+         |  SELECT * FROM dups
+         |  UNION ALL
+         |  SELECT CAST(asset_id AS BIGINT), date, ts, CAST(value AS DOUBLE), CAST(seq AS BIGINT)
+         |  FROM newrows),
+         |inserted AS (
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM panel p
+         |                    WHERE p.asset_id = b.asset_id AND p.date = b.date AND p.ts = b.ts))
+         |SELECT * FROM panel UNION ALL SELECT * FROM inserted
+         |ORDER BY asset_id, date, ts, seq""".stripMargin,
     "ingest_convert" ->
       """SELECT event_id, user_id AS asset_id,
         |       CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_int,

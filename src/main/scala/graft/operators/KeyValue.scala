@@ -71,6 +71,20 @@ object KeyValue {
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
       .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
 
+  /** A11 `insert_strict` — batch insert that REJECTS rows whose
+    * composite key already exists (reference src/btree/mem.rs:92-99
+    * `InsertResult::Duplicate`): anti-join the batch against existing
+    * keys, union the survivors. Returns the new panel; duplicates are
+    * silently dropped exactly as `insert` returns `Duplicate` without
+    * mutating.
+    */
+  def insertStrict(panel: DataFrame, batch: DataFrame): DataFrame = {
+    val newRows = batch.join(
+      panel.select(col("asset_id"), col("date"), col("ts")).distinct(),
+      Seq("asset_id", "date", "ts"), "left_anti")
+    panel.unionByName(newRows)
+  }
+
   /** A7 `ingest_convert` — the reference's ingestion transform
     * (scripts/convert-datetimes.py + convert-csv.sh): ISO dates →
     * `yyyymmdd` ints, ISO timestamps → epoch seconds, then key-sort.

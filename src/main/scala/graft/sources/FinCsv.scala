@@ -37,6 +37,14 @@ object FinCsv {
         col("value"),
         monotonically_increasing_id().as("seq"))
 
+  /** Full ingestion pipeline = the reference's convert-csv.sh end to
+    * end: read + convert ([[read]]) then key-sorted bulk load into the
+    * month-partitioned store ([[TickStore.write]] = the
+    * `sort | write_from_iterator` stage).
+    */
+  def ingestToTickStore(spark: SparkSession, csvPath: String, storePath: String): Unit =
+    TickStore.write(read(spark, csvPath), storePath)
+
   /** The scripts' exact integer encoding (for systems expecting the
     * reference's u32 key fields).
     */

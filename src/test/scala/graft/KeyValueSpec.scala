@@ -55,6 +55,20 @@ class KeyValueSpec extends SparkSpec {
     assert(out.toSeq === Seq(102.0, 200.0, 300.0))
   }
 
+  test("insert_strict rejects existing composite keys — mem.rs InsertResult::Duplicate") {
+    val batch = Seq(
+      (1L, d("2024-01-01"), ts(10), 999.0, 7L), // duplicate key of seq 1 → rejected
+      (9L, d("2024-01-09"), ts(10), 900.0, 8L)) // new key → inserted
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = KeyValue.insertStrict(panel, batch)
+    assert(out.count() === panel.count() + 1)
+    // the duplicate's value did NOT displace the original
+    val v = out.filter($"asset_id" === 1 && $"date" === d("2024-01-01") && $"ts" === ts(10))
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.toSeq === Seq(100.0))
+    assert(out.filter($"asset_id" === 9).count() === 1)
+  }
+
   test("ingest_convert encodes yyyymmdd ints and epoch seconds — convert-datetimes.py") {
     val ev = Seq((7L, new Timestamp(1704067207179L), 5L, 42.0))
       .toDF("event_id", "ts", "user_id", "value")

@@ -24,6 +24,18 @@ class SourcesSpec extends SparkSpec {
     assert(ints(0).getAs[Double]("value") === 100.5)
   }
 
+  test("CSV-to-TickStore ingestion pipeline (convert-csv.sh end to end)") {
+    val dir = Files.createTempDirectory("ingest").toFile
+    Files.writeString(new java.io.File(dir, "t.csv").toPath,
+      "1,2020-10-01,2020-10-01T12:00:00,100.5\n1,2020-11-02,2020-11-02T13:30:00,200.25\n")
+    val store = dir.getAbsolutePath + "/store"
+    FinCsv.ingestToTickStore(spark, dir.getAbsolutePath + "/t.csv", store)
+    val back = TickStore.read(spark, store)
+    assert(back.count() === 2)
+    val months = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(months.toSeq === Seq("date_month=2020-10", "date_month=2020-11"))
+  }
+
   test("TickStore round-trips the panel through month-partitioned sorted parquet") {
     val panel = Tables.panel(spark, "/root/testdata/sf0.001")
     val path = Files.createTempDirectory("tickstore").toString + "/store"
