@@ -121,33 +121,65 @@ object Dedup {
     * only checks convergence counts; all data work is distributed. At
     * web scale this is the standard large-star/small-star shape.
     */
-  def nearDupClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def nearDupClusters(documents: DataFrame, pairs: DataFrame,
+                      driverSideMaxPairs: Long = 1000000L): DataFrame = {
     val spark = documents.sparkSession
-    // undirected edges, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster_id", "nbr"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nbr")).as("nbr_min"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    edges.unpersist()
-    labels.orderBy(col("doc_id"))
+    val edgeRows = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = edgeRows.count()
+    val result =
+      if (nPairs <= driverSideMaxPairs) {
+        // HYBRID fast path: the pair set is the already-reduced output of
+        // LSH/threshold filtering — O(duplicates), not O(corpus). A
+        // driver union-find over it is one collect + one broadcast join;
+        // the corpus itself never leaves the cluster.
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        edgeRows.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val labels = parent.keys.map(k => (k, find(k))).toSeq
+        import spark.implicits._
+        val labelDf = labels.toDF("doc_id", "root")
+        documents.select(col("doc_id"))
+          .join(broadcast(labelDf), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      } else {
+        // distributed min-label propagation for graphs too big to collect
+        val edges = edgeRows.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(edgeRows.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .distinct()
+          .persist()
+        var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val viaEdges = edges
+            .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster_id", "nbr"), Seq("dst"))
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("nbr")).as("nbr_min"))
+          val next = labels.join(viaEdges, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+            .persist()
+          changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+            .filter(col("cluster_id") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        edges.unpersist()
+        labels
+      }
+    edgeRows.unpersist()
+    result.orderBy(col("doc_id"))
   }
 
   /** C4 `ngram_jaccard` — n-gram shingle Jaccard pairs ≥ threshold.

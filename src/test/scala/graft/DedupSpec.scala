@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     assert(clusters(2L) === 2L && clusters(3L) === 3L) // unrelated docs stay singleton
   }
 
+  test("distributed label-propagation path gives the same clusters as union-find") {
+    val chained = docs.union(Seq((5L, nearDup + " more")).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairs(chained, k = 8, threshold = 0.3)
+    val fast = Dedup.nearDupClusters(chained, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.nearDupClusters(chained, pairs, driverSideMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+  }
+
   test("top ngrams surfaces the repeated bigram with deterministic ranking") {
     val out = Dedup.topNgrams(docs, 30).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.nonEmpty && out.length <= 30)
