@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table.
@@ -189,24 +190,59 @@ object Dedup {
     * (stop-shingle removal) to bound the worst posting list — kept here
     * as `maxDf`.
     */
+  /** `prefixFilter` (PPJoin-style) is worth it only at HIGH thresholds:
+    * prefix length is |S|·(1−t)+1, so at t=0.3 the "prefix" is 70% of
+    * each doc and the extra joins cost more than they save (measured
+    * 5 s → 21 s at sf0.1); at t≥0.8 it prunes candidates by orders of
+    * magnitude. Defaults off; equality with the exhaustive path is
+    * spec-asserted either way.
+    */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
-                        maxDf: Long = Long.MaxValue): DataFrame = {
+                        maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame = {
     // Inverted index: one shuffle builds posting lists per shingle; the
-    // df cap (stop-shingle removal) bounds each list. Pairs are emitted
-    // in place by the SortedPairs generator and partially aggregated
-    // map-side — no shingle⨝shingle self-join, no second scan shuffle.
+    // df cap (stop-shingle removal) bounds each list.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
-    // (The posts subtree appears twice below; Spark's ReusedExchange
-    // dedups the shuffle, so no explicit persist is needed.)
+    // (Repeated subtrees below are deduped by Spark's ReusedExchange —
+    // no explicit persist needed.)
     val posts = sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxDf)
-    val sizes = posts.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = posts
-      .select(graft.expressions.SortedPairs(col("ids")).as(Seq("doc_a", "doc_b")))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val shf = posts.select(explode(col("ids")).as("doc_id"), col("s"))
+    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter =
+      if (!prefixFilter) {
+        // candidate pairs straight from posting lists (SortedPairs
+        // generator, map-side-combinable counts)
+        posts
+          .select(graft.expressions.SortedPairs(col("ids")).as(Seq("doc_a", "doc_b")))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        // PPJoin-style prefix filtering: order each doc's shingles by
+        // (global df, shingle); any pair with jaccard ≥ t must share a
+        // shingle among the first |S| - ceil(t·|S|) + 1 of BOTH docs, so
+        // candidates come from the prefix⨝prefix join only (rare
+        // shingles first → tiny posting lists), then the true
+        // intersection is counted just for candidates.
+        val dfCounts = posts.select(col("s"), size(col("ids")).as("df"))
+        val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        val ranked = shf.join(dfCounts, Seq("s"))
+          .withColumn("rank", row_number().over(rankW))
+          .join(sizes, Seq("doc_id"))
+          .withColumn("prefix_len",
+            col("sz") - ceil(col("sz") * threshold).cast("long") + 1)
+        val prefix = ranked.filter(col("rank") <= col("prefix_len"))
+          .select(col("doc_id"), col("s"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(shf.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+          .join(shf.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))

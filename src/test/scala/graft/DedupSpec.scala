@@ -65,6 +65,17 @@ class DedupSpec extends SparkSpec {
     assert(clusters(2L) === 2L && clusters(3L) === 3L) // unrelated docs stay singleton
   }
 
+  test("prefix-filtered jaccard equals the exhaustive posting-list result on real data") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val withPrefix = Dedup.ngramJaccardPairs(real, k = 8, threshold = 0.3, maxDf = 100L,
+      prefixFilter = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val naive = Dedup.ngramJaccardPairs(real, k = 8, threshold = 0.3, maxDf = 100L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(withPrefix === naive)
+    assert(withPrefix.nonEmpty)
+  }
+
   test("distributed label-propagation path gives the same clusters as union-find") {
     val chained = docs.union(Seq((5L, nearDup + " more")).toDF("doc_id", "text"))
     val pairs = Dedup.ngramJaccardPairs(chained, k = 8, threshold = 0.3)
