@@ -110,6 +110,21 @@ object StreamingOps {
     ticks.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** D5 — stream-static as-of enrichment: each streaming tick gets the
+    * static panel's value as of its event date. Composition of batch
+    * operators: [[graft.operators.Analytics.gapFill]] forward-fills the
+    * static side over its calendar, turning the as-of lookup into a
+    * plain equality stream-static join on (asset_id, date) — broadcast,
+    * stateless, no streaming watermarks needed on the static side.
+    */
+  def streamStaticAsOf(ticks: DataFrame, staticPanel: DataFrame): DataFrame = {
+    val filled = graft.operators.Analytics.gapFill(staticPanel)
+      .select(col("asset_id"), col("date"), col("value_ff").as("ref_value"))
+    ticks
+      .withColumn("date", to_date(col("ts")))
+      .join(org.apache.spark.sql.functions.broadcast(filled), Seq("asset_id", "date"), "left")
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

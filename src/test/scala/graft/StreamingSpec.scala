@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of enriches ticks from the forward-filled panel") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    val staticPanel = Seq(
+      (1L, Date.valueOf("2024-01-01"), ts(100), 10.0, 1L),
+      (1L, Date.valueOf("2024-01-03"), ts(300), 30.0, 2L)) // 01-02 missing → filled with 10.0
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val input = MemoryStream[Tick]
+    val enriched = StreamingOps.streamStaticAsOf(input.toDS().toDF(), staticPanel)
+    val q = enriched.writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val d2 = java.sql.Timestamp.valueOf("2024-01-02 12:00:00")
+      val d3 = java.sql.Timestamp.valueOf("2024-01-03 12:00:00")
+      input.addData(Tick(1L, d2, 1.0, 10L), Tick(1L, d3, 2.0, 11L))
+      q.processAllAvailable()
+      val out = spark.table("enrich_sink")
+        .select("seq", "ref_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+      assert(out === Map(10L -> Some(10.0), 11L -> Some(30.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeat keys within the watermark horizon") {
     val spark0 = spark
     import spark0.implicits._
