@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Degenerate-input robustness: empty panels, single rows, blank and
+  * unicode text — operators must return empty/sane results, never throw.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyPanel: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("asset_id", LongType), StructField("date", DateType),
+      StructField("ts", TimestampType), StructField("value", DoubleType),
+      StructField("seq", LongType))))
+
+  test("as-of and KV operators return empty on an empty panel") {
+    assert(AsOf.asOfRange(emptyPanel, 1L, "2024-01-01", "2024-01-31", "2024-02-01 00:00:00").count() === 0)
+    assert(KeyValue.upsertLww(emptyPanel).count() === 0)
+    assert(Analytics.dailyReturns(emptyPanel).count() === 0)
+    assert(Analytics.resampleOhlc(emptyPanel).count() === 0)
+    assert(Analytics.gapFill(emptyPanel).count() === 0)
+    assert(Analytics.bars5Min(emptyPanel).count() === 0)
+  }
+
+  test("single-row panel: every derived series is sane") {
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(KeyValue.upsertLww(p).count() === 1)
+    assert(Analytics.dailyReturns(p).count() === 0) // no lag → filtered
+    val gf = Analytics.gapFill(p).collect()
+    assert(gf.length === 1 && gf(0).getDouble(2) === 5.0)
+    val ohlc = Analytics.resampleOhlc(p).collect()(0)
+    assert(ohlc.getAs[Double]("open") === 5.0 && ohlc.getAs[Double]("close") === 5.0)
+  }
+
+  test("text operators handle blank and unicode documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "中文 文本 测试 的 是"), (4L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val tq = docs.select($"doc_id",
+      graft.functions.TextFns.wsTokenCount($"text").as("n"),
+      graft.functions.TextFns.qualityScore($"text").as("q"),
+      graft.functions.TextFns.langId($"text").as("lang")).collect()
+    assert(tq.length === 4)
+    assert(tq.find(_.getLong(0) == 1L).get.getInt(1) === 0)
+    assert(tq.find(_.getLong(0) == 3L).get.getString(3) === "zh")
+    // kernels on degenerate text
+    val fp = docs.select(
+      graft.expressions.Kernels.simhash64($"text"),
+      graft.expressions.Kernels.minhashSig($"text", 8, 16)).collect()
+    assert(fp.length === 4)
+    assert(Dedup.exactDedup(docs).count() === 4)
+  }
+
+  test("similarity operators tolerate zero vectors") {
+    val emb = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // zero vector never clears a positive threshold, no ANSI error
+    assert(Similarity.embeddingNearDupPairs(emb, 0.5).count() === 0)
+    val topk = Similarity.cosineTopK(emb, Seq(1L), 2).collect()
+    assert(topk.nonEmpty)
+    assert(Similarity.lshBuckets(emb, dim = 4, planes = 4).count() === 3)
+  }
+}
