@@ -118,6 +118,8 @@ object SparkEntry {
       Analytics.corrQtyPrice(Tables.lineitem(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
+    "sketches" -> ((s, dir) =>
+      Analytics.sketches(Tables.events(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir))),

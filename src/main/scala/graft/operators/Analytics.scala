@@ -222,6 +222,23 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** B14 `sketches` — bounded-memory approximate aggregates next to
+    * their exact counterparts: HLL++ distinct counts
+    * (`approx_count_distinct`) and t-digest percentiles
+    * (`percentile_approx`). At 100 TB these replace the exact forms
+    * (B9's per-group sort, count-distinct's two-phase shuffle) with
+    * mergeable fixed-size state; rows-only checked (approximation is
+    * engine-specific) with an accuracy-bound spec.
+    */
+  def sketches(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("exact_distinct"),
+        approx_count_distinct(col("user_id")).as("hll_distinct"),
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        expr("percentile_approx(value, 0.5, 1000)").as("tdigest_p50"))
+      .orderBy(col("event_type"))
+
   /** C13 `json_props` — semi-structured column handling: parse the
     * `props` JSON, aggregate the typed field per group. `from_json` with
     * an explicit schema (codegen'd Jackson parse) — at scale prefer

@@ -100,6 +100,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 10.0, 20.0, 2L), (300L, 5.0, 5.0, 1L)))
   }
 
+  test("sketches track exact aggregates within tolerance on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val rows = Analytics.sketches(ev).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (exactD, hllD) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(hllD - exactD).toDouble / exactD < 0.1,
+        s"HLL distinct off by >10%: $exactD vs $hllD")
+      val (p50, tdP50) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(tdP50 - p50) / math.max(p50, 1.0) < 0.1,
+        s"approx p50 off by >10%: $p50 vs $tdP50")
+    }
+  }
+
   test("q1 money aggregates are exact decimals (engine-order independent)") {
     val li = Seq(
       ("A", "F", 10.0, 100.00, 0.05, 0.02, "1995-01-01"),
