@@ -45,26 +45,68 @@ class FindbTable(path: String, pagesPerPartition: Int) extends Table with Suppor
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FindbScan(path, pagesPerPartition)
+    new FindbScanBuilder(path, pagesPerPartition)
 }
 
-class FindbScan(path: String, pagesPerPartition: Int) extends Scan with Batch {
+/** Pushes `asset_id` bounds down to the page level: leaf pages are
+  * key-sorted, so a page whose [first, last] asset range is disjoint
+  * from the pushed bounds is skipped without emitting a row — the
+  * B-tree's own ordering doing row-group-stats duty. All filters are
+  * still re-applied by Spark above the scan (we push an
+  * over-approximation, never a replacement).
+  */
+class FindbScanBuilder(path: String, pagesPerPartition: Int)
+  extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var assetLo = Long.MinValue
+  private var assetHi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("asset_id", v: Number) =>
+        assetLo = math.max(assetLo, v.longValue); assetHi = math.min(assetHi, v.longValue); true
+      case GreaterThan("asset_id", v: Number) =>
+        assetLo = math.max(assetLo, v.longValue + 1); true
+      case GreaterThanOrEqual("asset_id", v: Number) =>
+        assetLo = math.max(assetLo, v.longValue); true
+      case LessThan("asset_id", v: Number) =>
+        assetHi = math.min(assetHi, v.longValue - 1); true
+      case LessThanOrEqual("asset_id", v: Number) =>
+        assetHi = math.min(assetHi, v.longValue); true
+      case _ => false
+    }
+    filters // everything stays a residual for Spark to re-check
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new FindbScan(path, pagesPerPartition, assetLo, assetHi)
+}
+
+class FindbScan(path: String, pagesPerPartition: Int,
+                assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue)
+  extends Scan with Batch {
   override def readSchema(): StructType = FindbFormat.schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"findb $path PushedAssetRange: [$assetLo, $assetHi]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val raf = new RandomAccessFile(path, "r")
     val header = try FindbFormat.readHeader(raf) finally raf.close()
     (0 until header.pageCount by pagesPerPartition).map { start =>
       FindbInputPartition(path, header.pageSize, start,
-        math.min(start + pagesPerPartition, header.pageCount)): InputPartition
+        math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new FindbReaderFactory
 }
 
-case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endPage: Int)
+case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endPage: Int,
+                               assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue)
   extends InputPartition
 
 class FindbReaderFactory extends PartitionReaderFactory {
@@ -85,6 +127,9 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
   private var rowsInPage = 0
   private var pageIsLeaf = false
 
+  /** Pages read (post-skip) — exposed for the pushdown spec. */
+  var pagesRead: Int = 0
+
   private def loadPage(): Unit = {
     raf.seek(pageOffset(pageNum.toLong, p.pageSize))
     raf.readFully(pageBuf)
@@ -92,6 +137,14 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
     rowsInPage = u32(pageBuf, 4).toInt
     rowIdx = 0
     pageLoaded = true
+    // page-level skip: leaf keys are sorted, so the page's asset span is
+    // [first, last]; disjoint from the pushed bounds → emit nothing.
+    if (pageIsLeaf && rowsInPage > 0) {
+      val firstAsset = u32(pageBuf, PageHeaderSize)
+      val lastAsset = u32(pageBuf, PageHeaderSize + (rowsInPage - 1) * KeyValueSize)
+      if (lastAsset < p.assetLo || firstAsset > p.assetHi) rowsInPage = 0
+      else pagesRead += 1
+    }
   }
 
   override def next(): Boolean = {
