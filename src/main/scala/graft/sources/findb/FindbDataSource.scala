@@ -56,12 +56,18 @@ class FindbTable(path: String, pagesPerPartition: Int) extends Table with Suppor
   * over-approximation, never a replacement).
   */
 class FindbScanBuilder(path: String, pagesPerPartition: Int)
-  extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var assetLo = Long.MinValue
   private var assetHi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = FindbFormat.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -82,23 +88,28 @@ class FindbScanBuilder(path: String, pagesPerPartition: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new FindbScan(path, pagesPerPartition, assetLo, assetHi)
+  override def build(): Scan =
+    new FindbScan(path, pagesPerPartition, assetLo, assetHi, required)
 }
 
 class FindbScan(path: String, pagesPerPartition: Int,
-                assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue)
+                assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
+                required: StructType = FindbFormat.schema)
   extends Scan with Batch {
-  override def readSchema(): StructType = FindbFormat.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"findb $path PushedAssetRange: [$assetLo, $assetHi]"
+    s"findb $path PushedAssetRange: [$assetLo, $assetHi] ReadColumns: ${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val raf = new RandomAccessFile(path, "r")
     val header = try FindbFormat.readHeader(raf) finally raf.close()
+    // ordinals into the full (asset_id, date, timestamp, value) row
+    val ordinals = required.fieldNames.map(FindbFormat.schema.fieldIndex)
     (0 until header.pageCount by pagesPerPartition).map { start =>
       FindbInputPartition(path, header.pageSize, start,
-        math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi): InputPartition
+        math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
+        ordinals): InputPartition
     }.toArray
   }
 
@@ -106,7 +117,8 @@ class FindbScan(path: String, pagesPerPartition: Int,
 }
 
 case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endPage: Int,
-                               assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue)
+                               assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
+                               ordinals: Array[Int] = Array(0, 1, 2, 3))
   extends InputPartition
 
 class FindbReaderFactory extends PartitionReaderFactory {
@@ -159,13 +171,19 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
 
   override def get(): InternalRow = {
     val off = PageHeaderSize + rowIdx * KeyValueSize
-    val row = new GenericInternalRow(Array[Any](
-      u32(pageBuf, off),
-      u32(pageBuf, off + 4).toInt,
-      u32(pageBuf, off + 8),
-      f32(pageBuf, off + 12)))
+    val values = new Array[Any](p.ordinals.length)
+    var i = 0
+    while (i < p.ordinals.length) {
+      values(i) = p.ordinals(i) match {
+        case 0 => u32(pageBuf, off)
+        case 1 => u32(pageBuf, off + 4).toInt
+        case 2 => u32(pageBuf, off + 8)
+        case 3 => f32(pageBuf, off + 12)
+      }
+      i += 1
+    }
     rowIdx += 1
-    row
+    new GenericInternalRow(values)
   }
 
   override def close(): Unit = raf.close()

@@ -81,6 +81,16 @@ class FindbSourceSpec extends SparkSpec {
     assert(one < all / 10, s"expected page skipping: $one vs $all")
   }
 
+  test("column pruning reaches the reader (ReadColumns in the scan)") {
+    val path = writeDb(referenceFixture, pageKeys = 3)
+    val df = readDb(path).select("asset_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns: asset_id,value"), plan)
+    val sums = df.groupBy("asset_id").sum("value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums(0L) === referenceFixture.filter(_._1 == 0L).map(_._4.toDouble).sum)
+  }
+
   test("as-of query semantics work directly over a .db file") {
     val path = writeDb(referenceFixture, pageKeys = 3)
     // reference check_query 3 (file.rs:673): asset 0, dates
