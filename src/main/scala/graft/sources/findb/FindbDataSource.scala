@@ -29,23 +29,29 @@ class FindbDataSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("findb source requires a single path"))
     val opts = new CaseInsensitiveStringMap(properties)
+    // single load(path) → "path"; load(p1, p2, …) → "paths" JSON array
+    val paths: Seq[String] = Option(opts.get("paths")) match {
+      case Some(json) =>
+        json.stripPrefix("[").stripSuffix("]").split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      case None => Seq(Option(opts.get("path")).getOrElse(
+        throw new IllegalArgumentException("findb source requires a path")))
+    }
     val pagesPerPartition = Option(opts.get("pagesperpartition")).map(_.toInt).getOrElse(4096)
-    new FindbTable(path, pagesPerPartition)
+    new FindbTable(paths, pagesPerPartition)
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class FindbTable(path: String, pagesPerPartition: Int) extends Table with SupportsRead {
-  override def name(): String = s"findb:$path"
+class FindbTable(paths: Seq[String], pagesPerPartition: Int) extends Table with SupportsRead {
+  override def name(): String = s"findb:${paths.mkString(",")}"
   override def schema(): StructType = FindbFormat.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FindbScanBuilder(path, pagesPerPartition)
+    new FindbScanBuilder(paths, pagesPerPartition)
 }
 
 /** Pushes `asset_id` bounds down to the page level: leaf pages are
@@ -55,7 +61,7 @@ class FindbTable(path: String, pagesPerPartition: Int) extends Table with Suppor
   * still re-applied by Spark above the scan (we push an
   * over-approximation, never a replacement).
   */
-class FindbScanBuilder(path: String, pagesPerPartition: Int)
+class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -89,27 +95,29 @@ class FindbScanBuilder(path: String, pagesPerPartition: Int)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new FindbScan(path, pagesPerPartition, assetLo, assetHi, required)
+    new FindbScan(paths, pagesPerPartition, assetLo, assetHi, required)
 }
 
-class FindbScan(path: String, pagesPerPartition: Int,
+class FindbScan(paths: Seq[String], pagesPerPartition: Int,
                 assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
                 required: StructType = FindbFormat.schema)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"findb $path PushedAssetRange: [$assetLo, $assetHi] ReadColumns: ${required.fieldNames.mkString(",")}"
+    s"findb ${paths.mkString(",")} PushedAssetRange: [$assetLo, $assetHi] ReadColumns: ${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val raf = new RandomAccessFile(path, "r")
-    val header = try FindbFormat.readHeader(raf) finally raf.close()
     // ordinals into the full (asset_id, date, timestamp, value) row
     val ordinals = required.fieldNames.map(FindbFormat.schema.fieldIndex)
-    (0 until header.pageCount by pagesPerPartition).map { start =>
-      FindbInputPartition(path, header.pageSize, start,
-        math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
-        ordinals): InputPartition
+    paths.flatMap { path =>
+      val raf = new RandomAccessFile(path, "r")
+      val header = try FindbFormat.readHeader(raf) finally raf.close()
+      (0 until header.pageCount by pagesPerPartition).map { start =>
+        FindbInputPartition(path, header.pageSize, start,
+          math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
+          ordinals): InputPartition
+      }
     }.toArray
   }
 

@@ -81,6 +81,22 @@ class FindbSourceSpec extends SparkSpec {
     assert(one < all / 10, s"expected page skipping: $one vs $all")
   }
 
+  test("multi-file load unions panels; MigrateDb lands them in TickStore") {
+    val pathA = writeDb(referenceFixture.filter(_._1 == 0L), pageKeys = 3)
+    val pathB = writeDb(referenceFixture.filter(_._1 == 1L), pageKeys = 3)
+    val df = spark.read.format("graft.sources.findb.FindbDataSource").load(pathA, pathB)
+    assert(df.count() === referenceFixture.size)
+
+    val store = Files.createTempDirectory("migrate").toString + "/store"
+    val n = graft.tools.MigrateDb.migrate(spark, Seq(pathA, pathB), store)
+    assert(n === referenceFixture.size)
+    val back = graft.sources.TickStore.read(spark, store)
+    assert(back.select("asset_id").distinct().count() === 2)
+    // month partitions from the reference's yyyymmdd dates
+    val months = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(months.contains("date_month=2020-01") && months.contains("date_month=2020-04"))
+  }
+
   test("column pruning reaches the reader (ReadColumns in the scan)") {
     val path = writeDb(referenceFixture, pageKeys = 3)
     val df = readDb(path).select("asset_id", "value")
