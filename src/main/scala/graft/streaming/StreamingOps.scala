@@ -110,6 +110,49 @@ object StreamingOps {
     ticks.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class BandHit(doc_id: Long, band_id: Int, bucket: Long)
+  case class DupCandidate(doc_id: Long, matched_doc_id: Long, band_id: Int)
+
+  /** D6 — streaming near-dup candidate detection: MinHash LSH banding
+    * over a document stream. Each doc's signature (MinHashSig kernel —
+    * expressions work unchanged under streaming) explodes into band
+    * buckets; per-bucket state remembers the first owner and every later
+    * arrival in the same bucket emits a candidate pair. Downstream
+    * verifies candidates (exact jaccard) and dedups pair multiplicity.
+    * State is one long per seen bucket — production deployments bound it
+    * with a timeout/TTL on bucket keys.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, k: Int = 8, nHashes: Int = 64,
+                              bands: Int = 16): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{posexplode, sequence, lit, slice, transform, xxhash64}
+    val rows = nHashes / bands
+    val banded = docs
+      .select(col("doc_id"),
+        graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .select(col("doc_id"), col("pos").cast("int").as("band_id"), col("col").as("bucket"))
+      .as[BandHit]
+    banded
+      .groupByKey(h => (h.band_id, h.bucket))
+      .flatMapGroupsWithState[Long, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), hits: Iterator[BandHit], state: GroupState[Long]) =>
+          val sorted = hits.map(_.doc_id).toSeq.sorted
+          val out = scala.collection.mutable.Buffer[DupCandidate]()
+          var owner = state.getOption.getOrElse(-1L)
+          sorted.foreach { d =>
+            if (owner < 0) owner = d
+            else if (d != owner) out += DupCandidate(d, owner, key._1)
+          }
+          if (owner >= 0) state.update(owner)
+          out.iterator
+      }
+  }
+
   /** D5 — stream-static as-of enrichment: each streaming tick gets the
     * static panel's value as of its event date. Composition of batch
     * operators: [[graft.operators.Analytics.gapFill]] forward-fills the

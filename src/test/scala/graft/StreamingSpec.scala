@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates surface across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(6)(
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill")
+      .mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val cands = StreamingOps.nearDupCandidatesStream(
+      input.toDS().toDF("doc_id", "text"))
+    val q = cands.writeStream.format("memory").queryName("cand_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base), (2L, "completely different text about shuffle exchanges"))
+      q.processAllAvailable()
+      assert(spark.table("cand_sink").count() === 0) // nothing matches yet
+      input.addData((3L, base + " postscript")) // near-dup of doc 1, later batch
+      q.processAllAvailable()
+      val pairs = spark.table("cand_sink").as[StreamingOps.DupCandidate].collect()
+        .map(c => (c.doc_id, c.matched_doc_id)).distinct
+      assert(pairs.contains((3L, 1L)))
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally q.stop()
+  }
+
   test("stream-static as-of enriches ticks from the forward-filled panel") {
     val spark0 = spark
     import spark0.implicits._
