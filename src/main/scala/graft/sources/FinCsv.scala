@@ -24,6 +24,14 @@ object FinCsv {
 
   /** Read a headerless ISO-formatted tick CSV and apply the reference's
     * conversions, yielding the canonical panel schema.
+    *
+    * `seq` is the LWW tie-breaker consumed by upsertLww/asOf when two
+    * rows share (asset_id, date, ts). It must be deterministic across
+    * partition layouts and task retries, so it is a content hash of the
+    * raw row rather than `monotonically_increasing_id()` (whose values
+    * depend on task scheduling). Rows identical in key AND value hash
+    * equal — the tie is then between equal values, so any winner yields
+    * the same answer.
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read
@@ -35,7 +43,7 @@ object FinCsv {
         to_date(col("date")).as("date"),
         to_timestamp(col("timestamp")).as("ts"),
         col("value"),
-        monotonically_increasing_id().as("seq"))
+        xxhash64(col("asset_id"), col("date"), col("timestamp"), col("value")).as("seq"))
 
   /** Full ingestion pipeline = the reference's convert-csv.sh end to
     * end: read + convert ([[read]]) then key-sorted bulk load into the

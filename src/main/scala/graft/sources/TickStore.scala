@@ -38,8 +38,16 @@ object TickStore {
       .partitionBy("date_month")
       .parquet(path)
 
+  /** The `graft.tickstore` option is a provenance marker carried on the
+    * scan relation (parquet ignores unknown options); the
+    * DeriveMonthPartitionFilter optimizer rule fires only on scans
+    * carrying it, so non-TickStore tables that coincidentally have
+    * `date`/`date_month` columns are never rewritten.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read
+      .option(graft.plans.DeriveMonthPartitionFilter.MarkerOption, "true")
+      .parquet(path)
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"),
         col("date_month"))
 

@@ -30,11 +30,15 @@ class FindbDataSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // single load(path) → "path"; load(p1, p2, …) → "paths" JSON array
+    // single load(path) → "path"; load(p1, p2, …) → "paths" JSON array.
+    // Real JSON parsing (Jackson ships with Spark) — a path containing a
+    // comma or quote must survive intact.
     val paths: Seq[String] = Option(opts.get("paths")) match {
       case Some(json) =>
-        json.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(json)
+        require(node.isArray, s"findb 'paths' option must be a JSON array, got: $json")
+        (0 until node.size()).map(node.get(_).asText())
       case None => Seq(Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("findb source requires a path")))
     }

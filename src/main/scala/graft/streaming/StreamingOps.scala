@@ -110,7 +110,7 @@ object StreamingOps {
     ticks.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  case class BandHit(doc_id: Long, band_id: Int, bucket: Long)
+  case class BandHit(doc_id: Long, band_id: Int, bucket: Long, event_ts: Timestamp)
   case class DupCandidate(doc_id: Long, matched_doc_id: Long, band_id: Int)
 
   /** D6 — streaming near-dup candidate detection: MinHash LSH banding
@@ -119,37 +119,74 @@ object StreamingOps {
     * buckets; per-bucket state remembers the first owner and every later
     * arrival in the same bucket emits a candidate pair. Downstream
     * verifies candidates (exact jaccard) and dedups pair multiplicity.
-    * State is one long per seen bucket — production deployments bound it
-    * with a timeout/TTL on bucket keys.
+    *
+    * State is one long per seen bucket, bounded via an EVENT-TIME TTL
+    * (default ON): when `tsCol` names the document event-time column,
+    * the stream is watermarked and a bucket owner expires once the
+    * watermark passes `last_arrival + stateTtlMs` — state is bounded by
+    * the TTL-window working set, and a bucket whose owner expired simply
+    * re-seeds with the next arrival. Event-time (not processing-time)
+    * timeout is deliberate: `FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` is unconditionally true under
+    * ProcessingTimeTimeout, which busy-loops empty micro-batches on an
+    * always-on trigger. `tsCol = None` opts out (NoTimeout) for finite
+    * backfill streams that need cross-stream candidates regardless of
+    * event-time spread.
     */
   def nearDupCandidatesStream(docs: DataFrame, k: Int = 8, nHashes: Int = 64,
-                              bands: Int = 16): Dataset[DupCandidate] = {
+                              bands: Int = 16,
+                              tsCol: Option[String] = Some("ts"),
+                              stateTtlMs: Long = 3600L * 1000,
+                              watermarkDelay: String = "10 seconds"): Dataset[DupCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{posexplode, sequence, lit, slice, transform, xxhash64}
     val rows = nHashes / bands
-    val banded = docs
-      .select(col("doc_id"),
+    val withTs = tsCol match {
+      case Some(c) => docs
+        .select(col("doc_id"), col("text"), col(c).cast("timestamp").as("event_ts"))
+        .withWatermark("event_ts", watermarkDelay)
+      case None => docs
+        .select(col("doc_id"), col("text"), lit(null).cast("timestamp").as("event_ts"))
+    }
+    val banded = withTs
+      .select(col("doc_id"), col("event_ts"),
         graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
-      .select(col("doc_id"), posexplode(
+      .select(col("doc_id"), col("event_ts"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
-      .select(col("doc_id"), col("pos").cast("int").as("band_id"), col("col").as("bucket"))
+      .select(col("doc_id"), col("pos").cast("int").as("band_id"), col("col").as("bucket"),
+        col("event_ts"))
       .as[BandHit]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(h => (h.band_id, h.bucket))
-      .flatMapGroupsWithState[Long, DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Long, DupCandidate](OutputMode.Append, timeoutConf) {
         (key: (Int, Long), hits: Iterator[BandHit], state: GroupState[Long]) =>
-          val sorted = hits.map(_.doc_id).toSeq.sorted
-          val out = scala.collection.mutable.Buffer[DupCandidate]()
-          var owner = state.getOption.getOrElse(-1L)
-          sorted.foreach { d =>
-            if (owner < 0) owner = d
-            else if (d != owner) out += DupCandidate(d, owner, key._1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = hits.toSeq
+            val sorted = batch.map(_.doc_id).sorted
+            val out = scala.collection.mutable.Buffer[DupCandidate]()
+            var owner = state.getOption.getOrElse(-1L)
+            sorted.foreach { d =>
+              if (owner < 0) owner = d
+              else if (d != owner) out += DupCandidate(d, owner, key._1)
+            }
+            if (owner >= 0) {
+              state.update(owner)
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+                val maxTs = batch.iterator.map(_.event_ts.getTime).max
+                // must exceed the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                  math.max(maxTs, state.getCurrentWatermarkMs() + 1) + stateTtlMs)
+              }
+            }
+            out.iterator
           }
-          if (owner >= 0) state.update(owner)
-          out.iterator
       }
   }
 

@@ -45,21 +45,59 @@ class StreamingSpec extends SparkSpec {
     val base = Seq.fill(6)(
       "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill")
       .mkString(" ")
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, String, Timestamp)]
     val cands = StreamingOps.nearDupCandidatesStream(
-      input.toDS().toDF("doc_id", "text"))
+      input.toDS().toDF("doc_id", "text", "ts"))
     val q = cands.writeStream.format("memory").queryName("cand_sink")
       .outputMode(OutputMode.Append).start()
     try {
-      input.addData((1L, base), (2L, "completely different text about shuffle exchanges"))
+      input.addData((1L, base, ts(10)), (2L, "completely different text about shuffle exchanges", ts(11)))
       q.processAllAvailable()
       assert(spark.table("cand_sink").count() === 0) // nothing matches yet
-      input.addData((3L, base + " postscript")) // near-dup of doc 1, later batch
+      input.addData((3L, base + " postscript", ts(20))) // near-dup of doc 1, later batch
       q.processAllAvailable()
       val pairs = spark.table("cand_sink").as[StreamingOps.DupCandidate].collect()
         .map(c => (c.doc_id, c.matched_doc_id)).distinct
       assert(pairs.contains((3L, 1L)))
       assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket state expires after the event-time TTL") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(6)(
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill")
+      .mkString(" ")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val cands = StreamingOps.nearDupCandidatesStream(
+      input.toDS().toDF("doc_id", "text", "ts"),
+      stateTtlMs = 60L * 1000, watermarkDelay = "0 seconds")
+    val q = cands.writeStream.format("memory").queryName("ttl_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base, ts(0)))
+      q.processAllAvailable()
+      // push the watermark far past doc 1's 60 s TTL, in two batches so
+      // the timeout actually fires (watermark advances after the batch
+      // that carries the late data)
+      input.addData((2L, "unrelated text about watermarks and timeouts", ts(1000)))
+      q.processAllAvailable()
+      input.addData((4L, "another unrelated filler document entirely", ts(1001)))
+      q.processAllAvailable()
+      // doc 1's bucket owners expired → a new near-dup re-seeds, no pair
+      input.addData((3L, base + " postscript", ts(1002)))
+      q.processAllAvailable()
+      val pairs = spark.table("ttl_sink").as[StreamingOps.DupCandidate].collect()
+        .map(c => (c.doc_id, c.matched_doc_id)).distinct
+      assert(!pairs.contains((3L, 1L)))
+      // doc 5 arriving right after doc 3 re-seeded DOES pair with it
+      input.addData((5L, base + " other postscript", ts(1003)))
+      q.processAllAvailable()
+      val pairs2 = spark.table("ttl_sink").as[StreamingOps.DupCandidate].collect()
+        .map(c => (c.doc_id, c.matched_doc_id)).distinct
+      assert(pairs2.contains((5L, 3L)))
     } finally q.stop()
   }
 
