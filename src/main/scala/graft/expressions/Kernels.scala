@@ -31,6 +31,12 @@ object Kernels {
 
   def lshBucket(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(vec), planes))
+
+  def l2normalize(vec: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
+
+  def shingleSet(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */
@@ -66,6 +72,84 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize an array<double> in one pass: norm computed once per ROW
+  * (the HOF form `transform(v, x => x / sqrt(dot(v,v)))` embeds the dot
+  * product inside the lambda, re-evaluating it per ELEMENT interpreted —
+  * O(dim²) per row; this kernel is O(dim)). Zero vectors normalize to
+  * NULL, so downstream cosines are NULL — same observable semantics as
+  * the HOF form (whose all-NULL elements also yield non-finite cosines).
+  */
+case class L2Normalize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    if (s == 0.0) null
+    else {
+      val norm = math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2nExpr", this, classOf[L2Normalize].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-char shingle set of a string, as array<string>. Same
+  * semantics as `array_distinct(transform(sequence(1, greatest(len-k+1,
+  * 1)), i => substr(text, i, k)))` — including the 1-shingle floor for
+  * short/empty strings and codepoint-based `substringSQL` slicing — but
+  * one compiled pass instead of an interpreted lambda per position.
+  * First-seen order preserved (downstream is set-shaped: explode +
+  * groupBy, so order is immaterial but determinism is free).
+  */
+case class ShingleSet(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = math.max(s.numChars() - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 1 // substringSQL is 1-based, matching Column.substr
+    while (i <= n) { seen.add(s.substringSQL(i, k)); i += 1 }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** MinHash signature straight from text: slides a k-char window, hashes

@@ -25,12 +25,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Character k-gram shingle set as an array column (no explode). */
+  /** Character k-gram shingle set as an array column (no explode).
+    * Kernel ([[graft.expressions.ShingleSet]]) — one compiled pass per
+    * document; the HOF `array_distinct(transform(sequence(...), substr))`
+    * form runs an interpreted lambda per position (~300/doc).
+    */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => text.substr(i, lit(k))))
+    graft.expressions.Kernels.shingleSet(text, k)
 
   /** C2 `dedup_minhash` — MinHash+LSH near-dup candidate pairs:
     * shingle → 64-hash signature → `bands` bands of `rows` hashes →

@@ -87,14 +87,20 @@ object Ivf {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val probeDf = probes.toDF("q_id", "cluster")
-    val qDf = queries.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      .toDF("q_id", "qv")
+    // normalize queries once on the driver (they're tiny and broadcast);
+    // the corpus side normalizes once per row BEFORE the join, so each
+    // joined pair costs exactly one dot product.
+    val qDf = queries.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val n = math.sqrt(qv.map(x => x * x).sum)
+      (r.getLong(0), if (n == 0) null else qv.map(_ / n))
+    }.toSeq.toDF("q_id", "qvn")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    idx.join(broadcast(probeDf), Seq("cluster"))
+    idx.withColumn("vn", Similarity.normalize(col("v")))
+      .join(broadcast(probeDf), Seq("cluster"))
       .join(broadcast(qDf), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        Similarity.dot(Similarity.normalize(col("qv")), Similarity.normalize(col("v"))), 3))
+      .withColumn("cos", round(Similarity.dot(col("qvn"), col("vn")), 3))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))

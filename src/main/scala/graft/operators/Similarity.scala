@@ -25,11 +25,14 @@ object Similarity {
   /** Unit-normalize once per row, so each pair costs ONE dot product
     * instead of three. Zero vectors normalize to NULL (cosine = NULL,
     * DuckDB x/0 semantics, never an ANSI error).
+    *
+    * Kernel expression ([[graft.expressions.L2Normalize]]): the HOF form
+    * `transform(v, x => x / sqrt(dot(v,v)))` embeds the norm inside the
+    * lambda and re-evaluates it per ELEMENT interpreted — O(dim²)/row
+    * and it knocks the whole projection out of codegen. Measured:
+    * ann_topk 16 s → sub-second at sf0.1.
     */
-  def normalize(v: Column): Column = {
-    val n = sqrt(dot(v, v))
-    transform(v, x => x / when(n === 0, lit(null)).otherwise(n))
-  }
+  def normalize(v: Column): Column = graft.expressions.Kernels.l2normalize(v)
 
   /** cosine = dot/sqrt(|a|²·|b|²), rounded for cross-engine stability. */
   def cosine(a: Column, b: Column, scale: Int = 3): Column = {
