@@ -173,13 +173,78 @@ object SparkEntry {
       Multimodal.mediaMeta(Tables.documents(s, dir)))
   )
 
+  /** DuckDB replay of the ENTIRE deterministic IVF pipeline
+    * ([[graft.operators.Ivf]]): Knuth-hash seed spread, `iters` Lloyd
+    * iterations (decimal-exact means — order-insensitive, so both
+    * engines land on bit-identical centroids), nProbe probe selection,
+    * exact cosine within probed clusters. Every float op is a
+    * sequential left fold on both sides, so doubles match bit-for-bit.
+    */
+  private def ivfOracle(k: Int, iters: Int, queryIds: Seq[Long], topK: Int, nProbe: Int): String = {
+    def iterBlock(i: Int): String =
+      s"""
+         |n$i AS (SELECT c, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS nc FROM c$i),
+         |a$i AS (
+         |  SELECT vec_id, v, c FROM (
+         |    SELECT v.vec_id, v.v, n$i.c,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |             ORDER BY list_dot_product(v.v, n$i.nc) DESC, n$i.c) AS rn
+         |    FROM v CROSS JOIN n$i) z WHERE rn = 1),
+         |m$i AS (
+         |  SELECT c, pos, CAST(sum(CAST(val AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT a$i.c, g.pos, a$i.v[g.pos] AS val
+         |        FROM a$i CROSS JOIN UNNEST(generate_series(1, len(a$i.v))) AS g(pos)) u
+         |  GROUP BY c, pos),
+         |c${i + 1} AS (
+         |  SELECT c$i.c, COALESCE(m.cv2, c$i.cv) AS cv
+         |  FROM c$i LEFT JOIN (SELECT c, list(m ORDER BY pos) AS cv2 FROM m$i GROUP BY c) m USING (c)),""".stripMargin
+    val ids = queryIds.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(rn AS INTEGER) - 1 AS c, v AS cv FROM (
+       |    SELECT v, ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+       |    FROM v) s WHERE rn <= $k),${(0 until iters).map(iterBlock).mkString}
+       |n$iters AS (SELECT c, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS nc FROM c$iters),
+       |idx AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT v.vec_id, v.v, n$iters.c,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_dot_product(v.v, n$iters.nc) DESC, n$iters.c) AS rn
+       |    FROM v CROSS JOIN n$iters) z WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |      FROM v WHERE vec_id IN ($ids)),
+       |probes AS (
+       |  SELECT q_id, c FROM (
+       |    SELECT q.q_id, n$iters.c,
+       |           ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_dot_product(n$iters.nc, q.qv) / q.qn DESC, n$iters.c) AS rn
+       |    FROM q CROSS JOIN n$iters) z WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT q.q_id, i.vec_id, i.c AS cluster,
+       |         round(list_dot_product(
+       |           list_transform(q.qv, x -> x / q.qn),
+       |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v)))), 3) AS cos
+       |  FROM probes p JOIN idx i ON i.c = p.c JOIN q ON q.q_id = p.q_id
+       |  WHERE i.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cos, cluster FROM (
+       |  SELECT q_id, vec_id, cos, cluster,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand) z
+       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB panel CTE mirroring [[Tables.panel]]. */
   private val panelCte =
     "WITH panel AS (SELECT user_id AS asset_id, CAST(ts AS DATE) AS date, ts, value, event_id AS seq FROM events)"
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (dedup_minhash, dedup_simhash, ann_lsh, lang_id) → rows-only check.
+    * the same parquet tables. Omitted for ops whose outputs depend on
+    * engine-internal hashing/sketching DuckDB cannot replicate
+    * (dedup_minhash, dedup_simhash, ann_lsh: xxhash64-derived;
+    * sketches: HLL++/t-digest internals) → rows-only check; those have
+    * property-based ScalaTest specs instead (recall/threshold
+    * invariants, hamming bounds, sketch-vs-exact error bounds).
     */
   def oracleSql: Map[String, String] = Map(
     "asof_point" ->
@@ -519,6 +584,26 @@ object SparkEntry {
         |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, m.l AS cand,
+        |         len(list_filter(toks, x -> list_contains(m.markers, x))) AS score
+        |  FROM t CROSS JOIN (VALUES
+        |    ('en', ['the','and','of','to','in','is','that','for','with','it']),
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('es', ['el','la','de','que','los','las','una','por','con','para']),
+        |    ('fr', ['le','la','les','des','une','est','dans','pour','que','avec']),
+        |    ('zh', ['的','是','了','在','和','有','不','我','这','他'])) AS m(l, markers))
+        |SELECT doc_id, lang,
+        |       CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
+        |  SELECT doc_id, lang, cand, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
+        |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2)
   )
 }

@@ -108,9 +108,10 @@ object TextFns {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "我", "这", "他"))
 
   /** C8 n-gram/stopword-marker language ID: score each language by
-    * marker-token hits, pick argmax (ties broken by language code).
-    * Heuristic on purpose — the scale story is that it's one expression
-    * over the scan, not a model inference round-trip.
+    * marker-token hits, pick argmax (ties broken by language code);
+    * `und` when no marker of any language appears. Heuristic on
+    * purpose — the scale story is that it's one expression over the
+    * scan, not a model inference round-trip.
     */
   def langId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -120,6 +121,7 @@ object TextFns {
         lit(l).as("lang"))
     }: _*)
     // sort_array desc orders by (score desc, lang desc); deterministic.
-    sort_array(scored, asc = false).getItem(0).getField("lang")
+    val top = sort_array(scored, asc = false).getItem(0)
+    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 }

@@ -24,13 +24,22 @@ import graft.expressions.NearestCentroid
   */
 object Ivf {
 
-  /** Deterministic Lloyd k-means on the embedding column. */
+  /** Deterministic Lloyd k-means on the embedding column.
+    *
+    * Engine-portable determinism (the DuckDB oracle replays the exact
+    * training): seeds are spread by a Knuth multiplicative hash of
+    * vec_id (plain integer arithmetic, not engine-internal xxhash64),
+    * and the Lloyd means are computed as an exact DECIMAL sum divided
+    * in double — decimal addition is order-insensitive, so the means
+    * are bit-identical regardless of partitioning or engine, where a
+    * double `avg` would drift with summation order.
+    */
   def train(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
     val vecs = embeddings.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     // hash-spread deterministic seeds (not first-k: those may be correlated)
     var centroids: Array[Array[Double]] = vecs
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h"))
+      .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)))
+      .orderBy(col("h"), col("vec_id"))
       .limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     var it = 0
@@ -39,7 +48,8 @@ object Ivf {
       val means = assigned
         .select(col("c"), posexplode(col("v")))
         .groupBy(col("c"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
       val byCluster = means.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, ci) =>

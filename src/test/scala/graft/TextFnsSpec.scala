@@ -38,6 +38,7 @@ class TextFnsSpec extends SparkSpec {
     assert(one[String](TextFns.langId($"text"), "the cat and the dog are in the house") === "en")
     assert(one[String](TextFns.langId($"text"), "el perro y la casa de los gatos para que") === "es")
     assert(one[String](TextFns.langId($"text"), "der hund und die katze ist nicht ein tier") === "de")
+    assert(one[String](TextFns.langId($"text"), "zzz qqq xxx") === "und")
   }
 
   test("normalized fingerprint collapses case and whitespace") {
