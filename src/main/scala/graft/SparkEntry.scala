@@ -116,6 +116,12 @@ object SparkEntry {
       Analytics.histogram(Tables.events(s, dir), 50.0)),
     "corr_qty_price" -> ((s, dir) =>
       Analytics.corrQtyPrice(Tables.lineitem(s, dir))),
+    "drawdown" -> ((s, dir) =>
+      Analytics.drawdown(Tables.panel(s, dir))),
+    "xsec_rank" -> ((s, dir) =>
+      Analytics.xsecRank(Tables.panel(s, dir))),
+    "resample_monthly" -> ((s, dir) =>
+      Analytics.resampleMonthly(Tables.panel(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
     "sketches" -> ((s, dir) =>
@@ -170,7 +176,11 @@ object SparkEntry {
         TextFns.normFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(Tables.documents(s, dir)))
+      Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "sample_split" -> ((s, dir) =>
+      Pipeline.sampleSplit(Tables.documents(s, dir))),
+    "corpus_filter" -> ((s, dir) =>
+      Pipeline.corpusFilter(Tables.documents(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -604,6 +614,94 @@ object SparkEntry {
         |  SELECT doc_id, lang, cand, score,
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2)
+    "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
+    "drawdown" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1)
+         |SELECT asset_id, date, value, peak,
+         |       round(value / nullif(peak, 0) - 1, 6) AS drawdown FROM (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM daily) t
+         |ORDER BY asset_id, date""".stripMargin,
+    "xsec_rank" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1)
+         |SELECT asset_id, date, value, rank,
+         |       round((rank - 1) / CAST(nullif(n - 1, 0) AS DOUBLE), 6) AS pct_rank FROM (
+         |  SELECT asset_id, date, value,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY date ORDER BY value DESC, asset_id) AS BIGINT) AS rank,
+         |         count(*) OVER (PARTITION BY date) AS n
+         |  FROM daily) t
+         |ORDER BY date, rank""".stripMargin,
+    "resample_monthly" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1)
+         |SELECT asset_id, month,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  max(CASE WHEN rn_d = 1 THEN date END) AS month_end_date,
+         |  count(*) AS n_days
+         |FROM (
+         |  SELECT asset_id, strftime(date, '%Y-%m') AS month, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, strftime(date, '%Y-%m') ORDER BY date ASC)  AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, strftime(date, '%Y-%m') ORDER BY date DESC) AS rn_d
+         |  FROM daily) t
+         |GROUP BY asset_id, month ORDER BY asset_id, month""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))
+        |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
+        |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
+        |    6) AS quality
+        |  FROM documents),
+        |langed AS (
+        |  SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
+        |    SELECT doc_id, cand, score,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn FROM (
+        |      SELECT d.doc_id, m.l AS cand,
+        |             len(list_filter(string_split_regex(lower(trim(d.text)), '\s+'),
+        |                 x -> list_contains(m.markers, x))) AS score
+        |      FROM documents d CROSS JOIN (VALUES
+        |        ('en', ['the','and','of','to','in','is','that','for','with','it']),
+        |        ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |        ('es', ['el','la','de','que','los','las','una','por','con','para']),
+        |        ('fr', ['le','la','les','des','une','est','dans','pour','que','avec']),
+        |        ('zh', ['的','是','了','在','和','有','不','我','这','他'])) AS m(l, markers)) s) z
+        |  WHERE rn = 1),
+        |pass AS (
+        |  SELECT s.doc_id, s.quality, md5(s.text) AS h
+        |  FROM scored s JOIN langed l USING (doc_id)
+        |  WHERE s.quality >= 0.3 AND l.lang_guess = 'en')
+        |SELECT doc_id, quality FROM (
+        |  SELECT doc_id, quality, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) rn
+        |  FROM pass) t WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

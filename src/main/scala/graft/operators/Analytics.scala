@@ -134,6 +134,66 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B15 `drawdown` — peak-to-trough drawdown of the LWW daily series:
+    * running max per asset in date order, drawdown = value/peak − 1.
+    * One shuffle on asset_id; running max is order-insensitive-safe
+    * (max, not a float sum), so cross-engine determinism is free.
+    */
+  def drawdown(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.upsertLww(panel)
+    val runW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("drawdown",
+        round(col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1, 6))
+      .select(col("asset_id"), col("date"), col("value"), col("peak"), col("drawdown"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B16 `xsec_rank` — cross-sectional rank per effective date: each
+    * asset's daily LWW value ranked within its date (desc, asset_id
+    * tie-break → total order), plus the percentile position. The
+    * classic quant screen: one shuffle on date, window + count share
+    * the partitioning.
+    */
+  def xsecRank(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.upsertLww(panel)
+    val w = Window.partitionBy(col("date")).orderBy(col("value").desc, col("asset_id"))
+    val n = count(lit(1)).over(Window.partitionBy(col("date")))
+    daily
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pct_rank",
+        round((col("rank") - 1).cast("double") /
+          when(n === 1, lit(null)).otherwise((n - 1).cast("double")), 6))
+      .select(col("asset_id"), col("date"), col("value"), col("rank"), col("pct_rank"))
+      .orderBy(col("date"), col("rank"))
+  }
+
+  /** B17 `resample_monthly` — monthly bar per asset from the LWW daily
+    * series: open/close by date order within (asset, month), high/low/
+    * count by plain agg — the month-end snapshot a portfolio pipeline
+    * rolls up to. Same single-shuffle shape as [[resampleOhlc]].
+    */
+  def resampleMonthly(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.upsertLww(panel)
+      .withColumn("month", date_format(col("date"), "yyyy-MM"))
+    val wAsc = Window.partitionBy(col("asset_id"), col("month")).orderBy(col("date").asc)
+    val wDesc = Window.partitionBy(col("asset_id"), col("month")).orderBy(col("date").desc)
+    daily
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("asset_id"), col("month"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max(when(col("rn_d") === 1, col("date"))).as("month_end_date"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("asset_id"), col("month"))
+  }
+
   /** B7 `topk_per_group` — rank ≤ k per group with total tie-break. */
   def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))

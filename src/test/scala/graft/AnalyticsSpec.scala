@@ -56,6 +56,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ticks") === 2L)
   }
 
+  test("drawdown tracks the running peak per asset") {
+    // LWW daily asset 1: 12.0, 18.0, 9.0 → peaks 12, 18, 18 → dd 0, 0, -0.5
+    val out = Analytics.drawdown(panel).filter($"asset_id" === 1)
+      .select("peak", "drawdown").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((12.0, 0.0), (18.0, 0.0), (18.0, -0.5)))
+  }
+
+  test("xsec_rank ranks assets within each date with pct position") {
+    // 2024-01-01 LWW: asset1=12.0, asset2=100.0 → ranks 1:asset2, 2:asset1
+    val out = Analytics.xsecRank(panel).filter($"date" === d("2024-01-01"))
+      .select("asset_id", "rank", "pct_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 1L, 0.0), (1L, 2L, 1.0)))
+    // single-asset date → pct_rank NULL (no divide-by-zero error)
+    val single = Analytics.xsecRank(panel).filter($"date" === d("2024-01-02")).collect()(0)
+    assert(single.isNullAt(single.fieldIndex("pct_rank")))
+  }
+
+  test("resample_monthly rolls the daily LWW series to monthly bars") {
+    val p = panel.unionByName(Seq(
+      (1L, d("2024-02-05"), ts(500), 30.0, 9L))
+      .toDF("asset_id", "date", "ts", "value", "seq"))
+    val r = Analytics.resampleMonthly(p).filter($"asset_id" === 1).collect()
+    assert(r.length === 2)
+    val jan = r(0)
+    assert(jan.getAs[String]("month") === "2024-01")
+    assert(jan.getAs[Double]("open") === 12.0)   // LWW of 01-01
+    assert(jan.getAs[Double]("high") === 18.0)
+    assert(jan.getAs[Double]("low") === 9.0)
+    assert(jan.getAs[Double]("close") === 9.0)
+    assert(jan.getAs[Date]("month_end_date") === d("2024-01-03"))
+    assert(jan.getAs[Long]("n_days") === 3L)
+    assert(r(1).getAs[String]("month") === "2024-02")
+  }
+
   test("sessionize splits on gaps > threshold and aggregates per session") {
     val ev = Seq(
       (1L, ts(0), 1L), (1L, ts(100), 2L),          // session 1
