@@ -122,6 +122,8 @@ object SparkEntry {
       Analytics.xsecRank(Tables.panel(s, dir))),
     "resample_monthly" -> ((s, dir) =>
       Analytics.resampleMonthly(Tables.panel(s, dir))),
+    "winsorize" -> ((s, dir) =>
+      Analytics.winsorize(Tables.events(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
     "sketches" -> ((s, dir) =>
@@ -180,7 +182,9 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
-      Pipeline.corpusFilter(Tables.documents(s, dir)))
+      Pipeline.corpusFilter(Tables.documents(s, dir))),
+    "doc_pack" -> ((s, dir) =>
+      Pipeline.docPack(Tables.documents(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -662,6 +666,30 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY asset_id, strftime(date, '%Y-%m') ORDER BY date DESC) AS rn_d
          |  FROM daily) t
          |GROUP BY asset_id, month ORDER BY asset_id, month""".stripMargin,
+    "winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS p_lo,
+        |    round(quantile_cont(value, 0.95), 6) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, b.p_lo, b.p_hi,
+        |       round(least(greatest(e.value, b.p_lo), b.p_hi), 6) AS value_w
+        |FROM events e JOIN bounds b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "doc_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 32 AS shard,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |       (greatest(cum_tokens, 1) - 1) // 2048 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
         |       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'

@@ -261,6 +261,25 @@ object Analytics {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** B18 `winsorize` — clamp each event's value to its group's
+    * [p05, p95] (outlier capping before any moment-based stat). The
+    * per-group bounds are a tiny aggregate broadcast back onto the
+    * stream — at scale, swap `percentile` for `percentile_approx` and
+    * the join shape is unchanged.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = events.groupBy(col("event_type"))
+      .agg(
+        round(expr(s"percentile(value, $lo)"), 6).as("p_lo"),
+        round(expr(s"percentile(value, $hi)"), 6).as("p_hi"))
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("value_w",
+        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6))
+      .select(col("event_id"), col("event_type"), col("value"), col("p_lo"), col("p_hi"), col("value_w"))
+      .orderBy(col("event_id"))
+  }
+
   /** B10 `histogram` — fixed-width value binning per group; one
     * map-side-combinable aggregation.
     */

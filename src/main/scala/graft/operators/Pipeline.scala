@@ -34,6 +34,32 @@ object Pipeline {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** C18 `doc_pack` — shard-local greedy sequence packing: documents
+    * are hash-sharded (Knuth hash → balanced, deterministic), ordered
+    * by doc_id within each shard, and cut into batches of ≤ `budget`
+    * whitespace tokens via a running cumulative sum — the standard
+    * "pack short documents into fixed-token training sequences" step.
+    *
+    * Sharding is the scale story: a single global ordered cumsum would
+    * serialize on one task; per-shard packing is embarrassingly
+    * parallel and each worker packs its own shard, which is exactly how
+    * a distributed packer behaves. All-integer arithmetic, so the
+    * DuckDB oracle replays batch boundaries exactly.
+    */
+  def docPack(documents: DataFrame, budget: Long = 2048, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(shards.toLong)).as("shard"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        expr(s"(greatest(cum_tokens, 1) - 1) div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C17 `corpus_filter` — the clean-corpus materialization: quality
     * score ≥ `minQuality`, language = `lang`, then exact-dedup survivor
     * (min doc_id per content hash) among the PASSING docs. Cheap

@@ -91,6 +91,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(1).getAs[String]("month") === "2024-02")
   }
 
+  test("winsorize clamps values to the per-group percentile bounds") {
+    val ev = (1L to 100L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
+    val out = Analytics.winsorize(ev, lo = 0.05, hi = 0.95).collect()
+    // percentile(1..100, .05) = 5.95, (.95) = 95.05 (linear interpolation)
+    out.foreach { r =>
+      val v = r.getAs[Double]("value"); val w = r.getAs[Double]("value_w")
+      assert(w >= 5.95 && w <= 95.05)
+      if (v >= 5.95 && v <= 95.05) assert(w === v)
+    }
+    assert(out.count(r => r.getAs[Double]("value_w") == 5.95) === 5)
+    assert(out.count(r => r.getAs[Double]("value_w") == 95.05) === 5)
+  }
+
   test("sessionize splits on gaps > threshold and aggregates per session") {
     val ev = Seq(
       (1L, ts(0), 1L), (1L, ts(100), 2L),          // session 1

@@ -29,6 +29,32 @@ class PipelineSpec extends SparkSpec {
     out.foreach { case (id, _, split) => assert(again(id) === split) }
   }
 
+  test("docPack cuts shard-local batches at the token budget") {
+    val docs = Seq(
+      (0L, "a b c"),       // 3 tokens
+      (32L, "d e f g"),    // same shard as 0 (hash is mod-32 of id*const; 0 and 32 share id%32... verify via output)
+      (1L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.docPack(docs, budget = 5, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // every row: cum is a within-shard running sum in doc_id order;
+    // pack boundary at every 5 cumulative tokens
+    val byShard = out.groupBy(_._2)
+    byShard.values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, c, p) =>
+        cum += n
+        assert(c === cum)
+        assert(p === (math.max(cum, 1) - 1) / 5)
+      }
+    }
+    // zero-token doc lands in a valid batch (no -1)
+    val zo = Pipeline.docPack(Seq((7L, "   ")).toDF("doc_id", "text"), budget = 5).collect()(0)
+    assert(zo.getAs[Long]("n_tokens") === 0L)
+    assert(zo.getAs[Long]("pack_id") === 0L)
+  }
+
   test("corpusFilter keeps high-quality english survivors, min-id per duplicate") {
     val docs = Seq(
       (1L, english),                 // keeper (duplicate group, min id)
