@@ -101,7 +101,9 @@ object Analytics {
     * LWW-compacted daily series (upsert_lww ∘ lag).
     */
   def dailyReturns(panel: DataFrame): DataFrame = {
-    val daily = KeyValue.upsertLww(panel)
+    // asset_id-only partitioning satisfies the LWW window AND the lag
+    // window: the panel shuffles once.
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     daily
@@ -140,7 +142,11 @@ object Analytics {
     * (max, not a float sum), so cross-engine determinism is free.
     */
   def drawdown(panel: DataFrame): DataFrame = {
-    val daily = KeyValue.upsertLww(panel)
+    // One shuffle, not two: hash-partitioning by asset_id alone
+    // satisfies BOTH the LWW window's (asset_id, date) clustering and
+    // the running-max window's (asset_id) clustering, so the panel
+    // moves once.
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val runW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -158,7 +164,7 @@ object Analytics {
     * the partitioning.
     */
   def xsecRank(panel: DataFrame): DataFrame = {
-    val daily = KeyValue.upsertLww(panel)
+    val daily = KeyValue.lwwDaily(panel)
     val w = Window.partitionBy(col("date")).orderBy(col("value").desc, col("asset_id"))
     val n = count(lit(1)).over(Window.partitionBy(col("date")))
     daily
@@ -176,7 +182,9 @@ object Analytics {
     * rolls up to. Same single-shuffle shape as [[resampleOhlc]].
     */
   def resampleMonthly(panel: DataFrame): DataFrame = {
-    val daily = KeyValue.upsertLww(panel)
+    // asset_id-only partitioning satisfies the LWW window, both monthly
+    // windows and the final (asset_id, month) aggregate: one shuffle.
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
       .withColumn("month", date_format(col("date"), "yyyy-MM"))
     val wAsc = Window.partitionBy(col("asset_id"), col("month")).orderBy(col("date").asc)
     val wDesc = Window.partitionBy(col("asset_id"), col("month")).orderBy(col("date").desc)
@@ -210,7 +218,11 @@ object Analytics {
     * `last(ignoreNulls)` window on the natural key.
     */
   def gapFill(panel: DataFrame): DataFrame = {
-    val daily = KeyValue.upsertLww(panel).select(col("asset_id"), col("date"), col("value"))
+    // asset_id-only partitioning satisfies the LWW window, the spans
+    // aggregate, both sides of the calendar join (subset co-partition)
+    // and the forward-fill window: the panel shuffles once.
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .select(col("asset_id"), col("date"), col("value"))
     val spans = daily.groupBy(col("asset_id"))
       .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
     val cal = spans.select(col("asset_id"),

@@ -53,11 +53,19 @@ object KeyValue {
     * a newer knowledge ts. One row per (asset, date): the latest
     * revision. Single shuffle on the natural key.
     */
-  def upsertLww(panel: DataFrame): DataFrame = {
+  def upsertLww(panel: DataFrame): DataFrame =
+    lwwDaily(panel).orderBy(col("asset_id"), col("date"))
+
+  /** [[upsertLww]] without the presentation sort — the composable form.
+    * Downstream operators (returns, gap-fill, drawdown, monthly bars)
+    * add their own windows/aggregates; a global orderBy here would
+    * inject a useless rangepartitioning exchange into every consumer's
+    * plan.
+    */
+  def lwwDaily(panel: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
     panel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("asset_id"), col("date"), col("ts"), col("value"))
-      .orderBy(col("asset_id"), col("date"))
   }
 
   /** A6 `delete_keys` — key-set deletion as a broadcast anti-join.
