@@ -190,6 +190,35 @@ object StreamingOps {
       }
   }
 
+  /** D7 — stream-STREAM as-of join: enrich a live tick stream with the
+    * latest reference value (another stream) at or before each tick's
+    * event time, looking back at most `maxLag`.
+    *
+    * Spark-native composition: a watermarked interval join (state on
+    * both sides bounded by watermark + the time-range condition) keyed
+    * on asset_id, then a streaming aggregation picking the max-(ts,seq)
+    * reference row per tick (`max_by` — chained stateful operators,
+    * append mode). The lag bound is what makes distributed state
+    * finite: each side retains only `maxLag + watermark` of history per
+    * key, independent of stream length.
+    */
+  def streamStreamAsOf(ticks: DataFrame, refs: DataFrame,
+                       maxLag: String = "1 hour",
+                       watermark: String = "10 seconds"): DataFrame = {
+    val l = ticks.withWatermark("ts", watermark)
+    val r = refs
+      .select(col("asset_id").as("r_asset_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"), col("seq").as("r_seq"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("asset_id") === col("r_asset_id") &&
+          col("r_ts") <= col("ts") &&
+          col("r_ts") >= col("ts") - expr(s"interval $maxLag"),
+        "leftOuter")
+      .groupBy(col("asset_id"), col("ts"), col("seq"), col("value"))
+      .agg(max_by(col("r_value"), struct(col("r_ts"), col("r_seq"))).as("asof_value"))
+  }
+
   /** D5 — stream-static as-of enrichment: each streaming tick gets the
     * static panel's value as of its event date. Composition of batch
     * operators: [[graft.operators.Analytics.gapFill]] forward-fills the

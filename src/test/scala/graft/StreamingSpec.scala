@@ -126,6 +126,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of join enriches ticks with the latest reference value") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = MemoryStream[Tick]
+    val refs = MemoryStream[Tick]
+    val joined = StreamingOps.streamStreamAsOf(
+      ticks.toDS().toDF(), refs.toDS().toDF(), maxLag = "1 hour", watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ss_asof_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // refs at t=100 (v=10) and t=300 (v=30); ticks at t=200 and t=400
+      refs.addData(Tick(1L, ts(100), 10.0, 1L), Tick(1L, ts(300), 30.0, 2L))
+      ticks.addData(Tick(1L, ts(200), 1.0, 10L), Tick(1L, ts(400), 2.0, 11L))
+      q.processAllAvailable()
+      // advance both watermarks far past the data so append-mode results finalize
+      refs.addData(Tick(9L, ts(100000), 0.0, 99L))
+      ticks.addData(Tick(9L, ts(100000), 0.0, 98L))
+      q.processAllAvailable()
+      refs.addData(Tick(9L, ts(200000), 0.0, 97L))
+      ticks.addData(Tick(9L, ts(200000), 0.0, 96L))
+      q.processAllAvailable()
+      val out = spark.table("ss_asof_sink")
+        .filter($"asset_id" === 1L).select("seq", "asof_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+      assert(out === Map(10L -> Some(10.0), 11L -> Some(30.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeat keys within the watermark horizon") {
     val spark0 = spark
     import spark0.implicits._
