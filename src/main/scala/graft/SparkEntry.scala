@@ -124,6 +124,8 @@ object SparkEntry {
       Analytics.resampleMonthly(Tables.panel(s, dir))),
     "winsorize" -> ((s, dir) =>
       Analytics.winsorize(Tables.events(s, dir))),
+    "ewma" -> ((s, dir) =>
+      Analytics.ewma(Tables.panel(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
     "sketches" -> ((s, dir) =>
@@ -666,6 +668,23 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY asset_id, strftime(date, '%Y-%m') ORDER BY date DESC) AS rn_d
          |  FROM daily) t
          |GROUP BY asset_id, month ORDER BY asset_id, month""".stripMargin,
+    "ewma" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1),
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily)
+         |SELECT asset_id, date, value,
+         |  round(
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + 1.0), 6) AS ewma
+         |FROM f ORDER BY asset_id, date""".stripMargin,
     "winsorize" ->
       """WITH bounds AS (
         |  SELECT event_type,

@@ -115,6 +115,31 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B19 `ewma` — exponentially-weighted moving average of the LWW
+    * daily series over a `span`-row lookback.
+    *
+    * Cross-engine bit-exactness by construction: the frame's values are
+    * collected IN FRAME ORDER (deterministic — date is unique per asset
+    * after LWW) and both the weighted sum and the weight total are
+    * HORNER folds (`acc·w + x`) — a fixed sequence of adds/multiplies
+    * with no `pow` (JVM and C libm `pow` can differ in the last ulp), no
+    * order-sensitive reduction. The DuckDB oracle replays the identical
+    * fold via `list_reduce`.
+    */
+  def ewma(panel: DataFrame, alpha: Double = 0.1, span: Int = 60): DataFrame = {
+    val w = 1.0 - alpha
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("s", aggregate(col("arr"), lit(0.0), (acc, x) => acc * lit(w) + x))
+      .withColumn("nw", aggregate(col("arr"), lit(0.0), (acc, _) => acc * lit(w) + lit(1.0)))
+      .withColumn("ewma", round(col("s") / col("nw"), 6))
+      .select(col("asset_id"), col("date"), col("value"), col("ewma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B6 `resample_ohlc` — daily bar per asset: open/close via first/last
     * knowledge order, high/low/count via plain agg. Two row_numbers +
     * one group-by = single shuffle on the group key (window and agg

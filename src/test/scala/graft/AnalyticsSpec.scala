@@ -91,6 +91,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(1).getAs[String]("month") === "2024-02")
   }
 
+  test("ewma matches a hand-computed Horner fold") {
+    // asset 1 LWW daily: 12.0, 18.0, 9.0 with w = 0.9
+    // t1: s=12, n=1 → 12
+    // t2: s=12*.9+18=28.8, n=1.9 → 15.157895
+    // t3: s=28.8*.9+9=34.92, n=2.71 → 12.885609
+    val out = Analytics.ewma(panel, alpha = 0.1, span = 60)
+      .filter($"asset_id" === 1).select("ewma").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(12.0, 15.157895, 12.885609))
+  }
+
   test("winsorize clamps values to the per-group percentile bounds") {
     val ev = (1L to 100L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
     val out = Analytics.winsorize(ev, lo = 0.05, hi = 0.95).collect()
