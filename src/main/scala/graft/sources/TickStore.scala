@@ -69,6 +69,60 @@ object TickStore {
       .sortBy("asset_id", "date", "ts")
       .saveAsTable(table)
 
+  /** Incremental compaction — the background "merge" a log-structured
+    * store runs, Spark-native: apply LWW (keep only the max-(ts, seq)
+    * revision per (asset_id, date)), optionally drop deleted keys, and
+    * rewrite ONLY the touched month partitions key-sorted.
+    *
+    * Scale story: `months` bounds the work to named partitions
+    * (partition-pruned read — a 100 TB store compacts month by month),
+    * and dynamic partition overwrite replaces just those directories —
+    * untouched months are never read or rewritten. The rewrite restores
+    * the tight row-group stats that revisions accumulated since bulk
+    * load had degraded.
+    */
+  def compact(spark: SparkSession, path: String,
+              months: Option[Seq[String]] = None,
+              deletes: Option[DataFrame] = None,
+              filesPerPartition: Int = 4): Unit = {
+    // Write-new-then-swap, never overwrite-in-place: Spark (rightly)
+    // refuses to overwrite a path it is reading, and a real compactor
+    // must leave readers a consistent view until the swap. Per-month
+    // directory rename is atomic on HDFS-like stores; object stores
+    // would swap a manifest instead.
+    val tmpPath = path.stripSuffix("/") + "__compacting"
+    val scoped = months match {
+      case Some(ms) => read(spark, path).filter(col("date_month").isin(ms: _*))
+      case None => read(spark, path)
+    }
+    val undeleted = deletes match {
+      case Some(d) => scoped.join(
+        org.apache.spark.sql.functions.broadcast(d.select("asset_id", "date")),
+        Seq("asset_id", "date"), "left_anti")
+      case None => scoped
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
+    undeleted
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
+      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      .write
+      .mode("overwrite")
+      .partitionBy("date_month")
+      .parquet(tmpPath)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("date_month=")).foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(st.getPath, target)
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Date-range scan with the month partition predicate derived from the
     * range — the inner-node traversal analog: directories outside
     * [from, to] months are never opened (`PartitionFilters` in the

@@ -54,6 +54,33 @@ class SourcesSpec extends SparkSpec {
   private def KeyCount(df: org.apache.spark.sql.DataFrame, asset: Long): Long =
     df.filter(col("asset_id") === asset).count()
 
+  test("TickStore.compact LWW-compacts and deletes within the named months only") {
+    import java.sql.{Date, Timestamp}
+    val panel = Seq(
+      // asset 1, 2020-01: two revisions (LWW keeps ts=20 → 2.0)
+      (1L, "2020-01-10", 10, 1.0, 1L), (1L, "2020-01-10", 20, 2.0, 2L),
+      // asset 2, 2020-01: to be deleted
+      (2L, "2020-01-15", 30, 3.0, 3L),
+      // asset 1, 2020-02: two revisions, month NOT compacted → both stay
+      (1L, "2020-02-05", 40, 4.0, 4L), (1L, "2020-02-05", 50, 5.0, 5L))
+      .map { case (a, d, t, v, q) => (a, Date.valueOf(d), new Timestamp(t * 1000L), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val path = java.nio.file.Files.createTempDirectory("tickstore3").toString + "/store"
+    TickStore.write(panel, path)
+    val dels = Seq((2L, Date.valueOf("2020-01-15"))).toDF("asset_id", "date")
+
+    TickStore.compact(spark, path, months = Some(Seq("2020-01")), deletes = Some(dels))
+
+    val back = TickStore.read(spark, path)
+    val jan = back.filter(col("date_month") === "2020-01").collect()
+    assert(jan.length === 1) // one survivor: latest revision of asset 1, deletes gone
+    assert(jan(0).getAs[Long]("asset_id") === 1L && jan(0).getAs[Double]("value") === 2.0)
+    // untouched month keeps its revision history
+    assert(back.filter(col("date_month") === "2020-02").count() === 2)
+    // no leftover staging directory
+    assert(!new java.io.File(path.stripSuffix("/") + "__compacting").exists())
+  }
+
   test("as-of query over TickStore prunes month partitions and matches the raw panel") {
     import java.sql.{Date, Timestamp}
     // multi-month panel (reference test_small's date spread)
