@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, MinHashSig, SimHash64}
+import graft.expressions.{DotProduct, L2Normalize, LshBucket, MinHashSig, ShingleSet, SimHash64}
 
 /** Registers the graft kernel expressions as SQL functions, so
   * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
@@ -43,7 +43,16 @@ object GraftFunctions {
         MinHashSig(children(0), intArg(children(1), "k"), intArg(children(2), "numHashes"))),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of the whitespace token multiset"),
-      (children: Seq[Expression]) => SimHash64(children(0))))
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - unit-normalize an array<double>; NULL for zero vectors"),
+      (children: Seq[Expression]) => L2Normalize(children(0))),
+    (FunctionIdentifier("shingle_set"),
+      info("shingle_set", "shingle_set(text, k) - distinct k-char shingles as array<string>"),
+      (children: Seq[Expression]) => ShingleSet(children(0), intArg(children(1), "k"))),
+    (FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(v, planes) - random-hyperplane LSH sign bits packed in a long"),
+      (children: Seq[Expression]) => LshBucket(children(0), intArg(children(1), "planes"))))
 
   /** Register on a live session (same registry `injectFunction` feeds). */
   def register(spark: SparkSession): Unit =

@@ -16,6 +16,19 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(sig === sig2)
 
+    val norm = spark.sql("SELECT l2_normalize(array(3.0D, 4.0D)) AS v")
+      .collect()(0).getSeq[Double](0)
+    assert(norm === Seq(0.6, 0.8))
+    assert(spark.sql("SELECT l2_normalize(array(0.0D, 0.0D)) AS v").collect()(0).isNullAt(0))
+
+    val sh = spark.sql("SELECT shingle_set('abcab', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("abc", "bca", "cab"))
+
+    val b1 = spark.sql("SELECT lsh_bucket(array(1.0D, 2.0D), 8) AS b").collect()(0).getLong(0)
+    val b2 = spark.sql("SELECT lsh_bucket(array(2.0D, 4.0D), 8) AS b").collect()(0).getLong(0)
+    assert(b1 === b2) // scale-invariant
+
     val fp = spark.sql("SELECT simhash64('hello world hello') AS f").collect()(0).getLong(0)
     val fpSame = spark.sql("SELECT simhash64('hello world hello') AS f").collect()(0).getLong(0)
     assert(fp === fpSame)
@@ -30,8 +43,8 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // registration above + SQL round-trip in the previous test covers
-    // builder correctness; here we assert the extension wires 3 functions.
+    // builder correctness; here we assert the extension wires every kernel.
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
-      Set("vec_dot", "minhash_sig", "simhash64"))
+      Set("vec_dot", "minhash_sig", "simhash64", "l2_normalize", "shingle_set", "lsh_bucket"))
   }
 }
