@@ -35,7 +35,12 @@ object Ivf {
     * double `avg` would drift with summation order.
     */
   def train(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    // The training set is scanned iters+1 times (seed pick + one
+    // assignment pass per Lloyd iteration): cache the parsed double
+    // vectors once instead of re-reading parquet + re-casting per pass.
+    // At 100 TB train on a sample — the cache then fits the cluster.
     val vecs = embeddings.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .persist()
     // hash-spread deterministic seeds (not first-k: those may be correlated)
     var centroids: Array[Array[Double]] = vecs
       .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)))
@@ -64,6 +69,7 @@ object Ivf {
       }
       it += 1
     }
+    vecs.unpersist()
     centroids
   }
 
