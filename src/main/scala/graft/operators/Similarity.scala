@@ -141,6 +141,44 @@ object Similarity {
       graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), planes).as("bucket"))
       .orderBy(col("vec_id"))
 
+  /** The 100 TB near-dup path: LSH-bucketed candidate generation +
+    * exact cosine verify. [[embeddingNearDupPairs]] is exact but
+    * all-pairs (blocks² tasks — fine to ~10⁵ vectors, hopeless beyond);
+    * here candidates must share one of `bands` LSH sub-buckets (cutting
+    * `planes` sign bits into bands, banding the same way MinHash-LSH
+    * does), so the self-join shuffles (band, bucket, id, vec) tuples
+    * and pair work is bucket-local. Recall is tunable: more bands ⇒
+    * higher recall, more candidates; verification is exact, so
+    * precision is always 1 — output ⊆ the exact operator's output, with
+    * identical cosines for every emitted pair.
+    */
+  def lshVerifiedNearDupPairs(embeddings: DataFrame, threshold: Double,
+                              planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "planes must divide into bands")
+    val width = planes / bands
+    val e = embeddings.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("v"),
+      graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), planes).as("bucket"))
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col("bucket"), b * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = e.select(col("vec_id"), col("v"),
+      posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_bucket")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_bucket") === col("b.band_bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      // cosine first, THEN distinct: a pair sharing several bands gets
+      // the identical (id_a, id_b, cos) row, so dedup runs on 3 scalars
+      // instead of hashing two 64-double arrays per row.
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Bucket-local ANN: candidates share an LSH bucket, ranked by exact
     * cosine within the bucket — the 100 TB path where both sides are
     * huge (shuffle is on 16-bit buckets, not all-pairs).

@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("lshVerifiedNearDupPairs is a subset of exact pairs with identical cosines") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = graft.operators.Similarity.embeddingNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.operators.Similarity.lshVerifiedNearDupPairs(emb, 0.4, planes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1: every LSH-verified pair is an exact pair with the same cosine
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"$pair not in exact set")
+      assert(exact(pair) === cos)
+    }
+    // recall: with 8 bands of 2 bits the S-curve should catch most true pairs
+    assert(lsh.size >= exact.size / 2, s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("LSH buckets: identical vectors share a bucket, opposite vectors never do") {
     val b = Similarity.lshBuckets(emb, dim = 4, planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
