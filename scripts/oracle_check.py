@@ -77,8 +77,7 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"PASS {name} ({len(want)} rows)")
             n_pass += 1
     # rows-only queries
-    for name in ["dedup_minhash", "dedup_simhash", "ann_lsh", "sketches",
-                 "dedup_embedding_lsh"]:
+    for name in ["dedup_minhash", "dedup_simhash", "ann_lsh", "sketches"]:
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
             print(f"ROWS {name}: {len(got)} rows")

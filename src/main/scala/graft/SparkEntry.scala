@@ -141,8 +141,6 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
-    "dedup_embedding_lsh" -> ((s, dir) =>
-      Similarity.lshVerifiedNearDupPairs(Tables.embeddings(s, dir), 0.4, planes = 16, bands = 8)),
     "top_ngrams" -> ((s, dir) =>
       Dedup.topNgrams(Tables.documents(s, dir), 20)),
     "dedup_clusters" -> ((s, dir) => {
