@@ -574,10 +574,10 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS len,
-        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
         |  round(
         |    least(length(text) / 500.0, 1.0) * 0.4 +
-        |    greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))
+        |    greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |             / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
         |    least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -720,7 +720,7 @@ object SparkEntry {
         |  SELECT doc_id, text,
         |    round(
         |      least(length(text) / 500.0, 1.0) * 0.4 +
-        |      greatest(1.0 - (length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))
+        |      greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
         |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -22,9 +22,21 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Count of non-alphanumeric, non-space characters. */
-  def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+  /** The one-pass scoring kernel ([[graft.expressions.TextStats]]):
+    * len/punct/quality/lang in a single compiled pass; identical
+    * instances in one projection are common-subexpression-eliminated.
+    */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.TextStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Count of non-alphanumeric, non-whitespace characters.
+    * (Round-1 form computed `len − len(punct_only)` — the ALNUM count —
+    * inverting the quality score's punctuation penalty; fixed here and
+    * in the oracles.)
+    */
+  def punctCount(text: Column): Column = textStats(text).getField("n_punct")
 
   private val stopwordsEn = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -45,16 +57,9 @@ object TextFns {
 
   /** C9 quality score in [0,1]: blend of length saturation, low punct
     * density and healthy stopword ratio — the standard cheap heuristics
-    * (Gopher/C4-style rules) composed as one codegen'd expression.
+    * (Gopher/C4-style rules), computed by the [[textStats]] kernel.
     */
-  def qualityScore(text: Column): Column = {
-    val len = length(text).cast("double")
-    val lenScore = least(len / lit(500.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
-    val punctScore = greatest(lit(1.0) - punctRatio * 5, lit(0.0))
-    val swScore = least(stopwordRatio(text) * 4, lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
-  }
+  def qualityScore(text: Column): Column = textStats(text).getField("quality")
 
   /** C11 normalized-content fingerprint: md5 of lowercased,
     * whitespace-collapsed text. Same normalization a near-dup pass uses
@@ -100,28 +105,11 @@ object TextFns {
   private def substring_col(str: Column, pos: Column, len: Int): Column =
     str.substr(pos, lit(len))
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
-    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
-    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour", "que", "avec"),
-    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "我", "这", "他"))
-
   /** C8 n-gram/stopword-marker language ID: score each language by
     * marker-token hits, pick argmax (ties broken by language code);
     * `und` when no marker of any language appears. Heuristic on
-    * purpose — the scale story is that it's one expression over the
-    * scan, not a model inference round-trip.
+    * purpose — the scale story is that it's one compiled pass over the
+    * scan ([[textStats]]), not a model inference round-trip.
     */
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val scored = array(langMarkers.map { case (l, markers) =>
-      struct(
-        size(filter(toks, t => t.isin(markers: _*))).as("score"),
-        lit(l).as("lang"))
-    }: _*)
-    // sort_array desc orders by (score desc, lang desc); deterministic.
-    val top = sort_array(scored, asc = false).getItem(0)
-    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
-  }
+  def langId(text: Column): Column = textStats(text).getField("lang_guess")
 }

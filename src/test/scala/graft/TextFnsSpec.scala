@@ -22,7 +22,10 @@ class TextFnsSpec extends SparkSpec {
   }
 
   test("punct count ignores alphanumerics and whitespace") {
-    assert(one[Int](TextFns.punctCount($"text"), "a,b.c!") === 3)
+    assert(one[Long](TextFns.punctCount($"text"), "a,b.c!") === 3L)
+    // counts punctuation, not alphanumerics (the round-1 inversion):
+    assert(one[Long](TextFns.punctCount($"text"), "abc def") === 0L)
+    assert(one[Long](TextFns.punctCount($"text"), "!!!") === 3L)
   }
 
   test("quality score is bounded and favors clean prose") {
