@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, L2Normalize, LshBucket, MinHashSig, ShingleSet, SimHash64}
+import graft.expressions.{DotProduct, L2Normalize, LshBucket, MinHashSig, ShingleSet, SimHash64, TextStats}
 
 /** Registers the graft kernel expressions as SQL functions, so
   * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
@@ -52,7 +52,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => ShingleSet(children(0), intArg(children(1), "k"))),
     (FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(v, planes) - random-hyperplane LSH sign bits packed in a long"),
-      (children: Seq[Expression]) => LshBucket(children(0), intArg(children(1), "planes"))))
+      (children: Seq[Expression]) => LshBucket(children(0), intArg(children(1), "planes"))),
+    (FunctionIdentifier("text_stats"),
+      info("text_stats", "text_stats(text) - struct(len, n_punct, quality, lang_guess) in one pass"),
+      (children: Seq[Expression]) => TextStats(children(0))))
 
   /** Register on a live session (same registry `injectFunction` feeds). */
   def register(spark: SparkSession): Unit =

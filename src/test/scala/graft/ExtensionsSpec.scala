@@ -25,6 +25,11 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(sh === Seq("abc", "bca", "cab"))
 
+    val ts = spark.sql("SELECT text_stats('the cat and dog!') AS t").collect()(0)
+      .getStruct(0)
+    assert(ts.getAs[Long]("len") === 16L && ts.getAs[Long]("n_punct") === 1L)
+    assert(ts.getAs[String]("lang_guess") === "en")
+
     val b1 = spark.sql("SELECT lsh_bucket(array(1.0D, 2.0D), 8) AS b").collect()(0).getLong(0)
     val b2 = spark.sql("SELECT lsh_bucket(array(2.0D, 4.0D), 8) AS b").collect()(0).getLong(0)
     assert(b1 === b2) // scale-invariant
@@ -45,6 +50,7 @@ class ExtensionsSpec extends SparkSpec {
     // registration above + SQL round-trip in the previous test covers
     // builder correctness; here we assert the extension wires every kernel.
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
-      Set("vec_dot", "minhash_sig", "simhash64", "l2_normalize", "shingle_set", "lsh_bucket"))
+      Set("vec_dot", "minhash_sig", "simhash64", "l2_normalize", "shingle_set", "lsh_bucket",
+        "text_stats"))
   }
 }
