@@ -79,6 +79,58 @@ object Ivf {
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("cluster", NearestCentroid(col("v"), centroids))
 
+  /** Materialize the index: cluster-partitioned parquet with vectors
+    * pre-normalized. A probe then reads ONLY its `nProbe` cluster
+    * directories (hive partition pruning — `PartitionFilters` in the
+    * scan), which is what makes IVF sublinear at rest: corpus I/O per
+    * query is nProbe/k of the store, before any compute.
+    */
+  def writeIndex(embeddings: DataFrame, centroids: Array[Array[Double]],
+                 path: String, filesPerCluster: Int = 4): Unit =
+    index(embeddings, centroids)
+      .withColumn("vn", Similarity.normalize(col("v")))
+      .select(col("vec_id"), col("vn"), col("cluster"))
+      .repartition(filesPerCluster, col("cluster"), pmod(col("vec_id"), lit(filesPerCluster)))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** ANN over a materialized index: same semantics as [[search]], but
+    * the corpus side is the cluster-partitioned store and the probe
+    * list becomes a partition filter — unprobed clusters are never
+    * read.
+    */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    centroids: Array[Array[Double]],
+                    queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val queries = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster")).collect()
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n)
+    }
+    val probes = queries.flatMap { r =>
+      val qvn = r.getSeq[Double](1).toArray
+      val scored = normed.zipWithIndex.map { case (c, ci) =>
+        (ci, c.zip(qvn).map { case (a, b) => a * b }.sum)
+      }
+      scored.sortBy { case (ci, s) => (-s, ci) }.take(nProbe)
+        .map { case (ci, _) => (r.getLong(0), qvn, ci) }
+    }.toSeq
+    import spark.implicits._
+    val probeDf = probes.toDF("q_id", "qvn", "cluster")
+    val probedClusters = probes.map(_._3).distinct
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    idx
+      // partition-pruning predicate: only the probed cluster dirs open
+      .filter(col("cluster").isin(probedClusters: _*))
+      .join(broadcast(probeDf), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(Similarity.dot(col("qvn"), col("vn")), 3))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ANN: probe the nProbe nearest clusters per query id, exact cosine
     * top-k within the probed subset.
     */

@@ -31,6 +31,26 @@ class IvfSpec extends SparkSpec {
     assert(groups.values.toSet.size === 3)     // distinct clusters
   }
 
+  test("materialized index search prunes to probed cluster partitions and matches search") {
+    val cs = Ivf.train(emb, k = 3, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+    Ivf.writeIndex(emb, cs, path)
+    // hive layout: one directory per cluster
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cluster=")) === 3)
+
+    val live = Ivf.search(emb, cs, Seq(0L), k = 5, nProbe = 1)
+      .select("q_id", "rank", "vec_id", "cos").collect().map(_.toSeq)
+    val stored = Ivf.searchIndexed(spark, path, cs, Seq(0L), k = 5, nProbe = 1)
+      .select("q_id", "rank", "vec_id", "cos").collect().map(_.toSeq)
+    assert(stored.toSeq === live.toSeq)
+
+    // the probe predicate reaches the scan as a partition filter
+    val plan = Ivf.searchIndexed(spark, path, cs, Seq(0L), k = 5, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"))
+  }
+
   test("search with nProbe=1 finds the same-group neighbors, matching brute force") {
     val cs = Ivf.train(emb, k = 3, iters = 4)
     val ivfTop = Ivf.search(emb, cs, Seq(0L), k = 5, nProbe = 1)
