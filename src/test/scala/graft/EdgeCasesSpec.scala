@@ -40,6 +40,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ohlc.getAs[Double]("open") === 5.0 && ohlc.getAs[Double]("close") === 5.0)
   }
 
+  test("round-2 series operators return empty/sane on degenerate panels") {
+    assert(Analytics.drawdown(emptyPanel).count() === 0)
+    assert(Analytics.xsecRank(emptyPanel).count() === 0)
+    assert(Analytics.resampleMonthly(emptyPanel).count() === 0)
+    assert(Analytics.ewma(emptyPanel).count() === 0)
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val dd = Analytics.drawdown(p).collect()(0)
+    assert(dd.getAs[Double]("peak") === 5.0 && dd.getAs[Double]("drawdown") === 0.0)
+    assert(Analytics.ewma(p).collect()(0).getAs[Double]("ewma") === 5.0)
+    val xr = Analytics.xsecRank(p).collect()(0)
+    assert(xr.getAs[Long]("rank") === 1L && xr.isNullAt(xr.fieldIndex("pct_rank")))
+    val rm = Analytics.resampleMonthly(p).collect()(0)
+    assert(rm.getAs[Long]("n_days") === 1L && rm.getAs[Double]("open") === 5.0)
+  }
+
+  test("pipeline operators handle empty and degenerate document sets") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Pipeline.sampleSplit(emptyDocs).count() === 0)
+    assert(Pipeline.corpusFilter(emptyDocs).count() === 0)
+    assert(Pipeline.docPack(emptyDocs).count() === 0)
+    // blank/unicode docs flow through without error
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "中文 文本")).toDF("doc_id", "text")
+    assert(Pipeline.sampleSplit(docs).count() === 3)
+    assert(Pipeline.docPack(docs).count() === 3)
+    assert(Pipeline.corpusFilter(docs, minQuality = 0.0, lang = "und").count() >= 1)
+  }
+
   test("text operators handle blank and unicode documents") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "中文 文本 测试 的 是"), (4L, "héllo wörld"))
       .toDF("doc_id", "text")
