@@ -36,6 +36,11 @@ case class AsOfJoinPlan(
     keyName: String,
     tsName: String,
     rvalueName: String,
+    // unique tie-breaker on the right side: among equal `ts` the
+    // max-(ts, seq) row wins, matching the declarative form's
+    // rank-1-by-(ts DESC, seq DESC). Without it the winner among
+    // equal-ts revisions would depend on partition order.
+    seqName: Option[String] = Some("seq"),
     // constructor parameter (not a val): tree transforms call copy(),
     // which must PRESERVE the output attribute's exprId — a fresh
     // AttributeReference per copy breaks parent references.
@@ -44,14 +49,16 @@ case class AsOfJoinPlan(
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
 
-  /** The operator itself consumes key/ts on both sides and rvalue —
-    * declared so ColumnPruning keeps them when the parent only asks for
-    * pass-through columns (other left columns remain prunable).
+  /** The operator itself consumes key/ts on both sides, rvalue and the
+    * right-side tie-breaker — declared so ColumnPruning keeps them when
+    * the parent only asks for pass-through columns (other left columns
+    * remain prunable).
     */
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(
       (left.output ++ right.output).filter(a =>
-        a.name == keyName || a.name == tsName || a.name == rvalueName))
+        a.name == keyName || a.name == tsName || a.name == rvalueName ||
+          seqName.contains(a.name)))
 
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
@@ -61,7 +68,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.keyName, p.tsName, p.rvalueName, p.asofAttr) :: Nil
+        p.keyName, p.tsName, p.rvalueName, p.seqName, p.asofAttr) :: Nil
     case _ => Nil
   }
 }
@@ -72,6 +79,7 @@ case class AsOfJoinExec(
     keyName: String,
     tsName: String,
     rvalueName: String,
+    seqName: Option[String],
     asofAttr: AttributeReference) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
@@ -86,7 +94,10 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(attr(left, keyName), Ascending), SortOrder(attr(left, tsName), Ascending)),
-    Seq(SortOrder(attr(right, keyName), Ascending), SortOrder(attr(right, tsName), Ascending)))
+    // right-side tie-break: ascending (key, ts, seq) + overwrite-on-
+    // consume makes the max-(ts, seq) revision win deterministically
+    Seq(SortOrder(attr(right, keyName), Ascending), SortOrder(attr(right, tsName), Ascending)) ++
+      seqName.map(s => SortOrder(attr(right, s), Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
@@ -138,13 +149,15 @@ object AsOfJoinNative {
     * joined DataFrame from the custom logical node.
     */
   def apply(left: DataFrame, right: DataFrame, key: String, ts: String,
-            rvalue: String): DataFrame = {
+            rvalue: String, seq: Option[String] = Some("seq")): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    // only require the tie-breaker if the right side actually has it
+    val seqName = seq.filter(s => right.columns.contains(s))
     val plan = AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed, key, ts, rvalue)
+      left.queryExecution.analyzed, right.queryExecution.analyzed, key, ts, rvalue, seqName)
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -28,6 +28,16 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
 
+  test("equal-ts right revisions resolve to the max-seq one, deterministically") {
+    val left = Seq((1L, ts(20), 100L, 0.0)).toDF("user_id", "ts", "seq", "value")
+    // two revisions at the SAME ts: seq 2 must win regardless of input order
+    val right = Seq((1L, ts(10), 2L, 9.9), (1L, ts(10), 1L, 1.1))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOfJoinNative(left, right.repartition(3), "user_id", "ts", "rvalue")
+      .select("asof_value").collect()(0).getDouble(0)
+    assert(out === 9.9)
+  }
+
   test("native exec agrees with the union+window operator on real data") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")
