@@ -126,6 +126,8 @@ object SparkEntry {
       Analytics.winsorize(Tables.events(s, dir))),
     "ewma" -> ((s, dir) =>
       Analytics.ewma(Tables.panel(s, dir))),
+    "donchian" -> ((s, dir) =>
+      Analytics.donchian(Tables.panel(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
     "sketches" -> ((s, dir) =>
@@ -685,6 +687,22 @@ object SparkEntry {
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + x) /
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + 1.0), 6) AS ewma
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "donchian" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1)
+         |SELECT asset_id, date, value, ch_high, ch_low,
+         |       round((value - ch_low) / nullif(ch_high - ch_low, 0), 6) AS ch_pos FROM (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ch_high,
+         |         min(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ch_low
+         |  FROM daily) t
+         |ORDER BY asset_id, date""".stripMargin,
     "winsorize" ->
       """WITH bounds AS (
         |  SELECT event_type,

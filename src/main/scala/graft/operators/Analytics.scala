@@ -140,6 +140,27 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B20 `donchian` — N-day Donchian channel over the LWW daily series:
+    * rolling high/low plus the close's position within the channel.
+    * min/max are order-insensitive, so the oracle is exact without any
+    * decimal machinery; same single-shuffle shape as [[drawdown]].
+    */
+  def donchian(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("ch_high", max(col("value")).over(frame))
+      .withColumn("ch_low", min(col("value")).over(frame))
+      .withColumn("ch_pos", round(
+        (col("value") - col("ch_low")) /
+          when(col("ch_high") === col("ch_low"), lit(null))
+            .otherwise(col("ch_high") - col("ch_low")), 6))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("ch_high"), col("ch_low"), col("ch_pos"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B6 `resample_ohlc` — daily bar per asset: open/close via first/last
     * knowledge order, high/low/count via plain agg. Two row_numbers +
     * one group-by = single shuffle on the group key (window and agg

@@ -101,6 +101,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(12.0, 15.157895, 12.885609))
   }
 
+  test("donchian channel tracks rolling high/low and close position") {
+    // asset 1 LWW daily: 12.0, 18.0, 9.0 → highs 12,18,18; lows 12,12,9
+    val out = Analytics.donchian(panel, window = 20).filter($"asset_id" === 1)
+      .select("ch_high", "ch_low", "ch_pos").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      (12.0, 12.0, None),          // degenerate channel → NULL position
+      (18.0, 12.0, Some(1.0)),
+      (18.0, 9.0, Some(0.0))))
+  }
+
   test("winsorize clamps values to the per-group percentile bounds") {
     val ev = (1L to 100L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
     val out = Analytics.winsorize(ev, lo = 0.05, hi = 0.95).collect()
