@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftConf.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/committer init + parquet footers + OS
     // page cache, so the alphabetically-first query isn't charged for it.

@@ -79,7 +79,10 @@ case class DotProduct(left: Expression, right: Expression)
   * product inside the lambda, re-evaluating it per ELEMENT interpreted —
   * O(dim²) per row; this kernel is O(dim)). Zero vectors normalize to
   * NULL, so downstream cosines are NULL — same observable semantics as
-  * the HOF form (whose all-NULL elements also yield non-finite cosines).
+  * the HOF form. Arrays containing a NULL element also normalize to
+  * NULL (the HOF form's null propagates through the norm and poisons
+  * every element; collapsing that to a NULL array keeps the output type
+  * containsNull=false without silently treating null as 0).
   */
 case class L2Normalize(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -94,8 +97,12 @@ case class L2Normalize(child: Expression)
     val n = v.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
-    if (s == 0.0) null
+    var hasNull = false
+    while (i < n && !hasNull) {
+      if (v.isNullAt(i)) hasNull = true
+      else { val x = v.getDouble(i); s += x * x; i += 1 }
+    }
+    if (hasNull || s == 0.0) null
     else {
       val norm = math.sqrt(s)
       val out = new Array[Double](n)

@@ -178,7 +178,13 @@ object Dedup {
           rounds += 1
         }
         edges.unpersist()
-        labels
+        // Detach the converged labels from their persist (which would
+        // otherwise leak — the returned plan has no unpersist point):
+        // checkpoint blocks are ContextCleaner-reclaimed when the plan
+        // is dropped.
+        val converged = labels.localCheckpoint(true)
+        labels.unpersist()
+        converged
       }
     edgeRows.unpersist()
     result.orderBy(col("doc_id"))
@@ -200,15 +206,12 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
                         maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame = {
-    // collect_list runs as ObjectHashAggregate, which falls back to
-    // SORT-BASED aggregation after 128 distinct keys per task (Spark's
-    // ultra-conservative default) — on a posting build with ~10⁴+
-    // distinct shingles per task that sorts the whole shingle stream.
-    // Raise the in-memory map bound; memory stays bounded (keys are
-    // k-char shingles, values ≤ maxDf ids). Measured 6.6 s → 4.1 s on
-    // the sf0.1 pair build.
-    documents.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    // collect_list perf note: ObjectHashAggregate falls back to
+    // sort-based aggregation after 128 distinct keys per task — the
+    // fallback threshold is raised to 128k at SESSION setup
+    // (GraftConf.tune), not here, so the operator has no hidden
+    // session-wide side effects. Measured 6.6 s → 4.1 s on the sf0.1
+    // pair build.
     // Inverted index: one shuffle builds posting lists per shingle; the
     // df cap (stop-shingle removal) bounds each list.
     val sh = documents
@@ -218,9 +221,14 @@ object Dedup {
     // final collect_list aggregation and the explode above it would
     // still run per consumer — so cache the (small, df-capped) posting
     // lists themselves: O(distinct shingles) rows, each ≤ maxDf ids.
+    // Eager localCheckpoint, not persist(): a persist here has no safe
+    // unpersist point (the operator returns a lazy plan), so each call
+    // would leak a CacheManager entry for the session's lifetime.
+    // Checkpoint blocks are owned by the materialized RDD and reclaimed
+    // by the ContextCleaner once the returned plan is unreferenced.
     val posts = sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxDf)
-      .persist()
+      .localCheckpoint(true)
     val shf = posts.select(explode(col("ids")).as("doc_id"), col("s"))
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter =

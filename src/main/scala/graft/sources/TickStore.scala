@@ -91,6 +91,19 @@ object TickStore {
     // directory rename is atomic on HDFS-like stores; object stores
     // would swap a manifest instead.
     val tmpPath = path.stripSuffix("/") + "__compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // Months in compaction scope, resolved BEFORE the rewrite: the swap
+    // below must delete every scoped month directory even when deletes
+    // (or an LWW collapse) leave a month empty — an empty month writes
+    // no tmp directory, but its old rows are still superseded.
+    val scopeMonths: Seq[String] = months.getOrElse {
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("date_month="))
+        .map(_.stripPrefix("date_month="))
+        .toSeq
+    }
     val scoped = months match {
       case Some(ms) => read(spark, path).filter(col("date_month").isin(ms: _*))
       case None => read(spark, path)
@@ -112,13 +125,15 @@ object TickStore {
       .partitionBy("date_month")
       .parquet(tmpPath)
 
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("date_month=")).foreach { st =>
-      val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+    // Drop EVERY scoped month first (a month fully emptied by deletes has
+    // no tmp dir but must still disappear), then move in the rewrites.
+    scopeMonths.foreach { m =>
+      val target = new org.apache.hadoop.fs.Path(path, s"date_month=$m")
       if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(st.getPath, target)
+    }
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("date_month=")).foreach { st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, st.getPath.getName))
     }
     fs.delete(tmp, true)
   }

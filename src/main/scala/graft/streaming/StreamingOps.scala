@@ -179,7 +179,11 @@ object StreamingOps {
             if (owner >= 0) {
               state.update(owner)
               if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
-                val maxTs = batch.iterator.map(_.event_ts.getTime).max
+                // withWatermark does NOT drop null event-time rows — they
+                // flow through to here, so skip nulls in the max and fall
+                // back to the watermark when the whole batch is null.
+                val tss = batch.iterator.flatMap(h => Option(h.event_ts)).map(_.getTime)
+                val maxTs = if (tss.hasNext) tss.max else Long.MinValue
                 // must exceed the current watermark or Spark rejects it
                 state.setTimeoutTimestamp(
                   math.max(maxTs, state.getCurrentWatermarkMs() + 1) + stateTtlMs)

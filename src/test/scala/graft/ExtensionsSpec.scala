@@ -20,6 +20,9 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Double](0)
     assert(norm === Seq(0.6, 0.8))
     assert(spark.sql("SELECT l2_normalize(array(0.0D, 0.0D)) AS v").collect()(0).isNullAt(0))
+    // null ELEMENTS poison the whole vector (never silently treated as 0)
+    assert(spark.sql("SELECT l2_normalize(array(3.0D, CAST(NULL AS DOUBLE))) AS v")
+      .collect()(0).isNullAt(0))
 
     val sh = spark.sql("SELECT shingle_set('abcab', 3) AS s")
       .collect()(0).getSeq[String](0)

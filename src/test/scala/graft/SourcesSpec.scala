@@ -24,6 +24,31 @@ class SourcesSpec extends SparkSpec {
     assert(ints(0).getAs[Double]("value") === 100.5)
   }
 
+  test("FinCsv seq follows file position: last same-key row wins LWW (reference insert order)") {
+    val dir = Files.createTempDirectory("fincsv2").toFile
+    val f = new java.io.File(dir, "ticks.csv")
+    // two corrections for the SAME (asset, date, ts) with different
+    // values — the reference's sequential upsert keeps the LAST one
+    Files.writeString(f.toPath,
+      "1,2020-10-01,2020-10-01T12:00:00,100.5\n" +
+        "1,2020-10-01,2020-10-01T12:00:00,999.9\n" +
+        "2,2020-10-01,2020-10-01T12:00:00,5.0\n")
+    val df = FinCsv.read(spark, f.getAbsolutePath)
+    // seq is monotone in file position
+    val inFileOrder = df.filter(col("asset_id") === 1L).orderBy(col("seq"))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(inFileOrder === Seq(100.5, 999.9))
+    val lww = graft.operators.KeyValue.upsertLww(df)
+    val winner = lww.filter(col("asset_id") === 1L).collect()
+    assert(winner.length === 1 && winner(0).getAs[Double]("value") === 999.9)
+    // and it is stable across partition layouts
+    val seqs = (1 to 2).map { _ =>
+      FinCsv.read(spark, f.getAbsolutePath).orderBy("seq").select("value")
+        .collect().map(_.getDouble(0)).toSeq
+    }
+    assert(seqs(0) === seqs(1))
+  }
+
   test("CSV-to-TickStore ingestion pipeline (convert-csv.sh end to end)") {
     val dir = Files.createTempDirectory("ingest").toFile
     Files.writeString(new java.io.File(dir, "t.csv").toPath,
@@ -79,6 +104,36 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("date_month") === "2020-02").count() === 2)
     // no leftover staging directory
     assert(!new java.io.File(path.stripSuffix("/") + "__compacting").exists())
+  }
+
+  test("TickStore.compact removes a month whose rows are all deleted (empty-month swap)") {
+    import java.sql.{Date, Timestamp}
+    val panel = Seq(
+      // 2020-01 has ONLY asset 2 — deleting it must empty the month
+      (2L, "2020-01-15", 30, 3.0, 3L),
+      (1L, "2020-02-05", 40, 4.0, 4L))
+      .map { case (a, d, t, v, q) => (a, Date.valueOf(d), new Timestamp(t * 1000L), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val path = java.nio.file.Files.createTempDirectory("tickstore4").toString + "/store"
+    TickStore.write(panel, path)
+    val dels = Seq((2L, Date.valueOf("2020-01-15"))).toDF("asset_id", "date")
+
+    TickStore.compact(spark, path, months = Some(Seq("2020-01")), deletes = Some(dels))
+
+    // the deleted rows must NOT survive via a stale month directory
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("date_month=2020-01"), dirs.toString)
+    val back = TickStore.read(spark, path)
+    assert(back.count() === 1)
+    assert(back.collect()(0).getAs[Long]("asset_id") === 1L)
+
+    // unscoped compact (months=None) with a delete emptying a month also swaps it out
+    val path2 = java.nio.file.Files.createTempDirectory("tickstore5").toString + "/store"
+    TickStore.write(panel, path2)
+    TickStore.compact(spark, path2, months = None, deletes = Some(dels))
+    val dirs2 = new java.io.File(path2).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs2.contains("date_month=2020-01"), dirs2.toString)
+    assert(TickStore.read(spark, path2).count() === 1)
   }
 
   test("as-of query over TickStore prunes month partitions and matches the raw panel") {

@@ -13,6 +13,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftConf.tune(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
