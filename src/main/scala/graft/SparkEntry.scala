@@ -130,6 +130,16 @@ object SparkEntry {
       Analytics.donchian(Tables.panel(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
+    "rolling_vol" -> ((s, dir) =>
+      Analytics.rollingVol(Tables.panel(s, dir))),
+    "bollinger" -> ((s, dir) =>
+      Analytics.bollinger(Tables.panel(s, dir))),
+    "rsi" -> ((s, dir) =>
+      Analytics.rsi(Tables.panel(s, dir))),
+    "xsec_zscore" -> ((s, dir) =>
+      Analytics.xsecZscore(Tables.panel(s, dir))),
+    "beta" -> ((s, dir) =>
+      Analytics.beta(Tables.panel(s, dir))),
     "sketches" -> ((s, dir) =>
       Analytics.sketches(Tables.events(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
@@ -188,7 +198,15 @@ object SparkEntry {
     "corpus_filter" -> ((s, dir) =>
       Pipeline.corpusFilter(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
-      Pipeline.docPack(Tables.documents(s, dir)))
+      Pipeline.docPack(Tables.documents(s, dir))),
+    "pii_redact" -> ((s, dir) =>
+      Pipeline.piiRedact(Tables.documents(s, dir))),
+    "stratified_sample" -> ((s, dir) =>
+      Pipeline.stratifiedSample(Tables.documents(s, dir))),
+    "length_histogram" -> ((s, dir) =>
+      Pipeline.lengthHistogram(Tables.documents(s, dir))),
+    "token_df_quality" -> ((s, dir) =>
+      Pipeline.tokenDfQuality(Tables.documents(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -255,6 +273,22 @@ object SparkEntry {
   /** DuckDB panel CTE mirroring [[Tables.panel]]. */
   private val panelCte =
     "WITH panel AS (SELECT user_id AS asset_id, CAST(ts AS DATE) AS date, ts, value, event_id AS seq FROM events)"
+
+  /** LWW daily series CTE (use after `$panelCte,`). */
+  private val dailyCte =
+    """daily AS (
+      |  SELECT asset_id, date, value FROM (
+      |    SELECT asset_id, date, value,
+      |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+      |    FROM panel) t WHERE rn = 1)""".stripMargin
+
+  /** Daily simple returns CTE (use after `$dailyCte,`). */
+  private val retsCte =
+    """rets AS (
+      |  SELECT asset_id, date, ret FROM (
+      |    SELECT asset_id, date,
+      |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+      |    FROM daily) t WHERE ret IS NOT NULL)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose outputs depend on
@@ -767,6 +801,144 @@ object SparkEntry {
         |SELECT doc_id, quality FROM (
         |  SELECT doc_id, quality, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) rn
         |  FROM pass) t WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "rolling_vol" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f)
+         |SELECT asset_id, date, ret,
+         |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
+    "bollinger" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, value, n, s,
+         |         sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)) AS sd
+         |  FROM g WHERE n >= 2)
+         |SELECT asset_id, date, value,
+         |  round(s / n, 6) AS mid,
+         |  round(s / n + 2.0 * sd, 6) AS upper,
+         |  round(s / n - 2.0 * sd, 6) AS lower,
+         |  round((value - (s / n - 2.0 * sd)) / nullif(4.0 * sd, 0.0), 6) AS pct_b
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "rsi" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(x, 0.0))),
+         |                     (a, x) -> a * (13.0 / 14.0) + x) AS ag,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(-x, 0.0))),
+         |                     (a, x) -> a * (13.0 / 14.0) + x) AS al
+         |  FROM f)
+         |SELECT asset_id, date, ret,
+         |  round(CASE WHEN al = 0 THEN 100.0
+         |             ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 4) AS rsi
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "xsec_zscore" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY date ORDER BY asset_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f)
+         |SELECT asset_id, date, value,
+         |  round((value - s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * nullif(n - 1, 0.0)), 0.0)), 0.0), 6) AS z
+         |FROM g ORDER BY date, asset_id""".stripMargin,
+    "beta" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm,
+         |         list(ret * mkt_ret ORDER BY date) AS rp
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM p)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta,
+         |  round((sa - COALESCE((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 0.0) * sm) / n, 6) AS alpha
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
+    "length_histogram" ->
+      """SELECT lang, n_tokens // 16 AS bucket, count(*) AS n_docs,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT lang,
+        |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |      FROM documents) t
+        |GROUP BY lang, n_tokens // 16 ORDER BY lang, bucket""".stripMargin,
+    "token_df_quality" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> ''),
+        |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_distinct_tokens,
+        |       round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_df
+        |FROM toks JOIN df USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

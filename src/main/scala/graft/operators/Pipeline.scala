@@ -82,4 +82,87 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
       .orderBy(col("doc_id"))
   }
+
+  // PII patterns shared by the operator and its oracle: RE2-compatible
+  // (no lookaround, no backrefs) so Java regex (Spark) and RE2 (DuckDB)
+  // match identically.
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** C19 `pii_redact` — PII scrubbing before training: emails, IPv4
+    * addresses and phone numbers replaced with typed placeholder tokens,
+    * plus per-document match counts (the audit trail a compliance
+    * pipeline keeps). Pure per-row regex → map-only, no shuffle; at
+    * 100 TB this runs at scan speed alongside the other per-doc scores.
+    * Replacement order (email → ip → phone) is part of the contract.
+    */
+  def piiRedact(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpPat), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          IpPat, "<IP>"),
+        PhonePat, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** C20 `stratified_sample` — per-language stratified sampling at
+    * per-mille rates, deterministic by Knuth hash of doc_id (integer
+    * arithmetic replays exactly in any engine; resharding, retries and
+    * incremental re-runs never change membership — the property rand()
+    * lacks). Map-only: the filter runs at scan speed before any shuffle.
+    */
+  def stratifiedSample(documents: DataFrame,
+                       ratesPerMille: Map[String, Int] = Map("en" -> 500),
+                       defaultPerMille: Int = 200): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000L)).as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C21 `length_histogram` — token-length distribution per language:
+    * docs bucketed by whitespace-token count (width-`bucketWidth` bins).
+    * The corpus-shape profile a data build checks before fixing a
+    * packing budget. One map-side-combinable aggregation.
+    */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 16): DataFrame =
+    documents
+      .select(col("lang"), TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      // integer `div`, not double-divide-then-cast: DuckDB's double→int
+      // cast rounds while Spark's truncates — `div` vs `//` agree.
+      .groupBy(col("lang"), expr(s"n_tokens div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** C22 `token_df_quality` — corpus-level rarity score: mean document
+    * frequency of each doc's DISTINCT tokens (low mean-DF = distinctive
+    * vocabulary, high = boilerplate). The two-stage shape of every
+    * corpus-statistics score at 100 TB: one shuffle builds the DF table
+    * (vocabulary-sized, ≪ corpus), one hash join scores docs against it.
+    * All-integer sums → the mean divides exactly the same everywhere.
+    */
+  def tokenDfQuality(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -198,4 +198,83 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("sum_charge") === 95.0 * 1.02 + 180.0 * 1.04)
     assert(r(0).getAs[Long]("count_order") === 2L)
   }
+
+  // daily closes 10, 20, 10, 20, … → returns alternate +1.0, -0.5
+  private lazy val sawtooth: DataFrame = (1 to 9).map { i =>
+    (1L, d(f"2024-01-0$i"), ts(i * 100), if (i % 2 == 1) 10.0 else 20.0, i.toLong)
+  }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("rolling_vol: constant series has zero vol; sawtooth matches hand formula") {
+    val const = (1 to 5).map(i => (1L, d(f"2024-01-0$i"), ts(i), 10.0, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val vols = Analytics.rollingVol(const, window = 3).select("vol").collect().map(_.getDouble(0))
+    assert(vols.nonEmpty && vols.forall(_ === 0.0))
+
+    // sawtooth rets: +1, -0.5, +1, -0.5 …; window 2 → each frame {+1, -0.5}
+    // sample sd of {1, -0.5} = |1 - (-0.5)|/sqrt(2) = 1.06066
+    val out = Analytics.rollingVol(sawtooth, window = 2)
+      .orderBy("date").select("vol").collect().map(_.getDouble(0))
+    out.drop(1).foreach(v => assert(math.abs(v - 1.060660) < 1e-6, v.toString))
+  }
+
+  test("bollinger: constant series collapses the band and nulls pct_b") {
+    val const = (1 to 5).map(i => (1L, d(f"2024-01-0$i"), ts(i), 10.0, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val rows = Analytics.bollinger(const, window = 3).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mid") === 10.0)
+      assert(r.getAs[Double]("upper") === 10.0 && r.getAs[Double]("lower") === 10.0)
+      assert(r.isNullAt(r.fieldIndex("pct_b")))
+    }
+    // sawtooth: value always inside [lower, upper], pct_b in [0, 1]
+    val bb = Analytics.bollinger(sawtooth, window = 4).collect()
+    bb.foreach { r =>
+      assert(r.getAs[Double]("value") >= r.getAs[Double]("lower") - 1e-9)
+      assert(r.getAs[Double]("value") <= r.getAs[Double]("upper") + 1e-9)
+      val p = r.getAs[Double]("pct_b")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("rsi: monotone-up pins to 100, monotone-down to 0, sawtooth strictly between") {
+    val up = (1 to 6).map(i => (1L, d(f"2024-01-0$i"), ts(i), 10.0 + i, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.rsi(up).select("rsi").collect().map(_.getDouble(0)).forall(_ === 100.0))
+    val down = (1 to 6).map(i => (1L, d(f"2024-01-0$i"), ts(i), 100.0 - i * 5, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.rsi(down).select("rsi").collect().map(_.getDouble(0)).forall(_ === 0.0))
+    val mid = Analytics.rsi(sawtooth).select("rsi").collect().map(_.getDouble(0)).drop(1)
+    assert(mid.forall(v => v > 0.0 && v < 100.0))
+  }
+
+  test("xsec_zscore standardizes each date cross-section") {
+    val p = Seq(
+      (1L, d("2024-01-01"), ts(1), 10.0, 1L),
+      (2L, d("2024-01-01"), ts(2), 20.0, 2L),
+      (3L, d("2024-01-01"), ts(3), 30.0, 3L),
+      (9L, d("2024-01-02"), ts(4), 5.0, 4L)) // singleton date → z NULL
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val rows = Analytics.xsecZscore(p).collect()
+    val d1 = rows.filter(_.getDate(1).toString == "2024-01-01").map(_.getDouble(3))
+    assert(d1.toSeq === Seq(-1.0, 0.0, 1.0))
+    assert(rows.filter(_.getDate(1).toString == "2024-01-02").head.isNullAt(3))
+  }
+
+  test("beta: an asset moving 3x another has beta 1.5 vs their equal-weight market") {
+    // asset 1 rets: r, asset 2 rets: 3r → mkt = 2r; beta_1 = cov(r,2r)/var(2r) = 0.5
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val r1 = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
+    val v1 = series(r1, 100.0)
+    val v2 = series(r1.map(_ * 3), 100.0)
+    val p = (v1.zipWithIndex.map { case (v, i) => (1L, i) -> v } ++
+      v2.zipWithIndex.map { case (v, i) => (2L, i) -> v })
+      .map { case ((a, i), v) => (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.beta(p).collect()
+    val b1 = out.find(_.getLong(0) == 1L).get.getAs[Double]("beta")
+    val b2 = out.find(_.getLong(0) == 2L).get.getAs[Double]("beta")
+    assert(math.abs(b1 - 0.5) < 1e-4, s"beta1=$b1")
+    assert(math.abs(b2 - 1.5) < 1e-4, s"beta2=$b2")
+  }
 }

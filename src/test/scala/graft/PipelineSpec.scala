@@ -67,4 +67,67 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     assert(out.toSeq === Seq(1L, 5L))
   }
+
+  test("piiRedact scrubs planted emails, IPs and phone numbers with counts") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co today"),
+      (2L, "server at 192.168.1.254 and 10.0.0.1 responded"),
+      (3L, "call 555-867-5309 or 555 123 4567 now"),
+      (4L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.piiRedact(docs).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Long]("n_emails") === 2L)
+    assert(out(0).getAs[String]("redacted") === "contact <EMAIL> or <EMAIL> today")
+    assert(out(1).getAs[Long]("n_ips") === 2L)
+    assert(out(1).getAs[String]("redacted") === "server at <IP> and <IP> responded")
+    assert(out(2).getAs[Long]("n_phones") === 2L)
+    assert(out(2).getAs[String]("redacted") === "call <PHONE> or <PHONE> now")
+    assert(out(3).getAs[String]("redacted") === "no pii here at all")
+    assert(out(3).getAs[Long]("n_emails") + out(3).getAs[Long]("n_ips") +
+      out(3).getAs[Long]("n_phones") === 0L)
+  }
+
+  test("stratifiedSample is deterministic, per-lang rated, and rerun-stable") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Pipeline.stratifiedSample(docs).collect()
+    // membership replays the hash rule exactly
+    out.foreach { r =>
+      val (id, lang, bucket) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(bucket === math.floorMod(id * 2654435761L, 1000L))
+      assert(bucket < (if (lang == "en") 500 else 200))
+    }
+    // rates land near the target per stratum (hash-uniform)
+    val en = out.count(_.getString(1) == "en").toDouble / 500
+    val de = out.count(_.getString(1) == "de").toDouble / 500
+    assert(math.abs(en - 0.5) < 0.1, s"en rate $en")
+    assert(math.abs(de - 0.2) < 0.1, s"de rate $de")
+    // adding documents never reassigns existing ones
+    val again = Pipeline.stratifiedSample(docs.limit(100)).collect().map(_.getLong(0)).toSet
+    assert(again.subsetOf(out.map(_.getLong(0)).toSet ++ (100L until 1000L)))
+  }
+
+  test("lengthHistogram buckets cover every doc with consistent bounds") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Pipeline.lengthHistogram(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))
+      assert(lo >= b * 16 && hi < (b + 1) * 16 && lo <= hi)
+    }
+  }
+
+  test("tokenDfQuality: unique vocabulary scores mean_df 1, shared boilerplate higher") {
+    val docs = Seq(
+      (1L, "aardvark bungalow cataclysm"),   // tokens unique to doc 1
+      (2L, "common words here"),
+      (3L, "common words there"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.tokenDfQuality(docs).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Double]("mean_df") === 1.0)
+    assert(out(0).getAs[Long]("n_distinct_tokens") === 3L)
+    // docs 2/3 share "common"+"words" (df 2) plus one unique token (df 1) → (2+2+1)/3
+    assert(math.abs(out(1).getAs[Double]("mean_df") - 5.0 / 3) < 1e-6)
+    assert(math.abs(out(2).getAs[Double]("mean_df") - 5.0 / 3) < 1e-6)
+  }
 }
