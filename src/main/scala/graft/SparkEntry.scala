@@ -88,6 +88,10 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
         .orderBy(col("event_id"))
     }),
+    "asof_snapshot" -> ((s, dir) =>
+      AsOf.asOfSnapshot(Tables.panel(s, dir), "2024-01-20 12:00:00")),
+    "revision_diff" -> ((s, dir) =>
+      AsOf.revisionDiff(Tables.panel(s, dir), "2024-01-15 00:00:00", "2024-01-31 23:59:59")),
     // ── B. analytics ────────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.q1PricingSummary(Tables.lineitem(s, dir), "2000-12-01")),
@@ -160,6 +164,13 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L)
       Dedup.nearDupClusters(docs, pairs)
     }),
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L)
+      Dedup.dedupSurvivors(docs, pairs)
+    }),
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh" -> ((s, dir) =>
@@ -281,6 +292,37 @@ object SparkEntry {
       |    SELECT asset_id, date, value,
       |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
       |    FROM panel) t WHERE rn = 1)""".stripMargin
+
+  /** The near-dup connected-component CTE chain (shingle → jaccard →
+    * edges → recursive reachability). Shared by dedup_clusters and
+    * dedup_survivors; `reach(doc_id, r)` is the final CTE.
+    */
+  private val clustersCtes =
+    """WITH RECURSIVE sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+      |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+      |  FROM documents),
+      |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+      |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+      |  WHERE jaccard >= 0.3),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)""".stripMargin
 
   /** Daily simple returns CTE (use after `$dailyCte,`). */
   private val retsCte =
@@ -557,33 +599,14 @@ object SparkEntry {
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
-        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
-        |  FROM documents),
-        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
-        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
-        |  WHERE jaccard >= 0.3),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(doc_id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst)
-        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      s"""$clustersCtes
+         |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      s"""$clustersCtes,
+         |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT cluster_id AS doc_id, count(*) AS n_members
+         |FROM labels GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH t AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -802,6 +825,38 @@ object SparkEntry {
         |  SELECT doc_id, quality, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) rn
         |  FROM pass) t WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "asof_snapshot" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value FROM (
+         |  SELECT asset_id, date, ts, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel WHERE ts <= TIMESTAMP '2024-01-20 12:00:00') t
+         |WHERE rn = 1 ORDER BY asset_id, date""".stripMargin,
+    "revision_diff" ->
+      s"""$panelCte,
+         |s2 AS (SELECT asset_id, date, value FROM (
+         |  SELECT asset_id, date, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel WHERE ts <= TIMESTAMP '2024-01-31 23:59:59') t WHERE rn = 1),
+         |s1 AS (SELECT asset_id, date, value FROM (
+         |  SELECT asset_id, date, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t WHERE rn = 1)
+         |SELECT s2.asset_id, s2.date, s1.value AS value_t1, s2.value AS value_t2,
+         |       CASE WHEN s1.value IS NULL THEN 'added' ELSE 'revised' END AS change_type
+         |FROM s2 LEFT JOIN s1 ON s1.asset_id = s2.asset_id AND s1.date = s2.date
+         |WHERE s1.value IS NULL OR s1.value <> s2.value
+         |ORDER BY s2.asset_id, s2.date""".stripMargin,
+    "label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v
+        |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos))
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS mean_val,
+        |  round(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(27,15))) AS DOUBLE) / count(*)
+        |        - (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))
+        |          * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)), 6) AS var_val
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "rolling_vol" ->
       s"""$panelCte,
          |$dailyCte,

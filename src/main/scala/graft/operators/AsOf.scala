@@ -104,4 +104,41 @@ object AsOf {
       .filter(col("_side") === 1)
       .drop("_side", "_rv")
   }
+
+  /** A13 `asof_snapshot` — the full point-in-time cross-section: every
+    * (asset, date)'s value as it was KNOWN at `asOf`. Revisions after
+    * `asOf` are invisible; keys first observed after `asOf` are absent —
+    * the reference's query semantics (src/btree/file.rs:425) applied to
+    * the whole panel instead of one asset range. The `ts ≤ asOf` filter
+    * pushes into the scan (at rest on TickStore, row-group stats prune
+    * it); one shuffle on the natural key.
+    */
+  def asOfSnapshot(panel: DataFrame, asOf: String): DataFrame = {
+    val filtered = panel.filter(col("ts") <= lit(asOf).cast("timestamp"))
+    latestPerKey(filtered, Seq("asset_id", "date"))
+      .select(col("asset_id"), col("date"), col("ts"), col("value"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** A14 `revision_diff` — bitemporal audit between two knowledge
+    * times: for each (asset, date), the value known at `t1` vs at `t2`
+    * (t1 < t2), keeping only keys that APPEARED (no revision ≤ t1) or
+    * were REVISED (value changed) in between — "what did the vendor
+    * restate this week?".
+    *
+    * Single aggregation, no self-join: both cutoffs reduce in one pass
+    * via `max(struct(ts, seq, value))` — lexicographic struct max picks
+    * the max-(ts,seq) revision and carries its value, which IS the LWW
+    * winner (equivalent to the rank-1 window but map-side combinable).
+    */
+  def revisionDiff(panel: DataFrame, t1: String, t2: String): DataFrame =
+    panel.filter(col("ts") <= lit(t2).cast("timestamp"))
+      .groupBy(col("asset_id"), col("date"))
+      .agg(
+        max(when(col("ts") <= lit(t1).cast("timestamp"),
+          struct(col("ts"), col("seq"), col("value")))).getField("value").as("value_t1"),
+        max(struct(col("ts"), col("seq"), col("value"))).getField("value").as("value_t2"))
+      .filter(col("value_t1").isNull || col("value_t1") =!= col("value_t2"))
+      .withColumn("change_type", when(col("value_t1").isNull, "added").otherwise("revised"))
+      .orderBy(col("asset_id"), col("date"))
 }

@@ -190,6 +190,19 @@ object Dedup {
     result.orderBy(col("doc_id"))
   }
 
+  /** C23 `dedup_survivors` — the deduplicated corpus materialization:
+    * one representative (the cluster label = min doc_id) per near-dup
+    * cluster, with the cluster size kept as the audit column. This is
+    * the step that actually SHRINKS the corpus after [[nearDupClusters]]
+    * labels it; singletons survive with n_members = 1. Same scale shape
+    * as clusters plus one tiny aggregation on the label.
+    */
+  def dedupSurvivors(documents: DataFrame, pairs: DataFrame): DataFrame =
+    nearDupClusters(documents, pairs)
+      .groupBy(col("cluster_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("doc_id"))
+
   /** C4 `ngram_jaccard` — n-gram shingle Jaccard pairs ≥ threshold.
     * Candidates via the inverted shingle index (explode + equality
     * join); |∩| from the join, |∪| from per-doc set sizes. At corpus

@@ -198,4 +198,27 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** C24 `label_centroids` — per-label centroid + per-dimension variance
+    * of the embedding space (class prototypes for classification /
+    * outlier screens). Means are decimal-exact sums divided in double
+    * (order-insensitive — the IVF training trick, so DuckDB replays
+    * bit-identically); x² is rounded to 12 decimals BEFORE the decimal
+    * cast so both engines' double→decimal conversions agree. One
+    * posexplode + one (label, pos)-keyed aggregation — fully map-side
+    * combinable, no per-label data skew (dims spread the key space).
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 15)
+    embeddings
+      .select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("col").cast(dec)).cast("double") / count(lit(1))).as("m"),
+        (sum(round(col("col") * col("col"), 12).cast(dec)).cast("double") / count(lit(1))).as("ex2"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        round(col("m"), 6).as("mean_val"),
+        round(col("ex2") - col("m") * col("m"), 6).as("var_val"))
+      .orderBy(col("label"), col("pos"))
+  }
 }

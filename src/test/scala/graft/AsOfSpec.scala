@@ -77,4 +77,41 @@ class AsOfSpec extends SparkSpec {
     // left@20 sees right@15; user 2 has no rights → null.
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
+
+  test("asof_snapshot shows the panel as known at T") {
+    // at ts=12: asset 0 Jan=2.0 (ts10), Feb=11.0 (ts5), Mar=110.0 (ts10);
+    // asset 1 Feb=21.0, Mar=220.0, Apr=2100.0 (all their ts≤12 winners)
+    val out = AsOf.asOfSnapshot(panel, ts(12).toString)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, "2020-01-31", 2.0), (0L, "2020-02-29", 11.0), (0L, "2020-03-31", 110.0),
+      (1L, "2020-02-29", 21.0), (1L, "2020-03-31", 220.0), (1L, "2020-04-30", 2100.0)))
+    // keys first observed after T are absent
+    val early = AsOf.asOfSnapshot(panel, ts(2).toString).collect()
+    assert(early.map(r => (r.getLong(0), r.getDate(1).toString)).toSeq ===
+      Seq((0L, "2020-01-31")))
+  }
+
+  test("revision_diff reports keys added and revised between two knowledge times") {
+    // t1=12, t2=22: asset0 Jan 2.0→3.0 (revised@20), Feb 11.0→12.0
+    // (revised@15), Mar 110.0→120.0; asset1 Feb 21.0→22.0, Mar
+    // 220.0→220.0 (ts20 SAME value → no diff), Apr 2100.0→2200.0
+    val out = AsOf.revisionDiff(panel, ts(12).toString, ts(22).toString)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDouble(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (0L, "2020-01-31", 3.0, "revised"),
+      (0L, "2020-02-29", 12.0, "revised"),
+      (0L, "2020-03-31", 120.0, "revised"),
+      (1L, "2020-02-29", 22.0, "revised"),
+      (1L, "2020-04-30", 2200.0, "revised")))
+    // a key born between t1 and t2 reports 'added'
+    val withNew = panel.unionByName(
+      Seq((5L, d("2020-05-31"), ts(18), 9.0, 99L))
+        .toDF("asset_id", "date", "ts", "value", "seq"))
+    val added = AsOf.revisionDiff(withNew, ts(12).toString, ts(22).toString)
+      .filter(col("asset_id") === 5L).collect()
+    assert(added.length === 1 && added(0).getString(4) === "added" &&
+      added(0).isNullAt(2))
+  }
 }

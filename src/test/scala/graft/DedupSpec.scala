@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((2L, 3L)))
   }
 
+  test("dedupSurvivors keeps one representative per cluster with its size") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).map((_, "t")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.dedupSurvivors(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // {1,2,3} → survivor 1 (size 3); 4 and 9 are singletons
+    assert(out.toSeq === Seq((1L, 3L), (4L, 1L), (9L, 1L)))
+  }
+
   test("near-dup clusters: transitive chain collapses to the min id") {
     // chain: 0~1 (append), 1~5 (append to nearDup) → {0,1,4,5} one cluster
     val chained = docs.union(Seq((5L, nearDup + " more")).toDF("doc_id", "text"))

@@ -68,4 +68,18 @@ class SimilaritySpec extends SparkSpec {
       .filter($"q_id" === 0).select("vec_id").collect().map(_.getLong(0))
     assert(out.contains(4L))
   }
+
+  test("labelCentroids computes per-label per-dim mean and variance") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(3.0f, 0.0f), 1), // label 1: mean (2, 0), var (1, 0)
+      (2L, Array(5.0f, 5.0f), 2))                             // label 2: mean (5, 5), var (0, 0)
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(labeled).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out((1, 0)) === ((2L, 2.0, 1.0)))
+    assert(out((1, 1)) === ((2L, 0.0, 0.0)))
+    assert(out((2, 0)) === ((1L, 5.0, 0.0)))
+    assert(out((2, 1)) === ((1L, 5.0, 0.0)))
+  }
 }
