@@ -36,6 +36,15 @@ object Bench {
       d50.select(graft.functions.TextFns.textStats(
         org.apache.spark.sql.functions.col("text")))
         .write.format("noop").mode("overwrite").save()
+      // JSON-parse and decimal-aggregate pipelines: their codegen +
+      // Jackson/decimal JIT otherwise bills multi-second one-time cost
+      // to whichever of json_props / q1_pricing_summary runs first.
+      val e50 = Tables.events(spark, sfDir).limit(50)
+      graft.operators.Analytics.jsonProps(e50)
+        .write.format("noop").mode("overwrite").save()
+      val l50 = Tables.lineitem(spark, sfDir).limit(50)
+      graft.operators.Analytics.q1PricingSummary(l50, "2000-12-01")
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
 
     // Optional args = query-name filter (profiling single queries).

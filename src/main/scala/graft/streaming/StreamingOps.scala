@@ -194,6 +194,44 @@ object StreamingOps {
       }
   }
 
+  case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
+  case class PackState(pack_id: Long, used: Long)
+  case class Packed(doc_id: Long, shard: Int, n_tokens: Long, pack_id: Long)
+
+  /** D8 — streaming sequence packing: documents are greedily packed
+    * into fixed-token-budget training batches per shard as they arrive
+    * (the continuous face of batch `doc_pack`). State is ONE
+    * (pack_id, used) pair per shard — O(shards), bounded by
+    * construction, no timeout needed.
+    *
+    * Contract differences vs batch `doc_pack` (deliberate): the batch
+    * op shards at fixed cumulative-token offsets (a doc may straddle a
+    * boundary — pure cumsum division, embarrassingly parallel); the
+    * stream packs TRUE GREEDY — a doc never splits, a pack closes when
+    * the next doc would overflow it, and an oversized doc (> budget)
+    * occupies a pack alone. Arrival order packs first (within a
+    * micro-batch: doc_id order, deterministic).
+    */
+  def packStream(docs: Dataset[PackDoc], budget: Long): Dataset[Packed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, Packed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            if (st.used > 0 && st.used + d.n_tokens > budget)
+              st = PackState(st.pack_id + 1, 0L)
+            st = PackState(st.pack_id, st.used + d.n_tokens)
+            Packed(d.doc_id, shard, d.n_tokens, st.pack_id)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** D7 — stream-STREAM as-of join: enrich a live tick stream with the
     * latest reference value (another stream) at or before each tick's
     * event time, looking back at most `maxLag`.

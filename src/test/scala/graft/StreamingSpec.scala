@@ -219,4 +219,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set((1L, 2L, 10.0, 30.0), (1L, 1L, 70.0, 70.0)))
     } finally q.stop()
   }
+
+  test("streaming packer fills token budgets greedily across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{PackDoc, Packed}
+    val input = MemoryStream[PackDoc]
+    val q = StreamingOps.packStream(input.toDS(), budget = 10)
+      .writeStream.format("memory").queryName("pack_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(PackDoc(1L, 0, 6L), PackDoc(2L, 0, 6L), PackDoc(3L, 0, 4L))
+      q.processAllAvailable()
+      // greedy: doc1 → pack0 (6), doc2 overflows → pack1 (6), doc3 fits pack1 (10)
+      val b1 = spark.table("pack_sink").as[Packed].collect().map(p => p.doc_id -> p.pack_id).toMap
+      assert(b1 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+
+      // state carries across batches: pack1 is exactly full, next doc opens pack2;
+      // an oversized doc occupies a pack alone; other shards pack independently
+      input.addData(PackDoc(4L, 0, 3L), PackDoc(5L, 0, 25L), PackDoc(6L, 1, 2L))
+      q.processAllAvailable()
+      val all = spark.table("pack_sink").as[Packed].collect()
+      val byDoc = all.map(p => p.doc_id -> p.pack_id).toMap
+      assert(byDoc(4L) === 2L && byDoc(5L) === 3L && byDoc(6L) === 0L)
+      // invariant: no multi-doc pack exceeds the budget
+      all.filter(_.shard == 0).groupBy(_.pack_id).foreach { case (_, docs) =>
+        assert(docs.map(_.n_tokens).sum <= 10 || docs.length === 1)
+      }
+    } finally q.stop()
+  }
 }
