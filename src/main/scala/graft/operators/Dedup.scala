@@ -225,25 +225,25 @@ object Dedup {
     // (GraftConf.tune), not here, so the operator has no hidden
     // session-wide side effects. Measured 6.6 s → 4.1 s on the sf0.1
     // pair build.
-    // Inverted index: one shuffle builds posting lists per shingle; the
-    // df cap (stop-shingle removal) bounds each list.
+    // Inverted index: one shuffle on the shingle; the df cap
+    // (stop-shingle removal) bounds the worst posting list.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
-    // The posting table feeds THREE consumers (pair generation + both
-    // size lookups). AQE's ReusedExchange dedups only the shuffle — the
-    // final collect_list aggregation and the explode above it would
-    // still run per consumer — so cache the (small, df-capped) posting
-    // lists themselves: O(distinct shingles) rows, each ≤ maxDf ids.
-    // Eager localCheckpoint, not persist(): a persist here has no safe
-    // unpersist point (the operator returns a lazy plan), so each call
-    // would leak a CacheManager entry for the session's lifetime.
-    // Checkpoint blocks are owned by the materialized RDD and reclaimed
-    // by the ContextCleaner once the returned plan is unreferenced.
-    val posts = sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .localCheckpoint(true)
-    val shf = posts.select(explode(col("ids")).as("doc_id"), col("s"))
-    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // The df cap comes from a COUNT WINDOW over the shingle, not a
+    // posting-list build: every downstream consumer (pair generation,
+    // both size lookups) then shares the single hashpartitioning(s)
+    // exchange via ReusedExchange — no multi-consumer cache, no
+    // persist/checkpoint lifecycle to manage (a persist here would
+    // either leak or force an extra materialization job).
+    val wS = Window.partitionBy(col("s"))
+    val sh2 = sh.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("s"))
+    val shf = sh2
+    val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Posting lists (only the paths that need the array form build it;
+    // the groupBy rides the window's hashpartitioning(s) — no exchange).
+    lazy val posts = sh2.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
     val inter =
       if (!prefixFilter) {
         // candidate pairs straight from posting lists (SortedPairs
