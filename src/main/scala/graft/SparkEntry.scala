@@ -293,6 +293,16 @@ object SparkEntry {
       |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
       |    FROM panel) t WHERE rn = 1)""".stripMargin
 
+  /** Polynomial rolling hash of a string column `s` — DuckDB replay of
+    * [[graft.expressions.PortableHash.strHash]]: h = (h·31 + cp) mod
+    * 2³¹−1, folded left over codepoints.
+    */
+  private val shingleHashSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, len(s) + 1),
+      |             i -> CAST(unicode(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |           (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
   /** The near-dup connected-component CTE chain (shingle → jaccard →
     * edges → recursive reachability). Shared by dedup_clusters and
     * dedup_survivors; `reach(doc_id, r)` is the final CTE.
@@ -333,12 +343,12 @@ object SparkEntry {
       |    FROM daily) t WHERE ret IS NOT NULL)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops whose outputs depend on
-    * engine-internal hashing/sketching DuckDB cannot replicate
-    * (dedup_minhash, dedup_simhash, ann_lsh: xxhash64-derived;
-    * sketches: HLL++/t-digest internals) → rows-only check; those have
-    * property-based ScalaTest specs instead (recall/threshold
-    * invariants, hamming bounds, sketch-vs-exact error bounds).
+    * the same parquet tables. The signature kernels (minhash, simhash,
+    * LSH) hash with the integer-portable [[graft.expressions
+    * .PortableHash]] family, so even those replay exactly. The one
+    * remaining rows-only check is `sketches` (HLL++/t-digest internals
+    * are engine-specific by nature); it carries an accuracy-bound spec
+    * instead.
     */
   def oracleSql: Map[String, String] = Map(
     "asof_point" ->
@@ -825,6 +835,64 @@ object SparkEntry {
         |  SELECT doc_id, quality, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) rn
         |  FROM pass) t WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingleHashSql AS h
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+         |                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+         |    FROM documents) z),
+         |mins AS (
+         |  SELECT doc_id, j,
+         |         min((h * (((j + 1) * 2654435761) % 2147483647)
+         |              + (((j + 1) * 1013904223) % 2147483647)) % 2147483647) AS m
+         |  FROM sh CROSS JOIN range(64) r(j)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, list_slice(sig, CAST(b * 4 + 1 AS INTEGER), CAST(b * 4 + 4 AS INTEGER)) AS key
+         |  FROM sig CROSS JOIN range(16) r(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents) z
+         |  WHERE t <> ''),
+         |th AS (
+         |  SELECT doc_id, ${shingleHashSql.replace("len(s)", "len(t)").replace("substr(s,", "substr(t,")} AS h
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h * (((j + 1) * 2654435761) % 2147483647)
+         |                        + (((j + 1) * 1013904223) % 2147483647)) % 2147483647
+         |                       > 1073741823 THEN 1 ELSE -1 END) AS v
+         |  FROM th CROSS JOIN range(64) r(j)
+         |  GROUP BY doc_id, j),
+         |signs AS (SELECT doc_id, j, v > 0 AS bit FROM votes)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |FROM signs a JOIN signs b ON a.j = b.j AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(range(1, len(v) + 1),
+        |             i -> v[i] * (CASE WHEN (i * 2654435761 + (j + 1) * 1013904223) % 2147483647 % 2 = 0
+        |                               THEN 1.0 ELSE -1.0 END))),
+        |           (a, x) -> a + x) AS s
+        |  FROM v CROSS JOIN range(16) r(j)),
+        |b AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT vec_id, bucket FROM b ORDER BY vec_id""".stripMargin,
     "asof_snapshot" ->
       s"""$panelCte
          |SELECT asset_id, date, ts, value FROM (

@@ -159,10 +159,39 @@ case class ShingleSet(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Engine-portable integer hash family shared by the signature kernels.
+  *
+  * Everything is plain 64-bit integer arithmetic over the Mersenne
+  * prime p = 2³¹−1 with operands bounded so no product exceeds 2⁶² —
+  * identical (and overflow-free) in any engine with 64-bit ints, which
+  * is what lets the DuckDB oracle REPLAY minhash/simhash/LSH outputs
+  * exactly (xxhash64 has no DuckDB counterpart, so the previous kernels
+  * were only rows-only checkable). Contract: characters are UTF-16 code
+  * units == codepoints (BMP text; the corpus is ASCII/BMP).
+  */
+object PortableHash {
+  val P: Long = 2147483647L // 2^31 − 1
+
+  /** Polynomial rolling hash of s[from, until): h = (h·31 + c) mod p. */
+  def strHash(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  def a(j: Int): Long = ((j + 1).toLong * 2654435761L) % P
+  def b(j: Int): Long = ((j + 1).toLong * 1013904223L) % P
+
+  /** j-th affine remix: (h·a_j + b_j) mod p; h,a_j < 2³¹ → no overflow. */
+  def mix(h: Long, j: Int): Long = (h * a(j) + b(j)) % P
+}
+
 /** MinHash signature straight from text: slides a k-char window, hashes
-  * each shingle once (XXH64), then derives the `numHashes` permutation
-  * values as XXH64(base, seed=i) — one long-hash each, not a re-hash of
-  * the string. Duplicate shingles need no dedup (min is idempotent).
+  * each shingle once (polynomial mod 2³¹−1), then derives the
+  * `numHashes` permutation values by affine remix ([[PortableHash]] —
+  * integer-portable, so the DuckDB oracle replays the signature
+  * exactly). Duplicate shingles need no dedup (min is idempotent).
   * Output: array<long> of length `numHashes`.
   */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
@@ -178,11 +207,10 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     val n = math.max(s.length - (k - 1), 1)
     var i = 0
     while (i < n) {
-      val sh = s.substring(i, math.min(i + k, s.length))
-      val base = XXH64.hashUTF8String(UTF8String.fromString(sh), 42L)
+      val base = PortableHash.strHash(s, i, math.min(i + k, s.length))
       var j = 0
       while (j < numHashes) {
-        val h = XXH64.hashLong(base, j.toLong)
+        val h = PortableHash.mix(base, j)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -202,8 +230,11 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
 }
 
 /** 64-bit SimHash of the whitespace-token multiset of lowercased text.
-  * Per token: one XXH64; each hash bit votes ±1; the sign vector is the
-  * fingerprint (bit j set ⟺ votes[j] > 0). Output: long.
+  * Per token: one polynomial hash; bit j's vote is the sign of the j-th
+  * affine remix relative to p/2 ([[PortableHash]] — integer-portable,
+  * so the DuckDB oracle replays per-bit votes and pair hamming
+  * exactly); the sign vector is the fingerprint (bit j set ⟺
+  * votes[j] > 0). Output: long.
   */
 case class SimHash64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -212,8 +243,10 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  private val half = PortableHash.P / 2
+
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](64)
     var start = -1
     var i = 0
@@ -222,10 +255,10 @@ case class SimHash64(child: Expression)
       val isWs = i == len || Character.isWhitespace(s.charAt(i))
       if (!isWs && start < 0) start = i
       else if (isWs && start >= 0) {
-        val h = XXH64.hashUTF8String(UTF8String.fromString(s.substring(start, i)), 42L)
+        val h = PortableHash.strHash(s, start, i)
         var j = 0
         while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          if (PortableHash.mix(h, j) > half) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
         start = -1
@@ -253,8 +286,11 @@ case class SimHash64(child: Expression)
 
 /** Random-hyperplane LSH bucket of an array<double>: `planes` sign bits
   * packed into a long (bit j = sign of the projection onto plane j).
-  * Plane components are ±1 derived from XXH64(j·2³² | i) — the whole
-  * family is deterministic, no plane matrix to broadcast. Output: long.
+  * Plane components are ±1 from the parity of an integer-portable
+  * linear hash of (plane, dim), and each projection is a SEQUENTIAL
+  * fold in dimension order — the DuckDB oracle replays the identical
+  * add sequence, so sign bits (and the packed bucket) match exactly.
+  * No plane matrix to broadcast. Output: long.
   */
 case class LshBucket(child: Expression, planes: Int)
   extends UnaryExpression with ExpectsInputTypes {
@@ -272,7 +308,8 @@ case class LshBucket(child: Expression, planes: Int)
       var s = 0.0
       var i = 0
       while (i < n) {
-        val sign = if ((XXH64.hashLong((j.toLong << 32) | i.toLong, 42L) & 1L) == 0L) 1.0 else -1.0
+        val m = ((i + 1).toLong * 2654435761L + (j + 1).toLong * 1013904223L) % PortableHash.P
+        val sign = if (m % 2 == 0) 1.0 else -1.0
         s += v.getDouble(i) * sign
         i += 1
       }

@@ -39,7 +39,8 @@ object Dedup {
     * on (band_id, bucket_hash): docs collide only if one band matches
     * exactly, giving the classic S-curve selectivity; nothing here is
     * O(n²). Signatures come from the [[graft.expressions.MinHashSig]]
-    * kernel (tight loop inside codegen, one string hash per shingle).
+    * kernel (tight loop inside codegen, one string hash per shingle;
+    * integer-portable hashing, so the DuckDB oracle replays the bands).
     */
   def minhashLshPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
@@ -89,7 +90,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
