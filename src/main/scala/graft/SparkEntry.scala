@@ -134,6 +134,8 @@ object SparkEntry {
       Analytics.donchian(Tables.panel(s, dir))),
     "json_props" -> ((s, dir) =>
       Analytics.jsonProps(Tables.events(s, dir))),
+    "twap" -> ((s, dir) =>
+      Analytics.twap(Tables.panel(s, dir))),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Tables.panel(s, dir))),
     "bollinger" -> ((s, dir) =>
@@ -925,6 +927,24 @@ object SparkEntry {
         |        - (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))
         |          * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)), 6) AS var_val
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "twap" ->
+      s"""$panelCte,
+         |g AS (
+         |  SELECT asset_id, date,
+         |         list(epoch_us(ts) ORDER BY ts, seq) AS tus,
+         |         list(value ORDER BY ts, seq) AS vs
+         |  FROM panel GROUP BY asset_id, date),
+         |f AS (
+         |  SELECT asset_id, date, CAST(len(vs) AS BIGINT) AS n_ticks,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, len(vs)), i -> (tus[i + 1] - tus[i]) * vs[i])),
+         |           (a, x) -> a + x) AS num,
+         |         CAST(tus[len(vs)] - tus[1] AS DOUBLE) AS den,
+         |         vs[len(vs)] AS last_v
+         |  FROM g)
+         |SELECT asset_id, date, n_ticks,
+         |       round(CASE WHEN den = 0 THEN last_v ELSE num / den END, 6) AS twap
+         |FROM f ORDER BY asset_id, date""".stripMargin,
     "rolling_vol" ->
       s"""$panelCte,
          |$dailyCte,

@@ -416,6 +416,36 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B26 `twap` — time-weighted average price per (asset, day): each
+    * tick's value weighted by the time until the NEXT tick, over the
+    * day's span. The day's ticks come as (ts,seq)-sorted parallel
+    * arrays (`array_sort(collect_list(struct(...)))` — deterministic
+    * without a window), weights are integer microsecond deltas, and the
+    * weighted sum is a sequential fold → bit-exact in both engines.
+    * Single-tick days (span 0) degrade to the tick's value. One shuffle
+    * on the natural key; arrays are day-sized (bounded).
+    */
+  def twap(panel: DataFrame): DataFrame = {
+    val n = size(col("vs"))
+    val deltas = zip_with(
+      slice(col("tus"), lit(1), n - 1), slice(col("tus"), lit(2), n - 1), (a, b) => b - a)
+    val num = aggregate(
+      zip_with(deltas, slice(col("vs"), lit(1), n - 1), (d, v) => d * v),
+      lit(0.0), (acc, x) => acc + x)
+    val den = (element_at(col("tus"), n) - element_at(col("tus"), 1)).cast("double")
+    panel
+      .groupBy(col("asset_id"), col("date"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("seq"), col("value")))).as("h"))
+      .withColumn("tus", transform(col("h"), s => s("t")))
+      .withColumn("vs", transform(col("h"), s => s("value")))
+      .withColumn("n_ticks", n.cast("long"))
+      .withColumn("twap", round(
+        when(den === 0, element_at(col("vs"), n)).otherwise(num / den), 6))
+      .select(col("asset_id"), col("date"), col("n_ticks"), col("twap"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** Sequential left fold `Σ f(x)` over a frame-ordered array — the
     * ewma bit-exactness trick generalized: both engines run the
     * identical add sequence over the identical element order, so plain

@@ -199,6 +199,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("count_order") === 2L)
   }
 
+  test("twap weights each tick by time-to-next over the day span") {
+    val p = Seq(
+      // asset 1: ticks at t=0s (v=10) for 30s, t=30s (v=20) for 70s, t=100s (last, weight 0)
+      (1L, d("2024-01-01"), ts(0), 10.0, 1L),
+      (1L, d("2024-01-01"), ts(30), 20.0, 2L),
+      (1L, d("2024-01-01"), ts(100), 99.0, 3L),
+      // asset 2: single tick → twap = value
+      (2L, d("2024-01-01"), ts(5), 7.0, 4L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.twap(p).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    // (10*30 + 20*70) / 100 = 17.0
+    assert(out === Seq((1L, 3L, 17.0), (2L, 1L, 7.0)))
+  }
+
   // daily closes 10, 20, 10, 20, … → returns alternate +1.0, -0.5
   private lazy val sawtooth: DataFrame = (1 to 9).map { i =>
     (1L, d(f"2024-01-0$i"), ts(i * 100), if (i % 2 == 1) 10.0 else 20.0, i.toLong)
