@@ -138,6 +138,39 @@ object TickStore {
     fs.delete(tmp, true)
   }
 
+  /** Append a (small) micro-batch to the store: same layout as
+    * [[write]], dynamic partition overwrite disabled — new files land
+    * beside existing ones in each touched month. Readers see
+    * revision-duplicates until [[compact]] runs, which is exactly the
+    * log-structured contract (as-of/LWW semantics are unaffected:
+    * later (ts, seq) still wins).
+    */
+  def append(batch: DataFrame, path: String, filesPerPartition: Int = 1): Unit =
+    batch
+      .withColumn("date_month", date_format(col("date"), "yyyy-MM"))
+      .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
+      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      .write
+      .mode("append")
+      .partitionBy("date_month")
+      .parquet(path)
+
+  /** D9 — streaming ingestion into the store: each micro-batch appends
+    * month-partitioned key-sorted files ([[append]]), making the store
+    * the continuously-maintained system of record; background
+    * [[compact]] folds the accumulated revisions. Exactly-once note:
+    * parquet append is at-least-once under retries — duplicate rows
+    * carry identical (asset, date, ts, seq), so LWW reads are
+    * unaffected and compaction collapses them.
+    */
+  def streamingSink(ticks: DataFrame, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
+      .start()
+
   /** Date-range scan with the month partition predicate derived from the
     * range — the inner-node traversal analog: directories outside
     * [from, to] months are never opened (`PartitionFilters` in the

@@ -181,6 +181,60 @@ class SourcesSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("streaming sink appends micro-batches into the TickStore layout") {
+    import java.sql.{Date, Timestamp}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tsink").toString
+    val input = MemoryStream[(Long, Date, Timestamp, Double, Long)]
+    val ticks = input.toDS().toDF("asset_id", "date", "ts", "value", "seq")
+    val q = TickStore.streamingSink(ticks, dir + "/store", dir + "/ckpt")
+    try {
+      input.addData((1L, Date.valueOf("2020-01-10"), new Timestamp(10000L), 1.0, 1L))
+      q.processAllAvailable()
+      input.addData(
+        (1L, Date.valueOf("2020-01-10"), new Timestamp(20000L), 2.0, 2L), // revision
+        (2L, Date.valueOf("2020-02-05"), new Timestamp(30000L), 3.0, 3L)) // new month
+      q.processAllAvailable()
+      val back = TickStore.read(spark, dir + "/store")
+      assert(back.count() === 3)
+      // LWW over the appended revisions picks the newest
+      val lww = graft.operators.KeyValue.upsertLww(back)
+        .filter(col("asset_id") === 1L).collect()
+      assert(lww.length === 1 && lww(0).getAs[Double]("value") === 2.0)
+      // both month directories exist (streaming writes stay partitioned)
+      val months = new java.io.File(dir + "/store").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(months.toSeq === Seq("date_month=2020-01", "date_month=2020-02"))
+      // compaction folds the revision history at rest
+      TickStore.compact(spark, dir + "/store")
+      assert(TickStore.read(spark, dir + "/store").count() === 2)
+    } finally q.stop()
+  }
+
+  test("JSONL corpus round-trips and quarantines corrupt lines") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val dir = Files.createTempDirectory("jsonl").toString
+    graft.sources.CorpusJsonl.write(docs.select("doc_id", "text", "lang", "source"), dir + "/corpus")
+    val back = graft.sources.CorpusJsonl.clean(
+      graft.sources.CorpusJsonl.read(spark, dir + "/corpus"))
+    assert(back.count() === 20)
+    val a = docs.select("doc_id", "text").orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.select("doc_id", "text").orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === b.toSeq)
+    // corrupt line lands in quarantine, not as a job failure
+    val f = new java.io.File(dir + "/mixed.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}
+        |this is not json
+        |""".stripMargin)
+    val mixed = graft.sources.CorpusJsonl.read(spark, f.getAbsolutePath)
+    assert(graft.sources.CorpusJsonl.clean(mixed).count() === 1)
+    assert(graft.sources.CorpusJsonl.corruptRecords(mixed).count() === 1)
+  }
+
   test("multimodal decode pipeline emits deterministic features per record") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
