@@ -88,6 +88,45 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.exactDedup(docs).count() === 4)
   }
 
+  test("round-3 series operators return empty/sane on degenerate panels") {
+    assert(Analytics.rollingVol(emptyPanel).count() === 0)
+    assert(Analytics.bollinger(emptyPanel).count() === 0)
+    assert(Analytics.rsi(emptyPanel).count() === 0)
+    assert(Analytics.xsecZscore(emptyPanel).count() === 0)
+    assert(Analytics.beta(emptyPanel).count() === 0)
+    assert(Analytics.twap(emptyPanel).count() === 0)
+    assert(AsOf.asOfSnapshot(emptyPanel, "2024-01-01 00:00:00").count() === 0)
+    assert(AsOf.revisionDiff(emptyPanel, "2024-01-01 00:00:00", "2024-02-01 00:00:00").count() === 0)
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    // single row: no returns → vol/rsi empty; bands need 2 rows; twap = value
+    assert(Analytics.rollingVol(p).count() === 0)
+    assert(Analytics.rsi(p).count() === 0)
+    assert(Analytics.bollinger(p).count() === 0)
+    assert(Analytics.beta(p).count() === 0)
+    val z = Analytics.xsecZscore(p).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("z"))) // singleton cross-section
+    assert(Analytics.twap(p).collect()(0).getAs[Double]("twap") === 5.0)
+    // same-ts ticks (span 0) fall back to the LWW winner, no /0 error
+    val tied = Seq(
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L),
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 9.0, 2L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.twap(tied).collect()(0).getAs[Double]("twap") === 9.0)
+  }
+
+  test("round-3 pipeline operators handle degenerate documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "中文 文本")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("zz"))
+    assert(Pipeline.piiRedact(docs).count() === 3)
+    // unknown lang falls to the default per-mille rate
+    assert(Pipeline.stratifiedSample(docs).collect().forall(_.getLong(2) < 200))
+    assert(Pipeline.lengthHistogram(docs).count() >= 1)
+    // blank docs have no tokens → absent from df-quality output
+    val q = Pipeline.tokenDfQuality(docs)
+    assert(q.count() === 1 && q.collect()(0).getLong(0) === 3L)
+  }
+
   test("similarity operators tolerate zero vectors") {
     val emb = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
