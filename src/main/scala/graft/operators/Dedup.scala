@@ -239,12 +239,14 @@ object Dedup {
     val wS = Window.partitionBy(col("s"))
     val sh2 = sh.withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("s"))
-    val shf = sh2
+    val shf = sh2.select(col("doc_id"), col("s"))
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // Posting lists (only the paths that need the array form build it;
-    // the groupBy rides the window's hashpartitioning(s) — no exchange).
-    lazy val posts = sh2.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
+    // Posting lists — built ONLY over shingles shared by ≥ 2 docs: a
+    // df=1 shingle (the long tail of any corpus) contributes to sizes
+    // but can never produce a pair, so it never enters the aggregate.
+    // The groupBy rides the window's hashpartitioning(s) — no exchange.
+    lazy val posts = sh2.filter(col("df") >= 2)
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
     val inter =
       if (!prefixFilter) {
         // candidate pairs straight from posting lists (SortedPairs
@@ -260,9 +262,8 @@ object Dedup {
         // candidates come from the prefix⨝prefix join only (rare
         // shingles first → tiny posting lists), then the true
         // intersection is counted just for candidates.
-        val dfCounts = posts.select(col("s"), size(col("ids")).as("df"))
         val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-        val ranked = shf.join(dfCounts, Seq("s"))
+        val ranked = sh2
           .withColumn("rank", row_number().over(rankW))
           .join(sizes, Seq("doc_id"))
           .withColumn("prefix_len",
