@@ -136,6 +136,8 @@ object SparkEntry {
       Analytics.jsonProps(Tables.events(s, dir))),
     "twap" -> ((s, dir) =>
       Analytics.twap(Tables.panel(s, dir))),
+    "macd" -> ((s, dir) =>
+      Analytics.macd(Tables.panel(s, dir))),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Tables.panel(s, dir))),
     "bollinger" -> ((s, dir) =>
@@ -945,6 +947,34 @@ object SparkEntry {
          |SELECT asset_id, date, n_ticks,
          |       round(CASE WHEN den = 0 THEN last_v ELSE num / den END, 6) AS twap
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "macd" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 119 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |m AS (
+         |  SELECT asset_id, date, value,
+         |    round(
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 13.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 13.0) + 1.0)
+         |    - list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 27.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 27.0) + 1.0), 6) AS macd
+         |  FROM f),
+         |s AS (
+         |  SELECT asset_id, date, value, macd,
+         |         list(macd) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 35 PRECEDING AND CURRENT ROW) AS sarr
+         |  FROM m),
+         |g AS (
+         |  SELECT asset_id, date, value, macd,
+         |    round(list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + x) /
+         |          list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + 1.0), 6) AS signal
+         |  FROM s)
+         |SELECT asset_id, date, value, macd, signal, round(macd - signal, 6) AS hist
+         |FROM g ORDER BY asset_id, date""".stripMargin,
     "rolling_vol" ->
       s"""$panelCte,
          |$dailyCte,

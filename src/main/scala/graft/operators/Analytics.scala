@@ -543,6 +543,37 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B27 `macd` — moving-average convergence/divergence on the LWW
+    * daily close: EW(fast) − EW(slow), plus the EW(signal) of the MACD
+    * line and the histogram. All four EW series are span-bounded Horner
+    * folds ([[ewma]]'s recipe): the MACD line folds once over the raw
+    * value frame with weights w_f/w_s, and the signal folds over the
+    * frame of ROUNDED macd values (deterministic inputs → deterministic
+    * fold, replayed verbatim by the oracle). One shuffle on asset_id
+    * shared by every window.
+    */
+  def macd(panel: DataFrame, fast: Int = 12, slow: Int = 26, signal: Int = 9,
+           span: Int = 120): DataFrame = {
+    def w(n: Int): Double = 1.0 - 2.0 / (n + 1.0)
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    def ew(arr: Column, weight: Double): Column =
+      aggregate(arr, lit(0.0), (a, x) => a * lit(weight) + x) /
+        aggregate(arr, lit(0.0), (a, _) => a * lit(weight) + lit(1.0))
+    val sigFrame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(signal * 4 - 1), Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("macd", round(ew(col("arr"), w(fast)) - ew(col("arr"), w(slow)), 6))
+      .withColumn("sarr", collect_list(col("macd")).over(sigFrame))
+      .withColumn("signal", round(ew(col("sarr"), w(signal)), 6))
+      .withColumn("hist", round(col("macd") - col("signal"), 6))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("macd"), col("signal"), col("hist"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B24 `xsec_zscore` — cross-sectional standardization per effective
     * date: z = (v − μ_date)/σ_date across assets. Per-date stats are
     * folded ONCE per date over the asset_id-ordered array

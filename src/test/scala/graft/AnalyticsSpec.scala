@@ -199,6 +199,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("count_order") === 2L)
   }
 
+  test("macd: flat series gives zero lines; trending series has positive macd") {
+    val const = (1 to 10).map(i => (1L, d(f"2024-01-${i}%02d"), ts(i), 50.0, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    Analytics.macd(const).collect().foreach { r =>
+      assert(r.getAs[Double]("macd") === 0.0)
+      assert(r.getAs[Double]("signal") === 0.0)
+      assert(r.getAs[Double]("hist") === 0.0)
+    }
+    // steadily rising close → fast EW > slow EW → macd > 0 (after warmup)
+    val up = (1 to 30).map(i => (1L, d(f"2024-01-${i}%02d"), ts(i), 100.0 + i * 2, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val tail = Analytics.macd(up).orderBy("date").collect().drop(5)
+    assert(tail.forall(_.getAs[Double]("macd") > 0.0))
+  }
+
   test("twap weights each tick by time-to-next over the day span") {
     val p = Seq(
       // asset 1: ticks at t=0s (v=10) for 30s, t=30s (v=20) for 70s, t=100s (last, weight 0)

@@ -235,6 +235,31 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.CorpusJsonl.corruptRecords(mixed).count() === 1)
   }
 
+  test("month-scoped scan reads ONLY the target month's files (numFiles metric)") {
+    import java.sql.{Date, Timestamp}
+    // 3 months × 2 files each
+    val panel = (1 to 6).map { i =>
+      (i.toLong, Date.valueOf(f"2020-0${i % 3 + 1}-10"), new Timestamp(i * 1000L), i * 1.0, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val path = Files.createTempDirectory("prune").toString + "/store"
+    TickStore.write(panel, path, filesPerPartition = 2)
+    val allFiles = TickStore.read(spark, path)
+    allFiles.collect()
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val total = filesRead(TickStore.read(spark, path))
+    val pruned = filesRead(TickStore.scan(spark, path, "2020-02-01", "2020-02-28"))
+    assert(total > pruned, s"total=$total pruned=$pruned")
+    // exactly the one month's file count — directory-level elimination
+    val feb = new java.io.File(path, "date_month=2020-02").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(pruned === feb.toLong, s"pruned=$pruned feb=$feb")
+  }
+
   test("multimodal decode pipeline emits deterministic features per record") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
