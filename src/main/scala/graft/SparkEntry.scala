@@ -184,6 +184,16 @@ object SparkEntry {
       val centroids = Ivf.train(emb, k = 8, iters = 3)
       Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 2)
     }),
+    // Full at-rest lifecycle: train → materialize the cluster-partitioned
+    // index → partition-pruned probe reads. Same oracle as ann_ivf (the
+    // indexed path must return exactly the live-search answer).
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Ivf.train(emb, k = 8, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/index"
+      Ivf.writeIndex(emb, centroids, idx)
+      Ivf.searchIndexed(s, idx, centroids, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 2)
+    }),
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_guess"))
@@ -694,6 +704,7 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
+    "ann_ivf_indexed" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
     "drawdown" ->
       s"""$panelCte,
          |daily AS (
