@@ -138,6 +138,8 @@ object SparkEntry {
       Analytics.twap(Tables.panel(s, dir))),
     "macd" -> ((s, dir) =>
       Analytics.macd(Tables.panel(s, dir))),
+    "corr_matrix" -> ((s, dir) =>
+      Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Tables.panel(s, dir))),
     "bollinger" -> ((s, dir) =>
@@ -958,6 +960,40 @@ object SparkEntry {
          |SELECT asset_id, date, n_ticks,
          |       round(CASE WHEN den = 0 THEN last_v ELSE num / den END, 6) AS twap
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "corr_matrix" ->
+      s"""$panelCte,
+         |dailyw AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel WHERE asset_id BETWEEN 1 AND 10) t WHERE rn = 1),
+         |rets AS (
+         |  SELECT asset_id, date, ret FROM (
+         |    SELECT asset_id, date,
+         |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |    FROM dailyw) t WHERE ret IS NOT NULL),
+         |j AS (
+         |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.date AS date, a.ret AS ra, b.ret AS rb
+         |  FROM rets a JOIN rets b ON a.date = b.date AND a.asset_id < b.asset_id),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |         list(ra ORDER BY date) AS ras,
+         |         list(rb ORDER BY date) AS rbs,
+         |         list(ra * rb ORDER BY date) AS rps
+         |  FROM j GROUP BY id_a, id_b),
+         |g AS (
+         |  SELECT id_a, id_b, CAST(len(ras) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ras), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rbs), (a, x) -> a + x) AS sb,
+         |         list_reduce(list_prepend(0.0, rps), (a, x) -> a + x) AS sab,
+         |         list_reduce(list_prepend(0.0, list_transform(ras, x -> x * x)), (a, x) -> a + x) AS sa2,
+         |         list_reduce(list_prepend(0.0, list_transform(rbs, x -> x * x)), (a, x) -> a + x) AS sb2
+         |  FROM p)
+         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_days,
+         |  round((n * sab - sa * sb) /
+         |        nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) * sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0),
+         |        6) AS corr
+         |FROM g ORDER BY id_a, id_b""".stripMargin,
     "macd" ->
       s"""$panelCte,
          |$dailyCte,

@@ -416,6 +416,51 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B28 `corr_matrix` — pairwise return-correlation matrix over a
+    * watchlist of assets: daily-return series joined on date for each
+    * (a, b) pair, co-moment sums folded over the date-ordered pair
+    * history (bit-exact, [[beta]]'s machinery). The watchlist keeps the
+    * pair count MEANT — an all-assets matrix is quadratic by
+    * definition; at scale you run this over a chosen book, not the
+    * universe. One shuffle on date for the self-join, one on the pair.
+    */
+  def corrMatrix(panel: DataFrame, assets: Seq[Long]): DataFrame = {
+    val daily = KeyValue.lwwDaily(
+      panel.filter(col("asset_id").isin(assets: _*)).repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .select(col("asset_id"), col("date"), col("ret"))
+    val joined = rets.as("a")
+      .join(rets.as("b"),
+        col("a.date") === col("b.date") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.date").as("date"), col("a.ret").as("ra"), col("b.ret").as("rb"))
+    val n = col("n")
+    joined
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ra"), col("rb")))).as("h"))
+      .withColumn("ras", transform(col("h"), s => s("ra")))
+      .withColumn("rbs", transform(col("h"), s => s("rb")))
+      .withColumn("rps", transform(col("h"), s => s("ra") * s("rb")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .withColumn("sa", foldSum(col("ras"), identity))
+      .withColumn("sb", foldSum(col("rbs"), identity))
+      .withColumn("sab", foldSum(col("rps"), identity))
+      .withColumn("sa2", foldSum(col("ras"), x => x * x))
+      .withColumn("sb2", foldSum(col("rbs"), x => x * x))
+      .withColumn("den",
+        sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
+          sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
+      .withColumn("corr", round(
+        (n * col("sab") - col("sa") * col("sb")) /
+          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .select(col("id_a"), col("id_b"), n.cast("long").as("n_days"), col("corr"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** B26 `twap` — time-weighted average price per (asset, day): each
     * tick's value weighted by the time until the NEXT tick, over the
     * day's span. The day's ticks come as (ts,seq)-sorted parallel

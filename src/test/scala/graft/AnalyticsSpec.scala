@@ -214,6 +214,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(tail.forall(_.getAs[Double]("macd") > 0.0))
   }
 
+  test("corr_matrix: proportional returns give corr 1, inverted give -1") {
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val r = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
+    val p = Seq(
+      1L -> series(r, 100.0),
+      2L -> series(r.map(_ * 2), 50.0),   // corr(1,2) = 1 (proportional)
+      3L -> series(r.map(-_), 200.0))     // corr(1,3) = -1 (inverted)
+      .flatMap { case (a, vs) => vs.zipWithIndex.map { case (v, i) =>
+        (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) } }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.corrMatrix(p, Seq(1L, 2L, 3L)).collect()
+      .map(row => ((row.getLong(0), row.getLong(1)), row.getDouble(3))).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-4)
+    assert(math.abs(out((1L, 3L)) + 1.0) < 1e-4)
+    assert(math.abs(out((2L, 3L)) + 1.0) < 1e-4)
+  }
+
   test("twap weights each tick by time-to-next over the day span") {
     val p = Seq(
       // asset 1: ticks at t=0s (v=10) for 30s, t=30s (v=20) for 70s, t=100s (last, weight 0)
