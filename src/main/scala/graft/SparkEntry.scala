@@ -140,6 +140,10 @@ object SparkEntry {
       Analytics.macd(Tables.panel(s, dir))),
     "corr_matrix" -> ((s, dir) =>
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
+    "funnel_stages" -> ((s, dir) =>
+      // 7 conversion cycles: long enough that users spread across depths
+      Analytics.funnelStages(Tables.events(s, dir),
+        Seq.fill(7)(Seq("view", "click", "purchase")).flatten)),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Tables.panel(s, dir))),
     "bollinger" -> ((s, dir) =>
@@ -228,6 +232,8 @@ object SparkEntry {
       Pipeline.docPack(Tables.documents(s, dir))),
     "pii_redact" -> ((s, dir) =>
       Pipeline.piiRedact(Tables.documents(s, dir))),
+    "repetition_score" -> ((s, dir) =>
+      Pipeline.repetitionScore(Tables.documents(s, dir))),
     "stratified_sample" -> ((s, dir) =>
       Pipeline.stratifiedSample(Tables.documents(s, dir))),
     "length_histogram" -> ((s, dir) =>
@@ -308,6 +314,31 @@ object SparkEntry {
       |    SELECT asset_id, date, value,
       |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
       |    FROM panel) t WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Analytics.funnelStages]] WITHOUT
+    * a list fold: chained greedy position lookups — stage k's match
+    * position = min event index past stage k−1's, per user. Generated
+    * mechanically from the stage list. The natural `list_reduce`
+    * formulation is avoided deliberately: DuckDB 1.0.0 returns WRONG
+    * results from list_reduce with a branching (CASE) lambda when the
+    * query processes many rows at once (verified: same list folds to 19
+    * single-row but 16 batched — a vectorization bug; linear-arithmetic
+    * lambdas like the ewma folds are unaffected and verified exact).
+    */
+  private def funnelOracle(stages: Seq[String]): String = {
+    val ctes = Seq(
+      "ev AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i FROM events)",
+      "p0 AS (SELECT DISTINCT user_id, CAST(0 AS BIGINT) AS pos FROM ev)") ++
+      stages.zipWithIndex.map { case (s, k) =>
+        s"p${k + 1} AS (SELECT u.user_id, (SELECT min(e.i) FROM ev e WHERE e.user_id = u.user_id AND e.i > u.pos AND e.event_type = '$s') AS pos FROM p$k u WHERE u.pos IS NOT NULL)"
+      }
+    val sums = stages.indices
+      .map(k => s"(SELECT count(*) FROM p${k + 1} x WHERE x.user_id = u.user_id AND x.pos IS NOT NULL)")
+      .mkString(" + ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT CAST($sums AS BIGINT) AS stage_reached, count(*) AS n_users
+       |FROM p0 u GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Polynomial rolling hash of a string column `s` — DuckDB replay of
     * [[graft.expressions.PortableHash.strHash]]: h = (h·31 + cp) mod
@@ -960,6 +991,23 @@ object SparkEntry {
          |SELECT asset_id, date, n_ticks,
          |       round(CASE WHEN den = 0 THEN last_v ELSE num / den END, 6) AS twap
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |        / nullif(CAST(len(bigrams) AS DOUBLE), 0.0), 6) AS rep_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "funnel_stages" ->
+      funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
     "corr_matrix" ->
       s"""$panelCte,
          |dailyw AS (

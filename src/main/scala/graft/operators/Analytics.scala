@@ -416,6 +416,36 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B29 `funnel_stages` — ordered-event funnel: how far each user
+    * progresses through `stages` (subsequence match over the user's
+    * time-ordered event types), rolled up to users-per-stage-reached.
+    * The event list is ordered by `array_sort(collect_list(struct(ts,
+    * seq, type)))` and the stage progression is an integer fold —
+    * deterministic and engine-exact. Two keyed aggregations (user,
+    * then stage), both map-side combinable.
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val n = stages.length
+    val stagesArr = array(stages.map(lit): _*)
+    // state = stages completed; the event advances the funnel iff it
+    // equals the NEXT wanted stage. `least` keeps the probe index in
+    // bounds once the funnel completes (condition is then false anyway)
+    // — stages may repeat, so events fold against the stage LIST, not a
+    // per-type index.
+    val reach = aggregate(col("evs"), lit(0),
+      (st, e) =>
+        when(st < n && e === element_at(stagesArr, least(st + 1, lit(n))), st + 1)
+          .otherwise(st))
+    events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("h"))
+      .withColumn("evs", transform(col("h"), s => s("event_type")))
+      .withColumn("stage_reached", reach)
+      .groupBy(col("stage_reached").cast("long").as("stage_reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage_reached"))
+  }
+
   /** B28 `corr_matrix` — pairwise return-correlation matrix over a
     * watchlist of assets: daily-return series joined on date for each
     * (a, b) pair, co-moment sums folded over the date-ordered pair

@@ -146,6 +146,29 @@ object Pipeline {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("lang"), col("bucket"))
 
+  /** C25 `repetition_score` — within-document repetition (the
+    * Gopher-style quality signal): fraction of token bigrams that are
+    * duplicates, 1 − distinct/total. Pure array expressions — no
+    * explode, no shuffle; runs at scan speed beside the other per-doc
+    * scores. All-integer counts → the ratio divides identically in any
+    * engine. Docs with < 2 tokens score NULL (no bigrams).
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val n = size(col("bigrams")).cast("double")
+    documents
+      .withColumn("bigrams", zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          when(n === 0, lit(null)).otherwise(n), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C22 `token_df_quality` — corpus-level rarity score: mean document
     * frequency of each doc's DISTINCT tokens (low mean-DF = distinctive
     * vocabulary, high = boilerplate). The two-stage shape of every

@@ -214,6 +214,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(tail.forall(_.getAs[Double]("macd") > 0.0))
   }
 
+  test("funnel_stages counts users by greedy subsequence depth (repeats allowed)") {
+    val ev = Seq(
+      // user 1: view→click→purchase→view = 4 stages of the 6-stage funnel
+      (1L, 1, "view"), (1L, 2, "error"), (1L, 3, "click"), (1L, 4, "purchase"), (1L, 5, "view"),
+      // user 2: click before view doesn't count; reaches stage 1 only
+      (2L, 1, "click"), (2L, 2, "view"), (2L, 3, "error"),
+      // user 3: nothing matching
+      (3L, 1, "signup"))
+      .map { case (u, i, t) => (u, ts(i), i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.funnelStages(ev, Seq.fill(2)(Seq("view", "click", "purchase")).flatten)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L, 4L -> 1L))
+  }
+
   test("corr_matrix: proportional returns give corr 1, inverted give -1") {
     def series(rets: Seq[Double], base: Double): Seq[Double] =
       rets.scanLeft(base) { case (v, r) => v * (1 + r) }

@@ -117,6 +117,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetitionScore flags repeated bigrams, nulls docs without bigrams") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all distinct words here"),
+      (3L, "solo"))             // no bigrams
+      .toDF("doc_id", "text")
+    val out = Pipeline.repetitionScore(docs).collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_bigrams") === 5L && d1.getAs[Long]("n_distinct") === 2L)
+    assert(math.abs(d1.getAs[Double]("rep_ratio") - 0.6) < 1e-9)
+    assert(out(1).getAs[Double]("rep_ratio") === 0.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("rep_ratio")))
+  }
+
   test("tokenDfQuality: unique vocabulary scores mean_df 1, shared boilerplate higher") {
     val docs = Seq(
       (1L, "aardvark bungalow cataclysm"),   // tokens unique to doc 1
