@@ -140,6 +140,9 @@ object SparkEntry {
       Analytics.macd(Tables.panel(s, dir))),
     "corr_matrix" -> ((s, dir) =>
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
+    "portfolio_nav" -> ((s, dir) =>
+      Analytics.portfolioNav(Tables.panel(s, dir),
+        Map(1L -> 0.3, 2L -> 0.25, 3L -> 0.2, 4L -> 0.15, 5L -> 0.1))),
     "funnel_stages" -> ((s, dir) =>
       // 7 conversion cycles: long enough that users spread across depths
       Analytics.funnelStages(Tables.events(s, dir),
@@ -1008,6 +1011,33 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "funnel_stages" ->
       funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
+    "portfolio_nav" ->
+      s"""$panelCte,
+         |dailyw AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel WHERE asset_id BETWEEN 1 AND 5) t WHERE rn = 1),
+         |rets AS (
+         |  SELECT asset_id, date, ret FROM (
+         |    SELECT asset_id, date,
+         |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |    FROM dailyw) t WHERE ret IS NOT NULL),
+         |byd AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, list(wr ORDER BY asset_id)), (a, x) -> a + x), 6) AS port_ret
+         |  FROM (SELECT asset_id, date,
+         |          (CASE asset_id WHEN 1 THEN 0.3 WHEN 2 THEN 0.25 WHEN 3 THEN 0.2
+         |                         WHEN 4 THEN 0.15 WHEN 5 THEN 0.1 ELSE 0.0 END) * ret AS wr
+         |        FROM rets) t
+         |  GROUP BY date),
+         |f AS (
+         |  SELECT date, port_ret,
+         |         list(port_ret) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS navarr
+         |  FROM byd)
+         |SELECT date, port_ret,
+         |       round(list_reduce(list_prepend(1.0, navarr), (a, r) -> a * (1.0 + r)), 6) AS nav
+         |FROM f ORDER BY date""".stripMargin,
     "corr_matrix" ->
       s"""$panelCte,
          |dailyw AS (

@@ -416,6 +416,41 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B30 `portfolio_nav` — fixed-weight portfolio: daily portfolio
+    * return = Σ wᵃ·retᵃ over the watchlist (asset-ordered fold per
+    * date), NAV = running Π(1+r) in date order (prefix-array product
+    * fold — date counts are calendar-bounded, so the O(days²) prefix
+    * rebuild is bounded and exact). Assets missing a date contribute 0
+    * that day (weights deliberately not renormalized — the cash-drag
+    * convention; document differently if re-weighting is wanted).
+    */
+  def portfolioNav(panel: DataFrame, weights: Map[Long, Double]): DataFrame = {
+    val assets = weights.keys.toSeq.sorted
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (a, wt)) =>
+      when(col("asset_id") === a, wt).otherwise(acc)
+    }
+    val daily = KeyValue.lwwDaily(
+      panel.filter(col("asset_id").isin(assets: _*)).repartition(col("asset_id")))
+    val lagW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(lagW)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("wr", w * col("ret"))
+    val byDate = rets
+      .groupBy(col("date"))
+      .agg(array_sort(collect_list(struct(col("asset_id"), col("wr")))).as("h"))
+      .withColumn("port_ret", round(foldSum(transform(col("h"), s => s("wr")), identity), 6))
+      .select(col("date"), col("port_ret"))
+    val navFrame = Window.orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDate
+      .withColumn("navarr", collect_list(col("port_ret")).over(navFrame))
+      .withColumn("nav", round(aggregate(col("navarr"), lit(1.0), (acc, r) => acc * (lit(1.0) + r)), 6))
+      .select(col("date"), col("port_ret"), col("nav"))
+      .orderBy(col("date"))
+  }
+
   /** B29 `funnel_stages` — ordered-event funnel: how far each user
     * progresses through `stages` (subsequence match over the user's
     * time-ordered event types), rolled up to users-per-stage-reached.

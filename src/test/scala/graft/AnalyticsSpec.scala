@@ -214,6 +214,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(tail.forall(_.getAs[Double]("macd") > 0.0))
   }
 
+  test("portfolio_nav compounds the weighted daily return into NAV") {
+    // two assets, weights 0.5/0.5: day2 rets +0.1/-0.1 → port 0, day3 +0.2/+0.2 → port 0.2
+    val p = Seq(
+      (1L, "2024-01-01", 100.0), (1L, "2024-01-02", 110.0), (1L, "2024-01-03", 132.0),
+      (2L, "2024-01-01", 200.0), (2L, "2024-01-02", 180.0), (2L, "2024-01-03", 216.0))
+      .zipWithIndex
+      .map { case ((a, dt, v), i) => (a, d(dt), ts(i + 1), v, i.toLong) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.portfolioNav(p, Map(1L -> 0.5, 2L -> 0.5))
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("2024-01-02", 0.0, 1.0), ("2024-01-03", 0.2, 1.2)))
+  }
+
   test("funnel_stages counts users by greedy subsequence depth (repeats allowed)") {
     val ev = Seq(
       // user 1: view→click→purchase→view = 4 stages of the 6-stage funnel
