@@ -140,6 +140,10 @@ object SparkEntry {
       Analytics.macd(Tables.panel(s, dir))),
     "corr_matrix" -> ((s, dir) =>
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
+    "sharpe" -> ((s, dir) =>
+      Analytics.sharpe(Tables.panel(s, dir))),
+    "autocorr" -> ((s, dir) =>
+      Analytics.autocorr(Tables.panel(s, dir))),
     "portfolio_nav" -> ((s, dir) =>
       Analytics.portfolioNav(Tables.panel(s, dir),
         Map(1L -> 0.3, 2L -> 0.25, 3L -> 0.2, 4L -> 0.15, 5L -> 0.1))),
@@ -1011,6 +1015,45 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "funnel_stages" ->
       funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
+    "sharpe" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(ra) >= 2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(s / n, 6) AS mean_ret,
+         |  round((s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0), 6) AS sharpe
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "autocorr" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra, CAST(len(list(ret)) AS INTEGER) AS m
+         |      FROM rets GROUP BY asset_id HAVING len(list(ret)) >= 3),
+         |sl AS (
+         |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+         |         list_slice(ra, 1, m - 1) AS xa, list_slice(ra, 2, m) AS ya
+         |  FROM p),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |  FROM sl)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
+         |  round((n * sxy - sx * sy) /
+         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0),
+         |        6) AS autocorr
+         |FROM g ORDER BY asset_id""".stripMargin,
     "portfolio_nav" ->
       s"""$panelCte,
          |dailyw AS (

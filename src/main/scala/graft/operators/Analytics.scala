@@ -416,6 +416,70 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B31 `sharpe` — per-asset (non-annualized) Sharpe ratio over the
+    * full return history: mean/σ of daily returns, co-moment folds
+    * over the date-ordered array ([[rollingVol]] machinery, full
+    * frame). One row per asset with ≥ 2 returns.
+    */
+  def sharpe(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ra"), identity))
+      .withColumn("s2", foldSum(col("ra"), x => x * x))
+      .withColumn("mean_ret", col("s") / n)
+      .withColumn("sd", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
+      .withColumn("sharpe", round(col("mean_ret") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        round(col("mean_ret"), 6).as("mean_ret"), col("sharpe"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B32 `autocorr` — lag-1 autocorrelation of each asset's daily
+    * returns: Pearson correlation of (r_t, r_{t+1}) via co-moment folds
+    * over the two shifted slices of the date-ordered return array
+    * (mean-reversion screen). One row per asset with ≥ 3 returns.
+    */
+  def autocorr(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .filter(col("m") >= 3)
+      .withColumn("xa", slice(col("ra"), lit(1), col("m") - 1))
+      .withColumn("ya", slice(col("ra"), lit(2), col("m") - 1))
+      .withColumn("n", (col("m") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("xa"), identity))
+      .withColumn("sy", foldSum(col("ya"), identity))
+      .withColumn("sxy", foldSum(zip_with(col("xa"), col("ya"), (a, b) => a * b), identity))
+      .withColumn("sx2", foldSum(col("xa"), x => x * x))
+      .withColumn("sy2", foldSum(col("ya"), x => x * x))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("autocorr", round((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_pairs"), col("autocorr"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B30 `portfolio_nav` — fixed-weight portfolio: daily portfolio
     * return = Σ wᵃ·retᵃ over the watchlist (asset-ordered fold per
     * date), NAV = running Π(1+r) in date order (prefix-array product

@@ -214,6 +214,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(tail.forall(_.getAs[Double]("macd") > 0.0))
   }
 
+  test("sharpe and autocorr recover known series properties") {
+    // sawtooth rets alternate +1.0/-0.5: mean 0.25, perfect negative lag-1 autocorr
+    val sh = Analytics.sharpe(sawtooth).collect()(0)
+    assert(math.abs(sh.getAs[Double]("mean_ret") - 0.25) < 1e-6)
+    assert(sh.getAs[Double]("sharpe") > 0.0)
+    val ac = Analytics.autocorr(sawtooth).collect()(0)
+    assert(math.abs(ac.getAs[Double]("autocorr") + 1.0) < 1e-6, ac.toString)
+    // constant series: sd 0 → sharpe null; autocorr den 0 → null
+    val const = (1 to 6).map(i => (1L, d(f"2024-01-0$i"), ts(i), 10.0, i.toLong))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.sharpe(const).collect()(0).isNullAt(3))
+    assert(Analytics.autocorr(const).collect()(0).isNullAt(2))
+  }
+
   test("portfolio_nav compounds the weighted daily return into NAV") {
     // two assets, weights 0.5/0.5: day2 rets +0.1/-0.1 → port 0, day3 +0.2/+0.2 → port 0.2
     val p = Seq(
