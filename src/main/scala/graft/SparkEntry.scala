@@ -181,6 +181,8 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L)
       Dedup.nearDupClusters(docs, pairs)
     }),
+    "decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), (0L to 9L).toSeq)),
     "dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L)
@@ -890,6 +892,21 @@ object SparkEntry {
         |  SELECT doc_id, quality, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) rn
         |  FROM pass) t WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(text) - 12, 1) + 1),
+        |                                 i -> substr(text, CAST(i AS INTEGER), 13))) AS s
+        |    FROM documents WHERE doc_id BETWEEN 0 AND 9) z),
+        |corp AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(text) - 12, 1) + 1),
+        |                                 i -> substr(text, CAST(i AS INTEGER), 13))) AS s
+        |    FROM documents WHERE doc_id NOT BETWEEN 0 AND 9) z)
+        |SELECT doc_id, count(*) AS n_shared_shingles
+        |FROM corp JOIN ev USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shingleHashSql AS h

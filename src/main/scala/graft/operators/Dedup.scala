@@ -191,6 +191,28 @@ object Dedup {
     result.orderBy(col("doc_id"))
   }
 
+  /** C26 `decontaminate` — benchmark-contamination screen: corpus
+    * documents sharing any length-`k` character shingle with an
+    * EVAL-SET document get flagged with the count of distinct shared
+    * shingles (the n-gram–overlap decontamination step every training
+    * build runs before shipping data). The eval set is tiny by
+    * definition → its shingle set broadcasts; the corpus side is one
+    * scan + explode, no self-join.
+    */
+  def decontaminate(documents: DataFrame, evalIds: Seq[Long], k: Int = 13): DataFrame = {
+    val evalShingles = documents
+      .filter(col("doc_id").isin(evalIds: _*))
+      .select(explode(shingles(col("text"), k)).as("s"))
+      .distinct()
+    documents
+      .filter(!col("doc_id").isin(evalIds: _*))
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C23 `dedup_survivors` — the deduplicated corpus materialization:
     * one representative (the cluster label = min doc_id) per near-dup
     * cluster, with the cluster size kept as the audit column. This is

@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((2L, 3L)))
   }
 
+  test("decontaminate flags docs sharing long shingles with the eval set") {
+    val docs = Seq(
+      (0L, "the secret eval benchmark passage nobody should train on"),
+      (1L, "an unrelated clean document about something else entirely"),
+      (2L, "contains the secret eval benchmark passage verbatim inside"), // contaminated
+      (3L, "totally clean text with zero overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(docs, Seq(0L), k = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(2L) && out(2L) >= 1L)
+    assert(!out.contains(1L) && !out.contains(3L))
+    assert(!out.contains(0L)) // eval docs are never self-flagged
+  }
+
   test("dedupSurvivors keeps one representative per cluster with its size") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(1L, 2L, 3L, 4L, 9L).map((_, "t")).toDF("doc_id", "text")
