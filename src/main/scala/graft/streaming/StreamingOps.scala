@@ -232,6 +232,35 @@ object StreamingOps {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  case class FunnelProgress(user_id: Long, stage_reached: Int)
+
+  /** D10 — continuously-maintained funnel: each user's greedy
+    * subsequence depth through `stages` (the streaming face of batch
+    * `funnel_stages`), emitting on every advance (Update mode). State
+    * is ONE int per user — O(users), no growth with stream length.
+    * Within a micro-batch events advance in (ts, event_id) order;
+    * across batches the funnel is arrival-ordered (a late event cannot
+    * retro-advance an earlier stage — same contract as packStream).
+    */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
+          var st = state.getOption.getOrElse(0)
+          val before = st
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st < stages.length && e.event_type == stages(st)) st += 1
+          }
+          state.update(st)
+          if (st != before) Iterator(FunnelProgress(uid, st)) else Iterator.empty
+      }
+  }
+
   /** D7 — stream-STREAM as-of join: enrich a live tick stream with the
     * latest reference value (another stream) at or before each tick's
     * event time, looking back at most `maxLag`.

@@ -220,6 +220,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user stage across micro-batches, emitting on change") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelProgress}
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 view+click (→2); user 2 click only (no advance, no emit)
+      input.addData(
+        FunnelEvent(1L, ts(1), 1L, "view"), FunnelEvent(1L, ts(2), 2L, "click"),
+        FunnelEvent(2L, ts(1), 3L, "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_sink").as[FunnelProgress].collect()
+      assert(b1.toSet === Set(FunnelProgress(1L, 2)))
+      // batch 2: user 1 purchase completes (→3); user 2 view starts (→1)
+      input.addData(
+        FunnelEvent(1L, ts(3), 4L, "purchase"), FunnelEvent(2L, ts(3), 5L, "view"))
+      q.processAllAvailable()
+      val all = spark.table("funnel_sink").as[FunnelProgress].collect()
+      assert(all.toSet === Set(FunnelProgress(1L, 2), FunnelProgress(1L, 3), FunnelProgress(2L, 1)))
+    } finally q.stop()
+  }
+
   test("streaming packer fills token budgets greedily across micro-batches") {
     val spark0 = spark
     import spark0.implicits._
