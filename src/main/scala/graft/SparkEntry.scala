@@ -142,6 +142,10 @@ object SparkEntry {
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
     "sharpe" -> ((s, dir) =>
       Analytics.sharpe(Tables.panel(s, dir))),
+    "var_cvar" -> ((s, dir) =>
+      Analytics.varCvar(Tables.panel(s, dir))),
+    "seasonality" -> ((s, dir) =>
+      Analytics.seasonality(Tables.panel(s, dir))),
     "autocorr" -> ((s, dir) =>
       Analytics.autocorr(Tables.panel(s, dir))),
     "portfolio_nav" -> ((s, dir) =>
@@ -1032,6 +1036,34 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "funnel_stages" ->
       funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
+    "var_cvar" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list_sort(list(ret)) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, len(ra) AS n,
+         |         CAST(ceil(CAST(len(ra) AS DOUBLE) * 0.05) AS INTEGER) AS k, ra
+         |  FROM p),
+         |t AS (
+         |  SELECT asset_id, n, k, list_slice(ra, 1, k) AS tail FROM g WHERE k >= 1)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
+         |  tail[k] AS var,
+         |  round(list_reduce(list_prepend(0.0, tail), (a, x) -> a + x) / CAST(k AS DOUBLE), 6) AS cvar
+         |FROM t ORDER BY asset_id""".stripMargin,
+    "seasonality" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (
+         |  SELECT asset_id, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+         |         count(*) AS n_days,
+         |         CAST(sum(CAST(round(ret * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+         |  FROM rets GROUP BY asset_id, dayofweek(date))
+         |SELECT asset_id, dow, n_days,
+         |  CAST(CAST(round(CAST(sum_micro AS DOUBLE) / CAST(n_days AS DOUBLE)) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS mean_ret
+         |FROM p ORDER BY asset_id, dow""".stripMargin,
     "sharpe" ->
       s"""$panelCte,
          |$dailyCte,

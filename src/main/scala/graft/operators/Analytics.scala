@@ -416,6 +416,66 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B33 `var_cvar` — historical Value-at-Risk per asset: the worst
+    * ⌈q·n⌉ daily returns define the tail; VaR = the best of them (the
+    * q-quantile by the "lower" convention — integer cut, no
+    * interpolation ambiguity), CVaR = their fold-exact mean. Sorting
+    * the return array makes every choice deterministic; ties are
+    * resolved by value order, which is all the output depends on.
+    */
+  def varCvar(panel: DataFrame, q: Double = 0.05): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val k = ceil(size(col("ra")).cast("double") * q).cast("int")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("ret"))).as("ra"))
+      .withColumn("k", k)
+      .filter(col("k") >= 1)
+      .withColumn("tail", slice(col("ra"), lit(1), col("k")))
+      .withColumn("var", element_at(col("tail"), col("k")))
+      .withColumn("cvar", round(foldSum(col("tail"), identity) / col("k").cast("double"), 6))
+      .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"), col("var"), col("cvar"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B34 `seasonality` — mean daily return by day-of-week (Spark's
+    * 1=Sunday..7 convention; the oracle maps DuckDB's 0-based
+    * `dayofweek` with +1) per asset — turn-of-week effect screen.
+    *
+    * The mean is computed in INTEGER MICRO-UNITS: 6-decimal returns
+    * become exact integers, the group sum is an order-insensitive
+    * integer sum (no fold arrays needed), and `round(sum/n)` rounds a
+    * quotient that is either dyadic-exact (a true half rounds
+    * away-from-zero identically in both engines) or safely off the
+    * boundary. A plain `round(avg(ret), 6)` FAILS cross-engine here:
+    * small group sizes (n≈4) park sums/4 exactly on 7th-decimal
+    * halves, where Spark's shortest-repr HALF_UP and DuckDB's
+    * exact-binary rounding disagree by 1e-6 (observed on 3 of 1050
+    * groups).
+    */
+  def seasonality(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .withColumn("dow", dayofweek(col("date")).cast("long"))
+      .groupBy(col("asset_id"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ret_micro")).as("sum_micro"))
+      .withColumn("mean_ret",
+        round(col("sum_micro").cast("double") / col("n_days").cast("double")).cast("long")
+          .cast("double") / lit(1e6))
+      .select(col("asset_id"), col("dow"), col("n_days"), col("mean_ret"))
+      .orderBy(col("asset_id"), col("dow"))
+  }
+
   /** B31 `sharpe` — per-asset (non-annualized) Sharpe ratio over the
     * full return history: mean/σ of daily returns, co-moment folds
     * over the date-ordered array ([[rollingVol]] machinery, full

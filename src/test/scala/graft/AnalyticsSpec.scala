@@ -214,6 +214,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(tail.forall(_.getAs[Double]("macd") > 0.0))
   }
 
+  test("var_cvar takes the worst ceil(q*n) returns; seasonality means by weekday") {
+    // 20 returns → k = ceil(20*0.05) = 2 worst returns in the tail
+    val vals = (1 to 21).map(i => 100.0 * (1 to i).map(j => 1 + (if (j % 5 == 0) -0.2 else 0.05)).product)
+    val p = vals.zipWithIndex.map { case (v, i) =>
+      (1L, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val r = Analytics.varCvar(p, q = 0.05).collect()(0)
+    assert(r.getAs[Long]("n_days") === 20L && r.getAs[Long]("n_tail") === 1L)
+    assert(math.abs(r.getAs[Double]("var") + 0.2) < 1e-6)   // worst return is -0.2
+    assert(math.abs(r.getAs[Double]("cvar") + 0.2) < 1e-6)
+    val season = Analytics.seasonality(p).collect()
+    assert(season.map(_.getAs[Long]("n_days")).sum === 20L)
+    season.foreach { row =>
+      val dow = row.getAs[Long]("dow")
+      assert(dow >= 1 && dow <= 7)
+    }
+  }
+
   test("sharpe and autocorr recover known series properties") {
     // sawtooth rets alternate +1.0/-0.5: mean 0.25, perfect negative lag-1 autocorr
     val sh = Analytics.sharpe(sawtooth).collect()(0)
