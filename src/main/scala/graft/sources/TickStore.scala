@@ -171,6 +171,32 @@ object TickStore {
       .foreachBatch { (batch: DataFrame, _: Long) => append(batch, path) }
       .start()
 
+  /** Compact only the months whose file count exceeds `maxFiles` — the
+    * policy loop an operator of a continuously-appended store runs
+    * (e.g. after [[streamingSink]] micro-batches accumulate): list the
+    * month directories (metadata-only), compact the offenders
+    * month-by-month via [[compact]]'s swap. Returns the compacted
+    * month names.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      maxFiles: Int = 16,
+                      deletes: Option[DataFrame] = None,
+                      filesPerPartition: Int = 4): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val months = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix("date_month="))
+      .toSeq
+    if (months.nonEmpty)
+      compact(spark, path, months = Some(months), deletes = deletes,
+        filesPerPartition = filesPerPartition)
+    months
+  }
+
   /** Date-range scan with the month partition predicate derived from the
     * range — the inner-node traversal analog: directories outside
     * [from, to] months are never opened (`PartitionFilters` in the

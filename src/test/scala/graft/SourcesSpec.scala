@@ -214,6 +214,27 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactIfNeeded compacts only months whose file count exceeds the threshold") {
+    import java.sql.{Date, Timestamp}
+    val path = Files.createTempDirectory("autocompact").toString + "/store"
+    // month 2020-01 accumulates 4 appends (4+ files); 2020-02 one file
+    (1 to 4).foreach { i =>
+      TickStore.append(Seq((1L, Date.valueOf("2020-01-10"), new Timestamp(i * 1000L), i * 1.0, i.toLong))
+        .toDF("asset_id", "date", "ts", "value", "seq"), path)
+    }
+    TickStore.append(Seq((2L, Date.valueOf("2020-02-05"), new Timestamp(9000L), 9.0, 9L))
+      .toDF("asset_id", "date", "ts", "value", "seq"), path)
+    val compacted = TickStore.compactIfNeeded(spark, path, maxFiles = 2)
+    assert(compacted === Seq("2020-01"))
+    // revisions folded to the LWW winner; untouched month intact
+    val back = TickStore.read(spark, path)
+    val jan = back.filter(col("date_month") === "2020-01").collect()
+    assert(jan.length === 1 && jan(0).getAs[Double]("value") === 4.0)
+    assert(back.filter(col("date_month") === "2020-02").count() === 1)
+    // below threshold now → no-op
+    assert(TickStore.compactIfNeeded(spark, path, maxFiles = 2) === Seq.empty)
+  }
+
   test("JSONL corpus round-trips and quarantines corrupt lines") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
     val dir = Files.createTempDirectory("jsonl").toString
