@@ -45,6 +45,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp !== fpOther)
   }
 
+  test("GraftSession factory wires extensions and tuning") {
+    // a second SparkSession can't be built in this JVM (shared context),
+    // so assert the builder wiring + that tune() applied to the live one
+    val s = GraftSession.create(master = "local[4]")
+    assert(s.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") === "131072")
+    // the extension class the builder names must be constructible
+    assert(new GraftExtensions() != null)
+  }
+
   test("GraftExtensions injects the same functions via the extension point") {
     // The extension class is exercised directly (a second SparkSession
     // with spark.sql.extensions can't be built inside one test JVM).
