@@ -40,6 +40,25 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash signature agreement estimates jaccard within tolerance (hash-family quality)") {
+    import org.apache.spark.sql.functions.col
+    // construct pairs with known shingle-set jaccard by shared suffixes
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mut = (1 to 60).map(i => if (i % 3 == 0) s"alt$i" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, mut)).toDF("doc_id", "text")
+    val k = 8
+    val sig = docs.select(col("doc_id"),
+      graft.expressions.Kernels.minhashSig(col("text"), k, 256).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }.toDouble / 256
+    // true shingle jaccard
+    def sh(s: String) = s.sliding(k).toSet
+    val (a, b) = (sh(base), sh(mut))
+    val trueJ = (a & b).size.toDouble / (a | b).size
+    assert(math.abs(agree - trueJ) < 0.12,
+      s"minhash agreement $agree vs true jaccard $trueJ — hash family biased")
+  }
+
   test("simhash is whitespace-layout invariant and case-insensitive") {
     (1 to 20).foreach { _ =>
       val words = (1 to 6).map(_ => word())
