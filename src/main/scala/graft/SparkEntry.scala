@@ -144,6 +144,10 @@ object SparkEntry {
       Analytics.sharpe(Tables.panel(s, dir))),
     "var_cvar" -> ((s, dir) =>
       Analytics.varCvar(Tables.panel(s, dir))),
+    "advance_decline" -> ((s, dir) =>
+      Analytics.advanceDecline(Tables.panel(s, dir))),
+    "rolling_beta" -> ((s, dir) =>
+      Analytics.rollingBeta(Tables.panel(s, dir))),
     "seasonality" -> ((s, dir) =>
       Analytics.seasonality(Tables.panel(s, dir))),
     "autocorr" -> ((s, dir) =>
@@ -1036,6 +1040,47 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "funnel_stages" ->
       funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
+    "advance_decline" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |byd AS (
+         |  SELECT date,
+         |         CAST(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |         CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |         CAST(sum(CASE WHEN ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+         |  FROM rets GROUP BY date)
+         |SELECT date, n_up, n_down, n_flat,
+         |  CAST(sum(n_up - n_down) OVER (ORDER BY date
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ad_line
+         |FROM byd ORDER BY date""".stripMargin,
+    "rolling_beta" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |f AS (
+         |  SELECT asset_id, date, ret, mkt_ret,
+         |         list(ret)  OVER fw AS ra,
+         |         list(mkt_ret) OVER fw AS rm,
+         |         list(ret * mkt_ret) OVER fw AS rp
+         |  FROM j
+         |  WINDOW fw AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, ret, mkt_ret, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM f WHERE len(ra) >= 2)
+         |SELECT asset_id, date, ret, mkt_ret,
+         |  round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta
+         |FROM g ORDER BY asset_id, date""".stripMargin,
     "var_cvar" ->
       s"""$panelCte,
          |$dailyCte,

@@ -416,6 +416,70 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B35 `advance_decline` — market breadth per date: advancing /
+    * declining / flat asset counts and the cumulative advance-decline
+    * line. All-integer (counts + running integer sum) → exact in any
+    * engine with no fold machinery at all.
+    */
+  def advanceDecline(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val runW = Window.orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("ret") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("ret") < 0, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("ret") === 0, 1L).otherwise(0L)).as("n_flat"))
+      .withColumn("ad_line", sum(col("n_up") - col("n_down")).over(runW))
+      .select(col("date"), col("n_up"), col("n_down"), col("n_flat"), col("ad_line"))
+      .orderBy(col("date"))
+  }
+
+  /** B36 `rolling_beta` — windowed CAPM beta per (asset, date): the
+    * co-moment sums of [[beta]] over a row-bounded frame of the joined
+    * (ret, mkt_ret) series — frame-ordered fold arrays per row, so the
+    * time-varying beta is bit-exact like everything else. Frames are
+    * `window`-bounded → per-row cost O(window).
+    */
+  def rollingBeta(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+    val mkt = rets
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
+        s => s("ret")).as("marr"))
+      .select(col("date"),
+        round(foldSum(col("marr"), identity) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(mkt), Seq("date"))
+      .withColumn("ra", collect_list(col("ret")).over(frame))
+      .withColumn("rm", collect_list(col("mkt_ret")).over(frame))
+      .withColumn("rp", collect_list(col("ret") * col("mkt_ret")).over(frame))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("sa", foldSum(col("ra"), identity))
+      .withColumn("sm", foldSum(col("rm"), identity))
+      .withColumn("sp", foldSum(col("rp"), identity))
+      .withColumn("sm2", foldSum(col("rm"), x => x * x))
+      .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
+      .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .select(col("asset_id"), col("date"), col("ret"), col("mkt_ret"), col("beta"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B33 `var_cvar` — historical Value-at-Risk per asset: the worst
     * ⌈q·n⌉ daily returns define the tail; VaR = the best of them (the
     * q-quantile by the "lower" convention — integer cut, no

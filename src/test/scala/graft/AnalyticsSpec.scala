@@ -232,6 +232,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("advance_decline counts breadth and accumulates the AD line") {
+    val p = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 11.0), (1L, "2024-01-03", 10.0),
+      (2L, "2024-01-01", 20.0), (2L, "2024-01-02", 22.0), (2L, "2024-01-03", 22.0))
+      .zipWithIndex.map { case ((a, dt, v), i) => (a, d(dt), ts(i + 1), v, i.toLong) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.advanceDecline(p).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // day2: both up (+2); day3: one down, one flat (ad 2-1=1)
+    assert(out.toSeq === Seq(
+      ("2024-01-02", 2L, 0L, 0L, 2L),
+      ("2024-01-03", 0L, 1L, 1L, 1L)))
+  }
+
+  test("rolling_beta tracks the windowed beta of proportional assets") {
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val r1 = Seq(0.1, -0.05, 0.2, -0.1, 0.15, 0.05, -0.08)
+    val v1 = series(r1, 100.0)
+    val v2 = series(r1.map(_ * 3), 100.0)
+    val p = (v1.zipWithIndex.map { case (v, i) => (1L, i) -> v } ++
+      v2.zipWithIndex.map { case (v, i) => (2L, i) -> v })
+      .map { case ((a, i), v) => (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.rollingBeta(p, window = 4).collect()
+    out.foreach { row =>
+      val target = if (row.getLong(0) == 1L) 0.5 else 1.5
+      assert(math.abs(row.getAs[Double]("beta") - target) < 1e-3, row.toString)
+    }
+  }
+
   test("sharpe and autocorr recover known series properties") {
     // sawtooth rets alternate +1.0/-0.5: mean 0.25, perfect negative lag-1 autocorr
     val sh = Analytics.sharpe(sawtooth).collect()(0)
