@@ -92,6 +92,8 @@ object SparkEntry {
       AsOf.asOfSnapshot(Tables.panel(s, dir), "2024-01-20 12:00:00")),
     "revision_diff" -> ((s, dir) =>
       AsOf.revisionDiff(Tables.panel(s, dir), "2024-01-15 00:00:00", "2024-01-31 23:59:59")),
+    "revision_stats" -> ((s, dir) =>
+      AsOf.revisionStats(Tables.panel(s, dir))),
     // ── B. analytics ────────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.q1PricingSummary(Tables.lineitem(s, dir), "2000-12-01")),
@@ -995,6 +997,19 @@ object SparkEntry {
          |FROM s2 LEFT JOIN s1 ON s1.asset_id = s2.asset_id AND s1.date = s2.date
          |WHERE s1.value IS NULL OR s1.value <> s2.value
          |ORDER BY s2.asset_id, s2.date""".stripMargin,
+    "revision_stats" ->
+      s"""$panelCte,
+         |k AS (
+         |  SELECT asset_id, date, count(*) AS n_rev,
+         |         min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         |  FROM panel GROUP BY asset_id, date)
+         |SELECT asset_id,
+         |  count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN n_rev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_revised_keys,
+         |  CAST(sum(n_rev) - count(*) AS BIGINT) AS n_extra_revisions,
+         |  max(n_rev) AS max_revisions,
+         |  CAST(sum(last_us - first_us) AS DOUBLE) / 1000000.0 AS total_span_s
+         |FROM k GROUP BY asset_id ORDER BY asset_id""".stripMargin,
     "label_centroids" ->
       """WITH x AS (
         |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v

@@ -120,6 +120,28 @@ object AsOf {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** A15 `revision_stats` — knowledge-time churn profile per asset:
+    * how many (asset, date) keys exist, how many were revised, total
+    * extra revisions, the worst key, and the summed first→last
+    * revision span. Everything integer-derived (counts + µs integer
+    * spans / 1e6) → exact in any engine. The vendor-data QA view of
+    * the bitemporal panel (which feeds revise often? how late?).
+    */
+  def revisionStats(panel: DataFrame): DataFrame =
+    panel
+      .groupBy(col("asset_id"), col("date"))
+      .agg(count(lit(1)).as("n_rev"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .groupBy(col("asset_id"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("n_rev") > 1, 1L).otherwise(0L)).as("n_revised_keys"),
+        (sum(col("n_rev")) - count(lit(1))).as("n_extra_revisions"),
+        max(col("n_rev")).as("max_revisions"),
+        (sum(col("last_us") - col("first_us")).cast("double") / lit(1e6)).as("total_span_s"))
+      .orderBy(col("asset_id"))
+
   /** A14 `revision_diff` — bitemporal audit between two knowledge
     * times: for each (asset, date), the value known at `t1` vs at `t2`
     * (t1 < t2), keeping only keys that APPEARED (no revision ≤ t1) or

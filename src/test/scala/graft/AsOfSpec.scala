@@ -78,6 +78,18 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
 
+  test("revision_stats profiles knowledge-time churn per asset") {
+    // asset 0: 3 keys × 3 revisions each (spans 20s, 20s, 15s)
+    val out = AsOf.revisionStats(panel).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a0 = out(0L)
+    assert(a0.getAs[Long]("n_keys") === 3L)
+    assert(a0.getAs[Long]("n_revised_keys") === 3L)
+    assert(a0.getAs[Long]("n_extra_revisions") === 6L)
+    assert(a0.getAs[Long]("max_revisions") === 3L)
+    assert(a0.getAs[Double]("total_span_s") === 20.0 + 20.0 + 15.0)
+  }
+
   test("asof_snapshot shows the panel as known at T") {
     // at ts=12: asset 0 Jan=2.0 (ts10), Feb=11.0 (ts5), Mar=110.0 (ts10);
     // asset 1 Feb=21.0, Mar=220.0, Apr=2100.0 (all their ts≤12 winners)
