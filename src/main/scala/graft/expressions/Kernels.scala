@@ -37,6 +37,10 @@ object Kernels {
 
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
+
+  /** Compiled sequential fold over array<double> — see [[SeqFold]]. */
+  def seqFold(arr: Column, op: String, weight: Double = 0.0): Column =
+    ExpressionUtils.column(SeqFold(ExpressionUtils.expression(arr), op, weight))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.Kernels
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -133,8 +134,8 @@ object Analytics {
       .rowsBetween(-(span - 1), Window.currentRow)
     daily
       .withColumn("arr", collect_list(col("value")).over(frame))
-      .withColumn("s", aggregate(col("arr"), lit(0.0), (acc, x) => acc * lit(w) + x))
-      .withColumn("nw", aggregate(col("arr"), lit(0.0), (acc, _) => acc * lit(w) + lit(1.0)))
+      .withColumn("s", Kernels.seqFold(col("arr"), "horner", w))
+      .withColumn("nw", Kernels.seqFold(col("arr"), "horner_count", w))
       .withColumn("ewma", round(col("s") / col("nw"), 6))
       .select(col("asset_id"), col("date"), col("value"), col("ewma"))
       .orderBy(col("asset_id"), col("date"))
@@ -458,7 +459,7 @@ object Analytics {
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
         s => s("ret")).as("marr"))
       .select(col("date"),
-        round(foldSum(col("marr"), identity) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
     val n = col("n")
@@ -469,10 +470,10 @@ object Analytics {
       .withColumn("rp", collect_list(col("ret") * col("mkt_ret")).over(frame))
       .withColumn("n", size(col("ra")).cast("double"))
       .filter(n >= 2)
-      .withColumn("sa", foldSum(col("ra"), identity))
-      .withColumn("sm", foldSum(col("rm"), identity))
-      .withColumn("sp", foldSum(col("rp"), identity))
-      .withColumn("sm2", foldSum(col("rm"), x => x * x))
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sm2", foldSumSq(col("rm")))
       .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
       .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
         when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
@@ -501,7 +502,7 @@ object Analytics {
       .filter(col("k") >= 1)
       .withColumn("tail", slice(col("ra"), lit(1), col("k")))
       .withColumn("var", element_at(col("tail"), col("k")))
-      .withColumn("cvar", round(foldSum(col("tail"), identity) / col("k").cast("double"), 6))
+      .withColumn("cvar", round(foldSum(col("tail")) / col("k").cast("double"), 6))
       .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
         col("k").cast("long").as("n_tail"), col("var"), col("cvar"))
       .orderBy(col("asset_id"))
@@ -558,8 +559,8 @@ object Analytics {
         s => s("ret")).as("ra"))
       .withColumn("n", size(col("ra")).cast("double"))
       .filter(n >= 2)
-      .withColumn("s", foldSum(col("ra"), identity))
-      .withColumn("s2", foldSum(col("ra"), x => x * x))
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("s2", foldSumSq(col("ra")))
       .withColumn("mean_ret", col("s") / n)
       .withColumn("sd", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
       .withColumn("sharpe", round(col("mean_ret") /
@@ -590,11 +591,14 @@ object Analytics {
       .withColumn("xa", slice(col("ra"), lit(1), col("m") - 1))
       .withColumn("ya", slice(col("ra"), lit(2), col("m") - 1))
       .withColumn("n", (col("m") - 1).cast("double"))
-      .withColumn("sx", foldSum(col("xa"), identity))
-      .withColumn("sy", foldSum(col("ya"), identity))
-      .withColumn("sxy", foldSum(zip_with(col("xa"), col("ya"), (a, b) => a * b), identity))
-      .withColumn("sx2", foldSum(col("xa"), x => x * x))
-      .withColumn("sy2", foldSum(col("ya"), x => x * x))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      // Σ xᵢ·yᵢ: DotProduct accumulates `s += x·y` left-to-right from
+      // 0.0 — the identical op sequence the zip_with+fold form ran, so
+      // the oracle's list_reduce replay still matches bit-for-bit.
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
       .withColumn("den",
         sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
           sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
@@ -628,13 +632,13 @@ object Analytics {
     val byDate = rets
       .groupBy(col("date"))
       .agg(array_sort(collect_list(struct(col("asset_id"), col("wr")))).as("h"))
-      .withColumn("port_ret", round(foldSum(transform(col("h"), s => s("wr")), identity), 6))
+      .withColumn("port_ret", round(foldSum(transform(col("h"), s => s("wr"))), 6))
       .select(col("date"), col("port_ret"))
     val navFrame = Window.orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDate
       .withColumn("navarr", collect_list(col("port_ret")).over(navFrame))
-      .withColumn("nav", round(aggregate(col("navarr"), lit(1.0), (acc, r) => acc * (lit(1.0) + r)), 6))
+      .withColumn("nav", round(Kernels.seqFold(col("navarr"), "prod1p"), 6))
       .select(col("date"), col("port_ret"), col("nav"))
       .orderBy(col("date"))
   }
@@ -697,13 +701,14 @@ object Analytics {
       .agg(array_sort(collect_list(struct(col("date"), col("ra"), col("rb")))).as("h"))
       .withColumn("ras", transform(col("h"), s => s("ra")))
       .withColumn("rbs", transform(col("h"), s => s("rb")))
-      .withColumn("rps", transform(col("h"), s => s("ra") * s("rb")))
       .withColumn("n", size(col("h")).cast("double"))
-      .withColumn("sa", foldSum(col("ras"), identity))
-      .withColumn("sb", foldSum(col("rbs"), identity))
-      .withColumn("sab", foldSum(col("rps"), identity))
-      .withColumn("sa2", foldSum(col("ras"), x => x * x))
-      .withColumn("sb2", foldSum(col("rbs"), x => x * x))
+      .withColumn("sa", foldSum(col("ras")))
+      .withColumn("sb", foldSum(col("rbs")))
+      // Σ ra·rb compiled — same left-to-right mul/add sequence the
+      // transform+fold form produced, so the oracle replay is unchanged.
+      .withColumn("sab", Kernels.dot(col("ras"), col("rbs")))
+      .withColumn("sa2", foldSumSq(col("ras")))
+      .withColumn("sb2", foldSumSq(col("rbs")))
       .withColumn("den",
         sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
           sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
@@ -744,14 +749,18 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
-  /** Sequential left fold `Σ f(x)` over a frame-ordered array — the
+  /** Sequential left folds `Σx` / `Σx²` over a frame-ordered array — the
     * ewma bit-exactness trick generalized: both engines run the
     * identical add sequence over the identical element order, so plain
     * double sums match bit-for-bit with no decimal machinery (DuckDB
     * side: `list_reduce(list_prepend(0.0, arr), (a,x) -> a + f(x))`).
+    * Runs compiled ([[graft.expressions.SeqFold]]) — the HOF
+    * `aggregate` form computed the same fold interpreted per element
+    * and dropped the projection out of whole-stage codegen, a measured
+    * 5-10× CPU tax on the frame-fold queries.
     */
-  private def foldSum(arr: Column, f: Column => Column): Column =
-    aggregate(arr, lit(0.0), (a, x) => a + f(x))
+  private def foldSum(arr: Column): Column = Kernels.seqFold(arr, "sum")
+  private def foldSumSq(arr: Column): Column = Kernels.seqFold(arr, "sumsq")
 
   /** B21 `rolling_vol` — N-day rolling volatility: sample stddev of the
     * daily returns over a row-bounded frame. Σx and Σx² are sequential
@@ -774,8 +783,8 @@ object Analytics {
       .withColumn("arr", collect_list(col("ret")).over(frame))
       .withColumn("n", size(col("arr")).cast("double"))
       .filter(n >= 2)
-      .withColumn("s", foldSum(col("arr"), identity))
-      .withColumn("s2", foldSum(col("arr"), x => x * x))
+      .withColumn("s", foldSum(col("arr")))
+      .withColumn("s2", foldSumSq(col("arr")))
       .withColumn("vol", round(sqrt(greatest(
         (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))), 6))
       .select(col("asset_id"), col("date"), col("ret"), col("vol"))
@@ -796,8 +805,8 @@ object Analytics {
       .withColumn("arr", collect_list(col("value")).over(frame))
       .withColumn("n", size(col("arr")).cast("double"))
       .filter(n >= 2)
-      .withColumn("s", foldSum(col("arr"), identity))
-      .withColumn("s2", foldSum(col("arr"), x => x * x))
+      .withColumn("s", foldSum(col("arr")))
+      .withColumn("s2", foldSumSq(col("arr")))
       .withColumn("mid", col("s") / n)
       .withColumn("sd", sqrt(greatest(
         (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
@@ -828,12 +837,10 @@ object Analytics {
       .filter(col("ret").isNotNull)
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(span - 1), Window.currentRow)
-    val fold = (f: Column => Column) =>
-      aggregate(col("arr"), lit(0.0), (a, x) => a * lit(wilder) + f(x))
     rets
       .withColumn("arr", collect_list(col("ret")).over(frame))
-      .withColumn("ag", fold(x => greatest(x, lit(0.0))))
-      .withColumn("al", fold(x => greatest(-x, lit(0.0))))
+      .withColumn("ag", Kernels.seqFold(col("arr"), "horner_pos", wilder))
+      .withColumn("al", Kernels.seqFold(col("arr"), "horner_neg", wilder))
       .withColumn("rsi", round(
         when(col("al") === 0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))), 4))
@@ -857,8 +864,7 @@ object Analytics {
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(span - 1), Window.currentRow)
     def ew(arr: Column, weight: Double): Column =
-      aggregate(arr, lit(0.0), (a, x) => a * lit(weight) + x) /
-        aggregate(arr, lit(0.0), (a, _) => a * lit(weight) + lit(1.0))
+      Kernels.seqFold(arr, "horner", weight) / Kernels.seqFold(arr, "horner_count", weight)
     val sigFrame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(signal * 4 - 1), Window.currentRow)
     daily
@@ -890,8 +896,8 @@ object Analytics {
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("value")))),
         s => s("value")).as("arr"))
       .withColumn("n", size(col("arr")).cast("double"))
-      .withColumn("s", foldSum(col("arr"), identity))
-      .withColumn("s2", foldSum(col("arr"), x => x * x))
+      .withColumn("s", foldSum(col("arr")))
+      .withColumn("s2", foldSumSq(col("arr")))
       .withColumn("mu", col("s") / n)
       .withColumn("sd", sqrt(greatest(
         (n * col("s2") - col("s") * col("s")) / (n * when(n === 1, lit(null)).otherwise(n - 1)),
@@ -928,7 +934,7 @@ object Analytics {
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
         s => s("ret")).as("marr"))
       .select(col("date"),
-        round(foldSum(col("marr"), identity) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
     val joined = rets.select(col("asset_id"), col("date"), col("ret"))
       .join(broadcast(mkt), Seq("date"))
     val n = col("n")
@@ -939,10 +945,10 @@ object Analytics {
       .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
       .withColumn("rp", transform(col("h"), s => s("ret") * s("mkt_ret")))
       .withColumn("n", size(col("ra")).cast("double"))
-      .withColumn("sa", foldSum(col("ra"), identity))
-      .withColumn("sm", foldSum(col("rm"), identity))
-      .withColumn("sp", foldSum(col("rp"), identity))
-      .withColumn("sm2", foldSum(col("rm"), x => x * x))
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sm2", foldSumSq(col("rm")))
       .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
       .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
         when(col("den") === 0, lit(null)).otherwise(col("den")), 6))

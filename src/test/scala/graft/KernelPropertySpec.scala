@@ -2,6 +2,7 @@ package graft
 
 import scala.util.Random
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -72,6 +73,43 @@ class KernelPropertySpec extends SparkSpec {
       assert(row.getLong(0) === row.getLong(1))
       assert(row.getLong(0) === row.getLong(2))
     }
+  }
+
+  test("seq_fold matches the interpreted aggregate() HOF bit-for-bit, every op") {
+    import graft.expressions.Kernels.seqFold
+    val w = 13.0 / 14.0
+    // HOF reference forms — exactly what the analytics used before the
+    // compiled kernel. Bitwise equality (doubleToLongBits) is the
+    // contract: the driver's hash compare sees the same bytes.
+    val hof: Map[String, Column => Column] = Map(
+      "sum" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x)),
+      "sumsq" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x * x)),
+      "horner" -> (a => aggregate(a, lit(0.0), (acc, x) => acc * lit(w) + x)),
+      "horner_count" -> (a => aggregate(a, lit(0.0), (acc, _) => acc * lit(w) + lit(1.0))),
+      "horner_pos" -> (a => aggregate(a, lit(0.0), (acc, x) => acc * lit(w) + greatest(x, lit(0.0)))),
+      "horner_neg" -> (a => aggregate(a, lit(0.0), (acc, x) => acc * lit(w) + greatest(-x, lit(0.0)))),
+      "prod1p" -> (a => aggregate(a, lit(1.0), (acc, x) => acc * (lit(1.0) + x))))
+    val arrays = (0 to 25).map(i => Tuple1(vec(i * 5))) :+ Tuple1(Array.empty[Double])
+    val df = arrays.toDF("arr")
+    hof.foreach { case (op, ref) =>
+      val rows = df.select(
+        seqFold($"arr", op, w).as("kernel"), ref($"arr").as("hof")).collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"op=$op")
+      }
+    }
+  }
+
+  test("seq_fold null contract: null element poisons x-ops, horner_count ignores x") {
+    import graft.expressions.Kernels.seqFold
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("arr")
+      .select(seqFold($"arr".cast("array<double>"), "sum").as("s"),
+        seqFold($"arr".cast("array<double>"), "horner_count", 0.5).as("nw"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0))
+    // 3 weight steps at w=0.5: ((0·½+1)·½+1)·½+1 = 1.75, nulls included
+    assert(r.getDouble(1) === 1.75)
   }
 
   test("lsh bucket is scale-invariant (positive scalar) and flips for negation") {
