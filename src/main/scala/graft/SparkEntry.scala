@@ -204,6 +204,13 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
+    // The declared 100 TB near-dup path (banded LSH recall + exact
+    // verify). The oracle replays the banding EXACTLY (PortableHash
+    // buckets → band slices → bucket join), so recall quality is
+    // irrelevant to the check: whatever subset the bands recall, DuckDB
+    // recalls the identical subset and verifies the identical cosines.
+    "lsh_verified_pairs" -> ((s, dir) =>
+      Similarity.lshVerifiedNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = Ivf.train(emb, k = 8, iters = 3)
@@ -975,6 +982,42 @@ object SparkEntry {
         |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT vec_id, bucket FROM b ORDER BY vec_id""".stripMargin,
+    // Full replay of the banded-LSH near-dup path: the bucket fold is
+    // ann_lsh's (integer-portable, exact), bands are 4-bit slices of the
+    // bucket, candidates share a (band, slice), and each candidate's
+    // cosine verifies like dedup_embedding's (round(3) absorbs the
+    // ratio-vs-normalized FP difference, proven by that oracle).
+    "lsh_verified_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(range(1, len(v) + 1),
+        |             i -> v[i] * (CASE WHEN (i * 2654435761 + (j + 1) * 1013904223) % 2147483647 % 2 = 0
+        |                               THEN 1.0 ELSE -1.0 END))),
+        |           (a, x) -> a + x) AS s
+        |  FROM v CROSS JOIN range(16) r(j)),
+        |bk AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |bands AS (
+        |  SELECT vec_id, bi AS band_id, (bucket >> CAST(bi * 4 AS INTEGER)) & 15 AS band_bucket
+        |  FROM bk CROSS JOIN range(4) r(bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_bucket = b.band_bucket AND a.vec_id < b.vec_id),
+        |t AS (
+        |  SELECT c.id_a, c.id_b,
+        |         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.id_a
+        |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+        |cz AS (
+        |  SELECT id_a, id_b, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  FROM t GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, cos FROM cz WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "asof_snapshot" ->
       s"""$panelCte
          |SELECT asset_id, date, ts, value FROM (
