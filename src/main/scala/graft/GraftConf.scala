@@ -14,6 +14,14 @@ object GraftConf {
     // ~10⁴+ shingles per task. Memory stays bounded: posting keys are
     // short shingles, values df-capped id lists.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    // Bucketed scans report their sortBy ordering only behind this flag
+    // (off by default since 3.1 because the one-file-per-bucket check
+    // costs a listing). TickStore.writeBucketedTable GUARANTEES one
+    // file per bucket (repartition by the bucket hash before write), so
+    // the check always passes and consumers whose required ordering
+    // matches the sortBy — the native as-of merge above all — elide
+    // their Sort entirely, not just their Exchange.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark
   }
 }

@@ -60,13 +60,21 @@ object TickStore {
     * only shuffle from every panel⨝panel operation.
     */
   def writeBucketedTable(panel: DataFrame, table: String, path: String,
-                         buckets: Int = 8): Unit =
-    panel.write
+                         buckets: Int = 8,
+                         sortCols: Seq[String] = Seq("asset_id", "date", "ts")): Unit =
+    panel
+      // One task per bucket (repartition hash == bucketing hash, both
+      // HashPartitioning on the column) ⇒ exactly one file per bucket,
+      // the layout where the scan also reports the sortBy ORDER — so a
+      // consumer requiring (asset_id, ts…) ordering elides its Sort,
+      // not just its Exchange.
+      .repartition(buckets, col("asset_id"))
+      .write
       .mode("overwrite")
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, "asset_id")
-      .sortBy("asset_id", "date", "ts")
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(table)
 
   /** Incremental compaction — the background "merge" a log-structured

@@ -86,6 +86,32 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(bucketed === unbucketed)
   }
 
+  test("join-key-sorted buckets elide the Sort as well: pure zipPartitions merge") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("asset_id"), col("ts"), col("event_id").as("seq"), col("value"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("asset_id"), col("ts"), col("event_id").as("seq"),
+        col("value").as("rvalue"))
+    val base = java.nio.file.Files.createTempDirectory("buckets_sorted").toString
+    spark.sql("DROP TABLE IF EXISTS ts_purchases")
+    spark.sql("DROP TABLE IF EXISTS ts_views")
+    graft.sources.TickStore.writeBucketedTable(p, "ts_purchases", s"$base/p",
+      buckets = 4, sortCols = Seq("asset_id", "ts", "seq"))
+    graft.sources.TickStore.writeBucketedTable(v, "ts_views", s"$base/v",
+      buckets = 4, sortCols = Seq("asset_id", "ts", "seq"))
+
+    val joined = AsOfJoinNative(
+      spark.table("ts_purchases"), spark.table("ts_views"), "asset_id", "ts", "rvalue")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // one file per bucket + sortBy on the join key: the scan reports
+    // the ordering, EnsureRequirements inserts NO Sort — the exec is a
+    // bare merge over the scans, the zero-overhead 100 TB shape.
+    assert(!plan.contains("Sort ["), plan)
+  }
+
   test("plan shows the custom exec with planner-provided exchange and sort") {
     val left = Seq((1L, ts(10), 1L, 1.0)).toDF("user_id", "ts", "seq", "value")
     val right = Seq((1L, ts(5), 1L, 9.0)).toDF("user_id", "ts", "seq", "rvalue")
