@@ -158,6 +158,15 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.events(s, dir), 3)),
     "sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800.0)),
+    // Two-phase salted aggregation over the hottest key in the data
+    // (event_type: a handful of values over the whole events table —
+    // exactly the shape where one reducer otherwise absorbs a full
+    // key). The oracle is the PLAIN rollup: salting must be
+    // semantically invisible (decimal partial sums make the two-phase
+    // total order-insensitive and engine-exact).
+    "salted_rollup" -> ((s, dir) =>
+      Skew.saltedCountSum(Tables.events(s, dir), Seq("event_type"), "event_id", "value")
+        .orderBy(col("event_type"))),
     "quantiles" -> ((s, dir) =>
       Analytics.quantiles(Tables.events(s, dir))),
     "gap_fill" -> ((s, dir) =>
@@ -630,6 +639,13 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rk
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    // The plain (unsalted) rollup — the salted two-phase plan must
+    // produce exactly this.
+    "salted_rollup" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
