@@ -275,4 +275,70 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("funnel late-data contract: arrival order is binding, batch replay diverges") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{FunnelEvent, FunnelProgress}
+    val stages = Seq("signup", "purchase")
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_late_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // the stage-2 event arrives FIRST (its producer was fast) …
+      input.addData(FunnelEvent(1L, ts(200), 2L, "purchase"))
+      q.processAllAvailable()
+      // … the stage-1 event is late by a full micro-batch
+      input.addData(FunnelEvent(1L, ts(100), 1L, "signup"))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_late_sink").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, ps) => u -> ps.map(_.stage_reached).max }
+      // arrival-ordered: the purchase is consumed before signup opens
+      // the funnel, and a late event cannot retro-advance — stage 1.
+      assert(streamed === Map(1L -> 1))
+
+      // batch `funnel_stages` replays in EVENT-TIME order and sees the
+      // full depth — the documented divergence, executable.
+      val batchEvents = Seq(
+        (1L, ts(200), 2L, "purchase"), (1L, ts(100), 1L, "signup"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = graft.operators.Analytics.funnelStages(batchEvents, stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch === Map(2L -> 1L)) // the one user reached stage 2
+    } finally q.stop()
+  }
+
+  test("pack late-data contract: greedy arrival packing vs batch cumsum straddling") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{PackDoc, Packed}
+    val input = MemoryStream[PackDoc]
+    val q = StreamingOps.packStream(input.toDS(), budget = 10)
+      .writeStream.format("memory").queryName("pack_late_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(PackDoc(10L, 0, 6L), PackDoc(11L, 0, 4L)) // pack0 filled to exactly 10
+      q.processAllAvailable()
+      input.addData(PackDoc(1L, 0, 6L)) // late doc with the SMALLEST id
+      q.processAllAvailable()
+      val streamed = spark.table("pack_late_sink").as[Packed].collect()
+        .map(p => p.doc_id -> p.pack_id).toMap
+      // arrival-ordered greedy: the late doc opens pack 1; ids never re-sort
+      assert(streamed === Map(10L -> 0L, 11L -> 0L, 1L -> 1L))
+
+      // batch doc_pack is doc_id-ordered cumulative division over the
+      // same corpus — a genuinely different (and straddling) assignment.
+      val texts = Map(1L -> 6, 10L -> 6, 11L -> 4).map { case (id, n) =>
+        (id, (1 to n).map(i => s"w$i").mkString(" "))
+      }.toSeq
+      val batch = graft.operators.Pipeline.docPack(
+        texts.toDF("doc_id", "text"), budget = 10, shards = 1)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+      assert(batch === Map(1L -> 0L, 10L -> 1L, 11L -> 1L))
+      assert(batch !== streamed)
+    } finally q.stop()
+  }
 }
