@@ -48,6 +48,12 @@ object SparkEntry {
     */
   private val jaccardPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Media-parquet path per (session, sfDir) — written once, scanned by
+    * every multimodal_meta run (see the query's comment).
+    */
+  private val mediaTablePath =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     jaccardPairsMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)
@@ -297,8 +303,17 @@ object SparkEntry {
         col("doc_id"),
         TextFns.normFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
-    "multimodal_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(Tables.documents(s, dir))),
+    // Materializes the binary media corpus once per session+dir, then
+    // reads the PARQUET BINARY column back — the meta numbers witness a
+    // genuine binary round trip, not a text proxy.
+    "multimodal_meta" -> ((s, dir) => {
+      val path = mediaTablePath.computeIfAbsent((s, dir), { _ =>
+        val p = java.nio.file.Files.createTempDirectory("media").toString + "/media"
+        Multimodal.writeMediaTable(Tables.documents(s, dir), p)
+        p
+      })
+      Multimodal.mediaMeta(s.read.parquet(path))
+    }),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -803,10 +818,13 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Payload = 4-byte modality magic + UTF-8 content bytes; DuckDB
+    // counts content bytes via octet_length(text::BLOB) (UTF-8 encode),
+    // matching Spark's cast-to-binary exactly.
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks,
+        |  CAST(octet_length(CAST(text AS BLOB)) + 4 AS BIGINT) AS n_bytes,
+        |  CAST(ceil((octet_length(CAST(text AS BLOB)) + 4) / 256.0) AS BIGINT) AS n_chunks,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,

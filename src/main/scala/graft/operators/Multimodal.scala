@@ -1,13 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; heavy decode work runs
   * per-partition in batches.
   *
-  * The decode kernel itself is STUBBED (this container has no media
+  * The payload is a GENUINE binary column — a per-modality magic header
+  * (non-UTF8 bytes, e.g. PNG's \x89PNG) prepended to the content bytes —
+  * written to parquet as BINARY ([[writeMediaTable]]), so the at-rest
+  * format, schema, and scan path are exactly what a real media corpus
+  * uses. Only the decode KERNEL is stubbed (this container has no media
   * libraries): [[StubDecoder.decode]] produces deterministic fake
   * metadata from the bytes. Everything Spark-side — schema, typed
   * Dataset plumbing, per-partition batching, partition sizing — is real
@@ -22,6 +26,16 @@ object Multimodal {
   /** Decoded features (what a real image/audio decoder would emit). */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** 4-byte modality magics — real container signatures (PNG / RIFF /
+    * MPEG-PS pack header), so the payloads are unambiguously NOT text
+    * and a future real decoder can sniff them.
+    */
+  val Magic: Map[String, Array[Byte]] = Map(
+    "image" -> Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+    "audio" -> Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte),
+    "video" -> Array(0x00.toByte, 0x00.toByte, 0x01.toByte, 0xBA.toByte))
+  val MagicLen = 4
 
   /** Deterministic fake decoder standing in for libjpeg/ffmpeg/etc.
     * Real system: replace the body, keep the signature — it consumes a
@@ -40,21 +54,32 @@ object Multimodal {
       }
   }
 
-  /** Build a media table from `documents`: UTF-8 bytes as the opaque
-    * payload (a stand-in for image bytes), `source` as the modality tag.
+  private def kindOf(id: Column): Column =
+    when(id % 3 === 0, "image").when(id % 3 === 1, "audio").otherwise("video")
+
+  /** Build a media table from `documents`: the content bytes behind a
+    * real container magic, as a true `binary` payload.
     */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val magic = when(col("doc_id") % 3 === 0, lit(Magic("image")))
+      .when(col("doc_id") % 3 === 1, lit(Magic("audio")))
+      .otherwise(lit(Magic("video")))
     documents.select(
       col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      col("text").cast("binary").as("payload"),
-      octet_length(col("text")).cast("long").as("n_bytes"))
+      kindOf(col("doc_id")).as("kind"),
+      concat(magic, col("text").cast("binary")).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .as[MediaRecord]
   }
+
+  /** Materialize the media corpus as parquet — payload lands as a real
+    * BINARY column (verified in the spec), the at-rest shape every
+    * downstream decode/feature job scans.
+    */
+  def writeMediaTable(documents: DataFrame, path: String): Unit =
+    mediaFromDocuments(documents).write.mode("overwrite").parquet(path)
 
   /** The decode pipeline: typed Dataset → per-partition batch decode.
     * `mapPartitions` (not `map`) so a real decoder initializes once per
@@ -69,17 +94,17 @@ object Multimodal {
   }
 
   /** C12 `multimodal_meta` — the SQL-checkable face of the pipeline:
-    * payload byte accounting + fixed-size chunk counts (how many 256-byte
-    * tiles a decoder would touch). Oracle-friendly (pure arithmetic on
-    * byte lengths).
+    * byte accounting OVER THE BINARY PAYLOAD ITSELF (header + content)
+    * plus fixed-size chunk counts (how many 256-byte tiles a decoder
+    * would touch). Input is the materialized media table
+    * ([[writeMediaTable]]), so the numbers witness a genuine
+    * binary-column round trip through parquet.
     */
-  def mediaMeta(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      octet_length(col("text")).cast("long").as("n_bytes"),
-      ceil(octet_length(col("text")) / lit(256.0)).cast("long").as("n_chunks"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"))
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id").as("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      ceil(octet_length(col("payload")) / lit(256.0)).cast("long").as("n_chunks"),
+      col("kind"))
       .orderBy(col("doc_id"))
 }

@@ -292,4 +292,30 @@ class SourcesSpec extends SparkSpec {
     assert(feats1.forall(f => f.width >= 1 && f.width <= 1920 && f.height >= 1 && f.height <= 1080))
     assert(feats1.filter(_.kind == "video").forall(_.n_frames >= 1))
   }
+
+  test("media table round-trips a genuine BINARY payload through parquet") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val path = Files.createTempDirectory("media").toString + "/media"
+    Multimodal.writeMediaTable(docs, path)
+
+    val back = spark.read.parquet(path)
+    // at rest: a real binary column, not a string
+    assert(back.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // every payload opens with its modality's magic (non-UTF8 container
+    // signatures) and carries header + content bytes
+    val rows = back.collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(payload.take(4).toSeq === Multimodal.Magic(kind).toSeq, s"magic for $kind")
+      assert(r.getAs[Long]("n_bytes") === payload.length.toLong)
+    }
+    // the decode pipeline runs off the parquet-read table unchanged
+    val spark0 = spark
+    import spark0.implicits._
+    val feats = Multimodal.decodePipeline(back.as[Multimodal.MediaRecord], 2).collect()
+    assert(feats.length === 30)
+  }
 }
