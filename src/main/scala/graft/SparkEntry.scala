@@ -92,6 +92,18 @@ object SparkEntry {
       KeyValue.insertStrict(p, dups.unionByName(newRow))
         .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
     }),
+    // Mutate-and-return semantics (mem.rs update/delete return the old
+    // value): the displaced LWW value per touched key, NULL for new keys.
+    "upsert_returning" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Seq((1L, "2024-01-05", 50.0), (2L, "2024-01-10", 60.0),
+        (999L, "2024-06-01", 1.0))
+        .toDF("asset_id", "d", "new_value")
+        .select(col("asset_id"), col("d").cast("date").as("date"), col("new_value"))
+      KeyValue.upsertReturning(Tables.panel(s, dir), batch)
+    }),
+    "delete_returning" -> ((s, dir) =>
+      KeyValue.deleteReturning(Tables.panel(s, dir), deleteKeySet(s))),
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -538,6 +550,26 @@ object SparkEntry {
          |SELECT p.asset_id, p.date, p.ts, p.value, p.seq FROM panel p
          |WHERE NOT EXISTS (SELECT 1 FROM dk WHERE dk.asset_id = p.asset_id AND dk.date = p.date)
          |ORDER BY p.asset_id, p.date, p.ts, p.seq""".stripMargin,
+    "upsert_returning" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |b(asset_id, date, new_value) AS (VALUES
+         |  (1, DATE '2024-01-05', 50.0), (2, DATE '2024-01-10', 60.0),
+         |  (999, DATE '2024-06-01', 1.0))
+         |SELECT CAST(b.asset_id AS BIGINT) AS asset_id, b.date,
+         |       CAST(b.new_value AS DOUBLE) AS new_value, d.value AS old_value
+         |FROM b LEFT JOIN daily d ON d.asset_id = b.asset_id AND d.date = b.date
+         |ORDER BY b.asset_id, b.date""".stripMargin,
+    "delete_returning" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |dk(asset_id, date) AS (VALUES
+         |  (1, DATE '2024-01-05'), (2, DATE '2024-01-10'),
+         |  (3, DATE '2024-01-15'), (5, DATE '2024-01-20'))
+         |SELECT d.asset_id, d.date, d.value AS old_value
+         |FROM daily d
+         |WHERE EXISTS (SELECT 1 FROM dk WHERE dk.asset_id = d.asset_id AND dk.date = d.date)
+         |ORDER BY d.asset_id, d.date""".stripMargin,
     "insert_strict" ->
       s"""$panelCte,
          |dups AS (SELECT * FROM panel WHERE asset_id = 1 ORDER BY ts, seq LIMIT 3),

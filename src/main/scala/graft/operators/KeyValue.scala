@@ -79,6 +79,37 @@ object KeyValue {
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
       .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
 
+  /** A5b `upsert_returning` — the mutate-and-return face of update
+    * (reference src/btree/mem.rs:433 `update` returns `Option<old>`):
+    * for each batch key, the value it displaces — the LWW-current
+    * revision — or NULL when the key is new (update's `None`, i.e. a
+    * plain insert). The panel itself is immutable under the bitemporal
+    * model; this is the audit stream an updater consumes.
+    *
+    * Scale shape: the batch's key set broadcasts as a semi-join filter
+    * BEFORE the LWW window, so the panel scan prunes to the touched
+    * keys and the window runs over a batch-sized remnant — never a
+    * full-panel shuffle. `batch`: (asset_id, date, new_value).
+    */
+  def upsertReturning(panel: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = batch.select(col("asset_id"), col("date"))
+    val current = lwwDaily(panel.join(broadcast(keys), Seq("asset_id", "date"), "left_semi"))
+      .select(col("asset_id"), col("date"), col("value").as("old_value"))
+    batch.join(current, Seq("asset_id", "date"), "left")
+      .select(col("asset_id"), col("date"), col("new_value"), col("old_value"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** A6b `delete_returning` — mem.rs:439 `delete` returns `Option<old>`:
+    * the LWW-current value of every deleted key at deletion time (keys
+    * absent from the panel return nothing, delete's `None`). Same
+    * pruned-scan shape as [[upsertReturning]].
+    */
+  def deleteReturning(panel: DataFrame, keys: DataFrame): DataFrame =
+    lwwDaily(panel.join(broadcast(keys), Seq("asset_id", "date"), "left_semi"))
+      .select(col("asset_id"), col("date"), col("value").as("old_value"))
+      .orderBy(col("asset_id"), col("date"))
+
   /** A11 `insert_strict` — batch insert that REJECTS rows whose
     * composite key already exists (reference src/btree/mem.rs:92-99
     * `InsertResult::Duplicate`): anti-join the batch against existing

@@ -76,4 +76,22 @@ class KeyValueSpec extends SparkSpec {
     assert(r.getAs[Int]("date_int") === 20240101)      // 2024-01-01 UTC
     assert(r.getAs[Long]("epoch_s") === 1704067207L)   // floor to seconds
   }
+
+  test("upsert_returning surfaces the displaced LWW value, NULL for a new key — mem.rs update -> Option<old>") {
+    val batch = Seq((1L, "2024-01-01", 999.0), (9L, "2024-02-01", 5.0))
+      .map { case (a, dt, v) => (a, d(dt), v) }
+      .toDF("asset_id", "date", "new_value")
+    val out = KeyValue.upsertReturning(panel, batch).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    // (1, 01-01) displaces the revision winner 101.0; key 9 is an insert (None)
+    assert(out === Map(1L -> Some(101.0), 9L -> None))
+  }
+
+  test("delete_returning yields the live value per deleted key, nothing for absent keys — mem.rs delete -> Option<old>") {
+    val keys = Seq((1L, "2024-01-01"), (3L, "2024-01-02"), (8L, "2024-03-01"))
+      .map { case (a, dt) => (a, d(dt)) }.toDF("asset_id", "date")
+    val out = KeyValue.deleteReturning(panel, keys).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 101.0), (3L, 300.0))) // key 8 absent -> no row
+  }
 }
