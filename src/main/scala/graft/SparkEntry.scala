@@ -278,6 +278,18 @@ object SparkEntry {
     // recalls the identical subset and verifies the identical cosines.
     "lsh_verified_pairs" -> ((s, dir) =>
       Similarity.lshVerifiedNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    // Bucket-local ANN where BOTH sides are the full corpus (the
+    // every-vector-is-a-query shape): candidates share an LSH bucket,
+    // ranked by exact cosine within it. Oracle replays buckets + ranks.
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), dim = 64, planes = 16, k = 5)),
+    // Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    // min rolling hash per window of k-gram hashes. Integer-modular
+    // arithmetic end to end → DuckDB replays every hash exactly.
+    "doc_winnowing" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.winnowing(col("text"), 8, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = Ivf.train(emb, k = 8, iters = 3)
@@ -1099,6 +1111,58 @@ object SparkEntry {
         |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id)
         |SELECT vec_id, bucket FROM b ORDER BY vec_id""".stripMargin,
+    // Bucket replay (ann_lsh's fold) + bucket-equality candidates +
+    // dedup_embedding-style cosine + rank — the full lshTopK replay.
+    "ann_lsh_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(range(1, len(v) + 1),
+        |             i -> v[i] * (CASE WHEN (i * 2654435761 + (j + 1) * 1013904223) % 2147483647 % 2 = 0
+        |                               THEN 1.0 ELSE -1.0 END))),
+        |           (a, x) -> a + x) AS s
+        |  FROM v CROSS JOIN range(16) r(j)),
+        |bk AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |t AS (
+        |  SELECT c.q_id, c.vec_id,
+        |         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.q_id
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_id),
+        |cz AS (
+        |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  FROM t GROUP BY q_id, vec_id)
+        |SELECT q_id, rank, vec_id, cos FROM (
+        |  SELECT q_id, vec_id, cos,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM cz) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // k-gram rolling hashes: (acc·1000003 + codepoint) mod 1e9+7 —
+    // linear-arithmetic list_reduce (safe: the DuckDB fold bug hits
+    // only branching lambdas), then per-window list minima, distinct.
+    "doc_winnowing" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text) - 7 + 1),
+        |      i -> list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(range(0, 8),
+        |                 j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+        |             (acc, c) -> (acc * 1000003 + c) % 1000000007)) AS h
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(h) - 3 + 1),
+        |      i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fps
+        |  FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin,
     // Full replay of the banded-LSH near-dup path: the bucket fold is
     // ann_lsh's (integer-portable, exact), bands are 4-bit slices of the
     // bucket, candidates share a (band, slice), and each candidate's

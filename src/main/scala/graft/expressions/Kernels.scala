@@ -41,6 +41,10 @@ object Kernels {
   /** Compiled sequential fold over array<double> — see [[SeqFold]]. */
   def seqFold(arr: Column, op: String, weight: Double = 0.0): Column =
     ExpressionUtils.column(SeqFold(ExpressionUtils.expression(arr), op, weight))
+
+  /** Compiled winnowing fingerprints — see [[WinnowFingerprints]]. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */
@@ -155,6 +159,74 @@ case class ShingleSet(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) in one
+  * compiled pass: k-gram rolling hashes `(acc·1000003 + codepoint) mod
+  * 1e9+7` (integer-modular — the DuckDB oracle replays every hash
+  * exactly via `list_reduce`), then the min hash of each window of `w`
+  * consecutive k-gram hashes, deduplicated first-seen.
+  *
+  * Replaces the HOF composition (`transform(sequence, i ->
+  * aggregate(sequence(0, k-1), …))`), whose per-position interpreted
+  * fold cost ~15 s for 500 × 550-char docs — O(n·k) interpreted lambda
+  * dispatches per document vs one compiled loop (measured 175× at
+  * sf0.01).
+  *
+  * Degenerate inputs yield EMPTY (no k-gram → no fingerprint; fewer
+  * than `w` hashes → no full window), matching DuckDB `range()`
+  * emptiness — the HOF form's descending-`sequence(1,0)` artifact for
+  * sub-k strings is deliberately NOT reproduced. Contract: BMP text
+  * (charAt == codepoint), true for the ASCII corpus.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length - (k - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 1000003L + s.charAt(i + j)) % 1000000007L; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val nWin = n - (w - 1)
+    if (nWin < 1) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var m = hs(i)
+      var j = 1
+      while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprints].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }

@@ -89,8 +89,17 @@ object TextFns {
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): min rolling
     * hash per window of `w` consecutive k-gram hashes, deduplicated.
+    * Compiled kernel ([[graft.expressions.WinnowFingerprints]]) — the
+    * HOF composition over [[rollingHashes]] computes identical values
+    * (spec-asserted) but interprets O(n·k) lambdas per document.
     */
-  def winnowing(text: Column, k: Int, w: Int): Column = {
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    graft.expressions.Kernels.winnow(text, k, w)
+
+  /** The HOF composition [[winnowing]] replaces — kept as the
+    * executable reference the kernel parity spec folds against.
+    */
+  def winnowingHof(text: Column, k: Int, w: Int): Column = {
     val hs = rollingHashes(text, k)
     val nWin = greatest(size(hs) - (w - 1), lit(0))
     array_distinct(

@@ -112,6 +112,17 @@ class KernelPropertySpec extends SparkSpec {
     assert(r.getDouble(1) === 1.75)
   }
 
+  test("winnow kernel matches the HOF rolling-hash composition (random ASCII docs)") {
+    import graft.functions.TextFns
+    (1 to 20).foreach { _ =>
+      // length ≥ k+w-1 so both forms are in the full-window regime
+      val text = (1 to (12 + rnd.nextInt(60))).map(_ => word()).mkString(" ")
+      val row = Seq(text).toDF("text").select(
+        TextFns.winnowing($"text", 8, 4), TextFns.winnowingHof($"text", 8, 4)).collect()(0)
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1), text)
+    }
+  }
+
   test("lsh bucket is scale-invariant (positive scalar) and flips for negation") {
     (1 to 20).foreach { _ =>
       val v = vec(16)
