@@ -72,11 +72,34 @@ object Bench {
     }
     // Failed queries report -1 and are excluded from the total, so a
     // fast failure can never read as a speedup.
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    //
+    // The harness that captures this output keeps only the LAST 2000
+    // characters of the run log; with 84+ queries the full-precision
+    // line is ~2.9 KB and its head gets sliced off, making the JSON
+    // unparseable. Stdout therefore gets a COMPACT line (millisecond
+    // precision, trailing zeros trimmed, `failed` omitted when empty)
+    // and the full-precision numbers go to bench_full.json beside it.
+    def ms(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) ms(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failedKeys = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val failedPart =
+      if (failedKeys.isEmpty) "" else failedKeys.mkString(""","failed":[""", ",", "]")
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}"""
+    val fullQs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }
