@@ -56,8 +56,17 @@ object Bench {
     // plan/codegen work still counts once because run 1 pays it and
     // runs 2..N confirm the steady state.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = SparkEntry.queries.filter(q => wanted(q._1)).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // Round-robin passes (pass 1 over every query, then pass 2, ...)
+    // instead of back-to-back repeats: a transient machine stall (GC
+    // storm, page-cache eviction, co-tenant load) is time-localized,
+    // so back-to-back repeats let one stall poison ALL N runs of a
+    // single query and its median with them — r4 recorded json_props
+    // at 4.6 s in-suite vs 0.6 s isolated that way. Interleaved, the
+    // stall lands on single runs of several DIFFERENT queries and
+    // every per-query median survives.
+    val picked = SparkEntry.queries.filter(q => wanted(q._1)).toSeq.sortBy(_._1)
+    val samples = (1 to runs).flatMap { _ =>
+      picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces evaluation of EVERY output column; a count()
         // would let Catalyst prune the expensive projections away and
@@ -65,8 +74,11 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
+    }
+    val results = picked.map { case (name, _) =>
+      val times = samples.collect { case (`name`, t, ok) => (t, ok) }
       val median = { val s = times.map(_._1).sorted; s(s.length / 2) }
       (name, median, times.forall(_._2))
     }
