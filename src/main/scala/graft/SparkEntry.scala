@@ -353,7 +353,19 @@ object SparkEntry {
     "length_histogram" -> ((s, dir) =>
       Pipeline.lengthHistogram(Tables.documents(s, dir))),
     "token_df_quality" -> ((s, dir) =>
-      Pipeline.tokenDfQuality(Tables.documents(s, dir)))
+      Pipeline.tokenDfQuality(Tables.documents(s, dir))),
+    // Top-k characteristic terms per doc; all-integer TF-IDF-style
+    // scoring (see Pipeline.tfidfTopK) so ranks replay exactly.
+    "tfidf_topk" -> ((s, dir) =>
+      Pipeline.tfidfTopK(Tables.documents(s, dir), 5)),
+    // Int8-code ANN (MIPS over quantized codes): integer dot products
+    // end to end — the memory-bound 100 TB path at 4× fewer scan bytes.
+    "ann_quantized" -> ((s, dir) =>
+      Quantize.quantizedTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // Per-vector quantization diagnostics (scale / code norm / max
+    // reconstruction error), micro-unit integers throughout.
+    "embed_quantize" -> ((s, dir) =>
+      Quantize.quantizeStats(Tables.embeddings(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -1613,6 +1625,67 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_distinct_tokens,
         |       round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_df
         |FROM toks JOIN df USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+        |         CAST(tf.tf * ((n.n_docs * 1000000) // dfx.df) AS BIGINT) AS score
+        |  FROM tf JOIN dfx USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rank, tok, tf, df, score FROM (
+        |  SELECT doc_id, tok, tf, df, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |  FROM scored) z
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // Int8 quantization replay: scale = max|x| (order-insensitive),
+    // code = floor(x*127.0/scale + 0.5) — fixed-order IEEE double ops,
+    // bit-identical to the QuantizeInt8 kernel; dots are pure integers.
+    "ann_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+        |              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(embedding, x -> CAST(floor(
+        |                CAST(x AS DOUBLE) * 127.0
+        |                / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) + 0.5) AS BIGINT))
+        |         END AS qv
+        |  FROM embeddings),
+        |t AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |         unnest(a.qv) AS x, unnest(b.qv) AS y
+        |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)),
+        |d AS (SELECT q_id, vec_id, CAST(sum(x*y) AS BIGINT) AS idot FROM t GROUP BY q_id, vec_id)
+        |SELECT q_id, rank, vec_id, idot FROM (
+        |  SELECT q_id, vec_id, idot,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY idot DESC, vec_id) AS BIGINT) AS rank
+        |  FROM d) z
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+        |         END AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |       CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+        |       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm,
+        |       CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+        |         i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127.0))) * 1000000.0 + 0.5) AS BIGINT)
+        |         AS max_err_micro
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -45,6 +45,14 @@ object Kernels {
   /** Compiled winnowing fingerprints — see [[WinnowFingerprints]]. */
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
+
+  /** Symmetric int8 quantization — see [[QuantizeInt8]]. */
+  def quantizeInt8(vec: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
+
+  /** Integer dot product of two array<long> — see [[DotLong]]. */
+  def dotLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */
@@ -233,6 +241,97 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of an array<double> in one compiled
+  * pass: scale = max|xᵢ| (order-insensitive → engine-portable), then
+  * qᵢ = floor(xᵢ·127.0/scale + 0.5) ∈ [−127, 127]. Every per-element
+  * step is a plain IEEE double op with a fixed operation order —
+  * `(x*127.0)/scale + 0.5` — so DuckDB replays the quantized codes
+  * bit-exactly and downstream integer dot products are EXACT
+  * cross-engine (no rounding tolerance anywhere). Zero/empty vectors
+  * quantize to all-zero codes; a NULL element nullifies the row
+  * (same contract as [[L2Normalize]]).
+  */
+case class QuantizeInt8(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val a = math.abs(v.getDouble(i))
+      if (a > scale) scale = a
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) * 127.0 / scale + 0.5).toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantExpr", this, classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product of two array<long> columns; full whole-stage
+  * codegen (the int8-ANN hot path: 64-dim codes bound |Σ| by
+  * 127²·64 ≈ 2²⁰ — overflow-free in 64 bits to ~2⁴² dims).
+  */
+case class DotLong(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $s += $x.getLong($i) * $y.getLong($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Engine-portable integer hash family shared by the signature kernels.

@@ -188,4 +188,35 @@ object Pipeline {
         round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_df"))
       .orderBy(col("doc_id"))
   }
+
+  /** C28 `tfidf_topk` — the k most characteristic terms per document by
+    * TF-IDF-style rarity weighting. Same two-stage 100 TB shape as
+    * [[tokenDfQuality]]: one shuffle builds the vocabulary-sized
+    * (term, df) table, one hash join scores (doc, term) pairs, one
+    * doc-partitioned window ranks them. The corpus size joins in as a
+    * broadcast 1-row aggregate — no driver-side action.
+    *
+    * Scoring is ALL-INTEGER — score = tf · ((n_docs·10⁶) div df) — a
+    * monotone transform of tf/df per fixed corpus, so the ranking is
+    * the classic one while every value replays exactly cross-engine
+    * (float idf = log(N/df) would hand last-ulp `ln` differences
+    * between JVM and C libm straight to the rank tie-breaks). Ties
+    * break on term text ascending.
+    */
+  def tfidfTopK(documents: DataFrame, k: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

@@ -144,4 +144,27 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("mean_df") - 5.0 / 3) < 1e-6)
     assert(math.abs(out(2).getAs[Double]("mean_df") - 5.0 / 3) < 1e-6)
   }
+
+  test("tfidfTopK ranks rare high-tf terms above shared boilerplate") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra the the"),  // zebra: tf 3 df 1; the: tf 2 df 3
+      (2L, "the quick fox"),
+      (3L, "the slow fox"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.tfidfTopK(docs, 2).collect()
+    val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    // n_docs=3: zebra score 3·(3_000_000 div 1)=9_000_000;
+    // the score 2·(3_000_000 div 3)=2_000_000
+    assert(d1(0).getAs[String]("tok") === "zebra")
+    assert(d1(0).getAs[Long]("score") === 9000000L)
+    assert(d1(1).getAs[String]("tok") === "the")
+    assert(d1(1).getAs[Long]("score") === 2000000L)
+    // doc 2: quick/fox both tf 1; fox df 2 (1_500_000) > quick? quick df 1
+    // → quick 3_000_000 first, fox 1_500_000 second
+    val d2 = out.filter(_.getLong(0) == 2L).sortBy(_.getLong(1))
+    assert(d2(0).getAs[String]("tok") === "quick")
+    assert(d2(1).getAs[String]("tok") === "fox")
+    // k bounds output per doc
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+  }
 }

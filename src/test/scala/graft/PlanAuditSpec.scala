@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
   // deliberately tiny side of a tiled self-join, never corpus-sized.
   private val bnlWhitelist = Set(
     "ann_topk",         // corpus ⨝ broadcast(5 probe vectors)
+    "ann_quantized",    // corpus ⨝ broadcast(5 probe code vectors)
+    "tfidf_topk",       // scored terms ⨝ broadcast(1-row corpus count)
     "dedup_embedding")  // block-tiled all-pairs: broadcast block spine
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
