@@ -205,6 +205,32 @@ object TickStore {
     months
   }
 
+  /** A16 — retention vacuum: drop every month partition strictly older
+    * than `keepFromMonth` (`yyyy-MM`). Metadata-only — directory
+    * deletes, no data read or rewritten, so retiring a year from a
+    * 100 TB store costs twelve renames regardless of store size (the
+    * same directory-granular operation [[compact]]'s swap uses).
+    * Returns the dropped month names. The reference's B-tree has no
+    * retention story at all (files only grow); month partitioning is
+    * what makes TTL enforcement free here.
+    */
+  def vacuum(spark: SparkSession, path: String, keepFromMonth: String): Seq[String] = {
+    require(keepFromMonth.matches("\\d{4}-\\d{2}"), s"expected yyyy-MM, got $keepFromMonth")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dropped = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))
+      .map(st => st.getPath.getName.stripPrefix("date_month="))
+      // yyyy-MM sorts lexicographically = chronologically
+      .filter(_ < keepFromMonth)
+      .sorted
+      .toSeq
+    dropped.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"date_month=$m"), true)
+    }
+    dropped
+  }
+
   /** Date-range scan with the month partition predicate derived from the
     * range — the inner-node traversal analog: directories outside
     * [from, to] months are never opened (`PartitionFilters` in the

@@ -305,6 +305,41 @@ object StreamingOps {
       .join(org.apache.spark.sql.functions.broadcast(filled), Seq("asset_id", "date"), "left")
   }
 
+  case class TopkEvent(event_type: String, event_id: Long, user_id: Long, value: Double)
+  case class TopkEntry(event_type: String, rank: Long, event_id: Long, user_id: Long, value: Double)
+
+  /** D11 — continuously-maintained top-k per group: the streaming face
+    * of batch `topk_per_group` (rank by value desc, event_id tie-break).
+    * State is the current k champions per group — O(groups · k), fixed
+    * regardless of stream length; each micro-batch merges its rows into
+    * the champion list and re-emits the group's full ranked top-k only
+    * when it CHANGED (Update mode). Convergence contract (spec-asserted):
+    * once all events are processed, the latest emission per group equals
+    * the batch operator's answer — order of arrival never matters
+    * because merge-then-rank is associative over the champion set.
+    */
+  def topkStream(events: Dataset[TopkEvent], k: Int): Dataset[TopkEntry] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[TopkEvent], TopkEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[TopkEvent], state: GroupState[List[TopkEvent]]) =>
+          val before = state.getOption.getOrElse(Nil)
+          val merged = (before ++ rows)
+            .sortBy(e => (-e.value, e.event_id))
+            .take(k)
+          if (merged == before) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case (e, i) =>
+              TopkEntry(etype, i + 1L, e.event_id, e.user_id, e.value)
+            }
+          }
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

@@ -318,4 +318,32 @@ class SourcesSpec extends SparkSpec {
     val feats = Multimodal.decodePipeline(back.as[Multimodal.MediaRecord], 2).collect()
     assert(feats.length === 30)
   }
+
+  test("TickStore.vacuum drops only months older than the retention cutoff") {
+    import java.sql.{Date, Timestamp}
+    val panel = Seq(
+      (1L, "2019-11-10", 10, 1.0, 1L),
+      (1L, "2019-12-10", 20, 2.0, 2L),
+      (1L, "2020-01-10", 30, 3.0, 3L),
+      (2L, "2020-02-15", 40, 4.0, 4L))
+      .map { case (a, d, t, v, q) => (a, Date.valueOf(d), new Timestamp(t * 1000L), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val path = java.nio.file.Files.createTempDirectory("tickstore_vac").toString + "/store"
+    TickStore.write(panel, path)
+
+    val dropped = TickStore.vacuum(spark, path, keepFromMonth = "2020-01")
+    assert(dropped === Seq("2019-11", "2019-12"))
+
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("date_month=2020-01", "date_month=2020-02"))
+    // survivors read back intact; vacuumed rows are gone
+    val back = TickStore.read(spark, path).collect()
+    assert(back.length === 2)
+    assert(back.map(_.getAs[Double]("value")).toSet === Set(3.0, 4.0))
+
+    // idempotent: second vacuum drops nothing
+    assert(TickStore.vacuum(spark, path, "2020-01") === Seq.empty)
+    // malformed cutoff rejected before any deletion
+    intercept[IllegalArgumentException] { TickStore.vacuum(spark, path, "2020/01") }
+  }
 }

@@ -341,4 +341,51 @@ class StreamingSpec extends SparkSpec {
       assert(batch !== streamed)
     } finally q.stop()
   }
+
+  test("topkStream converges to the batch topk_per_group answer under out-of-order arrival") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{TopkEvent, TopkEntry}
+    val input = MemoryStream[TopkEvent]
+    val q = StreamingOps.topkStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // arrival order deliberately NOT value order, split across batches
+      input.addData(
+        TopkEvent("view", 1L, 10L, 5.0), TopkEvent("view", 2L, 11L, 9.0),
+        TopkEvent("buy", 3L, 12L, 1.0))
+      q.processAllAvailable()
+      input.addData(
+        TopkEvent("view", 4L, 13L, 7.0),   // displaces event 1 from view's top-2
+        TopkEvent("buy", 5L, 14L, 0.5),    // enters buy's top-2, no displacement
+        TopkEvent("view", 6L, 15L, 0.1))   // below view's top-2: must emit NOTHING
+      q.processAllAvailable()
+
+      val all = spark.table("topk_sink").as[TopkEntry].collect()
+      // last emission per (group, rank) is the converged state
+      val converged = all.zipWithIndex
+        .groupBy(e => (e._1.event_type, e._1.rank))
+        .map { case (k2, rows) => k2 -> rows.maxBy(_._2)._1.event_id }
+      assert(converged === Map(
+        ("view", 1L) -> 2L, ("view", 2L) -> 4L,
+        ("buy", 1L) -> 3L, ("buy", 2L) -> 5L))
+
+      // convergence contract: equals the batch operator over the same rows
+      val batchDf = Seq(
+        (1L, "view", 10L, 5.0), (2L, "view", 11L, 9.0), (3L, "buy", 12L, 1.0),
+        (4L, "view", 13L, 7.0), (5L, "buy", 14L, 0.5), (6L, "view", 15L, 0.1))
+        .toDF("event_id", "event_type", "user_id", "value")
+      val batch = graft.operators.Analytics.topKPerGroup(batchDf, 2)
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rk")) -> r.getAs[Long]("event_id"))
+        .toMap
+      assert(converged === batch)
+
+      // change-only emission: batch 2's below-threshold view event must not
+      // have re-emitted "buy"? (buy DID change). "view" emitted twice total,
+      // once per batch where its champion set changed.
+      assert(all.count(e => e.event_type == "view" && e.rank == 1L) === 2)
+    } finally q.stop()
+  }
 }
