@@ -44,18 +44,7 @@ object Dedup {
     */
   def minhashLshPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
-    val rows = nHashes / bands
-    val sig = documents.select(
-      col("doc_id"),
-      graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "bucket")
+    val banded = minhashBanded(documents, k, nHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
@@ -63,6 +52,63 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The (doc_id, band_id, bucket) banding stage shared by
+    * [[minhashLshPairs]] and the materialized-index path — one
+    * signature kernel pass, `bands` bucket hashes per doc.
+    */
+  def minhashBanded(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    val rows = nHashes / bands
+    documents.select(
+      col("doc_id"),
+      graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** C29 (index half) — materialize the corpus's MinHash band index at
+    * rest: (band_id, bucket, doc_id) partitioned by band, bucket-sorted
+    * within files so row-group min/max stats prune probe scans. The
+    * text itself is NOT in the index — 3 longs per (doc, band), so the
+    * index is a small fixed fraction of the corpus and, crucially, the
+    * corpus is never re-shingled after this write.
+    */
+  def writeMinhashIndex(documents: DataFrame, path: String, k: Int = 8,
+                        nHashes: Int = 64, bands: Int = 16,
+                        filesPerBand: Int = 4): Unit =
+    minhashBanded(documents, k, nHashes, bands)
+      .repartition(filesPerBand, col("band_id"), pmod(col("bucket"), lit(filesPerBand)))
+      .sortWithinPartitions(col("band_id"), col("bucket"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(path)
+
+  /** C29 `dedup_incremental` — probe a NEW document batch against the
+    * materialized index: the incremental-ingestion dedup a continuously
+    * growing corpus runs on every arriving shard. Cost model at 100 TB:
+    * O(|batch|) signature computation + ONE scan of the (small) index
+    * with the batch's bands broadcast — the existing corpus is neither
+    * re-shingled nor shuffled (the batch side is the hash side of the
+    * join). Emits distinct (new_id, dup_of) candidate pairs — the same
+    * S-curve contract as [[minhashLshPairs]] restricted to new×existing.
+    */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        newDocs: DataFrame, k: Int = 8, nHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val probe = minhashBanded(newDocs, k, nHashes, bands)
+      .select(col("doc_id").as("new_id"), col("band_id"), col("bucket"))
+    idx.join(broadcast(probe), Seq("band_id", "bucket"))
+      .filter(col("doc_id") =!= col("new_id"))
+      .select(col("new_id"), col("doc_id").as("dup_of"))
+      .distinct()
+      .orderBy(col("new_id"), col("dup_of"))
   }
 
   /** C3 `dedup_simhash` — SimHash near-dup pairs: the 64-bit fingerprint

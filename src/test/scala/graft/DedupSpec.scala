@@ -124,4 +124,37 @@ class DedupSpec extends SparkSpec {
     assert(s.toSet.size === s.length)
     assert(s.forall(_.length <= 8))
   }
+
+  test("materialized band index probe finds exactly the new×existing LSH candidates") {
+    // existing corpus: 0 (base), 2, 3 (unrelated); new batch: 1 (near-dup
+    // of 0), 4 (exact copy of 0), 5 (fresh unrelated)
+    val existing = docs.filter($"doc_id".isin(0L, 2L, 3L))
+    val newDocs = Seq((1L, nearDup), (4L, base),
+      (5L, "entirely novel content regarding broadcast joins and executor memory pressure"))
+      .toDF("doc_id", "text")
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_idx_spec").toString + "/index"
+    Dedup.writeMinhashIndex(existing, idxPath)
+
+    // index layout: partitioned by band directory, 3 longs per row
+    val dirs = new java.io.File(idxPath).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("band_id=")) && dirs.length === 16)
+
+    val hits = Dedup.probeMinhashIndex(spark, idxPath, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copy must collide with its source; near-dup should too
+    assert(hits.contains((4L, 0L)))
+    assert(hits.contains((1L, 0L)))
+    // fresh doc matches nothing; existing docs never appear as new_id
+    assert(!hits.exists(_._1 == 5L))
+    assert(hits.forall { case (n, e) => Set(1L, 4L).contains(n) && Set(0L, 2L, 3L).contains(e) })
+
+    // contract: probe hits == the full pairwise LSH operator restricted
+    // to new×existing (the incremental path loses nothing vs full rerun)
+    val full = Dedup.minhashLshPairs(existing.unionByName(newDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, e) => Set(1L, 4L, 5L).contains(n) && Set(0L, 2L, 3L).contains(e) }
+      .toSet
+    assert(hits === full)
+  }
 }
