@@ -386,7 +386,11 @@ object SparkEntry {
       })
       Dedup.probeMinhashIndex(s, path,
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
-    })
+    }),
+    // MOSS-style verbatim-overlap pairs: ≥ minShared shared winnowing
+    // fingerprints (deterministic, unlike MinHash's S-curve recall).
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -1732,6 +1736,33 @@ object SparkEntry {
          |SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS dup_of
          |FROM banded n JOIN banded e ON n.b = e.b AND n.key = e.key
          |WHERE n.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
-         |ORDER BY new_id, dup_of""".stripMargin
+         |ORDER BY new_id, dup_of""".stripMargin,
+    // Winnowing replayed exactly as in doc_winnowing, then df-capped
+    // posting join + shared-fingerprint counts.
+    "dedup_winnow" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text) - 7 + 1),
+        |      i -> list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(range(0, 8),
+        |                 j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+        |             (acc, c) -> (acc * 1000003 + c) % 1000000007)) AS h
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(h) - 3 + 1),
+        |      i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fps
+        |  FROM hs),
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+        |capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps) z
+        |  WHERE df <= 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 10
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

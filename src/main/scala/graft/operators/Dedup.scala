@@ -142,6 +142,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C30 `dedup_winnow` — MOSS-style near-dup pairs (Schleimer et al.,
+    * SIGMOD 2003 §4): docs sharing ≥ `minShared` winnowing fingerprints,
+    * with the shared count as the match strength. Winnowing guarantees
+    * any k..(k+w−1)-char common substring leaves ≥ 1 shared fingerprint,
+    * so unlike MinHash's probabilistic S-curve this detects bounded
+    * VERBATIM overlap (plagiarized spans, boilerplate blocks)
+    * deterministically.
+    *
+    * Shape at 100 TB: fingerprints from one compiled kernel pass
+    * ([[graft.expressions.WinnowFingerprints]]); df-cap drops
+    * corpus-wide boilerplate fingerprints (count window, same partition
+    * the join reuses — one exchange feeds both); pair work is
+    * posting-list bounded (≤ maxDf²/2 per fingerprint), never all-pairs.
+    * `n_shared` counts matches among SURVIVING (df ≤ maxDf)
+    * fingerprints — the df-cap is part of the contract, as in
+    * [[ngramJaccardPairs]].
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Long = 10, maxDf: Long = 20): DataFrame = {
+    val fps = documents.select(col("doc_id"),
+      explode(graft.expressions.Kernels.winnow(col("text"), k, w)).as("fp"))
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C14 `top_ngrams` — corpus-wide token-bigram frequencies, top `k`.
     * One explode + one shuffle with map-side combine; rank with a total
     * tie-break so the cut is deterministic.

@@ -125,6 +125,20 @@ class DedupSpec extends SparkSpec {
     assert(s.forall(_.length <= 8))
   }
 
+  test("winnowPairs finds verbatim-overlap pairs with exact-copy dominance") {
+    val pairs = Dedup.winnowPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact copies share every fingerprint
+    assert(pairs.contains((0L, 4L)))
+    // the near-dup (one appended token) shares almost all of them
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 4L)))
+    assert(pairs((0L, 4L)) >= pairs((0L, 1L)))
+    // unrelated docs never pair
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(2L, 3L)).nonEmpty })
+    // symmetry of the planted copy: (0,1) and (1,4) counts identical
+    assert(pairs((0L, 1L)) === pairs((1L, 4L)))
+  }
+
   test("materialized band index probe finds exactly the new×existing LSH candidates") {
     // existing corpus: 0 (base), 2, 3 (unrelated); new batch: 1 (near-dup
     // of 0), 4 (exact copy of 0), 5 (fresh unrelated)
