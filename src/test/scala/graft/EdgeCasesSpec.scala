@@ -136,4 +136,37 @@ class EdgeCasesSpec extends SparkSpec {
     assert(topk.nonEmpty)
     assert(Similarity.lshBuckets(emb, dim = 4, planes = 4).count() === 3)
   }
+
+  test("quantize kernel: null element nullifies the row, empty array stays empty") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(0L, Seq[java.lang.Double](1.0, null)),
+      Row(1L, Seq[java.lang.Double]()),
+      Row(2L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(col("vec_id"),
+      graft.expressions.Kernels.quantizeInt8(col("v")).as("q"),
+      graft.expressions.Kernels.dotLong(
+        graft.expressions.Kernels.quantizeInt8(col("v")),
+        graft.expressions.Kernels.quantizeInt8(col("v"))).as("d"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // null element → null code array → null dot
+    assert(out(1).getSeq[Long](1).isEmpty && out(1).getLong(2) === 0L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // null array propagates
+  }
+
+  test("winnowPairs and tfidfTopK handle degenerate documents") {
+    val docs = Seq((0L, ""), (1L, "   "), (2L, "ab"), (3L, "plain words here"))
+      .toDF("doc_id", "text")
+    // sub-k strings produce no fingerprints → no pairs, no error
+    assert(graft.operators.Dedup.winnowPairs(docs).count() === 0)
+    // blank docs tokenize to nothing and simply drop out of tfidf
+    val tf = graft.operators.Pipeline.tfidfTopK(docs, 3).collect()
+    assert(tf.map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
 }
