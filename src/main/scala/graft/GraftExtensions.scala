@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, L2Normalize, LshBucket, MinHashSig, ShingleSet, SimHash64, TextStats}
+import graft.expressions.{DotLong, DotProduct, L2Normalize, LshBucket, MinHashSig, QuantizeInt8, SeqFold, ShingleSet, SimHash64, TextStats, WinnowFingerprints}
 
 /** Registers the graft kernel expressions as SQL functions, so
   * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
@@ -55,7 +55,28 @@ object GraftFunctions {
       (children: Seq[Expression]) => LshBucket(children(0), intArg(children(1), "planes"))),
     (FunctionIdentifier("text_stats"),
       info("text_stats", "text_stats(text) - struct(len, n_punct, quality, lang_guess) in one pass"),
-      (children: Seq[Expression]) => TextStats(children(0))))
+      (children: Seq[Expression]) => TextStats(children(0))),
+    (FunctionIdentifier("winnow_fp"),
+      info("winnow_fp", "winnow_fp(text, k, w) - winnowing fingerprints (min k-gram hash per w-window)"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children(0), intArg(children(1), "k"), intArg(children(2), "w"))),
+    (FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "quantize_int8(v) - symmetric int8 codes of an array<double> (max-abs scale)"),
+      (children: Seq[Expression]) => QuantizeInt8(children(0))),
+    (FunctionIdentifier("vec_dot_long"),
+      info("vec_dot_long", "vec_dot_long(a, b) - integer dot product of two array<long>"),
+      (children: Seq[Expression]) => DotLong(children(0), children(1))),
+    (FunctionIdentifier("seq_fold"),
+      info("seq_fold", "seq_fold(arr, op, weight) - compiled sequential left fold (sum/sumsq/horner/...)"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "op must be a literal string")
+        val op = children(1).eval().toString
+        val w = if (children.size > 2) {
+          require(children(2).foldable, "weight must be a literal")
+          children(2).eval().asInstanceOf[Number].doubleValue
+        } else 0.0
+        SeqFold(children(0), op, w)
+      }))
 
   /** Register on a live session (same registry `injectFunction` feeds). */
   def register(spark: SparkSession): Unit =

@@ -43,6 +43,26 @@ class ExtensionsSpec extends SparkSpec {
     val fpOther = spark.sql("SELECT simhash64('completely different text entirely') AS f")
       .collect()(0).getLong(0)
     assert(fp !== fpOther)
+
+    val q = spark.sql("SELECT quantize_int8(array(1.0D, -0.5D, 0.0D)) AS q")
+      .collect()(0).getSeq[Long](0)
+    assert(q === Seq(127L, -63L, 0L)) // floor(-63.5): round-half-up toward +inf on negatives
+
+    val idot = spark.sql(
+      "SELECT vec_dot_long(quantize_int8(array(1.0D, 0.0D)), quantize_int8(array(1.0D, 0.0D))) AS d")
+      .collect()(0).getLong(0)
+    assert(idot === 16129L)
+
+    val wfp = spark.sql("SELECT winnow_fp('abcabcabcabc', 3, 2) AS w").collect()(0).getSeq[Long](0)
+    val wfpSame = spark.sql("SELECT winnow_fp('abcabcabcabc', 3, 2) AS w").collect()(0).getSeq[Long](0)
+    assert(wfp === wfpSame && wfp.nonEmpty)
+
+    val fold = spark.sql("SELECT seq_fold(array(1.0D, 2.0D, 3.0D), 'sum') AS s")
+      .collect()(0).getDouble(0)
+    assert(fold === 6.0)
+    val horner = spark.sql("SELECT seq_fold(array(1.0D, 1.0D), 'horner', 0.5D) AS h")
+      .collect()(0).getDouble(0)
+    assert(horner === 1.5) // 0*0.5+1 → 1*0.5+1
   }
 
   test("GraftSession factory wires extensions and tuning") {
@@ -63,6 +83,6 @@ class ExtensionsSpec extends SparkSpec {
     // builder correctness; here we assert the extension wires every kernel.
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
       Set("vec_dot", "minhash_sig", "simhash64", "l2_normalize", "shingle_set", "lsh_bucket",
-        "text_stats"))
+        "text_stats", "winnow_fp", "quantize_int8", "vec_dot_long", "seq_fold"))
   }
 }
