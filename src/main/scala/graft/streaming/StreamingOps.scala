@@ -305,6 +305,25 @@ object StreamingOps {
       .join(org.apache.spark.sql.functions.broadcast(filled), Seq("asset_id", "date"), "left")
   }
 
+  /** D12 — streaming maintenance of the MinHash band index
+    * ([[graft.operators.Dedup.writeMinhashIndex]]): each micro-batch of
+    * documents appends its (band_id, bucket, doc_id) rows into the
+    * band-partitioned layout, so [[graft.operators.Dedup.probeMinhashIndex]]
+    * always probes a fresh index — the dedup_incremental lifecycle,
+    * continuously maintained. Append is at-least-once under retries;
+    * duplicate index rows are harmless (the probe emits DISTINCT pairs).
+    */
+  def minhashIndexSink(docs: DataFrame, indexPath: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.minhashBanded(batch)
+          .write.mode("append").partitionBy("band_id").parquet(indexPath)
+      }
+      .start()
+
   case class TopkEvent(event_type: String, event_id: Long, user_id: Long, value: Double)
   case class TopkEntry(event_type: String, rank: Long, event_id: Long, user_id: Long, value: Double)
 

@@ -342,6 +342,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashIndexSink keeps the band index probe-fresh across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(6)(
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill")
+      .mkString(" ")
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_stream_idx").toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_stream_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashIndexSink(
+      input.toDS().toDF("doc_id", "text"), idxPath, ckpt)
+    try {
+      input.addData((10L, base), (11L, "unrelated prose about columnar storage formats"))
+      q.processAllAvailable()
+      // probing an exact copy against the index finds the first batch's doc
+      val probe1 = graft.operators.Dedup.probeMinhashIndex(
+        spark, idxPath, Seq((99L, base)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe1 === Set((99L, 10L)))
+
+      // a second micro-batch lands in the SAME index files' layout
+      input.addData((12L, base + " appended tail"))
+      q.processAllAvailable()
+      val probe2 = graft.operators.Dedup.probeMinhashIndex(
+        spark, idxPath, Seq((99L, base)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probe2.contains((99L, 10L)) && probe2.contains((99L, 12L)))
+    } finally q.stop()
+  }
+
   test("topkStream converges to the batch topk_per_group answer under out-of-order arrival") {
     val spark0 = spark
     import spark0.implicits._
