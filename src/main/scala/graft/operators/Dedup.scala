@@ -101,6 +101,8 @@ object Dedup {
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                         newDocs: DataFrame, k: Int = 8, nHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
+    // Probe covers new×EXISTING only; in-batch duplicates (new×new) are
+    // a plain [[minhashLshPairs]] over the batch — tiny by definition.
     val idx = spark.read.parquet(indexPath)
     val probe = minhashBanded(newDocs, k, nHashes, bands)
       .select(col("doc_id").as("new_id"), col("band_id"), col("bucket"))
@@ -109,6 +111,27 @@ object Dedup {
       .select(col("new_id"), col("doc_id").as("dup_of"))
       .distinct()
       .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Compact the band index after streaming appends
+    * ([[graft.streaming.StreamingOps.minhashIndexSink]] retries and
+    * re-sent batches leave duplicate rows): per-band distinct rewrite,
+    * write-new-then-swap like
+    * [[graft.sources.TickStore.compact]]. Probes stay correct without
+    * it (DISTINCT output); compaction reclaims the space.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          filesPerBand: Int = 4): Unit = {
+    val tmpPath = indexPath.stripSuffix("/") + "__compacting"
+    spark.read.parquet(indexPath).distinct()
+      .repartition(filesPerBand, col("band_id"), pmod(col("bucket"), lit(filesPerBand)))
+      .sortWithinPartitions(col("band_id"), col("bucket"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(tmpPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)
   }
 
   /** C3 `dedup_simhash` — SimHash near-dup pairs: the 64-bit fingerprint

@@ -170,5 +170,17 @@ class DedupSpec extends SparkSpec {
       .filter { case (n, e) => Set(1L, 4L, 5L).contains(n) && Set(0L, 2L, 3L).contains(e) }
       .toSet
     assert(hits === full)
+
+    // append a duplicate copy of the index rows (at-least-once retry
+    // artifact), compact, and the probe answer is unchanged with the
+    // duplicate rows physically gone
+    val before = spark.read.parquet(idxPath).count()
+    Dedup.minhashBanded(existing).write.mode("append").partitionBy("band_id").parquet(idxPath)
+    assert(spark.read.parquet(idxPath).count() === before * 2)
+    Dedup.compactMinhashIndex(spark, idxPath)
+    assert(spark.read.parquet(idxPath).count() === before)
+    val hitsAfter = Dedup.probeMinhashIndex(spark, idxPath, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hitsAfter === hits)
   }
 }

@@ -136,4 +136,25 @@ class KernelPropertySpec extends SparkSpec {
       assert(row.getLong(0) === (~row.getLong(2) & 0xFFFFL))
     }
   }
+
+  test("quantize kernel matches the scala reference and bounds reconstruction error (30 random vectors)") {
+    (1 to 30).foreach { _ =>
+      val v = vec(16)
+      val q = Seq(Tuple1(v)).toDF("v")
+        .select(graft.expressions.Kernels.quantizeInt8($"v")).collect()(0).getSeq[Long](0)
+      val scale = v.map(math.abs).max
+      val expected = v.map(x => math.floor(x * 127.0 / scale + 0.5).toLong)
+      assert(q === expected.toSeq)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // dequantization error ≤ half a code step = scale/254
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale / 127.0) <= scale / 254.0 + 1e-12)
+      }
+      // scale invariance: q(αv) == q(v) for α > 0
+      val v2 = v.map(_ * 3.7)
+      val q2 = Seq(Tuple1(v2)).toDF("v")
+        .select(graft.expressions.Kernels.quantizeInt8($"v")).collect()(0).getSeq[Long](0)
+      assert(q2 === q)
+    }
+  }
 }
