@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotLong, DotProduct, L2Normalize, LshBucket, MinHashSig, QuantizeInt8, SeqFold, ShingleSet, SimHash64, TextStats, WinnowFingerprints}
+import graft.expressions.{DotLong, DotProduct, L2Normalize, LshBucket, MinHashSig, PortableStrHash, QuantizeInt8, SeqFold, ShingleSet, SimHash64, TextStats, WinnowFingerprints}
 
 /** Registers the graft kernel expressions as SQL functions, so
   * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
@@ -56,6 +56,9 @@ object GraftFunctions {
     (FunctionIdentifier("text_stats"),
       info("text_stats", "text_stats(text) - struct(len, n_punct, quality, lang_guess) in one pass"),
       (children: Seq[Expression]) => TextStats(children(0))),
+    (FunctionIdentifier("portable_str_hash"),
+      info("portable_str_hash", "portable_str_hash(s) - polynomial hash mod 2^31-1 (engine-portable)"),
+      (children: Seq[Expression]) => PortableStrHash(children(0))),
     (FunctionIdentifier("winnow_fp"),
       info("winnow_fp", "winnow_fp(text, k, w) - winnowing fingerprints (min k-gram hash per w-window)"),
       (children: Seq[Expression]) =>

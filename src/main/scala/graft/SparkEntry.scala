@@ -390,7 +390,11 @@ object SparkEntry {
     // MOSS-style verbatim-overlap pairs: ≥ minShared shared winnowing
     // fingerprints (deterministic, unlike MinHash's S-curve recall).
     "dedup_winnow" -> ((s, dir) =>
-      Dedup.winnowPairs(Tables.documents(s, dir)))
+      Dedup.winnowPairs(Tables.documents(s, dir))),
+    // Feature-hashed document vectors (hashing trick): model-free
+    // text→vector bridge, all-integer → exact replay.
+    "hash_embed" -> ((s, dir) =>
+      Pipeline.hashEmbed(Tables.documents(s, dir)))
   )
 
   /** DuckDB replay of the ENTIRE deterministic IVF pipeline
@@ -1763,6 +1767,23 @@ object SparkEntry {
         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING count(*) >= 10
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // The hashing trick replayed: PortableHash per token (the
+    // shingleHashSql fold), dim = h mod 64, sign from the next hash bit.
+    "hash_embed" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents) t
+         |  WHERE tok <> ''),
+         |hs AS (
+         |  SELECT doc_id, ${shingleHashSql.replace("len(s)", "len(tok)").replace("substr(s,", "substr(tok,")} AS h
+         |  FROM toks)
+         |SELECT doc_id, h % 64 AS dim,
+         |       CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM hs
+         |GROUP BY doc_id, h % 64
+         |HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+         |ORDER BY doc_id, dim""".stripMargin
   )
 }

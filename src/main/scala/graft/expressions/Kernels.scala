@@ -53,6 +53,10 @@ object Kernels {
   /** Integer dot product of two array<long> — see [[DotLong]]. */
   def dotLong(a: Column, b: Column): Column =
     ExpressionUtils.column(DotLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Engine-portable polynomial string hash — see [[PortableStrHash]]. */
+  def strHash(s: Column): Column =
+    ExpressionUtils.column(PortableStrHash(ExpressionUtils.expression(s)))
 }
 
 /** Dot product of two array<double> columns; full whole-stage codegen. */
@@ -237,6 +241,35 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprints].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[PortableHash.strHash]] of a whole string as a column expression:
+  * h = fold (h·31 + codepoint) mod 2³¹−1 — the integer-portable hash
+  * the signature kernels use internally, exposed for row-level hashing
+  * (feature-hashed embeddings, bucketing) where the DuckDB oracle must
+  * replay the value exactly (xxhash64 has no DuckDB counterpart).
+  * Contract: BMP text (UTF-16 code unit == codepoint).
+  */
+case class PortableStrHash(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_str_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    PortableHash.strHash(s, 0, s.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("strHashExpr", this, classOf[PortableStrHash].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

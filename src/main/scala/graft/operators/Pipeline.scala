@@ -189,6 +189,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** C31 `hash_embed` — feature-hashed document vectors (the hashing
+    * trick, Weinberger et al., ICML 2009): each token hashes to a
+    * dimension `h mod dim` with sign `±1` from the next hash bit, and
+    * the document's vector is the signed token-count per dimension —
+    * a model-free text embedding whose inner products approximate
+    * token-multiset overlap. Emitted sparse as (doc_id, dim, weight):
+    * all-integer (PortableStrHash → exact DuckDB replay), one explode +
+    * one (doc, dim) aggregation — map-side combinable, no skew (dims
+    * spread the key space). Feeds the vector stack: densify →
+    * [[Quantize.quantize]] → ANN, a complete text→ANN path with no
+    * external model.
+    */
+  def hashEmbed(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    toks
+      .select(col("doc_id"), graft.expressions.Kernels.strHash(col("tok")).as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(dim)).as("dim"),
+        when(expr(s"pmod(h div $dim, 2)") === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** C28 `tfidf_topk` — the k most characteristic terms per document by
     * TF-IDF-style rarity weighting. Same two-stage 100 TB shape as
     * [[tokenDfQuality]]: one shuffle builds the vocabulary-sized

@@ -167,4 +167,28 @@ class PipelineSpec extends SparkSpec {
     // k bounds output per doc
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 2))
   }
+
+  test("hashEmbed matches the reference hashing-trick computation") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "Gamma  gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Pipeline.hashEmbed(docs, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    def strHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    def expected(tokens: Seq[String], dim: Int): Map[Long, Long] =
+      tokens.map(strHash).groupBy(_ % dim)
+        .map { case (d, hs) => d -> hs.map(h => if ((h / dim) % 2 == 0) 1L else -1L).sum }
+        .filter(_._2 != 0)
+
+    val got1 = out.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    assert(got1 === expected(Seq("alpha", "beta", "alpha"), 8))
+
+    // lowercasing folds Gamma/gamma together: one dim, weight ±2
+    val got2 = out.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    assert(got2 === Map(strHash("gamma") % 8 -> (if ((strHash("gamma") / 8) % 2 == 0) 2L else -2L)))
+
+    // empty doc contributes nothing
+    assert(!out.exists(_._1 == 3L))
+  }
 }
