@@ -216,6 +216,21 @@ object Pipeline {
       .orderBy(col("doc_id"), col("dim"))
   }
 
+  /** Densify [[hashEmbed]]'s sparse output into the `embeddings`-table
+    * shape `(vec_id, embedding: array<float>)`, so hashed vectors flow
+    * straight into the vector stack ([[Quantize.quantize]],
+    * `Similarity.cosineTopK`, IVF). One aggregation; the dense array is
+    * built from a per-doc map, absent dims zero-filled.
+    */
+  def densify(sparse: DataFrame, dim: Int = 64): DataFrame =
+    sparse
+      .groupBy(col("doc_id").as("vec_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("dim").cast("int"), col("weight"))))).as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float")).as("embedding"))
+
   /** C28 `tfidf_topk` — the k most characteristic terms per document by
     * TF-IDF-style rarity weighting. Same two-stage 100 TB shape as
     * [[tokenDfQuality]]: one shuffle builds the vocabulary-sized

@@ -73,6 +73,22 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getLong(3) === 0L)
   }
 
+  test("model-free retrieval: hash_embed → densify → int8 ANN finds the near-dup") {
+    val docs = Seq(
+      (0L, "spark shuffles partitions across the cluster during wide transformations"),
+      (1L, "spark shuffles partitions across the cluster during wide transformations indeed"),
+      (2L, "cats enjoy sleeping on warm windowsills in the afternoon sun"),
+      (3L, "parquet row groups carry min max statistics for predicate pushdown"))
+      .toDF("doc_id", "text")
+    val dense = graft.operators.Pipeline.densify(
+      graft.operators.Pipeline.hashEmbed(docs), dim = 64)
+    // densified output plugs into the vector stack unchanged
+    val top = Quantize.quantizedTopK(dense, Seq(0L), 1).collect()(0)
+    assert(top.getAs[Long]("vec_id") === 1L) // the near-dup wins rank 1
+    val cosTop = Similarity.cosineTopK(dense, Seq(0L), 1).collect()(0)
+    assert(cosTop.getAs[Long]("vec_id") === 1L) // float path agrees
+  }
+
   test("quantized ranking agrees with float cosine ranking on well-separated vectors") {
     // On the unit-ish toy set (distinct directions, no near-ties except
     // the engineered one) the int8 MIPS order must match cosine order
