@@ -91,19 +91,29 @@ object Bench {
     // unparseable. Stdout therefore gets a COMPACT line (millisecond
     // precision, trailing zeros trimmed, `failed` omitted when empty)
     // and the full-precision numbers go to bench_full.json beside it.
-    def ms(v: Double): String = {
-      val s = "%.2f".format(v)
+    def trim(v: Double, decimals: Int): String = {
+      val s = s"%.${decimals}f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) ms(v) else "-1") }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failedKeys = results.collect { case (k, _, false) => s"\"" + k + "\"" }
     val failedPart =
       if (failedKeys.isEmpty) "" else failedKeys.mkString(""","failed":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}"""
+    def lineAt(decimals: Int): String = {
+      val qs = results
+        .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) trim(v, decimals) else "-1") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${trim(total, decimals)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}"""
+    }
+    // Adaptive precision: the capture keeps ~2000 trailing chars and
+    // sbt appends its own "[success] …" line (~80), so the line must
+    // stay under ~1900 no matter how many queries the inventory grows
+    // to — degrade decimals before ever becoming unparseable (full
+    // precision is in bench_full.json regardless).
+    val line = (2 to 0 by -1).map(lineAt).find(_.length <= 1900).getOrElse {
+      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":{},"queries_in":"bench_full.json"$failedPart,"sf":"$sfName"}"""
+    }
     val fullQs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val full =
