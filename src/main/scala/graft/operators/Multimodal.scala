@@ -93,6 +93,51 @@ object Multimodal {
       .mapPartitions(StubDecoder.decode _)
   }
 
+  /** Post-resize metadata (what the pixel stage hands the encoder). */
+  case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                          target_w: Int, target_h: Int, scale_micro: Long)
+
+  /** Resize stage: aspect-preserving fit into (maxW, maxH), never
+    * upscaling — the standard pre-encoder contract. The pixel work is
+    * the stub (no media libs here); the CONTRACT — scale =
+    * min(maxW/w, maxH/h, 1), integer floor of the scaled dims, micro-
+    * unit scale factor for downstream bookkeeping — is the real one,
+    * and it runs as a pure column transform at scan speed (no shuffle,
+    * composes behind [[decodePipeline]]'s partitioning).
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      ResizedMedia(f.media_id, f.kind, f.width, f.height,
+        target_w = math.max(1, math.floor(f.width * scale).toInt),
+        target_h = math.max(1, math.floor(f.height * scale).toInt),
+        scale_micro = math.floor(scale * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** One sampled frame to feed a per-frame encoder. */
+  case class FrameRef(media_id: Long, kind: String, frame_idx: Int)
+
+  /** Frame-sampling stage: every `everyN`-th frame of each video
+    * (frame 0 always included); images/audio pass through as a single
+    * frame 0. Output cardinality is Σ ceil(n_frames / everyN) — the
+    * fan-out a planner needs to size the per-frame encode stage; rows
+    * stay (id, kind, idx) triples so the explode shuffles no payload
+    * bytes (frames are re-fetched by the encoder from the store).
+    */
+  def frameSample(features: Dataset[MediaFeatures], everyN: Int): Dataset[FrameRef] = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.flatMap { f =>
+      if (f.kind == "video") (0 until f.n_frames by everyN)
+        .map(i => FrameRef(f.media_id, f.kind, i))
+      else Seq(FrameRef(f.media_id, f.kind, 0))
+    }
+  }
+
   /** C12 `multimodal_meta` — the SQL-checkable face of the pipeline:
     * byte accounting OVER THE BINARY PAYLOAD ITSELF (header + content)
     * plus fixed-size chunk counts (how many 256-byte tiles a decoder

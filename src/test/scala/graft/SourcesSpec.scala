@@ -291,6 +291,32 @@ class SourcesSpec extends SparkSpec {
       feats2.map(f => (f.media_id, f.checksum, f.width, f.height)).toSeq)
     assert(feats1.forall(f => f.width >= 1 && f.width <= 1920 && f.height >= 1 && f.height <= 1080))
     assert(feats1.filter(_.kind == "video").forall(_.n_frames >= 1))
+
+    // resize stage: aspect-preserving fit into 256×256, never upscaling
+    val resized = Multimodal.resize(
+      Multimodal.decodePipeline(media, partitions = 4), 256, 256).collect()
+    resized.foreach { r =>
+      assert(r.target_w <= 256 && r.target_h <= 256 && r.target_w >= 1 && r.target_h >= 1)
+      assert(r.target_w <= r.width && r.target_h <= r.height) // no upscale
+      assert(r.scale_micro <= 1000000L)
+      // aspect preserved up to integer floor
+      val s = r.scale_micro / 1e6
+      assert(math.abs(r.target_w - math.floor(r.width * s)) <= 1)
+    }
+    // already-small media keeps its dims (scale 1)
+    resized.filter(r => r.width <= 256 && r.height <= 256).foreach { r =>
+      assert(r.target_w === r.width && r.target_h === r.height && r.scale_micro === 1000000L)
+    }
+
+    // frame-sample stage: ceil(n_frames/N) refs per video, 1 per image/audio
+    val frames = Multimodal.frameSample(
+      Multimodal.decodePipeline(media, partitions = 4), everyN = 10).collect()
+    val byId = frames.groupBy(_.media_id)
+    feats1.foreach { f =>
+      val expected = if (f.kind == "video") (f.n_frames + 9) / 10 else 1
+      assert(byId(f.media_id).length === expected, s"media ${f.media_id}")
+      assert(byId(f.media_id).map(_.frame_idx).min === 0) // frame 0 always sampled
+    }
   }
 
   test("media table round-trips a genuine BINARY payload through parquet") {
