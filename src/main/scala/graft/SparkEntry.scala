@@ -1223,9 +1223,15 @@ object SparkEntry {
         |bk AS (
         |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id),
-        |bands AS (
+        |bands0 AS (
         |  SELECT vec_id, bi AS band_id, (bucket >> CAST(bi * 4 AS INTEGER)) & 15 AS band_bucket
         |  FROM bk CROSS JOIN range(4) r(bi)),
+        |bands AS (
+        |  SELECT vec_id, band_id, band_bucket FROM (
+        |    SELECT vec_id, band_id, band_bucket,
+        |           count(*) OVER (PARTITION BY band_id, band_bucket) AS pop
+        |    FROM bands0) z
+        |  WHERE pop <= 500),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bands a JOIN bands b

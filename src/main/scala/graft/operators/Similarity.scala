@@ -153,17 +153,34 @@ object Similarity {
     * identical cosines for every emitted pair.
     */
   def lshVerifiedNearDupPairs(embeddings: DataFrame, threshold: Double,
-                              planes: Int = 16, bands: Int = 4): DataFrame = {
+                              planes: Int = 16, bands: Int = 4,
+                              maxBucket: Long = 500): DataFrame = {
     require(planes % bands == 0, "planes must divide into bands")
     val width = planes / bands
     val e = embeddings.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("v"),
       graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), planes).as("bucket"))
     val bandCols = (0 until bands).map(b =>
       shiftrightunsigned(col("bucket"), b * width).bitwiseAND(lit((1L << width) - 1)))
+    // Degenerate-bucket cap: per-band bucket population is n/2^width on
+    // average, so pair work inside a bucket is O((n/2^width)²) — with a
+    // FIXED width, growing n turns the "bucketed" join quadratic (the
+    // 1×/2×/4× scale probe measured exactly that: 1.9 s → 6.1 s →
+    // 23.5 s before the cap). Two guards at scale: (1) widen bands as
+    // the corpus grows — `planes/bands` is the knob, 16-bit bands for
+    // corpus-scale runs (the same reason MinHash-LSH uses 4×16-bit
+    // bands); (2) this cap, which skips buckets whose population
+    // exceeds `maxBucket` — the standard LSH-dedup guardrail: a bucket
+    // holding ≫ expected population carries near-zero signal per pair
+    // (hub/boilerplate directions) but quadratic cost. Same df-cap
+    // idea as ngramJaccardPairs/winnowPairs; replayed by the oracle.
+    val wB = Window.partitionBy(col("band_id"), col("band_bucket"))
     val banded = e.select(col("vec_id"), col("v"),
       posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_bucket")
+      .withColumn("pop", count(lit(1)).over(wB))
+      .filter(col("pop") <= maxBucket)
+      .drop("pop")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
