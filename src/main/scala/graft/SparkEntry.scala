@@ -243,6 +243,10 @@ object SparkEntry {
         Seq.fill(7)(Seq("view", "click", "purchase")).flatten)),
     "rolling_vol" -> ((s, dir) =>
       Analytics.rollingVol(Tables.panel(s, dir))),
+    "rolling_median" -> ((s, dir) =>
+      Analytics.rollingMedian(Tables.panel(s, dir))),
+    "interval_join" -> ((s, dir) =>
+      AsOf.intervalJoin(Tables.orders(s, dir))),
     "bollinger" -> ((s, dir) =>
       Analytics.bollinger(Tables.panel(s, dir))),
     "rsi" -> ((s, dir) =>
@@ -262,6 +266,13 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
+    "sim_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.simPagerank(docs,
+        Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L))
+    }),
+    "bm25_topk" -> ((s, dir) =>
+      Pipeline.bm25TopK(Tables.documents(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "top_ngrams" -> ((s, dir) =>
@@ -839,6 +850,53 @@ object SparkEntry {
         |         round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // Integer PageRank over the ngram-jaccard near-dup graph: the pairs
+    // CTE replays ngram_jaccard verbatim (same rounding-before-threshold),
+    // then 3 fixed message-passing rounds in micro-unit integer
+    // arithmetic — every `div` floors identically in both engines.
+    "sim_pagerank" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT doc_id FROM documents),
+        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |pr1 AS (
+        |  SELECT n.doc_id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.pr // dg.deg) AS c
+        |    FROM edges e JOIN pr0 p ON p.doc_id = e.src JOIN deg dg ON dg.doc_id = e.src
+        |    GROUP BY e.dst) s USING (doc_id)),
+        |pr2 AS (
+        |  SELECT n.doc_id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.pr // dg.deg) AS c
+        |    FROM edges e JOIN pr1 p ON p.doc_id = e.src JOIN deg dg ON dg.doc_id = e.src
+        |    GROUP BY e.dst) s USING (doc_id)),
+        |pr3 AS (
+        |  SELECT n.doc_id, CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.pr // dg.deg) AS c
+        |    FROM edges e JOIN pr2 p ON p.doc_id = e.src JOIN deg dg ON dg.doc_id = e.src
+        |    GROUP BY e.dst) s USING (doc_id))
+        |SELECT doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin,
     "top_ngrams" ->
       """WITH toks AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1540,6 +1598,31 @@ object SparkEntry {
          |SELECT asset_id, date, ret,
          |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
          |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
+    // Exact windowed median replayed STRUCTURALLY (sorted frame list,
+    // middle element, IEEE (a+b)/2 for even frames) rather than via
+    // DuckDB's median() — whose even-frame interpolation a+(b-a)/2 can
+    // differ from (a+b)/2 in the last ulp.
+    "rolling_median" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (SELECT asset_id, date, list_sort(arr) AS fa, len(arr) AS n FROM f)
+         |SELECT asset_id, date,
+         |  round(CASE WHEN n % 2 = 1 THEN fa[(n + 1) // 2]
+         |        ELSE (fa[n // 2] + fa[n // 2 + 1]) / 2.0 END, 6) AS med
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "interval_join" ->
+      """SELECT o1.o_custkey, o1.o_orderkey, o2.o_orderkey AS prev_orderkey,
+        |       o1.o_orderdate, o2.o_orderdate AS prev_orderdate,
+        |       CAST(date_diff('day', o2.o_orderdate, o1.o_orderdate) AS BIGINT) AS days_between
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND date_diff('day', o2.o_orderdate, o1.o_orderdate) BETWEEN 1 AND 30
+        |ORDER BY o1.o_orderkey, prev_orderkey""".stripMargin,
     "bollinger" ->
       s"""$panelCte,
          |$dailyCte,
@@ -1679,6 +1762,37 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
         |  FROM scored) z
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // BM25 with cleared denominators (k1=6/5, b=3/4): idf at 10^3 scale,
+    // length-normalized denominator in micro-units — both integer `div`s
+    // floor identically in Spark and DuckDB, so scores AND rank ties
+    // replay exactly.
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+        |scored AS (
+        |  SELECT q.doc_id AS q_id, tf.doc_id,
+        |         SUM((((corpus.n_docs * 1000) // dfx.df) * tf.tf * 11 * 1000000)
+        |             // (5 * (tf.tf * 1000000
+        |                  + ((6 * corpus.tot + 18 * lens.len * corpus.n_docs) * 1000000)
+        |                    // (20 * corpus.tot)))) AS score
+        |  FROM (SELECT doc_id, tok FROM tf WHERE doc_id IN (0, 1, 2, 3, 4)) q
+        |  JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.doc_id
+        |  JOIN dfx ON dfx.tok = q.tok
+        |  JOIN lens ON lens.doc_id = tf.doc_id
+        |  CROSS JOIN corpus
+        |  GROUP BY q.doc_id, tf.doc_id)
+        |SELECT q_id, rank, doc_id, score FROM (
+        |  SELECT q_id, doc_id, CAST(score AS BIGINT) AS score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored) z
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Int8 quantization replay: scale = max|x| (order-insensitive),
     // code = floor(x*127.0/scale + 0.5) — fixed-order IEEE double ops,
     // bit-identical to the QuantizeInt8 kernel; dots are pure integers.

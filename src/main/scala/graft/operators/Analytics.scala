@@ -791,6 +791,36 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B37 `rolling_median` — N-day rolling EXACT median of the LWW daily
+    * value: sort the frame-ordered value array, take the middle element
+    * (odd frame) or the IEEE mean of the two middles (even frame — one
+    * add and one halving, bit-identical cross-engine on identical
+    * inputs). Robust-statistics counterpart of [[rollingVol]]'s moment
+    * window: outlier-insensitive level estimate.
+    *
+    * Scale note: per-row cost is O(w log w) for the frame sort with
+    * w bounded by `window` — state per row is fixed-size, so the plan
+    * scales exactly like every other frame query (one shuffle on
+    * asset_id). At 100 TB with LARGE windows swap the exact sort for a
+    * mergeable sketch (t-digest per frame bucket); the exact form here
+    * is the oracle-checkable baseline.
+    */
+  def rollingMedian(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("fa", array_sort(collect_list(col("value")).over(frame)))
+      .withColumn("n", size(col("fa")))
+      .withColumn("med", round(
+        when(pmod(col("n"), lit(2)) === 1,
+          element_at(col("fa"), expr("cast((n + 1) div 2 as int)")))
+          .otherwise((element_at(col("fa"), expr("cast(n div 2 as int)")) +
+            element_at(col("fa"), expr("cast(n div 2 + 1 as int)"))) / 2.0), 6))
+      .select(col("asset_id"), col("date"), col("med"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B22 `bollinger` — N-day Bollinger bands on the LWW daily close:
     * mid = rolling mean, bands = mid ± 2σ (sample), %B = position of the
     * close within the band. Same frame-ordered fold determinism as

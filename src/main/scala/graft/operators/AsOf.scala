@@ -163,4 +163,41 @@ object AsOf {
       .filter(col("value_t1").isNull || col("value_t1") =!= col("value_t2"))
       .withColumn("change_type", when(col("value_t1").isNull, "added").otherwise("revised"))
       .orderBy(col("asset_id"), col("date"))
+
+  /** B38 `interval_join` — banded point-in-interval temporal join: for
+    * each order, every PRIOR order by the same customer placed 1..`windowDays`
+    * days earlier (the repeat-purchase window). The general shape — "match
+    * each point to intervals it falls inside, keyed" — is what tick
+    * enrichment, trade/quote banding, and campaign attribution all reduce
+    * to, and is the one temporal join Spark has no native operator for.
+    *
+    * Scale path: the naive `BETWEEN` predicate is an inequality join —
+    * Catalyst plans a broadcast-nested-loop (or a sort-merge with a full
+    * per-key cross product), both quadratic in the hot key. Instead both
+    * sides are bucketed into `windowDays`-wide epoch-day buckets; an
+    * interval of length `windowDays` overlaps AT MOST 2 such buckets, so
+    * the interval side is replicated ≤2× into `(bucket, bucket+1)` and the
+    * join becomes an EQUALITY join on `(custkey, bucket)` plus a residual
+    * range filter — hash-partitionable, AQE-skew-splittable, and the
+    * replication factor is a constant 2 independent of data size. Each
+    * candidate pair meets in exactly one bucket (the point's own), so no
+    * post-join dedup is needed.
+    */
+  def intervalJoin(orders: DataFrame, windowDays: Int = 30): DataFrame = {
+    val base = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val pts = base
+      .withColumn("bucket", expr(s"datediff(o_orderdate, DATE '1970-01-01') div $windowDays"))
+    val iv = base
+      .select(col("o_custkey"), col("o_orderkey").as("prev_orderkey"),
+        col("o_orderdate").as("prev_orderdate"))
+      .withColumn("b0", expr(s"datediff(prev_orderdate, DATE '1970-01-01') div $windowDays"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      .drop("b0")
+    pts.join(iv, Seq("o_custkey", "bucket"))
+      .withColumn("days_between", datediff(col("o_orderdate"), col("prev_orderdate")).cast("long"))
+      .filter(col("days_between").between(1, windowDays))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_orderkey"),
+        col("o_orderdate"), col("prev_orderdate"), col("days_between"))
+      .orderBy(col("o_orderkey"), col("prev_orderkey"))
+  }
 }

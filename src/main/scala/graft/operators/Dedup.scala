@@ -413,4 +413,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** C33 `sim_pagerank` — authority scores over the near-dup similarity
+    * graph: fixed-iteration PageRank where nodes are documents and edges
+    * any symmetric pair set (here [[ngramJaccardPairs]]). Ranks each
+    * near-dup cluster's members by connectivity — a principled survivor
+    * choice for [[dedupSurvivors]] (keep the most-central copy, not the
+    * min-id one) and a template-hub detector (high-degree nodes are
+    * boilerplate).
+    *
+    * ALL-INTEGER fixed-point (micro-units): pr₀ = 10⁶ per node;
+    * pr_{t+1}(v) = 150 000 + (85 · Σ_{u→v} (pr_t(u) div deg(u))) div 100
+    * — the damping-0.85 update with every division an integer `div`, so
+    * `iters` rounds replay value-for-value in any engine (float PageRank
+    * would accumulate reduction-order drift). Fixed iteration count, not
+    * convergence detection: deterministic output AND no driver round
+    * trips.
+    *
+    * Scale shape: per iteration one hash join (edges ⨝ ranks on src) and
+    * one shuffle aggregation on dst — the standard Pregel message-passing
+    * step as two Catalyst operators. `edges`/`deg` are loop-invariant and
+    * persisted once; ranks are the only iterated state. Edge partitioning
+    * is reused across iterations by the shuffle-reuse rule.
+    */
+  def simPagerank(documents: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = sym.persist()
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg")).persist()
+    val nodes = documents.select(col("doc_id"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), expr("pr div deg").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("c"))
+      pr = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("cast(150000 + (85 * coalesce(c, cast(0 as bigint))) div 100 as bigint)").as("pr"))
+    }
+    // Materialize before dropping the loop-invariant caches; the returned
+    // plan then no longer references them (no silent recompute, no leak).
+    val out = pr.localCheckpoint(true)
+    edges.unpersist()
+    deg.unpersist()
+    out.orderBy(col("doc_id"))
+  }
 }

@@ -261,4 +261,57 @@ object Pipeline {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** C32 `bm25_topk` — BM25 document retrieval: rank the corpus against
+    * each query document's term set (Robertson–Spärck Jones, the scoring
+    * the training-data retrieval/decontamination stack actually runs).
+    * Completes the retrieval family: [[tfidfTopK]] ranks TERMS per doc,
+    * this ranks DOCS per query, with BM25's tf saturation (k1) and
+    * length normalization (b).
+    *
+    * ALL-INTEGER fixed-point scoring, exactly replayable cross-engine
+    * (float `ln` idf + float division would hand last-ulp JVM-vs-libm
+    * differences to the rank ties). With k1 = 6/5, b = 3/4 and
+    * avglen = tot/N the per-term score
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))` clears its
+    * denominators as:
+    *   idf3      = (N·10³) div df                        (rarity, 10³ scale)
+    *   den_micro = tf·10⁶ + ((6·tot + 18·len·N)·10⁶) div (20·tot)
+    *   term      = (idf3·tf·11·10⁶) div (5·den_micro)
+    * Every operand stays < 2⁶³ at any corpus size where `tot` fits a
+    * long. Monotone in the classic score per fixed corpus up to the two
+    * documented quantizations; ties break on doc_id ascending.
+    *
+    * Scale shape: one shuffle builds (term, df); query term sets are
+    * tiny by definition → broadcast; the corpus posting join is the one
+    * big hash join; a query-partitioned window takes top-k (Spark 4
+    * pushes a partial WindowGroupLimit below the shuffle).
+    */
+  def bm25TopK(documents: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
+    val qterms = tf.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("den_micro",
+        expr("tf * 1000000 + ((6 * tot + 18 * len * n_docs) * 1000000) div (20 * tot)"))
+      .withColumn("term_score",
+        expr("(((n_docs * 1000) div df) * tf * 11 * 1000000) div (5 * den_micro)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

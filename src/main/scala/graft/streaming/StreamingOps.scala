@@ -359,6 +359,47 @@ object StreamingOps {
       }
   }
 
+  case class DailyTick(asset_id: Long, date: java.sql.Date, value: Double)
+  case class EwmaState(vals: Seq[Double])
+  case class EwmaPoint(asset_id: Long, date: java.sql.Date, value: Double, ewma: Double)
+
+  /** D13 — continuously-maintained EWMA per asset: the streaming face of
+    * batch B19 `ewma`. State per key is the last `span` values (bounded —
+    * O(keys·span) total); each arriving row appends, trims, and replays
+    * the SAME Horner folds as the batch kernel (`acc·w + x` over the
+    * oldest→newest values, weight total `acc·w + 1`), then rounds with
+    * Spark's own HALF_UP-on-shortest-decimal semantics — so for in-order
+    * feeds every emitted point is bit-identical to the batch operator's
+    * row (convergence spec-asserted). Rows within a micro-batch are
+    * processed in date order; cross-batch late data is ingestion-ordered
+    * (documented — the batch operator is the replayable source of truth
+    * for full reprocessing).
+    */
+  def ewmaStream(daily: Dataset[DailyTick], alpha: Double = 0.1,
+                 span: Int = 60): Dataset[EwmaPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val w = 1.0 - alpha
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[EwmaState]) =>
+          var vals = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty[Double])
+          val out = rows.toSeq.sortBy(_.date.getTime).map { t =>
+            vals = (vals :+ t.value).takeRight(span)
+            var s = 0.0
+            var nw = 0.0
+            vals.foreach { x => s = s * w + x; nw = nw * w + 1.0 }
+            val ewma = BigDecimal.decimal(s / nw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            EwmaPoint(assetId, t.date, t.value, ewma)
+          }
+          state.update(EwmaState(vals))
+          out.iterator
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

@@ -416,4 +416,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(b1 - 0.5) < 1e-4, s"beta1=$b1")
     assert(math.abs(b2 - 1.5) < 1e-4, s"beta2=$b2")
   }
+
+  test("rolling_median takes the sorted middle (odd) and middle mean (even)") {
+    // asset 1 LWW daily: 12, 18, 9 → frames [12]=12, [12,18]=15, [9,12,18]=12
+    val out = Analytics.rollingMedian(panel)
+      .filter($"asset_id" === 1).select("med").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(12.0, 15.0, 12.0))
+  }
+
+  test("interval_join matches the naive BETWEEN join, incl. bucket-boundary pairs") {
+    def day(i: Int) = new Timestamp(Date.valueOf("2024-01-01").getTime + i * 86400000L)
+    val orders = Seq(
+      (1L, 1L, day(0)), (1L, 2L, day(10)), (1L, 3L, day(45)), (1L, 4L, day(70)),
+      (2L, 5L, day(10)),                    // singleton: no pairs
+      (3L, 6L, day(5)), (3L, 7L, day(5)),   // same-day: excluded (diff 0)
+      (4L, 8L, day(29)), (4L, 9L, day(31))) // pair straddles the 30-day bucket edge
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val got = graft.operators.AsOf.intervalJoin(orders, windowDays = 30)
+      .select("o_orderkey", "prev_orderkey", "days_between").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((2L, 1L, 10L), (4L, 3L, 25L), (9L, 8L, 2L)))
+    // equivalence with the plain inequality join on the same input
+    val naive = orders.as("a").join(orders.as("b"),
+        $"a.o_custkey" === $"b.o_custkey" &&
+          org.apache.spark.sql.functions.datediff($"a.o_orderdate", $"b.o_orderdate").between(1, 30))
+      .select($"a.o_orderkey", $"b.o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet === naive)
+  }
 }

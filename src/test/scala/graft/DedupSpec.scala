@@ -183,4 +183,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hitsAfter === hits)
   }
+
+  test("sim_pagerank: integer fixed-point values match the hand-computed 3 rounds") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // chain 1—2—3; 4 and 5 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.simPagerank(docs, pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pr0=10^6 each; update pr' = 150000 + (85·Σ pr div deg) div 100:
+    // r1: ends 575000, mid 1850000 · r2: ends 936250, mid 1127500
+    // r3: ends 150000+(85·(1127500 div 2)) div 100 = 629187,
+    //     mid 150000+(85·(936250·2)) div 100 = 1741625
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L,
+      4L -> 150000L, 5L -> 150000L))
+    // the chain's center is the authority; isolated nodes sit at the base
+    assert(got(2L) > got(1L) && got(1L) > got(4L))
+  }
 }

@@ -191,4 +191,21 @@ class PipelineSpec extends SparkSpec {
     // empty doc contributes nothing
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("bm25_topk ranks by overlap with saturation, excludes self and no-overlap docs") {
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana cherry"),          // identical to the query
+      (2L, "apple banana"),                 // 2 of 3 terms
+      (3L, "apple xyz qqq www uvw rst"),    // 1 term, longer doc (length-normalized down)
+      (4L, "zzz yyy"))                      // no overlap
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.bm25TopK(docs, Seq(0L), k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    val ranked = out.map(_._1).toSeq
+    assert(ranked === Seq(1L, 2L, 3L))      // self (0) and no-overlap (4) absent
+    // scores strictly ordered, all positive integers
+    val scores = out.map(_._3).toSeq
+    assert(scores === scores.sorted.reverse && scores.forall(_ > 0))
+  }
 }

@@ -419,4 +419,42 @@ class StreamingSpec extends SparkSpec {
       assert(all.count(e => e.event_type == "view" && e.rank == 1L) === 2)
     } finally q.stop()
   }
+
+  test("ewmaStream converges to the batch ewma for in-order feeds, incl. span trim") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{DailyTick, EwmaPoint}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[DailyTick]
+    val q = StreamingOps.ewmaStream(input.toDS(), alpha = 0.1, span = 2)
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DailyTick(1L, d("2024-01-01"), 12.0), DailyTick(1L, d("2024-01-02"), 18.0))
+      q.processAllAvailable()
+      input.addData(
+        DailyTick(1L, d("2024-01-03"), 9.0), DailyTick(2L, d("2024-01-01"), 100.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_sink").as[EwmaPoint].collect()
+        .map(p => (p.asset_id, p.date.toString) -> p.ewma).toMap
+      // span=2 trims the day-1 value before day 3: frame [18, 9] →
+      // s = 18·0.9 + 9 = 25.2, nw = 1.9 → 13.263158
+      assert(got === Map(
+        (1L, "2024-01-01") -> 12.0, (1L, "2024-01-02") -> 15.157895,
+        (1L, "2024-01-03") -> 13.263158, (2L, "2024-01-01") -> 100.0))
+
+      // convergence contract: identical to the batch operator per row
+      val panel = Seq(
+        (1L, d("2024-01-01"), new Timestamp(100L), 12.0, 1L),
+        (1L, d("2024-01-02"), new Timestamp(200L), 18.0, 2L),
+        (1L, d("2024-01-03"), new Timestamp(300L), 9.0, 3L),
+        (2L, d("2024-01-01"), new Timestamp(100L), 100.0, 4L))
+        .toDF("asset_id", "date", "ts", "value", "seq")
+      val batch = graft.operators.Analytics.ewma(panel, alpha = 0.1, span = 2)
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getAs[Double]("ewma")).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
