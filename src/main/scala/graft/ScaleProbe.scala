@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe (SURVEY §6): time SparkEntry queries against
+  * perturbed 1×/2×/4× replicas of the sf tables, to catch super-linear
+  * operators BEFORE they sink a 100 TB run (this is how
+  * lsh_verified_pairs' fixed-band quadratic was found in r5).
+  *
+  * Replicas are perturbed so they don't create cross-replica matches —
+  * more DATA, not more duplicates:
+  *   - documents: replica i gets fresh doc_ids and case-flipped text
+  *     with a replica-salt prefix (not near-dups of the original);
+  *   - orders: fresh order keys AND fresh customer keys (per-customer
+  *     order density stays constant — the honest "more customers" growth
+  *     model for keyed self-joins);
+  *   - embeddings: fresh vec_ids, sign-flipped alternating dims.
+  * Other tables are reused from the base dir unchanged.
+  *
+  * Usage: runMain graft.ScaleProbe <query> [<query> ...]
+  *   SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_PROBE_FACTORS
+  *   (default "1,2,4"), SPARK_GRAFT_PROBE_RUNS (default 3, median).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTORS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftConf.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String, factor: Int, dir: String): Unit = {
+      // Lazily read only inside the replicated branches: a plain read of
+      // events.parquet (TIMESTAMP NANOS) throws at schema inference.
+      def src = Tables.read(spark, base, table)
+      val out = table match {
+        case "documents" =>
+          val maxId = src.agg(max("doc_id")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            if (i == 0) src
+            else src.select(
+              (col("doc_id") + lit(i * maxId)).as("doc_id"),
+              concat(lit(s"r$i "),
+                if (i % 2 == 1) upper(col("text")) else lower(col("text"))).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+          }.reduce(_ unionByName _)
+        case "orders" =>
+          val maxK = src.agg(max("o_orderkey")).head.getLong(0) + 1
+          val maxC = src.agg(max("o_custkey")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            src.select(
+              (col("o_orderkey") + lit(i * maxK)).as("o_orderkey"),
+              (col("o_custkey") + lit(i * maxC)).as("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+              col("o_orderpriority"))
+          }.reduce(_ unionByName _)
+        case "embeddings" =>
+          val maxId = src.agg(max("vec_id")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            if (i == 0) src
+            else src.select(
+              (col("vec_id") + lit(i * maxId)).as("vec_id"),
+              transform(col("embedding"),
+                (x, j) => when(pmod(j + lit(i), lit(2)) === 0, -x).otherwise(x)).as("embedding"),
+              col("label"))
+          }.reduce(_ unionByName _)
+        case _ => null // unreplicated tables are file-copied below
+      }
+      if (out != null)
+        out.coalesce(4).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      else {
+        // raw copy — events.parquet is TIMESTAMP(NANOS) and must not go
+        // through a plain read/write round-trip (see Tables.events)
+        val from = java.nio.file.Paths.get(s"$base/$table.parquet")
+        val to = java.nio.file.Paths.get(s"$dir/$table.parquet")
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(from, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val allTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    factors.foreach { f =>
+      val dir = s"/tmp/scaleprobe/f$f"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      allTables.foreach(t => replicate(t, f, dir))
+    }
+
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      val times = factors.map { f =>
+        val dir = s"/tmp/scaleprobe/f$f"
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        f -> samples(samples.length / 2)
+      }
+      println(s"[probe] $name " +
+        times.map { case (f, t) => f"${f}x=$t%.2fs" }.mkString(" "))
+    }
+    spark.stop()
+  }
+}

@@ -121,6 +121,16 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
         .orderBy(col("event_id"))
     }),
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      AsOf.asOfJoinTolerance(purchases, views, "user_id", Seq("value"), maxLagSec = 3600L)
+        .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
     "asof_join_native" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -271,6 +281,9 @@ object SparkEntry {
       Dedup.simPagerank(docs,
         Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L))
     }),
+    "triangle_count" -> ((s, dir) =>
+      Dedup.triangleCount(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L))),
     "bm25_topk" -> ((s, dir) =>
       Pipeline.bm25TopK(Tables.documents(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     "dedup_embedding" -> ((s, dir) =>
@@ -665,6 +678,21 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
         |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
         |ORDER BY p.event_id""".stripMargin,
+    // Tolerance bound folded into the candidate predicate: the latest
+    // earlier view either IS within the window (identical winner) or is
+    // older than it — in which case every candidate is, and the window
+    // filter leaves no rows (NULL), matching the operator's staleness
+    // null-out.
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, v.value AS vv,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+        |                   AND v.ts >= p.ts - INTERVAL 3600 SECOND)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
+        |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
     // Same semantics as asof_join_native — the bucketed layout must be
     // execution-invisible, so the oracle is identical.
     "asof_join_bucketed" ->
@@ -897,6 +925,35 @@ object SparkEntry {
         |    FROM edges e JOIN pr2 p ON p.doc_id = e.src JOIN deg dg ON dg.doc_id = e.src
         |    GROUP BY e.dst) s USING (doc_id))
         |SELECT doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin,
+    // Same ngram-jaccard pairs CTE; triangles a<b<c enumerated once via
+    // (a,b)⨝(b,c)⨝(a,c) on the canonical (doc_a < doc_b) pair set.
+    "triangle_count" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3),
+        |tri AS (
+        |  SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+        |  FROM pairs ab
+        |  JOIN pairs bc ON bc.doc_a = ab.doc_b
+        |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        |m AS (SELECT unnest([doc_a, doc_b, doc_c]) AS doc_id FROM tri)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "top_ngrams" ->
       """WITH toks AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t

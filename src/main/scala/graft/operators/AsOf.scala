@@ -105,6 +105,42 @@ object AsOf {
       .drop("_side", "_rv")
   }
 
+  /** A8c `asof_join_tolerance` — as-of join with a max-lookback bound
+    * (pandas `merge_asof(tolerance=…)`, kdb `wj` within a window): the
+    * latest strictly-earlier right row is used ONLY if it is at most
+    * `maxLagSec` old; staler matches yield NULL, exactly like no match.
+    *
+    * Scale shape: IDENTICAL to [[asOfJoin]] — the union-sort trick with
+    * one extra carried column (the matched ts) and a post-window lag
+    * predicate. Tolerance costs ZERO extra shuffles or joins; a naive
+    * formulation (range join + per-row argmax) would pay a second
+    * shuffle and a quadratic candidate set on hot keys.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftCols: Seq[String], maxLagSec: Long): DataFrame = {
+    val l = left.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(1).as("_side"),
+        lit(null).cast("double").as("_rv"),
+        lit(null).cast("timestamp").as("_rts")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"),
+        col("rvalue").as("_rv"), col("ts").as("_rts")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("ts").asc, col("_side").desc, col("seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_av", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_ats", last(col("_rts"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .withColumn("asof_value",
+        when(unix_micros(col("ts")) - unix_micros(col("_ats")) <= maxLagSec * 1000000L,
+          col("_av")))
+      .drop("_side", "_rv", "_rts", "_av", "_ats")
+  }
+
   /** A13 `asof_snapshot` — the full point-in-time cross-section: every
     * (asset, date)'s value as it was KNOWN at `asOf`. Revisions after
     * `asOf` are invisible; keys first observed after `asOf` are absent —

@@ -436,6 +436,30 @@ object Dedup {
     * persisted once; ranks are the only iterated state. Edge partitioning
     * is reused across iterations by the shuffle-reuse rule.
     */
+  /** C34 `triangle_count` — per-document triangle membership over the
+    * near-dup graph: a triangle means THREE mutually-similar documents —
+    * much stronger template/boilerplate evidence than a lone pair, and
+    * the standard clustering-coefficient ingredient. Input pairs are
+    * canonical (doc_a < doc_b), so each triangle a<b<c is enumerated
+    * exactly once via (a,b)⨝(b,c)⨝(a,c); each member gets one credit.
+    *
+    * Scale: two hash joins on the PAIR set (O(duplicates), not corpus)
+    * — the standard enumeration. At web scale, orient edges
+    * low-degree→high-degree first so the join fan-out is bounded by
+    * arboricity, and df-cap hubs (the same guardrail the posting joins
+    * use upstream).
+    */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a"), col("doc_b"))
+    val tri = e
+      .join(e.select(col("doc_a").as("doc_b"), col("doc_b").as("doc_c")), Seq("doc_b"))
+      .join(e.select(col("doc_a"), col("doc_b").as("doc_c")), Seq("doc_a", "doc_c"))
+    tri.select(explode(array(col("doc_a"), col("doc_b"), col("doc_c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   def simPagerank(documents: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

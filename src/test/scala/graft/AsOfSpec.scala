@@ -78,6 +78,24 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
 
+  test("asof_join_tolerance nulls matches staler than the lookback window") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(10), 100L, 10.0), (1L, ts(20), 101L, 20.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq((1L, ts(5), 200L, 1.5), (1L, ts(9), 201L, 2.5))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    def run(maxLagSec: Long) =
+      AsOf.asOfJoinTolerance(left, right, "user_id", Seq("value"), maxLagSec)
+        .orderBy("seq").select("seq", "asof_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // generous window: identical to plain asof_join (latest earlier right)
+    assert(run(3600L).toSeq === Seq((100L, Some(2.5)), (101L, Some(2.5))))
+    // 5s window: left@20's latest match (right@9) is 11s stale → null;
+    // left@10 still sees right@9 (1s old)
+    assert(run(5L).toSeq === Seq((100L, Some(2.5)), (101L, None)))
+  }
+
   test("revision_stats profiles knowledge-time churn per asset") {
     // asset 0: 3 keys × 3 revisions each (spans 20s, 20s, 15s)
     val out = AsOf.revisionStats(panel).collect()

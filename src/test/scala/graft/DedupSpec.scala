@@ -200,4 +200,14 @@ class DedupSpec extends SparkSpec {
     // the chain's center is the authority; isolated nodes sit at the base
     assert(got(2L) > got(1L) && got(1L) > got(4L))
   }
+
+  test("triangle_count enumerates each triangle once, credits all members") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3), (1,2,4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.triangleCount(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }

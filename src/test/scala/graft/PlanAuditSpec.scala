@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_topk",         // corpus ⨝ broadcast(5 probe vectors)
     "ann_quantized",    // corpus ⨝ broadcast(5 probe code vectors)
     "tfidf_topk",       // scored terms ⨝ broadcast(1-row corpus count)
+    "bm25_topk",        // posting join ⨝ broadcast(1-row corpus stats)
     "dedup_embedding")  // block-tiled all-pairs: broadcast block spine
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
