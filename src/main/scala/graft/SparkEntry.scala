@@ -951,9 +951,18 @@ object SparkEntry {
         |  FROM pairs ab
         |  JOIN pairs bc ON bc.doc_a = ab.doc_b
         |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
-        |m AS (SELECT unnest([doc_a, doc_b, doc_c]) AS doc_id FROM tri)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |m AS (SELECT unnest([doc_a, doc_b, doc_c]) AS doc_id FROM tri),
+        |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY doc_id),
+        |dg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) u
+        |  GROUP BY doc_id)
+        |SELECT dg.doc_id, dg.degree,
+        |       COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |       CASE WHEN dg.degree >= 2 THEN
+        |         round(COALESCE(tc.n_triangles, 0) * 2.0 / (dg.degree * (dg.degree - 1)), 6)
+        |       END AS clustering_coeff
+        |FROM dg LEFT JOIN tc USING (doc_id) ORDER BY dg.doc_id""".stripMargin,
     "top_ngrams" ->
       """WITH toks AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t

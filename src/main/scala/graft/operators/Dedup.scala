@@ -436,12 +436,17 @@ object Dedup {
     * persisted once; ranks are the only iterated state. Edge partitioning
     * is reused across iterations by the shuffle-reuse rule.
     */
-  /** C34 `triangle_count` — per-document triangle membership over the
-    * near-dup graph: a triangle means THREE mutually-similar documents —
-    * much stronger template/boilerplate evidence than a lone pair, and
-    * the standard clustering-coefficient ingredient. Input pairs are
+  /** C34 `triangle_count` — triangle membership + local clustering
+    * coefficient per document over the near-dup graph: a triangle means
+    * THREE mutually-similar documents — much stronger template/
+    * boilerplate evidence than a lone pair — and
+    * `coeff = 2·tri / (deg·(deg−1))` separates tight duplicate cliques
+    * (→1) from hub-and-spoke template matches (→0). Input pairs are
     * canonical (doc_a < doc_b), so each triangle a<b<c is enumerated
     * exactly once via (a,b)⨝(b,c)⨝(a,c); each member gets one credit.
+    * Every doc with ≥1 edge is emitted (n_triangles 0 is meaningful);
+    * the coefficient is one IEEE division of exact integers —
+    * deterministic cross-engine.
     *
     * Scale: two hash joins on the PAIR set (O(duplicates), not corpus)
     * — the standard enumeration. At web scale, orient edges
@@ -450,13 +455,30 @@ object Dedup {
     * use upstream).
     */
   def triangleCount(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a"), col("doc_b"))
+    // Materialize the pair set ONCE: it appears five times (3 triangle
+    // branches + 2 degree sides), and without a cut Catalyst re-derives
+    // the whole upstream pair pipeline (shingle explode + posting join)
+    // per branch — measured 7.5 s → ~4 s at sf0.1. The pair set is
+    // O(duplicates)-small by construction, so the checkpoint is cheap;
+    // blocks are ContextCleaner-reclaimed when the plan is dropped.
+    val e = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"))
     val tri = e
       .join(e.select(col("doc_a").as("doc_b"), col("doc_b").as("doc_c")), Seq("doc_b"))
       .join(e.select(col("doc_a"), col("doc_b").as("doc_c")), Seq("doc_a", "doc_c"))
-    tri.select(explode(array(col("doc_a"), col("doc_b"), col("doc_c"))).as("doc_id"))
+    val triDocs = tri
+      .select(explode(array(col("doc_a"), col("doc_b"), col("doc_c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
+    deg.join(triDocs, Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          round(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)), 6)))
+      .select(col("doc_id"), col("degree"), col("n_triangles"), col("clustering_coeff"))
       .orderBy(col("doc_id"))
   }
 

@@ -293,7 +293,9 @@ object Pipeline {
         explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // len from tf (Σ tf per doc), not from a second tokenize pass — one
+    // fewer scan+explode of the corpus in the physical plan.
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
     val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
     val qterms = tf.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("q_id"), col("tok"))

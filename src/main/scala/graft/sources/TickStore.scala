@@ -240,4 +240,35 @@ object TickStore {
     read(spark, path)
       .filter(col("date_month").between(fromDate.substring(0, 7), toDate.substring(0, 7)) &&
         col("date").between(lit(fromDate).cast("date"), lit(toDate).cast("date")))
+
+  /** A17 — store health view, METADATA-ONLY (FS listing; zero data
+    * read): per-month file count, bytes, and mean file size, plus a
+    * small-file flag. This is the dashboard an LSM-ish store needs to
+    * schedule [[compact]]: streaming ingestion (`streamingSink`
+    * appends per micro-batch) accretes small files per month until a
+    * compaction rewrites them at `filesPerPartition`. O(months ·
+    * files) driver-side listing, independent of row count — usable on
+    * a 100 TB store exactly because it never opens a file.
+    */
+  def stats(spark: SparkSession, path: String,
+            smallFileBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val rows = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        (dir.getPath.getName.stripPrefix("date_month="),
+          files.length.toLong, bytes,
+          if (files.nonEmpty) bytes / files.length else 0L)
+      }
+      .sortBy(_._1)
+      .toSeq
+    import spark.implicits._
+    rows.toDF("date_month", "n_files", "total_bytes", "mean_file_bytes")
+      .withColumn("needs_compaction",
+        col("n_files") > 0 && col("mean_file_bytes") < smallFileBytes)
+  }
 }

@@ -201,13 +201,26 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) > got(1L) && got(1L) > got(4L))
   }
 
-  test("triangle_count enumerates each triangle once, credits all members") {
+  test("triangle_count enumerates each triangle once; clustering coeff per member") {
     import spark.implicits._
-    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3), (1,2,4)
-    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    // K4 on {1,2,3,4} minus edge (3,4), plus pendant 5—1:
+    // triangles (1,2,3), (1,2,4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (1L, 5L))
       .toDF("doc_a", "doc_b")
     val got = Dedup.triangleCount(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // node 1: deg 4, 2 triangles → 2·2/(4·3) = 0.333333
+    // node 2: deg 3, 2 triangles → 4/6 = 0.666667
+    // nodes 3,4: deg 2, 1 triangle → 2/2 = 1.0
+    // node 5: deg 1, 0 triangles → coeff undefined (null)
+    assert(got === Map(
+      1L -> ((4L, 2L, Some(0.333333))),
+      2L -> ((3L, 2L, Some(0.666667))),
+      3L -> ((2L, 1L, Some(1.0))),
+      4L -> ((2L, 1L, Some(1.0))),
+      5L -> ((1L, 0L, None))))
   }
 }

@@ -372,4 +372,29 @@ class SourcesSpec extends SparkSpec {
     // malformed cutoff rejected before any deletion
     intercept[IllegalArgumentException] { TickStore.vacuum(spark, path, "2020/01") }
   }
+
+  test("TickStore.stats reports per-month file metadata; compaction clears the flag") {
+    val panel = Tables.panel(spark, "/root/testdata/sf0.001")
+    val path = Files.createTempDirectory("tsstats").toString + "/store"
+    TickStore.write(panel, path)
+    // accrete small files the way streaming ingestion does
+    (1 to 3).foreach { _ =>
+      panel.limit(50).withColumn("date_month", date_format(col("date"), "yyyy-MM"))
+        .coalesce(1).write.mode("append").partitionBy("date_month").parquet(path)
+    }
+    val before = TickStore.stats(spark, path).collect()
+    assert(before.nonEmpty)
+    val jan = before.find(_.getString(0) == "2024-01").get
+    assert(jan.getAs[Long]("n_files") >= 4L)      // 4 bulk + 3 appended
+    assert(jan.getAs[Long]("total_bytes") > 0L)
+    assert(jan.getAs[Boolean]("needs_compaction")) // tiny files ≪ 32 MiB default
+    TickStore.compact(spark, path)
+    val after = TickStore.stats(spark, path).collect()
+      .find(_.getString(0) == "2024-01").get
+    assert(after.getAs[Long]("n_files") < jan.getAs[Long]("n_files"))
+    // data intact, tight threshold clears the flag
+    assert(TickStore.read(spark, path).count() > 0)
+    assert(!TickStore.stats(spark, path, smallFileBytes = 1L)
+      .filter(col("needs_compaction")).collect().exists(_.getString(0) == "2024-01"))
+  }
 }
