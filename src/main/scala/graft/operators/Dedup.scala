@@ -483,8 +483,12 @@ object Dedup {
   }
 
   def simPagerank(documents: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Cut the pair pipeline before symmetrizing: the union's two
+    // branches would otherwise each re-derive the full upstream
+    // shingle/posting plan (same fix as [[triangleCount]]).
+    val base = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val sym = base.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(base.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val edges = sym.persist()
     val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg")).persist()
     val nodes = documents.select(col("doc_id"))

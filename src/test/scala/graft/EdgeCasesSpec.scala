@@ -169,4 +169,41 @@ class EdgeCasesSpec extends SparkSpec {
     val tf = graft.operators.Pipeline.tfidfTopK(docs, 3).collect()
     assert(tf.map(_.getLong(0)).toSet === Set(2L, 3L))
   }
+
+  test("round-5 operators return empty/sane on degenerate inputs") {
+    // rolling_median on empty and single-row panels
+    assert(Analytics.rollingMedian(emptyPanel).count() === 0)
+    val one = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 7.5, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.rollingMedian(one).collect().map(_.getDouble(2)).toSeq === Seq(7.5))
+
+    // interval_join: empty orders, and a customer with one order → no pairs
+    val emptyOrders = Seq.empty[(Long, Long, Timestamp)]
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    assert(AsOf.intervalJoin(emptyOrders).count() === 0)
+
+    // bm25: blank query doc contributes no terms → absent from output;
+    // unknown query id → no rows at all
+    val docs = Seq((0L, "  "), (1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    assert(Pipeline.bm25TopK(docs, Seq(0L), 5).count() === 0)
+    assert(Pipeline.bm25TopK(docs, Seq(99L), 5).count() === 0)
+    val hit = Pipeline.bm25TopK(docs, Seq(1L), 5).collect()
+    assert(hit.map(_.getLong(2)).toSeq === Seq(2L)) // shares "alpha" only
+
+    // graph ops on an empty pair set: empty output, no errors
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.triangleCount(noPairs).count() === 0)
+    val docIds = Seq(1L, 2L).toDF("doc_id")
+    val pr = Dedup.simPagerank(docIds, noPairs).collect()
+    assert(pr.map(_.getLong(1)).toSeq === Seq(150000L, 150000L)) // all base
+
+    // tolerance as-of with zero window: every match is stale → all null
+    val left = Seq((1L, new Timestamp(10000L), 100L, 1.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq((1L, new Timestamp(9000L), 200L, 2.0))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val tol = AsOf.asOfJoinTolerance(left, right, "user_id", Seq("value"), 0L).collect()
+    assert(tol.length === 1 && tol.head.isNullAt(tol.head.fieldIndex("asof_value")))
+  }
 }
