@@ -42,7 +42,15 @@ object KeyValue {
       (col("asset_id") === fromAsset && col("date") >= lit(fromDate).cast("date"))
     val hi = col("asset_id") < toAsset ||
       (col("asset_id") === toAsset && col("date") <= lit(toDate).cast("date"))
-    panel.filter(lo && hi)
+    // The composite-key bounds are OR-of-AND — Catalyst does not infer
+    // implied single-column predicates from that shape, so nothing
+    // reaches the scan as PushedFilters. Add the (redundant, implied)
+    // asset bound explicitly: it pushes into the parquet reader and
+    // prunes row groups by the sort key's min/max — the leaf-level
+    // B-tree descent analog, and the difference between reading the
+    // asset range and reading the whole store at 100 TB.
+    val pushable = col("asset_id").between(fromAsset, toAsset)
+    panel.filter(pushable && lo && hi)
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
       .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
   }

@@ -25,6 +25,32 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk",        // posting join ⨝ broadcast(1-row corpus stats)
     "dedup_embedding")  // block-tiled all-pairs: broadcast block spine
 
+  test("key predicates reach the parquet scan as PushedFilters") {
+    val sfDir = "/root/testdata/sf0.001"
+    // point lookup: equality on the key pushes through the panel aliases
+    val point = SparkEntry.queries("point_lookup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(point.contains("PushedFilters:") && point.contains("user_id"),
+      s"point_lookup scan lost its pushdown:\n$point")
+    // range scan: the OR-of-AND composite bound is not pushable, but the
+    // implied asset BETWEEN bound must be (row-group pruning at rest)
+    val range = SparkEntry.queries("range_scan")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(range.contains("GreaterThanOrEqual(user_id") &&
+      range.contains("LessThanOrEqual(user_id"),
+      s"range_scan lost its implied pushable asset bound:\n$range")
+  }
+
+  test("column pruning reaches the scan (ReadSchema is minimal)") {
+    val sfDir = "/root/testdata/sf0.001"
+    // lang_id touches doc_id/text/lang — n_chars and source must not be read
+    val plan = SparkEntry.queries("lang_id")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("n_chars") &&
+      !readSchema.contains("source"), s"lang_id over-reads: $readSchema")
+  }
+
   test("no query plan contains a cartesian product or unplanned BNL join") {
     val sfDir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
