@@ -78,6 +78,10 @@ object SparkEntry {
       AsOf.asOfRange(Tables.panel(s, dir), 7L, "2024-01-05", "2024-01-25", "2024-01-20 12:00:00")),
     "asof_bulk" -> ((s, dir) =>
       AsOf.asOfBulk(Tables.panel(s, dir), asofQueries(s))),
+    // Same semantics, scan-pruned: the oracle is the PLAIN bulk SQL,
+    // proving the runtime-derived pushdown is execution-invisible.
+    "asof_bulk_pruned" -> ((s, dir) =>
+      AsOf.asOfBulkPruned(Tables.panel(s, dir), asofQueries(s))),
     "point_lookup" -> ((s, dir) =>
       KeyValue.pointLookup(Tables.panel(s, dir), 5L, "2024-01-10")),
     "range_scan" -> ((s, dir) =>
@@ -587,6 +591,19 @@ object SparkEntry {
          |    AND ts <= TIMESTAMP '2024-01-20 12:00:00') t
          |WHERE rn = 1 ORDER BY date DESC""".stripMargin,
     "asof_bulk" ->
+      s"""$panelCte,
+         |q(query_id, q_asset_id, start_date, end_date, asof_ts) AS (VALUES
+         |  (0, 3, DATE '2024-01-02', DATE '2024-01-12', TIMESTAMP '2024-01-10 06:00:00'),
+         |  (1, 7, DATE '2024-01-05', DATE '2024-01-25', TIMESTAMP '2024-01-20 12:00:00'),
+         |  (2, 11, DATE '2024-01-10', DATE '2024-01-30', TIMESTAMP '2024-01-28 00:00:00'),
+         |  (3, 2, DATE '2024-01-01', DATE '2024-01-31', TIMESTAMP '2024-01-31 23:59:59'))
+         |SELECT CAST(query_id AS BIGINT) AS query_id, asset_id, date, ts, value FROM (
+         |  SELECT q.query_id, p.asset_id, p.date, p.ts, p.value,
+         |         ROW_NUMBER() OVER (PARTITION BY q.query_id, p.date ORDER BY p.ts DESC, p.seq DESC) AS rn
+         |  FROM panel p JOIN q ON p.asset_id = q.q_asset_id
+         |   AND p.date BETWEEN q.start_date AND q.end_date AND p.ts <= q.asof_ts) t
+         |WHERE rn = 1 ORDER BY query_id, date DESC""".stripMargin,
+    "asof_bulk_pruned" ->
       s"""$panelCte,
          |q(query_id, q_asset_id, start_date, end_date, asof_ts) AS (VALUES
          |  (0, 3, DATE '2024-01-02', DATE '2024-01-12', TIMESTAMP '2024-01-10 06:00:00'),

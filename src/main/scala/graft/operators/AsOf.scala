@@ -69,6 +69,33 @@ object AsOf {
       .orderBy(col("query_id"), col("date").desc)
   }
 
+  /** A2b `asof_bulk_pruned` — [[asOfBulk]] with SCAN-PUSHED bounds
+    * derived from the query set: the bulk-query side is tiny by
+    * definition (it broadcasts), so one driver-side collect of its
+    * envelope — distinct asset ids, max as-of ts — yields predicates the
+    * parquet reader can prune row groups with. Without this the panel
+    * scan reads the WHOLE store (the range-join condition references
+    * broadcast-side columns, so nothing is pushable); with it, I/O is
+    * bounded by the queried assets' row groups — at 100 TB the
+    * difference between a full-store read and a key-range read. The
+    * simplest form of runtime filtering (Spark's InjectRuntimeFilter
+    * only covers equi-joins), and semantically invisible: the driver
+    * oracle for this query is the PLAIN asof_bulk SQL.
+    */
+  def asOfBulkPruned(panel: DataFrame, queries: DataFrame): DataFrame = {
+    val env = queries.agg(
+      collect_set(col("q_asset_id")).as("assets"),
+      max(col("asof_ts")).as("max_asof"),
+      min(col("start_date")).as("min_start"),
+      max(col("end_date")).as("max_end")).head()
+    val assets = env.getSeq[Long](0)
+    val pruned = panel.filter(
+      col("asset_id").isin(assets: _*) &&
+        col("ts") <= env.getTimestamp(1) &&
+        col("date").between(env.getDate(2), env.getDate(3)))
+    asOfBulk(pruned, queries)
+  }
+
   /** A8 `asof_join` — enrich each `left` row with the latest `right`
     * value for the same key strictly before the left row's timestamp.
     *

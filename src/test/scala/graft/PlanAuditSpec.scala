@@ -39,6 +39,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(range.contains("GreaterThanOrEqual(user_id") &&
       range.contains("LessThanOrEqual(user_id"),
       s"range_scan lost its implied pushable asset bound:\n$range")
+    // bulk as-of pruned variant: the runtime-derived asset set must
+    // reach the scan (In(user_id, …)) — without it the store is read whole
+    val bulk = SparkEntry.queries("asof_bulk_pruned")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bulk.contains("In(user_id"),
+      s"asof_bulk_pruned lost its runtime asset-set pushdown:\n$bulk")
   }
 
   test("column pruning reaches the scan (ReadSchema is minimal)") {
