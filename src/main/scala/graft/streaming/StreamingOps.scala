@@ -359,6 +359,39 @@ object StreamingOps {
       }
   }
 
+  /** D14 — stream-static banded interval join: each arriving order is
+    * matched to the same customer's prior orders 1..`windowDays` days
+    * earlier in a STATIC history table (streaming face of batch B38
+    * `interval_join`). The bucket trick is what makes this STREAMABLE:
+    * replicating each history interval into its ≤2 window-width epoch
+    * buckets turns the inequality join into a stream-static EQUALITY
+    * join on (custkey, bucket) + a residual range filter — stateless
+    * (no watermark, no state store), just a per-batch hash join against
+    * the static side. A raw BETWEEN stream-static join would be a
+    * per-batch nested loop.
+    *
+    * Columns as in [[graft.operators.AsOf.intervalJoin]]:
+    * stream (o_custkey, o_orderkey, o_orderdate) × static history of
+    * the same shape.
+    */
+  def intervalJoinStream(stream: DataFrame, history: DataFrame,
+                         windowDays: Int = 30): DataFrame = {
+    val iv = history
+      .select(col("o_custkey"), col("o_orderkey").as("prev_orderkey"),
+        col("o_orderdate").as("prev_orderdate"))
+      .withColumn("b0", expr(s"datediff(prev_orderdate, DATE '1970-01-01') div $windowDays"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      .drop("b0")
+    stream
+      .withColumn("bucket", expr(s"datediff(o_orderdate, DATE '1970-01-01') div $windowDays"))
+      .join(iv, Seq("o_custkey", "bucket"))
+      .withColumn("days_between",
+        datediff(col("o_orderdate"), col("prev_orderdate")).cast("long"))
+      .filter(col("days_between").between(1, windowDays))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_orderkey"),
+        col("o_orderdate"), col("prev_orderdate"), col("days_between"))
+  }
+
   case class DailyTick(asset_id: Long, date: java.sql.Date, value: Double)
   case class EwmaState(vals: Seq[Double])
   case class EwmaPoint(asset_id: Long, date: java.sql.Date, value: Double, ewma: Double)

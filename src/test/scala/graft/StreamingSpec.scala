@@ -420,6 +420,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream matches the batch interval join against static history") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(i: Int) = new Timestamp(
+      java.sql.Date.valueOf("2024-01-01").getTime + i * 86400000L)
+    val history = Seq(
+      (1L, 1L, day(0)), (1L, 2L, day(10)), (1L, 3L, day(45)),
+      (4L, 8L, day(29)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val stream = input.toDF.toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val q = StreamingOps.intervalJoinStream(stream, history, windowDays = 30)
+      .writeStream.format("memory").queryName("ij_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 100L, day(12)))  // sees orders 1 (12d) and 2 (2d)
+      q.processAllAvailable()
+      input.addData((4L, 101L, day(31)),  // bucket-boundary: sees order 8 (2d)
+                    (2L, 102L, day(12)))  // unknown customer: no match
+      q.processAllAvailable()
+      val got = spark.table("ij_sink")
+        .select("o_orderkey", "prev_orderkey", "days_between").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((100L, 1L, 12L), (100L, 2L, 2L), (101L, 8L, 2L)))
+    } finally q.stop()
+  }
+
   test("ewmaStream converges to the batch ewma for in-order feeds, incl. span trim") {
     val spark0 = spark
     import spark0.implicits._
