@@ -106,12 +106,14 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${trim(total, decimals)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}"""
     }
-    // Adaptive precision: the capture keeps ~2000 trailing chars and
-    // sbt appends its own "[success] …" line (~80), so the line must
-    // stay under ~1900 no matter how many queries the inventory grows
-    // to — degrade decimals before ever becoming unparseable (full
+    // Adaptive precision: the capture keeps the LAST 2000 chars and sbt
+    // appends its "[success] Total time: … (MM:SS), completed <date>"
+    // line (measured 76 chars for multi-minute runs), so line + success
+    // must fit 2000 together → budget ≈ 1923. 1915 leaves slack for
+    // success-line drift while keeping 1-decimal precision up to ~99
+    // queries (0-decimal loses all sub-second granularity; full
     // precision is in bench_full.json regardless).
-    val line = (2 to 0 by -1).map(lineAt).find(_.length <= 1900).getOrElse {
+    val line = (2 to 0 by -1).map(lineAt).find(_.length <= 1915).getOrElse {
       s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":{},"queries_in":"bench_full.json"$failedPart,"sf":"$sfName"}"""
     }
     val fullQs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }

@@ -271,6 +271,10 @@ object SparkEntry {
       Analytics.beta(Tables.panel(s, dir))),
     "sketches" -> ((s, dir) =>
       Analytics.sketches(Tables.events(s, dir))),
+    "vwap" -> ((s, dir) =>
+      Analytics.vwap(Tables.lineitem(s, dir))),
+    "source_stats" -> ((s, dir) =>
+      Pipeline.sourceStats(Tables.documents(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir))),
@@ -877,6 +881,38 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // All-integer VWAP: cents via exact decimal scaling, micro-unit
+    // integer division — no double rounding anywhere near the output.
+    "vwap" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_suppkey, month,
+        |         CAST(sum(qty_c) AS BIGINT) AS volume_c,
+        |         CAST(sum(price_c) AS BIGINT) AS notional_c,
+        |         CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM c GROUP BY l_suppkey, month)
+        |SELECT l_suppkey, month,
+        |       volume_c / 100.0 AS volume, notional_c / 100.0 AS notional, n_lines,
+        |       ((notional_c * 1000000) // nullif(volume_c, 0)) / 1e6 AS vwap
+        |FROM g ORDER BY l_suppkey, month""".stripMargin,
+    "source_stats" ->
+      """WITH dup AS (
+        |  SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING count(*) > 1),
+        |d AS (
+        |  SELECT source, lang,
+        |         CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS n_toks
+        |  FROM documents LEFT JOIN dup ON md5(documents.text) = dup.h)
+        |SELECT source, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |       round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

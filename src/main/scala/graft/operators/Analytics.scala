@@ -306,6 +306,39 @@ object Analytics {
       .orderBy(col("asset_id"), col("bucket_s"))
   }
 
+  /** B39 `vwap` — volume-weighted average price per supplier-month over
+    * the lineitem flow (the execution-quality benchmark price; B26's
+    * `twap` weights by time, this weights by size). Both sums are exact
+    * decimals (`dsum`) so the single IEEE division + round is
+    * bit-identical cross-engine regardless of aggregation order. One
+    * keyed shuffle, map-side partials — the canonical 100 TB aggregate
+    * shape.
+    */
+  def vwap(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      // integer cents via exact decimal scaling (a double ·100 would
+      // carry FP error into the "integer"): the whole VWAP then stays
+      // in integer arithmetic — `round(Σp/Σq, 6)` would instead hand the
+      // half-boundary to engine-dependent double rounding (Spark rounds
+      // the shortest decimal repr, DuckDB the exact binary value;
+      // observed diverging on 1060.2115625 at sf0.01).
+      .withColumn("qty_c", expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("price_c", expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+      .groupBy(col("l_suppkey"), col("month"))
+      .agg(
+        sum(col("qty_c")).as("volume_c"),
+        sum(col("price_c")).as("notional_c"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("vwap_micro",
+        expr("(notional_c * 1000000) div nullif(volume_c, 0)"))
+      .select(col("l_suppkey"), col("month"),
+        (col("volume_c") / 100.0).as("volume"),
+        (col("notional_c") / 100.0).as("notional"),
+        col("n_lines"),
+        (col("vwap_micro") / 1e6).as("vwap"))
+      .orderBy(col("l_suppkey"), col("month"))
+
   /** B9 `quantiles` — exact interpolated percentiles per group (the
     * risk-metric shape: p50/p95/p99 of the tick value). Exact
     * `percentile` (not approx sketches) so the oracle can match; swap to

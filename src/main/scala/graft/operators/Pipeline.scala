@@ -262,6 +262,36 @@ object Pipeline {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** C35 `source_stats` — per-(source, lang) corpus composition report:
+    * doc/token counts and the exact-duplicate fraction, the first table
+    * any corpus audit produces (which source is bloating the mix, which
+    * is a duplicate farm). Duplicate membership = the document's full
+    * text appears more than once CORPUS-WIDE (the cross-source dup is
+    * the interesting one); the per-group fraction is one IEEE division
+    * of exact integers. Two shuffles: the text-hash group and the
+    * (source, lang) rollup — both map-side combinable.
+    */
+  def sourceStats(documents: DataFrame): DataFrame = {
+    // md5 as the dedup key (the exact_dedup idiom): a 32-char shuffle/
+    // join key instead of full document text, portable to the oracle.
+    val dupHashes = documents.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("h"))
+    documents
+      .withColumn("h", md5(col("text")))
+      .join(dupHashes.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+          .cast("long")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_docs") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** C32 `bm25_topk` — BM25 document retrieval: rank the corpus against
     * each query document's term set (Robertson–Spärck Jones, the scoring
     * the training-data retrieval/decontamination stack actually runs).

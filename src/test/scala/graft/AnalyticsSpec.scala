@@ -417,6 +417,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(b2 - 1.5) < 1e-4, s"beta2=$b2")
   }
 
+  test("vwap weights price by size with exact decimal sums") {
+    val li = Seq(
+      (1L, Timestamp.valueOf("1995-01-05 00:00:00"), 10.0, 100.0),
+      (1L, Timestamp.valueOf("1995-01-20 00:00:00"), 30.0, 600.0),
+      (1L, Timestamp.valueOf("1995-02-01 00:00:00"), 5.0, 50.0),
+      (2L, Timestamp.valueOf("1995-01-09 00:00:00"), 8.0, 96.0))
+      .toDF("l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val out = Analytics.vwap(li).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Double]("vwap")).toMap
+    // supp 1 Jan: 700/40 = 17.5; Feb: 50/5 = 10; supp 2 Jan: 96/8 = 12
+    assert(out === Map((1L, "1995-01") -> 17.5, (1L, "1995-02") -> 10.0,
+      (2L, "1995-01") -> 12.0))
+  }
+
   test("rolling_median takes the sorted middle (odd) and middle mean (even)") {
     // asset 1 LWW daily: 12, 18, 9 → frames [12]=12, [12,18]=15, [9,12,18]=12
     val out = Analytics.rollingMedian(panel)

@@ -192,6 +192,22 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("source_stats counts docs/tokens and corpus-wide duplicate fractions per source") {
+    val docs = Seq(
+      (1L, "same text", "en", "web"),
+      (2L, "same text", "en", "books"),   // cross-source exact dup
+      (3L, "unique alpha beta", "en", "web"),
+      (4L, "otro texto", "es", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Pipeline.sourceStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out === Map(
+      ("books", "en") -> ((1L, 2L, 1L, 1.0)),
+      ("web", "en") -> ((2L, 5L, 1L, 0.5)),
+      ("web", "es") -> ((1L, 2L, 0L, 0.0))))
+  }
+
   test("bm25_topk ranks by overlap with saturation, excludes self and no-overlap docs") {
     val docs = Seq(
       (0L, "apple banana cherry"),
