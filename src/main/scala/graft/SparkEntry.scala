@@ -911,7 +911,7 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
-        |       round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        |       ((sum(is_dup) * 1000000) // count(*)) / 1e6 AS dup_fraction
         |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh0 AS (

@@ -132,7 +132,7 @@ object AsOf {
       .drop("_side", "_rv")
   }
 
-  /** A8c `asof_join_tolerance` — as-of join with a max-lookback bound
+  /** A8d `asof_join_tolerance` — as-of join with a max-lookback bound
     * (pandas `merge_asof(tolerance=…)`, kdb `wj` within a window): the
     * latest strictly-earlier right row is used ONLY if it is at most
     * `maxLagSec` old; staler matches yield NULL, exactly like no match.
@@ -152,7 +152,11 @@ object AsOf {
         leftCols.map(col)): _*)
     val r = right.select(
       (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"),
-        col("rvalue").as("_rv"), col("ts").as("_rts")) ++
+        col("rvalue").as("_rv"),
+        // null exactly when rvalue is null: the ignoreNulls window picks
+        // value and its timestamp from the SAME right row, so the lag
+        // check always measures the row the value came from
+        when(col("rvalue").isNotNull, col("ts")).as("_rts")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window
       .partitionBy(col(key))

@@ -287,8 +287,12 @@ object Pipeline {
         sum(size(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
           .cast("long")).as("n_tokens"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      // micro-unit integer fraction, not round(a/b, 6): a group of e.g.
+      // 128 docs with an odd dup count terminates at the 7th decimal in
+      // exactly 5 — the engine-dependent half-rounding the vwap fix
+      // removed (Spark rounds the shortest repr, DuckDB the binary value)
       .withColumn("dup_fraction",
-        round(col("n_dup_docs") / col("n_docs").cast("double"), 6))
+        expr("(n_dup_docs * 1000000) div n_docs") / 1e6)
       .orderBy(col("source"), col("lang"))
   }
 

@@ -205,5 +205,17 @@ class EdgeCasesSpec extends SparkSpec {
       .toDF("user_id", "ts", "seq", "rvalue")
     val tol = AsOf.asOfJoinTolerance(left, right, "user_id", Seq("value"), 0L).collect()
     assert(tol.length === 1 && tol.head.isNullAt(tol.head.fieldIndex("asof_value")))
+
+    // vwap: empty input → empty; all identical timestamps collapse to one bar
+    val emptyLi = Seq.empty[(Long, Timestamp, Double, Double)]
+      .toDF("l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    assert(Analytics.vwap(emptyLi).count() === 0)
+
+    // source_stats: all-unique corpus → zero dup fractions everywhere
+    val uniq = Seq((1L, "aa", "en", "web"), (2L, "bb", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ss = Pipeline.sourceStats(uniq).collect()
+    assert(ss.length === 1 && ss.head.getAs[Long]("n_dup_docs") === 0L &&
+      ss.head.getAs[Double]("dup_fraction") === 0.0)
   }
 }
