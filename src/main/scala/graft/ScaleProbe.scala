@@ -73,6 +73,30 @@ object ScaleProbe {
                 (x, j) => when(pmod(j + lit(i), lit(2)) === 0, -x).otherwise(x)).as("embedding"),
               col("label"))
           }.reduce(_ unionByName _)
+        case "lineitem" =>
+          val maxO = src.agg(max("l_orderkey")).head.getLong(0) + 1
+          val maxS = src.agg(max("l_suppkey")).head.getLong(0) + 1
+          val maxP = src.agg(max("l_partkey")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            src.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxO))
+              .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxS))
+              .withColumn("l_partkey", col("l_partkey") + lit(i * maxP))
+          }.reduce(_ unionByName _)
+        case "events" =>
+          // events.parquet is TIMESTAMP(NANOS): read the raw int64 via the
+          // legacy conf and KEEP it long — the replica is then a plain
+          // BIGINT ts column, which Tables.events converts identically
+          // (timestamp_micros(ts div 1000) is type-agnostic). Fresh
+          // user_ids (asset_ids) per replica: constant per-key density,
+          // the honest growth model for every panel operator.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val ev = Tables.read(spark, base, "events")
+          val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+          val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            ev.withColumn("user_id", col("user_id") + lit(i * maxU))
+              .withColumn("event_id", col("event_id") + lit(i * maxE))
+          }.reduce(_ unionByName _)
         case _ => null // unreplicated tables are file-copied below
       }
       if (out != null)
