@@ -273,6 +273,14 @@ object SparkEntry {
       Analytics.sketches(Tables.events(s, dir))),
     "vwap" -> ((s, dir) =>
       Analytics.vwap(Tables.lineitem(s, dir))),
+    "atr" -> ((s, dir) =>
+      Analytics.atr(Tables.panel(s, dir))),
+    "stochastic_osc" -> ((s, dir) =>
+      Analytics.stochastic(Tables.panel(s, dir))),
+    "obv" -> ((s, dir) =>
+      Analytics.obv(Tables.panel(s, dir))),
+    "momentum_xsec" -> ((s, dir) =>
+      Analytics.momentumXsec(Tables.panel(s, dir))),
     "source_stats" -> ((s, dir) =>
       Pipeline.sourceStats(Tables.documents(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
@@ -397,6 +405,15 @@ object SparkEntry {
     // scoring (see Pipeline.tfidfTopK) so ranks replay exactly.
     "tfidf_topk" -> ((s, dir) =>
       Pipeline.tfidfTopK(Tables.documents(s, dir), 5)),
+    "chunk_dedup" -> ((s, dir) =>
+      Pipeline.chunkDedup(Tables.documents(s, dir))),
+    "inverted_index" -> ((s, dir) =>
+      Pipeline.invertedIndex(Tables.documents(s, dir))),
+    "pmi_bigrams" -> ((s, dir) =>
+      Pipeline.pmiBigrams(Tables.documents(s, dir))),
+    "mixture_sample" -> ((s, dir) =>
+      Pipeline.mixtureSample(Tables.documents(s, dir),
+        Map("src1" -> 100, "src7" -> 50, "src18" -> 200))),
     // Int8-code ANN (MIPS over quantized codes): integer dot products
     // end to end — the memory-bound 100 TB path at 4× fewer scan bytes.
     "ann_quantized" -> ((s, dir) =>
@@ -501,6 +518,23 @@ object SparkEntry {
       |    SELECT asset_id, date, value,
       |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
       |    FROM panel) t WHERE rn = 1)""".stripMargin
+
+  /** Daily-bar CTE replaying [[graft.operators.Analytics.dailyBars]]
+    * (use after `$panelCte,`) — shared by resample-family oracles.
+    */
+  private val barsCte =
+    """bars AS (
+      |  SELECT asset_id, date,
+      |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |    max(value) AS high, min(value) AS low,
+      |    max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |    count(*) AS n_ticks
+      |  FROM (
+      |    SELECT asset_id, date, value,
+      |      ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts ASC,  seq ASC)  AS rn_a,
+      |      ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn_d
+      |    FROM panel) t
+      |  GROUP BY asset_id, date)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Analytics.funnelStages]] WITHOUT
     * a list fold: chained greedy position lookups — stage k's match
@@ -899,6 +933,74 @@ object SparkEntry {
         |       volume_c / 100.0 AS volume, notional_c / 100.0 AS notional, n_lines,
         |       ((notional_c * 1000000) // nullif(volume_c, 0)) / 1e6 AS vwap
         |FROM g ORDER BY l_suppkey, month""".stripMargin,
+    "atr" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date,
+         |         round(CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END, 6) AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date, tr,
+         |         list(tr) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM trs)
+         |SELECT asset_id, date, tr,
+         |  round(
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + 1.0), 6) AS atr
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "stochastic_osc" ->
+      s"""$panelCte,
+         |$barsCte,
+         |k AS (
+         |  SELECT asset_id, date, close,
+         |    round(100.0 * (close - min(low) OVER w) /
+         |          nullif(max(high) OVER w - min(low) OVER w, 0.0), 6) AS pct_k
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, close, pct_k,
+         |  round((lag(pct_k, 2) OVER a + lag(pct_k, 1) OVER a + pct_k) / 3, 6) AS pct_d
+         |FROM k
+         |WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |ORDER BY asset_id, date""".stripMargin,
+    "obv" ->
+      s"""$panelCte,
+         |$barsCte,
+         |s AS (
+         |  SELECT asset_id, date, close,
+         |    CASE WHEN lag(close) OVER a IS NULL THEN 0
+         |         WHEN close > lag(close) OVER a THEN n_ticks
+         |         WHEN close < lag(close) OVER a THEN -n_ticks
+         |         ELSE 0 END AS signed_vol
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, close, CAST(signed_vol AS BIGINT) AS signed_vol,
+         |  CAST(sum(signed_vol) OVER (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+         |FROM s ORDER BY asset_id, date""".stripMargin,
+    "momentum_xsec" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |m AS (
+         |  SELECT asset_id, date,
+         |    round(lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1, 6) AS mom
+         |  FROM daily
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |r AS (
+         |  SELECT asset_id, date, mom,
+         |    ROW_NUMBER() OVER (PARTITION BY date ORDER BY mom DESC, asset_id) AS rk,
+         |    count(*) OVER (PARTITION BY date) AS n
+         |  FROM m WHERE mom IS NOT NULL)
+         |SELECT asset_id, date, mom,
+         |  CAST(((rk - 1) * 5) // n + 1 AS BIGINT) AS quintile
+         |FROM r ORDER BY date, asset_id""".stripMargin,
     "source_stats" ->
       """WITH dup AS (
         |  SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING count(*) > 1),
@@ -1881,6 +1983,85 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rank
         |  FROM scored) z
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(toks) + 1),
+        |                                 i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+        |    FROM t) z),
+        |ch AS (
+        |  SELECT doc_id, CAST(pos // 16 AS BIGINT) AS chunk_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM tk GROUP BY doc_id, pos // 16),
+        |r AS (
+        |  SELECT doc_id, chunk_idx, chunk_text,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+        |                            ORDER BY doc_id, chunk_idx) = 1 AS kept
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS new_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "inverted_index" ->
+      """WITH d AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> '')
+        |SELECT tok, df, postings FROM (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM d GROUP BY tok) g
+        |WHERE df <= 100 ORDER BY tok""".stripMargin,
+    "pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT u.a AS tok_a, u.b AS tok_b FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |                                 i -> {'a': toks[i], 'b': toks[i + 1]})) AS u
+        |    FROM t) z),
+        |uc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM t) q GROUP BY tok),
+        |pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b2 GROUP BY tok_a, tok_b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM b2),
+        |scored AS (
+        |  SELECT pc.tok_a, pc.tok_b, pc.c_ab, a.c AS c_a, b.c AS c_b,
+        |         CAST((pc.c_ab * n.n_bigrams * 1000000) // (a.c * b.c) AS BIGINT) AS score
+        |  FROM pc
+        |  JOIN uc a ON a.tok = pc.tok_a
+        |  JOIN uc b ON b.tok = pc.tok_b
+        |  CROSS JOIN n
+        |  WHERE pc.c_ab >= 5)
+        |SELECT rank, tok_a, tok_b, c_ab, c_a, c_b, score FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, tok_a, tok_b) AS BIGINT) AS rank
+        |  FROM scored) z
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "mixture_sample" ->
+      """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        |tgt(source, share_pm) AS (
+        |  VALUES ('src1', CAST(100 AS BIGINT)), ('src7', 50), ('src18', 200)),
+        |rates AS (
+        |  SELECT c.source,
+        |         CAST(least(1000000, (t.share_pm * x.total * 1000) // c.cnt) AS BIGINT) AS rate_ppm
+        |  FROM cnt c JOIN tgt t USING (source) CROSS JOIN tot x)
+        |SELECT d.doc_id, d.source, d.lang,
+        |       CAST((d.doc_id * 2654435761) % 1000000 AS BIGINT) AS bucket, r.rate_ppm
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
     // BM25 with cleared denominators (k1=6/5, b=3/4): idf at 10^3 scale,
     // length-normalized denominator in micro-units — both integer `div`s
     // floor identically in Spark and DuckDB, so scores AND rank ties

@@ -167,7 +167,15 @@ object Analytics {
     * one group-by = single shuffle on the group key (window and agg
     * share (asset_id, date) partitioning).
     */
-  def resampleOhlc(panel: DataFrame): DataFrame = {
+  def resampleOhlc(panel: DataFrame): DataFrame =
+    dailyBars(panel).orderBy(col("asset_id"), col("date"))
+
+  /** The un-sorted daily-bar aggregate behind [[resampleOhlc]] — also
+    * the input to [[atr]]/[[stochastic]]/[[obv]], which re-window by
+    * asset_id and would otherwise pay for a presentation sort that the
+    * next exchange immediately destroys.
+    */
+  private[graft] def dailyBars(panel: DataFrame): DataFrame = {
     val wAsc = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").asc, col("seq").asc)
     val wDesc = Window.partitionBy(col("asset_id"), col("date")).orderBy(col("ts").desc, col("seq").desc)
     panel
@@ -180,7 +188,6 @@ object Analytics {
         min(col("value")).as("low"),
         max(when(col("rn_d") === 1, col("value"))).as("close"),
         count(lit(1)).as("n_ticks"))
-      .orderBy(col("asset_id"), col("date"))
   }
 
   /** B15 `drawdown` — peak-to-trough drawdown of the LWW daily series:
@@ -1020,5 +1027,107 @@ object Analytics {
           when(col("den") === 0, lit(null)).otherwise(col("den")), lit(0.0)) * col("sm")) / n, 6))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("beta"), col("alpha"))
       .orderBy(col("asset_id"))
+  }
+
+  /** B40 `atr` — Wilder Average True Range over the daily bars:
+    * TR = max(high−low, |high−prevClose|, |low−prevClose|) (plain
+    * high−low on the first bar), ATR = the span-bounded EW mean of the
+    * ROUNDED TR series via the same normalized Horner folds as [[ewma]]
+    * (w = (span−1)/span — Wilder's smoothing is exactly an EW mean with
+    * that weight). Rounding TR before the fold makes the fold input —
+    * and therefore the fold — bit-identical cross-engine. One shuffle:
+    * the bar aggregate and every window share asset_id partitioning.
+    */
+  def atr(panel: DataFrame, span: Int = 14): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", round(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose))), 6))
+      .withColumn("arr", collect_list(col("tr")).over(frame))
+      .withColumn("atr", round(
+        Kernels.seqFold(col("arr"), "horner", w) /
+          Kernels.seqFold(col("arr"), "horner_count", w), 6))
+      .select(col("asset_id"), col("date"), col("tr"), col("atr"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B41 `stochastic_osc` — stochastic oscillator over the daily bars:
+    * %K = 100·(close − lowN)/(highN − lowN) over a `span`-bar channel
+    * (rolling min/max are order-insensitive → exact for free), %D = the
+    * 3-bar mean of the ROUNDED %K written with explicit left-to-right
+    * association `((k₋₂ + k₋₁) + k)/3` so both engines run the same
+    * IEEE op sequence. Bars whose channel is flat emit NULL %K (and the
+    * null propagates into any %D it touches — same rule both engines).
+    */
+  def stochastic(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("low_n", min(col("low")).over(frame))
+      .withColumn("high_n", max(col("high")).over(frame))
+      .withColumn("pct_k", round(
+        lit(100.0) * (col("close") - col("low_n")) /
+          when(col("high_n") === col("low_n"), lit(null))
+            .otherwise(col("high_n") - col("low_n")), 6))
+      // lag past the partition start is NULL in both engines, so the
+      // first two bars' %D nulls out without an explicit guard
+      .withColumn("pct_d", round(
+        (lag(col("pct_k"), 2).over(byAsset) + lag(col("pct_k"), 1).over(byAsset) + col("pct_k")) / 3, 6))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("pct_k"), col("pct_d"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B42 `obv` — on-balance volume over the daily bars: signed tick
+    * volume sign(close − prevClose)·n_ticks accumulated per asset in
+    * date order. ALL-INTEGER (sign ∈ {−1,0,1}, n_ticks a count, OBV an
+    * integer running sum) — exact under any engine and any aggregation
+    * order, no decimal machinery needed. First bar contributes 0.
+    */
+  def obv(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("signed_vol",
+        when(prevClose.isNull, lit(0L))
+          .when(col("close") > prevClose, col("n_ticks"))
+          .when(col("close") < prevClose, -col("n_ticks"))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum(col("signed_vol")).over(run))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("signed_vol"), col("obv"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B43 `momentum_xsec` — cross-sectional momentum screen: per-asset
+    * trailing return skipping the most recent bars (the classic
+    * momentum construction — `skip` bars of reversal noise excluded,
+    * `look`-bar lookback), then per-date quintile buckets by INTEGER
+    * rank arithmetic `((rk−1)·5) div n + 1` — engine-portable where
+    * ntile's tie policy is not. Total rank order (mom desc, asset_id)
+    * makes the bucket assignment deterministic.
+    */
+  def momentumXsec(panel: DataFrame, skip: Int = 2, look: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val near = lag(col("value"), skip).over(byAsset)
+    val far = lag(col("value"), look).over(byAsset)
+    val byDate = Window.partitionBy(col("date"))
+    val mom = KeyValue.lwwDaily(panel)
+      .withColumn("mom", round(near / when(far === 0, lit(null)).otherwise(far) - 1, 6))
+      .filter(col("mom").isNotNull)
+    mom
+      .withColumn("rk", row_number().over(byDate.orderBy(col("mom").desc, col("asset_id"))))
+      .withColumn("n", count(lit(1)).over(byDate))
+      .withColumn("quintile", expr("((rk - 1) * 5) div n + 1"))
+      .select(col("asset_id"), col("date"), col("mom"), col("quintile"))
+      .orderBy(col("date"), col("asset_id"))
   }
 }

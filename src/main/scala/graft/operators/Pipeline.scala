@@ -350,4 +350,136 @@ object Pipeline {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** C36 `chunk_dedup` — sub-document (CCNet-style paragraph) dedup at
+    * fixed token-chunk granularity: each document splits into
+    * consecutive `chunkTokens`-token chunks, a chunk instance survives
+    * iff it is the corpus-wide FIRST occurrence of its text (min
+    * (doc_id, chunk_idx) — the CCNet rule: later copies of a repeated
+    * paragraph are dropped, the original stays), and documents are
+    * re-assembled from their surviving chunks. This corpus has no
+    * paragraph delimiters, so the chunk boundary is positional; the
+    * operator takes any chunking the text affords.
+    *
+    * Scale shape: three shuffles, each on a bounded key — (doc_id,
+    * chunk) group ≈ tokens/chunkTokens rows, the md5-hash first-
+    * occurrence window (chunk-cardinality), and the per-doc rebuild.
+    * No joins, no corpus²; the md5 key keeps shuffle rows at 32 chars +
+    * ids regardless of chunk text size... except the winner must carry
+    * its text to the rebuild — chunk text is bounded by chunkTokens, so
+    * the carried payload is capped by construction.
+    */
+  def chunkDedup(documents: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val chunks = documents
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")))
+      .groupBy(col("doc_id"), expr(s"pos div $chunkTokens").as("chunk_idx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+        s => s("col")), " ").as("chunk_text"))
+    val firstWin = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstWin))
+      .withColumn("kept", col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s("chunk_text")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C37 `inverted_index` — posting-list materialization: term → df +
+    * the sorted doc-id posting list, the index build behind BM25/TF-IDF
+    * serving. `maxDf` drops hyper-common terms (their postings are
+    * corpus-sized and retrieval-useless — the classic stop-list cut
+    * that also BOUNDS the widest row: no posting string exceeds
+    * maxDf·idWidth chars, so skew cannot produce a giant row). Postings
+    * serialize as a comma-joined string: engine-portable, hashable by
+    * the driver compare.
+    */
+  def invertedIndex(documents: DataFrame, maxDf: Long = 100L): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= ""))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("postings"))
+      .filter(col("df") <= maxDf)
+      .orderBy(col("tok"))
+
+  /** C38 `pmi_bigrams` — collocation extraction: adjacent-token bigrams
+    * ranked by pointwise mutual information. The score is the INTEGER
+    * `(c_ab · N · 10⁶) div (c_a · c_b)` — PMI is log of that ratio and
+    * log is monotone, so the ranking is exactly PMI's while every
+    * score (and tie) replays cross-engine with zero float ops.
+    * `minCount` suppresses one-off pairings (classic PMI noise floor:
+    * rare pairs score spuriously high). Counts are integers — shuffle
+    * aggregation order is irrelevant to correctness by construction.
+    */
+  def pmiBigrams(documents: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("toks"), 1, greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), 2, greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("bg"))
+      .select(col("bg.tok_a"), col("bg.tok_b"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairCounts = bigrams.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val total = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    pairCounts
+      .filter(col("c_ab") >= minCount)
+      .join(uni.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "c_a"), Seq("tok_a"))
+      .join(uni.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "c_b"), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", expr("(c_ab * n_bigrams * 1000000) div (c_a * c_b)"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("score").desc, col("tok_a"), col("tok_b"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("tok_a"), col("tok_b"),
+        col("c_ab"), col("c_a"), col("c_b"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** C39 `mixture_sample` — target-mixture corpus resampling: given
+    * per-source target shares (per-mille of the TOTAL corpus), each
+    * source gets an integer acceptance rate
+    * `min(10⁶, (share‰ · total · 1000) div count_source)` applied as a
+    * Knuth-hash threshold on doc_id — the deterministic way to hit a
+    * mixture spec (Pile/RedPajama-style source weighting): membership
+    * is a pure function of doc_id, so reshards, retries and incremental
+    * re-runs keep identical samples. Sources without a target are
+    * dropped (a mixture spec is exhaustive). Over-requested sources
+    * (share exceeding availability) cap at keep-everything rather than
+    * upsample. One broadcast of the O(sources) rate table + one scan.
+    */
+  def mixtureSample(documents: DataFrame, sharePerMille: Map[String, Int]): DataFrame = {
+    val rates = documents
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(documents.agg(count(lit(1)).as("total"))))
+      .withColumn("share_pm", coalesce(
+        sharePerMille.foldLeft(lit(null).cast("long")) { case (acc, (src, pm)) =>
+          when(col("source") === src, lit(pm.toLong)).otherwise(acc)
+        }, lit(null)))
+      .filter(col("share_pm").isNotNull)
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(share_pm * total * 1000) div cnt")))
+      .select(col("source"), col("rate_ppm"))
+    documents
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -458,4 +458,48 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(t => (t._1, t._2)).toSet === naive)
   }
+
+  test("atr: first-bar TR is high-low, later bars take the greatest leg") {
+    // asset 1 bars: (h12,l10,c12), (18,18,18), (9,9,9)
+    // TR: 2.0 | max(0,|18-12|,|18-12|)=6.0 | max(0,9,9)=9.0
+    val rows = Analytics.atr(panel).filter($"asset_id" === 1)
+      .select("tr", "atr").collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(2.0, 6.0, 9.0))
+    assert(rows(0).getDouble(1) === 2.0)          // single-element EW mean = the element
+    assert(math.abs(rows(1).getDouble(1) - 110.0 / 27.0) < 1e-6) // horner ratio
+  }
+
+  test("stochastic_osc: %K position in channel, %D 3-bar mean, flat channel nulls") {
+    val rows = Analytics.stochastic(panel).filter($"asset_id" === 1)
+      .select("pct_k", "pct_d").collect()
+    // closes 12,18,9 vs channels [10,12],[10,18],[9,18]
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(100.0, 100.0, 0.0))
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    assert(math.abs(rows(2).getDouble(1) - 200.0 / 3.0) < 1e-6)
+    // single-bar asset: flat channel → NULL %K
+    assert(Analytics.stochastic(panel).filter($"asset_id" === 2).collect()(0).isNullAt(3))
+  }
+
+  test("obv accumulates signed tick volume per asset") {
+    val rows = Analytics.obv(panel).filter($"asset_id" === 1)
+      .select("signed_vol", "obv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // closes 12→18→9, n_ticks 2,1,1: first bar 0, up +1, down -1
+    assert(rows.toSeq === Seq((0L, 0L), (1L, 1L), (-1L, 0L)))
+  }
+
+  test("momentum_xsec ranks trailing skip/look returns into integer quintiles") {
+    val longPanel = (0 until 12).flatMap { i =>
+      Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 100.0 + i, i * 2L),
+          (2L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 11), 200.0 - i, i * 2L + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val last = Analytics.momentumXsec(longPanel, skip = 2, look = 10)
+      .filter($"date" === d("2024-01-12")).orderBy($"asset_id").collect()
+    // asset1: v[t-2]/v[t-10]-1 = 109/101-1 > 0 ; asset2: 191/199-1 < 0
+    assert(math.abs(last(0).getAs[Double]("mom") - (109.0 / 101.0 - 1)) < 1e-6)
+    assert(last(1).getAs[Double]("mom") < 0)
+    // rank 1 of 2 → quintile ((0)*5)div2+1 = 1 ; rank 2 → ((1)*5)div2+1 = 3
+    assert(last(0).getAs[Long]("quintile") === 1L)
+    assert(last(1).getAs[Long]("quintile") === 3L)
+  }
 }

@@ -224,4 +224,72 @@ class PipelineSpec extends SparkSpec {
     val scores = out.map(_._3).toSeq
     assert(scores === scores.sorted.reverse && scores.forall(_ > 0))
   }
+
+  test("chunkDedup drops later copies of a repeated chunk, keeps the first") {
+    // chunkTokens=2: doc0 chunks ["a b","c d"], doc1 ["a b","x y"],
+    // doc2 ["c d"] — doc1's "a b" and doc2's "c d" are later copies.
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y"),
+      (2L, "c d"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.chunkDedup(docs, chunkTokens = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, "a b c d"),
+      (1L, 2L, 1L, "x y"),
+      (2L, 1L, 0L, "")))
+  }
+
+  test("chunkDedup: a trailing partial chunk is its own unit") {
+    val docs = Seq((7L, "p q r")).toDF("doc_id", "text")
+    val out = Pipeline.chunkDedup(docs, chunkTokens = 2).collect()(0)
+    assert(out.getLong(1) === 2L && out.getString(3) === "p q r")
+  }
+
+  test("invertedIndex builds sorted df-capped postings") {
+    val docs = Seq(
+      (3L, "apple banana"),
+      (1L, "apple apple cherry"), // repeated token counts once per doc
+      (2L, "apple"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.invertedIndex(docs, maxDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // apple df=3 exceeds the cap and is dropped; postings sorted by id
+    assert(out.toSeq === Seq(("banana", 1L, "3"), ("cherry", 1L, "1")))
+    val uncapped = Pipeline.invertedIndex(docs, maxDf = 10).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(uncapped("apple") === "1,2,3")
+  }
+
+  test("pmiBigrams ranks tight collocations above chance pairings") {
+    // "hong kong" always adjacent; "the x" pairs dilute across partners
+    val docs = (0L until 10L).map(i =>
+      (i, s"hong kong the a$i the b$i hong kong")).toDF("doc_id", "text")
+    val out = Pipeline.pmiBigrams(docs, minCount = 5L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // top pair is the exclusive collocation, with both occurrences counted
+    assert((out(0)._2, out(0)._3) === ("hong", "kong") && out(0)._4 === 20L)
+    // single-token and sub-minCount pairs never appear
+    assert(out.forall(_._4 >= 5L))
+  }
+
+  test("mixtureSample hits per-mille targets via deterministic hash thresholds") {
+    val docs = (0L until 3000L).map(i =>
+      (i, s"text $i", "en", s"src${i % 3}")).toDF("doc_id", "text", "lang", "source")
+    // src0: 100‰ of 3000 = 300 wanted of 1000 avail → rate 300000 ppm
+    // src2: 600‰ = 1800 wanted of 1000 avail → capped at keep-all
+    val out = Pipeline.mixtureSample(docs, Map("src0" -> 100, "src2" -> 600)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.forall(t => t._2 != "src1"))          // unlisted source dropped
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src2") === 1000)                   // cap = keep everything
+    assert(math.abs(bySrc("src0") - 300) < 60)       // hash spread around target
+    // membership is a pure function of doc_id: recompute the threshold
+    out.filter(_._2 == "src0").foreach { case (id, _, bucket, rate) =>
+      assert(bucket === java.lang.Math.floorMod(id * 2654435761L, 1000000L))
+      assert(rate === 300000L && bucket < rate)
+    }
+  }
 }
