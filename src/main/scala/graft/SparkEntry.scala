@@ -408,7 +408,9 @@ object SparkEntry {
     "chunk_dedup" -> ((s, dir) =>
       Pipeline.chunkDedup(Tables.documents(s, dir))),
     "inverted_index" -> ((s, dir) =>
-      Pipeline.invertedIndex(Tables.documents(s, dir))),
+      // df cap 500 keeps the whole 31-term sf vocab: every posting
+      // list materializes, so the oracle hash covers full index content
+      Pipeline.invertedIndex(Tables.documents(s, dir), maxDf = 500L)),
     "pmi_bigrams" -> ((s, dir) =>
       Pipeline.pmiBigrams(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
@@ -2018,7 +2020,7 @@ object SparkEntry {
         |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
         |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM d GROUP BY tok) g
-        |WHERE df <= 100 ORDER BY tok""".stripMargin,
+        |WHERE df <= 500 ORDER BY tok""".stripMargin,
     "pmi_bigrams" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -428,8 +428,8 @@ object Pipeline {
         filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
     val bigrams = toks
       .select(explode(zip_with(
-        slice(col("toks"), 1, greatest(size(col("toks")) - 1, lit(0))),
-        slice(col("toks"), 2, greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("bg"))
       .select(col("bg.tok_a"), col("bg.tok_b"))
     val uni = toks.select(explode(col("toks")).as("tok"))
