@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_quantized",    // corpus ⨝ broadcast(5 probe code vectors)
     "tfidf_topk",       // scored terms ⨝ broadcast(1-row corpus count)
     "bm25_topk",        // posting join ⨝ broadcast(1-row corpus stats)
+    "pmi_bigrams",      // pair counts ⨝ broadcast(1-row bigram total)
+    "mixture_sample",   // source counts ⨝ broadcast(1-row corpus total)
     "dedup_embedding")  // block-tiled all-pairs: broadcast block spine
 
   test("key predicates reach the parquet scan as PushedFilters") {
