@@ -275,6 +275,8 @@ object SparkEntry {
       Analytics.vwap(Tables.lineitem(s, dir))),
     "atr" -> ((s, dir) =>
       Analytics.atr(Tables.panel(s, dir))),
+    "ret_moments" -> ((s, dir) =>
+      Analytics.retMoments(Tables.panel(s, dir))),
     "stochastic_osc" -> ((s, dir) =>
       Analytics.stochastic(Tables.panel(s, dir))),
     "obv" -> ((s, dir) =>
@@ -413,6 +415,8 @@ object SparkEntry {
       Pipeline.invertedIndex(Tables.documents(s, dir), maxDf = 500L)),
     "pmi_bigrams" -> ((s, dir) =>
       Pipeline.pmiBigrams(Tables.documents(s, dir))),
+    "lm_score" -> ((s, dir) =>
+      Pipeline.lmScore(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
       Pipeline.mixtureSample(Tables.documents(s, dir),
         Map("src1" -> 100, "src7" -> 50, "src18" -> 200))),
@@ -957,6 +961,34 @@ object SparkEntry {
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + x) /
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + 1.0), 6) AS atr
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "ret_moments" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x)), (a, x) -> a + x) AS s3,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x * x)), (a, x) -> a + x) AS s4
+         |  FROM g WHERE len(ra) >= 4),
+         |mm AS (
+         |  SELECT asset_id, n, s1 / n AS m, s2, s3, s4 FROM f),
+         |cm AS (
+         |  SELECT asset_id, n, m,
+         |         s2 / n - m * m AS m2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS m4
+         |  FROM mm)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(m, 6) AS mean_ret,
+         |  round(sqrt(greatest(m2 * (n / (n - 1)), 0.0)), 6) AS sd,
+         |  round(m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END, 6) AS skew,
+         |  round(m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3, 6) AS kurt
+         |FROM cm ORDER BY asset_id""".stripMargin,
     "stochastic_osc" ->
       s"""$panelCte,
          |$barsCte,
@@ -2049,6 +2081,25 @@ object SparkEntry {
         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, tok_a, tok_b) AS BIGINT) AS rank
         |  FROM scored) z
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, u.a AS tok_a, u.b AS tok_b FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                                         i -> {'a': toks[i], 'b': toks[i + 1]})) AS u
+        |    FROM t) z),
+        |uc AS (
+        |  SELECT tok AS tok_a, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM (SELECT unnest(toks) AS tok FROM t) q GROUP BY tok),
+        |pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b2 GROUP BY tok_a, tok_b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum((c_ab * 1000000) // c_a) // count(*) AS BIGINT) AS lm_ppm
+        |FROM b2 JOIN pc USING (tok_a, tok_b) JOIN uc USING (tok_a)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mixture_sample" ->
       """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
         |             FROM documents GROUP BY source),

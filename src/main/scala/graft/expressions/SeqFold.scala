@@ -26,6 +26,8 @@ import org.apache.spark.sql.types._
   *   - `horner_pos`    acc·w + max(x, 0)    (Wilder RSI gains)
   *   - `horner_neg`    acc·w + max(−x, 0)   (Wilder RSI losses)
   *   - `prod1p`        acc·(1 + x), init 1  (NAV compounding)
+  *   - `sum3`          acc + (x·x)·x        (third raw moment)
+  *   - `sum4`          acc + ((x·x)·x)·x    (fourth raw moment)
   *
   * Null contract, matching the HOF lambdas exactly: a null element
   * poisons ops that read `x` (null propagates through `+`/`*` to the
@@ -63,6 +65,8 @@ case class SeqFold(child: Expression, op: String, weight: Double = 0.0)
         acc = op match {
           case "sum"        => acc + x
           case "sumsq"      => acc + x * x
+          case "sum3"       => acc + x * x * x
+          case "sum4"       => acc + x * x * x * x
           case "horner"     => acc * weight + x
           case "horner_pos" => acc * weight + math.max(x, 0.0)
           case "horner_neg" => acc * weight + math.max(-x, 0.0)
@@ -86,6 +90,8 @@ case class SeqFold(child: Expression, op: String, weight: Double = 0.0)
       val step = op match {
         case "sum"          => s"$acc = $acc + $x;"
         case "sumsq"        => s"$acc = $acc + $x * $x;"
+        case "sum3"         => s"$acc = $acc + $x * $x * $x;"
+        case "sum4"         => s"$acc = $acc + $x * $x * $x * $x;"
         case "horner"       => s"$acc = $acc * $w + $x;"
         case "horner_count" => s"$acc = $acc * $w + 1.0d;"
         case "horner_pos"   => s"$acc = $acc * $w + java.lang.Math.max($x, 0.0d);"
@@ -116,5 +122,6 @@ case class SeqFold(child: Expression, op: String, weight: Double = 0.0)
 
 object SeqFold {
   val Ops: Set[String] =
-    Set("sum", "sumsq", "horner", "horner_count", "horner_pos", "horner_neg", "prod1p")
+    Set("sum", "sumsq", "sum3", "sum4",
+      "horner", "horner_count", "horner_pos", "horner_neg", "prod1p")
 }

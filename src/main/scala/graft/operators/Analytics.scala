@@ -1107,6 +1107,50 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B44 `ret_moments` — higher-moment return profile per asset: mean,
+    * sample σ, skewness g₁ = m₃/m₂^{3/2} and excess kurtosis
+    * g₂ = m₄/m₂² − 3 of the daily return series, the fat-tail /
+    * asymmetry screen beside [[sharpe]]. Raw power sums S₁..S₄ are
+    * compiled sequential folds over the date-ordered return array
+    * (`sum3`/`sum4` run `(x·x)·x` / `((x·x)·x)·x` left-assoc — the
+    * identical op sequence DuckDB's `x*x*x` transform applies), and
+    * every central-moment expression is written ONCE with explicit
+    * association mirrored verbatim in the oracle, so both engines run
+    * the same IEEE sequence end-to-end. Assets need ≥ 4 returns.
+    */
+  def retMoments(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("m", foldSum(col("ra")) / n)
+      .withColumn("m2", Kernels.seqFold(col("ra"), "sumsq") / n - col("m") * col("m"))
+      .withColumn("m3", Kernels.seqFold(col("ra"), "sum3") / n
+        - lit(3.0) * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", Kernels.seqFold(col("ra"), "sum4") / n
+        - lit(4.0) * col("m") * (Kernels.seqFold(col("ra"), "sum3") / n)
+        + lit(6.0) * col("m") * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .withColumn("sd", sqrt(greatest(col("m2") * (n / (n - 1)), lit(0.0))))
+      .withColumn("skew", round(col("m3") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * sqrt(col("m2"))), 6))
+      .withColumn("kurt", round(col("m4") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * col("m2")) - 3, 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        round(col("m"), 6).as("mean_ret"), round(col("sd"), 6).as("sd"),
+        col("skew"), col("kurt"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B43 `momentum_xsec` — cross-sectional momentum screen: per-asset
     * trailing return skipping the most recent bars (the classic
     * momentum construction — `skip` bars of reversal noise excluded,

@@ -451,6 +451,45 @@ object Pipeline {
       .orderBy(col("rank"))
   }
 
+  /** C40 `lm_score` — bigram-language-model predictability score per
+    * document (the KenLM-style quality signal, model-free): every
+    * adjacent bigram (a,b) scores the corpus conditional probability
+    * `p(b|a)` in ppm — INTEGER `(c_ab · 10⁶) div c_a` — and the doc
+    * score is the integer mean of its bigram ppms. High = templatic /
+    * predictable text, low = unusual token transitions (garbled or
+    * genuinely novel) — both tails are what a corpus build inspects.
+    * All-integer end to end: counts → div → sum → div, so scores
+    * replay exactly cross-engine with zero float (log-prob would hand
+    * libm `ln` ulps to every comparison). Docs with no bigram (< 2
+    * tokens) drop out. Shape: the standard LM-count shuffles (bigram + unigram
+    * aggs, both map-side combinable) + two hash joins back to the
+    * exploded bigram stream.
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+    val docBigrams = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("bg"))
+      .select(col("doc_id"), col("bg.tok_a"), col("bg.tok_b"))
+    val uni = toks.select(explode(col("toks")).as("tok_a"))
+      .groupBy(col("tok_a")).agg(count(lit(1)).as("c_a"))
+    val pairCounts = docBigrams.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    docBigrams
+      .join(pairCounts, Seq("tok_a", "tok_b"))
+      .join(uni, Seq("tok_a"))
+      .withColumn("ppm", expr("(c_ab * 1000000) div c_a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("ppm_sum"))
+      .withColumn("lm_ppm", expr("ppm_sum div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C39 `mixture_sample` — target-mixture corpus resampling: given
     * per-source target shares (per-mille of the TOTAL corpus), each
     * source gets an integer acceptance rate

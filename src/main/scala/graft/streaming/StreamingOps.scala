@@ -433,6 +433,40 @@ object StreamingOps {
       }
   }
 
+  case class SourceDoc(doc_id: Long, source: String, lang: String, n_tokens: Long)
+  case class SourceStat(source: String, lang: String, n_docs: Long, n_tokens: Long)
+
+  /** D15 — continuously-maintained corpus composition report: running
+    * doc/token counts per (source, lang), the streaming face of batch
+    * C35 `source_stats` (minus its corpus-wide duplicate fraction,
+    * which needs every text hash ever seen — unbounded state by
+    * definition; the composition counts are the part an ingestion
+    * dashboard actually polls). State is two longs per live (source,
+    * lang) — O(groups) total — and emission is change-only: a batch
+    * touching no docs of a group emits nothing for it. Counts are
+    * integers, so the running state equals the batch aggregate over
+    * all rows seen, in any arrival order.
+    */
+  def sourceStatsStream(docs: Dataset[SourceDoc]): Dataset[SourceStat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(d => (d.source, d.lang))
+      .flatMapGroupsWithState[(Long, Long), SourceStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((source, lang), rows, state) =>
+          val (docs0, toks0) = state.getOption.getOrElse((0L, 0L))
+          var nDocs = docs0
+          var nToks = toks0
+          rows.foreach { r => nDocs += 1; nToks += r.n_tokens }
+          if (nDocs == docs0) Iterator.empty
+          else {
+            state.update((nDocs, nToks))
+            Iterator.single(SourceStat(source, lang, nDocs, nToks))
+          }
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

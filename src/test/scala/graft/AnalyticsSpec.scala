@@ -488,6 +488,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 0L), (1L, 1L), (-1L, 0L)))
   }
 
+  test("ret_moments: symmetric alternating returns have skew 0, kurtosis -2") {
+    // returns exactly ±0.1 alternating: mean 0, m3 0, m4/m2² = 1 → g2 = -2
+    val vals = Seq(100.0, 110.0, 99.0, 108.9, 98.01)
+    val p = vals.zipWithIndex.map { case (v, i) =>
+      (1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val r = Analytics.retMoments(p).collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Double]("mean_ret") === 0.0)
+    assert(math.abs(r.getAs[Double]("sd") - math.sqrt(0.01 * 4.0 / 3.0)) < 1e-6)
+    assert(r.getAs[Double]("skew") === 0.0)
+    assert(math.abs(r.getAs[Double]("kurt") - (-2.0)) < 1e-6)
+  }
+
+  test("ret_moments: assets with fewer than 4 returns are excluded") {
+    assert(Analytics.retMoments(panel).count() === 0) // max 2 returns per asset
+  }
+
   test("momentum_xsec ranks trailing skip/look returns into integer quintiles") {
     val longPanel = (0 until 12).flatMap { i =>
       Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 100.0 + i, i * 2L),

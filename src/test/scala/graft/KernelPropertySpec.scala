@@ -84,6 +84,8 @@ class KernelPropertySpec extends SparkSpec {
     val hof: Map[String, Column => Column] = Map(
       "sum" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x)),
       "sumsq" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x * x)),
+      "sum3" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x * x * x)),
+      "sum4" -> (a => aggregate(a, lit(0.0), (acc, x) => acc + x * x * x * x)),
       "horner" -> (a => aggregate(a, lit(0.0), (acc, x) => acc * lit(w) + x)),
       "horner_count" -> (a => aggregate(a, lit(0.0), (acc, _) => acc * lit(w) + lit(1.0))),
       "horner_pos" -> (a => aggregate(a, lit(0.0), (acc, x) => acc * lit(w) + greatest(x, lit(0.0)))),

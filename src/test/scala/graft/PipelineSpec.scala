@@ -275,6 +275,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_._4 >= 5L))
   }
 
+  test("lmScore averages integer bigram conditional-probability ppms") {
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // unigrams a:3 b:2 c:1; bigram (a,b):2 (a,c):1
+    // p(b|a) = 2e6 div 3 = 666666 ppm; p(c|a) = 1e6 div 3 = 333333 ppm
+    assert(out.toSeq === Seq((0L, 1L, 666666L), (1L, 1L, 666666L), (2L, 1L, 333333L)))
+    // single-token doc has no bigram and drops out (absent, not null)
+  }
+
   test("mixtureSample hits per-mille targets via deterministic hash thresholds") {
     val docs = (0L until 3000L).map(i =>
       (i, s"text $i", "en", s"src${i % 3}")).toDF("doc_id", "text", "lang", "source")

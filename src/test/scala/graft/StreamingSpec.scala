@@ -485,4 +485,35 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("sourceStatsStream keeps running per-(source,lang) counts, change-only") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SourceDoc, SourceStat}
+    val input = MemoryStream[SourceDoc]
+    val q = StreamingOps.sourceStatsStream(input.toDS())
+      .writeStream.format("memory").queryName("srcstats_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        SourceDoc(1L, "src0", "en", 10L), SourceDoc(2L, "src0", "en", 5L),
+        SourceDoc(3L, "src1", "de", 7L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("srcstats_sink").as[SourceStat].collect()
+      assert(afterB1.toSet === Set(
+        SourceStat("src0", "en", 2L, 15L), SourceStat("src1", "de", 1L, 7L)))
+
+      // batch 2 touches only src0 → src1 must emit NOTHING new
+      input.addData(SourceDoc(4L, "src0", "en", 3L))
+      q.processAllAvailable()
+      val all = spark.table("srcstats_sink").as[SourceStat].collect()
+      assert(all.length === 3)
+      assert(all.count(_.source == "src1") === 1)
+      // latest src0 row is the full running total — equal to a batch
+      // aggregate over every row seen so far
+      assert(all.filter(_.source == "src0").maxBy(_.n_docs) ===
+        SourceStat("src0", "en", 3L, 18L))
+    } finally q.stop()
+  }
 }
