@@ -125,6 +125,27 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
         .orderBy(col("event_id"))
     }),
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      AsOf.asOfJoinForward(purchases, views, "user_id", Seq("value"))
+        .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      AsOf.asOfJoinNearest(purchases, views, "user_id", Seq("value"))
+        .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_value"), col("asof_dir"))
+        .orderBy(col("event_id"))
+    }),
     "asof_join_tolerance" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -738,6 +759,37 @@ object SparkEntry {
         |      FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts)
         |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
         |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_join_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, v.value AS vv,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.ts > p.ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
+        |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |b AS (SELECT event_id, vv, vts FROM (
+        |        SELECT p.event_id, v.value AS vv, v.ts AS vts,
+        |               ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |        FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts) x WHERE rn = 1),
+        |f AS (SELECT event_id, vv, vts FROM (
+        |        SELECT p.event_id, v.value AS vv, v.ts AS vts,
+        |               ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |        FROM p JOIN v ON p.user_id = v.user_id AND v.ts > p.ts) x WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN b.vts IS NOT NULL AND (f.vts IS NULL OR
+        |            epoch_us(p.ts) - epoch_us(b.vts) <= epoch_us(f.vts) - epoch_us(p.ts))
+        |       THEN b.vv ELSE f.vv END AS asof_value,
+        |  CASE WHEN b.vts IS NOT NULL AND (f.vts IS NULL OR
+        |            epoch_us(p.ts) - epoch_us(b.vts) <= epoch_us(f.vts) - epoch_us(p.ts))
+        |       THEN 'backward'
+        |       WHEN f.vts IS NOT NULL THEN 'forward' END AS asof_dir
+        |FROM p LEFT JOIN b ON p.event_id = b.event_id
+        |       LEFT JOIN f ON p.event_id = f.event_id
         |ORDER BY p.event_id""".stripMargin,
     // Tolerance bound folded into the candidate predicate: the latest
     // earlier view either IS within the window (identical winner) or is

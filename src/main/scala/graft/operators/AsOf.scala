@@ -132,6 +132,84 @@ object AsOf {
       .drop("_side", "_rv")
   }
 
+  /** A8e `asof_join_forward` — forward as-of join (pandas
+    * `merge_asof(direction='forward')`): each left row takes the value
+    * of the EARLIEST strictly-later right row. Mirror of [[asOfJoin]]
+    * with the frame reversed: same union-sort, same single shuffle on
+    * the key; tie order flips to (right before left) so an equal-ts
+    * right row stays invisible — strict `>`, symmetric with backward's
+    * strict `<`. Among equal-ts right rows the lowest seq wins (first
+    * in insert order — the mirror of backward's last-in-insert-order).
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftCols: Seq[String]): DataFrame = {
+    val l = left.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(1).as("_side"), lit(null).cast("double").as("_rv")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"), col("rvalue").as("_rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // Strict '>': an equal-ts right row must sort BEFORE the left row
+    // (outside its following frame) → ties order (right=0) < (left=1).
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("ts").asc, col("_side").asc, col("seq").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("asof_value", first(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rv")
+  }
+
+  /** A8f `asof_join_nearest` — nearest as-of join (pandas
+    * `merge_asof(direction='nearest')`): each left row takes whichever
+    * of its strictly-earlier (backward) and strictly-later (forward)
+    * matches is closer in event time; equal gaps resolve BACKWARD (the
+    * "known at time t" conservative choice — documented, since pandas
+    * leaves the tie unspecified across versions). `asof_dir` reports
+    * which side supplied the value (null when neither exists).
+    *
+    * Scale shape: ONE shuffle on the key feeding two in-partition
+    * sorts (the backward and forward passes need opposite tie orders);
+    * both window passes carry the matched timestamp from the same row
+    * as the value, so the gap comparison always measures the row the
+    * value came from.
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftCols: Seq[String]): DataFrame = {
+    val l = left.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(1).as("_side"),
+        lit(null).cast("double").as("_rv"),
+        lit(null).cast("timestamp").as("_rts")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"),
+        col("rvalue").as("_rv"),
+        when(col("rvalue").isNotNull, col("ts")).as("_rts")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("ts").asc, col("_side").desc, col("seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("ts").asc, col("_side").asc, col("seq").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gapB = unix_micros(col("ts")) - unix_micros(col("_bts"))
+    val gapF = unix_micros(col("_fts")) - unix_micros(col("ts"))
+    l.unionByName(r)
+      .withColumn("_bv", last(col("_rv"), ignoreNulls = true).over(wb))
+      .withColumn("_bts", last(col("_rts"), ignoreNulls = true).over(wb))
+      .withColumn("_fv", first(col("_rv"), ignoreNulls = true).over(wf))
+      .withColumn("_fts", first(col("_rts"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("asof_value",
+        when(col("_bts").isNotNull && (col("_fts").isNull || gapB <= gapF), col("_bv"))
+          .otherwise(col("_fv")))
+      .withColumn("asof_dir",
+        when(col("_bts").isNotNull && (col("_fts").isNull || gapB <= gapF), lit("backward"))
+          .when(col("_fts").isNotNull, lit("forward")))
+      .drop("_side", "_rv", "_rts", "_bv", "_bts", "_fv", "_fts")
+  }
+
   /** A8d `asof_join_tolerance` — as-of join with a max-lookback bound
     * (pandas `merge_asof(tolerance=…)`, kdb `wj` within a window): the
     * latest strictly-earlier right row is used ONLY if it is at most

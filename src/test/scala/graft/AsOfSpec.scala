@@ -78,6 +78,45 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
 
+  test("asof_join_forward takes the earliest strictly-later right value") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(10), 100L, 10.0), (1L, ts(20), 101L, 20.0), (2L, ts(10), 102L, 30.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq(
+      (1L, ts(10), 200L, 1.5),  // equal ts: excluded (strict >)
+      (1L, ts(12), 201L, 2.5), (1L, ts(12), 202L, 3.5), // tie → lowest seq
+      (1L, ts(15), 203L, 4.5))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOf.asOfJoinForward(left, right, "user_id", Seq("value"))
+      .orderBy("seq").select("seq", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // left@10 → right@12 seq201; left@20 → nothing later; user 2 → none
+    assert(out.toSeq === Seq((100L, Some(2.5)), (101L, None), (102L, None)))
+  }
+
+  test("asof_join_nearest picks the closer side, ties backward") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L, 10.0),  // back gap 2 (ts8), fwd gap 5 (ts15) → backward
+      (1L, ts(13), 101L, 20.0),  // back gap 5, fwd gap 2 → forward
+      (1L, ts(22), 102L, 30.0),  // equidistant (ts15@7, ts29@7) → backward tie rule
+      (2L, ts(10), 103L, 40.0))  // no rights → null
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq(
+      (1L, ts(8), 200L, 1.0), (1L, ts(15), 201L, 2.0), (1L, ts(29), 202L, 3.0))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOf.asOfJoinNearest(left, right, "user_id", Seq("value"))
+      .orderBy("seq").select("seq", "asof_value", "asof_dir").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]), Option(r.getString(2))))
+    assert(out.toSeq === Seq(
+      (100L, Some(1.0), Some("backward")),
+      (101L, Some(2.0), Some("forward")),
+      (102L, Some(2.0), Some("backward")),
+      (103L, None, None)))
+  }
+
   test("asof_join_tolerance nulls matches staler than the lookback window") {
     val spark0 = spark
     import spark0.implicits._
