@@ -365,6 +365,8 @@ object SparkEntry {
       val centroids = Ivf.train(emb, k = 8, iters = 3)
       Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 2)
     }),
+    "semantic_dedup" -> ((s, dir) =>
+      Ivf.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 3, eps = 0.4)),
     // Full at-rest lifecycle: train → materialize the cluster-partitioned
     // index → partition-pruned probe reads. Same oracle as ann_ivf (the
     // indexed path must return exactly the live-search answer).
@@ -480,7 +482,11 @@ object SparkEntry {
     * exact cosine within probed clusters. Every float op is a
     * sequential left fold on both sides, so doubles match bit-for-bit.
     */
-  private def ivfOracle(k: Int, iters: Int, queryIds: Seq[Long], topK: Int, nProbe: Int): String = {
+  /** The replayed deterministic Lloyd training (hash-spread seeds,
+    * decimal-exact means) through the final cluster assignment `idx` —
+    * shared by the IVF ANN oracles and semantic_dedup.
+    */
+  private def ivfTrainCtes(k: Int, iters: Int): String = {
     def iterBlock(i: Int): String =
       s"""
          |n$i AS (SELECT c, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS nc FROM c$i),
@@ -498,7 +504,6 @@ object SparkEntry {
          |c${i + 1} AS (
          |  SELECT c$i.c, COALESCE(m.cv2, c$i.cv) AS cv
          |  FROM c$i LEFT JOIN (SELECT c, list(m ORDER BY pos) AS cv2 FROM m$i GROUP BY c) m USING (c)),""".stripMargin
-    val ids = queryIds.mkString(", ")
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c0 AS (
@@ -511,7 +516,12 @@ object SparkEntry {
        |    SELECT v.vec_id, v.v, n$iters.c,
        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |             ORDER BY list_dot_product(v.v, n$iters.nc) DESC, n$iters.c) AS rn
-       |    FROM v CROSS JOIN n$iters) z WHERE rn = 1),
+       |    FROM v CROSS JOIN n$iters) z WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracle(k: Int, iters: Int, queryIds: Seq[Long], topK: Int, nProbe: Int): String = {
+    val ids = queryIds.mkString(", ")
+    s"""${ivfTrainCtes(k, iters)},
        |q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
        |      FROM v WHERE vec_id IN ($ids)),
        |probes AS (
@@ -533,6 +543,24 @@ object SparkEntry {
        |  FROM cand) z
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
   }
+
+  /** SemDeDup replay: the shared training CTEs + per-cluster lower-id
+    * witness max — same normalize→dot→round(3) cosine as the ANN family.
+    */
+  private def semanticDedupOracle(k: Int, iters: Int, eps: Double): String =
+    s"""${ivfTrainCtes(k, iters)},
+       |nv AS (SELECT vec_id, c,
+       |              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |       FROM idx),
+       |w AS (
+       |  SELECT hi.vec_id,
+       |         max(round(list_dot_product(hi.nv, lo.nv), 3)) AS max_cos_lower
+       |  FROM nv hi JOIN nv lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
+       |  GROUP BY hi.vec_id)
+       |SELECT nv.vec_id, nv.c AS cluster, w.max_cos_lower,
+       |       (w.max_cos_lower IS NULL OR w.max_cos_lower < $eps) AS kept
+       |FROM nv LEFT JOIN w ON nv.vec_id = w.vec_id
+       |ORDER BY nv.vec_id""".stripMargin
 
   /** DuckDB panel CTE mirroring [[Tables.panel]]. */
   private val panelCte =
@@ -1298,6 +1326,7 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
+    "semantic_dedup" -> semanticDedupOracle(k = 8, iters = 3, eps = 0.4),
     "ann_ivf_indexed" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
     "drawdown" ->
       s"""$panelCte,

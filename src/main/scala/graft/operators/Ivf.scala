@@ -174,4 +174,47 @@ object Ivf {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** C41 `semantic_dedup` — SemDeDup (Abbas et al., arXiv:2303.09540
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with the SAME
+    * deterministic k-means coarse quantizer as the IVF index, then
+    * WITHIN each cluster mark every vector lying within `eps` cosine
+    * of a lower-id cluster member as a semantic duplicate. This is the
+    * greedy lowest-id-survives variant of the paper's
+    * one-exemplar-per-eps-ball rule — deterministic where the paper
+    * samples a random exemplar (same spirit as dedup_exact's min-id
+    * survivor).
+    *
+    * Scale shape: candidate pairs are enumerated per cluster only —
+    * Σ|cluster|² ≈ corpus²/k for balanced clusters, k chosen ∝ corpus —
+    * and at rest the cluster partitioning IS the materialized IVF index
+    * ([[writeIndex]]), so the pair stage reads co-partitioned data and
+    * shuffles nothing new. Cosines replay exactly in DuckDB: the
+    * training is the replayed Lloyd loop ([[train]]), and the pair
+    * cosine is the same normalize→dot→round(3) float path as the ANN
+    * family. `max_cos_lower` (max is order-insensitive) gives the
+    * dup-strength diagnostic; `kept` is the corpus filter bit.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    eps: Double = 0.5): DataFrame = {
+    val centroids = train(embeddings, k, iters)
+    val tagged = index(embeddings, centroids)
+      .withColumn("nv", Similarity.normalize(col("v")))
+      .select(col("vec_id"), col("cluster"), col("nv"))
+    val lower = tagged
+      .select(col("cluster"), col("vec_id").as("lo_id"), col("nv").as("lo_v"))
+    val witness = tagged
+      .join(lower, Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .withColumn("cos", round(Similarity.dot(col("nv"), col("lo_v")), 3))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos_lower"))
+    tagged.select(col("vec_id"), col("cluster"))
+      .join(witness, Seq("vec_id"), "left")
+      .withColumn("kept",
+        col("max_cos_lower").isNull || col("max_cos_lower") < eps)
+      .select(col("vec_id"), col("cluster"), col("max_cos_lower"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

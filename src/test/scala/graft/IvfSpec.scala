@@ -60,4 +60,17 @@ class IvfSpec extends SparkSpec {
     assert(ivfTop === bruteTop) // separated groups → probe-1 recall is exact
     assert(ivfTop.forall(_ < 10)) // all neighbors from group A
   }
+
+  test("semanticDedup keeps the lowest-id exemplar per semantic ball") {
+    // each axis group is mutually parallel (cos 1.0): only the lowest id
+    // of each cluster survives at eps 0.9; orthogonal clusters never mix
+    val out = Ivf.semanticDedup(emb, k = 3, iters = 4, eps = 0.9).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(out.length === 30)
+    assert(out.filter(_._3).map(_._1).toSet === Set(0L, 10L, 20L))
+    // every dropped vector's witness cosine is 1.0 (parallel vectors)
+    assert(out.filter(!_._3).forall(_._2.contains(1.0)))
+    // survivors have no lower-id member in their cluster at all
+    assert(out.filter(_._3).forall(_._2.isEmpty))
+  }
 }
