@@ -61,6 +61,8 @@ object SparkEntry {
     */
   private val minhashIndexPath =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val ivfSemIndex =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Array[Array[Double]])]()
   private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     jaccardPairsMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)
@@ -367,6 +369,21 @@ object SparkEntry {
     }),
     "semantic_dedup" -> ((s, dir) =>
       Ivf.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 3, eps = 0.4)),
+    // Incremental SemDeDup: the settled corpus (vec_id % 5 != 0) is
+    // clustered + materialized ONCE under a frozen quantizer; the
+    // "new batch" (vec_id % 5 == 0) probes only its touched cluster
+    // partitions.
+    "semantic_dedup_incremental" -> ((s, dir) => {
+      val (path, centroids) = ivfSemIndex.computeIfAbsent((s, dir), { _ =>
+        val existing = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
+        val cs = Ivf.train(existing, k = 8, iters = 3)
+        val p = java.nio.file.Files.createTempDirectory("ivf_sem").toString + "/index"
+        Ivf.writeIndex(existing, cs, p)
+        (p, cs)
+      })
+      Ivf.semanticDedupIncremental(s, path, centroids,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0), eps = 0.4)
+    }),
     // Full at-rest lifecycle: train → materialize the cluster-partitioned
     // index → partition-pruned probe reads. Same oracle as ann_ivf (the
     // indexed path must return exactly the live-search answer).
@@ -486,7 +503,7 @@ object SparkEntry {
     * decimal-exact means) through the final cluster assignment `idx` —
     * shared by the IVF ANN oracles and semantic_dedup.
     */
-  private def ivfTrainCtes(k: Int, iters: Int): String = {
+  private def ivfTrainCtes(k: Int, iters: Int, vWhere: String = ""): String = {
     def iterBlock(i: Int): String =
       s"""
          |n$i AS (SELECT c, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS nc FROM c$i),
@@ -505,7 +522,7 @@ object SparkEntry {
          |  SELECT c$i.c, COALESCE(m.cv2, c$i.cv) AS cv
          |  FROM c$i LEFT JOIN (SELECT c, list(m ORDER BY pos) AS cv2 FROM m$i GROUP BY c) m USING (c)),""".stripMargin
     s"""WITH v AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings $vWhere),
        |c0 AS (
        |  SELECT CAST(rn AS INTEGER) - 1 AS c, v AS cv FROM (
        |    SELECT v, ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
@@ -561,6 +578,40 @@ object SparkEntry {
        |       (w.max_cos_lower IS NULL OR w.max_cos_lower < $eps) AS kept
        |FROM nv LEFT JOIN w ON nv.vec_id = w.vec_id
        |ORDER BY nv.vec_id""".stripMargin
+
+  /** Incremental SemDeDup replay: train on the settled corpus only,
+    * assign the batch under the frozen quantizer (`n$iters` centroids),
+    * witness against existing cluster members and lower-id batch
+    * siblings.
+    */
+  private def semanticDedupIncOracle(k: Int, iters: Int, eps: Double): String =
+    s"""${ivfTrainCtes(k, iters, "WHERE vec_id % 5 <> 0")},
+       |nv AS (SELECT vec_id, c,
+       |              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |       FROM idx),
+       |bat AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings WHERE vec_id % 5 = 0),
+       |ba AS (
+       |  SELECT vec_id, nvb, c FROM (
+       |    SELECT b.vec_id,
+       |           list_transform(b.v, x -> x / sqrt(list_dot_product(b.v, b.v))) AS nvb,
+       |           n$iters.c,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_dot_product(b.v, n$iters.nc) DESC, n$iters.c) AS rn
+       |    FROM bat b CROSS JOIN n$iters) z WHERE rn = 1),
+       |wex AS (
+       |  SELECT ba.vec_id, max(round(list_dot_product(ba.nvb, nv.nv), 3)) AS max_cos_existing
+       |  FROM ba JOIN nv ON nv.c = ba.c GROUP BY ba.vec_id),
+       |wb AS (
+       |  SELECT hi.vec_id, max(round(list_dot_product(hi.nvb, lo.nvb), 3)) AS max_cos_batch_lower
+       |  FROM ba hi JOIN ba lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
+       |  GROUP BY hi.vec_id)
+       |SELECT ba.vec_id, ba.c AS cluster, wex.max_cos_existing, wb.max_cos_batch_lower,
+       |       ((wex.max_cos_existing IS NULL OR wex.max_cos_existing < $eps) AND
+       |        (wb.max_cos_batch_lower IS NULL OR wb.max_cos_batch_lower < $eps)) AS kept
+       |FROM ba LEFT JOIN wex ON ba.vec_id = wex.vec_id
+       |        LEFT JOIN wb ON ba.vec_id = wb.vec_id
+       |ORDER BY ba.vec_id""".stripMargin
 
   /** DuckDB panel CTE mirroring [[Tables.panel]]. */
   private val panelCte =
@@ -1327,6 +1378,7 @@ object SparkEntry {
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
     "semantic_dedup" -> semanticDedupOracle(k = 8, iters = 3, eps = 0.4),
+    "semantic_dedup_incremental" -> semanticDedupIncOracle(k = 8, iters = 3, eps = 0.4),
     "ann_ivf_indexed" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
     "drawdown" ->
       s"""$panelCte,

@@ -217,4 +217,51 @@ object Ivf {
       .select(col("vec_id"), col("cluster"), col("max_cos_lower"), col("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** C42 `semantic_dedup_incremental` — incremental-ingestion SemDeDup:
+    * a new vector batch is screened against the MATERIALIZED IVF index
+    * ([[writeIndex]]) under the FROZEN coarse quantizer — the honest
+    * ingest contract (retraining on every batch would reshuffle cluster
+    * assignments and with them past verdicts). A batch vector is
+    * dropped if within `eps` cosine of ANY existing member of its
+    * cluster (the settled corpus always wins — it is already kept at
+    * rest) or of a lower-id batch sibling in the same cluster (the
+    * batch-internal [[semanticDedup]] rule).
+    *
+    * Scale shape: the existing corpus is never re-read whole and never
+    * re-clustered — the probe reads ONLY the ≤|batch| touched cluster
+    * partitions (hive pruning on the `cluster` dir key, the same
+    * nProbe/k I/O bound as [[searchIndexed]]); the only driver-side
+    * collect is the touched-cluster id set (≤ k ints). Mirrors C29
+    * `dedup_incremental`'s band-index probe on the embedding side.
+    */
+  def semanticDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               centroids: Array[Array[Double]],
+                               batch: DataFrame, eps: Double = 0.4): DataFrame = {
+    val tagged = index(batch, centroids)
+      .withColumn("nv", Similarity.normalize(col("v")))
+      .select(col("vec_id"), col("cluster"), col("nv"))
+    val touched = tagged.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ k ints — bounded by design
+    val existing = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(touched: _*)) // partition-pruned read
+      .select(col("cluster"), col("vn").as("ex_v"))
+    val wex = tagged.join(existing, Seq("cluster"))
+      .withColumn("cos", round(Similarity.dot(col("nv"), col("ex_v")), 3))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos_existing"))
+    val lower = tagged
+      .select(col("cluster"), col("vec_id").as("lo_id"), col("nv").as("lo_v"))
+    val wb = tagged.join(lower, Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .withColumn("cos", round(Similarity.dot(col("nv"), col("lo_v")), 3))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos_batch_lower"))
+    tagged.select(col("vec_id"), col("cluster"))
+      .join(wex, Seq("vec_id"), "left")
+      .join(wb, Seq("vec_id"), "left")
+      .withColumn("kept",
+        (col("max_cos_existing").isNull || col("max_cos_existing") < eps) &&
+          (col("max_cos_batch_lower").isNull || col("max_cos_batch_lower") < eps))
+      .orderBy(col("vec_id"))
+  }
 }

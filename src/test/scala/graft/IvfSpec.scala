@@ -73,4 +73,27 @@ class IvfSpec extends SparkSpec {
     // survivors have no lower-id member in their cluster at all
     assert(out.filter(_._3).forall(_._2.isEmpty))
   }
+
+  test("semanticDedupIncremental screens a batch against the frozen cluster index") {
+    val cs = Ivf.train(emb, k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("sem_idx").toString + "/index"
+    Ivf.writeIndex(emb, cs, dir)
+    val batch = Seq(
+      (100L, Array(11f, 0f, 0f, 0f)),  // parallel to group A → dropped vs existing
+      (101L, Array(0f, 0f, 0f, 10f)),  // novel direction → kept
+      (102L, Array(0f, 0f, 0f, 20f)))  // parallel to 101 → dropped vs batch sibling
+      .toDF("vec_id", "embedding")
+    val out = Ivf.semanticDedupIncremental(spark, dir, cs, batch, eps = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+    assert(out(100L)._1.contains(1.0) && !out(100L)._3)  // existing witness
+    assert(out(101L)._3)                                 // novel: kept
+    assert(out(102L)._2.contains(1.0) && !out(102L)._3)  // batch-lower witness
+    // 101 and 102 tie at cos 0 to every centroid → both land in the same
+    // lowest-id cluster, which is what makes 102's witness visible
+    assert(Ivf.index(batch, cs).collect().map(_.getInt(2)).distinct.length <= 2)
+  }
 }
