@@ -93,6 +93,19 @@ object Ivf {
       .repartition(filesPerCluster, col("cluster"), pmod(col("vec_id"), lit(filesPerCluster)))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Append a micro-batch into an existing index — same layout as
+    * [[writeIndex]], new files land beside old ones in each touched
+    * cluster dir (the log-structured contract the TickStore uses:
+    * readers see appends immediately, compaction is separate).
+    */
+  def writeIndexAppend(embeddings: DataFrame, centroids: Array[Array[Double]],
+                       path: String, filesPerCluster: Int = 1): Unit =
+    index(embeddings, centroids)
+      .withColumn("vn", Similarity.normalize(col("v")))
+      .select(col("vec_id"), col("vn"), col("cluster"))
+      .repartition(filesPerCluster, col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** ANN over a materialized index: same semantics as [[search]], but
     * the corpus side is the cluster-partitioned store and the probe
     * list becomes a partition filter — unprobed clusters are never

@@ -324,6 +324,38 @@ object StreamingOps {
       }
       .start()
 
+  /** D16 — streaming SemDeDup ingestion: each embedding micro-batch is
+    * screened against the materialized IVF cluster index under the
+    * frozen quantizer (batch operator C42), survivors are appended to
+    * the index so later batches see them, and per-batch verdicts land
+    * in `verdictPath`. At-least-once safe the same way the band index
+    * is: a replayed batch's survivors re-append, and the probe side is
+    * a max-witness (duplicate index rows cannot flip any verdict —
+    * max(cos, cos) = cos); replayed vectors self-match at cos 1.0 and
+    * simply drop. State lives entirely AT REST in the partitioned
+    * index — the stream itself is stateless (no state store, no
+    * watermark), which is what lets the screen run at ingest rates.
+    */
+  def semanticDedupSink(embeddings: DataFrame, indexPath: String,
+                        centroids: Array[Array[Double]], eps: Double,
+                        verdictPath: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val verdicts = graft.operators.Ivf
+          .semanticDedupIncremental(spark, indexPath, centroids, batch, eps)
+          .localCheckpoint(true) // verdict before the index moves under it
+        verdicts.write.mode("append").parquet(verdictPath)
+        val survivors = batch.join(
+          verdicts.filter(org.apache.spark.sql.functions.col("kept"))
+            .select("vec_id"), Seq("vec_id"))
+        graft.operators.Ivf.writeIndexAppend(survivors, centroids, indexPath)
+      }
+      .start()
+
   case class TopkEvent(event_type: String, event_id: Long, user_id: Long, value: Double)
   case class TopkEntry(event_type: String, rank: Long, event_id: Long, user_id: Long, value: Double)
 

@@ -486,6 +486,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupSink screens batches; survivors are visible to later batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = ((0 until 10).map(i => (i.toLong, Array(10f + i * 0.1f, 0f, 0f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val cs = graft.operators.Ivf.train(emb, k = 2, iters = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("sem_sink").toString
+    val idx = s"$tmp/index"
+    graft.operators.Ivf.writeIndex(emb, cs, idx)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupSink(
+      input.toDF().toDF("vec_id", "embedding"), idx, cs, eps = 0.9,
+      s"$tmp/verdicts", s"$tmp/ckpt")
+    try {
+      input.addData((100L, Array(11f, 0f, 0f, 0f)), (101L, Array(0f, 0f, 0f, 10f)))
+      q.processAllAvailable()
+      // 102 is parallel to batch-1 SURVIVOR 101: only the index append
+      // made by batch 1 can catch it
+      input.addData((102L, Array(0f, 0f, 0f, 20f)))
+      q.processAllAvailable()
+      val v = spark.read.parquet(s"$tmp/verdicts").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+      assert(v === Map(100L -> false, 101L -> true, 102L -> false))
+    } finally q.stop()
+  }
+
   test("sourceStatsStream keeps running per-(source,lang) counts, change-only") {
     val spark0 = spark
     import spark0.implicits._
