@@ -317,14 +317,14 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
-    "sim_pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.simPagerank(docs,
-        Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3, maxDf = 100L))
-    }),
+    // The near-dup-graph composites consume the SAME pair set the
+    // cluster queries do — one shared checkpointed build per driver
+    // run (the materialized-CTE pattern), not four identical ones.
+    // `ngram_jaccard` itself keeps the real build: it IS the pair query.
+    "sim_pagerank" -> ((s, dir) =>
+      Dedup.simPagerank(Tables.documents(s, dir), jaccardPairsShared(s, dir))),
     "triangle_count" -> ((s, dir) =>
-      Dedup.triangleCount(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L))),
+      Dedup.triangleCount(jaccardPairsShared(s, dir))),
     "bm25_topk" -> ((s, dir) =>
       Pipeline.bm25TopK(Tables.documents(s, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     "dedup_embedding" -> ((s, dir) =>
