@@ -218,4 +218,45 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ss.length === 1 && ss.head.getAs[Long]("n_dup_docs") === 0L &&
       ss.head.getAs[Double]("dup_fraction") === 0.0)
   }
+
+  test("chunkDedup/lmScore: token-less docs drop out, never throw") {
+    val docs = Seq((0L, ""), (1L, "   "), (2L, "one"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    // 0/1 have no tokens → no chunks → absent; 2 and 3 chunk normally
+    val cd = Pipeline.chunkDedup(docs, chunkTokens = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(cd === Set(2L, 3L))
+    // lm_score needs ≥ 2 tokens: only doc 3 emits
+    assert(Pipeline.lmScore(docs).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("pmiBigrams below the noise floor and mixtureSample with no targets are empty") {
+    val docs = Seq((0L, "x y"), (1L, "p q")).toDF("doc_id", "text")
+    assert(Pipeline.pmiBigrams(docs, minCount = 5L, k = 10).count() === 0)
+    val full = Seq((0L, "t", "en", "src0")).toDF("doc_id", "text", "lang", "source")
+    assert(Pipeline.mixtureSample(full, Map.empty).count() === 0)
+  }
+
+  test("atr/stochastic/obv degrade sanely on a single-bar asset") {
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val a = Analytics.atr(p).collect()(0)
+    assert(a.getAs[Double]("tr") === 0.0 && a.getAs[Double]("atr") === 0.0)
+    val st = Analytics.stochastic(p).collect()(0)
+    assert(st.isNullAt(3) && st.isNullAt(4)) // flat single-tick channel
+    val o = Analytics.obv(p).collect()(0)
+    assert(o.getAs[Long]("obv") === 0L)
+  }
+
+  test("momentumXsec with all-equal momenta assigns deterministic quintiles by id") {
+    val p = (0 until 12).flatMap { i =>
+      (1L to 5L).map(a => (a, Date.valueOf(f"2024-01-${i + 1}%02d"),
+        new Timestamp(i * 1000L + a), 10.0, i * 10L + a))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val last = Analytics.momentumXsec(p, skip = 2, look = 10)
+      .filter($"date" === Date.valueOf("2024-01-12")).orderBy($"asset_id").collect()
+    assert(last.map(_.getAs[Double]("mom")).forall(_ === 0.0))
+    // rank ties broken by asset_id: n=5 → quintile ≡ rank, in id order
+    assert(last.map(_.getAs[Long]("quintile")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
