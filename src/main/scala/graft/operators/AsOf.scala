@@ -132,6 +132,33 @@ object AsOf {
       .drop("_side", "_rv")
   }
 
+  /** A8g `asof_join_inclusive` — backward as-of with exact matches
+    * allowed (pandas `merge_asof`'s DEFAULT `allow_exact_matches=True`,
+    * and the reference's own point-query bound `ts ≤ asof`,
+    * file.rs:425): the latest right row at-or-before each left ts.
+    * Identical union-sort plan to [[asOfJoin]]; only the tie order
+    * flips — an equal-ts right row sorts BEFORE the left row and so
+    * becomes visible to its backward frame. Among equal-ts right rows
+    * the highest seq wins, consistent with the strict variant.
+    */
+  def asOfJoinInclusive(left: DataFrame, right: DataFrame, key: String,
+                        leftCols: Seq[String]): DataFrame = {
+    val l = left.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(1).as("_side"), lit(null).cast("double").as("_rv")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"), col("rvalue").as("_rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("ts").asc, col("_side").asc, col("seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rv")
+  }
+
   /** A8e `asof_join_forward` — forward as-of join (pandas
     * `merge_asof(direction='forward')`): each left row takes the value
     * of the EARLIEST strictly-later right row. Mirror of [[asOfJoin]]

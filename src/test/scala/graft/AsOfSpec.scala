@@ -78,6 +78,25 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some(1.5)), (101L, Some(3.5)), (102L, None)))
   }
 
+  test("asof_join_inclusive admits equal-ts matches, highest seq winning") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, ts(10), 100L, 10.0), (1L, ts(20), 101L, 20.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq(
+      (1L, ts(5), 200L, 1.5),
+      (1L, ts(10), 201L, 2.5), (1L, ts(10), 202L, 3.5)) // equal-ts pair
+      .toDF("user_id", "ts", "seq", "rvalue")
+    val out = AsOf.asOfJoinInclusive(left, right, "user_id", Seq("value"))
+      .orderBy("seq").select("seq", "asof_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // left@10 takes the equal-ts winner (seq 202); strict form would take ts5
+    assert(out.toSeq === Seq((100L, 3.5), (101L, 3.5)))
+    val strict = AsOf.asOfJoin(left, right, "user_id", Seq("value"))
+      .orderBy("seq").select("asof_value").collect().map(_.getDouble(0))
+    assert(strict.toSeq === Seq(1.5, 3.5))
+  }
+
   test("asof_join_forward takes the earliest strictly-later right value") {
     val spark0 = spark
     import spark0.implicits._
