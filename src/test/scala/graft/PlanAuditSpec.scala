@@ -57,6 +57,13 @@ class PlanAuditSpec extends SparkSpec {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("text") && !readSchema.contains("n_chars") &&
       !readSchema.contains("source"), s"lang_id over-reads: $readSchema")
+    // mixture_sample is metadata-only routing: document TEXT must never
+    // reach its scans (at 100 TB the text column IS the corpus)
+    val mix = SparkEntry.queries("mixture_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val mixSchemas = mix.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(mixSchemas.nonEmpty && mixSchemas.forall(!_.contains("text")),
+      s"mixture_sample reads document text: $mixSchemas")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
