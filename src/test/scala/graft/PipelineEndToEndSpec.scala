@@ -60,5 +60,35 @@ class PipelineEndToEndSpec extends SparkSpec {
     val top = Quantize.quantizedTopK(dense, Seq(someId), 3).collect()
     assert(top.nonEmpty && top.forall(_.getAs[Long]("vec_id") != someId))
     assert(top.map(_.getAs[Long]("rank")).toSeq === (1L to top.length).toSeq)
+
+    // 6. sub-document pass + LM-quality gate on the deduped corpus:
+    // chunk-dedup rewrites survive with ≥ 0 chunks, lm_score gates the
+    // most templatic tail (score is all-integer → a stable threshold)
+    val rewritten = Pipeline.chunkDedup(stage3.select("doc_id", "text"))
+    assert(rewritten.count() <= n3) // token-less docs may drop, none appear twice
+    assert(rewritten.select("doc_id").distinct().count() === rewritten.count())
+    val lm = Pipeline.lmScore(stage3.select("doc_id", "text"))
+    val cut = lm.agg(expr("percentile_approx(lm_ppm, 0.9)")).first().getLong(0)
+    val gated = stage3.join(lm.filter(col("lm_ppm") <= cut).select("doc_id"), Seq("doc_id"))
+    assert(gated.count() > 0 && gated.count() <= n3)
+
+    // 7. mixture spec over the gated corpus: resample sources to target
+    // shares; the sample is a subset and a pure function of doc_id
+    val withMeta = docs.select("doc_id", "source", "lang")
+      .join(gated.select("doc_id"), Seq("doc_id"))
+    val srcs = withMeta.select("source").distinct().limit(2)
+      .collect().map(_.getString(0))
+    val mix = Pipeline.mixtureSample(
+      withMeta.withColumn("text", lit("")).select("doc_id", "text", "lang", "source"),
+      srcs.map(_ -> 200).toMap)
+    assert(mix.count() <= withMeta.count())
+    assert(mix.select("source").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(srcs.toSet))
+
+    // 8. semantic screen on the corpus embeddings: the SemDeDup pass
+    // composes on the same hashed vectors the retrieval stage built
+    val sem = graft.operators.Ivf.semanticDedup(dense, k = 4, iters = 2, eps = 0.95)
+    assert(sem.count() === dense.count())           // every vector gets a verdict
+    assert(sem.filter(col("kept")).count() > 0)     // never empties the corpus
   }
 }
