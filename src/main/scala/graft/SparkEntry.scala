@@ -310,6 +310,10 @@ object SparkEntry {
       Analytics.atr(Tables.panel(s, dir))),
     "ret_moments" -> ((s, dir) =>
       Analytics.retMoments(Tables.panel(s, dir))),
+    "williams_r" -> ((s, dir) =>
+      Analytics.williamsR(Tables.panel(s, dir))),
+    "keltner" -> ((s, dir) =>
+      Analytics.keltner(Tables.panel(s, dir))),
     "stochastic_osc" -> ((s, dir) =>
       Analytics.stochastic(Tables.panel(s, dir))),
     "obv" -> ((s, dir) =>
@@ -1139,6 +1143,46 @@ object SparkEntry {
          |  round(m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END, 6) AS skew,
          |  round(m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3, 6) AS kurt
          |FROM cm ORDER BY asset_id""".stripMargin,
+    "williams_r" ->
+      s"""$panelCte,
+         |$barsCte
+         |SELECT asset_id, date, close,
+         |  round(-100.0 * (max(high) OVER w - close) /
+         |        nullif(max(high) OVER w - min(low) OVER w, 0.0), 6) AS wr
+         |FROM bars
+         |WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY asset_id, date""".stripMargin,
+    "keltner" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close,
+         |         round((high + low + close) / 3, 6) AS tp,
+         |         round(CASE WHEN lag(close) OVER a IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - lag(close) OVER a),
+         |                             abs(low - lag(close) OVER a)) END, 6) AS tr
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(tp) OVER w AS tparr, list(tr) OVER w AS trarr
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, close,
+         |    round(
+         |      list_reduce(list_prepend(0.0, tparr), (acc, x) -> acc * (1.0 - 2.0 / 21.0) + x) /
+         |      list_reduce(list_prepend(0.0, tparr), (acc, x) -> acc * (1.0 - 2.0 / 21.0) + 1.0), 6) AS mid,
+         |    round(
+         |      list_reduce(list_prepend(0.0, trarr), (acc, x) -> acc * (19.0 / 20.0) + x) /
+         |      list_reduce(list_prepend(0.0, trarr), (acc, x) -> acc * (19.0 / 20.0) + 1.0), 6) AS atr
+         |  FROM f)
+         |SELECT asset_id, date, close, mid, atr,
+         |  round(mid + 2.0 * atr, 6) AS upper,
+         |  round(mid - 2.0 * atr, 6) AS lower
+         |FROM g ORDER BY asset_id, date""".stripMargin,
     "stochastic_osc" ->
       s"""$panelCte,
          |$barsCte,

@@ -1107,6 +1107,60 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B45 `williams_r` — Williams %R over the daily bars:
+    * −100·(highN − close)/(highN − lowN), the inverted cousin of
+    * [[stochastic]]'s %K (−100 ↔ 0 maps to %K's 0 ↔ 100). Rolling
+    * min/max only — order-insensitive, exact oracle for free; flat
+    * channels null out.
+    */
+  def williamsR(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("low_n", min(col("low")).over(frame))
+      .withColumn("high_n", max(col("high")).over(frame))
+      .withColumn("wr", round(
+        lit(-100.0) * (col("high_n") - col("close")) /
+          when(col("high_n") === col("low_n"), lit(null))
+            .otherwise(col("high_n") - col("low_n")), 6))
+      .select(col("asset_id"), col("date"), col("close"), col("wr"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B46 `keltner` — Keltner channels over the daily bars: middle =
+    * EW mean of the ROUNDED typical price (high+low+close)/3, bands =
+    * middle ± 2·ATR where ATR is the same rounded-TR Wilder EW as
+    * [[atr]]. Every series is a span-bounded Horner fold over
+    * frame-ordered arrays — the [[ewma]]/[[atr]] machinery composed,
+    * one asset_id shuffle shared by the bar aggregate and all windows.
+    */
+  def keltner(panel: DataFrame, span: Int = 20): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)   // EMA weight for the middle line
+    val wilder = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    def ewMean(arr: Column, weight: Double): Column =
+      Kernels.seqFold(arr, "horner", weight) / Kernels.seqFold(arr, "horner_count", weight)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tp", round((col("high") + col("low") + col("close")) / 3, 6))
+      .withColumn("tr", round(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose))), 6))
+      .withColumn("tparr", collect_list(col("tp")).over(frame))
+      .withColumn("trarr", collect_list(col("tr")).over(frame))
+      .withColumn("mid", round(ewMean(col("tparr"), w), 6))
+      .withColumn("atr", round(ewMean(col("trarr"), wilder), 6))
+      .withColumn("upper", round(col("mid") + lit(2.0) * col("atr"), 6))
+      .withColumn("lower", round(col("mid") - lit(2.0) * col("atr"), 6))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("mid"), col("atr"), col("upper"), col("lower"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B44 `ret_moments` — higher-moment return profile per asset: mean,
     * sample σ, skewness g₁ = m₃/m₂^{3/2} and excess kurtosis
     * g₂ = m₄/m₂² − 3 of the daily return series, the fat-tail /

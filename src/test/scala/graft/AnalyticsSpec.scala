@@ -488,6 +488,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 0L), (1L, 1L), (-1L, 0L)))
   }
 
+  test("williams_r is the inverted %K: 0 at channel high, -100 at channel low") {
+    val rows = Analytics.williamsR(panel).filter($"asset_id" === 1)
+      .select("wr").collect().map(_.getDouble(0))
+    // closes 12,18,9 vs channels [10,12],[10,18],[9,18]
+    assert(rows.toSeq === Seq(0.0, 0.0, -100.0))
+  }
+
+  test("keltner: first bar's middle is its typical price, bands at ±2 ATR") {
+    val r = Analytics.keltner(panel).filter($"asset_id" === 1).collect()(0)
+    // bar1: tp = (12+10+12)/3, tr = 2 → mid = tp, atr = 2
+    assert(math.abs(r.getAs[Double]("mid") - 34.0 / 3.0) < 1e-6)
+    assert(r.getAs[Double]("atr") === 2.0)
+    assert(math.abs(r.getAs[Double]("upper") - (34.0 / 3.0 + 4.0)) < 2e-6)
+    assert(math.abs(r.getAs[Double]("lower") - (34.0 / 3.0 - 4.0)) < 2e-6)
+  }
+
   test("ret_moments: symmetric alternating returns have skew 0, kurtosis -2") {
     // returns exactly ±0.1 alternating: mean 0, m3 0, m4/m2² = 1 → g2 = -2
     val vals = Seq(100.0, 110.0, 99.0, 108.9, 98.01)
