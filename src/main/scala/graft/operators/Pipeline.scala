@@ -443,9 +443,15 @@ object Pipeline {
       .join(uni.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "c_b"), Seq("tok_b"))
       .crossJoin(broadcast(total))
       .withColumn("score", expr("(c_ab * n_bigrams * 1000000) div (c_a * c_b)"))
+      // distributed top-k FIRST (TakeOrderedAndProject — per-partition
+      // heaps, no single-partition shuffle of every collocation), THEN
+      // the rank window over just k rows. A bare global row_number here
+      // would funnel the full minCount-filtered pair set through one
+      // task — the warning Spark rightly logs about it.
+      .orderBy(col("score").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(
         col("score").desc, col("tok_a"), col("tok_b"))).cast("long"))
-      .filter(col("rank") <= k)
       .select(col("rank"), col("tok_a"), col("tok_b"),
         col("c_ab"), col("c_a"), col("c_b"), col("score"))
       .orderBy(col("rank"))
