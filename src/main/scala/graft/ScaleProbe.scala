@@ -45,13 +45,24 @@ object ScaleProbe {
       val out = table match {
         case "documents" =>
           val maxId = src.agg(max("doc_id")).head.getLong(0) + 1
+          // Replica texts must share NO shingles with the base or each
+          // other — a case flip is NOT enough on an already-lowercase
+          // corpus (lower(text) == text made even replicas near-dups of
+          // the base, quadratically inflating the pair probes). A
+          // per-replica Caesar rotation rewrites every character, so
+          // replicas add DATA, never duplicates.
+          val alphabet = "abcdefghijklmnopqrstuvwxyz"
           (0 until factor).map { i =>
             if (i == 0) src
-            else src.select(
-              (col("doc_id") + lit(i * maxId)).as("doc_id"),
-              concat(lit(s"r$i "),
-                if (i % 2 == 1) upper(col("text")) else lower(col("text"))).as("text"),
-              col("lang"), col("source"), col("n_chars"))
+            else {
+              val shift = (i - 1) % 25 + 1
+              val rotated = alphabet.drop(shift) + alphabet.take(shift)
+              src.select(
+                (col("doc_id") + lit(i * maxId)).as("doc_id"),
+                concat(lit(s"r$i "),
+                  translate(lower(col("text")), alphabet, rotated)).as("text"),
+                col("lang"), col("source"), col("n_chars"))
+            }
           }.reduce(_ unionByName _)
         case "orders" =>
           val maxK = src.agg(max("o_orderkey")).head.getLong(0) + 1
