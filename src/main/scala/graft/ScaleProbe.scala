@@ -36,6 +36,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftConf.tune(spark)
+    // Ad-hoc conf overrides for probe experiments, e.g.
+    // SPARK_GRAFT_PROBE_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String, factor: Int, dir: String): Unit = {
@@ -110,8 +115,12 @@ object ScaleProbe {
           }.reduce(_ unionByName _)
         case _ => null // unreplicated tables are file-copied below
       }
+      // File count scales with the factor: a fixed coalesce(4) capped
+      // the replicated store at 4 files → 4 scan tasks for the whole
+      // 8× corpus, which measured as a phantom superlinear bend in
+      // scan-bound queries (parallelism starvation, not query cost).
       if (out != null)
-        out.coalesce(4).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+        out.coalesce(4 * factor).write.mode("overwrite").parquet(s"$dir/$table.parquet")
       else {
         // raw copy — events.parquet is TIMESTAMP(NANOS) and must not go
         // through a plain read/write round-trip (see Tables.events)
@@ -137,9 +146,30 @@ object ScaleProbe {
       val times = factors.map { f =>
         val dir = s"/tmp/scaleprobe/f$f"
         val samples = (1 to runs).map { _ =>
+          // Optional per-stage breakdown (SPARK_GRAFT_PROBE_STAGES=1):
+          // stage wall-times + task counts for the slowest stages of the
+          // LAST run — the "where did the 8× second go" view.
+          val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              for (s <- si.submissionTime; c <- si.completionTime)
+                stages.synchronized { stages += ((si.stageId, c - s, si.numTasks)) }
+            }
+          }
+          val wantStages = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
+          if (wantStages) spark.sparkContext.addSparkListener(listener)
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (wantStages) {
+            spark.sparkContext.removeSparkListener(listener)
+            val top = stages.sortBy(-_._2).take(6)
+              .map { case (id, ms, n) => f"s$id=${ms / 1000.0}%.1fs/${n}t" }
+            println(s"[stages] $name ${f}x " + top.mkString(" "))
+          }
+          dt
         }.sorted
         f -> samples(samples.length / 2)
       }
