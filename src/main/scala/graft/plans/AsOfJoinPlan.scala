@@ -41,6 +41,9 @@ case class AsOfJoinPlan(
     // rank-1-by-(ts DESC, seq DESC). Without it the winner among
     // equal-ts revisions would depend on partition order.
     seqName: Option[String] = Some("seq"),
+    // at-or-before instead of strictly-before (the pandas
+    // allow_exact_matches=True bound — the reference's own `ts ≤ asof`)
+    inclusive: Boolean = false,
     // constructor parameter (not a val): tree transforms call copy(),
     // which must PRESERVE the output attribute's exprId — a fresh
     // AttributeReference per copy breaks parent references.
@@ -68,7 +71,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.keyName, p.tsName, p.rvalueName, p.seqName, p.asofAttr) :: Nil
+        p.keyName, p.tsName, p.rvalueName, p.seqName, p.inclusive, p.asofAttr) :: Nil
     case _ => Nil
   }
 }
@@ -80,6 +83,7 @@ case class AsOfJoinExec(
     tsName: String,
     rvalueName: String,
     seqName: Option[String],
+    inclusive: Boolean,
     asofAttr: AttributeReference) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
@@ -128,7 +132,11 @@ case class AsOfJoinExec(
         if (!haveKey || curKey != lKey) { curKey = lKey; haveKey = true; lastVal = null }
         while (rPrim.hasNext && {
           val h = rPrim.head
-          h._1 < lKey || (h._1 == lKey && h._2 < lTs)
+          // inclusive: equal-ts right rows are consumed BEFORE the left
+          // row emits, so the at-or-before winner (max seq among them)
+          // is visible — the one-line difference between `<` and `≤`
+          h._1 < lKey || (h._1 == lKey &&
+            (h._2 < lTs || (inclusive && h._2 == lTs)))
         }) {
           val h = rPrim.next()
           if (h._1 == lKey && !h._3) lastVal = java.lang.Double.valueOf(h._4)
@@ -149,7 +157,8 @@ object AsOfJoinNative {
     * joined DataFrame from the custom logical node.
     */
   def apply(left: DataFrame, right: DataFrame, key: String, ts: String,
-            rvalue: String, seq: Option[String] = Some("seq")): DataFrame = {
+            rvalue: String, seq: Option[String] = Some("seq"),
+            inclusive: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -157,7 +166,8 @@ object AsOfJoinNative {
     // only require the tie-breaker if the right side actually has it
     val seqName = seq.filter(s => right.columns.contains(s))
     val plan = AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed, key, ts, rvalue, seqName)
+      left.queryExecution.analyzed, right.queryExecution.analyzed, key, ts, rvalue, seqName,
+      inclusive = inclusive)
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -55,6 +55,38 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native === declarative)
   }
 
+  test("native inclusive mode agrees with the declarative inclusive join on real data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+    val declarative = AsOf.asOfJoinInclusive(purchases, views, "user_id", Seq("value"))
+      .select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val native = AsOfJoinNative(purchases, views, "user_id", "ts", "rvalue", inclusive = true)
+      .select("seq", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(native === declarative)
+  }
+
+  test("native inclusive admits the equal-ts revision, strict does not") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1L, new java.sql.Timestamp(10000L), 100L, 1.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val right = Seq(
+      (1L, new java.sql.Timestamp(5000L), 200L, 1.5),
+      (1L, new java.sql.Timestamp(10000L), 201L, 2.5),
+      (1L, new java.sql.Timestamp(10000L), 202L, 3.5))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    def run(inc: Boolean) =
+      AsOfJoinNative(left, right, "user_id", "ts", "rvalue", inclusive = inc)
+        .select("asof_value").collect()(0).getDouble(0)
+    assert(run(false) === 1.5)  // strict: equal-ts rows invisible
+    assert(run(true) === 3.5)   // inclusive: max-seq equal-ts revision wins
+  }
+
   test("bucketed co-located tables feed the native as-of join with zero exchanges") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")
