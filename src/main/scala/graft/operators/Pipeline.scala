@@ -421,6 +421,13 @@ object Pipeline {
     * `minCount` suppresses one-off pairings (classic PMI noise floor:
     * rare pairs score spuriously high). Counts are integers — shuffle
     * aggregation order is irrelevant to correctness by construction.
+    *
+    * Range bound: the numerator c_ab·N·10⁶ must fit a signed 64-bit
+    * int, i.e. c_ab·N < 9.2·10¹². Holds through multi-TB corpora for
+    * real collocations (c_ab ≪ N); a pathological corpus past it FAILS
+    * LOUDLY (ANSI overflow), never silently — switch the three factors
+    * to DECIMAL(38,0) (and the oracle's to HUGEINT) to extend the
+    * range; the div-floor semantics carry over unchanged.
     */
   def pmiBigrams(documents: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
     val toks = documents
@@ -466,7 +473,11 @@ object Pipeline {
     * genuinely novel) — both tails are what a corpus build inspects.
     * All-integer end to end: counts → div → sum → div, so scores
     * replay exactly cross-engine with zero float (log-prob would hand
-    * libm `ln` ulps to every comparison). Docs with no bigram (< 2
+    * libm `ln` ulps to every comparison). Range bound: c_ab·10⁶ must
+    * fit a long — c_ab < 9.2·10¹², comfortably beyond any single
+    * bigram's count in a 100 TB corpus; past it ANSI mode fails
+    * loudly (decimal widening is the escape hatch, as in
+    * [[pmiBigrams]]). Docs with no bigram (< 2
     * tokens) drop out. Shape: the standard LM-count shuffles (bigram + unigram
     * aggs, both map-side combinable) + two hash joins back to the
     * exploded bigram stream.
