@@ -332,7 +332,10 @@ object StreamingOps {
     * is: a replayed batch's survivors re-append, and the probe side is
     * a max-witness (duplicate index rows cannot flip any verdict —
     * max(cos, cos) = cos); replayed vectors self-match at cos 1.0 and
-    * simply drop. State lives entirely AT REST in the partitioned
+    * simply drop. Consequence for the verdict table: a replay writes a
+    * SECOND verdict row (kept=false) for vectors it first kept —
+    * consumers reduce by vec_id with `kept = any(kept)`, the exactly-
+    * once view over at-least-once appends. State lives entirely AT REST in the partitioned
     * index — the stream itself is stateless (no state store, no
     * watermark), which is what lets the screen run at ingest rates.
     */
