@@ -504,6 +504,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lower") - (34.0 / 3.0 - 4.0)) < 2e-6)
   }
 
+  test("bar family matches brute force on a randomized multi-tick panel") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      a <- 1L to 3L; day <- 0 until 25
+      tick <- 0 until (1 + rnd.nextInt(3))
+    } yield (a, d(f"2024-01-${day + 1}%02d"), ts(day * 1000 + tick * 10 + a.toInt),
+      math.rint((50 + rnd.nextDouble() * 50) * 100) / 100, day * 100L + tick * 3 + a)
+    val p = rows.toDF("asset_id", "date", "ts", "value", "seq")
+    // brute-force daily bars per (asset, date) in knowledge order
+    val bars = rows.groupBy(r => (r._1, r._2)).map { case ((a, dt), ticks) =>
+      val inOrder = ticks.sortBy(t => (t._3.getTime, t._5))
+      (a, dt, inOrder.head._4, inOrder.map(_._4).max, inOrder.map(_._4).min,
+        inOrder.last._4, inOrder.length.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2.getTime))
+    // OBV brute force: integer cumsum of sign(Δclose)·n_ticks
+    val expObv = bars.groupBy(_._1).flatMap { case (a, bs) =>
+      var run = 0L; var prev = Option.empty[Double]
+      bs.map { b =>
+        val sv = prev match {
+          case Some(pc) if b._6 > pc => b._7
+          case Some(pc) if b._6 < pc => -b._7
+          case _ => 0L
+        }
+        run += sv; prev = Some(b._6); (a, b._2.toString) -> run
+      }
+    }
+    val gotObv = Analytics.obv(p).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(4)).toMap
+    assert(gotObv === expObv.toMap)
+    // ATR brute force: same rounded-TR Horner ratio, identical IEEE order
+    val expAtr = bars.groupBy(_._1).flatMap { case (a, bs) =>
+      var prev = Option.empty[Double]
+      val trs = bs.map { b =>
+        val tr = prev match {
+          case Some(pc) => math.max(b._4 - b._5, math.max(math.abs(b._4 - pc), math.abs(b._5 - pc)))
+          case None => b._4 - b._5
+        }
+        prev = Some(b._6)
+        BigDecimal(tr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      bs.indices.map { i =>
+        val frame = trs.slice(math.max(0, i - 13), i + 1)
+        var s = 0.0; var nw = 0.0
+        frame.foreach { x => s = s * (13.0 / 14.0) + x; nw = nw * (13.0 / 14.0) + 1.0 }
+        (a, bs(i)._2.toString) ->
+          BigDecimal(s / nw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val gotAtr = Analytics.atr(p).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(3)).toMap
+    assert(gotAtr === expAtr.toMap)
+  }
+
   test("ret_moments: symmetric alternating returns have skew 0, kurtosis -2") {
     // returns exactly ±0.1 alternating: mean 0, m3 0, m4/m2² = 1 → g2 = -2
     val vals = Seq(100.0, 110.0, 99.0, 108.9, 98.01)
