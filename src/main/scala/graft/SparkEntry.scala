@@ -269,6 +269,8 @@ object SparkEntry {
       Analytics.macd(Tables.panel(s, dir))),
     "corr_matrix" -> ((s, dir) =>
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
+    "ts_similarity" -> ((s, dir) =>
+      Analytics.tsSimilarityTopK(Tables.panel(s, dir), Seq(1L, 2L, 3L), k = 5)),
     "sharpe" -> ((s, dir) =>
       Analytics.sharpe(Tables.panel(s, dir))),
     "var_cvar" -> ((s, dir) =>
@@ -1970,6 +1972,40 @@ object SparkEntry {
          |SELECT date, port_ret,
          |       round(list_reduce(list_prepend(1.0, navarr), (a, r) -> a * (1.0 + r)), 6) AS nav
          |FROM f ORDER BY date""".stripMargin,
+    "ts_similarity" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |q AS (SELECT asset_id AS q_id, date, ret AS qret FROM rets
+         |      WHERE asset_id IN (1, 2, 3)),
+         |j AS (
+         |  SELECT q.q_id, r.asset_id, r.date, r.ret AS ra, q.qret AS rb
+         |  FROM rets r JOIN q ON r.date = q.date AND r.asset_id <> q.q_id),
+         |p AS (
+         |  SELECT q_id, asset_id,
+         |         list(ra ORDER BY date) AS ras,
+         |         list(rb ORDER BY date) AS rbs,
+         |         list(ra * rb ORDER BY date) AS rps
+         |  FROM j GROUP BY q_id, asset_id),
+         |g AS (
+         |  SELECT q_id, asset_id, CAST(len(ras) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ras), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rbs), (a, x) -> a + x) AS sb,
+         |         list_reduce(list_prepend(0.0, rps), (a, x) -> a + x) AS sab,
+         |         list_reduce(list_prepend(0.0, list_transform(ras, x -> x * x)), (a, x) -> a + x) AS sa2,
+         |         list_reduce(list_prepend(0.0, list_transform(rbs, x -> x * x)), (a, x) -> a + x) AS sb2
+         |  FROM p),
+         |c AS (
+         |  SELECT q_id, asset_id, n,
+         |    round((n * sab - sa * sb) /
+         |          nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) *
+         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0), 6) AS corr
+         |  FROM g)
+         |SELECT q_id, rank, asset_id, n_days, corr FROM (
+         |  SELECT q_id, asset_id, CAST(n AS BIGINT) AS n_days, corr,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY corr DESC, asset_id) AS BIGINT) AS rank
+         |  FROM c WHERE corr IS NOT NULL) z
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "corr_matrix" ->
       s"""$panelCte,
          |dailyw AS (

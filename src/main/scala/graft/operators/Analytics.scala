@@ -759,6 +759,61 @@ object Analytics {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** B47 `ts_similarity` — time-series similarity search: for each
+    * query asset, the top-k most return-correlated assets over their
+    * common dates (the "find me paths like this one" screen — the
+    * distributed top-k trajectory-similarity problem, REPOSE ICDE'21,
+    * in its financial shape). [[corrMatrix]] generalized from a fixed
+    * watchlist's pairs to query-vs-ALL ranked search.
+    *
+    * Scale shape: the tiny query-side return series BROADCAST against
+    * one corpus scan — work is |queries|·|assets| co-moment groups,
+    * never assets²; the per-group folds are the corrMatrix kernels
+    * unchanged (bit-exact oracle replay). Zero-variance candidates
+    * (corr undefined) are excluded before ranking. For |queries| ≈
+    * |assets| (all-pairs similarity), this operator is the wrong
+    * shape by design — that regime belongs to the hashed-vector path
+    * (hash_embed/quantize/LSH over return vectors).
+    */
+  def tsSimilarityTopK(panel: DataFrame, queryAssets: Seq[Long], k: Int): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .select(col("asset_id"), col("date"), col("ret"))
+    val qRets = rets.filter(col("asset_id").isin(queryAssets: _*))
+      .select(col("asset_id").as("q_id"), col("date"), col("ret").as("qret"))
+    val n = col("n")
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("corr").desc, col("asset_id"))
+    rets
+      .join(broadcast(qRets), Seq("date"))
+      .filter(col("asset_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("qret")))).as("h"))
+      .withColumn("ras", transform(col("h"), s => s("ret")))
+      .withColumn("rbs", transform(col("h"), s => s("qret")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .withColumn("sa", foldSum(col("ras")))
+      .withColumn("sb", foldSum(col("rbs")))
+      .withColumn("sab", Kernels.dot(col("ras"), col("rbs")))
+      .withColumn("sa2", foldSumSq(col("ras")))
+      .withColumn("sb2", foldSumSq(col("rbs")))
+      .withColumn("den",
+        sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
+          sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
+      .withColumn("corr", round(
+        (n * col("sab") - col("sa") * col("sb")) /
+          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .filter(col("corr").isNotNull)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("asset_id"),
+        n.cast("long").as("n_days"), col("corr"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B26 `twap` — time-weighted average price per (asset, day): each
     * tick's value weighted by the time until the NEXT tick, over the
     * day's span. The day's ticks come as (ts,seq)-sorted parallel

@@ -504,6 +504,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lower") - (34.0 / 3.0 - 4.0)) < 2e-6)
   }
 
+  test("ts_similarity ranks co-moving assets above anti-correlated ones") {
+    // asset 2 tracks asset 1 exactly (corr 1), asset 3 mirrors it (corr -1)
+    val vals = Map(1L -> Seq(100.0, 110.0, 99.0, 108.9),
+                   2L -> Seq(50.0, 55.0, 49.5, 54.45),
+                   3L -> Seq(100.0, 90.0, 99.0, 89.1))
+    val p = vals.toSeq.flatMap { case (a, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (a, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + a.toInt), v, i * 10L + a)
+      }
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.tsSimilarityTopK(p, Seq(1L), k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0), (2L, 3L, -1.0)))
+  }
+
   test("bar family matches brute force on a randomized multi-tick panel") {
     val rnd = new scala.util.Random(7)
     val rows = for {
