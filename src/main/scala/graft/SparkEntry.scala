@@ -271,6 +271,8 @@ object SparkEntry {
       Analytics.corrMatrix(Tables.panel(s, dir), (1L to 10L).toSeq)),
     "ts_similarity" -> ((s, dir) =>
       Analytics.tsSimilarityTopK(Tables.panel(s, dir), Seq(1L, 2L, 3L), k = 5)),
+    "lead_lag" -> ((s, dir) =>
+      Analytics.leadLag(Tables.panel(s, dir), Seq(1L, 2L, 3L), maxLag = 3, k = 3)),
     "sharpe" -> ((s, dir) =>
       Analytics.sharpe(Tables.panel(s, dir))),
     "var_cvar" -> ((s, dir) =>
@@ -1972,6 +1974,48 @@ object SparkEntry {
          |SELECT date, port_ret,
          |       round(list_reduce(list_prepend(1.0, navarr), (a, r) -> a * (1.0 + r)), 6) AS nav
          |FROM f ORDER BY date""".stripMargin,
+    "lead_lag" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |q AS (
+         |  SELECT r.asset_id AS q_id, r.date + CAST(l.lag AS INTEGER) AS date, r.ret AS qret, l.lag
+         |  FROM rets r CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+         |  WHERE r.asset_id IN (1, 2, 3)),
+         |j AS (
+         |  SELECT q.q_id, r.asset_id, q.lag, r.date, r.ret AS ra, q.qret AS rb
+         |  FROM rets r JOIN q ON r.date = q.date AND r.asset_id <> q.q_id),
+         |p AS (
+         |  SELECT q_id, asset_id, lag,
+         |         list(ra ORDER BY date) AS ras,
+         |         list(rb ORDER BY date) AS rbs,
+         |         list(ra * rb ORDER BY date) AS rps
+         |  FROM j GROUP BY q_id, asset_id, lag),
+         |g AS (
+         |  SELECT q_id, asset_id, lag, CAST(len(ras) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ras), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rbs), (a, x) -> a + x) AS sb,
+         |         list_reduce(list_prepend(0.0, rps), (a, x) -> a + x) AS sab,
+         |         list_reduce(list_prepend(0.0, list_transform(ras, x -> x * x)), (a, x) -> a + x) AS sa2,
+         |         list_reduce(list_prepend(0.0, list_transform(rbs, x -> x * x)), (a, x) -> a + x) AS sb2
+         |  FROM p WHERE len(ras) >= 3),
+         |c AS (
+         |  SELECT q_id, asset_id, lag, n,
+         |    round((n * sab - sa * sb) /
+         |          nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) *
+         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0), 6) AS corr
+         |  FROM g),
+         |b AS (
+         |  SELECT q_id, asset_id, lag, n, corr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, asset_id
+         |                                 ORDER BY corr DESC, lag) AS best
+         |    FROM c WHERE corr IS NOT NULL) z WHERE best = 1)
+         |SELECT q_id, rank, asset_id, best_lag, n_days, corr FROM (
+         |  SELECT q_id, asset_id, CAST(lag AS BIGINT) AS best_lag,
+         |         CAST(n AS BIGINT) AS n_days, corr,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY corr DESC, asset_id) AS BIGINT) AS rank
+         |  FROM b) z
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "ts_similarity" ->
       s"""$panelCte,
          |$dailyCte,

@@ -814,6 +814,68 @@ object Analytics {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** B48 `lead_lag` — lead-lag discovery: for each query asset, the
+    * top-k candidates by return correlation at the BEST temporal
+    * offset in −maxLag..+maxLag days. Convention: the query's return
+    * series is shifted forward by `lag` (its return of date d meets
+    * the candidate's return of d+lag), so `best_lag > 0` means the
+    * QUERY LEADS — its older moves line up with the candidate's
+    * current ones (the momentum-spillover screen).
+    *
+    * Shape: [[tsSimilarityTopK]] with the broadcast query side
+    * replicated once per offset (2·maxLag+1 copies of an already-tiny
+    * table) — still one corpus scan, |q|·assets·lags co-moment groups,
+    * never assets². Two rank windows: best offset within (query,
+    * candidate), then top-k candidates per query.
+    */
+  def leadLag(panel: DataFrame, queryAssets: Seq[Long], maxLag: Int = 3,
+              k: Int = 3): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .select(col("asset_id"), col("date"), col("ret"))
+    val qRets = rets.filter(col("asset_id").isin(queryAssets: _*))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .select(col("asset_id").as("q_id"), expr("date_add(date, lag)").as("date"),
+        col("ret").as("qret"), col("lag"))
+    val n = col("n")
+    val bestW = Window.partitionBy(col("q_id"), col("asset_id"))
+      .orderBy(col("corr").desc, col("lag"))
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("corr").desc, col("asset_id"))
+    rets
+      .join(broadcast(qRets), Seq("date"))
+      .filter(col("asset_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("asset_id"), col("lag"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("qret")))).as("h"))
+      .withColumn("ras", transform(col("h"), s => s("ret")))
+      .withColumn("rbs", transform(col("h"), s => s("qret")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .filter(n >= 3) // offset edges shrink overlap; tiny overlaps are noise
+      .withColumn("sa", foldSum(col("ras")))
+      .withColumn("sb", foldSum(col("rbs")))
+      .withColumn("sab", Kernels.dot(col("ras"), col("rbs")))
+      .withColumn("sa2", foldSumSq(col("ras")))
+      .withColumn("sb2", foldSumSq(col("rbs")))
+      .withColumn("den",
+        sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
+          sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
+      .withColumn("corr", round(
+        (n * col("sab") - col("sa") * col("sb")) /
+          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .filter(col("corr").isNotNull)
+      .withColumn("best", row_number().over(bestW))
+      .filter(col("best") === 1)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("asset_id"),
+        col("lag").cast("long").as("best_lag"),
+        n.cast("long").as("n_days"), col("corr"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B26 `twap` — time-weighted average price per (asset, day): each
     * tick's value weighted by the time until the NEXT tick, over the
     * day's span. The day's ticks come as (ts,seq)-sorted parallel

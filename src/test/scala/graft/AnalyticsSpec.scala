@@ -519,6 +519,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0), (2L, 3L, -1.0)))
   }
 
+  test("lead_lag finds the planted one-day-delayed follower at best_lag 1") {
+    // asset 3 repeats asset 1's return pattern one day later
+    def chain(start: Double, rets: Seq[Double]): Seq[Double] =
+      rets.scanLeft(start) { case (v, r) => v * (1 + r) }
+    val r1 = Seq(0.1, -0.1, 0.1, -0.1, 0.1, -0.1, 0.1)
+    val r3 = 0.05 +: r1.dropRight(1) // shifted by one day, decorrelated head
+    val p = (chain(100.0, r1).zipWithIndex.map { case (v, i) => (1L, v, i) } ++
+      chain(200.0, r3).zipWithIndex.map { case (v, i) => (3L, v, i) })
+      .map { case (a, v, i) =>
+        (a, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + a.toInt), v, i * 10L + a)
+      }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.leadLag(p, Seq(1L), maxLag = 2, k = 3).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(2) === 3L)                 // the follower
+    assert(r.getLong(3) === 1L)                 // query leads by one day
+    assert(r.getDouble(5) === 1.0)              // perfect shifted correlation
+  }
+
   test("bar family matches brute force on a randomized multi-tick panel") {
     val rnd = new scala.util.Random(7)
     val rows = for {
