@@ -331,6 +331,8 @@ object SparkEntry {
       Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "minhash_verified" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) =>
@@ -689,6 +691,28 @@ object SparkEntry {
     * [[graft.expressions.PortableHash.strHash]]: h = (h·31 + cp) mod
     * 2³¹−1, folded left over codepoints.
     */
+  /** The MinHash banding replay (shingle hash → 64 min-hashes → 16
+    * band keys) shared by the candidate-pair and verified-pair oracles.
+    */
+  private lazy val minhashBandCtes =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleHashSql AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+       |                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+       |    FROM documents) z),
+       |mins AS (
+       |  SELECT doc_id, j,
+       |         min((h * (((j + 1) * 2654435761) % 2147483647)
+       |              + (((j + 1) * 1013904223) % 2147483647)) % 2147483647) AS m
+       |  FROM sh CROSS JOIN range(64) r(j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b, list_slice(sig, CAST(b * 4 + 1 AS INTEGER), CAST(b * 4 + 4 AS INTEGER)) AS key
+       |  FROM sig CROSS JOIN range(16) r(b))""".stripMargin
+
   private val shingleHashSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |           list_transform(range(1, len(s) + 1),
@@ -1608,26 +1632,29 @@ object SparkEntry {
         |FROM corp JOIN ev USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shingleHashSql AS h
-         |  FROM (
-         |    SELECT doc_id,
-         |           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
-         |                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS s
-         |    FROM documents) z),
-         |mins AS (
-         |  SELECT doc_id, j,
-         |         min((h * (((j + 1) * 2654435761) % 2147483647)
-         |              + (((j + 1) * 1013904223) % 2147483647)) % 2147483647) AS m
-         |  FROM sh CROSS JOIN range(64) r(j)
-         |  GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, b, list_slice(sig, CAST(b * 4 + 1 AS INTEGER), CAST(b * 4 + 4 AS INTEGER)) AS key
-         |  FROM sig CROSS JOIN range(16) r(b))
+      s"""$minhashBandCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "minhash_verified" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.doc_a
+         |  JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT ix.doc_a, ix.doc_b,
+         |         round(ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE), 6) AS jaccard
+         |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+         |          JOIN sz sb ON sb.doc_id = ix.doc_b) t
+         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, t FROM (

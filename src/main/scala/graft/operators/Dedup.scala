@@ -54,6 +54,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C43 `minhash_verified` — the text-side two-stage 100 TB near-dup
+    * path (mirror of the embedding side's `lsh_verified_pairs`): LSH
+    * candidates (C2) verified with the EXACT shingle jaccard, computed
+    * per candidate pair only — `array_intersect` of the two docs'
+    * distinct shingle-hash sets (the compiled [[shingles]] kernel),
+    * never an all-pairs or posting join. Recall stays the bands'
+    * S-curve; precision becomes exact. The jaccard replays in DuckDB
+    * because the shingle hash is the integer-portable family — a hash
+    * collision shrinks both engines' sets identically.
+    *
+    * Scale shape: candidates ⨝ doc shingle sets twice on doc ids (hash
+    * joins); each pair carries two doc-bounded arrays, work is
+    * O(candidates · doc shingles) — at threshold-worthy band settings
+    * candidates ≈ true dups, not corpus².
+    */
+  def minhashVerifiedPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.3): DataFrame = {
+    val cands = minhashLshPairs(documents, k, nHashes, bands)
+    val sets = documents.select(col("doc_id"), shingles(col("text"), k).as("hs"))
+    val den = (size(col("ha")) + size(col("hb")) - col("inter")).cast("double")
+    cands
+      .join(sets.toDF("doc_a", "ha"), Seq("doc_a"))
+      .join(sets.toDF("doc_b", "hb"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // empty-shingle docs (shorter than k chars) make den 0 → NULL
+      // jaccard → filtered; without the guard 0/0.0 is NaN, which Spark
+      // orders ABOVE every threshold
+      .withColumn("jaccard", round(
+        when(den === 0, lit(null)).otherwise(col("inter") / den), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The (doc_id, band_id, bucket) banding stage shared by
     * [[minhashLshPairs]] and the materialized-index path — one
     * signature kernel pass, `bands` bucket hashes per doc.

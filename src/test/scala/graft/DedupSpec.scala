@@ -31,6 +31,22 @@ class DedupSpec extends SparkSpec {
     assert(dupRow.getAs[Long]("keep_id") === 0L)
   }
 
+  test("minhashVerifiedPairs = exact shingle jaccard restricted to LSH recall") {
+    val cands = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashVerifiedPairs(docs, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.keySet.subsetOf(cands))
+    // precision-exact: identical to the exhaustive posting-join jaccard
+    // on whatever the bands recalled
+    val exact = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified === exact.filter { case (p, _) => cands(p) })
+    // the planted pairs come through with the right scores
+    assert(verified((0L, 4L)) === 1.0)
+    assert(verified.exists { case ((a, b), j) => j < 1.0 && j >= 0.3 }) // the near-dup
+  }
+
   test("minhash LSH surfaces the planted near-dup pair and the exact dup") {
     val pairs = Dedup.minhashLshPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
