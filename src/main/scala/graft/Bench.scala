@@ -114,7 +114,23 @@ object Bench {
     // queries (0-decimal loses all sub-second granularity; full
     // precision is in bench_full.json regardless).
     val line = (2 to 0 by -1).map(lineAt).find(_.length <= 1915).getOrElse {
-      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":{},"queries_in":"bench_full.json"$failedPart,"sf":"$sfName"}"""
+      // Even 0-decimal overflows (118 queries ≈ 2050 chars). Keep the
+      // line parseable and still informative: greedily pack the SLOWEST
+      // queries (the ones a reviewer actually compares round-over-round)
+      // at 1-decimal precision until the budget is reached, and record
+      // how many were cut. Full precision for all is in bench_full.json.
+      val bySlowest = results.sortBy { case (_, v, ok) => if (ok) -v else 1.0 }
+      def assemble(entries: Seq[String], omitted: Int): String = {
+        val qs = entries.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"queries_in":"bench_full.json"$failedPart,"sf":"$sfName"}"""
+      }
+      val packed = scala.collection.mutable.ArrayBuffer.empty[String]
+      for ((k, v, ok) <- bySlowest) {
+        val entry = s"\"" + k + "\":" + (if (ok) trim(v, 1) else "-1")
+        if (assemble(packed.toSeq :+ entry, results.size - packed.size - 1).length <= 1915)
+          packed += entry
+      }
+      assemble(packed.toSeq, results.size - packed.size)
     }
     val fullQs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
