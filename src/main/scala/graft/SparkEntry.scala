@@ -324,6 +324,16 @@ object SparkEntry {
       Analytics.obv(Tables.panel(s, dir))),
     "momentum_xsec" -> ((s, dir) =>
       Analytics.momentumXsec(Tables.panel(s, dir))),
+    "ichimoku" -> ((s, dir) =>
+      Analytics.ichimoku(Tables.panel(s, dir))),
+    "pivot_points" -> ((s, dir) =>
+      Analytics.pivotPoints(Tables.panel(s, dir))),
+    "cci" -> ((s, dir) =>
+      Analytics.cci(Tables.panel(s, dir))),
+    "cmf" -> ((s, dir) =>
+      Analytics.cmf(Tables.panel(s, dir))),
+    "rollup_agg" -> ((s, dir) =>
+      Analytics.rollupAgg(Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "source_stats" -> ((s, dir) =>
       Pipeline.sourceStats(Tables.documents(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
@@ -1241,6 +1251,98 @@ object SparkEntry {
          |  CAST(sum(signed_vol) OVER (PARTITION BY asset_id ORDER BY date
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
          |FROM s ORDER BY asset_id, date""".stripMargin,
+    "ichimoku" ->
+      s"""$panelCte,
+         |$barsCte,
+         |m AS (
+         |  SELECT asset_id, date, close,
+         |    round((max(high) OVER w9  + min(low) OVER w9)  / 2, 6) AS conv,
+         |    round((max(high) OVER w26 + min(low) OVER w26) / 2, 6) AS base,
+         |    round((max(high) OVER w52 + min(low) OVER w52) / 2, 6) AS mid52
+         |  FROM bars
+         |  WINDOW w9  AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 8  PRECEDING AND CURRENT ROW),
+         |         w26 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         |         w52 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, close, conv, base,
+         |  round((lag(conv, 26) OVER a + lag(base, 26) OVER a) / 2, 6) AS span_a,
+         |  lag(mid52, 26) OVER a AS span_b,
+         |  lead(close, 26) OVER a AS chikou
+         |FROM m
+         |WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |ORDER BY asset_id, date""".stripMargin,
+    "pivot_points" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close,
+         |    lag(high)  OVER a AS ph,
+         |    lag(low)   OVER a AS pl,
+         |    lag(close) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, date, close, ph, pl,
+         |         round((ph + pl + pc) / 3, 6) AS p
+         |  FROM t)
+         |SELECT asset_id, date, close, p,
+         |  round(2.0 * p - pl, 6) AS r1,
+         |  round(2.0 * p - ph, 6) AS s1,
+         |  round(p + (ph - pl), 6) AS r2,
+         |  round(p - (ph - pl), 6) AS s2
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "cci" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, round((high + low + close) / 3, 6) AS tp FROM bars),
+         |f AS (
+         |  SELECT asset_id, date, tp,
+         |    list(tp) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM t),
+         |g AS (
+         |  SELECT asset_id, date, tp, arr, CAST(len(arr) AS DOUBLE) AS n,
+         |    list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE) AS sma
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, tp, sma,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> abs(x - sma))), (a, x) -> a + x) / n AS dev
+         |  FROM g)
+         |SELECT asset_id, date, tp,
+         |  floor(sma * 1000000.0 + 0.5) / 1000000.0 AS sma,
+         |  floor(dev * 1000000.0 + 0.5) / 1000000.0 AS mean_dev,
+         |  floor(((tp - sma) / CASE WHEN dev = 0 THEN NULL ELSE 0.015 * dev END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS cci
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "cmf" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |    coalesce(
+         |      round(((close - low) - (high - close)) / nullif(high - low, 0.0), 6)
+         |        * CAST(n_ticks AS DOUBLE),
+         |      0.0) AS mfv
+         |  FROM bars),
+         |f AS (
+         |  SELECT asset_id, date, close, mfv,
+         |    list(mfv) OVER w AS arr,
+         |    CAST(sum(n_ticks) OVER w AS BIGINT) AS vol_n
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, close, round(mfv, 6) AS mfv, vol_n,
+         |  round(list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(vol_n AS DOUBLE), 6) AS cmf
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "rollup_agg" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        |  count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name, n_name""".stripMargin,
     "momentum_xsec" ->
       s"""$panelCte,
          |$dailyCte,

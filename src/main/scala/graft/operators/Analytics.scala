@@ -1345,4 +1345,138 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("mom"), col("quintile"))
       .orderBy(col("date"), col("asset_id"))
   }
+
+  /** B49 `ichimoku` — Ichimoku Kinko Hyo over the daily bars:
+    * conversion (tenkan) and base (kijun) are channel midpoints
+    * `(maxH + minL)/2` over 9- and 26-bar frames, leading span A/B are
+    * the 26-bar-back values of `(conv + base)/2` and the 52-bar
+    * midpoint (i.e. the cloud as it applies TODAY — computed at d−26,
+    * plotted at d), and the lagging span (chikou) is close shifted 26
+    * forward (`lead`). Every series is rolling min/max plus one add
+    * and one halving — order-insensitive extremes and a fixed IEEE op
+    * sequence, so the oracle is exact for free. One asset_id shuffle
+    * shared by the bar aggregate and every window; partial-window
+    * midpoints (first bars) are emitted like [[williamsR]] does.
+    */
+  def ichimoku(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def channelMid(span: Int): Column = {
+      val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+      round((max(col("high")).over(frame) + min(col("low")).over(frame)) / 2, 6)
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("conv", channelMid(9))
+      .withColumn("base", channelMid(26))
+      .withColumn("span_a",
+        round((lag(col("conv"), 26).over(byAsset) + lag(col("base"), 26).over(byAsset)) / 2, 6))
+      .withColumn("span_b", lag(channelMid(52), 26).over(byAsset))
+      .withColumn("chikou", lead(col("close"), 26).over(byAsset))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("conv"), col("base"), col("span_a"), col("span_b"), col("chikou"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B50 `pivot_points` — classic floor-trader pivot levels from the
+    * PREVIOUS day's bar: P = ((H + L) + C)/3 (explicit left
+    * association), R1 = 2P − L, S1 = 2P − H, R2 = P + (H − L),
+    * S2 = P − (H − L). Pure lag arithmetic over the daily bars — no
+    * frames, no folds; the first bar of each asset nulls out (lag past
+    * the partition start) identically in both engines.
+    */
+  def pivotPoints(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    val pc = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("p", round((ph + pl + pc) / 3, 6))
+      .withColumn("r1", round(lit(2.0) * col("p") - pl, 6))
+      .withColumn("s1", round(lit(2.0) * col("p") - ph, 6))
+      .withColumn("r2", round(col("p") + (ph - pl), 6))
+      .withColumn("s2", round(col("p") - (ph - pl), 6))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("p"), col("r1"), col("s1"), col("r2"), col("s2"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B51 `cci` — Commodity Channel Index over the daily bars:
+    * CCI = (TP − SMA_N(TP)) / (0.015 · MeanDev_N) with TP the ROUNDED
+    * typical price (high+low+close)/3. The frame SMA and the mean
+    * absolute deviation are both explicit left-assoc folds over the
+    * frame-ordered TP array (compiled [[Kernels.seqFold]] for the sum;
+    * an `aggregate` HOF for the deviation pass because its lambda
+    * closes over the row's own SMA) — window-function `avg` would let
+    * each engine pick its own summation tree (DuckDB's sliding
+    * aggregates use a segment tree). Flat frames (dev = 0) null out.
+    * Derived float outputs are micro-unit rounded `floor(x·10⁶+0.5)/10⁶`
+    * (the fixed IEEE op sequence both engines share) rather than
+    * `round(_, 6)` — decimal-string round() lands on opposite sides of
+    * the half boundary per engine for values like …4165.
+    */
+  def cci(panel: DataFrame, span: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tp", round((col("high") + col("low") + col("close")) / 3, 6))
+      .withColumn("arr", collect_list(col("tp")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .withColumn("sma", Kernels.seqFold(col("arr"), "sum") / col("n"))
+      .withColumn("dev",
+        expr("aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + abs(x - sma))") / col("n"))
+      .withColumn("cci", u6(
+        (col("tp") - col("sma")) /
+          when(col("dev") === 0, lit(null)).otherwise(lit(0.015) * col("dev"))))
+      .select(col("asset_id"), col("date"), col("tp"),
+        u6(col("sma")).as("sma"), u6(col("dev")).as("mean_dev"), col("cci"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B52 `cmf` — Chaikin Money Flow over the daily bars: money-flow
+    * multiplier MFM = ((C−L) − (H−C))/(H−L) (ROUNDED; flat bars
+    * contribute 0 flow but their volume still counts — documented
+    * deviation from the null-skipping variant, chosen because Spark's
+    * `collect_list` drops nulls while DuckDB's `list()` keeps them),
+    * MFV = MFM · n_ticks, CMF = Σ_frame MFV / Σ_frame volume. The MFV
+    * sum is a compiled left-assoc fold over the frame array; the
+    * volume sum is an INTEGER window sum (exact under any order).
+    */
+  def cmf(panel: DataFrame, span: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("mfv", coalesce(
+        round(((col("close") - col("low")) - (col("high") - col("close"))) /
+          when(col("high") === col("low"), lit(null)).otherwise(col("high") - col("low")), 6)
+          * col("n_ticks").cast("double"),
+        lit(0.0)))
+      .withColumn("arr", collect_list(col("mfv")).over(frame))
+      .withColumn("vol_n", sum(col("n_ticks")).over(frame))
+      .withColumn("cmf", round(
+        Kernels.seqFold(col("arr"), "sum") / col("vol_n").cast("double"), 6))
+      .select(col("asset_id"), col("date"), col("close"),
+        round(col("mfv"), 6).as("mfv"), col("vol_n"), col("cmf"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B53 `rollup_agg` — multi-granularity OLAP rollup of the supplier
+    * star: detail (region, nation), subtotal (region), grand total in
+    * ONE pass via `ROLLUP` grouping sets — Catalyst expands the sets
+    * before aggregation so the input is scanned once, map-side
+    * partials intact (three separate GROUP BYs would scan three
+    * times). `grouping_id()` disambiguates levels exactly as DuckDB's
+    * `GROUPING(a, b)` bitmask does (first arg = MSB); decimal-exact
+    * acctbal sums via [[dsum]].
+    */
+  def rollupAgg(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_acctbal"))
+      .select(col("r_name"), col("n_name"), col("gid"),
+        col("n_suppliers"), col("total_acctbal"))
+      .orderBy(col("gid"), col("r_name"), col("n_name"))
 }

@@ -623,4 +623,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(last(0).getAs[Long]("quintile") === 1L)
     assert(last(1).getAs[Long]("quintile") === 3L)
   }
+
+  test("ichimoku: conversion/base are channel midpoints; long-lag spans null early") {
+    val rows = Analytics.ichimoku(panel).filter($"asset_id" === 1)
+      .orderBy($"date").collect()
+    // day2 channel so far: high 18, low 10 → mid 14 (9- and 26-frames agree)
+    assert(rows(1).getAs[Double]("conv") === 14.0)
+    assert(rows(1).getAs[Double]("base") === 14.0)
+    // day3: high 18, low 9 → 13.5
+    assert(rows(2).getAs[Double]("conv") === 13.5)
+    // 26-bar lags/leads have no data in a 3-day panel
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("span_a"))))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("chikou"))))
+  }
+
+  test("pivot_points derive from the previous day's bar; first bar nulls") {
+    val rows = Analytics.pivotPoints(panel).filter($"asset_id" === 1)
+      .orderBy($"date").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("p")))
+    // day2 from day1 bar (H 12, L 10, C 12): P = 34/3, R2/S2 = P ± 2
+    val p = rows(1).getAs[Double]("p")
+    assert(math.abs(p - 34.0 / 3.0) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("r1") - (2 * p - 10.0)) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("s1") - (2 * p - 12.0)) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("r2") - (p + 2.0)) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("s2") - (p - 2.0)) < 1e-6)
+  }
+
+  test("cci: first bar has sma = tp, zero deviation, null cci") {
+    val r = Analytics.cci(panel).filter($"asset_id" === 1).orderBy($"date").collect()(0)
+    assert(r.getAs[Double]("sma") === r.getAs[Double]("tp"))
+    assert(r.getAs[Double]("mean_dev") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("cci")))
+  }
+
+  test("cmf: flow is +volume at channel top, 0 on single-tick flat bars") {
+    val rows = Analytics.cmf(panel).filter($"asset_id" === 1)
+      .orderBy($"date").collect()
+    // day1 closes at the bar high (12 in [10,12]) with 2 ticks → mfv 2, cmf 1
+    assert(rows(0).getAs[Double]("mfv") === 2.0)
+    assert(rows(0).getAs[Double]("cmf") === 1.0)
+    // day2 single tick (flat bar) → mfv 0; frame [2, 0] over volume 3
+    assert(rows(1).getAs[Double]("mfv") === 0.0)
+    assert(math.abs(rows(1).getAs[Double]("cmf") - 0.666667) < 1e-6)
+  }
+
+  test("rollup_agg emits detail, subtotal and grand-total grouping levels") {
+    val supplier = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 11.0))
+      .toDF("s_suppkey", "s_nationkey", "s_acctbal")
+    val nation = Seq((10L, "NA", 100L), (20L, "NB", 200L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((100L, "RA"), (200L, "RB")).toDF("r_regionkey", "r_name")
+    val out = Analytics.rollupAgg(supplier, nation, region).collect()
+    val byGid = out.groupBy(_.getAs[Long]("gid"))
+    assert(byGid(0L).length === 2 && byGid(1L).length === 2 && byGid(3L).length === 1)
+    val grand = byGid(3L).head
+    assert(grand.getAs[Long]("n_suppliers") === 3L)
+    assert(grand.getAs[Double]("total_acctbal") === 23.0)
+    val subRA = byGid(1L).find(_.getAs[String]("r_name") == "RA").get
+    assert(subRA.getAs[Long]("n_suppliers") === 2L && subRA.isNullAt(subRA.fieldIndex("n_name")))
+  }
 }
