@@ -334,6 +334,10 @@ object SparkEntry {
       Analytics.cmf(Tables.panel(s, dir))),
     "rollup_agg" -> ((s, dir) =>
       Analytics.rollupAgg(Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "pairs_spread" -> ((s, dir) =>
+      Analytics.pairsSpread(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
+    "global_shuffle" -> ((s, dir) =>
+      Pipeline.globalShuffle(Tables.documents(s, dir))),
     "source_stats" -> ((s, dir) =>
       Pipeline.sourceStats(Tables.documents(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
@@ -1334,6 +1338,69 @@ object SparkEntry {
          |SELECT asset_id, date, close, round(mfv, 6) AS mfv, vol_n,
          |  round(list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(vol_n AS DOUBLE), 6) AS cmf
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "pairs_spread" ->
+      s"""$panelCte,
+         |dailyp AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel WHERE asset_id IN (1, 2, 3, 4, 5, 6)) t WHERE rn = 1),
+         |j AS (
+         |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.date AS date,
+         |         a.value AS pa, b.value AS pb
+         |  FROM dailyp a JOIN dailyp b ON a.date = b.date
+         |  WHERE (a.asset_id = 1 AND b.asset_id = 2)
+         |     OR (a.asset_id = 3 AND b.asset_id = 4)
+         |     OR (a.asset_id = 5 AND b.asset_id = 6)),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |         list(date ORDER BY date) AS dts,
+         |         list(pa ORDER BY date) AS pas,
+         |         list(pb ORDER BY date) AS pbs,
+         |         list(pa * pb ORDER BY date) AS pps
+         |  FROM j GROUP BY id_a, id_b),
+         |g AS (
+         |  SELECT id_a, id_b, dts, pas, pbs, CAST(len(pas) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, pas), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, pbs), (a, x) -> a + x) AS sb,
+         |         list_reduce(list_prepend(0.0, pps), (a, x) -> a + x) AS sab,
+         |         list_reduce(list_prepend(0.0, list_transform(pbs, x -> x * x)), (a, x) -> a + x) AS sb2
+         |  FROM p WHERE len(pas) >= 3),
+         |b AS (
+         |  SELECT *, (n * sab - sa * sb) / nullif(n * sb2 - sb * sb, 0.0) AS beta FROM g),
+         |a2 AS (
+         |  SELECT *, (sa - beta * sb) / n AS alpha FROM b),
+         |s AS (
+         |  SELECT *, list_transform(range(1, CAST(len(pas) AS INTEGER) + 1),
+         |                           i -> pas[i] - (alpha + beta * pbs[i])) AS sarr
+         |  FROM a2),
+         |m AS (
+         |  SELECT *,
+         |    list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x) / n AS ms,
+         |    sqrt(greatest(
+         |      (n * list_reduce(list_prepend(0.0, list_transform(sarr, x -> x * x)), (a, x) -> a + x)
+         |       - list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)
+         |         * list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)) / (n * (n - 1)),
+         |      0.0)) AS sd
+         |  FROM s),
+         |e AS (
+         |  SELECT id_a, id_b, beta, ms, sd, dts, pas, pbs, sarr,
+         |         unnest(range(1, CAST(len(dts) AS INTEGER) + 1)) AS i
+         |  FROM m)
+         |SELECT id_a, id_b, dts[i] AS date, pas[i] AS pa, pbs[i] AS pb,
+         |  floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |  floor(sarr[i] * 1000000.0 + 0.5) / 1000000.0 AS spread,
+         |  floor(((sarr[i] - ms) / CASE WHEN sd = 0 THEN NULL ELSE sd END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS z
+         |FROM e ORDER BY id_a, id_b, date""".stripMargin,
+    "global_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         (doc_id * 2654435761 + 1 * 1013904223) % 2147483647 AS skey
+        |  FROM documents)
+        |SELECT doc_id, skey, skey % 32 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY skey % 32 ORDER BY skey, doc_id) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "rollup_agg" ->
       """SELECT r_name, n_name,
         |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,

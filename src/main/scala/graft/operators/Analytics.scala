@@ -1459,6 +1459,65 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B54 `pairs_spread` — pairs-trading spread monitor over fixed asset
+    * pairs (cointegration-lite): OLS-fit pa = α + β·pb on the joined
+    * daily LWW level histories, spread_t = pa_t − (α + β·pb_t), z-score
+    * of the spread against its own full-history mean / sample σ — the
+    * classic stat-arb entry/exit signal. Co-moment sums are compiled
+    * folds over date-ordered arrays ([[Kernels.dot]] for Σ pa·pb); the
+    * spread series is a `zip_with` whose lambda closes over the fitted
+    * scalars, then two more folds for its moments. The pair list is a
+    * literal OR-chain filter after a date-equality self-join of the
+    * `isin`-pruned daily series (pairs ≪ assets always — the pruned
+    * join is tiny and shuffles on date once). Float outputs micro-unit
+    * rounded (the [[cci]] rule).
+    */
+  def pairsSpread(panel: DataFrame, pairs: Seq[(Long, Long)]): DataFrame = {
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val daily = KeyValue.lwwDaily(panel.filter(col("asset_id").isin(ids: _*)))
+      .select(col("asset_id"), col("date"), col("value"))
+    val wanted = pairs.map { case (a, b) =>
+      col("a.asset_id") === a && col("b.asset_id") === b
+    }.reduce(_ || _)
+    val n = col("n")
+    daily.as("a")
+      .join(daily.as("b"), col("a.date") === col("b.date"))
+      .filter(wanted)
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.date").as("date"), col("a.value").as("pa"), col("b.value").as("pb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(array_sort(collect_list(struct(col("date"), col("pa"), col("pb")))).as("h"))
+      .withColumn("pas", transform(col("h"), s => s("pa")))
+      .withColumn("pbs", transform(col("h"), s => s("pb")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("sa", foldSum(col("pas")))
+      .withColumn("sb", foldSum(col("pbs")))
+      .withColumn("sab", Kernels.dot(col("pas"), col("pbs")))
+      .withColumn("sb2", foldSumSq(col("pbs")))
+      .withColumn("beta",
+        (n * col("sab") - col("sa") * col("sb")) /
+          when(n * col("sb2") - col("sb") * col("sb") === 0, lit(null))
+            .otherwise(n * col("sb2") - col("sb") * col("sb")))
+      .withColumn("alpha", (col("sa") - col("beta") * col("sb")) / n)
+      .withColumn("sarr",
+        zip_with(col("pas"), col("pbs"), (x, y) => x - (col("alpha") + col("beta") * y)))
+      .withColumn("ms", foldSum(col("sarr")) / n)
+      .withColumn("sd", sqrt(greatest(
+        (n * foldSumSq(col("sarr")) - foldSum(col("sarr")) * foldSum(col("sarr"))) /
+          (n * (n - 1)), lit(0.0))))
+      .select(col("id_a"), col("id_b"), u6(col("beta")).as("beta"),
+        col("ms"), col("sd"), col("sarr"),
+        posexplode(col("h")).as(Seq("i", "s")))
+      .select(col("id_a"), col("id_b"), col("s.date").as("date"),
+        col("s.pa").as("pa"), col("s.pb").as("pb"), col("beta"),
+        u6(element_at(col("sarr"), col("i") + 1)).as("spread"),
+        u6((element_at(col("sarr"), col("i") + 1) - col("ms")) /
+          when(col("sd") === 0, lit(null)).otherwise(col("sd"))).as("z"))
+      .orderBy(col("id_a"), col("id_b"), col("date"))
+  }
+
   /** B53 `rollup_agg` — multi-granularity OLAP rollup of the supplier
     * star: detail (region, nation), subtotal (region), grand total in
     * ONE pass via `ROLLUP` grouping sets — Catalyst expands the sets

@@ -538,4 +538,28 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("lang"), col("bucket"), col("rate_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** C44 `global_shuffle` — deterministic epoch-order shuffle: every
+    * document gets a pseudo-random but REPRODUCIBLE position (shard,
+    * pos) for training-order randomization. The shuffle key is the
+    * Knuth-multiplicative hash of doc_id mixed with an epoch seed —
+    * changing `seed` re-deals the whole corpus, keeping it replays the
+    * exact order (resumable epochs, shard-level retry). shard = key mod
+    * nShards; pos = dense order by (key, doc_id) WITHIN the shard, so
+    * the expensive ordering is per-shard parallel — a single global
+    * row_number would serialize on one task, the per-shard rank is the
+    * order a reader consuming shard files actually sees. All-integer →
+    * exact DuckDB replay.
+    */
+  def globalShuffle(documents: DataFrame, nShards: Int = 32, seed: Long = 1L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L) + lit(seed) * lit(1013904223L),
+          lit(2147483647L)).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("skey"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
 }

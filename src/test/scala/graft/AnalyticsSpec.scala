@@ -683,4 +683,20 @@ class AnalyticsSpec extends SparkSpec {
     val subRA = byGid(1L).find(_.getAs[String]("r_name") == "RA").get
     assert(subRA.getAs[Long]("n_suppliers") === 2L && subRA.isNullAt(subRA.fieldIndex("n_name")))
   }
+
+  test("pairs_spread recovers an exact linear relation: beta, zero spread, null z") {
+    // asset 7 = 2·(asset 8) + 1 exactly → OLS beta 2, alpha 1, spread ≡ 0
+    val pb = Seq(10.0, 11.0, 13.0, 12.0)
+    val p = pb.zipWithIndex.flatMap { case (v, i) =>
+      Seq((7L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 2 * v + 1, i * 2L),
+          (8L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 11), v, i * 2L + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val rows = Analytics.pairsSpread(p, Seq((7L, 8L))).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("beta") === 2.0)
+      assert(r.getAs[Double]("spread") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("z"))) // sd = 0 on a perfect fit
+    }
+  }
 }

@@ -303,4 +303,21 @@ class PipelineSpec extends SparkSpec {
       assert(rate === 300000L && bucket < rate)
     }
   }
+
+  test("globalShuffle: a permutation, reproducible per seed, re-dealt across seeds") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e1 = Pipeline.globalShuffle(docs, nShards = 8, seed = 1L).collect()
+    // every doc appears once; within a shard, positions are 1..count
+    assert(e1.map(_.getLong(0)).toSet === (0L until 200L).toSet)
+    e1.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // same seed → identical deal; different seed → a different one
+    val e1b = Pipeline.globalShuffle(docs, nShards = 8, seed = 1L).collect()
+    assert(e1.map(_.toSeq).toSeq === e1b.map(_.toSeq).toSeq)
+    val e2 = Pipeline.globalShuffle(docs, nShards = 8, seed = 2L).collect()
+    assert(e1.map(r => r.getLong(0) -> r.getAs[Long]("skey")).toMap !==
+      e2.map(r => r.getLong(0) -> r.getAs[Long]("skey")).toMap)
+  }
 }
