@@ -64,6 +64,13 @@ class PlanAuditSpec extends SparkSpec {
     val mixSchemas = mix.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(mixSchemas.nonEmpty && mixSchemas.forall(!_.contains("text")),
       s"mixture_sample reads document text: $mixSchemas")
+    // global_shuffle deals order from doc_id alone: reading text to
+    // assign (shard, pos) would move the whole corpus through the hash
+    val shuf = SparkEntry.queries("global_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shufSchemas = shuf.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(shufSchemas.nonEmpty && shufSchemas.forall(!_.contains("text")),
+      s"global_shuffle reads document text: $shufSchemas")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
