@@ -401,6 +401,8 @@ object SparkEntry {
       val centroids = Ivf.train(emb, k = 8, iters = 3)
       Ivf.search(emb, centroids, Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 2)
     }),
+    "ivf_stats" -> ((s, dir) =>
+      Ivf.clusterStats(Tables.embeddings(s, dir), k = 8, iters = 3)),
     "semantic_dedup" -> ((s, dir) =>
       Ivf.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 3, eps = 0.4)),
     // Incremental SemDeDup: the settled corpus (vec_id % 5 != 0) is
@@ -1637,6 +1639,18 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
+    "ivf_stats" ->
+      s"""${ivfTrainCtes(8, 3)},
+         |counts AS (SELECT c AS cluster, count(*) AS n_vectors FROM idx GROUP BY c),
+         |tot AS (SELECT count(*) AS t FROM v),
+         |spine AS (SELECT unnest(range(0, 8)) AS cluster)
+         |SELECT CAST(s.cluster AS INTEGER) AS cluster,
+         |  coalesce(c.n_vectors, 0) AS n_vectors,
+         |  CAST((coalesce(c.n_vectors, 0) * 1000) // t AS BIGINT) AS share_pm,
+         |  CAST((coalesce(c.n_vectors, 0) * 8 * 1000) // t AS BIGINT) AS balance_pm,
+         |  coalesce(c.n_vectors, 0) = 0 AS is_empty
+         |FROM spine s LEFT JOIN counts c ON s.cluster = c.cluster CROSS JOIN tot
+         |ORDER BY cluster""".stripMargin,
     "semantic_dedup" -> semanticDedupOracle(k = 8, iters = 3, eps = 0.4),
     "semantic_dedup_incremental" -> semanticDedupIncOracle(k = 8, iters = 3, eps = 0.4),
     "ann_ivf_indexed" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),

@@ -277,4 +277,31 @@ object Ivf {
           (col("max_cos_batch_lower").isNull || col("max_cos_batch_lower") < eps))
       .orderBy(col("vec_id"))
   }
+
+  /** C45 `ivf_stats` — index observability for the cluster space the
+    * ANN probes and SemDeDup verdicts both live in: per-cluster member
+    * count, corpus share (per-mille), and balance factor
+    * `(count·k·1000) div n` (1000 = perfectly balanced; ≫1000 flags the
+    * hot cluster that drags every probe touching it — the signal that
+    * schedules a re-train, exactly like TickStore.stats schedules
+    * compact). A k-row spine join keeps EMPTY clusters visible (dead
+    * capacity is the other failure mode). The report itself is k rows
+    * from one count-aggregate over the assignments — metadata-scale
+    * output regardless of corpus size; all-integer → exact replay of
+    * the replayed Lloyd training.
+    */
+  def clusterStats(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val centroids = train(embeddings, k, iters)
+    val spark = embeddings.sparkSession
+    val counts = index(embeddings, centroids)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    val total = embeddings.count()
+    spark.range(k).select(col("id").cast("int").as("cluster"))
+      .join(counts, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+      .withColumn("share_pm", expr(s"(n_vectors * 1000) div $total"))
+      .withColumn("balance_pm", expr(s"(n_vectors * $k * 1000) div $total"))
+      .withColumn("is_empty", col("n_vectors") === 0)
+      .orderBy(col("cluster"))
+  }
 }

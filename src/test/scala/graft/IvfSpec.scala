@@ -96,4 +96,18 @@ class IvfSpec extends SparkSpec {
     // lowest-id cluster, which is what makes 102's witness visible
     assert(Ivf.index(batch, cs).collect().map(_.getInt(2)).distinct.length <= 2)
   }
+
+  test("clusterStats reports every cluster, exact counts, and balance per-mille") {
+    val out = Ivf.clusterStats(emb, k = 4, iters = 4).collect()
+    assert(out.map(_.getInt(0)).toSeq === (0 until 4))            // full spine
+    assert(out.map(_.getAs[Long]("n_vectors")).sum === 30L)       // partition of corpus
+    // 3 separated groups + k=4 → at least one empty cluster, flagged
+    assert(out.exists(_.getAs[Boolean]("is_empty")))
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      assert(r.getAs[Long]("share_pm") === n * 1000 / 30)
+      assert(r.getAs[Long]("balance_pm") === n * 4 * 1000 / 30)
+      assert(r.getAs[Boolean]("is_empty") === (n == 0L))
+    }
+  }
 }
