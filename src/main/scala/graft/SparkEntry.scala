@@ -336,6 +336,10 @@ object SparkEntry {
       Analytics.rollupAgg(Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "pairs_spread" -> ((s, dir) =>
       Analytics.pairsSpread(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
+    "event_study" -> ((s, dir) =>
+      Analytics.eventStudy(Tables.panel(s, dir), Tables.events(s, dir))),
+    "quintile_churn" -> ((s, dir) =>
+      Analytics.quintileChurn(Tables.panel(s, dir))),
     "global_shuffle" -> ((s, dir) =>
       Pipeline.globalShuffle(Tables.documents(s, dir))),
     "source_stats" -> ((s, dir) =>
@@ -1412,6 +1416,58 @@ object SparkEntry {
         |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY gid, r_name, n_name""".stripMargin,
+    "event_study" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date, CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mkt
+         |  FROM rets GROUP BY date),
+         |ab AS (
+         |  SELECT r.asset_id, r.date,
+         |         floor((r.ret - m.mkt) * 1000000.0 + 0.5) / 1000000.0 AS ab
+         |  FROM rets r JOIN mkt m ON r.date = m.date),
+         |ev AS (
+         |  SELECT DISTINCT user_id AS asset_id, CAST(ts AS DATE) AS date0
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT CAST(datediff('day', e.date0, a.date) AS BIGINT) AS "offset", a.ab
+         |  FROM ev e JOIN ab a ON a.asset_id = e.asset_id
+         |  WHERE datediff('day', e.date0, a.date) BETWEEN -5 AND 5),
+         |g AS (
+         |  SELECT "offset", count(*) AS n_obs,
+         |         floor((CAST(sum(CAST(ab AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS mean_ab
+         |  FROM j GROUP BY "offset")
+         |SELECT "offset", n_obs, mean_ab,
+         |  CAST(sum(CAST(mean_ab AS DECIMAL(18,6)))
+         |         OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS DOUBLE) AS car
+         |FROM g ORDER BY "offset"""".stripMargin,
+    "quintile_churn" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |m AS (
+         |  SELECT asset_id, date,
+         |    round(lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1, 6) AS mom
+         |  FROM daily
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |r AS (
+         |  SELECT asset_id, date, mom,
+         |    ROW_NUMBER() OVER (PARTITION BY date ORDER BY mom DESC, asset_id) AS rk,
+         |    count(*) OVER (PARTITION BY date) AS n
+         |  FROM m WHERE mom IS NOT NULL),
+         |q AS (
+         |  SELECT asset_id, date, CAST(((rk - 1) * 5) // n + 1 AS BIGINT) AS quintile
+         |  FROM r),
+         |c AS (
+         |  SELECT date, quintile,
+         |         lag(quintile) OVER (PARTITION BY asset_id ORDER BY date) AS prev_q
+         |  FROM q)
+         |SELECT date, count(*) AS n_assets,
+         |  CAST(sum(CASE WHEN quintile <> prev_q THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST((sum(CASE WHEN quintile <> prev_q THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS churn_pm
+         |FROM c WHERE prev_q IS NOT NULL GROUP BY date ORDER BY date""".stripMargin,
     "momentum_xsec" ->
       s"""$panelCte,
          |$dailyCte,

@@ -1518,6 +1518,80 @@ object Analytics {
       .orderBy(col("id_a"), col("id_b"), col("date"))
   }
 
+  /** B55 `event_study` — classic event-study table: mean abnormal
+    * return and cumulative abnormal return (CAR) by day-offset around
+    * every `eventType` event. Abnormal = asset return minus the
+    * equal-weight market return of the same date (both 6dp, the
+    * difference micro-unit rounded). The event⨝return match rides the
+    * [[AsOf.intervalJoin]] trick: each event replicates into the ≤2
+    * window-width epoch-day buckets its ±win interval can touch, the
+    * join is EQUALITY on (asset_id, bucket) + residual offset filter —
+    * per-row fan-out stays O(events per 11-day bucket), never
+    * events×dates per asset, and no nested-loop path exists. The
+    * bucketing is execution-only (the residual filter makes it
+    * invisible), so the oracle is the PLAIN inequality join.
+    * Cross-event aggregation uses DECIMAL sums of the rounded
+    * abnormals — order-insensitive, so the offset means are exact
+    * under any partitioning and fully map-side combinable (NO
+    * collected arrays: the scale path is a plain two-level aggregate).
+    * CAR accumulates the ROUNDED offset means as decimals — an
+    * 2·win+1-row window, exact in any engine.
+    */
+  def eventStudy(panel: DataFrame, events: DataFrame,
+                 eventType: String = "purchase", win: Int = 5): DataFrame = {
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val rets = dailyReturns(panel).select(col("asset_id"), col("date"), col("ret"))
+    val mkt = rets.groupBy(col("date"))
+      .agg((dsum(col("ret"), 6) / count(lit(1))).as("mkt"))
+    val ab = rets.join(mkt, Seq("date"))
+      .select(col("asset_id"), col("date"), u6(col("ret") - col("mkt")).as("ab"))
+    val ev = events.filter(col("event_type") === eventType)
+      .select(col("user_id").as("asset_id"), col("ts").cast("date").as("date0"))
+      .distinct()
+    val width = 2 * win + 1
+    val abB = ab.withColumn("bucket",
+      expr(s"datediff(date, DATE '1970-01-01') div $width"))
+    val evB = ev.select(col("asset_id"), col("date0"),
+      explode(array_distinct(array(
+        expr(s"datediff(date_add(date0, -$win), DATE '1970-01-01') div $width"),
+        expr(s"datediff(date_add(date0, $win), DATE '1970-01-01') div $width")))).as("bucket"))
+    val off = datediff(col("date"), col("date0"))
+    val carW = Window.orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evB.join(abB, Seq("asset_id", "bucket"))
+      .filter(off.between(-win, win))
+      .select(off.cast("long").as("offset"), col("ab"))
+      .groupBy(col("offset"))
+      .agg(count(lit(1)).as("n_obs"), (dsum(col("ab"), 6) / count(lit(1))).as("m"))
+      .withColumn("mean_ab", u6(col("m")))
+      // 2·win+1 rows total: the unpartitioned running window is fine
+      .withColumn("car",
+        sum(col("mean_ab").cast(DecimalType(18, 6))).over(carW).cast("double"))
+      .select(col("offset"), col("n_obs"), col("mean_ab"), col("car"))
+      .orderBy(col("offset"))
+  }
+
+  /** B56 `quintile_churn` — strategy-turnover monitor over the
+    * [[momentumXsec]] screen: per date, how many ranked assets changed
+    * momentum quintile since their previous ranked date, as a count
+    * and an integer per-mille rate. ALL-INTEGER on top of the quintile
+    * screen (which is itself integer-rank derived) — exact replay under
+    * any engine; one extra asset_id window over the screen's own
+    * output, then a date aggregate.
+    */
+  def quintileChurn(panel: DataFrame, skip: Int = 2, look: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevQ = lag(col("quintile"), 1).over(byAsset)
+    momentumXsec(panel, skip, look)
+      .withColumn("prev_q", prevQ)
+      .filter(col("prev_q").isNotNull)
+      .withColumn("changed", (col("quintile") =!= col("prev_q")).cast("long"))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("changed")).as("n_changed"))
+      .withColumn("churn_pm", expr("(n_changed * 1000) div n_assets"))
+      .orderBy(col("date"))
+  }
+
   /** B53 `rollup_agg` — multi-granularity OLAP rollup of the supplier
     * star: detail (region, nation), subtotal (region), grand total in
     * ONE pass via `ROLLUP` grouping sets — Catalyst expands the sets

@@ -699,4 +699,38 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("z"))) // sd = 0 on a perfect fit
     }
   }
+
+  test("event_study aligns abnormal returns on event offsets and accumulates CAR") {
+    val p = Seq(
+      (1L, d("2024-01-01"), ts(110), 100.0, 1L),
+      (1L, d("2024-01-02"), ts(210), 110.0, 2L),
+      (1L, d("2024-01-03"), ts(310), 121.0, 3L),
+      (2L, d("2024-01-01"), ts(111), 100.0, 4L),
+      (2L, d("2024-01-02"), ts(211), 100.0, 5L),
+      (2L, d("2024-01-03"), ts(311), 100.0, 6L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-02 10:00:00"), "purchase"),
+                 (2L, Timestamp.valueOf("2024-01-02 11:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Analytics.eventStudy(p, ev).collect()
+      .map(r => r.getAs[Long]("offset") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("mean_ab"), r.getAs[Double]("car"))).toMap
+    // asset1 rets 0.1/0.1, asset2 0/0 → mkt 0.05 → ab(asset1) = +0.05
+    assert(out.keySet === Set(0L, 1L)) // only the purchase event counts
+    assert(out(0L) === ((1L, 0.05, 0.05)))
+    assert(out(1L) === ((1L, 0.05, 0.1)))
+  }
+
+  test("quintile_churn is zero when cross-sectional ranks are stable") {
+    val longPanel = (0 until 12).flatMap { i =>
+      Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 100.0 + i, i * 2L),
+          (2L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 11), 200.0 - i, i * 2L + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.quintileChurn(longPanel, skip = 2, look = 10).collect()
+    // ranked dates are day 11/12; only day 12 has a previous rank
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_assets") === 2L)
+    assert(out(0).getAs[Long]("n_changed") === 0L)
+    assert(out(0).getAs[Long]("churn_pm") === 0L)
+  }
 }
