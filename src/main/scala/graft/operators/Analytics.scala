@@ -1540,11 +1540,15 @@ object Analytics {
   def eventStudy(panel: DataFrame, events: DataFrame,
                  eventType: String = "purchase", win: Int = 5): DataFrame = {
     def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    // The market mean is a date-partitioned DECIMAL window, not a
+    // groupBy+re-join: the latter plans a SECOND full panel scan for
+    // the aggregate side (self-referencing DAGs don't share scans) —
+    // at 100 TB that doubles input I/O for 1 column.
     val rets = dailyReturns(panel).select(col("asset_id"), col("date"), col("ret"))
-    val mkt = rets.groupBy(col("date"))
-      .agg((dsum(col("ret"), 6) / count(lit(1))).as("mkt"))
-    val ab = rets.join(mkt, Seq("date"))
-      .select(col("asset_id"), col("date"), u6(col("ret") - col("mkt")).as("ab"))
+    val wDate = Window.partitionBy(col("date"))
+    val mkt = sum(col("ret").cast(DecimalType(18, 6))).over(wDate).cast("double") /
+      count(lit(1)).over(wDate)
+    val ab = rets.select(col("asset_id"), col("date"), u6(col("ret") - mkt).as("ab"))
     val ev = events.filter(col("event_type") === eventType)
       .select(col("user_id").as("asset_id"), col("ts").cast("date").as("date0"))
       .distinct()
