@@ -259,4 +259,29 @@ class EdgeCasesSpec extends SparkSpec {
     // rank ties broken by asset_id: n=5 → quintile ≡ rank, in id order
     assert(last.map(_.getAs[Long]("quintile")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("session-3 operators return empty/sane on degenerate inputs") {
+    // bar family on the empty panel: no rows, no exceptions
+    assert(Analytics.ichimoku(emptyPanel).count() === 0)
+    assert(Analytics.pivotPoints(emptyPanel).count() === 0)
+    assert(Analytics.cci(emptyPanel).count() === 0)
+    assert(Analytics.cmf(emptyPanel).count() === 0)
+    assert(Analytics.quintileChurn(emptyPanel).count() === 0)
+    // single-bar asset: first-row semantics, no window underflow
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val ich = Analytics.ichimoku(p).collect()(0)
+    assert(ich.getAs[Double]("conv") === 5.0) // degenerate channel midpoint
+    val piv = Analytics.pivotPoints(p).collect()(0)
+    assert(piv.isNullAt(piv.fieldIndex("p"))) // no previous bar
+    val c = Analytics.cci(p).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("cci"))) // zero deviation
+    val m = Analytics.cmf(p).collect()(0)
+    assert(m.getAs[Double]("cmf") === 0.0) // flat bar: 0 flow over 1 volume
+    // pairs_spread: pairs absent from the panel, or with < 3 common dates → empty
+    assert(Analytics.pairsSpread(p, Seq((1L, 2L))).count() === 0)
+    // event_study: no events of the type → empty table, not a failure
+    val ev = Seq((1L, new Timestamp(1000L), "view")).toDF("user_id", "ts", "event_type")
+    assert(Analytics.eventStudy(p, ev, eventType = "purchase").count() === 0)
+  }
 }
