@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] with 32 concurrent tasks GC-thrashes an 8g
+  // heap (measured: the full bench ran 136 s at 8g vs 111 s at 24g on
+  // a 128 GiB box); override with SPARK_DRIVER_MEM as needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

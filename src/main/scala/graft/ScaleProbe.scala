@@ -149,13 +149,16 @@ object ScaleProbe {
           // Optional per-stage breakdown (SPARK_GRAFT_PROBE_STAGES=1):
           // stage wall-times + task counts for the slowest stages of the
           // LAST run — the "where did the 8× second go" view.
-          val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]
+          val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Int, String)]
           val listener = new org.apache.spark.scheduler.SparkListener {
             override def onStageCompleted(
                 sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
               val si = sc.stageInfo
               for (s <- si.submissionTime; c <- si.completionTime)
-                stages.synchronized { stages += ((si.stageId, c - s, si.numTasks)) }
+                stages.synchronized {
+                  stages += ((si.stageId, c - s, si.numTasks,
+                    si.name.takeWhile(_ != '(').trim))
+                }
             }
           }
           val wantStages = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
@@ -166,7 +169,7 @@ object ScaleProbe {
           if (wantStages) {
             spark.sparkContext.removeSparkListener(listener)
             val top = stages.sortBy(-_._2).take(6)
-              .map { case (id, ms, n) => f"s$id=${ms / 1000.0}%.1fs/${n}t" }
+              .map { case (id, ms, n, nm) => f"s$id[$nm]=${ms / 1000.0}%.1fs/${n}t" }
             println(s"[stages] $name ${f}x " + top.mkString(" "))
           }
           dt

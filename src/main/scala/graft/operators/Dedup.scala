@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Minimum-parallelism guard for compiled-kernel map stages
+    * (MinHashSig / ShingleSet / SimHash64 / WinnowFingerprints): when
+    * the upstream scan yields fewer partitions than half the cluster's
+    * cores — a tiny store, or a single-row-group file like the local
+    * testdata — one task would run the whole per-document hash loop
+    * serially while every other core idles; a narrow shuffle of the
+    * text is cheaper than that. On a real multi-row-group / multi-file
+    * store the scan already parallelizes and this is an exact no-op
+    * (no exchange added).
+    */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val have = df.rdd.getNumPartitions
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (have * 2 <= want) df.repartition(want) else df
+  }
+
   /** C1 `dedup_exact` — exact dedup by content hash; min doc_id
     * survives. One shuffle on a 128-bit key; survivor choice is total.
     */
@@ -72,11 +88,22 @@ object Dedup {
   def minhashVerifiedPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                            bands: Int = 16, threshold: Double = 0.3): DataFrame = {
     val cands = minhashLshPairs(documents, k, nHashes, bands)
-    val sets = documents.select(col("doc_id"), shingles(col("text"), k).as("hs"))
+    val sets = fanOut(documents).select(col("doc_id"), shingles(col("text"), k).as("hs"))
     val den = (size(col("ha")) + size(col("hb")) - col("inter")).cast("double")
-    cands
-      .join(sets.toDF("doc_a", "ha"), Seq("doc_a"))
-      .join(sets.toDF("doc_b", "hb"), Seq("doc_b"))
+    // ONE pass over the shingle sets, not two: melting each pair into
+    // its two member rows and joining the corpus side once (pairs are
+    // the tiny/build side) replaces the doc_a/doc_b double join, which
+    // planned the whole shingle projection — a full corpus kernel pass
+    // plus its broadcast — twice.
+    val melted = cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("ha"),
+        first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hb"))
+    melted
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       // empty-shingle docs (shorter than k chars) make den 0 → NULL
       // jaccard → filtered; without the guard 0/0.0 is NaN, which Spark
@@ -95,7 +122,7 @@ object Dedup {
   def minhashBanded(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                     bands: Int = 16): DataFrame = {
     val rows = nHashes / bands
-    documents.select(
+    fanOut(documents).select(
       col("doc_id"),
       graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
       .select(
@@ -177,7 +204,7 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
-    val fp = documents.select(col("doc_id"),
+    val fp = fanOut(documents).select(col("doc_id"),
       graft.expressions.Kernels.simhash64(col("text")).as("fp"))
     val chunkCols = (0 until chunks).map(c =>
       shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit((1L << width) - 1)))
@@ -218,7 +245,7 @@ object Dedup {
     */
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 4,
                   minShared: Long = 10, maxDf: Long = 20): DataFrame = {
-    val fps = documents.select(col("doc_id"),
+    val fps = fanOut(documents).select(col("doc_id"),
       explode(graft.expressions.Kernels.winnow(col("text"), k, w)).as("fp"))
     val capped = fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
@@ -340,7 +367,7 @@ object Dedup {
       .filter(col("doc_id").isin(evalIds: _*))
       .select(explode(shingles(col("text"), k)).as("s"))
       .distinct()
-    documents
+    fanOut(documents)
       .filter(!col("doc_id").isin(evalIds: _*))
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
       .join(broadcast(evalShingles), Seq("s"))
@@ -386,7 +413,7 @@ object Dedup {
     // pair build.
     // Inverted index: one shuffle on the shingle; the df cap
     // (stop-shingle removal) bounds the worst posting list.
-    val sh = documents
+    val sh = fanOut(documents)
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
     // The df cap comes from a COUNT WINDOW over the shingle, not a
     // posting-list build: every downstream consumer (pair generation,
