@@ -342,6 +342,8 @@ object SparkEntry {
       Analytics.quintileChurn(Tables.panel(s, dir))),
     "global_shuffle" -> ((s, dir) =>
       Pipeline.globalShuffle(Tables.documents(s, dir))),
+    "quality_signals" -> ((s, dir) =>
+      Pipeline.qualitySignals(Tables.documents(s, dir))),
     "source_stats" -> ((s, dir) =>
       Pipeline.sourceStats(Tables.documents(s, dir))),
     // ── C. LLM pipeline ─────────────────────────────────────────────
@@ -1399,6 +1401,54 @@ object SparkEntry {
          |  floor(((sarr[i] - ms) / CASE WHEN sd = 0 THEN NULL ELSE sd END)
          |        * 1000000.0 + 0.5) / 1000000.0 AS z
          |FROM e ORDER BY id_a, id_b, date""".stripMargin,
+    "quality_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ltoks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, m.l AS cand,
+        |         len(list_filter(ltoks, x -> list_contains(m.markers, x))) AS score
+        |  FROM t CROSS JOIN (VALUES
+        |    ('en', ['the','and','of','to','in','is','that','for','with','it']),
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('es', ['el','la','de','que','los','las','una','por','con','para']),
+        |    ('fr', ['le','la','les','des','une','est','dans','pour','que','avec']),
+        |    ('zh', ['的','是','了','在','和','有','不','我','这','他'])) AS m(l, markers)),
+        |lg AS (
+        |  SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
+        |    SELECT doc_id, cand, score,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
+        |    FROM scores) z WHERE rn = 1),
+        |rep AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |          / nullif(CAST(len(bigrams) AS DOUBLE), 0.0), 6) AS rep_ratio
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |    FROM (SELECT doc_id,
+        |                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |          FROM documents) z) b),
+        |base AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
+        |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
+        |    6) AS quality,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents)
+        |SELECT b.doc_id, lg.lang_guess, b.quality, b.n_ws_tokens, b.n_bpe_tokens, rep.rep_ratio,
+        |  (lg.lang_guess = 'en' AND b.quality >= 0.3
+        |   AND (rep.rep_ratio IS NULL OR rep.rep_ratio <= 0.2)) AS pass_gate
+        |FROM base b JOIN lg USING (doc_id) JOIN rep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "global_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -539,6 +539,41 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** C46 `quality_signals` — every per-document quality signal in ONE
+    * corpus scan: language guess, composite quality score, both token
+    * counts, Gopher-style repetition ratio, and the resulting
+    * `pass_gate` bit. The single-signal queries (`lang_id`,
+    * `text_quality`, `token_count`, `repetition_score`) exist as
+    * focused audits; a production filter pass computes them TOGETHER —
+    * five signals for one read. Everything is a compiled kernel
+    * ([[TextFns.textStats]] already returns lang+quality from one
+    * pass) or a pure array expression: scan → project → write, zero
+    * shuffles, which is the only shape that matters when the input is
+    * the 100 TB corpus itself.
+    */
+  def qualitySignals(documents: DataFrame, minQuality: Double = 0.3,
+                     lang: String = "en", maxRep: Double = 0.2): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val n = size(col("bigrams")).cast("double")
+    documents
+      .withColumn("bigrams", bigrams)
+      .select(col("doc_id"),
+        TextFns.langId(col("text")).as("lang_guess"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          when(n === 0, lit(null)).otherwise(n), 6).as("rep_ratio"))
+      .withColumn("pass_gate",
+        col("lang_guess") === lang && col("quality") >= minQuality &&
+          (col("rep_ratio").isNull || col("rep_ratio") <= maxRep))
+      .orderBy(col("doc_id"))
+  }
+
   /** C44 `global_shuffle` — deterministic epoch-order shuffle: every
     * document gets a pseudo-random but REPRODUCIBLE position (shard,
     * pos) for training-order randomization. The shuffle key is the

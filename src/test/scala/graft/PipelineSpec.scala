@@ -320,4 +320,27 @@ class PipelineSpec extends SparkSpec {
     assert(e1.map(r => r.getLong(0) -> r.getAs[Long]("skey")).toMap !==
       e2.map(r => r.getLong(0) -> r.getAs[Long]("skey")).toMap)
   }
+
+  test("qualitySignals: five signals in one scan, gate composes them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while the bright sun " +
+        "rises and the wind blows gently across this quiet field as morning " +
+        "light spreads to every corner of that peaceful town in early spring"), // en, clean
+      (2L, "spam spam spam spam spam spam"),                               // repetitive, und
+      (3L, "")                                                             // empty
+    ).toDF("doc_id", "text")
+    val out = Pipeline.qualitySignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("lang_guess") === "en")
+    assert(out(1L).getAs[Boolean]("pass_gate"))
+    assert(out(2L).getAs[Double]("rep_ratio") > 0.5)   // 4 of 5 bigrams repeat
+    assert(!out(2L).getAs[Boolean]("pass_gate"))
+    assert(out(3L).getAs[Long]("n_ws_tokens") === 0L)
+    assert(!out(3L).getAs[Boolean]("pass_gate"))
+    // the whole table is one scan + project: only the presentation
+    // sort may exchange — the signals themselves shuffle nothing
+    val plan = Pipeline.qualitySignals(docs).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, plan)
+  }
 }
