@@ -409,6 +409,9 @@ object SparkEntry {
     }),
     "ivf_stats" -> ((s, dir) =>
       Ivf.clusterStats(Tables.embeddings(s, dir), k = 8, iters = 3)),
+    "ann_recall_report" -> ((s, dir) =>
+      Ivf.recallReport(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, kClusters = 8, iters = 3, nProbe = 2)),
     "semantic_dedup" -> ((s, dir) =>
       Ivf.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 3, eps = 0.4)),
     // Incremental SemDeDup: the settled corpus (vec_id % 5 != 0) is
@@ -1745,6 +1748,51 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
         |  FROM scores) z WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_ivf" -> ivfOracle(k = 8, iters = 3, queryIds = Seq(0L, 1L, 2L, 3L, 4L), topK = 10, nProbe = 2),
+    "ann_recall_report" ->
+      s"""${ivfTrainCtes(8, 3)},
+         |q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |      FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |probes AS (
+         |  SELECT q_id, c FROM (
+         |    SELECT q.q_id, n3.c,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |             ORDER BY list_dot_product(n3.nc, q.qv) / q.qn DESC, n3.c) AS rn
+         |    FROM q CROSS JOIN n3) z WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.q_id, i.vec_id,
+         |         round(list_dot_product(
+         |           list_transform(q.qv, x -> x / q.qn),
+         |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v)))), 3) AS cos
+         |  FROM probes p JOIN idx i ON i.c = p.c JOIN q ON q.q_id = p.q_id
+         |  WHERE i.vec_id <> q.q_id),
+         |ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |    FROM cand) z WHERE rank <= 10),
+         |bt AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |         unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |bc AS (
+         |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+         |  FROM bt GROUP BY q_id, vec_id),
+         |br AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |    FROM bc) z WHERE rank <= 10),
+         |nb AS (SELECT q_id, count(*) AS n_brute FROM br GROUP BY q_id),
+         |na AS (SELECT q_id, count(*) AS n_ivf FROM ivf GROUP BY q_id),
+         |cm AS (SELECT q_id, count(*) AS n_common
+         |       FROM br JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+         |SELECT nb.q_id, nb.n_brute,
+         |  coalesce(na.n_ivf, 0) AS n_ivf,
+         |  coalesce(cm.n_common, 0) AS n_common,
+         |  CAST((coalesce(cm.n_common, 0) * 1000) // nb.n_brute AS BIGINT) AS recall_pm
+         |FROM nb LEFT JOIN na USING (q_id) LEFT JOIN cm USING (q_id)
+         |ORDER BY q_id""".stripMargin,
     "ivf_stats" ->
       s"""${ivfTrainCtes(8, 3)},
          |counts AS (SELECT c AS cluster, count(*) AS n_vectors FROM idx GROUP BY c),

@@ -278,6 +278,33 @@ object Ivf {
       .orderBy(col("vec_id"))
   }
 
+  /** C47 `ann_recall_report` — the evaluation harness for the ANN
+    * stack: recall@k of the IVF probe path against the brute-force
+    * cosine baseline, per query — n_common / n_brute as an integer
+    * per-mille (both top-k sets are deterministic: round-3 cosine with
+    * vec_id tie-break). This is the number that justifies `nProbe`/`k`
+    * choices before a 100 TB rollout; brute force stays feasible as
+    * the baseline because the query side is a broadcast handful while
+    * the corpus is scanned once. All counts integer → exact replay of
+    * both replayed pipelines.
+    */
+  def recallReport(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                   kClusters: Int = 8, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    val brute = Similarity.cosineTopK(embeddings, queryIds, k)
+      .select(col("q_id"), col("vec_id"))
+    val centroids = train(embeddings, kClusters, iters)
+    val approx = search(embeddings, centroids, queryIds, k, nProbe)
+      .select(col("q_id"), col("vec_id"))
+    val nb = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+    val na = approx.groupBy(col("q_id")).agg(count(lit(1)).as("n_ivf"))
+    val cm = brute.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    nb.join(na, Seq("q_id"), "left").join(cm, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_ivf", "n_common"))
+      .withColumn("recall_pm", expr("(n_common * 1000) div n_brute"))
+      .orderBy(col("q_id"))
+  }
+
   /** C45 `ivf_stats` — index observability for the cluster space the
     * ANN probes and SemDeDup verdicts both live in: per-cluster member
     * count, corpus share (per-mille), and balance factor

@@ -97,6 +97,19 @@ class IvfSpec extends SparkSpec {
     assert(Ivf.index(batch, cs).collect().map(_.getInt(2)).distinct.length <= 2)
   }
 
+  test("recallReport scores 1000 per-mille when clusters perfectly separate the space") {
+    // 3 separated groups, k=3, nProbe=1: every query's true top-9 live
+    // in its own cluster, so the probe path recalls the full baseline
+    val out = Ivf.recallReport(emb, queryIds = Seq(0L, 15L, 25L), k = 9,
+      kClusters = 3, iters = 4, nProbe = 1).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_brute") === 9L)
+      assert(r.getAs[Long]("n_common") === 9L)
+      assert(r.getAs[Long]("recall_pm") === 1000L)
+    }
+  }
+
   test("clusterStats reports every cluster, exact counts, and balance per-mille") {
     val out = Ivf.clusterStats(emb, k = 4, iters = 4).collect()
     assert(out.map(_.getInt(0)).toSeq === (0 until 4))            // full spine
