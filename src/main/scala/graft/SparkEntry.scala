@@ -353,6 +353,8 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, dir))),
+    "dedup_recall_report" -> ((s, dir) =>
+      Dedup.dedupRecallReport(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) =>
@@ -1992,6 +1994,53 @@ object SparkEntry {
          |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
          |          JOIN sz sb ON sb.doc_id = ix.doc_b) t
          |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_recall_report" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+         |vsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.doc_a
+         |  JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT ix.doc_a, ix.doc_b,
+         |           round(ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE), 6) AS jaccard
+         |    FROM ix JOIN vsz sa ON sa.doc_id = ix.doc_a
+         |            JOIN vsz sb ON sb.doc_id = ix.doc_b) t
+         |  WHERE jaccard >= 0.3),
+         |esh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+         |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+         |  FROM documents),
+         |egood AS (SELECT s FROM esh0 GROUP BY s HAVING count(*) <= 100),
+         |esh AS (SELECT esh0.doc_id, esh0.s FROM esh0 JOIN egood USING (s)),
+         |esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY doc_id),
+         |einter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |epairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+         |    FROM einter JOIN esz sa ON sa.doc_id = doc_a JOIN esz sb ON sb.doc_id = doc_b) t
+         |  WHERE jaccard >= 0.3),
+         |ne AS (SELECT count(*) AS n_exact FROM epairs),
+         |nr AS (SELECT count(*) AS n_recalled FROM ver),
+         |nc AS (SELECT count(*) AS n_common FROM epairs JOIN ver USING (doc_a, doc_b))
+         |SELECT ne.n_exact, nr.n_recalled, nc.n_common,
+         |  CASE WHEN ne.n_exact = 0 THEN NULL
+         |       ELSE CAST((nc.n_common * 1000) // ne.n_exact AS BIGINT) END AS recall_pm,
+         |  CASE WHEN nr.n_recalled = 0 THEN NULL
+         |       ELSE CAST((nc.n_common * 1000) // nr.n_recalled AS BIGINT) END AS precision_pm
+         |FROM ne, nr, nc""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, t FROM (

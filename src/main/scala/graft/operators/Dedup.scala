@@ -115,6 +115,34 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C48 `dedup_recall_report` — the text-side evaluation harness
+    * (mirror of the embedding stack's `ann_recall_report`): pair-level
+    * recall AND precision of the two-stage MinHash path against the
+    * exhaustive df-capped jaccard truth, as integer per-mille. The two
+    * sets can differ in both directions — banding loses recall by its
+    * S-curve, and the verify jaccard is computed on UNCAPPED shingle
+    * sets while the exhaustive build drops stop-shingles (df cap), so
+    * precision is also measured, not assumed. One row out; the number
+    * that justifies band/row settings before a 100 TB dedup run.
+    */
+  def dedupRecallReport(documents: DataFrame, k: Int = 8,
+                        threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
+    val exact = ngramJaccardPairs(documents, k, threshold, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val rec = minhashVerifiedPairs(documents, k, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val ne = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
+    val nr = rec.agg(count(lit(1)).as("n_recalled")).withColumn("j", lit(1))
+    val nc = exact.join(rec, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_common")).withColumn("j", lit(1))
+    ne.join(nr, "j").join(nc, "j")
+      .select(col("n_exact"), col("n_recalled"), col("n_common"),
+        expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_common * 1000) div n_exact END")
+          .as("recall_pm"),
+        expr("CASE WHEN n_recalled = 0 THEN NULL ELSE (n_common * 1000) div n_recalled END")
+          .as("precision_pm"))
+  }
+
   /** The (doc_id, band_id, bucket) banding stage shared by
     * [[minhashLshPairs]] and the materialized-index path — one
     * signature kernel pass, `bands` bucket hashes per doc.

@@ -239,4 +239,15 @@ class DedupSpec extends SparkSpec {
       4L -> ((2L, 1L, Some(1.0))),
       5L -> ((1L, 0L, None))))
   }
+
+  test("dedupRecallReport: counts are consistent and full recall on an easy corpus") {
+    val r = Dedup.dedupRecallReport(docs).collect()(0)
+    val (ne, nr, nc) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_recalled"),
+      r.getAs[Long]("n_common"))
+    assert(nc <= math.min(ne, nr))
+    assert(ne > 0) // the fixture has genuine near-dup pairs
+    // tiny corpus: identical/near-identical docs always band-collide
+    assert(r.getAs[Long]("recall_pm") === nc * 1000 / ne)
+    assert(r.getAs[Long]("precision_pm") === nc * 1000 / nr)
+  }
 }
