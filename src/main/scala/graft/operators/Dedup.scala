@@ -131,11 +131,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val rec = minhashVerifiedPairs(documents, k, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
-    val ne = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
-    val nr = rec.agg(count(lit(1)).as("n_recalled")).withColumn("j", lit(1))
-    val nc = exact.join(rec, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_common")).withColumn("j", lit(1))
-    ne.join(nr, "j").join(nc, "j")
+    // Tagged union → ONE global aggregate: a constant-key join of the
+    // three 1-row counts would simplify to a nested-loop join (the
+    // plan-audit anti-pattern); the union shape has no join at all.
+    val common = exact.join(rec, Seq("doc_a", "doc_b"))
+    val tagged = exact.select(lit(1L).as("e"), lit(0L).as("r"), lit(0L).as("c"))
+      .union(rec.select(lit(0L).as("e"), lit(1L).as("r"), lit(0L).as("c")))
+      .union(common.select(lit(0L).as("e"), lit(0L).as("r"), lit(1L).as("c")))
+    tagged
+      .agg(sum(col("e")).as("n_exact"), sum(col("r")).as("n_recalled"),
+        sum(col("c")).as("n_common"))
+      .na.fill(0L, Seq("n_exact", "n_recalled", "n_common"))
       .select(col("n_exact"), col("n_recalled"), col("n_common"),
         expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_common * 1000) div n_exact END")
           .as("recall_pm"),

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk",        // posting join ⨝ broadcast(1-row corpus stats)
     "pmi_bigrams",      // pair counts ⨝ broadcast(1-row bigram total)
     "mixture_sample",   // source counts ⨝ broadcast(1-row corpus total)
-    "dedup_embedding")  // block-tiled all-pairs: broadcast block spine
+    "dedup_embedding",  // block-tiled all-pairs: broadcast block spine
+    "ann_recall_report") // contains ann_topk's corpus ⨝ broadcast(5 probes)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
