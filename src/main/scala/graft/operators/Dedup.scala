@@ -127,10 +127,17 @@ object Dedup {
     */
   def dedupRecallReport(documents: DataFrame, k: Int = 8,
                         threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
+    // Each pair set is consumed TWICE below (its union branch + the
+    // common join); without materialization Catalyst re-plans — and
+    // re-runs — both full shingle pipelines per consumer. The pair
+    // sets are tiny (≈ true dups), so an eager localCheckpoint swaps
+    // a duplicated corpus pass for a few KB of blocks (ContextCleaner
+    // reclaims them when the plan is dropped — same pattern as the
+    // shared cluster pair build).
     val exact = ngramJaccardPairs(documents, k, threshold, maxDf)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val rec = minhashVerifiedPairs(documents, k, threshold = threshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // Tagged union → ONE global aggregate: a constant-key join of the
     // three 1-row counts would simplify to a nested-loop join (the
     // plan-audit anti-pattern); the union shape has no join at all.
