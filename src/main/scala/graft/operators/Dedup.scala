@@ -61,8 +61,13 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
     val banded = minhashBanded(documents, k, nHashes, bands)
-    banded.as("a")
-      .join(banded.as("b"),
+    // SHUFFLE_HASH, not broadcast: at scale a corpus-sized band index
+    // must never be a broadcast side, and locally the hint makes both
+    // sides identical exchanges → ReusedExchange computes the
+    // MinHashSig banding ONCE (the broadcast plan ran the signature
+    // kernel separately per side).
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
