@@ -259,8 +259,10 @@ object Dedup {
       posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk")
-    chunked.as("a")
-      .join(chunked.as("b"),
+    // shuffle_hash: same ReusedExchange rationale as the LSH band join
+    // — the broadcast plan would run the SimHash64 kernel per join side.
+    chunked.as("a").hint("shuffle_hash")
+      .join(chunked.as("b").hint("shuffle_hash"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -297,7 +299,9 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= maxDf)
       .select(col("doc_id"), col("fp"))
-    capped.as("a").join(capped.as("b"),
+    // shuffle_hash: same ReusedExchange rationale as the LSH band join
+    // — the broadcast plan would run the winnow kernel per join side.
+    capped.as("a").hint("shuffle_hash").join(capped.as("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -207,7 +207,10 @@ object Similarity {
     val a = withB.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     val b = withB.select(col("vec_id"), col("v"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    a.join(b, Seq("bucket"))
+    // shuffle_hash: the bucket self-join's sides share the projection +
+    // LSH subtree — identical exchanges reuse it once (and a corpus-
+    // sized bucketed table is never a broadcast side at scale).
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", round(dot(col("qv"), col("v")), 3))
       .withColumn("rank", row_number().over(w).cast("long"))
