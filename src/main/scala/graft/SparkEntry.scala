@@ -340,6 +340,10 @@ object SparkEntry {
       Analytics.eventStudy(Tables.panel(s, dir), Tables.events(s, dir))),
     "quintile_churn" -> ((s, dir) =>
       Analytics.quintileChurn(Tables.panel(s, dir))),
+    "cohort_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(Tables.events(s, dir))),
+    "active_users" -> ((s, dir) =>
+      Analytics.activeUsers(Tables.events(s, dir))),
     "global_shuffle" -> ((s, dir) =>
       Pipeline.globalShuffle(Tables.documents(s, dir))),
     "quality_signals" -> ((s, dir) =>
@@ -1499,6 +1503,35 @@ object SparkEntry {
          |         OVER (ORDER BY "offset" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |       AS DOUBLE) AS car
          |FROM g ORDER BY "offset"""".stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events),
+        |coh AS (
+        |  SELECT user_id, min(date) AS d0 FROM act GROUP BY user_id),
+        |cw AS (
+        |  SELECT user_id, d0,
+        |         datediff('day', DATE '1970-01-01', d0) // 7 AS cohort_week
+        |  FROM coh),
+        |sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM cw GROUP BY cohort_week),
+        |g AS (
+        |  SELECT c.cohort_week,
+        |         datediff('day', c.d0, a.date) // 7 AS week_offset,
+        |         count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN cw c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT g.cohort_week, g.week_offset, g.n_active, s.n_cohort,
+        |  CAST((g.n_active * 1000) // s.n_cohort AS BIGINT) AS retention_pm
+        |FROM g JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events),
+        |dau AS (SELECT date, count(*) AS dau FROM act GROUP BY date),
+        |ex AS (
+        |  SELECT DISTINCT a.user_id, a.date + CAST(i AS INTEGER) AS date
+        |  FROM act a CROSS JOIN range(7) r(i)),
+        |wau AS (SELECT date, count(*) AS wau FROM ex GROUP BY date)
+        |SELECT d.date, d.dau, w.wau,
+        |  CAST((d.dau * 1000) // w.wau AS BIGINT) AS stickiness_pm
+        |FROM dau d JOIN wau w USING (date) ORDER BY date""".stripMargin,
     "quintile_churn" ->
       s"""$panelCte,
          |$dailyCte,

@@ -1596,6 +1596,59 @@ object Analytics {
       .orderBy(col("date"))
   }
 
+  /** B57 `cohort_retention` — weekly cohort retention over the event
+    * stream: users bucketed by first-seen epoch week, retention at
+    * week offset k = share of the cohort active ≥ k whole weeks after
+    * their own first day (per-user anchoring, the product-analytics
+    * convention). ALL-INTEGER (epoch-week `div`, distinct counts,
+    * per-mille rate) → exact replay. Scale shape: one distinct over
+    * (user, date), a per-user min, and the (cohort, offset) aggregate
+    * — the user⨝cohort join is co-partitioned on user_id with the
+    * min that produced it.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), col("ts").cast("date").as("date")).distinct()
+    val coh = act.groupBy(col("user_id"))
+      .agg(min(col("date")).as("d0"))
+      .withColumn("cohort_week",
+        expr("datediff(d0, DATE '1970-01-01') div 7").cast("long"))
+    val sizes = coh.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    act.join(coh, Seq("user_id"))
+      .withColumn("week_offset", expr("datediff(date, d0) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention_pm", expr("(n_active * 1000) div n_cohort"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"), col("retention_pm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** B58 `active_users` — DAU / trailing-7-day WAU / stickiness per
+    * date: each active (user, day) contributes itself to the seven
+    * window-end dates it can serve, so WAU is a plain distinct count
+    * per date — no range-window distinct (which Spark can't express)
+    * and no per-date self-join. The 7× explode is of the DEDUPLICATED
+    * (user, day) activity set, not raw events — bounded fan-out on the
+    * small side of the data. All-integer; window-end dates past the
+    * observed range are dropped by the DAU join.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), col("ts").cast("date").as("date")).distinct()
+    val dau = act.groupBy(col("date")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("date"), date_add(col("date"), 6))).as("date"))
+      .distinct()
+      .groupBy(col("date")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("date"))
+      .withColumn("stickiness_pm", expr("(dau * 1000) div wau"))
+      .orderBy(col("date"))
+  }
+
   /** B53 `rollup_agg` — multi-granularity OLAP rollup of the supplier
     * star: detail (region, nation), subtotal (region), grand total in
     * ONE pass via `ROLLUP` grouping sets — Catalyst expands the sets

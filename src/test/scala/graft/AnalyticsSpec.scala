@@ -721,6 +721,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) === ((1L, 0.05, 0.1)))
   }
 
+  test("cohort_retention anchors week offsets to each user's first day") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-09 10:00:00")), // week 0 → offset 1
+      (2L, t("2024-01-02 10:00:00")),                                  // same cohort week, inactive later
+      (3L, t("2024-01-10 10:00:00")), (3L, t("2024-01-12 10:00:00")))  // later cohort, offset 0 twice
+      .toDF("user_id", "ts").withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val out = Analytics.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"), r.getAs[Long]("retention_pm"))).toMap
+    val w1 = 19723 / 7 // epoch week of 2024-01-01
+    assert(out((w1, 0L)) === ((2L, 2L, 1000L))) // both users active in their week 0
+    assert(out((w1, 1L)) === ((1L, 2L, 500L)))  // only user 1 returns in week 1
+    val w2 = 19732 / 7 // epoch week of 2024-01-10
+    assert(out((w2, 0L)) === ((1L, 1L, 1000L)))
+  }
+
+  test("active_users: WAU is the trailing-7-day distinct union of DAU sets") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (2L, t("2024-01-01 11:00:00")),
+      (1L, t("2024-01-05 10:00:00")),
+      (3L, t("2024-01-05 11:00:00")))
+      .toDF("user_id", "ts").withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val out = Analytics.activeUsers(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("stickiness_pm"))).toMap
+    assert(out("2024-01-01") === ((2L, 2L, 1000L)))
+    // Jan 5 window [Dec 30..Jan 5] covers users {1,2} from Jan 1 plus {1,3}
+    assert(out("2024-01-05") === ((2L, 3L, 666L)))
+  }
+
   test("quintile_churn is zero when cross-sectional ranks are stable") {
     val longPanel = (0 until 12).flatMap { i =>
       Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 100.0 + i, i * 2L),
