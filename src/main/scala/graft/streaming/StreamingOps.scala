@@ -502,6 +502,24 @@ object StreamingOps {
       }
   }
 
+  /** D17 — continuously-maintained DAU (streaming face of batch
+    * `active_users`'s DAU side): watermark-bounded first-observation
+    * dedup of (user, day) — `dropDuplicatesWithinWatermark`, so state
+    * is one entry per ACTIVE (user, day) inside the horizon, not per
+    * event — feeding an update-mode count per event-day. Emits the
+    * running DAU as it grows; late events beyond the watermark drop.
+    * The trailing-WAU face stays batch (its 7-day explode needs no
+    * state the DAU dedup doesn't already hold).
+    */
+  def dauStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .withColumn("date", col("ts").cast("date"))
+      .dropDuplicatesWithinWatermark("user_id", "date")
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("dau"))
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

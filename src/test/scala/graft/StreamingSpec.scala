@@ -544,4 +544,29 @@ class StreamingSpec extends SparkSpec {
         SourceStat("src0", "en", 3L, 18L))
     } finally q.stop()
   }
+
+  test("dauStream counts each (user, day) once and converges to the batch DAU") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400
+    val input = MemoryStream[Tick]
+    val dau = StreamingOps.dauStream(
+      input.toDS().toDF().withColumnRenamed("asset_id", "user_id"), "2 days")
+    val q = dau.writeStream.format("memory").queryName("dau_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // day 0: users 1 (twice — must count once) and 2; day 1: user 1
+      input.addData(Tick(1L, ts(10), 1.0, 1L), Tick(1L, ts(20), 1.0, 2L),
+        Tick(2L, ts(30), 1.0, 3L), Tick(1L, ts(day + 10), 1.0, 4L))
+      q.processAllAvailable()
+      input.addData(Tick(1L, ts(40), 1.0, 5L), Tick(3L, ts(50), 1.0, 6L)) // dup + new user, day 0
+      q.processAllAvailable()
+      // latest update per date == the batch DAU over everything seen
+      val latest = spark.table("dau_sink").groupBy("date")
+        .agg(org.apache.spark.sql.functions.max("dau").as("dau"))
+        .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("dau")).toMap
+      assert(latest === Map("1970-01-01" -> 3L, "1970-01-02" -> 1L))
+    } finally q.stop()
+  }
 }
