@@ -344,6 +344,25 @@ object SparkEntry {
       Analytics.cohortRetention(Tables.events(s, dir))),
     "active_users" -> ((s, dir) =>
       Analytics.activeUsers(Tables.events(s, dir))),
+    "cube_agg" -> ((s, dir) =>
+      Analytics.cubeAgg(Tables.orders(s, dir))),
+    "pivot_wide" -> ((s, dir) =>
+      Analytics.pivotWide(Tables.events(s, dir))),
+    "streaks" -> ((s, dir) =>
+      Analytics.streaks(Tables.panel(s, dir))),
+    "anomaly_mad" -> ((s, dir) =>
+      Analytics.anomalyMad(Tables.panel(s, dir))),
+    // Bloom prefilter + exact semi-join: result identical to the plain
+    // semi-join (the oracle), the bloom only cuts what the fact side
+    // shuffles — correctness must not depend on fpp.
+    "bloom_semi_join" -> ((s, dir) =>
+      RuntimeFilter.bloomSemiJoin(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0), "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Analytics.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("l_returnflag"))),
     "global_shuffle" -> ((s, dir) =>
       Pipeline.globalShuffle(Tables.documents(s, dir))),
     "quality_signals" -> ((s, dir) =>
@@ -1532,6 +1551,61 @@ object SparkEntry {
         |SELECT d.date, d.dau, w.wau,
         |  CAST((d.dau * 1000) // w.wau AS BIGINT) AS stickiness_pm
         |FROM dau d JOIN wau w USING (date) ORDER BY date""".stripMargin,
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "pivot_wide" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"""  count(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_val""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "streaks" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |rr AS (
+         |  SELECT asset_id, date, ret,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM rets),
+         |u AS (
+         |  SELECT asset_id, rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
+         |  FROM rr WHERE ret > 0),
+         |i AS (SELECT asset_id, grp, count(*) AS len FROM u GROUP BY 1, 2)
+         |SELECT asset_id, count(*) AS n_streaks,
+         |  CAST(sum(len) AS BIGINT) AS n_up_days, max(len) AS longest_streak
+         |FROM i GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    "anomaly_mad" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |m AS (
+         |  SELECT asset_id, date, value,
+         |    round(quantile_cont(value, 0.5) OVER (PARTITION BY asset_id), 6) AS med
+         |  FROM daily),
+         |m2 AS (
+         |  SELECT asset_id, date, value, med,
+         |    round(quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY asset_id), 6) AS mad
+         |  FROM m)
+         |SELECT asset_id, date, value, med, mad, score FROM (
+         |  SELECT asset_id, date, value, med, mad,
+         |    round((value - med) / nullif(mad * 1.4826, 0.0), 6) AS score
+         |  FROM m2) t
+         |WHERE score IS NOT NULL AND abs(score) > 3.5
+         |ORDER BY asset_id, date""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "quintile_churn" ->
       s"""$panelCte,
          |$dailyCte,

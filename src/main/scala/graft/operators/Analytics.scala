@@ -1669,4 +1669,101 @@ object Analytics {
       .select(col("r_name"), col("n_name"), col("gid"),
         col("n_suppliers"), col("total_acctbal"))
       .orderBy(col("gid"), col("r_name"), col("n_name"))
+
+  /** B59 `cube_agg` — full CUBE over (status, priority): detail, both
+    * one-dimension marginals, and the grand total in ONE scan via
+    * `CUBE` grouping sets (the [[rollupAgg]] pattern with the complete
+    * lattice — 4 grouping sets, still a single shuffle with map-side
+    * partials). `grouping_id()` = DuckDB's `GROUPING(a, b)` bitmask,
+    * first argument MSB; decimal-exact totals via [[dsum]].
+    */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** B60 `pivot_wide` — event-type crosstab per user: one row per user,
+    * a (count, exact value sum) column pair per event type. The value
+    * list is FIXED (passed in), so the plan is a single groupBy with
+    * conditional aggregates — one shuffle on user_id, no second pass to
+    * discover pivot values (Spark's 2-arg `pivot` would scan once just
+    * to collect the distinct types; at 100 TB that doubles the I/O for
+    * a list the caller already knows). Missing (user, type) combos are
+    * count 0 / sum NULL on both engines.
+    */
+  def pivotWide(events: DataFrame,
+                types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val aggs = types.flatMap { t =>
+      val m = col("event_type") === t
+      Seq(count(when(m, lit(1))).as(s"${t}_n"),
+        sum(when(m, col("value").cast(DecimalType(18, 6)))).cast("double").as(s"${t}_val"))
+    }
+    events
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** B61 `streaks` — gaps-and-islands: consecutive positive-return-day
+    * runs per asset. Island key = rn_all − rn_up (the classic trick: a
+    * run of up-days has both row numbers advancing in lockstep, so the
+    * difference is constant within a run and unique across runs). Both
+    * row_number windows and the island aggregate share the asset_id
+    * partitioning — the panel shuffles once; islands are grouped
+    * per-asset so no global state, scale-safe at any asset count.
+    */
+  def streaks(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val r = dailyReturns(panel)
+      .select(col("asset_id"), col("date"), col("ret"))
+      .withColumn("rn", row_number().over(w))
+    val islands = r.filter(col("ret") > 0)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_up_days"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B62 `anomaly_mad` — robust per-asset outlier detection on the LWW
+    * daily series: flag days whose value sits more than `cut` robust
+    * z-units from the asset's median, with the scale estimated by the
+    * median absolute deviation (×1.4826 ≈ σ under normality). Median
+    * and MAD are EXACT percentiles (not approx) so the DuckDB oracle's
+    * `quantile_cont` replays them; both chained windows reuse the
+    * asset_id partitioning — one shuffle total. Robust stats matter
+    * here: a mean/stddev filter lets the outliers it is hunting drag
+    * the threshold toward themselves; the median ignores them.
+    *
+    * Determinism: med/MAD are micro-rounded BEFORE the score (the
+    * interpolated midpoint of two doubles can differ by an ulp across
+    * engines), the score is micro-rounded before the cut compare, and
+    * a zero MAD (constant asset) yields NULL score — filtered, both
+    * engines.
+    */
+  def anomalyMad(panel: DataFrame, cut: Double = 3.5): DataFrame = {
+    val wa = Window.partitionBy(col("asset_id"))
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val med = daily
+      .withColumn("med", round(expr("percentile(value, 0.5)").over(wa), 6))
+    val mad = med
+      .withColumn("mad", round(expr("percentile(abs(value - med), 0.5)").over(wa), 6))
+    mad
+      .withColumn("score",
+        round((col("value") - col("med")) /
+          when(col("mad") === 0, lit(null)).otherwise(col("mad") * 1.4826), 6))
+      .filter(col("score").isNotNull && abs(col("score")) > cut)
+      .select(col("asset_id"), col("date"), col("value"),
+        col("med"), col("mad"), col("score"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

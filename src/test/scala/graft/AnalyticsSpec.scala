@@ -764,4 +764,80 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_changed") === 0L)
     assert(out(0).getAs[Long]("churn_pm") === 0L)
   }
+
+  test("cube_agg emits all four grouping levels of the 2-dim lattice") {
+    val orders = Seq(
+      ("F", "1-URGENT", 10.0), ("F", "2-HIGH", 20.0),
+      ("O", "1-URGENT", 40.0))
+      .toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    val out = Analytics.cubeAgg(orders).collect()
+      .map(r => (r.getAs[Long]("gid"),
+        Option(r.getAs[String]("o_orderstatus")).getOrElse("·"),
+        Option(r.getAs[String]("o_orderpriority")).getOrElse("·")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("total_price"))).toMap
+    assert(out((0L, "F", "1-URGENT")) === ((1L, 10.0)))   // detail
+    assert(out((1L, "F", "·")) === ((2L, 30.0)))          // status marginal
+    assert(out((2L, "·", "1-URGENT")) === ((2L, 50.0)))   // priority marginal
+    assert(out((3L, "·", "·")) === ((3L, 70.0)))          // grand total
+    assert(out.size === 8)
+  }
+
+  test("pivot_wide: fixed-type crosstab counts, exact sums, 0/null empties") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "click", 1.5, t("2024-01-01 10:00:00")),
+      (1L, "click", 2.5, t("2024-01-01 11:00:00")),
+      (1L, "purchase", 10.0, t("2024-01-01 12:00:00")),
+      (2L, "view", 0.5, t("2024-01-01 13:00:00")))
+      .toDF("user_id", "event_type", "value", "ts")
+    val out = Analytics.pivotWide(ev).collect()
+    val u1 = out.find(_.getLong(0) == 1L).get
+    assert(u1.getAs[Long]("click_n") === 2L)
+    assert(u1.getAs[Double]("click_val") === 4.0)
+    assert(u1.getAs[Long]("purchase_n") === 1L)
+    assert(u1.getAs[Long]("view_n") === 0L)          // absent combo: count 0
+    assert(u1.isNullAt(u1.fieldIndex("view_val")))   // absent combo: sum NULL
+  }
+
+  test("streaks: island arithmetic over up/down runs") {
+    // asset 1 daily closes: 10 11 12 9 10 8 → rets + + − + −
+    // islands: {11,12} len 2, {10} len 1 → longest 2, up-days 3, 2 streaks
+    val p = (0 until 6).zip(Seq(10.0, 11.0, 12.0, 9.0, 10.0, 8.0)).map {
+      case (i, v) => (1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.streaks(p).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_streaks") === 2L)
+    assert(out(0).getAs[Long]("n_up_days") === 3L)
+    assert(out(0).getAs[Long]("longest_streak") === 2L)
+  }
+
+  test("streaks: an asset with no up days emits no row") {
+    val p = Seq(
+      (1L, d("2024-01-01"), ts(110), 10.0, 1L),
+      (1L, d("2024-01-02"), ts(210), 9.0, 2L),
+      (1L, d("2024-01-03"), ts(310), 8.0, 3L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.streaks(p).count() === 0L)
+  }
+
+  test("anomaly_mad flags only the point far outside the robust band") {
+    // 9 values near 100 plus one at 500: median ≈ 100, MAD small, the
+    // spike scores thousands of robust z-units; the cluster scores ≲ 2.
+    val vals = Seq(99.0, 100.0, 101.0, 100.5, 99.5, 100.2, 99.8, 100.1, 99.9, 500.0)
+    val p = vals.zipWithIndex.map { case (v, i) =>
+      (1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.anomalyMad(p).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("value") === 500.0)
+    assert(math.abs(out(0).getAs[Double]("score")) > 100)
+  }
+
+  test("anomaly_mad: constant series (MAD 0) flags nothing") {
+    val p = (0 until 5).map { i =>
+      (1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 42.0, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.anomalyMad(p).count() === 0L)
+  }
 }
