@@ -520,6 +520,57 @@ object StreamingOps {
       .groupBy(col("date"))
       .agg(count(lit(1)).as("dau"))
 
+  case class AnomalyState(n: Long, mean: Double, m2: Double)
+  case class Alert(asset_id: Long, ts: Timestamp, value: Double, z: Double, n_seen: Long)
+
+  /** D18 — causal per-asset anomaly alerts: each tick is scored against
+    * the running mean/σ of everything seen BEFORE it (Welford state — 3
+    * numbers per key, O(#assets) total), then folded into the state.
+    * Emits ticks with |z| > `cut` once `minObs` observations exist.
+    *
+    * This is the streaming face of batch `anomaly_mad` with the
+    * estimator swapped deliberately: the batch operator is
+    * retrospective and robust (exact median/MAD over the full series);
+    * a streaming exact median would need per-key value history, so the
+    * causal face uses Welford mean/σ — constant state, one pass, and
+    * alerts fire on arrival rather than at end-of-day. An alerted spike
+    * DOES then inflate σ (it enters the state); self-exclusion beyond
+    * that is the batch operator's job on replay.
+    *
+    * Ordering contract (same as [[ewmaStream]]): rows within a
+    * micro-batch are scored in (ts, seq) order; cross-batch late data
+    * is scored against whatever state exists at arrival — the batch
+    * operator is the replayable source of truth.
+    */
+  def anomalyStream(ticks: Dataset[Tick], cut: Double = 4.0,
+                    minObs: Long = 10L): Dataset[Alert] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AnomalyState, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[Tick], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          val out = Vector.newBuilder[Alert]
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
+            if (st.n >= math.max(minObs, 2L)) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0) {
+                val z = (t.value - st.mean) / sd
+                if (math.abs(z) > cut) out += Alert(assetId, t.ts, t.value, z, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val d = t.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = AnomalyState(n1, mean1, st.m2 + d * (t.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

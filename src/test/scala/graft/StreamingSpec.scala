@@ -569,4 +569,42 @@ class StreamingSpec extends SparkSpec {
       assert(latest === Map("1970-01-01" -> 3L, "1970-01-02" -> 1L))
     } finally q.stop()
   }
+
+  test("anomalyStream: causal z-score alerts fire only after minObs, only on spikes") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val alerts = StreamingOps.anomalyStream(input.toDS(), cut = 4.0, minObs = 5L)
+    val q = alerts.writeStream.format("memory").queryName("alert_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // warmup batch: 6 benign ticks around 100 — below/at minObs, and a
+      // spike WITHIN the warmup window that must not fire (only 2 seen
+      // before it — the causal count gate)
+      input.addData(
+        Tick(1L, ts(10), 100.0, 1L), Tick(1L, ts(20), 101.0, 2L),
+        Tick(1L, ts(25), 400.0, 3L), Tick(1L, ts(30), 99.0, 4L),
+        Tick(1L, ts(40), 100.5, 5L), Tick(1L, ts(50), 99.5, 6L))
+      q.processAllAvailable()
+      assert(spark.table("alert_sink").count() === 0L)
+
+      // next batch: a benign tick and a clear spike — only the spike fires,
+      // scored against the 6-tick state (n_seen from state, not batch)
+      input.addData(Tick(1L, ts(60), 100.2, 7L), Tick(1L, ts(70), 5000.0, 8L))
+      q.processAllAvailable()
+      val out = spark.table("alert_sink").as[StreamingOps.Alert].collect()
+      assert(out.length === 1)
+      assert(out(0).value === 5000.0)
+      assert(out(0).n_seen === 7L)
+      assert(out(0).z > 4.0)
+
+      // state keeps evolving: another identical spike now scores lower
+      // (the first one inflated σ) but the key's stats remain per-asset —
+      // a different asset with no history emits nothing
+      input.addData(Tick(2L, ts(80), 5000.0, 9L))
+      q.processAllAvailable()
+      assert(spark.table("alert_sink").count() === 1L)
+    } finally q.stop()
+  }
 }
