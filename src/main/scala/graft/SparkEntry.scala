@@ -352,6 +352,12 @@ object SparkEntry {
       Analytics.streaks(Tables.panel(s, dir))),
     "anomaly_mad" -> ((s, dir) =>
       Analytics.anomalyMad(Tables.panel(s, dir))),
+    "event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(Tables.events(s, dir))),
+    "ks_drift" -> ((s, dir) =>
+      Pipeline.ksDrift(Tables.documents(s, dir), "src0", "src3")),
+    "weighted_sample" -> ((s, dir) =>
+      Pipeline.weightedSample(Tables.documents(s, dir))),
     // Bloom prefilter + exact semi-join: result identical to the plain
     // semi-join (the oracle), the bloom only cuts what the fact side
     // shuffles — correctness must not depend on fpp.
@@ -1600,6 +1606,54 @@ object SparkEntry {
          |  FROM m2) t
          |WHERE score IS NOT NULL AND abs(score) > 3.5
          |ORDER BY asset_id, date""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_prev,
+        |  CAST((n * 1000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_pm
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "ks_drift" ->
+      """WITH s AS (
+        |  SELECT n_chars,
+        |         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g1,
+        |         CASE WHEN source = 'src3' THEN 1 ELSE 0 END AS g2
+        |  FROM documents WHERE source IN ('src0', 'src3')),
+        |pv AS (SELECT n_chars, sum(g1) AS c1, sum(g2) AS c2 FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT n_chars,
+        |         sum(c1) OVER (ORDER BY n_chars) AS k1,
+        |         sum(c2) OVER (ORDER BY n_chars) AS k2
+        |  FROM pv),
+        |t AS (SELECT k1, k2, max(k1) OVER () AS n1, max(k2) OVER () AS n2 FROM c),
+        |a AS (
+        |  SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |         CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS d_num
+        |  FROM t)
+        |SELECT n1, n2,
+        |  round(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d_stat,
+        |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_95,
+        |  round(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+        |    > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS drift
+        |FROM a""".stripMargin,
+    "weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+        |                  / 2147483648.0) / n_chars, 6) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars, skey,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, source, n_chars, skey, rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -1734,6 +1734,30 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
+  /** B63 `event_transitions` — first-order Markov transition matrix of
+    * the event stream: for every (prev → next) event-type pair, the
+    * observed count and the per-prev transition probability (per-mille,
+    * integer `div` — engine-exact, the funnel family's convention).
+    * One shuffle on user_id for the lag window; the pair aggregate and
+    * the per-prev normalizing window then run on the (types²)-bounded
+    * reduction — tiny at any corpus size.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("prev_type"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_prev", sum(col("n")).over(wp))
+      .withColumn("prob_pm", expr("(n * 1000) div n_prev"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        col("n_prev"), col("prob_pm"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** B62 `anomaly_mad` — robust per-asset outlier detection on the LWW
     * daily series: flag days whose value sits more than `cut` robust
     * z-units from the asset's median, with the scale estimated by the

@@ -597,4 +597,77 @@ object Pipeline {
       .select(col("doc_id"), col("skey"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** C45 `ks_drift` — two-sample Kolmogorov–Smirnov drift test between
+    * the length distributions of two corpus sources: D = max |ECDF_A −
+    * ECDF_B|, the standard "did this source's shape change" monitor a
+    * continuously-ingesting corpus runs per snapshot.
+    *
+    * Scale shape: lengths aggregate to one row per DISTINCT length
+    * first (bounded by the max document length — a format constant,
+    * not corpus size), so the single-partition cumulative window that
+    * follows runs over a bounded set no matter how many documents
+    * exist — same bounded-global-window argument as advance_decline.
+    *
+    * Determinism: the max is taken over the INTEGER cross-products
+    * |k_A·n_B − k_B·n_A| (no per-row FP), divided and rounded once at
+    * the end; the 95% critical value uses only IEEE-exact ops (sqrt is
+    * correctly rounded by spec), so the drift boolean is engine-stable.
+    */
+  def ksDrift(documents: DataFrame, sourceA: String, sourceB: String): DataFrame = {
+    val perVal = documents
+      .filter(col("source").isin(sourceA, sourceB))
+      .select(col("n_chars"),
+        when(col("source") === sourceA, 1L).otherwise(0L).as("g1"),
+        when(col("source") === sourceB, 1L).otherwise(0L).as("g2"))
+      .groupBy(col("n_chars"))
+      .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+    val wCum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perVal
+      .select(col("n_chars"),
+        sum(col("c1")).over(wCum).as("k1"),
+        sum(col("c2")).over(wCum).as("k2"))
+      .select(col("k1"), col("k2"),
+        max(col("k1")).over(wAll).as("n1"),
+        max(col("k2")).over(wAll).as("n2"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"),
+        round(col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("d_stat"),
+        round(lit(1.358) *
+          sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double")), 6).as("crit_95"))
+      .withColumn("drift", col("d_stat") > col("crit_95"))
+  }
+
+  /** C46 `weighted_sample` — deterministic weighted sampling without
+    * replacement, k docs per source, weight = document length: the
+    * Efraimidis–Spirakis scheme with the pow swapped for its monotone
+    * log form (key = ln(u)/w orders exactly as u^(1/w); `pow` is the
+    * one libm op JVM and C disagree on in the last ulp — see the ewma
+    * kernel note — while `ln` of the same rational u is stable, and the
+    * key is micro-rounded with a doc_id tie-break so the top-k frontier
+    * is engine-exact). u comes from the Knuth hash of doc_id, NOT
+    * rand(): resharding, retries and incremental re-runs keep every
+    * selection (the sample_split argument).
+    *
+    * Scale: map-only key computation + per-source top-k window — the
+    * topk_per_group shape, no global ordering anywhere.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
+    val u = (h + lit(1L)).cast("double") / lit(2147483648.0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(log(u) / col("n_chars"), 6).as("skey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("source"), col("rk"))
+  }
 }

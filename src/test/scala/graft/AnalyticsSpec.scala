@@ -834,6 +834,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("score")) > 100)
   }
 
+  test("event_transitions counts ordered pairs per user with per-prev prob") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, t("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, t("2024-01-01 10:02:00"), 3L, "click"),
+      (2L, t("2024-01-01 10:00:00"), 4L, "view"),
+      (2L, t("2024-01-01 10:01:00"), 5L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_prev"), r.getAs[Long]("prob_pm"))).toMap
+    assert(out(("view", "click")) === ((1L, 2L, 500L)))
+    assert(out(("view", "purchase")) === ((1L, 2L, 500L)))
+    assert(out(("click", "click")) === ((1L, 1L, 1000L)))
+    assert(out.size === 3) // cross-user boundary pairs never counted
+  }
+
   test("anomaly_mad: constant series (MAD 0) flags nothing") {
     val p = (0 until 5).map { i =>
       (1L, d(f"2024-01-${i + 1}%02d"), ts(i * 100 + 10), 42.0, i.toLong)

@@ -343,4 +343,48 @@ class PipelineSpec extends SparkSpec {
     val plan = Pipeline.qualitySignals(docs).queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, plan)
   }
+
+  test("ks_drift: identical samples score D=0, disjoint samples score D=1") {
+    val same = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 100L + (i % 5))
+    }.toDF("doc_id", "source", "n_chars")
+    val r0 = Pipeline.ksDrift(same, "a", "b").collect()(0)
+    assert(r0.getAs[Double]("d_stat") === 0.0)
+    assert(!r0.getAs[Boolean]("drift"))
+
+    val apart = ((1 to 20).map(i => (i.toLong, "a", 100L + i)) ++
+      (21 to 40).map(i => (i.toLong, "b", 1000L + i)))
+      .toDF("doc_id", "source", "n_chars")
+    val r1 = Pipeline.ksDrift(apart, "a", "b").collect()(0)
+    assert(r1.getAs[Double]("d_stat") === 1.0)   // fully separated ECDFs
+    assert(r1.getAs[Long]("n1") === 20L && r1.getAs[Long]("n2") === 20L)
+    assert(r1.getAs[Boolean]("drift"))
+  }
+
+  test("weighted_sample: deterministic top-k per source, ordered by key") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"src${i % 2}", 50L + i * 7 % 400)
+    }.toDF("doc_id", "source", "n_chars")
+    val a = Pipeline.weightedSample(docs, k = 5).collect()
+    val b = Pipeline.weightedSample(docs, k = 5).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // replayable
+    assert(a.length === 10)
+    Seq("src0", "src1").foreach { s =>
+      val rows = a.filter(_.getAs[String]("source") == s)
+      assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to 5L))
+      val keys = rows.map(_.getAs[Double]("skey")).toSeq
+      assert(keys === keys.sorted.reverse) // rank follows the E-S key
+    }
+  }
+
+  test("weighted_sample: a vastly heavier doc beats a uniform field") {
+    // One 10^6-char doc among 1-char docs: its key ln(u)/w is ~0 (the
+    // maximum possible); any 1-char doc needs u > e^{-1e-6·|ln u_h|} —
+    // effectively u ≈ 1 — to beat it. With this fixed hash none does.
+    val docs = ((1 to 30).map(i => (i.toLong, "s", 1L)) :+ (31L, "s", 1000000L))
+      .toDF("doc_id", "source", "n_chars")
+    val top = Pipeline.weightedSample(docs.toDF("doc_id", "source", "n_chars"), k = 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("doc_id") === 31L)
+  }
 }
