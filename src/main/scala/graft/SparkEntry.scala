@@ -412,6 +412,18 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir), (0L until 20L).toSeq, k = 10)),
+    "containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), k = 8, threshold = 0.5, maxDf = 100L)),
+    "domain_mix" -> ((s, dir) =>
+      Pipeline.domainMix(Tables.documents(s, dir))),
+    "parkinson_vol" -> ((s, dir) =>
+      Analytics.parkinsonVol(Tables.panel(s, dir))),
+    "amihud" -> ((s, dir) =>
+      Analytics.amihud(Tables.panel(s, dir))),
+    "risk_parity" -> ((s, dir) =>
+      Analytics.riskParity(Tables.panel(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -1732,6 +1744,60 @@ object SparkEntry {
         |         round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "containment" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(c / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "knn_classify" ->
+      """WITH t AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.label AS label,
+        |         unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id BETWEEN 0 AND 19),
+        |c AS (
+        |  SELECT q_id, vec_id, label, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  FROM t GROUP BY q_id, vec_id, label),
+        |r AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |    FROM c) z WHERE rank <= 10),
+        |v AS (SELECT q_id, label, count(*) AS votes FROM r GROUP BY q_id, label),
+        |p AS (
+        |  SELECT q_id, label AS pred_label, votes FROM (
+        |    SELECT q_id, label, votes,
+        |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rn
+        |    FROM v) z WHERE rn = 1)
+        |SELECT p.q_id, e.label AS true_label, p.pred_label, p.votes
+        |FROM p JOIN embeddings e ON e.vec_id = p.q_id
+        |ORDER BY p.q_id""".stripMargin,
+    "domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources
+        |  FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(CAST(n_tokens AS DOUBLE) / total_tokens * 1000000 + 0.5) / 1000000 AS token_share,
+        |  floor(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) * 1000000 + 0.5) / 1000000 AS weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     // Integer PageRank over the ngram-jaccard near-dup graph: the pairs
     // CTE replays ngram_jaccard verbatim (same rounding-before-threshold),
     // then 3 fixed message-passing rounds in micro-unit integer
@@ -2703,6 +2769,74 @@ object SparkEntry {
          |SELECT asset_id, date, ret,
          |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
          |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
+    // 2.772588722239781 = 4·ln2, the same literal the operator embeds —
+    // neither engine evaluates ln(2) at runtime.
+    "parkinson_vol" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, round(ln(high / low) * ln(high / low), 6) AS x
+         |  FROM bars WHERE low > 0),
+         |f AS (
+         |  SELECT asset_id, date, x,
+         |         list(x) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b)
+         |SELECT asset_id, date, x,
+         |  floor(sqrt(list_reduce(list_prepend(0.0, arr), (a, y) -> a + y)
+         |        / (2.772588722239781 * len(arr))) * 1000000 + 0.5) / 1000000 AS pv
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    // All-integer micro-unit replay: |ret|/n_ticks lands exactly on
+    // half-micro boundaries (6-decimal ÷ power of two), where the two
+    // engines' float round() disagree — so the ratio rounds in integer
+    // space and the rolling mean is an integer window sum.
+    "amihud" ->
+      s"""$panelCte,
+         |$barsCte,
+         |r AS (
+         |  SELECT asset_id, date, n_ticks,
+         |         round(close / nullif(lag(close) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |  FROM bars),
+         |r2 AS (
+         |  SELECT asset_id, date, n_ticks, ret,
+         |         (abs(CAST(round(ret * 1000000) AS BIGINT)) * 2 + n_ticks) // (2 * n_ticks) AS xim
+         |  FROM r WHERE ret IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date, ret, n_ticks,
+         |         sum(xim) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sm,
+         |         count(*) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+         |  FROM r2)
+         |SELECT asset_id, date, ret, n_ticks,
+         |  CAST((2 * sm + cnt) // (2 * cnt) AS DOUBLE) / 1000000 AS illiq
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "risk_parity" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f),
+         |v AS (
+         |  SELECT asset_id, date,
+         |         round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |  FROM g WHERE n >= 2),
+         |iv AS (SELECT asset_id, date, vol, 1.0 / vol AS iv FROM v WHERE vol > 0),
+         |sums AS (
+         |  SELECT date,
+         |         list_reduce(list_prepend(0.0, list(iv ORDER BY asset_id)), (a, y) -> a + y) AS ivsum
+         |  FROM iv GROUP BY date)
+         |SELECT date, asset_id, vol,
+         |  floor(iv / ivsum * 1000000 + 0.5) / 1000000 AS weight
+         |FROM iv JOIN sums USING (date) ORDER BY date, asset_id""".stripMargin,
     // Exact windowed median replayed STRUCTURALLY (sorted frame list,
     // middle element, IEEE (a+b)/2 for even frames) rather than via
     // DuckDB's median() — whose even-frame interpolation a+(b-a)/2 can

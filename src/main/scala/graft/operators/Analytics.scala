@@ -926,7 +926,14 @@ object Analytics {
     * sqrt is IEEE-exact on identical input. One shuffle on asset_id
     * (shared by LWW, the lag and the frame window).
     */
-  def rollingVol(panel: DataFrame, window: Int = 20): DataFrame = {
+  def rollingVol(panel: DataFrame, window: Int = 20): DataFrame =
+    rollingVolCore(panel, window).orderBy(col("asset_id"), col("date"))
+
+  /** [[rollingVol]] without the presentation sort — the input to
+    * composites ([[riskParity]]) that immediately re-shuffle and would
+    * otherwise pay for a global sort the next exchange destroys.
+    */
+  private[graft] def rollingVolCore(panel: DataFrame, window: Int): DataFrame = {
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
@@ -945,7 +952,6 @@ object Analytics {
       .withColumn("vol", round(sqrt(greatest(
         (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))), 6))
       .select(col("asset_id"), col("date"), col("ret"), col("vol"))
-      .orderBy(col("asset_id"), col("date"))
   }
 
   /** B37 `rolling_median` — N-day rolling EXACT median of the LWW daily
@@ -1789,5 +1795,103 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("value"),
         col("med"), col("mad"), col("score"))
       .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** 4·ln2 — the Parkinson estimator's normalizer, embedded as the same
+    * decimal literal in the operator and its oracle so neither engine
+    * evaluates `ln(2)` at runtime.
+    */
+  private val FourLn2 = 2.772588722239781
+
+  /** B64 `parkinson_vol` — Parkinson range-based volatility over the
+    * daily bars: per-day x = (ln(high/low))², rolling
+    * σ_P = √(Σ_frame x / (4·ln2·n)). The intraday range carries ~5×
+    * more information per day than close-to-close returns, so the
+    * estimate converges with far fewer days — the standard range-based
+    * estimator next to [[rollingVol]]'s moment window.
+    *
+    * Determinism: x is rounded to 6 decimals BEFORE the compiled frame
+    * fold (the single `ln` call is the same last-ulp contract as
+    * [[Pipeline.weightedSample]]'s log sampling key — round-6 absorbs
+    * it), the fold is sequential over the frame order, and √ is
+    * IEEE-exact. One shuffle on asset_id, shared by the bar aggregate
+    * and the frame window — the [[rollingVol]] plan shape.
+    */
+  def parkinsonVol(panel: DataFrame, window: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val lhl = log(col("high") / col("low"))
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("low") > 0)
+      .withColumn("x", round(lhl * lhl, 6))
+      .withColumn("arr", collect_list(col("x")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .withColumn("pv", u6(sqrt(
+        Kernels.seqFold(col("arr"), "sum") / (lit(FourLn2) * col("n")))))
+      .select(col("asset_id"), col("date"), col("x"), col("pv"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B65 `amihud` — Amihud illiquidity: rolling mean of
+    * |daily return| / daily tick count (the panel's volume proxy —
+    * price impact per unit of activity). High values flag assets whose
+    * price moves a lot on little trading: the classic cross-sectional
+    * liquidity factor.
+    *
+    * ALL-INTEGER micro-unit path: |ret|/n_ticks divides a 6-decimal by
+    * a small integer, which lands EXACTLY on half-micro boundaries
+    * (x.xxxxxx5 is binary-exact when n_ticks is a power of two) — the
+    * one place Spark's and DuckDB's float round() genuinely disagree
+    * (measured: 12 flipped rows at sf0.01). So the ratio is rounded in
+    * integer space — (2·|ret_micro| + n) div 2n — the rolling mean is
+    * an INTEGER window sum (exact under any order, no fold kernel
+    * needed), and the final mean rounds the same way: (2·Σ + cnt) div
+    * 2cnt. Same single-shuffle frame shape as [[rollingVol]].
+    */
+  def amihud(panel: DataFrame, window: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = w.rowsBetween(-(window - 1), Window.currentRow)
+    val prev = lag(col("close"), 1).over(w)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ret", round(col("close") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .withColumn("xim", expr("(abs(ret_micro) * 2 + n_ticks) div (2 * n_ticks)"))
+      .withColumn("sm", sum(col("xim")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("illiq",
+        expr("(2 * sm + cnt) div (2 * cnt)").cast("double") / lit(1000000.0))
+      .select(col("asset_id"), col("date"), col("ret"), col("n_ticks"), col("illiq"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B66 `risk_parity` — inverse-volatility portfolio weights per date:
+    * w_i = (1/σ_i) / Σ_j (1/σ_j) over the assets with a defined
+    * positive [[rollingVol]] that date. The simplest risk-budgeting
+    * allocation (equal risk contribution under zero correlation) — the
+    * portfolio-construction counterpart of [[portfolioNav]]'s fixed
+    * weights.
+    *
+    * The cross-sectional Σ 1/σ folds ONCE per date over the
+    * asset_id-sorted array (the [[xsecZscore]] trick — no O(assets²)
+    * full-frame window), and the tiny (date, Σ) table broadcasts back.
+    * Two shuffles total: asset_id for the vol windows, date for the
+    * cross-section.
+    */
+  def riskParity(panel: DataFrame, window: Int = 20): DataFrame = {
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val inv = rollingVolCore(panel, window)
+      .filter(col("vol") > 0)
+      .withColumn("iv", lit(1.0) / col("vol"))
+    val sums = inv
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("iv")))),
+        s => s("iv")).as("arr"))
+      .select(col("date"), Kernels.seqFold(col("arr"), "sum").as("ivsum"))
+    inv.join(broadcast(sums), Seq("date"))
+      .withColumn("weight", u6(col("iv") / col("ivsum")))
+      .select(col("date"), col("asset_id"), col("vol"), col("weight"))
+      .orderBy(col("date"), col("asset_id"))
   }
 }

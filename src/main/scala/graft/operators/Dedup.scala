@@ -454,7 +454,39 @@ object Dedup {
     * spec-asserted either way.
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
-                        maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame = {
+                        maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame =
+    shinglePairCounts(documents, k, threshold, maxDf, prefixFilter)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** C49 `containment` — n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|)
+    * ≥ threshold. Jaccard penalizes length mismatch (a paragraph quoted
+    * verbatim inside a long article scores near 0), so containment is
+    * the detector for subset duplication — quotes, boilerplate
+    * inclusion, truncated copies. Same inverted-index candidate build
+    * and df cap as [[ngramJaccardPairs]] (one shared shuffle shape);
+    * only the score differs. PPJoin prefix pruning is jaccard-specific
+    * and stays off here.
+    */
+  def containmentPairs(documents: DataFrame, k: Int = 8, threshold: Double = 0.5,
+                       maxDf: Long = Long.MaxValue): DataFrame =
+    shinglePairCounts(documents, k, threshold, maxDf, prefixFilter = false)
+      .withColumn("containment",
+        round(col("inter") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The shared candidate/intersection build behind [[ngramJaccardPairs]]
+    * and [[containmentPairs]]: (doc_a, doc_b, inter, sz_a, sz_b) for
+    * every pair sharing ≥ 1 surviving shingle. `threshold` is used only
+    * by the jaccard-specific prefix-filter branch.
+    */
+  private def shinglePairCounts(documents: DataFrame, k: Int, threshold: Double,
+                                maxDf: Long, prefixFilter: Boolean): DataFrame = {
     // collect_list perf note: ObjectHashAggregate falls back to
     // sort-based aggregation after 128 distinct keys per task — the
     // fallback threshold is raised to 128k at SESSION setup
@@ -518,11 +550,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** C33 `sim_pagerank` — authority scores over the near-dup similarity

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -642,6 +642,36 @@ object Pipeline {
           sqrt((col("n1") + col("n2")).cast("double") /
             (col("n1") * col("n2")).cast("double")), 6).as("crit_95"))
       .withColumn("drift", col("d_stat") > col("crit_95"))
+  }
+
+  /** C51 `domain_mix` — the mixture-planning report behind every
+    * multi-source training run: per source, document and token counts,
+    * the source's share of corpus tokens, and the per-document sampling
+    * weight that would rebalance the corpus to a UNIFORM token mixture
+    * (weight = target_share / actual_share = total / (n_sources ·
+    * source_tokens)). Feed the weights to [[mixtureSample]] /
+    * [[weightedSample]] to realize the plan. All counts are integer
+    * sums (exact under any aggregation order); the two derived ratios
+    * are single IEEE divisions of integers, micro-unit rounded. One
+    * scan + one tiny aggregate; the corpus-wide totals broadcast back
+    * onto the per-source rows.
+    */
+  def domainMix(documents: DataFrame): DataFrame = {
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val perSource = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFns.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+    val totals = perSource
+      .agg(sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("token_share",
+        u6(col("n_tokens").cast("double") / col("total_tokens")))
+      .withColumn("weight",
+        u6(col("total_tokens").cast("double") / (col("n_sources") * col("n_tokens"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("weight"))
+      .orderBy(col("source"))
   }
 
   /** C46 `weighted_sample` — deterministic weighted sampling without

@@ -59,6 +59,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** C50 `knn_classify` — k-nearest-neighbor label prediction over the
+    * embedding space: majority vote among the top-k cosine neighbors
+    * ([[cosineTopK]]), ties broken (votes desc, label asc) so the
+    * prediction is deterministic. The evaluation primitive for "is this
+    * embedding column any good?" — label agreement of neighbors — and
+    * the zero-training classifier for corpus labeling. Costs one
+    * [[cosineTopK]] plus joins on the |q|·k result: the corpus is
+    * scanned once; everything downstream is query-set-sized. At scale
+    * swap the brute-force top-k for [[graft.operators.Ivf.search]] —
+    * the vote logic is identical.
+    */
+  def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = cosineTopK(embeddings, queryIds, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), Seq("q_id"))
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** C5 `dedup_embedding` — near-dup pairs with cosine ≥ threshold.
     *
     * Exact all-pairs, computed TILED: vectors are grouped into id-hashed

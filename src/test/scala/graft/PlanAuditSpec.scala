@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     "pmi_bigrams",      // pair counts ⨝ broadcast(1-row bigram total)
     "mixture_sample",   // source counts ⨝ broadcast(1-row corpus total)
     "dedup_embedding",  // block-tiled all-pairs: broadcast block spine
-    "ann_recall_report") // contains ann_topk's corpus ⨝ broadcast(5 probes)
+    "ann_recall_report", // contains ann_topk's corpus ⨝ broadcast(5 probes)
+    "knn_classify",     // corpus ⨝ broadcast(20 probe vectors)
+    "domain_mix")       // per-source rows ⨝ broadcast(1-row corpus totals)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"

@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Dedup, Pipeline, Similarity}
+
+/** Specs for the round-5 session-4 operators: containment pairs,
+  * k-NN label voting, domain mixture planning, Parkinson volatility,
+  * Amihud illiquidity, inverse-vol risk-parity weights.
+  */
+class Session5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  // --- containment ---------------------------------------------------
+
+  test("containment finds a short doc embedded in a long one that jaccard misses") {
+    val short0 = "alpha beta gamma delta epsilon zeta"
+    val long1 = "PREFIX " * 20 + short0 + " SUFFIX" * 20
+    val docs = Seq((0L, short0), (1L, long1), (2L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, k = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 8-gram of the short doc appears verbatim inside the long doc
+    assert(cont.toSeq === Seq((0L, 1L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.9).collect()
+    assert(jac.isEmpty, "jaccard at 0.9 must NOT pair docs of very different length")
+  }
+
+  test("containment equals |A∩B| / min(|A|,|B|) on a hand-computed pair") {
+    // k=2 shingles: "ab","bc","cd" vs "ab","bc" → inter 2, min size 2 → 1.0
+    val docs = Seq((0L, "abcd"), (1L, "abc")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, k = 2, threshold = 0.5).collect()
+    assert(out.length === 1 && out(0).getDouble(2) === 1.0)
+  }
+
+  // --- knn_classify --------------------------------------------------
+
+  test("knnClassify votes the majority label of the neighbors") {
+    // query 0 sits among three label-7 vectors and one label-9
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.99f, 0.14f), 7),
+      (2L, Array(0.98f, 0.2f), 7),
+      (3L, Array(0.97f, 0.24f), 9),
+      (4L, Array(0.0f, 1.0f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, Seq(0L), k = 3).collect()(0)
+    assert(out.getInt(1) === 7)  // true_label
+    assert(out.getInt(2) === 7)  // pred_label: 2 of 3 neighbors are label 7
+    assert(out.getLong(3) === 2L)
+  }
+
+  test("knnClassify breaks vote ties by the smaller label") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.14f), 4),
+      (2L, Array(0.98f, 0.2f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, Seq(0L), k = 2).collect()(0)
+    assert(out.getInt(2) === 2, "1-1 tie must resolve to the smaller label")
+  }
+
+  // --- domain_mix ----------------------------------------------------
+
+  test("domainMix computes shares and uniform-rebalance weights") {
+    val docs = Seq(
+      (0L, "one two three", "web"),   // 3 tokens
+      (1L, "four five six", "web"),   // 3 tokens
+      (2L, "seven eight", "books"))   // 2 tokens
+      .toDF("doc_id", "text", "source")
+    val out = Pipeline.domainMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // books: 2/8 tokens, target 1/2 → weight = 8/(2*2) = 2.0
+    // web:   6/8 tokens, target 1/2 → weight = 8/(2*6) = 0.666667
+    assert(out.toSeq === Seq(
+      ("books", 1L, 2L, 0.25, 2.0),
+      ("web", 2L, 6L, 0.75, 0.666667)))
+  }
+
+  // --- parkinson_vol -------------------------------------------------
+
+  test("parkinsonVol is zero for flat bars and matches a hand computation") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),  // flat day: high = low = 10
+      (1L, "2024-01-02", 210, 10.0, 2L),
+      (1L, "2024-01-02", 220, 12.1, 3L))  // range day: ln(12.1/10)²
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.parkinsonVol(panel).collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(3)))
+    assert(out(0) === ("2024-01-01", 0.0))
+    // day 2: x = round(ln(1.21)², 6) = 0.036362; frame = [0, 0.036362]
+    // pv = √(0.036362 / (4·ln2 · 2)) = 0.080978…
+    val x = math.round(math.pow(math.log(1.21), 2) * 1e6) / 1e6
+    val exp = math.floor(math.sqrt(x / (2.772588722239781 * 2)) * 1e6 + 0.5) / 1e6
+    assert(out(1)._2 === exp)
+  }
+
+  test("parkinsonVol drops non-positive-price days from the frame") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, -5.0, 1L),
+      (1L, "2024-01-01", 120, 10.0, 2L),  // low = -5 → day excluded
+      (1L, "2024-01-02", 210, 10.0, 3L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.parkinsonVol(panel).collect()
+    assert(out.map(_.getDate(1).toString).toSeq === Seq("2024-01-02"))
+  }
+
+  // --- amihud --------------------------------------------------------
+
+  test("amihud divides |return micro-units| by tick count, integer-rounded") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-02", 210, 11.0, 2L),  // ret = 0.1, 2 ticks that day
+      (1L, "2024-01-02", 220, 11.0, 3L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.amihud(panel).collect()
+    // xim = (100000·2 + 2) div 4 = 50000; illiq = (2·50000 + 1) div 2 = 50000 → 0.05
+    assert(out.length === 1)
+    assert(out(0).getDouble(4) === 0.05)
+  }
+
+  test("amihud hand case: exact half-micro boundary rounds up in both engines") {
+    // ret = 0.000001 over 2 ticks → (1·2 + 2) div 4 = 1 micro (rounds UP from 0.5)
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 1000000.0, 1L),
+      (1L, "2024-01-02", 210, 1000001.0, 2L),
+      (1L, "2024-01-02", 220, 1000001.0, 3L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.amihud(panel).collect()
+    assert(out(0).getDouble(4) === 1.0e-6)
+  }
+
+  // --- risk_parity ---------------------------------------------------
+
+  test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
+    val out = Analytics.riskParity(Tables.panel(spark, "/root/testdata/sf0.001"))
+    val rows = out.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byDate = rows.groupBy(_._1)
+    byDate.foreach { case (_, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"weights must sum to ~1, got $s")
+      // lower vol ⇒ strictly higher weight within a date
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(w => -w).toSeq)
+    }
+  }
+}
