@@ -424,6 +424,14 @@ object SparkEntry {
       Analytics.amihud(Tables.panel(s, dir))),
     "risk_parity" -> ((s, dir) =>
       Analytics.riskParity(Tables.panel(s, dir))),
+    "drawdown_episodes" -> ((s, dir) =>
+      Analytics.drawdownEpisodes(Tables.panel(s, dir))),
+    "tick_imbalance" -> ((s, dir) =>
+      Analytics.tickImbalance(Tables.panel(s, dir))),
+    "dup_by_source" -> ((s, dir) =>
+      Dedup.dupBySource(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
+    "bpe_pairs" -> ((s, dir) =>
+      Pipeline.bpePairs(Tables.documents(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -1762,6 +1770,43 @@ object SparkEntry {
         |         round(c / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dup_by_source" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3)
+        |SELECT least(da.source, db.source) AS src_lo,
+        |       greatest(da.source, db.source) AS src_hi,
+        |       count(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = doc_a
+        |JOIN documents db ON db.doc_id = doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT word FROM w WHERE len(word) >= 2),
+        |p AS (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(word)),
+        |                 i -> substr(word, CAST(i AS INTEGER), 2)))) AS pair
+        |  FROM w2),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "knn_classify" ->
       """WITH t AS (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.label AS label,
@@ -2837,6 +2882,52 @@ object SparkEntry {
          |SELECT date, asset_id, vol,
          |  floor(iv / ivsum * 1000000 + 0.5) / 1000000 AS weight
          |FROM iv JOIN sums USING (date) ORDER BY date, asset_id""".stripMargin,
+    "drawdown_episodes" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |u AS (SELECT asset_id, date, rn, round(value / nullif(peak, 0) - 1, 6) AS dd FROM d),
+         |f AS (
+         |  SELECT asset_id, date, dd,
+         |         rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
+         |  FROM u WHERE dd < 0)
+         |SELECT asset_id, min(date) AS start_date, max(date) AS end_date,
+         |  count(*) AS n_days, min(dd) AS max_drawdown
+         |FROM f GROUP BY asset_id, grp ORDER BY asset_id, start_date""".stripMargin,
+    // buy_pm keeps the integer div numerator NON-NEGATIVE: a signed
+    // (b−s) would hit Spark's truncating div vs DuckDB's flooring //.
+    "tick_imbalance" ->
+      s"""$panelCte,
+         |t AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         lag(value) OVER (PARTITION BY asset_id ORDER BY ts, seq) AS prev
+         |  FROM panel),
+         |s AS (
+         |  SELECT asset_id, date, ts, seq,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN value > prev THEN 1
+         |              WHEN value < prev THEN -1 ELSE 0 END AS d
+         |  FROM t),
+         |c AS (
+         |  SELECT asset_id, date,
+         |         last_value(CASE WHEN d <> 0 THEN d END IGNORE NULLS)
+         |           OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+         |  FROM s),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
+         |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
+         |  FROM c WHERE side IS NOT NULL GROUP BY asset_id, date)
+         |SELECT asset_id, date, buy_ticks, sell_ticks,
+         |  (buy_ticks * 1000) // (buy_ticks + sell_ticks) AS buy_pm,
+         |  2 * ((buy_ticks * 1000) // (buy_ticks + sell_ticks)) - 1000 AS imbalance_pm
+         |FROM g ORDER BY asset_id, date""".stripMargin,
     // Exact windowed median replayed STRUCTURALLY (sorted frame list,
     // middle element, IEEE (a+b)/2 for even frames) rather than via
     // DuckDB's median() — whose even-frame interpolation a+(b-a)/2 can

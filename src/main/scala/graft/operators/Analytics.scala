@@ -1894,4 +1894,64 @@ object Analytics {
       .select(col("date"), col("asset_id"), col("vol"), col("weight"))
       .orderBy(col("date"), col("asset_id"))
   }
+
+  /** B68 `drawdown_episodes` — underwater-episode extraction from the
+    * running-peak series: each maximal run of days with drawdown < 0
+    * becomes one row (start, end, length, depth) — the risk report
+    * behind "how long and how deep were the losing stretches", where
+    * [[drawdown]] gives the raw per-day series. Gaps-and-islands on the
+    * underwater flag (the [[streaks]] rn-difference trick); depth is a
+    * min over rounded drawdowns (order-insensitive → exact
+    * cross-engine for free). All windows and both aggregates share the
+    * single asset_id shuffle.
+    */
+  def drawdownEpisodes(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val runW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val dd = daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", round(
+        col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1, 6))
+      .withColumn("rn", row_number().over(w))
+    dd.filter(col("dd") < 0)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(min(col("date")).as("start_date"), max(col("date")).as("end_date"),
+        count(lit(1)).as("n_days"), min(col("dd")).as("max_drawdown"))
+      .select(col("asset_id"), col("start_date"), col("end_date"),
+        col("n_days"), col("max_drawdown"))
+      .orderBy(col("asset_id"), col("start_date"))
+  }
+
+  /** B69 `tick_imbalance` — tick-rule order-flow classification (Lee–
+    * Ready without quotes, the standard fallback): each tick is a buy
+    * if it traded on an uptick, a sell on a downtick, and INHERITS the
+    * previous side on a zero tick (last non-zero delta carries
+    * forward). Daily per-asset buy/sell counts + buy pressure in
+    * per-mille. ALL-INTEGER outputs; `buy_pm` uses a non-negative
+    * integer `div` (a signed (b−s) numerator would hit Spark
+    * truncating where DuckDB floors) and `imbalance_pm = 2·buy_pm −
+    * 1000` is derived from it. One shuffle on asset_id shared by the
+    * lag, the carry window and the daily aggregate.
+    */
+  def tickImbalance(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    val carryW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    panel.repartition(col("asset_id"))
+      .withColumn("d", when(prev.isNull, lit(null))
+        .otherwise(signum(col("value") - prev).cast("int")))
+      .withColumn("side",
+        last(when(col("d") =!= 0, col("d")), ignoreNulls = true).over(carryW))
+      .filter(col("side").isNotNull)
+      .groupBy(col("asset_id"), col("date"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
+      .withColumn("buy_pm",
+        expr("(buy_ticks * 1000) div (buy_ticks + sell_ticks)"))
+      .withColumn("imbalance_pm", lit(2L) * col("buy_pm") - lit(1000L))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

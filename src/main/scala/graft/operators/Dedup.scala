@@ -480,6 +480,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** C54 `dup_by_source` — cross-source duplication matrix: near-dup
+    * pairs ([[ngramJaccardPairs]]) attributed to their source pair —
+    * WHICH corpora duplicate WHICH (mirror sites, scrape overlap,
+    * wholesale copying) and how much of the duplication is
+    * within-source. The provenance table a corpus audit reads before
+    * deciding which source to drop. Source pairs are unordered
+    * (least/greatest): doc_a < doc_b orders ids, not sources. The
+    * source lookup joins the PAIR set (duplicates-sized, never the
+    * corpus) twice on doc_id — broadcast-sized at any corpus scale.
+    */
+  def dupBySource(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
+                  maxDf: Long = Long.MaxValue): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(documents, k, threshold, maxDf)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
+      .withColumn("src_lo", least(col("source_a"), col("source_b")))
+      .withColumn("src_hi", greatest(col("source_a"), col("source_b")))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
   /** The shared candidate/intersection build behind [[ngramJaccardPairs]]
     * and [[containmentPairs]]: (doc_a, doc_b, inter, sz_a, sz_b) for
     * every pair sharing ≥ 1 surviving shingle. `threshold` is used only

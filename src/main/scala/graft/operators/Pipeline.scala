@@ -674,6 +674,28 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C55 `bpe_pairs` — the counting pass of one BPE merge iteration
+    * (Sennrich et al. 2016): within-word adjacent character pairs
+    * ranked by corpus frequency; the top pair is the next merge a
+    * tokenizer trainer would pick. Count = word INSTANCES containing
+    * the pair (the compiled [[graft.operators.Dedup.shingles]] kernel
+    * emits each word's pair SET — documented deviation from
+    * per-occurrence counting; rankings agree except for heavy
+    * within-word repetition). One scan + explode + a charset²-bounded
+    * aggregate: exactly the map-reduce shape tokenizer training runs at
+    * corpus scale; the global top-k sort runs on the bounded count
+    * table, never the corpus.
+    */
+  def bpePairs(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(graft.operators.Dedup.shingles(col("word"), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** C46 `weighted_sample` — deterministic weighted sampling without
     * replacement, k docs per source, weight = document length: the
     * Efraimidis–Spirakis scheme with the pow swapped for its monotone

@@ -140,6 +140,73 @@ class Session5OpsSpec extends SparkSpec {
     assert(out(0).getDouble(4) === 1.0e-6)
   }
 
+  // --- drawdown_episodes ---------------------------------------------
+
+  test("drawdownEpisodes extracts maximal underwater runs with depth and length") {
+    // series 10, 8, 9, 11, 7: underwater days 2-3 (dd -0.2, -0.1), then
+    // new peak 11, then day 5 underwater (dd -0.363636)
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-02", 210, 8.0, 2L),
+      (1L, "2024-01-03", 310, 9.0, 3L),
+      (1L, "2024-01-04", 410, 11.0, 4L),
+      (1L, "2024-01-05", 510, 7.0, 5L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.drawdownEpisodes(panel).collect()
+      .map(r => (r.getDate(1).toString, r.getDate(2).toString, r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("2024-01-02", "2024-01-03", 2L, -0.2),
+      ("2024-01-05", "2024-01-05", 1L, -0.363636)))
+  }
+
+  // --- tick_imbalance ------------------------------------------------
+
+  test("tickImbalance classifies upticks, downticks and zero-tick inheritance") {
+    // ticks: 10 (no prev), 11 (up), 11 (zero → inherits buy), 9 (down)
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-01", 120, 11.0, 2L),
+      (1L, "2024-01-01", 130, 11.0, 3L),
+      (1L, "2024-01-01", 140, 9.0, 4L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.tickImbalance(panel).collect()(0)
+    assert(out.getLong(2) === 2L)  // buy_ticks: uptick + inherited zero-tick
+    assert(out.getLong(3) === 1L)  // sell_ticks
+    assert(out.getLong(4) === 666L)   // buy_pm = 2000 div 3
+    assert(out.getLong(5) === 332L)   // imbalance_pm = 2·666 − 1000
+  }
+
+  // --- dup_by_source -------------------------------------------------
+
+  test("dupBySource attributes near-dup pairs to unordered source pairs") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, shared, "web"),
+      (1L, shared, "books"),
+      (2L, shared, "web"),
+      (3L, "completely different content with no overlap at all", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupBySource(docs, k = 8, threshold = 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // pairs: (0,1) web-books, (0,2) web-web, (1,2) books-web
+    assert(out.toSeq === Seq(("books", "web", 2L), ("web", "web", 1L)))
+  }
+
+  // --- bpe_pairs -----------------------------------------------------
+
+  test("bpePairs counts word instances containing each character pair") {
+    val docs = Seq((0L, "aba aba cd"), (1L, "aba x")).toDF("doc_id", "text")
+    val out = Pipeline.bpePairs(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // "aba" appears as 3 word instances; its pair SET is {ab, ba}
+    assert(out("ab") === 3L)
+    assert(out("ba") === 3L)
+    assert(out("cd") === 1L)
+    assert(!out.contains("x"), "1-char words are dropped")
+  }
+
   // --- risk_parity ---------------------------------------------------
 
   test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
