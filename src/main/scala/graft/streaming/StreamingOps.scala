@@ -571,6 +571,45 @@ object StreamingOps {
       }
   }
 
+  case class TickSideState(last_value: Double, last_side: Int)
+  case class SidedTick(asset_id: Long, ts: Timestamp, value: Double, side: Int)
+
+  /** D19 `tickRuleStream` — streaming tick-rule order-flow
+    * classification, the continuous face of
+    * [[graft.operators.Analytics.tickImbalance]]: each tick is a buy
+    * (+1) on an uptick, a sell (−1) on a downtick, and inherits the
+    * last non-zero side on a zero tick. Per-asset state is TWO fields
+    * (last value, last side) — O(#assets), no TTL needed. Ticks before
+    * any price move classify as side 0 and are emitted (the batch op
+    * filters them; downstream can). Within a micro-batch rows apply in
+    * (ts, seq) order; cross-batch late data inherits arrival order —
+    * the documented arrival-ordered contract shared with
+    * [[anomalyStream]]/[[ewmaStream]].
+    */
+  def tickRuleStream(ticks: Dataset[Tick]): Dataset[SidedTick] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TickSideState, SidedTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[Tick], state: GroupState[TickSideState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[SidedTick]
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
+            val side =
+              if (st == null) 0
+              else if (t.value > st.last_value) 1
+              else if (t.value < st.last_value) -1
+              else st.last_side
+            out += SidedTick(assetId, t.ts, t.value, side)
+            st = TickSideState(t.value, side)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

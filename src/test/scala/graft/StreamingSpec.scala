@@ -607,4 +607,63 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("alert_sink").count() === 1L)
     } finally q.stop()
   }
+
+  test("tickRuleStream classifies sides with zero-tick inheritance across batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val sided = StreamingOps.tickRuleStream(input.toDS())
+    val q = sided.writeStream.format("memory").queryName("side_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: 10 (no prev → 0), 11 (up), 11 (zero → inherits +1)
+      input.addData(
+        Tick(1L, ts(10), 10.0, 1L), Tick(1L, ts(20), 11.0, 2L),
+        Tick(1L, ts(30), 11.0, 3L))
+      q.processAllAvailable()
+      val b1 = spark.table("side_sink").as[StreamingOps.SidedTick]
+        .collect().sortBy(_.ts.getTime).map(_.side)
+      assert(b1.toSeq === Seq(0, 1, 1))
+
+      // batch 2: state carries the last value/side — 11 (zero → +1), 9 (down)
+      input.addData(Tick(1L, ts(40), 11.0, 4L), Tick(1L, ts(50), 9.0, 5L))
+      q.processAllAvailable()
+      val b2 = spark.table("side_sink").as[StreamingOps.SidedTick]
+        .collect().sortBy(_.ts.getTime).map(_.side)
+      assert(b2.toSeq === Seq(0, 1, 1, 1, -1))
+
+      // per-asset isolation: a fresh asset starts unclassified
+      input.addData(Tick(2L, ts(60), 100.0, 6L))
+      q.processAllAvailable()
+      val a2 = spark.table("side_sink").as[StreamingOps.SidedTick]
+        .collect().filter(_.asset_id == 2L).map(_.side)
+      assert(a2.toSeq === Seq(0))
+    } finally q.stop()
+  }
+
+  test("tickRuleStream matches the batch tickImbalance counts on replayed input") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ticks = Seq(
+      Tick(1L, ts(10), 10.0, 1L), Tick(1L, ts(20), 11.0, 2L),
+      Tick(1L, ts(30), 11.0, 3L), Tick(1L, ts(40), 9.0, 4L),
+      Tick(1L, ts(50), 12.0, 5L))
+    val input = MemoryStream[Tick]
+    val q = StreamingOps.tickRuleStream(input.toDS())
+      .writeStream.format("memory").queryName("side_parity_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ticks.foreach { t => input.addData(t); q.processAllAvailable() }
+      val stream = spark.table("side_parity_sink").as[StreamingOps.SidedTick]
+        .collect().filter(_.side != 0)
+      val (buys, sells) = (stream.count(_.side == 1), stream.count(_.side == -1))
+      val batch = graft.operators.Analytics.tickImbalance(
+        ticks.toDF().withColumn("date", to_date(col("ts"))))
+        .agg(sum("buy_ticks"), sum("sell_ticks")).collect()(0)
+      assert(batch.getLong(0) === buys.toLong && batch.getLong(1) === sells.toLong)
+    } finally q.stop()
+  }
 }
