@@ -432,6 +432,10 @@ object SparkEntry {
       Dedup.dupBySource(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
     "bpe_pairs" -> ((s, dir) =>
       Pipeline.bpePairs(Tables.documents(s, dir))),
+    "var_backtest" -> ((s, dir) =>
+      Analytics.varBacktest(Tables.panel(s, dir))),
+    "shingle_novelty" -> ((s, dir) =>
+      Dedup.shingleNovelty(Tables.documents(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -1807,6 +1811,42 @@ object SparkEntry {
         |  FROM w2),
         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
         |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "var_backtest" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS arr
+         |  FROM rets),
+         |v AS (
+         |  SELECT asset_id, ret, list_sort(arr)[2] AS var_q
+         |  FROM f WHERE len(arr) = 20),
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(CASE WHEN ret < var_q THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+         |  FROM v GROUP BY asset_id)
+         |SELECT asset_id, n_days, n_viol,
+         |  (n_viol * 1000) // n_days AS viol_pm,
+         |  CAST(100 AS BIGINT) AS nominal_pm
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "shingle_novelty" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc
+        |  FROM sh0),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  (n_novel * 1000) // n_shingles AS novelty_pm
+        |FROM g ORDER BY doc_id""".stripMargin,
     "knn_classify" ->
       """WITH t AS (
         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.label AS label,

@@ -1936,6 +1936,39 @@ object Analytics {
     * 1000` is derived from it. One shuffle on asset_id shared by the
     * lag, the carry window and the daily aggregate.
     */
+  /** B70 `var_backtest` — Kupiec-style VaR exceedance backtest: each
+    * day's return is compared against the empirical q-quantile of the
+    * PRECEDING `window` returns (current day excluded — the VaR a desk
+    * would actually have quoted the night before), and per asset the
+    * violation count and per-mille rate come out next to the nominal
+    * rate. The q-quantile follows [[varCvar]]'s convention: k-th
+    * smallest of the sorted frame with k = ceil(n·q) — here n is the
+    * full `window`, so k is a constant and nominal_pm = (k·1000) div n.
+    * A healthy model violates ≈ nominal; materially above flags fat
+    * tails. Comparisons are on 6-decimal-rounded returns (exact
+    * cross-engine); counts are integers. One asset_id shuffle shared
+    * by the LWW window, the lag, the frame and the final aggregate.
+    */
+  def varBacktest(panel: DataFrame, window: Int = 20, q: Double = 0.1): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = w.rowsBetween(-window, -1)
+    val prev = lag(col("value"), 1).over(w)
+    val k = math.ceil(window * q).toInt
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("arr", collect_list(col("ret")).over(frame))
+      .filter(size(col("arr")) === window)
+      .withColumn("var_q", element_at(array_sort(col("arr")), k))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret") < col("var_q"), 1L).otherwise(0L)).as("n_viol"))
+      .withColumn("viol_pm", expr("(n_viol * 1000) div n_days"))
+      .withColumn("nominal_pm", lit((k.toLong * 1000) / window))
+      .orderBy(col("asset_id"))
+  }
+
   def tickImbalance(panel: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
     val carryW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

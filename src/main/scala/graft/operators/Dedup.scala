@@ -503,6 +503,30 @@ object Dedup {
       .orderBy(col("src_lo"), col("src_hi"))
   }
 
+  /** C56 `shingle_novelty` — per-document novelty: the per-mille share
+    * of a doc's shingles whose FIRST corpus witness (min doc_id) is the
+    * doc itself. The redundancy curve of a growing corpus — novelty
+    * falling toward 0 as ingestion proceeds is the quantitative "we're
+    * scraping the same web again" signal, and low-novelty docs are
+    * dedup candidates even when no single pair crosses a similarity
+    * threshold (death by a thousand boilerplate fragments). First
+    * witness is a min WINDOW over the shingle (no self-join — the
+    * jaccard df-cap trick), then one doc_id aggregate: two shuffles,
+    * both on bounded-width keys. Docs shorter than k emit no shingles
+    * and no row (documented).
+    */
+  def shingleNovelty(documents: DataFrame, k: Int = 8): DataFrame = {
+    val wS = Window.partitionBy(col("s"))
+    fanOut(documents)
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .withColumn("first_doc", min(col("doc_id")).over(wS))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pm", expr("(n_novel * 1000) div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared candidate/intersection build behind [[ngramJaccardPairs]]
     * and [[containmentPairs]]: (doc_a, doc_b, inter, sz_a, sz_b) for
     * every pair sharing ≥ 1 surviving shingle. `threshold` is used only

@@ -207,6 +207,36 @@ class Session5OpsSpec extends SparkSpec {
     assert(!out.contains("x"), "1-char words are dropped")
   }
 
+  // --- var_backtest --------------------------------------------------
+
+  test("varBacktest counts violations against the prior-window quantile") {
+    // 22 days: 21 returns; first 20 alternate small ups with two -0.05
+    // crashes; the last return (-0.2) must violate the
+    // 2nd-smallest-of-prior-20 VaR (-0.05)
+    val vals = (0 until 22).map { i =>
+      if (i == 21) 0.8 else if (Set(5, 10)(i)) 0.95 else 1.0 + (i % 2) * 0.01
+    }.scanLeft(100.0)((p, m) => p * m).drop(1)
+    val panel = vals.zipWithIndex.map { case (v, i) =>
+      (1L, new Date(86400000L * (19700 + i)), ts(i + 1), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.varBacktest(panel).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) >= 1L, "the -0.2 crash must breach the prior VaR")
+    assert(out(0).getLong(4) === 100L)  // nominal_pm for k=2, window=20
+  }
+
+  // --- shingle_novelty -----------------------------------------------
+
+  test("shingleNovelty scores first-witness share per doc") {
+    val a = "abcdefghijkl"           // doc 0: all shingles novel
+    val docs = Seq((0L, a), (1L, a), (2L, a + "XYZWVUTS")).toDF("doc_id", "text")
+    val out = Dedup.shingleNovelty(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out(0L) === 1000L)  // every shingle first seen here
+    assert(out(1L) === 0L)     // verbatim copy of doc 0
+    assert(out(2L) > 0L && out(2L) < 1000L)  // shares a's prefix, adds new tail
+  }
+
   // --- risk_parity ---------------------------------------------------
 
   test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
