@@ -436,6 +436,8 @@ object SparkEntry {
       Analytics.varBacktest(Tables.panel(s, dir))),
     "shingle_novelty" -> ((s, dir) =>
       Dedup.shingleNovelty(Tables.documents(s, dir))),
+    "embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -2529,6 +2531,39 @@ object SparkEntry {
         |        - (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))
         |          * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)), 6) AS var_val
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "embedding_drift" ->
+      """WITH x AS (
+        |  SELECT label, e.vec_id % 2 AS half, CAST(g.pos - 1 AS INTEGER) AS pos,
+        |         e.embedding[g.pos]::DOUBLE AS v
+        |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos)),
+        |h AS (
+        |  SELECT label, half, pos, count(*) AS n,
+        |         round(CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS m
+        |  FROM x GROUP BY label, half, pos),
+        |wdt AS (
+        |  SELECT label, pos,
+        |         max(CASE WHEN half = 0 THEN m END) AS m0,
+        |         max(CASE WHEN half = 1 THEN m END) AS m1,
+        |         max(CASE WHEN half = 0 THEN n END) AS cn0,
+        |         max(CASE WHEN half = 1 THEN n END) AS cn1
+        |  FROM h GROUP BY label, pos),
+        |g AS (
+        |  SELECT label, CAST(min(cn0) AS BIGINT) AS n0, CAST(min(cn1) AS BIGINT) AS n1,
+        |         list(m0 ORDER BY pos) AS a0, list(m1 ORDER BY pos) AS a1
+        |  FROM wdt WHERE m0 IS NOT NULL AND m1 IS NOT NULL GROUP BY label),
+        |c AS (
+        |  SELECT label, n0, n1,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a0) + 1),
+        |      i -> a0[i] * a1[i])), (a, y) -> a + y) AS d01,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a0) + 1),
+        |      i -> a0[i] * a0[i])), (a, y) -> a + y) AS d00,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a1) + 1),
+        |      i -> a1[i] * a1[i])), (a, y) -> a + y) AS d11
+        |  FROM g)
+        |SELECT label, n0, n1,
+        |  round(d01 / nullif(sqrt(d00 * d11), 0), 6) AS cos,
+        |  round(1.0 - round(d01 / nullif(sqrt(d00 * d11), 0), 6), 6) AS drift
+        |FROM c ORDER BY label""".stripMargin,
     "twap" ->
       s"""$panelCte,
          |g AS (

@@ -255,6 +255,51 @@ object Similarity {
     * posexplode + one (label, pos)-keyed aggregation — fully map-side
     * combinable, no per-label data skew (dims spread the key space).
     */
+  /** C57 `embedding_drift` — embedding-space drift monitor, the
+    * vector-side mirror of the text pipeline's KS drift test: per
+    * label, the corpus splits into two cohorts (vec_id parity — the
+    * deterministic stand-in for before/after ingestion halves), each
+    * cohort gets a per-dim centroid (decimal-exact sums, the
+    * [[labelCentroids]] machinery), and drift = 1 − cosine between the
+    * two centroids. A drift approaching 1 on a label means the new
+    * half's embeddings moved — re-train the quantizer / re-cluster the
+    * IVF index (the trigger [[graft.operators.Ivf.clusterStats]]'s
+    * balance flag watches from the other side).
+    *
+    * Determinism: decimal-exact per-dim sums → one IEEE division →
+    * round(6); the dot products fold the pos-ordered centroid arrays
+    * sequentially (compiled kernel); √ is IEEE-exact. Scale: one scan
+    * exploded by dim, then everything is (labels·dims)-bounded.
+    */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 15)
+    val halves = embeddings
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(toDouble(col("embedding"))))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("col").cast(dec)).cast("double") / count(lit(1)), 6).as("m"))
+    val wide = halves
+      .groupBy(col("label"), col("pos"))
+      .agg(max(when(col("half") === 0, col("m"))).as("m0"),
+        max(when(col("half") === 1, col("m"))).as("m1"),
+        max(when(col("half") === 0, col("n"))).as("cn0"),
+        max(when(col("half") === 1, col("n"))).as("cn1"))
+      .filter(col("m0").isNotNull && col("m1").isNotNull)
+    val arrs = wide
+      .groupBy(col("label"))
+      .agg(min(col("cn0")).as("n0"), min(col("cn1")).as("n1"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m0")))), s => s("m0")).as("a0"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m1")))), s => s("m1")).as("a1"))
+    val den = sqrt(dot(col("a0"), col("a0")) * dot(col("a1"), col("a1")))
+    arrs
+      .withColumn("cos", round(
+        dot(col("a0"), col("a1")) / when(den === 0, lit(null)).otherwise(den), 6))
+      .withColumn("drift", round(lit(1.0) - col("cos"), 6))
+      .select(col("label"), col("n0"), col("n1"), col("cos"), col("drift"))
+      .orderBy(col("label"))
+  }
+
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 15)
     embeddings

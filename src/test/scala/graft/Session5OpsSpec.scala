@@ -237,6 +237,24 @@ class Session5OpsSpec extends SparkSpec {
     assert(out(2L) > 0L && out(2L) < 1000L)  // shares a's prefix, adds new tail
   }
 
+  // --- embedding_drift -----------------------------------------------
+
+  test("embeddingDrift is ~0 for aligned halves and large for rotated ones") {
+    // label 0: both parities point along x → drift 0
+    // label 1: even ids along x, odd ids along y → cos 0, drift 1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(3.0f, 0.0f), 0), (3L, Array(1.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1),
+      (12L, Array(2.0f, 0.0f), 1), (13L, Array(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.embeddingDrift(emb).collect()
+    val byLabel = rows.map(r => r.getInt(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(byLabel(0)._1 === 1.0 && byLabel(0)._2 === 0.0)
+    assert(byLabel(1)._1 === 0.0 && byLabel(1)._2 === 1.0)
+    assert(rows.forall(r => r.getLong(1) === 2L && r.getLong(2) === 2L))
+  }
+
   // --- risk_parity ---------------------------------------------------
 
   test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
