@@ -438,6 +438,12 @@ object SparkEntry {
       Dedup.shingleNovelty(Tables.documents(s, dir))),
     "embedding_drift" -> ((s, dir) =>
       Similarity.embeddingDrift(Tables.embeddings(s, dir))),
+    "roll_spread" -> ((s, dir) =>
+      Analytics.rollSpread(Tables.panel(s, dir))),
+    "kyle_lambda" -> ((s, dir) =>
+      Analytics.kyleLambda(Tables.panel(s, dir))),
+    "variance_ratio" -> ((s, dir) =>
+      Analytics.varianceRatio(Tables.panel(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -1833,6 +1839,109 @@ object SparkEntry {
          |  (n_viol * 1000) // n_days AS viol_pm,
          |  CAST(100 AS BIGINT) AS nominal_pm
          |FROM g ORDER BY asset_id""".stripMargin,
+    "roll_spread" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, dp FROM (
+         |    SELECT asset_id, date,
+         |           round(value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 6) AS dp
+         |    FROM daily) t WHERE dp IS NOT NULL),
+         |p AS (SELECT asset_id, list(dp ORDER BY date) AS da, CAST(len(list(dp)) AS INTEGER) AS m
+         |      FROM d GROUP BY asset_id HAVING len(list(dp)) >= 3),
+         |sl AS (
+         |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+         |         list_slice(da, 1, m - 1) AS xa, list_slice(da, 2, m) AS ya
+         |  FROM p),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy
+         |  FROM sl),
+         |c AS (SELECT asset_id, n, (n * sxy - sx * sy) / (n * (n - 1)) AS cov FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
+         |  CASE WHEN cov < 0 THEN round(2.0 * sqrt(-cov), 6) END AS roll_spread
+         |FROM c ORDER BY asset_id""".stripMargin,
+    "kyle_lambda" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |t AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         lag(value) OVER (PARTITION BY asset_id ORDER BY ts, seq) AS prev
+         |  FROM panel),
+         |s AS (
+         |  SELECT asset_id, date, ts, seq,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN value > prev THEN 1
+         |              WHEN value < prev THEN -1 ELSE 0 END AS d
+         |  FROM t),
+         |c AS (
+         |  SELECT asset_id, date,
+         |         last_value(CASE WHEN d <> 0 THEN d END IGNORE NULLS)
+         |           OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+         |  FROM s),
+         |f AS (
+         |  SELECT asset_id, date, sum(side) AS net_flow
+         |  FROM c WHERE side IS NOT NULL GROUP BY asset_id, date),
+         |d2 AS (
+         |  SELECT asset_id, date, dp FROM (
+         |    SELECT asset_id, date,
+         |           round(value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 6) AS dp
+         |    FROM daily) t2 WHERE dp IS NOT NULL),
+         |j AS (
+         |  SELECT d2.asset_id AS asset_id, d2.date AS date, d2.dp AS dp,
+         |         CAST(f.net_flow AS DOUBLE) AS q
+         |  FROM d2 JOIN f ON d2.asset_id = f.asset_id AND d2.date = f.date),
+         |p AS (
+         |  SELECT asset_id, list(q ORDER BY date) AS xa, list(dp ORDER BY date) AS ya,
+         |         CAST(count(*) AS DOUBLE) AS n
+         |  FROM j GROUP BY asset_id HAVING count(*) >= 3),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2
+         |  FROM p)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0.0), 6) AS kyle_lambda
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "variance_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |sl AS (
+         |  SELECT asset_id, date, ret,
+         |         CASE WHEN count(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 5
+         |              THEN round(sum(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) END AS rk
+         |  FROM rets),
+         |pa AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM sl GROUP BY asset_id),
+         |pk AS (SELECT asset_id, list(rk ORDER BY date) AS rka FROM sl WHERE rk IS NOT NULL GROUP BY asset_id),
+         |p AS (SELECT pa.asset_id AS asset_id, ra, rka,
+         |             CAST(len(ra) AS DOUBLE) AS n1, CAST(len(rka) AS DOUBLE) AS nk
+         |      FROM pa JOIN pk ON pa.asset_id = pk.asset_id
+         |      WHERE len(ra) >= 2 AND len(rka) >= 2),
+         |g AS (
+         |  SELECT asset_id, n1, nk,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s12,
+         |         list_reduce(list_prepend(0.0, rka), (a, x) -> a + x) AS sk,
+         |         list_reduce(list_prepend(0.0, list_transform(rka, x -> x * x)), (a, x) -> a + x) AS sk2
+         |  FROM p),
+         |v AS (
+         |  SELECT asset_id, n1, nk,
+         |         (n1 * s12 - s1 * s1) / (n1 * (n1 - 1)) AS v1,
+         |         (nk * sk2 - sk * sk) / (nk * (nk - 1)) AS vk
+         |  FROM g)
+         |SELECT asset_id, CAST(n1 AS BIGINT) AS n_days, CAST(nk AS BIGINT) AS n_k,
+         |  round(vk / nullif(5.0 * v1, 0.0), 6) AS vr
+         |FROM v ORDER BY asset_id""".stripMargin,
     "shingle_novelty" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

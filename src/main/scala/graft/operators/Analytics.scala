@@ -1987,4 +1987,136 @@ object Analytics {
       .withColumn("imbalance_pm", lit(2L) * col("buy_pm") - lit(1000L))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B72 `roll_spread` — Roll (1984) implied effective spread per
+    * asset: 2·√(−cov(Δp_t, Δp_{t−1})) over the LWW daily close series.
+    * Bid-ask bounce makes successive price CHANGES negatively
+    * serially correlated; the magnitude of that covariance recovers
+    * the spread without ever seeing a quote. Sample covariance via
+    * the same shifted-slice co-moment folds as [[autocorr]]
+    * (compiled, date-ordered — bit-identical replay in the oracle);
+    * NULL when the covariance is non-negative (trending series — the
+    * estimator is undefined, the standard convention). Price changes
+    * are 6-decimal-rounded (deterministic cross-engine); one
+    * asset_id shuffle shared by the LWW window, the lag and the
+    * per-asset fold.
+    */
+  def rollSpread(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("dp", round(col("value") - prev, 6))
+      .filter(col("dp").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("dp")))),
+        s => s("dp")).as("da"))
+      .withColumn("m", size(col("da")))
+      .filter(col("m") >= 3)
+      .withColumn("xa", slice(col("da"), lit(1), col("m") - 1))
+      .withColumn("ya", slice(col("da"), lit(2), col("m") - 1))
+      .withColumn("n", (col("m") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("cov", (n * col("sxy") - col("sx") * col("sy")) / (n * (n - 1)))
+      .withColumn("roll_spread",
+        when(col("cov") < 0, round(lit(2.0) * sqrt(-col("cov")), 6)))
+      .select(col("asset_id"), n.cast("long").as("n_pairs"), col("roll_spread"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B73 `kyle_lambda` — Kyle-style daily price-impact coefficient:
+    * OLS slope of the daily close change Δp on the day's net
+    * tick-rule order flow (buy ticks − sell ticks, the signed-flow
+    * proxy [[tickImbalance]] already classifies — the panel carries
+    * no volume, so flow is in tick units and λ is price-per-net-tick;
+    * documented contract). High λ = illiquid: a unit of net
+    * aggression moves the price more. Flow is ALL-INTEGER; the OLS
+    * folds run over date-ordered arrays (compiled kernels), so the
+    * oracle replays the regression bit-for-bit. Two scans of the
+    * panel (tick-level flow, daily closes) each shuffled once on
+    * asset_id, joined on (asset_id, date) — both sides daily-sized.
+    */
+  def kyleLambda(panel: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    val carryW = tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTick = lag(col("value"), 1).over(tw)
+    val flow = panel.repartition(col("asset_id"))
+      .withColumn("d", when(prevTick.isNull, lit(null))
+        .otherwise(signum(col("value") - prevTick).cast("int")))
+      .withColumn("side",
+        last(when(col("d") =!= 0, col("d")), ignoreNulls = true).over(carryW))
+      .filter(col("side").isNotNull)
+      .groupBy(col("asset_id"), col("date"))
+      .agg(sum(col("side").cast("long")).as("net_flow"))
+    val dw = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val dprev = lag(col("value"), 1).over(dw)
+    val dp = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("dp", round(col("value") - dprev, 6))
+      .filter(col("dp").isNotNull)
+    val n = col("n")
+    dp.join(flow, Seq("asset_id", "date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("dp"),
+        col("net_flow").cast("double").as("q")))).as("h"))
+      .withColumn("xa", transform(col("h"), s => s("q")))
+      .withColumn("ya", transform(col("h"), s => s("dp")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("den", n * col("sx2") - col("sx") * col("sx"))
+      .withColumn("kyle_lambda", round((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("kyle_lambda"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B74 `variance_ratio` — Lo–MacKinlay variance-ratio statistic
+    * VR(k) = Var(k-day return) / (k · Var(1-day return)) per asset:
+    * ≈1 under a random walk, <1 mean-reverting, >1 trending. k-day
+    * returns are OVERLAPPING sliding sums of the 6-decimal daily
+    * returns (same sliding-frame semantics [[Analytics.movingAvg]]
+    * relies on — both engines evaluate the frame left-to-right), each
+    * re-rounded to 6 decimals; both variances are sample variances
+    * via the compiled folds over date-ordered arrays. No
+    * heteroscedasticity correction (documented — the point estimate,
+    * not the test statistic). One asset_id shuffle shared by the LWW
+    * window, the lag, the sliding frame and the per-asset folds.
+    */
+  def varianceRatio(panel: DataFrame, k: Int = 5): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val slide = w.rowsBetween(-(k - 1), 0)
+    def sampleVar(s: Column, s2: Column, n: Column): Column =
+      (n * s2 - s * s) / (n * (n - 1))
+    val n1 = col("n1")
+    val nk = col("nk")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("cnt", count(col("ret")).over(slide))
+      .withColumn("rk", when(col("cnt") === k, round(sum(col("ret")).over(slide), 6)))
+      .groupBy(col("asset_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+          s => s("ret")).as("ra"),
+        transform(array_sort(collect_list(when(col("rk").isNotNull,
+          struct(col("date"), col("rk"))))), s => s("rk")).as("rka"))
+      .withColumn("n1", size(col("ra")).cast("double"))
+      .withColumn("nk", size(col("rka")).cast("double"))
+      .filter(n1 >= 2 && nk >= 2)
+      .withColumn("v1", sampleVar(foldSum(col("ra")), foldSumSq(col("ra")), n1))
+      .withColumn("vk", sampleVar(foldSum(col("rka")), foldSumSq(col("rka")), nk))
+      .withColumn("vr", round(col("vk") /
+        when(col("v1") === 0, lit(null)).otherwise(lit(k.toDouble) * col("v1")), 6))
+      .select(col("asset_id"), n1.cast("long").as("n_days"),
+        nk.cast("long").as("n_k"), col("vr"))
+      .orderBy(col("asset_id"))
+  }
 }

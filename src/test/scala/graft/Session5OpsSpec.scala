@@ -255,6 +255,61 @@ class Session5OpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) === 2L && r.getLong(2) === 2L))
   }
 
+  // --- roll_spread ---------------------------------------------------
+
+  test("rollSpread recovers a spread from bid-ask bounce and nulls on trends") {
+    // asset 1 bounces 100↔101 (pure bid-ask bounce): dps alternate ±1,
+    // 4 shifted pairs → cov = -4/3 → roll = 2·√(4/3) ≈ 2.309401
+    // asset 2 trends monotonically: cov = 0 → estimator undefined → null
+    val bounce = (0 until 6).map(i => (1L, d(f"2024-01-${i + 1}%02d"), ts(i), 100.0 + (i % 2), i.toLong))
+    val trend = (0 until 6).map(i => (2L, d(f"2024-01-${i + 1}%02d"), ts(i), 100.0 + i, (10 + i).toLong))
+    val panel = (bounce ++ trend).toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.rollSpread(panel).collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 1L && math.abs(out(0).getDouble(2) - 2.309401) < 1e-6)
+    assert(out(1).getLong(0) === 2L && out(1).isNullAt(2))
+  }
+
+  // --- kyle_lambda ---------------------------------------------------
+
+  test("kyleLambda recovers the per-tick impact coefficient") {
+    // each day's ticks all move 0.5 in one direction → dp = 0.5·net_flow
+    // exactly, so the OLS slope must be 0.5
+    val flows = Seq(2, -1, 3, 1)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Date, Timestamp, Double, Long)]()
+    var price = 100.0
+    var seq = 0L
+    rows += ((1L, d("2024-01-01"), ts(seq.toInt), price, seq)); seq += 1
+    flows.zipWithIndex.foreach { case (f, day) =>
+      (0 until math.abs(f)).foreach { _ =>
+        price += 0.5 * math.signum(f)
+        rows += ((1L, d(f"2024-01-${day + 2}%02d"), ts(seq.toInt), price, seq)); seq += 1
+      }
+    }
+    val out = Analytics.kyleLambda(rows.toSeq.toDF("asset_id", "date", "ts", "value", "seq")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 4L)
+    assert(out(0).getDouble(2) === 0.5)
+  }
+
+  // --- variance_ratio ------------------------------------------------
+
+  test("varianceRatio flags mean reversion and nulls constant-return series") {
+    // asset 1 alternates up/down multiplicatively → k-day sums cancel →
+    // VR well below 1; asset 2 is flat → every ret exactly 0 → Var1 = 0 → null
+    val alt = (0 until 16).scanLeft(100.0)((p, i) => if (i % 2 == 0) p * 1.01 else p / 1.01)
+    val cst = (0 until 16).scanLeft(100.0)((p, _) => p)
+    val panel =
+      (alt.zipWithIndex.map { case (v, i) => (1L, d(f"2024-01-${i + 1}%02d"), ts(i), v, i.toLong) } ++
+        cst.zipWithIndex.map { case (v, i) => (2L, d(f"2024-01-${i + 1}%02d"), ts(i), v, (100 + i).toLong) })
+        .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.varianceRatio(panel).collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 16L && out(0).getLong(2) === 12L)
+    assert(out(0).getDouble(3) < 0.5, s"alternating series must mean-revert, got ${out(0).getDouble(3)}")
+    assert(out(1).getLong(0) === 2L && out(1).isNullAt(3))
+  }
+
   // --- risk_parity ---------------------------------------------------
 
   test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
