@@ -444,6 +444,8 @@ object SparkEntry {
       Analytics.kyleLambda(Tables.panel(s, dir))),
     "variance_ratio" -> ((s, dir) =>
       Analytics.varianceRatio(Tables.panel(s, dir))),
+    "ulcer_index" -> ((s, dir) =>
+      Analytics.ulcerIndex(Tables.panel(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -1942,6 +1944,27 @@ object SparkEntry {
          |SELECT asset_id, CAST(n1 AS BIGINT) AS n_days, CAST(nk AS BIGINT) AS n_k,
          |  round(vk / nullif(5.0 * v1, 0.0), 6) AS vr
          |FROM v ORDER BY asset_id""".stripMargin,
+    "ulcer_index" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |r AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS rmax
+         |  FROM daily),
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         round(100.0 * (value - rmax) / nullif(rmax, 0), 6) AS dd
+         |  FROM r),
+         |f AS (
+         |  SELECT asset_id, date, value, dd,
+         |         list(dd) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM d)
+         |SELECT asset_id, date, value, dd,
+         |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
+         |    (a, x) -> a + x) / len(arr)), 6) AS ulcer
+         |FROM f ORDER BY asset_id, date""".stripMargin,
     "shingle_novelty" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

@@ -2119,4 +2119,28 @@ object Analytics {
         nk.cast("long").as("n_k"), col("vr"))
       .orderBy(col("asset_id"))
   }
+
+  /** B75 `ulcer_index` — Ulcer Index over the LWW daily series: the
+    * RMS of the percentage drawdown from the `window`-day rolling high
+    * (Martin's downside-pain measure — unlike σ it only punishes
+    * below-peak days). Rolling max is order-insensitive (exact for
+    * free); each day's drawdown is rounded to 6 decimals and the RMS
+    * runs as a compiled sum-of-squares fold over the frame-ordered
+    * drawdown list, so the oracle replays it exactly. Expanding frames
+    * at the series head (the [[atr]] convention). One asset_id shuffle
+    * shared by the LWW window and both rolling frames.
+    */
+  def ulcerIndex(panel: DataFrame, window: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = w.rowsBetween(-(window - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("rmax", max(col("value")).over(frame))
+      .withColumn("dd", round(lit(100.0) * (col("value") - col("rmax")) /
+        when(col("rmax") === 0, lit(null)).otherwise(col("rmax")), 6))
+      .withColumn("arr", collect_list(col("dd")).over(frame))
+      .withColumn("ulcer", round(
+        sqrt(Kernels.seqFold(col("arr"), "sumsq") / size(col("arr"))), 6))
+      .select(col("asset_id"), col("date"), col("value"), col("dd"), col("ulcer"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -310,6 +310,22 @@ class Session5OpsSpec extends SparkSpec {
     assert(out(1).getLong(0) === 2L && out(1).isNullAt(3))
   }
 
+  // --- ulcer_index ---------------------------------------------------
+
+  test("ulcerIndex is the RMS of pct drawdown from the rolling high") {
+    val panel = Seq(
+      (1L, d("2024-01-01"), ts(0), 100.0, 0L),
+      (1L, d("2024-01-02"), ts(1), 90.0, 1L),
+      (1L, d("2024-01-03"), ts(2), 100.0, 2L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.ulcerIndex(panel).collect()
+    assert(out(0).getDouble(3) === 0.0 && out(0).getDouble(4) === 0.0)
+    assert(out(1).getDouble(3) === -10.0)
+    assert(math.abs(out(1).getDouble(4) - 7.071068) < 1e-6)  // √((0+100)/2)
+    assert(out(2).getDouble(3) === 0.0)
+    assert(math.abs(out(2).getDouble(4) - 5.773503) < 1e-6)  // √(100/3)
+  }
+
   // --- risk_parity ---------------------------------------------------
 
   test("riskParity weights are inverse-vol proportional and sum to ~1 per date") {
