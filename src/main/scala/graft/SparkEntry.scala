@@ -446,6 +446,8 @@ object SparkEntry {
       Analytics.varianceRatio(Tables.panel(s, dir))),
     "ulcer_index" -> ((s, dir) =>
       Analytics.ulcerIndex(Tables.panel(s, dir))),
+    "bpe_train" -> ((s, dir) =>
+      Pipeline.bpeTrain(Tables.documents(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -856,7 +858,46 @@ object SparkEntry {
     * are engine-specific by nature); it carries an accuracy-bound spec
     * instead.
     */
+  /** K-iteration replay of [[graft.operators.Pipeline.bpeTrain]]: it0
+    * is the char-split word-frequency table; iteration k counts
+    * adjacent symbol pairs weighted by word freq, takes the
+    * (n DESC, l, r) top-1 and applies the same literal
+    * separator-delimited replace the Spark loop applies. Generated
+    * programmatically so the oracle and the operator agree on K.
+    */
+  private def bpeTrainOracle(merges: Int): String = {
+    val ws = """\s+"""
+    val bref = """\1"""
+    val iters = (1 to merges).map { k =>
+      s"""p$k AS (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, list_filter(str_split(repr, chr(1)), x -> x <> '') AS sym FROM it${k - 1}
+         |  ), LATERAL (SELECT unnest(generate_series(1, len(sym)-1)) AS i)
+         |  GROUP BY 1, 2),
+         |t$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |it$k AS (
+         |  SELECT w.freq, replace(w.repr, chr(1)||t.l||chr(1)||t.r||chr(1),
+         |                         chr(1)||t.l||t.r||chr(1)) AS repr
+         |  FROM it${k - 1} w, t$k t)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, n FROM t$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY word),
+       |it0 AS (
+       |  SELECT freq, chr(1) || regexp_replace(word, '(.)', '$bref' || chr(1), 'g') AS repr
+       |  FROM words),
+       |$iters
+       |SELECT * FROM (
+       |  $finals
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracle(8),
     "asof_point" ->
       s"""$panelCte
          |SELECT asset_id, date, ts, value FROM (

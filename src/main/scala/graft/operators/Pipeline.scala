@@ -722,4 +722,74 @@ object Pipeline {
       .filter(col("rk") <= k)
       .orderBy(col("source"), col("rk"))
   }
+
+  /** C56 `bpe_train` — the full BPE merge-training loop (Sennrich et
+    * al. 2016), not just one counting pass like [[bpePairs]]: K
+    * iterations of (count adjacent symbol pairs weighted by word
+    * frequency -> pick the most frequent pair, ties by pair text ->
+    * rewrite every word's symbol sequence with the merge applied).
+    * Output: the learned merge table in rank order -- exactly what a
+    * tokenizer trainer persists.
+    *
+    * Scale shape: this is how production trainers (HF tokenizers,
+    * sentencepiece) structure it -- ONE corpus-wide scan + shuffle
+    * builds the distinct-word frequency table, and all K iterations
+    * run on that bounded vocabulary table (<< corpus: ~10^7 distinct
+    * words for a 100 TB corpus), persisted once. The driver loop
+    * launches K small jobs; the corpus is never rescanned.
+    *
+    * Symbol sequences are U+0001-separated strings with boundary
+    * separators; a merge of (l, r) is the literal string replace of
+    * `\x01 l \x01 r \x01` with `\x01 lr \x01` -- left-to-right
+    * non-overlapping, which is precisely BPE's greedy leftmost merge
+    * order ("aaa" + merge (a,a) -> ["aa","a"]), and identical in
+    * Spark's `replace` and DuckDB's `replace`, so the oracle replays
+    * all K iterations exactly.
+    */
+  def bpeTrain(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    val words = documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val base = words
+      .select(col("freq"),
+        concat(lit(sep), regexp_replace(col("word"), "(.)", "$1" + sep)).as("repr"))
+      .persist()
+    try {
+      var tbl = base
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var exhausted = false
+      for (k <- 1 to merges if !exhausted) {
+        val top = tbl
+          .select(col("freq"),
+            filter(split(col("repr"), sep), x => x =!= "").as("sym"))
+          .select(col("freq"),
+            explode(zip_with(
+              slice(col("sym"), lit(1), size(col("sym")) - 1),
+              slice(col("sym"), lit(2), size(col("sym")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          val l = row.getString(0)
+          val r = row.getString(1)
+          val n = row.getLong(2)
+          learned += ((k.toLong, l, r, l + r, n))
+          tbl = tbl.withColumn("repr",
+            org.apache.spark.sql.functions.replace(
+              col("repr"), lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
+        }
+      }
+      learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "n")
+        .orderBy(col("merge_rank"))
+    } finally base.unpersist()
+  }
 }

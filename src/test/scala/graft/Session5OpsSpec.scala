@@ -342,4 +342,38 @@ class Session5OpsSpec extends SparkSpec {
       assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(w => -w).toSeq)
     }
   }
+
+  // --- bpe_train -----------------------------------------------------
+
+  test("bpeTrain learns merges in frequency order with greedy leftmost rewrite") {
+    // word freqs: the×4, at-family (cat sat mat hat bat)×5 singles
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the hat and the bat"),
+      (2L, "low lower lowest")).toDF("doc_id", "text")
+    val out = Pipeline.bpeTrain(docs, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // merge 1: (a,t) appears in 5 word instances — beats (t,h)=4
+    assert(out(0) === ((1L, "a", "t", "at", 5L)))
+    // merge 2: (h,e) and (t,h) tie at 4 — (h,e) wins the (l, r) text tie-break
+    assert(out(1) === ((2L, "h", "e", "he", 4L)))
+    // merge 3: (t,he) 4 — the merged symbol participates in later pairs
+    assert(out(2) === ((3L, "t", "he", "the", 4L)))
+  }
+
+  test("bpeTrain merge rewrite is greedy leftmost (aaa -> [aa, a])") {
+    val docs = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val out = Pipeline.bpeTrain(docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    // iteration 1: pair (a,a) counted at both adjacent positions = 2·2
+    assert(out(0) === ((1L, "aa", 4L)))
+    // after the greedy rewrite each word is [aa, a]: pair (aa, a) ×2
+    assert(out(1) === ((2L, "aaa", 2L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    val out = Pipeline.bpeTrain(docs, merges = 5).collect()
+    assert(out.isEmpty, "single-char words have no adjacent pairs")
+  }
 }
