@@ -448,6 +448,12 @@ object SparkEntry {
       Analytics.ulcerIndex(Tables.panel(s, dir))),
     "bpe_train" -> ((s, dir) =>
       Pipeline.bpeTrain(Tables.documents(s, dir))),
+    "sortino" -> ((s, dir) =>
+      Analytics.sortino(Tables.panel(s, dir))),
+    "calmar" -> ((s, dir) =>
+      Analytics.calmar(Tables.panel(s, dir))),
+    "cusum" -> ((s, dir) =>
+      Analytics.cusum(Tables.panel(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -898,6 +904,74 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
+    "sortino" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(list_transform(ra, x -> least(x, 0.0)), x -> x * x)),
+         |           (a, x) -> a + x) AS d2
+         |  FROM p WHERE len(ra) >= 2),
+         |h AS (SELECT asset_id, n, s, sqrt(d2 / n) AS dd FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(s / n, 6) AS mean_ret,
+         |  round(dd, 6) AS downside_dev,
+         |  round((s / n) / nullif(dd, 0.0), 6) AS sortino
+         |FROM h ORDER BY asset_id""".stripMargin,
+    "calmar" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |pk AS (
+         |  SELECT asset_id, date, value,
+         |         round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM daily),
+         |d AS (SELECT asset_id, date, ret,
+         |             round((value - peak) / nullif(peak, 0), 6) AS dd FROM pk),
+         |g AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) FILTER (WHERE ret IS NOT NULL) AS ra,
+         |         min(dd) AS max_dd
+         |  FROM d GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n, max_dd,
+         |         round(list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) / CAST(len(ra) AS DOUBLE), 6) AS mean_ret
+         |  FROM g WHERE len(ra) >= 2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, mean_ret, max_dd,
+         |  round(mean_ret * 252.0 / nullif(abs(max_dd), 0.0), 6) AS calmar
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "cusum" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |u AS (
+         |  SELECT asset_id, date, ret,
+         |         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS ret_u
+         |  FROM rets),
+         |c AS (
+         |  SELECT asset_id, date, ret,
+         |         sum(ret_u - 2500) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |         sum(ret_u + 2500) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+         |  FROM u),
+         |s AS (
+         |  SELECT asset_id, date, ret,
+         |         cp - least(0, min(cp) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_pos,
+         |         cn - greatest(0, max(cn) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_neg
+         |  FROM c)
+         |SELECT asset_id, date, ret,
+         |  CAST(s_pos AS DOUBLE) / 1000000.0 AS s_pos,
+         |  CAST(s_neg AS DOUBLE) / 1000000.0 AS s_neg,
+         |  (s_pos > 30000 OR s_neg < -30000) AS alarm
+         |FROM s ORDER BY asset_id, date""".stripMargin,
     "asof_point" ->
       s"""$panelCte
          |SELECT asset_id, date, ts, value FROM (

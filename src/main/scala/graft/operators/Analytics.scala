@@ -2143,4 +2143,101 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("value"), col("dd"), col("ulcer"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B69 `sortino` — downside-risk-adjusted return per asset: mean
+    * daily return over the downside deviation sqrt(Σ min(ret,0)² / n)
+    * (target return 0). Same shape as [[sharpe]] — one shuffle to the
+    * per-asset return array, folds over the date-ordered array so the
+    * double sums are sequential and engine-exact; the downside clip is
+    * a per-element `least` the oracle replays with `list_transform`.
+    */
+  def sortino(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("d2", foldSumSq(transform(col("ra"), x => least(x, lit(0.0)))))
+      .withColumn("dd", sqrt(col("d2") / n))
+      .withColumn("sortino", round((col("s") / n) /
+        when(col("dd") === 0, lit(null)).otherwise(col("dd")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        round(col("s") / n, 6).as("mean_ret"),
+        round(col("dd"), 6).as("downside_dev"), col("sortino"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B70 `calmar` — annualized mean return over the magnitude of the
+    * maximum drawdown (all-time running peak, not [[ulcerIndex]]'s
+    * rolling window). The drawdown side needs NO float folds: running
+    * peak is a cumulative window max and max-drawdown a plain min of
+    * the micro-rounded per-day drawdowns — order-independent in any
+    * engine; only the mean return reuses the sequential-fold idiom.
+    */
+  def calmar(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("peak", max(col("value")).over(cum))
+      .withColumn("dd", round((col("value") - col("peak")) /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")), 6))
+      .groupBy(col("asset_id"))
+      .agg(
+        transform(array_sort(collect_list(when(col("ret").isNotNull,
+          struct(col("date"), col("ret"))))), s => s("ret")).as("ra"),
+        min(col("dd")).as("max_dd"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("mean_ret", round(foldSum(col("ra")) / n, 6))
+      .withColumn("calmar", round(col("mean_ret") * lit(252.0) /
+        when(abs(col("max_dd")) === 0, lit(null)).otherwise(abs(col("max_dd"))), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        col("mean_ret"), col("max_dd"), col("calmar"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B71 `cusum` — two-sided CUSUM change-point detection on daily
+    * returns (Page 1954): s⁺_t = max(0, s⁺_{t−1} + r_t − k),
+    * s⁻_t = min(0, s⁻_{t−1} + r_t + k), alarm when either breaches ±h.
+    *
+    * The recursion is NOT run as a stateful fold: with C'_t = Σ(r−k)
+    * the identity s⁺_t = C'_t − min(0, cummin C'_t) (and dually for
+    * s⁻) turns it into cumulative-sum + cumulative-extremum windows.
+    * Returns are micro-unit INTEGERS (floor(r·10⁶+0.5), the amihud
+    * rule) so the running sums are exact in any accumulation order —
+    * no sequential-fold kernel, plain windows, scales as one shuffle
+    * on asset_id. k and h are given in micro-units.
+    */
+  def cusum(panel: DataFrame, kMicro: Long = 2500, hMicro: Long = 30000): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_u", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("cp", sum(col("ret_u") - lit(kMicro)).over(cum))
+      .withColumn("cn", sum(col("ret_u") + lit(kMicro)).over(cum))
+      .withColumn("s_pos", col("cp") - least(lit(0L), min(col("cp")).over(cum)))
+      .withColumn("s_neg", col("cn") - greatest(lit(0L), max(col("cn")).over(cum)))
+      .withColumn("alarm", col("s_pos") > hMicro || col("s_neg") < -hMicro)
+      .select(col("asset_id"), col("date"), col("ret"),
+        (col("s_pos").cast("double") / 1000000.0).as("s_pos"),
+        (col("s_neg").cast("double") / 1000000.0).as("s_neg"),
+        col("alarm"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -376,4 +376,56 @@ class Session5OpsSpec extends SparkSpec {
     val out = Pipeline.bpeTrain(docs, merges = 5).collect()
     assert(out.isEmpty, "single-char words have no adjacent pairs")
   }
+
+  // --- sortino / calmar / cusum --------------------------------------
+
+  private def panelOf(rows: Seq[(Long, String, Int, Double)]): DataFrame =
+    rows.map { case (a, dt, i, v) =>
+      (a, d(dt), new Timestamp(Date.valueOf(dt).getTime + i * 1000L), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("sortino uses only negative returns in the deviation") {
+    // returns: +0.1, -0.1, +0.1, -0.1 → mean 0; downside dev uses the two -0.1
+    val p = panelOf(Seq(
+      (1L, "2024-01-01", 0, 100.0), (1L, "2024-01-02", 0, 110.0),
+      (1L, "2024-01-03", 0, 99.0), (1L, "2024-01-04", 0, 108.9),
+      (1L, "2024-01-05", 0, 98.01)))
+    val r = Analytics.sortino(p).collect()(0)
+    // rets: .1, -.1, .1, -.1 ; d2 = .02 ; dd = sqrt(.02/4) = .070711
+    assert(r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(3) - 0.070711) < 1e-6)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(4) === 0.0, "mean 0 → sortino 0/dd = 0")
+    val rr = Analytics.sortino(panelOf(Seq(
+      (2L, "2024-01-01", 0, 100.0), (2L, "2024-01-02", 0, 110.0),
+      (2L, "2024-01-03", 0, 121.0)))).collect()(0)
+    assert(rr.isNullAt(4), "no negative returns → dd 0 → null sortino")
+  }
+
+  test("calmar divides annualized mean return by |max drawdown|") {
+    // 100 → 120 → 90: peak 120, max dd = (90-120)/120 = -0.25
+    val p = panelOf(Seq(
+      (1L, "2024-01-01", 0, 100.0), (1L, "2024-01-02", 0, 120.0),
+      (1L, "2024-01-03", 0, 90.0)))
+    val r = Analytics.calmar(p).collect()(0)
+    assert(r.getDouble(3) === -0.25)
+    // rets: .2, -.25 → mean -.025 ; calmar = -.025*252/.25 = -25.2
+    assert(math.abs(r.getDouble(2) - (-0.025)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - (-25.2)) < 1e-9)
+  }
+
+  test("cusum matches the direct recursion and resets at zero") {
+    // returns: +0.05, +0.05, -0.01 with k=0.0025
+    val p = panelOf(Seq(
+      (1L, "2024-01-01", 0, 100.0), (1L, "2024-01-02", 0, 105.0),
+      (1L, "2024-01-03", 0, 110.25), (1L, "2024-01-04", 0, 109.1475)))
+    val rows = Analytics.cusum(p).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    // s+ : max(0,.05-.0025)=.0475 ; .0475+.0475=.095 ; .095-.0125=.0825
+    assert(rows.map(_._1).toSeq === Seq(0.0475, 0.095, 0.0825))
+    // s- : min(0,.05+.0025)=0 ; 0 ; min(0,-.0075)=-.0075
+    assert(rows.map(_._2).toSeq === Seq(0.0, 0.0, -0.0075))
+    // h=0.03 breached upward from day 1
+    assert(rows.map(_._3).toSeq === Seq(true, true, true))
+  }
 }
