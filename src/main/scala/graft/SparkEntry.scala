@@ -454,6 +454,10 @@ object SparkEntry {
       Analytics.calmar(Tables.panel(s, dir))),
     "cusum" -> ((s, dir) =>
       Analytics.cusum(Tables.panel(s, dir))),
+    "zipf_slope" -> ((s, dir) =>
+      Pipeline.zipfSlope(Tables.documents(s, dir))),
+    "heaps_law" -> ((s, dir) =>
+      Pipeline.heapsLaw(Tables.documents(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)),
     // The declared 100 TB near-dup path (banded LSH recall + exact
@@ -904,6 +908,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
+    "zipf_slope" ->
+      """WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY word),
+        |t AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+        |      FROM w ORDER BY n DESC, word LIMIT 200),
+        |p AS (SELECT rank, round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |             round(ln(CAST(n AS DOUBLE)), 6) AS y FROM t),
+        |a AS (SELECT list(x ORDER BY rank) AS xa, list(y ORDER BY rank) AS ya FROM p),
+        |g AS (SELECT CAST(len(xa) AS DOUBLE) AS n,
+        |        list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+        |        list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, CAST(len(xa) AS INTEGER) + 1),
+        |            i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+        |        list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2
+        |      FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM g""".stripMargin,
+    "heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents) t WHERE word <> ''),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id),
+        |nw AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_words FROM (
+        |         SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY word) f
+        |       GROUP BY first_doc),
+        |per AS (
+        |  SELECT d.doc_id,
+        |         coalesce(pd.n_tokens, 0) AS n_tokens,
+        |         coalesce(nw.new_words, 0) AS new_words
+        |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |                   LEFT JOIN nw ON d.doc_id = nw.doc_id)
+        |SELECT doc_id, n_tokens, new_words,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(new_words) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM per ORDER BY doc_id""".stripMargin,
     "sortino" ->
       s"""$panelCte,
          |$dailyCte,

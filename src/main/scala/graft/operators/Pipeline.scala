@@ -792,4 +792,94 @@ object Pipeline {
         .orderBy(col("merge_rank"))
     } finally base.unpersist()
   }
+
+  /** C57 `zipf_slope` — Zipf's-law fit of the corpus: OLS slope of
+    * ln(freq) on ln(rank) over the top-N words (a well-formed natural
+    * corpus slopes ≈ −1; a synthetic or template-heavy corpus
+    * doesn't — a one-number corpus-health check). One corpus scan +
+    * one bounded word-count shuffle; the regression runs on N rows
+    * collected into a rank-ordered array, folded sequentially so the
+    * double sums are engine-exact (ln inputs are micro-rounded first).
+    */
+  def zipfSlope(documents: DataFrame, topN: Int = 200): DataFrame = {
+    import graft.expressions.Kernels
+    val ranked = documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+    val g = ranked
+      .select(col("rank"),
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("rank"), col("x"), col("y")))),
+          s => struct(s("x").as("x"), s("y").as("y"))).as("pts"))
+      .withColumn("n", size(col("pts")).cast("double"))
+      .withColumn("xa", transform(col("pts"), p => p("x")))
+      .withColumn("ya", transform(col("pts"), p => p("y")))
+      .withColumn("sx", Kernels.seqFold(col("xa"), "sum"))
+      .withColumn("sy", Kernels.seqFold(col("ya"), "sum"))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", Kernels.seqFold(col("xa"), "sumsq"))
+    g.select(
+        col("n").cast("long").as("n_words"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  /** C58 `heaps_law` — vocabulary-growth curve (Heaps' law): for each
+    * document in doc_id order, the cumulative token count and
+    * cumulative distinct-vocabulary size. A word's first witness is its
+    * min doc_id (one word-level shuffle); the two running totals are
+    * then prefix sums over per-doc integers.
+    *
+    * The prefix sum is the TWO-PHASE distributed form, not a global
+    * single-partition window: docs land in width-`bucketWidth` doc_id
+    * buckets, phase 1 cumsums the per-bucket totals (bucket table ≪
+    * corpus), phase 2 cumsums within each bucket in parallel and adds
+    * the broadcast bucket offset. Identical integers to the global
+    * window, but every stage is partition-parallel at 100 TB.
+    */
+  def heapsLaw(documents: DataFrame, bucketWidth: Long = 4096): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("word"))
+    val perDocTokens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val newWords = toks
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("new_words"))
+      .withColumnRenamed("first_doc", "doc_id")
+    val perDoc = documents.select(col("doc_id"))
+      .join(perDocTokens, Seq("doc_id"), "left")
+      .join(newWords, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perDoc
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"), sum(col("new_words")).as("bv"))
+      .withColumn("tok_off",
+        coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("voc_off",
+        coalesce(sum(col("bv")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("tok_off"), col("voc_off"))
+    perDoc
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("tok_off") + sum(col("n_tokens")).over(wInBucket))
+      .withColumn("cum_vocab", col("voc_off") + sum(col("new_words")).over(wInBucket))
+      .select(col("doc_id"), col("n_tokens"), col("new_words"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -428,4 +428,44 @@ class Session5OpsSpec extends SparkSpec {
     // h=0.03 breached upward from day 1
     assert(rows.map(_._3).toSeq === Seq(true, true, true))
   }
+
+  // --- zipf_slope / heaps_law ----------------------------------------
+
+  test("zipfSlope fits ln(freq) on ln(rank) exactly on a constructed corpus") {
+    // freqs 8,4,2,1 at ranks 1..4: a perfect power law only in spirit —
+    // compute the OLS by hand instead
+    val docs = Seq((0L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim)).toDF("doc_id", "text")
+    val r = Pipeline.zipfSlope(docs, topN = 10).collect()(0)
+    assert(r.getLong(0) === 4L)
+    val x = Seq(1.0, 2.0, 3.0, 4.0).map(v => math.rint(math.log(v) * 1e6) / 1e6)
+    val y = Seq(8.0, 4.0, 2.0, 1.0).map(v => math.rint(math.log(v) * 1e6) / 1e6)
+    val n = 4.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sx2 = x.map(v => v * v).sum
+    val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5)
+    assert(r.getDouble(1) < -0.9 && r.getDouble(1) > -1.6, "roughly zipfian")
+  }
+
+  test("heapsLaw cumulative vocab equals running distinct count") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b d"), (2L, "e"), (3L, ""), (4L, "a e f g"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.heapsLaw(docs, bucketWidth = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (0L, 3L, 3L, 3L, 3L),   // a b c
+      (1L, 3L, 1L, 6L, 4L),   // + d
+      (2L, 1L, 1L, 7L, 5L),   // + e
+      (3L, 0L, 0L, 7L, 5L),   // empty doc
+      (4L, 4L, 2L, 11L, 7L))) // + f g
+  }
+
+  test("heapsLaw bucketed prefix sum is invariant to bucket width") {
+    val docs = (0L until 40L).map(i => (i, s"w$i common t${i % 7}")).toDF("doc_id", "text")
+    val a = Pipeline.heapsLaw(docs, bucketWidth = 3).collect().map(_.toSeq).toSeq
+    val b = Pipeline.heapsLaw(docs, bucketWidth = 4096).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
