@@ -610,6 +610,56 @@ object StreamingOps {
       }
   }
 
+  case class CusumState(last_value: Double, s_pos: Long, s_neg: Long)
+  case class CusumPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                        s_pos: Double, s_neg: Double, alarm: Boolean)
+
+  /** D20 `cusumStream` — streaming two-sided CUSUM change detection,
+    * the continuous face of [[graft.operators.Analytics.cusum]]. Here
+    * the Page recursion runs DIRECTLY (s⁺ = max(0, s⁺ + r − k) in
+    * micro-unit integers) — streaming state is exactly the two
+    * accumulators the batch op re-derives via its cumsum/cummin
+    * identity, so for in-order feeds the emitted points equal the
+    * batch rows bit-for-bit (integer state, same HALF_UP return
+    * rounding). Per-asset state is one double + two longs — O(#assets),
+    * no TTL needed. Arrival-ordered contract across batches, as
+    * documented on [[anomalyStream]].
+    */
+  def cusumStream(daily: Dataset[DailyTick], kMicro: Long = 2500,
+                  hMicro: Long = 30000): Dataset[CusumPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[CusumState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[CusumPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st != null && st.last_value != 0.0) {
+              val ret = BigDecimal.decimal(t.value / st.last_value - 1.0)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val retU = math.floor(ret * 1000000.0 + 0.5).toLong
+              val sPos = math.max(0L, st.s_pos + retU - kMicro)
+              val sNeg = math.min(0L, st.s_neg + retU + kMicro)
+              out += CusumPoint(assetId, t.date, ret,
+                sPos.toDouble / 1000000.0, sNeg.toDouble / 1000000.0,
+                sPos > hMicro || sNeg < -hMicro)
+              st = CusumState(t.value, sPos, sNeg)
+            } else {
+              // first tick, or a zero prior value (no return): the
+              // batch op filters the null-ret row but carries the
+              // accumulators — mirror that
+              val (p0, n0) = if (st == null) (0L, 0L) else (st.s_pos, st.s_neg)
+              st = CusumState(t.value, p0, n0)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D2 — event-time tumbling-window aggregate with watermark. */
   def windowedAgg(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
     ticks

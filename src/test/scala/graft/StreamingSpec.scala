@@ -486,6 +486,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream equals the batch cusum operator for in-order feeds") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CusumPoint, DailyTick}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[DailyTick]
+    val q = StreamingOps.cusumStream(input.toDS())
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        DailyTick(1L, d("2024-01-01"), 100.0), DailyTick(1L, d("2024-01-02"), 105.0))
+      q.processAllAvailable()
+      input.addData(
+        DailyTick(1L, d("2024-01-03"), 110.25), DailyTick(1L, d("2024-01-04"), 109.1475),
+        DailyTick(2L, d("2024-01-01"), 50.0), DailyTick(2L, d("2024-01-02"), 48.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum_sink").as[CusumPoint].collect()
+        .map(p => (p.asset_id, p.date.toString, p.ret, p.s_pos, p.s_neg, p.alarm)).toSet
+
+      def tsOf(s: String) = new Timestamp(java.sql.Date.valueOf(s).getTime + 1000L)
+      val panel = Seq(
+        (1L, "2024-01-01", 100.0, 1L), (1L, "2024-01-02", 105.0, 2L),
+        (1L, "2024-01-03", 110.25, 3L), (1L, "2024-01-04", 109.1475, 4L),
+        (2L, "2024-01-01", 50.0, 5L), (2L, "2024-01-02", 48.0, 6L))
+        .map { case (a, dt, v, s) => (a, d(dt), tsOf(dt), v, s) }
+        .toDF("asset_id", "date", "ts", "value", "seq")
+      val batch = graft.operators.Analytics.cusum(panel).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+      assert(got === batch)
+      assert(got.exists(_._6), "the +5% run must alarm")
+    } finally q.stop()
+  }
+
   test("semanticDedupSink screens batches; survivors are visible to later batches") {
     val spark0 = spark
     import spark0.implicits._
