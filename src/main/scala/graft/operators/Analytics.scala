@@ -1988,7 +1988,7 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
-  /** B72 `roll_spread` — Roll (1984) implied effective spread per
+  /** B74 `roll_spread` — Roll (1984) implied effective spread per
     * asset: 2·√(−cov(Δp_t, Δp_{t−1})) over the LWW daily close series.
     * Bid-ask bounce makes successive price CHANGES negatively
     * serially correlated; the magnitude of that covariance recovers
@@ -2027,7 +2027,7 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  /** B73 `kyle_lambda` — Kyle-style daily price-impact coefficient:
+  /** B75 `kyle_lambda` — Kyle-style daily price-impact coefficient:
     * OLS slope of the daily close change Δp on the day's net
     * tick-rule order flow (buy ticks − sell ticks, the signed-flow
     * proxy [[tickImbalance]] already classifies — the panel carries
@@ -2076,7 +2076,7 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  /** B74 `variance_ratio` — Lo–MacKinlay variance-ratio statistic
+  /** B76 `variance_ratio` — Lo–MacKinlay variance-ratio statistic
     * VR(k) = Var(k-day return) / (k · Var(1-day return)) per asset:
     * ≈1 under a random walk, <1 mean-reverting, >1 trending. k-day
     * returns are OVERLAPPING sliding sums of the 6-decimal daily
@@ -2120,7 +2120,7 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  /** B75 `ulcer_index` — Ulcer Index over the LWW daily series: the
+  /** B77 `ulcer_index` — Ulcer Index over the LWW daily series: the
     * RMS of the percentage drawdown from the `window`-day rolling high
     * (Martin's downside-pain measure — unlike σ it only punishes
     * below-peak days). Rolling max is order-insensitive (exact for
@@ -2144,7 +2144,7 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
-  /** B69 `sortino` — downside-risk-adjusted return per asset: mean
+  /** B71 `sortino` — downside-risk-adjusted return per asset: mean
     * daily return over the downside deviation sqrt(Σ min(ret,0)² / n)
     * (target return 0). Same shape as [[sharpe]] — one shuffle to the
     * per-asset return array, folds over the date-ordered array so the
@@ -2175,7 +2175,7 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  /** B70 `calmar` — annualized mean return over the magnitude of the
+  /** B72 `calmar` — annualized mean return over the magnitude of the
     * maximum drawdown (all-time running peak, not [[ulcerIndex]]'s
     * rolling window). The drawdown side needs NO float folds: running
     * peak is a cumulative window max and max-drawdown a plain min of
@@ -2208,7 +2208,7 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  /** B71 `cusum` — two-sided CUSUM change-point detection on daily
+  /** B73 `cusum` — two-sided CUSUM change-point detection on daily
     * returns (Page 1954): s⁺_t = max(0, s⁺_{t−1} + r_t − k),
     * s⁻_t = min(0, s⁻_{t−1} + r_t + k), alarm when either breaches ±h.
     *

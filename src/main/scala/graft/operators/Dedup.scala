@@ -93,6 +93,17 @@ object Dedup {
   def minhashVerifiedPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                            bands: Int = 16, threshold: Double = 0.3): DataFrame = {
     val cands = minhashLshPairs(documents, k, nHashes, bands)
+    // DELIBERATELY shingles the whole corpus, not just candidate-pair
+    // members. The "obvious" scale fix — semi-filter documents to the
+    // docs appearing in `cands` before the shingle kernel — was
+    // measured 3× SLOWER end to end (5.2→18.9 s at sf0.1, with or
+    // without an eager checkpoint of `cands`): referencing `cands`
+    // twice in one plan re-runs the whole LSH pipeline per consumer,
+    // and breaking the plan to materialize it kills the ReusedExchange
+    // sharing between this operator and dedup_recall_report's other
+    // subtrees. At true 100 TB scale the right form is the two-JOB
+    // pipeline the index path already provides (write candidates /
+    // probe via `probeMinhashIndex`), not an in-plan semi-filter.
     val sets = fanOut(documents).select(col("doc_id"), shingles(col("text"), k).as("hs"))
     val den = (size(col("ha")) + size(col("hb")) - col("inter")).cast("double")
     // ONE pass over the shingle sets, not two: melting each pair into

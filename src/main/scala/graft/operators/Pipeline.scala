@@ -723,7 +723,7 @@ object Pipeline {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** C56 `bpe_train` — the full BPE merge-training loop (Sennrich et
+  /** C59 `bpe_train` — the full BPE merge-training loop (Sennrich et
     * al. 2016), not just one counting pass like [[bpePairs]]: K
     * iterations of (count adjacent symbol pairs weighted by word
     * frequency -> pick the most frequent pair, ties by pair text ->

@@ -255,7 +255,7 @@ object Similarity {
     * posexplode + one (label, pos)-keyed aggregation — fully map-side
     * combinable, no per-label data skew (dims spread the key space).
     */
-  /** C57 `embedding_drift` — embedding-space drift monitor, the
+  /** C60 `embedding_drift` — embedding-space drift monitor, the
     * vector-side mirror of the text pipeline's KS drift test: per
     * label, the corpus splits into two cohorts (vec_id parity — the
     * deterministic stand-in for before/after ingestion halves), each
