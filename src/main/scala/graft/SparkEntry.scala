@@ -454,6 +454,14 @@ object SparkEntry {
       Analytics.calmar(Tables.panel(s, dir))),
     "cusum" -> ((s, dir) =>
       Analytics.cusum(Tables.panel(s, dir))),
+    "spearman_corr" -> ((s, dir) =>
+      Analytics.spearmanCorr(Tables.panel(s, dir), (1L to 10L).toSeq)),
+    "hurst" -> ((s, dir) =>
+      Analytics.hurst(Tables.panel(s, dir))),
+    "half_life" -> ((s, dir) =>
+      Analytics.halfLife(Tables.panel(s, dir))),
+    "benford" -> ((s, dir) =>
+      Analytics.benford(Tables.lineitem(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2126,6 +2134,119 @@ object SparkEntry {
          |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
          |    (a, x) -> a + x) / len(arr)), 6) AS ulcer
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "spearman_corr" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |r AS (
+         |  SELECT asset_id, date,
+         |         CAST(rank() OVER (PARTITION BY asset_id ORDER BY ret) AS BIGINT) AS rr
+         |  FROM rets WHERE asset_id BETWEEN 1 AND 10),
+         |j AS (
+         |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.rr AS ra, b.rr AS rb
+         |  FROM r a JOIN r b ON a.date = b.date AND a.asset_id < b.asset_id),
+         |g AS (
+         |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n,
+         |         sum(ra) AS sa, sum(rb) AS sb,
+         |         sum(CAST(ra AS HUGEINT) * rb) AS sab,
+         |         sum(CAST(ra AS HUGEINT) * ra) AS sa2,
+         |         sum(CAST(rb AS HUGEINT) * rb) AS sb2
+         |  FROM j GROUP BY id_a, id_b HAVING count(*) >= 2),
+         |d AS (
+         |  SELECT id_a, id_b, n,
+         |         CAST(n * sab - sa * sb AS DOUBLE) AS num,
+         |         CAST(n * sa2 - sa * sa AS DOUBLE) AS da,
+         |         CAST(n * sb2 - sb * sb AS DOUBLE) AS db
+         |  FROM g)
+         |SELECT id_a, id_b, n AS n_days,
+         |  round(num / (CASE WHEN da <= 0 OR db <= 0 THEN NULL
+         |               ELSE sqrt(da) * sqrt(db) END), 6) AS spearman
+         |FROM d ORDER BY id_a, id_b""".stripMargin,
+    "hurst" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |rr AS (
+         |  SELECT asset_id, CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS ret_u,
+         |         row_number() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM rets),
+         |b AS (
+         |  SELECT asset_id, k, (rn - 1) // k AS bucket, ret_u
+         |  FROM rr, (SELECT unnest([1, 2, 4, 8]) AS k)),
+         |s AS (
+         |  SELECT asset_id, k, bucket, CAST(count(*) AS BIGINT) AS cnt, sum(ret_u) AS bs
+         |  FROM b GROUP BY 1, 2, 3),
+         |v0 AS (
+         |  SELECT asset_id, k, CAST(count(*) AS BIGINT) AS m,
+         |         sum(CAST(bs AS HUGEINT)) AS ss,
+         |         sum(CAST(bs AS HUGEINT) * bs) AS ss2
+         |  FROM s WHERE cnt = k GROUP BY asset_id, k HAVING count(*) >= 2),
+         |v AS (
+         |  SELECT asset_id, k, m,
+         |         CAST(m * ss2 - ss * ss AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS var
+         |  FROM v0),
+         |y AS (
+         |  SELECT asset_id, k, m, round(ln(var), 6) AS y
+         |  FROM v WHERE var > 0),
+         |p AS (
+         |  SELECT asset_id,
+         |         max(CASE WHEN k = 1 THEN m END) AS n_days,
+         |         max(CASE WHEN k = 1 THEN y END) AS y1,
+         |         max(CASE WHEN k = 2 THEN y END) AS y2,
+         |         max(CASE WHEN k = 4 THEN y END) AS y4,
+         |         max(CASE WHEN k = 8 THEN y END) AS y8
+         |  FROM y GROUP BY asset_id HAVING count(*) = 4),
+         |f AS (
+         |  SELECT asset_id, n_days, y1, y2, y4, y8,
+         |         0.693147 + 1.386294 + 2.079442 AS sx,
+         |         y1 + y2 + y4 + y8 AS sy,
+         |         y2 * 0.693147 + y4 * 1.386294 + y8 * 2.079442 AS sxy,
+         |         0.693147 * 0.693147 + 1.386294 * 1.386294 + 2.079442 * 2.079442 AS sx2
+         |  FROM p)
+         |SELECT asset_id, n_days,
+         |  round(((4.0 * sxy - sx * sy) / (4.0 * sx2 - sx * sx)) / 2, 6) AS hurst
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "half_life" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pv
+         |  FROM daily),
+         |m AS (
+         |  SELECT asset_id,
+         |         CAST(floor(pv * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |         CAST(floor(round(value - pv, 6) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM d WHERE pv IS NOT NULL),
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n,
+         |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sx2
+         |  FROM m GROUP BY asset_id HAVING count(*) >= 3),
+         |f AS (
+         |  SELECT asset_id, n,
+         |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |               nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0.0), 6) AS phi
+         |  FROM g)
+         |SELECT asset_id, n AS n_obs, phi,
+         |  CASE WHEN phi > -1 AND phi < 0
+         |       THEN round(-0.693147 / ln(1.0 + phi), 6) END AS half_life
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "benford" ->
+      """WITH c AS (
+        |  SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS d
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT CAST(d AS INTEGER) AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE d <> '' GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, n,
+        |  CAST((1000 * n) // tot AS BIGINT) AS obs_pm,
+        |  CAST([301,176,125,97,79,67,58,51,46][digit] AS BIGINT) AS exp_pm,
+        |  CAST((1000 * n) // tot AS BIGINT)
+        |    - CAST([301,176,125,97,79,67,58,51,46][digit] AS BIGINT) AS dev_pm
+        |FROM g, t ORDER BY digit""".stripMargin,
     "shingle_novelty" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

@@ -2240,4 +2240,184 @@ object Analytics {
         col("alarm"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B78 `spearman_corr` — panel-aligned Spearman rank correlation per
+    * asset pair: each asset's daily returns are ranked over its FULL
+    * return history (SQL `rank()` — min-rank ties, documented: textbook
+    * Spearman averages tie ranks, min-rank keeps every number an
+    * INTEGER), pairs meet on common dates, and Pearson runs on the rank
+    * pairs via exact decimal sums of integer products. No sequential
+    * fold kernel and no per-pair array materialization — every
+    * aggregate is order-independent and map-side combinable, a better
+    * 100 TB shape than [[corrMatrix]]'s array-collect (which the float
+    * co-moments there genuinely need). Only the final two-sqrt division
+    * is IEEE, on exact integer inputs → deterministic.
+    */
+  def spearmanCorr(panel: DataFrame, assets: Seq[Long]): DataFrame = {
+    val daily = KeyValue.lwwDaily(
+      panel.filter(col("asset_id").isin(assets: _*)).repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rw = Window.partitionBy(col("asset_id")).orderBy(col("ret"))
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("rr", rank().over(rw).cast("long"))
+      .select(col("asset_id"), col("date"), col("rr"))
+    val dec = DecimalType(38, 0)
+    val joined = rets.as("a").join(rets.as("b"),
+        col("a.date") === col("b.date") && col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.rr").as("ra"), col("b.rr").as("rb"))
+    val n = col("n").cast(dec)
+    joined.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra").cast(dec)).as("sa"),
+        sum(col("rb").cast(dec)).as("sb"),
+        sum(col("ra").cast(dec) * col("rb").cast(dec)).as("sab"),
+        sum(col("ra").cast(dec) * col("ra").cast(dec)).as("sa2"),
+        sum(col("rb").cast(dec) * col("rb").cast(dec)).as("sb2"))
+      .filter(col("n") >= 2)
+      .withColumn("num", (n * col("sab") - col("sa") * col("sb")).cast("double"))
+      .withColumn("da", (n * col("sa2") - col("sa") * col("sa")).cast("double"))
+      .withColumn("db", (n * col("sb2") - col("sb") * col("sb")).cast("double"))
+      .withColumn("spearman", round(col("num") /
+        when(col("da") <= 0 || col("db") <= 0, lit(null))
+          .otherwise(sqrt(col("da")) * sqrt(col("db"))), 6))
+      .select(col("id_a"), col("id_b"), col("n").as("n_days"), col("spearman"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** B79 `hurst` — Hurst exponent by the aggregated-variance method:
+    * the variance of NON-overlapping k-day return sums scales as
+    * k^(2H), so H = slope/2 of ln Var(k) on ln k over k ∈ {1,2,4,8}.
+    * H ≈ 0.5 random walk, > 0.5 persistent/trending, < 0.5
+    * mean-reverting.
+    *
+    * Determinism: returns become micro-unit INTEGERS, so bucket sums
+    * and the variance co-moments are exact in any accumulation order
+    * (plain sums, map-side combinable — no fold kernels); each Var(k)
+    * is one double division of an exact decimal numerator. The 4-point
+    * regression runs on micro-rounded ln values with explicit
+    * left-associated arithmetic and the micro-rounded ln k literals
+    * 0.693147 / 1.386294 / 2.079442 — the identical expression tree in
+    * the oracle constant-folds to the identical doubles. One asset_id
+    * shuffle; the ×4 k-replication happens AFTER the LWW collapse, on
+    * daily-sized data.
+    */
+  def hurst(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val dec = DecimalType(38, 0)
+    val rets = daily
+      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_u", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+    val bucketed = rets
+      .select(col("asset_id"), col("ret_u"), col("rn"),
+        explode(array(lit(1), lit(2), lit(4), lit(8))).as("k"))
+      .withColumn("bucket", expr("(rn - 1) div k"))
+    val sums = bucketed
+      .groupBy(col("asset_id"), col("k"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ret_u")).as("s"))
+      .filter(col("cnt") === col("k"))
+    val vars = sums
+      .groupBy(col("asset_id"), col("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("s").cast(dec)).as("ss"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("ss2"))
+      .filter(col("m") >= 2)
+      .withColumn("vnum", (col("m").cast(dec) * col("ss2") - col("ss") * col("ss")).cast("double"))
+      .withColumn("v", col("vnum") / (col("m") * (col("m") - 1)).cast("double"))
+      .filter(col("v") > 0)
+      .withColumn("y", round(log(col("v")), 6))
+    val l2 = lit(0.693147); val l4 = lit(1.386294); val l8 = lit(2.079442)
+    vars
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("nk"),
+        max(when(col("k") === 1, col("m"))).as("n_days"),
+        max(when(col("k") === 1, col("y"))).as("y1"),
+        max(when(col("k") === 2, col("y"))).as("y2"),
+        max(when(col("k") === 4, col("y"))).as("y4"),
+        max(when(col("k") === 8, col("y"))).as("y8"))
+      .filter(col("nk") === 4)
+      .withColumn("sx", l2 + l4 + l8)
+      .withColumn("sy", col("y1") + col("y2") + col("y4") + col("y8"))
+      .withColumn("sxy", col("y2") * l2 + col("y4") * l4 + col("y8") * l8)
+      .withColumn("sx2", l2 * l2 + l4 * l4 + l8 * l8)
+      .withColumn("slope",
+        (lit(4.0) * col("sxy") - col("sx") * col("sy")) /
+          (lit(4.0) * col("sx2") - col("sx") * col("sx")))
+      .withColumn("hurst", round(col("slope") / 2, 6))
+      .select(col("asset_id"), col("n_days"), col("hurst"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B80 `half_life` — Ornstein-Uhlenbeck-style mean-reversion
+    * half-life per asset: AR(1) slope φ of Δp on the lagged LWW daily
+    * level, half-life = −ln 2 / ln(1+φ) when φ ∈ (−1, 0) (NULL
+    * otherwise — the series isn't reverting). Regressor and regressand
+    * are micro-unit integers, so all OLS co-moments are exact decimal
+    * sums (order-independent, map-side combinable; the squares are
+    * decimal×decimal — level micro-units square past the long range);
+    * φ is one double division of exact integers, 6-dec rounded BEFORE
+    * the half-life transform so the ln input is identical across
+    * engines. −ln 2 is the micro-rounded literal (the hurst
+    * convention).
+    */
+  def halfLife(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val dec = DecimalType(38, 0)
+    daily
+      .select(col("asset_id"), col("date"), col("value"), prev.as("pv"))
+      .filter(col("pv").isNotNull)
+      .withColumn("dp", round(col("value") - col("pv"), 6))
+      .withColumn("x", floor(col("pv") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("y", floor(col("dp") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sx2"))
+      .filter(col("n") >= 3)
+      .withColumn("num", (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den", (col("n").cast(dec) * col("sx2") - col("sx") * col("sx")).cast("double"))
+      .withColumn("phi", round(col("num") / when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("half_life",
+        when(col("phi") > -1 && col("phi") < 0,
+          round(lit(-0.693147) / log(lit(1.0) + col("phi")), 6)))
+      .select(col("asset_id"), col("n").as("n_obs"), col("phi"), col("half_life"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B81 `benford` — Benford first-significant-digit audit over the
+    * lineitem extended prices: observed per-mille share of each leading
+    * digit 1-9 beside the Benford expectation round(log10(1+1/d)·1000)
+    * and the signed deviation. The first significant digit comes from
+    * the decimal STRING (first nonzero char) — no float log10 touches
+    * the data path; counts, shares and deviations are all integers
+    * (the expectations are baked-in literals, identical in the oracle).
+    * One scan → 9-row aggregate; the total joins back as a broadcast
+    * 1-row cross join.
+    */
+  def benford(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem
+      .select(regexp_extract(col("l_extendedprice").cast("string"), "[1-9]", 0).as("d"))
+      .filter(col("d") =!= "")
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val expected = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    counts.crossJoin(broadcast(total))
+      .withColumn("digit", col("d").cast("int"))
+      .withColumn("obs_pm", expr("(1000 * n) div tot"))
+      .withColumn("exp_pm", element_at(array(expected.map(lit): _*), col("digit")))
+      .withColumn("dev_pm", col("obs_pm") - col("exp_pm"))
+      .select(col("digit"), col("n"), col("obs_pm"), col("exp_pm"), col("dev_pm"))
+      .orderBy(col("digit"))
+  }
 }

@@ -468,4 +468,98 @@ class Session5OpsSpec extends SparkSpec {
     val b = Pipeline.heapsLaw(docs, bucketWidth = 4096).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  // --- spearman_corr -------------------------------------------------
+
+  test("spearmanCorr is ±1 for monotone return relationships") {
+    // asset 1 and 2: returns strictly increasing together (different
+    // magnitudes — Pearson would be < 1, Spearman exactly 1);
+    // asset 3: returns strictly decreasing while 1's increase → −1.
+    val p = panelOf(Seq(
+      (1L, "2024-01-01", 0, 100.0), (1L, "2024-01-02", 0, 101.0),
+      (1L, "2024-01-03", 0, 103.0), (1L, "2024-01-04", 0, 106.0),
+      (2L, "2024-01-01", 0, 50.0), (2L, "2024-01-02", 0, 51.0),
+      (2L, "2024-01-03", 0, 53.5), (2L, "2024-01-04", 0, 57.5),
+      (3L, "2024-01-01", 0, 100.0), (3L, "2024-01-02", 0, 110.0),
+      (3L, "2024-01-03", 0, 115.0), (3L, "2024-01-04", 0, 117.0)))
+    val out = Analytics.spearmanCorr(p, Seq(1L, 2L, 3L)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === -1.0)
+    assert(out((2L, 3L)) === -1.0)
+  }
+
+  test("spearmanCorr with a tied-rank asset stays in [-1, 1] and is deterministic") {
+    val p = panelOf(Seq(
+      (1L, "2024-01-01", 0, 100.0), (1L, "2024-01-02", 0, 102.0),
+      (1L, "2024-01-03", 0, 104.04), (1L, "2024-01-04", 0, 103.0),
+      (2L, "2024-01-01", 0, 10.0), (2L, "2024-01-02", 0, 11.0),
+      (2L, "2024-01-03", 0, 12.0), (2L, "2024-01-04", 0, 13.0)))
+    // asset 1 rets: .02, .02 (tied → both min-rank 1), -.0099…
+    val out = Analytics.spearmanCorr(p, Seq(1L, 2L)).collect()
+    assert(out.length === 1)
+    val s = out(0).getDouble(3)
+    assert(s >= -1.0 && s <= 1.0)
+    val again = Analytics.spearmanCorr(p, Seq(1L, 2L)).collect()(0).getDouble(3)
+    assert(s === again)
+  }
+
+  // --- hurst ---------------------------------------------------------
+
+  test("hurst separates persistent from anti-persistent series") {
+    // persistent: one long up-regime then one long down-regime —
+    // k-day sums grow with k → H well above 0.5.
+    val persist = (0 until 33).scanLeft(100.0)((p, i) =>
+      if (i < 16) p * (1.01 + 0.001 * (i % 3)) else p / (1.01 + 0.001 * (i % 3)))
+    // anti-persistent: alternating up/down with deterministic jitter —
+    // k-day sums cancel → H well below 0.5.
+    val anti = (0 until 33).scanLeft(100.0)((p, i) =>
+      if (i % 2 == 0) p * (1.02 + 0.001 * (i % 5)) else p / (1.019 + 0.001 * (i % 5)))
+    val panel2 =
+      (persist.zipWithIndex.map { case (v, i) => (1L, d(f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d"), ts(i), v, i.toLong) } ++
+        anti.zipWithIndex.map { case (v, i) => (2L, d(f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d"), ts(i), v, (100 + i).toLong) })
+        .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.hurst(panel2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out(1L) > 0.6, s"regime-persistent series must trend, got ${out(1L)}")
+    assert(out(2L) < 0.4, s"alternating series must anti-persist, got ${out(2L)}")
+  }
+
+  // --- half_life -----------------------------------------------------
+
+  test("halfLife recovers the exact AR(1) coefficient on a constructed series") {
+    // p_{t+1} − p_t = −0.5 · (p_t − 10) − perfect fit, φ = −0.5,
+    // half-life = −ln2 / ln(0.5) = 1 day (micro-rounded ln2 literal).
+    val vals = Iterator.iterate(20.0)(p => 10.0 + 0.5 * (p - 10.0)).take(8).toSeq
+    val p = panelOf(vals.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-01-${i + 1}%02d", 0, v) })
+    val r = Analytics.halfLife(p).collect()(0)
+    assert(r.getLong(1) === 7L)
+    assert(r.getDouble(2) === -0.5)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-5)
+  }
+
+  test("halfLife is NULL for a non-reverting (trending) series") {
+    val vals = (0 until 8).map(i => 100.0 + 3.0 * i)
+    val p = panelOf(vals.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-01-${i + 1}%02d", 0, v) })
+    val r = Analytics.halfLife(p).collect()(0)
+    // Δp constant, level rising → φ ≈ 0 (not in (−1,0)) → NULL
+    assert(r.isNullAt(3))
+  }
+
+  // --- benford -------------------------------------------------------
+
+  test("benford counts first significant digits incl. sub-1 decimals") {
+    val li = Seq("1.00", "150.25", "19.99", "2.50", "25.00", "0.09", "0.30", "3.33", "987.65", "41.00")
+      .map(s => Tuple1(new java.math.BigDecimal(s))).toDF("l_extendedprice")
+    val out = Analytics.benford(li).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // digits: 1×3, 2×2, 3×2, 4×1, 9×2 — "0.09"→9, "0.30"→3
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1, 3L), (2, 2L), (3, 2L), (4, 1L), (9, 2L)))
+    val m = out.map(t => (t._1, t._3)).toMap
+    assert(m(1) === 300L && m(2) === 200L && m(9) === 200L)
+    val dev = out.map(t => (t._1, t._5)).toMap
+    assert(dev(1) === 300L - 301L && dev(9) === 200L - 46L)
+  }
 }
