@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotLong, DotProduct, L2Normalize, LshBucket, MinHashSig, PortableStrHash, QuantizeInt8, SeqFold, ShingleSet, SimHash64, TextStats, WinnowFingerprints}
+import graft.expressions.{CharEntropyMicro, DotLong, DotProduct, L2Normalize, LshBucket, MinHashSig, PortableStrHash, QuantizeInt8, SeqFold, ShingleSet, SimHash64, TextStats, WinnowFingerprints}
 
 /** Registers the graft kernel expressions as SQL functions, so
   * `spark.sql("SELECT vec_dot(a, b) …")` works next to the Column API.
@@ -63,6 +63,9 @@ object GraftFunctions {
       info("winnow_fp", "winnow_fp(text, k, w) - winnowing fingerprints (min k-gram hash per w-window)"),
       (children: Seq[Expression]) =>
         WinnowFingerprints(children(0), intArg(children(1), "k"), intArg(children(2), "w"))),
+    (FunctionIdentifier("char_entropy_micro"),
+      info("char_entropy_micro", "char_entropy_micro(s) - code-point Shannon entropy in micro-nats (NULL for '')"),
+      (children: Seq[Expression]) => CharEntropyMicro(children(0))),
     (FunctionIdentifier("quantize_int8"),
       info("quantize_int8", "quantize_int8(v) - symmetric int8 codes of an array<double> (max-abs scale)"),
       (children: Seq[Expression]) => QuantizeInt8(children(0))),

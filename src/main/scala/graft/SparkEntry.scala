@@ -448,6 +448,8 @@ object SparkEntry {
       Analytics.ulcerIndex(Tables.panel(s, dir))),
     "bpe_train" -> ((s, dir) =>
       Pipeline.bpeTrain(Tables.documents(s, dir))),
+    "bpe_encode" -> ((s, dir) =>
+      Pipeline.bpeEncode(Tables.documents(s, dir))),
     "sortino" -> ((s, dir) =>
       Analytics.sortino(Tables.panel(s, dir))),
     "calmar" -> ((s, dir) =>
@@ -545,6 +547,12 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextFns.normFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "char_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.expressions.Kernels.charEntropyMicro(col("text")).as("entropy_micro"))
         .orderBy(col("doc_id"))),
     // Materializes the binary media corpus once per session+dir, then
     // reads the PARQUET BINARY column back — the meta numbers witness a
@@ -883,7 +891,11 @@ object SparkEntry {
     * separator-delimited replace the Spark loop applies. Generated
     * programmatically so the oracle and the operator agree on K.
     */
-  private def bpeTrainOracle(merges: Int): String = {
+  /** Shared CTE chain replaying [[graft.operators.Pipeline.bpeTrain]]'s
+    * K merge iterations in DuckDB; `it$merges` holds the final
+    * rewritten word table (word, freq, repr).
+    */
+  private def bpeItersCte(merges: Int): String = {
     val ws = """\s+"""
     val bref = """\1"""
     val iters = (1 to merges).map { k =>
@@ -894,28 +906,81 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |t$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
          |it$k AS (
-         |  SELECT w.freq, replace(w.repr, chr(1)||t.l||chr(1)||t.r||chr(1),
+         |  SELECT w.word, w.freq, replace(w.repr, chr(1)||t.l||chr(1)||t.r||chr(1),
          |                         chr(1)||t.l||t.r||chr(1)) AS repr
          |  FROM it${k - 1} w, t$k t)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to merges).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, n FROM t$k"
-    }.mkString("\n  UNION ALL ")
     s"""WITH words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS word FROM documents
        |  ) WHERE word <> '' GROUP BY word),
        |it0 AS (
-       |  SELECT freq, chr(1) || regexp_replace(word, '(.)', '$bref' || chr(1), 'g') AS repr
+       |  SELECT word, freq, chr(1) || regexp_replace(word, '(.)', '$bref' || chr(1), 'g') AS repr
        |  FROM words),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeTrainOracle(merges: Int): String = {
+    val finals = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, n FROM t$k"
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeItersCte(merges)}
        |SELECT * FROM (
        |  $finals
        |) ORDER BY merge_rank""".stripMargin
   }
 
+  private def bpeEncodeOracle(merges: Int): String = {
+    val ws = """\s+"""
+    s"""${bpeItersCte(merges)},
+       |vocab AS (
+       |  SELECT word,
+       |         CAST(len(list_filter(str_split(repr, chr(1)), x -> x <> '')) AS BIGINT) AS n_sym
+       |  FROM it$merges),
+       |toks AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '$ws')) AS word
+       |    FROM documents) t WHERE word <> ''),
+       |pw AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY doc_id, word),
+       |enc AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ws,
+       |         CAST(sum(cnt * n_sym) AS BIGINT) AS n_bpe
+       |  FROM pw JOIN vocab USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_ws, 0) AS n_ws_tokens,
+       |  coalesce(n_bpe, 0) AS n_bpe_tokens,
+       |  CASE WHEN coalesce(n_ws, 0) > 0
+       |       THEN CAST((1000 * n_bpe) // n_ws AS BIGINT) END AS fertility_pm
+       |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8),
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+        |                        i -> substr(text, CAST(i AS INTEGER), 1))) AS c
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |         list_reduce(list_prepend(0.0,
+        |           list(n * ln(CAST(n AS DOUBLE)) ORDER BY c)),
+        |           (a, x) -> a + x) AS s
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_chars, 0) AS n_chars,
+        |  CASE WHEN a.n_chars > 0
+        |       THEN CAST(floor((ln(CAST(a.n_chars AS DOUBLE)) - s / a.n_chars)
+        |                       * 1000000.0 + 0.5) AS BIGINT) END AS entropy_micro
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "zipf_slope" ->
       """WITH w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (

@@ -29,6 +29,9 @@ object Kernels {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
+  def charEntropyMicro(text: Column): Column =
+    ExpressionUtils.column(CharEntropyMicro(ExpressionUtils.expression(text)))
+
   def lshBucket(vec: Column, planes: Int): Column =
     ExpressionUtils.column(LshBucket(ExpressionUtils.expression(vec), planes))
 
@@ -486,6 +489,64 @@ case class SimHash64(child: Expression)
     val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (Long) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Character-level Shannon entropy of a string in MICRO-NATS:
+  * H = ln n − (Σ c·ln c)/n over code-point counts c, the Σ accumulated
+  * in ASCENDING code-point order so the DuckDB replay (binary-collated
+  * char grouping, `list(… ORDER BY c)` + sequential fold) adds the
+  * identical IEEE sequence; floor(H·10⁶ + 0.5) as long, NULL for the
+  * empty string. This is the gibberish/compressibility quality signal:
+  * natural English ≈ 2.8–4.2 nats, `aaaa…` → 0, base64 and
+  * key-mash junk run far higher — one compiled map pass, zero
+  * shuffles, the only shape that matters on the raw 100 TB corpus.
+  */
+case class CharEntropyMicro(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy_micro"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) null
+    else {
+      val counts = new java.util.TreeMap[Integer, Long]()
+      var i = 0
+      var n = 0L
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val prev = counts.get(cp)
+        counts.put(cp, if (prev == null) 1L else prev + 1L)
+        n += 1L
+        i += Character.charCount(cp)
+      }
+      var sum = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        sum += c * math.log(c.toDouble)
+      }
+      val h = math.log(n.toDouble) - sum / n
+      java.lang.Long.valueOf(math.floor(h * 1e6 + 0.5).toLong)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropyExpr", this, classOf[CharEntropyMicro].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("he")
+      s"""
+         |Object $tmp = $ref.nullSafeEval($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (Long) $tmp; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -749,47 +749,110 @@ object Pipeline {
   def bpeTrain(documents: DataFrame, merges: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val base = bpeBase(documents).persist()
+    try {
+      val (learned, _) = bpeLoop(base, merges)
+      learned.toDF("merge_rank", "lhs", "rhs", "merged", "n")
+        .orderBy(col("merge_rank"))
+    } finally base.unpersist()
+  }
+
+  /** The distinct-word frequency table in BPE symbol form: `word`,
+    * `freq`, and `repr` = the U+0001-separated character sequence with
+    * boundary separators. The one corpus scan every BPE job shares.
+    */
+  private def bpeBase(documents: DataFrame): DataFrame = {
     val sep = "\u0001"
-    val words = documents
+    documents
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val base = words
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         concat(lit(sep), regexp_replace(col("word"), "(.)", "$1" + sep)).as("repr"))
-      .persist()
-    try {
-      var tbl = base
-      val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-      var exhausted = false
-      for (k <- 1 to merges if !exhausted) {
-        val top = tbl
-          .select(col("freq"),
-            filter(split(col("repr"), sep), x => x =!= "").as("sym"))
-          .select(col("freq"),
-            explode(zip_with(
-              slice(col("sym"), lit(1), size(col("sym")) - 1),
-              slice(col("sym"), lit(2), size(col("sym")) - 1),
-              (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
-          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("l"), col("r"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val row = top(0)
-          val l = row.getString(0)
-          val r = row.getString(1)
-          val n = row.getLong(2)
-          learned += ((k.toLong, l, r, l + r, n))
-          tbl = tbl.withColumn("repr",
-            org.apache.spark.sql.functions.replace(
-              col("repr"), lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
-        }
+  }
+
+  /** The K-iteration merge loop shared by [[bpeTrain]] and
+    * [[bpeEncode]]: finds the top pair, rewrites `repr` (all other
+    * columns ride along), repeats. Returns the learned merges and the
+    * final rewritten table -- whose lineage embeds the merges as
+    * LITERAL replaces, so re-evaluating it later replays the rewrites
+    * without re-running the K driver jobs.
+    */
+  private def bpeLoop(base: DataFrame, merges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val sep = "\u0001"
+    var tbl = base
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to merges if !exhausted) {
+      val top = tbl
+        .select(col("freq"),
+          filter(split(col("repr"), sep), x => x =!= "").as("sym"))
+        .select(col("freq"),
+          explode(zip_with(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top(0)
+        val l = row.getString(0)
+        val r = row.getString(1)
+        val n = row.getLong(2)
+        learned += ((k.toLong, l, r, l + r, n))
+        tbl = tbl.withColumn("repr",
+          org.apache.spark.sql.functions.replace(
+            col("repr"), lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
       }
-      learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "n")
-        .orderBy(col("merge_rank"))
+    }
+    (learned.toSeq, tbl)
+  }
+
+  /** C61 `bpe_encode` -- the ENCODE side of [[bpeTrain]]: apply the K
+    * learned merges to every document and report its token count under
+    * the trained vocabulary plus the fertility (BPE tokens per
+    * whitespace word, per-mille) -- the number a tokenizer team
+    * watches to size context windows and compare vocab choices.
+    *
+    * Scale shape: the merges rewrite the VOCABULARY (bounded), never
+    * the corpus -- each word's final symbol count comes from the
+    * rewritten word table, and the corpus pass is one (doc_id, word)
+    * count aggregation joined to that table on `word` (two shuffles,
+    * both map-side combinable; the per-doc distinct-word table going
+    * into the join is far smaller than the exploded token stream).
+    * Encoding-by-replay-on-the-corpus would rescan 100 TB K times;
+    * this rescans it once.
+    *
+    * All-integer output, so the oracle (which replays the full
+    * training loop in chained CTEs -- [[bpeTrain]]'s argument) matches
+    * exactly.
+    */
+  def bpeEncode(documents: DataFrame, merges: Int = 8): DataFrame = {
+    val sep = "\u0001"
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val base = bpeBase(documents).persist()
+    try {
+      val (_, fin) = bpeLoop(base, merges)
+      val vocab = fin.select(col("word"),
+        size(filter(split(col("repr"), sep), x => x =!= "")).cast("long").as("n_sym"))
+      val enc = toks
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_ws"), sum(col("cnt") * col("n_sym")).as("n_bpe"))
+      documents.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+        .withColumn("n_ws_tokens", coalesce(col("n_ws"), lit(0L)))
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe"), lit(0L)))
+        .withColumn("fertility_pm",
+          when(col("n_ws_tokens") > 0, expr("(1000 * n_bpe_tokens) div n_ws_tokens")))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"), col("fertility_pm"))
+        .orderBy(col("doc_id"))
     } finally base.unpersist()
   }
 

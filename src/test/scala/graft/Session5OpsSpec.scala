@@ -469,6 +469,30 @@ class Session5OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // --- bpe_encode ----------------------------------------------------
+
+  test("bpeEncode counts tokens under the trained merges (greedy leftmost)") {
+    // corpus: "ab" dominates → merge 1 = (a,b); "aaa" under merge (a,a)
+    // would be [aa, a] — here vocab is {ab, aaa}: with 2 merges the
+    // trainer learns (a,b) then (a,a), so aaa → [aa, a] = 2 tokens.
+    val docs = Seq(
+      (0L, "ab ab ab"), (1L, "aaa ab"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Pipeline.bpeEncode(docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 3L, 1000L),  // three fully-merged "ab" words
+      (1L, 2L, 3L, 1500L),  // aaa → 2 tokens + ab → 1
+      (2L, 0L, 0L, -1L)))   // empty doc: zero counts, NULL fertility
+  }
+
+  test("bpeEncode with zero merges counts characters per word") {
+    val docs = Seq((0L, "abc de")).toDF("doc_id", "text")
+    val out = Pipeline.bpeEncode(docs, merges = 0).collect()(0)
+    assert(out.getLong(1) === 2L && out.getLong(2) === 5L && out.getLong(3) === 2500L)
+  }
+
   // --- spearman_corr -------------------------------------------------
 
   test("spearmanCorr is ±1 for monotone return relationships") {
@@ -546,6 +570,48 @@ class Session5OpsSpec extends SparkSpec {
     val r = Analytics.halfLife(p).collect()(0)
     // Δp constant, level rising → φ ≈ 0 (not in (−1,0)) → NULL
     assert(r.isNullAt(3))
+  }
+
+  // --- char_entropy --------------------------------------------------
+
+  test("charEntropyMicro matches hand-computed entropies") {
+    import graft.expressions.Kernels
+    val df = Seq((0L, "aaaa"), (1L, "ab"), (2L, "abab"), (3L, ""), (4L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Kernels.charEntropyMicro(col("text")).as("e"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(df(0L) === 0L, "single-symbol string has zero entropy")
+    assert(df(1L) === 693147L, "two distinct chars -> ln 2")
+    assert(df(2L) === 693147L, "entropy depends on distribution, not length")
+    assert(df(3L) === -1L, "empty string -> NULL")
+    assert(df(4L) === 0L)
+  }
+
+  test("charEntropyMicro equals an independent per-doc computation on varied text") {
+    import graft.expressions.Kernels
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aAbB cCdD!!??", "zzzzzzzzzy", "0123456789" * 3)
+    def expected(s: String): Long = {
+      val n = s.length.toDouble
+      val sum = s.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+        .foldLeft(0.0)((a, c) => a + c * math.log(c.toDouble))
+      math.floor((math.log(n) - sum / n) * 1e6 + 0.5).toLong
+    }
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Kernels.charEntropyMicro(col("text")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === expected(t), s"mismatch for '$t'")
+    }
+  }
+
+  test("char_entropy_micro is callable from SQL") {
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT char_entropy_micro('ab') AS e").collect()(0).getLong(0)
+    assert(out === 693147L)
+    assert(spark.sql("SELECT char_entropy_micro('') AS e").collect()(0).isNullAt(0))
   }
 
   // --- benford -------------------------------------------------------
