@@ -464,6 +464,14 @@ object SparkEntry {
       Analytics.halfLife(Tables.panel(s, dir))),
     "benford" -> ((s, dir) =>
       Analytics.benford(Tables.lineitem(s, dir))),
+    "garman_klass" -> ((s, dir) =>
+      Analytics.garmanKlass(Tables.panel(s, dir))),
+    "herfindahl" -> ((s, dir) =>
+      Analytics.herfindahl(Tables.panel(s, dir))),
+    "omega_ratio" -> ((s, dir) =>
+      Analytics.omegaRatio(Tables.panel(s, dir))),
+    "melt_long" -> ((s, dir) =>
+      Analytics.meltLong(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2312,6 +2320,60 @@ object SparkEntry {
         |  CAST((1000 * n) // tot AS BIGINT)
         |    - CAST([301,176,125,97,79,67,58,51,46][digit] AS BIGINT) AS dev_pm
         |FROM g, t ORDER BY digit""".stripMargin,
+    "garman_klass" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date,
+         |         round(0.5 * round(ln(high / low) * ln(high / low), 6)
+         |               - 0.3862943611198906 * round(ln(close / open) * ln(close / open), 6),
+         |               6) AS x
+         |  FROM bars WHERE low > 0 AND open > 0),
+         |f AS (
+         |  SELECT asset_id, date, x,
+         |         list(x) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b)
+         |SELECT asset_id, date, x,
+         |  floor(sqrt(greatest(list_reduce(list_prepend(0.0, arr), (a, y) -> a + y), 0.0)
+         |        / len(arr)) * 1000000 + 0.5) / 1000000 AS gk
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "herfindahl" ->
+      s"""$panelCte,
+         |$barsCte,
+         |g AS (
+         |  SELECT date, CAST(count(*) AS BIGINT) AS n_assets,
+         |         CAST(sum(n_ticks) AS BIGINT) AS total_ticks,
+         |         CAST(sum(n_ticks * n_ticks) AS BIGINT) AS sum_sq
+         |  FROM bars GROUP BY date)
+         |SELECT date, n_assets, total_ticks,
+         |  CAST((2 * 1000000 * sum_sq + total_ticks * total_ticks)
+         |       // (2 * total_ticks * total_ticks) AS BIGINT) AS hhi_micro
+         |FROM g ORDER BY date""".stripMargin,
+    "omega_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(CASE WHEN rm > 0 THEN rm ELSE 0 END) AS BIGINT) AS gains_micro,
+         |         CAST(sum(CASE WHEN rm < 0 THEN -rm ELSE 0 END) AS BIGINT) AS losses_micro
+         |  FROM (SELECT asset_id, CAST(round(ret * 1000000) AS BIGINT) AS rm FROM rets) t
+         |  GROUP BY asset_id)
+         |SELECT asset_id, n_days, gains_micro, losses_micro,
+         |  CASE WHEN losses_micro > 0
+         |       THEN CAST((2 * 1000000 * gains_micro + losses_micro)
+         |                 // (2 * losses_micro) AS BIGINT) END AS omega_micro
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "melt_long" ->
+      s"""$panelCte,
+         |$barsCte
+         |SELECT asset_id, date, field, value FROM (
+         |  SELECT asset_id, date, 'open' AS field, open AS value FROM bars
+         |  UNION ALL SELECT asset_id, date, 'high', high FROM bars
+         |  UNION ALL SELECT asset_id, date, 'low', low FROM bars
+         |  UNION ALL SELECT asset_id, date, 'close', close FROM bars)
+         |ORDER BY asset_id, date, field""".stripMargin,
     "shingle_novelty" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

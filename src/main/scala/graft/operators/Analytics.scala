@@ -2420,4 +2420,104 @@ object Analytics {
       .select(col("digit"), col("n"), col("obs_pm"), col("exp_pm"), col("dev_pm"))
       .orderBy(col("digit"))
   }
+
+  /** 2·ln2 − 1, the Garman–Klass close-open weight. */
+  private val TwoLn2m1 = 0.3862943611198906
+
+  /** B82 `garman_klass` — Garman–Klass range-based volatility over the
+    * daily bars: per-day x = ½(ln H/L)² − (2ln2−1)(ln C/O)², rolling
+    * σ_GK = √(max(Σ_frame x, 0)/n). Uses all four bar fields, ~7×
+    * close-to-close efficiency — the standard upgrade over
+    * [[parkinsonVol]] when opens are reliable. Σx can dip below zero
+    * on short frames (x itself may be negative); clamped at 0 before
+    * the √, documented contract.
+    *
+    * Determinism: each squared log is rounded to 6 decimals BEFORE the
+    * constant-weight combine (absorbing the `ln` last-ulp), x again to
+    * 6, the frame fold is sequential, √ IEEE-exact. Same
+    * single-shuffle asset_id plan as [[parkinsonVol]].
+    */
+  def garmanKlass(panel: DataFrame, window: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val lhl = log(col("high") / col("low"))
+    val lco = log(col("close") / col("open"))
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("low") > 0 && col("open") > 0)
+      .withColumn("a", round(lhl * lhl, 6))
+      .withColumn("b", round(lco * lco, 6))
+      .withColumn("x", round(lit(0.5) * col("a") - lit(TwoLn2m1) * col("b"), 6))
+      .withColumn("arr", collect_list(col("x")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .withColumn("gk", u6(sqrt(
+        greatest(Kernels.seqFold(col("arr"), "sum"), lit(0.0)) / col("n"))))
+      .select(col("asset_id"), col("date"), col("x"), col("gk"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B83 `herfindahl` — per-date Herfindahl–Hirschman concentration of
+    * trading activity across assets: HHI = Σ_i s_i² with
+    * s_i = n_ticks_i / Σ n_ticks. Flags days where activity collapses
+    * onto few names (market-quality monitor; 1/HHI is the effective
+    * number of active assets).
+    *
+    * ALL-INTEGER: HHI = Σn² / (Σn)² — numerator and denominator are
+    * exact integer aggregates (order-free, map-side combinable), the
+    * single division rounds in integer space ((2·10⁶·num + den) div
+    * 2·den). One shuffle to (asset_id, date) bars, one calendar-sized
+    * re-agg to dates — no floats anywhere.
+    */
+  def herfindahl(panel: DataFrame): DataFrame = {
+    dailyBars(panel.repartition(col("asset_id")))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_ticks")).as("total_ticks"),
+        sum(col("n_ticks") * col("n_ticks")).as("sum_sq"))
+      .withColumn("hhi_micro",
+        expr("(2 * 1000000 * sum_sq + total_ticks * total_ticks) div (2 * total_ticks * total_ticks)"))
+      .select(col("date"), col("n_assets"), col("total_ticks"), col("hhi_micro"))
+      .orderBy(col("date"))
+  }
+
+  /** B84 `omega_ratio` — Omega(τ=0) per asset: Σ gains / Σ losses over
+    * the daily returns — the full-distribution upgrade over
+    * [[sharpe]]/[[sortino]] (uses every moment, not just the first
+    * two; Ω>1 ⇔ positive expectancy).
+    *
+    * ALL-INTEGER: returns are 6-decimal by construction, so gain/loss
+    * sums are exact integer micro-unit aggregates in any order; the
+    * single ratio rounds in integer space to micro units, NULL when
+    * the asset never lost (Ω undefined/infinite). One shuffle on
+    * asset_id, asset-sized output.
+    */
+  def omegaRatio(panel: DataFrame): DataFrame = {
+    dailyReturns(panel)
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret_micro") > 0, col("ret_micro")).otherwise(0L)).as("gains_micro"),
+        sum(when(col("ret_micro") < 0, -col("ret_micro")).otherwise(0L)).as("losses_micro"))
+      .withColumn("omega_micro",
+        when(col("losses_micro") > 0,
+          expr("(2 * 1000000 * gains_micro + losses_micro) div (2 * losses_micro)")))
+      .select(col("asset_id"), col("n_days"), col("gains_micro"),
+        col("losses_micro"), col("omega_micro"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B85 `melt_long` — UNPIVOT: the daily OHLC bars melted to one row
+    * per (asset, date, field) — the inverse surface of [[pivotWide]],
+    * closing the reshape pair every OLAP engine ships. Spark's `stack`
+    * generator runs inside whole-stage codegen (one scan, no join, no
+    * shuffle beyond the bar aggregate); output size = 4× bars,
+    * linear at any scale. Values pass through untouched — exact.
+    */
+  def meltLong(panel: DataFrame): DataFrame = {
+    dailyBars(panel.repartition(col("asset_id")))
+      .selectExpr("asset_id", "date",
+        "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (field, value)")
+      .orderBy(col("asset_id"), col("date"), col("field"))
+  }
 }

@@ -628,4 +628,90 @@ class Session5OpsSpec extends SparkSpec {
     val dev = out.map(t => (t._1, t._5)).toMap
     assert(dev(1) === 300L - 301L && dev(9) === 200L - 46L)
   }
+
+  // --- garman_klass --------------------------------------------------
+
+  test("garmanKlass matches a hand computation and clamps negative sums") {
+    // day 1: flat (H=L=C=O) → x = 0; day 2: H=12.1 L=10 O=10 C=11
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-02", 210, 10.0, 2L),
+      (1L, "2024-01-02", 215, 12.1, 3L),
+      (1L, "2024-01-02", 220, 11.0, 4L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.garmanKlass(panel).collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    assert(out(0) === (("2024-01-01", 0.0, 0.0)))
+    val a2 = math.round(math.pow(math.log(12.1 / 10.0), 2) * 1e6) / 1e6
+    val b2 = math.round(math.pow(math.log(11.0 / 10.0), 2) * 1e6) / 1e6
+    val x2 = math.round((0.5 * a2 - 0.3862943611198906 * b2) * 1e6) / 1e6
+    val gk2 = math.floor(math.sqrt(math.max(x2, 0.0) / 2.0) * 1e6 + 0.5) / 1e6
+    assert(out(1) === (("2024-01-02", x2, gk2)))
+  }
+
+  test("garmanKlass σ is finite and non-negative over varied bars") {
+    // H≥max(O,C) and L≤min(O,C) make per-day x ≥ 0 for consistent
+    // bars; the Σ clamp is defensive. Assert gk never goes NaN.
+    val panel = (1 to 30).flatMap { i =>
+      Seq((1L, f"2024-01-$i%02d", i * 10 + 1, 10.0 + (i % 7) * 0.5, i * 2L),
+        (1L, f"2024-01-$i%02d", i * 10 + 2, 10.0 + ((i + 3) % 5) * 0.7, i * 2L + 1L))
+    }.map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val gks = Analytics.garmanKlass(panel).collect().map(_.getDouble(3))
+    assert(gks.forall(g => !g.isNaN && g >= 0.0))
+  }
+
+  // --- herfindahl ----------------------------------------------------
+
+  test("herfindahl is 1e6 for one asset and (n²+m²)/(n+m)² for two") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),   // day 1: only asset 1 → HHI 1.0
+      (1L, "2024-01-02", 210, 10.0, 2L),   // day 2: 3 ticks vs 1 tick
+      (1L, "2024-01-02", 211, 10.5, 3L),
+      (1L, "2024-01-02", 212, 10.6, 4L),
+      (2L, "2024-01-02", 213, 99.0, 5L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.herfindahl(panel).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === (("2024-01-01", 1L, 1L, 1000000L)))
+    // (9 + 1) / 16 = 0.625
+    assert(out(1) === (("2024-01-02", 2L, 4L, 625000L)))
+  }
+
+  // --- omega_ratio ---------------------------------------------------
+
+  test("omegaRatio divides gain micro-sum by loss micro-sum, NULL when no losses") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-02", 210, 11.0, 2L),   // +0.1
+      (1L, "2024-01-03", 310, 10.45, 3L),  // -0.05
+      (2L, "2024-01-01", 110, 10.0, 4L),
+      (2L, "2024-01-02", 210, 12.0, 5L))   // +0.2, never loses
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.omegaRatio(panel).collect()
+    val r1 = out(0)
+    assert(r1.getLong(0) === 1L && r1.getLong(1) === 2L)
+    assert(r1.getLong(2) === 100000L && r1.getLong(3) === 50000L)
+    assert(r1.getLong(4) === 2000000L)  // Ω = 2.0 in micro
+    val r2 = out(1)
+    assert(r2.getLong(3) === 0L && r2.isNullAt(4))
+  }
+
+  // --- melt_long -----------------------------------------------------
+
+  test("meltLong emits one row per bar field, inverse of the wide shape") {
+    val panel = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L),
+      (1L, "2024-01-01", 120, 12.0, 2L),
+      (1L, "2024-01-01", 130, 11.0, 3L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.meltLong(panel).collect()
+      .map(r => (r.getString(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("close", 11.0), ("high", 12.0), ("low", 10.0), ("open", 10.0)))
+  }
 }
