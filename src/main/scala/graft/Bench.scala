@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftConf.tune(spark)
@@ -134,8 +135,13 @@ object Bench {
     }
     val fullQs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
+    // Explicit status so automation never has to infer health from rc
+    // (the sbt exit code stays 0 even when queries fail — a nonzero
+    // exit would make the harness discard the whole line). `runs` is
+    // the ACTUAL per-query sample count used for the medians.
+    val status = if (failedKeys.isEmpty) "ok" else "partial"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"status":"$status","queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }

@@ -22,6 +22,13 @@ object GraftConf {
     // matches the sortBy — the native as-of merge above all — elide
     // their Sort entirely, not just their Exchange.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Some testdata generations write events.ts as parquet
+    // TIMESTAMP(NANOS), which the vectorized reader rejects at schema
+    // inference. With this conf a nanos column surfaces as LongType
+    // (Tables.events then truncates to µs); it is a no-op for the
+    // µs-TIMESTAMP_NTZ generation. Set here, not in the reader, so
+    // Tables.* stay side-effect-free on session conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -44,8 +44,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String, factor: Int, dir: String): Unit = {
-      // Lazily read only inside the replicated branches: a plain read of
-      // events.parquet (TIMESTAMP NANOS) throws at schema inference.
+      // Lazily read only inside the replicated branches (the events
+      // branch reads via Tables.events instead, never through this).
       def src = Tables.read(spark, base, table)
       val out = table match {
         case "documents" =>
@@ -99,14 +99,14 @@ object ScaleProbe {
               .withColumn("l_partkey", col("l_partkey") + lit(i * maxP))
           }.reduce(_ unionByName _)
         case "events" =>
-          // events.parquet is TIMESTAMP(NANOS): read the raw int64 via the
-          // legacy conf and KEEP it long — the replica is then a plain
-          // BIGINT ts column, which Tables.events converts identically
-          // (timestamp_micros(ts div 1000) is type-agnostic). Fresh
-          // user_ids (asset_ids) per replica: constant per-key density,
-          // the honest growth model for every panel operator.
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val ev = Tables.read(spark, base, "events")
+          // Go through Tables.events, which schema-probes the raw file
+          // (nanos-as-long OR µs TIMESTAMP_NTZ) and yields a uniform
+          // TimestampType ts; the replica then writes standard µs
+          // parquet TIMESTAMP, which Tables.events passes through
+          // unchanged on re-read. Fresh user_ids (asset_ids) per
+          // replica: constant per-key density, the honest growth model
+          // for every panel operator.
+          val ev = Tables.events(spark, base)
           val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
           val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
           (0 until factor).map { i =>
@@ -122,8 +122,7 @@ object ScaleProbe {
       if (out != null)
         out.coalesce(4 * factor).write.mode("overwrite").parquet(s"$dir/$table.parquet")
       else {
-        // raw copy — events.parquet is TIMESTAMP(NANOS) and must not go
-        // through a plain read/write round-trip (see Tables.events)
+        // raw file copy for the small unreplicated dims
         val from = java.nio.file.Paths.get(s"$base/$table.parquet")
         val to = java.nio.file.Paths.get(s"$dir/$table.parquet")
         java.nio.file.Files.createDirectories(to.getParent)

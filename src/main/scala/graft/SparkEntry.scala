@@ -382,8 +382,13 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, dir))),
+    // Exact-truth arm rides the shared checkpointed pair build (same
+    // memo as the cluster composites) — the report's marginal cost is
+    // then just its own two-stage minhash arm, not a second exhaustive
+    // jaccard (r5 bench: 8.4 s, of which ~half was the duplicate build).
     "dedup_recall_report" -> ((s, dir) =>
-      Dedup.dedupRecallReport(Tables.documents(s, dir))),
+      Dedup.dedupRecallReport(Tables.documents(s, dir),
+        exactPairs = Some(jaccardPairsShared(s, dir)))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) =>

@@ -32,17 +32,33 @@ object Tables {
       col("value"),
       col("event_id").as("seq"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB ≥1.0 does when it reads the same
-    * file into its µs-native TIMESTAMP, so both engines see identical
-    * values. `div` keeps the math integral (a double division would lose
-    * precision above 2^53 ns).
+  /** `events.ts` has shipped in two physical parquet schemas across
+    * testdata generations, so the reader probes the schema it actually
+    * receives instead of hardcoding either (r5 postmortem: the hardcoded
+    * nanos path broke 98 queries when the data switched to µs):
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *     `GraftConf.tune` sets the legacy nanos-as-long conf and this
+    *     branch truncates the raw int64 to microseconds — exactly what
+    *     DuckDB ≥1.0 does reading the same file into its µs-native
+    *     TIMESTAMP. `div` keeps the math integral (double division loses
+    *     precision above 2^53 ns).
+    *   - TIMESTAMP_NTZ(µs): cast NTZ → session-local timestamp. All graft
+    *     sessions run with session TZ UTC, so the cast is an identity on
+    *     the micros-since-epoch value and matches what DuckDB sees.
+    *
+    * Either way downstream operators get the same TimestampType `ts`.
+    * No session conf is mutated here (GraftConf owns conf — its
+    * no-side-effect contract, GraftConf.scala).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = read(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")

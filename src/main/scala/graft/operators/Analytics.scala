@@ -2410,9 +2410,13 @@ object Analytics {
       .select(regexp_extract(col("l_extendedprice").cast("string"), "[1-9]", 0).as("d"))
       .filter(col("d") =!= "")
       .groupBy(col("d")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("tot"))
     val expected = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
-    counts.crossJoin(broadcast(total))
+    // Grand total as an empty-frame window over the ≤9 digit rows, not a
+    // crossJoin(broadcast(1-row agg)) — that shape plans as a
+    // BroadcastNestedLoopJoin (the plan-audit anti-pattern); the window
+    // is a single tiny exchange over an already-aggregated input.
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
       .withColumn("digit", col("d").cast("int"))
       .withColumn("obs_pm", expr("(1000 * n) div tot"))
       .withColumn("exp_pm", element_at(array(expected.map(lit): _*), col("digit")))

@@ -142,16 +142,23 @@ object Dedup {
     * that justifies band/row settings before a 100 TB dedup run.
     */
   def dedupRecallReport(documents: DataFrame, k: Int = 8,
-                        threshold: Double = 0.3, maxDf: Long = 100L): DataFrame = {
+                        threshold: Double = 0.3, maxDf: Long = 100L,
+                        exactPairs: Option[DataFrame] = None): DataFrame = {
     // Each pair set is consumed TWICE below (its union branch + the
     // common join); without materialization Catalyst re-plans — and
     // re-runs — both full shingle pipelines per consumer. The pair
     // sets are tiny (≈ true dups), so an eager localCheckpoint swaps
     // a duplicated corpus pass for a few KB of blocks (ContextCleaner
     // reclaims them when the plan is dropped — same pattern as the
-    // shared cluster pair build).
-    val exact = ngramJaccardPairs(documents, k, threshold, maxDf)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // shared cluster pair build). `exactPairs` lets a caller that has
+    // ALREADY materialized the exhaustive jaccard truth set (the
+    // SparkEntry shared memo the cluster composites ride) hand it in,
+    // so one driver run pays for the exhaustive build once, not once
+    // per consumer.
+    val exact = exactPairs
+      .map(_.select(col("doc_a"), col("doc_b")))
+      .getOrElse(ngramJaccardPairs(documents, k, threshold, maxDf)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true))
     val rec = minhashVerifiedPairs(documents, k, threshold = threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // Tagged union → ONE global aggregate: a constant-key join of the

@@ -784,6 +784,13 @@ object Pipeline {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (k <- 1 to merges if !exhausted) {
+      // Top-pair pick as ONE struct-min aggregate, not orderBy+limit:
+      // min(struct(-n, l, r)) is exactly the (n desc, l asc, r asc)
+      // argmax, runs as a partial+final hash aggregate with map-side
+      // combine, and returns a single row — no TakeOrdered per-partition
+      // top-k merge on the driver. Still K sequential jobs (the merge
+      // choice is inherently iterative) but each is the cheapest shape
+      // a bounded vocab allows.
       val top = tbl
         .select(col("freq"),
           filter(split(col("repr"), sep), x => x =!= "").as("sym"))
@@ -794,15 +801,14 @@ object Pipeline {
             (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
+        .agg(min(struct((-col("n")).as("negn"), col("l"), col("r"))).as("b"))
         .collect()
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty || top(0).isNullAt(0)) exhausted = true
       else {
-        val row = top(0)
-        val l = row.getString(0)
-        val r = row.getString(1)
-        val n = row.getLong(2)
+        val row = top(0).getStruct(0)
+        val l = row.getString(1)
+        val r = row.getString(2)
+        val n = -row.getLong(0)
         learned += ((k.toLong, l, r, l + r, n))
         tbl = tbl.withColumn("repr",
           org.apache.spark.sql.functions.replace(

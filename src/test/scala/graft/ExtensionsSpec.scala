@@ -84,6 +84,6 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
       Set("vec_dot", "minhash_sig", "simhash64", "l2_normalize", "shingle_set", "lsh_bucket",
         "text_stats", "winnow_fp", "quantize_int8", "vec_dot_long", "seq_fold",
-        "portable_str_hash"))
+        "portable_str_hash", "char_entropy_micro"))
   }
 }
