@@ -143,7 +143,8 @@ object Dedup {
     */
   def dedupRecallReport(documents: DataFrame, k: Int = 8,
                         threshold: Double = 0.3, maxDf: Long = 100L,
-                        exactPairs: Option[DataFrame] = None): DataFrame = {
+                        exactPairs: Option[DataFrame] = None,
+                        recalledPairs: Option[DataFrame] = None): DataFrame = {
     // Each pair set is consumed TWICE below (its union branch + the
     // common join); without materialization Catalyst re-plans — and
     // re-runs — both full shingle pipelines per consumer. The pair
@@ -159,8 +160,10 @@ object Dedup {
       .map(_.select(col("doc_a"), col("doc_b")))
       .getOrElse(ngramJaccardPairs(documents, k, threshold, maxDf)
         .select(col("doc_a"), col("doc_b")).localCheckpoint(true))
-    val rec = minhashVerifiedPairs(documents, k, threshold = threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val rec = recalledPairs
+      .map(_.select(col("doc_a"), col("doc_b")))
+      .getOrElse(minhashVerifiedPairs(documents, k, threshold = threshold)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true))
     // Tagged union → ONE global aggregate: a constant-key join of the
     // three 1-row counts would simplify to a nested-loop join (the
     // plan-audit anti-pattern); the union shape has no join at all.

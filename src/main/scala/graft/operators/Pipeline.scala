@@ -837,29 +837,44 @@ object Pipeline {
     * training loop in chained CTEs -- [[bpeTrain]]'s argument) matches
     * exactly.
     */
-  def bpeEncode(documents: DataFrame, merges: Int = 8): DataFrame = {
+  /** The trained (word, n_sym) vocabulary table: distinct words with
+    * their symbol counts under the K learned merges -- the bounded
+    * artifact the encode side joins against. Production shape at
+    * 100 TB: train ONCE (bounded-vocab work), materialize this table,
+    * then encode any number of corpora against it; `SparkEntry`
+    * memoizes it per (session, sfDir) so one driver run trains once.
+    */
+  def bpeVocab(documents: DataFrame, merges: Int = 8): DataFrame = {
     val sep = "\u0001"
-    val toks = documents
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
     val base = bpeBase(documents).persist()
     try {
       val (_, fin) = bpeLoop(base, merges)
-      val vocab = fin.select(col("word"),
+      // eager materialization while `base` is still persisted -- a lazy
+      // return would re-run the corpus scan after the finally unpersists
+      fin.select(col("word"),
         size(filter(split(col("repr"), sep), x => x =!= "")).cast("long").as("n_sym"))
-      val enc = toks
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-        .join(vocab, Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_ws"), sum(col("cnt") * col("n_sym")).as("n_bpe"))
-      documents.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
-        .withColumn("n_ws_tokens", coalesce(col("n_ws"), lit(0L)))
-        .withColumn("n_bpe_tokens", coalesce(col("n_bpe"), lit(0L)))
-        .withColumn("fertility_pm",
-          when(col("n_ws_tokens") > 0, expr("(1000 * n_bpe_tokens) div n_ws_tokens")))
-        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"), col("fertility_pm"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
     } finally base.unpersist()
+  }
+
+  def bpeEncode(documents: DataFrame, merges: Int = 8,
+                trainedVocab: Option[DataFrame] = None): DataFrame = {
+    val vocab = trainedVocab.getOrElse(bpeVocab(documents, merges))
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val enc = toks
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ws"), sum(col("cnt") * col("n_sym")).as("n_bpe"))
+    documents.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .withColumn("n_ws_tokens", coalesce(col("n_ws"), lit(0L)))
+      .withColumn("n_bpe_tokens", coalesce(col("n_bpe"), lit(0L)))
+      .withColumn("fertility_pm",
+        when(col("n_ws_tokens") > 0, expr("(1000 * n_bpe_tokens) div n_ws_tokens")))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"), col("fertility_pm"))
+      .orderBy(col("doc_id"))
   }
 
   /** C57 `zipf_slope` — Zipf's-law fit of the corpus: OLS slope of
