@@ -504,6 +504,18 @@ object SparkEntry {
       Analytics.omegaRatio(Tables.panel(s, dir))),
     "melt_long" -> ((s, dir) =>
       Analytics.meltLong(Tables.panel(s, dir))),
+    "information_ratio" -> ((s, dir) =>
+      Analytics.informationRatio(Tables.panel(s, dir))),
+    "downside_beta" -> ((s, dir) =>
+      Analytics.downsideBeta(Tables.panel(s, dir))),
+    "treynor" -> ((s, dir) =>
+      Analytics.treynor(Tables.panel(s, dir))),
+    "overnight_gap" -> ((s, dir) =>
+      Analytics.overnightGap(Tables.panel(s, dir))),
+    "prefix_dups" -> ((s, dir) =>
+      Dedup.prefixDups(Tables.documents(s, dir))),
+    "embedding_norm_stats" -> ((s, dir) =>
+      Similarity.embeddingNormStats(Tables.embeddings(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3688,6 +3700,123 @@ object SparkEntry {
          |  round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta,
          |  round((sa - COALESCE((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 0.0) * sm) / n, 6) AS alpha
          |FROM g ORDER BY asset_id""".stripMargin,
+    "information_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, round(r.ret - m.mkt_ret, 6) AS active
+         |      FROM rets r JOIN mkt m USING (date)),
+         |p AS (SELECT asset_id, list(active ORDER BY date) AS aa FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(aa) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, aa), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(aa, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(aa) >= 2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(s / n, 6) AS mean_active,
+         |  round((s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0), 6) AS ir
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "downside_beta" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n, ra, rm,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm
+         |  FROM p WHERE len(ra) >= 2),
+         |d AS (
+         |  SELECT asset_id, n,
+         |         list_transform(ra, x -> round(least(x - sa / n, 0.0), 6)) AS da,
+         |         list_transform(rm, x -> round(least(x - sm / n, 0.0), 6)) AS dm
+         |  FROM g),
+         |f AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> da[i] * dm[i])), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(dm, x -> x * x)), (a, x) -> a + x) AS sm2,
+         |         len(list_filter(dm, x -> x < 0)) AS n_down
+         |  FROM d)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(n_down AS BIGINT) AS n_down,
+         |  round(sp / nullif(sm2, 0.0), 6) AS downside_beta
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "treynor" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm,
+         |         list(ret * mkt_ret ORDER BY date) AS rp
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM p WHERE len(ra) >= 2),
+         |b AS (
+         |  SELECT asset_id, n, sa,
+         |         round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta
+         |  FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, beta,
+         |  CASE WHEN beta IS NULL OR abs(beta) < 0.01 THEN NULL
+         |       ELSE round((sa / n) / beta, 6) END AS treynor
+         |FROM b ORDER BY asset_id""".stripMargin,
+    "overnight_gap" ->
+      s"""$panelCte,
+         |$barsCte,
+         |wg AS (
+         |  SELECT asset_id, date, open,
+         |         lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS prev_close
+         |  FROM bars)
+         |SELECT asset_id, date, open, prev_close,
+         |       round(open / nullif(prev_close, 0) - 1, 6) AS gap
+         |FROM wg WHERE prev_close IS NOT NULL ORDER BY asset_id, date""".stripMargin,
+    "prefix_dups" ->
+      """SELECT md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "embedding_norm_stats" ->
+      """WITH nr AS (
+        |  SELECT label,
+        |         round(sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, y) -> a + y)), 6) AS norm
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm,
+        |         CAST(sum(CAST(round(norm * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+        |  FROM nr GROUP BY label)
+        |SELECT label, n_vecs, min_norm, max_norm,
+        |  CAST(CAST(round(CAST(sum_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS mean_norm
+        |FROM g ORDER BY label""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

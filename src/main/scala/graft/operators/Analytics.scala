@@ -2524,4 +2524,134 @@ object Analytics {
         "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (field, value)")
       .orderBy(col("asset_id"), col("date"), col("field"))
   }
+
+  /** The equal-weight "market" return per date, shared by the
+    * benchmark-relative family ([[beta]] builds its own copy inline;
+    * [[informationRatio]]/[[downsideBeta]]/[[treynor]] use this): mean
+    * of the per-asset daily returns, deterministically folded in
+    * asset_id order. Broadcast-sized by construction — one row per
+    * trading day regardless of corpus width.
+    */
+  private def marketReturns(rets: DataFrame): DataFrame =
+    rets
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
+        s => s("ret")).as("marr"))
+      .select(col("date"),
+        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+
+  /** B86 `information_ratio` — mean active return over the equal-weight
+    * market divided by tracking error (sample std of active returns),
+    * per asset. THE number an active strategy is judged by. Scale
+    * shape: one asset_id shuffle for the return series, the per-date
+    * market is broadcast back (tiny — |dates| rows), then one fold per
+    * asset. Determinism: active returns rounded to 6 before the
+    * sequential fold, same discipline as [[sharpe]].
+    */
+  def informationRatio(panel: DataFrame): DataFrame = {
+    val rets = dailyReturns(panel)
+    val n = col("n")
+    rets.join(broadcast(marketReturns(rets)), Seq("date"))
+      .withColumn("active", round(col("ret") - col("mkt_ret"), 6))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("active")))),
+        s => s("active")).as("aa"))
+      .withColumn("n", size(col("aa")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("aa")))
+      .withColumn("s2", foldSumSq(col("aa")))
+      .withColumn("te", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
+      .withColumn("ir", round((col("s") / n) /
+        when(col("te") === 0, lit(null)).otherwise(col("te")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        round(col("s") / n, 6).as("mean_active"), col("ir"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B87 `downside_beta` — Estrada's D-CAPM downside beta:
+    * β_D = Σ min(r−μ, 0)·min(rm−μm, 0) / Σ min(rm−μm, 0)², with the
+    * means taken over the asset's own sample. Co-movement measured ONLY
+    * through below-mean deviations — the asymmetry number risk teams
+    * watch, since downside co-movement is what diversification is for.
+    * (The naive "days the market fell" conditioning is degenerate on
+    * drift-dominated series — this synthetic panel's equal-weight
+    * market never falls — which is exactly why Estrada demeans first.)
+    * Same single-shuffle fold shape as [[beta]]; deviations rounded to
+    * 6 before the sequential products so both engines fold identical
+    * doubles.
+    */
+  def downsideBeta(panel: DataFrame): DataFrame = {
+    val rets = dailyReturns(panel)
+    val n = col("n")
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("ra", transform(col("h"), s => s("ret")))
+      .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("ma", foldSum(col("ra")) / n)
+      .withColumn("mm", foldSum(col("rm")) / n)
+      .withColumn("da", transform(col("ra"), x => round(least(x - col("ma"), lit(0.0)), 6)))
+      .withColumn("dm", transform(col("rm"), x => round(least(x - col("mm"), lit(0.0)), 6)))
+      .withColumn("sp", foldSum(zip_with(col("da"), col("dm"), (x, y) => x * y)))
+      .withColumn("sm2", foldSumSq(col("dm")))
+      .withColumn("n_down", size(filter(col("dm"), x => x < 0)).cast("long"))
+      .withColumn("downside_beta", round(col("sp") /
+        when(col("sm2") === 0, lit(null)).otherwise(col("sm2")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("n_down"), col("downside_beta"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B88 `treynor` — mean excess return per unit of SYSTEMATIC risk
+    * (beta), the companion ratio to [[sharpe]]'s per-unit-of-total-risk:
+    * treynor = mean_ret / beta. One plan computes the regression
+    * aggregates and the mean — no second pass over the panel, no join
+    * of two query results. Betas within ±0.01 of zero yield NULL (the
+    * ratio is meaningless at the singularity, and a hard zero guard
+    * alone would let 1e-9 betas produce absurd million-scale ratios).
+    */
+  def treynor(panel: DataFrame): DataFrame = {
+    val rets = dailyReturns(panel)
+    val n = col("n")
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("ra", transform(col("h"), s => s("ret")))
+      .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
+      .withColumn("rp", transform(col("h"), s => s("ret") * s("mkt_ret")))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sm2", foldSumSq(col("rm")))
+      .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
+      .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("treynor", round((col("sa") / n) /
+        when(abs(col("beta")) < 0.01, lit(null)).otherwise(col("beta")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("beta"), col("treynor"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B89 `overnight_gap` — open-versus-prior-close dislocation per
+    * (asset, day): gap = open/prev_close − 1, the overnight-news move a
+    * daily bar hides. Rides [[dailyBars]]' single asset_id shuffle; the
+    * lag is window-local, no extra exchange. Ratio of two UNCOMBINED
+    * stored values rounded to 6 — no FP accumulation, exact in any
+    * engine.
+    */
+  def overnightGap(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .filter(col("prev_close").isNotNull)
+      .withColumn("gap", round(col("open") /
+        when(col("prev_close") === 0, lit(null)).otherwise(col("prev_close")) - 1, 6))
+      .select(col("asset_id"), col("date"), col("open"), col("prev_close"), col("gap"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -41,6 +41,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** C63 `prefix_dups` — boilerplate-family detection by shared
+    * normalized prefix: crawl corpora carry huge families of documents
+    * that differ only past a templated header (cookie banners, license
+    * preambles, forum scaffolding), which full-content hashing misses
+    * and near-dup pair mining finds only at quadratic-ish candidate
+    * cost. Hashing the first `prefixLen` normalized chars puts every
+    * family in one bucket for the price of [[exactDedup]]: one
+    * map-side-combinable shuffle on a 128-bit key, linear at 100 TB.
+    * Only multi-doc families are emitted (singletons are noise here).
+    */
+  def prefixDups(documents: DataFrame, prefixLen: Int = 64): DataFrame =
+    documents
+      .groupBy(md5(substring(lower(trim(col("text"))), 1, prefixLen)).as("prefix_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("keep_id"))
+
   /** Character k-gram shingle set as an array column (no explode).
     * Kernel ([[graft.expressions.ShingleSet]]) — one compiled pass per
     * document; the HOF `array_distinct(transform(sequence(...), substr))`

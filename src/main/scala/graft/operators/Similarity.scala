@@ -313,4 +313,33 @@ object Similarity {
         round(col("ex2") - col("m") * col("m"), 6).as("var_val"))
       .orderBy(col("label"), col("pos"))
   }
+
+  /** C64 `embedding_norm_stats` — per-label L2-norm profile (n, min,
+    * max, mean): the first-line QC gate on an embedding batch — a
+    * label whose norms collapse toward 0 or blow out signals a broken
+    * encoder run BEFORE any ANN index is built on it. Map-only norm
+    * kernel (sequential sumsq fold, codegen'd) + one map-side-combinable
+    * aggregate; at 100 TB it runs at scan speed.
+    *
+    * Determinism: each norm is rounded to 6 and the MEAN is taken over
+    * micro-integers (the [[Analytics.seasonality]] pattern), so the
+    * only double sums that cross rows are exact integer arithmetic;
+    * min/max are order-free.
+    */
+  def embeddingNormStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        round(sqrt(graft.expressions.Kernels.seqFold(
+          toDouble(col("embedding")), "sumsq")), 6).as("norm"))
+      .withColumn("norm_micro", round(col("norm") * lit(1000000.0)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        sum(col("norm_micro")).as("sum_micro"))
+      .withColumn("mean_norm",
+        round(col("sum_micro").cast("double") / col("n_vecs").cast("double"))
+          .cast("long").cast("double") / lit(1000000.0))
+      .select(col("label"), col("n_vecs"), col("min_norm"), col("max_norm"), col("mean_norm"))
+      .orderBy(col("label"))
 }

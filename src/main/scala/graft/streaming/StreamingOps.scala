@@ -672,4 +672,29 @@ object StreamingOps {
       .select(
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("asset_id"), col("n_ticks"), col("low"), col("high"))
+
+  /** D21 — streaming OHLC bars: [[graft.operators.Analytics.dailyBars]]'
+    * surface as an event-time tumbling-window aggregate. open/close are
+    * `min_by`/`max_by` on the (ts, seq) struct — the same total
+    * (ts, seq) tie-break the batch bars use, so a replayed stream
+    * produces bit-identical bars regardless of micro-batch boundaries
+    * or arrival order within the watermark. All five aggregates are
+    * declarative (no flatMapGroupsWithState): state is one row per open
+    * (window, asset) bar, evicted by the watermark — bounded by live
+    * windows × assets, never by tick volume.
+    */
+  def ohlcStream(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("asset_id"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("seq"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("seq"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("asset_id"), col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"))
 }

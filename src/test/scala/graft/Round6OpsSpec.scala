@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.operators.{Analytics, Dedup, Similarity}
+
+/** Hand-computed fixtures for the round-6 additions (B86-B89, C64-C65). */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  /** Two assets, asset 2 moving exactly 3× asset 1 — the same fixture
+    * the beta spec uses: mkt = 2r, so beta/downside-beta are 0.5 / 1.5
+    * and both treynors equal mean(r)·2·... (mean1/0.5 = mean2/1.5).
+    */
+  private lazy val twoAssetPanel = {
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val r1 = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
+    val v1 = series(r1, 100.0)
+    val v2 = series(r1.map(_ * 3), 100.0)
+    (v1.zipWithIndex.map { case (v, i) => (1L, i) -> v } ++
+      v2.zipWithIndex.map { case (v, i) => (2L, i) -> v })
+      .map { case ((a, i), v) => (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+  }
+
+  test("information_ratio: active returns of 3x-mover mirror the 1x asset") {
+    val out = Analytics.informationRatio(twoAssetPanel).collect()
+    val ir1 = out.find(_.getLong(0) == 1L).get.getAs[Double]("ir")
+    val ir2 = out.find(_.getLong(0) == 2L).get.getAs[Double]("ir")
+    // active1 = r − 2r = −r, active2 = 3r − 2r = r → equal magnitude,
+    // opposite sign; asset 2 outperforms (mean r > 0)
+    assert(math.abs(ir1 + ir2) < 1e-4, s"ir1=$ir1 ir2=$ir2")
+    assert(ir2 > 0 && ir1 < 0)
+  }
+
+  test("downside_beta: Estrada betas of the 3x pair are 0.5 and 1.5") {
+    val out = Analytics.downsideBeta(twoAssetPanel).collect()
+    val b1 = out.find(_.getLong(0) == 1L).get.getAs[Double]("downside_beta")
+    val b2 = out.find(_.getLong(0) == 2L).get.getAs[Double]("downside_beta")
+    // da1 = dm/2 and da2 = 3·dm/2 elementwise → ratios exactly 0.5 / 1.5
+    assert(math.abs(b1 - 0.5) < 1e-3, s"b1=$b1")
+    assert(math.abs(b2 - 1.5) < 1e-3, s"b2=$b2")
+    val n1 = out.find(_.getLong(0) == 1L).get.getAs[Long]("n_down")
+    assert(n1 > 0, "some below-mean days must exist")
+  }
+
+  test("treynor: per-unit-of-beta excess return is equal for the 3x pair") {
+    val out = Analytics.treynor(twoAssetPanel).collect()
+    val t1 = out.find(_.getLong(0) == 1L).get.getAs[Double]("treynor")
+    val t2 = out.find(_.getLong(0) == 2L).get.getAs[Double]("treynor")
+    // mean1/0.5 == mean2/1.5 because mean2 = 3·mean1 — Treynor's point:
+    // scaling systematic exposure does not change risk-adjusted reward
+    assert(math.abs(t1 - t2) < 1e-3, s"t1=$t1 t2=$t2")
+    assert(t1 > 0)
+  }
+
+  test("overnight_gap: open vs prior close per day") {
+    val p = Seq(
+      (1L, "2024-01-01", 110, 10.0, 1L), // day-1 open
+      (1L, "2024-01-01", 120, 12.0, 2L), // day-1 close
+      (1L, "2024-01-02", 210, 18.0, 3L),
+      (1L, "2024-01-03", 310, 9.0, 4L))
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.overnightGap(p).collect()
+      .map(r => r.getDate(1).toString -> r.getAs[Double]("gap")).toMap
+    assert(out === Map("2024-01-02" -> 0.5, "2024-01-03" -> -0.5))
+  }
+
+  test("prefix_dups: shared 64-char prefix groups; singletons dropped") {
+    val pad = "a" * 70
+    val docs = Seq(
+      (1L, pad + "xxx", "en", "web", 73L),
+      (2L, pad + "yyy", "en", "web", 73L),
+      (3L, "entirely different document", "en", "web", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.prefixDups(docs).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+  }
+
+  test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
+    val emb = Seq(
+      (10L, Array(3.0f, 4.0f), 0),
+      (11L, Array(6.0f, 8.0f), 0),
+      (12L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingNormStats(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Long]("n_vecs") === 2L)
+    assert(out(0).getAs[Double]("min_norm") === 5.0)
+    assert(out(0).getAs[Double]("max_norm") === 10.0)
+    assert(out(0).getAs[Double]("mean_norm") === 7.5)
+    assert(out(1).getAs[Double]("mean_norm") === 0.0)
+  }
+}

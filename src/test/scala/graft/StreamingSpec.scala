@@ -702,4 +702,29 @@ class StreamingSpec extends SparkSpec {
       assert(batch.getLong(0) === buys.toLong && batch.getLong(1) === sells.toLong)
     } finally q.stop()
   }
+
+  test("streaming OHLC bars: open/close follow (ts, seq) order, not arrival order") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = StreamingOps.ohlcStream(input.toDS().toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("ohlc_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // arrival order deliberately scrambles event order inside the
+      // first window: open must be the ts(10) tick, close the ts(30)
+      input.addData(
+        Tick(1L, ts(30), 30.0, 2L), Tick(1L, ts(10), 10.0, 1L),
+        Tick(1L, ts(20), 5.0, 3L), Tick(1L, ts(70), 70.0, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("ohlc_sink")
+        .select("asset_id", "open", "high", "low", "close", "n_ticks").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))).toSet
+      assert(rows === Set(
+        (1L, 10.0, 30.0, 5.0, 30.0, 3L),
+        (1L, 70.0, 70.0, 70.0, 70.0, 1L)))
+    } finally q.stop()
+  }
 }
