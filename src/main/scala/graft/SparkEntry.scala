@@ -516,6 +516,12 @@ object SparkEntry {
       Dedup.prefixDups(Tables.documents(s, dir))),
     "embedding_norm_stats" -> ((s, dir) =>
       Similarity.embeddingNormStats(Tables.embeddings(s, dir))),
+    "vol_of_vol" -> ((s, dir) =>
+      Analytics.volOfVol(Tables.panel(s, dir))),
+    "token_length_quantiles" -> ((s, dir) =>
+      Pipeline.tokenLengthQuantiles(Tables.documents(s, dir))),
+    "vocab_overlap" -> ((s, dir) =>
+      Pipeline.vocabOverlap(Tables.documents(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3802,6 +3808,61 @@ object SparkEntry {
       """SELECT md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "vol_of_vol" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |v AS (
+         |  SELECT asset_id, date, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f),
+         |vol AS (
+         |  SELECT asset_id, date,
+         |         round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |  FROM v WHERE n >= 2),
+         |p AS (SELECT asset_id, list(vol ORDER BY date) AS va FROM vol GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(va) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, va), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(va, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(va) >= 2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(s / n, 6) AS mean_vol,
+         |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol_of_vol
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "token_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_tokens, 0.1), 6) AS p10,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM (
+        |  SELECT source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
+        |  FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "vocab_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 AS half, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (
+        |  SELECT half, word, count(*) AS n FROM w WHERE word <> '' GROUP BY half, word),
+        |r AS (
+        |  SELECT half, word,
+        |         row_number() OVER (PARTITION BY half ORDER BY n DESC, word) AS rk
+        |  FROM c),
+        |t AS (SELECT word, count(*) AS halves FROM r WHERE rk <= 500 GROUP BY word)
+        |SELECT count(*) AS n_union,
+        |       CAST(sum(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |       CAST((sum(CASE WHEN halves = 2 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS jaccard_pm
+        |FROM t""".stripMargin,
     "embedding_norm_stats" ->
       """WITH nr AS (
         |  SELECT label,

@@ -2654,4 +2654,31 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("open"), col("prev_close"), col("gap"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B90 `vol_of_vol` — volatility of volatility: sample std of the
+    * rolling-vol series per asset, beside its mean. A regime-stability
+    * number — two assets with the SAME average vol but different
+    * vol-of-vol need different position sizing (vol targeting breaks
+    * exactly when this is high). Rides [[rollingVolCore]]'s single
+    * asset_id shuffle (the groupBy re-uses the same partitioning, so
+    * the second aggregate is exchange-free); the fold runs over the
+    * 6-dec-rounded vol series, engine-exact.
+    */
+  def volOfVol(panel: DataFrame, window: Int = 20): DataFrame = {
+    val n = col("n")
+    rollingVolCore(panel, window)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("vol")))),
+        s => s("vol")).as("va"))
+      .withColumn("n", size(col("va")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("va")))
+      .withColumn("s2", foldSumSq(col("va")))
+      .withColumn("mean_vol", round(col("s") / n, 6))
+      .withColumn("vol_of_vol", round(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        col("mean_vol"), col("vol_of_vol"))
+      .orderBy(col("asset_id"))
+  }
 }

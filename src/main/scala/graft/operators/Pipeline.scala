@@ -966,4 +966,50 @@ object Pipeline {
         col("cum_tokens"), col("cum_vocab"))
       .orderBy(col("doc_id"))
   }
+
+  /** C65 `token_length_quantiles` — exact per-source token-length
+    * percentiles (p10/p50/p90 + max): the corpus-shape numbers a data
+    * build reads before fixing packing budgets and truncation limits,
+    * sliced by source because length pathologies are source-local (one
+    * crawl's boilerplate, one dump's truncation). Exact `percentile`
+    * (interpolating, = DuckDB `quantile_cont`) — at 100 TB swap in
+    * `percentile_approx` with the identical plan shape; the per-group
+    * sort is bounded by docs-per-source.
+    */
+  def tokenLengthQuantiles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        TextFns.wsTokenCount(col("text")).cast("double").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.1)"), 6).as("p10"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .orderBy(col("source"))
+
+  /** C66 `vocab_overlap` — top-K vocabulary Jaccard between the two
+    * doc_id-parity halves of the corpus: the text-side drift check
+    * (embedding_drift's lexical twin) a pipeline runs to confirm a
+    * shard split / incremental crawl hasn't shifted the language. Two
+    * bounded top-K sets (rank = count desc, word — total order), one
+    * integer Jaccard in per-mille. Word counting is one shuffle,
+    * map-side combinable; everything after is K-bounded.
+    */
+  def vocabOverlap(documents: DataFrame, topK: Int = 500): DataFrame = {
+    val words = documents
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("half"), col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("half")).orderBy(col("n").desc, col("word"))
+    words
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .groupBy(col("word")).agg(count(lit(1)).as("halves"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("halves") === 2, 1L).otherwise(0L)).as("n_common"))
+      .select(col("n_union"), col("n_common"),
+        expr("(1000 * n_common) div n_union").as("jaccard_pm"))
+  }
 }

@@ -84,6 +84,45 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_docs") === 2L)
   }
 
+  test("vol_of_vol: constant returns give zero vol and zero vol-of-vol") {
+    // asset 1 grows exactly 10%/day → every rolling frame has std 0;
+    // asset 2 alternates ±10% → positive vol
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val r1 = Seq.fill(24)(0.1)
+    val r2 = (0 until 24).map(i => if (i % 2 == 0) 0.1 else -0.1)
+    val p = (series(r1, 100.0).zipWithIndex.map { case (v, i) => (1L, i) -> v } ++
+      series(r2, 100.0).zipWithIndex.map { case (v, i) => (2L, i) -> v })
+      .map { case ((a, i), v) => (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.volOfVol(p).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("mean_vol") === 0.0)
+    assert(out(1L).getAs[Double]("vol_of_vol") === 0.0)
+    assert(out(2L).getAs[Double]("mean_vol") > 0.0)
+  }
+
+  test("token_length_quantiles: interpolated percentiles over 1..5 tokens") {
+    val docs = (1 to 5).map(n => (n.toLong, Seq.fill(n)("w").mkString(" "), "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Pipeline.tokenLengthQuantiles(docs).collect()(0)
+    assert(r.getAs[String]("source") === "s1")
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Double]("p10") === 1.4)
+    assert(r.getAs[Double]("p50") === 3.0)
+    assert(r.getAs[Double]("p90") === 4.6)
+    assert(r.getAs[Long]("max_tokens") === 5L)
+  }
+
+  test("vocab_overlap: halves sharing one of two top words score 333 per-mille") {
+    val docs = (1L to 10L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta" else "alpha gamma", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Pipeline.vocabOverlap(docs).collect()(0)
+    assert(r.getAs[Long]("n_union") === 3L)
+    assert(r.getAs[Long]("n_common") === 1L)
+    assert(r.getAs[Long]("jaccard_pm") === 333L)
+  }
+
   test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
     val emb = Seq(
       (10L, Array(3.0f, 4.0f), 0),
