@@ -522,6 +522,10 @@ object SparkEntry {
       Pipeline.tokenLengthQuantiles(Tables.documents(s, dir))),
     "vocab_overlap" -> ((s, dir) =>
       Pipeline.vocabOverlap(Tables.documents(s, dir))),
+    "dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.dedupThresholdCurve(jaccardPairsShared(s, dir))),
+    "pack_efficiency" -> ((s, dir) =>
+      Pipeline.packEfficiency(Tables.documents(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3848,6 +3852,53 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_threshold_curve" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, jaccard FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3),
+        |b AS (
+        |  SELECT (CAST(round(jaccard * 1000) AS BIGINT) // 100) * 100 AS bucket_pm,
+        |         count(*) AS n_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT bucket_pm, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket_pm DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+        |FROM b ORDER BY bucket_pm""".stripMargin,
+    "pack_efficiency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 32 AS shard,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks),
+        |p AS (SELECT shard, (greatest(cum_tokens, 1) - 1) // 2048 AS pack_id, n_tokens FROM c),
+        |b AS (
+        |  SELECT shard, pack_id, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+        |         count(*) AS n_docs
+        |  FROM p GROUP BY shard, pack_id)
+        |SELECT shard, count(*) AS n_batches, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(batch_tokens) AS BIGINT) AS tokens,
+        |  CAST((1000 * sum(batch_tokens)) // (count(*) * 2048) AS BIGINT) AS fill_pm
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "vocab_overlap" ->
       """WITH w AS (
         |  SELECT doc_id % 2 AS half, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word

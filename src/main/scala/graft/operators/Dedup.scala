@@ -199,6 +199,25 @@ object Dedup {
           .as("precision_pm"))
   }
 
+  /** C67 `dedup_threshold_curve` — pair counts by jaccard bucket over
+    * an already-built exhaustive pair set, with a descending cumulative
+    * ("pairs you would merge at threshold ≥ t"): the tuning artifact
+    * read BEFORE committing a 100 TB dedup run to one threshold.
+    * Bucketing is per-mille integer floor AFTER the 6-dec rounding, so
+    * no FP boundary flapping; the curve itself is ≤ 8 rows, the single
+    * window is free. Cost: one pass over the (tiny) pair set — rides
+    * the shared checkpointed build in a driver run.
+    */
+  def dedupThresholdCurve(pairs: DataFrame): DataFrame = {
+    val b = pairs
+      .withColumn("bucket_pm", expr("(cast(round(jaccard * 1000) as bigint) div 100) * 100"))
+      .groupBy(col("bucket_pm")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket_pm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+      .orderBy(col("bucket_pm"))
+  }
+
   /** The (doc_id, band_id, bucket) banding stage shared by
     * [[minhashLshPairs]] and the materialized-index path — one
     * signature kernel pass, `bands` bucket hashes per doc.

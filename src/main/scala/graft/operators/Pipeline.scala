@@ -967,6 +967,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** C68 `pack_efficiency` — per-shard packing QC over [[docPack]]'s
+    * batches: batch count, docs, tokens, and the integer per-mille fill
+    * ratio (Σ batch tokens / batches·budget). The number that says
+    * whether the packing budget wastes context window — read alongside
+    * C65's length quantiles when retuning `budget`. All-integer
+    * arithmetic on top of docPack's shard-parallel cumsum; two
+    * map-side-combinable aggregates, no extra corpus pass.
+    */
+  def packEfficiency(documents: DataFrame, budget: Long = 2048, shards: Int = 32): DataFrame =
+    docPack(documents, budget, shards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("batch_tokens"), count(lit(1)).as("n_docs"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("batch_tokens")).as("tokens"),
+        expr(s"(1000 * sum(batch_tokens)) div (count(1) * $budget)").as("fill_pm"))
+      .orderBy(col("shard"))
+
   /** C65 `token_length_quantiles` — exact per-source token-length
     * percentiles (p10/p50/p90 + max): the corpus-shape numbers a data
     * build reads before fixing packing budgets and truncation limits,

@@ -76,6 +76,27 @@ class PlanAuditSpec extends SparkSpec {
       s"global_shuffle reads document text: $shufSchemas")
   }
 
+  test("shuffle-exchange budgets hold for the single-shuffle operator families") {
+    val sfDir = "/root/testdata/sf0.001"
+    def shuffles(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+        .linesIterator.count(l => l.contains("Exchange") &&
+          !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    // one keyed shuffle + the presentation sort — anything more means a
+    // derived aggregate stopped riding its input's partitioning
+    for (q <- Seq("overnight_gap", "vol_of_vol", "prefix_dups",
+        "embedding_norm_stats", "token_length_quantiles"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    // benchmark-relative family: two panel builds (asset_id), the
+    // per-date market aggregate, presentation sort — the asset-side
+    // aggregate itself must stay exchange-free (broadcast join
+    // preserves the streamed side's partitioning)
+    for (q <- Seq("information_ratio", "downside_beta", "treynor"))
+      assert(shuffles(q) <= 5, s"$q exceeded the family budget: ${shuffles(q)}")
+    assert(shuffles("vocab_overlap") <= 4,
+      s"vocab_overlap exceeded word-count + rank + overlap: ${shuffles("vocab_overlap")}")
+  }
+
   test("no query plan contains a cartesian product or unplanned BNL join") {
     val sfDir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -123,6 +123,25 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_pm") === 333L)
   }
 
+  test("dedup_threshold_curve: per-mille buckets with descending cumulative") {
+    val pairs = Seq((1L, 2L, 0.35), (1L, 3L, 0.45), (2L, 3L, 0.45), (4L, 5L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = graft.operators.Dedup.dedupThresholdCurve(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((300L, 1L, 4L), (400L, 2L, 3L), (1000L, 1L, 1L)))
+  }
+
+  test("pack_efficiency: four 1-token docs at budget 2 fill two batches exactly") {
+    val docs = (1L to 4L).map(i => (i, "w", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.Pipeline.packEfficiency(docs, budget = 2, shards = 1).collect()(0)
+    assert(r.getAs[Long]("shard") === 0L)
+    assert(r.getAs[Long]("n_batches") === 2L)
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("tokens") === 4L)
+    assert(r.getAs[Long]("fill_pm") === 1000L)
+  }
+
   test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
     val emb = Seq(
       (10L, Array(3.0f, 4.0f), 0),
