@@ -526,6 +526,10 @@ object SparkEntry {
       Dedup.dedupThresholdCurve(jaccardPairsShared(s, dir))),
     "pack_efficiency" -> ((s, dir) =>
       Pipeline.packEfficiency(Tables.documents(s, dir))),
+    "monthly_seasonality" -> ((s, dir) =>
+      Analytics.monthlySeasonality(Tables.panel(s, dir))),
+    "cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDups(Tables.documents(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3852,6 +3856,26 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "monthly_seasonality" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (
+         |  SELECT asset_id, CAST(month(date) AS BIGINT) AS month,
+         |         count(*) AS n_days,
+         |         CAST(sum(CAST(round(ret * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+         |  FROM rets GROUP BY asset_id, month(date))
+         |SELECT asset_id, month, n_days,
+         |  CAST(CAST(round(CAST(sum_micro AS DOUBLE) / CAST(n_days AS DOUBLE)) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS mean_ret
+         |FROM p ORDER BY asset_id, month""".stripMargin,
+    "cross_source_dups" ->
+      """WITH h AS (
+        |  SELECT DISTINCT md5(substr(lower(trim(text)), 1, 64)) AS h, source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_threshold_curve" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id,

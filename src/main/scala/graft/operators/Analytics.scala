@@ -581,6 +581,24 @@ object Analytics {
       .orderBy(col("asset_id"), col("dow"))
   }
 
+  /** B91 `monthly_seasonality` — [[seasonality]]'s calendar twin: mean
+    * daily return by MONTH of year per asset (the January-effect /
+    * quarter-end axis, where dow catches the weekday one). Identical
+    * micro-integer mean discipline — the only cross-row sum is exact
+    * integer arithmetic — and the same single asset_id shuffle.
+    */
+  def monthlySeasonality(panel: DataFrame): DataFrame =
+    dailyReturns(panel)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .withColumn("month", month(col("date")).cast("long"))
+      .groupBy(col("asset_id"), col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ret_micro")).as("sum_micro"))
+      .withColumn("mean_ret",
+        round(col("sum_micro").cast("double") / col("n_days").cast("double")).cast("long")
+          .cast("double") / lit(1e6))
+      .select(col("asset_id"), col("month"), col("n_days"), col("mean_ret"))
+      .orderBy(col("asset_id"), col("month"))
+
   /** B31 `sharpe` — per-asset (non-annualized) Sharpe ratio over the
     * full return history: mean/σ of daily returns, co-moment folds
     * over the date-ordered array ([[rollingVol]] machinery, full

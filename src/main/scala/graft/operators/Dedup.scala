@@ -58,6 +58,32 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("keep_id"))
 
+  /** C69 `cross_source_dups` — the source-provenance duplicate matrix:
+    * for every pair of sources, how many [[prefixDups]]-style
+    * normalized-prefix families BOTH carry (who mirrors whose
+    * boilerplate — the number that decides which source to drop
+    * wholesale before fine-grained dedup). Keyed on the 64-char prefix
+    * hash, not full content: crawl mirrors re-wrap the same template
+    * with differing tails, so exact-content matching across sources is
+    * empirically empty while prefix families cross freely. Distinct
+    * (hash, source) projection first, so the self-join runs over the
+    * deduplicated family table; join groups are bounded by
+    * sources-per-family (tiny), never corpus-sized — the same
+    * bucketed-equality discipline as the band joins. Output is
+    * |sources|²-bounded.
+    */
+  def crossSourceDups(documents: DataFrame, prefixLen: Int = 64): DataFrame = {
+    val hashes = documents
+      .select(md5(substring(lower(trim(col("text"))), 1, prefixLen)).as("h"),
+        col("source")).distinct()
+    hashes.as("a")
+      .join(hashes.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Character k-gram shingle set as an array column (no explode).
     * Kernel ([[graft.expressions.ShingleSet]]) — one compiled pass per
     * document; the HOF `array_distinct(transform(sequence(...), substr))`

@@ -673,6 +673,53 @@ object StreamingOps {
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("asset_id"), col("n_ticks"), col("low"), col("high"))
 
+  case class GapState(epoch_day: Long, close_value: Double)
+  // LocalDate, not java.sql.Date: the epoch-day → date mapping must not
+  // depend on the JVM default timezone (ticks are UTC event time)
+  case class GapPoint(asset_id: Long, date: java.time.LocalDate, open: Double,
+                      prev_close: Double, gap: Double)
+
+  /** D22 `gapStream` — streaming overnight-gap detection, the
+    * continuous face of [[graft.operators.Analytics.overnightGap]]:
+    * per-asset state carries just (current UTC day, running close); the
+    * first tick of a NEW day emits open-vs-prior-close immediately —
+    * the gap alert a desk wants at the open, not after the daily batch.
+    * Same HALF_UP 6-dec rounding as the batch ratio, so in-order
+    * replays match the batch rows exactly (spec-asserted). State is two
+    * numbers per asset, O(#assets); arrival-ordered contract across
+    * batches as documented on [[anomalyStream]]; days older than the
+    * state's current day are ignored (late data never rewrites an
+    * already-emitted open).
+    */
+  def gapStream(ticks: Dataset[Tick]): Dataset[GapPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[GapState, GapPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[Tick], state: GroupState[GapState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[GapPoint]
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
+            val day = Math.floorDiv(t.ts.getTime, 86400000L)
+            if (st == null || day == st.epoch_day) {
+              st = GapState(day, t.value)
+            } else if (day > st.epoch_day) {
+              if (st.close_value != 0.0) {
+                val gap = BigDecimal.decimal(t.value / st.close_value - 1.0)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                out += GapPoint(assetId,
+                  java.time.LocalDate.ofEpochDay(day), t.value, st.close_value, gap)
+              }
+              st = GapState(day, t.value)
+            } // day < st.epoch_day: late tick for a closed day — ignored
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D21 — streaming OHLC bars: [[graft.operators.Analytics.dailyBars]]'
     * surface as an event-time tumbling-window aggregate. open/close are
     * `min_by`/`max_by` on the (ts, seq) struct — the same total

@@ -142,6 +142,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("fill_pm") === 1000L)
   }
 
+  test("monthly_seasonality: returns group by calendar month") {
+    val p = Seq(
+      (1L, "2024-01-01", 1, 100.0, 1L), (1L, "2024-01-02", 2, 110.0, 2L),
+      (1L, "2024-01-03", 3, 121.0, 3L), // two Jan rets of +10%
+      (1L, "2024-02-01", 4, 121.0, 4L), (1L, "2024-02-02", 5, 60.5, 5L)) // Feb: 0%, −50%
+      .map { case (a, dt, t, v, q) => (a, d(dt), ts(t), v, q) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.monthlySeasonality(p).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getAs[Double]("mean_ret"))).toMap
+    assert(out(1L) === ((2L, 0.1)))
+    assert(out(2L) === ((2L, -0.25)))
+  }
+
+  test("cross_source_dups: counts prefix families shared by source pairs") {
+    val pad = "b" * 70
+    val docs = Seq(
+      (1L, pad + "tail-one", "en", "srcA", 78L),
+      (2L, pad + "tail-two", "en", "srcB", 78L),   // same family as doc 1
+      (3L, pad + "tail-three", "en", "srcB", 80L), // same family, same source — 1 distinct
+      (4L, "other", "en", "srcA", 5L),
+      (5L, "other", "en", "srcC", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.crossSourceDups(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("srcA", "srcB") -> 1L, ("srcA", "srcC") -> 1L))
+  }
+
   test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
     val emb = Seq(
       (10L, Array(3.0f, 4.0f), 0),

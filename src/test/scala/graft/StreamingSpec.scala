@@ -703,6 +703,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming overnight gap emits on the first tick of a new day") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = StreamingOps.gapStream(input.toDS())
+      .writeStream.format("memory").queryName("gap_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 0: two ticks (close = 12.0 at the later ts); no gap emitted
+      input.addData(Tick(1L, ts(10), 10.0, 1L), Tick(1L, ts(20), 12.0, 2L))
+      q.processAllAvailable()
+      assert(spark.table("gap_sink").count() === 0L)
+      // day 1 (separate micro-batch): first tick opens at 18.0 → gap 0.5
+      input.addData(Tick(1L, ts(86400 + 10), 18.0, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("gap_sink")
+        .select("asset_id", "date", "open", "prev_close", "gap").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === 1L)
+      assert(rows(0).getDate(1).toString === "1970-01-02")
+      assert(rows(0).getDouble(2) === 18.0)
+      assert(rows(0).getDouble(3) === 12.0)
+      assert(rows(0).getDouble(4) === 0.5)
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars: open/close follow (ts, seq) order, not arrival order") {
     val spark0 = spark
     import spark0.implicits._
