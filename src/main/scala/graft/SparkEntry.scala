@@ -530,6 +530,10 @@ object SparkEntry {
       Analytics.monthlySeasonality(Tables.panel(s, dir))),
     "cross_source_dups" -> ((s, dir) =>
       Dedup.crossSourceDups(Tables.documents(s, dir))),
+    "unigram_kl" -> ((s, dir) =>
+      Pipeline.unigramKl(Tables.documents(s, dir))),
+    "pair_degree_histogram" -> ((s, dir) =>
+      Dedup.pairDegreeHistogram(jaccardPairsShared(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3856,6 +3860,52 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "unigram_kl" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 AS half, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |bw AS (
+        |  SELECT word,
+        |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM w WHERE word <> '' GROUP BY word),
+        |t0 AS (SELECT * FROM bw ORDER BY c0 DESC, word LIMIT 500),
+        |t1 AS (SELECT * FROM bw ORDER BY c1 DESC, word LIMIT 500),
+        |u AS (SELECT word, max(c0) AS c0, max(c1) AS c1
+        |      FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1) z GROUP BY word),
+        |g AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v,
+        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |         list(struct_pack(word := word, c0 := c0, c1 := c1) ORDER BY word) AS arr
+        |  FROM u)
+        |SELECT CAST(v AS BIGINT) AS n_words, n0, n1,
+        |  round(list_reduce(list_prepend(0.0, list_transform(arr, s ->
+        |    round(((s.c0 + 1) / (n0 + v)) * ln(((s.c0 + 1) / (n0 + v)) / ((s.c1 + 1) / (n1 + v)))
+        |        + ((s.c1 + 1) / (n1 + v)) * ln(((s.c1 + 1) / (n1 + v)) / ((s.c0 + 1) / (n0 + v))), 6)
+        |  )), (a, x) -> a + x), 6) AS kl_sym
+        |FROM g""".stripMargin,
+    "pair_degree_histogram" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |  FROM documents),
+        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
+        |  WHERE jaccard >= 0.3),
+        |m AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs),
+        |d AS (SELECT doc_id, count(*) AS degree FROM m GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_docs FROM d GROUP BY degree ORDER BY degree""".stripMargin,
     "monthly_seasonality" ->
       s"""$panelCte,
          |$dailyCte,

@@ -244,6 +244,20 @@ object Dedup {
       .orderBy(col("bucket_pm"))
   }
 
+  /** C71 `pair_degree_histogram` — degree distribution of the near-dup
+    * pair graph: how many docs participate in 1, 2, … near-dup pairs.
+    * THE pre-flight check before transitive closure: a fat tail here
+    * (template hubs touching thousands of docs) is what blows cluster
+    * sizes up to corpus scale; the histogram says so for the price of
+    * two tiny aggregates over an already-built pair set.
+    */
+  def pairDegreeHistogram(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+
   /** The (doc_id, band_id, bucket) banding stage shared by
     * [[minhashLshPairs]] and the materialized-index path — one
     * signature kernel pass, `bands` bucket hashes per doc.

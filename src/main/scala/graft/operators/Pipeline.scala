@@ -1007,6 +1007,42 @@ object Pipeline {
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .orderBy(col("source"))
 
+  /** C70 `unigram_kl` — symmetric KL divergence between the top-K
+    * unigram distributions of the doc_id-parity halves: the CONTINUOUS
+    * drift measure behind C66's set-overlap view (overlap can stay
+    * high while the mass shifts; KL catches that). Add-1 smoothing
+    * over the union vocabulary, so both directions are finite. Scale
+    * shape: one combinable word-count shuffle, two TakeOrdered top-K
+    * picks (never a global sort), then a single ≤2K-row fold.
+    * Determinism: all inputs to the divisions are exact integers, each
+    * p·ln(p/q)+q·ln(q/p) term is rounded to 6 before the sequential
+    * word-ordered fold — the zipf_slope ln discipline.
+    */
+  def unigramKl(documents: DataFrame, topK: Int = 500): DataFrame = {
+    val byWord = documents
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    val top0 = byWord.orderBy(col("c0").desc, col("word")).limit(topK)
+    val top1 = byWord.orderBy(col("c1").desc, col("word")).limit(topK)
+    val u = top0.unionByName(top1)
+      .groupBy(col("word")).agg(max(col("c0")).as("c0"), max(col("c1")).as("c1"))
+    u.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      sort_array(collect_list(struct(col("word"), col("c0"), col("c1")))).as("arr"))
+      .withColumn("terms", transform(col("arr"), s => {
+        val p = (s("c0") + 1) / (col("n0") + col("v"))
+        val q = (s("c1") + 1) / (col("n1") + col("v"))
+        round(p * log(p / q) + q * log(q / p), 6)
+      }))
+      .select(col("v").cast("long").as("n_words"), col("n0"), col("n1"),
+        round(graft.expressions.Kernels.seqFold(col("terms"), "sum"), 6).as("kl_sym"))
+  }
+
   /** C66 `vocab_overlap` — top-K vocabulary Jaccard between the two
     * doc_id-parity halves of the corpus: the text-side drift check
     * (embedding_drift's lexical twin) a pipeline runs to confirm a

@@ -169,6 +169,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(out === Map(("srcA", "srcB") -> 1L, ("srcA", "srcC") -> 1L))
   }
 
+  test("unigram_kl: identical halves diverge zero; skewed halves diverge positive") {
+    val same = (1L to 8L).map(i => (i, "alpha beta gamma", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r0 = graft.operators.Pipeline.unigramKl(same).collect()(0)
+    assert(r0.getAs[Double]("kl_sym") === 0.0)
+    assert(r0.getAs[Long]("n_words") === 3L)
+    val skew = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) "alpha alpha alpha" else "beta beta beta", "en", "web", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = graft.operators.Pipeline.unigramKl(skew).collect()(0)
+    assert(r1.getAs[Double]("kl_sym") > 1.0, s"kl=${r1.getAs[Double]("kl_sym")}")
+  }
+
+  test("pair_degree_histogram: hub doc shows up in the degree tail") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = graft.operators.Dedup.pairDegreeHistogram(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 1L))
+  }
+
   test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
     val emb = Seq(
       (10L, Array(3.0f, 4.0f), 0),
