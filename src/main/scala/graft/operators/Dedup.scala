@@ -76,8 +76,12 @@ object Dedup {
     val hashes = documents
       .select(md5(substring(lower(trim(col("text"))), 1, prefixLen)).as("h"),
         col("source")).distinct()
-    hashes.as("a")
-      .join(hashes.as("b"),
+    // SHUFFLE_HASH on both sides, same trick as the band join: the two
+    // sides become IDENTICAL exchanges and ReusedExchange computes the
+    // hash projection + distinct once — the broadcast plan re-scanned
+    // the whole corpus per side.
+    hashes.as("a").hint("shuffle_hash")
+      .join(hashes.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))

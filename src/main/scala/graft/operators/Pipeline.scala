@@ -1019,6 +1019,11 @@ object Pipeline {
     * word-ordered fold — the zipf_slope ln discipline.
     */
   def unigramKl(documents: DataFrame, topK: Int = 500): DataFrame = {
+    // Eagerly materialized: the vocab table is consumed by BOTH top-K
+    // picks below, and without a lineage cut each pick replans the
+    // whole corpus scan + word count (two 100 TB passes for one
+    // bounded table). Same localCheckpoint pattern as the shared pair
+    // builds; the table is |vocab|-bounded, not corpus-bounded.
     val byWord = documents
       .select((col("doc_id") % 2).as("half"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
@@ -1026,6 +1031,7 @@ object Pipeline {
       .groupBy(col("word"))
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint(true)
     val top0 = byWord.orderBy(col("c0").desc, col("word")).limit(topK)
     val top1 = byWord.orderBy(col("c1").desc, col("word")).limit(topK)
     val u = top0.unionByName(top1)
