@@ -534,6 +534,8 @@ object SparkEntry {
       Pipeline.unigramKl(Tables.documents(s, dir))),
     "pair_degree_histogram" -> ((s, dir) =>
       Dedup.pairDegreeHistogram(jaccardPairsShared(s, dir))),
+    "ljung_box" -> ((s, dir) =>
+      Analytics.ljungBox(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3860,6 +3862,41 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "ljung_box" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra,
+         |             CAST(len(list(ret)) AS INTEGER) AS m
+         |      FROM rets GROUP BY asset_id HAVING len(list(ret)) >= 7),
+         |lg AS (SELECT asset_id, m, ra, CAST(k AS INTEGER) AS k
+         |       FROM p CROSS JOIN range(1, 6) r(k)),
+         |s AS (SELECT asset_id, m, k, CAST(m - k AS DOUBLE) AS np,
+         |             list_slice(ra, 1, m - k) AS xa,
+         |             list_slice(ra, k + 1, m) AS ya
+         |      FROM lg),
+         |f AS (SELECT asset_id, m, k, np,
+         |        list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |        list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |        list_reduce(list_prepend(0.0, list_transform(range(1, CAST(np AS INTEGER) + 1),
+         |            i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |        list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |        list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |      FROM s),
+         |rho AS (SELECT asset_id, m, k,
+         |        round((np * sxy - sx * sy) /
+         |              nullif(sqrt(greatest(np * sx2 - sx * sx, 0.0))
+         |                   * sqrt(greatest(np * sy2 - sy * sy, 0.0)), 0.0), 6) AS rho
+         |      FROM f),
+         |g AS (SELECT asset_id, m, list(rho ORDER BY k) AS rhos,
+         |             list(rho * rho / CAST(m - k AS DOUBLE) ORDER BY k) AS terms
+         |      FROM rho GROUP BY asset_id, m)
+         |SELECT asset_id, CAST(m AS BIGINT) AS n_days, rhos[1] AS rho1,
+         |  CASE WHEN len(list_filter(terms, t -> t IS NULL)) > 0 THEN NULL
+         |       ELSE round(CAST(m AS DOUBLE) * (m + 2) *
+         |              list_reduce(list_prepend(0.0, list_transform(terms, t -> coalesce(t, 0.0))),
+         |                (a, x) -> a + x), 6) END AS q5
+         |FROM g ORDER BY asset_id""".stripMargin,
     "unigram_kl" ->
       """WITH w AS (
         |  SELECT doc_id % 2 AS half, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word

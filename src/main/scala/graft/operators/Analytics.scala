@@ -581,6 +581,49 @@ object Analytics {
       .orderBy(col("asset_id"), col("dow"))
   }
 
+  /** B92 `ljung_box` — the Ljung–Box portmanteau test: Q_h =
+    * m(m+2)·Σ_{k=1..h} ρ_k²/(m−k) over the first `lags` return
+    * autocorrelations — the standard "is this series white noise"
+    * statistic (market-efficiency check; a large Q rejects
+    * no-autocorrelation). Generalizes [[autocorr]]'s single lag to the
+    * joint test; each ρ_k uses the identical Pearson-on-slices fold,
+    * rounded to 6 before squaring, so the whole statistic replays
+    * bitwise in the oracle. One asset_id shuffle, h compiled folds per
+    * asset over the collected return array; any degenerate lag
+    * (zero-variance slice) nulls Q rather than fabricating a number.
+    */
+  def ljungBox(panel: DataFrame, lags: Int = 5): DataFrame = {
+    import graft.expressions.Kernels
+    dailyReturns(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .filter(col("m") >= lags + 2)
+      .withColumn("rhos", transform(sequence(lit(1), lit(lags)), k => {
+        val np = (col("m") - k).cast("double")
+        val xa = slice(col("ra"), lit(1), col("m") - k)
+        val ya = slice(col("ra"), k + lit(1), col("m") - k)
+        val sx = Kernels.seqFold(xa, "sum")
+        val sy = Kernels.seqFold(ya, "sum")
+        val sxy = Kernels.dot(xa, ya)
+        val sx2 = Kernels.seqFold(xa, "sumsq")
+        val sy2 = Kernels.seqFold(ya, "sumsq")
+        val den = sqrt(greatest(np * sx2 - sx * sx, lit(0.0))) *
+          sqrt(greatest(np * sy2 - sy * sy, lit(0.0)))
+        round((np * sxy - sx * sy) / when(den === 0, lit(null)).otherwise(den), 6)
+      }))
+      .withColumn("terms", zip_with(col("rhos"), sequence(lit(1), lit(lags)),
+        (r, k) => r * r / (col("m") - k).cast("double")))
+      .withColumn("q5",
+        when(exists(col("terms"), t => t.isNull), lit(null)).otherwise(
+          round(col("m").cast("double") * (col("m") + 2).cast("double") *
+            Kernels.seqFold(transform(col("terms"), t => coalesce(t, lit(0.0))), "sum"), 6)))
+      .select(col("asset_id"), col("m").cast("long").as("n_days"),
+        element_at(col("rhos"), 1).as("rho1"), col("q5"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B91 `monthly_seasonality` — [[seasonality]]'s calendar twin: mean
     * daily return by MONTH of year per asset (the January-effect /
     * quarter-end axis, where dow catches the weekday one). Identical

@@ -284,4 +284,43 @@ class EdgeCasesSpec extends SparkSpec {
     val ev = Seq((1L, new Timestamp(1000L), "view")).toDF("user_id", "ts", "event_type")
     assert(Analytics.eventStudy(p, ev, eventType = "purchase").count() === 0)
   }
+
+  test("round-6 operators are sane on empty and degenerate inputs") {
+    // benchmark-relative family on the empty panel → no rows, no throw
+    assert(Analytics.informationRatio(emptyPanel).count() === 0)
+    assert(Analytics.downsideBeta(emptyPanel).count() === 0)
+    assert(Analytics.treynor(emptyPanel).count() === 0)
+    assert(Analytics.overnightGap(emptyPanel).count() === 0)
+    assert(Analytics.volOfVol(emptyPanel).count() === 0)
+    assert(Analytics.monthlySeasonality(emptyPanel).count() === 0)
+    // single asset: the asset IS the market → active returns all zero →
+    // tracking error 0 → ir NULL (never a divide error); |β|≈1 → treynor sane
+    val p6 = Seq(
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 100.0, 1L),
+      (1L, Date.valueOf("2024-01-02"), new Timestamp(2000L), 110.0, 2L),
+      (1L, Date.valueOf("2024-01-03"), new Timestamp(3000L), 99.0, 3L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val ir = Analytics.informationRatio(p6).collect()(0)
+    assert(ir.isNullAt(ir.fieldIndex("ir")))
+    val tr = Analytics.treynor(p6).collect()(0)
+    assert(math.abs(tr.getAs[Double]("beta") - 1.0) < 1e-6)
+    // document family: empty corpus → empty/zero results, never a throw
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType))))
+    assert(Dedup.prefixDups(emptyDocs).count() === 0)
+    assert(Dedup.crossSourceDups(emptyDocs).count() === 0)
+    assert(Pipeline.tokenLengthQuantiles(emptyDocs).count() === 0)
+    assert(Pipeline.packEfficiency(emptyDocs).count() === 0)
+    val vo = Pipeline.vocabOverlap(emptyDocs).collect()(0)
+    assert(vo.getAs[Long]("n_union") === 0L && vo.isNullAt(vo.fieldIndex("jaccard_pm")))
+    val kl = Pipeline.unigramKl(emptyDocs).collect()(0)
+    assert(kl.getAs[Long]("n_words") === 0L && kl.getAs[Double]("kl_sym") === 0.0)
+    // blank and unicode text flow through the prefix/vocab paths
+    val docs = Seq((1L, "", "a"), (2L, "   ", "a"), (3L, "中文 文本", "b"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.prefixDups(docs).count() === 1) // "" and "   " normalize equal
+    assert(Pipeline.tokenLengthQuantiles(docs).count() === 2)
+  }
 }

@@ -190,6 +190,23 @@ class Round6OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("ljung_box: alternating returns reject white noise; constant returns null out") {
+    def series(rets: Seq[Double], base: Double): Seq[Double] =
+      rets.scanLeft(base) { case (v, r) => v * (1 + r) }
+    val alt = (0 until 24).map(i => if (i % 2 == 0) 0.1 else -0.1)
+    val const = Seq.fill(24)(0.05)
+    val p = (series(alt, 100.0).zipWithIndex.map { case (v, i) => (1L, i) -> v } ++
+      series(const, 100.0).zipWithIndex.map { case (v, i) => (2L, i) -> v })
+      .map { case ((a, i), v) => (a, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, a * 100 + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.ljungBox(p).collect().map(r => r.getLong(0) -> r).toMap
+    val alt1 = out(1L)
+    assert(alt1.getAs[Double]("rho1") < -0.8, s"rho1=${alt1.getAs[Double]("rho1")}")
+    assert(alt1.getAs[Double]("q5") > 10.0, s"q5=${alt1.getAs[Double]("q5")}")
+    // constant returns: zero-variance slices → rho/Q are NULL, never a number
+    assert(out(2L).isNullAt(out(2L).fieldIndex("q5")))
+  }
+
   test("embedding_norm_stats: 3-4-5 norms aggregate per label") {
     val emb = Seq(
       (10L, Array(3.0f, 4.0f), 0),
