@@ -610,6 +610,91 @@ object StreamingOps {
       }
   }
 
+  case class DrawdownState(peak: Double)
+  case class DrawdownPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                           peak: Double, drawdown: Option[Double])
+
+  /** D23 `drawdownStream` — running peak-to-trough drawdown, the
+    * continuous face of [[graft.operators.Analytics.drawdown]]: state
+    * is ONE double (the running peak) per asset; each daily value
+    * emits value/peak − 1 against the updated peak, HALF_UP 6-dec like
+    * the batch ratio, so in-order replays match the batch rows exactly
+    * (spec-asserted). A zero peak yields a None drawdown — the batch
+    * op's NULL, never a division error. O(#assets) state, no TTL.
+    */
+  def drawdownStream(daily: Dataset[DailyTick]): Dataset[DrawdownPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DrawdownState, DrawdownPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[DrawdownState]) =>
+          var peak = state.getOption.map(_.peak).getOrElse(Double.NegativeInfinity)
+          val out = rows.toSeq.sortBy(_.date.getTime).map { t =>
+            peak = math.max(peak, t.value)
+            val dd =
+              if (peak == 0.0) None
+              else Some(BigDecimal.decimal(t.value / peak - 1.0)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            DrawdownPoint(assetId, t.date, t.value, peak, dd)
+          }
+          state.update(DrawdownState(peak))
+          out.iterator
+      }
+  }
+
+  case class RollVolState(last_value: Double, rets: Seq[Double])
+  case class RollVolPoint(asset_id: Long, date: java.sql.Date, ret: Double, vol: Double)
+
+  /** D24 `rollingVolStream` — N-day rolling volatility, the continuous
+    * face of [[graft.operators.Analytics.rollingVol]]: per-asset state
+    * is the last value plus a bounded ring of the last `window` 6-dec
+    * returns. The std uses the identical n·Σx²−(Σx)² form with the
+    * ring folded in date order, so in-order replays match the batch
+    * rows bit-for-bit (spec-asserted; emission starts at 2 returns,
+    * the batch n ≥ 2 gate). State is O(window) doubles per asset.
+    */
+  def rollingVolStream(daily: Dataset[DailyTick], window: Int = 20): Dataset[RollVolPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RollVolState, RollVolPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RollVolState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[RollVolPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = RollVolState(t.value, Vector.empty)
+            } else {
+              if (st.last_value != 0.0) {
+                val ret = BigDecimal.decimal(t.value / st.last_value - 1.0)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val rets = (st.rets :+ ret).takeRight(window)
+                if (rets.size >= 2) {
+                  var s = 0.0; var s2 = 0.0
+                  rets.foreach { x => s += x; s2 += x * x }
+                  val n = rets.size.toDouble
+                  val vol = BigDecimal.decimal(
+                    math.sqrt(math.max((n * s2 - s * s) / (n * (n - 1)), 0.0)))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += RollVolPoint(assetId, t.date, ret, vol)
+                }
+                st = RollVolState(t.value, rets)
+              } else {
+                // zero prior value: no return (batch filters the NULL);
+                // the ring carries over unchanged
+                st = RollVolState(t.value, st.rets)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class CusumState(last_value: Double, s_pos: Long, s_neg: Long)
   case class CusumPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                         s_pos: Double, s_neg: Double, alarm: Boolean)

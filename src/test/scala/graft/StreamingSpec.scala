@@ -730,6 +730,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drawdown and rolling vol match their batch ops on replayed input") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.DailyTick
+    val values = Seq(100.0, 110.0, 99.0, 120.0, 105.0, 126.0, 113.4, 130.0)
+    val days = values.indices.map(i => java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"))
+    // batch references on the equivalent 1-tick-per-day panel
+    val panel = values.zipWithIndex.map { case (v, i) =>
+      (1L, days(i), new java.sql.Timestamp((i + 1) * 1000L), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batchDd = graft.operators.Analytics.drawdown(panel).collect()
+      .map(r => (r.getDate(1).toString, r.getAs[Double]("drawdown"))).toMap
+    val batchVol = graft.operators.Analytics.rollingVol(panel).collect()
+      .map(r => (r.getDate(1).toString, (r.getAs[Double]("ret"), r.getAs[Double]("vol")))).toMap
+
+    val inDd = MemoryStream[DailyTick]
+    val qDd = StreamingOps.drawdownStream(inDd.toDS())
+      .writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append).start()
+    val inVol = MemoryStream[DailyTick]
+    val qVol = StreamingOps.rollingVolStream(inVol.toDS())
+      .writeStream.format("memory").queryName("rv_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // replay in two micro-batches to cross a state boundary
+      val ticks = values.zipWithIndex.map { case (v, i) => DailyTick(1L, days(i), v) }
+      inDd.addData(ticks.take(4)); inVol.addData(ticks.take(4))
+      qDd.processAllAvailable(); qVol.processAllAvailable()
+      inDd.addData(ticks.drop(4)); inVol.addData(ticks.drop(4))
+      qDd.processAllAvailable(); qVol.processAllAvailable()
+
+      val gotDd = spark.table("dd_sink").collect()
+        .map(r => (r.getDate(1).toString, r.getAs[Double]("drawdown"))).toMap
+      assert(gotDd === batchDd)
+      val gotVol = spark.table("rv_sink").collect()
+        .map(r => (r.getDate(1).toString, (r.getAs[Double]("ret"), r.getAs[Double]("vol")))).toMap
+      assert(gotVol === batchVol)
+    } finally { qDd.stop(); qVol.stop() }
+  }
+
   test("streaming OHLC bars: open/close follow (ts, seq) order, not arrival order") {
     val spark0 = spark
     import spark0.implicits._
