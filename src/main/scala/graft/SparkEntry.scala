@@ -536,6 +536,9 @@ object SparkEntry {
       Dedup.pairDegreeHistogram(jaccardPairsShared(s, dir))),
     "ljung_box" -> ((s, dir) =>
       Analytics.ljungBox(Tables.panel(s, dir))),
+    "cluster_size_histogram" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.nearDupClusters(Tables.documents(s, dir), jaccardPairsShared(s, dir)))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2593,6 +2596,12 @@ object SparkEntry {
          |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
          |SELECT cluster_id AS doc_id, count(*) AS n_members
          |FROM labels GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
+    "cluster_size_histogram" ->
+      s"""$clustersCtes,
+         |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM szs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup_embedding" ->
       """WITH t AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -262,6 +262,19 @@ object Dedup {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("degree"))
 
+  /** C72 `cluster_size_histogram` — distribution of near-dup cluster
+    * sizes AFTER transitive closure: C71 warns about hubs before the
+    * closure, this reports what the closure actually produced — the
+    * dedup-rate accounting (Σ(size−1) docs removed) and the sanity
+    * check that no mega-cluster swallowed the corpus. Two tiny
+    * aggregates over the cluster labels.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** The (doc_id, band_id, bucket) banding stage shared by
     * [[minhashLshPairs]] and the materialized-index path — one
     * signature kernel pass, `bands` bucket hashes per doc.

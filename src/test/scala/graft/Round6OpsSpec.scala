@@ -182,6 +182,18 @@ class Round6OpsSpec extends SparkSpec {
     assert(r1.getAs[Double]("kl_sym") > 1.0, s"kl=${r1.getAs[Double]("kl_sym")}")
   }
 
+  test("cluster_size_histogram: closure sizes distribute as expected") {
+    val docs = (1L to 6L).map(i => (i, s"doc number $i", "en", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (4L, 5L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val clusters = graft.operators.Dedup.nearDupClusters(docs, pairs)
+    val out = graft.operators.Dedup.clusterSizeHistogram(clusters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3}, {4,5}, {6} → one cluster each of sizes 3, 2, 1
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("pair_degree_histogram: hub doc shows up in the degree tail") {
     val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.9))
       .toDF("doc_a", "doc_b", "jaccard")
