@@ -539,6 +539,8 @@ object SparkEntry {
     "cluster_size_histogram" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
         Dedup.nearDupClusters(Tables.documents(s, dir), jaccardPairsShared(s, dir)))),
+    "capture_ratio" -> ((s, dir) =>
+      Analytics.captureRatio(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3871,6 +3873,30 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "capture_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |m2 AS (SELECT date, mkt_ret, quantile_cont(mkt_ret, 0.5) OVER () AS med FROM mkt),
+         |j AS (SELECT r.asset_id, r.ret, m.mkt_ret, m.mkt_ret <= m.med AS is_down
+         |      FROM rets r JOIN m2 m USING (date)),
+         |g AS (SELECT asset_id,
+         |        CAST(sum(CASE WHEN NOT is_down THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |        CAST(sum(CASE WHEN is_down THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |        CAST(sum(CASE WHEN NOT is_down THEN CAST(round(ret * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa_up,
+         |        CAST(sum(CASE WHEN NOT is_down THEN CAST(round(mkt_ret * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sm_up,
+         |        CAST(sum(CASE WHEN is_down THEN CAST(round(ret * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa_down,
+         |        CAST(sum(CASE WHEN is_down THEN CAST(round(mkt_ret * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sm_down
+         |      FROM j GROUP BY asset_id)
+         |SELECT asset_id, n_up, n_down,
+         |  round(CAST(sa_up AS DOUBLE) / nullif(CAST(sm_up AS DOUBLE), 0.0), 6) AS up_capture,
+         |  round(CAST(sa_down AS DOUBLE) / nullif(CAST(sm_down AS DOUBLE), 0.0), 6) AS down_capture
+         |FROM g ORDER BY asset_id""".stripMargin,
     "ljung_box" ->
       s"""$panelCte,
          |$dailyCte,

@@ -581,6 +581,42 @@ object Analytics {
       .orderBy(col("asset_id"), col("dow"))
   }
 
+  /** B93 `capture_ratio` — up/down capture vs the equal-weight market,
+    * split at the market's MEDIAN day (not zero: on drift-dominated
+    * series "down days" can be empty — the same degeneracy
+    * [[downsideBeta]] sidesteps — while the median split always yields
+    * both regimes): capture = Σ asset ret / Σ market ret within each
+    * half, the standard "how much of the market's good/bad days do I
+    * keep" pair. Ratio of exact micro-integer sums — determinism is
+    * free; the median is an exact interpolating percentile computed
+    * once over the tiny per-date market table.
+    */
+  def captureRatio(panel: DataFrame): DataFrame = {
+    val rets = dailyReturns(panel)
+    val w = Window.partitionBy()
+    val mkt = marketReturns(rets)
+      .withColumn("med", expr("percentile(mkt_ret, 0.5)").over(w))
+    rets.join(broadcast(mkt), Seq("date"))
+      .withColumn("is_down", col("mkt_ret") <= col("med"))
+      .withColumn("ra_micro", round(col("ret") * 1e6).cast("long"))
+      .withColumn("rm_micro", round(col("mkt_ret") * 1e6).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(
+        sum(when(!col("is_down"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("is_down"), 1L).otherwise(0L)).as("n_down"),
+        sum(when(!col("is_down"), col("ra_micro")).otherwise(0L)).as("sa_up"),
+        sum(when(!col("is_down"), col("rm_micro")).otherwise(0L)).as("sm_up"),
+        sum(when(col("is_down"), col("ra_micro")).otherwise(0L)).as("sa_down"),
+        sum(when(col("is_down"), col("rm_micro")).otherwise(0L)).as("sm_down"))
+      .withColumn("up_capture", round(col("sa_up").cast("double") /
+        when(col("sm_up") === 0, lit(null)).otherwise(col("sm_up").cast("double")), 6))
+      .withColumn("down_capture", round(col("sa_down").cast("double") /
+        when(col("sm_down") === 0, lit(null)).otherwise(col("sm_down").cast("double")), 6))
+      .select(col("asset_id"), col("n_up"), col("n_down"),
+        col("up_capture"), col("down_capture"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B92 `ljung_box` — the Ljung–Box portmanteau test: Q_h =
     * m(m+2)·Σ_{k=1..h} ρ_k²/(m−k) over the first `lags` return
     * autocorrelations — the standard "is this series white noise"

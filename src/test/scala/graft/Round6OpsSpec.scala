@@ -202,6 +202,18 @@ class Round6OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("capture_ratio: the 3x pair captures 0.5x and 1.5x of the market in both halves") {
+    val out = Analytics.captureRatio(twoAssetPanel).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // ra/rm is r/2r = 0.5 (asset 1) and 3r/2r = 1.5 (asset 2) on EVERY
+    // day, so both halves' capture ratios equal those constants
+    for ((a, exp) <- Seq(1L -> 0.5, 2L -> 1.5)) {
+      assert(math.abs(out(a).getAs[Double]("up_capture") - exp) < 1e-3)
+      assert(math.abs(out(a).getAs[Double]("down_capture") - exp) < 1e-3)
+      assert(out(a).getAs[Long]("n_up") + out(a).getAs[Long]("n_down") === 5L)
+    }
+  }
+
   test("ljung_box: alternating returns reject white noise; constant returns null out") {
     def series(rets: Seq[Double], base: Double): Seq[Double] =
       rets.scanLeft(base) { case (v, r) => v * (1 + r) }
