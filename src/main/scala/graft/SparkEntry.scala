@@ -541,6 +541,8 @@ object SparkEntry {
         Dedup.nearDupClusters(Tables.documents(s, dir), jaccardPairsShared(s, dir)))),
     "capture_ratio" -> ((s, dir) =>
       Analytics.captureRatio(Tables.panel(s, dir))),
+    "r_squared" -> ((s, dir) =>
+      Analytics.rSquared(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3873,6 +3875,38 @@ object SparkEntry {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
+    "r_squared" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm,
+         |         list(ret * mkt_ret ORDER BY date) AS rp
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS sa2,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM p WHERE len(ra) >= 2),
+         |f AS (
+         |  SELECT asset_id, n,
+         |         (n * sp - sa * sm) AS cov,
+         |         (n * sa2 - sa * sa) * (n * sm2 - sm * sm) AS den
+         |  FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  round(cov * cov / (CASE WHEN den <= 0 THEN NULL ELSE den END), 6) AS r2
+         |FROM f ORDER BY asset_id""".stripMargin,
     "capture_ratio" ->
       s"""$panelCte,
          |$dailyCte,

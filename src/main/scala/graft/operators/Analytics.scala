@@ -581,6 +581,38 @@ object Analytics {
       .orderBy(col("asset_id"), col("dow"))
   }
 
+  /** B94 `r_squared` — R² of the market-model regression: the squared
+    * asset↔market return correlation, i.e. the FRACTION of an asset's
+    * variance that is systematic. The companion [[beta]]/[[treynor]]
+    * need: a high beta with a low R² is noise, not exposure. Same
+    * single-shuffle fold shape and 6-dec rounding as the family.
+    */
+  def rSquared(panel: DataFrame): DataFrame = {
+    val rets = dailyReturns(panel)
+    val n = col("n")
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("ra", transform(col("h"), s => s("ret")))
+      .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
+      .withColumn("rp", transform(col("h"), s => s("ret") * s("mkt_ret")))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sa2", foldSumSq(col("ra")))
+      .withColumn("sm2", foldSumSq(col("rm")))
+      .withColumn("den",
+        (n * col("sa2") - col("sa") * col("sa")) * (n * col("sm2") - col("sm") * col("sm")))
+      .withColumn("cov", n * col("sp") - col("sa") * col("sm"))
+      .withColumn("r2", round(col("cov") * col("cov") /
+        when(col("den") <= 0, lit(null)).otherwise(col("den")), 6))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("r2"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B93 `capture_ratio` — up/down capture vs the equal-weight market,
     * split at the market's MEDIAN day (not zero: on drift-dominated
     * series "down days" can be empty — the same degeneracy

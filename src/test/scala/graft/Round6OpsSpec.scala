@@ -202,6 +202,15 @@ class Round6OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("r_squared: a perfectly 3x-levered asset is 100% systematic") {
+    // asset 2 = exactly 3× asset 1's returns → both perfectly correlated
+    // with their equal-weight market → r² = 1 for both (up to ret rounding)
+    val out = Analytics.rSquared(twoAssetPanel).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("r2")).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-4, s"r2_1=${out(1L)}")
+    assert(math.abs(out(2L) - 1.0) < 1e-4, s"r2_2=${out(2L)}")
+  }
+
   test("capture_ratio: the 3x pair captures 0.5x and 1.5x of the market in both halves") {
     val out = Analytics.captureRatio(twoAssetPanel).collect()
       .map(r => r.getLong(0) -> r).toMap
