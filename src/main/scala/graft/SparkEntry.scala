@@ -766,9 +766,9 @@ object SparkEntry {
        |    FROM q CROSS JOIN n$iters) z WHERE rn <= $nProbe),
        |cand AS (
        |  SELECT q.q_id, i.vec_id, i.c AS cluster,
-       |         round(list_dot_product(
+       |         floor((list_dot_product(
        |           list_transform(q.qv, x -> x / q.qn),
-       |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v)))), 3) AS cos
+       |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v))))) * 1000.0 + 0.5) / 1000.0 AS cos
        |  FROM probes p JOIN idx i ON i.c = p.c JOIN q ON q.q_id = p.q_id
        |  WHERE i.vec_id <> q.q_id)
        |SELECT q_id, rank, vec_id, cos, cluster FROM (
@@ -788,7 +788,7 @@ object SparkEntry {
        |       FROM idx),
        |w AS (
        |  SELECT hi.vec_id,
-       |         max(round(list_dot_product(hi.nv, lo.nv), 3)) AS max_cos_lower
+       |         max(floor((list_dot_product(hi.nv, lo.nv)) * 1000.0 + 0.5) / 1000.0) AS max_cos_lower
        |  FROM nv hi JOIN nv lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
        |  GROUP BY hi.vec_id)
        |SELECT nv.vec_id, nv.c AS cluster, w.max_cos_lower,
@@ -817,10 +817,10 @@ object SparkEntry {
        |             ORDER BY list_dot_product(b.v, n$iters.nc) DESC, n$iters.c) AS rn
        |    FROM bat b CROSS JOIN n$iters) z WHERE rn = 1),
        |wex AS (
-       |  SELECT ba.vec_id, max(round(list_dot_product(ba.nvb, nv.nv), 3)) AS max_cos_existing
+       |  SELECT ba.vec_id, max(floor((list_dot_product(ba.nvb, nv.nv)) * 1000.0 + 0.5) / 1000.0) AS max_cos_existing
        |  FROM ba JOIN nv ON nv.c = ba.c GROUP BY ba.vec_id),
        |wb AS (
-       |  SELECT hi.vec_id, max(round(list_dot_product(hi.nvb, lo.nvb), 3)) AS max_cos_batch_lower
+       |  SELECT hi.vec_id, max(floor((list_dot_product(hi.nvb, lo.nvb)) * 1000.0 + 0.5) / 1000.0) AS max_cos_batch_lower
        |  FROM ba hi JOIN ba lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
        |  GROUP BY hi.vec_id)
        |SELECT ba.vec_id, ba.c AS cluster, wex.max_cos_existing, wb.max_cos_batch_lower,
@@ -936,7 +936,7 @@ object SparkEntry {
       |pairs AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT doc_a, doc_b,
-      |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+      |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
       |  WHERE jaccard >= 0.3),
       |edges AS (
@@ -952,7 +952,7 @@ object SparkEntry {
     """rets AS (
       |  SELECT asset_id, date, ret FROM (
       |    SELECT asset_id, date,
-      |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+      |           floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
       |    FROM daily) t WHERE ret IS NOT NULL)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1067,8 +1067,8 @@ object SparkEntry {
         |  ) WHERE word <> '' GROUP BY word),
         |t AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
         |      FROM w ORDER BY n DESC, word LIMIT 200),
-        |p AS (SELECT rank, round(ln(CAST(rank AS DOUBLE)), 6) AS x,
-        |             round(ln(CAST(n AS DOUBLE)), 6) AS y FROM t),
+        |p AS (SELECT rank, floor((ln(CAST(rank AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS x,
+        |             floor((ln(CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS y FROM t),
         |a AS (SELECT list(x ORDER BY rank) AS xa, list(y ORDER BY rank) AS ya FROM p),
         |g AS (SELECT CAST(len(xa) AS DOUBLE) AS n,
         |        list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
@@ -1078,8 +1078,8 @@ object SparkEntry {
         |        list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2
         |      FROM a)
         |SELECT CAST(n AS BIGINT) AS n_words,
-        |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6) AS intercept
+        |  floor(((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n) * 1000000.0 + 0.5) / 1000000.0 AS intercept
         |FROM g""".stripMargin,
     "heaps_law" ->
       """WITH toks AS (
@@ -1116,21 +1116,21 @@ object SparkEntry {
          |  FROM p WHERE len(ra) >= 2),
          |h AS (SELECT asset_id, n, s, sqrt(d2 / n) AS dd FROM g)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(s / n, 6) AS mean_ret,
-         |  round(dd, 6) AS downside_dev,
-         |  round((s / n) / nullif(dd, 0.0), 6) AS sortino
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((dd) * 1000000.0 + 0.5) / 1000000.0 AS downside_dev,
+         |  floor(((s / n) / nullif(dd, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sortino
          |FROM h ORDER BY asset_id""".stripMargin,
     "calmar" ->
       s"""$panelCte,
          |$dailyCte,
          |pk AS (
          |  SELECT asset_id, date, value,
-         |         round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret,
+         |         floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret,
          |         max(value) OVER (PARTITION BY asset_id ORDER BY date
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
          |  FROM daily),
          |d AS (SELECT asset_id, date, ret,
-         |             round((value - peak) / nullif(peak, 0), 6) AS dd FROM pk),
+         |             floor(((value - peak) / nullif(peak, 0)) * 1000000.0 + 0.5) / 1000000.0 AS dd FROM pk),
          |g AS (
          |  SELECT asset_id,
          |         list(ret ORDER BY date) FILTER (WHERE ret IS NOT NULL) AS ra,
@@ -1138,10 +1138,10 @@ object SparkEntry {
          |  FROM d GROUP BY asset_id),
          |f AS (
          |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n, max_dd,
-         |         round(list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) / CAST(len(ra) AS DOUBLE), 6) AS mean_ret
+         |         floor((list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) / CAST(len(ra) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret
          |  FROM g WHERE len(ra) >= 2)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days, mean_ret, max_dd,
-         |  round(mean_ret * 252.0 / nullif(abs(max_dd), 0.0), 6) AS calmar
+         |  floor((mean_ret * 252.0 / nullif(abs(max_dd), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS calmar
          |FROM f ORDER BY asset_id""".stripMargin,
     "cusum" ->
       s"""$panelCte,
@@ -1365,8 +1365,8 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -1390,8 +1390,8 @@ object SparkEntry {
     "window_moving_avg" ->
       s"""$panelCte
          |SELECT asset_id, ts, seq, value,
-         |  round(avg(value) OVER (PARTITION BY asset_id ORDER BY ts, seq
-         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg
+         |  floor((avg(value) OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS mavg
          |FROM panel ORDER BY asset_id, ts, seq""".stripMargin,
     "window_returns" ->
       s"""$panelCte,
@@ -1402,7 +1402,7 @@ object SparkEntry {
          |    FROM panel) t WHERE rn = 1)
          |SELECT asset_id, date, value, ret FROM (
          |  SELECT asset_id, date, value,
-         |         round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |         floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
          |  FROM daily) t
          |WHERE ret IS NOT NULL ORDER BY asset_id, date""".stripMargin,
     "resample_ohlc" ->
@@ -1449,9 +1449,9 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "quantiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6)  AS p50,
-        |  round(quantile_cont(value, 0.95), 6) AS p95,
-        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0  AS p50,
+        |  floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+        |  floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "gap_fill" ->
       s"""$panelCte,
@@ -1490,8 +1490,8 @@ object SparkEntry {
         |ORDER BY event_type, bin""".stripMargin,
     "corr_qty_price" ->
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS corr_qp,
+        |  floor((covar_samp(l_quantity, l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS covar_qp,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "json_props" ->
@@ -1533,8 +1533,8 @@ object SparkEntry {
          |  FROM bars),
          |trs AS (
          |  SELECT asset_id, date,
-         |         round(CASE WHEN pc IS NULL THEN high - low
-         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END, 6) AS tr
+         |         floor((CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
          |  FROM t),
          |f AS (
          |  SELECT asset_id, date, tr,
@@ -1542,9 +1542,9 @@ object SparkEntry {
          |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
          |  FROM trs)
          |SELECT asset_id, date, tr,
-         |  round(
+         |  floor((
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + x) /
-         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + 1.0), 6) AS atr
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (13.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS atr
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "ret_moments" ->
       s"""$panelCte,
@@ -1569,17 +1569,18 @@ object SparkEntry {
          |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS m4
          |  FROM mm)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(m, 6) AS mean_ret,
-         |  round(sqrt(greatest(m2 * (n / (n - 1)), 0.0)), 6) AS sd,
-         |  round(m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END, 6) AS skew,
-         |  round(m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3, 6) AS kurt
+         |  floor((m) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((sqrt(greatest(m2 * (n / (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS sd,
+         |  floor((m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END) * 1000000.0 + 0.5) / 1000000.0 AS skew,
+         |  floor((m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3) * 1000000.0 + 0.5) / 1000000.0 AS kurt
          |FROM cm ORDER BY asset_id""".stripMargin,
     "williams_r" ->
       s"""$panelCte,
          |$barsCte
          |SELECT asset_id, date, close,
-         |  round(-100.0 * (max(high) OVER w - close) /
-         |        nullif(max(high) OVER w - min(low) OVER w, 0.0), 6) AS wr
+         |  floor((-100.0 * (max(high) OVER w - close) /
+         |         nullif(max(high) OVER w - min(low) OVER w, 0.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS wr
          |FROM bars
          |WINDOW w AS (PARTITION BY asset_id ORDER BY date
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -1589,10 +1590,10 @@ object SparkEntry {
          |$barsCte,
          |t AS (
          |  SELECT asset_id, date, close,
-         |         round((high + low + close) / 3, 6) AS tp,
-         |         round(CASE WHEN lag(close) OVER a IS NULL THEN high - low
+         |         floor(((high + low + close) / 3) * 1000000.0 + 0.5) / 1000000.0 AS tp,
+         |         floor((CASE WHEN lag(close) OVER a IS NULL THEN high - low
          |               ELSE greatest(high - low, abs(high - lag(close) OVER a),
-         |                             abs(low - lag(close) OVER a)) END, 6) AS tr
+         |                             abs(low - lag(close) OVER a)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
          |  FROM bars
          |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
          |f AS (
@@ -1603,29 +1604,29 @@ object SparkEntry {
          |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
          |g AS (
          |  SELECT asset_id, date, close,
-         |    round(
+         |    floor((
          |      list_reduce(list_prepend(0.0, tparr), (acc, x) -> acc * (1.0 - 2.0 / 21.0) + x) /
-         |      list_reduce(list_prepend(0.0, tparr), (acc, x) -> acc * (1.0 - 2.0 / 21.0) + 1.0), 6) AS mid,
-         |    round(
+         |      list_reduce(list_prepend(0.0, tparr), (acc, x) -> acc * (1.0 - 2.0 / 21.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS mid,
+         |    floor((
          |      list_reduce(list_prepend(0.0, trarr), (acc, x) -> acc * (19.0 / 20.0) + x) /
-         |      list_reduce(list_prepend(0.0, trarr), (acc, x) -> acc * (19.0 / 20.0) + 1.0), 6) AS atr
+         |      list_reduce(list_prepend(0.0, trarr), (acc, x) -> acc * (19.0 / 20.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS atr
          |  FROM f)
          |SELECT asset_id, date, close, mid, atr,
-         |  round(mid + 2.0 * atr, 6) AS upper,
-         |  round(mid - 2.0 * atr, 6) AS lower
+         |  floor((mid + 2.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS upper,
+         |  floor((mid - 2.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS lower
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "stochastic_osc" ->
       s"""$panelCte,
          |$barsCte,
          |k AS (
          |  SELECT asset_id, date, close,
-         |    round(100.0 * (close - min(low) OVER w) /
-         |          nullif(max(high) OVER w - min(low) OVER w, 0.0), 6) AS pct_k
+         |    floor((100.0 * (close - min(low) OVER w) /
+         |          nullif(max(high) OVER w - min(low) OVER w, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pct_k
          |  FROM bars
          |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
          |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          |SELECT asset_id, date, close, pct_k,
-         |  round((lag(pct_k, 2) OVER a + lag(pct_k, 1) OVER a + pct_k) / 3, 6) AS pct_d
+         |  floor(((lag(pct_k, 2) OVER a + lag(pct_k, 1) OVER a + pct_k) / 3) * 1000000.0 + 0.5) / 1000000.0 AS pct_d
          |FROM k
          |WINDOW a AS (PARTITION BY asset_id ORDER BY date)
          |ORDER BY asset_id, date""".stripMargin,
@@ -1649,15 +1650,15 @@ object SparkEntry {
          |$barsCte,
          |m AS (
          |  SELECT asset_id, date, close,
-         |    round((max(high) OVER w9  + min(low) OVER w9)  / 2, 6) AS conv,
-         |    round((max(high) OVER w26 + min(low) OVER w26) / 2, 6) AS base,
-         |    round((max(high) OVER w52 + min(low) OVER w52) / 2, 6) AS mid52
+         |    floor(((max(high) OVER w9  + min(low) OVER w9)  / 2) * 1000000.0 + 0.5) / 1000000.0 AS conv,
+         |    floor(((max(high) OVER w26 + min(low) OVER w26) / 2) * 1000000.0 + 0.5) / 1000000.0 AS base,
+         |    floor(((max(high) OVER w52 + min(low) OVER w52) / 2) * 1000000.0 + 0.5) / 1000000.0 AS mid52
          |  FROM bars
          |  WINDOW w9  AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 8  PRECEDING AND CURRENT ROW),
          |         w26 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
          |         w52 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
          |SELECT asset_id, date, close, conv, base,
-         |  round((lag(conv, 26) OVER a + lag(base, 26) OVER a) / 2, 6) AS span_a,
+         |  floor(((lag(conv, 26) OVER a + lag(base, 26) OVER a) / 2) * 1000000.0 + 0.5) / 1000000.0 AS span_a,
          |  lag(mid52, 26) OVER a AS span_b,
          |  lead(close, 26) OVER a AS chikou
          |FROM m
@@ -1675,19 +1676,19 @@ object SparkEntry {
          |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
          |g AS (
          |  SELECT asset_id, date, close, ph, pl,
-         |         round((ph + pl + pc) / 3, 6) AS p
+         |         floor(((ph + pl + pc) / 3) * 1000000.0 + 0.5) / 1000000.0 AS p
          |  FROM t)
          |SELECT asset_id, date, close, p,
-         |  round(2.0 * p - pl, 6) AS r1,
-         |  round(2.0 * p - ph, 6) AS s1,
-         |  round(p + (ph - pl), 6) AS r2,
-         |  round(p - (ph - pl), 6) AS s2
+         |  floor((2.0 * p - pl) * 1000000.0 + 0.5) / 1000000.0 AS r1,
+         |  floor((2.0 * p - ph) * 1000000.0 + 0.5) / 1000000.0 AS s1,
+         |  floor((p + (ph - pl)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+         |  floor((p - (ph - pl)) * 1000000.0 + 0.5) / 1000000.0 AS s2
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "cci" ->
       s"""$panelCte,
          |$barsCte,
          |t AS (
-         |  SELECT asset_id, date, round((high + low + close) / 3, 6) AS tp FROM bars),
+         |  SELECT asset_id, date, floor(((high + low + close) / 3) * 1000000.0 + 0.5) / 1000000.0 AS tp FROM bars),
          |f AS (
          |  SELECT asset_id, date, tp,
          |    list(tp) OVER (PARTITION BY asset_id ORDER BY date
@@ -1713,7 +1714,7 @@ object SparkEntry {
          |t AS (
          |  SELECT asset_id, date, close, n_ticks,
          |    coalesce(
-         |      round(((close - low) - (high - close)) / nullif(high - low, 0.0), 6)
+         |      floor((((close - low) - (high - close)) / nullif(high - low, 0.0)) * 1000000.0 + 0.5) / 1000000.0
          |        * CAST(n_ticks AS DOUBLE),
          |      0.0) AS mfv
          |  FROM bars),
@@ -1724,8 +1725,8 @@ object SparkEntry {
          |  FROM t
          |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
          |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-         |SELECT asset_id, date, close, round(mfv, 6) AS mfv, vol_n,
-         |  round(list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(vol_n AS DOUBLE), 6) AS cmf
+         |SELECT asset_id, date, close, floor((mfv) * 1000000.0 + 0.5) / 1000000.0 AS mfv, vol_n,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(vol_n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cmf
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "pairs_spread" ->
       s"""$panelCte,
@@ -1802,8 +1803,8 @@ object SparkEntry {
         |    FROM scores) z WHERE rn = 1),
         |rep AS (
         |  SELECT doc_id,
-        |    round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-        |          / nullif(CAST(len(bigrams) AS DOUBLE), 0.0), 6) AS rep_ratio
+        |    floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |          / nullif(CAST(len(bigrams) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
         |  FROM (
         |    SELECT doc_id,
         |           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
@@ -1812,15 +1813,14 @@ object SparkEntry {
         |          FROM documents) z) b),
         |base AS (
         |  SELECT doc_id,
-        |    round(
+        |    floor((
         |      least(length(text) / 500.0, 1.0) * 0.4 +
         |      greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
         |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |            t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
-        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
-        |    6) AS quality,
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
@@ -1941,15 +1941,15 @@ object SparkEntry {
          |$dailyCte,
          |m AS (
          |  SELECT asset_id, date, value,
-         |    round(quantile_cont(value, 0.5) OVER (PARTITION BY asset_id), 6) AS med
+         |    floor((quantile_cont(value, 0.5) OVER (PARTITION BY asset_id)) * 1000000.0 + 0.5) / 1000000.0 AS med
          |  FROM daily),
          |m2 AS (
          |  SELECT asset_id, date, value, med,
-         |    round(quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY asset_id), 6) AS mad
+         |    floor((quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY asset_id)) * 1000000.0 + 0.5) / 1000000.0 AS mad
          |  FROM m)
          |SELECT asset_id, date, value, med, mad, score FROM (
          |  SELECT asset_id, date, value, med, mad,
-         |    round((value - med) / nullif(mad * 1.4826, 0.0), 6) AS score
+         |    floor(((value - med) / nullif(mad * 1.4826, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
          |  FROM m2) t
          |WHERE score IS NOT NULL AND abs(score) > 3.5
          |ORDER BY asset_id, date""".stripMargin,
@@ -1984,16 +1984,16 @@ object SparkEntry {
         |         CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS d_num
         |  FROM t)
         |SELECT n1, n2,
-        |  round(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d_stat,
-        |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS crit_95,
-        |  round(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
-        |    > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS drift
+        |  floor((CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS d_stat,
+        |  floor((1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS crit_95,
+        |  floor((CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    > floor((1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS drift
         |FROM a""".stripMargin,
     "weighted_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source, n_chars,
-        |         round(ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
-        |                  / 2147483648.0) / n_chars, 6) AS skey
+        |         floor((ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+        |                  / 2147483648.0) / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS skey
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, source, n_chars, skey,
@@ -2012,7 +2012,7 @@ object SparkEntry {
          |$dailyCte,
          |m AS (
          |  SELECT asset_id, date,
-         |    round(lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1, 6) AS mom
+         |    floor((lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS mom
          |  FROM daily
          |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
          |r AS (
@@ -2036,7 +2036,7 @@ object SparkEntry {
          |$dailyCte,
          |m AS (
          |  SELECT asset_id, date,
-         |    round(lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1, 6) AS mom
+         |    floor((lag(value, 2) OVER a / nullif(lag(value, 10) OVER a, 0.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS mom
          |  FROM daily
          |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
          |r AS (
@@ -2076,7 +2076,7 @@ object SparkEntry {
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT doc_a, doc_b,
-        |         round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |         floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "containment" ->
@@ -2094,7 +2094,7 @@ object SparkEntry {
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, containment FROM (
         |  SELECT doc_a, doc_b,
-        |         round(c / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+        |         floor((c / CAST(least(sa.n, sb.n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS containment
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dup_by_source" ->
@@ -2113,7 +2113,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |  WHERE jaccard >= 0.3)
         |SELECT least(da.source, db.source) AS src_lo,
@@ -2160,7 +2160,7 @@ object SparkEntry {
          |d AS (
          |  SELECT asset_id, date, dp FROM (
          |    SELECT asset_id, date,
-         |           round(value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 6) AS dp
+         |           floor((value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date)) * 1000000.0 + 0.5) / 1000000.0 AS dp
          |    FROM daily) t WHERE dp IS NOT NULL),
          |p AS (SELECT asset_id, list(dp ORDER BY date) AS da, CAST(len(list(dp)) AS INTEGER) AS m
          |      FROM d GROUP BY asset_id HAVING len(list(dp)) >= 3),
@@ -2177,7 +2177,7 @@ object SparkEntry {
          |  FROM sl),
          |c AS (SELECT asset_id, n, (n * sxy - sx * sy) / (n * (n - 1)) AS cov FROM g)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
-         |  CASE WHEN cov < 0 THEN round(2.0 * sqrt(-cov), 6) END AS roll_spread
+         |  CASE WHEN cov < 0 THEN floor((2.0 * sqrt(-cov)) * 1000000.0 + 0.5) / 1000000.0 END AS roll_spread
          |FROM c ORDER BY asset_id""".stripMargin,
     "kyle_lambda" ->
       s"""$panelCte,
@@ -2204,7 +2204,7 @@ object SparkEntry {
          |d2 AS (
          |  SELECT asset_id, date, dp FROM (
          |    SELECT asset_id, date,
-         |           round(value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 6) AS dp
+         |           floor((value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date)) * 1000000.0 + 0.5) / 1000000.0 AS dp
          |    FROM daily) t2 WHERE dp IS NOT NULL),
          |j AS (
          |  SELECT d2.asset_id AS asset_id, d2.date AS date, d2.dp AS dp,
@@ -2223,7 +2223,7 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2
          |  FROM p)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0.0), 6) AS kyle_lambda
+         |  floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS kyle_lambda
          |FROM g ORDER BY asset_id""".stripMargin,
     "variance_ratio" ->
       s"""$panelCte,
@@ -2233,8 +2233,8 @@ object SparkEntry {
          |  SELECT asset_id, date, ret,
          |         CASE WHEN count(ret) OVER (PARTITION BY asset_id ORDER BY date
          |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 5
-         |              THEN round(sum(ret) OVER (PARTITION BY asset_id ORDER BY date
-         |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) END AS rk
+         |              THEN floor((sum(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 END AS rk
          |  FROM rets),
          |pa AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM sl GROUP BY asset_id),
          |pk AS (SELECT asset_id, list(rk ORDER BY date) AS rka FROM sl WHERE rk IS NOT NULL GROUP BY asset_id),
@@ -2255,7 +2255,7 @@ object SparkEntry {
          |         (nk * sk2 - sk * sk) / (nk * (nk - 1)) AS vk
          |  FROM g)
          |SELECT asset_id, CAST(n1 AS BIGINT) AS n_days, CAST(nk AS BIGINT) AS n_k,
-         |  round(vk / nullif(5.0 * v1, 0.0), 6) AS vr
+         |  floor((vk / nullif(5.0 * v1, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS vr
          |FROM v ORDER BY asset_id""".stripMargin,
     "ulcer_index" ->
       s"""$panelCte,
@@ -2267,7 +2267,7 @@ object SparkEntry {
          |  FROM daily),
          |d AS (
          |  SELECT asset_id, date, value,
-         |         round(100.0 * (value - rmax) / nullif(rmax, 0), 6) AS dd
+         |         floor((100.0 * (value - rmax) / nullif(rmax, 0)) * 1000000.0 + 0.5) / 1000000.0 AS dd
          |  FROM r),
          |f AS (
          |  SELECT asset_id, date, value, dd,
@@ -2275,8 +2275,8 @@ object SparkEntry {
          |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
          |  FROM d)
          |SELECT asset_id, date, value, dd,
-         |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
-         |    (a, x) -> a + x) / len(arr)), 6) AS ulcer
+         |  floor((sqrt(list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
+         |    (a, x) -> a + x) / len(arr))) * 1000000.0 + 0.5) / 1000000.0 AS ulcer
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "spearman_corr" ->
       s"""$panelCte,
@@ -2303,8 +2303,8 @@ object SparkEntry {
          |         CAST(n * sb2 - sb * sb AS DOUBLE) AS db
          |  FROM g)
          |SELECT id_a, id_b, n AS n_days,
-         |  round(num / (CASE WHEN da <= 0 OR db <= 0 THEN NULL
-         |               ELSE sqrt(da) * sqrt(db) END), 6) AS spearman
+         |  floor((num / (CASE WHEN da <= 0 OR db <= 0 THEN NULL
+         |               ELSE sqrt(da) * sqrt(db) END)) * 1000000.0 + 0.5) / 1000000.0 AS spearman
          |FROM d ORDER BY id_a, id_b""".stripMargin,
     "hurst" ->
       s"""$panelCte,
@@ -2330,7 +2330,7 @@ object SparkEntry {
          |         CAST(m * ss2 - ss * ss AS DOUBLE) / CAST(m * (m - 1) AS DOUBLE) AS var
          |  FROM v0),
          |y AS (
-         |  SELECT asset_id, k, m, round(ln(var), 6) AS y
+         |  SELECT asset_id, k, m, floor((ln(var)) * 1000000.0 + 0.5) / 1000000.0 AS y
          |  FROM v WHERE var > 0),
          |p AS (
          |  SELECT asset_id,
@@ -2348,7 +2348,7 @@ object SparkEntry {
          |         0.693147 * 0.693147 + 1.386294 * 1.386294 + 2.079442 * 2.079442 AS sx2
          |  FROM p)
          |SELECT asset_id, n_days,
-         |  round(((4.0 * sxy - sx * sy) / (4.0 * sx2 - sx * sx)) / 2, 6) AS hurst
+         |  floor((((4.0 * sxy - sx * sy) / (4.0 * sx2 - sx * sx)) / 2) * 1000000.0 + 0.5) / 1000000.0 AS hurst
          |FROM f ORDER BY asset_id""".stripMargin,
     "half_life" ->
       s"""$panelCte,
@@ -2360,7 +2360,7 @@ object SparkEntry {
          |m AS (
          |  SELECT asset_id,
          |         CAST(floor(pv * 1000000.0 + 0.5) AS BIGINT) AS x,
-         |         CAST(floor(round(value - pv, 6) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |         CAST(floor(floor((value - pv) * 1000000.0 + 0.5) / 1000000.0 * 1000000.0 + 0.5) AS BIGINT) AS y
          |  FROM d WHERE pv IS NOT NULL),
          |g AS (
          |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n,
@@ -2370,12 +2370,12 @@ object SparkEntry {
          |  FROM m GROUP BY asset_id HAVING count(*) >= 3),
          |f AS (
          |  SELECT asset_id, n,
-         |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
-         |               nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0.0), 6) AS phi
+         |         floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+         |               nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS phi
          |  FROM g)
          |SELECT asset_id, n AS n_obs, phi,
          |  CASE WHEN phi > -1 AND phi < 0
-         |       THEN round(-0.693147 / ln(1.0 + phi), 6) END AS half_life
+         |       THEN floor((-0.693147 / ln(1.0 + phi)) * 1000000.0 + 0.5) / 1000000.0 END AS half_life
          |FROM f ORDER BY asset_id""".stripMargin,
     "benford" ->
       """WITH c AS (
@@ -2396,9 +2396,8 @@ object SparkEntry {
          |$barsCte,
          |b AS (
          |  SELECT asset_id, date,
-         |         round(0.5 * round(ln(high / low) * ln(high / low), 6)
-         |               - 0.3862943611198906 * round(ln(close / open) * ln(close / open), 6),
-         |               6) AS x
+         |         floor((0.5 * floor((ln(high / low) * ln(high / low)) * 1000000.0 + 0.5) / 1000000.0
+         |               - 0.3862943611198906 * floor((ln(close / open) * ln(close / open)) * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS x
          |  FROM bars WHERE low > 0 AND open > 0),
          |f AS (
          |  SELECT asset_id, date, x,
@@ -2468,7 +2467,7 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id BETWEEN 0 AND 19),
         |c AS (
-        |  SELECT q_id, vec_id, label, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  SELECT q_id, vec_id, label, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
         |  FROM t GROUP BY q_id, vec_id, label),
         |r AS (
         |  SELECT q_id, label FROM (
@@ -2517,7 +2516,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |  WHERE jaccard >= 0.3),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2562,7 +2561,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |  WHERE jaccard >= 0.3),
         |tri AS (
@@ -2579,7 +2578,7 @@ object SparkEntry {
         |SELECT dg.doc_id, dg.degree,
         |       COALESCE(tc.n_triangles, 0) AS n_triangles,
         |       CASE WHEN dg.degree >= 2 THEN
-        |         round(COALESCE(tc.n_triangles, 0) * 2.0 / (dg.degree * (dg.degree - 1)), 6)
+        |         floor((COALESCE(tc.n_triangles, 0) * 2.0 / (dg.degree * (dg.degree - 1))) * 1000000.0 + 0.5) / 1000000.0
         |       END AS clustering_coeff
         |FROM dg LEFT JOIN tc USING (doc_id) ORDER BY dg.doc_id""".stripMargin,
     "top_ngrams" ->
@@ -2612,7 +2611,7 @@ object SparkEntry {
         |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
         |c AS (
-        |  SELECT id_a, id_b, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  SELECT id_a, id_b, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
         |  FROM t GROUP BY id_a, id_b)
         |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "ann_topk" ->
@@ -2622,7 +2621,7 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
         |c AS (
-        |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  SELECT q_id, vec_id, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
         |  FROM t GROUP BY q_id, vec_id)
         |SELECT q_id, rank, vec_id, cos FROM (
         |  SELECT q_id, vec_id, cos,
@@ -2633,15 +2632,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS len,
         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
-        |  round(
+        |  floor((
         |    least(length(text) / 500.0, 1.0) * 0.4 +
         |    greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |             / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
         |    least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |          t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
-        |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
-        |  6) AS quality
+        |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
@@ -2694,9 +2692,9 @@ object SparkEntry {
          |    FROM q CROSS JOIN n3) z WHERE rn <= 2),
          |cand AS (
          |  SELECT q.q_id, i.vec_id,
-         |         round(list_dot_product(
+         |         floor((list_dot_product(
          |           list_transform(q.qv, x -> x / q.qn),
-         |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v)))), 3) AS cos
+         |           list_transform(i.v, x -> x / sqrt(list_dot_product(i.v, i.v))))) * 1000.0 + 0.5) / 1000.0 AS cos
          |  FROM probes p JOIN idx i ON i.c = p.c JOIN q ON q.q_id = p.q_id
          |  WHERE i.vec_id <> q.q_id),
          |ivf AS (
@@ -2710,7 +2708,7 @@ object SparkEntry {
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
          |bc AS (
-         |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+         |  SELECT q_id, vec_id, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
          |  FROM bt GROUP BY q_id, vec_id),
          |br AS (
          |  SELECT q_id, vec_id FROM (
@@ -2750,7 +2748,7 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
          |    FROM panel) t WHERE rn = 1)
          |SELECT asset_id, date, value, peak,
-         |       round(value / nullif(peak, 0) - 1, 6) AS drawdown FROM (
+         |       floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS drawdown FROM (
          |  SELECT asset_id, date, value,
          |         max(value) OVER (PARTITION BY asset_id ORDER BY date
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
@@ -2764,7 +2762,7 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
          |    FROM panel) t WHERE rn = 1)
          |SELECT asset_id, date, value, rank,
-         |       round((rank - 1) / CAST(nullif(n - 1, 0) AS DOUBLE), 6) AS pct_rank FROM (
+         |       floor(((rank - 1) / CAST(nullif(n - 1, 0) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank FROM (
          |  SELECT asset_id, date, value,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY date ORDER BY value DESC, asset_id) AS BIGINT) AS rank,
          |         count(*) OVER (PARTITION BY date) AS n
@@ -2802,9 +2800,9 @@ object SparkEntry {
          |           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS arr
          |  FROM daily)
          |SELECT asset_id, date, value,
-         |  round(
+         |  floor((
          |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + x) /
-         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + 1.0), 6) AS ewma
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ewma
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "donchian" ->
       s"""$panelCte,
@@ -2814,7 +2812,7 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
          |    FROM panel) t WHERE rn = 1)
          |SELECT asset_id, date, value, ch_high, ch_low,
-         |       round((value - ch_low) / nullif(ch_high - ch_low, 0), 6) AS ch_pos FROM (
+         |       floor(((value - ch_low) / nullif(ch_high - ch_low, 0)) * 1000000.0 + 0.5) / 1000000.0 AS ch_pos FROM (
          |  SELECT asset_id, date, value,
          |         max(value) OVER (PARTITION BY asset_id ORDER BY date
          |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ch_high,
@@ -2825,11 +2823,11 @@ object SparkEntry {
     "winsorize" ->
       """WITH bounds AS (
         |  SELECT event_type,
-        |    round(quantile_cont(value, 0.05), 6) AS p_lo,
-        |    round(quantile_cont(value, 0.95), 6) AS p_hi
+        |    floor((quantile_cont(value, 0.05)) * 1000000.0 + 0.5) / 1000000.0 AS p_lo,
+        |    floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p_hi
         |  FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type, e.value, b.p_lo, b.p_hi,
-        |       round(least(greatest(e.value, b.p_lo), b.p_hi), 6) AS value_w
+        |       floor((least(greatest(e.value, b.p_lo), b.p_hi)) * 1000000.0 + 0.5) / 1000000.0 AS value_w
         |FROM events e JOIN bounds b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
     "doc_pack" ->
@@ -2855,15 +2853,14 @@ object SparkEntry {
     "corpus_filter" ->
       """WITH scored AS (
         |  SELECT doc_id, text,
-        |    round(
+        |    floor((
         |      least(length(text) / 500.0, 1.0) * 0.4 +
         |      greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
         |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |            t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
-        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3,
-        |    6) AS quality
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |  FROM documents),
         |langed AS (
         |  SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
@@ -2922,7 +2919,7 @@ object SparkEntry {
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT ix.doc_a, ix.doc_b,
-         |         round(ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE), 6) AS jaccard
+         |         floor((ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
          |          JOIN sz sb ON sb.doc_id = ix.doc_b) t
          |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
@@ -2942,7 +2939,7 @@ object SparkEntry {
          |ver AS (
          |  SELECT doc_a, doc_b FROM (
          |    SELECT ix.doc_a, ix.doc_b,
-         |           round(ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE), 6) AS jaccard
+         |           floor((ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |    FROM ix JOIN vsz sa ON sa.doc_id = ix.doc_a
          |            JOIN vsz sb ON sb.doc_id = ix.doc_b) t
          |  WHERE jaccard >= 0.3),
@@ -2961,7 +2958,7 @@ object SparkEntry {
          |epairs AS (
          |  SELECT doc_a, doc_b FROM (
          |    SELECT doc_a, doc_b,
-         |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+         |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |    FROM einter JOIN esz sa ON sa.doc_id = doc_a JOIN esz sb ON sb.doc_id = doc_b) t
          |  WHERE jaccard >= 0.3),
          |ne AS (SELECT count(*) AS n_exact FROM epairs),
@@ -3036,7 +3033,7 @@ object SparkEntry {
         |  JOIN embeddings ea ON ea.vec_id = c.q_id
         |  JOIN embeddings eb ON eb.vec_id = c.vec_id),
         |cz AS (
-        |  SELECT q_id, vec_id, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  SELECT q_id, vec_id, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
         |  FROM t GROUP BY q_id, vec_id)
         |SELECT q_id, rank, vec_id, cos FROM (
         |  SELECT q_id, vec_id, cos,
@@ -3101,7 +3098,7 @@ object SparkEntry {
         |  JOIN embeddings ea ON ea.vec_id = c.id_a
         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
         |cz AS (
-        |  SELECT id_a, id_b, round(sum(x*y) / sqrt(sum(x*x) * sum(y*y)), 3) AS cos
+        |  SELECT id_a, id_b, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
         |  FROM t GROUP BY id_a, id_b)
         |SELECT id_a, id_b, cos FROM cz WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "asof_snapshot" ->
@@ -3144,10 +3141,10 @@ object SparkEntry {
         |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v
         |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos))
         |SELECT label, pos, count(*) AS n_vecs,
-        |  round(CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS mean_val,
-        |  round(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(27,15))) AS DOUBLE) / count(*)
+        |  floor((CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+        |  floor((CAST(sum(CAST(round(v * v, 12) AS DECIMAL(27,15))) AS DOUBLE) / count(*)
         |        - (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))
-        |          * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)), 6) AS var_val
+        |          * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))) * 1000000.0 + 0.5) / 1000000.0 AS var_val
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "embedding_drift" ->
       """WITH x AS (
@@ -3156,7 +3153,7 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos)),
         |h AS (
         |  SELECT label, half, pos, count(*) AS n,
-        |         round(CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS m
+        |         floor((CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
         |  FROM x GROUP BY label, half, pos),
         |wdt AS (
         |  SELECT label, pos,
@@ -3179,8 +3176,8 @@ object SparkEntry {
         |      i -> a1[i] * a1[i])), (a, y) -> a + y) AS d11
         |  FROM g)
         |SELECT label, n0, n1,
-        |  round(d01 / nullif(sqrt(d00 * d11), 0), 6) AS cos,
-        |  round(1.0 - round(d01 / nullif(sqrt(d00 * d11), 0), 6), 6) AS drift
+        |  floor((d01 / nullif(sqrt(d00 * d11), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos,
+        |  floor((1.0 - floor((d01 / nullif(sqrt(d00 * d11), 0)) * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS drift
         |FROM c ORDER BY label""".stripMargin,
     "twap" ->
       s"""$panelCte,
@@ -3198,7 +3195,7 @@ object SparkEntry {
          |         vs[len(vs)] AS last_v
          |  FROM g)
          |SELECT asset_id, date, n_ticks,
-         |       round(CASE WHEN den = 0 THEN last_v ELSE num / den END, 6) AS twap
+         |       floor((CASE WHEN den = 0 THEN last_v ELSE num / den END) * 1000000.0 + 0.5) / 1000000.0 AS twap
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "repetition_score" ->
       """WITH t AS (
@@ -3212,8 +3209,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
         |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
-        |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-        |        / nullif(CAST(len(bigrams) AS DOUBLE), 0.0), 6) AS rep_ratio
+        |  floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |        / nullif(CAST(len(bigrams) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
     "funnel_stages" ->
       funnelOracle(Seq.fill(7)(Seq("view", "click", "purchase")).flatten),
@@ -3237,8 +3234,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
          |f AS (
@@ -3256,7 +3253,7 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
          |  FROM f WHERE len(ra) >= 2)
          |SELECT asset_id, date, ret, mkt_ret,
-         |  round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta
+         |  floor(((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS beta
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "var_cvar" ->
       s"""$panelCte,
@@ -3271,7 +3268,7 @@ object SparkEntry {
          |  SELECT asset_id, n, k, list_slice(ra, 1, k) AS tail FROM g WHERE k >= 1)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
          |  tail[k] AS var,
-         |  round(list_reduce(list_prepend(0.0, tail), (a, x) -> a + x) / CAST(k AS DOUBLE), 6) AS cvar
+         |  floor((list_reduce(list_prepend(0.0, tail), (a, x) -> a + x) / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cvar
          |FROM t ORDER BY asset_id""".stripMargin,
     "seasonality" ->
       s"""$panelCte,
@@ -3297,9 +3294,9 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2
          |  FROM p WHERE len(ra) >= 2)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(s / n, 6) AS mean_ret,
-         |  round((s / n) /
-         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0), 6) AS sharpe
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor(((s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sharpe
          |FROM g ORDER BY asset_id""".stripMargin,
     "autocorr" ->
       s"""$panelCte,
@@ -3321,9 +3318,8 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
          |  FROM sl)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
-         |  round((n * sxy - sx * sy) /
-         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0),
-         |        6) AS autocorr
+         |  floor(((n * sxy - sx * sy) /
+         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS autocorr
          |FROM g ORDER BY asset_id""".stripMargin,
     "portfolio_nav" ->
       s"""$panelCte,
@@ -3335,11 +3331,11 @@ object SparkEntry {
          |rets AS (
          |  SELECT asset_id, date, ret FROM (
          |    SELECT asset_id, date,
-         |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |           floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
          |    FROM dailyw) t WHERE ret IS NOT NULL),
          |byd AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, list(wr ORDER BY asset_id)), (a, x) -> a + x), 6) AS port_ret
+         |         floor((list_reduce(list_prepend(0.0, list(wr ORDER BY asset_id)), (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 AS port_ret
          |  FROM (SELECT asset_id, date,
          |          (CASE asset_id WHEN 1 THEN 0.3 WHEN 2 THEN 0.25 WHEN 3 THEN 0.2
          |                         WHEN 4 THEN 0.15 WHEN 5 THEN 0.1 ELSE 0.0 END) * ret AS wr
@@ -3350,7 +3346,7 @@ object SparkEntry {
          |         list(port_ret) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS navarr
          |  FROM byd)
          |SELECT date, port_ret,
-         |       round(list_reduce(list_prepend(1.0, navarr), (a, r) -> a * (1.0 + r)), 6) AS nav
+         |       floor((list_reduce(list_prepend(1.0, navarr), (a, r) -> a * (1.0 + r))) * 1000000.0 + 0.5) / 1000000.0 AS nav
          |FROM f ORDER BY date""".stripMargin,
     "lead_lag" ->
       s"""$panelCte,
@@ -3379,9 +3375,9 @@ object SparkEntry {
          |  FROM p WHERE len(ras) >= 3),
          |c AS (
          |  SELECT q_id, asset_id, lag, n,
-         |    round((n * sab - sa * sb) /
+         |    floor(((n * sab - sa * sb) /
          |          nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) *
-         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0), 6) AS corr
+         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS corr
          |  FROM g),
          |b AS (
          |  SELECT q_id, asset_id, lag, n, corr FROM (
@@ -3419,9 +3415,9 @@ object SparkEntry {
          |  FROM p),
          |c AS (
          |  SELECT q_id, asset_id, n,
-         |    round((n * sab - sa * sb) /
+         |    floor(((n * sab - sa * sb) /
          |          nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) *
-         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0), 6) AS corr
+         |                 sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS corr
          |  FROM g)
          |SELECT q_id, rank, asset_id, n_days, corr FROM (
          |  SELECT q_id, asset_id, CAST(n AS BIGINT) AS n_days, corr,
@@ -3438,7 +3434,7 @@ object SparkEntry {
          |rets AS (
          |  SELECT asset_id, date, ret FROM (
          |    SELECT asset_id, date,
-         |           round(value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |           floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
          |    FROM dailyw) t WHERE ret IS NOT NULL),
          |j AS (
          |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.date AS date, a.ret AS ra, b.ret AS rb
@@ -3458,9 +3454,8 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(rbs, x -> x * x)), (a, x) -> a + x) AS sb2
          |  FROM p)
          |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_days,
-         |  round((n * sab - sa * sb) /
-         |        nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) * sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0),
-         |        6) AS corr
+         |  floor(((n * sab - sa * sb) /
+         |        nullif(sqrt(greatest(n * sa2 - sa * sa, 0.0)) * sqrt(greatest(n * sb2 - sb * sb, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS corr
          |FROM g ORDER BY id_a, id_b""".stripMargin,
     "macd" ->
       s"""$panelCte,
@@ -3472,11 +3467,11 @@ object SparkEntry {
          |  FROM daily),
          |m AS (
          |  SELECT asset_id, date, value,
-         |    round(
+         |    floor((
          |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 13.0) + x) /
          |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 13.0) + 1.0)
          |    - list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 27.0) + x) /
-         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 27.0) + 1.0), 6) AS macd
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 27.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS macd
          |  FROM f),
          |s AS (
          |  SELECT asset_id, date, value, macd,
@@ -3485,10 +3480,10 @@ object SparkEntry {
          |  FROM m),
          |g AS (
          |  SELECT asset_id, date, value, macd,
-         |    round(list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + x) /
-         |          list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + 1.0), 6) AS signal
+         |    floor((list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + x) /
+         |          list_reduce(list_prepend(0.0, sarr), (a, x) -> a * (1.0 - 2.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS signal
          |  FROM s)
-         |SELECT asset_id, date, value, macd, signal, round(macd - signal, 6) AS hist
+         |SELECT asset_id, date, value, macd, signal, floor((macd - signal) * 1000000.0 + 0.5) / 1000000.0 AS hist
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "rolling_vol" ->
       s"""$panelCte,
@@ -3505,7 +3500,7 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
          |  FROM f)
          |SELECT asset_id, date, ret,
-         |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |  floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol
          |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
     // 2.772588722239781 = 4·ln2, the same literal the operator embeds —
     // neither engine evaluates ln(2) at runtime.
@@ -3513,7 +3508,7 @@ object SparkEntry {
       s"""$panelCte,
          |$barsCte,
          |b AS (
-         |  SELECT asset_id, date, round(ln(high / low) * ln(high / low), 6) AS x
+         |  SELECT asset_id, date, floor((ln(high / low) * ln(high / low)) * 1000000.0 + 0.5) / 1000000.0 AS x
          |  FROM bars WHERE low > 0),
          |f AS (
          |  SELECT asset_id, date, x,
@@ -3533,7 +3528,7 @@ object SparkEntry {
          |$barsCte,
          |r AS (
          |  SELECT asset_id, date, n_ticks,
-         |         round(close / nullif(lag(close) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1, 6) AS ret
+         |         floor((close / nullif(lag(close) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
          |  FROM bars),
          |r2 AS (
          |  SELECT asset_id, date, n_ticks, ret,
@@ -3565,7 +3560,7 @@ object SparkEntry {
          |  FROM f),
          |v AS (
          |  SELECT asset_id, date,
-         |         round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |         floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol
          |  FROM g WHERE n >= 2),
          |iv AS (SELECT asset_id, date, vol, 1.0 / vol AS iv FROM v WHERE vol > 0),
          |sums AS (
@@ -3584,7 +3579,7 @@ object SparkEntry {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
          |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
          |  FROM daily),
-         |u AS (SELECT asset_id, date, rn, round(value / nullif(peak, 0) - 1, 6) AS dd FROM d),
+         |u AS (SELECT asset_id, date, rn, floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd FROM d),
          |f AS (
          |  SELECT asset_id, date, dd,
          |         rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
@@ -3635,8 +3630,8 @@ object SparkEntry {
          |  FROM daily),
          |g AS (SELECT asset_id, date, list_sort(arr) AS fa, len(arr) AS n FROM f)
          |SELECT asset_id, date,
-         |  round(CASE WHEN n % 2 = 1 THEN fa[(n + 1) // 2]
-         |        ELSE (fa[n // 2] + fa[n // 2 + 1]) / 2.0 END, 6) AS med
+         |  floor((CASE WHEN n % 2 = 1 THEN fa[(n + 1) // 2]
+         |        ELSE (fa[n // 2] + fa[n // 2 + 1]) / 2.0 END) * 1000000.0 + 0.5) / 1000000.0 AS med
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "interval_join" ->
       """SELECT o1.o_custkey, o1.o_orderkey, o2.o_orderkey AS prev_orderkey,
@@ -3664,10 +3659,10 @@ object SparkEntry {
          |         sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)) AS sd
          |  FROM g WHERE n >= 2)
          |SELECT asset_id, date, value,
-         |  round(s / n, 6) AS mid,
-         |  round(s / n + 2.0 * sd, 6) AS upper,
-         |  round(s / n - 2.0 * sd, 6) AS lower,
-         |  round((value - (s / n - 2.0 * sd)) / nullif(4.0 * sd, 0.0), 6) AS pct_b
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mid,
+         |  floor((s / n + 2.0 * sd) * 1000000.0 + 0.5) / 1000000.0 AS upper,
+         |  floor((s / n - 2.0 * sd) * 1000000.0 + 0.5) / 1000000.0 AS lower,
+         |  floor(((value - (s / n - 2.0 * sd)) / nullif(4.0 * sd, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pct_b
          |FROM h ORDER BY asset_id, date""".stripMargin,
     "rsi" ->
       s"""$panelCte,
@@ -3686,8 +3681,8 @@ object SparkEntry {
          |                     (a, x) -> a * (13.0 / 14.0) + x) AS al
          |  FROM f)
          |SELECT asset_id, date, ret,
-         |  round(CASE WHEN al = 0 THEN 100.0
-         |             ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 4) AS rsi
+         |  floor((CASE WHEN al = 0 THEN 100.0
+         |             ELSE 100.0 - 100.0 / (1.0 + ag / al) END) * 10000.0 + 0.5) / 10000.0 AS rsi
          |FROM g ORDER BY asset_id, date""".stripMargin,
     "xsec_zscore" ->
       s"""$panelCte,
@@ -3703,8 +3698,8 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
          |  FROM f)
          |SELECT asset_id, date, value,
-         |  round((value - s / n) /
-         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * nullif(n - 1, 0.0)), 0.0)), 0.0), 6) AS z
+         |  floor(((value - s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * nullif(n - 1, 0.0)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS z
          |FROM g ORDER BY date, asset_id""".stripMargin,
     "beta" ->
       s"""$panelCte,
@@ -3712,8 +3707,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
          |p AS (
@@ -3730,8 +3725,8 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
          |  FROM p)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta,
-         |  round((sa - COALESCE((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 0.0) * sm) / n, 6) AS alpha
+         |  floor(((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |  floor(((sa - COALESCE((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 0.0) * sm) / n) * 1000000.0 + 0.5) / 1000000.0 AS alpha
          |FROM g ORDER BY asset_id""".stripMargin,
     "information_ratio" ->
       s"""$panelCte,
@@ -3739,10 +3734,10 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
-         |j AS (SELECT r.asset_id, r.date, round(r.ret - m.mkt_ret, 6) AS active
+         |j AS (SELECT r.asset_id, r.date, floor((r.ret - m.mkt_ret) * 1000000.0 + 0.5) / 1000000.0 AS active
          |      FROM rets r JOIN mkt m USING (date)),
          |p AS (SELECT asset_id, list(active ORDER BY date) AS aa FROM j GROUP BY asset_id),
          |g AS (
@@ -3751,9 +3746,9 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(aa, x -> x * x)), (a, x) -> a + x) AS s2
          |  FROM p WHERE len(aa) >= 2)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(s / n, 6) AS mean_active,
-         |  round((s / n) /
-         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0), 6) AS ir
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_active,
+         |  floor(((s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS ir
          |FROM g ORDER BY asset_id""".stripMargin,
     "downside_beta" ->
       s"""$panelCte,
@@ -3761,8 +3756,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
          |p AS (
@@ -3777,8 +3772,8 @@ object SparkEntry {
          |  FROM p WHERE len(ra) >= 2),
          |d AS (
          |  SELECT asset_id, n,
-         |         list_transform(ra, x -> round(least(x - sa / n, 0.0), 6)) AS da,
-         |         list_transform(rm, x -> round(least(x - sm / n, 0.0), 6)) AS dm
+         |         list_transform(ra, x -> floor((least(x - sa / n, 0.0)) * 1000000.0 + 0.5) / 1000000.0) AS da,
+         |         list_transform(rm, x -> floor((least(x - sm / n, 0.0)) * 1000000.0 + 0.5) / 1000000.0) AS dm
          |  FROM g),
          |f AS (
          |  SELECT asset_id, n,
@@ -3788,7 +3783,7 @@ object SparkEntry {
          |         len(list_filter(dm, x -> x < 0)) AS n_down
          |  FROM d)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(n_down AS BIGINT) AS n_down,
-         |  round(sp / nullif(sm2, 0.0), 6) AS downside_beta
+         |  floor((sp / nullif(sm2, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS downside_beta
          |FROM f ORDER BY asset_id""".stripMargin,
     "treynor" ->
       s"""$panelCte,
@@ -3796,8 +3791,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
          |p AS (
@@ -3815,11 +3810,11 @@ object SparkEntry {
          |  FROM p WHERE len(ra) >= 2),
          |b AS (
          |  SELECT asset_id, n, sa,
-         |         round((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0), 6) AS beta
+         |         floor(((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS beta
          |  FROM g)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days, beta,
          |  CASE WHEN beta IS NULL OR abs(beta) < 0.01 THEN NULL
-         |       ELSE round((sa / n) / beta, 6) END AS treynor
+         |       ELSE floor(((sa / n) / beta) * 1000000.0 + 0.5) / 1000000.0 END AS treynor
          |FROM b ORDER BY asset_id""".stripMargin,
     "overnight_gap" ->
       s"""$panelCte,
@@ -3829,7 +3824,7 @@ object SparkEntry {
          |         lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS prev_close
          |  FROM bars)
          |SELECT asset_id, date, open, prev_close,
-         |       round(open / nullif(prev_close, 0) - 1, 6) AS gap
+         |       floor((open / nullif(prev_close, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS gap
          |FROM wg WHERE prev_close IS NOT NULL ORDER BY asset_id, date""".stripMargin,
     "prefix_dups" ->
       """SELECT md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash,
@@ -3851,7 +3846,7 @@ object SparkEntry {
          |  FROM f),
          |vol AS (
          |  SELECT asset_id, date,
-         |         round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol
+         |         floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol
          |  FROM v WHERE n >= 2),
          |p AS (SELECT asset_id, list(vol ORDER BY date) AS va FROM vol GROUP BY asset_id),
          |g AS (
@@ -3860,14 +3855,14 @@ object SparkEntry {
          |         list_reduce(list_prepend(0.0, list_transform(va, x -> x * x)), (a, x) -> a + x) AS s2
          |  FROM p WHERE len(va) >= 2)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(s / n, 6) AS mean_vol,
-         |  round(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 6) AS vol_of_vol
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_vol,
+         |  floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol_of_vol
          |FROM g ORDER BY asset_id""".stripMargin,
     "token_length_quantiles" ->
       """SELECT source, count(*) AS n_docs,
-        |  round(quantile_cont(n_tokens, 0.1), 6) AS p10,
-        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
-        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+        |  floor((quantile_cont(n_tokens, 0.1)) * 1000000.0 + 0.5) / 1000000.0 AS p10,
+        |  floor((quantile_cont(n_tokens, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(n_tokens, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM (
         |  SELECT source,
@@ -3881,8 +3876,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
          |p AS (
@@ -3905,7 +3900,7 @@ object SparkEntry {
          |         (n * sa2 - sa * sa) * (n * sm2 - sm * sm) AS den
          |  FROM g)
          |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
-         |  round(cov * cov / (CASE WHEN den <= 0 THEN NULL ELSE den END), 6) AS r2
+         |  floor((cov * cov / (CASE WHEN den <= 0 THEN NULL ELSE den END)) * 1000000.0 + 0.5) / 1000000.0 AS r2
          |FROM f ORDER BY asset_id""".stripMargin,
     "capture_ratio" ->
       s"""$panelCte,
@@ -3913,8 +3908,8 @@ object SparkEntry {
          |$retsCte,
          |mkt AS (
          |  SELECT date,
-         |         round(list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
-         |               / CAST(len(marr) AS DOUBLE), 6) AS mkt_ret
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
          |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
          |m2 AS (SELECT date, mkt_ret, quantile_cont(mkt_ret, 0.5) OVER () AS med FROM mkt),
          |j AS (SELECT r.asset_id, r.ret, m.mkt_ret, m.mkt_ret <= m.med AS is_down
@@ -3928,8 +3923,8 @@ object SparkEntry {
          |        CAST(sum(CASE WHEN is_down THEN CAST(round(mkt_ret * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sm_down
          |      FROM j GROUP BY asset_id)
          |SELECT asset_id, n_up, n_down,
-         |  round(CAST(sa_up AS DOUBLE) / nullif(CAST(sm_up AS DOUBLE), 0.0), 6) AS up_capture,
-         |  round(CAST(sa_down AS DOUBLE) / nullif(CAST(sm_down AS DOUBLE), 0.0), 6) AS down_capture
+         |  floor((CAST(sa_up AS DOUBLE) / nullif(CAST(sm_up AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS up_capture,
+         |  floor((CAST(sa_down AS DOUBLE) / nullif(CAST(sm_down AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS down_capture
          |FROM g ORDER BY asset_id""".stripMargin,
     "ljung_box" ->
       s"""$panelCte,
@@ -3953,18 +3948,18 @@ object SparkEntry {
          |        list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
          |      FROM s),
          |rho AS (SELECT asset_id, m, k,
-         |        round((np * sxy - sx * sy) /
+         |        floor(((np * sxy - sx * sy) /
          |              nullif(sqrt(greatest(np * sx2 - sx * sx, 0.0))
-         |                   * sqrt(greatest(np * sy2 - sy * sy, 0.0)), 0.0), 6) AS rho
+         |                   * sqrt(greatest(np * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rho
          |      FROM f),
          |g AS (SELECT asset_id, m, list(rho ORDER BY k) AS rhos,
          |             list(rho * rho / CAST(m - k AS DOUBLE) ORDER BY k) AS terms
          |      FROM rho GROUP BY asset_id, m)
          |SELECT asset_id, CAST(m AS BIGINT) AS n_days, rhos[1] AS rho1,
          |  CASE WHEN len(list_filter(terms, t -> t IS NULL)) > 0 THEN NULL
-         |       ELSE round(CAST(m AS DOUBLE) * (m + 2) *
+         |       ELSE floor((CAST(m AS DOUBLE) * (m + 2) *
          |              list_reduce(list_prepend(0.0, list_transform(terms, t -> coalesce(t, 0.0))),
-         |                (a, x) -> a + x), 6) END AS q5
+         |                (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 END AS q5
          |FROM g ORDER BY asset_id""".stripMargin,
     "unigram_kl" ->
       """WITH w AS (
@@ -3985,10 +3980,10 @@ object SparkEntry {
         |         list(struct_pack(word := word, c0 := c0, c1 := c1) ORDER BY word) AS arr
         |  FROM u)
         |SELECT CAST(v AS BIGINT) AS n_words, n0, n1,
-        |  round(list_reduce(list_prepend(0.0, list_transform(arr, s ->
-        |    round(((s.c0 + 1) / (n0 + v)) * ln(((s.c0 + 1) / (n0 + v)) / ((s.c1 + 1) / (n1 + v)))
-        |        + ((s.c1 + 1) / (n1 + v)) * ln(((s.c1 + 1) / (n1 + v)) / ((s.c0 + 1) / (n0 + v))), 6)
-        |  )), (a, x) -> a + x), 6) AS kl_sym
+        |  floor((list_reduce(list_prepend(0.0, list_transform(arr, s ->
+        |    floor((((s.c0 + 1) / (n0 + v)) * ln(((s.c0 + 1) / (n0 + v)) / ((s.c1 + 1) / (n1 + v)))
+        |        + ((s.c1 + 1) / (n1 + v)) * ln(((s.c1 + 1) / (n1 + v)) / ((s.c0 + 1) / (n0 + v)))) * 1000000.0 + 0.5) / 1000000.0
+        |  )), (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 AS kl_sym
         |FROM g""".stripMargin,
     "pair_degree_histogram" ->
       """WITH sh0 AS (
@@ -4006,7 +4001,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |  WHERE jaccard >= 0.3),
         |m AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs),
@@ -4048,7 +4043,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT doc_a, doc_b, jaccard FROM (
         |    SELECT doc_a, doc_b,
-        |           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |  WHERE jaccard >= 0.3),
         |b AS (
@@ -4097,9 +4092,9 @@ object SparkEntry {
     "embedding_norm_stats" ->
       """WITH nr AS (
         |  SELECT label,
-        |         round(sqrt(list_reduce(list_prepend(0.0,
+        |         floor((sqrt(list_reduce(list_prepend(0.0,
         |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-        |           (a, y) -> a + y)), 6) AS norm
+        |           (a, y) -> a + y))) * 1000000.0 + 0.5) / 1000000.0 AS norm
         |  FROM embeddings),
         |g AS (
         |  SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm,
@@ -4140,7 +4135,7 @@ object SparkEntry {
         |  WHERE tok <> ''),
         |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
         |SELECT doc_id, count(*) AS n_distinct_tokens,
-        |       round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_df
+        |       floor((CAST(sum(df) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_df
         |FROM toks JOIN df USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_topk" ->

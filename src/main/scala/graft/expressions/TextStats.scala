@@ -71,8 +71,7 @@ case class TextStats(child: Expression)
     val punctScore = math.max(1.0 - punct.toDouble / math.max(len.toDouble, 1.0) * 5, 0.0)
     val swRatio = if (u.trim().numChars() == 0) 0.0 else sw.toDouble / toks.length
     val swScore = math.min(swRatio * 4, 1.0)
-    val quality = java.math.BigDecimal.valueOf(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val quality = graft.operators.Micro.jvm6(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3)
 
     // argmax score, tie → lang code DESC; all-zero → und
     var best = -1

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.expressions.Kernels
+import graft.operators.Micro.{u4, u6}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,8 +51,8 @@ object Analytics {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
         sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        u4(avg(col("l_quantity"))).as("avg_qty"),
+        u6(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -94,7 +95,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
       .rowsBetween(-(frame - 1), Window.currentRow)
     panel.select(col("asset_id"), col("ts"), col("seq"), col("value"))
-      .withColumn("mavg", round(avg(col("value")).over(w), 6))
+      .withColumn("mavg", u6(avg(col("value")).over(w)))
       .orderBy(col("asset_id"), col("ts"), col("seq"))
   }
 
@@ -110,7 +111,7 @@ object Analytics {
     daily
       // nullif-style zero guard: x/0 must be NULL (DuckDB semantics), not
       // an ANSI arithmetic error; NULL returns are filtered below.
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .select(col("asset_id"), col("date"), col("value"), col("ret"))
       .orderBy(col("asset_id"), col("date"))
@@ -136,7 +137,7 @@ object Analytics {
       .withColumn("arr", collect_list(col("value")).over(frame))
       .withColumn("s", Kernels.seqFold(col("arr"), "horner", w))
       .withColumn("nw", Kernels.seqFold(col("arr"), "horner_count", w))
-      .withColumn("ewma", round(col("s") / col("nw"), 6))
+      .withColumn("ewma", u6(col("s") / col("nw")))
       .select(col("asset_id"), col("date"), col("value"), col("ewma"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -153,10 +154,10 @@ object Analytics {
     daily
       .withColumn("ch_high", max(col("value")).over(frame))
       .withColumn("ch_low", min(col("value")).over(frame))
-      .withColumn("ch_pos", round(
+      .withColumn("ch_pos", u6(
         (col("value") - col("ch_low")) /
           when(col("ch_high") === col("ch_low"), lit(null))
-            .otherwise(col("ch_high") - col("ch_low")), 6))
+            .otherwise(col("ch_high") - col("ch_low"))))
       .select(col("asset_id"), col("date"), col("value"),
         col("ch_high"), col("ch_low"), col("ch_pos"))
       .orderBy(col("asset_id"), col("date"))
@@ -206,7 +207,7 @@ object Analytics {
     daily
       .withColumn("peak", max(col("value")).over(runW))
       .withColumn("drawdown",
-        round(col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1, 6))
+        u6(col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
       .select(col("asset_id"), col("date"), col("value"), col("peak"), col("drawdown"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -224,8 +225,8 @@ object Analytics {
     daily
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("pct_rank",
-        round((col("rank") - 1).cast("double") /
-          when(n === 1, lit(null)).otherwise((n - 1).cast("double")), 6))
+        u6((col("rank") - 1).cast("double") /
+          when(n === 1, lit(null)).otherwise((n - 1).cast("double"))))
       .select(col("asset_id"), col("date"), col("value"), col("rank"), col("pct_rank"))
       .orderBy(col("date"), col("rank"))
   }
@@ -355,9 +356,9 @@ object Analytics {
   def quantiles(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        u6(expr("percentile(value, 0.5)")).as("p50"),
+        u6(expr("percentile(value, 0.95)")).as("p95"),
+        u6(expr("percentile(value, 0.99)")).as("p99"))
       .orderBy(col("event_type"))
 
   /** B18 `winsorize` — clamp each event's value to its group's
@@ -369,12 +370,12 @@ object Analytics {
   def winsorize(events: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val bounds = events.groupBy(col("event_type"))
       .agg(
-        round(expr(s"percentile(value, $lo)"), 6).as("p_lo"),
-        round(expr(s"percentile(value, $hi)"), 6).as("p_hi"))
+        u6(expr(s"percentile(value, $lo)")).as("p_lo"),
+        u6(expr(s"percentile(value, $hi)")).as("p_hi"))
     events.select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(bounds), Seq("event_type"))
       .withColumn("value_w",
-        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6))
+        u6(least(greatest(col("value"), col("p_lo")), col("p_hi"))))
       .select(col("event_id"), col("event_type"), col("value"), col("p_lo"), col("p_hi"), col("value_w"))
       .orderBy(col("event_id"))
   }
@@ -395,8 +396,8 @@ object Analytics {
   def corrQtyPrice(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        u6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        u4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qp"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
@@ -413,7 +414,7 @@ object Analytics {
       .agg(
         count_distinct(col("user_id")).as("exact_distinct"),
         approx_count_distinct(col("user_id")).as("hll_distinct"),
-        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        u6(expr("percentile(value, 0.5)")).as("exact_p50"),
         expr("percentile_approx(value, 0.5, 1000)").as("tdigest_p50"))
       .orderBy(col("event_type"))
 
@@ -469,7 +470,7 @@ object Analytics {
     val runW = Window.orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("date"))
       .agg(
@@ -492,14 +493,14 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
     val mkt = rets
       .groupBy(col("date"))
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
         s => s("ret")).as("marr"))
       .select(col("date"),
-        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+        u6(foldSum(col("marr")) / size(col("marr")).cast("double")).as("mkt_ret"))
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
     val n = col("n")
@@ -515,8 +516,8 @@ object Analytics {
       .withColumn("sp", foldSum(col("rp")))
       .withColumn("sm2", foldSumSq(col("rm")))
       .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
-      .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
-        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("beta", u6((n * col("sp") - col("sa") * col("sm")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .select(col("asset_id"), col("date"), col("ret"), col("mkt_ret"), col("beta"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -534,7 +535,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val k = ceil(size(col("ra")).cast("double") * q).cast("int")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(col("ret"))).as("ra"))
@@ -542,7 +543,7 @@ object Analytics {
       .filter(col("k") >= 1)
       .withColumn("tail", slice(col("ra"), lit(1), col("k")))
       .withColumn("var", element_at(col("tail"), col("k")))
-      .withColumn("cvar", round(foldSum(col("tail")) / col("k").cast("double"), 6))
+      .withColumn("cvar", u6(foldSum(col("tail")) / col("k").cast("double")))
       .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
         col("k").cast("long").as("n_tail"), col("var"), col("cvar"))
       .orderBy(col("asset_id"))
@@ -568,7 +569,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
       .withColumn("dow", dayofweek(col("date")).cast("long"))
@@ -607,8 +608,8 @@ object Analytics {
       .withColumn("den",
         (n * col("sa2") - col("sa") * col("sa")) * (n * col("sm2") - col("sm") * col("sm")))
       .withColumn("cov", n * col("sp") - col("sa") * col("sm"))
-      .withColumn("r2", round(col("cov") * col("cov") /
-        when(col("den") <= 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("r2", u6(col("cov") * col("cov") /
+        when(col("den") <= 0, lit(null)).otherwise(col("den"))))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("r2"))
       .orderBy(col("asset_id"))
   }
@@ -640,10 +641,10 @@ object Analytics {
         sum(when(!col("is_down"), col("rm_micro")).otherwise(0L)).as("sm_up"),
         sum(when(col("is_down"), col("ra_micro")).otherwise(0L)).as("sa_down"),
         sum(when(col("is_down"), col("rm_micro")).otherwise(0L)).as("sm_down"))
-      .withColumn("up_capture", round(col("sa_up").cast("double") /
-        when(col("sm_up") === 0, lit(null)).otherwise(col("sm_up").cast("double")), 6))
-      .withColumn("down_capture", round(col("sa_down").cast("double") /
-        when(col("sm_down") === 0, lit(null)).otherwise(col("sm_down").cast("double")), 6))
+      .withColumn("up_capture", u6(col("sa_up").cast("double") /
+        when(col("sm_up") === 0, lit(null)).otherwise(col("sm_up").cast("double"))))
+      .withColumn("down_capture", u6(col("sa_down").cast("double") /
+        when(col("sm_down") === 0, lit(null)).otherwise(col("sm_down").cast("double"))))
       .select(col("asset_id"), col("n_up"), col("n_down"),
         col("up_capture"), col("down_capture"))
       .orderBy(col("asset_id"))
@@ -679,14 +680,14 @@ object Analytics {
         val sy2 = Kernels.seqFold(ya, "sumsq")
         val den = sqrt(greatest(np * sx2 - sx * sx, lit(0.0))) *
           sqrt(greatest(np * sy2 - sy * sy, lit(0.0)))
-        round((np * sxy - sx * sy) / when(den === 0, lit(null)).otherwise(den), 6)
+        u6((np * sxy - sx * sy) / when(den === 0, lit(null)).otherwise(den))
       }))
       .withColumn("terms", zip_with(col("rhos"), sequence(lit(1), lit(lags)),
         (r, k) => r * r / (col("m") - k).cast("double")))
       .withColumn("q5",
         when(exists(col("terms"), t => t.isNull), lit(null)).otherwise(
-          round(col("m").cast("double") * (col("m") + 2).cast("double") *
-            Kernels.seqFold(transform(col("terms"), t => coalesce(t, lit(0.0))), "sum"), 6)))
+          u6(col("m").cast("double") * (col("m") + 2).cast("double") *
+            Kernels.seqFold(transform(col("terms"), t => coalesce(t, lit(0.0))), "sum"))))
       .select(col("asset_id"), col("m").cast("long").as("n_days"),
         element_at(col("rhos"), 1).as("rho1"), col("q5"))
       .orderBy(col("asset_id"))
@@ -721,7 +722,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
@@ -732,10 +733,10 @@ object Analytics {
       .withColumn("s2", foldSumSq(col("ra")))
       .withColumn("mean_ret", col("s") / n)
       .withColumn("sd", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
-      .withColumn("sharpe", round(col("mean_ret") /
-        when(col("sd") === 0, lit(null)).otherwise(col("sd")), 6))
+      .withColumn("sharpe", u6(col("mean_ret") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd"))))
       .select(col("asset_id"), n.cast("long").as("n_days"),
-        round(col("mean_ret"), 6).as("mean_ret"), col("sharpe"))
+        u6(col("mean_ret")).as("mean_ret"), col("sharpe"))
       .orderBy(col("asset_id"))
   }
 
@@ -750,7 +751,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
@@ -771,8 +772,8 @@ object Analytics {
       .withColumn("den",
         sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
           sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
-      .withColumn("autocorr", round((n * col("sxy") - col("sx") * col("sy")) /
-        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("autocorr", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .select(col("asset_id"), n.cast("long").as("n_pairs"), col("autocorr"))
       .orderBy(col("asset_id"))
   }
@@ -795,19 +796,19 @@ object Analytics {
     val lagW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(lagW)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("wr", w * col("ret"))
     val byDate = rets
       .groupBy(col("date"))
       .agg(array_sort(collect_list(struct(col("asset_id"), col("wr")))).as("h"))
-      .withColumn("port_ret", round(foldSum(transform(col("h"), s => s("wr"))), 6))
+      .withColumn("port_ret", u6(foldSum(transform(col("h"), s => s("wr")))))
       .select(col("date"), col("port_ret"))
     val navFrame = Window.orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDate
       .withColumn("navarr", collect_list(col("port_ret")).over(navFrame))
-      .withColumn("nav", round(Kernels.seqFold(col("navarr"), "prod1p"), 6))
+      .withColumn("nav", u6(Kernels.seqFold(col("navarr"), "prod1p")))
       .select(col("date"), col("port_ret"), col("nav"))
       .orderBy(col("date"))
   }
@@ -856,7 +857,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .select(col("asset_id"), col("date"), col("ret"))
     val joined = rets.as("a")
@@ -881,9 +882,9 @@ object Analytics {
       .withColumn("den",
         sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
           sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
-      .withColumn("corr", round(
+      .withColumn("corr", u6(
         (n * col("sab") - col("sa") * col("sb")) /
-          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+          when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .select(col("id_a"), col("id_b"), n.cast("long").as("n_days"), col("corr"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -909,7 +910,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .select(col("asset_id"), col("date"), col("ret"))
     val qRets = rets.filter(col("asset_id").isin(queryAssets: _*))
@@ -932,9 +933,9 @@ object Analytics {
       .withColumn("den",
         sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
           sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
-      .withColumn("corr", round(
+      .withColumn("corr", u6(
         (n * col("sab") - col("sa") * col("sb")) /
-          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+          when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .filter(col("corr").isNotNull)
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
@@ -963,7 +964,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .select(col("asset_id"), col("date"), col("ret"))
     val qRets = rets.filter(col("asset_id").isin(queryAssets: _*))
@@ -991,9 +992,9 @@ object Analytics {
       .withColumn("den",
         sqrt(greatest((n * col("sa2") - col("sa") * col("sa")), lit(0.0))) *
           sqrt(greatest((n * col("sb2") - col("sb") * col("sb")), lit(0.0))))
-      .withColumn("corr", round(
+      .withColumn("corr", u6(
         (n * col("sab") - col("sa") * col("sb")) /
-          when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+          when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .filter(col("corr").isNotNull)
       .withColumn("best", row_number().over(bestW))
       .filter(col("best") === 1)
@@ -1029,8 +1030,8 @@ object Analytics {
       .withColumn("tus", transform(col("h"), s => s("t")))
       .withColumn("vs", transform(col("h"), s => s("value")))
       .withColumn("n_ticks", n.cast("long"))
-      .withColumn("twap", round(
-        when(den === 0, element_at(col("vs"), n)).otherwise(num / den), 6))
+      .withColumn("twap", u6(
+        when(den === 0, element_at(col("vs"), n)).otherwise(num / den)))
       .select(col("asset_id"), col("date"), col("n_ticks"), col("twap"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -1067,7 +1068,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
@@ -1078,8 +1079,8 @@ object Analytics {
       .filter(n >= 2)
       .withColumn("s", foldSum(col("arr")))
       .withColumn("s2", foldSumSq(col("arr")))
-      .withColumn("vol", round(sqrt(greatest(
-        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))), 6))
+      .withColumn("vol", u6(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0)))))
       .select(col("asset_id"), col("date"), col("ret"), col("vol"))
   }
 
@@ -1104,11 +1105,11 @@ object Analytics {
     daily
       .withColumn("fa", array_sort(collect_list(col("value")).over(frame)))
       .withColumn("n", size(col("fa")))
-      .withColumn("med", round(
+      .withColumn("med", u6(
         when(pmod(col("n"), lit(2)) === 1,
           element_at(col("fa"), expr("cast((n + 1) div 2 as int)")))
           .otherwise((element_at(col("fa"), expr("cast(n div 2 as int)")) +
-            element_at(col("fa"), expr("cast(n div 2 + 1 as int)"))) / 2.0), 6))
+            element_at(col("fa"), expr("cast(n div 2 + 1 as int)"))) / 2.0)))
       .select(col("asset_id"), col("date"), col("med"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -1132,13 +1133,13 @@ object Analytics {
       .withColumn("mid", col("s") / n)
       .withColumn("sd", sqrt(greatest(
         (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
-      .withColumn("upper", round(col("mid") + lit(2.0) * col("sd"), 6))
-      .withColumn("lower", round(col("mid") - lit(2.0) * col("sd"), 6))
-      .withColumn("pct_b", round(
+      .withColumn("upper", u6(col("mid") + lit(2.0) * col("sd")))
+      .withColumn("lower", u6(col("mid") - lit(2.0) * col("sd")))
+      .withColumn("pct_b", u6(
         (col("value") - (col("mid") - lit(2.0) * col("sd"))) /
-          when(col("sd") === 0, lit(null)).otherwise(lit(4.0) * col("sd")), 6))
+          when(col("sd") === 0, lit(null)).otherwise(lit(4.0) * col("sd"))))
       .select(col("asset_id"), col("date"), col("value"),
-        round(col("mid"), 6).as("mid"), col("upper"), col("lower"), col("pct_b"))
+        u6(col("mid")).as("mid"), col("upper"), col("lower"), col("pct_b"))
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -1155,7 +1156,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(span - 1), Window.currentRow)
@@ -1163,9 +1164,9 @@ object Analytics {
       .withColumn("arr", collect_list(col("ret")).over(frame))
       .withColumn("ag", Kernels.seqFold(col("arr"), "horner_pos", wilder))
       .withColumn("al", Kernels.seqFold(col("arr"), "horner_neg", wilder))
-      .withColumn("rsi", round(
+      .withColumn("rsi", u4(
         when(col("al") === 0, lit(100.0))
-          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))), 4))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))))
       .select(col("asset_id"), col("date"), col("ret"), col("rsi"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -1191,10 +1192,10 @@ object Analytics {
       .rowsBetween(-(signal * 4 - 1), Window.currentRow)
     daily
       .withColumn("arr", collect_list(col("value")).over(frame))
-      .withColumn("macd", round(ew(col("arr"), w(fast)) - ew(col("arr"), w(slow)), 6))
+      .withColumn("macd", u6(ew(col("arr"), w(fast)) - ew(col("arr"), w(slow))))
       .withColumn("sarr", collect_list(col("macd")).over(sigFrame))
-      .withColumn("signal", round(ew(col("sarr"), w(signal)), 6))
-      .withColumn("hist", round(col("macd") - col("signal"), 6))
+      .withColumn("signal", u6(ew(col("sarr"), w(signal))))
+      .withColumn("hist", u6(col("macd") - col("signal")))
       .select(col("asset_id"), col("date"), col("value"),
         col("macd"), col("signal"), col("hist"))
       .orderBy(col("asset_id"), col("date"))
@@ -1226,8 +1227,8 @@ object Analytics {
         lit(0.0))))
       .select(col("date"), col("mu"), col("sd"))
     daily.join(broadcast(stats), Seq("date"))
-      .withColumn("z", round(
-        (col("value") - col("mu")) / when(col("sd") === 0, lit(null)).otherwise(col("sd")), 6))
+      .withColumn("z", u6(
+        (col("value") - col("mu")) / when(col("sd") === 0, lit(null)).otherwise(col("sd"))))
       .select(col("asset_id"), col("date"), col("value"), col("z"))
       .orderBy(col("date"), col("asset_id"))
   }
@@ -1246,7 +1247,7 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
     // per-date and per-asset histories via array_sort(collect_list(..)):
     // deterministic element order with ONE fold per group (a full-frame
@@ -1256,7 +1257,7 @@ object Analytics {
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
         s => s("ret")).as("marr"))
       .select(col("date"),
-        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+        u6(foldSum(col("marr")) / size(col("marr")).cast("double")).as("mkt_ret"))
     val joined = rets.select(col("asset_id"), col("date"), col("ret"))
       .join(broadcast(mkt), Seq("date"))
     val n = col("n")
@@ -1272,11 +1273,11 @@ object Analytics {
       .withColumn("sp", foldSum(col("rp")))
       .withColumn("sm2", foldSumSq(col("rm")))
       .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
-      .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
-        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
-      .withColumn("alpha", round((col("sa") - coalesce(
+      .withColumn("beta", u6((n * col("sp") - col("sa") * col("sm")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .withColumn("alpha", u6((col("sa") - coalesce(
         (n * col("sp") - col("sa") * col("sm")) /
-          when(col("den") === 0, lit(null)).otherwise(col("den")), lit(0.0)) * col("sm")) / n, 6))
+          when(col("den") === 0, lit(null)).otherwise(col("den")), lit(0.0)) * col("sm")) / n))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("beta"), col("alpha"))
       .orderBy(col("asset_id"))
   }
@@ -1296,16 +1297,16 @@ object Analytics {
     val prevClose = lag(col("close"), 1).over(byAsset)
     val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("tr", round(
+      .withColumn("tr", u6(
         when(prevClose.isNull, col("high") - col("low"))
           .otherwise(greatest(
             col("high") - col("low"),
             abs(col("high") - prevClose),
-            abs(col("low") - prevClose))), 6))
+            abs(col("low") - prevClose)))))
       .withColumn("arr", collect_list(col("tr")).over(frame))
-      .withColumn("atr", round(
+      .withColumn("atr", u6(
         Kernels.seqFold(col("arr"), "horner", w) /
-          Kernels.seqFold(col("arr"), "horner_count", w), 6))
+          Kernels.seqFold(col("arr"), "horner_count", w)))
       .select(col("asset_id"), col("date"), col("tr"), col("atr"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -1324,14 +1325,14 @@ object Analytics {
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("low_n", min(col("low")).over(frame))
       .withColumn("high_n", max(col("high")).over(frame))
-      .withColumn("pct_k", round(
+      .withColumn("pct_k", u6(
         lit(100.0) * (col("close") - col("low_n")) /
           when(col("high_n") === col("low_n"), lit(null))
-            .otherwise(col("high_n") - col("low_n")), 6))
+            .otherwise(col("high_n") - col("low_n"))))
       // lag past the partition start is NULL in both engines, so the
       // first two bars' %D nulls out without an explicit guard
-      .withColumn("pct_d", round(
-        (lag(col("pct_k"), 2).over(byAsset) + lag(col("pct_k"), 1).over(byAsset) + col("pct_k")) / 3, 6))
+      .withColumn("pct_d", u6(
+        (lag(col("pct_k"), 2).over(byAsset) + lag(col("pct_k"), 1).over(byAsset) + col("pct_k")) / 3))
       .select(col("asset_id"), col("date"), col("close"),
         col("pct_k"), col("pct_d"))
       .orderBy(col("asset_id"), col("date"))
@@ -1362,8 +1363,12 @@ object Analytics {
   /** B45 `williams_r` — Williams %R over the daily bars:
     * −100·(highN − close)/(highN − lowN), the inverted cousin of
     * [[stochastic]]'s %K (−100 ↔ 0 maps to %K's 0 ↔ 100). Rolling
-    * min/max only — order-insensitive, exact oracle for free; flat
-    * channels null out.
+    * min/max are order-insensitive and exact, but the DIVISION is
+    * not round-safe: the r6 driver oracle caught `round(_, 6)`
+    * landing on opposite sides of a half boundary per engine. The
+    * quotient is micro-unit rounded `floor(x·10⁶+0.5)/10⁶` (the
+    * fixed IEEE op sequence both engines share) per [[cci]]'s
+    * documented discipline.
     */
   def williamsR(panel: DataFrame, span: Int = 14): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
@@ -1371,10 +1376,10 @@ object Analytics {
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("low_n", min(col("low")).over(frame))
       .withColumn("high_n", max(col("high")).over(frame))
-      .withColumn("wr", round(
+      .withColumn("wr", u6(
         lit(-100.0) * (col("high_n") - col("close")) /
           when(col("high_n") === col("low_n"), lit(null))
-            .otherwise(col("high_n") - col("low_n")), 6))
+            .otherwise(col("high_n") - col("low_n"))))
       .select(col("asset_id"), col("date"), col("close"), col("wr"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -1395,19 +1400,19 @@ object Analytics {
     def ewMean(arr: Column, weight: Double): Column =
       Kernels.seqFold(arr, "horner", weight) / Kernels.seqFold(arr, "horner_count", weight)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("tp", round((col("high") + col("low") + col("close")) / 3, 6))
-      .withColumn("tr", round(
+      .withColumn("tp", u6((col("high") + col("low") + col("close")) / 3))
+      .withColumn("tr", u6(
         when(prevClose.isNull, col("high") - col("low"))
           .otherwise(greatest(
             col("high") - col("low"),
             abs(col("high") - prevClose),
-            abs(col("low") - prevClose))), 6))
+            abs(col("low") - prevClose)))))
       .withColumn("tparr", collect_list(col("tp")).over(frame))
       .withColumn("trarr", collect_list(col("tr")).over(frame))
-      .withColumn("mid", round(ewMean(col("tparr"), w), 6))
-      .withColumn("atr", round(ewMean(col("trarr"), wilder), 6))
-      .withColumn("upper", round(col("mid") + lit(2.0) * col("atr"), 6))
-      .withColumn("lower", round(col("mid") - lit(2.0) * col("atr"), 6))
+      .withColumn("mid", u6(ewMean(col("tparr"), w)))
+      .withColumn("atr", u6(ewMean(col("trarr"), wilder)))
+      .withColumn("upper", u6(col("mid") + lit(2.0) * col("atr")))
+      .withColumn("lower", u6(col("mid") - lit(2.0) * col("atr")))
       .select(col("asset_id"), col("date"), col("close"),
         col("mid"), col("atr"), col("upper"), col("lower"))
       .orderBy(col("asset_id"), col("date"))
@@ -1430,7 +1435,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
@@ -1447,12 +1452,12 @@ object Analytics {
         + lit(6.0) * col("m") * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
         - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
       .withColumn("sd", sqrt(greatest(col("m2") * (n / (n - 1)), lit(0.0))))
-      .withColumn("skew", round(col("m3") /
-        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * sqrt(col("m2"))), 6))
-      .withColumn("kurt", round(col("m4") /
-        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * col("m2")) - 3, 6))
+      .withColumn("skew", u6(col("m3") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * sqrt(col("m2")))))
+      .withColumn("kurt", u6(col("m4") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * col("m2")) - 3))
       .select(col("asset_id"), n.cast("long").as("n_days"),
-        round(col("m"), 6).as("mean_ret"), round(col("sd"), 6).as("sd"),
+        u6(col("m")).as("mean_ret"), u6(col("sd")).as("sd"),
         col("skew"), col("kurt"))
       .orderBy(col("asset_id"))
   }
@@ -1471,7 +1476,7 @@ object Analytics {
     val far = lag(col("value"), look).over(byAsset)
     val byDate = Window.partitionBy(col("date"))
     val mom = KeyValue.lwwDaily(panel)
-      .withColumn("mom", round(near / when(far === 0, lit(null)).otherwise(far) - 1, 6))
+      .withColumn("mom", u6(near / when(far === 0, lit(null)).otherwise(far) - 1))
       .filter(col("mom").isNotNull)
     mom
       .withColumn("rk", row_number().over(byDate.orderBy(col("mom").desc, col("asset_id"))))
@@ -1497,13 +1502,13 @@ object Analytics {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     def channelMid(span: Int): Column = {
       val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
-      round((max(col("high")).over(frame) + min(col("low")).over(frame)) / 2, 6)
+      u6((max(col("high")).over(frame) + min(col("low")).over(frame)) / 2)
     }
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("conv", channelMid(9))
       .withColumn("base", channelMid(26))
       .withColumn("span_a",
-        round((lag(col("conv"), 26).over(byAsset) + lag(col("base"), 26).over(byAsset)) / 2, 6))
+        u6((lag(col("conv"), 26).over(byAsset) + lag(col("base"), 26).over(byAsset)) / 2))
       .withColumn("span_b", lag(channelMid(52), 26).over(byAsset))
       .withColumn("chikou", lead(col("close"), 26).over(byAsset))
       .select(col("asset_id"), col("date"), col("close"),
@@ -1524,11 +1529,11 @@ object Analytics {
     val pl = lag(col("low"), 1).over(byAsset)
     val pc = lag(col("close"), 1).over(byAsset)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("p", round((ph + pl + pc) / 3, 6))
-      .withColumn("r1", round(lit(2.0) * col("p") - pl, 6))
-      .withColumn("s1", round(lit(2.0) * col("p") - ph, 6))
-      .withColumn("r2", round(col("p") + (ph - pl), 6))
-      .withColumn("s2", round(col("p") - (ph - pl), 6))
+      .withColumn("p", u6((ph + pl + pc) / 3))
+      .withColumn("r1", u6(lit(2.0) * col("p") - pl))
+      .withColumn("s1", u6(lit(2.0) * col("p") - ph))
+      .withColumn("r2", u6(col("p") + (ph - pl)))
+      .withColumn("s2", u6(col("p") - (ph - pl)))
       .select(col("asset_id"), col("date"), col("close"),
         col("p"), col("r1"), col("s1"), col("r2"), col("s2"))
       .orderBy(col("asset_id"), col("date"))
@@ -1551,9 +1556,8 @@ object Analytics {
   def cci(panel: DataFrame, span: Int = 20): DataFrame = {
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(span - 1), Window.currentRow)
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("tp", round((col("high") + col("low") + col("close")) / 3, 6))
+      .withColumn("tp", u6((col("high") + col("low") + col("close")) / 3))
       .withColumn("arr", collect_list(col("tp")).over(frame))
       .withColumn("n", size(col("arr")).cast("double"))
       .withColumn("sma", Kernels.seqFold(col("arr"), "sum") / col("n"))
@@ -1581,16 +1585,16 @@ object Analytics {
       .rowsBetween(-(span - 1), Window.currentRow)
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("mfv", coalesce(
-        round(((col("close") - col("low")) - (col("high") - col("close"))) /
-          when(col("high") === col("low"), lit(null)).otherwise(col("high") - col("low")), 6)
+        u6(((col("close") - col("low")) - (col("high") - col("close"))) /
+          when(col("high") === col("low"), lit(null)).otherwise(col("high") - col("low")))
           * col("n_ticks").cast("double"),
         lit(0.0)))
       .withColumn("arr", collect_list(col("mfv")).over(frame))
       .withColumn("vol_n", sum(col("n_ticks")).over(frame))
-      .withColumn("cmf", round(
-        Kernels.seqFold(col("arr"), "sum") / col("vol_n").cast("double"), 6))
+      .withColumn("cmf", u6(
+        Kernels.seqFold(col("arr"), "sum") / col("vol_n").cast("double")))
       .select(col("asset_id"), col("date"), col("close"),
-        round(col("mfv"), 6).as("mfv"), col("vol_n"), col("cmf"))
+        u6(col("mfv")).as("mfv"), col("vol_n"), col("cmf"))
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -1609,7 +1613,6 @@ object Analytics {
     */
   def pairsSpread(panel: DataFrame, pairs: Seq[(Long, Long)]): DataFrame = {
     val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val daily = KeyValue.lwwDaily(panel.filter(col("asset_id").isin(ids: _*)))
       .select(col("asset_id"), col("date"), col("value"))
     val wanted = pairs.map { case (a, b) =>
@@ -1674,7 +1677,6 @@ object Analytics {
     */
   def eventStudy(panel: DataFrame, events: DataFrame,
                  eventType: String = "purchase", win: Int = 5): DataFrame = {
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     // The market mean is a date-partitioned DECIMAL window, not a
     // groupBy+re-join: the latter plans a SECOND full panel scan for
     // the aggregate side (self-referencing DAGs don't share scans) —
@@ -1913,13 +1915,13 @@ object Analytics {
     val wa = Window.partitionBy(col("asset_id"))
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val med = daily
-      .withColumn("med", round(expr("percentile(value, 0.5)").over(wa), 6))
+      .withColumn("med", u6(expr("percentile(value, 0.5)").over(wa)))
     val mad = med
-      .withColumn("mad", round(expr("percentile(abs(value - med), 0.5)").over(wa), 6))
+      .withColumn("mad", u6(expr("percentile(abs(value - med), 0.5)").over(wa)))
     mad
       .withColumn("score",
-        round((col("value") - col("med")) /
-          when(col("mad") === 0, lit(null)).otherwise(col("mad") * 1.4826), 6))
+        u6((col("value") - col("med")) /
+          when(col("mad") === 0, lit(null)).otherwise(col("mad") * 1.4826)))
       .filter(col("score").isNotNull && abs(col("score")) > cut)
       .select(col("asset_id"), col("date"), col("value"),
         col("med"), col("mad"), col("score"))
@@ -1949,11 +1951,10 @@ object Analytics {
   def parkinsonVol(panel: DataFrame, window: Int = 20): DataFrame = {
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val lhl = log(col("high") / col("low"))
     dailyBars(panel.repartition(col("asset_id")))
       .filter(col("low") > 0)
-      .withColumn("x", round(lhl * lhl, 6))
+      .withColumn("x", u6(lhl * lhl))
       .withColumn("arr", collect_list(col("x")).over(frame))
       .withColumn("n", size(col("arr")).cast("double"))
       .withColumn("pv", u6(sqrt(
@@ -1983,7 +1984,7 @@ object Analytics {
     val frame = w.rowsBetween(-(window - 1), Window.currentRow)
     val prev = lag(col("close"), 1).over(w)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("ret", round(col("close") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("close") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
       .withColumn("xim", expr("(abs(ret_micro) * 2 + n_ticks) div (2 * n_ticks)"))
@@ -2009,7 +2010,6 @@ object Analytics {
     * cross-section.
     */
   def riskParity(panel: DataFrame, window: Int = 20): DataFrame = {
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val inv = rollingVolCore(panel, window)
       .filter(col("vol") > 0)
       .withColumn("iv", lit(1.0) / col("vol"))
@@ -2041,8 +2041,8 @@ object Analytics {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val dd = daily
       .withColumn("peak", max(col("value")).over(runW))
-      .withColumn("dd", round(
-        col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1, 6))
+      .withColumn("dd", u6(
+        col("value") / when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
       .withColumn("rn", row_number().over(w))
     dd.filter(col("dd") < 0)
       .withColumn("grp", col("rn") - row_number().over(w))
@@ -2085,7 +2085,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val k = math.ceil(window * q).toInt
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("arr", collect_list(col("ret")).over(frame))
       .filter(size(col("arr")) === window)
@@ -2136,7 +2136,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("dp", round(col("value") - prev, 6))
+      .withColumn("dp", u6(col("value") - prev))
       .filter(col("dp").isNotNull)
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("dp")))),
@@ -2151,7 +2151,7 @@ object Analytics {
       .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
       .withColumn("cov", (n * col("sxy") - col("sx") * col("sy")) / (n * (n - 1)))
       .withColumn("roll_spread",
-        when(col("cov") < 0, round(lit(2.0) * sqrt(-col("cov")), 6)))
+        when(col("cov") < 0, u6(lit(2.0) * sqrt(-col("cov")))))
       .select(col("asset_id"), n.cast("long").as("n_pairs"), col("roll_spread"))
       .orderBy(col("asset_id"))
   }
@@ -2183,7 +2183,7 @@ object Analytics {
     val dw = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val dprev = lag(col("value"), 1).over(dw)
     val dp = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
-      .withColumn("dp", round(col("value") - dprev, 6))
+      .withColumn("dp", u6(col("value") - dprev))
       .filter(col("dp").isNotNull)
     val n = col("n")
     dp.join(flow, Seq("asset_id", "date"))
@@ -2199,8 +2199,8 @@ object Analytics {
       .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
       .withColumn("sx2", foldSumSq(col("xa")))
       .withColumn("den", n * col("sx2") - col("sx") * col("sx"))
-      .withColumn("kyle_lambda", round((n * col("sxy") - col("sx") * col("sy")) /
-        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("kyle_lambda", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("kyle_lambda"))
       .orderBy(col("asset_id"))
   }
@@ -2227,10 +2227,10 @@ object Analytics {
     val n1 = col("n1")
     val nk = col("nk")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("cnt", count(col("ret")).over(slide))
-      .withColumn("rk", when(col("cnt") === k, round(sum(col("ret")).over(slide), 6)))
+      .withColumn("rk", when(col("cnt") === k, u6(sum(col("ret")).over(slide))))
       .groupBy(col("asset_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("date"), col("ret")))),
@@ -2242,8 +2242,8 @@ object Analytics {
       .filter(n1 >= 2 && nk >= 2)
       .withColumn("v1", sampleVar(foldSum(col("ra")), foldSumSq(col("ra")), n1))
       .withColumn("vk", sampleVar(foldSum(col("rka")), foldSumSq(col("rka")), nk))
-      .withColumn("vr", round(col("vk") /
-        when(col("v1") === 0, lit(null)).otherwise(lit(k.toDouble) * col("v1")), 6))
+      .withColumn("vr", u6(col("vk") /
+        when(col("v1") === 0, lit(null)).otherwise(lit(k.toDouble) * col("v1"))))
       .select(col("asset_id"), n1.cast("long").as("n_days"),
         nk.cast("long").as("n_k"), col("vr"))
       .orderBy(col("asset_id"))
@@ -2264,11 +2264,11 @@ object Analytics {
     val frame = w.rowsBetween(-(window - 1), Window.currentRow)
     KeyValue.lwwDaily(panel.repartition(col("asset_id")))
       .withColumn("rmax", max(col("value")).over(frame))
-      .withColumn("dd", round(lit(100.0) * (col("value") - col("rmax")) /
-        when(col("rmax") === 0, lit(null)).otherwise(col("rmax")), 6))
+      .withColumn("dd", u6(lit(100.0) * (col("value") - col("rmax")) /
+        when(col("rmax") === 0, lit(null)).otherwise(col("rmax"))))
       .withColumn("arr", collect_list(col("dd")).over(frame))
-      .withColumn("ulcer", round(
-        sqrt(Kernels.seqFold(col("arr"), "sumsq") / size(col("arr"))), 6))
+      .withColumn("ulcer", u6(
+        sqrt(Kernels.seqFold(col("arr"), "sumsq") / size(col("arr")))))
       .select(col("asset_id"), col("date"), col("value"), col("dd"), col("ulcer"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -2286,7 +2286,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
@@ -2296,11 +2296,11 @@ object Analytics {
       .withColumn("s", foldSum(col("ra")))
       .withColumn("d2", foldSumSq(transform(col("ra"), x => least(x, lit(0.0)))))
       .withColumn("dd", sqrt(col("d2") / n))
-      .withColumn("sortino", round((col("s") / n) /
-        when(col("dd") === 0, lit(null)).otherwise(col("dd")), 6))
+      .withColumn("sortino", u6((col("s") / n) /
+        when(col("dd") === 0, lit(null)).otherwise(col("dd"))))
       .select(col("asset_id"), n.cast("long").as("n_days"),
-        round(col("s") / n, 6).as("mean_ret"),
-        round(col("dd"), 6).as("downside_dev"), col("sortino"))
+        u6(col("s") / n).as("mean_ret"),
+        u6(col("dd")).as("downside_dev"), col("sortino"))
       .orderBy(col("asset_id"))
   }
 
@@ -2318,10 +2318,10 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val n = col("n")
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .withColumn("peak", max(col("value")).over(cum))
-      .withColumn("dd", round((col("value") - col("peak")) /
-        when(col("peak") === 0, lit(null)).otherwise(col("peak")), 6))
+      .withColumn("dd", u6((col("value") - col("peak")) /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak"))))
       .groupBy(col("asset_id"))
       .agg(
         transform(array_sort(collect_list(when(col("ret").isNotNull,
@@ -2329,9 +2329,9 @@ object Analytics {
         min(col("dd")).as("max_dd"))
       .withColumn("n", size(col("ra")).cast("double"))
       .filter(n >= 2)
-      .withColumn("mean_ret", round(foldSum(col("ra")) / n, 6))
-      .withColumn("calmar", round(col("mean_ret") * lit(252.0) /
-        when(abs(col("max_dd")) === 0, lit(null)).otherwise(abs(col("max_dd"))), 6))
+      .withColumn("mean_ret", u6(foldSum(col("ra")) / n))
+      .withColumn("calmar", u6(col("mean_ret") * lit(252.0) /
+        when(abs(col("max_dd")) === 0, lit(null)).otherwise(abs(col("max_dd")))))
       .select(col("asset_id"), n.cast("long").as("n_days"),
         col("mean_ret"), col("max_dd"), col("calmar"))
       .orderBy(col("asset_id"))
@@ -2355,7 +2355,7 @@ object Analytics {
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("value"), 1).over(w)
     daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("ret_u", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("cp", sum(col("ret_u") - lit(kMicro)).over(cum))
@@ -2389,7 +2389,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val rw = Window.partitionBy(col("asset_id")).orderBy(col("ret"))
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("rr", rank().over(rw).cast("long"))
       .select(col("asset_id"), col("date"), col("rr"))
@@ -2410,9 +2410,9 @@ object Analytics {
       .withColumn("num", (n * col("sab") - col("sa") * col("sb")).cast("double"))
       .withColumn("da", (n * col("sa2") - col("sa") * col("sa")).cast("double"))
       .withColumn("db", (n * col("sb2") - col("sb") * col("sb")).cast("double"))
-      .withColumn("spearman", round(col("num") /
+      .withColumn("spearman", u6(col("num") /
         when(col("da") <= 0 || col("db") <= 0, lit(null))
-          .otherwise(sqrt(col("da")) * sqrt(col("db"))), 6))
+          .otherwise(sqrt(col("da")) * sqrt(col("db")))))
       .select(col("id_a"), col("id_b"), col("n").as("n_days"), col("spearman"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -2440,7 +2440,7 @@ object Analytics {
     val prev = lag(col("value"), 1).over(w)
     val dec = DecimalType(38, 0)
     val rets = daily
-      .withColumn("ret", round(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1, 6))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .withColumn("ret_u", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("rn", row_number().over(w))
@@ -2461,7 +2461,7 @@ object Analytics {
       .withColumn("vnum", (col("m").cast(dec) * col("ss2") - col("ss") * col("ss")).cast("double"))
       .withColumn("v", col("vnum") / (col("m") * (col("m") - 1)).cast("double"))
       .filter(col("v") > 0)
-      .withColumn("y", round(log(col("v")), 6))
+      .withColumn("y", u6(log(col("v"))))
     val l2 = lit(0.693147); val l4 = lit(1.386294); val l8 = lit(2.079442)
     vars
       .groupBy(col("asset_id"))
@@ -2479,7 +2479,7 @@ object Analytics {
       .withColumn("slope",
         (lit(4.0) * col("sxy") - col("sx") * col("sy")) /
           (lit(4.0) * col("sx2") - col("sx") * col("sx")))
-      .withColumn("hurst", round(col("slope") / 2, 6))
+      .withColumn("hurst", u6(col("slope") / 2))
       .select(col("asset_id"), col("n_days"), col("hurst"))
       .orderBy(col("asset_id"))
   }
@@ -2504,7 +2504,7 @@ object Analytics {
     daily
       .select(col("asset_id"), col("date"), col("value"), prev.as("pv"))
       .filter(col("pv").isNotNull)
-      .withColumn("dp", round(col("value") - col("pv"), 6))
+      .withColumn("dp", u6(col("value") - col("pv")))
       .withColumn("x", floor(col("pv") * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("y", floor(col("dp") * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("asset_id"))
@@ -2516,10 +2516,10 @@ object Analytics {
       .filter(col("n") >= 3)
       .withColumn("num", (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double"))
       .withColumn("den", (col("n").cast(dec) * col("sx2") - col("sx") * col("sx")).cast("double"))
-      .withColumn("phi", round(col("num") / when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
+      .withColumn("phi", u6(col("num") / when(col("den") === 0, lit(null)).otherwise(col("den"))))
       .withColumn("half_life",
         when(col("phi") > -1 && col("phi") < 0,
-          round(lit(-0.693147) / log(lit(1.0) + col("phi")), 6)))
+          u6(lit(-0.693147) / log(lit(1.0) + col("phi")))))
       .select(col("asset_id"), col("n").as("n_obs"), col("phi"), col("half_life"))
       .orderBy(col("asset_id"))
   }
@@ -2573,14 +2573,13 @@ object Analytics {
   def garmanKlass(panel: DataFrame, window: Int = 20): DataFrame = {
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
-    def u6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val lhl = log(col("high") / col("low"))
     val lco = log(col("close") / col("open"))
     dailyBars(panel.repartition(col("asset_id")))
       .filter(col("low") > 0 && col("open") > 0)
-      .withColumn("a", round(lhl * lhl, 6))
-      .withColumn("b", round(lco * lco, 6))
-      .withColumn("x", round(lit(0.5) * col("a") - lit(TwoLn2m1) * col("b"), 6))
+      .withColumn("a", u6(lhl * lhl))
+      .withColumn("b", u6(lco * lco))
+      .withColumn("x", u6(lit(0.5) * col("a") - lit(TwoLn2m1) * col("b")))
       .withColumn("arr", collect_list(col("x")).over(frame))
       .withColumn("n", size(col("arr")).cast("double"))
       .withColumn("gk", u6(sqrt(
@@ -2667,7 +2666,7 @@ object Analytics {
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
         s => s("ret")).as("marr"))
       .select(col("date"),
-        round(foldSum(col("marr")) / size(col("marr")).cast("double"), 6).as("mkt_ret"))
+        u6(foldSum(col("marr")) / size(col("marr")).cast("double")).as("mkt_ret"))
 
   /** B86 `information_ratio` — mean active return over the equal-weight
     * market divided by tracking error (sample std of active returns),
@@ -2681,7 +2680,7 @@ object Analytics {
     val rets = dailyReturns(panel)
     val n = col("n")
     rets.join(broadcast(marketReturns(rets)), Seq("date"))
-      .withColumn("active", round(col("ret") - col("mkt_ret"), 6))
+      .withColumn("active", u6(col("ret") - col("mkt_ret")))
       .groupBy(col("asset_id"))
       .agg(transform(array_sort(collect_list(struct(col("date"), col("active")))),
         s => s("active")).as("aa"))
@@ -2690,10 +2689,10 @@ object Analytics {
       .withColumn("s", foldSum(col("aa")))
       .withColumn("s2", foldSumSq(col("aa")))
       .withColumn("te", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
-      .withColumn("ir", round((col("s") / n) /
-        when(col("te") === 0, lit(null)).otherwise(col("te")), 6))
+      .withColumn("ir", u6((col("s") / n) /
+        when(col("te") === 0, lit(null)).otherwise(col("te"))))
       .select(col("asset_id"), n.cast("long").as("n_days"),
-        round(col("s") / n, 6).as("mean_active"), col("ir"))
+        u6(col("s") / n).as("mean_active"), col("ir"))
       .orderBy(col("asset_id"))
   }
 
@@ -2722,13 +2721,13 @@ object Analytics {
       .filter(n >= 2)
       .withColumn("ma", foldSum(col("ra")) / n)
       .withColumn("mm", foldSum(col("rm")) / n)
-      .withColumn("da", transform(col("ra"), x => round(least(x - col("ma"), lit(0.0)), 6)))
-      .withColumn("dm", transform(col("rm"), x => round(least(x - col("mm"), lit(0.0)), 6)))
+      .withColumn("da", transform(col("ra"), x => u6(least(x - col("ma"), lit(0.0)))))
+      .withColumn("dm", transform(col("rm"), x => u6(least(x - col("mm"), lit(0.0)))))
       .withColumn("sp", foldSum(zip_with(col("da"), col("dm"), (x, y) => x * y)))
       .withColumn("sm2", foldSumSq(col("dm")))
       .withColumn("n_down", size(filter(col("dm"), x => x < 0)).cast("long"))
-      .withColumn("downside_beta", round(col("sp") /
-        when(col("sm2") === 0, lit(null)).otherwise(col("sm2")), 6))
+      .withColumn("downside_beta", u6(col("sp") /
+        when(col("sm2") === 0, lit(null)).otherwise(col("sm2"))))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("n_down"), col("downside_beta"))
       .orderBy(col("asset_id"))
   }
@@ -2758,10 +2757,10 @@ object Analytics {
       .withColumn("sp", foldSum(col("rp")))
       .withColumn("sm2", foldSumSq(col("rm")))
       .withColumn("den", n * col("sm2") - col("sm") * col("sm"))
-      .withColumn("beta", round((n * col("sp") - col("sa") * col("sm")) /
-        when(col("den") === 0, lit(null)).otherwise(col("den")), 6))
-      .withColumn("treynor", round((col("sa") / n) /
-        when(abs(col("beta")) < 0.01, lit(null)).otherwise(col("beta")), 6))
+      .withColumn("beta", u6((n * col("sp") - col("sa") * col("sm")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .withColumn("treynor", u6((col("sa") / n) /
+        when(abs(col("beta")) < 0.01, lit(null)).otherwise(col("beta"))))
       .select(col("asset_id"), n.cast("long").as("n_days"), col("beta"), col("treynor"))
       .orderBy(col("asset_id"))
   }
@@ -2778,8 +2777,8 @@ object Analytics {
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("prev_close", lag(col("close"), 1).over(w))
       .filter(col("prev_close").isNotNull)
-      .withColumn("gap", round(col("open") /
-        when(col("prev_close") === 0, lit(null)).otherwise(col("prev_close")) - 1, 6))
+      .withColumn("gap", u6(col("open") /
+        when(col("prev_close") === 0, lit(null)).otherwise(col("prev_close")) - 1))
       .select(col("asset_id"), col("date"), col("open"), col("prev_close"), col("gap"))
       .orderBy(col("asset_id"), col("date"))
   }
@@ -2803,9 +2802,9 @@ object Analytics {
       .filter(n >= 2)
       .withColumn("s", foldSum(col("va")))
       .withColumn("s2", foldSumSq(col("va")))
-      .withColumn("mean_vol", round(col("s") / n, 6))
-      .withColumn("vol_of_vol", round(sqrt(greatest(
-        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))), 6))
+      .withColumn("mean_vol", u6(col("s") / n))
+      .withColumn("vol_of_vol", u6(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0)))))
       .select(col("asset_id"), n.cast("long").as("n_days"),
         col("mean_vol"), col("vol_of_vol"))
       .orderBy(col("asset_id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Micro.u6
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -171,8 +172,8 @@ object Dedup {
       // empty-shingle docs (shorter than k chars) make den 0 → NULL
       // jaccard → filtered; without the guard 0/0.0 is NaN, which Spark
       // orders ABOVE every threshold
-      .withColumn("jaccard", round(
-        when(den === 0, lit(null)).otherwise(col("inter") / den), 6))
+      .withColumn("jaccard", u6(
+        when(den === 0, lit(null)).otherwise(col("inter") / den)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -571,7 +572,7 @@ object Dedup {
                         maxDf: Long = Long.MaxValue, prefixFilter: Boolean = false): DataFrame =
     shinglePairCounts(documents, k, threshold, maxDf, prefixFilter)
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+        u6(col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -589,7 +590,7 @@ object Dedup {
                        maxDf: Long = Long.MaxValue): DataFrame =
     shinglePairCounts(documents, k, threshold, maxDf, prefixFilter = false)
       .withColumn("containment",
-        round(col("inter") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+        u6(col("inter") / least(col("sz_a"), col("sz_b")).cast("double")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -776,7 +777,7 @@ object Dedup {
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("clustering_coeff",
         when(col("degree") >= 2,
-          round(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)), 6)))
+          u6(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)))))
       .select(col("doc_id"), col("degree"), col("n_triangles"), col("clustering_coeff"))
       .orderBy(col("doc_id"))
   }

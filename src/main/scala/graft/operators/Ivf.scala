@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.NearestCentroid
+import graft.operators.Micro.u3
 
 /** IVF (inverted-file) approximate nearest neighbor — the similarity
   * index for corpora where even LSH bucket joins are too coarse.
@@ -137,7 +138,7 @@ object Ivf {
       .filter(col("cluster").isin(probedClusters: _*))
       .join(broadcast(probeDf), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(Similarity.dot(col("qvn"), col("vn")), 3))
+      .withColumn("cos", u3(Similarity.dot(col("qvn"), col("vn"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))
@@ -181,7 +182,7 @@ object Ivf {
       .join(broadcast(probeDf), Seq("cluster"))
       .join(broadcast(qDf), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(Similarity.dot(col("qvn"), col("vn")), 3))
+      .withColumn("cos", u3(Similarity.dot(col("qvn"), col("vn"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"), col("cluster"))
@@ -220,7 +221,7 @@ object Ivf {
     val witness = tagged
       .join(lower, Seq("cluster"))
       .filter(col("lo_id") < col("vec_id"))
-      .withColumn("cos", round(Similarity.dot(col("nv"), col("lo_v")), 3))
+      .withColumn("cos", u3(Similarity.dot(col("nv"), col("lo_v"))))
       .groupBy(col("vec_id"))
       .agg(max(col("cos")).as("max_cos_lower"))
     tagged.select(col("vec_id"), col("cluster"))
@@ -261,13 +262,13 @@ object Ivf {
       .filter(col("cluster").isin(touched: _*)) // partition-pruned read
       .select(col("cluster"), col("vn").as("ex_v"))
     val wex = tagged.join(existing, Seq("cluster"))
-      .withColumn("cos", round(Similarity.dot(col("nv"), col("ex_v")), 3))
+      .withColumn("cos", u3(Similarity.dot(col("nv"), col("ex_v"))))
       .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos_existing"))
     val lower = tagged
       .select(col("cluster"), col("vec_id").as("lo_id"), col("nv").as("lo_v"))
     val wb = tagged.join(lower, Seq("cluster"))
       .filter(col("lo_id") < col("vec_id"))
-      .withColumn("cos", round(Similarity.dot(col("nv"), col("lo_v")), 3))
+      .withColumn("cos", u3(Similarity.dot(col("nv"), col("lo_v"))))
       .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos_batch_lower"))
     tagged.select(col("vec_id"), col("cluster"))
       .join(wex, Seq("vec_id"), "left")

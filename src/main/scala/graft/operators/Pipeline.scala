@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Micro.u6
 
 /** Training-corpus pipeline composition: the operators a 100 TB
   * LLM-data build runs AFTER per-document scoring — deterministic
@@ -164,8 +165,8 @@ object Pipeline {
       .select(col("doc_id"),
         size(col("bigrams")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"),
-        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
-          when(n === 0, lit(null)).otherwise(n), 6).as("rep_ratio"))
+        u6(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          when(n === 0, lit(null)).otherwise(n)).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -185,7 +186,7 @@ object Pipeline {
     toks.join(df, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct_tokens"),
-        round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_df"))
+        u6(sum(col("df")).cast("double") / count(lit(1)).cast("double")).as("mean_df"))
       .orderBy(col("doc_id"))
   }
 
@@ -566,8 +567,8 @@ object Pipeline {
         TextFns.qualityScore(col("text")).as("quality"),
         TextFns.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
-        round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
-          when(n === 0, lit(null)).otherwise(n), 6).as("rep_ratio"))
+        u6(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          when(n === 0, lit(null)).otherwise(n)).as("rep_ratio"))
       .withColumn("pass_gate",
         col("lang_guess") === lang && col("quality") >= minQuality &&
           (col("rep_ratio").isNull || col("rep_ratio") <= maxRep))
@@ -636,11 +637,11 @@ object Pipeline {
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("d_num"))
       .select(col("n1"), col("n2"),
-        round(col("d_num").cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).as("d_stat"),
-        round(lit(1.358) *
+        u6(col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d_stat"),
+        u6(lit(1.358) *
           sqrt((col("n1") + col("n2")).cast("double") /
-            (col("n1") * col("n2")).cast("double")), 6).as("crit_95"))
+            (col("n1") * col("n2")).cast("double"))).as("crit_95"))
       .withColumn("drift", col("d_stat") > col("crit_95"))
   }
 
@@ -717,7 +718,7 @@ object Pipeline {
       .orderBy(col("skey").desc, col("doc_id"))
     documents
       .select(col("doc_id"), col("source"), col("n_chars"),
-        round(log(u) / col("n_chars"), 6).as("skey"))
+        u6(log(u) / col("n_chars")).as("skey"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("source"), col("rk"))
@@ -896,8 +897,8 @@ object Pipeline {
         row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
     val g = ranked
       .select(col("rank"),
-        round(log(col("rank").cast("double")), 6).as("x"),
-        round(log(col("n").cast("double")), 6).as("y"))
+        u6(log(col("rank").cast("double"))).as("x"),
+        u6(log(col("n").cast("double"))).as("y"))
       .agg(
         transform(array_sort(collect_list(struct(col("rank"), col("x"), col("y")))),
           s => struct(s("x").as("x"), s("y").as("y"))).as("pts"))
@@ -910,10 +911,10 @@ object Pipeline {
       .withColumn("sx2", Kernels.seqFold(col("xa"), "sumsq"))
     g.select(
         col("n").cast("long").as("n_words"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sx2") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+        u6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"),
+        u6((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx"))) * col("sx")) / col("n"))
           .as("intercept"))
   }
 
@@ -1001,9 +1002,9 @@ object Pipeline {
         TextFns.wsTokenCount(col("text")).cast("double").as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(expr("percentile(n_tokens, 0.1)"), 6).as("p10"),
-        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
-        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+        u6(expr("percentile(n_tokens, 0.1)")).as("p10"),
+        u6(expr("percentile(n_tokens, 0.5)")).as("p50"),
+        u6(expr("percentile(n_tokens, 0.9)")).as("p90"),
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .orderBy(col("source"))
 
@@ -1043,10 +1044,10 @@ object Pipeline {
       .withColumn("terms", transform(col("arr"), s => {
         val p = (s("c0") + 1) / (col("n0") + col("v"))
         val q = (s("c1") + 1) / (col("n1") + col("v"))
-        round(p * log(p / q) + q * log(q / p), 6)
+        u6(p * log(p / q) + q * log(q / p))
       }))
       .select(col("v").cast("long").as("n_words"), col("n0"), col("n1"),
-        round(graft.expressions.Kernels.seqFold(col("terms"), "sum"), 6).as("kl_sym"))
+        u6(graft.expressions.Kernels.seqFold(col("terms"), "sum")).as("kl_sym"))
   }
 
   /** C66 `vocab_overlap` — top-K vocabulary Jaccard between the two

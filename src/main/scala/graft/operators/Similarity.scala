@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Micro.{u3, u6}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,10 +35,12 @@ object Similarity {
     */
   def normalize(v: Column): Column = graft.expressions.Kernels.l2normalize(v)
 
-  /** cosine = dot/sqrt(|a|²·|b|²), rounded for cross-engine stability. */
+  /** cosine = dot/sqrt(|a|²·|b|²), micro-rounded for cross-engine
+    * stability ([[Micro.uN]] — decimal round() can flap per engine).
+    */
   def cosine(a: Column, b: Column, scale: Int = 3): Column = {
     val den = sqrt(dot(a, a) * dot(b, b))
-    round(dot(a, b) / when(den === 0, lit(null)).otherwise(den), scale)
+    graft.operators.Micro.uN(dot(a, b) / when(den === 0, lit(null)).otherwise(den), scale)
   }
 
   /** C6 `ann_topk` — brute-force cosine top-k as the exact baseline.
@@ -52,7 +55,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("qv"), col("v")), 3))
+      .withColumn("cos", u3(dot(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -139,9 +142,9 @@ object Similarity {
             if (ida != idb) {
               var s = 0.0; var k = 0
               while (k < va.length && k < vb.length) { s += va(k) * vb(k); k += 1 }
-              // identical rounding to Spark's round(col, 3)
-              val c = java.math.BigDecimal.valueOf(s)
-                .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+              // identical rounding to the declarative path's u3:
+              // floor(x*1000 + 0.5)/1000, the same IEEE op sequence
+              val c = math.floor(s * 1000.0 + 0.5) / 1000.0
               if (c >= threshold) {
                 out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
               }
@@ -217,7 +220,7 @@ object Similarity {
       // the identical (id_a, id_b, cos) row, so dedup runs on 3 scalars
       // instead of hashing two 64-double arrays per row.
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")), 3).as("cos"))
+        u3(dot(col("a.v"), col("b.v"))).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
@@ -239,7 +242,7 @@ object Similarity {
     // sized bucketed table is never a broadcast side at scale).
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("qv"), col("v")), 3))
+      .withColumn("cos", u3(dot(col("qv"), col("v"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -278,7 +281,7 @@ object Similarity {
         posexplode(toDouble(col("embedding"))))
       .groupBy(col("label"), col("half"), col("pos"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("col").cast(dec)).cast("double") / count(lit(1)), 6).as("m"))
+        u6(sum(col("col").cast(dec)).cast("double") / count(lit(1))).as("m"))
     val wide = halves
       .groupBy(col("label"), col("pos"))
       .agg(max(when(col("half") === 0, col("m"))).as("m0"),
@@ -293,9 +296,9 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("m1")))), s => s("m1")).as("a1"))
     val den = sqrt(dot(col("a0"), col("a0")) * dot(col("a1"), col("a1")))
     arrs
-      .withColumn("cos", round(
-        dot(col("a0"), col("a1")) / when(den === 0, lit(null)).otherwise(den), 6))
-      .withColumn("drift", round(lit(1.0) - col("cos"), 6))
+      .withColumn("cos", u6(
+        dot(col("a0"), col("a1")) / when(den === 0, lit(null)).otherwise(den)))
+      .withColumn("drift", u6(lit(1.0) - col("cos")))
       .select(col("label"), col("n0"), col("n1"), col("cos"), col("drift"))
       .orderBy(col("label"))
   }
@@ -309,8 +312,8 @@ object Similarity {
         (sum(col("col").cast(dec)).cast("double") / count(lit(1))).as("m"),
         (sum(round(col("col") * col("col"), 12).cast(dec)).cast("double") / count(lit(1))).as("ex2"))
       .select(col("label"), col("pos"), col("n_vecs"),
-        round(col("m"), 6).as("mean_val"),
-        round(col("ex2") - col("m") * col("m"), 6).as("var_val"))
+        u6(col("m")).as("mean_val"),
+        u6(col("ex2") - col("m") * col("m")).as("var_val"))
       .orderBy(col("label"), col("pos"))
   }
 
@@ -329,8 +332,8 @@ object Similarity {
   def embeddingNormStats(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"),
-        round(sqrt(graft.expressions.Kernels.seqFold(
-          toDouble(col("embedding")), "sumsq")), 6).as("norm"))
+        u6(sqrt(graft.expressions.Kernels.seqFold(
+          toDouble(col("embedding")), "sumsq"))).as("norm"))
       .withColumn("norm_micro", round(col("norm") * lit(1000000.0)).cast("long"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),

@@ -436,7 +436,7 @@ object StreamingOps {
     * O(keys·span) total); each arriving row appends, trims, and replays
     * the SAME Horner folds as the batch kernel (`acc·w + x` over the
     * oldest→newest values, weight total `acc·w + 1`), then rounds with
-    * Spark's own HALF_UP-on-shortest-decimal semantics — so for in-order
+    * the batch path's u6 micro-rounding — so for in-order
     * feeds every emitted point is bit-identical to the batch operator's
     * row (convergence spec-asserted). Rows within a micro-batch are
     * processed in date order; cross-batch late data is ingestion-ordered
@@ -459,8 +459,7 @@ object StreamingOps {
             var s = 0.0
             var nw = 0.0
             vals.foreach { x => s = s * w + x; nw = nw * w + 1.0 }
-            val ewma = BigDecimal.decimal(s / nw)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val ewma = graft.operators.Micro.jvm6(s / nw)
             EwmaPoint(assetId, t.date, t.value, ewma)
           }
           state.update(EwmaState(vals))
@@ -617,7 +616,7 @@ object StreamingOps {
   /** D23 `drawdownStream` — running peak-to-trough drawdown, the
     * continuous face of [[graft.operators.Analytics.drawdown]]: state
     * is ONE double (the running peak) per asset; each daily value
-    * emits value/peak − 1 against the updated peak, HALF_UP 6-dec like
+    * emits value/peak − 1 against the updated peak, u6 micro-rounded like
     * the batch ratio, so in-order replays match the batch rows exactly
     * (spec-asserted). A zero peak yields a None drawdown — the batch
     * op's NULL, never a division error. O(#assets) state, no TTL.
@@ -635,8 +634,7 @@ object StreamingOps {
             peak = math.max(peak, t.value)
             val dd =
               if (peak == 0.0) None
-              else Some(BigDecimal.decimal(t.value / peak - 1.0)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else Some(graft.operators.Micro.jvm6(t.value / peak - 1.0))
             DrawdownPoint(assetId, t.date, t.value, peak, dd)
           }
           state.update(DrawdownState(peak))
@@ -670,16 +668,14 @@ object StreamingOps {
               st = RollVolState(t.value, Vector.empty)
             } else {
               if (st.last_value != 0.0) {
-                val ret = BigDecimal.decimal(t.value / st.last_value - 1.0)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
                 val rets = (st.rets :+ ret).takeRight(window)
                 if (rets.size >= 2) {
                   var s = 0.0; var s2 = 0.0
                   rets.foreach { x => s += x; s2 += x * x }
                   val n = rets.size.toDouble
-                  val vol = BigDecimal.decimal(
+                  val vol = graft.operators.Micro.jvm6(
                     math.sqrt(math.max((n * s2 - s * s) / (n * (n - 1)), 0.0)))
-                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                   out += RollVolPoint(assetId, t.date, ret, vol)
                 }
                 st = RollVolState(t.value, rets)
@@ -705,7 +701,7 @@ object StreamingOps {
     * micro-unit integers) — streaming state is exactly the two
     * accumulators the batch op re-derives via its cumsum/cummin
     * identity, so for in-order feeds the emitted points equal the
-    * batch rows bit-for-bit (integer state, same HALF_UP return
+    * batch rows bit-for-bit (integer state, same u6 return
     * rounding). Per-asset state is one double + two longs — O(#assets),
     * no TTL needed. Arrival-ordered contract across batches, as
     * documented on [[anomalyStream]].
@@ -723,8 +719,7 @@ object StreamingOps {
           val out = Vector.newBuilder[CusumPoint]
           rows.toSeq.sortBy(_.date.getTime).foreach { t =>
             if (st != null && st.last_value != 0.0) {
-              val ret = BigDecimal.decimal(t.value / st.last_value - 1.0)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
               val retU = math.floor(ret * 1000000.0 + 0.5).toLong
               val sPos = math.max(0L, st.s_pos + retU - kMicro)
               val sNeg = math.min(0L, st.s_neg + retU + kMicro)
@@ -769,7 +764,7 @@ object StreamingOps {
     * per-asset state carries just (current UTC day, running close); the
     * first tick of a NEW day emits open-vs-prior-close immediately —
     * the gap alert a desk wants at the open, not after the daily batch.
-    * Same HALF_UP 6-dec rounding as the batch ratio, so in-order
+    * Same u6 micro-rounding as the batch ratio, so in-order
     * replays match the batch rows exactly (spec-asserted). State is two
     * numbers per asset, O(#assets); arrival-ordered contract across
     * batches as documented on [[anomalyStream]]; days older than the
@@ -792,8 +787,7 @@ object StreamingOps {
               st = GapState(day, t.value)
             } else if (day > st.epoch_day) {
               if (st.close_value != 0.0) {
-                val gap = BigDecimal.decimal(t.value / st.close_value - 1.0)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val gap = graft.operators.Micro.jvm6(t.value / st.close_value - 1.0)
                 out += GapPoint(assetId,
                   java.time.LocalDate.ofEpochDay(day), t.value, st.close_value, gap)
               }

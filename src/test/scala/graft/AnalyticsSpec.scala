@@ -576,14 +576,14 @@ class AnalyticsSpec extends SparkSpec {
           case None => b._4 - b._5
         }
         prev = Some(b._6)
-        BigDecimal(tr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        graft.operators.Micro.jvm6(tr)
       }
       bs.indices.map { i =>
         val frame = trs.slice(math.max(0, i - 13), i + 1)
         var s = 0.0; var nw = 0.0
         frame.foreach { x => s = s * (13.0 / 14.0) + x; nw = nw * (13.0 / 14.0) + 1.0 }
         (a, bs(i)._2.toString) ->
-          BigDecimal(s / nw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          graft.operators.Micro.jvm6(s / nw)
       }
     }
     val gotAtr = Analytics.atr(p).collect()
