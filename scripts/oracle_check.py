@@ -78,13 +78,8 @@ def main(sf_dir: str, out_dir: str, only=()) -> None:
         else:
             print(f"PASS {name} ({len(want)} rows)")
             n_pass += 1
-    # rows-only queries (engine-specific sketch internals — no oracle)
-    for name in ["sketches"]:
-        try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
-            print(f"ROWS {name}: {len(got)} rows")
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
+    # (no rows-only queries remain: `sketches` carries tolerance verdicts
+    # hash-compared against literal TRUE in its oracle SQL)
     print(f"\n{n_pass} pass / {n_fail} fail")
 
 

@@ -47,6 +47,13 @@ object Bench {
       graft.operators.Analytics.q1PricingSummary(l50, "2000-12-01")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    // Force-build the shared memos (BPE vocab, pair sets, at-rest
+    // indexes) so memo-consuming queries measure the same steady-state
+    // path on EVERY sample — without this the first timed invocation
+    // silently pays the build and the median is order/run-count
+    // dependent.
+    try SparkEntry.warmSharedMemos(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] memo warmup failed: $e") }
 
     // Optional args = query-name filter (profiling single queries).
     val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet

@@ -63,11 +63,37 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private val ivfSemIndex =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Array[Array[Double]])]()
-  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+
+  /** Memo lifetime: entries are evicted when their session's application
+    * ends, so long-lived multi-session processes (test JVMs) don't pin
+    * DataFrames/localCheckpoint blocks of stopped sessions. Each session
+    * registers ONE listener, on its first memo build.
+    */
+  private val memoSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private def evictMemosOnStop(s: SparkSession): Unit =
+    if (memoSessions.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          jaccardPairsMemo.keySet.removeIf(_._1 eq s)
+          bpeVocabMemo.keySet.removeIf(_._1 eq s)
+          verifiedPairsMemo.keySet.removeIf(_._1 eq s)
+          mediaTablePath.keySet.removeIf(_._1 eq s)
+          minhashIndexPath.keySet.removeIf(_._1 eq s)
+          ivfSemIndex.keySet.removeIf(_._1 eq s)
+          memoSessions.remove(s)
+        }
+      })
+    }
+
+  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame = {
+    evictMemosOnStop(s)
     jaccardPairsMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)
         .localCheckpoint(true)
     })
+  }
 
   /** Trained BPE vocabulary per (session, sfDir): `bpe_train` keeps the
     * real K-merge training loop (it IS the training benchmark);
@@ -77,10 +103,12 @@ object SparkEntry {
     */
   private val bpeVocabMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def bpeVocabShared(s: SparkSession, dir: String): DataFrame =
+  private def bpeVocabShared(s: SparkSession, dir: String): DataFrame = {
+    evictMemosOnStop(s)
     bpeVocabMemo.computeIfAbsent((s, dir), { _ =>
       Pipeline.bpeVocab(Tables.documents(s, dir)) // already localCheckpointed
     })
+  }
 
   /** Two-stage verified minhash pair set per (session, sfDir):
     * `minhash_verified` keeps the real build (it IS the two-stage-path
@@ -89,10 +117,31 @@ object SparkEntry {
     */
   private val verifiedPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def verifiedPairsShared(s: SparkSession, dir: String): DataFrame =
+  private def verifiedPairsShared(s: SparkSession, dir: String): DataFrame = {
+    evictMemosOnStop(s)
     verifiedPairsMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, dir)).localCheckpoint(true)
     })
+  }
+
+  /** Force-build every per-(session, sfDir) shared memo. The bench calls
+    * this during untimed warmup so queries that consume a memo
+    * (bpe_encode, dedup_recall_report, the incremental index probes, …)
+    * time the same steady-state path on every sample, independent of run
+    * count and query order — the first timed invocation must not
+    * silently pay a vocab/pair/index build.
+    */
+  def warmSharedMemos(s: SparkSession, dir: String): Unit = {
+    jaccardPairsShared(s, dir).count()
+    bpeVocabShared(s, dir).count()
+    verifiedPairsShared(s, dir).count()
+    // invoking the closures eagerly writes the at-rest indexes into
+    // their path memos (the returned probe DataFrames stay lazy)
+    queries("semantic_dedup_incremental")(s, dir)
+    queries("dedup_incremental")(s, dir)
+    queries("multimodal_meta")(s, dir)
+    ()
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -585,6 +634,7 @@ object SparkEntry {
     // "new batch" (vec_id % 5 == 0) probes only its touched cluster
     // partitions.
     "semantic_dedup_incremental" -> ((s, dir) => {
+      evictMemosOnStop(s)
       val (path, centroids) = ivfSemIndex.computeIfAbsent((s, dir), { _ =>
         val existing = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
         val cs = Ivf.train(existing, k = 8, iters = 3)
@@ -637,6 +687,7 @@ object SparkEntry {
     // reads the PARQUET BINARY column back — the meta numbers witness a
     // genuine binary round trip, not a text proxy.
     "multimodal_meta" -> ((s, dir) => {
+      evictMemosOnStop(s)
       val path = mediaTablePath.computeIfAbsent((s, dir), { _ =>
         val p = java.nio.file.Files.createTempDirectory("media").toString + "/media"
         Multimodal.writeMediaTable(Tables.documents(s, dir), p)
@@ -690,6 +741,7 @@ object SparkEntry {
     // rest of the corpus. The oracle replays banding on BOTH sides and
     // joins with the same role split, so candidates match exactly.
     "dedup_incremental" -> ((s, dir) => {
+      evictMemosOnStop(s)
       val path = minhashIndexPath.computeIfAbsent((s, dir), { _ =>
         val p = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/index"
         Dedup.writeMinhashIndex(
@@ -1447,6 +1499,18 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // Tolerance-based sketch check expressed as a hash-exact compare:
+    // Spark outputs the exact stats plus within-tolerance verdicts for
+    // the HLL/t-digest estimates; the oracle recomputes the exact stats
+    // and asserts the verdicts as literal TRUE. A sketch drifting out of
+    // its accuracy contract flips a boolean and fails the row.
+    "sketches" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_distinct,
+        |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS exact_p50,
+        |  TRUE AS hll_ok,
+        |  TRUE AS tdigest_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "quantiles" ->
       """SELECT event_type,
         |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0  AS p50,
@@ -3065,7 +3129,15 @@ object SparkEntry {
     // cosine verifies like dedup_embedding's (round(3) absorbs the
     // ratio-vs-normalized FP difference, proven by that oracle).
     "lsh_verified_pairs" ->
-      """WITH v AS (
+      """WITH par AS (
+        |  -- self-scaling band width: clamp(bitlen((n-1)//32), 4, 14),
+        |  -- the same integer derivation as Similarity.deriveBandWidth
+        |  SELECT LEAST(14, GREATEST(4,
+        |           CASE WHEN (count(*) - 1) // 32 < 1 THEN 1
+        |                ELSE CAST(floor(log2((count(*) - 1) // 32)) AS BIGINT) + 1 END
+        |         )) AS width
+        |  FROM embeddings),
+        |v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |proj AS (
         |  SELECT vec_id, j,
@@ -3074,13 +3146,14 @@ object SparkEntry {
         |             i -> v[i] * (CASE WHEN (i * 2654435761 + (j + 1) * 1013904223) % 2147483647 % 2 = 0
         |                               THEN 1.0 ELSE -1.0 END))),
         |           (a, x) -> a + x) AS s
-        |  FROM v CROSS JOIN range(16) r(j)),
+        |  FROM v CROSS JOIN range(64) r(j) WHERE j < 4 * (SELECT width FROM par)),
         |bk AS (
         |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id),
         |bands0 AS (
-        |  SELECT vec_id, bi AS band_id, (bucket >> CAST(bi * 4 AS INTEGER)) & 15 AS band_bucket
-        |  FROM bk CROSS JOIN range(4) r(bi)),
+        |  SELECT vec_id, bi AS band_id,
+        |         (bucket >> CAST(bi * par.width AS INTEGER)) & ((CAST(1 AS BIGINT) << par.width) - 1) AS band_bucket
+        |  FROM bk CROSS JOIN range(4) r(bi) CROSS JOIN par),
         |bands AS (
         |  SELECT vec_id, band_id, band_bucket FROM (
         |    SELECT vec_id, band_id, band_bucket,

@@ -403,11 +403,21 @@ object Analytics {
 
   /** B14 `sketches` — bounded-memory approximate aggregates next to
     * their exact counterparts: HLL++ distinct counts
-    * (`approx_count_distinct`) and t-digest percentiles
-    * (`percentile_approx`). At 100 TB these replace the exact forms
-    * (B9's per-group sort, count-distinct's two-phase shuffle) with
-    * mergeable fixed-size state; rows-only checked (approximation is
-    * engine-specific) with an accuracy-bound spec.
+    * (`approx_count_distinct`, rsd 0.05) and t-digest percentiles
+    * (`percentile_approx`, accuracy 1000). At 100 TB these replace the
+    * exact forms (B9's per-group sort, count-distinct's two-phase
+    * shuffle) with mergeable fixed-size state.
+    *
+    * Oracle contract: the raw estimates are engine-specific, so the
+    * CHECKED output carries the exact stats (hash-exact cross-engine)
+    * plus tolerance verdicts computed against them — `hll_ok` = HLL
+    * estimate within 3·rsd relative error of the exact distinct count,
+    * `tdigest_ok` = t-digest median inside the exact [p49.5, p50.5]
+    * value band (accuracy 1000 bounds rank error at 0.1%, 5× margin).
+    * The DuckDB oracle recomputes the exact columns and emits literal
+    * TRUE for the verdicts — a broken sketch flips a boolean and fails
+    * the driver's hash compare, upgrading the old rows-only ◐ to a real
+    * checked row.
     */
   def sketches(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
@@ -415,7 +425,14 @@ object Analytics {
         count_distinct(col("user_id")).as("exact_distinct"),
         approx_count_distinct(col("user_id")).as("hll_distinct"),
         u6(expr("percentile(value, 0.5)")).as("exact_p50"),
-        expr("percentile_approx(value, 0.5, 1000)").as("tdigest_p50"))
+        expr("percentile_approx(value, 0.5, 1000)").as("tdigest_p50"),
+        expr("percentile(value, 0.495)").as("p_lo"),
+        expr("percentile(value, 0.505)").as("p_hi"))
+      .select(col("event_type"), col("exact_distinct"), col("exact_p50"),
+        (abs(col("hll_distinct") - col("exact_distinct")).cast("double") <=
+          lit(0.15) * col("exact_distinct").cast("double")).as("hll_ok"),
+        (col("tdigest_p50") >= col("p_lo") && col("tdigest_p50") <= col("p_hi"))
+          .as("tdigest_ok"))
       .orderBy(col("event_type"))
 
   /** C13 `json_props` — semi-structured column handling: parse the

@@ -1072,6 +1072,10 @@ object Pipeline {
       .agg(count(lit(1)).as("n_union"),
         sum(when(col("halves") === 2, 1L).otherwise(0L)).as("n_common"))
       .select(col("n_union"), col("n_common"),
-        expr("(1000 * n_common) div n_union").as("jaccard_pm"))
+        // explicit zero guard (repo rule: every division guards its zero
+        // case) — don't rely on the NULL numerator short-circuiting the
+        // ANSI IntegralDivide on an empty corpus
+        when(col("n_union") === 0, lit(null))
+          .otherwise(expr("(1000 * n_common) div n_union")).as("jaccard_pm"))
   }
 }

@@ -182,27 +182,50 @@ object Similarity {
     * precision is always 1 — output ⊆ the exact operator's output, with
     * identical cosines for every emitted pair.
     */
+  /** Self-scaling band width: `width = clamp(bitlen((n−1) div 32), 4, 14)`
+    * — the number of sign bits per band that keeps the EXPECTED per-band
+    * bucket population (n / 2^width) pinned at ~32 as the corpus grows,
+    * so the bucket-local pair work stays flat instead of quadratically
+    * re-densifying (the r5 ScaleProbe measured 1.9→6.1→23.5 s under a
+    * FIXED width; the r6 fix capped it with `maxBucket`, which stays as
+    * the backstop for hub/boilerplate directions). Integer bit-length,
+    * not float log2, so the DuckDB oracle's `floor(log2(x))+1` replay
+    * agrees exactly for every n below 2^40ish (log2 only risks rounding
+    * up at integers within one ulp of a power of two, ~2^50+). Cap 14:
+    * 4 bands × 14 bits = 56 sign bits packs inside a signed long on
+    * both engines (the 16-bit-at-scale convention needs a 64-bit
+    * unsigned pack DuckDB's `2**j` BIGINT sum can't replay).
+    */
+  def deriveBandWidth(n: Long): Int = {
+    val x = math.max(1L, (n - 1) / 32)
+    math.min(14, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(x)))
+  }
+
   def lshVerifiedNearDupPairs(embeddings: DataFrame, threshold: Double,
-                              planes: Int = 16, bands: Int = 4,
+                              planes: Int = -1, bands: Int = 4,
                               maxBucket: Long = 500): DataFrame = {
-    require(planes % bands == 0, "planes must divide into bands")
-    val width = planes / bands
+    // planes = -1 (default) → self-scale from the corpus count: one
+    // cheap metadata-level count() action, then planes = bands·width.
+    val actualPlanes =
+      if (planes > 0) planes else bands * deriveBandWidth(embeddings.count())
+    require(actualPlanes % bands == 0, "planes must divide into bands")
+    val width = actualPlanes / bands
     val e = embeddings.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("v"),
-      graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), planes).as("bucket"))
+      graft.expressions.Kernels.lshBucket(toDouble(col("embedding")), actualPlanes).as("bucket"))
     val bandCols = (0 until bands).map(b =>
       shiftrightunsigned(col("bucket"), b * width).bitwiseAND(lit((1L << width) - 1)))
     // Degenerate-bucket cap: per-band bucket population is n/2^width on
     // average, so pair work inside a bucket is O((n/2^width)²) — with a
     // FIXED width, growing n turns the "bucketed" join quadratic (the
     // 1×/2×/4× scale probe measured exactly that: 1.9 s → 6.1 s →
-    // 23.5 s before the cap). Two guards at scale: (1) widen bands as
-    // the corpus grows — `planes/bands` is the knob, 16-bit bands for
-    // corpus-scale runs (the same reason MinHash-LSH uses 4×16-bit
-    // bands); (2) this cap, which skips buckets whose population
-    // exceeds `maxBucket` — the standard LSH-dedup guardrail: a bucket
-    // holding ≫ expected population carries near-zero signal per pair
-    // (hub/boilerplate directions) but quadratic cost. Same df-cap
-    // idea as ngramJaccardPairs/winnowPairs; replayed by the oracle.
+    // 23.5 s before the cap). Two guards at scale: (1) the self-scaling
+    // width above, which pins the EXPECTED population at ~32 as n grows;
+    // (2) this cap, which skips buckets whose population exceeds
+    // `maxBucket` — the standard LSH-dedup guardrail for SKEWED buckets:
+    // a bucket holding ≫ expected population carries near-zero signal
+    // per pair (hub/boilerplate directions) but quadratic cost. Same
+    // df-cap idea as ngramJaccardPairs/winnowPairs; replayed by the
+    // oracle (which re-derives the same width from its own count()).
     val wB = Window.partitionBy(col("band_id"), col("band_bucket"))
     val banded = e.select(col("vec_id"), col("v"),
       posexplode(array(bandCols: _*)))

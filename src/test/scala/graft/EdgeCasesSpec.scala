@@ -323,4 +323,72 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.prefixDups(docs).count() === 1) // "" and "   " normalize equal
     assert(Pipeline.tokenLengthQuantiles(docs).count() === 2)
   }
+
+  // ── half-boundary rounding fuzz (VERDICT r6 item 3) ──────────────────
+  // The defect class that produced the r6 williams_r wrong answer:
+  // Spark's round(_, 6) rounds the SHORTEST DECIMAL REPR of a double
+  // (BigDecimal.decimal → HALF_UP) while DuckDB rounds the exact binary
+  // value — a double sitting just below k+½ micro-units whose shortest
+  // repr still prints "…5" rounds UP in Spark and DOWN in DuckDB. These
+  // emulators reproduce the two engines' semantics in-JVM so the flap is
+  // testable on demand instead of data-luck.
+  private def sparkRound6(x: Double): Double =
+    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def duckRound6(x: Double): Double =
+    math.copySign(math.floor(math.abs(x) * 1e6 + 0.5), x) / 1e6
+  // Doubles whose binary value sits below the half while the shortest
+  // repr prints the half (found by brute-force over k+½ micro-unit
+  // grid points; each is a verified cross-engine round() divergence).
+  private val flapWitnesses =
+    Seq(32.8688295, 67.0056865, 66.2385755, 8.1815875, -32.8688295)
+
+  test("half-boundary fuzz: decimal round() flaps cross-engine, u6 never does") {
+    // (a) the defect class is real: every witness diverges under round(6)
+    flapWitnesses.foreach { x =>
+      assert(sparkRound6(x) !== duckRound6(x),
+        s"$x no longer witnesses the round() divergence")
+    }
+    // (b) u6 agrees across all three computation paths — the codegen'd
+    // Column expression, the JVM twin, and the DuckDB floor expansion
+    // (which IS duck-side floor((x)*1e6+0.5)/1e6, the same op sequence)
+    val xs = flapWitnesses ++ Seq(0.1234565, -0.1234565, 0.9999995, 0.0,
+      -12.3456785, 49.9999995)
+    val viaSpark = xs.toDF("x")
+      .select(org.apache.spark.sql.functions.col("x"),
+        Micro.u6(org.apache.spark.sql.functions.col("x")).as("u"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      val jvm = Micro.jvm6(x)
+      assert(viaSpark(x) === jvm, s"codegen u6($x) != jvm6($x)")
+      assert(jvm === math.floor(x * 1e6 + 0.5) / 1e6) // the oracle expansion
+    }
+  }
+
+  test("williams_r half-boundary panels are bit-stable under u6") {
+    // closes crafted so -100·(high−close)/(high−low) computes a double
+    // that FLAPS under the old round(_, 6) idiom (high=1, low=0 ⇒ the
+    // ratio is exactly -100·(1−close)); u6 must equal the JVM floor twin
+    // bit-for-bit on every row. This panel fails the DuckDB oracle under
+    // round(6) by construction — the regression the r6 driver caught.
+    val closes = Seq(0.671311705, 0.918184125, 0.33761424500000004, 0.25, 0.75)
+    val rows = closes.zipWithIndex.flatMap { case (c, i) =>
+      val d = Date.valueOf(f"2024-02-${i + 1}%02d")
+      val base = i * 86400000L
+      Seq((1L, d, new Timestamp(base + 1000L), 0.5, 1L),
+        (1L, d, new Timestamp(base + 2000L), 0.0, 2L),
+        (1L, d, new Timestamp(base + 3000L), 1.0, 3L),
+        (1L, d, new Timestamp(base + 4000L), c, 4L))
+    }
+    val got = Analytics.williamsR(rows.toDF("asset_id", "date", "ts", "value", "seq"))
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    closes.zipWithIndex.foreach { case (c, i) =>
+      val ratio = -100.0 * (1.0 - c) / (1.0 - 0.0)
+      assert(got(f"2024-02-${i + 1}%02d") === Micro.jvm6(ratio), s"close=$c")
+    }
+    // prove the panel exercises the flap: at least three of the crafted
+    // ratios diverge under the two engines' round(_, 6)
+    val flaps = closes.map(c => -100.0 * (1.0 - c) / 1.0)
+      .count(x => sparkRound6(x) != duckRound6(x))
+    assert(flaps >= 3)
+  }
 }
