@@ -592,6 +592,24 @@ object SparkEntry {
       Analytics.captureRatio(Tables.panel(s, dir))),
     "r_squared" -> ((s, dir) =>
       Analytics.rSquared(Tables.panel(s, dir))),
+    "aroon" -> ((s, dir) =>
+      Analytics.aroon(Tables.panel(s, dir))),
+    "mfi" -> ((s, dir) =>
+      Analytics.mfi(Tables.panel(s, dir))),
+    "elder_ray" -> ((s, dir) =>
+      Analytics.elderRay(Tables.panel(s, dir))),
+    "force_index" -> ((s, dir) =>
+      Analytics.forceIndex(Tables.panel(s, dir))),
+    "vortex" -> ((s, dir) =>
+      Analytics.vortex(Tables.panel(s, dir))),
+    "chaikin_osc" -> ((s, dir) =>
+      Analytics.chaikinOsc(Tables.panel(s, dir))),
+    "kelly_fraction" -> ((s, dir) =>
+      Analytics.kellyFraction(Tables.panel(s, dir))),
+    "tail_ratio" -> ((s, dir) =>
+      Analytics.tailRatio(Tables.panel(s, dir))),
+    "rolling_sharpe" -> ((s, dir) =>
+      Analytics.rollingSharpe(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -1649,6 +1667,210 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY asset_id ORDER BY date
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY asset_id, date""".stripMargin,
+    "aroon" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list_reverse(list(high) OVER w) AS harr,
+         |         list_reverse(list(low) OVER w) AS larr
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         CAST(list_position(harr, list_aggregate(harr, 'max')) - 1 AS BIGINT) AS d_hi,
+         |         CAST(list_position(larr, list_aggregate(larr, 'min')) - 1 AS BIGINT) AS d_lo
+         |  FROM f)
+         |SELECT asset_id, date, d_hi, d_lo,
+         |  floor((100.0 * (25 - d_hi) / 25.0) * 1000000.0 + 0.5) / 1000000.0 AS aroon_up,
+         |  floor((100.0 * (25 - d_lo) / 25.0) * 1000000.0 + 0.5) / 1000000.0 AS aroon_dn
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "mfi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, n_ticks,
+         |         floor(((high + low + close) / 3) * 1000000.0 + 0.5) / 1000000.0 AS tp
+         |  FROM bars),
+         |c AS (
+         |  SELECT asset_id, date, tp,
+         |         floor((tp * CAST(n_ticks AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mf,
+         |         lag(tp) OVER (PARTITION BY asset_id ORDER BY date) AS ptp
+         |  FROM t),
+         |m AS (
+         |  SELECT asset_id, date, tp,
+         |         CASE WHEN ptp IS NOT NULL AND tp > ptp THEN mf ELSE 0.0 END AS mf_pos,
+         |         CASE WHEN ptp IS NOT NULL AND tp < ptp THEN mf ELSE 0.0 END AS mf_neg
+         |  FROM c),
+         |f AS (
+         |  SELECT asset_id, date, tp,
+         |         list(mf_pos) OVER w AS pa, list(mf_neg) OVER w AS na
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, tp,
+         |         list_reduce(list_prepend(0.0, pa), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, na), (a, x) -> a + x) AS sn
+         |  FROM f)
+         |SELECT asset_id, date, tp,
+         |  floor((100.0 * sp / nullif(sp + sn, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS mfi
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "elder_ray" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, high, low,
+         |         list(close) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS carr
+         |  FROM bars),
+         |g AS (
+         |  SELECT asset_id, date, high, low,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, carr), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |      list_reduce(list_prepend(0.0, carr), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ema
+         |  FROM f)
+         |SELECT asset_id, date, ema,
+         |  floor((high - ema) * 1000000.0 + 0.5) / 1000000.0 AS bull_power,
+         |  floor((low - ema) * 1000000.0 + 0.5) / 1000000.0 AS bear_power
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "force_index" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |u AS (
+         |  SELECT asset_id, date,
+         |         floor(((close - pc) * CAST(n_ticks AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS fi
+         |  FROM t WHERE pc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date, fi,
+         |         list(fi) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS farr
+         |  FROM u)
+         |SELECT asset_id, date, fi,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, farr), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, farr), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS fi_ema
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "vortex" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(close) OVER a AS pc, lag(low) OVER a AS pl, lag(high) OVER a AS ph
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |u AS (
+         |  SELECT asset_id, date,
+         |         floor((abs(high - pl)) * 1000000.0 + 0.5) / 1000000.0 AS vm_p,
+         |         floor((abs(low - ph)) * 1000000.0 + 0.5) / 1000000.0 AS vm_m,
+         |         floor((greatest(high - low, abs(high - pc), abs(low - pc))) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t WHERE pc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(vm_p) OVER w AS pa, list(vm_m) OVER w AS ma, list(tr) OVER w AS ta
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         list_reduce(list_prepend(0.0, pa), (a, x) -> a + x) AS svp,
+         |         list_reduce(list_prepend(0.0, ma), (a, x) -> a + x) AS svm,
+         |         list_reduce(list_prepend(0.0, ta), (a, x) -> a + x) AS str
+         |  FROM f)
+         |SELECT asset_id, date,
+         |  floor((svp / nullif(str, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS vi_plus,
+         |  floor((svm / nullif(str, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS vi_minus
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "chaikin_osc" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, n_ticks,
+         |         CASE WHEN high = low THEN 0.0
+         |              ELSE floor((((close - low) - (high - close)) / (high - low)) * 1000000.0 + 0.5) / 1000000.0 END AS clv
+         |  FROM bars),
+         |u AS (
+         |  SELECT asset_id, date,
+         |         CAST(round(clv * 1000000.0) AS BIGINT) * n_ticks AS mfv_micro
+         |  FROM t),
+         |v AS (
+         |  SELECT asset_id, date,
+         |         CAST(sum(mfv_micro) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS ad
+         |  FROM u),
+         |f AS (
+         |  SELECT asset_id, date, ad,
+         |         list(ad) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a3,
+         |         list(ad) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a10
+         |  FROM v),
+         |g AS (
+         |  SELECT asset_id, date, ad,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a3), (acc, x) -> acc * 0.5 + x) /
+         |      list_reduce(list_prepend(0.0, a3), (acc, x) -> acc * 0.5 + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ema3,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a10), (acc, x) -> acc * (1.0 - 2.0 / 11.0) + x) /
+         |      list_reduce(list_prepend(0.0, a10), (acc, x) -> acc * (1.0 - 2.0 / 11.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ema10
+         |  FROM f)
+         |SELECT asset_id, date, ad,
+         |  floor((ema3 - ema10) * 1000000.0 + 0.5) / 1000000.0 AS chaikin
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "kelly_fraction" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(ra) >= 2),
+         |h AS (SELECT asset_id, n, s, (n * s2 - s * s) / (n * (n - 1)) AS v FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((v) * 1000000.0 + 0.5) / 1000000.0 AS variance,
+         |  floor(((s / n) / CASE WHEN v <= 0 THEN NULL ELSE v END) * 1000000.0 + 0.5) / 1000000.0 AS kelly
+         |FROM h ORDER BY asset_id""".stripMargin,
+    "tail_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list_sort(list(ret)) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, len(ra) AS n,
+         |         CAST(ceil(CAST(len(ra) AS DOUBLE) * 0.05) AS INTEGER) AS k, ra
+         |  FROM p),
+         |t AS (
+         |  SELECT asset_id, n, k, ra[k] AS lo, ra[CAST(n AS INTEGER) - k + 1] AS hi
+         |  FROM g WHERE k >= 1)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail, lo, hi,
+         |  floor((hi / CASE WHEN lo >= 0 THEN NULL ELSE -lo END) * 1000000.0 + 0.5) / 1000000.0 AS tail_ratio
+         |FROM t ORDER BY asset_id""".stripMargin,
+    "rolling_sharpe" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f)
+         |SELECT asset_id, date, ret,
+         |  floor(((s / n) /
+         |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS roll_sharpe
+         |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
     "keltner" ->
       s"""$panelCte,
          |$barsCte,

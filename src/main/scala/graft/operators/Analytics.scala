@@ -102,7 +102,16 @@ object Analytics {
   /** B5 `window_returns` — day-over-day simple return per asset on the
     * LWW-compacted daily series (upsert_lww ∘ lag).
     */
-  def dailyReturns(panel: DataFrame): DataFrame = {
+  def dailyReturns(panel: DataFrame): DataFrame =
+    dailyReturnsCore(panel).orderBy(col("asset_id"), col("date"))
+
+  /** [[dailyReturns]] without the presentation sort — the input for
+    * per-asset aggregates ([[kellyFraction]], [[tailRatio]]) whose
+    * groupBy rides the SAME asset_id partitioning: inserting the
+    * range-partitioned sort in between would cost two extra exchanges
+    * for an order the aggregate immediately destroys.
+    */
+  private[graft] def dailyReturnsCore(panel: DataFrame): DataFrame = {
     // asset_id-only partitioning satisfies the LWW window AND the lag
     // window: the panel shuffles once.
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
@@ -114,7 +123,6 @@ object Analytics {
       .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
       .filter(col("ret").isNotNull)
       .select(col("asset_id"), col("date"), col("value"), col("ret"))
-      .orderBy(col("asset_id"), col("date"))
   }
 
   /** B19 `ewma` — exponentially-weighted moving average of the LWW
@@ -2825,5 +2833,257 @@ object Analytics {
       .select(col("asset_id"), n.cast("long").as("n_days"),
         col("mean_vol"), col("vol_of_vol"))
       .orderBy(col("asset_id"))
+  }
+
+  /** B95 `aroon` — Aroon up/down over the daily bars: bars since the
+    * channel's highest high / lowest low inside a `span`-bar frame,
+    * mapped to 0..100. Positions are found by value-match against the
+    * frame extreme on the REVERSED frame array (first match from the
+    * end = most recent extreme — the tie convention documented here;
+    * floats compare as exact copies of stored values, no arithmetic).
+    * Distance is all-integer; only the final ×100/span division is
+    * FP, u6-rounded. One asset_id shuffle shared with the bar build.
+    */
+  def aroon(panel: DataFrame, span: Int = 25): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("harr", reverse(collect_list(col("high")).over(frame)))
+      .withColumn("larr", reverse(collect_list(col("low")).over(frame)))
+      .withColumn("d_hi", (array_position(col("harr"), array_max(col("harr"))) - 1).cast("long"))
+      .withColumn("d_lo", (array_position(col("larr"), array_min(col("larr"))) - 1).cast("long"))
+      .withColumn("aroon_up", u6(lit(100.0) * (lit(span) - col("d_hi")) / lit(span.toDouble)))
+      .withColumn("aroon_dn", u6(lit(100.0) * (lit(span) - col("d_lo")) / lit(span.toDouble)))
+      .select(col("asset_id"), col("date"), col("d_hi"), col("d_lo"),
+        col("aroon_up"), col("aroon_dn"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B96 `mfi` — Money Flow Index over the daily bars: typical price
+    * tp = (h+l+c)/3 (u6), raw money flow = tp·n_ticks (tick count is
+    * the bar's volume proxy, as in [[obv]]), classified positive /
+    * negative by tp vs previous tp (comparisons on ROUNDED values —
+    * engine-exact). MFI = 100·ΣMF⁺/(ΣMF⁺+ΣMF⁻) over a `span`-bar
+    * frame; both sums are frame-ordered sequential folds so the
+    * division input is bit-identical cross-engine. The first bar of an
+    * asset (no previous tp) contributes to neither flow — documented
+    * convention, replayed by the oracle.
+    */
+  def mfi(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val prevTp = lag(col("tp"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tp", u6((col("high") + col("low") + col("close")) / 3))
+      .withColumn("mf", u6(col("tp") * col("n_ticks").cast("double")))
+      .withColumn("mf_pos",
+        when(prevTp.isNotNull && col("tp") > prevTp, col("mf")).otherwise(lit(0.0)))
+      .withColumn("mf_neg",
+        when(prevTp.isNotNull && col("tp") < prevTp, col("mf")).otherwise(lit(0.0)))
+      .withColumn("sum_pos", foldSum(collect_list(col("mf_pos")).over(frame)))
+      .withColumn("sum_neg", foldSum(collect_list(col("mf_neg")).over(frame)))
+      .withColumn("mfi", u6(lit(100.0) * col("sum_pos") /
+        when(col("sum_pos") + col("sum_neg") === 0, lit(null))
+          .otherwise(col("sum_pos") + col("sum_neg"))))
+      .select(col("asset_id"), col("date"), col("tp"), col("mfi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B97 `elder_ray` — Elder-Ray bull/bear power over the daily bars:
+    * the span-bounded EW mean of the close (the [[keltner]] mid-line
+    * machinery) is the consensus value; bull = high − EMA (buyer reach
+    * above it), bear = low − EMA. The EMA is u6-rounded BEFORE the
+    * subtractions so each output is one exact difference of rounded
+    * values — no new determinism surface.
+    */
+  def elderRay(panel: DataFrame, span: Int = 13): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("carr", collect_list(col("close")).over(frame))
+      .withColumn("ema", u6(
+        Kernels.seqFold(col("carr"), "horner", w) /
+          Kernels.seqFold(col("carr"), "horner_count", w)))
+      .withColumn("bull_power", u6(col("high") - col("ema")))
+      .withColumn("bear_power", u6(col("low") - col("ema")))
+      .select(col("asset_id"), col("date"), col("ema"),
+        col("bull_power"), col("bear_power"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B98 `force_index` — Elder's Force Index over the daily bars:
+    * FI = (close − prevClose)·n_ticks (price move × volume proxy),
+    * smoothed by the span-bounded EW mean of the ROUNDED FI series.
+    * First bar per asset (no previous close) is dropped — the frame
+    * then covers only defined FI values, so the fold never sees a
+    * null. Same single asset_id shuffle as the whole bar family.
+    */
+  def forceIndex(panel: DataFrame, span: Int = 13): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("prev_close", lag(col("close"), 1).over(byAsset))
+      .filter(col("prev_close").isNotNull)
+      .withColumn("fi", u6((col("close") - col("prev_close")) * col("n_ticks").cast("double")))
+      .withColumn("farr", collect_list(col("fi")).over(frame))
+      .withColumn("fi_ema", u6(
+        Kernels.seqFold(col("farr"), "horner", w) /
+          Kernels.seqFold(col("farr"), "horner_count", w)))
+      .select(col("asset_id"), col("date"), col("fi"), col("fi_ema"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B99 `vortex` — Vortex indicator over the daily bars: VI⁺ =
+    * Σ|high − prevLow| / ΣTR, VI⁻ = Σ|low − prevHigh| / ΣTR over a
+    * `span`-bar frame (uptrend bars overlap yesterday's low, downtrend
+    * bars yesterday's high). Each per-bar term is u6-rounded, the
+    * frame sums are sequential folds, the divisions u6 — the full
+    * determinism discipline. First bar per asset (no previous bar) is
+    * dropped so folds see no nulls.
+    */
+  def vortex(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val prevLow = lag(col("low"), 1).over(byAsset)
+    val prevHigh = lag(col("high"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", prevClose).withColumn("pl", prevLow).withColumn("ph", prevHigh)
+      .filter(col("pc").isNotNull)
+      .withColumn("vm_p", u6(abs(col("high") - col("pl"))))
+      .withColumn("vm_m", u6(abs(col("low") - col("ph"))))
+      .withColumn("tr", u6(greatest(
+        col("high") - col("low"),
+        abs(col("high") - col("pc")),
+        abs(col("low") - col("pc")))))
+      .withColumn("s_vp", foldSum(collect_list(col("vm_p")).over(frame)))
+      .withColumn("s_vm", foldSum(collect_list(col("vm_m")).over(frame)))
+      .withColumn("s_tr", foldSum(collect_list(col("tr")).over(frame)))
+      .withColumn("vi_plus", u6(col("s_vp") /
+        when(col("s_tr") === 0, lit(null)).otherwise(col("s_tr"))))
+      .withColumn("vi_minus", u6(col("s_vm") /
+        when(col("s_tr") === 0, lit(null)).otherwise(col("s_tr"))))
+      .select(col("asset_id"), col("date"), col("vi_plus"), col("vi_minus"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B100 `chaikin_osc` — Chaikin oscillator over the daily bars: the
+    * accumulation/distribution line is the running sum of CLV·volume
+    * where CLV = ((c−l)−(h−c))/(h−l) (0 on a flat bar, the classic
+    * convention); the oscillator is EMA(3) − EMA(10) of the AD line.
+    * The AD running sum is computed in INTEGER MICRO-UNITS (CLV is
+    * u6-rounded → exact integer micros, × the integer tick count) so
+    * the unbounded cumulative sum is order-insensitive integer
+    * arithmetic — no O(n²) fold array over full history, exact under
+    * any engine. AD micros stay far below 2⁵³, so the double used by
+    * the bounded EW frames is exact.
+    */
+  def chaikinOsc(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f3 = byAsset.rowsBetween(-2, Window.currentRow)
+    val f10 = byAsset.rowsBetween(-9, Window.currentRow)
+    val w3 = 0.5            // 1 - 2/(3+1)
+    val w10 = 1.0 - 2.0 / 11.0
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("clv", when(col("high") === col("low"), lit(0.0))
+        .otherwise(u6(((col("close") - col("low")) - (col("high") - col("close"))) /
+          (col("high") - col("low")))))
+      .withColumn("mfv_micro",
+        round(col("clv") * 1e6).cast("long") * col("n_ticks"))
+      .withColumn("ad_micro", sum(col("mfv_micro")).over(run))
+      .withColumn("ad", col("ad_micro").cast("double") / 1e6)
+      .withColumn("a3", collect_list(col("ad")).over(f3))
+      .withColumn("a10", collect_list(col("ad")).over(f10))
+      .withColumn("ema3", u6(
+        Kernels.seqFold(col("a3"), "horner", w3) /
+          Kernels.seqFold(col("a3"), "horner_count", w3)))
+      .withColumn("ema10", u6(
+        Kernels.seqFold(col("a10"), "horner", w10) /
+          Kernels.seqFold(col("a10"), "horner_count", w10)))
+      .withColumn("chaikin", u6(col("ema3") - col("ema10")))
+      .select(col("asset_id"), col("date"), col("ad"), col("chaikin"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B101 `kelly_fraction` — full-Kelly sizing per asset: mean daily
+    * return / return variance (the log-growth-optimal bet fraction
+    * under the quadratic approximation). Same full-history fold shape
+    * as [[sharpe]] — one asset_id shuffle, Σ/Σ² folds over the
+    * date-ordered 6-dec return array, u6 ratio with a zero-variance
+    * guard.
+    */
+  def kellyFraction(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    val n = col("n")
+    rets
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("s2", foldSumSq(col("ra")))
+      .withColumn("mean_ret", u6(col("s") / n))
+      .withColumn("variance", (n * col("s2") - col("s") * col("s")) / (n * (n - 1)))
+      .withColumn("kelly", u6((col("s") / n) /
+        when(col("variance") <= 0, lit(null)).otherwise(col("variance"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        col("mean_ret"), u6(col("variance")).as("variance"), col("kelly"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B102 `tail_ratio` — right-tail/left-tail asymmetry per asset: the
+    * k-th best daily return over |k-th worst| with k = ⌈q·n⌉ — the
+    * same integer-cut quantile convention as [[varCvar]] (no
+    * interpolation, sort-then-index on the 6-dec return array). >1
+    * means crashes are smaller than rallies at the q tail. NULL when
+    * the worst return is non-negative (no left tail to compare).
+    */
+  def tailRatio(panel: DataFrame, q: Double = 0.05): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    val k = ceil(size(col("ra")).cast("double") * q).cast("int")
+    rets
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("ret"))).as("ra"))
+      .withColumn("k", k)
+      .filter(col("k") >= 1)
+      .withColumn("lo", element_at(col("ra"), col("k")))
+      .withColumn("hi", element_at(col("ra"), size(col("ra")) - col("k") + 1))
+      .withColumn("tail_ratio", u6(col("hi") /
+        when(col("lo") >= 0, lit(null)).otherwise(-col("lo"))))
+      .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"), col("lo"), col("hi"), col("tail_ratio"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B103 `rolling_sharpe` — windowed Sharpe per (asset, date): mean /
+    * sample σ of the daily return over an N-day frame — [[rollingVol]]
+    * with the numerator kept. The regime view [[sharpe]]'s full-history
+    * number hides: the SAME folds produce both moments in one pass,
+    * one asset_id shuffle.
+    */
+  def rollingSharpe(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val frame = w.rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("arr", collect_list(col("ret")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("arr")))
+      .withColumn("s2", foldSumSq(col("arr")))
+      .withColumn("sd", sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
+      .withColumn("roll_sharpe", u6((col("s") / n) /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd"))))
+      .select(col("asset_id"), col("date"), col("ret"), col("roll_sharpe"))
+      .orderBy(col("asset_id"), col("date"))
   }
 }

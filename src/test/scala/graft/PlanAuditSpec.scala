@@ -95,6 +95,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 5, s"$q exceeded the family budget: ${shuffles(q)}")
     assert(shuffles("vocab_overlap") <= 4,
       s"vocab_overlap exceeded word-count + rank + overlap: ${shuffles("vocab_overlap")}")
+    // round-7 bar/return wave: every op rides ONE asset_id shuffle
+    // (bar build / LWW window / folds share the partitioning) plus the
+    // presentation sort
+    for (q <- Seq("aroon", "mfi", "elder_ray", "force_index", "vortex",
+        "chaikin_osc", "kelly_fraction", "tail_ratio", "rolling_sharpe"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.operators.Analytics
+
+/** Hand-computed fixtures for the round-7 bar/return additions
+  * (B95-B103): aroon, mfi, elder_ray, force_index, vortex,
+  * chaikin_osc, kelly_fraction, tail_ratio, rolling_sharpe.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  /** One tick per day from a value sequence (high=low=close=value). */
+  private def oneTickPanel(values: Seq[Double], asset: Long = 1L) =
+    values.zipWithIndex.map { case (v, i) =>
+      (asset, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, asset * 100 + i)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  /** Two ticks per day: (low, high) per date, close = the later = high. */
+  private def twoTickPanel(bars: Seq[(Double, Double)]) =
+    bars.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(2 * i + 1), lo, 2L * i),
+        (1L, d(f"2024-01-${i + 1}%02d"), ts(2 * i + 2), hi, 2L * i + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("aroon: monotone rally pins up at 100 and walks down by 4 per day") {
+    val out = Analytics.aroon(oneTickPanel((1 to 10).map(_.toDouble))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("d_hi") === 0L)                    // today is the high
+      assert(r.getAs[Double]("aroon_up") === 100.0)
+    }
+    // lowest low is the frame's oldest bar: day i (1-based) has d_lo = i−1
+    val day6 = out.find(_.getDate(1).toString == "2024-01-06").get
+    assert(day6.getAs[Long]("d_lo") === 5L)
+    assert(day6.getAs[Double]("aroon_dn") === 80.0)           // 100·(25−5)/25
+  }
+
+  test("aroon: tie on the extreme resolves to the most recent bar") {
+    // values 5,9,9: both day-2 and day-3 share the high → d_hi = 0 on day 3
+    val out = Analytics.aroon(oneTickPanel(Seq(5.0, 9.0, 9.0))).collect()
+    val day3 = out.find(_.getDate(1).toString == "2024-01-03").get
+    assert(day3.getAs[Long]("d_hi") === 0L)
+  }
+
+  test("mfi: all-rising typical price gives MFI 100 after the first bar") {
+    val out = Analytics.mfi(oneTickPanel((1 to 8).map(_ * 10.0))).collect()
+    val first = out.find(_.getDate(1).toString == "2024-01-01").get
+    assert(first.getAs[Any]("mfi") == null)                   // 0/0 flows
+    out.filter(_.getDate(1).toString != "2024-01-01").foreach { r =>
+      assert(r.getAs[Double]("mfi") === 100.0)
+    }
+  }
+
+  test("elder_ray: flat series has zero bull and bear power") {
+    val out = Analytics.elderRay(oneTickPanel(Seq.fill(6)(42.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("ema") === 42.0)
+      assert(r.getAs[Double]("bull_power") === 0.0)
+      assert(r.getAs[Double]("bear_power") === 0.0)
+    }
+  }
+
+  test("force_index: +1/day at one tick per day smooths to exactly 1") {
+    val out = Analytics.forceIndex(oneTickPanel((1 to 7).map(_.toDouble))).collect()
+    assert(out.length === 6)                                  // first bar dropped
+    out.foreach { r =>
+      assert(r.getAs[Double]("fi") === 1.0)
+      assert(r.getAs[Double]("fi_ema") === 1.0)               // EW mean of constant
+    }
+  }
+
+  test("vortex: constant-geometry bars give VI+ 1.2 and VI- 0.8") {
+    // bars (low, high) = (10i, 10i+2), close = high: vm+ = 12, vm- = 8,
+    // tr = |high − prevClose| = 10 every bar → ratios constant
+    val out = Analytics.vortex(twoTickPanel((1 to 6).map(i => (10.0 * i, 10.0 * i + 2)))).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getAs[Double]("vi_plus") === 1.2)
+      assert(r.getAs[Double]("vi_minus") === 0.8)
+    }
+  }
+
+  test("chaikin_osc: close-at-high accumulates volume and trends positive") {
+    // close = high every bar → CLV = 1 → AD = cumulative tick count (2/day)
+    val out = Analytics.chaikinOsc(twoTickPanel((1 to 8).map(i => (10.0 * i, 10.0 * i + 2))))
+      .collect().sortBy(_.getDate(1).toString)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("ad") === 2.0 * (i + 1))
+    }
+    assert(out.head.getAs[Double]("chaikin") === 0.0)         // single-element EMAs
+    out.tail.foreach(r => assert(r.getAs[Double]("chaikin") > 0.0)) // short EMA leads on a rising line
+  }
+
+  test("kelly_fraction: two-return fixture matches the closed form") {
+    // rets 0.1, −0.05: mean .025, sample var (2·.0125 − .0025)/2 = .01125,
+    // kelly = .025/.01125 = 2.2222…
+    val out = Analytics.kellyFraction(oneTickPanel(Seq(100.0, 110.0, 104.5))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_days") === 2L)
+    assert(math.abs(out.head.getAs[Double]("mean_ret") - 0.025) < 1e-9)
+    assert(math.abs(out.head.getAs[Double]("kelly") - 2.222222) < 1e-6)
+  }
+
+  test("kelly_fraction: zero variance yields NULL kelly") {
+    // constant +10% return each day → variance 0
+    val out = Analytics.kellyFraction(oneTickPanel(Seq(100.0, 110.0, 121.0))).collect()
+    assert(out.head.getAs[Any]("kelly") == null)
+  }
+
+  test("tail_ratio: k=1 cut is best/|worst| return") {
+    // 20 returns → k = 1; best +0.2, worst −0.1 → ratio 2
+    val rets = Seq(0.2, -0.1) ++ Seq.fill(18)(0.01)
+    val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.tailRatio(oneTickPanel(values)).collect()
+    assert(out.head.getAs[Long]("n_tail") === 1L)
+    assert(math.abs(out.head.getAs[Double]("lo") - -0.1) < 1e-6)
+    assert(math.abs(out.head.getAs[Double]("hi") - 0.2) < 1e-6)
+    assert(math.abs(out.head.getAs[Double]("tail_ratio") - 2.0) < 1e-5)
+  }
+
+  test("tail_ratio: non-negative worst return yields NULL ratio") {
+    val values = Seq.fill(5)(0.05).scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.tailRatio(oneTickPanel(values)).collect()
+    assert(out.head.getAs[Any]("tail_ratio") == null)
+  }
+
+  test("rolling_sharpe: constant dyadic returns have exactly zero vol hence NULL") {
+    // ret = 0.5 exactly each day: the variance folds cancel to a true 0
+    // (dyadic values — no FP epsilon), so the sd==0 guard must fire
+    val values = Seq.fill(6)(0.5).scanLeft(128.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.rollingSharpe(oneTickPanel(values)).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Any]("roll_sharpe") == null))
+  }
+
+  test("rolling_sharpe: matches the direct mean/sd of the window") {
+    val rets = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
+    val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.rollingSharpe(oneTickPanel(values)).collect()
+      .sortBy(_.getDate(1).toString)
+    val last = out.last.getAs[Double]("roll_sharpe")
+    val r6 = rets.map(r => math.floor(r * 1e6 + 0.5) / 1e6)
+    val n = r6.length
+    val mean = r6.sum / n
+    val sd = math.sqrt((n * r6.map(x => x * x).sum - r6.sum * r6.sum) / (n.toDouble * (n - 1)))
+    val want = math.floor(mean / sd * 1e6 + 0.5) / 1e6
+    assert(math.abs(last - want) < 1e-6, s"got $last want $want")
+  }
+}
