@@ -610,6 +610,20 @@ object SparkEntry {
       Analytics.tailRatio(Tables.panel(s, dir))),
     "rolling_sharpe" -> ((s, dir) =>
       Analytics.rollingSharpe(Tables.panel(s, dir))),
+    "dup_inflation" -> ((s, dir) =>
+      Dedup.dupInflation(Tables.documents(s, dir), jaccardPairsShared(s, dir))),
+    "token_gini" -> ((s, dir) =>
+      Pipeline.tokenGini(Tables.documents(s, dir))),
+    "gopher_rules" -> ((s, dir) =>
+      Pipeline.gopherRules(Tables.documents(s, dir))),
+    "lm_score_buckets" -> ((s, dir) =>
+      Pipeline.lmScoreBuckets(Tables.documents(s, dir))),
+    "dsir_weights" -> ((s, dir) =>
+      Pipeline.dsirWeights(Tables.documents(s, dir))),
+    "embedding_anisotropy" -> ((s, dir) =>
+      Similarity.embeddingAnisotropy(Tables.embeddings(s, dir))),
+    "doc_outliers" -> ((s, dir) =>
+      Similarity.docOutliers(Tables.embeddings(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -1871,6 +1885,177 @@ object SparkEntry {
          |  floor(((s / n) /
          |        nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS roll_sharpe
          |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
+    "dup_inflation" ->
+      s"""$clustersCtes,
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |j AS (
+         |  SELECT tk.source, tk.n_toks, (cl.cluster_id <> tk.doc_id) AS is_dup
+         |  FROM tk JOIN cl USING (doc_id)),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |         CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+         |         CAST(sum(CASE WHEN is_dup THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_dup
+         |  FROM j GROUP BY source)
+         |SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
+         |  CASE WHEN tokens_total - tokens_dup = 0 THEN NULL
+         |       ELSE (1000 * tokens_total) // (tokens_total - tokens_dup) END AS inflation_pm
+         |FROM g ORDER BY source""".stripMargin,
+    "token_gini" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_toks,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS i
+        |  FROM tk),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |         CAST(sum(i * n_toks) AS BIGINT) AS s_ix
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  CASE WHEN n_docs * total_tokens = 0 THEN NULL
+        |       ELSE (1000 * (2 * s_ix - (n_docs + 1) * total_tokens)) // (n_docs * total_tokens) END AS gini_pm
+        |FROM g ORDER BY source""".stripMargin,
+    "gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |         string_split(text, chr(10)) AS lines,
+        |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_wlen,
+        |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, sum_wlen, n_sym,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+        |         CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis,
+        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |         (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+        |         (n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) AS rule_mean_word_len,
+        |         (10 * n_sym <= n_words) AS rule_symbol_ratio,
+        |         (10 * n_bullet <= 9 * n_lines) AS rule_bullet,
+        |         (10 * n_ellipsis <= 3 * n_lines) AS rule_ellipsis,
+        |         (10 * n_alpha >= 8 * n_words) AS rule_alpha,
+        |         (n_stop >= 2) AS rule_stopwords
+        |  FROM c)
+        |SELECT doc_id, n_words, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+        |  rule_bullet, rule_ellipsis, rule_alpha, rule_stopwords,
+        |  (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND rule_bullet
+        |   AND rule_ellipsis AND rule_alpha AND rule_stopwords) AS pass_gopher
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "lm_score_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, u.a AS tok_a, u.b AS tok_b FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                                         i -> {'a': toks[i], 'b': toks[i + 1]})) AS u
+        |    FROM t) z),
+        |uc AS (
+        |  SELECT tok AS tok_a, CAST(count(*) AS BIGINT) AS c_a
+        |  FROM (SELECT unnest(toks) AS tok FROM t) q GROUP BY tok),
+        |pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b2 GROUP BY tok_a, tok_b),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum((c_ab * 1000000) // c_a) // count(*) AS BIGINT) AS lm_ppm
+        |  FROM b2 JOIN pc USING (tok_a, tok_b) JOIN uc USING (tok_a)
+        |  GROUP BY doc_id),
+        |j AS (SELECT d.source, sc.lm_ppm, sc.doc_id FROM sc JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT source, lm_ppm,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY lm_ppm, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM j),
+        |bk AS (SELECT source, ((rk - 1) * 3) // n_src + 1 AS bucket, lm_ppm FROM r)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  min(lm_ppm) AS min_ppm, max(lm_ppm) AS max_ppm,
+        |  CAST(sum(lm_ppm) AS BIGINT) // count(*) AS mean_ppm
+        |FROM bk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |         CAST(count(*) AS BIGINT) AS c_r
+        |  FROM t GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r,
+        |         count(*) AS v
+        |  FROM vocab),
+        |lr AS (
+        |  SELECT tok, CAST(round(ln(
+        |           (CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE)) /
+        |           (CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lnr_micro
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_toks, CAST(sum(lnr_micro) AS BIGINT) AS dsir_micro
+        |FROM t JOIN lr USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "embedding_anisotropy" ->
+      """WITH x AS (
+        |  SELECT CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v
+        |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos)),
+        |p AS (
+        |  SELECT pos, count(*) AS n_vecs,
+        |         CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m,
+        |         CAST(sum(CAST(round(v * v, 12) AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS ex2
+        |  FROM x GROUP BY pos),
+        |q AS (
+        |  SELECT pos, n_vecs,
+        |         floor(m * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+        |         greatest(floor((ex2 - m * m) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS var_val
+        |  FROM p),
+        |r AS (SELECT pos, n_vecs, mean_val, var_val,
+        |             CAST(round(var_val * 1000000.0) AS BIGINT) AS var_micro FROM q),
+        |tt AS (SELECT CAST(sum(var_micro) AS BIGINT) AS total_micro FROM r)
+        |SELECT pos, n_vecs, mean_val, var_val,
+        |  CASE WHEN total_micro = 0 THEN NULL ELSE (1000 * var_micro) // total_micro END AS var_share_pm
+        |FROM r CROSS JOIN tt ORDER BY pos""".stripMargin,
+    "doc_outliers" ->
+      """WITH x AS (
+        |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v
+        |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos)),
+        |c AS (
+        |  SELECT label, pos,
+        |         floor((CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM x GROUP BY label, pos),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM c GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (a, x) -> a + x) AS vv,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * cv.cvec[i])), (a, x) -> a + x) AS vm,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(cv.cvec) + 1),
+        |      i -> cv.cvec[i] * cv.cvec[i])), (a, x) -> a + x) AS mm
+        |  FROM embeddings e JOIN cv USING (label)),
+        |r AS (
+        |  SELECT label, vec_id,
+        |         floor((vv - 2.0 * vm + mm) * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        |  FROM d),
+        |rk AS (
+        |  SELECT label, vec_id, dist2,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rank
+        |  FROM r)
+        |SELECT label, vec_id, dist2, rank
+        |FROM rk WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "keltner" ->
       s"""$panelCte,
          |$barsCte,

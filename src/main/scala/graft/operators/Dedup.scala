@@ -554,6 +554,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("doc_id"))
 
+  /** C73 `dup_inflation` — TOKEN-weighted duplication per source: doc
+    * counts understate duplication when the duplicated documents are
+    * the long ones, and token mass is what the training-compute bill
+    * is denominated in. A document is "duplicate mass" when it is not
+    * its cluster's canonical (cluster label = min doc_id, the
+    * [[dedupSurvivors]] convention); inflation_pm = 1000·total/unique
+    * tokens. NULL when a source's every token is duplicate mass (its
+    * canonicals all live in other sources). Rides [[nearDupClusters]]'
+    * O(duplicates) labeling + one corpus scan for token counts — all
+    * integer arithmetic after the join.
+    */
+  def dupInflation(documents: DataFrame, pairs: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_toks"))
+      .join(nearDupClusters(documents, pairs), Seq("doc_id"))
+      .withColumn("is_dup", col("cluster_id") =!= col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("is_dup"), col("n_toks")).otherwise(lit(0L))).as("tokens_dup"))
+      .withColumn("inflation_pm", expr(
+        """CASE WHEN tokens_total - tokens_dup = 0 THEN NULL
+          |ELSE (1000 * tokens_total) div (tokens_total - tokens_dup) END""".stripMargin))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("tokens_total"), col("tokens_dup"), col("inflation_pm"))
+      .orderBy(col("source"))
+
   /** C4 `ngram_jaccard` — n-gram shingle Jaccard pairs ≥ threshold.
     * Candidates via the inverted shingle index (explode + equality
     * join); |∩| from the join, |∪| from per-doc set sizes. At corpus

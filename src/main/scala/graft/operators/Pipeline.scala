@@ -1078,4 +1078,143 @@ object Pipeline {
         when(col("n_union") === 0, lit(null))
           .otherwise(expr("(1000 * n_common) div n_union")).as("jaccard_pm"))
   }
+
+  /** C74 `token_gini` — token-mass concentration per source: the Gini
+    * coefficient of per-document token counts, from the rank-weighted
+    * form G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over counts sorted
+    * ascending (doc_id tie-break → total order). A source whose token
+    * mass sits in a few giant documents (high Gini) behaves very
+    * differently under document-level dedup/sampling than its doc
+    * count suggests — this is the one-number screen for that. ALL
+    * arithmetic is integer (ranks × counts), output integer per-mille:
+    * exact under any engine. One scan + one rank window + one
+    * aggregate, all partitioned by source.
+    */
+  def tokenGini(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_toks"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("i") * col("n_toks")).as("s_ix"))
+      .withColumn("gini_pm", expr(
+        """CASE WHEN n_docs * total_tokens = 0 THEN NULL
+          |ELSE (1000 * (2 * s_ix - (n_docs + 1) * total_tokens)) div (n_docs * total_tokens) END""".stripMargin))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("gini_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** C77 `gopher_rules` — the named Gopher quality-filter rules (Rae et
+    * al. 2021, table A1) as explicit per-document booleans, one scan:
+    * word count in [50, 100k], mean word length in [3, 10], symbol
+    * ("#"/"...")-to-word ratio ≤ 0.1, ≤ 90% bullet-started lines,
+    * ≤ 30% ellipsis-ended lines, ≥ 80% words with an alphabetic char,
+    * ≥ 2 stopword hits. [[qualitySignals]] is the composite gate; this
+    * is the per-rule diagnosis a filter-tuning pass reads (which rule
+    * kills which source). Every ratio test is cross-multiplied to
+    * INTEGER comparisons (3n ≤ Σlen ≤ 10n etc.) — no division, no FP,
+    * exact in any engine.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val lines = split(col("text"), "\n")
+    documents
+      .withColumn("toks", toks)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_wlen", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .withColumn("n_sym",
+        (regexp_count(col("text"), lit("#")) + regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet", size(filter(lines,
+        l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long"))
+      .withColumn("n_ellipsis", size(filter(lines,
+        l => trim(l).endsWith("..."))).cast("long"))
+      .withColumn("n_alpha", size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isInCollection(stops))).cast("long"))
+      .withColumn("rule_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_word_len", col("n_words") > 0 &&
+        col("sum_wlen") >= lit(3L) * col("n_words") &&
+        col("sum_wlen") <= lit(10L) * col("n_words"))
+      .withColumn("rule_symbol_ratio", lit(10L) * col("n_sym") <= col("n_words"))
+      .withColumn("rule_bullet", lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+      .withColumn("rule_ellipsis", lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines"))
+      .withColumn("rule_alpha", lit(10L) * col("n_alpha") >= lit(8L) * col("n_words"))
+      .withColumn("rule_stopwords", col("n_stop") >= 2)
+      .withColumn("pass_gopher",
+        col("rule_word_count") && col("rule_mean_word_len") && col("rule_symbol_ratio") &&
+          col("rule_bullet") && col("rule_ellipsis") && col("rule_alpha") && col("rule_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("rule_word_count"),
+        col("rule_mean_word_len"), col("rule_symbol_ratio"), col("rule_bullet"),
+        col("rule_ellipsis"), col("rule_alpha"), col("rule_stopwords"), col("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C79 `lm_score_buckets` — CCNet-style perplexity bucketing: each
+    * source's documents split into head/middle/tail terciles by their
+    * [[lmScore]] bigram fluency (rank-based integer cut
+    * `((rk−1)·3) div n + 1` — the portable [[Analytics.momentumXsec]]
+    * quintile idiom, no percentile interpolation), with per-bucket doc
+    * counts and score ranges. This is the artifact a mixture designer
+    * reads to keep a source's fluent head and drop its tail. All
+    * integer after the lm scores (which are themselves integer ppm) —
+    * exact replay.
+    */
+  def lmScoreBuckets(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("lm_ppm"), col("doc_id"))
+    val n = count(lit(1)).over(Window.partitionBy(col("source")))
+    lmScore(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", n.cast("long"))
+      .withColumn("bucket", expr("((rk - 1) * 3) div n_src + 1"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_ppm")).as("min_ppm"),
+        max(col("lm_ppm")).as("max_ppm"),
+        sum(col("lm_ppm")).as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm div n_docs"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("min_ppm"), col("max_ppm"), col("mean_ppm"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** C78 `dsir_weights` — Data Selection via Importance Resampling
+    * (Xie et al. 2023) log-importance weights: per document,
+    * Σ_tokens ln(p_target(w)/p_raw(w)) under add-one-smoothed unigram
+    * models — here target = the `targetLang` slice, raw = the whole
+    * corpus (the "reweight the crawl toward the target distribution"
+    * primitive; sampling by these weights is [[weightedSample]]).
+    *
+    * Determinism: the per-TOKEN log-ratio is computed once per
+    * VOCABULARY word (ratio of identically-computed doubles, ONE ln
+    * call) and immediately micro-rounded to an integer; each document
+    * then SUMS integers — order-insensitive, so the only FP surface is
+    * the bounded vocab table, same ln discipline as [[zipfSlope]].
+    * Scale shape: two vocab aggregates + one broadcast-sized totals
+    * row + one token join against the vocab table — all linear.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    // both models in ONE vocab aggregate (a conditional count), not a
+    // target aggregate joined back — saves two token-keyed exchanges
+    val vocab = toks.groupBy(col("tok")).agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val totals = vocab.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    val lnr = vocab.crossJoin(broadcast(totals))
+      .withColumn("lnr_micro", round(log(
+        ((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double")) /
+          ((col("c_r") + 1).cast("double") / (col("n_r") + col("v")).cast("double"))) * lit(1000000.0)).cast("long"))
+      .select(col("tok"), col("lnr_micro"))
+    toks.join(lnr, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lnr_micro")).as("dsir_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -368,4 +368,68 @@ object Similarity {
           .cast("long").cast("double") / lit(1000000.0))
       .select(col("label"), col("n_vecs"), col("min_norm"), col("max_norm"), col("mean_norm"))
       .orderBy(col("label"))
+
+  /** C75 `embedding_anisotropy` — global per-dimension variance profile
+    * plus each dimension's share of total variance. The standard "rogue
+    * dimension" screen: transformer embeddings are known to concentrate
+    * variance in a few dims (anisotropy), which silently dominates
+    * cosine similarity — a per-dim var_share far above 1/dim says
+    * whitening is needed before the ANN index is built. Same decimal
+    * -exact sum discipline as [[labelCentroids]], one dim-bounded
+    * aggregate; the share is integer per-mille over micro-variances
+    * (no cross-row FP). Tiny negative rounded variances clamp to 0 so
+    * the integer division never sees a negative operand.
+    */
+  def embeddingAnisotropy(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 15)
+    val perDim = embeddings
+      .select(posexplode(toDouble(col("embedding"))))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("col").cast(dec)).cast("double") / count(lit(1))).as("m"),
+        (sum(round(col("col") * col("col"), 12).cast(dec)).cast("double") / count(lit(1))).as("ex2"))
+      .select(col("pos"), col("n_vecs"), u6(col("m")).as("mean_val"),
+        greatest(u6(col("ex2") - col("m") * col("m")), lit(0.0)).as("var_val"))
+      .withColumn("var_micro", round(col("var_val") * lit(1000000.0)).cast("long"))
+    // Grand total as an empty-frame window over the dim-bounded rows —
+    // the benford idiom; crossJoin(broadcast(1-row)) would plan as a
+    // BroadcastNestedLoopJoin (the plan-audit anti-pattern).
+    perDim
+      .withColumn("total_micro", sum(col("var_micro")).over(Window.partitionBy()))
+      .withColumn("var_share_pm", expr(
+        "CASE WHEN total_micro = 0 THEN NULL ELSE (1000 * var_micro) div total_micro END"))
+      .select(col("pos"), col("n_vecs"), col("mean_val"), col("var_val"), col("var_share_pm"))
+      .orderBy(col("pos"))
+  }
+
+  /** C76 `doc_outliers` — per-label embedding outliers: the k vectors
+    * farthest from their own label's centroid by squared Euclidean
+    * distance — the mislabeled/garbage screen run before a labeled
+    * batch trains anything. dist² expands to |v|² − 2⟨v,c⟩ + |c|² so
+    * each row costs three codegen'd dot kernels against the BROADCAST
+    * centroid table (labels are few; the corpus never shuffles).
+    * Centroid components are u6-rounded before use and dist² is
+    * u6-rounded before ranking, so the (dist² desc, vec_id) order —
+    * and therefore the top-k — is engine-exact.
+    */
+  def docOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 15)
+    val cent = embeddings
+      .select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(dec)).cast("double") / count(lit(1))).as("m"))
+      .select(col("label"), col("pos"), u6(col("m")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cvec"))
+    val v = toDouble(col("embedding"))
+    embeddings.join(broadcast(cent), Seq("label"))
+      .withColumn("dist2", u6(
+        dot(v, v) - lit(2.0) * dot(v, col("cvec")) + dot(col("cvec"), col("cvec"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding",  // block-tiled all-pairs: broadcast block spine
     "ann_recall_report", // contains ann_topk's corpus ⨝ broadcast(5 probes)
     "knn_classify",     // corpus ⨝ broadcast(20 probe vectors)
-    "domain_mix")       // per-source rows ⨝ broadcast(1-row corpus totals)
+    "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
+    "dsir_weights")     // vocab rows ⨝ broadcast(1-row model totals)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
@@ -101,6 +102,19 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("aroon", "mfi", "elder_ray", "force_index", "vortex",
         "chaikin_osc", "kelly_fraction", "tail_ratio", "rolling_sharpe"))
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    // round-7 pipeline wave: gopher_rules is scan + sort only; the
+    // others are bounded-aggregate chains (rank windows and per-dim /
+    // per-label aggregates re-use or broadcast their partitioning)
+    assert(shuffles("gopher_rules") <= 1,
+      s"gopher_rules must stay map-only + sort: ${shuffles("gopher_rules")}")
+    assert(shuffles("token_gini") <= 3,
+      s"token_gini exceeded rank + agg + sort: ${shuffles("token_gini")}")
+    assert(shuffles("embedding_anisotropy") <= 3,
+      s"embedding_anisotropy exceeded dim-agg + total + sort: ${shuffles("embedding_anisotropy")}")
+    assert(shuffles("doc_outliers") <= 5,
+      s"doc_outliers exceeded centroid build + rank + sort: ${shuffles("doc_outliers")}")
+    assert(shuffles("dsir_weights") <= 5,
+      s"dsir_weights exceeded vocab agg + totals + token join + doc agg + sort: ${shuffles("dsir_weights")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, Similarity}
+
+/** Hand-computed fixtures for the round-7 pipeline additions
+  * (C73-C79): dup_inflation, token_gini, embedding_anisotropy,
+  * doc_outliers, gopher_rules, dsir_weights, lm_score_buckets.
+  */
+class Round7PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dup_inflation: token mass of non-canonical cluster members per source") {
+    val d = docs(
+      (1L, "a b c d", "en", "web"),   // canonical of {1,2}
+      (2L, "a b c", "en", "web"),     // dup: 3 tokens
+      (3L, "x y", "en", "web"),       // singleton
+      (4L, "p q r", "en", "books"))   // singleton, other source
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupInflation(d, pairs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_dup_docs") === 1L)
+    assert(web.getAs[Long]("tokens_total") === 9L)
+    assert(web.getAs[Long]("tokens_dup") === 3L)
+    assert(web.getAs[Long]("inflation_pm") === 1500L)          // 9000/6
+    val books = out("books")
+    assert(books.getAs[Long]("n_dup_docs") === 0L)
+    assert(books.getAs[Long]("inflation_pm") === 1000L)
+  }
+
+  test("token_gini: uniform counts score 0; one-doc concentration scores (n-1)/n") {
+    val d = docs(
+      (1L, "a b", "en", "even"), (2L, "c d", "en", "even"), (3L, "e f", "en", "even"),
+      (4L, "", "en", "skew"), (5L, "", "en", "skew"),
+      (6L, "", "en", "skew"), (7L, "w w w w w w w w w w", "en", "skew"))
+    val out = Pipeline.tokenGini(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("even").getAs[Long]("gini_pm") === 0L)
+    // n=4, all 10 tokens in the top-ranked doc: G = (n−1)/n = 750‰
+    assert(out("skew").getAs[Long]("total_tokens") === 10L)
+    assert(out("skew").getAs[Long]("gini_pm") === 750L)
+  }
+
+  test("gopher_rules: a clean document passes; defects trip their own rule") {
+    val clean = (("the quick brown fox jumps over the lazy dog and that " * 6) +
+      "words have with more filler here now").trim                    // >50 words, stopwords, alpha
+    val symbols = "the of and " + Seq.fill(60)("x####").mkString(" ") // symbol ratio blown
+    val nostop = Seq.fill(60)("zebra").mkString(" ")                  // no stopwords, repetitive
+    val d = docs((1L, clean, "en", "s"), (2L, symbols, "en", "s"), (3L, nostop, "en", "s"))
+    val out = Pipeline.gopherRules(d).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass_gopher"), out(1L).toString)
+    assert(!out(2L).getAs[Boolean]("rule_symbol_ratio"))
+    assert(out(2L).getAs[Boolean]("rule_stopwords"))
+    assert(!out(3L).getAs[Boolean]("rule_stopwords"))
+    assert(out(3L).getAs[Boolean]("rule_alpha"))
+  }
+
+  test("lm_score_buckets: six docs split 2/2/2 with monotone score ranges") {
+    // six two-word docs sharing token "t": bigram stats differ per doc
+    val texts = Seq("t a t a t a", "t a t a t b", "t b t b t b",
+      "t c t c t c", "t c t d t d", "t d t d t e")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "en", "s") }: _*)
+    val out = Pipeline.lmScoreBuckets(d).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 2L, 2L))
+    // tercile ranges never overlap: max of bucket k ≤ min of bucket k+1
+    val (mins, maxs) = (out.map(_.getAs[Long]("min_ppm")), out.map(_.getAs[Long]("max_ppm")))
+    assert(maxs(0) <= mins(1) && maxs(1) <= mins(2))
+  }
+
+  test("dsir_weights: target-only words pull positive, off-target negative") {
+    val d = docs(
+      (1L, "hello hello hello", "en", "s"),   // target-exclusive token
+      (2L, "hello bonjour", "fr", "s"),
+      (3L, "bonjour bonjour bonjour", "fr", "s"))
+    val out = Pipeline.dsirWeights(d).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "hello": c_t=3 of n_t=3; c_r=4 of n_r=8 → ratio > 1 → positive
+    assert(out(1L).getAs[Long]("dsir_micro") > 0L)
+    assert(out(1L).getAs[Long]("n_toks") === 3L)
+    // "bonjour": c_t=0 → ratio < 1 → negative
+    assert(out(3L).getAs[Long]("dsir_micro") < 0L)
+  }
+
+  test("embedding_anisotropy: single varying dim takes the whole variance share") {
+    val vecs = Seq(
+      (1L, Seq(0f, 5f, 1f), 0), (2L, Seq(4f, 5f, 1f), 0),
+      (3L, Seq(8f, 5f, 1f), 0), (4L, Seq(12f, 5f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingAnisotropy(vecs).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Double]("var_val") === 20.0)           // E[x²]−E[x]² of 0,4,8,12
+    assert(out(0).getAs[Long]("var_share_pm") === 1000L)
+    assert(out(1).getAs[Double]("var_val") === 0.0)
+    assert(out(1).getAs[Long]("var_share_pm") === 0L)
+    assert(out(2).getAs[Double]("mean_val") === 1.0)
+  }
+
+  test("doc_outliers: the far point ranks first with its exact distance") {
+    val vecs = Seq(
+      (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
+      (10L, Seq(1f, 1f), 8), (11L, Seq(1f, 1f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.docOutliers(vecs, k = 2).collect()
+    val l7 = out.filter(_.getInt(0) == 7)
+    assert(l7.head.getAs[Long]("vec_id") === 3L)               // centroid (3,0): dist² 36
+    assert(l7.head.getAs[Double]("dist2") === 36.0)
+    assert(l7(1).getAs[Double]("dist2") === 9.0)
+    val l8 = out.filter(_.getInt(0) == 8)
+    assert(l8.forall(_.getAs[Double]("dist2") == 0.0))         // coincident points
+  }
+}
