@@ -624,6 +624,22 @@ object SparkEntry {
       Similarity.embeddingAnisotropy(Tables.embeddings(s, dir))),
     "doc_outliers" -> ((s, dir) =>
       Similarity.docOutliers(Tables.embeddings(s, dir))),
+    "rogers_satchell" -> ((s, dir) =>
+      Analytics.rogersSatchell(Tables.panel(s, dir))),
+    "trix" -> ((s, dir) =>
+      Analytics.trix(Tables.panel(s, dir))),
+    "dpo" -> ((s, dir) =>
+      Analytics.dpo(Tables.panel(s, dir))),
+    "coppock" -> ((s, dir) =>
+      Analytics.coppock(Tables.panel(s, dir))),
+    "corwin_schultz" -> ((s, dir) =>
+      Analytics.corwinSchultz(Tables.panel(s, dir))),
+    "vol_cone" -> ((s, dir) =>
+      Analytics.volCone(Tables.panel(s, dir))),
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedDedup(Tables.documents(s, dir))),
+    "kcenter_coreset" -> ((s, dir) =>
+      Similarity.kcenterCoreset(Tables.embeddings(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -966,6 +982,57 @@ object SparkEntry {
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT CAST($sums AS BIGINT) AS stage_reached, count(*) AS n_users
        |FROM p0 u GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.kcenterCoreset]]:
+    * the greedy farthest-first traversal unrolled into one CTE chain
+    * per round (the [[funnelOracle]] pattern for iterative operators).
+    * Each round: dist² to the new center via the same vv − 2⟨v,c⟩ + cc
+    * fold order as the Spark kernels, u6-rounded, folded into the
+    * running min; argmax by (mind DESC, vec_id) replays the struct-max
+    * tie-break.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def vmFold(row: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($row.v) + 1), q -> $row.v[q] * $c.cv[q])), (a, x) -> a + x)"
+    val head =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), q -> v[q] * v[q])), (a, x) -> a + x) AS vv
+        |  FROM e),
+        |s1 AS (SELECT min(vec_id) AS id, CAST(NULL AS DOUBLE) AS r FROM e),
+        |c1 AS (SELECT d.v AS cv, d.vv AS cc FROM dots d JOIN s1 ON d.vec_id = s1.id),
+        |m1 AS (
+        |  SELECT d.vec_id, d.v, d.vv,
+        |         floor((d.vv - 2.0 * """.stripMargin +
+        vmFold("d", "c1") +
+        """ + c1.cc) * 1000000.0 + 0.5) / 1000000.0 AS mind
+          |  FROM dots d CROSS JOIN c1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val excl = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      val sel =
+        s"""s$i AS (
+           |  SELECT vec_id AS id, mind AS r FROM m${i - 1}
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      val upd =
+        if (i < k)
+          s""",
+             |c$i AS (SELECT d.v AS cv, d.vv AS cc FROM dots d JOIN s$i ON d.vec_id = s$i.id),
+             |m$i AS (
+             |  SELECT m.vec_id, m.v, m.vv,
+             |         least(m.mind, floor((m.vv - 2.0 * ${vmFold("m", s"c$i")} + c$i.cc) * 1000000.0 + 0.5) / 1000000.0) AS mind
+             |  FROM m${i - 1} m CROSS JOIN c$i)""".stripMargin
+        else ""
+      ",\n" + sel + upd
+    }.mkString("\n")
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS sel_order, id AS vec_id, r AS radius FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"$head$steps\n$union\nORDER BY sel_order"
   }
 
   /** Polynomial rolling hash of a string column `s` — DuckDB replay of
@@ -2028,6 +2095,161 @@ object SparkEntry {
         |SELECT pos, n_vecs, mean_val, var_val,
         |  CASE WHEN total_micro = 0 THEN NULL ELSE (1000 * var_micro) // total_micro END AS var_share_pm
         |FROM r CROSS JOIN tt ORDER BY pos""".stripMargin,
+    "rogers_satchell" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date,
+         |         floor((ln(high / close) * ln(high / open) + ln(low / close) * ln(low / open)) * 1000000.0 + 0.5) / 1000000.0 AS x
+         |  FROM bars WHERE low > 0),
+         |f AS (
+         |  SELECT asset_id, date, x,
+         |         list(x) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b),
+         |g AS (
+         |  SELECT asset_id, date, x, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, y) -> a + y) AS s
+         |  FROM f)
+         |SELECT asset_id, date, x,
+         |  floor((sqrt(greatest(s / n, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS rs_vol
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "trix" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f1 AS (SELECT asset_id, date, list(close) OVER w AS arr FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g1 AS (SELECT asset_id, date,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e1
+         |  FROM f1),
+         |f2 AS (SELECT asset_id, date, list(e1) OVER w AS arr FROM g1
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g2 AS (SELECT asset_id, date,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e2
+         |  FROM f2),
+         |f3 AS (SELECT asset_id, date, list(e2) OVER w AS arr FROM g2
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g3 AS (SELECT asset_id, date,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e3
+         |  FROM f3)
+         |SELECT asset_id, date, e3,
+         |  floor((e3 / nullif(lag(e3) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS trix
+         |FROM g3 ORDER BY asset_id, date""".stripMargin,
+    "dpo" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(close) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr,
+         |         lag(close, 11) OVER (PARTITION BY asset_id ORDER BY date) AS ref_close
+         |  FROM bars),
+         |g AS (
+         |  SELECT asset_id, date, close, ref_close,
+         |         floor((list_reduce(list_prepend(0.0, arr), (a, y) -> a + y) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma
+         |  FROM f)
+         |SELECT asset_id, date, close, sma,
+         |  floor((ref_close - sma) * 1000000.0 + 0.5) / 1000000.0 AS dpo
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "coppock" ->
+      s"""$panelCte,
+         |$barsCte,
+         |r AS (
+         |  SELECT asset_id, date,
+         |    floor((floor((close / nullif(lag(close, 14) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0
+         |         + floor((close / nullif(lag(close, 11) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS rc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |c AS (SELECT asset_id, date, rc FROM r WHERE rc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date, rc,
+         |         list(rc) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM c),
+         |g AS (
+         |  SELECT asset_id, date, rc, len(arr) AS n,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, (x, q) -> x * q)), (a, y) -> a + y) AS wnum
+         |  FROM f)
+         |SELECT asset_id, date, rc,
+         |  floor((wnum / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 2)) * 1000000.0 + 0.5) / 1000000.0 AS coppock
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "corwin_schultz" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(high) OVER a AS ph, lag(low) OVER a AS pl,
+         |         floor((ln(high / low)) * 1000000.0 + 0.5) / 1000000.0 AS x
+         |  FROM bars WHERE low > 0
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |c AS (
+         |  SELECT asset_id, date, x, lag(x) OVER a AS px,
+         |         greatest(high, ph) AS hh, least(low, pl) AS ll
+         |  FROM b
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |d AS (
+         |  SELECT asset_id, date,
+         |         floor((x * x + px * px) * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |         floor((ln(hh / ll) * ln(hh / ll)) * 1000000.0 + 0.5) / 1000000.0 AS gamma
+         |  FROM c WHERE px IS NOT NULL AND ll > 0),
+         |e AS (
+         |  SELECT asset_id, date, beta, gamma,
+         |    floor(((sqrt(2.0 * beta) - sqrt(beta)) / (3.0 - 2.0 * sqrt(2.0))
+         |           - sqrt(gamma / (3.0 - 2.0 * sqrt(2.0)))) * 1000000.0 + 0.5) / 1000000.0 AS alpha
+         |  FROM d)
+         |SELECT asset_id, date, beta, gamma,
+         |  floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0 AS spread,
+         |  greatest(floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS spread_pos
+         |FROM e ORDER BY asset_id, date""".stripMargin,
+    "vol_cone" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f5 AS (SELECT ret, list(ret) OVER (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr FROM rets),
+         |f10 AS (SELECT ret, list(ret) OVER (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr FROM rets),
+         |f21 AS (SELECT ret, list(ret) OVER (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS arr FROM rets),
+         |g5 AS (SELECT floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol FROM (
+         |  SELECT CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f5) WHERE n >= 2),
+         |g10 AS (SELECT floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol FROM (
+         |  SELECT CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f10) WHERE n >= 2),
+         |g21 AS (SELECT floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol FROM (
+         |  SELECT CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f21) WHERE n >= 2),
+         |u AS (SELECT CAST(5 AS BIGINT) AS horizon, vol FROM g5
+         |      UNION ALL SELECT CAST(10 AS BIGINT), vol FROM g10
+         |      UNION ALL SELECT CAST(21 AS BIGINT), vol FROM g21),
+         |cnt AS (SELECT horizon, vol, count(*) AS c FROM u GROUP BY horizon, vol),
+         |cm AS (
+         |  SELECT horizon, vol, c,
+         |         sum(c) OVER (PARTITION BY horizon ORDER BY vol
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(c) OVER (PARTITION BY horizon) AS n_obs
+         |  FROM cnt)
+         |SELECT horizon, CAST(max(n_obs) AS BIGINT) AS n_obs, min(vol) AS v_min,
+         |  min(CASE WHEN cum >= ceil(CAST(n_obs AS DOUBLE) * 0.25) THEN vol END) AS p25,
+         |  min(CASE WHEN cum >= ceil(CAST(n_obs AS DOUBLE) * 0.5) THEN vol END) AS p50,
+         |  min(CASE WHEN cum >= ceil(CAST(n_obs AS DOUBLE) * 0.75) THEN vol END) AS p75,
+         |  max(vol) AS v_max
+         |FROM cm GROUP BY horizon ORDER BY horizon""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+    "kcenter_coreset" -> kcenterOracle(8),
     "doc_outliers" ->
       """WITH x AS (
         |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v

@@ -3086,4 +3086,170 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("ret"), col("roll_sharpe"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B104 `rogers_satchell` — Rogers–Satchell range volatility: per-bar
+    * term ln(h/c)·ln(h/o) + ln(l/c)·ln(l/o) (each factor pair shares a
+    * sign, so the term is ≥ 0 and drift-free — the estimator's point
+    * vs [[parkinsonVol]]), rolling mean over the frame, square root.
+    * Same ln discipline as parkinson: the u6-rounded per-bar term is
+    * the only FP crossing rows, folds do the rest.
+    */
+  def rogersSatchell(panel: DataFrame, window: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("low") > 0)
+      .withColumn("x", u6(
+        log(col("high") / col("close")) * log(col("high") / col("open")) +
+          log(col("low") / col("close")) * log(col("low") / col("open"))))
+      .withColumn("arr", collect_list(col("x")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .withColumn("rs_vol", u6(sqrt(greatest(
+        Kernels.seqFold(col("arr"), "sum") / col("n"), lit(0.0)))))
+      .select(col("asset_id"), col("date"), col("x"), col("rs_vol"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B105 `trix` — triple-smoothed EMA momentum: three chained
+    * span-bounded EW means of the close (each stage u6-rounded before
+    * feeding the next — the rounding IS the cross-engine contract),
+    * TRIX = day-over-day relative change of the third. Three window
+    * passes over ONE asset_id partitioning — still a single shuffle.
+    */
+  def trix(panel: DataFrame, span: Int = 15): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    def ewMean(c: Column): Column = u6(
+      Kernels.seqFold(collect_list(c).over(frame), "horner", w) /
+        Kernels.seqFold(collect_list(c).over(frame), "horner_count", w))
+    val out = dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("e1", ewMean(col("close")))
+      .withColumn("e2", ewMean(col("e1")))
+      .withColumn("e3", ewMean(col("e2")))
+    val prev = lag(col("e3"), 1).over(byAsset)
+    out
+      .withColumn("trix", u6(col("e3") /
+        when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .select(col("asset_id"), col("date"), col("e3"), col("trix"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B106 `dpo` — detrended price oscillator: close from (span/2 + 1)
+    * bars back minus the span-bar simple mean — the cycle component
+    * with the trend removed. The mean is a frame-ordered fold divided
+    * once; the lag is an exact stored value: one subtraction of two
+    * u6-rounded terms.
+    */
+  def dpo(panel: DataFrame, span: Int = 20): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val shift = span / 2 + 1
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("close")).over(frame))
+      .withColumn("sma", u6(
+        Kernels.seqFold(col("arr"), "sum") / size(col("arr")).cast("double")))
+      .withColumn("ref_close", lag(col("close"), shift).over(byAsset))
+      .withColumn("dpo", u6(col("ref_close") - col("sma")))
+      .select(col("asset_id"), col("date"), col("close"), col("sma"), col("dpo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B107 `coppock` — Coppock curve (daily variant of the classic
+    * monthly momentum gauge): front-weighted moving average (weights
+    * 1..n, newest heaviest) of ROC(14) + ROC(11). The weighted sum is
+    * a zip-with-index product folded in frame order; the weight total
+    * n(n+1)/2 is integer. Bars without both ROCs are dropped so folds
+    * never see nulls.
+    */
+  def coppock(panel: DataFrame, wma: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(wma - 1), Window.currentRow)
+    def roc(k: Int): Column = {
+      val prev = lag(col("close"), k).over(byAsset)
+      u6(col("close") / when(prev === 0, lit(null)).otherwise(prev) - 1)
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("rc", u6(roc(14) + roc(11)))
+      .filter(col("rc").isNotNull)
+      .withColumn("arr", collect_list(col("rc")).over(frame))
+      .withColumn("wnum", Kernels.seqFold(
+        zip_with(col("arr"), sequence(lit(1), size(col("arr"))), (x, i) => x * i), "sum"))
+      .withColumn("coppock", u6(col("wnum") /
+        (size(col("arr")) * (size(col("arr")) + 1) / 2).cast("double")))
+      .select(col("asset_id"), col("date"), col("rc"), col("coppock"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B108 `corwin_schultz` — Corwin–Schultz high–low spread estimator:
+    * the bid–ask spread implied by the ratio of single-bar to two-bar
+    * price ranges (variance grows with time, spread doesn't — that
+    * asymmetry identifies it). β = Σ of the two bars' squared log
+    * ranges, γ = the squared log range of the two-bar envelope,
+    * α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2)),
+    * S = 2(e^α − 1)/(1 + e^α); the customary floor at 0 is kept as a
+    * separate column. Per-bar log ranges are u6-rounded before any
+    * combination; α is u6-rounded before exp so both engines
+    * exponentiate the identical double (the [[parkinsonVol]]/zipf ln
+    * discipline extended to exp).
+    */
+  def corwinSchultz(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val d = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("low") > 0)
+      .withColumn("x", u6(log(col("high") / col("low"))))
+      .withColumn("px", lag(col("x"), 1).over(byAsset))
+      .withColumn("hh", greatest(col("high"), ph))
+      .withColumn("ll", least(col("low"), pl))
+      .filter(col("px").isNotNull && col("ll") > 0)
+      .withColumn("beta", u6(col("x") * col("x") + col("px") * col("px")))
+      .withColumn("gamma", u6(log(col("hh") / col("ll")) * log(col("hh") / col("ll"))))
+      .withColumn("alpha", u6(
+        (sqrt(lit(2.0) * col("beta")) - sqrt(col("beta"))) / d - sqrt(col("gamma") / d)))
+      .withColumn("spread", u6(
+        lit(2.0) * (exp(col("alpha")) - 1) / (lit(1.0) + exp(col("alpha")))))
+      .withColumn("spread_pos", greatest(col("spread"), lit(0.0)))
+      .select(col("asset_id"), col("date"), col("beta"), col("gamma"),
+        col("spread"), col("spread_pos"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B109 `vol_cone` — the volatility cone: the distribution (min /
+    * quartiles / max) of rolling realized vol at several horizons —
+    * the term-structure backdrop an options desk plots a current vol
+    * against. Re-uses [[rollingVolCore]] per horizon (each a single
+    * asset_id shuffle over the SAME scan — Spark shares the cached
+    * read), then one tiny per-horizon aggregate; quantiles are
+    * [[varCvar]]-style integer cuts on the sorted vol array — no
+    * interpolation, engine-exact.
+    */
+  def volCone(panel: DataFrame, horizons: Seq[Int] = Seq(5, 10, 21)): DataFrame = {
+    val perH = horizons.map { h =>
+      rollingVolCore(panel, h).select(lit(h.toLong).as("horizon"), col("vol"))
+    }.reduce(_ unionByName _)
+    // Quantiles via per-DISTINCT-vol counts + a cumulative window — the
+    // ks_drift bounded-global-window shape: the 6-dec vol grid bounds
+    // the window's input by value resolution, not corpus size (a
+    // collect_list of every vol observation would be O(corpus) in one
+    // task). The integer-cut convention matches varCvar: q-quantile =
+    // min vol whose cumulative count ≥ ⌈q·n⌉ ( = sorted[⌈q·n⌉]).
+    val wcum = Window.partitionBy(col("horizon")).orderBy(col("vol"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("horizon"))
+    def cut(q: Double): Column =
+      min(when(col("cum") >= ceil(col("n_obs").cast("double") * q), col("vol")))
+    perH
+      .groupBy(col("horizon"), col("vol")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n_obs", sum(col("c")).over(wtot))
+      .groupBy(col("horizon"))
+      .agg(max(col("n_obs")).as("n_obs"),
+        min(col("vol")).as("v_min"),
+        cut(0.25).as("p25"), cut(0.50).as("p50"), cut(0.75).as("p75"),
+        max(col("vol")).as("v_max"))
+      .orderBy(col("horizon"))
+  }
 }

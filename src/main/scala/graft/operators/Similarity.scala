@@ -432,4 +432,53 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
       .orderBy(col("label"), col("rank"))
   }
+
+  /** C81 `kcenter_coreset` — greedy k-center coreset (Gonzalez 1985
+    * farthest-first traversal): seed with the min vec_id, then k−1
+    * times add the vector farthest from every selected center — the
+    * classic diversity-selection primitive (pick the k most mutually
+    * distant exemplars for a labeling/eval budget). Emits each center
+    * with its selection order and radius (its min-distance to the
+    * prior centers — the coverage radius the corpus had before it was
+    * added).
+    *
+    * Scale shape: each round is ONE distributed aggregate over the
+    * corpus (`max(struct(mind, −vec_id))` — map-side combinable, no
+    * orderBy/limit driver merge) plus a 1-row collect; the running
+    * min-distance column is updated incrementally against the NEW
+    * center only (distances to old centers are already folded into
+    * `mind`), so total work is O(k·n·dim) with k bounded — the
+    * documented bounded-collect pattern ([[Ivf]] centroids). dist² =
+    * |v|² − 2⟨v,c⟩ + |c|², u6-rounded, ties toward the smaller
+    * vec_id: the selection sequence is engine-exact and the DuckDB
+    * oracle replays it with a mechanically-chained CTE per round.
+    */
+  def kcenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")).persist()
+    def dist2To(center: Seq[Double]): Column = {
+      val c = typedLit(center)
+      u6(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), c) + dot(c, c))
+    }
+    def vectorOf(id: Long): Seq[Double] =
+      vecs.filter(col("vec_id") === id).select(col("v")).head.getSeq[Double](0)
+    val seedId = vecs.agg(min(col("vec_id"))).head.getLong(0)
+    var picked = Vector((seedId, Option.empty[Double]))
+    var cur = vecs.withColumn("mind", dist2To(vectorOf(seedId)))
+    for (_ <- 2 to k) {
+      val ids = picked.map(_._1)
+      val s = cur.filter(!col("vec_id").isin(ids: _*))
+        .agg(max(struct(col("mind").as("mind"), (-col("vec_id")).as("negid"))).as("s"))
+        .head.getStruct(0)
+      val (r, id) = (s.getDouble(0), -s.getLong(1))
+      picked :+= ((id, Some(r)))
+      if (picked.length < k)
+        cur = cur.withColumn("mind", least(col("mind"), dist2To(vectorOf(id))))
+    }
+    vecs.unpersist()
+    picked.zipWithIndex.map { case ((id, r), i) => ((i + 1).toLong, id, r) }
+      .toDF("sel_order", "vec_id", "radius")
+      .orderBy(col("sel_order"))
+  }
 }

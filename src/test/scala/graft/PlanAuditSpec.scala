@@ -115,6 +115,13 @@ class PlanAuditSpec extends SparkSpec {
       s"doc_outliers exceeded centroid build + rank + sort: ${shuffles("doc_outliers")}")
     assert(shuffles("dsir_weights") <= 5,
       s"dsir_weights exceeded vocab agg + totals + token join + doc agg + sort: ${shuffles("dsir_weights")}")
+    // round-7 third wave: the bar indicators stay at shuffle+sort;
+    // dedup_normalized is exactly exactDedup's shape
+    for (q <- Seq("rogers_satchell", "trix", "dpo", "coppock",
+        "corwin_schultz", "dedup_normalized"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("vol_cone") <= 8,
+      s"vol_cone exceeded 3 horizon builds + count + window + agg: ${shuffles("vol_cone")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -137,6 +137,94 @@ class Round7OpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Any]("roll_sharpe") == null))
   }
 
+  test("rogers_satchell: constant bar geometry gives vol sqrt(x) exactly") {
+    // ticks [12, 10, 20] per day: o=12 l=10 h=20 c=20 — same x every bar
+    val rows = (1 to 6).flatMap { i =>
+      Seq((1L, d(f"2024-01-$i%02d"), ts(3 * i), 12.0, 3L * i),
+        (1L, d(f"2024-01-$i%02d"), ts(3 * i + 1), 10.0, 3L * i + 1),
+        (1L, d(f"2024-01-$i%02d"), ts(3 * i + 2), 20.0, 3L * i + 2))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.rogersSatchell(rows).collect()
+    val x = out.head.getAs[Double]("x")
+    val want = math.log(20.0 / 20.0) * math.log(20.0 / 12.0) +
+      math.log(10.0 / 20.0) * math.log(10.0 / 12.0)
+    assert(math.abs(x - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(x > 0)
+    out.foreach { r =>      // mean of a constant series is the constant
+      assert(r.getAs[Double]("rs_vol") === math.floor(math.sqrt(x) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("trix: constant close smooths to the constant with zero momentum") {
+    val out = Analytics.trix(oneTickPanel(Seq.fill(8)(42.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    out.foreach(r => assert(r.getAs[Double]("e3") === 42.0))
+    assert(out.head.getAs[Any]("trix") == null)               // no prior e3
+    out.tail.foreach(r => assert(r.getAs[Double]("trix") === 0.0))
+  }
+
+  test("dpo: flat series detrends to zero once the shifted close exists") {
+    val out = Analytics.dpo(oneTickPanel(Seq.fill(14)(17.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    out.take(11).foreach(r => assert(r.getAs[Any]("dpo") == null)) // lag(11) missing
+    out.drop(11).foreach { r =>
+      assert(r.getAs[Double]("sma") === 17.0)
+      assert(r.getAs[Double]("dpo") === 0.0)
+    }
+  }
+
+  test("coppock: flat series yields zero momentum from bar 15 on") {
+    val out = Analytics.coppock(oneTickPanel(Seq.fill(18)(9.0))).collect()
+    assert(out.length === 4)                                  // bars 15-18 have both ROCs
+    out.foreach { r =>
+      assert(r.getAs[Double]("rc") === 0.0)
+      assert(r.getAs[Double]("coppock") === 0.0)
+    }
+  }
+
+  test("corwin_schultz: identical consecutive bars match the closed form") {
+    // every bar (low 10, high 20): x = px = ln 2, envelope = the bar itself
+    val out = Analytics.corwinSchultz(twoTickPanel(Seq.fill(5)((10.0, 20.0)))).collect()
+    assert(out.length === 4)
+    val x = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    val beta = math.floor((x * x + x * x) * 1e6 + 0.5) / 1e6
+    val gamma = math.floor(math.log(2.0) * math.log(2.0) * 1e6 + 0.5) / 1e6
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val alpha = math.floor(((math.sqrt(2.0 * beta) - math.sqrt(beta)) / den -
+      math.sqrt(gamma / den)) * 1e6 + 0.5) / 1e6
+    val spread = math.floor(2.0 * (math.exp(alpha) - 1) / (1.0 + math.exp(alpha)) * 1e6 + 0.5) / 1e6
+    out.foreach { r =>
+      assert(r.getAs[Double]("beta") === beta)
+      assert(r.getAs[Double]("gamma") === gamma)
+      assert(r.getAs[Double]("spread") === spread)
+      assert(r.getAs[Double]("spread_pos") === math.max(spread, 0.0))
+    }
+  }
+
+  test("vol_cone: zero-vol dyadic series collapses every quantile to zero") {
+    val values = Seq.fill(30)(0.5).scanLeft(64.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.volCone(oneTickPanel(values)).collect()
+    assert(out.map(_.getAs[Long]("horizon")).toSeq === Seq(5L, 10L, 21L))
+    out.foreach { r =>
+      assert(r.getAs[Double]("v_min") === 0.0)
+      assert(r.getAs[Double]("p50") === 0.0)
+      assert(r.getAs[Double]("v_max") === 0.0)
+      assert(r.getAs[Long]("n_obs") > 0L)
+    }
+  }
+
+  test("vol_cone: quantiles are ordered on a mixed-vol panel") {
+    val rets = Seq(0.1, -0.05, 0.2, -0.15, 0.08, -0.02, 0.3, -0.25, 0.12, -0.07,
+      0.05, 0.18, -0.12, 0.09, -0.2, 0.15, -0.04, 0.22, -0.17, 0.06)
+    val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.volCone(oneTickPanel(values)).collect()
+    out.foreach { r =>
+      val (mn, p25, p50, p75, mx) = (r.getAs[Double]("v_min"), r.getAs[Double]("p25"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p75"), r.getAs[Double]("v_max"))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx, r.toString)
+    }
+  }
+
   test("rolling_sharpe: matches the direct mean/sd of the window") {
     val rets = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
     val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }

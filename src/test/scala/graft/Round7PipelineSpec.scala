@@ -98,6 +98,29 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out(2).getAs[Double]("mean_val") === 1.0)
   }
 
+  test("dedup_normalized: case/punctuation/whitespace variants collapse to one family") {
+    val d = docs(
+      (1L, "Hello, World!", "en", "s"),
+      (2L, "hello   world", "en", "s"),
+      (3L, "HELLO-WORLD", "en", "s"),
+      (4L, "something else entirely", "en", "s"))
+    val out = Dedup.normalizedDedup(d).collect()
+    assert(out.length === 1)                                   // singleton family dropped
+    assert(out.head.getAs[Long]("keep_id") === 1L)
+    assert(out.head.getAs[Long]("n_docs") === 3L)
+  }
+
+  test("kcenter_coreset: farthest-first traversal picks the known sequence") {
+    val vecs = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(10f, 0f), 0), (3L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kcenterCoreset(vecs, k = 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Any]("radius") == null)              // seed has no radius
+    assert(out(1).getAs[Double]("radius") === 100.0)           // (10,0) vs (0,0)
+    assert(out(2).getAs[Double]("radius") === 1.0)             // min(1, 101)
+  }
+
   test("doc_outliers: the far point ranks first with its exact distance") {
     val vecs = Seq(
       (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
