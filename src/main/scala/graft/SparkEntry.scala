@@ -2248,7 +2248,7 @@ object SparkEntry {
     "dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "kcenter_coreset" -> kcenterOracle(8),
     "doc_outliers" ->
       """WITH x AS (
@@ -4531,7 +4531,7 @@ object SparkEntry {
     "prefix_dups" ->
       """SELECT md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "vol_of_vol" ->
       s"""$panelCte,
          |$dailyCte,

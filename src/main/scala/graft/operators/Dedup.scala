@@ -64,16 +64,16 @@ object Dedup {
     * space, trimmed — the canonical form that catches the
     * re-punctuated / re-wrapped / case-shifted copies [[exactDedup]]
     * misses without paying [[minhashNearDups]]' shingle machinery
-    * (URL-style dedup for bodies instead of URLs). Same cost shape as
-    * exactDedup: one map-side-combinable shuffle on a 128-bit key;
-    * only multi-doc families emitted.
+    * (URL-style dedup for bodies instead of URLs). Same cost and
+    * output shape as exactDedup — every family including singletons
+    * (the survivor list IS the deduplicated corpus manifest) — one
+    * map-side-combinable shuffle on a 128-bit key.
     */
   def normalizedDedup(documents: DataFrame): DataFrame =
     documents
       .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
         .as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
       .orderBy(col("keep_id"))
 
   /** C69 `cross_source_dups` — the source-provenance duplicate matrix:

@@ -105,9 +105,11 @@ class Round7PipelineSpec extends SparkSpec {
       (3L, "HELLO-WORLD", "en", "s"),
       (4L, "something else entirely", "en", "s"))
     val out = Dedup.normalizedDedup(d).collect()
-    assert(out.length === 1)                                   // singleton family dropped
+    assert(out.length === 2)                                   // the family + the singleton
     assert(out.head.getAs[Long]("keep_id") === 1L)
     assert(out.head.getAs[Long]("n_docs") === 3L)
+    assert(out(1).getAs[Long]("keep_id") === 4L)
+    assert(out(1).getAs[Long]("n_docs") === 1L)
   }
 
   test("kcenter_coreset: farthest-first traversal picks the known sequence") {
