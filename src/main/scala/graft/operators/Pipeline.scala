@@ -1163,10 +1163,11 @@ object Pipeline {
     * integer after the lm scores (which are themselves integer ppm) —
     * exact replay.
     */
-  def lmScoreBuckets(documents: DataFrame): DataFrame = {
+  def lmScoreBuckets(documents: DataFrame,
+                     scores: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("lm_ppm"), col("doc_id"))
     val n = count(lit(1)).over(Window.partitionBy(col("source")))
-    lmScore(documents)
+    scores.getOrElse(lmScore(documents))
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n_src", n.cast("long"))
