@@ -1118,7 +1118,14 @@ object Pipeline {
     * INTEGER comparisons (3n ≤ Σlen ≤ 10n etc.) — no division, no FP,
     * exact in any engine.
     */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  def gopherRules(documents: DataFrame): DataFrame =
+    gopherRulesCore(documents).orderBy(col("doc_id"))
+
+  /** [[gopherRules]] without the presentation sort — directly usable on
+    * a STREAMING documents DataFrame (the projection is stateless), see
+    * [[graft.streaming.StreamingOps.qualityGateStream]].
+    */
+  def gopherRulesCore(documents: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
     val lines = split(col("text"), "\n")
@@ -1150,7 +1157,6 @@ object Pipeline {
       .select(col("doc_id"), col("n_words"), col("rule_word_count"),
         col("rule_mean_word_len"), col("rule_symbol_ratio"), col("rule_bullet"),
         col("rule_ellipsis"), col("rule_alpha"), col("rule_stopwords"), col("pass_gopher"))
-      .orderBy(col("doc_id"))
   }
 
   /** C79 `lm_score_buckets` — CCNet-style perplexity bucketing: each

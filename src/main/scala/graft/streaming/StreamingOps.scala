@@ -799,6 +799,91 @@ object StreamingOps {
       }
   }
 
+  case class DonchianState(values: Seq[Double])
+  case class DonchianPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                           ch_high: Double, ch_low: Double, ch_pos: Option[Double])
+
+  /** D25 `donchianStream` — streaming Donchian channel, the continuous
+    * face of [[graft.operators.Analytics.donchian]]: per-asset state is
+    * a bounded ring of the last `window` daily values; each tick emits
+    * the channel extremes and the u6 position, NULL on a flat channel —
+    * exactly the batch columns, so in-order replays match bit-for-bit
+    * (spec-asserted across a micro-batch boundary). State is O(window)
+    * doubles per asset; arrival-ordered contract across batches as
+    * documented on [[anomalyStream]].
+    */
+  def donchianStream(daily: Dataset[DailyTick], window: Int = 20): Dataset[DonchianPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DonchianState, DonchianPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[DonchianState]) =>
+          var ring = state.getOption.map(_.values).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(_.date.getTime).map { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            val hi = ring.max
+            val lo = ring.min
+            val pos =
+              if (hi == lo) None
+              else Some(graft.operators.Micro.jvm6((t.value - lo) / (hi - lo)))
+            DonchianPoint(assetId, t.date, t.value, hi, lo, pos)
+          }
+          state.update(DonchianState(ring))
+          out.iterator
+      }
+  }
+
+  case class StreamBar(asset_id: Long, date: java.sql.Date, close: Double, n_ticks: Long)
+  case class ObvState(prev_close: Double, obv: Long)
+  case class ObvPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                      signed_vol: Long, obv: Long)
+
+  /** D26 `obvStream` — streaming on-balance volume over a bar feed, the
+    * continuous face of [[graft.operators.Analytics.obv]]: per-asset
+    * state is (previous close, running OBV) — two numbers, O(#assets).
+    * ALL-INTEGER accumulation (sign·n_ticks), so stream and batch agree
+    * exactly under any replay; first bar contributes 0, the batch
+    * convention. Arrival-ordered contract across batches.
+    */
+  def obvStream(bars: Dataset[StreamBar]): Dataset[ObvPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ObvState, ObvPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[StreamBar], state: GroupState[ObvState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[ObvPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val signed =
+              if (st == null) 0L
+              else if (b.close > st.prev_close) b.n_ticks
+              else if (b.close < st.prev_close) -b.n_ticks
+              else 0L
+            val obv = (if (st == null) 0L else st.obv) + signed
+            out += ObvPoint(assetId, b.date, b.close, signed, obv)
+            st = ObvState(b.close, obv)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** D27 `qualityGateStream` — the Gopher rule gate at INGEST time: the
+    * stateless per-document projection
+    * ([[graft.operators.Pipeline.gopherRulesCore]]) applied to a
+    * streaming documents frame — every rule boolean plus `pass_gopher`,
+    * so a pipeline can fork keep/reject sinks before anything is
+    * stored. Stateless ⇒ no watermark, no state store, scan-speed;
+    * stream rows equal the batch rows by construction (one shared
+    * implementation — spec-asserted anyway).
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.Pipeline.gopherRulesCore(docs)
+
   /** D21 — streaming OHLC bars: [[graft.operators.Analytics.dailyBars]]'
     * surface as an event-time tumbling-window aggregate. open/close are
     * `min_by`/`max_by` on the (ts, seq) struct — the same total

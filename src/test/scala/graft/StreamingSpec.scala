@@ -795,4 +795,96 @@ class StreamingSpec extends SparkSpec {
         (1L, 70.0, 70.0, 70.0, 70.0, 1L)))
     } finally q.stop()
   }
+
+  test("donchianStream equals the batch donchian across a micro-batch boundary") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.DailyTick
+    val values = Seq(100.0, 110.0, 99.0, 120.0, 105.0, 126.0, 113.4, 130.0)
+    val days = values.indices.map(i => java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"))
+    val panel = values.zipWithIndex.map { case (v, i) =>
+      (1L, days(i), new java.sql.Timestamp((i + 1) * 1000L), v, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batch = graft.operators.Analytics.donchian(panel).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("ch_high"), r.getAs[Double]("ch_low"), r.getAs[Any]("ch_pos"))))
+      .toMap
+    val input = MemoryStream[DailyTick]
+    val q = StreamingOps.donchianStream(input.toDS())
+      .writeStream.format("memory").queryName("don_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val ticks = values.zipWithIndex.map { case (v, i) => DailyTick(1L, days(i), v) }
+      input.addData(ticks.take(3)); q.processAllAvailable()
+      input.addData(ticks.drop(3)); q.processAllAvailable()
+      val got = spark.table("don_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("ch_high"), r.getAs[Double]("ch_low"), r.getAs[Any]("ch_pos"))))
+        .toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("obvStream equals the batch obv on a replayed bar feed") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.StreamBar
+    // multi-tick panel so n_ticks varies per bar
+    val rows = Seq(
+      (1L, "2024-01-01", 1, 10.0), (1L, "2024-01-01", 2, 12.0),
+      (1L, "2024-01-02", 3, 11.0), (1L, "2024-01-02", 4, 9.0), (1L, "2024-01-02", 5, 9.5),
+      (1L, "2024-01-03", 6, 15.0),
+      (1L, "2024-01-04", 7, 15.0), (1L, "2024-01-04", 8, 15.0))
+      .map { case (a, d, t, v) =>
+        (a, java.sql.Date.valueOf(d), new java.sql.Timestamp(t * 1000L), v, t.toLong)
+      }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batch = graft.operators.Analytics.obv(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Long]("signed_vol"), r.getAs[Long]("obv")))).toMap
+    val bars = graft.operators.Analytics.dailyBars(rows).collect()
+      .map(r => StreamBar(r.getAs[Long]("asset_id"), r.getAs[java.sql.Date]("date"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .sortBy(_.date.getTime)
+    val input = MemoryStream[StreamBar]
+    val q = StreamingOps.obvStream(input.toDS())
+      .writeStream.format("memory").queryName("obv_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(bars.take(2)); q.processAllAvailable()
+      input.addData(bars.drop(2)); q.processAllAvailable()
+      val got = spark.table("obv_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Long]("signed_vol"), r.getAs[Long]("obv")))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("qualityGateStream emits the batch gopher_rules row per document") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and that " * 6 +
+        "words have with more filler here now").trim),
+      (2L, Seq.fill(60)("zebra").mkString(" ")))
+    val docsDf = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = graft.operators.Pipeline.gopherRules(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass_gopher")).toMap
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingOps.qualityGateStream(
+      input.toDS().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("gate_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      texts.foreach { case (id, t) => input.addData((id, t, "en", "s", t.length.toLong)) }
+      q.processAllAvailable()
+      val got = spark.table("gate_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass_gopher")).toMap
+      assert(got === batch)
+      assert(got(1L) && !got(2L))
+    } finally q.stop()
+  }
 }
