@@ -657,6 +657,16 @@ object SparkEntry {
       Dedup.normalizedDedup(Tables.documents(s, dir))),
     "kcenter_coreset" -> ((s, dir) =>
       Similarity.kcenterCoreset(Tables.embeddings(s, dir))),
+    "adx" -> ((s, dir) =>
+      Analytics.adx(Tables.panel(s, dir))),
+    "mass_index" -> ((s, dir) =>
+      Analytics.massIndex(Tables.panel(s, dir))),
+    "yang_zhang" -> ((s, dir) =>
+      Analytics.yangZhang(Tables.panel(s, dir))),
+    "cluster_purity" -> ((s, dir) =>
+      Ivf.clusterPurity(Tables.embeddings(s, dir), k = 8, iters = 3)),
+    "temperature_mix" -> ((s, dir) =>
+      Pipeline.temperatureMix(Tables.documents(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2266,6 +2276,145 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "adx" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         high - lag(high) OVER a AS up,
+         |         lag(low) OVER a - low AS dn,
+         |         lag(close) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |u AS (
+         |  SELECT asset_id, date,
+         |    floor((CASE WHEN up > dn AND up > 0 THEN up ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dm_p,
+         |    floor((CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dm_m,
+         |    floor((greatest(high - low, abs(high - pc), abs(low - pc))) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t WHERE pc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(dm_p) OVER w AS pa, list(dm_m) OVER w AS ma, list(tr) OVER w AS ta
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         list_reduce(list_prepend(0.0, pa), (acc, x) -> acc * (13.0 / 14.0) + x) AS sp,
+         |         list_reduce(list_prepend(0.0, ma), (acc, x) -> acc * (13.0 / 14.0) + x) AS sm,
+         |         list_reduce(list_prepend(0.0, ta), (acc, x) -> acc * (13.0 / 14.0) + x) AS st
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date,
+         |    floor((CASE WHEN st = 0 THEN 0.0 ELSE 100.0 * sp / st END) * 1000000.0 + 0.5) / 1000000.0 AS di_plus,
+         |    floor((CASE WHEN st = 0 THEN 0.0 ELSE 100.0 * sm / st END) * 1000000.0 + 0.5) / 1000000.0 AS di_minus
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, di_plus, di_minus,
+         |    floor((CASE WHEN di_plus + di_minus = 0 THEN 0.0
+         |          ELSE 100.0 * abs(di_plus - di_minus) / (di_plus + di_minus) END) * 1000000.0 + 0.5) / 1000000.0 AS dx
+         |  FROM h),
+         |j AS (
+         |  SELECT asset_id, date, di_plus, di_minus, dx,
+         |         list(dx) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS da
+         |  FROM i)
+         |SELECT asset_id, date, di_plus, di_minus, dx,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, da), (acc, x) -> acc * (13.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, da), (acc, x) -> acc * (13.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS adx
+         |FROM j ORDER BY asset_id, date""".stripMargin,
+    "mass_index" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (SELECT asset_id, date, floor((high - low) * 1000000.0 + 0.5) / 1000000.0 AS r FROM bars),
+         |f1 AS (SELECT asset_id, date, r, list(r) OVER w AS arr FROM b
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         |g1 AS (SELECT asset_id, date, r,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e1
+         |  FROM f1),
+         |f2 AS (SELECT asset_id, date, r, e1, list(e1) OVER w AS arr FROM g1
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         |g2 AS (SELECT asset_id, date, r, e1,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e2
+         |  FROM f2),
+         |rt AS (SELECT asset_id, date, r,
+         |  floor((CASE WHEN e2 = 0 THEN 0.0 ELSE e1 / e2 END) * 1000000.0 + 0.5) / 1000000.0 AS ratio
+         |  FROM g2),
+         |f3 AS (SELECT asset_id, date, r, ratio, list(ratio) OVER w AS arr FROM rt
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, r, ratio,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, y) -> a + y)) * 1000000.0 + 0.5) / 1000000.0 AS mass
+         |FROM f3 ORDER BY asset_id, date""".stripMargin,
+    "yang_zhang" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, open, high, low, close, lag(close) OVER a AS pc
+         |  FROM bars WHERE low > 0
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |c AS (
+         |  SELECT asset_id, date,
+         |    floor((ln(open / pc)) * 1000000.0 + 0.5) / 1000000.0 AS o_ret,
+         |    floor((ln(close / open)) * 1000000.0 + 0.5) / 1000000.0 AS c_ret,
+         |    floor((ln(high / close) * ln(high / open) + ln(low / close) * ln(low / open)) * 1000000.0 + 0.5) / 1000000.0 AS rs
+         |  FROM b WHERE pc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date, o_ret, c_ret,
+         |         list(o_ret) OVER w AS oa, list(c_ret) OVER w AS ca, list(rs) OVER w AS ra
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, o_ret, c_ret, CAST(len(oa) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, oa), (a, x) -> a + x) AS so,
+         |         list_reduce(list_prepend(0.0, list_transform(oa, x -> x * x)), (a, x) -> a + x) AS so2,
+         |         list_reduce(list_prepend(0.0, ca), (a, x) -> a + x) AS sc,
+         |         list_reduce(list_prepend(0.0, list_transform(ca, x -> x * x)), (a, x) -> a + x) AS sc2,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sr
+         |  FROM f)
+         |SELECT asset_id, date, o_ret, c_ret,
+         |  floor((sqrt(greatest(
+         |    (n * so2 - so * so) / (n * (n - 1))
+         |    + (0.34 / (1.34 + (n + 1) / (n - 1))) * ((n * sc2 - sc * sc) / (n * (n - 1)))
+         |    + (1.0 - 0.34 / (1.34 + (n + 1) / (n - 1))) * (sr / n), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS yz_vol
+         |FROM g WHERE n >= 2 ORDER BY asset_id, date""".stripMargin,
+    "cluster_purity" ->
+      s"""${ivfTrainCtes(8, 3)},
+         |lab AS (
+         |  SELECT i.c AS cluster, e.label, count(*) AS c
+         |  FROM idx i JOIN embeddings e USING (vec_id) GROUP BY i.c, e.label),
+         |g AS (
+         |  SELECT cluster, label, c,
+         |         CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+         |  FROM lab)
+         |SELECT CAST(cluster AS INTEGER) AS cluster, n_vecs, label AS top_label,
+         |  CAST(c AS BIGINT) AS n_top, (1000 * CAST(c AS BIGINT)) // n_vecs AS purity_pm
+         |FROM g WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs, n_tokens, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per),
+        |p AS (SELECT source, n_docs, n_tokens,
+        |        floor((CAST(n_tokens AS DOUBLE) / nullif(CAST(total AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS p
+        |      FROM t),
+        |w AS (SELECT source, n_docs, n_tokens, p,
+        |        floor(sqrt(p) * 1000000.0 + 0.5) / 1000000.0 AS w_raw FROM p),
+        |m AS (SELECT source, n_docs, n_tokens, p, w_raw,
+        |        CAST(round(w_raw * 1000000.0) AS BIGINT) AS w_micro FROM w),
+        |s AS (SELECT source, n_docs, n_tokens, p, w_raw, w_micro,
+        |        CAST(sum(w_micro) OVER () AS BIGINT) AS tw FROM m)
+        |SELECT source, n_docs, n_tokens, p, w_raw,
+        |  CASE WHEN tw = 0 THEN NULL ELSE (1000 * w_micro) // tw END AS weight_pm
+        |FROM s ORDER BY source""".stripMargin,
     "kcenter_coreset" -> kcenterOracle(8),
     "doc_outliers" ->
       """WITH x AS (
@@ -4548,7 +4697,7 @@ object SparkEntry {
     "prefix_dups" ->
       """SELECT md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
     "vol_of_vol" ->
       s"""$panelCte,
          |$dailyCte,

@@ -3226,6 +3226,116 @@ object Analytics {
     * [[varCvar]]-style integer cuts on the sorted vol array — no
     * interpolation, engine-exact.
     */
+  /** B110 `adx` — Wilder's Average Directional Index: directional
+    * movement (+DM/−DM — today's range expansion beyond yesterday's,
+    * whichever side dominates), EW-summed against true range to give
+    * +DI/−DI, their normalized divergence DX, and ADX = the EW mean of
+    * the ROUNDED DX series. Both DI ratios use UNNORMALIZED Horner
+    * sums (the [[rsi]] cancellation), every ratio is u6 with the
+    * flat-market convention DI = DX = 0 when its denominator is 0 —
+    * zero, not NULL, so frame arrays never carry nulls into folds
+    * (Spark's collect_list drops nulls where DuckDB's list() keeps
+    * them; the zero convention sidesteps that engine divergence).
+    * First bar per asset dropped; one asset_id shuffle.
+    */
+  def adx(panel: DataFrame, span: Int = 14): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    def ewSum(c: Column): Column = Kernels.seqFold(collect_list(c).over(frame), "horner", w)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("up", col("high") - lag(col("high"), 1).over(byAsset))
+      .withColumn("dn", lag(col("low"), 1).over(byAsset) - col("low"))
+      .withColumn("pc", lag(col("close"), 1).over(byAsset))
+      .filter(col("pc").isNotNull)
+      .withColumn("dm_p", u6(when(col("up") > col("dn") && col("up") > 0, col("up")).otherwise(lit(0.0))))
+      .withColumn("dm_m", u6(when(col("dn") > col("up") && col("dn") > 0, col("dn")).otherwise(lit(0.0))))
+      .withColumn("tr", u6(greatest(
+        col("high") - col("low"),
+        abs(col("high") - col("pc")),
+        abs(col("low") - col("pc")))))
+      .withColumn("sp", ewSum(col("dm_p")))
+      .withColumn("sm", ewSum(col("dm_m")))
+      .withColumn("st", ewSum(col("tr")))
+      .withColumn("di_plus", u6(when(col("st") === 0, lit(0.0))
+        .otherwise(lit(100.0) * col("sp") / col("st"))))
+      .withColumn("di_minus", u6(when(col("st") === 0, lit(0.0))
+        .otherwise(lit(100.0) * col("sm") / col("st"))))
+      .withColumn("dx", u6(when(col("di_plus") + col("di_minus") === 0, lit(0.0))
+        .otherwise(lit(100.0) * abs(col("di_plus") - col("di_minus")) /
+          (col("di_plus") + col("di_minus")))))
+      .withColumn("adx", u6(
+        Kernels.seqFold(collect_list(col("dx")).over(frame), "horner", w) /
+          Kernels.seqFold(collect_list(col("dx")).over(frame), "horner_count", w)))
+      .select(col("asset_id"), col("date"), col("di_plus"), col("di_minus"),
+        col("dx"), col("adx"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B111 `mass_index` — Dorsey's Mass Index: the 25-bar sum of
+    * EMA9(range)/EMA9(EMA9(range)) — range-compression "bulges"
+    * flagging reversals without a direction. Each EW stage is
+    * u6-rounded before feeding the next ([[trix]]' chaining rule);
+    * all-flat frames use the ratio = 0 convention (zero range carries
+    * zero mass) so folds never see nulls. One asset_id shuffle.
+    */
+  def massIndex(panel: DataFrame, ema: Int = 9, window: Int = 25): DataFrame = {
+    val w = 1.0 - 2.0 / (ema + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val eframe = byAsset.rowsBetween(-(ema - 1), Window.currentRow)
+    val sframe = byAsset.rowsBetween(-(window - 1), Window.currentRow)
+    def ewMean(c: Column): Column = u6(
+      Kernels.seqFold(collect_list(c).over(eframe), "horner", w) /
+        Kernels.seqFold(collect_list(c).over(eframe), "horner_count", w))
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("r", u6(col("high") - col("low")))
+      .withColumn("e1", ewMean(col("r")))
+      .withColumn("e2", ewMean(col("e1")))
+      .withColumn("ratio", u6(when(col("e2") === 0, lit(0.0))
+        .otherwise(col("e1") / col("e2"))))
+      .withColumn("mass", u6(Kernels.seqFold(collect_list(col("ratio")).over(sframe), "sum")))
+      .select(col("asset_id"), col("date"), col("r"), col("ratio"), col("mass"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B112 `yang_zhang` — Yang–Zhang volatility: the minimum-variance
+    * drift-independent combination σ²_overnight + k·σ²_open-close +
+    * (1−k)·σ²_RS, k = 0.34/(1.34 + (n+1)/(n−1)) — the estimator that
+    * uses ALL four bar prices plus the overnight jump [[parkinsonVol]]
+    * and [[rogersSatchell]] ignore. Log returns are u6-rounded per
+    * bar, the two sample variances and the RS mean are frame-ordered
+    * folds, k is derived from the frame's actual n with IEEE-identical
+    * arithmetic — the whole expression replays bitwise.
+    */
+  def yangZhang(panel: DataFrame, window: Int = 20): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    def sampleVar(arr: Column): Column =
+      (n * Kernels.seqFold(arr, "sumsq") -
+        Kernels.seqFold(arr, "sum") * Kernels.seqFold(arr, "sum")) / (n * (n - 1))
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("low") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(byAsset))
+      .filter(col("pc").isNotNull)
+      .withColumn("o_ret", u6(log(col("open") / col("pc"))))
+      .withColumn("c_ret", u6(log(col("close") / col("open"))))
+      .withColumn("rs", u6(
+        log(col("high") / col("close")) * log(col("high") / col("open")) +
+          log(col("low") / col("close")) * log(col("low") / col("open"))))
+      .withColumn("oa", collect_list(col("o_ret")).over(frame))
+      .withColumn("ca", collect_list(col("c_ret")).over(frame))
+      .withColumn("ra", collect_list(col("rs")).over(frame))
+      .withColumn("n", size(col("oa")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("k", lit(0.34) / (lit(1.34) + (n + 1) / (n - 1)))
+      .withColumn("yz_vol", u6(sqrt(greatest(
+        sampleVar(col("oa")) + col("k") * sampleVar(col("ca")) +
+          (lit(1.0) - col("k")) * (Kernels.seqFold(col("ra"), "sum") / n), lit(0.0)))))
+      .select(col("asset_id"), col("date"), col("o_ret"), col("c_ret"), col("yz_vol"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def volCone(panel: DataFrame, horizons: Seq[Int] = Seq(5, 10, 21)): DataFrame = {
     val perH = horizons.map { h =>
       rollingVolCore(panel, h).select(lit(h.toLong).as("horizon"), col("vol"))

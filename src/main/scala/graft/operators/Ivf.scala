@@ -332,4 +332,31 @@ object Ivf {
       .withColumn("is_empty", col("n_vectors") === 0)
       .orderBy(col("cluster"))
   }
+
+  /** C82 `cluster_purity` — clustering-vs-labels agreement: per IVF
+    * cluster, the majority label's share (purity, integer per-mille) —
+    * the embedding-quality eval that says whether the geometry k-means
+    * finds matches the labels the corpus carries (low purity = the
+    * encoder, the labels, or k is wrong). Rides the same replayed
+    * Lloyd training as the ANN family; majority pick is a
+    * (count desc, label asc) row_number — total order, engine-exact;
+    * everything after assignment is integer. Empty clusters have no
+    * row (no labels to be pure about), unlike [[clusterStats]]' spine.
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val centroids = train(embeddings, k, iters)
+    val lab = index(embeddings, centroids)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("label"))
+    val tot = Window.partitionBy(col("cluster"))
+    lab
+      .withColumn("n_vecs", sum(col("c")).over(tot))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("top_label"), col("c").as("n_top"),
+        expr("(1000 * c) div n_vecs").as("purity_pm"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -1189,6 +1189,36 @@ object Pipeline {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** C83 `temperature_mix` — temperature-scaled mixture weights: each
+    * source's sampling weight ∝ p^(1/T) of its token share p, here at
+    * the customary T = 2 (multilingual-training's square-root
+    * upsampling of small sources — the mBERT/XLM-R exponent). √ is
+    * IEEE-correctly-rounded in BOTH engines (unlike pow — which is why
+    * T is fixed at 2 and the exponent is sqrt, not pow(p, 0.5)), the
+    * share and root are u6-rounded, and the normalization sums
+    * MICRO-INTEGERS over the bounded source set — order-free; final
+    * weights are integer per-mille. Totals ride empty-frame windows
+    * (the benford idiom) over the per-source rows.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("p", u6(col("n_tokens").cast("double") /
+        when(col("total") === 0, lit(null)).otherwise(col("total").cast("double"))))
+      .withColumn("w_raw", u6(sqrt(col("p"))))
+      .withColumn("w_micro", round(col("w_raw") * lit(1000000.0)).cast("long"))
+      .withColumn("tw", sum(col("w_micro")).over(all))
+      .withColumn("weight_pm", expr(
+        "CASE WHEN tw = 0 THEN NULL ELSE (1000 * w_micro) div tw END"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p"), col("w_raw"), col("weight_pm"))
+      .orderBy(col("source"))
+  }
+
   /** C78 `dsir_weights` — Data Selection via Importance Resampling
     * (Xie et al. 2023) log-importance weights: per document,
     * Σ_tokens ln(p_target(w)/p_raw(w)) under add-one-smoothed unigram

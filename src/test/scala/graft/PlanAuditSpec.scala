@@ -122,6 +122,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("vol_cone") <= 8,
       s"vol_cone exceeded 3 horizon builds + count + window + agg: ${shuffles("vol_cone")}")
+    for (q <- Seq("adx", "mass_index", "yang_zhang"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("temperature_mix") <= 4,
+      s"temperature_mix exceeded source agg + totals windows + sort: ${shuffles("temperature_mix")}")
+    assert(shuffles("cluster_purity") <= 6,
+      s"cluster_purity exceeded assign + label agg + rank + sort: ${shuffles("cluster_purity")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -225,6 +225,45 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("adx: a pure uptrend pins +DI, DX and ADX at 100 with -DI at 0") {
+    // rising 1/day, one tick: up = 1, dn = -1, tr = |high - pc| = 1
+    val out = Analytics.adx(oneTickPanel((1 to 10).map(_.toDouble))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("di_plus") === 100.0)
+      assert(r.getAs[Double]("di_minus") === 0.0)
+      assert(r.getAs[Double]("dx") === 100.0)
+      assert(r.getAs[Double]("adx") === 100.0)
+    }
+  }
+
+  test("mass_index: constant bar range sums unit ratios") {
+    // every bar low 10·i, high 10·i + 2: r = 2 → e1 = e2 → ratio = 1
+    val out = Analytics.massIndex(twoTickPanel((1 to 6).map(i => (10.0 * i, 10.0 * i + 2))))
+      .collect().sortBy(_.getDate(1).toString)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("ratio") === 1.0)
+      assert(r.getAs[Double]("mass") === (i + 1).toDouble)    // 25-frame not yet full
+    }
+  }
+
+  test("mass_index: flat bars carry zero mass under the ratio-0 convention") {
+    val out = Analytics.massIndex(oneTickPanel(Seq.fill(5)(42.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("ratio") === 0.0)
+      assert(r.getAs[Double]("mass") === 0.0)
+    }
+  }
+
+  test("yang_zhang: a flat series has zero vol in every component") {
+    val out = Analytics.yangZhang(oneTickPanel(Seq.fill(8)(50.0))).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("o_ret") === 0.0)
+      assert(r.getAs[Double]("c_ret") === 0.0)
+      assert(r.getAs[Double]("yz_vol") === 0.0)
+    }
+  }
+
   test("rolling_sharpe: matches the direct mean/sd of the window") {
     val rets = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
     val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }

@@ -123,6 +123,37 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out(2).getAs[Double]("radius") === 1.0)             // min(1, 101)
   }
 
+  test("cluster_purity: uniform labels are pure; counts partition the corpus") {
+    val n = 12
+    val vecs = (1 to n).map { i =>
+      (i.toLong, Seq((i % 3).toFloat * 10f, (i % 4).toFloat * 5f), 7)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Ivf.clusterPurity(vecs, k = 3, iters = 2).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n.toLong)
+    out.foreach { r =>
+      assert(r.getAs[Int]("top_label") === 7)
+      assert(r.getAs[Long]("purity_pm") === 1000L)            // single label → pure
+      assert(r.getAs[Long]("n_top") === r.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("temperature_mix: sqrt scaling upsamples the small source") {
+    val d = docs(
+      (1L, Seq.fill(90)("w").mkString(" "), "en", "big"),
+      (2L, Seq.fill(10)("w").mkString(" "), "en", "small"))
+    val out = Pipeline.temperatureMix(d).collect().map(r => r.getString(0) -> r).toMap
+    def u6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (pB, pS) = (u6(90.0 / 100.0), u6(10.0 / 100.0))
+    val (wB, wS) = (u6(math.sqrt(pB)), u6(math.sqrt(pS)))
+    val (mB, mS) = (math.round(wB * 1e6), math.round(wS * 1e6))
+    assert(out("big").getAs[Double]("w_raw") === wB)
+    assert(out("small").getAs[Double]("w_raw") === wS)
+    assert(out("small").getAs[Long]("weight_pm") === 1000L * mS / (mB + mS))
+    // the whole point: small's mixture weight exceeds its token share (100‰)
+    assert(out("small").getAs[Long]("weight_pm") > 100L)
+    assert(out("big").getAs[Long]("weight_pm") < 900L)
+  }
+
   test("doc_outliers: the far point ranks first with its exact distance") {
     val vecs = Seq(
       (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
