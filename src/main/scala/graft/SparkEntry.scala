@@ -667,6 +667,10 @@ object SparkEntry {
       Ivf.clusterPurity(Tables.embeddings(s, dir), k = 8, iters = 3)),
     "temperature_mix" -> ((s, dir) =>
       Pipeline.temperatureMix(Tables.documents(s, dir))),
+    "rouge_overlap" -> ((s, dir) =>
+      Pipeline.rougeOverlap(Tables.documents(s, dir), (0L to 4L).toSeq, (5L to 9L).toSeq)),
+    "mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), (0L to 4L).toSeq)),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -1060,6 +1064,67 @@ object SparkEntry {
       .map(i => s"SELECT CAST($i AS BIGINT) AS sel_order, id AS vec_id, r AS radius FROM s$i")
       .mkString("\nUNION ALL ")
     s"$head$steps\n$union\nORDER BY sel_order"
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.mmrRerank]]: the
+    * greedy MMR selection unrolled one CTE per rank (the
+    * [[kcenterOracle]] pattern). Relevances and candidate-pair sims are
+    * the ann_topk-style scale-3 cosines; the (1−λ) weight is the
+    * expression `1.0 - 0.7`, NOT the literal 0.3 — both engines must
+    * run the identical IEEE subtraction or the greedy diverges.
+    */
+  private def mmrOracle(ids: Seq[Long], kCand: Int, kSel: Int): String = {
+    val idList = ids.mkString(", ")
+    val head =
+      s"""WITH t AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |         unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id IN ($idList)),
+         |c AS (
+         |  SELECT q_id, vec_id, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS cos
+         |  FROM t GROUP BY q_id, vec_id),
+         |cand AS (SELECT q_id, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM c) z WHERE rn <= $kCand),
+         |pt AS (
+         |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |pc AS (
+         |  SELECT q_id, va, vb, floor((sum(x*y) / sqrt(sum(x*x) * sum(y*y))) * 1000.0 + 0.5) / 1000.0 AS sim
+         |  FROM pt GROUP BY q_id, va, vb),
+         |sym AS (SELECT q_id, va, vb, sim FROM pc UNION ALL SELECT q_id, vb, va, sim FROM pc),
+         |s1 AS (SELECT q_id, vec_id, cos, CAST(NULL AS DOUBLE) AS score FROM (
+         |  SELECT q_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand) z WHERE rn = 1),
+         |sel1 AS (SELECT q_id, vec_id FROM s1)""".stripMargin
+    val steps = (2 to kSel).map { i =>
+      s""",
+         |m$i AS (
+         |  SELECT c.q_id, c.vec_id, c.cos,
+         |         floor((0.7 * c.cos - (1.0 - 0.7) * mx.m) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM cand c
+         |  JOIN (SELECT y.q_id, y.va AS vec_id, max(y.sim) AS m
+         |        FROM sym y JOIN sel${i - 1} s ON s.q_id = y.q_id AND s.vec_id = y.vb
+         |        GROUP BY y.q_id, y.va) mx
+         |    ON mx.q_id = c.q_id AND mx.vec_id = c.vec_id
+         |  LEFT JOIN sel${i - 1} s0 ON s0.q_id = c.q_id AND s0.vec_id = c.vec_id
+         |  WHERE s0.vec_id IS NULL),
+         |s$i AS (SELECT q_id, vec_id, cos, score FROM (
+         |  SELECT q_id, vec_id, cos, score,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM m$i) z WHERE rn = 1),
+         |sel$i AS (SELECT q_id, vec_id FROM sel${i - 1} UNION ALL SELECT q_id, vec_id FROM s$i)""".stripMargin
+    }.mkString
+    val union = (1 to kSel)
+      .map(i => s"SELECT q_id, CAST($i AS BIGINT) AS sel_rank, vec_id, cos AS relevance, score FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"$head$steps\n$union\nORDER BY q_id, sel_rank"
   }
 
   /** Polynomial rolling hash of a string column `s` — DuckDB replay of
@@ -2396,6 +2461,45 @@ object SparkEntry {
          |SELECT CAST(cluster AS INTEGER) AS cluster, n_vecs, label AS top_label,
          |  CAST(c AS BIGINT) AS n_top, (1000 * CAST(c AS BIGINT)) // n_vecs AS purity_pm
          |FROM g WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "mmr_rerank" -> mmrOracle((0L to 4L).toSeq, 10, 5),
+    "rouge_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |u1 AS (SELECT doc_id, unnest(list_distinct(toks)) AS g FROM t),
+        |u2 AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(toks)),
+        |           q -> toks[q] || ' ' || toks[q + 1]))) AS g
+        |       FROM t),
+        |spine AS (SELECT r.ref_id, c.cand_id
+        |          FROM (SELECT unnest([0,1,2,3,4]::BIGINT[]) AS ref_id) r
+        |          CROSS JOIN (SELECT unnest([5,6,7,8,9]::BIGINT[]) AS cand_id) c),
+        |rs1 AS (SELECT doc_id AS ref_id, CAST(count(*) AS BIGINT) AS n_ref
+        |        FROM u1 WHERE doc_id IN (0,1,2,3,4) GROUP BY doc_id),
+        |ov1 AS (SELECT r.doc_id AS ref_id, c.doc_id AS cand_id, CAST(count(*) AS BIGINT) AS shared
+        |        FROM u1 r JOIN u1 c ON r.g = c.g
+        |        WHERE r.doc_id IN (0,1,2,3,4) AND c.doc_id IN (5,6,7,8,9)
+        |        GROUP BY r.doc_id, c.doc_id),
+        |rs2 AS (SELECT doc_id AS ref_id, CAST(count(*) AS BIGINT) AS n_ref
+        |        FROM u2 WHERE doc_id IN (0,1,2,3,4) GROUP BY doc_id),
+        |ov2 AS (SELECT r.doc_id AS ref_id, c.doc_id AS cand_id, CAST(count(*) AS BIGINT) AS shared
+        |        FROM u2 r JOIN u2 c ON r.g = c.g
+        |        WHERE r.doc_id IN (0,1,2,3,4) AND c.doc_id IN (5,6,7,8,9)
+        |        GROUP BY r.doc_id, c.doc_id)
+        |SELECT s.ref_id, s.cand_id,
+        |  coalesce(rs1.n_ref, 0) AS n_ref_1, coalesce(ov1.shared, 0) AS shared_1,
+        |  CASE WHEN coalesce(rs1.n_ref, 0) = 0 THEN NULL
+        |       ELSE (1000 * coalesce(ov1.shared, 0)) // rs1.n_ref END AS rouge1_pm,
+        |  coalesce(rs2.n_ref, 0) AS n_ref_2, coalesce(ov2.shared, 0) AS shared_2,
+        |  CASE WHEN coalesce(rs2.n_ref, 0) = 0 THEN NULL
+        |       ELSE (1000 * coalesce(ov2.shared, 0)) // rs2.n_ref END AS rouge2_pm
+        |FROM spine s
+        |LEFT JOIN rs1 ON rs1.ref_id = s.ref_id
+        |LEFT JOIN ov1 ON ov1.ref_id = s.ref_id AND ov1.cand_id = s.cand_id
+        |LEFT JOIN rs2 ON rs2.ref_id = s.ref_id
+        |LEFT JOIN ov2 ON ov2.ref_id = s.ref_id AND ov2.cand_id = s.cand_id
+        |ORDER BY s.ref_id, s.cand_id""".stripMargin,
     "temperature_mix" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -1219,6 +1219,50 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C84 `rouge_overlap` — ROUGE-1/ROUGE-2 recall between candidate
+    * and reference documents: the distinct-n-gram recall that scores a
+    * generated/retrieved text against a reference (Lin 2004) — here
+    * over (ref × cand) id sets, the shape an eval harness runs over
+    * (model output, gold) pairs. Distinct (doc, gram) projections meet
+    * in an equality join per n — bucketed, never all-pairs over text —
+    * and every output is an integer per-mille of integer counts: exact
+    * replay for free. Refs are tiny by definition → broadcast.
+    */
+  def rougeOverlap(documents: DataFrame, refIds: Seq[Long], candIds: Seq[Long]): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    def grams(df: DataFrame, n: Int, side: String): DataFrame = {
+      val g = if (n == 1) toks else zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+      df.select(col("doc_id").as(s"${side}_id"), explode(array_distinct(g)).as("g"))
+    }
+    def recall(n: Int, name: String): DataFrame = {
+      val refs = grams(documents.filter(col("doc_id").isin(refIds: _*)), n, "ref")
+      val cands = grams(documents.filter(col("doc_id").isin(candIds: _*)), n, "cand")
+      val refSizes = refs.groupBy(col("ref_id")).agg(count(lit(1)).as(s"n_ref_$name"))
+      val overlaps = cands.join(broadcast(refs), Seq("g"))
+        .groupBy(col("ref_id"), col("cand_id")).agg(count(lit(1)).as("shared"))
+      // full (ref × cand) spine so zero-overlap pairs still score 0 —
+      // built from the PARAMETER id sets as local rows (a crossJoin of
+      // two scans would plan as the forbidden CartesianProduct)
+      val spark = documents.sparkSession
+      import spark.implicits._
+      val spine = (for { r <- refIds; c <- candIds } yield (r, c)).toDF("ref_id", "cand_id")
+      spine
+        .join(overlaps, Seq("ref_id", "cand_id"), "left")
+        .join(broadcast(refSizes), Seq("ref_id"), "left")
+        .select(col("ref_id"), col("cand_id"),
+          coalesce(col(s"n_ref_$name"), lit(0L)).as(s"n_ref_$name"),
+          coalesce(col("shared"), lit(0L)).as(s"shared_$name"))
+        .withColumn(s"rouge${name}_pm", expr(
+          s"CASE WHEN n_ref_$name = 0 THEN NULL ELSE (1000 * shared_$name) div n_ref_$name END"))
+    }
+    recall(1, "1")
+      .join(recall(2, "2"), Seq("ref_id", "cand_id"))
+      .orderBy(col("ref_id"), col("cand_id"))
+  }
+
   /** C78 `dsir_weights` — Data Selection via Importance Resampling
     * (Xie et al. 2023) log-importance weights: per document,
     * Σ_tokens ln(p_target(w)/p_raw(w)) under add-one-smoothed unigram

@@ -433,6 +433,57 @@ object Similarity {
       .orderBy(col("label"), col("rank"))
   }
 
+  /** C85 `mmr_rerank` — Maximal Marginal Relevance re-ranking
+    * (Carbonell & Goldstein 1998): greedily re-order each query's
+    * top-k candidates by λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+    * — the standard diversity-aware retrieval pass that stops RAG /
+    * few-shot selection from returning k near-copies of the same
+    * document. Candidate sets are |q|·k bounded by construction, so
+    * the greedy runs on collected rows (the [[kcenterCoreset]]
+    * bounded-collect pattern) over sims computed BY THE ENGINE
+    * (cosineTopK relevances + one bounded pair join for candidate–
+    * candidate sims, both scale-3 rounded). The (1−λ) weight is
+    * written as the expression `1.0 − 0.7` on BOTH sides — the
+    * subtraction result is not the literal 0.3, and only an identical
+    * IEEE op sequence keeps the greedy engine-exact. First pick per
+    * query carries a NULL score (nothing selected to diversify
+    * against).
+    */
+  def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], kCand: Int = 10,
+                kSel: Int = 5, lam: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val candDf = cosineTopK(embeddings, queryIds, kCand)
+    val cands = candDf.select(col("q_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ev = embeddings.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("v"))
+    val cv = candDf.select(col("q_id"), col("vec_id")).join(ev, Seq("vec_id"))
+    val pair = cv.as("a").join(cv.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"), u3(dot(col("a.v"), col("b.v"))).as("sim"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    val simMap = (pair ++ pair.map { case ((q, a, b), s) => ((q, b, a), s) }).toMap
+    val out = queryIds.map(q => q -> cands.filter(_._1 == q).map(t => (t._2, t._3)))
+      .filter(_._2.nonEmpty)
+      .flatMap { case (q, cs) =>
+        val first = cs.sortBy { case (v, rel) => (-rel, v) }.head
+        var sel = Vector((first._1, first._2, Option.empty[Double]))
+        while (sel.length < math.min(kSel, cs.length)) {
+          val chosen = sel.map(_._1).toSet
+          val best = cs.filterNot(c => chosen(c._1)).map { case (v, rel) =>
+            val mx = sel.map(s => simMap((q, v, s._1))).max
+            (v, rel, Micro.jvm6(lam * rel - (1.0 - lam) * mx))
+          }.sortBy { case (v, _, sc) => (-sc, v) }.head
+          sel :+= ((best._1, best._2, Some(best._3)))
+        }
+        sel.zipWithIndex.map { case ((v, rel, sc), i) => (q, (i + 1).toLong, v, rel, sc) }
+      }
+    out.toDF("q_id", "sel_rank", "vec_id", "relevance", "score")
+      .orderBy(col("q_id"), col("sel_rank"))
+  }
+
   /** C81 `kcenter_coreset` — greedy k-center coreset (Gonzalez 1985
     * farthest-first traversal): seed with the min vec_id, then k−1
     * times add the vector farthest from every selected center — the

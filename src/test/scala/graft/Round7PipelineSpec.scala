@@ -154,6 +154,40 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out("big").getAs[Long]("weight_pm") < 900L)
   }
 
+  test("rouge_overlap: distinct n-gram recall against the reference") {
+    val d = docs(
+      (0L, "a b c d", "en", "s"),       // ref: 4 unigrams, 3 bigrams
+      (1L, "x y", "en", "s"),           // ref with zero overlap
+      (5L, "a b x", "en", "s"),         // cand: shares {a,b} and bigram "a b"
+      (6L, "q r s", "en", "s"))         // cand: no overlap
+    val out = Pipeline.rougeOverlap(d, Seq(0L, 1L), Seq(5L, 6L)).collect()
+      .map(r => (r.getAs[Long]("ref_id"), r.getAs[Long]("cand_id")) -> r).toMap
+    assert(out.size === 4)                                     // full spine
+    val hit = out((0L, 5L))
+    assert(hit.getAs[Long]("shared_1") === 2L && hit.getAs[Long]("n_ref_1") === 4L)
+    assert(hit.getAs[Long]("rouge1_pm") === 500L)
+    assert(hit.getAs[Long]("shared_2") === 1L && hit.getAs[Long]("n_ref_2") === 3L)
+    assert(hit.getAs[Long]("rouge2_pm") === 333L)
+    assert(out((0L, 6L)).getAs[Long]("rouge1_pm") === 0L)      // spine keeps the zero
+    assert(out((1L, 6L)).getAs[Long]("shared_1") === 0L)
+  }
+
+  test("mmr_rerank: the duplicate of the first pick is deferred for diversity") {
+    // q=(1,0); a and b identical directions (cos(q,·)=0.8, sim(a,b)=1),
+    // c mirrored (cos(q,c)=0.8, sim(a,c)=0.28): greedy = a, then c, then b
+    val vecs = Seq(
+      (10L, Seq(1f, 0f), 0), (1L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(1.6f, 1.2f), 0), (3L, Seq(0.8f, -0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrRerank(vecs, Seq(10L), kCand = 3, kSel = 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 3L, 2L))
+    assert(out.head.getAs[Any]("score") == null)               // first pick: nothing to diversify
+    val s2 = out(1).getAs[Double]("score")                     // 0.7·0.8 − (1−0.7)·0.28
+    assert(math.abs(s2 - (0.7 * 0.8 - (1.0 - 0.7) * 0.28)) < 2e-6, s"s2=$s2")
+    val s3 = out(2).getAs[Double]("score")                     // 0.7·0.8 − (1−0.7)·1.0
+    assert(math.abs(s3 - (0.7 * 0.8 - (1.0 - 0.7) * 1.0)) < 2e-6, s"s3=$s3")
+  }
+
   test("doc_outliers: the far point ranks first with its exact distance") {
     val vecs = Seq(
       (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
