@@ -671,6 +671,18 @@ object SparkEntry {
       Pipeline.rougeOverlap(Tables.documents(s, dir), (0L to 4L).toSeq, (5L to 9L).toSeq)),
     "mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir), (0L to 4L).toSeq)),
+    "awesome_osc" -> ((s, dir) =>
+      Analytics.awesomeOsc(Tables.panel(s, dir))),
+    "chandelier_exit" -> ((s, dir) =>
+      Analytics.chandelierExit(Tables.panel(s, dir))),
+    "stoch_rsi" -> ((s, dir) =>
+      Analytics.stochRsi(Tables.panel(s, dir))),
+    "pvo" -> ((s, dir) =>
+      Analytics.pvo(Tables.panel(s, dir))),
+    "lang_confusion" -> ((s, dir) =>
+      Pipeline.langConfusion(Tables.documents(s, dir))),
+    "dataset_card" -> ((s, dir) =>
+      Pipeline.datasetCard(Tables.documents(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2462,6 +2474,140 @@ object SparkEntry {
          |  CAST(c AS BIGINT) AS n_top, (1000 * CAST(c AS BIGINT)) // n_vecs AS purity_pm
          |FROM g WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "mmr_rerank" -> mmrOracle((0L to 4L).toSeq, 10, 5),
+    "awesome_osc" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (SELECT asset_id, date,
+         |        floor(((high + low) / 2) * 1000000.0 + 0.5) / 1000000.0 AS mid FROM bars),
+         |f AS (SELECT asset_id, date, mid,
+         |        list(mid) OVER wf AS af, list(mid) OVER ws AS aslow
+         |  FROM b
+         |  WINDOW wf AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         ws AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT asset_id, date, mid,
+         |  floor((list_reduce(list_prepend(0.0, af), (a, y) -> a + y) / CAST(len(af) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sf,
+         |  floor((list_reduce(list_prepend(0.0, aslow), (a, y) -> a + y) / CAST(len(aslow) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ss
+         |  FROM f)
+         |SELECT asset_id, date, mid,
+         |  floor((sf - ss) * 1000000.0 + 0.5) / 1000000.0 AS ao
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "chandelier_exit" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, high, low,
+         |         floor((CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(tr) OVER w AS arr, max(high) OVER w AS hh, min(low) OVER w AS ll
+         |  FROM trs
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, hh, ll,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (21.0 / 22.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (21.0 / 22.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS atr
+         |  FROM f)
+         |SELECT asset_id, date, atr,
+         |  floor((hh - 3.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS long_exit,
+         |  floor((ll + 3.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS short_exit
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "stoch_rsi" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(x, 0.0))),
+         |                     (a, x) -> a * (13.0 / 14.0) + x) AS ag,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(-x, 0.0))),
+         |                     (a, x) -> a * (13.0 / 14.0) + x) AS al
+         |  FROM f),
+         |r AS (
+         |  SELECT asset_id, date,
+         |    floor((CASE WHEN al = 0 THEN 100.0
+         |               ELSE 100.0 - 100.0 / (1.0 + ag / al) END) * 10000.0 + 0.5) / 10000.0 AS rsi
+         |  FROM g)
+         |SELECT asset_id, date, rsi,
+         |  floor(((rsi - min(rsi) OVER w) /
+         |         nullif(max(rsi) OVER w - min(rsi) OVER w, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS stoch_rsi
+         |FROM r
+         |WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY asset_id, date""".stripMargin,
+    "pvo" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (SELECT asset_id, date, CAST(n_ticks AS DOUBLE) AS vol FROM bars),
+         |f AS (SELECT asset_id, date,
+         |        list(vol) OVER wf AS af, list(vol) OVER ws AS aslow
+         |  FROM b
+         |  WINDOW wf AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         |         ws AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT asset_id, date,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, af), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + x) /
+         |    list_reduce(list_prepend(0.0, af), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_fast,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, aslow), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + x) /
+         |    list_reduce(list_prepend(0.0, aslow), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_slow
+         |  FROM f)
+         |SELECT asset_id, date, e_fast, e_slow,
+         |  floor((100.0 * (e_fast - e_slow) / nullif(e_slow, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pvo
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, m.l AS cand,
+        |         len(list_filter(toks, x -> list_contains(m.markers, x))) AS score
+        |  FROM t CROSS JOIN (VALUES
+        |    ('en', ['the','and','of','to','in','is','that','for','with','it']),
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('es', ['el','la','de','que','los','las','una','por','con','para']),
+        |    ('fr', ['le','la','les','des','une','est','dans','pour','que','avec']),
+        |    ('zh', ['的','是','了','在','和','有','不','我','这','他'])) AS m(l, markers)),
+        |guess AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
+        |    SELECT doc_id, lang, cand, score,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
+        |    FROM scores) z WHERE rn = 1),
+        |cm AS (SELECT lang, lang_guess, count(*) AS n_docs FROM guess GROUP BY lang, lang_guess),
+        |g AS (SELECT lang, lang_guess, n_docs,
+        |        CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_lang FROM cm)
+        |SELECT lang, lang_guess, n_docs,
+        |  CASE WHEN n_lang = 0 THEN NULL ELSE (1000 * n_docs) // n_lang END AS share_pm
+        |FROM g ORDER BY lang, lang_guess""".stripMargin,
+    "dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs,
+        |         count(DISTINCT source) AS n_sources,
+        |         count(DISTINCT lang) AS n_langs,
+        |         CAST(sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)) AS BIGINT) AS total_tokens,
+        |         CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents),
+        |d AS (SELECT CAST(sum(n - 1) AS BIGINT) AS exact_dup_docs FROM (
+        |        SELECT count(*) AS n FROM documents GROUP BY md5(text)) z)
+        |SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+        |  total_tokens // n_docs AS mean_doc_tokens, exact_dup_docs,
+        |  CASE WHEN n_docs = 0 THEN NULL ELSE (1000 * exact_dup_docs) // n_docs END AS dup_share_pm
+        |FROM base CROSS JOIN d""".stripMargin,
     "rouge_overlap" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -3336,6 +3336,104 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B113 `awesome_osc` — Bill Williams' Awesome Oscillator: SMA(5) −
+    * SMA(34) of the bar midpoint (h+l)/2 — the simplest momentum
+    * divergence gauge. Two fold means over one shared frame column
+    * set, u6 at every boundary, one asset_id shuffle.
+    */
+  def awesomeOsc(panel: DataFrame, fast: Int = 5, slow: Int = 34): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val ff = byAsset.rowsBetween(-(fast - 1), Window.currentRow)
+    val sf = byAsset.rowsBetween(-(slow - 1), Window.currentRow)
+    def sma(frame: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val arr = collect_list(col("mid")).over(frame)
+      u6(Kernels.seqFold(arr, "sum") / size(arr).cast("double"))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("mid", u6((col("high") + col("low")) / 2))
+      .withColumn("sma_fast", sma(ff))
+      .withColumn("sma_slow", sma(sf))
+      .withColumn("ao", u6(col("sma_fast") - col("sma_slow")))
+      .select(col("asset_id"), col("date"), col("mid"), col("ao"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B114 `chandelier_exit` — Chandelier stops: long exit = N-bar
+    * highest high − m·ATR, short exit = N-bar lowest low + m·ATR
+    * (trailing stops that back off with volatility). Channel extremes
+    * are order-insensitive; the ATR is [[atr]]'s rounded-TR Wilder EW;
+    * the two stop lines are single u6 combinations.
+    */
+  def chandelierExit(panel: DataFrame, span: Int = 22, mult: Double = 3.0): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose)))))
+      .withColumn("arr", collect_list(col("tr")).over(frame))
+      .withColumn("atr", u6(
+        Kernels.seqFold(col("arr"), "horner", w) /
+          Kernels.seqFold(col("arr"), "horner_count", w)))
+      .withColumn("hh", max(col("high")).over(frame))
+      .withColumn("ll", min(col("low")).over(frame))
+      .withColumn("long_exit", u6(col("hh") - lit(mult) * col("atr")))
+      .withColumn("short_exit", u6(col("ll") + lit(mult) * col("atr")))
+      .select(col("asset_id"), col("date"), col("atr"),
+        col("long_exit"), col("short_exit"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B115 `stoch_rsi` — Stochastic RSI: [[stochastic]]'s channel
+    * position applied to the ROUNDED [[rsi]] series instead of price —
+    * the double normalization that makes RSI regime-comparable.
+    * Rolling min/max over 4-dec RSI values are exact; the one division
+    * is u6 with the flat-channel NULL.
+    */
+  def stochRsi(panel: DataFrame, rsiSpan: Int = 60, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    rsi(panel, rsiSpan)
+      .withColumn("lo", min(col("rsi")).over(frame))
+      .withColumn("hi", max(col("rsi")).over(frame))
+      .withColumn("stoch_rsi", u6(
+        (col("rsi") - col("lo")) /
+          when(col("hi") === col("lo"), lit(null)).otherwise(col("hi") - col("lo"))))
+      .select(col("asset_id"), col("date"), col("rsi"), col("stoch_rsi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B116 `pvo` — Percentage Volume Oscillator: 100·(EW12 − EW26)/EW26
+    * of the bar's tick count (the panel's volume proxy) — volume
+    * expansion/contraction normalized to be comparable across assets.
+    * Integer volumes → the EW means are folds over exact inputs; one
+    * u6 ratio with a zero guard (a tick count is ≥ 1, so the guard is
+    * belt-and-braces).
+    */
+  def pvo(panel: DataFrame, fast: Int = 12, slow: Int = 26): DataFrame = {
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def ewMean(frame: org.apache.spark.sql.expressions.WindowSpec, weight: Double): Column = {
+      val arr = collect_list(col("vol")).over(frame)
+      u6(Kernels.seqFold(arr, "horner", weight) /
+        Kernels.seqFold(arr, "horner_count", weight))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("vol", col("n_ticks").cast("double"))
+      .withColumn("e_fast", ewMean(byAsset.rowsBetween(-(fast - 1), Window.currentRow), wf))
+      .withColumn("e_slow", ewMean(byAsset.rowsBetween(-(slow - 1), Window.currentRow), ws))
+      .withColumn("pvo", u6(lit(100.0) * (col("e_fast") - col("e_slow")) /
+        when(col("e_slow") === 0, lit(null)).otherwise(col("e_slow"))))
+      .select(col("asset_id"), col("date"), col("e_fast"), col("e_slow"), col("pvo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def volCone(panel: DataFrame, horizons: Seq[Int] = Seq(5, 10, 21)): DataFrame = {
     val perH = horizons.map { h =>
       rollingVolCore(panel, h).select(lit(h.toLong).as("horizon"), col("vol"))

@@ -1219,6 +1219,55 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C86 `lang_confusion` — the language-ID confusion matrix: labeled
+    * `lang` vs [[TextFns.langId]]'s guess, with per-label recall
+    * share — the eval that turns `lang_id` from a heuristic into a
+    * measured one (which languages it confuses, how often 'und' fires).
+    * One scan + a languages²-bounded aggregate; shares are integer
+    * per-mille of integer counts.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val tot = Window.partitionBy(col("lang"))
+    documents
+      .select(col("lang"), TextFns.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_lang", sum(col("n_docs")).over(tot))
+      .withColumn("share_pm", expr(
+        "CASE WHEN n_lang = 0 THEN NULL ELSE (1000 * n_docs) div n_lang END"))
+      .select(col("lang"), col("lang_guess"), col("n_docs"), col("share_pm"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
+  /** C87 `dataset_card` — the one-row corpus summary every dataset
+    * release publishes: document/source/language counts, token and
+    * character mass, mean document length, and the exact-duplicate
+    * share — the numbers a dataset card's "composition" table carries.
+    * One scan for the per-doc measures + one content-hash aggregate
+    * for the dup counts; everything integer (means are integer
+    * divisions, shares per-mille).
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val base = documents.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(TextFns.wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"))
+    val dups = documents
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1).as("exact_dup_docs"))
+    // 1-row ⨝ broadcast(1-row): the whitelisted bounded-BNL shape
+    // (tfidf_topk / domain_mix precedent)
+    base.crossJoin(broadcast(dups))
+      .withColumn("mean_doc_tokens", expr("total_tokens div n_docs"))
+      .withColumn("dup_share_pm", expr(
+        "CASE WHEN n_docs = 0 THEN NULL ELSE (1000 * exact_dup_docs) div n_docs END"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("total_chars"), col("mean_doc_tokens"),
+        col("exact_dup_docs"), col("dup_share_pm"))
+  }
+
   /** C84 `rouge_overlap` — ROUGE-1/ROUGE-2 recall between candidate
     * and reference documents: the distinct-n-gram recall that scores a
     * generated/retrieved text against a reference (Lin 2004) — here

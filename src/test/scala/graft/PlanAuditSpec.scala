@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall_report", // contains ann_topk's corpus ⨝ broadcast(5 probes)
     "knn_classify",     // corpus ⨝ broadcast(20 probe vectors)
     "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
-    "dsir_weights")     // vocab rows ⨝ broadcast(1-row model totals)
+    "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
+    "dataset_card")     // 1-row summary ⨝ broadcast(1-row dup stats)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"

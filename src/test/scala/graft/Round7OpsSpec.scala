@@ -264,6 +264,47 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("awesome_osc: flat midpoints cancel; a rally keeps the fast mean ahead") {
+    Analytics.awesomeOsc(oneTickPanel(Seq.fill(6)(25.0))).collect()
+      .foreach(r => assert(r.getAs[Double]("ao") === 0.0))
+    val rising = Analytics.awesomeOsc(oneTickPanel((1 to 10).map(_ * 2.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    // frames only differentiate once the fast window is full and the
+    // slow one still carries older (lower) values
+    rising.drop(5).foreach(r => assert(r.getAs[Double]("ao") > 0.0, r.toString))
+  }
+
+  test("chandelier_exit: zero-range bars collapse both stops onto the channel") {
+    val out = Analytics.chandelierExit(oneTickPanel(Seq(10.0, 12.0, 11.0, 14.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    out.foreach { r =>
+      assert(r.getAs[Double]("atr") >= 0.0)
+    }
+    // single-tick bars: TR = |close − prev close| moves the ATR, but the
+    // very first bar (TR = high − low = 0) pins stops to the bar value
+    assert(out.head.getAs[Double]("long_exit") === 10.0)
+    assert(out.head.getAs[Double]("short_exit") === 10.0)
+  }
+
+  test("stoch_rsi: an uninterrupted rally saturates RSI and nulls the channel") {
+    val values = Seq.fill(8)(0.1).scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.stochRsi(oneTickPanel(values)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rsi") === 100.0)                 // all gains
+      assert(r.getAs[Any]("stoch_rsi") == null)                // flat channel
+    }
+  }
+
+  test("pvo: constant volume gives a zero oscillator") {
+    val out = Analytics.pvo(twoTickPanel((1 to 6).map(i => (10.0 * i, 10.0 * i + 2)))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("e_fast") === 2.0)
+      assert(r.getAs[Double]("e_slow") === 2.0)
+      assert(r.getAs[Double]("pvo") === 0.0)
+    }
+  }
+
   test("rolling_sharpe: matches the direct mean/sd of the window") {
     val rets = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
     val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }

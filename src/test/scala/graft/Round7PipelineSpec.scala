@@ -188,6 +188,37 @@ class Round7PipelineSpec extends SparkSpec {
     assert(math.abs(s3 - (0.7 * 0.8 - (1.0 - 0.7) * 1.0)) < 2e-6, s"s3=$s3")
   }
 
+  test("lang_confusion: a mislabeled document lands off the diagonal") {
+    val en = "the cat and the dog went to the house in the rain"
+    val d = docs(
+      (1L, en, "en", "s"), (2L, en, "en", "s"),
+      (3L, en, "de", "s"),                      // labeled de, reads en
+      (4L, "zzz qqq xxx", "fr", "s"))           // no markers → und
+    val out = Pipeline.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("en", "en")).getAs[Long]("n_docs") === 2L)
+    assert(out(("en", "en")).getAs[Long]("share_pm") === 1000L)
+    assert(out(("de", "en")).getAs[Long]("n_docs") === 1L)     // the confusion cell
+    assert(out(("fr", "und")).getAs[Long]("n_docs") === 1L)
+  }
+
+  test("dataset_card: one summary row with exact composition numbers") {
+    val d = docs(
+      (1L, "a b c", "en", "web"), (2L, "a b c", "en", "web"),  // exact dup pair
+      (3L, "d e", "fr", "books"), (4L, "f", "en", "books"))
+    val out = Pipeline.datasetCard(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 9L)
+    assert(r.getAs[Long]("total_chars") === 14L)               // 5+5+3+1
+    assert(r.getAs[Long]("mean_doc_tokens") === 2L)            // 9 div 4
+    assert(r.getAs[Long]("exact_dup_docs") === 1L)
+    assert(r.getAs[Long]("dup_share_pm") === 250L)
+  }
+
   test("doc_outliers: the far point ranks first with its exact distance") {
     val vecs = Seq(
       (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
