@@ -683,6 +683,8 @@ object SparkEntry {
       Pipeline.langConfusion(Tables.documents(s, dir))),
     "dataset_card" -> ((s, dir) =>
       Pipeline.datasetCard(Tables.documents(s, dir))),
+    "split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(Tables.documents(s, dir), jaccardPairsShared(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -3703,6 +3705,23 @@ object SparkEntry {
       s"""$clustersCtes
          |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "split_leakage" ->
+      s"""$clustersCtes,
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+         |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |g AS (
+         |  SELECT cl.cluster_id, count(*) AS n_docs, count(DISTINCT sp.split) AS n_splits
+         |  FROM cl JOIN sp USING (doc_id) GROUP BY cl.cluster_id HAVING count(*) > 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_multi_clusters,
+         |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+         |  CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS leaked_docs,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE (1000 * CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) END AS leak_share_pm
+         |FROM g""".stripMargin,
     "dedup_survivors" ->
       s"""$clustersCtes,
          |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)

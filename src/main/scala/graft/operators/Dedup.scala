@@ -76,6 +76,32 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("keep_id"))
 
+  /** C88 `split_leakage` — train/eval contamination audit: near-dup
+    * clusters whose members land in DIFFERENT [[Pipeline.sampleSplit]]
+    * splits leak training signal into val/test — the check every
+    * benchmark-honest corpus build runs AFTER splitting (hash splits
+    * are doc-level; near-dups cross them freely). One summary row:
+    * multi-doc clusters, how many leak, the leaked doc mass, and the
+    * leak share per-mille — all integer over the O(duplicates)
+    * cluster labels joined with the pure-hash split assignment.
+    */
+  def splitLeakage(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val split = documents.select(col("doc_id"),
+      when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 80, "train")
+        .when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 90, "val")
+        .otherwise("test").as("split"))
+    nearDupClusters(documents, pairs)
+      .join(split, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("split")).as("n_splits"))
+      .filter(col("n_docs") > 1)
+      .agg(count(lit(1)).as("n_multi_clusters"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky_clusters"),
+        sum(when(col("n_splits") > 1, col("n_docs")).otherwise(lit(0L))).as("leaked_docs"))
+      .withColumn("leak_share_pm", expr(
+        "CASE WHEN n_multi_clusters = 0 THEN NULL ELSE (1000 * n_leaky_clusters) div n_multi_clusters END"))
+  }
+
   /** C69 `cross_source_dups` — the source-provenance duplicate matrix:
     * for every pair of sources, how many [[prefixDups]]-style
     * normalized-prefix families BOTH carry (who mirrors whose

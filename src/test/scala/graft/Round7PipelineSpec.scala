@@ -219,6 +219,31 @@ class Round7PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_share_pm") === 250L)
   }
 
+  test("split_leakage: a cluster spanning splits is counted as leaky") {
+    // doc 0 → bucket 0 (train); doc 85 → (85·2654435761) % 100 = 85 % ...
+    // choose ids by computing the split hash directly
+    def split(id: Long) = {
+      val b = java.lang.Math.floorMod(id * 2654435761L, 100L)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val ids = (0L until 200L)
+    val train = ids.filter(split(_) == "train")
+    val test = ids.filter(split(_) == "test")
+    // cluster A spans train+test (leaky); cluster B stays in train
+    val a1 = train.head; val a2 = test.head
+    val b1 = train(1); val b2 = train(2)
+    val d = docs(Seq(a1, a2, b1, b2).map(i => (i, s"doc $i", "en", "s")): _*)
+    val pairs = Seq((math.min(a1, a2), math.max(a1, a2)),
+      (math.min(b1, b2), math.max(b1, b2))).toDF("doc_a", "doc_b")
+    val out = Dedup.splitLeakage(d, pairs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_multi_clusters") === 2L)
+    assert(r.getAs[Long]("n_leaky_clusters") === 1L)
+    assert(r.getAs[Long]("leaked_docs") === 2L)
+    assert(r.getAs[Long]("leak_share_pm") === 500L)
+  }
+
   test("doc_outliers: the far point ranks first with its exact distance") {
     val vecs = Seq(
       (1L, Seq(0f, 0f), 7), (2L, Seq(0f, 0f), 7), (3L, Seq(9f, 0f), 7),
