@@ -391,4 +391,47 @@ class EdgeCasesSpec extends SparkSpec {
       .count(x => sparkRound6(x) != duckRound6(x))
     assert(flaps >= 3)
   }
+
+  test("round-7 panel operators return empty/sane on degenerate panels") {
+    val panelOps: Seq[DataFrame => DataFrame] = Seq(
+      Analytics.aroon(_), Analytics.mfi(_), Analytics.elderRay(_),
+      Analytics.forceIndex(_), Analytics.vortex(_), Analytics.chaikinOsc(_),
+      Analytics.kellyFraction(_), Analytics.tailRatio(_), Analytics.rollingSharpe(_),
+      Analytics.rogersSatchell(_), Analytics.trix(_), Analytics.dpo(_),
+      Analytics.coppock(_), Analytics.corwinSchultz(_), Analytics.volCone(_),
+      Analytics.adx(_), Analytics.massIndex(_), Analytics.yangZhang(_),
+      Analytics.awesomeOsc(_), Analytics.chandelierExit(_),
+      Analytics.stochRsi(_), Analytics.pvo(_))
+    panelOps.foreach(op => assert(op(emptyPanel).count() === 0))
+    // one single-tick bar: frame-dependent ops emit their first row (or
+    // nothing, where a lag/return gate drops it) without throwing
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    panelOps.foreach(op => assert(op(p).count() <= 1))
+  }
+
+  test("round-7 document/embedding operators are sane on degenerate inputs") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    assert(Pipeline.tokenGini(emptyDocs).count() === 0)
+    assert(Pipeline.gopherRules(emptyDocs).count() === 0)
+    assert(Pipeline.langConfusion(emptyDocs).count() === 0)
+    assert(Pipeline.temperatureMix(emptyDocs).count() === 0)
+    assert(Pipeline.dsirWeights(emptyDocs).count() === 0)
+    assert(Dedup.normalizedDedup(emptyDocs).count() === 0)
+    // dataset_card on an empty corpus: one row of zeros, NULL dup share
+    val card = Pipeline.datasetCard(emptyDocs).collect()
+    assert(card.length === 1 && card(0).getAs[Long]("n_docs") === 0L)
+    assert(card(0).getAs[Any]("dup_share_pm") == null)
+    // blank/unicode text never throws the rule projections
+    val weird = Seq((1L, "", "en", "s", 0L), (2L, "   \n\n  ", "en", "s", 7L),
+      (3L, "日本語のテキスト…", "zh", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Pipeline.gopherRules(weird).count() === 3)
+    assert(Pipeline.tokenGini(weird).count() === 1)
+  }
 }
