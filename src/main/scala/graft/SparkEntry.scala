@@ -685,6 +685,14 @@ object SparkEntry {
       Pipeline.datasetCard(Tables.documents(s, dir))),
     "split_leakage" -> ((s, dir) =>
       Dedup.splitLeakage(Tables.documents(s, dir), jaccardPairsShared(s, dir))),
+    "tsi" -> ((s, dir) =>
+      Analytics.tsi(Tables.panel(s, dir))),
+    "choppiness" -> ((s, dir) =>
+      Analytics.choppiness(Tables.panel(s, dir))),
+    "eom" -> ((s, dir) =>
+      Analytics.eom(Tables.panel(s, dir))),
+    "elder_impulse" -> ((s, dir) =>
+      Analytics.elderImpulse(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -2476,6 +2484,150 @@ object SparkEntry {
          |  CAST(c AS BIGINT) AS n_top, (1000 * CAST(c AS BIGINT)) // n_vecs AS purity_pm
          |FROM g WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "mmr_rerank" -> mmrOracle((0L to 4L).toSeq, 10, 5),
+    "tsi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date,
+         |         floor((close - lag(close) OVER a) * 1000000.0 + 0.5) / 1000000.0 AS mom
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |  QUALIFY lag(close) OVER a IS NOT NULL),
+         |f1 AS (SELECT asset_id, date, mom,
+         |         list(mom) OVER w AS ma, list(abs(mom)) OVER w AS aa
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)),
+         |g1 AS (SELECT asset_id, date, mom,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ma), (acc, x) -> acc * (1.0 - 2.0 / 26.0) + x) /
+         |    list_reduce(list_prepend(0.0, ma), (acc, x) -> acc * (1.0 - 2.0 / 26.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e1,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, aa), (acc, x) -> acc * (1.0 - 2.0 / 26.0) + x) /
+         |    list_reduce(list_prepend(0.0, aa), (acc, x) -> acc * (1.0 - 2.0 / 26.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS a1
+         |  FROM f1),
+         |f2 AS (SELECT asset_id, date, mom,
+         |         list(e1) OVER w AS ea, list(a1) OVER w AS ab
+         |  FROM g1
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)),
+         |g2 AS (SELECT asset_id, date, mom,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ea), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, ea), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e2,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ab), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, ab), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS a2
+         |  FROM f2)
+         |SELECT asset_id, date, mom,
+         |  floor((100.0 * e2 / nullif(a2, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS tsi
+         |FROM g2 ORDER BY asset_id, date""".stripMargin,
+    "choppiness" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, high, low,
+         |         floor((CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(tr) OVER w AS arr, max(high) OVER w AS hh, min(low) OVER w AS ll,
+         |         CAST(count(*) OVER w AS DOUBLE) AS n
+         |  FROM trs
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, hh, ll, n,
+         |         list_reduce(list_prepend(0.0, arr), (a, y) -> a + y) AS s_tr
+         |  FROM f)
+         |SELECT asset_id, date, s_tr,
+         |  floor((CASE WHEN hh = ll OR s_tr <= 0 OR n < 2 THEN NULL
+         |        ELSE 100.0 * ln(s_tr / (hh - ll)) / ln(n) END) * 1000000.0 + 0.5) / 1000000.0 AS chop
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "eom" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, high, low, n_ticks,
+         |         floor(((high + low) / 2) * 1000000.0 + 0.5) / 1000000.0 AS mid
+         |  FROM bars),
+         |c AS (
+         |  SELECT asset_id, date, high, low, n_ticks, mid,
+         |         lag(mid) OVER (PARTITION BY asset_id ORDER BY date) AS pmid
+         |  FROM b),
+         |d AS (
+         |  SELECT asset_id, date,
+         |         floor((mid - pmid) * 1000000.0 + 0.5) / 1000000.0 AS dist,
+         |         high, low, n_ticks
+         |  FROM c WHERE pmid IS NOT NULL),
+         |e AS (
+         |  SELECT asset_id, date,
+         |    floor((CASE WHEN high = low THEN 0.0
+         |          ELSE dist * (high - low) / CAST(n_ticks AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS eom_raw
+         |  FROM d),
+         |f AS (
+         |  SELECT asset_id, date, eom_raw,
+         |         list(eom_raw) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM e)
+         |SELECT asset_id, date, eom_raw,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 15.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 15.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS eom
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "elder_impulse" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(close) OVER we AS ae, list(close) OVER wf AS af, list(close) OVER ws AS asl
+         |  FROM bars
+         |  WINDOW we AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         |         ws AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, ae), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |      list_reduce(list_prepend(0.0, ae), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ema,
+         |    floor((
+         |      floor((
+         |        list_reduce(list_prepend(0.0, af), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + x) /
+         |        list_reduce(list_prepend(0.0, af), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 -
+         |      floor((
+         |        list_reduce(list_prepend(0.0, asl), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + x) /
+         |        list_reduce(list_prepend(0.0, asl), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS macd
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, ema, macd,
+         |         list(macd) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS am
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, ema, macd,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, am), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + x) /
+         |      list_reduce(list_prepend(0.0, am), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS sig
+         |  FROM h),
+         |j AS (
+         |  SELECT asset_id, date, ema,
+         |         floor((macd - sig) * 1000000.0 + 0.5) / 1000000.0 AS hist
+         |  FROM i),
+         |k AS (
+         |  SELECT asset_id, date,
+         |         floor((ema - lag(ema) OVER a) * 1000000.0 + 0.5) / 1000000.0 AS d_ema,
+         |         floor((hist - lag(hist) OVER a) * 1000000.0 + 0.5) / 1000000.0 AS d_hist
+         |  FROM j
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, d_ema, d_hist,
+         |  CASE WHEN d_ema IS NULL OR d_hist IS NULL THEN NULL
+         |       WHEN d_ema > 0 AND d_hist > 0 THEN 'green'
+         |       WHEN d_ema < 0 AND d_hist < 0 THEN 'red'
+         |       ELSE 'blue' END AS impulse
+         |FROM k ORDER BY asset_id, date""".stripMargin,
     "awesome_osc" ->
       s"""$panelCte,
          |$barsCte,

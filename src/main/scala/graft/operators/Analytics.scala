@@ -1175,7 +1175,14 @@ object Analytics {
     * engines, no pow — same machinery as [[ewma]]) give the exact
     * EW ratio. AL = 0 (no losses in frame) → RSI 100 by convention.
     */
-  def rsi(panel: DataFrame, span: Int = 60): DataFrame = {
+  def rsi(panel: DataFrame, span: Int = 60): DataFrame =
+    rsiCore(panel, span).orderBy(col("asset_id"), col("date"))
+
+  /** [[rsi]] without the presentation sort — the input to composites
+    * ([[stochRsi]]) that immediately re-window on the same asset_id
+    * partitioning.
+    */
+  private[graft] def rsiCore(panel: DataFrame, span: Int): DataFrame = {
     val wilder = 13.0 / 14.0
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
@@ -1193,7 +1200,6 @@ object Analytics {
         when(col("al") === 0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))))
       .select(col("asset_id"), col("date"), col("ret"), col("rsi"))
-      .orderBy(col("asset_id"), col("date"))
   }
 
   /** B27 `macd` — moving-average convergence/divergence on the LWW
@@ -3398,7 +3404,7 @@ object Analytics {
   def stochRsi(panel: DataFrame, rsiSpan: Int = 60, span: Int = 14): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
-    rsi(panel, rsiSpan)
+    rsiCore(panel, rsiSpan)
       .withColumn("lo", min(col("rsi")).over(frame))
       .withColumn("hi", max(col("rsi")).over(frame))
       .withColumn("stoch_rsi", u6(
@@ -3431,6 +3437,125 @@ object Analytics {
       .withColumn("pvo", u6(lit(100.0) * (col("e_fast") - col("e_slow")) /
         when(col("e_slow") === 0, lit(null)).otherwise(col("e_slow"))))
       .select(col("asset_id"), col("date"), col("e_fast"), col("e_slow"), col("pvo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B117 `tsi` — True Strength Index: double-EW-smoothed momentum
+    * over double-EW-smoothed |momentum|, ×100 — deep smoothing that
+    * keeps sign fidelity (the divisor smooths the SAME series' magnitude).
+    * Four chained EW means, each u6-rounded before the next stage
+    * ([[trix]]' rule); final ratio u6 with a zero guard.
+    */
+  def tsi(panel: DataFrame, slow: Int = 25, fast: Int = 13): DataFrame = {
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val sframe = byAsset.rowsBetween(-(slow - 1), Window.currentRow)
+    val fframe = byAsset.rowsBetween(-(fast - 1), Window.currentRow)
+    def ew(c: Column, frame: org.apache.spark.sql.expressions.WindowSpec, w: Double): Column = {
+      val arr = collect_list(c).over(frame)
+      u6(Kernels.seqFold(arr, "horner", w) / Kernels.seqFold(arr, "horner_count", w))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", lag(col("close"), 1).over(byAsset))
+      .filter(col("pc").isNotNull)
+      .withColumn("mom", u6(col("close") - col("pc")))
+      .withColumn("amom", abs(col("mom")))
+      .withColumn("e1", ew(col("mom"), sframe, ws))
+      .withColumn("a1", ew(col("amom"), sframe, ws))
+      .withColumn("e2", ew(col("e1"), fframe, wf))
+      .withColumn("a2", ew(col("a1"), fframe, wf))
+      .withColumn("tsi", u6(lit(100.0) * col("e2") /
+        when(col("a2") === 0, lit(null)).otherwise(col("a2"))))
+      .select(col("asset_id"), col("date"), col("mom"), col("tsi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B118 `choppiness` — Choppiness Index:
+    * 100·ln(ΣTR / (hh − ll)) / ln(n) over an n-bar frame — ≈100 when
+    * price churns inside a range (ΣTR ≫ net range), low when it
+    * trends. Written with ln/ln (NOT log10 — one shared ln surface
+    * under the zipf discipline); ΣTR is a fold over rounded TRs,
+    * channel extremes are order-free, flat channels null out.
+    */
+  def choppiness(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose)))))
+      .withColumn("s_tr", Kernels.seqFold(collect_list(col("tr")).over(frame), "sum"))
+      .withColumn("hh", max(col("high")).over(frame))
+      .withColumn("ll", min(col("low")).over(frame))
+      .withColumn("n", count(lit(1)).over(frame).cast("double"))
+      .withColumn("chop", u6(
+        when(col("hh") === col("ll") || col("s_tr") <= 0 || col("n") < 2, lit(null))
+          .otherwise(lit(100.0) * log(col("s_tr") / (col("hh") - col("ll"))) / log(col("n")))))
+      .select(col("asset_id"), col("date"), col("s_tr"), col("chop"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B119 `eom` — Ease of Movement: midpoint displacement per unit of
+    * volume-scaled range, EW-smoothed — how far price travels per unit
+    * of effort. Per-bar terms u6 (displacement; the box ratio
+    * dist·(h−l)/volume with flat bars contributing 0), the smoother is
+    * the usual rounded-series Horner mean.
+    */
+  def eom(panel: DataFrame, span: Int = 14): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("mid", u6((col("high") + col("low")) / 2))
+      .withColumn("pmid", lag(col("mid"), 1).over(byAsset))
+      .filter(col("pmid").isNotNull)
+      .withColumn("dist", u6(col("mid") - col("pmid")))
+      .withColumn("eom_raw", u6(
+        when(col("high") === col("low"), lit(0.0))
+          .otherwise(col("dist") * (col("high") - col("low")) / col("n_ticks").cast("double"))))
+      .withColumn("arr", collect_list(col("eom_raw")).over(frame))
+      .withColumn("eom", u6(
+        Kernels.seqFold(col("arr"), "horner", w) /
+          Kernels.seqFold(col("arr"), "horner_count", w)))
+      .select(col("asset_id"), col("date"), col("eom_raw"), col("eom"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B120 `elder_impulse` — Elder's Impulse System: the EMA(13) slope
+    * sign crossed with the MACD-histogram slope sign → 'green' (both
+    * rising), 'red' (both falling), 'blue' (mixed) — the trade-permission
+    * traffic light. Every sign reads a u6 difference of u6 series
+    * (EMA chain + the macd fold recipe), so the label is engine-exact.
+    */
+  def elderImpulse(panel: DataFrame, emaSpan: Int = 13,
+                   fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+    val we = 1.0 - 2.0 / (emaSpan + 1.0)
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val wg = 1.0 - 2.0 / (signal + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def ew(c: Column, span: Int, w: Double): Column = {
+      val arr = collect_list(c).over(byAsset.rowsBetween(-(span - 1), Window.currentRow))
+      u6(Kernels.seqFold(arr, "horner", w) / Kernels.seqFold(arr, "horner_count", w))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ema", ew(col("close"), emaSpan, we))
+      .withColumn("macd", u6(ew(col("close"), fast, wf) - ew(col("close"), slow, ws)))
+      .withColumn("sig", ew(col("macd"), signal, wg))
+      .withColumn("hist", u6(col("macd") - col("sig")))
+      .withColumn("d_ema", u6(col("ema") - lag(col("ema"), 1).over(byAsset)))
+      .withColumn("d_hist", u6(col("hist") - lag(col("hist"), 1).over(byAsset)))
+      .withColumn("impulse",
+        when(col("d_ema").isNull || col("d_hist").isNull, lit(null).cast("string"))
+          .when(col("d_ema") > 0 && col("d_hist") > 0, "green")
+          .when(col("d_ema") < 0 && col("d_hist") < 0, "red")
+          .otherwise("blue"))
+      .select(col("asset_id"), col("date"), col("d_ema"), col("d_hist"), col("impulse"))
       .orderBy(col("asset_id"), col("date"))
   }
 

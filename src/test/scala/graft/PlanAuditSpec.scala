@@ -123,7 +123,8 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("vol_cone") <= 8,
       s"vol_cone exceeded 3 horizon builds + count + window + agg: ${shuffles("vol_cone")}")
-    for (q <- Seq("adx", "mass_index", "yang_zhang"))
+    for (q <- Seq("adx", "mass_index", "yang_zhang", "tsi", "choppiness",
+        "eom", "elder_impulse", "awesome_osc", "chandelier_exit", "stoch_rsi", "pvo"))
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("temperature_mix") <= 4,
       s"temperature_mix exceeded source agg + totals windows + sort: ${shuffles("temperature_mix")}")

@@ -305,6 +305,44 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("tsi: uninterrupted +1 momentum saturates at 100") {
+    val out = Analytics.tsi(oneTickPanel((1 to 10).map(_.toDouble))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("mom") === 1.0)
+      assert(r.getAs[Double]("tsi") === 100.0)                 // e2 == a2 when mom ≥ 0
+    }
+  }
+
+  test("choppiness: a straight trend scores low; flat channels null out") {
+    val out = Analytics.choppiness(oneTickPanel((1 to 20).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    // full 14-bar frame: ΣTR = 14 (first TR 0 rolls out), range 13
+    val last = out.last
+    val want = math.floor(100.0 * math.log(14.0 / 13.0) / math.log(14.0) * 1e6 + 0.5) / 1e6
+    assert(last.getAs[Double]("chop") === want)
+    assert(last.getAs[Double]("chop") < 10.0)                  // trending = low chop
+    val flat = Analytics.choppiness(oneTickPanel(Seq.fill(5)(7.0))).collect()
+    flat.foreach(r => assert(r.getAs[Any]("chop") == null))    // hh == ll
+  }
+
+  test("eom: flat midpoints move nowhere") {
+    val out = Analytics.eom(twoTickPanel(Seq.fill(5)((10.0, 12.0)))).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("eom_raw") === 0.0)
+      assert(r.getAs[Double]("eom") === 0.0)
+    }
+  }
+
+  test("elder_impulse: early rally bars are green; labels never escape the palette") {
+    val out = Analytics.elderImpulse(oneTickPanel((1 to 12).map(_ * 3.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Any]("impulse") == null)             // no prior ema/hist
+    assert(out(1).getAs[String]("impulse") === "green")        // ema and hist both rising
+    out.tail.foreach(r =>
+      assert(Set("green", "red", "blue")(r.getAs[String]("impulse")), r.toString))
+  }
+
   test("rolling_sharpe: matches the direct mean/sd of the window") {
     val rets = Seq(0.1, -0.05, 0.2, -0.1, 0.15)
     val values = rets.scanLeft(100.0) { case (v, r) => v * (1 + r) }
