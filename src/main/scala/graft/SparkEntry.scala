@@ -693,6 +693,22 @@ object SparkEntry {
       Analytics.eom(Tables.panel(s, dir))),
     "elder_impulse" -> ((s, dir) =>
       Analytics.elderImpulse(Tables.panel(s, dir))),
+    "ad_line" -> ((s, dir) =>
+      Analytics.adLine(Tables.panel(s, dir))),
+    "ultimate_osc" -> ((s, dir) =>
+      Analytics.ultimateOsc(Tables.panel(s, dir))),
+    "runs_test" -> ((s, dir) =>
+      Analytics.runsTest(Tables.panel(s, dir))),
+    "kendall_tau" -> ((s, dir) =>
+      Analytics.kendallTau(Tables.panel(s, dir))),
+    "hill_tail" -> ((s, dir) =>
+      Analytics.hillTail(Tables.panel(s, dir))),
+    "cornish_fisher" -> ((s, dir) =>
+      Analytics.cornishFisher(Tables.panel(s, dir))),
+    "m2_ratio" -> ((s, dir) =>
+      Analytics.m2Ratio(Tables.panel(s, dir))),
+    "volume_profile" -> ((s, dir) =>
+      Analytics.volumeProfile(Tables.panel(s, dir))),
     "zipf_slope" -> ((s, dir) =>
       Pipeline.zipfSlope(Tables.documents(s, dir))),
     "heaps_law" -> ((s, dir) =>
@@ -982,6 +998,14 @@ object SparkEntry {
        |FROM ba LEFT JOIN wex ON ba.vec_id = wex.vec_id
        |        LEFT JOIN wb ON ba.vec_id = wb.vec_id
        |ORDER BY ba.vec_id""".stripMargin
+
+  /** Scala double → DuckDB DOUBLE literal: E-notation forces the
+    * float parser (a plain decimal literal parses as DECIMAL, whose
+    * int128→double conversion can land an ulp off the strtod value
+    * once the mantissa digits exceed 2⁵³); 17 significant digits
+    * round-trip any double exactly.
+    */
+  private def sqlD(d: Double): String = f"$d%.17e"
 
   /** DuckDB panel CTE mirroring [[Tables.panel]]. */
   private val panelCte =
@@ -2628,6 +2652,220 @@ object SparkEntry {
          |       WHEN d_ema < 0 AND d_hist < 0 THEN 'red'
          |       ELSE 'blue' END AS impulse
          |FROM k ORDER BY asset_id, date""".stripMargin,
+    "ad_line" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |         coalesce(floor((((close - low) - (high - close)) /
+         |           nullif(high - low, 0.0)) * 1000000.0 + 0.5) / 1000000.0 * n_ticks, 0.0) AS mfv
+         |  FROM bars),
+         |f AS (
+         |  SELECT asset_id, date, close, mfv,
+         |         list(mfv) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b)
+         |SELECT asset_id, date, close,
+         |  floor(mfv * 1000000.0 + 0.5) / 1000000.0 AS mfv,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 AS ad
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "ultimate_osc" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low, close,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |u AS (
+         |  SELECT asset_id, date,
+         |         floor((close - least(low, pc)) * 1000000.0 + 0.5) / 1000000.0 AS bp,
+         |         floor((greatest(high, pc) - least(low, pc)) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t WHERE pc IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(bp) OVER w7 AS b7, list(tr) OVER w7 AS t7,
+         |         list(bp) OVER w14 AS b14, list(tr) OVER w14 AS t14,
+         |         list(bp) OVER w28 AS b28, list(tr) OVER w28 AS t28
+         |  FROM u
+         |  WINDOW w7  AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 6  PRECEDING AND CURRENT ROW),
+         |         w14 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         |         w28 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((list_reduce(list_prepend(0.0, b7), (a, x) -> a + x) /
+         |           nullif(list_reduce(list_prepend(0.0, t7), (a, x) -> a + x), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS a_fast,
+         |    floor((list_reduce(list_prepend(0.0, b14), (a, x) -> a + x) /
+         |           nullif(list_reduce(list_prepend(0.0, t14), (a, x) -> a + x), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS a_mid,
+         |    floor((list_reduce(list_prepend(0.0, b28), (a, x) -> a + x) /
+         |           nullif(list_reduce(list_prepend(0.0, t28), (a, x) -> a + x), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS a_slow
+         |  FROM f)
+         |SELECT asset_id, date, a_fast, a_mid, a_slow,
+         |  floor((100.0 * (4.0 * a_fast + 2.0 * a_mid + a_slow) / 7.0) * 1000000.0 + 0.5) / 1000000.0 AS uo
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "runs_test" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |s AS (
+         |  SELECT asset_id, date, CASE WHEN ret > 0 THEN 1 ELSE 0 END AS sign
+         |  FROM rets WHERE ret <> 0),
+         |r AS (
+         |  SELECT asset_id, sign,
+         |         CASE WHEN lag(sign) OVER a IS NULL OR sign <> lag(sign) OVER a
+         |              THEN 1 ELSE 0 END AS new_run
+         |  FROM s WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, CAST(sum(sign) AS BIGINT) AS n_pos,
+         |         CAST(sum(1 - sign) AS BIGINT) AS n_neg,
+         |         CAST(sum(new_run) AS BIGINT) AS runs
+         |  FROM r GROUP BY asset_id),
+         |f AS (
+         |  SELECT *, CAST(n_pos + n_neg AS DOUBLE) AS n, 2.0 * n_pos * n_neg AS p2
+         |  FROM g WHERE n_pos >= 1 AND n_neg >= 1),
+         |h AS (
+         |  SELECT asset_id, n_pos, n_neg, runs,
+         |         1.0 + p2 / n AS e_runs,
+         |         p2 * (p2 - n) / (n * n * (n - 1)) AS v
+         |  FROM f)
+         |SELECT asset_id, n_pos, n_neg, runs,
+         |  floor(e_runs * 1000000.0 + 0.5) / 1000000.0 AS e_runs,
+         |  floor(((runs - e_runs) / CASE WHEN v <= 0 THEN NULL ELSE sqrt(v) END) * 1000000.0 + 0.5) / 1000000.0 AS z
+         |FROM h ORDER BY asset_id""".stripMargin,
+    "kendall_tau" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT a.asset_id, a.ret AS r1, a.mkt_ret AS m1, b.ret AS r2, b.mkt_ret AS m2
+         |  FROM j a JOIN j b ON a.asset_id = b.asset_id AND a.date < b.date),
+         |g AS (
+         |  SELECT asset_id, count(*) AS n0,
+         |    CAST(sum(CASE WHEN (r1 > r2 AND m1 > m2) OR (r1 < r2 AND m1 < m2) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         |    CAST(sum(CASE WHEN (r1 > r2 AND m1 < m2) OR (r1 < r2 AND m1 > m2) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+         |    CAST(sum(CASE WHEN m1 = m2 THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+         |  FROM p GROUP BY asset_id)
+         |SELECT asset_id, n0, concordant, discordant,
+         |  floor((CAST(concordant - discordant AS DOUBLE) /
+         |        nullif(sqrt(CAST(n0 - tied_x AS DOUBLE)) * sqrt(CAST(n0 - tied_y AS DOUBLE)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS tau
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "hill_tail" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |losses AS (SELECT asset_id, -ret AS loss FROM rets WHERE ret < 0),
+         |g AS (SELECT asset_id, list(loss ORDER BY loss DESC) AS la
+         |      FROM losses GROUP BY asset_id),
+         |f AS (SELECT asset_id, CAST(len(la) AS BIGINT) AS n_loss, la, la[6] AS xk
+         |      FROM g WHERE len(la) >= 6),
+         |h AS (SELECT asset_id, n_loss, xk,
+         |        list_reduce(list_prepend(0.0,
+         |          list_transform(la[1:5], x -> floor(ln(x / xk) * 1000000.0 + 0.5) / 1000000.0)),
+         |          (a, x) -> a + x) / 5.0 AS hh
+         |      FROM f WHERE xk > 0)
+         |SELECT asset_id, n_loss,
+         |  floor(xk * 1000000.0 + 0.5) / 1000000.0 AS tail_cut,
+         |  floor(hh * 1000000.0 + 0.5) / 1000000.0 AS mean_excess_log,
+         |  floor((1.0 / CASE WHEN hh <= 0 THEN NULL ELSE hh END) * 1000000.0 + 0.5) / 1000000.0 AS alpha
+         |FROM h ORDER BY asset_id""".stripMargin,
+    "cornish_fisher" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x)), (a, x) -> a + x) AS s3,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x * x)), (a, x) -> a + x) AS s4
+         |  FROM g WHERE len(ra) >= 4),
+         |mm AS (SELECT asset_id, n, s1 / n AS m, s2, s3, s4 FROM f),
+         |cm AS (
+         |  SELECT asset_id, n, m,
+         |         s2 / n - m * m AS m2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS m4
+         |  FROM mm),
+         |sk AS (
+         |  SELECT asset_id, n, m,
+         |         sqrt(greatest(m2 * (n / (n - 1)), 0.0)) AS sd,
+         |         m3 / (m2 * sqrt(m2)) AS s,
+         |         m4 / (m2 * m2) - 3 AS kex
+         |  FROM cm WHERE m2 > 0),
+         |cf AS (
+         |  SELECT asset_id, n, m, sd, s, kex,
+         |         ${sqlD(Analytics.CfConst.z)} + ${sqlD(Analytics.CfConst.c1)} * s
+         |         + ${sqlD(Analytics.CfConst.c2)} * kex
+         |         - ${sqlD(Analytics.CfConst.c3)} * s * s AS zcf
+         |  FROM sk)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS skew,
+         |  floor(kex * 1000000.0 + 0.5) / 1000000.0 AS kurt_excess,
+         |  floor((-(m + sd * ${sqlD(Analytics.CfConst.z)})) * 1000000.0 + 0.5) / 1000000.0 AS var_norm,
+         |  floor((-(m + sd * zcf)) * 1000000.0 + 0.5) / 1000000.0 AS var_cf
+         |FROM cf ORDER BY asset_id""".stripMargin,
+    "m2_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |mlist AS (SELECT list(mkt_ret ORDER BY date) AS ma FROM mkt),
+         |ms AS (
+         |  SELECT CAST(len(ma) AS DOUBLE) AS nm,
+         |         list_reduce(list_prepend(0.0, ma), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, list_transform(ma, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM mlist WHERE len(ma) >= 2),
+         |msd AS (SELECT sqrt(greatest((nm * sm2 - sm * sm) / (nm * (nm - 1)), 0.0)) AS mkt_sd FROM ms),
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(ra) >= 2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(((s / n) / nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sharpe,
+         |  floor((SELECT mkt_sd FROM msd) * 1000000.0 + 0.5) / 1000000.0 AS mkt_sd,
+         |  floor(((s / n) / nullif(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)), 0.0) * (SELECT mkt_sd FROM msd)) * 1000000.0 + 0.5) / 1000000.0 AS m2
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "volume_profile" ->
+      s"""$panelCte,
+         |e AS (
+         |  SELECT asset_id, value,
+         |         min(value) OVER (PARTITION BY asset_id) AS mn,
+         |         max(value) OVER (PARTITION BY asset_id) AS mx
+         |  FROM panel),
+         |b AS (
+         |  SELECT asset_id,
+         |         CASE WHEN mx = mn THEN 0
+         |              ELSE CAST(least(9, floor((value - mn) / (mx - mn) * 10)) AS BIGINT) END AS bin,
+         |         mn, mx
+         |  FROM e),
+         |g AS (
+         |  SELECT asset_id, bin, count(*) AS n_ticks, max(mn) AS mn, max(mx) AS mx
+         |  FROM b GROUP BY asset_id, bin),
+         |t AS (
+         |  SELECT *, CAST(sum(n_ticks) OVER (PARTITION BY asset_id) AS BIGINT) AS total,
+         |         row_number() OVER (PARTITION BY asset_id ORDER BY n_ticks DESC, bin) AS rk
+         |  FROM g)
+         |SELECT asset_id, bin,
+         |  floor((mn + (mx - mn) * bin / 10) * 1000000.0 + 0.5) / 1000000.0 AS bin_lo,
+         |  n_ticks,
+         |  floor((CAST(n_ticks AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share,
+         |  rk = 1 AS is_poc
+         |FROM t ORDER BY asset_id, bin""".stripMargin,
     "awesome_osc" ->
       s"""$panelCte,
          |$barsCte,

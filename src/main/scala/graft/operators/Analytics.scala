@@ -19,6 +19,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Analytics {
 
+  /** Cornish–Fisher expansion constants (95% normal quantile and the
+    * three polynomial coefficients), computed ONCE as Scala doubles so
+    * [[cornishFisher]] and its oracle embed bit-identical literals.
+    */
+  object CfConst {
+    val z: Double = -1.644854
+    val c1: Double = (z * z - 1) / 6.0
+    val c2: Double = (z * z * z - 3.0 * z) / 24.0
+    val c3: Double = (2.0 * z * z * z - 5.0 * z) / 36.0
+  }
+
   /** Exact sum of a double column: decimal-cast addends, exact decimal
     * sum, double result. Deterministic under any aggregation order.
     */
@@ -3584,5 +3595,289 @@ object Analytics {
         cut(0.25).as("p25"), cut(0.50).as("p50"), cut(0.75).as("p75"),
         max(col("vol")).as("v_max"))
       .orderBy(col("horizon"))
+  }
+
+  /** B121 `ad_line` — Chaikin Accumulation/Distribution line: the
+    * running total of [[cmf]]'s per-bar money-flow volume
+    * MFV = MFM · n_ticks (flat bars contribute 0 flow — same
+    * documented convention as cmf). The cumulative sum is a compiled
+    * left-assoc fold over the unbounded-preceding frame array, NOT a
+    * window float sum — running float sums let each engine pick its
+    * own summation tree.
+    */
+  def adLine(panel: DataFrame): DataFrame = {
+    val run = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("mfv", coalesce(
+        u6(((col("close") - col("low")) - (col("high") - col("close"))) /
+          when(col("high") === col("low"), lit(null)).otherwise(col("high") - col("low")))
+          * col("n_ticks").cast("double"),
+        lit(0.0)))
+      .withColumn("ad", u6(Kernels.seqFold(collect_list(col("mfv")).over(run), "sum")))
+      .select(col("asset_id"), col("date"), col("close"),
+        u6(col("mfv")).as("mfv"), col("ad"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B122 `ultimate_osc` — Larry Williams' Ultimate Oscillator:
+    * UO = 100·(4·a₇ + 2·a₁₄ + a₂₈)/7 where aₙ = ΣBP/ΣTR over an n-bar
+    * frame, BP = close − min(low, prevClose) (buying pressure) and
+    * TR = max(high, prevClose) − min(low, prevClose) (the true range
+    * in its min/max form). Per-bar BP/TR are u6; every frame sum is a
+    * fold over the rounded series; the first bar (no prevClose) is
+    * dropped so all three frames agree on their input.
+    */
+  def ultimateOsc(panel: DataFrame,
+                  spans: (Int, Int, Int) = (7, 14, 28)): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val pc = lag(col("close"), 1).over(byAsset)
+    def avgN(n: Int): Column = {
+      val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+      val sBp = Kernels.seqFold(collect_list(col("bp")).over(frame), "sum")
+      val sTr = Kernels.seqFold(collect_list(col("tr")).over(frame), "sum")
+      u6(sBp / when(sTr === 0, lit(null)).otherwise(sTr))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", pc)
+      .filter(col("pc").isNotNull)
+      .withColumn("bp", u6(col("close") - least(col("low"), col("pc"))))
+      .withColumn("tr", u6(greatest(col("high"), col("pc")) - least(col("low"), col("pc"))))
+      .withColumn("a_fast", avgN(spans._1))
+      .withColumn("a_mid", avgN(spans._2))
+      .withColumn("a_slow", avgN(spans._3))
+      .withColumn("uo", u6(lit(100.0) *
+        (lit(4.0) * col("a_fast") + lit(2.0) * col("a_mid") + col("a_slow")) / lit(7.0)))
+      .select(col("asset_id"), col("date"),
+        col("a_fast"), col("a_mid"), col("a_slow"), col("uo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B123 `runs_test` — Wald–Wolfowitz runs test on the signs of the
+    * daily returns (zeros dropped): R runs of +/− against the
+    * randomness null, z = (R − E)/√Var with E = 1 + 2n₁n₂/n and
+    * Var = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)). R, n₁, n₂ are INTEGER window
+    * counts (a run starts where the sign differs from its lag), so
+    * the only float work is one fixed op sequence over exact
+    * integers — deterministic per IEEE, no fold needed.
+    */
+  def runsTest(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val sgn = col("sign")
+    val prev = lag(sgn, 1).over(byAsset)
+    dailyReturnsCore(panel)
+      .filter(col("ret") =!= 0)
+      .withColumn("sign", when(col("ret") > 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("new_run",
+        when(prev.isNull || sgn =!= prev, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("asset_id"))
+      .agg(sum(sgn).as("n_pos"),
+        sum(lit(1L) - sgn).as("n_neg"),
+        sum(col("new_run")).as("runs"))
+      .filter(col("n_pos") >= 1 && col("n_neg") >= 1)
+      .withColumn("n", (col("n_pos") + col("n_neg")).cast("double"))
+      .withColumn("p2", lit(2.0) * col("n_pos") * col("n_neg"))
+      .withColumn("e_runs", lit(1.0) + col("p2") / col("n"))
+      .withColumn("v", col("p2") * (col("p2") - col("n")) /
+        (col("n") * col("n") * (col("n") - 1)))
+      .withColumn("z", u6((col("runs") - col("e_runs")) /
+        when(col("v") <= 0, lit(null)).otherwise(sqrt(col("v")))))
+      .select(col("asset_id"), col("n_pos"), col("n_neg"), col("runs"),
+        u6(col("e_runs")).as("e_runs"), col("z"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B124 `kendall_tau` — Kendall's τ-b between each asset's daily
+    * returns and the equal-weight market return, over all day pairs:
+    * τ = (C − D)/√((n₀−tₓ)(n₀−tᵧ)). Concordance is decided by SIGN
+    * COMPARISONS of the u6 return grid (never a float product), so
+    * C, D, and the tie counts are exact integers; the group sizes are
+    * |dates|² — the per-asset self-join is bounded by the trading
+    * calendar, not the corpus, and the market side is broadcast.
+    */
+  def kendallTau(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel).select(col("asset_id"), col("date"), col("ret"))
+    val j = rets.join(broadcast(marketReturns(rets)), Seq("date"))
+    // Pair generation is a double index explode over the per-asset
+    // date-sorted array — NOT a self-join, which would rebuild the
+    // panel lineage twice (measured: 7 exchanges vs 3). The fan-out is
+    // |dates|² rows per asset, bounded by the calendar.
+    val e1 = element_at(col("arr"), col("i"))
+    val e2 = element_at(col("arr"), col("jj"))
+    val (r1, r2, m1, m2) = (col("r1"), col("r2"), col("m1"), col("m2"))
+    j.groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .withColumn("i", explode(sequence(lit(1), col("n"))))
+      .withColumn("jj", explode(when(col("i") < col("n"),
+        sequence(col("i") + 1, col("n"))).otherwise(array().cast("array<int>"))))
+      .select(col("asset_id"),
+        e1("ret").as("r1"), e1("mkt_ret").as("m1"),
+        e2("ret").as("r2"), e2("mkt_ret").as("m2"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((r1 > r2 && m1 > m2) || (r1 < r2 && m1 < m2), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((r1 > r2 && m1 < m2) || (r1 < r2 && m1 > m2), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(r1 === r2, 1L).otherwise(0L)).as("tied_x"),
+        sum(when(m1 === m2, 1L).otherwise(0L)).as("tied_y"))
+      .withColumn("den",
+        sqrt((col("n0") - col("tied_x")).cast("double")) *
+          sqrt((col("n0") - col("tied_y")).cast("double")))
+      .withColumn("tau", u6((col("concordant") - col("discordant")).cast("double") /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), col("n0"), col("concordant"),
+        col("discordant"), col("tau"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B125 `hill_tail` — Hill tail-index estimator over each asset's k
+    * largest daily losses: α = k / Σᵢ₌₁..k ln(xᵢ/x₍ₖ₊₁₎) on the
+    * descending loss order statistics. The ln terms are u6 before the
+    * sequential fold (the zipf ln discipline); assets with fewer than
+    * k+1 losses are dropped. The canonical fat-tail screen: α ≲ 3
+    * means variance-of-variance trouble at scale.
+    */
+  def hillTail(panel: DataFrame, k: Int = 5): DataFrame = {
+    dailyReturnsCore(panel)
+      .filter(col("ret") < 0)
+      .withColumn("loss", -col("ret"))
+      .groupBy(col("asset_id"))
+      .agg(reverse(array_sort(collect_list(col("loss")))).as("la"))
+      .withColumn("n_loss", size(col("la")).cast("long"))
+      .filter(col("n_loss") >= k + 1)
+      .withColumn("xk", element_at(col("la"), k + 1))
+      .filter(col("xk") > 0)
+      .withColumn("lnt", transform(slice(col("la"), 1, k),
+        x => u6(log(x / col("xk")))))
+      .withColumn("h", Kernels.seqFold(col("lnt"), "sum") / lit(k.toDouble))
+      .withColumn("alpha", u6(lit(1.0) /
+        when(col("h") <= 0, lit(null)).otherwise(col("h"))))
+      .select(col("asset_id"), col("n_loss"), u6(col("xk")).as("tail_cut"),
+        u6(col("h")).as("mean_excess_log"), col("alpha"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B126 `cornish_fisher` — Cornish–Fisher expansion VaR at 95%: the
+    * normal quantile z is bent by the sample skew and excess kurtosis,
+    * z_cf = z + (z²−1)s/6 + (z³−3z)κ/24 − (2z³−5z)s²/36, then
+    * VaR = −(μ + σ·z_cf). Moments ride [[retMoments]]' fold recipe;
+    * the z constant appears as the SAME literal in both engines and
+    * the polynomial is one fixed op sequence, so no extra rounding
+    * stage is needed before the final u6.
+    */
+  def cornishFisher(panel: DataFrame): DataFrame = {
+    // The z constant and the three CF coefficients are SCALA doubles,
+    // embedded as round-trip literals in both engines (CornishFisher
+    // coefficients computed once here; the oracle interpolates the
+    // same values) — a `-1.644854 * -1.644854` literal product would
+    // be exact DECIMAL arithmetic in DuckDB but double in Spark.
+    val z = CfConst.z; val c1 = CfConst.c1
+    val c2 = CfConst.c2; val c3 = CfConst.c3
+    val n = col("n")
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("m", foldSum(col("ra")) / n)
+      .withColumn("m2", Kernels.seqFold(col("ra"), "sumsq") / n - col("m") * col("m"))
+      .filter(col("m2") > 0)
+      .withColumn("m3", Kernels.seqFold(col("ra"), "sum3") / n
+        - lit(3.0) * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", Kernels.seqFold(col("ra"), "sum4") / n
+        - lit(4.0) * col("m") * (Kernels.seqFold(col("ra"), "sum3") / n)
+        + lit(6.0) * col("m") * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .withColumn("sd", sqrt(greatest(col("m2") * (n / (n - 1)), lit(0.0))))
+      .withColumn("s", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kex", col("m4") / (col("m2") * col("m2")) - 3)
+      .withColumn("zcf", lit(z)
+        + lit(c1) * col("s")
+        + lit(c2) * col("kex")
+        - lit(c3) * col("s") * col("s"))
+      .withColumn("var_norm", u6(-(col("m") + col("sd") * lit(z))))
+      .withColumn("var_cf", u6(-(col("m") + col("sd") * col("zcf"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        u6(col("s")).as("skew"), u6(col("kex")).as("kurt_excess"),
+        col("var_norm"), col("var_cf"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B127 `m2_ratio` — Modigliani–Modigliani risk-adjusted performance
+    * (rf = 0): M² = (μ/σ)·σ_mkt — the asset's Sharpe levered to market
+    * volatility, readable in return units. Per-asset folds are
+    * [[sharpe]]'s; the market σ is ONE row (a fold over the date-ordered
+    * equal-weight series) attached by a literal-key broadcast hash join
+    * — an equality join, not a nested-loop cross.
+    */
+  def m2Ratio(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    val n = col("n")
+    val mktSd = marketReturns(rets)
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("mkt_ret")))),
+        s => s("mkt_ret")).as("ma"))
+      .withColumn("nm", size(col("ma")).cast("double"))
+      .filter(col("nm") >= 2)
+      .withColumn("sm", foldSum(col("ma")))
+      .withColumn("sm2", foldSumSq(col("ma")))
+      .select(lit(1).as("k"),
+        sqrt(greatest((col("nm") * col("sm2") - col("sm") * col("sm")) /
+          (col("nm") * (col("nm") - 1)), lit(0.0))).as("mkt_sd"))
+    rets
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("s2", foldSumSq(col("ra")))
+      .withColumn("mean_ret", col("s") / n)
+      .withColumn("sd", sqrt(greatest((n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0))))
+      .withColumn("k", lit(1))
+      .join(broadcast(mktSd), Seq("k"))
+      .withColumn("sharpe", u6(col("mean_ret") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd"))))
+      .withColumn("m2", u6(col("mean_ret") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd")) * col("mkt_sd")))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        col("sharpe"), u6(col("mkt_sd")).as("mkt_sd"), col("m2"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B128 `volume_profile` — tick volume by price decile per asset:
+    * the [min, max] tick-price range split into 10 equal bins,
+    * n_ticks and volume share per bin, POC (point of control) = the
+    * busiest bin (lowest bin on ties — total order). The bin index is
+    * one fixed float op sequence over the tick value and the
+    * order-free partition extremes; counts and the rank are integers.
+    * Single shuffle: the extremes window and the (asset, bin) group
+    * share the asset_id partitioning.
+    */
+  def volumeProfile(panel: DataFrame, bins: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id"))
+    val span = col("mx") - col("mn")
+    val poc = Window.partitionBy(col("asset_id"))
+      .orderBy(col("n_ticks").desc, col("bin"))
+    panel.repartition(col("asset_id"))
+      .withColumn("mn", min(col("value")).over(byAsset))
+      .withColumn("mx", max(col("value")).over(byAsset))
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit(bins - 1L),
+          floor((col("value") - col("mn")) / span * bins)).cast("long")))
+      .groupBy(col("asset_id"), col("bin"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .withColumn("total", sum(col("n_ticks")).over(Window.partitionBy(col("asset_id"))))
+      .withColumn("bin_lo", u6(col("mn") + (col("mx") - col("mn")) * col("bin") / bins))
+      .withColumn("share", u6(col("n_ticks").cast("double") / col("total").cast("double")))
+      .withColumn("is_poc", row_number().over(poc) === 1)
+      .select(col("asset_id"), col("bin"), col("bin_lo"),
+        col("n_ticks"), col("share"), col("is_poc"))
+      .orderBy(col("asset_id"), col("bin"))
   }
 }

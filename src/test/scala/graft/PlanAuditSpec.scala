@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "knn_classify",     // corpus ⨝ broadcast(20 probe vectors)
     "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
     "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
-    "dataset_card")     // 1-row summary ⨝ broadcast(1-row dup stats)
+    "dataset_card",     // 1-row summary ⨝ broadcast(1-row dup stats)
+    "m2_ratio")         // per-asset rows ⨝ broadcast(1-row market σ)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
@@ -130,6 +131,17 @@ class PlanAuditSpec extends SparkSpec {
       s"temperature_mix exceeded source agg + totals windows + sort: ${shuffles("temperature_mix")}")
     assert(shuffles("cluster_purity") <= 6,
       s"cluster_purity exceeded assign + label agg + rank + sort: ${shuffles("cluster_purity")}")
+    // round-7 fourth wave: the per-asset aggregates ride the single
+    // asset_id shuffle; kendall_tau adds the per-date market agg and
+    // the pair self-join's second probe side; m2_ratio adds the market
+    // series agg chain (its 1-row σ joins back via broadcast)
+    for (q <- Seq("ad_line", "ultimate_osc", "runs_test", "hill_tail",
+        "cornish_fisher", "volume_profile"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("kendall_tau") <= 4,
+      s"kendall_tau exceeded rets + market agg + pair explode + sort: ${shuffles("kendall_tau")}")
+    assert(shuffles("m2_ratio") <= 6,
+      s"m2_ratio exceeded rets + market chain + sort: ${shuffles("m2_ratio")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

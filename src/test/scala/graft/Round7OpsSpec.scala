@@ -356,4 +356,118 @@ class Round7OpsSpec extends SparkSpec {
     val want = math.floor(mean / sd * 1e6 + 0.5) / 1e6
     assert(math.abs(last - want) < 1e-6, s"got $last want $want")
   }
+
+  test("ad_line: close-at-high bars accumulate their full tick volume") {
+    // two ticks per day, close = high → MFM = 1 → MFV = n_ticks = 2
+    val out = Analytics.adLine(twoTickPanel(Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0))))
+      .collect().sortBy(_.getDate(1).toString)
+    assert(out.map(_.getAs[Double]("mfv")).toSeq === Seq(2.0, 2.0, 2.0))
+    assert(out.map(_.getAs[Double]("ad")).toSeq === Seq(2.0, 4.0, 6.0))
+  }
+
+  test("ad_line: flat bars contribute zero flow") {
+    val out = Analytics.adLine(oneTickPanel(Seq(5.0, 6.0, 7.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("mfv") === 0.0)
+      assert(r.getAs[Double]("ad") === 0.0)
+    }
+  }
+
+  test("ultimate_osc: a steady one-unit climb pins UO at 100") {
+    // bp = close − prevClose = 1 = tr on every bar → every average is 1
+    val out = Analytics.ultimateOsc(oneTickPanel((1 to 10).map(_.toDouble))).collect()
+    assert(out.length === 9)                                   // first bar dropped
+    out.foreach { r =>
+      assert(r.getAs[Double]("a_fast") === 1.0)
+      assert(r.getAs[Double]("uo") === 100.0)
+    }
+  }
+
+  test("runs_test: perfect alternation maximizes runs with z > 0") {
+    // rets: +1, −0.5, +1, −0.5 → 4 runs of n1=2, n2=2
+    val out = Analytics.runsTest(oneTickPanel(Seq(1.0, 2.0, 1.0, 2.0, 1.0))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("runs") === 4L)
+    assert(r.getAs[Double]("e_runs") === 3.0)                  // 1 + 2·2·2/4
+    // z = (4−3)/sqrt(8·4/(16·3)) = sqrt(1.5) ≈ 1.224745
+    assert(math.abs(r.getAs[Double]("z") - 1.224745) < 1e-6)
+  }
+
+  test("kendall_tau: an asset that IS the market is perfectly concordant") {
+    // two identical assets → market = each asset; distinct daily rets → no ties
+    val values = Seq(1.0, 1.2, 1.1, 1.5, 1.4)
+    val panel = oneTickPanel(values, asset = 1L)
+      .union(oneTickPanel(values, asset = 2L))
+    val out = Analytics.kendallTau(panel).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n0") === 6L)                       // C(4,2) day pairs
+      assert(r.getAs[Long]("discordant") === 0L)
+      assert(r.getAs[Double]("tau") === 1.0)
+    }
+  }
+
+  test("hill_tail: alpha replays 1/mean(ln(loss_i/loss_6)) on the u6 return grid") {
+    // 7 distinct losses from an up/down zig-zag: up resets the level,
+    // each down leg is a distinct percentage drop
+    val drops = Seq(0.30, 0.25, 0.20, 0.15, 0.12, 0.10, 0.05)
+    val values = drops.foldLeft(Vector(100.0)) { case (acc, d) =>
+      acc :+ acc.last * 2 :+ acc.last * 2 * (1 - d)
+    }
+    val out = Analytics.hillTail(oneTickPanel(values)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_loss") === 7L)
+    def u6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // replay: daily u6 returns → losses sorted desc → ln terms vs the 6th
+    val losses = drops.map(d => u6d((1 - d) - 1)).map(-_).sorted.reverse
+    val xk = losses(5)
+    assert(r.getAs[Double]("tail_cut") === u6d(xk))
+    val h = losses.take(5).map(l => u6d(math.log(l / xk))).sum / 5.0
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0 / h) < 1e-5)
+  }
+
+  test("cornish_fisher: symmetric returns have zero skew and kex −2") {
+    // rets alternate +0.1 / −0.1 exactly on the u6 grid
+    val values = Seq(1.0, 1.1, 0.99, 1.089, 0.9801)
+    val out = Analytics.cornishFisher(oneTickPanel(values)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("skew") === 0.0)
+    assert(r.getAs[Double]("kurt_excess") === -2.0)            // two-point distribution
+    // symmetric + zero skew → CF shift is only the kurtosis term;
+    // replay Spark's exact op order (fold → m2 → sd) for the check
+    val r6 = Seq(0.1, -0.1, 0.1, -0.1)
+    val s2 = r6.map(x => x * x).foldLeft(0.0)(_ + _)
+    val m2 = s2 / 4.0
+    val sd = math.sqrt(math.max(m2 * (4.0 / 3.0), 0.0))
+    val m4 = r6.map(x => x * x * x * x).foldLeft(0.0)(_ + _) / 4.0  // m = 0 exactly
+    val zcf = Analytics.CfConst.z + Analytics.CfConst.c2 * (m4 / (m2 * m2) - 3)
+    assert(math.abs(r.getAs[Double]("var_cf") - math.floor(-(sd * zcf) * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("m2_ratio: when every asset is the market, M² is sharpe × market σ") {
+    val values = Seq(1.0, 1.2, 1.1, 1.5, 1.4)
+    val panel = oneTickPanel(values, asset = 1L)
+      .union(oneTickPanel(values, asset = 2L))
+    val out = Analytics.m2Ratio(panel).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m2") -
+        r.getAs[Double]("sharpe") * r.getAs[Double]("mkt_sd")) < 2e-6)
+    }
+  }
+
+  test("volume_profile: uniform ticks spread one per decile, POC ties to the lowest bin") {
+    val out = Analytics.volumeProfile(oneTickPanel((0 to 9).map(_.toDouble))).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("bin")).toSeq === (0L to 9L))
+    out.foreach(r => assert(r.getAs[Long]("n_ticks") === 1L))
+    out.foreach(r => assert(r.getAs[Double]("share") === 0.1))
+    assert(out.count(_.getAs[Boolean]("is_poc")) === 1)
+    assert(out.head.getAs[Boolean]("is_poc"))                  // tie → lowest bin
+  }
 }
