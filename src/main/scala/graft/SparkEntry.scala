@@ -579,6 +579,24 @@ object SparkEntry {
       Analytics.overnightGap(Tables.panel(s, dir))),
     "prefix_dups" -> ((s, dir) =>
       Dedup.prefixDups(Tables.documents(s, dir))),
+    "suffix_dups" -> ((s, dir) =>
+      Dedup.suffixDups(Tables.documents(s, dir))),
+    "simhash_hamming_histogram" -> ((s, dir) =>
+      Dedup.simhashHammingHistogram(Tables.documents(s, dir))),
+    "tokenizer_fertility" -> ((s, dir) =>
+      Pipeline.tokenizerFertility(Tables.documents(s, dir))),
+    "ngram_coverage" -> ((s, dir) =>
+      Pipeline.ngramCoverage(Tables.documents(s, dir))),
+    "dup_length_bias" -> ((s, dir) =>
+      Pipeline.dupLengthBias(Tables.documents(s, dir))),
+    // LSH observability: bucket-size distribution of ann_lsh's 16-plane
+    // signature — the skew report that justifies (or indicts) the plane
+    // count before anyone runs a bucket join on it.
+    "lsh_bucket_histogram" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64, planes = 16)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size"))),
     "embedding_norm_stats" -> ((s, dir) =>
       Similarity.embeddingNormStats(Tables.embeddings(s, dir))),
     "vol_of_vol" -> ((s, dir) =>
@@ -1204,6 +1222,28 @@ object SparkEntry {
       |           list_transform(range(1, len(s) + 1),
       |             i -> CAST(unicode(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
       |           (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
+  /** SimHash 64-bit sign replay (tokens → portable token hash →
+    * per-bit weighted votes → sign bits); `signs(doc_id, j, bit)` is
+    * the final CTE. Shared by dedup_simhash and
+    * simhash_hamming_histogram.
+    */
+  private lazy val simhashSignsCtes =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents) z
+       |  WHERE t <> ''),
+       |th AS (
+       |  SELECT doc_id, ${shingleHashSql.replace("len(s)", "len(t)").replace("substr(s,", "substr(t,")} AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h * (((j + 1) * 2654435761) % 2147483647)
+       |                        + (((j + 1) * 1013904223) % 2147483647)) % 2147483647
+       |                       > 1073741823 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(64) r(j)
+       |  GROUP BY doc_id, j),
+       |signs AS (SELECT doc_id, j, v > 0 AS bit FROM votes)""".stripMargin
 
   /** The near-dup connected-component CTE chain (shingle → jaccard →
     * edges → recursive reachability). Shared by dedup_clusters and
@@ -4489,27 +4529,113 @@ object SparkEntry {
          |       ELSE CAST((nc.n_common * 1000) // nr.n_recalled AS BIGINT) END AS precision_pm
          |FROM ne, nr, nc""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, t FROM (
-         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents) z
-         |  WHERE t <> ''),
-         |th AS (
-         |  SELECT doc_id, ${shingleHashSql.replace("len(s)", "len(t)").replace("substr(s,", "substr(t,")} AS h
-         |  FROM toks),
-         |votes AS (
-         |  SELECT doc_id, j,
-         |         sum(CASE WHEN (h * (((j + 1) * 2654435761) % 2147483647)
-         |                        + (((j + 1) * 1013904223) % 2147483647)) % 2147483647
-         |                       > 1073741823 THEN 1 ELSE -1 END) AS v
-         |  FROM th CROSS JOIN range(64) r(j)
-         |  GROUP BY doc_id, j),
-         |signs AS (SELECT doc_id, j, v > 0 AS bit FROM votes)
+      s"""$simhashSignsCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
          |FROM signs a JOIN signs b ON a.j = b.j AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // All-pairs bit compare is exact here because the Spark side's
+    // 8-bit-chunk pigeonhole provably recalls every pair with h ≤ 7.
+    "simhash_hamming_histogram" ->
+      s"""$simhashSignsCtes,
+         |ph AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |  FROM signs a JOIN signs b ON a.j = b.j AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7)
+         |SELECT hamming, count(*) AS n_pairs
+         |FROM ph GROUP BY hamming ORDER BY hamming""".stripMargin,
+    "suffix_dups" ->
+      """WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |g AS (
+        |  SELECT md5(substring(t, greatest(1, length(t) - 15), 16)) AS suffix_hash,
+        |         min(doc_id) AS keep_id, count(*) AS n_docs
+        |  FROM n GROUP BY 1)
+        |SELECT suffix_hash, keep_id, n_docs FROM g
+        |WHERE n_docs > 1 ORDER BY keep_id""".stripMargin,
+    "tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, m.l AS cand,
+        |         len(list_filter(toks, x -> list_contains(m.markers, x))) AS score
+        |  FROM t CROSS JOIN (VALUES
+        |    ('en', ['the','and','of','to','in','is','that','for','with','it']),
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('es', ['el','la','de','que','los','las','una','por','con','para']),
+        |    ('fr', ['le','la','les','des','une','est','dans','pour','que','avec']),
+        |    ('zh', ['的','是','了','在','和','有','不','我','这','他'])) AS m(l, markers)),
+        |lg AS (
+        |  SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_guess FROM (
+        |    SELECT doc_id, cand, score,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) rn
+        |    FROM scores) z WHERE rn = 1),
+        |tc AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+        |         CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang_guess, count(*) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM lg JOIN tc USING (doc_id) GROUP BY lang_guess)
+        |SELECT lang_guess, n_docs, total_tokens, total_chars,
+        |  floor((100.0 * total_tokens / nullif(total_chars, 0)) * 1000000.0 + 0.5) / 1000000.0 AS fertility_per_100c
+        |FROM g ORDER BY lang_guess""".stripMargin,
+    "ngram_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM wc),
+        |top AS (
+        |  SELECT word, n, rank FROM (
+        |    SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank FROM wc) z
+        |  WHERE rank <= 1000),
+        |c AS (
+        |  SELECT cuts.cut, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(t.n) AS BIGINT) AS covered_tokens
+        |  FROM top t JOIN (VALUES (10), (100), (1000)) cuts(cut) ON t.rank <= cuts.cut
+        |  GROUP BY cuts.cut)
+        |SELECT CAST(cut AS BIGINT) AS cut, n_words, covered_tokens,
+        |  (SELECT total_tokens FROM tot) AS total_tokens,
+        |  floor((CAST(covered_tokens AS DOUBLE) / CAST((SELECT total_tokens FROM tot) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM c ORDER BY cut""".stripMargin,
+    "dup_length_bias" ->
+      """WITH c AS (
+        |  SELECT text,
+        |         count(*) OVER (PARTITION BY md5(substring(lower(trim(text)), 1, 64))) AS n_copies
+        |  FROM documents),
+        |g AS (
+        |  SELECT n_copies > 1 AS is_dup, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+        |  FROM c GROUP BY 1)
+        |SELECT is_dup, n_docs, total_chars, total_tokens,
+        |  floor((CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_chars
+        |FROM g ORDER BY is_dup""".stripMargin,
+    "lsh_bucket_histogram" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |         list_reduce(list_prepend(0.0,
+        |           list_transform(range(1, len(v) + 1),
+        |             i -> v[i] * (CASE WHEN (i * 2654435761 + (j + 1) * 1013904223) % 2147483647 % 2 = 0
+        |                               THEN 1.0 ELSE -1.0 END))),
+        |           (a, x) -> a + x) AS s
+        |  FROM v CROSS JOIN range(16) r(j)),
+        |b AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_size FROM b GROUP BY bucket)
+        |SELECT bucket_size, count(*) AS n_buckets
+        |FROM sz GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
     "ann_lsh" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

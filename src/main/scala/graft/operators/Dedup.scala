@@ -59,6 +59,27 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("keep_id"))
 
+  /** C89 `suffix_dups` — [[prefixDups]]' mirror for boilerplate
+    * FOOTERS (license tails, forum signatures, nav chrome appended by
+    * templated renderers): hash the LAST `suffixLen` normalized chars.
+    * The window is addressed by explicit position arithmetic
+    * (`greatest(1, len−(suffixLen−1))`) rather than a negative-index
+    * substring or a reverse() — negative positions and
+    * grapheme-vs-codepoint reversal are exactly where engines
+    * disagree. The default window is deliberately shorter than the
+    * prefix pass: footers (sign-offs, license one-liners) are shorter
+    * than templated headers. Same single map-side-combinable shuffle
+    * as the prefix pass.
+    */
+  def suffixDups(documents: DataFrame, suffixLen: Int = 16): DataFrame =
+    documents
+      .withColumn("t", lower(trim(col("text"))))
+      .groupBy(expr(s"md5(substring(t, greatest(1, length(t) - ${suffixLen - 1}), $suffixLen))")
+        .as("suffix_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("keep_id"))
+
   /** C80 `dedup_normalized` — near-exact dedup by NORMALIZED content
     * hash: lowercase, every non-alphanumeric run collapsed to one
     * space, trimmed — the canonical form that catches the
@@ -431,6 +452,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** C90 `simhash_hamming_histogram` — the distance DISTRIBUTION the
+    * simhash threshold knob is tuned against: pair counts by hamming
+    * distance for every pair within `maxHamming`. Runs [[simhashPairs]]
+    * with 8-bit chunks so the pigeonhole guarantee covers h ≤ 7 — the
+    * candidate set provably contains EVERY such pair, making the
+    * histogram exact, not a sample of whatever candidates survived.
+    * One bounded aggregate over the O(near-dup pairs) output.
+    */
+  def simhashHammingHistogram(documents: DataFrame): DataFrame =
+    simhashPairs(documents, maxHamming = 7, chunks = 8)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
 
   /** C30 `dedup_winnow` — MOSS-style near-dup pairs (Schleimer et al.,
     * SIGMOD 2003 §4): docs sharing ≥ `minShared` winnowing fingerprints,

@@ -1347,4 +1347,78 @@ object Pipeline {
       .agg(count(lit(1)).as("n_toks"), sum(col("lnr_micro")).as("dsir_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** C91 `tokenizer_fertility` — tokens per 100 chars by detected
+    * language: the number that tells you which languages your
+    * tokenizer fragments (CJK text at 1 token/char is a training-cost
+    * multiplier; the classic argument for vocab rebalancing). One
+    * corpus scan — language guess, BPE-ish token count, and char count
+    * all come from compiled kernels in the same pass; sums are
+    * integers, the fertility ratio is the only float op.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents
+      .select(TextFns.langId(col("text")).as("lang_guess"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility_per_100c", u6(lit(100.0) * col("total_tokens") /
+        when(col("total_chars") === 0, lit(null)).otherwise(col("total_chars"))))
+      .orderBy(col("lang_guess"))
+
+  /** C92 `ngram_coverage` — cumulative corpus share of the top-k
+    * unigrams at k ∈ {10, 100, 1000}: how head-heavy the lexicon is
+    * (the Zipf curve read as a coverage number — the compression /
+    * vocab-sizing planning artifact). Scale shape: word counts are one
+    * combinable shuffle; the rank window runs AFTER a top-`maxCut`
+    * TakeOrdered, so the single-partition sort touches ≤ 1000 rows
+    * regardless of vocab size; the corpus total joins back as a 1-row
+    * broadcast.
+    */
+  def ngramCoverage(documents: DataFrame, cuts: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val counts = documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_tokens")).withColumn("k", lit(1))
+    counts
+      .orderBy(col("n").desc, col("word")).limit(cuts.max)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .withColumn("cut", explode(array(cuts.map(c => lit(c)): _*)))
+      .filter(col("rank") <= col("cut"))
+      .groupBy(col("cut"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("covered_tokens"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .select(col("cut").cast("long").as("cut"), col("n_words"), col("covered_tokens"),
+        col("total_tokens"),
+        u6(col("covered_tokens").cast("double") / col("total_tokens").cast("double")).as("share"))
+      .orderBy(col("cut"))
+  }
+
+  /** C93 `dup_length_bias` — are boilerplate-family documents
+    * systematically shorter/longer than unique ones? Family size per
+    * doc on [[Dedup.prefixDups]]' normalized-prefix key (the notion of
+    * "duplicate" that is actually populated on crawl-shaped corpora —
+    * exact-content copies are empirically near-zero while template
+    * families are everywhere), then a two-row aggregate of integer
+    * char/token sums — the sanity check that dedup isn't about to
+    * skew the corpus length distribution.
+    */
+  def dupLengthBias(documents: DataFrame, prefixLen: Int = 64): DataFrame =
+    documents
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(
+          md5(substring(lower(trim(col("text"))), 1, prefixLen)))))
+      .withColumn("is_dup", col("n_copies") > 1)
+      .groupBy(col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(TextFns.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
+      .withColumn("mean_chars",
+        u6(col("total_chars").cast("double") / col("n_docs").cast("double")))
+      .orderBy(col("is_dup"))
 }

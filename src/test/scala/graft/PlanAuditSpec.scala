@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
     "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
     "dataset_card",     // 1-row summary ⨝ broadcast(1-row dup stats)
-    "m2_ratio")         // per-asset rows ⨝ broadcast(1-row market σ)
+    "m2_ratio",         // per-asset rows ⨝ broadcast(1-row market σ)
+    "ngram_coverage")   // cut rows ⨝ broadcast(1-row corpus token total)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
@@ -142,6 +143,17 @@ class PlanAuditSpec extends SparkSpec {
       s"kendall_tau exceeded rets + market agg + pair explode + sort: ${shuffles("kendall_tau")}")
     assert(shuffles("m2_ratio") <= 6,
       s"m2_ratio exceeded rets + market chain + sort: ${shuffles("m2_ratio")}")
+    // round-7 fifth wave (pipeline): the hash-family passes stay at
+    // one combinable shuffle + sort; fertility is scan + lang agg;
+    // coverage is word count + bounded top-k window + cut agg + total
+    for (q <- Seq("suffix_dups", "tokenizer_fertility"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("dup_length_bias") <= 3,
+      s"dup_length_bias exceeded hash window + flag agg + sort: ${shuffles("dup_length_bias")}")
+    assert(shuffles("ngram_coverage") <= 6,
+      s"ngram_coverage exceeded count + topk + cuts + total + sort: ${shuffles("ngram_coverage")}")
+    assert(shuffles("lsh_bucket_histogram") <= 4,
+      s"lsh_bucket_histogram exceeded bucket agg + size agg + sort: ${shuffles("lsh_bucket_histogram")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

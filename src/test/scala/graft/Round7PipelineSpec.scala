@@ -257,4 +257,74 @@ class Round7PipelineSpec extends SparkSpec {
     val l8 = out.filter(_.getInt(0) == 8)
     assert(l8.forall(_.getAs[Double]("dist2") == 0.0))         // coincident points
   }
+
+  test("suffix_dups: shared footers family up; distinct tails don't") {
+    val footer = "all rights reserved by example corp"           // 35 chars > window
+    val d = docs(
+      (1L, s"alpha body text $footer", "en", "web"),
+      (2L, s"beta completely different body $footer", "en", "web"),
+      (3L, "gamma no footer here at all whatsoever", "en", "web"))
+    val out = Dedup.suffixDups(d).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("keep_id") === 1L)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  test("simhash_hamming_histogram: identical docs land in the h=0 bucket") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (3L, "completely unrelated text about something else entirely different", "en", "web"))
+    val out = Dedup.simhashHammingHistogram(d).collect()
+      .map(r => r.getAs[Long]("hamming") -> r.getAs[Long]("n_pairs")).toMap
+    assert(out.getOrElse(0L, 0L) >= 1L)                        // the identical pair
+  }
+
+  test("tokenizer_fertility: integer sums and the per-100-char ratio") {
+    val d = docs(
+      (1L, "the and of to in is that for with it", "en", "web"),  // 10 en markers
+      (2L, "zzz qqq", "xx", "web"))                               // no markers → und
+    val out = Pipeline.tokenizerFertility(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") === 1L)
+    assert(en.getAs[Long]("total_tokens") === 10L)               // 10 alpha runs
+    assert(en.getAs[Long]("total_chars") === 36L)
+    val want = math.floor(100.0 * 10 / 36 * 1e6 + 0.5) / 1e6
+    assert(out("en").getAs[Double]("fertility_per_100c") === want)
+    assert(out.contains("und"))
+  }
+
+  test("ngram_coverage: head words cover their exact token share") {
+    // 10 tokens: 'a'×5, 'b'×3, 'c'×1, 'd'×1 → top-10 covers all
+    val d = docs((1L, "a a a a a b b b c d", "en", "web"))
+    val out = Pipeline.ngramCoverage(d).collect()
+      .map(r => r.getAs[Long]("cut") -> r).toMap
+    assert(out(10L).getAs[Long]("n_words") === 4L)
+    assert(out(10L).getAs[Long]("covered_tokens") === 10L)
+    assert(out(10L).getAs[Double]("share") === 1.0)
+    assert(out(100L).getAs[Long]("total_tokens") === 10L)
+  }
+
+  test("dup_length_bias: prefix-family members aggregate separately") {
+    val prefix = "x" * 64
+    val d = docs(
+      (1L, prefix + " tail one", "en", "web"),
+      (2L, prefix + " a different and much longer tail two", "en", "web"),
+      (3L, "unique document with its own text", "en", "web"))
+    val out = Pipeline.dupLengthBias(d).collect()
+      .map(r => r.getAs[Boolean]("is_dup") -> r).toMap
+    assert(out(true).getAs[Long]("n_docs") === 2L)
+    assert(out(false).getAs[Long]("n_docs") === 1L)
+    assert(out(false).getAs[Long]("total_chars") === 33L)
+    assert(out(false).getAs[Double]("mean_chars") === 33.0)
+  }
+
+  test("lsh_bucket_histogram: sizes partition the vector count") {
+    val hist = SparkEntry.queries("lsh_bucket_histogram")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nVecs = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    val massed = hist.map(r => r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
+    assert(massed === nVecs)
+  }
 }
