@@ -884,6 +884,135 @@ object StreamingOps {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.Pipeline.gopherRulesCore(docs)
 
+  case class FullStreamBar(asset_id: Long, date: java.sql.Date,
+                           high: Double, low: Double, close: Double, n_ticks: Long)
+  case class AdLineState(ad: Double)
+  case class AdLinePoint(asset_id: Long, date: java.sql.Date, close: Double,
+                         mfv: Double, ad: Double)
+
+  /** D28 `adLineStream` — streaming Chaikin A/D line, the continuous
+    * face of [[graft.operators.Analytics.adLine]]: per-asset state is
+    * ONE double (the running raw MFV sum — kept UNrounded so the
+    * left-assoc add sequence is identical to the batch fold; u6 is
+    * applied only at emit). Flat bars contribute 0 flow, the batch
+    * convention. O(#assets) state; arrival-ordered contract across
+    * batches as documented on [[anomalyStream]].
+    */
+  def adLineStream(bars: Dataset[FullStreamBar]): Dataset[AdLinePoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AdLineState, AdLinePoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[FullStreamBar], state: GroupState[AdLineState]) =>
+          var run = state.getOption.map(_.ad).getOrElse(0.0)
+          val out = rows.toSeq.sortBy(_.date.getTime).map { b =>
+            val mfv =
+              if (b.high == b.low) 0.0
+              else graft.operators.Micro.jvm6(
+                ((b.close - b.low) - (b.high - b.close)) / (b.high - b.low)) * b.n_ticks
+            run += mfv
+            AdLinePoint(assetId, b.date, b.close,
+              graft.operators.Micro.jvm6(mfv), graft.operators.Micro.jvm6(run))
+          }
+          state.update(AdLineState(run))
+          out.iterator
+      }
+  }
+
+  case class UoState(prev_close: Double, bps: Seq[Double], trs: Seq[Double])
+  case class UoPoint(asset_id: Long, date: java.sql.Date,
+                     a_fast: Option[Double], a_mid: Option[Double],
+                     a_slow: Option[Double], uo: Option[Double])
+
+  /** D29 `ultimateOscStream` — streaming Ultimate Oscillator, the
+    * continuous face of [[graft.operators.Analytics.ultimateOsc]]:
+    * per-asset state is the previous close plus a bounded ring of the
+    * last `slow` (bp, tr) pairs, each u6 AT APPEND (the batch rounds
+    * per-bar terms before folding); every frame sum re-folds the ring
+    * slice left-to-right exactly as the batch seqFold does, so
+    * in-order replays match bit-for-bit. The first bar (no previous
+    * close) emits nothing — the batch drops it too.
+    */
+  def ultimateOscStream(bars: Dataset[FullStreamBar],
+                        spans: (Int, Int, Int) = (7, 14, 28)): Dataset[UoPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val (fast, mid, slow) = spans
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[UoState, UoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[FullStreamBar], state: GroupState[UoState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[UoPoint]
+          def avg(bps: Seq[Double], trs: Seq[Double], n: Int): Option[Double] = {
+            val sb = bps.takeRight(n).foldLeft(0.0)(_ + _)
+            val stt = trs.takeRight(n).foldLeft(0.0)(_ + _)
+            if (stt == 0) None else Some(graft.operators.Micro.jvm6(sb / stt))
+          }
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st == null) st = UoState(b.close, Vector.empty, Vector.empty)
+            else {
+              val bp = graft.operators.Micro.jvm6(b.close - math.min(b.low, st.prev_close))
+              val tr = graft.operators.Micro.jvm6(
+                math.max(b.high, st.prev_close) - math.min(b.low, st.prev_close))
+              val bps = (st.bps :+ bp).takeRight(slow)
+              val trs = (st.trs :+ tr).takeRight(slow)
+              val (aF, aM, aS) = (avg(bps, trs, fast), avg(bps, trs, mid), avg(bps, trs, slow))
+              val uo = for (f <- aF; m <- aM; s <- aS)
+                yield graft.operators.Micro.jvm6(100.0 * (4.0 * f + 2.0 * m + s) / 7.0)
+              out += UoPoint(assetId, b.date, aF, aM, aS, uo)
+              st = UoState(b.close, bps, trs)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class DatedTick(asset_id: Long, date: java.sql.Date, value: Double, seq: Long)
+  case class VwapState(date_ms: Long, notional_c: Long, volume: Long)
+  case class VwapPoint(asset_id: Long, date: java.sql.Date, volume: Long,
+                       notional: Double, vwap: Option[Double])
+
+  /** D30 `vwapStream` — intraday cumulative VWAP per (asset, day),
+    * ALL-INTEGER like [[graft.operators.Analytics.vwap]]: tick prices
+    * become exact integer cents via BigDecimal scaling (a double ·100
+    * would carry FP error into the "integer"), the running notional is
+    * an integer sum, and the emitted VWAP is the micro-unit integer
+    * division `(notional·10⁶) div volume` — bit-stable under any
+    * replay or batch boundary by construction. State is three numbers
+    * per asset; a new trading day resets it (O(#assets), no ring).
+    */
+  def vwapStream(ticks: Dataset[DatedTick]): Dataset[VwapPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VwapState, VwapPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DatedTick], state: GroupState[VwapState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[VwapPoint]
+          rows.toSeq.sortBy(t => (t.date.getTime, t.seq)).foreach { t =>
+            val cents = BigDecimal(t.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toLongExact
+            st =
+              if (st == null || st.date_ms != t.date.getTime)
+                VwapState(t.date.getTime, cents, 1L)
+              else VwapState(st.date_ms, st.notional_c + cents, st.volume + 1L)
+            // dollars: notional is integer cents, volume is tick count
+            val vwapMicro = if (st.volume == 0) None
+              else Some((st.notional_c * 1000000L / (st.volume * 100L)) / 1e6)
+            out += VwapPoint(assetId, t.date, st.volume, st.notional_c / 100.0, vwapMicro)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** D21 — streaming OHLC bars: [[graft.operators.Analytics.dailyBars]]'
     * surface as an event-time tumbling-window aggregate. open/close are
     * `min_by`/`max_by` on the (ts, seq) struct — the same total

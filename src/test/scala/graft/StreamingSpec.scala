@@ -887,4 +887,82 @@ class StreamingSpec extends SparkSpec {
       assert(got(1L) && !got(2L))
     } finally q.stop()
   }
+
+  test("adLineStream and ultimateOscStream equal their batch ops on a replayed bar feed") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.FullStreamBar
+    // two ticks per day → real high/low spreads
+    val rows = Seq(
+      (1L, "2024-01-01", 1, 10.0), (1L, "2024-01-01", 2, 12.0),
+      (1L, "2024-01-02", 3, 11.0), (1L, "2024-01-02", 4, 14.0),
+      (1L, "2024-01-03", 5, 13.0), (1L, "2024-01-03", 6, 12.5),
+      (1L, "2024-01-04", 7, 15.0), (1L, "2024-01-04", 8, 16.5),
+      (1L, "2024-01-05", 9, 16.0), (1L, "2024-01-05", 10, 15.2))
+      .map { case (a, d, t, v) =>
+        (a, java.sql.Date.valueOf(d), new java.sql.Timestamp(t * 1000L), v, t.toLong)
+      }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batchAd = graft.operators.Analytics.adLine(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("mfv"), r.getAs[Double]("ad")))).toMap
+    val batchUo = graft.operators.Analytics.ultimateOsc(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Any]("a_fast"), r.getAs[Any]("uo")))).toMap
+    val bars = graft.operators.Analytics.dailyBars(rows).collect()
+      .map(r => FullStreamBar(r.getAs[Long]("asset_id"), r.getAs[java.sql.Date]("date"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .sortBy(_.date.getTime)
+    val inAd = MemoryStream[FullStreamBar]
+    val inUo = MemoryStream[FullStreamBar]
+    val qAd = StreamingOps.adLineStream(inAd.toDS())
+      .writeStream.format("memory").queryName("ad_sink")
+      .outputMode(OutputMode.Append).start()
+    val qUo = StreamingOps.ultimateOscStream(inUo.toDS())
+      .writeStream.format("memory").queryName("uo_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split across a micro-batch boundary to exercise state carry-over
+      inAd.addData(bars.take(2)); qAd.processAllAvailable()
+      inAd.addData(bars.drop(2)); qAd.processAllAvailable()
+      inUo.addData(bars.take(3)); qUo.processAllAvailable()
+      inUo.addData(bars.drop(3)); qUo.processAllAvailable()
+      val gotAd = spark.table("ad_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("mfv"), r.getAs[Double]("ad")))).toMap
+      assert(gotAd === batchAd)
+      val gotUo = spark.table("uo_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Any]("a_fast"), r.getAs[Any]("uo")))).toMap
+      assert(gotUo === batchUo)
+    } finally { qAd.stop(); qUo.stop() }
+  }
+
+  test("vwapStream: integer-cents cumulative VWAP resets at the day boundary") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.DatedTick
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val input = MemoryStream[DatedTick]
+    val q = StreamingOps.vwapStream(input.toDS())
+      .writeStream.format("memory").queryName("vwap_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(DatedTick(1L, d1, 10.00, 1), DatedTick(1L, d1, 11.00, 2)))
+      q.processAllAvailable()
+      input.addData(Seq(DatedTick(1L, d1, 12.01, 3), DatedTick(1L, d2, 50.0, 4)))
+      q.processAllAvailable()
+      val got = spark.table("vwap_sink").collect()
+        .sortBy(r => (r.getDate(1).getTime, r.getAs[Long]("volume")))
+        .map(r => (r.getAs[Long]("volume"), r.getAs[Double]("notional"), r.getAs[Double]("vwap")))
+      // day 1: 10.00 → 10.0; +11.00 → 10.5; +12.01 → 11.003333 (truncating micro div)
+      assert(got(0) === ((1L, 10.00, 10.0)))
+      assert(got(1) === ((2L, 21.00, 10.5)))
+      assert(got(2) === ((3L, 33.01, 11.003333)))
+      assert(got(3) === ((1L, 50.0, 50.0)))                    // day-boundary reset
+    } finally q.stop()
+  }
 }
