@@ -581,6 +581,12 @@ object SparkEntry {
       Dedup.prefixDups(Tables.documents(s, dir))),
     "suffix_dups" -> ((s, dir) =>
       Dedup.suffixDups(Tables.documents(s, dir))),
+    "vpin" -> ((s, dir) =>
+      Analytics.vpin(Tables.panel(s, dir))),
+    "sterling_ratio" -> ((s, dir) =>
+      Analytics.sterlingRatio(Tables.panel(s, dir))),
+    "minhash_band_histogram" -> ((s, dir) =>
+      Dedup.minhashBandHistogram(Tables.documents(s, dir))),
     "simhash_hamming_histogram" -> ((s, dir) =>
       Dedup.simhashHammingHistogram(Tables.documents(s, dir))),
     "tokenizer_fertility" -> ((s, dir) =>
@@ -5269,6 +5275,83 @@ object SparkEntry {
          |  (buy_ticks * 1000) // (buy_ticks + sell_ticks) AS buy_pm,
          |  2 * ((buy_ticks * 1000) // (buy_ticks + sell_ticks)) - 1000 AS imbalance_pm
          |FROM g ORDER BY asset_id, date""".stripMargin,
+    "vpin" ->
+      s"""$panelCte,
+         |t AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         lag(value) OVER (PARTITION BY asset_id ORDER BY ts, seq) AS prev
+         |  FROM panel),
+         |s AS (
+         |  SELECT asset_id, date, ts, seq,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN value > prev THEN 1
+         |              WHEN value < prev THEN -1 ELSE 0 END AS d
+         |  FROM t),
+         |c AS (
+         |  SELECT asset_id, date,
+         |         last_value(CASE WHEN d <> 0 THEN d END IGNORE NULLS)
+         |           OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+         |  FROM s),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buy_ticks,
+         |         CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sell_ticks
+         |  FROM c WHERE side IS NOT NULL GROUP BY asset_id, date),
+         |o AS (
+         |  SELECT asset_id, date, buy_ticks, sell_ticks,
+         |         floor((CAST(abs(buy_ticks - sell_ticks) AS DOUBLE) /
+         |                CAST(buy_ticks + sell_ticks AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS oi
+         |  FROM g),
+         |f AS (
+         |  SELECT *, list(oi) OVER (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM o)
+         |SELECT asset_id, date, buy_ticks, sell_ticks, oi,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+         |        / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS vpin
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "sterling_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |u AS (SELECT asset_id, date, rn, floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd FROM d),
+         |f AS (
+         |  SELECT asset_id, date, dd,
+         |         rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
+         |  FROM u WHERE dd < 0),
+         |e AS (SELECT asset_id, min(dd) AS depth FROM f GROUP BY asset_id, grp),
+         |dep AS (SELECT asset_id, list(depth ORDER BY depth) AS da FROM e GROUP BY asset_id),
+         |dd3 AS (
+         |  SELECT asset_id, CAST(len(da) AS BIGINT) AS n_episodes,
+         |         list_reduce(list_prepend(0.0, da[1:3]), (a, x) -> a + x)
+         |           / CAST(least(3, len(da)) AS DOUBLE) AS avg_dd
+         |  FROM dep),
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |m AS (
+         |  SELECT asset_id, CAST(len(ra) AS BIGINT) AS n_days,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) / CAST(len(ra) AS DOUBLE) AS mean_ret
+         |  FROM p)
+         |SELECT asset_id, n_days, n_episodes,
+         |  floor(mean_ret * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((-avg_dd) * 1000000.0 + 0.5) / 1000000.0 AS avg_dd,
+         |  floor((mean_ret / nullif(-avg_dd, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sterling
+         |FROM m JOIN dd3 USING (asset_id) ORDER BY asset_id""".stripMargin,
+    // Groups on the exact signature slice where Spark groups on its
+    // xxhash64 of the slice — identical bucket sizes under the same
+    // collision-freeness the minhash pair joins already rely on.
+    "minhash_band_histogram" ->
+      s"""$minhashBandCtes,
+         |sz AS (SELECT b, key, CAST(count(*) AS BIGINT) AS bucket_size
+         |       FROM banded GROUP BY b, key)
+         |SELECT CAST(b AS BIGINT) AS band_id, bucket_size, count(*) AS n_buckets
+         |FROM sz GROUP BY b, bucket_size ORDER BY band_id, bucket_size""".stripMargin,
     // Exact windowed median replayed STRUCTURALLY (sorted frame list,
     // middle element, IEEE (a+b)/2 for even frames) rather than via
     // DuckDB's median() — whose even-frame interpolation a+(b-a)/2 can

@@ -2140,7 +2140,18 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
-  def tickImbalance(panel: DataFrame): DataFrame = {
+  def tickImbalance(panel: DataFrame): DataFrame =
+    tickSidesDaily(panel)
+      .withColumn("buy_pm",
+        expr("(buy_ticks * 1000) div (buy_ticks + sell_ticks)"))
+      .withColumn("imbalance_pm", lit(2L) * col("buy_pm") - lit(1000L))
+      .orderBy(col("asset_id"), col("date"))
+
+  /** The tick-rule classified daily (buy, sell) counts behind
+    * [[tickImbalance]] and [[vpin]] — un-sorted, one asset_id shuffle
+    * shared by the carry-forward window and the daily aggregate.
+    */
+  private[graft] def tickSidesDaily(panel: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
     val carryW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("value"), 1).over(w)
@@ -2153,10 +2164,58 @@ object Analytics {
       .groupBy(col("asset_id"), col("date"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
         sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
-      .withColumn("buy_pm",
-        expr("(buy_ticks * 1000) div (buy_ticks + sell_ticks)"))
-      .withColumn("imbalance_pm", lit(2L) * col("buy_pm") - lit(1000L))
+  }
+
+  /** B129 `vpin` — VPIN-style order-flow toxicity (Easley–López de
+    * Prado–O'Hara, volume buckets = trading days here): daily order
+    * imbalance |buy − sell|/(buy + sell) from the tick-rule counts,
+    * smoothed by a `span`-day fold mean. Both counts are integers, so
+    * the imbalance is one float division; the denominator is a
+    * positive row count (no zero guard needed by construction). Rides
+    * [[tickSidesDaily]]'s single asset_id shuffle.
+    */
+  def vpin(panel: DataFrame, span: Int = 5): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    tickSidesDaily(panel)
+      .withColumn("oi", u6(abs(col("buy_ticks") - col("sell_ticks")).cast("double") /
+        (col("buy_ticks") + col("sell_ticks")).cast("double")))
+      .withColumn("arr", collect_list(col("oi")).over(frame))
+      .withColumn("vpin", u6(
+        Kernels.seqFold(col("arr"), "sum") / size(col("arr")).cast("double")))
+      .select(col("asset_id"), col("date"), col("buy_ticks"), col("sell_ticks"),
+        col("oi"), col("vpin"))
       .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B130 `sterling_ratio` — mean daily return over the average
+    * magnitude of the `topN` deepest [[drawdownEpisodes]] depths, per
+    * asset: the drawdown-denominated cousin of [[calmar]] that doesn't
+    * hang the whole ratio on ONE worst episode. Assets with no
+    * underwater episode drop (the ratio is undefined — documented
+    * inner join). Episode depths are already u6; the top-N pick is an
+    * ascending array slice (most negative first), folded left-to-right.
+    */
+  def sterlingRatio(panel: DataFrame, topN: Int = 3): DataFrame = {
+    val depths = drawdownEpisodes(panel)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("max_drawdown"))).as("da"))
+      .withColumn("n_episodes", size(col("da")).cast("long"))
+      .withColumn("avg_dd", Kernels.seqFold(slice(col("da"), 1, topN), "sum") /
+        least(lit(topN), size(col("da"))).cast("double"))
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n_days", size(col("ra")).cast("long"))
+      .withColumn("mean_ret", foldSum(col("ra")) / size(col("ra")).cast("double"))
+      .join(depths, Seq("asset_id"))
+      .withColumn("sterling", u6(col("mean_ret") /
+        when(col("avg_dd") === 0, lit(null)).otherwise(-col("avg_dd"))))
+      .select(col("asset_id"), col("n_days"), col("n_episodes"),
+        u6(col("mean_ret")).as("mean_ret"), u6(-col("avg_dd")).as("avg_dd"),
+        col("sterling"))
+      .orderBy(col("asset_id"))
   }
 
   /** B74 `roll_spread` — Roll (1984) implied effective spread per

@@ -360,6 +360,24 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** C95 `minhash_band_histogram` — bucket-size distribution per
+    * MinHash band, the document-side twin of the embeddings'
+    * lsh_bucket_histogram: the observability row that shows whether
+    * any band is collapsing into mega-buckets (the quadratic the
+    * maxBucket cap guards against) BEFORE a bucket join runs. Two
+    * bounded aggregates over [[minhashBanded]]'s output; the oracle
+    * groups on the exact signature slice where Spark groups on its
+    * xxhash64 — identical sizes under the same collision-freeness the
+    * pair joins already rely on.
+    */
+  def minhashBandHistogram(documents: DataFrame): DataFrame =
+    minhashBanded(documents)
+      .groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band_id").cast("long").as("band_id"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("band_id"), col("bucket_size"))
+
   /** C29 (index half) — materialize the corpus's MinHash band index at
     * rest: (band_id, bucket, doc_id) partitioned by band, bucket-sorted
     * within files so row-group min/max stats prune probe scans. The

@@ -154,6 +154,15 @@ class PlanAuditSpec extends SparkSpec {
       s"ngram_coverage exceeded count + topk + cuts + total + sort: ${shuffles("ngram_coverage")}")
     assert(shuffles("lsh_bucket_histogram") <= 4,
       s"lsh_bucket_histogram exceeded bucket agg + size agg + sort: ${shuffles("lsh_bucket_histogram")}")
+    // round-7 sixth wave: vpin rides tick_imbalance's single shuffle;
+    // sterling joins two asset-keyed aggregates; the band histogram is
+    // banding + two bounded aggregates
+    assert(shuffles("vpin") <= 2,
+      s"vpin grew beyond shuffle+sort: ${shuffles("vpin")}")
+    assert(shuffles("sterling_ratio") <= 5,
+      s"sterling_ratio exceeded 2 panel builds + join + sort: ${shuffles("sterling_ratio")}")
+    assert(shuffles("minhash_band_histogram") <= 4,
+      s"minhash_band_histogram exceeded banding + 2 aggs + sort: ${shuffles("minhash_band_histogram")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

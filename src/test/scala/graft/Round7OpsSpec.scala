@@ -460,6 +460,40 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("vpin: one-sided flow saturates at 1, mixed flow averages down") {
+    // day 1: two upticks after the seed → oi = 1; day 2: zero-tick
+    // inherits buy, then two downticks → oi = |1−2|/3 = 1/3
+    val rows = Seq(
+      (1, "2024-01-01", 10.0), (2, "2024-01-01", 11.0), (3, "2024-01-01", 12.0),
+      (4, "2024-01-02", 12.0), (5, "2024-01-02", 11.0), (6, "2024-01-02", 10.0))
+      .map { case (t, d, v) =>
+        (1L, java.sql.Date.valueOf(d), new java.sql.Timestamp(t * 1000L), v, t.toLong)
+      }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.vpin(rows).collect().sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Double]("oi") === 1.0)
+    assert(out.head.getAs[Double]("vpin") === 1.0)
+    val d2 = out.last
+    assert(d2.getAs[Long]("buy_ticks") === 1L && d2.getAs[Long]("sell_ticks") === 2L)
+    val oi2 = math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6
+    assert(d2.getAs[Double]("oi") === oi2)
+    assert(math.abs(d2.getAs[Double]("vpin") - math.floor((1.0 + oi2) / 2.0 * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("sterling_ratio: single-episode series replays mean_ret over |depth|") {
+    val values = Seq(100.0, 110.0, 99.0, 105.0, 121.0)
+    val out = Analytics.sterlingRatio(oneTickPanel(values)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_episodes") === 1L)                 // days 3-4 underwater
+    def u6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // episode depth = min(dd) = 99/110 − 1 rounded
+    val depth = u6d(99.0 / 110.0 - 1)
+    assert(r.getAs[Double]("avg_dd") === u6d(-depth))
+    val rets = Seq(110.0 / 100, 99.0 / 110, 105.0 / 99, 121.0 / 105).map(x => u6d(x - 1))
+    val mean = rets.foldLeft(0.0)(_ + _) / 4.0
+    assert(math.abs(r.getAs[Double]("sterling") - u6d(mean / -depth)) < 1e-9)
+  }
+
   test("volume_profile: uniform ticks spread one per decile, POC ties to the lowest bin") {
     val out = Analytics.volumeProfile(oneTickPanel((0 to 9).map(_.toDouble))).collect()
       .sortBy(_.getAs[Long]("bin"))

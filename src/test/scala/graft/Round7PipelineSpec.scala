@@ -320,6 +320,17 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out(false).getAs[Double]("mean_chars") === 33.0)
   }
 
+  test("minhash_band_histogram: every band's bucket mass equals the doc count") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = d.count()
+    val hist = Dedup.minhashBandHistogram(d).collect()
+    val perBand = hist.groupBy(_.getAs[Long]("band_id")).map { case (b, rows) =>
+      b -> rows.map(r => r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
+    }
+    assert(perBand.size === 16)
+    perBand.foreach { case (b, mass) => assert(mass === nDocs, s"band $b") }
+  }
+
   test("lsh_bucket_histogram: sizes partition the vector count") {
     val hist = SparkEntry.queries("lsh_bucket_histogram")(spark, "/root/testdata/sf0.001")
       .collect()
