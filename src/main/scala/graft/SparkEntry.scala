@@ -583,6 +583,14 @@ object SparkEntry {
       Dedup.suffixDups(Tables.documents(s, dir))),
     "vpin" -> ((s, dir) =>
       Analytics.vpin(Tables.panel(s, dir))),
+    "gain_loss_ratio" -> ((s, dir) =>
+      Analytics.gainLossRatio(Tables.panel(s, dir))),
+    "xsec_ic" -> ((s, dir) =>
+      Analytics.xsecIc(Tables.panel(s, dir))),
+    "pii_stats" -> ((s, dir) =>
+      Pipeline.piiStats(Tables.documents(s, dir))),
+    "readability" -> ((s, dir) =>
+      Pipeline.readability(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5311,6 +5319,90 @@ object SparkEntry {
          |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
          |        / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS vpin
          |FROM f ORDER BY asset_id, date""".stripMargin,
+    "gain_loss_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id,
+         |         list_filter(ra, x -> x > 0) AS ga,
+         |         list_filter(ra, x -> x < 0) AS la
+         |  FROM p),
+         |g AS (
+         |  SELECT asset_id,
+         |         CAST(len(ga) AS BIGINT) AS n_wins, CAST(len(la) AS BIGINT) AS n_losses,
+         |         CASE WHEN len(ga) = 0 THEN NULL
+         |              ELSE list_reduce(list_prepend(0.0, ga), (a, x) -> a + x) / CAST(len(ga) AS DOUBLE) END AS avg_gain,
+         |         CASE WHEN len(la) = 0 THEN NULL
+         |              ELSE -list_reduce(list_prepend(0.0, la), (a, x) -> a + x) / CAST(len(la) AS DOUBLE) END AS avg_loss
+         |  FROM f WHERE len(ga) + len(la) >= 1)
+         |SELECT asset_id, n_wins, n_losses,
+         |  (1000 * n_wins) // (n_wins + n_losses) AS win_pm,
+         |  floor(avg_gain * 1000000.0 + 0.5) / 1000000.0 AS avg_gain,
+         |  floor(avg_loss * 1000000.0 + 0.5) / 1000000.0 AS avg_loss,
+         |  floor((avg_gain / nullif(avg_loss, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS gl_ratio
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "xsec_ic" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |t AS (
+         |  SELECT asset_id, date, value,
+         |         lag(value, 1) OVER w AS prev, lag(value, 6) OVER w AS far
+         |  FROM daily WINDOW w AS (PARTITION BY asset_id ORDER BY date)),
+         |r AS (
+         |  SELECT asset_id, date,
+         |         floor((value / nullif(prev, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS outc,
+         |         floor((prev / nullif(far, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS sig
+         |  FROM t),
+         |g AS (
+         |  SELECT date, list(sig ORDER BY asset_id) AS xa, list(outc ORDER BY asset_id) AS ya
+         |  FROM r WHERE outc IS NOT NULL AND sig IS NOT NULL
+         |  GROUP BY date HAVING len(list(sig)) >= 3),
+         |f AS (
+         |  SELECT date, CAST(len(xa) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, len(xa) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |  FROM g)
+         |SELECT date, CAST(n AS BIGINT) AS n_assets,
+         |  floor(((n * sxy - sx * sy) /
+         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS ic
+         |FROM f ORDER BY date""".stripMargin,
+    "pii_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+        |    CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ni,
+        |    CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS np
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |         CAST(sum(ne) AS BIGINT) AS n_emails,
+        |         CAST(sum(ni) AS BIGINT) AS n_ips,
+        |         CAST(sum(np) AS BIGINT) AS n_phones
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_docs_with_pii, n_emails, n_ips, n_phones,
+        |  (1000 * n_docs_with_pii) // n_docs AS pii_doc_pm
+        |FROM g ORDER BY source""".stripMargin,
+    "readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((CASE WHEN n_words = 0 THEN NULL ELSE
+        |    206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin,
     "sterling_ratio" ->
       s"""$panelCte,
          |$dailyCte,

@@ -3908,6 +3908,74 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
+  /** B131 `gain_loss_ratio` — per-asset win rate and average
+    * gain/average loss magnitude over the daily returns: the
+    * risk-reward asymmetry read directly (a 40% win rate is fine when
+    * wins run 3× losses). Wins/losses are order-preserving HOF filters
+    * of the date-sorted return array, folded left-to-right; counts and
+    * the win-rate per-mille stay integer.
+    */
+  def gainLossRatio(panel: DataFrame): DataFrame =
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("ga", filter(col("ra"), x => x > 0))
+      .withColumn("la", filter(col("ra"), x => x < 0))
+      .withColumn("n_wins", size(col("ga")).cast("long"))
+      .withColumn("n_losses", size(col("la")).cast("long"))
+      .filter(col("n_wins") + col("n_losses") >= 1)
+      .withColumn("win_pm", expr("(1000 * n_wins) div (n_wins + n_losses)"))
+      .withColumn("avg_gain", when(col("n_wins") === 0, lit(null))
+        .otherwise(Kernels.seqFold(col("ga"), "sum") / col("n_wins").cast("double")))
+      .withColumn("avg_loss", when(col("n_losses") === 0, lit(null))
+        .otherwise(-Kernels.seqFold(col("la"), "sum") / col("n_losses").cast("double")))
+      .withColumn("gl_ratio", u6(col("avg_gain") /
+        when(col("avg_loss") === 0, lit(null)).otherwise(col("avg_loss"))))
+      .select(col("asset_id"), col("n_wins"), col("n_losses"), col("win_pm"),
+        u6(col("avg_gain")).as("avg_gain"), u6(col("avg_loss")).as("avg_loss"),
+        col("gl_ratio"))
+      .orderBy(col("asset_id"))
+
+  /** B132 `xsec_ic` — per-date cross-sectional information coefficient
+    * of the momentum signal: Pearson between each asset's trailing
+    * `look`-day return (formed THROUGH YESTERDAY — no look-ahead) and
+    * its return today, across assets. THE daily health read of a
+    * signal desk. Co-moment folds over asset-ordered arrays
+    * ([[autocorr]]'s recipe keyed by date instead of asset); one date
+    * shuffle, |assets|-bounded arrays.
+    */
+  def xsecIc(panel: DataFrame, look: Int = 5): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val sigFar = lag(col("value"), look + 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("out", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .withColumn("sig", u6(prev / when(sigFar === 0, lit(null)).otherwise(sigFar) - 1))
+      .filter(col("out").isNotNull && col("sig").isNotNull)
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("sig"), col("out")))),
+        s => struct(s("sig").as("sig"), s("out").as("out"))).as("pts"))
+      .withColumn("n", size(col("pts")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("xa", transform(col("pts"), p => p("sig")))
+      .withColumn("ya", transform(col("pts"), p => p("out")))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("ic", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("date"), n.cast("long").as("n_assets"), col("ic"))
+      .orderBy(col("date"))
+  }
+
   /** B128 `volume_profile` — tick volume by price decile per asset:
     * the [min, max] tick-price range split into 10 equal bins,
     * n_ticks and volume share per bin, POC (point of control) = the

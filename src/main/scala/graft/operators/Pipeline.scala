@@ -1421,4 +1421,48 @@ object Pipeline {
       .withColumn("mean_chars",
         u6(col("total_chars").cast("double") / col("n_docs").cast("double")))
       .orderBy(col("is_dup"))
+
+  /** C96 `pii_stats` — per-source PII exposure summary over
+    * [[piiRedact]]'s patterns: docs touched, match counts per class,
+    * per-mille share of PII-bearing docs — the compliance dashboard
+    * row that decides which source needs the redaction pass at all.
+    * Map-only regex scan + one hash aggregate, all integer.
+    */
+  def piiStats(documents: DataFrame): DataFrame =
+    documents.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("ne"),
+      size(regexp_extract_all(col("text"), lit(IpPat), lit(0))).cast("long").as("ni"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long").as("np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ips"),
+        sum(col("np")).as("n_phones"))
+      .withColumn("pii_doc_pm", expr("(1000 * n_docs_with_pii) div n_docs"))
+      .orderBy(col("source"))
+
+  /** C97 `readability` — Flesch reading ease per document with
+    * regex-portable proxies: words = whitespace tokens (token_count's
+    * convention), sentences = [.!?]+ runs floored at 1, syllables =
+    * lowercase vowel-group runs. Counts are integers; the score is one
+    * fixed float op sequence over them (the three Flesch constants are
+    * short decimals whose DECIMAL→DOUBLE conversion is exact in both
+    * engines). The quality-filter signal between `text_quality`'s
+    * surface ratios and `lm_score`'s model scores.
+    */
+  def readability(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      TextFns.wsTokenCount(col("text")).cast("long").as("n_words"),
+      greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+        .as("n_sentences"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+        .as("n_syllables"))
+      .withColumn("flesch", u6(
+        when(col("n_words") === 0, lit(null)).otherwise(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))))
+      .orderBy(col("doc_id"))
 }

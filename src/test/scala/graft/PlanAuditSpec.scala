@@ -163,6 +163,13 @@ class PlanAuditSpec extends SparkSpec {
       s"sterling_ratio exceeded 2 panel builds + join + sort: ${shuffles("sterling_ratio")}")
     assert(shuffles("minhash_band_histogram") <= 4,
       s"minhash_band_histogram exceeded banding + 2 aggs + sort: ${shuffles("minhash_band_histogram")}")
+    // round-7 seventh wave
+    for (q <- Seq("gain_loss_ratio", "pii_stats"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("readability") <= 1,
+      s"readability must stay map-only + sort: ${shuffles("readability")}")
+    assert(shuffles("xsec_ic") <= 3,
+      s"xsec_ic exceeded panel + date agg + sort: ${shuffles("xsec_ic")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -494,6 +494,55 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("sterling") - u6d(mean / -depth)) < 1e-9)
   }
 
+  test("gain_loss_ratio: symmetric wins and losses give ratio 1") {
+    // rets: +0.1, −0.1, +0.1 on the u6 grid
+    val out = Analytics.gainLossRatio(oneTickPanel(Seq(1.0, 1.1, 0.99, 1.089))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_wins") === 2L && r.getAs[Long]("n_losses") === 1L)
+    assert(r.getAs[Long]("win_pm") === 666L)                   // 2000 div 3
+    assert(r.getAs[Double]("avg_gain") === 0.1)
+    assert(r.getAs[Double]("avg_loss") === 0.1)
+    assert(r.getAs[Double]("gl_ratio") === 1.0)
+  }
+
+  test("xsec_ic: replays the cross-sectional Pearson on the u6 grid") {
+    // three assets with constant daily returns −5% / +2% / +10%
+    def series(r: Double) = (0 until 9).map(i => 100.0 * math.pow(1 + r, i))
+    val panel = oneTickPanel(series(-0.05), asset = 1L)
+      .union(oneTickPanel(series(0.02), asset = 2L))
+      .union(oneTickPanel(series(0.10), asset = 3L))
+    val out = Analytics.xsecIc(panel).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_assets") === 3L))
+    def u6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // replay: sig = 5-day trailing ret through yesterday, out = today's ret
+    val rates = Seq(-0.05, 0.02, 0.10)
+    // the u6 grid snaps each asset's constant daily return once per day;
+    // replay the snap per (asset, day) then check every emitted date
+    out.foreach { row =>
+      val day = row.getDate(0).toString.takeRight(2).toInt    // 2024-01-dd
+      val ya = rates.zipWithIndex.map { case (r, i) =>
+        val v = series(r)
+        u6d(v(day - 1) / v(day - 2) - 1)
+      }
+      val xs = rates.indices.map { i =>
+        val v = series(rates(i))
+        u6d(v(day - 2) / v(day - 7) - 1)
+      }
+      val n = 3.0
+      val sx = xs.foldLeft(0.0)(_ + _); val sy = ya.foldLeft(0.0)(_ + _)
+      val sxy = xs.zip(ya).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val sx2 = xs.foldLeft(0.0)((a, x) => a + x * x)
+      val sy2 = ya.foldLeft(0.0)((a, y) => a + y * y)
+      val den = math.sqrt(math.max(n * sx2 - sx * sx, 0.0)) *
+        math.sqrt(math.max(n * sy2 - sy * sy, 0.0))
+      val want = u6d((n * sxy - sx * sy) / den)
+      assert(math.abs(row.getAs[Double]("ic") - want) < 1e-6, s"day $day")
+      assert(row.getAs[Double]("ic") > 0.9)                   // aligned signal
+    }
+  }
+
   test("volume_profile: uniform ticks spread one per decile, POC ties to the lowest bin") {
     val out = Analytics.volumeProfile(oneTickPanel((0 to 9).map(_.toDouble))).collect()
       .sortBy(_.getAs[Long]("bin"))

@@ -331,6 +331,34 @@ class Round7PipelineSpec extends SparkSpec {
     perBand.foreach { case (b, mass) => assert(mass === nDocs, s"band $b") }
   }
 
+  test("pii_stats: per-source exposure counts and per-mille share") {
+    val d = docs(
+      (1L, "reach me at alice@example.com or 555-123-4567", "en", "web"),
+      (2L, "totally clean document", "en", "web"),
+      (3L, "server at 10.0.0.1 plus bob@test.org", "en", "mail"))
+    val out = Pipeline.piiStats(d).collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 2L)
+    assert(web.getAs[Long]("n_docs_with_pii") === 1L)
+    assert(web.getAs[Long]("n_emails") === 1L)
+    assert(web.getAs[Long]("n_phones") === 1L)
+    assert(web.getAs[Long]("pii_doc_pm") === 500L)
+    val mail = out("mail")
+    assert(mail.getAs[Long]("n_ips") === 1L && mail.getAs[Long]("n_emails") === 1L)
+    assert(mail.getAs[Long]("pii_doc_pm") === 1000L)
+  }
+
+  test("readability: hand-counted Flesch on a two-sentence document") {
+    val d = docs((1L, "Hello world. Nice day!", "en", "web"))
+    val r = Pipeline.readability(d).collect().head
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_sentences") === 2L)
+    assert(r.getAs[Long]("n_syllables") === 6L)   // e,o | o | i,e | ay
+    // 206.835 − 1.015·(4/2) − 84.6·(6/4)
+    val want = math.floor((206.835 - 1.015 * 2.0 - 84.6 * 1.5) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("flesch") - want) < 1e-9)
+  }
+
   test("lsh_bucket_histogram: sizes partition the vector count") {
     val hist = SparkEntry.queries("lsh_bucket_histogram")(spark, "/root/testdata/sf0.001")
       .collect()
