@@ -591,6 +591,18 @@ object SparkEntry {
       Pipeline.piiStats(Tables.documents(s, dir))),
     "readability" -> ((s, dir) =>
       Pipeline.readability(Tables.documents(s, dir))),
+    "balance_of_power" -> ((s, dir) =>
+      Analytics.balanceOfPower(Tables.panel(s, dir))),
+    "qstick" -> ((s, dir) =>
+      Analytics.qstick(Tables.panel(s, dir))),
+    "rvi" -> ((s, dir) =>
+      Analytics.rvi(Tables.panel(s, dir))),
+    "nvi_pvi" -> ((s, dir) =>
+      Analytics.nviPvi(Tables.panel(s, dir))),
+    "bipower_var" -> ((s, dir) =>
+      Analytics.bipowerVar(Tables.panel(s, dir))),
+    "heikin_ashi" -> ((s, dir) =>
+      Analytics.heikinAshi(Tables.panel(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5403,6 +5415,130 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "balance_of_power" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date,
+         |         floor(((close - open) / (high - low)) * 1000000.0 + 0.5) / 1000000.0 AS bop
+         |  FROM bars WHERE high > low),
+         |f AS (
+         |  SELECT asset_id, date, bop,
+         |         list(bop) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b)
+         |SELECT asset_id, date, bop,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+         |        / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS bop_sma
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "qstick" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date,
+         |         floor((close - open) * 1000000.0 + 0.5) / 1000000.0 AS body
+         |  FROM bars),
+         |f AS (
+         |  SELECT asset_id, date, body,
+         |         list(body) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM b)
+         |SELECT asset_id, date, body,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+         |        / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS qstick
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "rvi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |s AS (
+         |  SELECT asset_id, date,
+         |    floor((((close - open) + 2.0 * lag(close - open, 1) OVER a
+         |           + 2.0 * lag(close - open, 2) OVER a + lag(close - open, 3) OVER a) / 6) * 1000000.0 + 0.5) / 1000000.0 AS num,
+         |    floor((((high - low) + 2.0 * lag(high - low, 1) OVER a
+         |           + 2.0 * lag(high - low, 2) OVER a + lag(high - low, 3) OVER a) / 6) * 1000000.0 + 0.5) / 1000000.0 AS den
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |c AS (SELECT asset_id, date, num, den FROM s WHERE num IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(num) OVER w AS na, list(den) OVER w AS da
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((list_reduce(list_prepend(0.0, na), (a, x) -> a + x)
+         |          / nullif(list_reduce(list_prepend(0.0, da), (a, x) -> a + x), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rvi
+         |  FROM f)
+         |SELECT asset_id, date, rvi,
+         |  floor(((rvi + 2.0 * lag(rvi, 1) OVER a
+         |         + 2.0 * lag(rvi, 2) OVER a + lag(rvi, 3) OVER a) / 6) * 1000000.0 + 0.5) / 1000000.0 AS sig
+         |FROM g
+         |WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |ORDER BY asset_id, date""".stripMargin,
+    "nvi_pvi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |         lag(close, 1) OVER a AS pc, lag(n_ticks, 1) OVER a AS pv
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks, pv,
+         |    coalesce(CAST(round((CASE WHEN pc > 0 AND close > 0
+         |      THEN floor(ln(close / pc) * 1000000.0 + 0.5) / 1000000.0 END) * 1000000.0) AS BIGINT), 0) AS lr_micro
+         |  FROM b),
+         |u AS (
+         |  SELECT asset_id, date, close,
+         |    CASE WHEN pv IS NOT NULL AND n_ticks < pv THEN lr_micro ELSE 0 END AS nvi_term,
+         |    CASE WHEN pv IS NOT NULL AND n_ticks > pv THEN lr_micro ELSE 0 END AS pvi_term
+         |  FROM t)
+         |SELECT asset_id, date, close,
+         |  floor((1000.0 * exp(CAST(sum(nvi_term) OVER r AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS nvi,
+         |  floor((1000.0 * exp(CAST(sum(pvi_term) OVER r AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pvi
+         |FROM u
+         |WINDOW r AS (PARTITION BY asset_id ORDER BY date
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY asset_id, date""".stripMargin,
+    "bipower_var" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS BIGINT) AS n_days,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS rv,
+         |         (pi() / 2) * list_reduce(list_prepend(0.0,
+         |             list_transform(range(1, len(ra)), i -> abs(ra[i]) * abs(ra[i + 1]))),
+         |           (a, x) -> a + x) AS bv
+         |  FROM p WHERE len(ra) >= 3)
+         |SELECT asset_id, n_days,
+         |  floor(rv * 1000000.0 + 0.5) / 1000000.0 AS rv,
+         |  floor(bv * 1000000.0 + 0.5) / 1000000.0 AS bv,
+         |  floor(greatest(1.0 - bv / nullif(rv, 0.0), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS jump_share
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "heikin_ashi" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, open, high, low, close,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM bars),
+         |ha AS (
+         |  SELECT asset_id, rn, date, high, low,
+         |         floor(((open + close) / 2) * 1000000.0 + 0.5) / 1000000.0 AS ha_open,
+         |         floor(((open + high + low + close) / 4) * 1000000.0 + 0.5) / 1000000.0 AS ha_close
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.high, b.low,
+         |         floor(((ha.ha_open + ha.ha_close) / 2) * 1000000.0 + 0.5) / 1000000.0,
+         |         floor(((b.open + b.high + b.low + b.close) / 4) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM ha JOIN b ON b.asset_id = ha.asset_id AND b.rn = ha.rn + 1)
+         |SELECT asset_id, date, ha_open, ha_close,
+         |  greatest(high, ha_open, ha_close) AS ha_high,
+         |  least(low, ha_open, ha_close) AS ha_low
+         |FROM ha ORDER BY asset_id, date""".stripMargin,
     "sterling_ratio" ->
       s"""$panelCte,
          |$dailyCte,

@@ -4007,4 +4007,169 @@ object Analytics {
         col("n_ticks"), col("share"), col("is_poc"))
       .orderBy(col("asset_id"), col("bin"))
   }
+
+  /** B133 `balance_of_power` — per-bar Balance of Power
+    * (close − open)/(high − low) and its `span`-bar SMA: who closed the
+    * bar's range, buyers (+1) or sellers (−1). Flat bars (high = low)
+    * are dropped BEFORE the window so the fold arrays never see nulls —
+    * same convention both engines; the SMA is the usual frame fold.
+    */
+  def balanceOfPower(panel: DataFrame, span: Int = 14): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .filter(col("high") > col("low"))
+      .withColumn("bop", u6((col("close") - col("open")) / (col("high") - col("low"))))
+      .withColumn("arr", collect_list(col("bop")).over(frame))
+      .withColumn("bop_sma", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .select(col("asset_id"), col("date"), col("bop"), col("bop_sma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B134 `qstick` — Qstick: the `span`-bar SMA of (close − open), the
+    * simplest candle-body trend gauge (persistent white candles → +).
+    * Per-bar body u6-rounded, frame mean a left-assoc fold — the
+    * [[balanceOfPower]] shape without the range normalizer, so flat
+    * bars stay in.
+    */
+  def qstick(panel: DataFrame, span: Int = 8): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("body", u6(col("close") - col("open")))
+      .withColumn("arr", collect_list(col("body")).over(frame))
+      .withColumn("qstick", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .select(col("asset_id"), col("date"), col("body"), col("qstick"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B135 `rvi` — Relative Vigor Index: SWMA(close − open)/SWMA(high −
+    * low) summed over a `span`-bar window, plus the SWMA signal line.
+    * SWMA is the symmetric 4-bar weighting (x + 2x₋₁ + 2x₋₂ + x₋₃)/6 as
+    * pure lag arithmetic (one fixed float op sequence — no fold
+    * needed); bars without a full SWMA lookback drop before the summing
+    * window so the arrays are null-free. A zero range sum (span of flat
+    * bars) nulls the RVI, and that null flows into any signal value it
+    * touches — same rule both engines.
+    */
+  def rvi(panel: DataFrame, span: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    def swma(c: Column): Column = u6(
+      (c + lit(2.0) * lag(c, 1).over(byAsset) +
+        lit(2.0) * lag(c, 2).over(byAsset) + lag(c, 3).over(byAsset)) / 6)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("num", swma(col("close") - col("open")))
+      .withColumn("den", swma(col("high") - col("low")))
+      .filter(col("num").isNotNull)
+      .withColumn("na", collect_list(col("num")).over(frame))
+      .withColumn("da", collect_list(col("den")).over(frame))
+      .withColumn("rvi", u6(foldSum(col("na")) /
+        when(foldSum(col("da")) === 0, lit(null)).otherwise(foldSum(col("da")))))
+      .withColumn("sig", u6(
+        (col("rvi") + lit(2.0) * lag(col("rvi"), 1).over(byAsset) +
+          lit(2.0) * lag(col("rvi"), 2).over(byAsset) + lag(col("rvi"), 3).over(byAsset)) / 6))
+      .select(col("asset_id"), col("date"), col("rvi"), col("sig"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B136 `nvi_pvi` — Negative/Positive Volume Index over the daily
+    * bars, tick count standing in for volume: NVI compounds the
+    * close-to-close return only on volume-DOWN days (what the smart
+    * money does when it's quiet), PVI only on volume-UP days. The
+    * compounding is exact-integer by construction: per-day log return
+    * u6-rounded, scaled to micro-units (an integer), conditionally
+    * accumulated by an ORDER-INSENSITIVE integer window sum, and
+    * exponentiated once at emit (u6 argument → both engines call exp on
+    * the identical double — the [[corwinSchultz]] discipline). First
+    * bars and zero/NULL guards contribute 0.
+    */
+  def nviPvi(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val prevVol = lag(col("n_ticks"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("lr", u6(log(col("close") /
+        when(prevClose <= 0 || col("close") <= 0, lit(null)).otherwise(prevClose))))
+      .withColumn("lr_micro", coalesce(
+        round(col("lr") * 1e6).cast("long"), lit(0L)))
+      .withColumn("nvi_term",
+        when(prevVol.isNotNull && col("n_ticks") < prevVol, col("lr_micro")).otherwise(lit(0L)))
+      .withColumn("pvi_term",
+        when(prevVol.isNotNull && col("n_ticks") > prevVol, col("lr_micro")).otherwise(lit(0L)))
+      .withColumn("nvi", u6(lit(1000.0) *
+        exp(sum(col("nvi_term")).over(run).cast("double") / 1e6)))
+      .withColumn("pvi", u6(lit(1000.0) *
+        exp(sum(col("pvi_term")).over(run).cast("double") / 1e6)))
+      .select(col("asset_id"), col("date"), col("close"), col("nvi"), col("pvi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B137 `bipower_var` — realized variance vs bipower variation per
+    * asset: RV = Σr², BV = (π/2)·Σ|rₜ||rₜ₋₁|. BV is robust to jumps,
+    * RV is not, so jump_share = max(0, 1 − BV/RV) is the share of
+    * realized variance attributable to jumps (Barndorff-Nielsen &
+    * Shephard). Both sums are left-assoc folds over the date-sorted
+    * return array ([[gainLossRatio]]'s collection recipe); the adjacent
+    * |r||r₋₁| products come from zipping the array against itself
+    * shifted by one. π enters as the same IEEE double in both engines.
+    */
+  def bipowerVar(panel: DataFrame): DataFrame =
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n_days", size(col("ra")).cast("long"))
+      .filter(col("n_days") >= 3)
+      .withColumn("rv", foldSumSq(col("ra")))
+      .withColumn("adj", Kernels.seqFold(
+        zip_with(
+          slice(col("ra"), lit(1), size(col("ra")) - 1),
+          slice(col("ra"), lit(2), size(col("ra")) - 1),
+          (a, b) => abs(a) * abs(b)), "sum"))
+      .withColumn("bv", lit(math.Pi / 2.0) * col("adj"))
+      .withColumn("jump_share", u6(greatest(
+        lit(1.0) - col("bv") / when(col("rv") === 0, lit(null)).otherwise(col("rv")),
+        lit(0.0))))
+      .select(col("asset_id"), col("n_days"),
+        u6(col("rv")).as("rv"), u6(col("bv")).as("bv"), col("jump_share"))
+      .orderBy(col("asset_id"))
+
+  /** B138 `heikin_ashi` — Heikin-Ashi smoothed candles over the daily
+    * bars: HA-close = (o+h+l+c)/4 per bar, HA-open = the RECURSIVE
+    * midpoint of yesterday's HA candle ((ha_openₜ₋₁ + ha_closeₜ₋₁)/2,
+    * seeded (o₁+c₁)/2), HA-high/low = the candle envelope. The
+    * recursion is a sequential fold over each asset's date-sorted bar
+    * array (an `aggregate` HOF appending one struct per bar — per-asset
+    * history is calendar-bounded, so the array stays small at any
+    * corpus scale); every midpoint/quarter is u6-rounded in the SAME
+    * left-assoc op order the DuckDB oracle's recursive CTE replays.
+    * One asset_id shuffle: the bar build and the groupBy share it.
+    */
+  def heikinAshi(panel: DataFrame): DataFrame = {
+    val haType = "array<struct<date:date,high:double,low:double,ho:double,hc:double>>"
+    dailyBars(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("open"), col("high"), col("low"), col("close")))).as("bs"))
+      .withColumn("ha", aggregate(
+        col("bs"),
+        expr("array()").cast(haType),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val haClose = u6((x("open") + x("high") + x("low") + x("close")) / 4)
+          val haOpen = when(size(acc) === 0, u6((x("open") + x("close")) / 2))
+            .otherwise(u6((prev("ho") + prev("hc")) / 2))
+          concat(acc, array(struct(
+            x("date").as("date"), x("high").as("high"), x("low").as("low"),
+            haOpen.as("ho"), haClose.as("hc"))))
+        }))
+      .select(col("asset_id"), explode(col("ha")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.ho").as("ha_open"), col("h.hc").as("ha_close"),
+        greatest(col("h.high"), col("h.ho"), col("h.hc")).as("ha_high"),
+        least(col("h.low"), col("h.ho"), col("h.hc")).as("ha_low"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -170,6 +170,12 @@ class PlanAuditSpec extends SparkSpec {
       s"readability must stay map-only + sort: ${shuffles("readability")}")
     assert(shuffles("xsec_ic") <= 3,
       s"xsec_ic exceeded panel + date agg + sort: ${shuffles("xsec_ic")}")
+    // round-7 eighth wave: every bar/candle op rides ONE asset_id
+    // shuffle (bar build, windows, folds and the heikin-ashi groupBy
+    // all share it) plus the presentation sort
+    for (q <- Seq("balance_of_power", "qstick", "rvi", "nvi_pvi",
+        "bipower_var", "heikin_ashi"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -553,4 +553,81 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_poc")) === 1)
     assert(out.head.getAs[Boolean]("is_poc"))                  // tie → lowest bin
   }
+
+  test("balance_of_power: close-at-high bars pin BOP and its SMA at 1") {
+    // open = low (first tick), close = high (last) → (c−o)/(h−l) = 1
+    val out = Analytics.balanceOfPower(twoTickPanel((1 to 6).map(i => (10.0 * i, 10.0 * i + 2)))).collect()
+    assert(out.length === 6)
+    out.foreach { r =>
+      assert(r.getAs[Double]("bop") === 1.0)
+      assert(r.getAs[Double]("bop_sma") === 1.0)
+    }
+  }
+
+  test("balance_of_power: flat bars drop before the window") {
+    val out = Analytics.balanceOfPower(oneTickPanel(Seq(5.0, 6.0, 7.0))).collect()
+    assert(out.isEmpty)                                       // high = low everywhere
+  }
+
+  test("qstick: constant candle body smooths to exactly the body") {
+    val out = Analytics.qstick(twoTickPanel((1 to 5).map(i => (10.0 * i, 10.0 * i + 2)))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("body") === 2.0)
+      assert(r.getAs[Double]("qstick") === 2.0)
+    }
+  }
+
+  test("rvi: bars that always close their full range give RVI 1") {
+    val out = Analytics.rvi(twoTickPanel((1 to 8).map(i => (10.0 * i, 10.0 * i + 2)))).collect()
+    assert(out.length === 5)                                  // 3-bar SWMA lookback drops
+    out.foreach(r => assert(r.getAs[Double]("rvi") === 1.0))
+    // signal needs 3 more rvi lags: first 3 null, rest 1
+    assert(out.count(_.getAs[Any]("sig") == null) === 3)
+    out.filter(_.getAs[Any]("sig") != null).foreach(r => assert(r.getAs[Double]("sig") === 1.0))
+  }
+
+  test("nvi_pvi: constant volume never compounds either index") {
+    val out = Analytics.nviPvi(oneTickPanel(Seq(100.0, 110.0, 121.0, 133.1))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("nvi") === 1000.0)
+      assert(r.getAs[Double]("pvi") === 1000.0)
+    }
+  }
+
+  test("bipower_var: constant returns make BV exceed RV, so jump share is 0") {
+    // rets 0.1, 0.1, 0.1: RV = 3·0.01, BV = (π/2)·2·0.01 > RV
+    val out = Analytics.bipowerVar(oneTickPanel(Seq(100.0, 110.0, 121.0, 133.1))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("rv") === 0.03)
+    assert(math.abs(r.getAs[Double]("bv") - math.Pi * 0.01) < 1e-6)
+    assert(r.getAs[Double]("jump_share") === 0.0)
+  }
+
+  test("bipower_var: one jump among flat returns attributes variance to the jump") {
+    // rets 0, 0, 0.5, 0, 0: RV = 0.25, adjacent products all 0 → BV 0 → share 1
+    val out = Analytics.bipowerVar(oneTickPanel(Seq(10, 10, 10, 15, 15, 15).map(_.toDouble))).collect()
+    val r = out.head
+    assert(r.getAs[Double]("bv") === 0.0)
+    assert(r.getAs[Double]("jump_share") === 1.0)
+  }
+
+  test("heikin_ashi: recursive open is yesterday's HA midpoint") {
+    val out = Analytics.heikinAshi(oneTickPanel(Seq(10.0, 20.0, 30.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.length === 3)
+    // day 1: all-10 bar → every HA field 10
+    assert(out(0).getAs[Double]("ha_open") === 10.0)
+    assert(out(0).getAs[Double]("ha_close") === 10.0)
+    // day 2: ha_open = (10+10)/2 = 10, ha_close = 20, envelope [10, 20]
+    assert(out(1).getAs[Double]("ha_open") === 10.0)
+    assert(out(1).getAs[Double]("ha_close") === 20.0)
+    assert(out(1).getAs[Double]("ha_high") === 20.0)
+    assert(out(1).getAs[Double]("ha_low") === 10.0)
+    // day 3: ha_open = (10+20)/2 = 15, ha_close = 30
+    assert(out(2).getAs[Double]("ha_open") === 15.0)
+    assert(out(2).getAs[Double]("ha_close") === 30.0)
+    assert(out(2).getAs[Double]("ha_low") === 15.0)
+  }
 }
