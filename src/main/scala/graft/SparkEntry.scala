@@ -603,6 +603,18 @@ object SparkEntry {
       Analytics.bipowerVar(Tables.panel(s, dir))),
     "heikin_ashi" -> ((s, dir) =>
       Analytics.heikinAshi(Tables.panel(s, dir))),
+    "lexical_diversity" -> ((s, dir) =>
+      Pipeline.lexicalDiversity(Tables.documents(s, dir))),
+    "line_dups" -> ((s, dir) =>
+      Dedup.lineDups(Tables.documents(s, dir))),
+    "source_jsd" -> ((s, dir) =>
+      Pipeline.sourceJsd(Tables.documents(s, dir))),
+    "edit_similarity" -> ((s, dir) =>
+      Dedup.editSimilarity(Tables.documents(s, dir))),
+    "bigram_entropy" -> ((s, dir) =>
+      Pipeline.bigramEntropy(Tables.documents(s, dir))),
+    "filter_funnel" -> ((s, dir) =>
+      Pipeline.filterFunnel(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -1309,6 +1321,39 @@ object SparkEntry {
       |    SELECT asset_id, date,
       |           floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
       |    FROM daily) t WHERE ret IS NOT NULL)""".stripMargin
+
+  /** Gopher-rule CTEs replaying [[graft.operators.Pipeline
+    * .gopherRulesCore]] (use after `WITH `): ends at `gr` with one row
+    * per doc_id carrying the seven rule booleans + pass_gopher —
+    * shared by the gopher_rules and filter_funnel oracles.
+    */
+  private val gopherCtes =
+    """gt AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+      |         string_split(text, chr(10)) AS lines,
+      |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_wlen,
+      |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym
+      |  FROM documents),
+      |gc AS (
+      |  SELECT doc_id, sum_wlen, n_sym,
+      |         CAST(len(toks) AS BIGINT) AS n_words,
+      |         CAST(len(lines) AS BIGINT) AS n_lines,
+      |         CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
+      |         CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis,
+      |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+      |         CAST(len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+      |  FROM gt),
+      |gr AS (
+      |  SELECT doc_id, n_words,
+      |         (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+      |         (n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) AS rule_mean_word_len,
+      |         (10 * n_sym <= n_words) AS rule_symbol_ratio,
+      |         (10 * n_bullet <= 9 * n_lines) AS rule_bullet,
+      |         (10 * n_ellipsis <= 3 * n_lines) AS rule_ellipsis,
+      |         (10 * n_alpha >= 8 * n_words) AS rule_alpha,
+      |         (n_stop >= 2) AS rule_stopwords
+      |  FROM gc)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The signature kernels (minhash, simhash,
@@ -2197,37 +2242,12 @@ object SparkEntry {
         |       ELSE (1000 * (2 * s_ix - (n_docs + 1) * total_tokens)) // (n_docs * total_tokens) END AS gini_pm
         |FROM g ORDER BY source""".stripMargin,
     "gopher_rules" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
-        |         string_split(text, chr(10)) AS lines,
-        |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_wlen,
-        |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, sum_wlen, n_sym,
-        |         CAST(len(toks) AS BIGINT) AS n_words,
-        |         CAST(len(lines) AS BIGINT) AS n_lines,
-        |         CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet,
-        |         CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis,
-        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-        |         CAST(len(list_filter(toks, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
-        |  FROM t),
-        |r AS (
-        |  SELECT doc_id, n_words,
-        |         (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
-        |         (n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words) AS rule_mean_word_len,
-        |         (10 * n_sym <= n_words) AS rule_symbol_ratio,
-        |         (10 * n_bullet <= 9 * n_lines) AS rule_bullet,
-        |         (10 * n_ellipsis <= 3 * n_lines) AS rule_ellipsis,
-        |         (10 * n_alpha >= 8 * n_words) AS rule_alpha,
-        |         (n_stop >= 2) AS rule_stopwords
-        |  FROM c)
-        |SELECT doc_id, n_words, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
-        |  rule_bullet, rule_ellipsis, rule_alpha, rule_stopwords,
-        |  (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND rule_bullet
-        |   AND rule_ellipsis AND rule_alpha AND rule_stopwords) AS pass_gopher
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $gopherCtes
+         |SELECT doc_id, n_words, rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+         |  rule_bullet, rule_ellipsis, rule_alpha, rule_stopwords,
+         |  (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND rule_bullet
+         |   AND rule_ellipsis AND rule_alpha AND rule_stopwords) AS pass_gopher
+         |FROM gr ORDER BY doc_id""".stripMargin,
     "lm_score_buckets" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -5415,6 +5435,138 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        |  FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, n_toks, n_types,
+        |  (1000 * n_types) // n_toks AS ttr_pm,
+        |  floor((CAST(n_types AS DOUBLE) / sqrt(CAST(n_toks AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS root_ttr
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "line_dups" ->
+      """WITH l0 AS (
+        |  SELECT doc_id, trim(ln) AS line
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents) z),
+        |l AS (SELECT doc_id, line FROM l0 WHERE length(line) >= 10),
+        |c AS (SELECT line, count(*) AS n_occ FROM l GROUP BY line),
+        |g AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+        |  FROM l JOIN c USING (line) GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_dup_lines,
+        |  CASE WHEN n_lines = 0 THEN NULL
+        |       ELSE (1000 * n_dup_lines) // n_lines END AS dup_pm
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "source_jsd" ->
+      """WITH w0 AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |words AS (SELECT source, word, count(*) AS n_sw FROM w0 GROUP BY source, word),
+        |top AS (SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_gw FROM words GROUP BY word
+        |        ORDER BY n_gw DESC, word LIMIT 300),
+        |gtot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(n_gw) AS BIGINT) AS n_g FROM top),
+        |srcs AS (SELECT DISTINCT source FROM words),
+        |dense AS (
+        |  SELECT t.word, t.n_gw, g.v, g.n_g, s.source, coalesce(w.n_sw, 0) AS n_sw
+        |  FROM top t CROSS JOIN gtot g CROSS JOIN srcs s
+        |  LEFT JOIN words w ON w.source = s.source AND w.word = t.word),
+        |e AS (
+        |  SELECT source, word, n_gw, v, n_g, n_sw,
+        |         sum(n_sw) OVER (PARTITION BY source) AS n_s
+        |  FROM dense),
+        |f AS (
+        |  SELECT source, n_s, word,
+        |         CAST(n_sw + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE) AS p,
+        |         CAST(n_gw + 1 AS DOUBLE) / CAST(n_g + v AS DOUBLE) AS q
+        |  FROM e),
+        |g2 AS (
+        |  SELECT source, n_s, word,
+        |         floor(((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2) * 1000000.0 + 0.5) / 1000000.0 AS term
+        |  FROM f),
+        |h AS (
+        |  SELECT source, CAST(max(n_s) AS BIGINT) AS n_s, list(term ORDER BY word) AS arr
+        |  FROM g2 GROUP BY source)
+        |SELECT source, n_s,
+        |  floor(list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) * 1000000.0 + 0.5) / 1000000.0 AS jsd
+        |FROM h ORDER BY source""".stripMargin,
+    "edit_similarity" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |t AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         substr(da.text, 1, 256) AS ta, substr(db.text, 1, 256) AS tb
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b),
+         |e AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+         |         CAST(greatest(length(ta), length(tb)) AS BIGINT) AS m
+         |  FROM t)
+         |SELECT doc_a, doc_b, dist,
+         |  CASE WHEN m = 0 THEN NULL ELSE (1000 * (m - dist)) // m END AS sim_pm
+         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "bigram_entropy" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT source, g, count(*) AS c FROM (
+        |    SELECT source, unnest(toks) AS g FROM t) z GROUP BY source, g),
+        |bc AS (
+        |  SELECT source, g, count(*) AS c FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(toks)),
+        |                                         i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |    FROM t) z GROUP BY source, g),
+        |hu AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM uc GROUP BY source),
+        |hb AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM bc GROUP BY source),
+        |j AS (
+        |  SELECT hu.source, hu.n AS n_tokens, hb.n AS n_bigrams,
+        |    floor((ln(CAST(hu.n AS DOUBLE)) - (CAST(hu.s AS DOUBLE) / 1000000.0) / CAST(hu.n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_uni,
+        |    floor((ln(CAST(hb.n AS DOUBLE)) - (CAST(hb.s AS DOUBLE) / 1000000.0) / CAST(hb.n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_bi
+        |  FROM hu JOIN hb ON hu.source = hb.source)
+        |SELECT source, n_tokens, h_uni, n_bigrams, h_bi,
+        |  floor((h_bi - h_uni) * 1000000.0 + 0.5) / 1000000.0 AS h_cond
+        |FROM j ORDER BY source""".stripMargin,
+    "filter_funnel" ->
+      s"""WITH $gopherCtes,
+         |gp AS (
+         |  SELECT doc_id,
+         |         (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND rule_bullet
+         |          AND rule_ellipsis AND rule_alpha AND rule_stopwords) AS pass_gopher
+         |  FROM gr),
+         |d AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+         |  FROM documents),
+         |j AS (SELECT d.*, gp.pass_gopher FROM d JOIN gp USING (doc_id)),
+         |g AS (
+         |  SELECT source, count(*) AS n_total,
+         |    CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+         |    CAST(sum(CASE WHEN n_chars >= 200 AND pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |    CAST(sum(CASE WHEN n_chars >= 200 AND pass_gopher AND n_emails = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+         |    CAST(sum(CASE WHEN n_chars >= 200 AND pass_gopher AND n_emails = 0 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+         |  FROM j GROUP BY source)
+         |SELECT source, n_total, n_len, n_gopher, n_pii, n_lang,
+         |  CASE WHEN n_total = 0 THEN NULL
+         |       ELSE (1000 * n_lang) // n_total END AS survive_pm
+         |FROM g ORDER BY source""".stripMargin,
     "balance_of_power" ->
       s"""$panelCte,
          |$barsCte,

@@ -936,4 +936,59 @@ object Dedup {
     deg.unpersist()
     out.orderBy(col("doc_id"))
   }
+
+  /** C99 `line_dups` — C4-style line-level duplication per document:
+    * trimmed lines of `minLen`+ chars counted across the WHOLE corpus,
+    * each doc reporting how many of its lines occur more than once
+    * anywhere (within-doc repeats count, as in C4's line dedup). The
+    * per-mille is the "how much of this doc is boilerplate lines"
+    * number that [[prefixDups]]/[[suffixDups]] approximate at doc
+    * granularity. Grouping is on the literal trimmed line so the
+    * oracle replays bitwise; at 100 TB the shuffle key would be
+    * xxhash64(line) with identical downstream shape (the hash only
+    * narrows the key bytes — same aggregate, same join).
+    */
+  def lineDups(documents: DataFrame, minLen: Int = 10): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) >= minLen)
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+    lines.join(counts, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_pm", when(col("n_lines") === 0, lit(null))
+        .otherwise(expr("(1000 * n_dup_lines) div n_lines")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C101 `edit_similarity` — MinHash LSH candidates verified by REAL
+    * edit distance on length-capped prefixes: the third verification
+    * lens next to shingle jaccard ([[minhashVerifiedPairs]]) and
+    * embedding cosine (`lsh_verified_pairs`) — Levenshtein sees
+    * reorderings and small in-place edits that set-based jaccard
+    * washes out. Classic DP distance is engine-portable integer; the
+    * `maxLen` cap bounds the per-pair O(len²) cell count, and the
+    * candidate set (never the corpus) pays it. Similarity =
+    * (maxlen − dist)/maxlen in integer per-mille.
+    */
+  def editSimilarity(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                     bands: Int = 16, maxLen: Int = 256): DataFrame = {
+    val cands = minhashLshPairs(documents, k, nHashes, bands)
+    val texts = documents.select(col("doc_id"), substring(col("text"), 1, maxLen).as("t"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(texts, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(when(col("doc_id") === col("doc_a"), col("t")), ignoreNulls = true).as("ta"),
+        first(when(col("doc_id") === col("doc_b"), col("t")), ignoreNulls = true).as("tb"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("m", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim_pm", when(col("m") === 0, lit(null))
+        .otherwise(expr("(1000 * (m - dist)) div m")))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("sim_pm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -1465,4 +1465,132 @@ object Pipeline {
             - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
             - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))))
       .orderBy(col("doc_id"))
+
+  /** C98 `lexical_diversity` — per-document type/token ratio (plus the
+    * length-robust root-TTR n_types/√n_toks): the repetitiveness
+    * screen that catches keyword-stuffed and template text that
+    * [[readability]]'s sentence shape misses. One map-only scan;
+    * counts integer, TTR integer per-mille, root-TTR one fixed float
+    * op. Token convention = the corpus-wide whitespace split.
+    */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= 1)
+      .withColumn("n_types", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("ttr_pm", expr("(1000 * n_types) div n_toks"))
+      .withColumn("root_ttr", u6(
+        col("n_types").cast("double") / sqrt(col("n_toks").cast("double"))))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        col("ttr_pm"), col("root_ttr"))
+      .orderBy(col("doc_id"))
+
+  /** C100 `source_jsd` — per-source Jensen–Shannon divergence against
+    * the corpus-wide unigram distribution over the global top-K
+    * vocabulary: the bounded, symmetric, never-infinite drift score a
+    * mixture designer tracks per crawl slice ([[unigramKl]]'s
+    * source-keyed sibling — KL explodes on disjoint support, JSD is
+    * capped at ln 2). Add-one smoothing over the K-word support; the
+    * dense source×word grid comes from ONE bounded 1-row broadcast
+    * (vocab totals + source list), never a corpus-sized cross join;
+    * per-word terms are u6-rounded and summed by a word-ordered fold.
+    */
+  def sourceJsd(documents: DataFrame, topK: Int = 300): DataFrame = {
+    val words = documents
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
+    val top = words.groupBy(col("word")).agg(sum(col("n_sw")).as("n_gw"))
+      .orderBy(col("n_gw").desc, col("word")).limit(topK)
+    val glob = top.agg(count(lit(1)).as("v"), sum(col("n_gw")).as("n_g"))
+    val srcs = words.agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val dense = top
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(srcs))
+      .select(col("word"), col("n_gw"), col("v"), col("n_g"),
+        explode(col("srcs")).as("source"))
+      .join(words, Seq("source", "word"), "left")
+      .na.fill(0L, Seq("n_sw"))
+    dense
+      .withColumn("n_s", sum(col("n_sw")).over(Window.partitionBy(col("source"))))
+      .withColumn("p", (col("n_sw") + 1).cast("double") / (col("n_s") + col("v")).cast("double"))
+      .withColumn("q", (col("n_gw") + 1).cast("double") / (col("n_g") + col("v")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term", u6(
+        (col("p") * log(col("p") / col("m")) + col("q") * log(col("q") / col("m"))) / 2))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"),
+        sort_array(collect_list(struct(col("word"), col("term")))).as("arr"))
+      .withColumn("jsd", u6(graft.expressions.Kernels.seqFold(
+        transform(col("arr"), s => s("term")), "sum")))
+      .select(col("source"), col("n_s"), col("jsd"))
+      .orderBy(col("source"))
+  }
+
+  /** C102 `bigram_entropy` — per-source unigram/bigram Shannon entropy
+    * and the conditional entropy H(w₂|w₁) = H(bigrams) − H(unigrams):
+    * low conditional entropy means the next token is predictable from
+    * the previous one — templatic/boilerplate text at the corpus scale
+    * ([[lmScore]] reads the same signal per document). Each entropy is
+    * H = ln N − (Σ c·ln c)/N with the Σ carried as ORDER-INSENSITIVE
+    * micro-integer terms (c·ln c is irrational for c ≥ 2, so the
+    * round() half-boundary is unreachable — the zipf discipline);
+    * count aggregation is map-side combinable, no fold arrays needed.
+    */
+  def bigramEntropy(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("source"),
+      filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+    val uni = toks.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(col("source"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    def entropy(counts: DataFrame): DataFrame = counts
+      .withColumn("t",
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), sum(col("t")).as("s"))
+      .withColumn("h", u6(log(col("n").cast("double")) -
+        (col("s").cast("double") / 1e6) / col("n").cast("double")))
+    entropy(uni)
+      .select(col("source"), col("n").as("n_tokens"), col("h").as("h_uni"))
+      .join(entropy(bi)
+        .select(col("source"), col("n").as("n_bigrams"), col("h").as("h_bi")), Seq("source"))
+      .withColumn("h_cond", u6(col("h_bi") - col("h_uni")))
+      .orderBy(col("source"))
+  }
+
+  /** C103 `filter_funnel` — the quality-gate funnel per source: doc
+    * counts surviving each successive stage (length floor → Gopher
+    * rules → no email PII → target language), ending in the integer
+    * per-mille survival rate. The single number-set a corpus build
+    * publishes per crawl slice to show WHERE documents die — the
+    * pipeline-level face of [[gopherRulesCore]] (shared
+    * implementation). One corpus scan per side of one equi-join, then
+    * a per-source integer aggregate.
+    */
+  def filterFunnel(documents: DataFrame, minChars: Long = 200L,
+                   targetLang: String = "en"): DataFrame = {
+    val gates = gopherRulesCore(documents).select(col("doc_id"), col("pass_gopher"))
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"))
+      .join(gates, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("n_chars") >= minChars, 1L).otherwise(0L)).as("n_len"),
+        sum(when(col("n_chars") >= minChars && col("pass_gopher"),
+          1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("n_chars") >= minChars && col("pass_gopher") &&
+          col("n_emails") === 0, 1L).otherwise(0L)).as("n_pii"),
+        sum(when(col("n_chars") >= minChars && col("pass_gopher") &&
+          col("n_emails") === 0 && col("lang") === targetLang, 1L).otherwise(0L)).as("n_lang"))
+      .withColumn("survive_pm", when(col("n_total") === 0, lit(null))
+        .otherwise(expr("(1000 * n_lang) div n_total")))
+      .orderBy(col("source"))
+  }
 }

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
     "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
     "dataset_card",     // 1-row summary ⨝ broadcast(1-row dup stats)
+    "source_jsd",       // top-K vocab ⨝ broadcast(1-row totals + source list)
     "m2_ratio",         // per-asset rows ⨝ broadcast(1-row market σ)
     "ngram_coverage")   // cut rows ⨝ broadcast(1-row corpus token total)
 
@@ -176,6 +177,22 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("balance_of_power", "qstick", "rvi", "nvi_pvi",
         "bipower_var", "heikin_ashi"))
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    // round-7 ninth wave (pipeline): lexical_diversity is map-only +
+    // sort; line_dups is line agg + doc agg (the line join reuses the
+    // explode's shuffle); the entropy/JSD/funnel reports are bounded
+    // aggregate chains over one or two corpus scans
+    assert(shuffles("lexical_diversity") <= 1,
+      s"lexical_diversity must stay map-only + sort: ${shuffles("lexical_diversity")}")
+    assert(shuffles("line_dups") <= 4,
+      s"line_dups exceeded line agg + join + doc agg + sort: ${shuffles("line_dups")}")
+    assert(shuffles("bigram_entropy") <= 6,
+      s"bigram_entropy exceeded 2 count aggs + 2 source aggs + join + sort: ${shuffles("bigram_entropy")}")
+    assert(shuffles("source_jsd") <= 8,
+      s"source_jsd exceeded count aggs + dense join + source agg + sort: ${shuffles("source_jsd")}")
+    assert(shuffles("filter_funnel") <= 5,
+      s"filter_funnel exceeded gate join + source agg + sort: ${shuffles("filter_funnel")}")
+    assert(shuffles("edit_similarity") <= 6,
+      s"edit_similarity exceeded banding + pair agg + text join + sort: ${shuffles("edit_similarity")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

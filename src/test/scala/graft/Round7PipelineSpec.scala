@@ -366,4 +366,90 @@ class Round7PipelineSpec extends SparkSpec {
     val massed = hist.map(r => r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
     assert(massed === nVecs)
   }
+
+  test("lexical_diversity: repeated token halves the TTR") {
+    val d = docs((1L, "a b a b", "en", "web"), (2L, "w x y z", "en", "web"))
+    val out = Pipeline.lexicalDiversity(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_types") === 2L)
+    assert(out(1L).getAs[Long]("ttr_pm") === 500L)
+    assert(out(1L).getAs[Double]("root_ttr") === 1.0)          // 2/√4
+    assert(out(2L).getAs[Long]("ttr_pm") === 1000L)
+    assert(out(2L).getAs[Double]("root_ttr") === 2.0)          // 4/√4
+  }
+
+  test("line_dups: a line shared across docs flags in both; short lines drop") {
+    val shared = "this line is boilerplate"
+    val d = docs(
+      (1L, s"$shared\nunique first line here", "en", "web"),
+      (2L, s"$shared\nanother unique line here", "en", "web"),
+      (3L, "short\nno", "en", "web"))                          // all lines < 10 chars
+    val out = Dedup.lineDups(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Long]("n_lines") === 2L)
+      assert(out(id).getAs[Long]("n_dup_lines") === 1L)
+      assert(out(id).getAs[Long]("dup_pm") === 500L)
+    }
+  }
+
+  test("source_jsd: identical sources diverge zero; disjoint sources diverge more") {
+    val d = docs(
+      (1L, "a b c a b c", "en", "s1"), (2L, "a b c a b c", "en", "s2"),
+      (3L, "x y z x y z", "en", "s3"))
+    val out = Pipeline.sourceJsd(d).collect().map(r => r.getString(0) -> r).toMap
+    // s1 and s2 are identical → identical JSD vs the corpus mix
+    assert(out("s1").getAs[Double]("jsd") === out("s2").getAs[Double]("jsd"))
+    // all three diverge from the pooled corpus, the lone source most
+    assert(out("s3").getAs[Double]("jsd") > out("s1").getAs[Double]("jsd"))
+    out.values.foreach(r => assert(r.getAs[Double]("jsd") >= 0.0))
+  }
+
+  test("bigram_entropy: deterministic text has zero conditional entropy") {
+    // "a b a b a": unigrams {a:3,b:2} entropic, bigrams deterministic
+    // given the previous token... use strict cycle "a b a b" per doc
+    val d = docs(
+      (1L, "a b a b a b", "en", "cyc"), (2L, "a b a b", "en", "cyc"))
+    val out = Pipeline.bigramEntropy(d).collect().head
+    // bigrams: "a b" ×5, "b a" ×3 — H(bi) < H(uni) + ln 2; conditional
+    // entropy is small but nonzero (two continuations of 'b')
+    assert(out.getAs[Long]("n_tokens") === 10L)
+    assert(out.getAs[Long]("n_bigrams") === 8L)
+    assert(out.getAs[Double]("h_uni") > 0.6)                   // ≈ ln 2
+    assert(out.getAs[Double]("h_cond") < out.getAs[Double]("h_uni"))
+  }
+
+  test("filter_funnel: stages only ever shrink and the per-mille matches") {
+    val longText = ("the be to of and that have with " * 12).trim  // 96 words, passes gopher
+    val d = docs(
+      (1L, longText + " " + ("filler " * 30).trim, "en", "web"),
+      (2L, "tiny", "en", "web"),
+      (3L, longText + " " + ("filler " * 30).trim, "fr", "web"))
+    val out = Pipeline.filterFunnel(d, minChars = 100L).collect().head
+    val (t, l, g, p, la) = (out.getAs[Long]("n_total"), out.getAs[Long]("n_len"),
+      out.getAs[Long]("n_gopher"), out.getAs[Long]("n_pii"), out.getAs[Long]("n_lang"))
+    assert(t === 3L)
+    assert(l <= t && g <= l && p <= g && la <= p)
+    assert(la === 1L)                                          // doc 3 dies at lang
+    assert(out.getAs[Long]("survive_pm") === 333L)
+  }
+
+  test("edit_similarity: distance is symmetric-free and per-mille sane on near-dups") {
+    // doc 2 appends a tail past the 256-char cap: the LSH sees the
+    // full texts (near-identical shingle sets → a shared band), while
+    // the Levenshtein runs on the identical capped prefixes → dist 0
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far away " * 4
+    val d = docs(
+      (1L, base, "en", "web"),
+      (2L, base + "and a small extra tail here", "en", "web"),
+      (3L, "completely different text with nothing in common whatsoever here", "en", "web"))
+    val out = Dedup.editSimilarity(d).collect()
+    val p12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined)
+    assert(p12.get.getAs[Long]("dist") === 0L)                 // capped prefixes equal
+    assert(p12.get.getAs[Long]("sim_pm") === 1000L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dist") >= 0L)
+      assert(r.getAs[Long]("sim_pm") <= 1000L)
+    }
+  }
 }
