@@ -615,6 +615,16 @@ object SparkEntry {
       Pipeline.bigramEntropy(Tables.documents(s, dir))),
     "filter_funnel" -> ((s, dir) =>
       Pipeline.filterFunnel(Tables.documents(s, dir))),
+    "kst" -> ((s, dir) =>
+      Analytics.kst(Tables.panel(s, dir))),
+    "rachev_ratio" -> ((s, dir) =>
+      Analytics.rachevRatio(Tables.panel(s, dir))),
+    "pain_index" -> ((s, dir) =>
+      Analytics.painIndex(Tables.panel(s, dir))),
+    "vol_clustering" -> ((s, dir) =>
+      Analytics.volClustering(Tables.panel(s, dir))),
+    "mahalanobis_outliers" -> ((s, dir) =>
+      Similarity.mahalanobisOutliers(Tables.embeddings(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5435,6 +5445,154 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "kst" ->
+      s"""$panelCte,
+         |$barsCte,
+         |r AS (
+         |  SELECT asset_id, date,
+         |    floor((close / nullif(lag(close, 5) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS r1,
+         |    floor((close / nullif(lag(close, 8) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+         |    floor((close / nullif(lag(close, 11) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS r3,
+         |    floor((close / nullif(lag(close, 15) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS r4
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |c AS (SELECT * FROM r
+         |      WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL AND r4 IS NOT NULL),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(r1) OVER w10 AS a1, list(r2) OVER w10 AS a2,
+         |         list(r3) OVER w10 AS a3, list(r4) OVER w15 AS a4
+         |  FROM c
+         |  WINDOW w10 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         w15 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((list_reduce(list_prepend(0.0, a1), (a, x) -> a + x) / CAST(len(a1) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS s1,
+         |    floor((list_reduce(list_prepend(0.0, a2), (a, x) -> a + x) / CAST(len(a2) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS s2,
+         |    floor((list_reduce(list_prepend(0.0, a3), (a, x) -> a + x) / CAST(len(a3) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS s3,
+         |    floor((list_reduce(list_prepend(0.0, a4), (a, x) -> a + x) / CAST(len(a4) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS s4
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date,
+         |    floor((s1 + 2.0 * s2 + 3.0 * s3 + 4.0 * s4) * 1000000.0 + 0.5) / 1000000.0 AS kst
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, kst,
+         |         list(kst) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ak
+         |  FROM h)
+         |SELECT asset_id, date, kst,
+         |  floor((list_reduce(list_prepend(0.0, ak), (a, x) -> a + x) / CAST(len(ak) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sig
+         |FROM i ORDER BY asset_id, date""".stripMargin,
+    "rachev_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list_sort(list(ret)) AS ra FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, len(ra) AS n,
+         |         CAST(ceil(CAST(len(ra) AS DOUBLE) * 0.05) AS INTEGER) AS k, ra
+         |  FROM p),
+         |t AS (
+         |  SELECT asset_id, n, k,
+         |         list_slice(ra, 1, k) AS lo,
+         |         list_slice(ra, n - k + 1, n) AS hi
+         |  FROM g WHERE k >= 1 AND 2 * k <= n),
+         |e AS (
+         |  SELECT asset_id, n, k,
+         |    floor((-list_reduce(list_prepend(0.0, lo), (a, x) -> a + x) / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS etl,
+         |    floor((list_reduce(list_prepend(0.0, hi), (a, x) -> a + x) / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS etg
+         |  FROM t)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
+         |  etg, etl,
+         |  floor((etg / nullif(etl, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rachev
+         |FROM e ORDER BY asset_id""".stripMargin,
+    "pain_index" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |         lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date) AS prev
+         |  FROM daily),
+         |e AS (
+         |  SELECT asset_id, date,
+         |    floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd,
+         |    floor((value / nullif(prev, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+         |  FROM d),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(dd ORDER BY date) AS dda,
+         |         list(ret ORDER BY date) FILTER (WHERE ret IS NOT NULL) AS reta
+         |  FROM e GROUP BY asset_id),
+         |g AS (SELECT asset_id, len(dda) AS n, dda, reta FROM p WHERE len(reta) >= 1),
+         |f AS (
+         |  SELECT asset_id, n,
+         |    floor((-list_reduce(list_prepend(0.0, dda), (a, x) -> a + x) / CAST(len(dda) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pain_index,
+         |    floor((list_reduce(list_prepend(0.0, reta), (a, x) -> a + x) / CAST(len(reta) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret
+         |  FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, pain_index, mean_ret,
+         |  floor((mean_ret / nullif(pain_index, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pain_ratio
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "vol_clustering" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |g AS (SELECT asset_id, len(ra) AS m, ra FROM p WHERE len(ra) >= 3),
+         |s AS (
+         |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+         |         list_slice(ra, 1, m - 1) AS xa,
+         |         list_slice(ra, 2, m) AS ya
+         |  FROM g),
+         |t AS (
+         |  SELECT asset_id, n, xa,
+         |         list_transform(xa, x -> abs(x)) AS axa,
+         |         list_transform(ya, x -> abs(x)) AS aya
+         |  FROM s),
+         |f AS (
+         |  SELECT asset_id, n,
+         |    list_reduce(list_prepend(0.0, axa), (a, x) -> a + x) AS vc_sx,
+         |    list_reduce(list_prepend(0.0, aya), (a, x) -> a + x) AS vc_sy,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(axa) + 1), i -> axa[i] * aya[i])), (a, x) -> a + x) AS vc_sxy,
+         |    list_reduce(list_prepend(0.0, list_transform(axa, x -> x * x)), (a, x) -> a + x) AS vc_sx2,
+         |    list_reduce(list_prepend(0.0, list_transform(aya, x -> x * x)), (a, x) -> a + x) AS vc_sy2,
+         |    list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS lev_sx,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(xa) + 1), i -> xa[i] * aya[i])), (a, x) -> a + x) AS lev_sxy,
+         |    list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS lev_sx2
+         |  FROM t)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
+         |  floor(((n * vc_sxy - vc_sx * vc_sy) /
+         |        nullif(sqrt(greatest(n * vc_sx2 - vc_sx * vc_sx, 0.0)) * sqrt(greatest(n * vc_sy2 - vc_sy * vc_sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS vc_corr,
+         |  floor(((n * lev_sxy - lev_sx * vc_sy) /
+         |        nullif(sqrt(greatest(n * lev_sx2 - lev_sx * lev_sx, 0.0)) * sqrt(greatest(n * vc_sy2 - vc_sy * vc_sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS lev_corr
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "mahalanobis_outliers" ->
+      """WITH x AS (
+        |  SELECT label, CAST(g.pos - 1 AS INTEGER) AS pos, e.embedding[g.pos]::DOUBLE AS v
+        |  FROM embeddings e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS g(pos)),
+        |c AS (
+        |  SELECT label, pos,
+        |    floor((CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS m,
+        |    floor((CAST(sum(CAST(round(v * v, 12) AS DECIMAL(27,15))) AS DOUBLE) / count(*)
+        |          - (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))
+        |            * (CAST(sum(CAST(v AS DECIMAL(27,15))) AS DOUBLE) / count(*))) * 1000000.0 + 0.5) / 1000000.0 AS s2
+        |  FROM x GROUP BY label, pos),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS mv, list(s2 ORDER BY pos) AS vv FROM c GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CASE WHEN cv.vv[i] = 0 THEN 0.0
+        |                ELSE (e.embedding[i]::DOUBLE - cv.mv[i]) * (e.embedding[i]::DOUBLE - cv.mv[i]) / cv.vv[i] END)),
+        |      (a, x) -> a + x) AS md2r
+        |  FROM embeddings e JOIN cv USING (label)),
+        |r AS (SELECT label, vec_id, floor(md2r * 1000000.0 + 0.5) / 1000000.0 AS md2 FROM d),
+        |rk AS (
+        |  SELECT label, vec_id, md2,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY md2 DESC, vec_id) AS BIGINT) AS rank
+        |  FROM r)
+        |SELECT label, vec_id, md2, rank FROM rk WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "lexical_diversity" ->
       """WITH t AS (
         |  SELECT doc_id,

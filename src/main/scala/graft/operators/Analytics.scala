@@ -4172,4 +4172,154 @@ object Analytics {
         least(col("h.low"), col("h.ho"), col("h.hc")).as("ha_low"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B139 `kst` — Pring's Know Sure Thing, short-term (daily) form:
+    * four rates of change (5/8/11/15 bars) each SMA-smoothed
+    * (5/5/5/8), combined 1:2:3:4, plus the 5-bar signal SMA. Pure [[coppock]] machinery
+    * stacked: u6 ROCs, frame folds for every SMA, explicit left-assoc
+    * weighting. Bars missing ANY lookback (or hitting a zero close)
+    * are dropped BEFORE the windows so every fold array is null-free
+    * in both engines.
+    */
+  def kst(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def roc(k: Int): Column = {
+      val prev = lag(col("close"), k).over(byAsset)
+      u6(col("close") / when(prev === 0, lit(null)).otherwise(prev) - 1)
+    }
+    def frame(n: Int) = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    def sma(c: Column, n: Int): Column = {
+      val arr = collect_list(c).over(frame(n))
+      u6(foldSum(arr) / size(arr).cast("double"))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("r1", roc(5)).withColumn("r2", roc(8))
+      .withColumn("r3", roc(11)).withColumn("r4", roc(15))
+      .filter(col("r1").isNotNull && col("r2").isNotNull &&
+        col("r3").isNotNull && col("r4").isNotNull)
+      .withColumn("s1", sma(col("r1"), 5))
+      .withColumn("s2", sma(col("r2"), 5))
+      .withColumn("s3", sma(col("r3"), 5))
+      .withColumn("s4", sma(col("r4"), 8))
+      .withColumn("kst", u6(col("s1") + lit(2.0) * col("s2") +
+        lit(3.0) * col("s3") + lit(4.0) * col("s4")))
+      .withColumn("sig", sma(col("kst"), 5))
+      .select(col("asset_id"), col("date"), col("kst"), col("sig"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B140 `rachev_ratio` — expected tail gain over expected tail loss
+    * at the q-quantile (both tails of the sorted daily-return array):
+    * the risk-reward read CVaR alone misses — a fat RIGHT tail is why
+    * you hold the asset. [[varCvar]]'s order statistics on both ends;
+    * assets too short for two disjoint q-tails drop. ETL is the loss
+    * magnitude (positive when the left tail is underwater); an ETL of
+    * exactly 0 nulls the ratio.
+    */
+  def rachevRatio(panel: DataFrame, q: Double = 0.05): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val k = ceil(size(col("ra")).cast("double") * q).cast("int")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("ret"))).as("ra"))
+      .withColumn("k", k)
+      .filter(col("k") >= 1 && lit(2) * col("k") <= size(col("ra")))
+      .withColumn("lo", slice(col("ra"), lit(1), col("k")))
+      .withColumn("hi", slice(col("ra"), size(col("ra")) - col("k") + 1, col("k")))
+      .withColumn("etl", u6(-foldSum(col("lo")) / col("k").cast("double")))
+      .withColumn("etg", u6(foldSum(col("hi")) / col("k").cast("double")))
+      .withColumn("rachev", u6(col("etg") /
+        when(col("etl") === 0, lit(null)).otherwise(col("etl"))))
+      .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"), col("etg"), col("etl"), col("rachev"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B141 `pain_index` — mean drawdown depth over the asset's whole
+    * history (the Pain Index: how underwater the average day was) and
+    * the Pain Ratio mean-return/pain — [[ulcerIndex]]'s L1 sibling
+    * (ulcer squares depths, pain averages them). One pass builds both
+    * series: the running-max drawdown and the daily return ride the
+    * same asset_id window partitioning, then one per-asset aggregate
+    * folds the date-sorted arrays.
+    */
+  def painIndex(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .groupBy(col("asset_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("date"), col("dd")))),
+          s => s("dd")).as("dda"),
+        transform(array_sort(collect_list(
+          when(col("ret").isNotNull, struct(col("date"), col("ret"))))),
+          s => s("ret")).as("reta"))
+      .filter(size(col("reta")) >= 1)
+      .withColumn("pain_index", u6(-foldSum(col("dda")) / size(col("dda")).cast("double")))
+      .withColumn("mean_ret", u6(foldSum(col("reta")) / size(col("reta")).cast("double")))
+      .withColumn("pain_ratio", u6(col("mean_ret") /
+        when(col("pain_index") === 0, lit(null)).otherwise(col("pain_index"))))
+      .select(col("asset_id"), size(col("dda")).cast("long").as("n_days"),
+        col("pain_index"), col("mean_ret"), col("pain_ratio"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B142 `vol_clustering` — the two stylized-fact correlations per
+    * asset: volatility clustering corr(|rₜ₋₁|, |rₜ|) (large moves
+    * follow large moves — why GARCH exists) and the leverage effect
+    * corr(rₜ₋₁, |rₜ|) (down moves raise tomorrow's vol more).
+    * [[autocorr]]'s co-moment folds run twice over the same shifted
+    * pair of date-sorted arrays, absolute values applied by
+    * order-preserving transforms.
+    */
+  def volClustering(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    def corrOf(xa: Column, ya: Column, out: String): Seq[(String, Column)] = Seq(
+      s"${out}_sx" -> Kernels.seqFold(xa, "sum"),
+      s"${out}_sy" -> Kernels.seqFold(ya, "sum"),
+      s"${out}_sxy" -> Kernels.dot(xa, ya),
+      s"${out}_sx2" -> Kernels.seqFold(xa, "sumsq"),
+      s"${out}_sy2" -> Kernels.seqFold(ya, "sumsq"))
+    def corrFinal(out: String): Column = {
+      val den = sqrt(greatest(n * col(s"${out}_sx2") - col(s"${out}_sx") * col(s"${out}_sx"), lit(0.0))) *
+        sqrt(greatest(n * col(s"${out}_sy2") - col(s"${out}_sy") * col(s"${out}_sy"), lit(0.0)))
+      u6((n * col(s"${out}_sxy") - col(s"${out}_sx") * col(s"${out}_sy")) /
+        when(den === 0, lit(null)).otherwise(den))
+    }
+    val base = daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .filter(col("m") >= 3)
+      .withColumn("xa", slice(col("ra"), lit(1), col("m") - 1))
+      .withColumn("ya", slice(col("ra"), lit(2), col("m") - 1))
+      .withColumn("axa", transform(col("xa"), x => abs(x)))
+      .withColumn("aya", transform(col("ya"), x => abs(x)))
+      .withColumn("n", (col("m") - 1).cast("double"))
+    val withMoments = (corrOf(col("axa"), col("aya"), "vc") ++
+      corrOf(col("xa"), col("aya"), "lev"))
+      .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
+    withMoments
+      .withColumn("vc_corr", corrFinal("vc"))
+      .withColumn("lev_corr", corrFinal("lev"))
+      .select(col("asset_id"), n.cast("long").as("n_pairs"),
+        col("vc_corr"), col("lev_corr"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -532,4 +532,35 @@ object Similarity {
       .toDF("sel_order", "vec_id", "radius")
       .orderBy(col("sel_order"))
   }
+
+  /** C104 `mahalanobis_outliers` — top-k per-label embedding outliers
+    * by DIAGONAL-covariance Mahalanobis distance²: [[docOutliers]]'s
+    * euclidean rank mistakes high-variance dimensions for outliers;
+    * normalizing each squared deviation by the label's per-dim
+    * variance ([[labelCentroids]]' exact-decimal moments, shared
+    * implementation) is the standard fix without the O(dim²) full
+    * covariance. Zero-variance dims contribute 0 (deterministic, both
+    * engines); the per-label stat table is dim-bounded and broadcast.
+    */
+  def mahalanobisOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val stats = labelCentroids(embeddings)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), col("mean_val"), col("var_val")))),
+        s => struct(s("mean_val").as("m"), s("var_val").as("s2"))).as("st"))
+      .select(col("label"),
+        transform(col("st"), s => s("m")).as("mvec"),
+        transform(col("st"), s => s("s2")).as("varvec"))
+    embeddings.join(broadcast(stats), Seq("label"))
+      .withColumn("terms", zip_with(
+        zip_with(toDouble(col("embedding")), col("mvec"), (x, m) => x - m),
+        col("varvec"),
+        (di, s2) => when(s2 === 0, lit(0.0)).otherwise(di * di / s2)))
+      .withColumn("md2", u6(graft.expressions.Kernels.seqFold(col("terms"), "sum")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("md2").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("md2"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
 }

@@ -193,6 +193,13 @@ class PlanAuditSpec extends SparkSpec {
       s"filter_funnel exceeded gate join + source agg + sort: ${shuffles("filter_funnel")}")
     assert(shuffles("edit_similarity") <= 6,
       s"edit_similarity exceeded banding + pair agg + text join + sort: ${shuffles("edit_similarity")}")
+    // round-7 tenth wave: the risk/return aggregates ride one asset_id
+    // shuffle + sort; mahalanobis adds the dim-bounded stat build and
+    // the per-label rank window
+    for (q <- Seq("kst", "rachev_ratio", "pain_index", "vol_clustering"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("mahalanobis_outliers") <= 6,
+      s"mahalanobis_outliers exceeded stat build + rank + sort: ${shuffles("mahalanobis_outliers")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -630,4 +630,47 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ha_close") === 30.0)
     assert(out(2).getAs[Double]("ha_low") === 15.0)
   }
+
+  test("kst: a flat series scores 0 KST and 0 signal after the lookback") {
+    val out = Analytics.kst(oneTickPanel(Seq.fill(22)(42.0))).collect()
+    assert(out.length === 7)                                  // 22 − 15 lookback
+    out.foreach { r =>
+      assert(r.getAs[Double]("kst") === 0.0)
+      assert(r.getAs[Double]("sig") === 0.0)
+    }
+  }
+
+  test("rachev_ratio: symmetric single-element tails give ratio 1") {
+    // rets .1, −.1, .1 → sorted [−.1, .1, .1], k = 1: ETL = ETG = 0.1
+    val out = Analytics.rachevRatio(oneTickPanel(Seq(100.0, 110.0, 99.0, 108.9))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_tail") === 1L)
+    assert(r.getAs[Double]("etl") === 0.1)
+    assert(r.getAs[Double]("etg") === 0.1)
+    assert(r.getAs[Double]("rachev") === 1.0)
+  }
+
+  test("pain_index: a rising series never hurts; a fall prices the pain") {
+    val up = Analytics.painIndex(oneTickPanel(Seq(1.0, 2.0, 3.0, 4.0))).collect().head
+    assert(up.getAs[Double]("pain_index") === 0.0)
+    assert(up.getAs[Any]("pain_ratio") == null)               // 0 pain → null ratio
+    // 100 → 90: dd = [0, −0.1] → pain 0.05; mean_ret −0.1 → ratio −2
+    val dn = Analytics.painIndex(oneTickPanel(Seq(100.0, 90.0))).collect().head
+    assert(dn.getAs[Double]("pain_index") === 0.05)
+    assert(dn.getAs[Double]("mean_ret") === -0.1)
+    assert(dn.getAs[Double]("pain_ratio") === -2.0)
+  }
+
+  test("vol_clustering: alternating magnitudes anti-correlate; same-sign series make lev = vc") {
+    // rets .1, .2, .1, .2: |r| pairs (.1,.2),(.2,.1),(.1,.2) → corr −1;
+    // all rets positive → leverage corr equals the clustering corr
+    val out = Analytics.volClustering(
+      oneTickPanel(Seq(100.0, 110.0, 132.0, 145.2, 174.24))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(math.abs(r.getAs[Double]("vc_corr") + 1.0) < 1e-5)
+    assert(r.getAs[Double]("lev_corr") === r.getAs[Double]("vc_corr"))
+  }
 }

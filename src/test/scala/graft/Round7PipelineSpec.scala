@@ -452,4 +452,20 @@ class Round7PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("sim_pm") <= 1000L)
     }
   }
+
+  test("mahalanobis_outliers: variance normalization outranks raw distance") {
+    // label 0, dim 0 noisy (values ±10), dim 1 tight (±0.1) plus one
+    // vec at dim1 = 3: euclidean would rank the ±10 swings first, the
+    // diagonal-Mahalanobis rank must put the dim-1 break on top
+    val rows = Seq(
+      (1L, Array(10.0f, 0.0f), 0), (2L, Array(-10.0f, 0.1f), 0),
+      (3L, Array(10.0f, -0.1f), 0), (4L, Array(-10.0f, 0.0f), 0),
+      (5L, Array(0.0f, 3.0f), 0))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.mahalanobisOutliers(d, k = 2).collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("rank") === 1L)
+    assert(out.head.getAs[Long]("vec_id") === 5L)             // the dim-1 break wins
+    out.foreach(r => assert(r.getAs[Double]("md2") >= 0.0))
+  }
 }
