@@ -625,6 +625,12 @@ object SparkEntry {
       Analytics.volClustering(Tables.panel(s, dir))),
     "mahalanobis_outliers" -> ((s, dir) =>
       Similarity.mahalanobisOutliers(Tables.embeddings(s, dir))),
+    "supertrend" -> ((s, dir) =>
+      Analytics.supertrend(Tables.panel(s, dir))),
+    "connors_rsi" -> ((s, dir) =>
+      Analytics.connorsRsi(Tables.panel(s, dir))),
+    "intrinsic_dim" -> ((s, dir) =>
+      Similarity.intrinsicDim(Tables.embeddings(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5445,6 +5451,125 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "supertrend" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low, close,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, high, low, close,
+         |         floor((CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date, high, low, close, tr,
+         |         list(tr) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM trs),
+         |bb AS (
+         |  SELECT asset_id, date, close,
+         |    floor(((high + low) / 2) * 1000000.0 + 0.5) / 1000000.0 AS mid,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (9.0 / 10.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (9.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS atr
+         |  FROM f),
+         |bb2 AS (
+         |  SELECT asset_id, date, close,
+         |    floor((mid + 3.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS bub,
+         |    floor((mid - 3.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS blb,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM bb),
+         |st AS (
+         |  SELECT asset_id, rn, date, close, bub AS fub, blb AS flb, CAST(1 AS BIGINT) AS dir
+         |  FROM bb2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.close,
+         |    CASE WHEN b.bub < st.fub OR st.close > st.fub THEN b.bub ELSE st.fub END,
+         |    CASE WHEN b.blb > st.flb OR st.close < st.flb THEN b.blb ELSE st.flb END,
+         |    CASE WHEN st.dir = 1 THEN
+         |      CASE WHEN b.close < (CASE WHEN b.blb > st.flb OR st.close < st.flb THEN b.blb ELSE st.flb END)
+         |           THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+         |    ELSE
+         |      CASE WHEN b.close > (CASE WHEN b.bub < st.fub OR st.close > st.fub THEN b.bub ELSE st.fub END)
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END
+         |    END
+         |  FROM st JOIN bb2 b ON b.asset_id = st.asset_id AND b.rn = st.rn + 1)
+         |SELECT asset_id, date, close, fub, flb, dir,
+         |  CASE WHEN dir = 1 THEN flb ELSE fub END AS supertrend
+         |FROM st ORDER BY asset_id, date""".stripMargin,
+    "connors_rsi" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |r0 AS (
+         |  SELECT asset_id, date,
+         |         floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+         |  FROM daily),
+         |r1 AS (
+         |  SELECT asset_id, date, ret, CAST(sign(ret) AS BIGINT) AS sgn,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM r0 WHERE ret IS NOT NULL),
+         |r2 AS (
+         |  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY asset_id, sgn ORDER BY date) AS grp
+         |  FROM r1),
+         |r3 AS (
+         |  SELECT asset_id, date, ret,
+         |         CASE WHEN sgn = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE sgn * ROW_NUMBER() OVER (PARTITION BY asset_id, sgn, grp ORDER BY date) END AS streak
+         |  FROM r2),
+         |r4 AS (
+         |  SELECT asset_id, date, ret, streak,
+         |         CAST(streak - lag(streak, 1) OVER (PARTITION BY asset_id ORDER BY date) AS DOUBLE) AS sd
+         |  FROM r3),
+         |r5 AS (SELECT * FROM r4 WHERE sd IS NOT NULL),
+         |r6 AS (
+         |  SELECT asset_id, date, ret, streak,
+         |         list(ret) OVER w3 AS a3, list(sd) OVER w2 AS a2, list(ret) OVER wp AS ap
+         |  FROM r5
+         |  WINDOW w3 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |         w2 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+         |         wp AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+         |r7 AS (
+         |  SELECT asset_id, date, ret, streak,
+         |    list_reduce(list_prepend(0.0, a3), (acc, x) -> acc * (2.0 / 3.0) + greatest(x, 0.0)) AS ag3,
+         |    list_reduce(list_prepend(0.0, a3), (acc, x) -> acc * (2.0 / 3.0) + greatest(-x, 0.0)) AS al3,
+         |    list_reduce(list_prepend(0.0, a2), (acc, x) -> acc * (1.0 / 2.0) + greatest(x, 0.0)) AS ag2,
+         |    list_reduce(list_prepend(0.0, a2), (acc, x) -> acc * (1.0 / 2.0) + greatest(-x, 0.0)) AS al2,
+         |    CAST(len(list_filter(ap, x -> x < ret)) AS BIGINT) AS n_less,
+         |    CAST(len(ap) AS BIGINT) AS n_prev
+         |  FROM r6),
+         |r8 AS (
+         |  SELECT asset_id, date, streak,
+         |    floor((CASE WHEN al3 = 0 THEN 100.0
+         |          ELSE 100.0 - 100.0 / (1.0 + ag3 / al3) END) * 10000.0 + 0.5) / 10000.0 AS rsi3,
+         |    floor((CASE WHEN al2 = 0 THEN 100.0
+         |          ELSE 100.0 - 100.0 / (1.0 + ag2 / al2) END) * 10000.0 + 0.5) / 10000.0 AS rsi2,
+         |    floor((100.0 * CAST(n_less AS DOUBLE) / nullif(CAST(n_prev AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pr
+         |  FROM r7)
+         |SELECT asset_id, date, streak, rsi3, rsi2, pr,
+         |  floor(((rsi3 + rsi2 + pr) / 3) * 1000000.0 + 0.5) / 1000000.0 AS crsi
+         |FROM r8 ORDER BY asset_id, date""".stripMargin,
+    "intrinsic_dim" ->
+      """WITH s AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 128),
+        |p AS (SELECT list(struct_pack(vec_id := vec_id, v := v) ORDER BY vec_id) AS pool FROM s),
+        |d AS (
+        |  SELECT s.vec_id,
+        |    list_sort(list_transform(p.pool, q ->
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, len(s.v) + 1), i -> (s.v[i] - q.v[i]) * (s.v[i] - q.v[i]))),
+        |        (a, x) -> a + x))) AS d2s
+        |  FROM s CROSS JOIN p),
+        |e AS (SELECT vec_id, d2s[2] AS d1, d2s[3] AS d2 FROM d WHERE d2s[2] > 0),
+        |t AS (
+        |  SELECT CAST(round(0.5 * ln(floor((d2 / d1) * 1000000.0 + 0.5) / 1000000.0) * 1000000.0) AS BIGINT) AS tm
+        |  FROM e),
+        |g AS (SELECT count(*) AS n_used, CAST(sum(tm) AS BIGINT) AS s FROM t)
+        |SELECT n_used,
+        |  floor((CAST(n_used AS DOUBLE) / nullif(CAST(s AS DOUBLE) / 1000000.0, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS id_hat
+        |FROM g""".stripMargin,
     "kst" ->
       s"""$panelCte,
          |$barsCte,

@@ -4322,4 +4322,110 @@ object Analytics {
         col("vc_corr"), col("lev_corr"))
       .orderBy(col("asset_id"))
   }
+
+  /** B143 `supertrend` — the ATR trailing-stop trend filter: basic
+    * bands mid ± mult·ATR, RECURSIVELY ratcheted (the upper band only
+    * ever falls while price holds below it, the lower only rises while
+    * price holds above), direction flipping when the close crosses the
+    * active band. ATR is [[atr]]'s normalized Horner fold verbatim;
+    * the ratchet is the [[heikinAshi]] recipe — a sequential
+    * `aggregate` HOF over each asset's calendar-bounded bar array,
+    * with every band u6-rounded so the ratchet comparisons are on
+    * exact micro-grid values in both engines (the DuckDB oracle
+    * replays via WITH RECURSIVE). First bar: bands as given, trend up.
+    */
+  def supertrend(panel: DataFrame, span: Int = 10, mult: Double = 3.0): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val stType =
+      "array<struct<date:date,close:double,fub:double,flb:double,dir:bigint>>"
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose)))))
+      .withColumn("arr", collect_list(col("tr")).over(frame))
+      .withColumn("atr", u6(
+        Kernels.seqFold(col("arr"), "horner", w) /
+          Kernels.seqFold(col("arr"), "horner_count", w)))
+      .withColumn("mid", u6((col("high") + col("low")) / 2))
+      .withColumn("bub", u6(col("mid") + lit(mult) * col("atr")))
+      .withColumn("blb", u6(col("mid") - lit(mult) * col("atr")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("close"), col("bub"), col("blb")))).as("bs"))
+      .withColumn("st", aggregate(
+        col("bs"),
+        expr("array()").cast(stType),
+        (acc, x) => {
+          val p = element_at(acc, -1)
+          val fub = when(size(acc) === 0, x("bub"))
+            .otherwise(when(x("bub") < p("fub") || p("close") > p("fub"), x("bub"))
+              .otherwise(p("fub")))
+          val flb = when(size(acc) === 0, x("blb"))
+            .otherwise(when(x("blb") > p("flb") || p("close") < p("flb"), x("blb"))
+              .otherwise(p("flb")))
+          val dir = when(size(acc) === 0, lit(1L))
+            .otherwise(when(p("dir") === 1L, when(x("close") < flb, lit(-1L)).otherwise(lit(1L)))
+              .otherwise(when(x("close") > fub, lit(1L)).otherwise(lit(-1L))))
+          concat(acc, array(struct(
+            x("date").as("date"), x("close").as("close"),
+            fub.as("fub"), flb.as("flb"), dir.as("dir"))))
+        }))
+      .select(col("asset_id"), explode(col("st")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
+        col("h.fub").as("fub"), col("h.flb").as("flb"), col("h.dir").as("dir"),
+        when(col("h.dir") === 1L, col("h.flb")).otherwise(col("h.fub")).as("supertrend"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B144 `connors_rsi` — Connors RSI: the mean of (a) Wilder RSI(3)
+    * on daily changes, (b) Wilder RSI(2) on the CHANGES OF THE STREAK
+    * series (signed consecutive up/down day counts — built
+    * declaratively with the gaps-and-islands row_number trick, all
+    * integer), and (c) the percent rank of today's return against the
+    * trailing 100 returns (an integer count over a frame array). Rows
+    * before the first streak change drop so every fold array is
+    * null-free; RSIs are u4 like [[rsiCore]], the composite u6.
+    */
+  def connorsRsi(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("sgn", signum(col("ret")).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", col("rn") - row_number().over(
+        Window.partitionBy(col("asset_id"), col("sgn")).orderBy(col("date"))))
+      .withColumn("streak", when(col("sgn") === 0, lit(0L))
+        .otherwise(col("sgn") * row_number().over(
+          Window.partitionBy(col("asset_id"), col("sgn"), col("grp")).orderBy(col("date")))))
+      .withColumn("sd", (col("streak") - lag(col("streak"), 1).over(w)).cast("double"))
+      .filter(col("sd").isNotNull)
+    def wilderRsi(c: Column, span: Int): Column = {
+      val wgt = (span - 1).toDouble / span
+      val arr = collect_list(c).over(w.rowsBetween(-(span - 1), Window.currentRow))
+      val ag = Kernels.seqFold(arr, "horner_pos", wgt)
+      val al = Kernels.seqFold(arr, "horner_neg", wgt)
+      u4(when(al === 0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al)))
+    }
+    val prArr = collect_list(col("ret")).over(w.rowsBetween(-100, -1))
+    rets
+      .withColumn("rsi3", wilderRsi(col("ret"), 3))
+      .withColumn("rsi2", wilderRsi(col("sd"), 2))
+      .withColumn("pr", u6(lit(100.0) *
+        size(filter(prArr, x => x < col("ret"))).cast("double") /
+        when(size(prArr) === 0, lit(null)).otherwise(size(prArr).cast("double"))))
+      .withColumn("crsi", u6((col("rsi3") + col("rsi2") + col("pr")) / 3))
+      .select(col("asset_id"), col("date"), col("streak"),
+        col("rsi3"), col("rsi2"), col("pr"), col("crsi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

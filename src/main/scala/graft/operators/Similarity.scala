@@ -563,4 +563,34 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("md2"), col("rank"))
       .orderBy(col("label"), col("rank"))
   }
+
+  /** C105 `intrinsic_dim` — TwoNN intrinsic-dimension estimate (Facco
+    * et al.): d̂ = n / Σ ln(r₂/r₁) over each sample point's two nearest
+    * neighbours. The one-number answer to "is this 64-dim embedding
+    * really 64-dimensional?" — read before choosing IVF list counts or
+    * LSH plane budgets. Bounded by construction: the lowest `sampleN`
+    * vec_ids (deterministic sample) against themselves via ONE 1-row
+    * broadcast pool — O(sampleN²·dim) total, corpus-size-independent.
+    * The distance ratio is u6-rounded before ln (corwin discipline)
+    * and the Σ is an order-insensitive micro-integer sum; duplicate
+    * points (r₁ = 0) drop, documented.
+    */
+  def intrinsicDim(embeddings: DataFrame, sampleN: Int = 128): DataFrame = {
+    val samp = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val pool = samp.agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("pool"))
+    samp.crossJoin(broadcast(pool))
+      .withColumn("d2s", array_sort(transform(col("pool"), p =>
+        aggregate(zip_with(col("v"), p("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))))
+      .withColumn("d1", element_at(col("d2s"), 2))
+      .withColumn("d2", element_at(col("d2s"), 3))
+      .filter(col("d1") > 0)
+      .withColumn("term_micro",
+        round(lit(0.5) * log(u6(col("d2") / col("d1"))) * 1e6).cast("long"))
+      .agg(count(lit(1)).as("n_used"), sum(col("term_micro")).as("s"))
+      .withColumn("id_hat", u6(col("n_used").cast("double") /
+        when(col("s") === 0, lit(null)).otherwise(col("s").cast("double") / 1e6)))
+      .select(col("n_used"), col("id_hat"))
+  }
 }

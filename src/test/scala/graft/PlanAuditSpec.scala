@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
     "dataset_card",     // 1-row summary ⨝ broadcast(1-row dup stats)
     "source_jsd",       // top-K vocab ⨝ broadcast(1-row totals + source list)
+    "intrinsic_dim",    // bounded sample ⨝ broadcast(1-row sample pool)
     "m2_ratio",         // per-asset rows ⨝ broadcast(1-row market σ)
     "ngram_coverage")   // cut rows ⨝ broadcast(1-row corpus token total)
 
@@ -200,6 +201,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("mahalanobis_outliers") <= 6,
       s"mahalanobis_outliers exceeded stat build + rank + sort: ${shuffles("mahalanobis_outliers")}")
+    // round-7 eleventh wave: supertrend rides the single asset_id
+    // shuffle; connors_rsi re-partitions for the islands windows
+    // ((asset,sgn) then (asset,sgn,grp)) before returning to asset_id;
+    // intrinsic_dim is a bounded sample against a 1-row broadcast pool
+    assert(shuffles("supertrend") <= 2,
+      s"supertrend grew beyond shuffle+sort: ${shuffles("supertrend")}")
+    assert(shuffles("connors_rsi") <= 6,
+      s"connors_rsi exceeded islands windows + sort: ${shuffles("connors_rsi")}")
+    assert(shuffles("intrinsic_dim") <= 4,
+      s"intrinsic_dim exceeded sample + pool + agg: ${shuffles("intrinsic_dim")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -673,4 +673,42 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("vc_corr") + 1.0) < 1e-5)
     assert(r.getAs[Double]("lev_corr") === r.getAs[Double]("vc_corr"))
   }
+
+  test("supertrend: a flat series pins both bands to the price and stays long") {
+    val out = Analytics.supertrend(oneTickPanel(Seq.fill(6)(42.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("fub") === 42.0)                 // atr 0 → bands at mid
+      assert(r.getAs[Double]("flb") === 42.0)
+      assert(r.getAs[Long]("dir") === 1L)
+      assert(r.getAs[Double]("supertrend") === 42.0)
+    }
+  }
+
+  test("supertrend: a steady rally never flips and trails below the close") {
+    val out = Analytics.supertrend(oneTickPanel((1 to 10).map(_ * 10.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("dir") === 1L)
+      assert(r.getAs[Double]("supertrend") === r.getAs[Double]("flb"))
+      assert(r.getAs[Double]("supertrend") <= r.getAs[Double]("close"))
+    }
+  }
+
+  test("connors_rsi: an unbroken rally pins both RSIs at 100 and the rank at 0") {
+    val out = Analytics.connorsRsi(
+      oneTickPanel(Seq(100.0, 110.0, 121.0, 133.1, 146.41))).collect()
+    assert(out.length === 3)                                  // first ret + first sd drop
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("streak") === (i + 2).toLong)
+      assert(r.getAs[Double]("rsi3") === 100.0)
+      assert(r.getAs[Double]("rsi2") === 100.0)
+    }
+    // the very first row has an EMPTY trailing-rank frame → pr (and the
+    // composite) null; afterwards equal rets never rank below → pr 0
+    assert(out.head.getAs[Any]("pr") == null)
+    assert(out.head.getAs[Any]("crsi") == null)
+    out.drop(1).foreach { r =>
+      assert(r.getAs[Double]("pr") === 0.0)
+      assert(r.getAs[Double]("crsi") === 66.666667)           // u6(200/3)
+    }
+  }
 }

@@ -468,4 +468,17 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("vec_id") === 5L)             // the dim-1 break wins
     out.foreach(r => assert(r.getAs[Double]("md2") >= 0.0))
   }
+
+  test("intrinsic_dim: points on a 1-D geometric line estimate dimension near 1") {
+    // x = 2^i: each interior point's 2nd neighbour is i−2 (closer than
+    // i+1), ratio 3/2; the two left-edge points contribute ln 2 and
+    // ln 3 → d̂ = 10 / (ln3 + ln2 + 8·ln1.5) = 1.985908 exactly on the
+    // micro-integer grid (a UNIFORM grid would give r1 = r2 and blow
+    // the estimator up — hence the geometric spacing)
+    val rows = (0 until 10).map(i => (i.toLong, Array(math.pow(2.0, i).toFloat, 0.0f), 0))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.intrinsicDim(d, sampleN = 10).collect().head
+    assert(out.getAs[Long]("n_used") === 10L)
+    assert(out.getAs[Double]("id_hat") === 1.985908)
+  }
 }
