@@ -1037,4 +1037,104 @@ object StreamingOps {
         col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("asset_id"), col("open"), col("high"), col("low"), col("close"),
         col("n_ticks"))
+
+  case class OhlcStreamBar(asset_id: Long, date: java.sql.Date,
+                           open: Double, high: Double, low: Double,
+                           close: Double, n_ticks: Long)
+  case class HaState(ho: Double, hc: Double)
+  case class HaPoint(asset_id: Long, date: java.sql.Date,
+                     ha_open: Double, ha_close: Double,
+                     ha_high: Double, ha_low: Double)
+
+  /** D30 `heikinAshiStream` — streaming Heikin-Ashi candles, the
+    * continuous face of [[graft.operators.Analytics.heikinAshi]]: the
+    * batch op's per-asset recurrence IS stream state — two doubles
+    * (yesterday's HA open/close), O(#assets) total. Every midpoint and
+    * quarter is micro-rounded with the same left-assoc op order as the
+    * batch fold, so stream and batch candles agree bitwise across any
+    * micro-batch split (spec-asserted). Arrival-ordered contract
+    * across batches, rows sorted by date within a batch.
+    */
+  def heikinAshiStream(bars: Dataset[OhlcStreamBar]): Dataset[HaPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import graft.operators.Micro.jvm6
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[HaState, HaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[HaState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[HaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val hc = jvm6((b.open + b.high + b.low + b.close) / 4)
+            val ho =
+              if (st == null) jvm6((b.open + b.close) / 2)
+              else jvm6((st.ho + st.hc) / 2)
+            out += HaPoint(assetId, b.date, ho, hc,
+              math.max(b.high, math.max(ho, hc)), math.min(b.low, math.min(ho, hc)))
+            st = HaState(ho, hc)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class StState(trs: Vector[Double], prevClose: Double,
+                     fub: Double, flb: Double, dir: Long)
+  case class StPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                     fub: Double, flb: Double, dir: Long, supertrend: Double)
+
+  /** D31 `supertrendStream` — streaming Supertrend, the continuous face
+    * of [[graft.operators.Analytics.supertrend]]: state = the bounded
+    * TR ring (span values, for the same normalized Horner ATR the
+    * batch fold runs), the previous close, and the ratcheted bands +
+    * direction. Every band is micro-rounded at the same points as the
+    * batch op, so the ratchet comparisons — and therefore the flips —
+    * replay bitwise across micro-batch splits (spec-asserted).
+    */
+  def supertrendStream(bars: Dataset[OhlcStreamBar], span: Int = 10,
+                       mult: Double = 3.0): Dataset[StPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import graft.operators.Micro.jvm6
+    val w = (span - 1).toDouble / span
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[StState, StPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[StState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[StPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = jvm6(
+              if (st == null) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.prevClose), math.abs(b.low - st.prevClose))))
+            val ring = ((if (st == null) Vector.empty[Double] else st.trs) :+ tr)
+              .takeRight(span)
+            var num = 0.0; var den = 0.0
+            ring.foreach { x => num = num * w + x; den = den * w + 1.0 }
+            val atr = jvm6(num / den)
+            val mid = jvm6((b.high + b.low) / 2)
+            val bub = jvm6(mid + mult * atr)
+            val blb = jvm6(mid - mult * atr)
+            val (fub, flb, dir) =
+              if (st == null) (bub, blb, 1L)
+              else {
+                val f1 = if (bub < st.fub || st.prevClose > st.fub) bub else st.fub
+                val f2 = if (blb > st.flb || st.prevClose < st.flb) blb else st.flb
+                val d =
+                  if (st.dir == 1L) { if (b.close < f2) -1L else 1L }
+                  else { if (b.close > f1) 1L else -1L }
+                (f1, f2, d)
+              }
+            out += StPoint(assetId, b.date, b.close, fub, flb, dir,
+              if (dir == 1L) flb else fub)
+            st = StState(ring, b.close, fub, flb, dir)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -965,4 +965,58 @@ class StreamingSpec extends SparkSpec {
       assert(got(3) === ((1L, 50.0, 50.0)))                    // day-boundary reset
     } finally q.stop()
   }
+
+  test("heikinAshiStream and supertrendStream equal their batch ops across a split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.OhlcStreamBar
+    val rows = Seq(
+      (1L, "2024-01-01", 1, 10.0), (1L, "2024-01-01", 2, 12.0),
+      (1L, "2024-01-02", 3, 11.0), (1L, "2024-01-02", 4, 14.0),
+      (1L, "2024-01-03", 5, 13.0), (1L, "2024-01-03", 6, 12.5),
+      (1L, "2024-01-04", 7, 15.0), (1L, "2024-01-04", 8, 16.5),
+      (1L, "2024-01-05", 9, 9.0), (1L, "2024-01-05", 10, 8.5),
+      (1L, "2024-01-06", 11, 8.0), (1L, "2024-01-06", 12, 7.5))
+      .map { case (a, d, t, v) =>
+        (a, java.sql.Date.valueOf(d), new java.sql.Timestamp(t * 1000L), v, t.toLong)
+      }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batchHa = graft.operators.Analytics.heikinAshi(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("ha_open"), r.getAs[Double]("ha_close"),
+          r.getAs[Double]("ha_high"), r.getAs[Double]("ha_low")))).toMap
+    val batchSt = graft.operators.Analytics.supertrend(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("fub"), r.getAs[Double]("flb"),
+          r.getAs[Long]("dir"), r.getAs[Double]("supertrend")))).toMap
+    val bars = graft.operators.Analytics.dailyBars(rows).collect()
+      .map(r => OhlcStreamBar(r.getAs[Long]("asset_id"), r.getAs[java.sql.Date]("date"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .sortBy(_.date.getTime)
+    val inHa = MemoryStream[OhlcStreamBar]
+    val inSt = MemoryStream[OhlcStreamBar]
+    val qHa = StreamingOps.heikinAshiStream(inHa.toDS())
+      .writeStream.format("memory").queryName("ha_sink")
+      .outputMode(OutputMode.Append).start()
+    val qSt = StreamingOps.supertrendStream(inSt.toDS())
+      .writeStream.format("memory").queryName("st_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inHa.addData(bars.take(2)); qHa.processAllAvailable()
+      inHa.addData(bars.drop(2)); qHa.processAllAvailable()
+      inSt.addData(bars.take(3)); qSt.processAllAvailable()
+      inSt.addData(bars.drop(3)); qSt.processAllAvailable()
+      val gotHa = spark.table("ha_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("ha_open"), r.getAs[Double]("ha_close"),
+            r.getAs[Double]("ha_high"), r.getAs[Double]("ha_low")))).toMap
+      assert(gotHa === batchHa)
+      val gotSt = spark.table("st_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("fub"), r.getAs[Double]("flb"),
+            r.getAs[Long]("dir"), r.getAs[Double]("supertrend")))).toMap
+      assert(gotSt === batchSt)
+    } finally { qHa.stop(); qSt.stop() }
+  }
 }
