@@ -631,6 +631,16 @@ object SparkEntry {
       Analytics.connorsRsi(Tables.panel(s, dir))),
     "intrinsic_dim" -> ((s, dir) =>
       Similarity.intrinsicDim(Tables.embeddings(s, dir))),
+    "dema_tema" -> ((s, dir) =>
+      Analytics.demaTema(Tables.panel(s, dir))),
+    "mcclellan" -> ((s, dir) =>
+      Analytics.mcclellan(Tables.panel(s, dir))),
+    "psar" -> ((s, dir) =>
+      Analytics.psar(Tables.panel(s, dir))),
+    "simhash_bit_balance" -> ((s, dir) =>
+      Dedup.simhashBitBalance(Tables.documents(s, dir))),
+    "winnow_density" -> ((s, dir) =>
+      Dedup.winnowDensity(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -1343,6 +1353,17 @@ object SparkEntry {
     * per doc_id carrying the seven rule booleans + pass_gopher —
     * shared by the gopher_rules and filter_funnel oracles.
     */
+  /** Inlined SQL fragments for the psar oracle's recursive step (the
+    * same expressions the Spark fold names sarRaw/sarClamped/flipped —
+    * SQL has no lets inside a recursive arm, so they interpolate).
+    */
+  private val psarSarRaw =
+    "floor((ps.sar + ps.af * (ps.ep - ps.sar)) * 1000000.0 + 0.5) / 1000000.0"
+  private val psarSarCl =
+    s"CASE WHEN ps.dir = 1 THEN least($psarSarRaw, ps.low) ELSE greatest($psarSarRaw, ps.high) END"
+  private val psarFlip =
+    s"CASE WHEN ps.dir = 1 THEN b.low < ($psarSarCl) ELSE b.high > ($psarSarCl) END"
+
   private val gopherCtes =
     """gt AS (
       |  SELECT doc_id,
@@ -5451,6 +5472,130 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "dema_tema" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f1 AS (SELECT asset_id, date, close, list(close) OVER w AS arr FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g1 AS (SELECT asset_id, date, close,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e1
+         |  FROM f1),
+         |f2 AS (SELECT asset_id, date, close, e1, list(e1) OVER w AS arr FROM g1
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g2 AS (SELECT asset_id, date, close, e1,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e2
+         |  FROM f2),
+         |f3 AS (SELECT asset_id, date, close, e1, e2, list(e2) OVER w AS arr FROM g2
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |g3 AS (SELECT asset_id, date, close, e1, e2,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + x) /
+         |    list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * (1.0 - 2.0 / 16.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e3
+         |  FROM f3)
+         |SELECT asset_id, date, close, e1,
+         |  floor((2.0 * e1 - e2) * 1000000.0 + 0.5) / 1000000.0 AS dema,
+         |  floor((3.0 * e1 - 3.0 * e2 + e3) * 1000000.0 + 0.5) / 1000000.0 AS tema
+         |FROM g3 ORDER BY asset_id, date""".stripMargin,
+    "mcclellan" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |net AS (
+         |  SELECT date,
+         |    CAST(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END)
+         |         - sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS net
+         |  FROM rets GROUP BY date),
+         |f AS (
+         |  SELECT date, net,
+         |         list(CAST(net AS DOUBLE)) OVER (ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+         |  FROM net),
+         |g AS (
+         |  SELECT date, net,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + x) /
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.9 + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e19,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.95 + x) /
+         |      list_reduce(list_prepend(0.0, arr), (acc, x) -> acc * 0.95 + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e39
+         |  FROM f),
+         |h AS (
+         |  SELECT date, net, e19, e39,
+         |         floor((e19 - e39) * 1000000.0 + 0.5) / 1000000.0 AS osc
+         |  FROM g),
+         |i AS (
+         |  SELECT date, net, e19, e39, osc,
+         |         CAST(round(osc * 1000000.0) AS BIGINT) AS osc_micro
+         |  FROM h)
+         |SELECT date, net, e19, e39, osc,
+         |  floor((CAST(sum(osc_micro) OVER (ORDER BY date
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS summation
+         |FROM i ORDER BY date""".stripMargin,
+    "psar" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, high, low, close,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM bars
+         |  QUALIFY count(*) OVER (PARTITION BY asset_id) >= 2),
+         |ps AS (
+         |  SELECT b2.asset_id, b2.rn, b2.date, b2.high, b2.low, b2.close,
+         |    CASE WHEN b2.close >= b1.close THEN least(b1.low, b2.low)
+         |         ELSE greatest(b1.high, b2.high) END AS sar,
+         |    CASE WHEN b2.close >= b1.close THEN greatest(b1.high, b2.high)
+         |         ELSE least(b1.low, b2.low) END AS ep,
+         |    CAST(0.02 AS DOUBLE) AS af,
+         |    CASE WHEN b2.close >= b1.close THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(-1 AS BIGINT) END AS dir
+         |  FROM b b2 JOIN b b1 ON b1.asset_id = b2.asset_id AND b1.rn = 1 AND b2.rn = 2
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.high, b.low, b.close,
+         |    CASE WHEN $psarFlip THEN ps.ep ELSE ($psarSarCl) END,
+         |    CASE WHEN $psarFlip THEN (CASE WHEN ps.dir = 1 THEN b.low ELSE b.high END)
+         |         ELSE (CASE WHEN ps.dir = 1 THEN greatest(ps.ep, b.high)
+         |               ELSE least(ps.ep, b.low) END) END,
+         |    CASE WHEN $psarFlip THEN CAST(0.02 AS DOUBLE)
+         |         WHEN (ps.dir = 1 AND b.high > ps.ep) OR (ps.dir = -1 AND b.low < ps.ep)
+         |           THEN least(floor((ps.af + CAST(0.02 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0, CAST(0.2 AS DOUBLE))
+         |         ELSE ps.af END,
+         |    CASE WHEN $psarFlip THEN -ps.dir ELSE ps.dir END
+         |  FROM ps JOIN b ON b.asset_id = ps.asset_id AND b.rn = ps.rn + 1)
+         |SELECT asset_id, date, close, sar, ep, af, dir
+         |FROM ps ORDER BY asset_id, date""".stripMargin,
+    "simhash_bit_balance" ->
+      s"""$simhashSignsCtes
+         |SELECT CAST(j AS BIGINT) AS bit_pos,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN bit THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+         |  (1000 * CAST(sum(CASE WHEN bit THEN 1 ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS set_pm
+         |FROM signs GROUP BY j ORDER BY bit_pos""".stripMargin,
+    "winnow_density" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text) - 7 + 1),
+        |      i -> list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(range(0, 8),
+        |                 j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+        |             (acc, c) -> (acc * 1000003 + c) % 1000000007)) AS h
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(h) - 3 + 1),
+        |      i -> list_min(h[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fps
+        |  FROM hs),
+        |d AS (
+        |  SELECT h.doc_id, CAST(len(w.fps) AS BIGINT) AS n_fps,
+        |         CAST(len(h.h) - 3 AS BIGINT) AS n_windows
+        |  FROM hs h JOIN wins w USING (doc_id))
+        |SELECT doc_id, n_fps, n_windows,
+        |  (1000 * n_fps) // n_windows AS density_pm
+        |FROM d WHERE n_windows >= 1 ORDER BY doc_id""".stripMargin,
     "supertrend" ->
       s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$barsCte,

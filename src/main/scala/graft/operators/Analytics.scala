@@ -4428,4 +4428,141 @@ object Analytics {
         col("rsi3"), col("rsi2"), col("pr"), col("crsi"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B145 `dema_tema` — double/triple exponential moving averages:
+    * DEMA = 2e₁ − e₂, TEMA = 3e₁ − 3e₂ + e₃ over the chained EMAs
+    * e₁ = EMA(close), e₂ = EMA(e₁), e₃ = EMA(e₂) — [[trix]]'s chained
+    * normalized Horner folds with the lag-killing recombinations on
+    * top. Each eₖ is u6-rounded before feeding the next chain link, so
+    * the chain replays bitwise; one asset_id shuffle for all three
+    * window passes.
+    */
+  def demaTema(panel: DataFrame, span: Int = 15): DataFrame = {
+    val wgt = 1.0 - 2.0 / (span + 1.0)
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    def ema(c: Column): Column = {
+      val arr = collect_list(c).over(frame)
+      u6(Kernels.seqFold(arr, "horner", wgt) /
+        Kernels.seqFold(arr, "horner_count", wgt))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("e1", ema(col("close")))
+      .withColumn("e2", ema(col("e1")))
+      .withColumn("e3", ema(col("e2")))
+      .withColumn("dema", u6(lit(2.0) * col("e1") - col("e2")))
+      .withColumn("tema", u6(lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3")))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("e1"), col("dema"), col("tema"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B146 `mcclellan` — McClellan oscillator + summation index over
+    * the market-breadth series: net advances per date (up-count minus
+    * down-count across assets, integer), EMA19 − EMA39 of that single
+    * calendar-bounded series, and the cumulative summation index. The
+    * EMAs are unbounded-frame normalized Horner folds (one market-level
+    * series — the array is calendar-bounded at ANY corpus scale); the
+    * summation is an ORDER-INSENSITIVE micro-integer running sum of the
+    * rounded oscillator. [[advanceDecline]]'s aggregate feeds it.
+    */
+  def mcclellan(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val runFrame = Window.orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ema(arr: Column, wgt: Double): Column =
+      u6(Kernels.seqFold(arr, "horner", wgt) /
+        Kernels.seqFold(arr, "horner_count", wgt))
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("date"))
+      .agg((sum(when(col("ret") > 0, 1L).otherwise(0L)) -
+        sum(when(col("ret") < 0, 1L).otherwise(0L))).as("net"))
+      .withColumn("arr", collect_list(col("net").cast("double")).over(runFrame))
+      .withColumn("e19", ema(col("arr"), 0.9))
+      .withColumn("e39", ema(col("arr"), 0.95))
+      .withColumn("osc", u6(col("e19") - col("e39")))
+      .withColumn("osc_micro", round(col("osc") * 1e6).cast("long"))
+      .withColumn("summation", u6(
+        sum(col("osc_micro")).over(runFrame).cast("double") / 1e6))
+      .select(col("date"), col("net"), col("e19"), col("e39"),
+        col("osc"), col("summation"))
+      .orderBy(col("date"))
+  }
+
+  /** B147 `psar` — Wilder's Parabolic SAR: the stop ratchets toward
+    * price by the acceleration factor (+0.02 per new extreme, capped
+    * 0.2) and flips to the extreme point when crossed. The third
+    * member of the sequential-recurrence family ([[heikinAshi]],
+    * [[supertrend]]): a per-asset `aggregate` fold over the
+    * date-sorted bars, every SAR/AF value u6-rounded so the cross
+    * comparisons sit on the micro grid in both engines; the DuckDB
+    * oracle replays via WITH RECURSIVE. Variant pinned here: emission
+    * starts at bar 2 (dir = sign of the first close change, ties up;
+    * SAR seeds at the prior bar's opposite extreme; EP at the current
+    * extreme), and the no-penetration clamp uses the PREVIOUS bar's
+    * range (the common single-bar simplification, stated in the
+    * oracle too).
+    */
+  def psar(panel: DataFrame): DataFrame = {
+    val psType = "array<struct<date:date,high:double,low:double,close:double," +
+      "sar:double,ep:double,af:double,dir:bigint>>"
+    dailyBars(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("high"), col("low"), col("close")))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+      .withColumn("ps", aggregate(
+        col("bs"),
+        expr("array()").cast(psType),
+        (acc, x) => {
+          val p = element_at(acc, -1)
+          val first = size(acc) === 1
+          // state rows: the FIRST array entry is the seed bar (dir 0, no
+          // emission downstream); real SAR state starts at entry 2
+          val seeded = when(size(acc) === 0,
+            struct(x("date").as("date"), x("high").as("high"), x("low").as("low"),
+              x("close").as("close"), lit(null).cast("double").as("sar"),
+              lit(null).cast("double").as("ep"), lit(null).cast("double").as("af"),
+              lit(0L).as("dir")))
+          val upInit = x("close") >= p("close")
+          val initRow = struct(x("date").as("date"), x("high").as("high"),
+            x("low").as("low"), x("close").as("close"),
+            when(upInit, least(p("low"), x("low")))
+              .otherwise(greatest(p("high"), x("high"))).as("sar"),
+            when(upInit, greatest(p("high"), x("high")))
+              .otherwise(least(p("low"), x("low"))).as("ep"),
+            lit(0.02).as("af"),
+            when(upInit, lit(1L)).otherwise(lit(-1L)).as("dir"))
+          // general step from state p
+          val sarRaw = u6(p("sar") + p("af") * (p("ep") - p("sar")))
+          val sarClamped = when(p("dir") === 1L, least(sarRaw, p("low")))
+            .otherwise(greatest(sarRaw, p("high")))
+          val flipped = when(p("dir") === 1L, x("low") < sarClamped)
+            .otherwise(x("high") > sarClamped)
+          val stepRow = struct(x("date").as("date"), x("high").as("high"),
+            x("low").as("low"), x("close").as("close"),
+            when(flipped, p("ep")).otherwise(sarClamped).as("sar"),
+            when(flipped, when(p("dir") === 1L, x("low")).otherwise(x("high")))
+              .otherwise(when(p("dir") === 1L, greatest(p("ep"), x("high")))
+                .otherwise(least(p("ep"), x("low")))).as("ep"),
+            when(flipped, lit(0.02))
+              .otherwise(when(
+                (p("dir") === 1L && x("high") > p("ep")) ||
+                  (p("dir") === -1L && x("low") < p("ep")),
+                least(u6(p("af") + lit(0.02)), lit(0.2)))
+                .otherwise(p("af"))).as("af"),
+            when(flipped, -p("dir")).otherwise(p("dir")).as("dir"))
+          concat(acc, array(coalesce(seeded, when(first, initRow).otherwise(stepRow))))
+        }))
+      .select(col("asset_id"), explode(col("ps")).as("h"))
+      .filter(col("h.dir") =!= 0L)
+      .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
+        col("h.sar").as("sar"), col("h.ep").as("ep"), col("h.af").as("af"),
+        col("h.dir").as("dir"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -991,4 +991,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"), col("sim_pm"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** C106 `simhash_bit_balance` — per-bit set-share of the 64-bit
+    * SimHash across the corpus: a healthy hash family keeps every bit
+    * near 500‰; a stuck bit (degenerate mixing, or a corpus so
+    * templatic one token dominates every vote) silently halves the
+    * effective fingerprint width BEFORE any hamming threshold is
+    * tuned. One kernel pass + one 64-row aggregate. Token-less
+    * documents are excluded (they cast no votes — the same rows the
+    * oracle's vote CTE never sees).
+    */
+  def simhashBitBalance(documents: DataFrame): DataFrame =
+    fanOut(documents)
+      .filter(length(trim(col("text"))) > 0)
+      .select(graft.expressions.Kernels.simhash64(col("text")).as("sim"))
+      .select(explode(expr(
+        "transform(sequence(0, 63), j -> struct(cast(j as bigint) as bit_pos, " +
+          "cast(shiftright(sim, j) & 1 as bigint) as b))")).as("e"))
+      .groupBy(col("e.bit_pos").as("bit_pos"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("e.b")).as("n_set"))
+      .withColumn("set_pm", when(col("n_docs") === 0, lit(null))
+        .otherwise(expr("(1000 * n_set) div n_docs")))
+      .orderBy(col("bit_pos"))
+
+  /** C107 `winnow_density` — winnowing fingerprint density per doc:
+    * selected fingerprints over hash windows, against the theoretical
+    * 2/(w+1) for random text. The parameter-QC read before a
+    * [[winnowPairs]] run — density far above theory means repetitive
+    * text is defeating the min-sampling (more index, less selectivity).
+    * Map-only kernel scan; counts integer, density integer per-mille.
+    */
+  def winnowDensity(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(graft.expressions.Kernels.winnow(col("text"), k, w)).cast("long").as("n_fps"),
+        (length(col("text")) - (k + w - 2)).cast("long").as("n_windows"))
+      .filter(col("n_windows") >= 1)
+      .withColumn("density_pm", expr("(1000 * n_fps) div n_windows"))
+      .orderBy(col("doc_id"))
 }

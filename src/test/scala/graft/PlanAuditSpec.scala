@@ -211,6 +211,18 @@ class PlanAuditSpec extends SparkSpec {
       s"connors_rsi exceeded islands windows + sort: ${shuffles("connors_rsi")}")
     assert(shuffles("intrinsic_dim") <= 4,
       s"intrinsic_dim exceeded sample + pool + agg: ${shuffles("intrinsic_dim")}")
+    // round-7 twelfth wave: dema_tema/psar ride the single asset_id
+    // shuffle; mcclellan adds the market-level date aggregate and its
+    // single-partition breadth windows; the two observability ops are
+    // one kernel scan + bounded aggregate
+    for (q <- Seq("dema_tema", "psar"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("mcclellan") <= 4,
+      s"mcclellan exceeded panel + date agg + breadth window: ${shuffles("mcclellan")}")
+    assert(shuffles("simhash_bit_balance") <= 3,
+      s"simhash_bit_balance exceeded kernel scan + bit agg + sort: ${shuffles("simhash_bit_balance")}")
+    assert(shuffles("winnow_density") <= 1,
+      s"winnow_density must stay map-only + sort: ${shuffles("winnow_density")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -711,4 +711,58 @@ class Round7OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("crsi") === 66.666667)           // u6(200/3)
     }
   }
+
+  test("dema_tema: a flat series keeps every EMA and recombination at the price") {
+    val out = Analytics.demaTema(oneTickPanel(Seq.fill(6)(42.0))).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("e1") === 42.0)
+      assert(r.getAs[Double]("dema") === 42.0)
+      assert(r.getAs[Double]("tema") === 42.0)
+    }
+  }
+
+  test("mcclellan: constant +1 breadth gives a zero oscillator and summation") {
+    // three assets: two rise, one falls, every day → net = +1 always
+    val rows = for (dayN <- 1 to 8; a <- 1 to 3) yield {
+      val v = a match {
+        case 1 => 100.0 + dayN
+        case 2 => 200.0 + 2 * dayN
+        case _ => 100.0 - dayN
+      }
+      (a.toLong, d(f"2024-01-$dayN%02d"), ts(dayN * 10 + a), v, (dayN * 10 + a).toLong)
+    }
+    val out = Analytics.mcclellan(rows.toDF("asset_id", "date", "ts", "value", "seq")).collect()
+    assert(out.length === 7)                                  // first date has no rets
+    out.foreach { r =>
+      assert(r.getAs[Long]("net") === 1L)
+      assert(r.getAs[Double]("e19") === 1.0)
+      assert(r.getAs[Double]("osc") === 0.0)
+      assert(r.getAs[Double]("summation") === 0.0)
+    }
+  }
+
+  test("psar: a steady rally stays long with an accelerating ratcheting stop") {
+    val out = Analytics.psar(oneTickPanel((1 to 10).map(_ * 10.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.length === 9)                                  // bar 1 seeds only
+    out.foreach { r =>
+      assert(r.getAs[Long]("dir") === 1L)
+      assert(r.getAs[Double]("sar") < r.getAs[Double]("close"))
+    }
+    // af walks 0.02 → 0.04 → … as each bar sets a new extreme
+    assert(out(0).getAs[Double]("af") === 0.02)
+    assert(out(1).getAs[Double]("af") === 0.04)
+    assert(out(2).getAs[Double]("af") === 0.06)
+    // the stop only ever rises in an uptrend
+    val sars = out.map(_.getAs[Double]("sar")).toSeq
+    assert(sars === sars.sorted)
+  }
+
+  test("psar: a crash through the stop flips the trend short") {
+    val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
+      .collect().sortBy(_.getDate(1).toString)
+    assert(out.last.getAs[Long]("dir") === -1L)
+    assert(out.last.getAs[Double]("ep") === 10.0)             // new extreme = crash low
+    assert(out.dropRight(1).forall(_.getAs[Long]("dir") == 1L))
+  }
 }

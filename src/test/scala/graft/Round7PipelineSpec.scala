@@ -481,4 +481,33 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out.getAs[Long]("n_used") === 10L)
     assert(out.getAs[Double]("id_hat") === 1.985908)
   }
+
+  test("simhash_bit_balance: 64 rows, every doc voting, shares within [0,1000]") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "en", "web"),
+      (2L, "epsilon zeta eta theta", "en", "web"),
+      (3L, "iota kappa lambda mu anything else", "en", "web"),
+      (4L, "   ", "en", "web"))                               // token-less → no votes
+    val out = Dedup.simhashBitBalance(d).collect()
+    assert(out.length === 64)
+    assert(out.map(_.getAs[Long]("bit_pos")).toSeq === (0L to 63L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 3L)                  // doc 4 excluded
+      val pm = r.getAs[Long]("set_pm")
+      assert(pm >= 0L && pm <= 1000L)
+    }
+  }
+
+  test("winnow_density: one-window docs pin density at 1000; short docs drop") {
+    val d = docs(
+      (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window
+      (2L, "abcdefghij", "en", "web"))                        // 10 chars → 0 windows
+    val out = Dedup.winnowDensity(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getAs[Long]("n_fps") === 1L)
+    assert(r.getAs[Long]("n_windows") === 1L)
+    assert(r.getAs[Long]("density_pm") === 1000L)
+  }
 }
