@@ -5931,7 +5931,7 @@ object SparkEntry {
          |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
          |t AS (
          |  SELECT c.doc_a, c.doc_b,
-         |         substr(da.text, 1, 256) AS ta, substr(db.text, 1, 256) AS tb
+         |         substr(da.text, 1, 128) AS ta, substr(db.text, 1, 128) AS tb
          |  FROM cand c
          |  JOIN documents da ON da.doc_id = c.doc_a
          |  JOIN documents db ON db.doc_id = c.doc_b),

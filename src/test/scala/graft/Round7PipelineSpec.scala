@@ -434,7 +434,7 @@ class Round7PipelineSpec extends SparkSpec {
   }
 
   test("edit_similarity: distance is symmetric-free and per-mille sane on near-dups") {
-    // doc 2 appends a tail past the 256-char cap: the LSH sees the
+    // doc 2 appends a tail past the 128-char cap: the LSH sees the
     // full texts (near-identical shingle sets → a shared band), while
     // the Levenshtein runs on the identical capped prefixes → dist 0
     val base = "the quick brown fox jumps over the lazy dog and keeps on running far away " * 4
