@@ -641,6 +641,16 @@ object SparkEntry {
       Dedup.simhashBitBalance(Tables.documents(s, dir))),
     "winnow_density" -> ((s, dir) =>
       Dedup.winnowDensity(Tables.documents(s, dir))),
+    "klinger_osc" -> ((s, dir) =>
+      Analytics.klingerOsc(Tables.panel(s, dir))),
+    "ppo" -> ((s, dir) =>
+      Analytics.ppo(Tables.panel(s, dir))),
+    "relative_volume" -> ((s, dir) =>
+      Analytics.relativeVolume(Tables.panel(s, dir))),
+    "up_down_vol_ratio" -> ((s, dir) =>
+      Analytics.upDownVolRatio(Tables.panel(s, dir))),
+    "contamination_curve" -> ((s, dir) =>
+      Dedup.contaminationCurve(Tables.documents(s, dir), (0L to 9L).toSeq)),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -1363,6 +1373,27 @@ object SparkEntry {
     s"CASE WHEN ps.dir = 1 THEN least($psarSarRaw, ps.low) ELSE greatest($psarSarRaw, ps.high) END"
   private val psarFlip =
     s"CASE WHEN ps.dir = 1 THEN b.low < ($psarSarCl) ELSE b.high > ($psarSarCl) END"
+
+  /** Per-k CTE block for the contamination_curve oracle (ev/corp/join
+    * at one shingle length — decontaminate's CTEs parameterized).
+    */
+  private def contamSubCtes(k: Int): String =
+    s"""ev$k AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(list_transform(range(1, greatest(len(text) - ${k - 1}, 1) + 1),
+       |                                 i -> substr(text, CAST(i AS INTEGER), $k))) AS s
+       |    FROM documents WHERE doc_id BETWEEN 0 AND 9) z),
+       |c$k AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, greatest(len(text) - ${k - 1}, 1) + 1),
+       |                                 i -> substr(text, CAST(i AS INTEGER), $k))) AS s
+       |    FROM documents WHERE doc_id NOT BETWEEN 0 AND 9) z),
+       |j$k AS (
+       |  SELECT CAST($k AS BIGINT) AS k,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+       |         CAST(count(*) AS BIGINT) AS n_shared_shingles
+       |  FROM c$k JOIN ev$k USING (s))""".stripMargin
 
   private val gopherCtes =
     """gt AS (
@@ -5472,6 +5503,124 @@ object SparkEntry {
         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END) * 1000000.0 + 0.5) / 1000000.0 AS flesch
         |FROM t ORDER BY doc_id""".stripMargin,
+    "klinger_osc" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, n_ticks,
+         |         floor(((high + low + close) / 3) * 1000000.0 + 0.5) / 1000000.0 AS tp
+         |  FROM bars),
+         |u AS (
+         |  SELECT asset_id, date, n_ticks, tp,
+         |         lag(tp, 1) OVER (PARTITION BY asset_id ORDER BY date) AS ptp
+         |  FROM t),
+         |v AS (
+         |  SELECT asset_id, date,
+         |    CAST(CASE WHEN ptp IS NULL THEN 0
+         |         WHEN tp > ptp THEN n_ticks
+         |         WHEN tp < ptp THEN -n_ticks ELSE 0 END AS BIGINT) AS sv
+         |  FROM u),
+         |f AS (
+         |  SELECT asset_id, date, sv,
+         |         list(CAST(sv AS DOUBLE)) OVER w34 AS a34,
+         |         list(CAST(sv AS DOUBLE)) OVER w55 AS a55
+         |  FROM v
+         |  WINDOW w34 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 33 PRECEDING AND CURRENT ROW),
+         |         w55 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 54 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, sv,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a34), (acc, x) -> acc * (1.0 - 2.0 / 35.0) + x) /
+         |      list_reduce(list_prepend(0.0, a34), (acc, x) -> acc * (1.0 - 2.0 / 35.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_fast,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a55), (acc, x) -> acc * (1.0 - 2.0 / 56.0) + x) /
+         |      list_reduce(list_prepend(0.0, a55), (acc, x) -> acc * (1.0 - 2.0 / 56.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_slow
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, sv,
+         |         floor((e_fast - e_slow) * 1000000.0 + 0.5) / 1000000.0 AS ko
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, sv, ko,
+         |         list(ko) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS ak
+         |  FROM h)
+         |SELECT asset_id, date, sv, ko,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ak), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, ak), (acc, x) -> acc * (1.0 - 2.0 / 14.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS signal
+         |FROM i ORDER BY asset_id, date""".stripMargin,
+    "ppo" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(close) OVER w12 AS a12, list(close) OVER w26 AS a26
+         |  FROM bars
+         |  WINDOW w12 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         |         w26 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a12), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + x) /
+         |      list_reduce(list_prepend(0.0, a12), (acc, x) -> acc * (1.0 - 2.0 / 13.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_fast,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, a26), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + x) /
+         |      list_reduce(list_prepend(0.0, a26), (acc, x) -> acc * (1.0 - 2.0 / 27.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS e_slow
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, e_fast, e_slow,
+         |    floor((100.0 * (e_fast - e_slow) / nullif(e_slow, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS ppo
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, e_fast, e_slow, ppo,
+         |         list(ppo) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS ap
+         |  FROM h)
+         |SELECT asset_id, date, e_fast, e_slow, ppo,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ap), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + x) /
+         |    list_reduce(list_prepend(0.0, ap), (acc, x) -> acc * (1.0 - 2.0 / 10.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS signal
+         |FROM i ORDER BY asset_id, date""".stripMargin,
+    "relative_volume" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, n_ticks,
+         |         sum(n_ticks) OVER w AS prev_vol,
+         |         count(n_ticks) OVER w AS prev_days
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         |g AS (
+         |  SELECT asset_id, date, n_ticks,
+         |    floor((CAST(prev_vol AS DOUBLE) / nullif(CAST(prev_days AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS avg_vol
+         |  FROM f)
+         |SELECT asset_id, date, n_ticks, avg_vol,
+         |  floor((CAST(n_ticks AS DOUBLE) / nullif(avg_vol, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rvol
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "up_down_vol_ratio" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |         lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |g AS (
+         |  SELECT asset_id, count(*) AS n_days,
+         |    CAST(sum(CASE WHEN pc IS NOT NULL AND close > pc THEN n_ticks ELSE 0 END) AS BIGINT) AS up_vol,
+         |    CAST(sum(CASE WHEN pc IS NOT NULL AND close < pc THEN n_ticks ELSE 0 END) AS BIGINT) AS down_vol
+         |  FROM t GROUP BY asset_id)
+         |SELECT asset_id, n_days, up_vol, down_vol,
+         |  floor((CAST(up_vol AS DOUBLE) / nullif(CAST(down_vol AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS udr
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "contamination_curve" ->
+      s"""WITH ${contamSubCtes(5)},
+         |${contamSubCtes(8)},
+         |${contamSubCtes(13)}
+         |SELECT * FROM j5
+         |UNION ALL SELECT * FROM j8
+         |UNION ALL SELECT * FROM j13
+         |ORDER BY k""".stripMargin,
     "dema_tema" ->
       s"""$panelCte,
          |$barsCte,

@@ -4565,4 +4565,107 @@ object Analytics {
         col("h.dir").as("dir"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B148 `klinger_osc` — Klinger volume oscillator in its simplified
+    * signed-volume form (the full volume-force recursion adds little
+    * over it and would be the 4th recursive op): sv = sign(TP − TPₜ₋₁)
+    * · n_ticks (an INTEGER — sign from the u6 typical price), KO =
+    * EMA34(sv) − EMA55(sv), signal = EMA13(KO). EW means are the
+    * normalized Horner folds; the first bar's sv is 0 by the [[obv]]
+    * convention.
+    */
+  def klingerOsc(panel: DataFrame, fast: Int = 34, slow: Int = 55,
+                 sig: Int = 13): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def ewMean(c: Column, span: Int): Column = {
+      val weight = 1.0 - 2.0 / (span + 1.0)
+      val arr = collect_list(c).over(byAsset.rowsBetween(-(span - 1), Window.currentRow))
+      u6(Kernels.seqFold(arr, "horner", weight) /
+        Kernels.seqFold(arr, "horner_count", weight))
+    }
+    val tp = u6((col("high") + col("low") + col("close")) / 3)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tp", tp)
+      .withColumn("ptp", lag(col("tp"), 1).over(byAsset))
+      .withColumn("sv",
+        when(col("ptp").isNull, lit(0L))
+          .when(col("tp") > col("ptp"), col("n_ticks"))
+          .when(col("tp") < col("ptp"), -col("n_ticks"))
+          .otherwise(lit(0L)))
+      .withColumn("svd", col("sv").cast("double"))
+      .withColumn("e_fast", ewMean(col("svd"), fast))
+      .withColumn("e_slow", ewMean(col("svd"), slow))
+      .withColumn("ko", u6(col("e_fast") - col("e_slow")))
+      .withColumn("signal", ewMean(col("ko"), sig))
+      .select(col("asset_id"), col("date"), col("sv"), col("ko"), col("signal"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B149 `ppo` — percentage price oscillator, [[pvo]]'s price twin:
+    * 100·(EMA12 − EMA26)/EMA26 over the daily closes plus its EMA9
+    * signal — MACD normalized to be comparable across price levels.
+    * Same normalized Horner EW means, same zero-guard on the slow EMA.
+    */
+  def ppo(panel: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def ewMean(c: Column, span: Int): Column = {
+      val weight = 1.0 - 2.0 / (span + 1.0)
+      val arr = collect_list(c).over(byAsset.rowsBetween(-(span - 1), Window.currentRow))
+      u6(Kernels.seqFold(arr, "horner", weight) /
+        Kernels.seqFold(arr, "horner_count", weight))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("e_fast", ewMean(col("close"), fast))
+      .withColumn("e_slow", ewMean(col("close"), slow))
+      .withColumn("ppo", u6(lit(100.0) * (col("e_fast") - col("e_slow")) /
+        when(col("e_slow") === 0, lit(null)).otherwise(col("e_slow"))))
+      .withColumn("signal", ewMean(col("ppo"), sig))
+      .select(col("asset_id"), col("date"), col("e_fast"), col("e_slow"),
+        col("ppo"), col("signal"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B150 `relative_volume` — today's tick volume against the mean of
+    * the trailing `span` days (excluding today): the "is anything
+    * happening" screen. Integer window sums (order-free exact), one
+    * u6 ratio; the first bar of each asset has an empty trailing frame
+    * → NULL rvol, same rule both engines.
+    */
+  def relativeVolume(panel: DataFrame, span: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-span, -1)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("prev_vol", sum(col("n_ticks")).over(frame))
+      .withColumn("prev_days", count(col("n_ticks")).over(frame))
+      .withColumn("avg_vol", u6(col("prev_vol").cast("double") /
+        when(col("prev_days") === 0, lit(null)).otherwise(col("prev_days").cast("double"))))
+      .withColumn("rvol", u6(col("n_ticks").cast("double") /
+        when(col("avg_vol") === 0, lit(null)).otherwise(col("avg_vol"))))
+      .select(col("asset_id"), col("date"), col("n_ticks"),
+        col("avg_vol"), col("rvol"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B151 `up_down_vol_ratio` — per-asset tick volume on up-days over
+    * down-days across the whole history: the one-number accumulation/
+    * distribution read ([[obv]]'s level-free summary). ALL-INTEGER
+    * sums (order-free exact); flat and first days count neither side;
+    * a zero down-volume nulls the ratio.
+    */
+  def upDownVolRatio(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", prevClose)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("pc").isNotNull && col("close") > col("pc"),
+          col("n_ticks")).otherwise(0L)).as("up_vol"),
+        sum(when(col("pc").isNotNull && col("close") < col("pc"),
+          col("n_ticks")).otherwise(0L)).as("down_vol"))
+      .withColumn("udr", u6(col("up_vol").cast("double") /
+        when(col("down_vol") === 0, lit(null)).otherwise(col("down_vol").cast("double"))))
+      .select(col("asset_id"), col("n_days"), col("up_vol"), col("down_vol"), col("udr"))
+      .orderBy(col("asset_id"))
+  }
 }

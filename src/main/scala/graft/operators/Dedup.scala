@@ -985,6 +985,12 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(when(col("doc_id") === col("doc_a"), col("t")), ignoreNulls = true).as("ta"),
         first(when(col("doc_id") === col("doc_b"), col("t")), ignoreNulls = true).as("tb"))
+      // CPU-dense, byte-light: the pair rows are tiny, so AQE's
+      // size-based coalescing funnels ALL the DP work into one task
+      // (probed 6× at 2× data). A user-specified partition count is
+      // exempt from coalescing and spreads the quadratic kernel.
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       // equality fast path (dist(x, x) = 0 without the DP) plus the
       // 128-char cap: the candidate set pays O(cap²) per pair, and the
       // 256-char cap measured 4× the whole LSH build at sf0.1
@@ -1034,4 +1040,29 @@ object Dedup {
       .filter(col("n_windows") >= 1)
       .withColumn("density_pm", expr("(1000 * n_fps) div n_windows"))
       .orderBy(col("doc_id"))
+
+  /** C108 `contamination_curve` — [[decontaminate]] swept across
+    * shingle lengths: how many train docs share at least one k-char
+    * shingle with the eval set, for k ∈ {5, 8, 13}. Short shingles
+    * over-flag (common phrases), long ones under-flag (only verbatim
+    * spans) — this 3-row curve is what picks the production k before
+    * a decontamination pass is trusted. One shingle-kernel pass per k
+    * (each the linear decontaminate shape: eval side broadcast,
+    * train side scan + semi-style join).
+    */
+  def contaminationCurve(documents: DataFrame, evalIds: Seq[Long],
+                         ks: Seq[Int] = Seq(5, 8, 13)): DataFrame =
+    ks.map { k =>
+      val evalShingles = documents
+        .filter(col("doc_id").isin(evalIds: _*))
+        .select(explode(shingles(col("text"), k)).as("s"))
+        .distinct()
+      fanOut(documents)
+        .filter(!col("doc_id").isin(evalIds: _*))
+        .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+        .join(broadcast(evalShingles), Seq("s"))
+        .agg(count_distinct(col("doc_id")).as("n_contaminated"),
+          count_distinct(col("doc_id"), col("s")).as("n_shared_shingles"))
+        .select(lit(k.toLong).as("k"), col("n_contaminated"), col("n_shared_shingles"))
+    }.reduce(_.unionByName(_)).orderBy(col("k"))
 }

@@ -192,8 +192,8 @@ class PlanAuditSpec extends SparkSpec {
       s"source_jsd exceeded count aggs + dense join + source agg + sort: ${shuffles("source_jsd")}")
     assert(shuffles("filter_funnel") <= 5,
       s"filter_funnel exceeded gate join + source agg + sort: ${shuffles("filter_funnel")}")
-    assert(shuffles("edit_similarity") <= 6,
-      s"edit_similarity exceeded banding + pair agg + text join + sort: ${shuffles("edit_similarity")}")
+    assert(shuffles("edit_similarity") <= 8,
+      s"edit_similarity exceeded banding + pair agg + text join + DP spread + sort: ${shuffles("edit_similarity")}")
     // round-7 tenth wave: the risk/return aggregates ride one asset_id
     // shuffle + sort; mahalanobis adds the dim-bounded stat build and
     // the per-label rank window
@@ -223,6 +223,13 @@ class PlanAuditSpec extends SparkSpec {
       s"simhash_bit_balance exceeded kernel scan + bit agg + sort: ${shuffles("simhash_bit_balance")}")
     assert(shuffles("winnow_density") <= 1,
       s"winnow_density must stay map-only + sort: ${shuffles("winnow_density")}")
+    // round-7 thirteenth wave: the volume indicators ride the single
+    // asset_id shuffle; contamination_curve is three decontaminate
+    // shapes unioned (distinct + broadcast-join + agg per k)
+    for (q <- Seq("klinger_osc", "ppo", "relative_volume", "up_down_vol_ratio"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("contamination_curve") <= 12,
+      s"contamination_curve exceeded 3x(distinct + two-phase distinct aggs) + sort: ${shuffles("contamination_curve")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

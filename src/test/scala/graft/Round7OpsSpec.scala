@@ -758,6 +758,37 @@ class Round7OpsSpec extends SparkSpec {
     assert(sars === sars.sorted)
   }
 
+  test("klinger_osc and ppo: a flat series zeroes oscillator and signal") {
+    val panel = oneTickPanel(Seq.fill(6)(42.0))
+    Analytics.klingerOsc(panel).collect().foreach { r =>
+      assert(r.getAs[Long]("sv") === 0L)
+      assert(r.getAs[Double]("ko") === 0.0)
+      assert(r.getAs[Double]("signal") === 0.0)
+    }
+    Analytics.ppo(panel).collect().foreach { r =>
+      assert(r.getAs[Double]("ppo") === 0.0)
+      assert(r.getAs[Double]("signal") === 0.0)
+    }
+  }
+
+  test("relative_volume: constant one-tick days pin rvol at 1 after the first bar") {
+    val out = Analytics.relativeVolume(oneTickPanel((1 to 5).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Any]("rvol") == null)               // empty trailing frame
+    out.drop(1).foreach { r =>
+      assert(r.getAs[Double]("avg_vol") === 1.0)
+      assert(r.getAs[Double]("rvol") === 1.0)
+    }
+  }
+
+  test("up_down_vol_ratio: alternating closes split the volume 2:1") {
+    val out = Analytics.upDownVolRatio(oneTickPanel(Seq(10.0, 20.0, 10.0, 20.0))).collect()
+    val r = out.head
+    assert(r.getAs[Long]("up_vol") === 2L)                    // days 2 and 4
+    assert(r.getAs[Long]("down_vol") === 1L)                  // day 3
+    assert(r.getAs[Double]("udr") === 2.0)
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)

@@ -498,6 +498,18 @@ class Round7PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contamination_curve: shorter shingles flag more; disjoint text flags none") {
+    val d = docs(
+      (0L, "abcdefgh", "en", "eval"),                         // eval doc
+      (1L, "abcdzzzz", "en", "web"),                          // shares 4-gram "abcd"
+      (2L, "qqqqqqqq", "en", "web"))                          // disjoint
+    val out = graft.operators.Dedup.contaminationCurve(d, Seq(0L), ks = Seq(4, 8))
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(4L).getAs[Long]("n_contaminated") === 1L)      // doc 1 at k=4
+    assert(out(4L).getAs[Long]("n_shared_shingles") === 1L)   // just "abcd"
+    assert(out(8L).getAs[Long]("n_contaminated") === 0L)      // verbatim-8 nowhere
+  }
+
   test("winnow_density: one-window docs pin density at 1000; short docs drop") {
     val d = docs(
       (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window
