@@ -651,6 +651,18 @@ object SparkEntry {
       Analytics.upDownVolRatio(Tables.panel(s, dir))),
     "contamination_curve" -> ((s, dir) =>
       Dedup.contaminationCurve(Tables.documents(s, dir), (0L to 9L).toSeq)),
+    "fisher_transform" -> ((s, dir) =>
+      Analytics.fisherTransform(Tables.panel(s, dir))),
+    "sma_cross" -> ((s, dir) =>
+      Analytics.smaCross(Tables.panel(s, dir))),
+    "price_volume_corr" -> ((s, dir) =>
+      Analytics.priceVolumeCorr(Tables.panel(s, dir))),
+    "trend_intensity" -> ((s, dir) =>
+      Analytics.trendIntensity(Tables.panel(s, dir))),
+    "token_burstiness" -> ((s, dir) =>
+      Pipeline.tokenBurstiness(Tables.documents(s, dir))),
+    "band_sweep" -> ((s, dir) =>
+      Dedup.bandSweep(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -1373,6 +1385,33 @@ object SparkEntry {
     s"CASE WHEN ps.dir = 1 THEN least($psarSarRaw, ps.low) ELSE greatest($psarSarRaw, ps.high) END"
   private val psarFlip =
     s"CASE WHEN ps.dir = 1 THEN b.low < ($psarSarCl) ELSE b.high > ($psarSarCl) END"
+
+  /** Fisher-transform recursive-arm fragments (the v recurrence inlined
+    * where the fisher recurrence needs it — no lets in a recursive arm).
+    */
+  private val fishVRec =
+    "floor((0.33 * b.x + 0.67 * fi.v) * 1000000.0 + 0.5) / 1000000.0"
+  private val fishVBase =
+    "floor((0.33 * x + 0.67 * 0.0) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Per-band-count CTE block for the band_sweep oracle (bucket sizes on
+    * the exact signature slice — the Spark side buckets on xxhash64 of
+    * the same slice; sizes agree under the pair joins' collision-free
+    * assumption, same as minhash_band_histogram).
+    */
+  private def bandSweepBlock(bands: Int, nHashes: Int = 64): String = {
+    val rows = nHashes / bands
+    s"""bs$bands AS (
+       |  SELECT doc_id, b,
+       |         list_slice(sig, CAST(b * $rows + 1 AS INTEGER), CAST(b * $rows + $rows AS INTEGER)) AS key
+       |  FROM sig CROSS JOIN range($bands) r(b)),
+       |gg$bands AS (SELECT b, key, count(*) AS n FROM bs$bands GROUP BY b, key),
+       |aa$bands AS (
+       |  SELECT CAST($bands AS BIGINT) AS bands, CAST($rows AS BIGINT) AS rows_per_band,
+       |         coalesce(CAST(sum(n * (n - 1) // 2) AS BIGINT), 0) AS n_pair_slots,
+       |         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
+       |  FROM gg$bands)""".stripMargin
+  }
 
   /** Per-k CTE block for the contamination_curve oracle (ev/corp/join
     * at one shingle length — decontaminate's CTEs parameterized).
@@ -5621,6 +5660,131 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "fisher_transform" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$barsCte,
+         |c AS (
+         |  SELECT asset_id, date, close,
+         |         min(low) OVER w AS lo, max(high) OVER w AS hi
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |x AS (
+         |  SELECT asset_id, date, close,
+         |    floor((greatest(least(2.0 * (CASE WHEN hi = lo THEN 0.5
+         |          ELSE floor(((close - lo) / (hi - lo)) * 1000000.0 + 0.5) / 1000000.0 END) - 1, 0.999), -0.999)) * 1000000.0 + 0.5) / 1000000.0 AS x,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM c),
+         |fi AS (
+         |  SELECT asset_id, rn, date, close,
+         |    $fishVBase AS v,
+         |    floor((0.5 * ln((1.0 + $fishVBase) / (1.0 - $fishVBase)) + 0.5 * 0.0) * 1000000.0 + 0.5) / 1000000.0 AS fisher
+         |  FROM x WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.close,
+         |    $fishVRec,
+         |    floor((0.5 * ln((1.0 + $fishVRec) / (1.0 - $fishVRec)) + 0.5 * fi.fisher) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM fi JOIN x b ON b.asset_id = fi.asset_id AND b.rn = fi.rn + 1)
+         |SELECT asset_id, date, close, fisher,
+         |  lag(fisher, 1) OVER (PARTITION BY asset_id ORDER BY date) AS trigger
+         |FROM fi ORDER BY asset_id, date""".stripMargin,
+    "sma_cross" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(close) OVER w5 AS a5, list(close) OVER w20 AS a20
+         |  FROM bars
+         |  WINDOW w5 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         w20 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, close,
+         |    floor((list_reduce(list_prepend(0.0, a5), (a, x) -> a + x) / CAST(len(a5) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma_fast,
+         |    floor((list_reduce(list_prepend(0.0, a20), (a, x) -> a + x) / CAST(len(a20) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma_slow
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, close, sma_fast, sma_slow,
+         |         lag(sma_fast, 1) OVER a AS pf, lag(sma_slow, 1) OVER a AS ps
+         |  FROM g
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, close, sma_fast, sma_slow,
+         |  CAST(CASE WHEN pf IS NULL THEN 0
+         |       WHEN sma_fast > sma_slow AND pf <= ps THEN 1
+         |       WHEN sma_fast < sma_slow AND pf >= ps THEN -1
+         |       ELSE 0 END AS BIGINT) AS cross
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "price_volume_corr" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date,
+         |    floor((close / nullif(lag(close, 1) OVER a, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret,
+         |    CAST(n_ticks - lag(n_ticks, 1) OVER a AS DOUBLE) AS dv
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS xa, list(dv ORDER BY date) AS ya
+         |  FROM t WHERE ret IS NOT NULL AND dv IS NOT NULL
+         |  GROUP BY asset_id HAVING count(*) >= 3),
+         |f AS (
+         |  SELECT asset_id, CAST(len(xa) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, len(xa) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |  FROM p)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(((n * sxy - sx * sy) /
+         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pv_corr
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "trend_intensity" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(close) OVER w AS arr
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, close,
+         |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, close, sma,
+         |         CASE WHEN close > sma THEN 1 ELSE 0 END AS above
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, close, sma,
+         |         CAST(sum(above) OVER w AS BIGINT) AS n_above,
+         |         CAST(count(above) OVER w AS BIGINT) AS n_bars
+         |  FROM h
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, close, sma, n_above, n_bars,
+         |  (1000 * n_above) // n_bars AS ti_pm
+         |FROM i ORDER BY asset_id, date""".stripMargin,
+    "token_burstiness" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |g AS (
+        |  SELECT word, count(*) AS cf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM w0 GROUP BY word),
+        |t AS (SELECT * FROM g ORDER BY cf DESC, word LIMIT 100)
+        |SELECT word, cf, df,
+        |  floor((CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS burstiness
+        |FROM t ORDER BY cf DESC, word""".stripMargin,
+    "band_sweep" ->
+      s"""$minhashBandCtes,
+         |${bandSweepBlock(8)},
+         |${bandSweepBlock(16)},
+         |${bandSweepBlock(32)}
+         |SELECT * FROM aa8
+         |UNION ALL SELECT * FROM aa16
+         |UNION ALL SELECT * FROM aa32
+         |ORDER BY bands""".stripMargin,
     "dema_tema" ->
       s"""$panelCte,
          |$barsCte,

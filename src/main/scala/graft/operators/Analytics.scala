@@ -4668,4 +4668,134 @@ object Analytics {
       .select(col("asset_id"), col("n_days"), col("up_vol"), col("down_vol"), col("udr"))
       .orderBy(col("asset_id"))
   }
+
+  /** B152 `fisher_transform` — Ehlers' Fisher transform: the close's
+    * position in its `span`-bar channel, centered and clamped to
+    * ±0.999, double-smoothed by the v/fisher recurrences
+    * vₜ = 0.33x + 0.67vₜ₋₁, fisherₜ = 0.5·ln((1+v)/(1−v)) + 0.5·fisherₜ₋₁
+    * (both seeded 0). Fourth member of the sequential-recurrence
+    * family: channel extremes are order-free windows BEFORE the
+    * per-asset fold; v is u6-rounded before the ln so both engines
+    * exponentiate identical doubles; flat channels read pos = 0.5
+    * (centered x = 0). Trigger line = yesterday's fisher.
+    */
+  def fisherTransform(panel: DataFrame, span: Int = 10): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val fiType = "array<struct<date:date,close:double,v:double,fisher:double>>"
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("lo", min(col("low")).over(frame))
+      .withColumn("hi", max(col("high")).over(frame))
+      .withColumn("pos", when(col("hi") === col("lo"), lit(0.5))
+        .otherwise(u6((col("close") - col("lo")) / (col("hi") - col("lo")))))
+      .withColumn("x", u6(greatest(least(
+        lit(2.0) * col("pos") - 1, lit(0.999)), lit(-0.999))))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("close"), col("x")))).as("bs"))
+      .withColumn("fi", aggregate(
+        col("bs"),
+        expr("array()").cast(fiType),
+        (acc, b) => {
+          val p = element_at(acc, -1)
+          val pv = when(size(acc) === 0, lit(0.0)).otherwise(p("v"))
+          val pf = when(size(acc) === 0, lit(0.0)).otherwise(p("fisher"))
+          val v = u6(lit(0.33) * b("x") + lit(0.67) * pv)
+          val fisher = u6(lit(0.5) * log((lit(1.0) + v) / (lit(1.0) - v)) + lit(0.5) * pf)
+          concat(acc, array(struct(
+            b("date").as("date"), b("close").as("close"),
+            v.as("v"), fisher.as("fisher"))))
+        }))
+      .select(col("asset_id"), posexplode(col("fi")))
+      .select(col("asset_id"), col("col.date").as("date"), col("col.close").as("close"),
+        col("col.fisher").as("fisher"))
+      .withColumn("trigger", lag(col("fisher"), 1).over(byAsset))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B153 `sma_cross` — fast/slow SMA crossover signals (the daily
+    * golden/death-cross scan at 5/20 spans): cross = +1 the day the
+    * fast mean closes above the slow having been at-or-below the day
+    * before, −1 on the mirror, 0 otherwise. Both means are u6 frame
+    * folds, so the cross comparisons happen on the micro grid — no
+    * boundary flapping between engines; the first bar (no yesterday)
+    * emits 0.
+    */
+  def smaCross(panel: DataFrame, fast: Int = 5, slow: Int = 20): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def sma(n: Int): Column = {
+      val arr = collect_list(col("close")).over(byAsset.rowsBetween(-(n - 1), Window.currentRow))
+      u6(foldSum(arr) / size(arr).cast("double"))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("sma_fast", sma(fast))
+      .withColumn("sma_slow", sma(slow))
+      .withColumn("pf", lag(col("sma_fast"), 1).over(byAsset))
+      .withColumn("ps", lag(col("sma_slow"), 1).over(byAsset))
+      .withColumn("cross",
+        when(col("pf").isNull, lit(0L))
+          .when(col("sma_fast") > col("sma_slow") && col("pf") <= col("ps"), lit(1L))
+          .when(col("sma_fast") < col("sma_slow") && col("pf") >= col("ps"), lit(-1L))
+          .otherwise(lit(0L)))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("sma_fast"), col("sma_slow"), col("cross"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B154 `price_volume_corr` — per-asset Pearson between the daily
+    * return and the CHANGE in tick volume: confirmation reading (price
+    * moves on rising participation) vs divergence. [[volClustering]]'s
+    * co-moment folds over one aligned array pair; integer volume
+    * deltas cast once.
+    */
+  def priceVolumeCorr(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val prevVol = lag(col("n_ticks"), 1).over(byAsset)
+    val n = col("n")
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ret", u6(col("close") /
+        when(prevClose === 0, lit(null)).otherwise(prevClose) - 1))
+      .withColumn("dv", (col("n_ticks") - prevVol).cast("double"))
+      .filter(col("ret").isNotNull && col("dv").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret"), col("dv")))),
+        s => struct(s("ret").as("ret"), s("dv").as("dv"))).as("pts"))
+      .withColumn("n", size(col("pts")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("xa", transform(col("pts"), p => p("ret")))
+      .withColumn("ya", transform(col("pts"), p => p("dv")))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("pv_corr", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("pv_corr"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B155 `trend_intensity` — share of the last `span` bars closing
+    * above their own `span`-bar SMA, in integer per-mille: the
+    * trendiness screen (≈500‰ is chop, extremes are trends). The SMA
+    * is the u6 frame fold; the share is an integer window sum over the
+    * same frame — exact under any engine.
+    */
+  def trendIntensity(panel: DataFrame, span: Int = 20): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("close")).over(frame))
+      .withColumn("sma", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .withColumn("above", when(col("close") > col("sma"), 1L).otherwise(0L))
+      .withColumn("n_above", sum(col("above")).over(frame))
+      .withColumn("n_bars", count(col("above")).over(frame))
+      .withColumn("ti_pm", expr("(1000 * n_above) div n_bars"))
+      .select(col("asset_id"), col("date"), col("close"), col("sma"),
+        col("n_above"), col("n_bars"), col("ti_pm"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -1065,4 +1065,30 @@ object Dedup {
           count_distinct(col("doc_id"), col("s")).as("n_shared_shingles"))
         .select(lit(k.toLong).as("k"), col("n_contaminated"), col("n_shared_shingles"))
     }.reduce(_.unionByName(_)).orderBy(col("k"))
+
+  /** C110 `band_sweep` — candidate-volume curve across LSH band
+    * widths: for each band count b (8/16/32 bands of 64 hashes), the
+    * total pair SLOTS Σ n·(n−1)/2 over (band, bucket) populations and
+    * the hot-bucket count. This is the S-curve knob's cost side —
+    * [[dedupThresholdCurve]] prices the threshold, this prices the
+    * banding — read together before a 100 TB run commits to one
+    * (bands, rows) point. ONE signature-kernel pass feeds all three
+    * bandings (the slices re-hash per width); everything after is a
+    * bounded aggregate, no pair join at all.
+    */
+  def bandSweep(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                bandCounts: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val sigs = fanOut(documents).select(col("doc_id"),
+      graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
+    bandCounts.map { b =>
+      val rows = nHashes / b
+      sigs.select(posexplode(transform(sequence(lit(0), lit(b - 1)),
+          bb => xxhash64(slice(col("sig"), bb * lit(rows) + lit(1), lit(rows)), bb))))
+        .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("n_pair_slots"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_hot_buckets"))
+        .select(lit(b.toLong).as("bands"), lit(rows.toLong).as("rows_per_band"),
+          col("n_pair_slots"), col("n_hot_buckets"))
+    }.reduce(_.unionByName(_)).orderBy(col("bands"))
+  }
 }

@@ -1593,4 +1593,24 @@ object Pipeline {
         .otherwise(expr("(1000 * n_lang) div n_total")))
       .orderBy(col("source"))
   }
+
+  /** C109 `token_burstiness` — Church-style burstiness for the top-K
+    * corpus words: collection frequency over document frequency (mean
+    * occurrences per CONTAINING doc). Function words sit near 1
+    * (everywhere, once-ish); topical/templatic words burst high — the
+    * lexical read that separates them before stopword lists are
+    * hand-curated. One combinable (word → cf, df) aggregate, a bounded
+    * top-K cut (TakeOrdered), one u6 ratio.
+    */
+  def tokenBurstiness(documents: DataFrame, topK: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("word"))
+      .limit(topK)
+      .withColumn("burstiness", u6(col("cf").cast("double") / col("df").cast("double")))
+      .select(col("word"), col("cf"), col("df"), col("burstiness"))
+      .orderBy(col("cf").desc, col("word"))
 }

@@ -230,6 +230,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("contamination_curve") <= 12,
       s"contamination_curve exceeded 3x(distinct + two-phase distinct aggs) + sort: ${shuffles("contamination_curve")}")
+    // round-7 fourteenth wave: the trend/volume indicators (including
+    // the fisher fold) ride the single asset_id shuffle; burstiness is
+    // a two-phase distinct agg + bounded top-K; band_sweep is one
+    // signature pass + three bounded (bucket agg + 1-row agg) chains
+    for (q <- Seq("fisher_transform", "sma_cross", "price_volume_corr",
+        "trend_intensity"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("token_burstiness") <= 4,
+      s"token_burstiness exceeded word agg + top-K + sort: ${shuffles("token_burstiness")}")
+    assert(shuffles("band_sweep") <= 9,
+      s"band_sweep exceeded 3x(bucket agg + 1-row agg) + sort: ${shuffles("band_sweep")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

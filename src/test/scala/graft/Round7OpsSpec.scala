@@ -789,6 +789,37 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("udr") === 2.0)
   }
 
+  test("fisher_transform: a flat channel stays centered at zero") {
+    val out = Analytics.fisherTransform(oneTickPanel(Seq.fill(6)(42.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    out.foreach(r => assert(r.getAs[Double]("fisher") === 0.0))
+    assert(out.head.getAs[Any]("trigger") == null)
+    out.drop(1).foreach(r => assert(r.getAs[Double]("trigger") === 0.0))
+  }
+
+  test("sma_cross: a steady rally crosses up once the fast window saturates") {
+    // expanding frames keep fast = slow through day 5; on day 6 the
+    // 5-bar fast mean finally pulls ahead of the 20-bar (full-history)
+    // slow mean → the single +1 cross
+    val out = Analytics.smaCross(oneTickPanel((1 to 8).map(_ * 10.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.map(_.getAs[Long]("cross")).toSeq === Seq(0L, 0L, 0L, 0L, 0L, 1L, 0L, 0L))
+  }
+
+  test("price_volume_corr: constant volume nulls the correlation") {
+    val out = Analytics.priceVolumeCorr(oneTickPanel((1 to 6).map(_ * 10.0))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Any]("pv_corr") == null)            // zero-variance dv
+  }
+
+  test("trend_intensity: a rally holds every bar but the first above its SMA") {
+    val out = Analytics.trendIntensity(oneTickPanel((1 to 5).map(_ * 10.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Long]("ti_pm") === 0L)              // day 1: close = sma
+    assert(out(1).getAs[Long]("ti_pm") === 500L)              // 1 of 2
+    assert(out(4).getAs[Long]("ti_pm") === 800L)              // 4 of 5
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)

@@ -510,6 +510,33 @@ class Round7PipelineSpec extends SparkSpec {
     assert(out(8L).getAs[Long]("n_contaminated") === 0L)      // verbatim-8 nowhere
   }
 
+  test("token_burstiness: repeated-in-one-doc words burst, spread words sit at 1") {
+    val d = docs(
+      (1L, "a a a b", "en", "s"),
+      (2L, "b c", "en", "s"))
+    val out = Pipeline.tokenBurstiness(d).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))   // cf desc, word
+    val byWord = out.map(r => r.getString(0) -> r).toMap
+    assert(byWord("a").getAs[Long]("cf") === 3L)
+    assert(byWord("a").getAs[Long]("df") === 1L)
+    assert(byWord("a").getAs[Double]("burstiness") === 3.0)
+    assert(byWord("b").getAs[Double]("burstiness") === 1.0)
+  }
+
+  test("band_sweep: an identical pair lights one bucket per band at every width") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val d = docs(
+      (1L, base, "en", "s"), (2L, base, "en", "s"),
+      (3L, "completely different content with no overlap at all here", "en", "s"))
+    val out = graft.operators.Dedup.bandSweep(d).collect()
+      .map(r => r.getAs[Long]("bands") -> r).toMap
+    for (b <- Seq(8L, 16L, 32L)) {
+      assert(out(b).getAs[Long]("n_pair_slots") === b)        // docs 1/2 in every band
+      assert(out(b).getAs[Long]("n_hot_buckets") === b)
+      assert(out(b).getAs[Long]("rows_per_band") === 64L / b)
+    }
+  }
+
   test("winnow_density: one-window docs pin density at 1000; short docs drop") {
     val d = docs(
       (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window
