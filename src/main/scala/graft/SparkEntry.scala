@@ -663,6 +663,14 @@ object SparkEntry {
       Pipeline.tokenBurstiness(Tables.documents(s, dir))),
     "band_sweep" -> ((s, dir) =>
       Dedup.bandSweep(Tables.documents(s, dir))),
+    "high_low_index" -> ((s, dir) =>
+      Analytics.highLowIndex(Tables.panel(s, dir))),
+    "xsec_dispersion" -> ((s, dir) =>
+      Analytics.xsecDispersion(Tables.panel(s, dir))),
+    "autocorr_profile" -> ((s, dir) =>
+      Analytics.autocorrProfile(Tables.panel(s, dir))),
+    "char_class_profile" -> ((s, dir) =>
+      Pipeline.charClassProfile(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5660,6 +5668,85 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "high_low_index" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         max(high) OVER w AS prev_hi, min(low) OVER w AS prev_lo
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+         |g AS (
+         |  SELECT date,
+         |    CAST(sum(CASE WHEN close > prev_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_new_high,
+         |    CAST(sum(CASE WHEN close < prev_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_new_low,
+         |    count(*) AS n_assets
+         |  FROM f WHERE prev_hi IS NOT NULL GROUP BY date)
+         |SELECT date, n_new_high, n_new_low, n_assets,
+         |  CASE WHEN n_new_high + n_new_low = 0 THEN NULL
+         |       ELSE (1000 * n_new_high) // (n_new_high + n_new_low) END AS hl_pm
+         |FROM g ORDER BY date""".stripMargin,
+    "xsec_dispersion" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT date, list(ret ORDER BY asset_id) AS ra FROM rets GROUP BY date),
+         |g AS (
+         |  SELECT date, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p WHERE len(ra) >= 2)
+         |SELECT date, CAST(n AS BIGINT) AS n_assets,
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS dispersion
+         |FROM g ORDER BY date""".stripMargin,
+    "autocorr_profile" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |l AS (
+         |  SELECT asset_id, ra, len(ra) AS m, r.lag
+         |  FROM p CROSS JOIN range(1, 6) r(lag)
+         |  WHERE len(ra) - r.lag >= 3),
+         |f AS (
+         |  SELECT asset_id, lag, CAST(m - lag AS DOUBLE) AS n,
+         |         list_slice(ra, 1, CAST(m - lag AS INTEGER)) AS xa,
+         |         list_slice(ra, CAST(lag + 1 AS INTEGER), CAST(m AS INTEGER)) AS ya
+         |  FROM l),
+         |g AS (
+         |  SELECT asset_id, lag, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, len(xa) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |  FROM f)
+         |SELECT asset_id, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |  floor(((n * sxy - sx * sy) /
+         |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS ac
+         |FROM g ORDER BY asset_id, lag""".stripMargin,
+    "char_class_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+        |    CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS BIGINT) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |         CAST(sum(n) AS BIGINT) AS n_chars, CAST(sum(alpha) AS BIGINT) AS n_alpha,
+        |         CAST(sum(digit) AS BIGINT) AS n_digit, CAST(sum(ws) AS BIGINT) AS n_ws
+        |  FROM t GROUP BY source)
+        |SELECT source, n_chars, n_alpha, n_digit, n_ws,
+        |  n_chars - n_alpha - n_digit - n_ws AS n_other,
+        |  CASE WHEN n_chars = 0 THEN NULL ELSE (1000 * n_alpha) // n_chars END AS alpha_pm,
+        |  CASE WHEN n_chars = 0 THEN NULL ELSE (1000 * n_digit) // n_chars END AS digit_pm,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |       ELSE (1000 * (n_chars - n_alpha - n_digit - n_ws)) // n_chars END AS other_pm
+        |FROM g ORDER BY source""".stripMargin,
     "fisher_transform" ->
       s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$barsCte,

@@ -4798,4 +4798,97 @@ object Analytics {
         col("n_above"), col("n_bars"), col("ti_pm"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B156 `high_low_index` — market breadth by fresh extremes: per
+    * date, how many assets closed above their trailing `span`-day high
+    * vs below their trailing low, and the high share in per-mille
+    * ([[mcclellan]]'s companion — net COUNT there, extreme QUALITY
+    * here). ALL-INTEGER: flags from order-free window extremes, date
+    * aggregate of counts; days with no fresh extremes null the index.
+    */
+  def highLowIndex(panel: DataFrame, span: Int = 10): DataFrame = {
+    val prevFrame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-span, -1)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("prev_hi", max(col("high")).over(prevFrame))
+      .withColumn("prev_lo", min(col("low")).over(prevFrame))
+      .filter(col("prev_hi").isNotNull)
+      .withColumn("nh", when(col("close") > col("prev_hi"), 1L).otherwise(0L))
+      .withColumn("nl", when(col("close") < col("prev_lo"), 1L).otherwise(0L))
+      .groupBy(col("date"))
+      .agg(sum(col("nh")).as("n_new_high"), sum(col("nl")).as("n_new_low"),
+        count(lit(1)).as("n_assets"))
+      .withColumn("hl_pm",
+        when(col("n_new_high") + col("n_new_low") === 0, lit(null))
+          .otherwise(expr("(1000 * n_new_high) div (n_new_high + n_new_low)")))
+      .orderBy(col("date"))
+  }
+
+  /** B157 `xsec_dispersion` — cross-sectional return dispersion per
+    * date (the sample std of the day's returns ACROSS assets): the
+    * stock-picker's-market gauge and the denominator regime behind
+    * every xsec signal ([[xsecIc]]'s spread side). Co-moment folds
+    * over the asset-sorted per-date return array; days with < 2
+    * assets drop.
+    */
+  def xsecDispersion(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("s2", foldSumSq(col("ra")))
+      .withColumn("mean_ret", u6(col("s") / n))
+      .withColumn("dispersion", u6(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0)))))
+      .select(col("date"), n.cast("long").as("n_assets"),
+        col("mean_ret"), col("dispersion"))
+      .orderBy(col("date"))
+  }
+
+  /** B158 `autocorr_profile` — [[autocorr]] swept across lags 1..`maxLag`
+    * in long format: the decay shape (fast fade = noise, slow fade =
+    * momentum/mean-reversion structure) rather than the single lag-1
+    * number. One per-asset array build feeds every lag via an exploded
+    * lag column and Column-typed slices — no per-lag corpus pass.
+    */
+  def autocorrProfile(panel: DataFrame, maxLag: Int = 5): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .filter(col("m") - col("lag") >= 3)
+      .withColumn("xa", slice(col("ra"), lit(1), col("m") - col("lag")))
+      .withColumn("ya", slice(col("ra"), col("lag") + 1, col("m") - col("lag")))
+      .withColumn("n", (col("m") - col("lag")).cast("double"))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("ac", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), col("lag").cast("long").as("lag"),
+        n.cast("long").as("n_pairs"), col("ac"))
+      .orderBy(col("asset_id"), col("lag"))
+  }
 }

@@ -1613,4 +1613,34 @@ object Pipeline {
       .withColumn("burstiness", u6(col("cf").cast("double") / col("df").cast("double")))
       .select(col("word"), col("cf"), col("df"), col("burstiness"))
       .orderBy(col("cf").desc, col("word"))
+
+  /** C111 `char_class_profile` — per-source character-class mix
+    * (letters / digits / whitespace / other, integer per-mille of
+    * total chars): the cheapest corpus-health fingerprint — a source
+    * whose digit or "other" share jumps between crawls broke upstream
+    * (tables, base64 blobs, encoding damage) before any tokenizer
+    * sees it. One map-only scan (class counts via character-class
+    * strips), one integer aggregate.
+    */
+  def charClassProfile(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        length(col("text")).cast("long").as("n"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"),
+        length(regexp_replace(col("text"), "[^ \\t\\n]", "")).cast("long").as("ws"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chars"), sum(col("alpha")).as("n_alpha"),
+        sum(col("digit")).as("n_digit"), sum(col("ws")).as("n_ws"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_ws"))
+      .withColumn("alpha_pm", when(col("n_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * n_alpha) div n_chars")))
+      .withColumn("digit_pm", when(col("n_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * n_digit) div n_chars")))
+      .withColumn("other_pm", when(col("n_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * n_other) div n_chars")))
+      .select(col("source"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_ws"), col("n_other"), col("alpha_pm"), col("digit_pm"), col("other_pm"))
+      .orderBy(col("source"))
 }

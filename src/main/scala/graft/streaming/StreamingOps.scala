@@ -1137,4 +1137,63 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  case class PsarState(high: Double, low: Double, close: Double,
+                       sar: Double, ep: Double, af: Double, dir: Long)
+  case class PsarPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                       sar: Double, ep: Double, af: Double, dir: Long)
+
+  /** D32 `psarStream` — streaming Parabolic SAR, the continuous face of
+    * [[graft.operators.Analytics.psar]] and the last member of the
+    * sequential-recurrence family to get its streaming twin: state is
+    * the previous bar's extremes plus (sar, ep, af, dir) — dir 0 marks
+    * "seed bar only". Every SAR/AF value is micro-rounded at the batch
+    * fold's exact points, so flips replay bitwise across micro-batch
+    * splits (spec-asserted, including a trend flip).
+    */
+  def psarStream(bars: Dataset[OhlcStreamBar]): Dataset[PsarPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import graft.operators.Micro.jvm6
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PsarState, PsarPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PsarState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[PsarPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st == null) {
+              st = PsarState(b.high, b.low, b.close, 0.0, 0.0, 0.0, 0L)
+            } else if (st.dir == 0L) {
+              val up = b.close >= st.close
+              val sar = if (up) math.min(st.low, b.low) else math.max(st.high, b.high)
+              val ep = if (up) math.max(st.high, b.high) else math.min(st.low, b.low)
+              val dir = if (up) 1L else -1L
+              out += PsarPoint(assetId, b.date, b.close, sar, ep, 0.02, dir)
+              st = PsarState(b.high, b.low, b.close, sar, ep, 0.02, dir)
+            } else {
+              val sarRaw = jvm6(st.sar + st.af * (st.ep - st.sar))
+              val sarCl =
+                if (st.dir == 1L) math.min(sarRaw, st.low) else math.max(sarRaw, st.high)
+              val flipped =
+                if (st.dir == 1L) b.low < sarCl else b.high > sarCl
+              val sar = if (flipped) st.ep else sarCl
+              val ep =
+                if (flipped) { if (st.dir == 1L) b.low else b.high }
+                else { if (st.dir == 1L) math.max(st.ep, b.high) else math.min(st.ep, b.low) }
+              val af =
+                if (flipped) 0.02
+                else if ((st.dir == 1L && b.high > st.ep) || (st.dir == -1L && b.low < st.ep))
+                  math.min(jvm6(st.af + 0.02), 0.2)
+                else st.af
+              val dir = if (flipped) -st.dir else st.dir
+              out += PsarPoint(assetId, b.date, b.close, sar, ep, af, dir)
+              st = PsarState(b.high, b.low, b.close, sar, ep, af, dir)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -241,6 +241,15 @@ class PlanAuditSpec extends SparkSpec {
       s"token_burstiness exceeded word agg + top-K + sort: ${shuffles("token_burstiness")}")
     assert(shuffles("band_sweep") <= 9,
       s"band_sweep exceeded 3x(bucket agg + 1-row agg) + sort: ${shuffles("band_sweep")}")
+    // round-7 fifteenth wave: breadth/dispersion add the market-level
+    // date aggregate on top of the asset shuffle; char_class_profile
+    // is scan + one combinable aggregate
+    for (q <- Seq("high_low_index", "xsec_dispersion"))
+      assert(shuffles(q) <= 3, s"$q exceeded panel + date agg + sort: ${shuffles(q)}")
+    assert(shuffles("autocorr_profile") <= 2,
+      s"autocorr_profile grew beyond shuffle+sort: ${shuffles("autocorr_profile")}")
+    assert(shuffles("char_class_profile") <= 2,
+      s"char_class_profile exceeded scan + agg + sort: ${shuffles("char_class_profile")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -820,6 +820,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(4).getAs[Long]("ti_pm") === 800L)              // 4 of 5
   }
 
+  test("high_low_index: a universal rally prints only fresh highs") {
+    val a = oneTickPanel((1 to 6).map(_ * 10.0), asset = 1L)
+    val b = oneTickPanel((1 to 6).map(_ * 5.0), asset = 2L)
+    val out = Analytics.highLowIndex(a.unionByName(b)).collect().sortBy(_.getDate(0).toString)
+    assert(out.length === 5)                                  // day 1 has no trailing frame
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_new_high") === 2L)
+      assert(r.getAs[Long]("n_new_low") === 0L)
+      assert(r.getAs[Long]("hl_pm") === 1000L)
+    }
+  }
+
+  test("xsec_dispersion: identical cross-sectional returns disperse zero") {
+    val a = oneTickPanel(Seq(100.0, 110.0, 121.0), asset = 1L)
+    val b = oneTickPanel(Seq(200.0, 220.0, 242.0), asset = 2L)
+    val out = Analytics.xsecDispersion(a.unionByName(b)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_assets") === 2L)
+      assert(r.getAs[Double]("mean_ret") === 0.1)
+      assert(r.getAs[Double]("dispersion") === 0.0)
+    }
+  }
+
+  test("autocorr_profile: alternating returns flip sign by lag parity") {
+    // rets +r, −s, +r, −s … → lag-1 strongly negative, lag-2 strongly positive
+    val values = Seq(100.0, 120.0, 96.0, 115.2, 92.16, 110.592, 88.4736, 106.16832)
+    val out = Analytics.autocorrProfile(oneTickPanel(values)).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ac")).toMap
+    assert(out(1L) < -0.9)
+    assert(out(2L) > 0.9)
+    assert(!out.contains(5L))                                 // 7 rets − 5 < 3 pairs
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)

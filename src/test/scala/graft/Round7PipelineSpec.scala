@@ -537,6 +537,21 @@ class Round7PipelineSpec extends SparkSpec {
     }
   }
 
+  test("char_class_profile: hand-counted classes and per-milles") {
+    val d = docs((1L, "ab1 c", "en", "s"), (2L, "de2,f", "en", "s"))
+    val out = Pipeline.charClassProfile(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_chars") === 10L)
+    assert(r.getAs[Long]("n_alpha") === 6L)
+    assert(r.getAs[Long]("n_digit") === 2L)
+    assert(r.getAs[Long]("n_ws") === 1L)
+    assert(r.getAs[Long]("n_other") === 1L)                   // the comma
+    assert(r.getAs[Long]("alpha_pm") === 600L)
+    assert(r.getAs[Long]("digit_pm") === 200L)
+    assert(r.getAs[Long]("other_pm") === 100L)
+  }
+
   test("winnow_density: one-window docs pin density at 1000; short docs drop") {
     val d = docs(
       (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window

@@ -1019,4 +1019,38 @@ class StreamingSpec extends SparkSpec {
       assert(gotSt === batchSt)
     } finally { qHa.stop(); qSt.stop() }
   }
+
+  test("psarStream equals the batch psar across a split, including a flip") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.OhlcStreamBar
+    val rows = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0).zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"),
+        new java.sql.Timestamp((i + 1) * 1000L), v, (i + 1).toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batch = graft.operators.Analytics.psar(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("sar"), r.getAs[Double]("ep"),
+          r.getAs[Double]("af"), r.getAs[Long]("dir")))).toMap
+    val bars = graft.operators.Analytics.dailyBars(rows).collect()
+      .map(r => OhlcStreamBar(r.getAs[Long]("asset_id"), r.getAs[java.sql.Date]("date"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .sortBy(_.date.getTime)
+    val in = MemoryStream[OhlcStreamBar]
+    val q = StreamingOps.psarStream(in.toDS())
+      .writeStream.format("memory").queryName("psar_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(bars.take(3)); q.processAllAvailable()
+      in.addData(bars.drop(3)); q.processAllAvailable()
+      val got = spark.table("psar_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("sar"), r.getAs[Double]("ep"),
+            r.getAs[Double]("af"), r.getAs[Long]("dir")))).toMap
+      assert(got === batch)
+      assert(got("2024-01-06")._4 === -1L)                    // the crash flips short
+    } finally q.stop()
+  }
 }
