@@ -671,6 +671,12 @@ object SparkEntry {
       Analytics.autocorrProfile(Tables.panel(s, dir))),
     "char_class_profile" -> ((s, dir) =>
       Pipeline.charClassProfile(Tables.documents(s, dir))),
+    "martin_ratio" -> ((s, dir) =>
+      Analytics.martinRatio(Tables.panel(s, dir))),
+    "dar" -> ((s, dir) =>
+      Analytics.dar(Tables.panel(s, dir))),
+    "skip_days_impact" -> ((s, dir) =>
+      Analytics.skipDaysImpact(Tables.panel(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5668,6 +5674,92 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "martin_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |         lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date) AS prev
+         |  FROM daily),
+         |e AS (
+         |  SELECT asset_id, date,
+         |    floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd,
+         |    floor((value / nullif(prev, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+         |  FROM d),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(dd ORDER BY date) AS dda,
+         |         list(ret ORDER BY date) FILTER (WHERE ret IS NOT NULL) AS reta
+         |  FROM e GROUP BY asset_id),
+         |g AS (SELECT asset_id, len(dda) AS n, dda, reta FROM p WHERE len(reta) >= 1),
+         |f AS (
+         |  SELECT asset_id, n,
+         |    floor(sqrt(list_reduce(list_prepend(0.0, list_transform(dda, x -> x * x)), (a, x) -> a + x)
+         |          / CAST(len(dda) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ulcer,
+         |    floor((list_reduce(list_prepend(0.0, reta), (a, x) -> a + x) / CAST(len(reta) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret
+         |  FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, ulcer, mean_ret,
+         |  floor((mean_ret / nullif(ulcer, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS martin
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "dar" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM daily),
+         |e AS (
+         |  SELECT asset_id,
+         |    floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd
+         |  FROM d),
+         |p AS (SELECT asset_id, list_sort(list(dd)) AS dda FROM e GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, len(dda) AS n,
+         |         CAST(ceil(CAST(len(dda) AS DOUBLE) * 0.05) AS INTEGER) AS k, dda
+         |  FROM p),
+         |t AS (
+         |  SELECT asset_id, n, k, list_slice(dda, 1, k) AS tail
+         |  FROM g WHERE k >= 1)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
+         |  -tail[k] AS dar,
+         |  floor((-list_reduce(list_prepend(0.0, tail), (a, x) -> a + x) / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cdar
+         |FROM t ORDER BY asset_id""".stripMargin,
+    "skip_days_impact" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |t AS (
+         |  SELECT asset_id, date, value,
+         |         lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date) AS prev
+         |  FROM daily),
+         |e AS (
+         |  SELECT asset_id,
+         |    CAST(round(floor(ln(value / prev) * 1000000.0 + 0.5) / 1000000.0 * 1000000.0) AS BIGINT) AS lr_micro
+         |  FROM t WHERE prev > 0 AND value > 0),
+         |p AS (
+         |  SELECT asset_id, list_sort(list(lr_micro)) AS ms,
+         |         CAST(sum(lr_micro) AS BIGINT) AS total_micro,
+         |         count(*) AS n_days
+         |  FROM e GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, n_days, total_micro, ms,
+         |         CAST(least(5, len(ms)) AS INTEGER) AS kk
+         |  FROM p WHERE n_days > 5),
+         |f AS (
+         |  SELECT asset_id, n_days, total_micro,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_slice(ms, CAST(len(ms) - kk + 1 AS INTEGER), CAST(len(ms) AS INTEGER))),
+         |      (a, x) -> a + x) AS best_micro,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(ms, 1, kk)),
+         |      (a, x) -> a + x) AS worst_micro
+         |  FROM g)
+         |SELECT asset_id, n_days,
+         |  floor((exp(CAST(total_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS total_ret,
+         |  floor((exp(CAST(total_micro - best_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret_wo_best,
+         |  floor((exp(CAST(total_micro - worst_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret_wo_worst
+         |FROM f ORDER BY asset_id""".stripMargin,
     "high_low_index" ->
       s"""$panelCte,
          |$barsCte,

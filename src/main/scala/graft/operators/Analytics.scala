@@ -4891,4 +4891,104 @@ object Analytics {
         n.cast("long").as("n_pairs"), col("ac"))
       .orderBy(col("asset_id"), col("lag"))
   }
+
+  /** B159 `martin_ratio` — the Ulcer Performance Index: mean daily
+    * return over the WHOLE-HISTORY ulcer index √(mean dd²)
+    * ([[ulcerIndex]] is the windowed series; this is the per-asset
+    * ranking number, [[painIndex]]'s L2 sibling). One pass builds the
+    * drawdown and return series on a shared partitioning, one
+    * aggregate folds both — sumsq for the ulcer, sum for the mean.
+    */
+  def martinRatio(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .groupBy(col("asset_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("date"), col("dd")))),
+          s => s("dd")).as("dda"),
+        transform(array_sort(collect_list(
+          when(col("ret").isNotNull, struct(col("date"), col("ret"))))),
+          s => s("ret")).as("reta"))
+      .filter(size(col("reta")) >= 1)
+      .withColumn("ulcer", u6(sqrt(
+        foldSumSq(col("dda")) / size(col("dda")).cast("double"))))
+      .withColumn("mean_ret", u6(foldSum(col("reta")) / size(col("reta")).cast("double")))
+      .withColumn("martin", u6(col("mean_ret") /
+        when(col("ulcer") === 0, lit(null)).otherwise(col("ulcer"))))
+      .select(col("asset_id"), size(col("dda")).cast("long").as("n_days"),
+        col("ulcer"), col("mean_ret"), col("martin"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B160 `dar` — drawdown-at-risk: the q-quantile of the daily
+    * drawdown distribution (DaR) and the mean of the tail beyond it
+    * (conditional DaR) — [[varCvar]]'s order statistics applied to the
+    * drawdown series instead of returns (how deep the bad days go, not
+    * how bad the bad returns are). Depths are emitted positive.
+    */
+  def dar(panel: DataFrame, q: Double = 0.05): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val runW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = ceil(size(col("dda")).cast("double") * q).cast("int")
+    daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("dd"))).as("dda"))
+      .withColumn("k", k)
+      .filter(col("k") >= 1)
+      .withColumn("tail", slice(col("dda"), lit(1), col("k")))
+      .withColumn("dar", -element_at(col("tail"), col("k")))
+      .withColumn("cdar", u6(-foldSum(col("tail")) / col("k").cast("double")))
+      .select(col("asset_id"), size(col("dda")).cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"), col("dar"), col("cdar"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B161 `skip_days_impact` — the "miss the best 5 days" stat: total
+    * compound return vs the return with the top/bottom `k` log-return
+    * days removed. ALL-INTEGER selection: u6 log returns in micro
+    * units, array-sorted (order-free), integer slice sums subtracted
+    * from the integer total, ONE exp per output on an exact
+    * micro-grid argument (the [[nviPvi]] discipline) — no float
+    * accumulates across rows anywhere.
+    */
+  def skipDaysImpact(panel: DataFrame, k: Int = 5): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    def comp(sumMicro: Column): Column =
+      u6(exp(sumMicro.cast("double") / 1e6) - 1)
+    daily
+      .withColumn("lr", u6(log(col("value") /
+        when(prev <= 0 || col("value") <= 0, lit(null)).otherwise(prev))))
+      .filter(col("lr").isNotNull)
+      .withColumn("lr_micro", round(col("lr") * 1e6).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(sort_array(collect_list(col("lr_micro"))).as("ms"),
+        sum(col("lr_micro")).as("total_micro"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") > k)
+      .withColumn("kk", least(lit(k), size(col("ms"))))
+      .withColumn("best_micro", aggregate(
+        slice(col("ms"), size(col("ms")) - col("kk") + 1, col("kk")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("worst_micro", aggregate(
+        slice(col("ms"), lit(1), col("kk")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("total_ret", comp(col("total_micro")))
+      .withColumn("ret_wo_best", comp(col("total_micro") - col("best_micro")))
+      .withColumn("ret_wo_worst", comp(col("total_micro") - col("worst_micro")))
+      .select(col("asset_id"), col("n_days"), col("total_ret"),
+        col("ret_wo_best"), col("ret_wo_worst"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -250,6 +250,10 @@ class PlanAuditSpec extends SparkSpec {
       s"autocorr_profile grew beyond shuffle+sort: ${shuffles("autocorr_profile")}")
     assert(shuffles("char_class_profile") <= 2,
       s"char_class_profile exceeded scan + agg + sort: ${shuffles("char_class_profile")}")
+    // round-7 sixteenth wave: whole-history risk aggregates on the
+    // single asset_id shuffle
+    for (q <- Seq("martin_ratio", "dar", "skip_days_impact"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

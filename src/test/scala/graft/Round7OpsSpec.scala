@@ -854,6 +854,38 @@ class Round7OpsSpec extends SparkSpec {
     assert(!out.contains(5L))                                 // 7 rets − 5 < 3 pairs
   }
 
+  test("martin_ratio: a rising series never dips so the ratio is null") {
+    val out = Analytics.martinRatio(oneTickPanel(Seq(1.0, 2.0, 3.0, 4.0))).collect()
+    val r = out.head
+    assert(r.getAs[Double]("ulcer") === 0.0)
+    assert(r.getAs[Any]("martin") == null)
+    // one 10% dip: dd = [0, −0.1] → ulcer = √(0.01/2)
+    val dn = Analytics.martinRatio(oneTickPanel(Seq(100.0, 90.0))).collect().head
+    assert(dn.getAs[Double]("ulcer") === math.floor(math.sqrt(0.005) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("dar: the worst drawdown day is the k=1 tail") {
+    // dd = [0, −0.5, −0.25]: sorted [−0.5, −0.25, 0], k = 1 → DaR 0.5
+    val out = Analytics.dar(oneTickPanel(Seq(100.0, 50.0, 75.0))).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_tail") === 1L)
+    assert(r.getAs[Double]("dar") === 0.5)
+    assert(r.getAs[Double]("cdar") === 0.5)
+  }
+
+  test("skip_days_impact: removing the best days erases exactly their log mass") {
+    // 9 days of +10% and one +100% day: total = 1.1⁹·2 − 1; without the
+    // best 5 (the double plus four +10%s) = 1.1⁵·... check via micro sums
+    val values = (Seq.fill(9)(0.1) :+ 1.0).scanLeft(100.0) { case (v, r) => v * (1 + r) }
+    val out = Analytics.skipDaysImpact(oneTickPanel(values)).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Double]("total_ret") > r.getAs[Double]("ret_wo_worst"))
+    assert(r.getAs[Double]("ret_wo_best") < r.getAs[Double]("ret_wo_worst"))
+    // all ten days are gains → dropping the best five still leaves gains ≥ 0
+    assert(r.getAs[Double]("ret_wo_best") >= 0.0)
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)
