@@ -677,6 +677,10 @@ object SparkEntry {
       Analytics.dar(Tables.panel(s, dir))),
     "skip_days_impact" -> ((s, dir) =>
       Analytics.skipDaysImpact(Tables.panel(s, dir))),
+    "intraday_overnight_split" -> ((s, dir) =>
+      Analytics.intradayOvernightSplit(Tables.panel(s, dir))),
+    "beta_stability" -> ((s, dir) =>
+      Analytics.betaStability(Tables.panel(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5674,6 +5678,70 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "intraday_overnight_split" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, open, close,
+         |         lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |e AS (
+         |  SELECT asset_id,
+         |    coalesce(CAST(round((CASE WHEN pc > 0 AND open > 0
+         |      THEN floor(ln(open / pc) * 1000000.0 + 0.5) / 1000000.0 END) * 1000000.0) AS BIGINT), 0) AS on_micro,
+         |    coalesce(CAST(round((CASE WHEN open > 0 AND close > 0
+         |      THEN floor(ln(close / open) * 1000000.0 + 0.5) / 1000000.0 END) * 1000000.0) AS BIGINT), 0) AS id_micro
+         |  FROM t),
+         |g AS (
+         |  SELECT asset_id, count(*) AS n_days,
+         |         CAST(sum(on_micro) AS BIGINT) AS on_sum,
+         |         CAST(sum(id_micro) AS BIGINT) AS id_sum
+         |  FROM e GROUP BY asset_id)
+         |SELECT asset_id, n_days,
+         |  CAST(on_sum AS DOUBLE) / 1000000.0 AS overnight_logret,
+         |  CAST(id_sum AS DOUBLE) / 1000000.0 AS intraday_logret,
+         |  CAST(on_sum + id_sum AS DOUBLE) / 1000000.0 AS total_logret
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "beta_stability" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |f AS (
+         |  SELECT asset_id, date, ret, mkt_ret,
+         |         list(ret)  OVER fw AS ra,
+         |         list(mkt_ret) OVER fw AS rm,
+         |         list(ret * mkt_ret) OVER fw AS rp
+         |  FROM j
+         |  WINDOW fw AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM f WHERE len(ra) >= 2),
+         |bt AS (
+         |  SELECT asset_id, date,
+         |    floor(((n * sp - sa * sm) / nullif(n * sm2 - sm * sm, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS beta
+         |  FROM g),
+         |p AS (
+         |  SELECT asset_id, list(beta ORDER BY date) AS ba
+         |  FROM bt WHERE beta IS NOT NULL GROUP BY asset_id HAVING count(*) >= 2),
+         |h AS (
+         |  SELECT asset_id, CAST(len(ba) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ba), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ba, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM p)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_betas,
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_beta,
+         |  floor(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS beta_sd
+         |FROM h ORDER BY asset_id""".stripMargin,
     "martin_ratio" ->
       s"""$panelCte,
          |$dailyCte,
@@ -6567,8 +6635,8 @@ object SparkEntry {
          |    CASE WHEN pv IS NOT NULL AND n_ticks > pv THEN lr_micro ELSE 0 END AS pvi_term
          |  FROM t)
          |SELECT asset_id, date, close,
-         |  floor((1000.0 * exp(CAST(sum(nvi_term) OVER r AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS nvi,
-         |  floor((1000.0 * exp(CAST(sum(pvi_term) OVER r AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pvi
+         |  CAST(sum(nvi_term) OVER r AS DOUBLE) / 1000000.0 AS nvi_log,
+         |  CAST(sum(pvi_term) OVER r AS DOUBLE) / 1000000.0 AS pvi_log
          |FROM u
          |WINDOW r AS (PARTITION BY asset_id ORDER BY date
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

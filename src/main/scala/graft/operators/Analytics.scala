@@ -4080,9 +4080,13 @@ object Analytics {
     * compounding is exact-integer by construction: per-day log return
     * u6-rounded, scaled to micro-units (an integer), conditionally
     * accumulated by an ORDER-INSENSITIVE integer window sum, and
-    * exponentiated once at emit (u6 argument → both engines call exp on
-    * the identical double — the [[corwinSchultz]] discipline). First
-    * bars and zero/NULL guards contribute 0.
+    * EMITTED AS THE LOG LEVEL (cumulative conditional log return —
+    * exactly on the micro grid). The exponentiated index form was
+    * dropped after [[intradayOvernightSplit]]'s oracle caught the
+    * exp last-ulp divergence: conditional compounding on this panel
+    * reaches e²², where one double ulp equals the micro grid. First
+    * bars and zero/NULL guards contribute 0; the index is
+    * 1000·exp(level) for display, monotone in the level.
     */
   def nviPvi(panel: DataFrame): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
@@ -4098,11 +4102,10 @@ object Analytics {
         when(prevVol.isNotNull && col("n_ticks") < prevVol, col("lr_micro")).otherwise(lit(0L)))
       .withColumn("pvi_term",
         when(prevVol.isNotNull && col("n_ticks") > prevVol, col("lr_micro")).otherwise(lit(0L)))
-      .withColumn("nvi", u6(lit(1000.0) *
-        exp(sum(col("nvi_term")).over(run).cast("double") / 1e6)))
-      .withColumn("pvi", u6(lit(1000.0) *
-        exp(sum(col("pvi_term")).over(run).cast("double") / 1e6)))
-      .select(col("asset_id"), col("date"), col("close"), col("nvi"), col("pvi"))
+      .withColumn("nvi_log", sum(col("nvi_term")).over(run).cast("double") / 1e6)
+      .withColumn("pvi_log", sum(col("pvi_term")).over(run).cast("double") / 1e6)
+      .select(col("asset_id"), col("date"), col("close"),
+        col("nvi_log"), col("pvi_log"))
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -4960,7 +4963,11 @@ object Analytics {
     * units, array-sorted (order-free), integer slice sums subtracted
     * from the integer total, ONE exp per output on an exact
     * micro-grid argument (the [[nviPvi]] discipline) — no float
-    * accumulates across rows anywhere.
+    * accumulates across rows anywhere. The exp emit is safe while
+    * |Σlog| ≲ 21 (beyond that one exp ulp reaches the micro grid —
+    * the [[intradayOvernightSplit]] lesson); close-to-close panel
+    * totals sit orders of magnitude below that, and a multi-decade
+    * deployment would emit the log forms instead.
     */
   def skipDaysImpact(panel: DataFrame, k: Int = 5): DataFrame = {
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
@@ -4989,6 +4996,66 @@ object Analytics {
       .withColumn("ret_wo_worst", comp(col("total_micro") - col("worst_micro")))
       .select(col("asset_id"), col("n_days"), col("total_ret"),
         col("ret_wo_best"), col("ret_wo_worst"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B162 `intraday_overnight_split` — the classic return
+    * decomposition: compound close→open (overnight) vs open→close
+    * (intraday) log-return legs per asset ("all the return happens
+    * overnight" is one of the most robust anomalies; this measures it
+    * on the panel). The [[nviPvi]]/[[skipDaysImpact]] integer
+    * discipline end to end: u6 log legs → micro integers →
+    * order-insensitive sums — and the outputs STAY log returns: this
+    * panel's intraday legs compound to ~e²², where one double ulp of
+    * exp() equals the micro grid and the JVM/libm last-ulp difference
+    * becomes visible (caught by the r7 oracle; the exp-emitting ops
+    * keep |arg| ≲ 10 where ulp ≪ micro). Log sums are exact integers.
+    */
+  def intradayOvernightSplit(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    def micro(c: Column): Column = coalesce(round(c * 1e6).cast("long"), lit(0L))
+    def logret(sumMicro: Column): Column = sumMicro.cast("double") / 1e6
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("on_lr", u6(log(col("open") /
+        when(prevClose <= 0 || col("open") <= 0, lit(null)).otherwise(prevClose))))
+      .withColumn("id_lr", u6(log(col("close") /
+        when(col("open") <= 0 || col("close") <= 0, lit(null)).otherwise(col("open")))))
+      .withColumn("on_micro", micro(col("on_lr")))
+      .withColumn("id_micro", micro(col("id_lr")))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("on_micro")).as("on_sum"), sum(col("id_micro")).as("id_sum"))
+      .withColumn("overnight_logret", logret(col("on_sum")))
+      .withColumn("intraday_logret", logret(col("id_sum")))
+      .withColumn("total_logret", logret(col("on_sum") + col("id_sum")))
+      .select(col("asset_id"), col("n_days"),
+        col("overnight_logret"), col("intraday_logret"), col("total_logret"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B163 `beta_stability` — mean and sample std of the
+    * [[rollingBeta]] series per asset: a beta that itself swings is
+    * not a hedging number, whatever its average says. Rides the
+    * rolling-beta build (shared implementation); the u6 beta series
+    * folds deterministically date-sorted.
+    */
+  def betaStability(panel: DataFrame, window: Int = 20): DataFrame = {
+    val n = col("n")
+    rollingBeta(panel, window)
+      .filter(col("beta").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("beta")))),
+        s => s("beta")).as("ba"))
+      .withColumn("n", size(col("ba")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("ba")))
+      .withColumn("s2", foldSumSq(col("ba")))
+      .withColumn("mean_beta", u6(col("s") / n))
+      .withColumn("beta_sd", u6(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0)))))
+      .select(col("asset_id"), n.cast("long").as("n_betas"),
+        col("mean_beta"), col("beta_sd"))
       .orderBy(col("asset_id"))
   }
 }

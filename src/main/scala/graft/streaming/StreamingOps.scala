@@ -1138,6 +1138,54 @@ object StreamingOps {
       }
   }
 
+  case class SmaCrossState(ring: Vector[Double], pf: Option[Double], ps: Option[Double])
+  case class SmaCrossPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                           sma_fast: Double, sma_slow: Double, cross: Long)
+
+  /** D33 `smaCrossStream` — streaming golden/death-cross alerts, the
+    * continuous face of [[graft.operators.Analytics.smaCross]]: state
+    * is one bounded close ring (slow span) plus yesterday's two means;
+    * both SMAs are re-folded left-to-right over the ring exactly as
+    * the batch frame folds, u6 at the same points, so the cross
+    * comparisons replay bitwise across micro-batch splits
+    * (spec-asserted).
+    */
+  def smaCrossStream(bars: Dataset[OhlcStreamBar], fast: Int = 5,
+                     slow: Int = 20): Dataset[SmaCrossPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import graft.operators.Micro.jvm6
+    def sma(xs: Seq[Double]): Double = {
+      var s = 0.0
+      xs.foreach(x => s = s + x)
+      jvm6(s / xs.length)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[SmaCrossState, SmaCrossPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[SmaCrossState]) =>
+          var st = state.getOption.getOrElse(SmaCrossState(Vector.empty, None, None))
+          val out = Vector.newBuilder[SmaCrossPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val ring = (st.ring :+ b.close).takeRight(slow)
+            val f = sma(ring.takeRight(fast))
+            val s = sma(ring)
+            val cross = (st.pf, st.ps) match {
+              case (Some(pf), Some(ps)) =>
+                if (f > s && pf <= ps) 1L
+                else if (f < s && pf >= ps) -1L
+                else 0L
+              case _ => 0L
+            }
+            out += SmaCrossPoint(assetId, b.date, b.close, f, s, cross)
+            st = SmaCrossState(ring, Some(f), Some(s))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class PsarState(high: Double, low: Double, close: Double,
                        sar: Double, ep: Double, af: Double, dir: Long)
   case class PsarPoint(asset_id: Long, date: java.sql.Date, close: Double,

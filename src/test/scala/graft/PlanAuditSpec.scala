@@ -252,8 +252,11 @@ class PlanAuditSpec extends SparkSpec {
       s"char_class_profile exceeded scan + agg + sort: ${shuffles("char_class_profile")}")
     // round-7 sixteenth wave: whole-history risk aggregates on the
     // single asset_id shuffle
-    for (q <- Seq("martin_ratio", "dar", "skip_days_impact"))
+    for (q <- Seq("martin_ratio", "dar", "skip_days_impact",
+        "intraday_overnight_split"))
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("beta_stability") <= 6,
+      s"beta_stability exceeded rolling-beta chain + asset agg: ${shuffles("beta_stability")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

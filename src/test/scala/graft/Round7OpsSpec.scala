@@ -586,11 +586,11 @@ class Round7OpsSpec extends SparkSpec {
     out.filter(_.getAs[Any]("sig") != null).foreach(r => assert(r.getAs[Double]("sig") === 1.0))
   }
 
-  test("nvi_pvi: constant volume never compounds either index") {
+  test("nvi_pvi: constant volume never compounds either log level") {
     val out = Analytics.nviPvi(oneTickPanel(Seq(100.0, 110.0, 121.0, 133.1))).collect()
     out.foreach { r =>
-      assert(r.getAs[Double]("nvi") === 1000.0)
-      assert(r.getAs[Double]("pvi") === 1000.0)
+      assert(r.getAs[Double]("nvi_log") === 0.0)
+      assert(r.getAs[Double]("pvi_log") === 0.0)
     }
   }
 
@@ -884,6 +884,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("ret_wo_best") < r.getAs[Double]("ret_wo_worst"))
     // all ten days are gains → dropping the best five still leaves gains ≥ 0
     assert(r.getAs[Double]("ret_wo_best") >= 0.0)
+  }
+
+  test("intraday_overnight_split: one-tick days put the whole return overnight") {
+    // open = close every day → intraday leg exactly 0; overnight leg
+    // carries ln(10/1)+ln(100/10)+… = the full path
+    val out = Analytics.intradayOvernightSplit(
+      oneTickPanel(Seq(1.0, 10.0, 100.0))).collect()
+    val r = out.head
+    assert(r.getAs[Double]("intraday_logret") === 0.0)
+    assert(math.abs(r.getAs[Double]("overnight_logret") - math.log(100.0)) < 1e-4)
+    assert(r.getAs[Double]("total_logret") === r.getAs[Double]("overnight_logret"))
+  }
+
+  test("beta_stability: a two-asset symmetric market keeps betas constant") {
+    // both assets carry the same VARYING return path (.1/.2 alternating
+    // — a constant market would zero the variance and null every beta),
+    // so each asset IS the market: beta pinned at 1, sd exactly 0
+    val a = oneTickPanel(Seq(100.0, 110.0, 132.0, 145.2, 174.24), asset = 1L)
+    val b = oneTickPanel(Seq(200.0, 220.0, 264.0, 290.4, 348.48), asset = 2L)
+    val out = Analytics.betaStability(a.unionByName(b)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_beta") === 1.0)
+      assert(r.getAs[Double]("beta_sd") === 0.0)
+    }
   }
 
   test("psar: a crash through the stop flips the trend short") {

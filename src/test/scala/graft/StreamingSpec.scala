@@ -1053,4 +1053,38 @@ class StreamingSpec extends SparkSpec {
       assert(got("2024-01-06")._4 === -1L)                    // the crash flips short
     } finally q.stop()
   }
+
+  test("smaCrossStream equals the batch sma_cross across a split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.OhlcStreamBar
+    val rows = (1 to 8).map { i =>
+      (1L, java.sql.Date.valueOf(f"2024-01-$i%02d"),
+        new java.sql.Timestamp(i * 1000L), i * 10.0, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val batch = graft.operators.Analytics.smaCross(rows).collect()
+      .map(r => (r.getDate(1).toString,
+        (r.getAs[Double]("sma_fast"), r.getAs[Double]("sma_slow"),
+          r.getAs[Long]("cross")))).toMap
+    val bars = graft.operators.Analytics.dailyBars(rows).collect()
+      .map(r => OhlcStreamBar(r.getAs[Long]("asset_id"), r.getAs[java.sql.Date]("date"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .sortBy(_.date.getTime)
+    val in = MemoryStream[OhlcStreamBar]
+    val q = StreamingOps.smaCrossStream(in.toDS())
+      .writeStream.format("memory").queryName("smax_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(bars.take(4)); q.processAllAvailable()
+      in.addData(bars.drop(4)); q.processAllAvailable()
+      val got = spark.table("smax_sink").collect()
+        .map(r => (r.getDate(1).toString,
+          (r.getAs[Double]("sma_fast"), r.getAs[Double]("sma_slow"),
+            r.getAs[Long]("cross")))).toMap
+      assert(got === batch)
+      assert(got.values.count(_._3 == 1L) === 1)              // the one golden cross
+    } finally q.stop()
+  }
 }
