@@ -434,4 +434,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Pipeline.gopherRules(weird).count() === 3)
     assert(Pipeline.tokenGini(weird).count() === 1)
   }
+
+  // ── exp-ulp witness (round-7 session 3) ──────────────────────────────
+  // The SECOND cross-engine determinism class, caught by the oracle on
+  // intraday_overnight_split's first gate: once exp(Σlog) exceeds
+  // ~2^33 ≈ e²³, ONE double ulp of the result is wider than the 10⁻⁶
+  // micro grid (the flap observed at e²¹·⁸ was a half-ulp landing on
+  // the grid boundary — the danger zone starts around e²¹) — so even with a bit-identical argument, the JVM's and
+  // libm's legitimate last-ulp freedom in exp() can move the u6-rounded
+  // output by a full micro step. Below that magnitude the grid is
+  // orders of magnitude coarser than the ulp and the exp emit is safe.
+  test("exp-ulp witness: above e^23 one ulp of exp crosses the micro grid") {
+    // the class is real: ulp(exp(23)) > 1e-6 — a last-ulp disagreement
+    // between two correctly-rounded-ish exp implementations is VISIBLE
+    // after u6; at arg 10 it is invisible by ~7 orders of magnitude
+    assert(math.ulp(math.exp(23.0)) > 1e-6)
+    assert(math.ulp(math.exp(10.0)) < 1e-9)
+    // one ulp of wiggle at the dangerous magnitude flips the u6 value…
+    val v = math.exp(23.0)
+    assert(Micro.jvm6(v) !== Micro.jvm6(Math.nextUp(v)))
+    // …and the log-level form (what nvi_pvi / intraday_overnight_split
+    // emit) is EXACT: micro-integer sums divided by 1e6 are on the grid
+    val micros = Seq(22300000L, -21961307L, 6916429L)
+    micros.foreach { m =>
+      val level = m.toDouble / 1e6
+      assert(Micro.jvm6(level) === level)   // already grid-exact, no rounding
+    }
+  }
 }
