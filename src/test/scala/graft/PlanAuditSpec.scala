@@ -255,6 +255,10 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("martin_ratio", "dar", "skip_days_impact",
         "intraday_overnight_split"))
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    for (q <- Seq("range_contraction"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("hapax_ratio") <= 3,
+      s"hapax_ratio exceeded word agg + source agg + sort: ${shuffles("hapax_ratio")}")
     assert(shuffles("beta_stability") <= 6,
       s"beta_stability exceeded rolling-beta chain + asset agg: ${shuffles("beta_stability")}")
   }

@@ -911,6 +911,19 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("range_contraction: a shrinking range flags NR7 only past the full lookback") {
+    // ranges 10,9,…,3 around a fixed center: every bar is the narrowest
+    // yet (NR fires once six prior bars exist) and sits strictly inside
+    // the previous one (inside-day from bar 2 on)
+    val bars = (0 until 8).map(i => (100.0 - (10.0 - i) / 2, 100.0 + (10.0 - i) / 2))
+    val out = Analytics.rangeContraction(twoTickPanel(bars)).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.take(6).forall(_.getAs[Long]("is_nr") == 0L))  // lookback not full
+    assert(out.drop(6).forall(_.getAs[Long]("is_nr") == 1L))  // always narrowest
+    assert(out.head.getAs[Long]("is_inside") === 0L)
+    assert(out.drop(1).forall(_.getAs[Long]("is_inside") == 1L))
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)

@@ -552,6 +552,18 @@ class Round7PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("other_pm") === 100L)
   }
 
+  test("hapax_ratio: singleton words count, repeated words do not") {
+    val d = docs(
+      (1L, "a a b c", "en", "s"),                             // a×2, b, c → 2 hapax of 3 types
+      (2L, "c d", "en", "s"))                                 // c joins doc1's c → not hapax
+    val out = Pipeline.hapaxRatio(d).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("n_types") === 4L)                   // a b c d
+    assert(r.getAs[Long]("n_hapax") === 2L)                   // b, d (a×2, c×2)
+    assert(r.getAs[Long]("hapax_pm") === 500L)
+  }
+
   test("winnow_density: one-window docs pin density at 1000; short docs drop") {
     val d = docs(
       (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window
