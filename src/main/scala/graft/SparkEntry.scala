@@ -685,6 +685,12 @@ object SparkEntry {
       Analytics.rangeContraction(Tables.panel(s, dir))),
     "hapax_ratio" -> ((s, dir) =>
       Pipeline.hapaxRatio(Tables.documents(s, dir))),
+    "volatility_ratio" -> ((s, dir) =>
+      Analytics.volatilityRatio(Tables.panel(s, dir))),
+    "acceleration" -> ((s, dir) =>
+      Analytics.acceleration(Tables.panel(s, dir))),
+    "length_by_lang" -> ((s, dir) =>
+      Pipeline.lengthByLang(Tables.documents(s, dir))),
     "sterling_ratio" -> ((s, dir) =>
       Analytics.sterlingRatio(Tables.panel(s, dir))),
     "minhash_band_histogram" -> ((s, dir) =>
@@ -5682,6 +5688,67 @@ object SparkEntry {
          |UNION ALL SELECT * FROM j8
          |UNION ALL SELECT * FROM j13
          |ORDER BY k""".stripMargin,
+    "volatility_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER ws AS sa, list(ret) OVER wl AS la
+         |  FROM rets
+         |  WINDOW ws AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         wl AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date,
+         |         CAST(len(sa) AS DOUBLE) AS ns, CAST(len(la) AS DOUBLE) AS nl,
+         |         list_reduce(list_prepend(0.0, sa), (a, x) -> a + x) AS ss,
+         |         list_reduce(list_prepend(0.0, list_transform(sa, x -> x * x)), (a, x) -> a + x) AS ss2,
+         |         list_reduce(list_prepend(0.0, la), (a, x) -> a + x) AS ls,
+         |         list_reduce(list_prepend(0.0, list_transform(la, x -> x * x)), (a, x) -> a + x) AS ls2
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, ns, nl,
+         |    CASE WHEN ns < 2 THEN NULL
+         |         ELSE floor(sqrt(greatest((ns * ss2 - ss * ss) / (ns * (ns - 1)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END AS sd_short,
+         |    CASE WHEN nl < 2 THEN NULL
+         |         ELSE floor(sqrt(greatest((nl * ls2 - ls * ls) / (nl * (nl - 1)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END AS sd_long
+         |  FROM g)
+         |SELECT asset_id, date, sd_short, sd_long,
+         |  CASE WHEN nl < 20 THEN NULL
+         |       ELSE floor((sd_short / nullif(sd_long, 0.0)) * 1000000.0 + 0.5) / 1000000.0 END AS vr
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "acceleration" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(close) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM bars),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, sma,
+         |    floor((sma - lag(sma, 1) OVER a) * 1000000.0 + 0.5) / 1000000.0 AS mom
+         |  FROM g
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, sma, mom,
+         |  floor((mom - lag(mom, 1) OVER a) * 1000000.0 + 0.5) / 1000000.0 AS accel
+         |FROM h
+         |WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |ORDER BY asset_id, date""".stripMargin,
+    "length_by_lang" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |         list_sort(list(n_chars)) AS ls
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, min_chars,
+        |  ls[CAST((len(ls) + 1) // 2 AS INTEGER)] AS median_chars,
+        |  max_chars
+        |FROM g ORDER BY lang""".stripMargin,
     "range_contraction" ->
       s"""$panelCte,
          |$barsCte,

@@ -5083,4 +5083,53 @@ object Analytics {
         col("is_nr"), col("is_inside"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B165 `volatility_ratio` — short-window over long-window realized
+    * vol per bar (5 vs 20 day sample std of u6 returns): the regime
+    * gauge (ratio > 1 = vol expanding). Both stds are the standard
+    * co-moment folds over frame arrays on one shared asset_id
+    * partitioning; bars without a full long lookback emit NULL ratio
+    * the same way in both engines (n guard, not data luck).
+    */
+  def volatilityRatio(panel: DataFrame, short: Int = 5, long: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    def sd(span: Int, out: String): DataFrame => DataFrame = df => {
+      val arr = collect_list(col("ret")).over(w.rowsBetween(-(span - 1), Window.currentRow))
+      df.withColumn(s"${out}_arr", arr)
+        .withColumn(s"${out}_n", size(col(s"${out}_arr")).cast("double"))
+        .withColumn(out, when(col(s"${out}_n") < 2, lit(null)).otherwise(
+          u6(sqrt(greatest(
+            (col(s"${out}_n") * Kernels.seqFold(col(s"${out}_arr"), "sumsq") -
+              Kernels.seqFold(col(s"${out}_arr"), "sum") *
+                Kernels.seqFold(col(s"${out}_arr"), "sum")) /
+              (col(s"${out}_n") * (col(s"${out}_n") - 1)), lit(0.0))))))
+    }
+    val base = daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+    sd(long, "sd_long")(sd(short, "sd_short")(base))
+      .withColumn("vr", when(col("sd_long_n") < long, lit(null)).otherwise(
+        u6(col("sd_short") / when(col("sd_long") === 0, lit(null)).otherwise(col("sd_long")))))
+      .select(col("asset_id"), col("date"), col("sd_short"), col("sd_long"), col("vr"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B166 `acceleration` — momentum of momentum: the 5-bar SMA's first
+    * and second differences (velocity and acceleration of the smoothed
+    * price). Pure lag arithmetic on the u6 fold mean — one fixed float
+    * op sequence, nulls at the series head propagate identically.
+    */
+  def acceleration(panel: DataFrame, span: Int = 5): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("close")).over(frame))
+      .withColumn("sma", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .withColumn("mom", u6(col("sma") - lag(col("sma"), 1).over(byAsset)))
+      .withColumn("accel", u6(col("mom") - lag(col("mom"), 1).over(byAsset)))
+      .select(col("asset_id"), col("date"), col("sma"), col("mom"), col("accel"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -1666,4 +1666,25 @@ object Pipeline {
       .select(col("source"), col("n_tokens"), col("n_types"),
         col("n_hapax"), col("hapax_pm"))
       .orderBy(col("source"))
+
+  /** C113 `length_by_lang` — document length distribution stratified
+    * by LABELED language: doc count, min/max and the exact median
+    * n_chars (an INTEGER ORDER STATISTIC off the sorted per-lang
+    * array — no percentile interpolation, no float). The
+    * stratification [[tokenLengthQuantiles]] doesn't give: truncation
+    * or boilerplate hitting ONE language (bad segmenter, a broken
+    * crawler locale) shows here first.
+    */
+  def lengthByLang(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        array_sort(collect_list(col("n_chars"))).as("ls"))
+      .withColumn("median_chars",
+        expr("element_at(ls, cast((size(ls) + 1) div 2 as int))"))
+      .select(col("lang"), col("n_docs"), col("min_chars"),
+        col("median_chars"), col("max_chars"))
+      .orderBy(col("lang"))
 }

@@ -259,6 +259,10 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
     assert(shuffles("hapax_ratio") <= 3,
       s"hapax_ratio exceeded word agg + source agg + sort: ${shuffles("hapax_ratio")}")
+    for (q <- Seq("volatility_ratio", "acceleration"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("length_by_lang") <= 2,
+      s"length_by_lang exceeded lang agg + sort: ${shuffles("length_by_lang")}")
     assert(shuffles("beta_stability") <= 6,
       s"beta_stability exceeded rolling-beta chain + asset agg: ${shuffles("beta_stability")}")
   }

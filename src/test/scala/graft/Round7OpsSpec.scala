@@ -924,6 +924,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.drop(1).forall(_.getAs[Long]("is_inside") == 1L))
   }
 
+  test("volatility_ratio: matched short/long windows on steady vol read 1") {
+    // alternating ±r-ish returns keep both sample stds equal once the
+    // long window saturates; before that vr is NULL by the n guard
+    val values = (0 until 24).scanLeft(100.0) { case (v, i) =>
+      v * (if (i % 2 == 0) 1.1 else 1.0 / 1.1)
+    }
+    val out = Analytics.volatilityRatio(oneTickPanel(values)).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.take(19).forall(_.getAs[Any]("vr") == null))   // lookback not full
+    val live = out.drop(19)
+    assert(live.nonEmpty)
+    live.foreach(r => assert(math.abs(r.getAs[Double]("vr") - 1.0) < 0.1))
+  }
+
+  test("acceleration: a linear ramp has constant velocity and zero acceleration") {
+    val out = Analytics.acceleration(oneTickPanel((1 to 10).map(_ * 10.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    // the SMA window fills at bar 5; mom is full-window-to-full-window
+    // from bar 6, so accel zeroes from bar 7 on
+    out.drop(5).foreach(r => assert(r.getAs[Double]("mom") === 10.0))
+    out.drop(6).foreach(r => assert(r.getAs[Double]("accel") === 0.0))
+    assert(out.head.getAs[Any]("mom") == null)                // no yesterday
+  }
+
   test("psar: a crash through the stop flips the trend short") {
     val out = Analytics.psar(oneTickPanel(Seq(10.0, 20.0, 30.0, 40.0, 50.0, 10.0)))
       .collect().sortBy(_.getDate(1).toString)

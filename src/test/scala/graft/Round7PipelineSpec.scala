@@ -564,6 +564,19 @@ class Round7PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("hapax_pm") === 500L)
   }
 
+  test("length_by_lang: exact lower-median order statistic per language") {
+    val d = Seq(
+      (1L, "x", "en", "s", 10L), (2L, "x", "en", "s", 30L),
+      (3L, "x", "en", "s", 20L), (4L, "x", "en", "s", 40L),
+      (5L, "x", "fr", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Pipeline.lengthByLang(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("median_chars") === 20L)     // lower median of 4
+    assert(out("en").getAs[Long]("min_chars") === 10L)
+    assert(out("en").getAs[Long]("max_chars") === 40L)
+    assert(out("fr").getAs[Long]("median_chars") === 7L)
+  }
+
   test("winnow_density: one-window docs pin density at 1000; short docs drop") {
     val d = docs(
       (1L, "abcdefghijk", "en", "web"),                       // 11 chars → 1 window
