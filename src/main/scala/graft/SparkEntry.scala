@@ -944,6 +944,21 @@ object SparkEntry {
       })
       Multimodal.mediaMeta(s.read.parquet(path))
     }),
+    // The decoder's hash-checked row: header metadata parsed from the
+    // payload BYTES alone (PNG IHDR big-endian dims + CRC check,
+    // RIFF/WAVE chunk walk, MPEG-PS pack start-code scan); the oracle
+    // replays the write-time header arithmetic from doc_id, so a parse
+    // bug (offset, endianness, chunk walk) goes red.
+    "multimodal_decode" -> ((s, dir) => {
+      evictMemosOnStop(s)
+      val path = mediaTablePath.computeIfAbsent((s, dir), { _ =>
+        val p = java.nio.file.Files.createTempDirectory("media").toString + "/media"
+        Multimodal.writeMediaTable(Tables.documents(s, dir), p)
+        p
+      })
+      import s.implicits._
+      Multimodal.mediaDecode(s.read.parquet(path).as[Multimodal.MediaRecord], 32)
+    }),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -2563,8 +2578,10 @@ object SparkEntry {
          |           - sqrt(gamma / (3.0 - 2.0 * sqrt(2.0)))) * 1000000.0 + 0.5) / 1000000.0 AS alpha
          |  FROM d)
          |SELECT asset_id, date, beta, gamma,
-         |  floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0 AS spread,
-         |  greatest(floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS spread_pos
+         |  CASE WHEN abs(alpha) > 21.0 THEN NULL
+         |       ELSE floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0 END AS spread,
+         |  CASE WHEN abs(alpha) > 21.0 THEN NULL
+         |       ELSE greatest(floor((2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha))) * 1000000.0 + 0.5) / 1000000.0, 0.0) END AS spread_pos
          |FROM e ORDER BY asset_id, date""".stripMargin,
     "vol_cone" ->
       s"""$panelCte,
@@ -4389,15 +4406,49 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // Payload = 4-byte modality magic + UTF-8 content bytes; DuckDB
-    // counts content bytes via octet_length(text::BLOB) (UTF-8 encode),
-    // matching Spark's cast-to-binary exactly.
+    // Payload = real container prefix + UTF-8 content bytes. Fixed
+    // overheads replay the writer: PNG sig+IHDR = 33, RIFF/WAVE header
+    // = 44, MPEG-PS = 14 bytes per pack × (doc_id % 30 + 1) packs.
+    // DuckDB counts content bytes via octet_length(text::BLOB) (UTF-8
+    // encode), matching Spark's getBytes("UTF-8") exactly.
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) + 4 AS BIGINT) AS n_bytes,
-        |  CAST(ceil((octet_length(CAST(text AS BLOB)) + 4) / 256.0) AS BIGINT) AS n_chunks,
+        |  CAST(octet_length(CAST(text AS BLOB)) +
+        |    CASE WHEN doc_id % 3 = 0 THEN 33
+        |         WHEN doc_id % 3 = 1 THEN 44
+        |         ELSE 14 * ((doc_id % 30) + 1) END AS BIGINT) AS n_bytes,
+        |  CAST(ceil((octet_length(CAST(text AS BLOB)) +
+        |    CASE WHEN doc_id % 3 = 0 THEN 33
+        |         WHEN doc_id % 3 = 1 THEN 44
+        |         ELSE 14 * ((doc_id % 30) + 1) END) / 256.0) AS BIGINT) AS n_chunks,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays the WRITE-TIME header arithmetic (Multimodal.imageWidth /
+    // audioSampleRate / videoPacks formulas) from doc_id; the Spark side
+    // gets these numbers ONLY by parsing the payload bytes, so this row
+    // certifies the byte-level parse. duration_ms = floor(dataBytes *
+    // 1000 / byteRate), byteRate = rate * channels * 2 (PCM s16).
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7 % 1905) + 16 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 13 % 1065) + 16 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |            WHEN doc_id % 3 = 1 THEN 0
+        |            ELSE (doc_id % 30) + 1 END AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+        |    CASE (doc_id // 3) % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+        |         WHEN 3 THEN 22050 WHEN 4 THEN 44100 ELSE 48000 END
+        |    ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN (doc_id % 2) + 1 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+        |    (octet_length(CAST(text AS BLOB)) * 1000) //
+        |    ((CASE (doc_id // 3) % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+        |          WHEN 3 THEN 22050 WHEN 4 THEN 44100 ELSE 48000 END)
+        |      * ((doc_id % 2) + 1) * 2)
+        |    ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH t AS (
@@ -5928,9 +5979,12 @@ object SparkEntry {
          |      (a, x) -> a + x) AS worst_micro
          |  FROM g)
          |SELECT asset_id, n_days,
-         |  floor((exp(CAST(total_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS total_ret,
-         |  floor((exp(CAST(total_micro - best_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret_wo_best,
-         |  floor((exp(CAST(total_micro - worst_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret_wo_worst
+         |  CASE WHEN abs(CAST(total_micro AS DOUBLE) / 1000000.0) > 21.0 THEN NULL
+         |       ELSE floor((exp(CAST(total_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 END AS total_ret,
+         |  CASE WHEN abs(CAST(total_micro - best_micro AS DOUBLE) / 1000000.0) > 21.0 THEN NULL
+         |       ELSE floor((exp(CAST(total_micro - best_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 END AS ret_wo_best,
+         |  CASE WHEN abs(CAST(total_micro - worst_micro AS DOUBLE) / 1000000.0) > 21.0 THEN NULL
+         |       ELSE floor((exp(CAST(total_micro - worst_micro AS DOUBLE) / 1000000.0) - 1) * 1000000.0 + 0.5) / 1000000.0 END AS ret_wo_worst
          |FROM f ORDER BY asset_id""".stripMargin,
     "high_low_index" ->
       s"""$panelCte,
@@ -6551,10 +6605,13 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS n_lines,
         |         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
         |  FROM l JOIN c USING (line) GROUP BY doc_id)
-        |SELECT doc_id, n_lines, n_dup_lines,
-        |  CASE WHEN n_lines = 0 THEN NULL
-        |       ELSE (1000 * n_dup_lines) // n_lines END AS dup_pm
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  coalesce(g.n_lines, 0) AS n_lines,
+        |  coalesce(g.n_dup_lines, 0) AS n_dup_lines,
+        |  CASE WHEN coalesce(g.n_lines, 0) = 0 THEN NULL
+        |       ELSE (1000 * g.n_dup_lines) // g.n_lines END AS dup_pm
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "source_jsd" ->
       """WITH w0 AS (
         |  SELECT source,
@@ -6760,7 +6817,8 @@ object SparkEntry {
          |SELECT asset_id, n_days,
          |  floor(rv * 1000000.0 + 0.5) / 1000000.0 AS rv,
          |  floor(bv * 1000000.0 + 0.5) / 1000000.0 AS bv,
-         |  floor(greatest(1.0 - bv / nullif(rv, 0.0), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS jump_share
+         |  CASE WHEN rv = 0.0 THEN NULL
+         |       ELSE floor(greatest(1.0 - bv / rv, 0.0) * 1000000.0 + 0.5) / 1000000.0 END AS jump_share
          |FROM g ORDER BY asset_id""".stripMargin,
     "heikin_ashi" ->
       s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

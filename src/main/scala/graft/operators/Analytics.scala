@@ -3269,6 +3269,15 @@ object Analytics {
     * exponentiate the identical double (the [[parkinsonVol]]/zipf ln
     * discipline extended to exp).
     */
+  /** |exp arg| bound below which one double ulp of exp() stays far
+    * under the 1e-6 micro grid, so JVM-vs-libm last-ulp freedom cannot
+    * cross a u6 rounding boundary (the intraday_overnight_split
+    * lesson, r7). Emitters that exponentiate a u6/micro-grid argument
+    * null out beyond it BY CONSTRUCTION — extreme data degrades to
+    * NULL, never to a silent cross-engine flap.
+    */
+  val ExpSafeArg = 21.0
+
   def corwinSchultz(panel: DataFrame): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val d = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
@@ -3285,9 +3294,14 @@ object Analytics {
       .withColumn("gamma", u6(log(col("hh") / col("ll")) * log(col("hh") / col("ll"))))
       .withColumn("alpha", u6(
         (sqrt(lit(2.0) * col("beta")) - sqrt(col("beta"))) / d - sqrt(col("gamma") / d)))
-      .withColumn("spread", u6(
-        lit(2.0) * (exp(col("alpha")) - 1) / (lit(1.0) + exp(col("alpha")))))
-      .withColumn("spread_pos", greatest(col("spread"), lit(0.0)))
+      // |α| beyond ExpSafeArg → NULL by construction (never hit by real
+      // spreads — α is a log-range combination ≪ 1 — but guarded so the
+      // exp-ulp class can't ship silently on degenerate data).
+      .withColumn("spread", when(abs(col("alpha")) > ExpSafeArg, lit(null).cast("double"))
+        .otherwise(u6(
+          lit(2.0) * (exp(col("alpha")) - 1) / (lit(1.0) + exp(col("alpha"))))))
+      .withColumn("spread_pos", when(col("spread").isNull, lit(null).cast("double"))
+        .otherwise(greatest(col("spread"), lit(0.0))))
       .select(col("asset_id"), col("date"), col("beta"), col("gamma"),
         col("spread"), col("spread_pos"))
       .orderBy(col("asset_id"), col("date"))
@@ -4132,9 +4146,11 @@ object Analytics {
           slice(col("ra"), lit(2), size(col("ra")) - 1),
           (a, b) => abs(a) * abs(b)), "sum"))
       .withColumn("bv", lit(math.Pi / 2.0) * col("adj"))
-      .withColumn("jump_share", u6(greatest(
-        lit(1.0) - col("bv") / when(col("rv") === 0, lit(null)).otherwise(col("rv")),
-        lit(0.0))))
+      // rv = 0 (all-flat asset) yields NULL jump_share EXPLICITLY — the
+      // codebase's zero-denominator convention — rather than leaning on
+      // engine-specific greatest() NULL-skipping (r7 ADVICE).
+      .withColumn("jump_share", when(col("rv") === 0, lit(null).cast("double"))
+        .otherwise(u6(greatest(lit(1.0) - col("bv") / col("rv"), lit(0.0)))))
       .select(col("asset_id"), col("n_days"),
         u6(col("rv")).as("rv"), u6(col("bv")).as("bv"), col("jump_share"))
       .orderBy(col("asset_id"))
@@ -4973,8 +4989,14 @@ object Analytics {
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
-    def comp(sumMicro: Column): Column =
-      u6(exp(sumMicro.cast("double") / 1e6) - 1)
+    // |Σlog| beyond ExpSafeArg → NULL by construction (see the
+    // [[corwinSchultz]] constant): the emit degrades loudly instead of
+    // flapping on the exp-ulp × micro-grid class.
+    def comp(sumMicro: Column): Column = {
+      val x = sumMicro.cast("double") / 1e6
+      when(abs(x) > ExpSafeArg, lit(null).cast("double"))
+        .otherwise(u6(exp(x) - 1))
+    }
     daily
       .withColumn("lr", u6(log(col("value") /
         when(prev <= 0 || col("value") <= 0, lit(null)).otherwise(prev))))

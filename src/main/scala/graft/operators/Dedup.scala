@@ -954,10 +954,19 @@ object Dedup {
       .select(col("doc_id"), trim(col("raw")).as("line"))
       .filter(length(col("line")) >= minLen)
     val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
-    lines.join(counts, Seq("line"))
+    val perDoc = lines.join(counts, Seq("line"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+    // Left-join back so a doc with ZERO qualifying lines still appears
+    // (n_lines = 0, dup_pm NULL): "no boilerplate" and "not measured"
+    // are different answers (r7 ADVICE — the inner groupBy can never
+    // emit n_lines = 0 on its own).
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"))
       .withColumn("dup_pm", when(col("n_lines") === 0, lit(null))
         .otherwise(expr("(1000 * n_dup_lines) div n_lines")))
       .orderBy(col("doc_id"))

@@ -1041,7 +1041,7 @@ object StreamingOps {
   case class OhlcStreamBar(asset_id: Long, date: java.sql.Date,
                            open: Double, high: Double, low: Double,
                            close: Double, n_ticks: Long)
-  case class HaState(ho: Double, hc: Double)
+  case class HaState(ho: Double, hc: Double, lastDate: Long = Long.MinValue)
   case class HaPoint(asset_id: Long, date: java.sql.Date,
                      ha_open: Double, ha_close: Double,
                      ha_high: Double, ha_low: Double)
@@ -1053,12 +1053,17 @@ object StreamingOps {
     * quarter is micro-rounded with the same left-assoc op order as the
     * batch fold, so stream and batch candles agree bitwise across any
     * micro-batch split (spec-asserted). Arrival-ordered contract
-    * across batches, rows sorted by date within a batch.
+    * across batches, rows sorted by date within a batch; a bar arriving
+    * in a later micro-batch with a date ≤ the last emitted one is
+    * DROPPED and counted in the `graft.heikinAshiStream.lateDropped`
+    * accumulator — a violated contract surfaces as a metric instead of
+    * silently poisoning the recursion (r7 ADVICE).
     */
   def heikinAshiStream(bars: Dataset[OhlcStreamBar]): Dataset[HaPoint] = {
     val spark = bars.sparkSession
     import spark.implicits._
     import graft.operators.Micro.jvm6
+    val late = spark.sparkContext.longAccumulator("graft.heikinAshiStream.lateDropped")
     bars
       .groupByKey(_.asset_id)
       .flatMapGroupsWithState[HaState, HaPoint](
@@ -1067,13 +1072,16 @@ object StreamingOps {
           var st = state.getOption.orNull
           val out = Vector.newBuilder[HaPoint]
           rows.toSeq.sortBy(_.date.getTime).foreach { b =>
-            val hc = jvm6((b.open + b.high + b.low + b.close) / 4)
-            val ho =
-              if (st == null) jvm6((b.open + b.close) / 2)
-              else jvm6((st.ho + st.hc) / 2)
-            out += HaPoint(assetId, b.date, ho, hc,
-              math.max(b.high, math.max(ho, hc)), math.min(b.low, math.min(ho, hc)))
-            st = HaState(ho, hc)
+            if (st != null && b.date.getTime <= st.lastDate) late.add(1L)
+            else {
+              val hc = jvm6((b.open + b.high + b.low + b.close) / 4)
+              val ho =
+                if (st == null) jvm6((b.open + b.close) / 2)
+                else jvm6((st.ho + st.hc) / 2)
+              out += HaPoint(assetId, b.date, ho, hc,
+                math.max(b.high, math.max(ho, hc)), math.min(b.low, math.min(ho, hc)))
+              st = HaState(ho, hc, b.date.getTime)
+            }
           }
           if (st != null) state.update(st)
           out.result().iterator
@@ -1081,7 +1089,8 @@ object StreamingOps {
   }
 
   case class StState(trs: Vector[Double], prevClose: Double,
-                     fub: Double, flb: Double, dir: Long)
+                     fub: Double, flb: Double, dir: Long,
+                     lastDate: Long = Long.MinValue)
   case class StPoint(asset_id: Long, date: java.sql.Date, close: Double,
                      fub: Double, flb: Double, dir: Long, supertrend: Double)
 
@@ -1092,6 +1101,8 @@ object StreamingOps {
     * direction. Every band is micro-rounded at the same points as the
     * batch op, so the ratchet comparisons — and therefore the flips —
     * replay bitwise across micro-batch splits (spec-asserted).
+    * Out-of-order bars across batches are dropped + counted
+    * (`graft.supertrendStream.lateDropped`), never folded.
     */
   def supertrendStream(bars: Dataset[OhlcStreamBar], span: Int = 10,
                        mult: Double = 3.0): Dataset[StPoint] = {
@@ -1099,6 +1110,7 @@ object StreamingOps {
     import spark.implicits._
     import graft.operators.Micro.jvm6
     val w = (span - 1).toDouble / span
+    val late = spark.sparkContext.longAccumulator("graft.supertrendStream.lateDropped")
     bars
       .groupByKey(_.asset_id)
       .flatMapGroupsWithState[StState, StPoint](
@@ -1106,7 +1118,10 @@ object StreamingOps {
         (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[StState]) =>
           var st = state.getOption.orNull
           val out = Vector.newBuilder[StPoint]
-          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+          rows.toSeq.sortBy(_.date.getTime)
+            .foreach { b =>
+            if (st != null && b.date.getTime <= st.lastDate) { late.add(1L); }
+            else {
             val tr = jvm6(
               if (st == null) b.high - b.low
               else math.max(b.high - b.low,
@@ -1131,14 +1146,16 @@ object StreamingOps {
               }
             out += StPoint(assetId, b.date, b.close, fub, flb, dir,
               if (dir == 1L) flb else fub)
-            st = StState(ring, b.close, fub, flb, dir)
+            st = StState(ring, b.close, fub, flb, dir, b.date.getTime)
+            }
           }
           if (st != null) state.update(st)
           out.result().iterator
       }
   }
 
-  case class SmaCrossState(ring: Vector[Double], pf: Option[Double], ps: Option[Double])
+  case class SmaCrossState(ring: Vector[Double], pf: Option[Double], ps: Option[Double],
+                           lastDate: Long = Long.MinValue)
   case class SmaCrossPoint(asset_id: Long, date: java.sql.Date, close: Double,
                            sma_fast: Double, sma_slow: Double, cross: Long)
 
@@ -1148,7 +1165,8 @@ object StreamingOps {
     * both SMAs are re-folded left-to-right over the ring exactly as
     * the batch frame folds, u6 at the same points, so the cross
     * comparisons replay bitwise across micro-batch splits
-    * (spec-asserted).
+    * (spec-asserted). Out-of-order bars across batches are dropped +
+    * counted (`graft.smaCrossStream.lateDropped`), never folded.
     */
   def smaCrossStream(bars: Dataset[OhlcStreamBar], fast: Int = 5,
                      slow: Int = 20): Dataset[SmaCrossPoint] = {
@@ -1160,6 +1178,7 @@ object StreamingOps {
       xs.foreach(x => s = s + x)
       jvm6(s / xs.length)
     }
+    val late = spark.sparkContext.longAccumulator("graft.smaCrossStream.lateDropped")
     bars
       .groupByKey(_.asset_id)
       .flatMapGroupsWithState[SmaCrossState, SmaCrossPoint](
@@ -1168,18 +1187,21 @@ object StreamingOps {
           var st = state.getOption.getOrElse(SmaCrossState(Vector.empty, None, None))
           val out = Vector.newBuilder[SmaCrossPoint]
           rows.toSeq.sortBy(_.date.getTime).foreach { b =>
-            val ring = (st.ring :+ b.close).takeRight(slow)
-            val f = sma(ring.takeRight(fast))
-            val s = sma(ring)
-            val cross = (st.pf, st.ps) match {
-              case (Some(pf), Some(ps)) =>
-                if (f > s && pf <= ps) 1L
-                else if (f < s && pf >= ps) -1L
-                else 0L
-              case _ => 0L
+            if (b.date.getTime <= st.lastDate) late.add(1L)
+            else {
+              val ring = (st.ring :+ b.close).takeRight(slow)
+              val f = sma(ring.takeRight(fast))
+              val s = sma(ring)
+              val cross = (st.pf, st.ps) match {
+                case (Some(pf), Some(ps)) =>
+                  if (f > s && pf <= ps) 1L
+                  else if (f < s && pf >= ps) -1L
+                  else 0L
+                case _ => 0L
+              }
+              out += SmaCrossPoint(assetId, b.date, b.close, f, s, cross)
+              st = SmaCrossState(ring, Some(f), Some(s), b.date.getTime)
             }
-            out += SmaCrossPoint(assetId, b.date, b.close, f, s, cross)
-            st = SmaCrossState(ring, Some(f), Some(s))
           }
           state.update(st)
           out.result().iterator
@@ -1187,7 +1209,8 @@ object StreamingOps {
   }
 
   case class PsarState(high: Double, low: Double, close: Double,
-                       sar: Double, ep: Double, af: Double, dir: Long)
+                       sar: Double, ep: Double, af: Double, dir: Long,
+                       lastDate: Long = Long.MinValue)
   case class PsarPoint(asset_id: Long, date: java.sql.Date, close: Double,
                        sar: Double, ep: Double, af: Double, dir: Long)
 
@@ -1197,12 +1220,15 @@ object StreamingOps {
     * the previous bar's extremes plus (sar, ep, af, dir) — dir 0 marks
     * "seed bar only". Every SAR/AF value is micro-rounded at the batch
     * fold's exact points, so flips replay bitwise across micro-batch
-    * splits (spec-asserted, including a trend flip).
+    * splits (spec-asserted, including a trend flip). Out-of-order
+    * bars across batches are dropped + counted
+    * (`graft.psarStream.lateDropped`), never folded.
     */
   def psarStream(bars: Dataset[OhlcStreamBar]): Dataset[PsarPoint] = {
     val spark = bars.sparkSession
     import spark.implicits._
     import graft.operators.Micro.jvm6
+    val late = spark.sparkContext.longAccumulator("graft.psarStream.lateDropped")
     bars
       .groupByKey(_.asset_id)
       .flatMapGroupsWithState[PsarState, PsarPoint](
@@ -1211,15 +1237,17 @@ object StreamingOps {
           var st = state.getOption.orNull
           val out = Vector.newBuilder[PsarPoint]
           rows.toSeq.sortBy(_.date.getTime).foreach { b =>
-            if (st == null) {
-              st = PsarState(b.high, b.low, b.close, 0.0, 0.0, 0.0, 0L)
+            if (st != null && b.date.getTime <= st.lastDate) {
+              late.add(1L)
+            } else if (st == null) {
+              st = PsarState(b.high, b.low, b.close, 0.0, 0.0, 0.0, 0L, b.date.getTime)
             } else if (st.dir == 0L) {
               val up = b.close >= st.close
               val sar = if (up) math.min(st.low, b.low) else math.max(st.high, b.high)
               val ep = if (up) math.max(st.high, b.high) else math.min(st.low, b.low)
               val dir = if (up) 1L else -1L
               out += PsarPoint(assetId, b.date, b.close, sar, ep, 0.02, dir)
-              st = PsarState(b.high, b.low, b.close, sar, ep, 0.02, dir)
+              st = PsarState(b.high, b.low, b.close, sar, ep, 0.02, dir, b.date.getTime)
             } else {
               val sarRaw = jvm6(st.sar + st.af * (st.ep - st.sar))
               val sarCl =
@@ -1237,7 +1265,7 @@ object StreamingOps {
                 else st.af
               val dir = if (flipped) -st.dir else st.dir
               out += PsarPoint(assetId, b.date, b.close, sar, ep, af, dir)
-              st = PsarState(b.high, b.low, b.close, sar, ep, af, dir)
+              st = PsarState(b.high, b.low, b.close, sar, ep, af, dir, b.date.getTime)
             }
           }
           if (st != null) state.update(st)

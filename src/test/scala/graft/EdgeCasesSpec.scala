@@ -461,4 +461,41 @@ class EdgeCasesSpec extends SparkSpec {
       assert(Micro.jvm6(level) === level)   // already grid-exact, no rounding
     }
   }
+
+  // r7 VERDICT #6: the two remaining exp EMITTERS guard the bound by
+  // construction — an argument beyond |21| nulls out instead of
+  // shipping a value one exp-ulp could flap cross-engine.
+  test("exp emitters null out beyond the safe bound instead of flapping") {
+    // skip_days_impact: 30 days compounding by e² per day → Σlog = 58,
+    // far past the bound; every exp-derived column must be NULL.
+    val hot = (1 to 30).map { i =>
+      (1L, Date.valueOf(f"2024-01-$i%02d"), new Timestamp(i * 1000L),
+        math.exp(2.0 * i), i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val sdi = Analytics.skipDaysImpact(hot).collect()
+    assert(sdi.length === 1)
+    assert(sdi(0).getAs[Any]("total_ret") == null)
+    assert(sdi(0).getAs[Any]("ret_wo_best") == null)
+    assert(sdi(0).getAs[Any]("ret_wo_worst") == null)
+    // …while a tame panel still emits real numbers through the guard
+    val tame = (1 to 30).map { i =>
+      (1L, Date.valueOf(f"2024-01-$i%02d"), new Timestamp(i * 1000L),
+        100.0 + i, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.skipDaysImpact(tame).collect()(0).getAs[Any]("total_ret") != null)
+
+    // corwin_schultz: intraday range of e^40 drives |α| past the bound
+    // → spread AND spread_pos NULL (not 0 — the zero-denominator
+    // convention extends to guarded emits).
+    val wild = (1 to 4).flatMap { i =>
+      Seq((1L, Date.valueOf(f"2024-02-$i%02d"), new Timestamp(i * 2000L), math.exp(40.0), 2L * i),
+        (1L, Date.valueOf(f"2024-02-$i%02d"), new Timestamp(i * 2000L + 1), 1e-6, 2L * i + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val cs = Analytics.corwinSchultz(wild).collect()
+    assert(cs.nonEmpty)
+    cs.foreach { r =>
+      assert(r.getAs[Any]("spread") == null)
+      assert(r.getAs[Any]("spread_pos") == null)
+    }
+  }
 }

@@ -384,7 +384,10 @@ class Round7PipelineSpec extends SparkSpec {
       (2L, s"$shared\nanother unique line here", "en", "web"),
       (3L, "short\nno", "en", "web"))                          // all lines < 10 chars
     val out = Dedup.lineDups(d).collect().map(r => r.getLong(0) -> r).toMap
-    assert(!out.contains(3L))
+    // a doc with NO qualifying lines still reports: n_lines 0, dup_pm
+    // NULL — "not measured" is distinguishable from "no boilerplate"
+    assert(out(3L).getAs[Long]("n_lines") === 0L)
+    assert(out(3L).getAs[Any]("dup_pm") == null)
     for (id <- Seq(1L, 2L)) {
       assert(out(id).getAs[Long]("n_lines") === 2L)
       assert(out(id).getAs[Long]("n_dup_lines") === 1L)

@@ -281,21 +281,41 @@ class SourcesSpec extends SparkSpec {
     assert(pruned === feb.toLong, s"pruned=$pruned feb=$feb")
   }
 
-  test("multimodal decode pipeline emits deterministic features per record") {
+  test("multimodal decoder parses real container headers byte-for-byte") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val media = Multimodal.mediaFromDocuments(docs)
     val feats1 = Multimodal.decodePipeline(media, partitions = 4).collect().sortBy(_.media_id)
     val feats2 = Multimodal.decodePipeline(media, partitions = 2).collect().sortBy(_.media_id)
     assert(feats1.length === 50)
-    assert(feats1.map(f => (f.media_id, f.checksum, f.width, f.height)).toSeq ===
-      feats2.map(f => (f.media_id, f.checksum, f.width, f.height)).toSeq)
-    assert(feats1.forall(f => f.width >= 1 && f.width <= 1920 && f.height >= 1 && f.height <= 1080))
-    assert(feats1.filter(_.kind == "video").forall(_.n_frames >= 1))
+    assert(feats1.toSeq === feats2.toSeq) // partition-count invariant
 
-    // resize stage: aspect-preserving fit into 256×256, never upscaling
-    val resized = Multimodal.resize(
-      Multimodal.decodePipeline(media, partitions = 4), 256, 256).collect()
+    // parsed-from-bytes metadata must equal the write-time formulas
+    feats1.foreach { f =>
+      f.kind match {
+        case "image" =>
+          assert(f.width === Multimodal.imageWidth(f.media_id), s"width of ${f.media_id}")
+          assert(f.height === Multimodal.imageHeight(f.media_id))
+          assert(f.n_frames === 1 && f.sample_rate === 0)
+        case "audio" =>
+          assert(f.sample_rate === Multimodal.audioSampleRate(f.media_id))
+          assert(f.channels === Multimodal.audioChannels(f.media_id))
+          assert(f.width === 0 && f.n_frames === 0)
+          val byteRate = f.sample_rate.toLong * f.channels * 2
+          val dataBytes = f.n_bytes - Multimodal.WavOverhead
+          assert(f.duration_ms === dataBytes * 1000L / byteRate)
+        case "video" =>
+          assert(f.n_frames === Multimodal.videoPacks(f.media_id), s"packs of ${f.media_id}")
+          assert(f.width === 0 && f.sample_rate === 0)
+      }
+    }
+
+    // resize stage: images only (WAVE/PS headers carry no frame dims),
+    // aspect-preserving fit into 256×256, never upscaling
+    val decoded = Multimodal.decodePipeline(media, partitions = 4)
+    val resized = Multimodal.resize(decoded, 256, 256).collect()
+    assert(resized.length === feats1.count(_.kind == "image"))
     resized.foreach { r =>
+      assert(r.kind === "image")
       assert(r.target_w <= 256 && r.target_h <= 256 && r.target_w >= 1 && r.target_h >= 1)
       assert(r.target_w <= r.width && r.target_h <= r.height) // no upscale
       assert(r.scale_micro <= 1000000L)
@@ -308,15 +328,40 @@ class SourcesSpec extends SparkSpec {
       assert(r.target_w === r.width && r.target_h === r.height && r.scale_micro === 1000000L)
     }
 
-    // frame-sample stage: ceil(n_frames/N) refs per video, 1 per image/audio
-    val frames = Multimodal.frameSample(
-      Multimodal.decodePipeline(media, partitions = 4), everyN = 10).collect()
+    // frame-sample stage: ceil(n_frames/N) refs per video, 1 per image,
+    // none for audio (no frame concept)
+    val frames = Multimodal.frameSample(decoded, everyN = 10).collect()
     val byId = frames.groupBy(_.media_id)
     feats1.foreach { f =>
-      val expected = if (f.kind == "video") (f.n_frames + 9) / 10 else 1
-      assert(byId(f.media_id).length === expected, s"media ${f.media_id}")
-      assert(byId(f.media_id).map(_.frame_idx).min === 0) // frame 0 always sampled
+      val expected = f.kind match {
+        case "video" => (f.n_frames + 9) / 10
+        case "image" => 1
+        case _       => 0
+      }
+      assert(byId.get(f.media_id).map(_.length).getOrElse(0) === expected, s"media ${f.media_id}")
+      if (expected > 0)
+        assert(byId(f.media_id).map(_.frame_idx).min === 0) // frame 0 always sampled
     }
+  }
+
+  test("header parsers are strict: corrupt headers fail loudly") {
+    import Multimodal.HeaderDecoder
+    val png = Multimodal.pngPayload(42L, "hello".getBytes("UTF-8"))
+    assert(HeaderDecoder.parsePng(png) === (Multimodal.imageWidth(42L), Multimodal.imageHeight(42L)))
+    // flip a width byte: CRC-32 over IHDR must catch it
+    val corrupt = png.clone(); corrupt(17) = (corrupt(17) ^ 0x1).toByte
+    intercept[IllegalArgumentException](HeaderDecoder.parsePng(corrupt))
+
+    val wav = Multimodal.wavPayload(43L, "abcdefgh".getBytes("UTF-8"))
+    val (rate, ch, _) = HeaderDecoder.parseWav(wav)
+    assert(rate === Multimodal.audioSampleRate(43L) && ch === Multimodal.audioChannels(43L))
+    // truncated RIFF rejects
+    intercept[IllegalArgumentException](HeaderDecoder.parseWav(wav.take(20)))
+
+    val mpeg = Multimodal.mpegPayload(44L, "x".getBytes("UTF-8") ++ Array.fill(100)('y'.toByte))
+    assert(HeaderDecoder.countPacks(mpeg) === Multimodal.videoPacks(44L))
+    // a payload with no pack start code rejects
+    intercept[IllegalArgumentException](HeaderDecoder.countPacks(Array.fill(64)(0x20.toByte)))
   }
 
   test("media table round-trips a genuine BINARY payload through parquet") {

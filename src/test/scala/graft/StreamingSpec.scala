@@ -1020,6 +1020,44 @@ class StreamingSpec extends SparkSpec {
     } finally { qHa.stop(); qSt.stop() }
   }
 
+  test("recursive streams drop out-of-order bars instead of folding them") {
+    // r7 ADVICE: a bar arriving in a LATER micro-batch with an earlier
+    // (or equal) date must not enter the recursion — it is dropped and
+    // counted, so the emitted candles equal the in-order batch run.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.OhlcStreamBar
+    def bar(day: Int, v: Double) = OhlcStreamBar(
+      1L, java.sql.Date.valueOf(f"2024-02-$day%02d"), v, v + 1, v - 1, v + 0.5, 1L)
+    val inOrder = Seq(bar(1, 10.0), bar(2, 12.0), bar(3, 11.0), bar(4, 13.0))
+    val in = MemoryStream[OhlcStreamBar]
+    val q = StreamingOps.heikinAshiStream(in.toDS())
+      .writeStream.format("memory").queryName("ha_late_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(inOrder.take(3)); q.processAllAvailable()
+      // day 2 re-arrives late (dup) plus a genuinely earlier day-1 bar
+      // with different values that WOULD change the recursion if folded
+      in.addData(Seq(bar(2, 99.0), bar(1, 55.0), bar(4, 13.0))); q.processAllAvailable()
+      val got = spark.table("ha_late_sink").collect()
+        .map(r => (r.getDate(1).toString, r.getAs[Double]("ha_open"), r.getAs[Double]("ha_close")))
+        .sortBy(_._1)
+      // reference: the same four bars streamed strictly in order
+      val in2 = MemoryStream[OhlcStreamBar]
+      val q2 = StreamingOps.heikinAshiStream(in2.toDS())
+        .writeStream.format("memory").queryName("ha_late_ref")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in2.addData(inOrder); q2.processAllAvailable()
+        val want = spark.table("ha_late_ref").collect()
+          .map(r => (r.getDate(1).toString, r.getAs[Double]("ha_open"), r.getAs[Double]("ha_close")))
+          .sortBy(_._1)
+        assert(got.toSeq === want.toSeq)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("psarStream equals the batch psar across a split, including a flip") {
     val spark0 = spark
     import spark0.implicits._
