@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.TextFns
+import graft.streaming.StreamReplay
+import graft.sources.TickStore
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -959,6 +961,59 @@ object SparkEntry {
       import s.implicits._
       Multimodal.mediaDecode(s.read.parquet(path).as[Multimodal.MediaRecord], 32)
     }),
+    // ── TickStore lifecycle, driver-checked: the store's write →
+    // append(revisions) → compact → read round trip must equal the
+    // relational LWW collapse DuckDB computes from the same rows; the
+    // vacuum row proves retention drops exactly the pre-cutoff months.
+    "tickstore_compact" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("ts_compact").toString + "/store"
+      val panel = Tables.panel(s, dir)
+      TickStore.write(panel, path)
+      // revision batch: every 10th asset re-ships its ticks with a
+      // bumped seq and doubled value — compaction's LWW must keep these
+      val rev = panel.filter(col("asset_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("seq", col("seq") + 1000000000L)
+      TickStore.append(rev, path)
+      TickStore.compact(s, path)
+      TickStore.read(s, path)
+        .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+        .orderBy(col("asset_id"), col("date"))
+    }),
+    "tickstore_vacuum" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("ts_vacuum").toString + "/store"
+      // spread the one-month panel across 6 months (add_months clamps
+      // the day-of-month identically in Spark and DuckDB) so retention
+      // has real month directories to drop
+      val shifted = Tables.panel(s, dir)
+        .withColumn("date", add_months(col("date"), (col("asset_id") % 6).cast("int")))
+      TickStore.write(shifted, path)
+      TickStore.vacuum(s, path, keepFromMonth = "2024-04")
+      TickStore.read(s, path)
+        .groupBy(col("date_month"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("asset_id")).as("n_assets"))
+        .orderBy(col("date_month"))
+    }),
+    // rows-only by design: file counts/bytes are storage-engine facts
+    // DuckDB cannot replay; the driver records row count > 0.
+    "tickstore_stats" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("ts_stats").toString + "/store"
+      val shifted = Tables.panel(s, dir)
+        .withColumn("date", add_months(col("date"), (col("asset_id") % 6).cast("int")))
+      TickStore.write(shifted, path)
+      TickStore.stats(s, path).orderBy(col("date_month"))
+    }),
+    // ── D-family promotions: the streaming ops themselves, replayed
+    // through MemoryStream micro-batches (graft.streaming.StreamReplay)
+    // and hash-checked against their batch twins' oracle SQL ──────────
+    "stream_ohlc" -> ((s, dir) => StreamReplay.streamOhlc(s, dir)),
+    "stream_rolling_vol" -> ((s, dir) => StreamReplay.streamRollingVol(s, dir)),
+    "stream_drawdown" -> ((s, dir) => StreamReplay.streamDrawdown(s, dir)),
+    "stream_donchian" -> ((s, dir) => StreamReplay.streamDonchian(s, dir)),
+    "stream_heikin_ashi" -> ((s, dir) => StreamReplay.streamHeikinAshi(s, dir)),
+    "stream_supertrend" -> ((s, dir) => StreamReplay.streamSupertrend(s, dir)),
+    "stream_psar" -> ((s, dir) => StreamReplay.streamPsar(s, dir)),
+    "stream_sma_cross" -> ((s, dir) => StreamReplay.streamSmaCross(s, dir)),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -1586,7 +1641,52 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** The streaming replays' oracle IS the batch twin's SQL — same
+    * columns, same values (the twins are bit-equal by construction and
+    * spec; the replay rows simply re-enter the hash gate).
+    */
+  private def streamOracleAliases(base: Map[String, String]): Map[String, String] = Map(
+    "stream_ohlc" -> base("bars_5min"),
+    "stream_rolling_vol" -> base("rolling_vol"),
+    "stream_drawdown" -> base("drawdown"),
+    "stream_donchian" -> base("donchian"),
+    "stream_heikin_ashi" -> base("heikin_ashi"),
+    "stream_supertrend" -> base("supertrend"),
+    "stream_psar" -> base("psar"),
+    "stream_sma_cross" -> base("sma_cross"))
+
+  /** TickStore lifecycle oracles: DuckDB replays the revision batch and
+    * the LWW collapse (compact), and the month-shift + retention filter
+    * (vacuum), relationally. `tickstore_stats` is deliberately absent —
+    * file counts/bytes are storage facts with no relational replay
+    * (rows-only per protocol).
+    */
+  private val tickStoreOracles: Map[String, String] = Map(
+    "tickstore_compact" ->
+      s"""$panelCte,
+         |rev AS (
+         |  SELECT asset_id, date, ts, value * 2 AS value, seq + 1000000000 AS seq
+         |  FROM panel WHERE asset_id % 10 = 0),
+         |a AS (SELECT * FROM panel UNION ALL SELECT * FROM rev)
+         |SELECT asset_id, date, ts, value, seq FROM (
+         |  SELECT asset_id, date, ts, value, seq,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM a) t
+         |WHERE rn = 1 ORDER BY asset_id, date""".stripMargin,
+    "tickstore_vacuum" ->
+      s"""$panelCte,
+         |sh AS (
+         |  SELECT asset_id, date + to_months(CAST(asset_id % 6 AS INTEGER)) AS date
+         |  FROM panel),
+         |m AS (SELECT strftime(date, '%Y-%m') AS date_month, asset_id FROM sh)
+         |SELECT date_month, count(*) AS n_rows, count(DISTINCT asset_id) AS n_assets
+         |FROM m WHERE date_month >= '2024-04'
+         |GROUP BY date_month ORDER BY date_month""".stripMargin)
+
+  def oracleSql: Map[String, String] =
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
     "char_entropy" ->

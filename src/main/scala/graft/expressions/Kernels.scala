@@ -26,6 +26,16 @@ object Kernels {
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(text), k, numHashes))
 
+  def shingleHashSet(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHashSet(ExpressionUtils.expression(text), k))
+
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashFromHashes(ExpressionUtils.expression(hashes), numHashes))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 
@@ -438,6 +448,131 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** The distinct SHINGLE-HASH set of a text: every k-char window's
+  * polynomial hash ([[PortableHash.strHash]] — the same integer-
+  * portable value the MinHash signatures derive from and the DuckDB
+  * oracle replays as its `sh.h`), deduplicated, ascending. This is the
+  * compact at-rest form of a doc's shingle profile: 8 bytes per
+  * distinct shingle instead of a k-char string, intersectable with
+  * plain long equality. Output: array<long>, sorted.
+  */
+case class ShingleHashSet(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = math.max(s.length - (k - 1), 1)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      seen.add(PortableHash.strHash(s, i, math.min(i + k, s.length)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashExpr", this, classOf[ShingleHashSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature from an ALREADY-MATERIALIZED distinct shingle-hash
+  * set ([[ShingleHashSet]]'s output): identical values to [[MinHashSig]]
+  * on the source text — same affine remixes over the same base hashes,
+  * and min over the distinct set equals min over the sliding windows
+  * because duplicates are idempotent under min. This is the shared-pass
+  * form: one corpus text scan materializes the hash sets, then both the
+  * LSH banding (via this expression) and the exact-jaccard verify read
+  * the same blocks instead of re-running the text kernel.
+  * Output: array<long> of length `numHashes`.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = PortableHash.mix(base, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSetExpr", this, classOf[MinHashFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection COUNT of two sorted-ascending distinct long arrays
+  * ([[ShingleHashSet]] output) by primitive two-pointer merge — no
+  * boxing, no hash set, no materialized intersection array. This is
+  * the verify-stage kernel: per candidate pair the work is
+  * O(|a| + |b|) long comparisons inside codegen, an order of magnitude
+  * cheaper than generic array_intersect + size. Inputs MUST be sorted
+  * ascending and duplicate-free (ShingleHashSet guarantees both).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sicExpr", this, classOf[SortedIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash of the whitespace-token multiset of lowercased text.

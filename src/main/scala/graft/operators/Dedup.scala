@@ -204,19 +204,41 @@ object Dedup {
     */
   def minhashVerifiedPairs(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
                            bands: Int = 16, threshold: Double = 0.3): DataFrame = {
-    val cands = minhashLshPairs(documents, k, nHashes, bands)
-    // DELIBERATELY shingles the whole corpus, not just candidate-pair
-    // members. The "obvious" scale fix — semi-filter documents to the
-    // docs appearing in `cands` before the shingle kernel — was
-    // measured 3× SLOWER end to end (5.2→18.9 s at sf0.1, with or
-    // without an eager checkpoint of `cands`): referencing `cands`
-    // twice in one plan re-runs the whole LSH pipeline per consumer,
-    // and breaking the plan to materialize it kills the ReusedExchange
-    // sharing between this operator and dedup_recall_report's other
-    // subtrees. At true 100 TB scale the right form is the two-JOB
-    // pipeline the index path already provides (write candidates /
-    // probe via `probeMinhashIndex`), not an in-plan semi-filter.
-    val sets = fanOut(documents).select(col("doc_id"), shingles(col("text"), k).as("hs"))
+    // ONE corpus text pass, shared by both stages (r7 VERDICT #3): the
+    // distinct shingle sets are materialized eagerly (localCheckpoint —
+    // the standing memo idiom; ContextCleaner reclaims the blocks when
+    // the plan drops), then (a) the LSH banding derives its signatures
+    // FROM the materialized sets ([[graft.expressions.Kernels
+    // .minhashFromShingles]] — bit-identical to the from-text kernel,
+    // min over distinct shingles ≡ min over windows) and (b) the exact
+    // jaccard verify reads the same blocks. The earlier form re-ran the
+    // shingle kernel once per stage (two full text scans); a candidate
+    // semi-filter was measured 3× slower still (it re-planned the whole
+    // LSH pipeline per consumer). At true 100 TB scale the two-JOB
+    // index path (write candidates / probe via `probeMinhashIndex`)
+    // remains the production shape; `dedup_minhash` keeps the
+    // standalone no-memo candidate build as the benchmark baseline.
+    val sets = fanOut(documents)
+      .select(col("doc_id"),
+        graft.expressions.Kernels.shingleHashSet(col("text"), k).as("hs"))
+    val rows = nHashes / bands
+    val banded = sets.select(
+      col("doc_id"),
+      graft.expressions.Kernels.minhashFromHashes(col("hs"), nHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val cands = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val den = (size(col("ha")) + size(col("hb")) - col("inter")).cast("double")
     // ONE pass over the shingle sets, not two: melting each pair into
     // its two member rows and joining the corpus side once (pairs are
@@ -232,7 +254,11 @@ object Dedup {
         first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("ha"),
         first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hb"))
     melted
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      // primitive two-pointer merge over the sorted hash sets — the
+      // per-pair O(|a|+|b|) verify kernel (no boxing, no hash set, no
+      // materialized intersection; see SortedIntersectCount)
+      .withColumn("inter",
+        graft.expressions.Kernels.sortedIntersectCount(col("ha"), col("hb")).cast("int"))
       // empty-shingle docs (shorter than k chars) make den 0 → NULL
       // jaccard → filtered; without the guard 0/0.0 is NaN, which Spark
       // orders ABOVE every threshold

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Tables
+import graft.operators.{Analytics, KeyValue}
+
+/** Batch-replay harness that promotes streaming operators into the
+  * driver's DuckDB oracle: a bounded input is fed through the REAL
+  * streaming op (MemoryStream → flatMapGroupsWithState / windowed agg →
+  * memory sink) in several micro-batches, and the collected sink rows
+  * come back as a static DataFrame whose values the batch twin's oracle
+  * SQL already describes (the streaming twins are spec-proven
+  * bit-equal to their batch ops — this harness makes that equality a
+  * hash-checked CORRECTNESS row instead of a spec-only claim).
+  *
+  * Scale note: the driver-side collect here is the TEST harness only —
+  * it is bounded by the replayed panel (assets × calendar days at the
+  * verify SF). Production runs the identical op objects on `readStream`
+  * sources with no collect anywhere (see TickStore's streaming sink).
+  */
+object StreamReplay {
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run `op` over `rows` split into `nBatches` arrival-ordered
+    * micro-batches; return the append-mode sink contents. The memory
+    * sink/table is per-call unique and dropped afterwards.
+    */
+  def replay[I, O](spark: SparkSession, rows: Seq[I], nBatches: Int)(
+      op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[I]
+    val name = s"graft_replay_${sinkId.incrementAndGet()}"
+    // The state-store partition count is fixed from shuffle.partitions
+    // at query START; every micro-batch then pays a per-partition state
+    // commit. A bounded replay doesn't need the session's scan-width
+    // setting — 8 partitions keeps per-batch overhead low while still
+    // exercising multi-partition state. Restored immediately after
+    // .start() (the running query keeps its snapshot).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try op(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+      val out = spark.table(name)
+      val collected = out.collect()
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(collected: _*)), out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** The replayed OHLC bar feed the bar-consuming ops share: the batch
+    * dailyBars rows in (date, asset) arrival order — per-asset dates
+    * strictly increase across micro-batch splits, honoring the
+    * recursive ops' arrival-order contract.
+    */
+  private def barFeed(s: SparkSession, dir: String): Seq[StreamingOps.OhlcStreamBar] = {
+    import s.implicits._
+    Analytics.dailyBars(Tables.panel(s, dir))
+      .select(col("asset_id"), col("date"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+      .as[StreamingOps.OhlcStreamBar]
+      .collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+  }
+
+  /** The replayed LWW-daily tick feed for the daily-value ops. */
+  private def dailyFeed(s: SparkSession, dir: String): Seq[StreamingOps.DailyTick] = {
+    import s.implicits._
+    KeyValue.lwwDaily(Tables.panel(s, dir))
+      .select(col("asset_id"), col("date"), col("value"))
+      .as[StreamingOps.DailyTick]
+      .collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+  }
+
+  /** Raw tick for the windowed-OHLC replay. */
+  case class ReplayTick(asset_id: Long, ts: java.sql.Timestamp, value: Double, seq: Long)
+
+  private val Batches = 4
+
+  /** `stream_ohlc` — [[StreamingOps.ohlcStream]] (windowed agg +
+    * watermark, append mode) over the replayed tick feed, emitting the
+    * bars_5min shape. A sentinel tick one day past the feed advances
+    * the event-time watermark so every real window finalizes; the
+    * sentinel's own window stays pending and never emits.
+    */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (sentinel advances the watermark; see scaladoc)
+    val ticks = Tables.panel(s, dir)
+      .select(col("asset_id"), col("ts"), col("value"), col("seq"))
+      .as[ReplayTick]
+      .collect().toSeq
+      .sortBy(t => (t.ts.getTime, t.seq, t.asset_id))
+    val maxTs = ticks.map(_.ts.getTime).max
+    val sentinel = ReplayTick(ticks.head.asset_id,
+      new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
+    replay(s, ticks :+ sentinel, Batches) { in =>
+      StreamingOps.ohlcStream(in.toDF(), "5 minutes", "0 seconds")
+        .select(col("asset_id"),
+          unix_timestamp(col("w_start")).as("bucket_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+    }.orderBy(col("asset_id"), col("bucket_s"))
+  }
+
+  def streamRollingVol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.rollingVolStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.drawdownStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamDonchian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.donchianStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamHeikinAshi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, barFeed(s, dir), Batches)(StreamingOps.heikinAshiStream)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamSupertrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, barFeed(s, dir), Batches)(StreamingOps.supertrendStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamPsar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, barFeed(s, dir), Batches)(StreamingOps.psarStream)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamSmaCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, barFeed(s, dir), Batches)(StreamingOps.smaCrossStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+}
