@@ -1014,6 +1014,14 @@ object SparkEntry {
     "stream_supertrend" -> ((s, dir) => StreamReplay.streamSupertrend(s, dir)),
     "stream_psar" -> ((s, dir) => StreamReplay.streamPsar(s, dir)),
     "stream_sma_cross" -> ((s, dir) => StreamReplay.streamSmaCross(s, dir)),
+    "stream_ewma" -> ((s, dir) => StreamReplay.streamEwma(s, dir)),
+    "stream_cusum" -> ((s, dir) => StreamReplay.streamCusum(s, dir)),
+    "stream_obv" -> ((s, dir) => StreamReplay.streamObv(s, dir)),
+    "stream_ad_line" -> ((s, dir) => StreamReplay.streamAdLine(s, dir)),
+    "stream_ultimate_osc" -> ((s, dir) => StreamReplay.streamUltimateOsc(s, dir)),
+    "stream_overnight_gap" -> ((s, dir) => StreamReplay.streamOvernightGap(s, dir)),
+    "stream_vwap" -> ((s, dir) => StreamReplay.streamVwap(s, dir)),
+    "stream_dau" -> ((s, dir) => StreamReplay.streamDau(s, dir)),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -1653,7 +1661,34 @@ object SparkEntry {
     "stream_heikin_ashi" -> base("heikin_ashi"),
     "stream_supertrend" -> base("supertrend"),
     "stream_psar" -> base("psar"),
-    "stream_sma_cross" -> base("sma_cross"))
+    "stream_sma_cross" -> base("sma_cross"),
+    "stream_ewma" -> base("ewma"),
+    "stream_cusum" -> base("cusum"),
+    "stream_obv" -> base("obv"),
+    "stream_ad_line" -> base("ad_line"),
+    "stream_ultimate_osc" -> base("ultimate_osc"),
+    "stream_overnight_gap" -> base("overnight_gap"),
+    // the tick-panel intraday VWAP (the lineitem-side `vwap` oracle
+    // describes B39, a different table): final cumulative point per
+    // (asset, day) — integer cents, micro integer division, exactly
+    // the streaming op's arithmetic
+    "stream_vwap" ->
+      s"""$panelCte,
+         |c AS (
+         |  SELECT asset_id, date,
+         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM panel),
+         |g AS (
+         |  SELECT asset_id, date, CAST(count(*) AS BIGINT) AS volume,
+         |         CAST(sum(cents) AS BIGINT) AS notional_c
+         |  FROM c GROUP BY asset_id, date)
+         |SELECT asset_id, date, volume, notional_c / 100.0 AS notional,
+         |       ((notional_c * 1000000) // (volume * 100)) / 1e6 AS vwap
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    // running DAU's final emission per day = the batch distinct count
+    "stream_dau" ->
+      """SELECT CAST(ts AS DATE) AS date, count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY date""".stripMargin)
 
   /** TickStore lifecycle oracles: DuckDB replays the revision batch and
     * the LWW collapse (compact), and the month-shift + retention filter

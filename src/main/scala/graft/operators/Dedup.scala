@@ -1117,8 +1117,13 @@ object Dedup {
       graft.expressions.Kernels.minhashSig(col("text"), k, nHashes).as("sig"))
     bandCounts.map { b =>
       val rows = nHashes / b
+      // Bucket on the EXACT signature slice (array grouping key), as
+      // the oracle does — not on xxhash64 of it: a 64-bit collision
+      // would silently merge buckets and inflate the pair-slot counts
+      // feeding a cost decision (r7 ADVICE). The key is ≤ 8 longs per
+      // row; the aggregate stays bounded by distinct buckets.
       sigs.select(posexplode(transform(sequence(lit(0), lit(b - 1)),
-          bb => xxhash64(slice(col("sig"), bb * lit(rows) + lit(1), lit(rows)), bb))))
+          bb => slice(col("sig"), bb * lit(rows) + lit(1), lit(rows)))))
         .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("n_pair_slots"),
           sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_hot_buckets"))

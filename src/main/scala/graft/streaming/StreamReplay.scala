@@ -30,7 +30,8 @@ object StreamReplay {
     * micro-batches; return the append-mode sink contents. The memory
     * sink/table is per-call unique and dropped afterwards.
     */
-  def replay[I, O](spark: SparkSession, rows: Seq[I], nBatches: Int)(
+  def replay[I, O](spark: SparkSession, rows: Seq[I], nBatches: Int,
+                   mode: OutputMode = OutputMode.Append)(
       op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[I]
@@ -46,7 +47,7 @@ object StreamReplay {
     val q =
       try op(in.toDS()).toDF()
         .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
+        .outputMode(mode).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
@@ -156,5 +157,92 @@ object StreamReplay {
     import s.implicits._
     replay(s, barFeed(s, dir), Batches)(StreamingOps.smaCrossStream(_))
       .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.ewmaStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.cusumStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamObv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bars = barFeed(s, dir).map(b =>
+      StreamingOps.StreamBar(b.asset_id, b.date, b.close, b.n_ticks))
+    replay(s, bars, Batches)(StreamingOps.obvStream)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  private def fullBarFeed(s: SparkSession, dir: String): Seq[StreamingOps.FullStreamBar] =
+    barFeed(s, dir).map(b =>
+      StreamingOps.FullStreamBar(b.asset_id, b.date, b.high, b.low, b.close, b.n_ticks))
+
+  def streamAdLine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, fullBarFeed(s, dir), Batches)(StreamingOps.adLineStream)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamUltimateOsc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, fullBarFeed(s, dir), Batches)(StreamingOps.ultimateOscStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** Raw tick feed in global (ts, seq) arrival order. */
+  private def tickFeed(s: SparkSession, dir: String): Seq[StreamingOps.Tick] = {
+    import s.implicits._
+    Tables.panel(s, dir)
+      .select(col("asset_id"), col("ts"), col("value"), col("seq"))
+      .as[StreamingOps.Tick]
+      .collect().toSeq
+      .sortBy(t => (t.ts.getTime, t.seq, t.asset_id))
+  }
+
+  def streamOvernightGap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, tickFeed(s, dir), Batches)(StreamingOps.gapStream)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** `stream_vwap` — the per-tick cumulative VWAP emissions collapsed
+    * to each (asset, day)'s FINAL point (max volume = last tick), which
+    * the relational day aggregate describes.
+    */
+  def streamVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.panel(s, dir)
+      .select(col("asset_id"), col("date"), col("value"), col("seq"))
+      .as[StreamingOps.DatedTick]
+      .collect().toSeq
+      .sortBy(t => (t.date.getTime, t.seq, t.asset_id))
+    val sink = replay(s, ticks, Batches)(StreamingOps.vwapStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("date")).orderBy(col("volume").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** `stream_dau` — update-mode running DAU; the final (= max) emission
+    * per day equals the batch distinct-user count.
+    */
+  def streamDau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .collect().toSeq
+      .sortBy(_._2.getTime)
+    replay(s, evs, Batches, OutputMode.Update) { in =>
+      StreamingOps.dauStream(in.toDF("user_id", "ts"))
+    }
+      .groupBy(col("date")).agg(max(col("dau")).as("dau"))
+      .orderBy(col("date"))
   }
 }
