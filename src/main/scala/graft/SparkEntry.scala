@@ -1022,6 +1022,14 @@ object SparkEntry {
     "stream_overnight_gap" -> ((s, dir) => StreamReplay.streamOvernightGap(s, dir)),
     "stream_vwap" -> ((s, dir) => StreamReplay.streamVwap(s, dir)),
     "stream_dau" -> ((s, dir) => StreamReplay.streamDau(s, dir)),
+    "stream_latest" -> ((s, dir) => StreamReplay.streamLatest(s, dir)),
+    "stream_dedup" -> ((s, dir) => StreamReplay.streamDedup(s, dir)),
+    "stream_windowed_agg" -> ((s, dir) => StreamReplay.streamWindowedAgg(s, dir)),
+    "stream_interval_join" -> ((s, dir) => StreamReplay.streamIntervalJoin(s, dir)),
+    "stream_asof_static" -> ((s, dir) => StreamReplay.streamAsofStatic(s, dir)),
+    "stream_source_stats" -> ((s, dir) => StreamReplay.streamSourceStats(s, dir)),
+    "stream_tick_rule" -> ((s, dir) => StreamReplay.streamTickRule(s, dir)),
+    "stream_tickstore_sink" -> ((s, dir) => StreamReplay.streamTickStoreSink(s, dir)),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -1688,7 +1696,64 @@ object SparkEntry {
     // running DAU's final emission per day = the batch distinct count
     "stream_dau" ->
       """SELECT CAST(ts AS DATE) AS date, count(DISTINCT user_id) AS dau
-        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY date""".stripMargin)
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY date""".stripMargin,
+    "stream_interval_join" -> base("interval_join"),
+    "stream_tick_rule" -> base("tick_imbalance"),
+    // update-mode LWW per asset: final emission = relational argmax
+    "stream_latest" ->
+      s"""$panelCte
+         |SELECT asset_id, ts, value, seq FROM (
+         |  SELECT asset_id, ts, value, seq,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM panel) t
+         |WHERE rn = 1 ORDER BY asset_id""".stripMargin,
+    // streaming dedup emits exactly one row per (asset, date) key —
+    // emitted ts/value are arrival-ordered, so only the key set is the
+    // deterministic contract
+    "stream_dedup" ->
+      s"""$panelCte
+         |SELECT DISTINCT asset_id, date FROM panel
+         |ORDER BY asset_id, date""".stripMargin,
+    "stream_windowed_agg" ->
+      s"""$panelCte
+         |SELECT asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s,
+         |       count(*) AS n_ticks, min(value) AS low, max(value) AS high
+         |FROM panel
+         |GROUP BY asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+         |ORDER BY asset_id, bucket_s""".stripMargin,
+    // stream-static as-of: every tick enriched with the forward-filled
+    // panel value at its event date (the gap_fill calendar replayed)
+    "stream_asof_static" ->
+      s"""$panelCte,
+         |daily AS (
+         |  SELECT asset_id, date, value FROM (
+         |    SELECT asset_id, date, value,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) t WHERE rn = 1),
+         |spans AS (SELECT asset_id, min(date) AS d0, max(date) AS d1 FROM daily GROUP BY asset_id),
+         |cal AS (
+         |  SELECT asset_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+         |  FROM spans),
+         |ff AS (
+         |  SELECT cal.asset_id, cal.date,
+         |    last_value(daily.value IGNORE NULLS) OVER (
+         |      PARTITION BY cal.asset_id ORDER BY cal.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_value
+         |  FROM cal LEFT JOIN daily ON cal.asset_id = daily.asset_id AND cal.date = daily.date)
+         |SELECT p.asset_id, p.ts, p.seq, p.value, p.date, ff.ref_value
+         |FROM panel p LEFT JOIN ff ON p.asset_id = ff.asset_id AND p.date = ff.date
+         |ORDER BY p.asset_id, p.ts, p.seq""".stripMargin,
+    // running (source, lang) composition: final emission = batch counts
+    "stream_source_stats" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // the streaming TickStore sink's store read-back IS the panel
+    "stream_tickstore_sink" ->
+      s"""$panelCte
+         |SELECT asset_id, date, ts, value, seq FROM panel
+         |ORDER BY asset_id, date, ts, seq""".stripMargin)
 
   /** TickStore lifecycle oracles: DuckDB replays the revision batch and
     * the LWW collapse (compact), and the month-shift + retention filter

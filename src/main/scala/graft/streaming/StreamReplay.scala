@@ -245,4 +245,154 @@ object StreamReplay {
       .groupBy(col("date")).agg(max(col("dau")).as("dau"))
       .orderBy(col("date"))
   }
+
+  /** `stream_latest` — update-mode LWW per asset; the final (= max
+    * (ts, seq)) emission per asset equals the relational argmax.
+    */
+  def streamLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sink = replay(s, tickFeed(s, dir), Batches, OutputMode.Update)(
+      StreamingOps.latestPerKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("ts").desc, col("seq").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+
+  /** `stream_dedup` — watermark-bounded streaming exact dedup on
+    * (asset_id, date); the emitted KEY SET (one row per key — a second
+    * emission for a key would duplicate a row and fail the count) is
+    * what the oracle's DISTINCT describes. Emitted ts/value depend on
+    * arrival order, so only the keys are surfaced.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.panel(s, dir)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .as[(Long, java.sql.Date, java.sql.Timestamp, Double, Long)]
+      .collect().toSeq
+      .sortBy(t => (t._3.getTime, t._5, t._1))
+    replay(s, ticks, Batches) { in =>
+      StreamingOps.dedupStream(
+        in.toDF("asset_id", "date", "ts", "value", "seq"),
+        watermark = "60 days", keyCols = Seq("asset_id", "date"))
+    }
+      .select(col("asset_id"), col("date"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** `stream_windowed_agg` — D2's watermarked tumbling-window aggregate
+    * over the replayed tick feed (same sentinel flush as
+    * [[streamOhlc]]).
+    */
+  def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = tickFeed(s, dir).map(t =>
+      ReplayTick(t.asset_id, t.ts, t.value, t.seq))
+    val maxTs = ticks.map(_.ts.getTime).max
+    val sentinel = ReplayTick(ticks.head.asset_id,
+      new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
+    replay(s, ticks :+ sentinel, Batches) { in =>
+      StreamingOps.windowedAgg(in.toDF(), "5 minutes", "0 seconds")
+        .select(col("asset_id"),
+          unix_timestamp(col("w_start")).as("bucket_s"),
+          col("n_ticks"), col("low"), col("high"))
+    }.orderBy(col("asset_id"), col("bucket_s"))
+  }
+
+  /** `stream_interval_join` — D14's stateless stream-static banded
+    * interval join: orders replayed as the stream against the static
+    * order history; equals the batch B38 oracle.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val history = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+    val stream = history
+      .as[(Long, Long, java.sql.Date)]
+      .collect().toSeq
+      .sortBy(o => (o._3.getTime, o._2))
+    replay(s, stream, Batches) { in =>
+      StreamingOps.intervalJoinStream(
+        in.toDF("o_custkey", "o_orderkey", "o_orderdate"), history)
+    }.orderBy(col("o_orderkey"), col("prev_orderkey"))
+  }
+
+  /** `stream_asof_static` — D5's stream-static as-of enrichment: every
+    * replayed tick carries the forward-filled static panel value as of
+    * its event date.
+    */
+  def streamAsofStatic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staticPanel = Tables.panel(s, dir)
+    replay(s, tickFeed(s, dir), Batches) { in =>
+      StreamingOps.streamStaticAsOf(in.toDF(), staticPanel)
+        .select(col("asset_id"), col("ts"), col("seq"), col("value"),
+          col("date"), col("ref_value"))
+    }.orderBy(col("asset_id"), col("ts"), col("seq"))
+  }
+
+  /** `stream_source_stats` — D15's running corpus composition; the
+    * final (= max n_docs) emission per (source, lang) equals the batch
+    * aggregate.
+    */
+  def streamSourceStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[StreamingOps.SourceDoc]
+      .collect().toSeq
+      .sortBy(_.doc_id)
+    val sink = replay(s, docs, Batches, OutputMode.Update)(StreamingOps.sourceStatsStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang")).orderBy(col("n_docs").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** `stream_tick_rule` — D19's per-tick order-flow sides aggregated to
+    * the batch `tick_imbalance` shape (side-0 warmup ticks drop, as the
+    * batch filter does).
+    */
+  def streamTickRule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, tickFeed(s, dir), Batches)(StreamingOps.tickRuleStream)
+      .filter(col("side") =!= 0)
+      .groupBy(col("asset_id"), to_date(col("ts")).as("date"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("sell_ticks"))
+      .withColumn("buy_pm",
+        expr("(buy_ticks * 1000) div (buy_ticks + sell_ticks)"))
+      .withColumn("imbalance_pm", lit(2L) * col("buy_pm") - lit(1000L))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** `stream_tickstore_sink` — D9 driven end to end: the tick stream
+    * lands in the month-partitioned TickStore via the foreachBatch
+    * sink, and the store read-back equals the panel relation. The sink
+    * has no in-stream output, so this drives the real writeStream →
+    * append lifecycle directly rather than going through [[replay]].
+    */
+  def streamTickStoreSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.panel(s, dir)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .as[(Long, java.sql.Date, java.sql.Timestamp, Double, Long)]
+      .collect().toSeq
+      .sortBy(t => (t._3.getTime, t._5))
+    val path = java.nio.file.Files.createTempDirectory("ts_sink").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("ts_sink_ckpt").toString
+    val in = MemoryStream[(Long, java.sql.Date, java.sql.Timestamp, Double, Long)]
+    val q = graft.sources.TickStore.streamingSink(
+      in.toDS().toDF("asset_id", "date", "ts", "value", "seq"), path, ckpt)
+    try {
+      val chunk = math.max(1, (rows.length + Batches - 1) / Batches)
+      rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    graft.sources.TickStore.read(s, path)
+      .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
+      .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
+  }
 }
