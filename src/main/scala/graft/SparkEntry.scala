@@ -961,6 +961,23 @@ object SparkEntry {
       import s.implicits._
       Multimodal.mediaDecode(s.read.parquet(path).as[Multimodal.MediaRecord], 32)
     }),
+    // ── r8 operator wave A ─────────────────────────────────────────
+    "kama" -> ((s, dir) =>
+      Analytics.kama(Tables.panel(s, dir))),
+    "rolling_moments" -> ((s, dir) =>
+      Analytics.rollingMoments(Tables.panel(s, dir))),
+    "dist_from_high" -> ((s, dir) =>
+      Analytics.distFromHigh(Tables.panel(s, dir))),
+    "dow_seasonality" -> ((s, dir) =>
+      Analytics.dowSeasonality(Tables.panel(s, dir))),
+    "gap_stats" -> ((s, dir) =>
+      Analytics.gapStats(Tables.panel(s, dir))),
+    "word_length_profile" -> ((s, dir) =>
+      Pipeline.wordLengthProfile(Tables.documents(s, dir))),
+    "stopword_profile" -> ((s, dir) =>
+      Pipeline.stopwordProfile(Tables.documents(s, dir))),
+    "char_trigram_entropy" -> ((s, dir) =>
+      Pipeline.charTrigramEntropy(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
     // append(revisions) → compact → read round trip must equal the
     // relational LWW collapse DuckDB computes from the same rows; the
@@ -1755,6 +1772,178 @@ object SparkEntry {
          |SELECT asset_id, date, ts, value, seq FROM panel
          |ORDER BY asset_id, date, ts, seq""".stripMargin)
 
+  /** r8 operator wave A oracles. */
+  private lazy val waveAOracles: Map[String, String] = Map(
+    // KAMA: ER/SC are window arithmetic; only the line itself recurses
+    // (rn-join recursive CTE, u6 at the same points as the Spark fold)
+    "kama" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$barsCte,
+         |w0 AS (
+         |  SELECT asset_id, date, close,
+         |    ROW_NUMBER() OVER a AS rn,
+         |    abs(close - lag(close, 1) OVER a) AS d,
+         |    list(close) OVER f AS carr
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date),
+         |         f AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)),
+         |w1 AS (
+         |  SELECT asset_id, date, close, rn, carr,
+         |    list_filter(list(d) OVER f2, x -> x IS NOT NULL) AS farr
+         |  FROM w0
+         |  WINDOW f2 AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)),
+         |w2 AS (
+         |  SELECT asset_id, date, close, rn,
+         |    list_reduce(list_prepend(0.0,
+         |      list_slice(farr, CAST(greatest(len(farr) - 10 + 1, 1) AS INTEGER), CAST(len(farr) AS INTEGER))),
+         |      (a, x) -> a + x) AS noise,
+         |    abs(close - carr[1]) AS signal
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT asset_id, date, close, rn,
+         |    CASE WHEN rn = 1 THEN NULL
+         |         WHEN noise = 0 THEN 0.0
+         |         ELSE floor((signal / noise) * 1000000.0 + 0.5) / 1000000.0 END AS er
+         |  FROM w2),
+         |w4 AS (
+         |  SELECT asset_id, date, close, rn, er,
+         |    CASE WHEN er IS NULL THEN NULL
+         |         ELSE floor(((er * 0.602151 + 0.064516) * (er * 0.602151 + 0.064516)) * 1000000.0 + 0.5) / 1000000.0 END AS sc
+         |  FROM w3),
+         |ka AS (
+         |  SELECT asset_id, rn, date, close, er, close AS kama
+         |  FROM w4 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.close, b.er,
+         |    floor((ka.kama + b.sc * (b.close - ka.kama)) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM ka JOIN w4 b ON b.asset_id = ka.asset_id AND b.rn = ka.rn + 1)
+         |SELECT asset_id, date, close, er, kama
+         |FROM ka ORDER BY asset_id, date""".stripMargin,
+    "rolling_moments" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret, arr, CAST(len(arr) AS DOUBLE) AS n,
+         |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, ret, n,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> (x - m) * (x - m))), (a, x) -> a + x) AS s2,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> ((x - m) * (x - m)) * (x - m))), (a, x) -> a + x) AS s3,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> (((x - m) * (x - m)) * (x - m)) * (x - m))), (a, x) -> a + x) AS s4
+         |  FROM g)
+         |SELECT asset_id, date, ret,
+         |  CASE WHEN n < 4 OR s2 = 0 THEN NULL
+         |       ELSE floor((sqrt(n) * s3 / sqrt((s2 * s2) * s2)) * 1000000.0 + 0.5) / 1000000.0 END AS skew,
+         |  CASE WHEN n < 4 OR s2 = 0 THEN NULL
+         |       ELSE floor((n * s4 / (s2 * s2) - 3) * 1000000.0 + 0.5) / 1000000.0 END AS ex_kurt
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "dist_from_high" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 251 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (SELECT asset_id, date, value, list_max(arr) AS hi, arr FROM f)
+         |SELECT asset_id, date, value, hi AS trailing_high,
+         |  floor((value / nullif(hi, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dist,
+         |  CAST(list_position(list_reverse(arr), hi) - 1 AS BIGINT) AS days_since
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday
+    "dow_seasonality" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |e AS (
+         |  SELECT asset_id, dayofweek(date) + 1 AS dow,
+         |         CAST(round(ret * 1000000.0) AS BIGINT) AS ret_micro
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, CAST(dow AS BIGINT) AS dow,
+         |         CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(ret_micro) AS BIGINT) AS sum_micro,
+         |         CAST(sum(CASE WHEN ret_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+         |  FROM e GROUP BY asset_id, dow)
+         |SELECT asset_id, dow, n_days,
+         |  CAST(sum_micro // n_days AS DOUBLE) / 1e6 AS mean_ret, n_up
+         |FROM g ORDER BY asset_id, dow""".stripMargin,
+    "gap_stats" ->
+      s"""$panelCte,
+         |$barsCte,
+         |wg AS (
+         |  SELECT asset_id,
+         |    floor((open / nullif(lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS gap
+         |  FROM bars),
+         |e AS (SELECT asset_id, CAST(round(gap * 1000000.0) AS BIGINT) AS gm
+         |      FROM wg WHERE gap IS NOT NULL),
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(CASE WHEN gm > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_up,
+         |         CAST(sum(CASE WHEN gm < -10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_down,
+         |         CAST(sum(gm) AS BIGINT) AS sum_micro,
+         |         CAST(max(abs(gm)) AS BIGINT) AS max_abs_micro
+         |  FROM e GROUP BY asset_id)
+         |SELECT asset_id, n_days, n_gap_up, n_gap_down,
+         |  CAST(sum_micro // n_days AS DOUBLE) / 1e6 AS mean_gap,
+         |  CAST(max_abs_micro AS DOUBLE) / 1e6 AS max_abs_gap
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "word_length_profile" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(length(w)) AS BIGINT) AS sum_len,
+        |         CAST(max(length(w)) AS BIGINT) AS max_len
+        |  FROM w GROUP BY source)
+        |SELECT source, n_words, (1000 * sum_len) // n_words AS mean_len_milli, max_len
+        |FROM g ORDER BY source""".stripMargin,
+    "stopword_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(len(list_filter(toks, t -> list_contains(
+        |           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], t))) AS BIGINT) AS n_stop
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |         CAST(sum(n_stop) AS BIGINT) AS n_stop_hits,
+        |         CAST(sum(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pass
+        |  FROM p GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_stop_hits,
+        |  CASE WHEN n_tokens = 0 THEN NULL ELSE (1000 * n_stop_hits) // n_tokens END AS stop_pm,
+        |  n_docs_pass
+        |FROM g ORDER BY source""".stripMargin,
+    "char_trigram_entropy" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, CAST(greatest(len(text) - 2, 1) AS BIGINT) + 1),
+        |                               i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+        |  FROM documents),
+        |c AS (SELECT source, g, count(*) AS c FROM t GROUP BY source, g),
+        |e AS (
+        |  SELECT source,
+        |         CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS tt, c
+        |  FROM c),
+        |g2 AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams, CAST(sum(tt) AS BIGINT) AS s
+        |  FROM e GROUP BY source)
+        |SELECT source, n_trigrams,
+        |  floor((ln(CAST(n_trigrams AS DOUBLE)) - (CAST(s AS DOUBLE) / 1e6) / CAST(n_trigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_tri
+        |FROM g2 ORDER BY source""".stripMargin)
+
   /** TickStore lifecycle oracles: DuckDB replays the revision batch and
     * the LWW collapse (compact), and the month-shift + retention filter
     * (vacuum), relationally. `tickstore_stats` is deliberately absent —
@@ -1784,7 +1973,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

@@ -5154,4 +5154,174 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("sma"), col("mom"), col("accel"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B167 `kama` — Kaufman's adaptive moving average: the smoothing
+    * constant adapts to the efficiency ratio ER = |net move| /
+    * Σ|bar moves| over the last `n` bars (trending → fast EMA, choppy
+    * → slow). The INPUTS to each step (ER, and SC = (ER·(fast−slow)
+    * + slow)²) are non-recursive window arithmetic — only the KAMA
+    * line itself folds sequentially, the [[heikinAshi]] recipe:
+    * calendar-bounded per-asset array, u6 at the same points the
+    * DuckDB recursive CTE replays. fast/slow SC constants are the
+    * u6-rounded decimals 0.666667 / 0.064516 (2/3, 2/31) so both
+    * engines multiply the identical doubles. Flat windows (noise 0)
+    * take ER = 0 — the slowest smoothing, not a division error.
+    */
+  def kama(panel: DataFrame, n: Int = 10): DataFrame = {
+    val fastSC = 0.666667
+    val slowSC = 0.064516
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-n, Window.currentRow)
+    val prev = lag(col("close"), 1).over(byAsset)
+    val withSc = dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("rn", row_number().over(byAsset))
+      .withColumn("d", abs(col("close") - prev))
+      .withColumn("carr", collect_list(col("close")).over(frame))
+      .withColumn("farr", collect_list(col("d")).over(frame))
+      .withColumn("nf", slice(col("farr"),
+        greatest(size(col("farr")) - lit(n) + 1, lit(1)), lit(n)))
+      .withColumn("noise", foldSum(col("nf")))
+      .withColumn("signal", abs(col("close") - element_at(col("carr"), 1)))
+      .withColumn("er", when(col("rn") === 1, lit(null))
+        .when(col("noise") === 0, lit(0.0))
+        .otherwise(u6(col("signal") / col("noise"))))
+      .withColumn("sc", when(col("er").isNull, lit(null)).otherwise(u6(
+        (col("er") * lit(fastSC - slowSC) + lit(slowSC)) *
+          (col("er") * lit(fastSC - slowSC) + lit(slowSC)))))
+    val kaType = "array<struct<date:date,close:double,er:double,kama:double>>"
+    withSc
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("close"), col("er"), col("sc")))).as("bs"))
+      .withColumn("ka", aggregate(
+        col("bs"), expr(s"cast(array() as $kaType)"),
+        (acc, x) => {
+          val last = element_at(acc, -1)
+          val k = when(size(acc) === 0, x("close"))
+            .otherwise(u6(last("kama") + x("sc") * (x("close") - last("kama"))))
+          concat(acc, array(struct(
+            x("date").as("date"), x("close").as("close"),
+            x("er").as("er"), k.as("kama"))))
+        }))
+      .select(col("asset_id"), explode(col("ka")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
+        col("h.er").as("er"), col("h.kama").as("kama"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B168 `rolling_moments` — rolling skewness and excess kurtosis of
+    * daily returns over a `window`-day frame: the tail/asymmetry
+    * companion to [[rollingVol]]'s second moment. Central power sums
+    * fold left-assoc over the date-sorted frame array (deviation from
+    * the u6 frame mean, raw inside the fold, u6 only at the two
+    * emitted ratios); frames shorter than 4 returns emit NULL (a
+    * 3-point kurtosis is noise, and the gate keeps both moments on one
+    * row count).
+    */
+  def rollingMoments(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(window - 1), Window.currentRow)
+    val prev = lag(col("value"), 1).over(byAsset)
+    def dev(p: Int): Column = Kernels.seqFold(
+      transform(col("arr"), x => {
+        val d = x - col("m")
+        (1 until p).foldLeft(d)((a, _) => a * d)
+      }), "sum")
+    daily
+      .withColumn("ret", u6(col("value") /
+        when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("arr", collect_list(col("ret")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .withColumn("m", u6(foldSum(col("arr")) / col("n")))
+      .withColumn("s2", dev(2))
+      .withColumn("s3", dev(3))
+      .withColumn("s4", dev(4))
+      .withColumn("skew", when(col("n") < 4 || col("s2") === 0, lit(null))
+        .otherwise(u6(sqrt(col("n")) * col("s3") /
+          sqrt(col("s2") * col("s2") * col("s2")))))
+      .withColumn("ex_kurt", when(col("n") < 4 || col("s2") === 0, lit(null))
+        .otherwise(u6(col("n") * col("s4") / (col("s2") * col("s2")) - 3)))
+      .select(col("asset_id"), col("date"), col("ret"),
+        col("skew"), col("ex_kurt"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B169 `dist_from_high` — distance from the trailing `window`-day
+    * high (the "52-week high" anomaly input) plus the age of that
+    * high: dist = u6(value/hi − 1) ≤ 0, days_since = positions back to
+    * the MOST RECENT occurrence of the max (reverse array scan —
+    * first match in the reversed frame; double equality against the
+    * same parquet double is exact in both engines).
+    */
+  def distFromHigh(panel: DataFrame, window: Int = 252): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("hi", array_max(col("arr")))
+      .withColumn("dist", u6(col("value") /
+        when(col("hi") === 0, lit(null)).otherwise(col("hi")) - 1))
+      .withColumn("days_since",
+        (array_position(reverse(col("arr")), col("hi")) - 1).cast("long"))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("hi").as("trailing_high"), col("dist"), col("days_since"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B170 `dow_seasonality` — day-of-week return profile per asset:
+    * micro-integer return sums bucketed by weekday (1 = Sunday, the
+    * Spark `dayofweek` convention; the oracle maps DuckDB's 0-based
+    * `dayofweek` to match), mean as the exact integer division
+    * (Σmicro div n)/1e6 — order-insensitive by construction.
+    */
+  def dowSeasonality(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(byAsset)
+    daily
+      .withColumn("ret", u6(col("value") /
+        when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .groupBy(col("asset_id"), dayofweek(col("date")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ret_micro")).as("sum_micro"),
+        sum(when(col("ret_micro") > 0, 1L).otherwise(0L)).as("n_up"))
+      .withColumn("mean_ret",
+        (expr("sum_micro div n_days").cast("double")) / 1e6)
+      .select(col("asset_id"), col("dow"), col("n_days"),
+        col("mean_ret"), col("n_up"))
+      .orderBy(col("asset_id"), col("dow"))
+  }
+
+  /** B171 `gap_stats` — per-asset overnight-gap profile: how often the
+    * open jumps beyond ±`thresholdMicro` (default 1%) vs the prior
+    * close, plus the exact integer mean gap and the largest absolute
+    * gap. Gaps are the u6 ratios [[overnightGap]] emits; counting and
+    * the mean use their micro-integer form, so the aggregate is
+    * order-insensitive.
+    */
+  def gapStats(panel: DataFrame, thresholdMicro: Long = 10000L): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("gap", u6(col("open") /
+        when(prevClose === 0, lit(null)).otherwise(prevClose) - 1))
+      .filter(col("gap").isNotNull)
+      .withColumn("gap_micro", round(col("gap") * 1e6).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("gap_micro") > thresholdMicro, 1L).otherwise(0L)).as("n_gap_up"),
+        sum(when(col("gap_micro") < -thresholdMicro, 1L).otherwise(0L)).as("n_gap_down"),
+        sum(col("gap_micro")).as("sum_micro"),
+        max(abs(col("gap_micro"))).as("max_abs_micro"))
+      .withColumn("mean_gap", expr("sum_micro div n_days").cast("double") / 1e6)
+      .withColumn("max_abs_gap", col("max_abs_micro").cast("double") / 1e6)
+      .select(col("asset_id"), col("n_days"), col("n_gap_up"),
+        col("n_gap_down"), col("mean_gap"), col("max_abs_gap"))
+      .orderBy(col("asset_id"))
+  }
 }

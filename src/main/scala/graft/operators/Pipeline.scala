@@ -1687,4 +1687,76 @@ object Pipeline {
       .select(col("lang"), col("n_docs"), col("min_chars"),
         col("median_chars"), col("max_chars"))
       .orderBy(col("lang"))
+
+  /** C114 `word_length_profile` — per-source word-length morphology:
+    * token count, exact milli-unit mean word length ((1000·Σlen) div
+    * n — integer, order-insensitive), and the longest token. A
+    * tokenizer/encoding screen: base64 blobs and concatenated-word
+    * damage blow up the mean and max while char_class_profile still
+    * looks clean. Map-only explode + one integer aggregate.
+    */
+  def wordLengthProfile(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        explode(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("sum_len"),
+        max(length(col("w")).cast("long")).as("max_len"))
+      .withColumn("mean_len_milli", expr("(1000 * sum_len) div n_words"))
+      .select(col("source"), col("n_words"), col("mean_len_milli"), col("max_len"))
+      .orderBy(col("source"))
+
+  /** C115 `stopword_profile` — per-source stopword exposure against the
+    * Gopher gate's 8-word list: total hits, per-mille of tokens, and
+    * the share of docs that would PASS the ≥2-hits rule. The
+    * distribution behind gopher_rules' boolean — a source whose
+    * stop_pm collapses is machine text even when each doc squeaks past
+    * the binary gate. One token explode + integer aggregates.
+    */
+  def stopwordProfile(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val perDoc = documents
+      .select(col("doc_id"), col("source"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isin(stops.map(lit(_)): _*))).cast("long"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_stop")).as("n_stop_hits"),
+        sum(when(col("n_stop") >= 2, 1L).otherwise(0L)).as("n_docs_pass"))
+      .withColumn("stop_pm", when(col("n_tokens") === 0, lit(null))
+        .otherwise(expr("(1000 * n_stop_hits) div n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_stop_hits"), col("stop_pm"), col("n_docs_pass"))
+      .orderBy(col("source"))
+  }
+
+  /** C116 `char_trigram_entropy` — per-source Shannon entropy of the
+    * character-trigram multiset (the sub-word sibling of
+    * [[bigramEntropy]]): natural language sits in a narrow band;
+    * encrypted/base64 text pushes H up toward uniform, templatic text
+    * collapses it. Same portable micro-integer entropy fold as the
+    * token entropies (c·ln c rounded per TERM — irrational, so no half
+    * boundary — then integer-summed, order-insensitive); trigrams are
+    * the [[graft.expressions.Kernels]] shingle windowing (n = max(len
+    * − 2, 1) windows, so short docs contribute their whole text).
+    */
+  def charTrigramEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("i"))
+      .select(col("source"), expr("substring(text, i, 3)").as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("t",
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_trigrams"), sum(col("t")).as("s"))
+      .withColumn("h_tri", u6(log(col("n_trigrams").cast("double")) -
+        (col("s").cast("double") / 1e6) / col("n_trigrams").cast("double")))
+      .select(col("source"), col("n_trigrams"), col("h_tri"))
+      .orderBy(col("source"))
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.operators.{Analytics, Pipeline}
+
+/** Hand-computed fixtures for the round-8 additions: kama,
+  * rolling_moments, dist_from_high, dow_seasonality, gap_stats,
+  * word_length_profile, stopword_profile, char_trigram_entropy.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  private def oneTickPanel(values: Seq[Double], asset: Long = 1L) =
+    values.zipWithIndex.map { case (v, i) =>
+      (asset, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, asset * 100 + i)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("kama: seed is the first close; a perfectly trending series has ER 1") {
+    val out = Analytics.kama(oneTickPanel((1 to 15).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Double]("kama") === 1.0)            // seed = close₁
+    assert(out.head.getAs[Any]("er") == null)                 // no prior bar
+    // monotone +1 per day: |net| = Σ|moves| → ER exactly 1 on every later bar
+    out.tail.foreach(r => assert(r.getAs[Double]("er") === 1.0))
+    // with ER 1, SC = (0.666667)² → KAMA chases the close from below
+    val last = out.last
+    assert(last.getAs[Double]("kama") < last.getAs[Double]("close"))
+    assert(last.getAs[Double]("kama") > out(out.length - 2).getAs[Double]("kama"))
+  }
+
+  test("kama: a flat series takes ER 0 (not a division error) and stays put") {
+    val out = Analytics.kama(oneTickPanel(Seq.fill(6)(42.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    out.tail.foreach { r =>
+      assert(r.getAs[Double]("er") === 0.0)
+      assert(r.getAs[Double]("kama") === 42.0)
+    }
+  }
+
+  test("rolling_moments: symmetric returns give ~zero skew; short frames gate to NULL") {
+    // values chosen so returns alternate +r, −r' symmetrically enough to
+    // sign-check: up 10%, down to start, repeatedly
+    val vals = Seq(100.0, 110.0, 100.0, 110.0, 100.0, 110.0, 100.0)
+    val out = Analytics.rollingMoments(oneTickPanel(vals)).collect()
+      .sortBy(_.getDate(1).toString)
+    // first three return rows have n < 4 → NULL moments
+    out.take(3).foreach { r =>
+      assert(r.getAs[Any]("skew") == null && r.getAs[Any]("ex_kurt") == null)
+    }
+    // two-point distribution {+0.1, −0.0909..} has a small positive skew
+    val last = out.last
+    assert(last.getAs[Any]("skew") != null)
+    // kurtosis of a two-point near-balanced distribution is deeply negative
+    assert(last.getAs[Double]("ex_kurt") < -1.0)
+  }
+
+  test("dist_from_high: at the high dist=0/days=0; below it both grow") {
+    val out = Analytics.distFromHigh(oneTickPanel(Seq(10.0, 20.0, 15.0, 12.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out(1).getAs[Double]("dist") === 0.0)              // day 2 IS the high
+    assert(out(1).getAs[Long]("days_since") === 0L)
+    assert(out(2).getAs[Double]("dist") === -0.25)            // 15/20 − 1
+    assert(out(2).getAs[Long]("days_since") === 1L)
+    assert(out(3).getAs[Double]("dist") === -0.4)
+    assert(out(3).getAs[Long]("days_since") === 2L)
+  }
+
+  test("dist_from_high: a re-touched high counts from the MOST RECENT touch") {
+    val out = Analytics.distFromHigh(oneTickPanel(Seq(20.0, 10.0, 20.0, 15.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out(3).getAs[Long]("days_since") === 1L)           // day 3, not day 1
+  }
+
+  test("dow_seasonality: buckets land on the right weekdays with exact means") {
+    // 2024-01-01 is a Monday; returns exist from day 2 (Tue) on
+    val out = Analytics.dowSeasonality(oneTickPanel(Seq(100.0, 110.0, 110.0, 99.0))).collect()
+    val byDow = out.map(r => r.getAs[Long]("dow") -> r).toMap
+    assert(byDow(3L).getAs[Double]("mean_ret") === 0.1)       // Tuesday: +10%
+    assert(byDow(3L).getAs[Long]("n_up") === 1L)
+    assert(byDow(4L).getAs[Double]("mean_ret") === 0.0)       // Wednesday: flat
+    assert(byDow(5L).getAs[Double]("mean_ret") === -0.1)      // Thursday: −10%
+    assert(byDow(5L).getAs[Long]("n_up") === 0L)
+  }
+
+  test("gap_stats counts only gaps beyond the ±1% threshold") {
+    // one-tick days: open = close of the day, so gap = daily move
+    val out = Analytics.gapStats(oneTickPanel(
+      Seq(100.0, 102.0, 101.5, 80.0, 80.1))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_gap_up") === 1L)                  // +2%
+    assert(r.getAs[Long]("n_gap_down") === 1L)                // −21%
+    assert(r.getAs[Double]("max_abs_gap") === 0.211823)       // |80/101.5−1| u6
+  }
+
+  test("word_length_profile: exact integer mean and max") {
+    val out = Pipeline.wordLengthProfile(docs(
+      (1L, "a bb ccc", "en", "s1"), (2L, "dddd", "en", "s1"),
+      (3L, "ee ff", "en", "s2"))).collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_words") === 4L)
+    assert(s1.getAs[Long]("mean_len_milli") === 2500L)        // (1+2+3+4)/4
+    assert(s1.getAs[Long]("max_len") === 4L)
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.getAs[Long]("mean_len_milli") === 2000L)
+  }
+
+  test("stopword_profile: hits, per-mille, and the ≥2 pass rule") {
+    val out = Pipeline.stopwordProfile(docs(
+      (1L, "the cat and the hat", "en", "s1"),                // 3 hits of 5
+      (2L, "pure noise tokens here", "en", "s1"),             // 0 hits of 4
+      (3L, "of and that", "en", "s2"))).collect()             // 3 of 3
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_stop_hits") === 3L)
+    assert(s1.getAs[Long]("stop_pm") === 333L)                // 3000 div 9
+    assert(s1.getAs[Long]("n_docs_pass") === 1L)
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.getAs[Long]("stop_pm") === 1000L)
+  }
+
+  test("char_trigram_entropy: uniform distinct trigrams hit ln N; repeats collapse it") {
+    // "abcdef" → 4 distinct trigrams, each once → H = ln 4
+    val out = Pipeline.charTrigramEntropy(docs((1L, "abcdef", "en", "u"))).collect()
+    assert(out.head.getAs[Long]("n_trigrams") === 4L)
+    assert(math.abs(out.head.getAs[Double]("h_tri") - math.log(4.0)) < 1e-6)
+    // "aaaaaa" → one trigram repeated 4× → H = 0
+    val flat = Pipeline.charTrigramEntropy(docs((1L, "aaaaaa", "en", "v"))).collect()
+    assert(flat.head.getAs[Double]("h_tri") === 0.0)
+  }
+}
