@@ -978,6 +978,20 @@ object SparkEntry {
       Pipeline.stopwordProfile(Tables.documents(s, dir))),
     "char_trigram_entropy" -> ((s, dir) =>
       Pipeline.charTrigramEntropy(Tables.documents(s, dir))),
+    "vol_regime" -> ((s, dir) =>
+      Analytics.volRegime(Tables.panel(s, dir))),
+    "fractal_pivots" -> ((s, dir) =>
+      Analytics.fractalPivots(Tables.panel(s, dir))),
+    "turn_of_month" -> ((s, dir) =>
+      Analytics.turnOfMonth(Tables.panel(s, dir))),
+    "volume_seasonality" -> ((s, dir) =>
+      Analytics.volumeSeasonality(Tables.panel(s, dir))),
+    "round_price_clustering" -> ((s, dir) =>
+      Analytics.roundPriceClustering(Tables.panel(s, dir))),
+    "mixed_lang_docs" -> ((s, dir) =>
+      Pipeline.mixedLangDocs(Tables.documents(s, dir))),
+    "source_overlap_matrix" -> ((s, dir) =>
+      Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
     // append(revisions) → compact → read round trip must equal the
     // relational LWW collapse DuckDB computes from the same rows; the
@@ -1944,6 +1958,133 @@ object SparkEntry {
         |  floor((ln(CAST(n_trigrams AS DOUBLE)) - (CAST(s AS DOUBLE) / 1e6) / CAST(n_trigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_tri
         |FROM g2 ORDER BY source""".stripMargin)
 
+  /** r8 operator wave B oracles. */
+  private lazy val waveBOracles: Map[String, String] = Map(
+    "vol_regime" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f),
+         |v AS (
+         |  SELECT asset_id, date,
+         |    floor((sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS vol
+         |  FROM g WHERE n >= 2),
+         |p AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |         list_sort(list(vol)) AS vs, arg_max(vol, date) AS last_vol
+         |  FROM v GROUP BY asset_id),
+         |q AS (
+         |  SELECT asset_id, n_days, vs, last_vol,
+         |         vs[CAST((len(vs) + 1) // 2 AS INTEGER)] AS median_vol
+         |  FROM p)
+         |SELECT asset_id, n_days, median_vol,
+         |  CAST(len(list_filter(vs, x -> x > median_vol)) AS BIGINT) AS n_high,
+         |  n_days - CAST(len(list_filter(vs, x -> x > median_vol)) AS BIGINT) AS n_low,
+         |  CAST(CASE WHEN last_vol > median_vol THEN 1 ELSE 0 END AS BIGINT) AS in_high_regime
+         |FROM q ORDER BY asset_id""".stripMargin,
+    "fractal_pivots" ->
+      s"""$panelCte,
+         |$barsCte,
+         |w AS (
+         |  SELECT asset_id, date, high, low,
+         |    (high > lag(high, 1) OVER a AND high > lag(high, 2) OVER a AND
+         |     high > lead(high, 1) OVER a AND high > lead(high, 2) OVER a) AS ph,
+         |    (low < lag(low, 1) OVER a AND low < lag(low, 2) OVER a AND
+         |     low < lead(low, 1) OVER a AND low < lead(low, 2) OVER a) AS pl
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN ph THEN 1 ELSE 0 END) AS BIGINT) AS n_pivot_high,
+         |  CAST(sum(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_pivot_low,
+         |  arg_max(CASE WHEN ph THEN high END, CASE WHEN ph THEN date END) AS last_pivot_high,
+         |  arg_max(CASE WHEN pl THEN low END, CASE WHEN pl THEN date END) AS last_pivot_low
+         |FROM w GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    "turn_of_month" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |e AS (
+         |  SELECT asset_id,
+         |    CASE WHEN dayofmonth(date) <= 5 THEN 'early'
+         |         WHEN dayofmonth(date) >= 25 THEN 'late' ELSE 'mid' END AS bucket,
+         |    CAST(round(ret * 1000000.0) AS BIGINT) AS ret_micro
+         |  FROM rets)
+         |SELECT asset_id, bucket, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(CAST(sum(ret_micro) AS BIGINT) // count(*) AS DOUBLE) / 1e6 AS mean_ret
+         |FROM e GROUP BY asset_id, bucket ORDER BY asset_id, bucket""".stripMargin,
+    "volume_seasonality" ->
+      s"""$panelCte,
+         |$barsCte
+         |SELECT asset_id, CAST(dayofweek(date) + 1 AS BIGINT) AS dow,
+         |  CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(n_ticks) AS BIGINT) AS total_ticks,
+         |  (1000 * CAST(sum(n_ticks) AS BIGINT)) // count(*) AS mean_ticks_milli
+         |FROM bars GROUP BY asset_id, dayofweek(date) ORDER BY asset_id, dow""".stripMargin,
+    "round_price_clustering" ->
+      s"""$panelCte,
+         |c AS (
+         |  SELECT asset_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM panel),
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_ticks,
+         |    CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_round_dollar,
+         |    CAST(sum(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_round_half
+         |  FROM c GROUP BY asset_id)
+         |SELECT asset_id, n_ticks, n_round_dollar, n_round_half,
+         |  (1000 * n_round_dollar) // n_ticks AS dollar_pm,
+         |  (1000 * n_round_half) // n_ticks AS half_pm
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "mixed_lang_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','for','with','it'], t))) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], t))) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las','una','por','con','para'], t))) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(list_filter(toks, t -> list_contains(['le','la','les','des','une','est','dans','pour','que','avec'], t))) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(list_filter(toks, t -> list_contains(['的','是','了','在','和','有','不','我','这','他'], t))) > 0 THEN 1 ELSE 0 END) AS n_langs_hit
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n_langs_hit >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multilang,
+        |    CAST(sum(CASE WHEN n_langs_hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmarked
+        |  FROM h GROUP BY source)
+        |SELECT source, n_docs, n_multilang, n_unmarked,
+        |  (1000 * n_multilang) // n_docs AS multi_pm
+        |FROM g ORDER BY source""".stripMargin,
+    "source_overlap_matrix" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+        |r AS (
+        |  SELECT source, w,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rn
+        |  FROM c),
+        |top AS (SELECT source, w FROM r WHERE rn <= 100),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY source),
+        |px AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT px.source_a, px.source_b, px.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  (1000 * px.inter) // (sa.sz + sb.sz - px.inter) AS jaccard_pm
+        |FROM px JOIN sz sa ON sa.source = px.source_a
+        |        JOIN sz sb ON sb.source = px.source_b
+        |ORDER BY px.source_a, px.source_b""".stripMargin)
+
   /** TickStore lifecycle oracles: DuckDB replays the revision batch and
     * the LWW collapse (compact), and the month-shift + retention filter
     * (vacuum), relationally. `tickstore_stats` is deliberately absent —
@@ -1973,7 +2114,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

@@ -5304,6 +5304,119 @@ object Analytics {
     * the mean use their micro-integer form, so the aggregate is
     * order-insensitive.
     */
+  /** B172 `vol_regime` — per-asset volatility-regime summary: each
+    * day's rolling vol ([[rollingVolCore]]'s u6 value) classified
+    * against the asset's own full-series EXACT lower-median vol (an
+    * integer order statistic over the sorted vol array — no
+    * interpolation, engine-exact); reports regime day counts and
+    * whether the LATEST day sits in the high-vol regime. Calendar-
+    * bounded per-asset arrays; one asset_id shuffle shared end-to-end.
+    */
+  def volRegime(panel: DataFrame, window: Int = 20): DataFrame =
+    rollingVolCore(panel, window)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(col("vol"))).as("vs"),
+        max_by(col("vol"), col("date")).as("last_vol"))
+      .withColumn("median_vol",
+        expr("element_at(vs, cast((size(vs) + 1) div 2 as int))"))
+      .withColumn("n_high", size(filter(col("vs"), v => v > col("median_vol"))).cast("long"))
+      .withColumn("n_low", col("n_days") - col("n_high"))
+      .withColumn("in_high_regime", (col("last_vol") > col("median_vol")).cast("long"))
+      .select(col("asset_id"), col("n_days"), col("median_vol"),
+        col("n_high"), col("n_low"), col("in_high_regime"))
+      .orderBy(col("asset_id"))
+
+  /** B173 `fractal_pivots` — Bill Williams-style 5-bar fractals: a
+    * pivot high is a bar whose high STRICTLY exceeds the two bars on
+    * each side (mirror for pivot lows). Reports per-asset pivot counts
+    * and the most recent pivot levels — the swing structure behind
+    * support/resistance overlays. Pure lead/lag arithmetic on the
+    * daily bars; ties break conservatively (equal neighbors are not
+    * pivots).
+    */
+  def fractalPivots(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ph",
+        col("high") > lag(col("high"), 1).over(byAsset) &&
+          col("high") > lag(col("high"), 2).over(byAsset) &&
+          col("high") > lead(col("high"), 1).over(byAsset) &&
+          col("high") > lead(col("high"), 2).over(byAsset))
+      .withColumn("pl",
+        col("low") < lag(col("low"), 1).over(byAsset) &&
+          col("low") < lag(col("low"), 2).over(byAsset) &&
+          col("low") < lead(col("low"), 1).over(byAsset) &&
+          col("low") < lead(col("low"), 2).over(byAsset))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ph"), 1L).otherwise(0L)).as("n_pivot_high"),
+        sum(when(col("pl"), 1L).otherwise(0L)).as("n_pivot_low"),
+        max_by(when(col("ph"), col("high")), when(col("ph"), col("date"))).as("last_pivot_high"),
+        max_by(when(col("pl"), col("low")), when(col("pl"), col("date"))).as("last_pivot_low"))
+      .select(col("asset_id"), col("n_days"), col("n_pivot_high"),
+        col("n_pivot_low"), col("last_pivot_high"), col("last_pivot_low"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B174 `turn_of_month` — the turn-of-month effect: daily returns
+    * bucketed early (day ≤ 5) / mid / late (day ≥ 25), exact integer
+    * micro means per asset × bucket — the calendar anomaly screen next
+    * to [[dowSeasonality]]'s weekday profile.
+    */
+  def turnOfMonth(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(byAsset)
+    daily
+      .withColumn("ret", u6(col("value") /
+        when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("ret_micro", round(col("ret") * 1e6).cast("long"))
+      .withColumn("bucket",
+        when(dayofmonth(col("date")) <= 5, "early")
+          .when(dayofmonth(col("date")) >= 25, "late")
+          .otherwise("mid"))
+      .groupBy(col("asset_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ret_micro")).as("sum_micro"))
+      .withColumn("mean_ret", expr("sum_micro div n_days").cast("double") / 1e6)
+      .select(col("asset_id"), col("bucket"), col("n_days"), col("mean_ret"))
+      .orderBy(col("asset_id"), col("bucket"))
+  }
+
+  /** B175 `volume_seasonality` — tick-volume weekday profile per asset:
+    * integer totals and the exact milli-mean ticks per weekday — the
+    * liquidity calendar a scheduler sizes intraday jobs against.
+    * Weekday convention as in [[dowSeasonality]].
+    */
+  def volumeSeasonality(panel: DataFrame): DataFrame =
+    dailyBars(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"), dayofweek(col("date")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_ticks")).as("total_ticks"))
+      .withColumn("mean_ticks_milli", expr("(1000 * total_ticks) div n_days"))
+      .select(col("asset_id"), col("dow"), col("n_days"),
+        col("total_ticks"), col("mean_ticks_milli"))
+      .orderBy(col("asset_id"), col("dow"))
+
+  /** B176 `round_price_clustering` — price-clustering microstructure
+    * check: the share of ticks landing on round dollars and half
+    * dollars (human-quoted markets cluster; synthetic/mid-point feeds
+    * don't). Exact integer cents via the [[vwap]] decimal-cast
+    * discipline, then modular counts — fully order-insensitive.
+    */
+  def roundPriceClustering(panel: DataFrame): DataFrame =
+    panel
+      .withColumn("cents", expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("cents") % 100 === 0, 1L).otherwise(0L)).as("n_round_dollar"),
+        sum(when(col("cents") % 50 === 0, 1L).otherwise(0L)).as("n_round_half"))
+      .withColumn("dollar_pm", expr("(1000 * n_round_dollar) div n_ticks"))
+      .withColumn("half_pm", expr("(1000 * n_round_half) div n_ticks"))
+      .select(col("asset_id"), col("n_ticks"), col("n_round_dollar"),
+        col("n_round_half"), col("dollar_pm"), col("half_pm"))
+      .orderBy(col("asset_id"))
+
   def gapStats(panel: DataFrame, thresholdMicro: Long = 10000L): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prevClose = lag(col("close"), 1).over(byAsset)

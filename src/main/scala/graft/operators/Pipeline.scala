@@ -1735,6 +1735,65 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C117 `mixed_lang_docs` — per-source share of documents whose
+    * tokens hit the marker lists of TWO OR MORE languages
+    * ([[graft.expressions.TextStats.markers]] — the same lists lang_id
+    * scores with): code-switching, boilerplate contamination, or a
+    * crawler mixing locales all show here while per-doc argmax lang_id
+    * still reports one confident language. One token pass, integer
+    * counts.
+    */
+  def mixedLangDocs(documents: DataFrame): DataFrame = {
+    val markers = graft.expressions.TextStats.markers
+    val langs = graft.expressions.TextStats.langs
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val nLangsHit = langs.map { l =>
+      (size(filter(toks, t => t.isin(markers(l).toSeq.map(lit(_)): _*))) > 0).cast("int")
+    }.reduce(_ + _)
+    documents
+      .withColumn("n_langs_hit", nLangsHit.cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_langs_hit") >= 2, 1L).otherwise(0L)).as("n_multilang"),
+        sum(when(col("n_langs_hit") === 0, 1L).otherwise(0L)).as("n_unmarked"))
+      .withColumn("multi_pm", expr("(1000 * n_multilang) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_multilang"),
+        col("n_unmarked"), col("multi_pm"))
+      .orderBy(col("source"))
+  }
+
+  /** C118 `source_overlap_matrix` — pairwise top-K-vocabulary Jaccard
+    * between sources (the source-pair face of [[vocabOverlap]]'s
+    * parity-halves check): which crawls/dumps duplicate each other's
+    * lexicon BEFORE any document-level dedup is paid. Top-K per source
+    * by (count DESC, token ASC) — a deterministic total order — then a
+    * K-bounded token join; sources² pairs × K tokens stays tiny at any
+    * corpus scale because K caps the per-source set.
+    */
+  def sourceOverlapMatrix(documents: DataFrame, topK: Int = 100): DataFrame = {
+    val byCnt = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w").asc)
+    val top = documents
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byCnt))
+      .filter(col("rn") <= topK)
+      .select(col("source"), col("w"))
+    val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    top.as("a").join(top.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")), Seq("source_b"))
+      .withColumn("jaccard_pm",
+        expr("(1000 * inter) div (sz_a + sz_b - inter)"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("sz_a"), col("sz_b"), col("jaccard_pm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** C116 `char_trigram_entropy` — per-source Shannon entropy of the
     * character-trigram multiset (the sub-word sibling of
     * [[bigramEntropy]]): natural language sits in a narrow band;

@@ -127,6 +127,87 @@ class Round8OpsSpec extends SparkSpec {
     assert(s2.getAs[Long]("stop_pm") === 1000L)
   }
 
+  test("vol_regime: regime counts split at the exact median; alternating vol flags high") {
+    // 30 days alternating ±10% then a violent tail so the last vol is high
+    val vals = (1 to 24).map(i => if (i % 2 == 0) 110.0 else 100.0) ++
+      Seq(200.0, 50.0, 300.0, 30.0, 400.0, 20.0)
+    val out = Analytics.volRegime(oneTickPanel(vals)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === vals.length - 2L)      // first ret + n<2 gate
+    assert(r.getAs[Long]("n_high") + r.getAs[Long]("n_low") === r.getAs[Long]("n_days"))
+    assert(r.getAs[Long]("in_high_regime") === 1L)            // wild tail
+  }
+
+  test("fractal_pivots: a single spike is the one pivot high") {
+    val out = Analytics.fractalPivots(oneTickPanel(
+      Seq(10.0, 11.0, 20.0, 12.0, 9.0, 8.0, 7.0))).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_pivot_high") === 1L)
+    assert(r.getAs[Double]("last_pivot_high") === 20.0)
+    // monotone tail: lows keep making new lows but the last two bars
+    // lack right wings → exactly one pivot low at day 5? no: day-5 low 9
+    // has lower days 6,7 after it → not a pivot. Verify count directly.
+    assert(r.getAs[Long]("n_pivot_low") === 0L)
+  }
+
+  test("turn_of_month buckets by calendar day with exact means") {
+    val vals = (1 to 28).map(i => 100.0 + i)                  // slow drift up
+    val out = Analytics.turnOfMonth(oneTickPanel(vals)).collect()
+    val buckets = out.map(r => r.getString(1) -> r.getAs[Long]("n_days")).toMap
+    // returns exist on days 2..28: early = days 2..5 (4), late = 25..28 (4)
+    assert(buckets("early") === 4L)
+    assert(buckets("late") === 4L)
+    assert(buckets("mid") === 19L)
+    out.foreach(r => assert(r.getAs[Double]("mean_ret") > 0))
+  }
+
+  test("volume_seasonality: two-tick days count 2 ticks on their weekday") {
+    val panel = Seq(
+      (1L, d("2024-01-01"), ts(1), 10.0, 1L), (1L, d("2024-01-01"), ts(2), 11.0, 2L),
+      (1L, d("2024-01-08"), ts(3), 12.0, 3L))                 // both Mondays
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.volumeSeasonality(panel).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("dow") === 2L)                // Monday (Spark 1=Sun)
+    assert(out.head.getAs[Long]("total_ticks") === 3L)
+    assert(out.head.getAs[Long]("mean_ticks_milli") === 1500L)
+  }
+
+  test("round_price_clustering: exact cent arithmetic") {
+    val panel = Seq(10.0, 10.5, 10.25, 11.0, 10.004)          // 10.004 → 1000 cents (round)
+      .zipWithIndex.map { case (v, i) => (1L, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, i.toLong) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.roundPriceClustering(panel).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_round_dollar") === 3L)            // 10.00, 11.00, 10.004→10.00
+    assert(r.getAs[Long]("n_round_half") === 4L)              // + 10.50
+    assert(r.getAs[Long]("dollar_pm") === 600L)
+  }
+
+  test("mixed_lang_docs: a doc hitting en+de markers counts as multilang") {
+    val out = Pipeline.mixedLangDocs(docs(
+      (1L, "the cat und der hund", "en", "s1"),               // en + de
+      (2L, "the plain english text is here", "en", "s1"),
+      (3L, "zz qq ww", "en", "s2"))).collect()                // no markers
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_multilang") === 1L)
+    assert(s1.getAs[Long]("multi_pm") === 500L)
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.getAs[Long]("n_unmarked") === 1L)
+  }
+
+  test("source_overlap_matrix: identical vocab → 1000pm, disjoint absent") {
+    val out = Pipeline.sourceOverlapMatrix(docs(
+      (1L, "alpha beta gamma", "en", "s1"),
+      (2L, "alpha beta gamma", "en", "s2"),
+      (3L, "delta epsilon", "en", "s3")), topK = 10).collect()
+    assert(out.length === 1)                                  // only s1×s2 intersect
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "s1" && r.getAs[String]("source_b") === "s2")
+    assert(r.getAs[Long]("jaccard_pm") === 1000L)
+  }
+
   test("char_trigram_entropy: uniform distinct trigrams hit ln N; repeats collapse it") {
     // "abcdef" → 4 distinct trigrams, each once → H = ln 4
     val out = Pipeline.charTrigramEntropy(docs((1L, "abcdef", "en", "u"))).collect()
