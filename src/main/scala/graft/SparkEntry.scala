@@ -1061,6 +1061,12 @@ object SparkEntry {
     "stream_source_stats" -> ((s, dir) => StreamReplay.streamSourceStats(s, dir)),
     "stream_tick_rule" -> ((s, dir) => StreamReplay.streamTickRule(s, dir)),
     "stream_tickstore_sink" -> ((s, dir) => StreamReplay.streamTickStoreSink(s, dir)),
+    "stream_quality_gate" -> ((s, dir) => StreamReplay.streamQualityGate(s, dir)),
+    "stream_sessionize" -> ((s, dir) => StreamReplay.streamSessionize(s, dir)),
+    "stream_anomaly" -> ((s, dir) => StreamReplay.streamAnomaly(s, dir)),
+    "stream_funnel" -> ((s, dir) => StreamReplay.streamFunnel(s, dir)),
+    "stream_near_dup" -> ((s, dir) => StreamReplay.streamNearDup(s, dir)),
+    "stream_pack" -> ((s, dir) => StreamReplay.streamPack(s, dir)),
     "sample_split" -> ((s, dir) =>
       Pipeline.sampleSplit(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) =>
@@ -1784,7 +1790,85 @@ object SparkEntry {
     "stream_tickstore_sink" ->
       s"""$panelCte
          |SELECT asset_id, date, ts, value, seq FROM panel
-         |ORDER BY asset_id, date, ts, seq""".stripMargin)
+         |ORDER BY asset_id, date, ts, seq""".stripMargin,
+    "stream_quality_gate" -> base("gopher_rules"),
+    // the streaming sessions ARE the batch gap sessions once flushed;
+    // rank-by-start numbering = the batch cumulative-flag numbering
+    "stream_sessionize" -> base("sessionize"),
+    // causal Welford z-alerts: the recursion replayed in the same IEEE
+    // op order (d/n1 division before the add, m2 uses the NEW mean)
+    "stream_anomaly" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id AS asset_id, ts, value, event_id AS seq,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT asset_id, rn, ts, value, seq,
+        |         CAST(NULL AS DOUBLE) AS z, CAST(0 AS BIGINT) AS n_seen,
+        |         CAST(1 AS BIGINT) AS n, value AS mean, CAST(0.0 AS DOUBLE) AS m2
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.asset_id, b.rn, b.ts, b.value, b.seq,
+        |    CASE WHEN w.n >= 10 AND sqrt(w.m2 / (w.n - 1)) > 0
+        |              AND abs((b.value - w.mean) / sqrt(w.m2 / (w.n - 1))) > 4.0
+        |         THEN (b.value - w.mean) / sqrt(w.m2 / (w.n - 1)) END,
+        |    w.n,
+        |    w.n + 1,
+        |    w.mean + (b.value - w.mean) / (w.n + 1),
+        |    w.m2 + (b.value - w.mean) * (b.value - (w.mean + (b.value - w.mean) / (w.n + 1)))
+        |  FROM w JOIN t b ON b.asset_id = w.asset_id AND b.rn = w.rn + 1)
+        |SELECT asset_id, ts, value, z, n_seen
+        |FROM w WHERE z IS NOT NULL ORDER BY asset_id, ts""".stripMargin,
+    // greedy stage matcher replayed sequentially; users never matching
+    // stage 0 never emitted
+    "stream_funnel" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, rn,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS st
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn,
+        |    CASE WHEN f.st = 0 AND b.event_type = 'view' THEN 1
+        |         WHEN f.st = 1 AND b.event_type = 'click' THEN 2
+        |         WHEN f.st = 2 AND b.event_type = 'purchase' THEN 3
+        |         ELSE f.st END
+        |  FROM f JOIN e b ON b.user_id = f.user_id AND b.rn = f.rn + 1),
+        |g AS (SELECT user_id, CAST(max(st) AS INTEGER) AS stage_reached FROM f GROUP BY user_id)
+        |SELECT user_id, stage_reached FROM g WHERE stage_reached >= 1
+        |ORDER BY user_id""".stripMargin,
+    // bucket owner = group-min doc_id under a doc_id-ordered feed
+    "stream_near_dup" ->
+      s"""$minhashBandCtes,
+         |own AS (SELECT b, key, min(doc_id) AS owner FROM banded GROUP BY b, key)
+         |SELECT d.doc_id, o.owner AS matched_doc_id, CAST(d.b AS INTEGER) AS band_id
+         |FROM banded d JOIN own o ON d.b = o.b AND d.key = o.key AND d.doc_id <> o.owner
+         |ORDER BY d.doc_id, matched_doc_id, band_id""".stripMargin,
+    // true-greedy packing replayed per shard (seed = first doc's tokens;
+    // overflow closes the pack, oversized docs ride alone)
+    "stream_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.shard, b.n_tokens, b.rn,
+        |    CASE WHEN p.used > 0 AND p.used + b.n_tokens > 512
+        |         THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.used > 0 AND p.used + b.n_tokens > 512
+        |         THEN b.n_tokens ELSE p.used + b.n_tokens END
+        |  FROM p JOIN d b ON b.shard = p.shard AND b.rn = p.rn + 1)
+        |SELECT doc_id, shard, n_tokens, pack_id
+        |FROM p ORDER BY shard, doc_id""".stripMargin)
 
   /** r8 operator wave A oracles. */
   private lazy val waveAOracles: Map[String, String] = Map(

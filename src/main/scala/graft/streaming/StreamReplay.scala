@@ -368,6 +368,123 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** `stream_quality_gate` — D27's stateless Gopher gate applied to the
+    * replayed documents stream; rows equal batch gopher_rules by
+    * construction (one shared projection), and now by hash too.
+    */
+  def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docRows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, String, Long)]
+      .collect().toSeq
+      .sortBy(_._1)
+    replay(s, docRows, Batches) { in =>
+      StreamingOps.qualityGateStream(
+        in.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    }.orderBy(col("doc_id"))
+  }
+
+  /** `stream_sessionize` — D4's gap-closed sessions over the replayed
+    * event feed: a far-future sentinel advances the watermark so open
+    * sessions time out and flush; the sentinel's own session never
+    * emits. session_id is the per-user rank by start (sessions are
+    * time-disjoint), matching the batch numbering.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.events(s, dir)
+      .select(col("user_id").as("asset_id"), col("ts"), col("value"),
+        col("event_id").as("seq"))
+      .as[StreamingOps.Tick]
+      .collect().toSeq
+      .sortBy(t => (t.ts.getTime, t.seq))
+    val maxTs = ticks.map(_.ts.getTime).max
+    val sentinel = StreamingOps.Tick(ticks.head.asset_id,
+      new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
+    val sink = replay(s, ticks :+ sentinel, Batches) { in =>
+      StreamingOps.sessionizeStream(in, gapSec = 1800L, watermark = "0 seconds")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("session_start"))
+    sink
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("asset_id").as("user_id"), col("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** `stream_anomaly` — D18's causal Welford z-score alerts over the
+    * replayed tick feed; the oracle replays the exact recursion
+    * (n, mean, m2 updated in the same IEEE op order).
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.events(s, dir)
+      .select(col("user_id").as("asset_id"), col("ts"), col("value"),
+        col("event_id").as("seq"))
+      .as[StreamingOps.Tick]
+      .collect().toSeq
+      .sortBy(t => (t.ts.getTime, t.seq))
+    replay(s, ticks, Batches)(StreamingOps.anomalyStream(_))
+      .orderBy(col("asset_id"), col("ts"))
+  }
+
+  /** `stream_funnel` — D10's greedy per-user stage matcher (arrival
+    * order binding); the final (= max) emission per user equals the
+    * sequential replay the oracle's recursive CTE runs. Users that
+    * never match stage 0 never emit — the oracle filters identically.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[StreamingOps.FunnelEvent]
+      .collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val sink = replay(s, evs, Batches, OutputMode.Update) { in =>
+      StreamingOps.funnelStream(in, Seq("view", "click", "purchase"))
+    }
+    sink.groupBy(col("user_id"))
+      .agg(max(col("stage_reached")).as("stage_reached"))
+      .orderBy(col("user_id"))
+  }
+
+  /** `stream_near_dup` — D6's LSH bucket-owner candidate emission over
+    * a doc_id-ordered replay (finite-backfill mode, no TTL): the owner
+    * of every (band, bucket) is its smallest doc_id, so candidates are
+    * exactly the non-owner members — the oracle's group-min replay.
+    */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docRows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect().toSeq
+      .sortBy(_._1)
+    replay(s, docRows, Batches) { in =>
+      StreamingOps.nearDupCandidatesStream(
+        in.toDF("doc_id", "text"), tsCol = None)
+    }.orderBy(col("doc_id"), col("matched_doc_id"), col("band_id"))
+  }
+
+  /** `stream_pack` — D8's true-greedy arrival packing (doc never
+    * splits, pack closes on overflow, oversized doc rides alone) on a
+    * doc_id-ordered feed; the oracle replays the greedy recursion per
+    * shard.
+    */
+  def streamPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docRows = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("shard"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[StreamingOps.PackDoc]
+      .collect().toSeq
+      .sortBy(_.doc_id)
+    replay(s, docRows, Batches)(StreamingOps.packStream(_, budget = 512L))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** `stream_tickstore_sink` — D9 driven end to end: the tick stream
     * lands in the month-partitioned TickStore via the foreachBatch
     * sink, and the store read-back equals the panel relation. The sink

@@ -23,6 +23,20 @@ object StreamingOps {
   case class Tick(asset_id: Long, ts: Timestamp, value: Double, seq: Long)
   case class Latest(asset_id: Long, ts: Timestamp, value: Double, seq: Long)
 
+  /** Epoch MICROseconds of a Timestamp — `getTime` alone truncates to
+    * ms, which would make (ts, seq) event ordering and gap arithmetic
+    * diverge from the batch/oracle side (µs-precision event time) on
+    * sub-ms ties. All sequential folds order by this.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** D1 — streaming last-write-wins: flatMapGroupsWithState keeping the
     * max-(ts, seq) tick per asset, emitting on change.
     */
@@ -38,14 +52,14 @@ object StreamingOps {
             aTs > bTs || (aTs == bTs && aSeq > bSeq)
           val incoming = rows.foldLeft(Option.empty[Tick]) { (best, t) =>
             best match {
-              case Some(b) if !newer(t.ts.getTime, t.seq, b.ts.getTime, b.seq) => best
+              case Some(b) if !newer(micros(t.ts), t.seq, micros(b.ts), b.seq) => best
               case _ => Some(t)
             }
           }
           val current = state.getOption
           incoming match {
             case Some(t)
-              if current.forall(c => newer(t.ts.getTime, t.seq, c.ts.getTime, c.seq)) =>
+              if current.forall(c => newer(micros(t.ts), t.seq, micros(c.ts), c.seq)) =>
               val next = Latest(assetId, t.ts, t.value, t.seq)
               state.update(next)
               Iterator(next)
@@ -75,26 +89,26 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val a = state.get
             state.remove()
-            Iterator(Session(key, new Timestamp(a.start), new Timestamp(a.end), a.n))
+            Iterator(Session(key, tsOfMicros(a.start), tsOfMicros(a.end), a.n))
           } else {
-            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.seq))
+            val sorted = rows.toSeq.sortBy(t => (micros(t.ts), t.seq))
             val out = scala.collection.mutable.Buffer[Session]()
             var acc = state.getOption
             sorted.foreach { t =>
-              val tMs = t.ts.getTime
+              val tUs = micros(t.ts)
               acc match {
-                case Some(a) if tMs - a.end <= gapSec * 1000 =>
-                  acc = Some(a.copy(end = math.max(a.end, tMs), n = a.n + 1))
+                case Some(a) if tUs - a.end <= gapSec * 1000000 =>
+                  acc = Some(a.copy(end = math.max(a.end, tUs), n = a.n + 1))
                 case Some(a) =>
-                  out += Session(key, new Timestamp(a.start), new Timestamp(a.end), a.n)
-                  acc = Some(SessionAcc(tMs, tMs, 1))
+                  out += Session(key, tsOfMicros(a.start), tsOfMicros(a.end), a.n)
+                  acc = Some(SessionAcc(tUs, tUs, 1))
                 case None =>
-                  acc = Some(SessionAcc(tMs, tMs, 1))
+                  acc = Some(SessionAcc(tUs, tUs, 1))
               }
             }
             acc.foreach { a =>
               state.update(a)
-              state.setTimeoutTimestamp(a.end + gapSec * 1000)
+              state.setTimeoutTimestamp(a.end / 1000 + gapSec * 1000)
             }
             out.iterator
           }
@@ -253,7 +267,7 @@ object StreamingOps {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
           var st = state.getOption.getOrElse(0)
           val before = st
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (st < stages.length && e.event_type == stages(st)) st += 1
           }
           state.update(st)
@@ -552,7 +566,7 @@ object StreamingOps {
         (assetId: Long, rows: Iterator[Tick], state: GroupState[AnomalyState]) =>
           var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
           val out = Vector.newBuilder[Alert]
-          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
+          rows.toSeq.sortBy(t => (micros(t.ts), t.seq)).foreach { t =>
             if (st.n >= math.max(minObs, 2L)) {
               val sd = math.sqrt(st.m2 / (st.n - 1))
               if (sd > 0) {
@@ -595,7 +609,7 @@ object StreamingOps {
         (assetId: Long, rows: Iterator[Tick], state: GroupState[TickSideState]) =>
           var st = state.getOption.orNull
           val out = Vector.newBuilder[SidedTick]
-          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
+          rows.toSeq.sortBy(t => (micros(t.ts), t.seq)).foreach { t =>
             val side =
               if (st == null) 0
               else if (t.value > st.last_value) 1
@@ -781,8 +795,8 @@ object StreamingOps {
         (assetId: Long, rows: Iterator[Tick], state: GroupState[GapState]) =>
           var st = state.getOption.orNull
           val out = Vector.newBuilder[GapPoint]
-          rows.toSeq.sortBy(t => (t.ts.getTime, t.seq)).foreach { t =>
-            val day = Math.floorDiv(t.ts.getTime, 86400000L)
+          rows.toSeq.sortBy(t => (micros(t.ts), t.seq)).foreach { t =>
+            val day = Math.floorDiv(micros(t.ts), 86400000000L)
             if (st == null || day == st.epoch_day) {
               st = GapState(day, t.value)
             } else if (day > st.epoch_day) {
