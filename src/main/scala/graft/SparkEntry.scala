@@ -1062,6 +1062,25 @@ object SparkEntry {
     "stream_tick_rule" -> ((s, dir) => StreamReplay.streamTickRule(s, dir)),
     "stream_tickstore_sink" -> ((s, dir) => StreamReplay.streamTickStoreSink(s, dir)),
     "stream_quality_gate" -> ((s, dir) => StreamReplay.streamQualityGate(s, dir)),
+    "stream_stream_asof" -> ((s, dir) => StreamReplay.streamStreamAsOf(s, dir)),
+    "stream_topk" -> ((s, dir) => StreamReplay.streamTopk(s, dir)),
+    "stream_minhash_index" -> ((s, dir) => StreamReplay.streamMinhashIndex(s, dir)),
+    // A10 driven as a driver row: a deterministic 5000-row panel lands
+    // in the reference's .db page format (multi-level tree, multi-page
+    // partitions) and the DataSource's parallel read must reproduce the
+    // generator relation the oracle computes from range(5000).
+    "findb_read" -> ((s, dir) => {
+      val entries = (0 until 5000)
+        .map(i => (i.toLong / 50, 20240101 + (i % 28), i.toLong, i.toFloat))
+        .sorted
+      val path = java.nio.file.Files.createTempDirectory("findb_drv").toString + "/panel.db"
+      val pageSize = graft.sources.findb.FindbFormat.PageHeaderSize +
+        16 * graft.sources.findb.FindbFormat.KeyValueSize
+      graft.sources.findb.FindbWriter.write(path, pageSize, entries)
+      s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 7).load(path)
+        .orderBy(col("asset_id"), col("date"), col("timestamp"))
+    }),
     "stream_sessionize" -> ((s, dir) => StreamReplay.streamSessionize(s, dir)),
     "stream_anomaly" -> ((s, dir) => StreamReplay.streamAnomaly(s, dir)),
     "stream_funnel" -> ((s, dir) => StreamReplay.streamFunnel(s, dir)),
@@ -1847,6 +1866,29 @@ object SparkEntry {
          |SELECT d.doc_id, o.owner AS matched_doc_id, CAST(d.b AS INTEGER) AS band_id
          |FROM banded d JOIN own o ON d.b = o.b AND d.key = o.key AND d.doc_id <> o.owner
          |ORDER BY d.doc_id, matched_doc_id, band_id""".stripMargin,
+    "stream_topk" -> base("topk_per_group"),
+    "stream_minhash_index" -> base("dedup_incremental"),
+    // per tick: the max-(r_ts, r_seq) reference value at-or-before ts
+    // within 1h (same-ts higher-seq rows qualify — r_ts ≤ ts is the
+    // only time condition, as in the streaming join)
+    "stream_stream_asof" ->
+      s"""$panelCte
+         |SELECT p.asset_id, p.ts, p.seq, p.value,
+         |  arg_max(r.value, CAST(epoch_us(r.ts) AS HUGEINT) * 1000000000 + r.seq) AS asof_value
+         |FROM panel p JOIN panel r
+         |  ON r.asset_id = p.asset_id
+         | AND r.ts <= p.ts AND r.ts >= p.ts - INTERVAL 1 HOUR
+         |GROUP BY p.asset_id, p.ts, p.seq, p.value
+         |ORDER BY p.asset_id, p.ts, p.seq""".stripMargin,
+    // the connector's parallel page-range read must reproduce the
+    // write-time generator relation
+    "findb_read" ->
+      """SELECT CAST(i // 50 AS BIGINT) AS asset_id,
+        |       CAST(20240101 + (i % 28) AS INTEGER) AS date,
+        |       CAST(i AS BIGINT) AS "timestamp",
+        |       CAST(i AS FLOAT) AS value
+        |FROM range(5000) t(i)
+        |ORDER BY asset_id, date, "timestamp"""".stripMargin,
     // true-greedy packing replayed per shard (seed = first doc's tokens;
     // overflow closes the pack, oversized docs ride alone)
     "stream_pack" ->

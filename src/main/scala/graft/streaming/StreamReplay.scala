@@ -39,11 +39,11 @@ object StreamReplay {
     // The state-store partition count is fixed from shuffle.partitions
     // at query START; every micro-batch then pays a per-partition state
     // commit. A bounded replay doesn't need the session's scan-width
-    // setting — 8 partitions keeps per-batch overhead low while still
+    // setting — 4 partitions keeps per-batch overhead low while still
     // exercising multi-partition state. Restored immediately after
     // .start() (the running query keeps its snapshot).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try op(in.toDS()).toDF()
         .writeStream.format("memory").queryName(name)
@@ -52,6 +52,46 @@ object StreamReplay {
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+      val out = spark.table(name)
+      val collected = out.collect()
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(collected: _*)), out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** Two-input replay for stream-stream ops: both feeds advance in
+    * lockstep micro-batches (chunk i of A and of B land in the same
+    * trigger), which is what keeps both sides' watermarks moving
+    * together.
+    */
+  def replay2[A, B, O](spark: SparkSession, rowsA: Seq[A], rowsB: Seq[B], nBatches: Int,
+                       mode: OutputMode = OutputMode.Append)(
+      op: (Dataset[A], Dataset[B]) => Dataset[O])(
+      implicit ia: Encoder[A], ib: Encoder[B]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[A]
+    val inB = MemoryStream[B]
+    val name = s"graft_replay_${sinkId.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try op(inA.toDS(), inB.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      val chunkA = math.max(1, (rowsA.length + nBatches - 1) / nBatches)
+      val chunkB = math.max(1, (rowsB.length + nBatches - 1) / nBatches)
+      val ga = rowsA.grouped(chunkA).toSeq
+      val gb = rowsB.grouped(chunkB).toSeq
+      (0 until math.max(ga.length, gb.length)).foreach { i =>
+        if (i < ga.length) inA.addData(ga(i))
+        if (i < gb.length) inB.addData(gb(i))
+        q.processAllAvailable()
+      }
       val out = spark.table(name)
       val collected = out.collect()
       spark.createDataFrame(
@@ -483,6 +523,84 @@ object StreamReplay {
       .sortBy(_.doc_id)
     replay(s, docRows, Batches)(StreamingOps.packStream(_, budget = 512L))
       .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** `stream_stream_asof` — D7's watermarked stream-stream as-of join,
+    * the panel against itself (each tick picks the max-(ts, seq)
+    * reference value at-or-before its event time within 1 hour —
+    * including same-ts higher-seq rows, the documented condition).
+    * Sentinels on BOTH streams advance both watermarks so every real
+    * group finalizes; sentinel rows are filtered from the output by
+    * their far-future ts.
+    */
+  def streamStreamAsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = tickFeed(s, dir)
+    val maxTs = ticks.map(_.ts.getTime).max
+    val sentinel = StreamingOps.Tick(ticks.head.asset_id,
+      new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
+    val fed = ticks :+ sentinel
+    // 2 batches (not 4): the chained join+agg state pays TWO stateful
+    // stages per trigger; one split still exercises cross-batch state
+    replay2(s, fed, fed, 2) { (l, r) =>
+      StreamingOps.streamStreamAsOf(l.toDF(), r.toDF(),
+        maxLag = "1 hour", watermark = "0 seconds")
+        // strictly before the sentinel (a <= maxTs bound would drop the
+        // real max tick: getTime is ms-truncated, the tick's ts is µs)
+        .filter(col("ts") < lit(sentinel.ts))
+    }.orderBy(col("asset_id"), col("ts"), col("seq"))
+  }
+
+  /** `stream_topk` — D11's champion-list state replayed across
+    * micro-batches. Every event that is a FINAL champion entered the
+    * champion list on its arrival batch (it beat the then-champions)
+    * and was emitted, so the final top-k per group = rank over the
+    * DISTINCT emitted champions — no reliance on sink emission order.
+    */
+  def streamTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .as[StreamingOps.TopkEvent]
+      .collect().toSeq
+      .sortBy(_.event_id)
+    val sink = replay(s, evs, Batches, OutputMode.Update)(
+      StreamingOps.topkStream(_, k))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    sink.select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .distinct()
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** `stream_minhash_index` — D12 driven end to end: the corpus's
+    * doc_id % 5 ≠ 0 docs stream into the band index via the
+    * foreachBatch sink, then the % 5 = 0 batch probes it — identical
+    * output contract to batch `dedup_incremental` (same split, same
+    * index layout, same probe).
+    */
+  def streamMinhashIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect().toSeq
+      .sortBy(_._1)
+    val (probes, existing) = corpus.partition(_._1 % 5 == 0)
+    val path = java.nio.file.Files.createTempDirectory("mh_sink").toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("mh_sink_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashIndexSink(
+      in.toDS().toDF("doc_id", "text"), path, ckpt)
+    try {
+      val chunk = math.max(1, (existing.length + Batches - 1) / Batches)
+      existing.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Dedup.probeMinhashIndex(s, path,
+      probes.toDF("doc_id", "text"))
   }
 
   /** `stream_tickstore_sink` — D9 driven end to end: the tick stream
