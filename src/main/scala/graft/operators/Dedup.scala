@@ -254,6 +254,13 @@ object Dedup {
         first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("ha"),
         first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hb"))
     melted
+      // CPU-dense, byte-light verify stage: AQE's size-based coalescing
+      // would funnel the pair partitions into few tasks (probed 4.5× at
+      // 2× data — the edit_similarity lesson). A user-specified
+      // partition count is exempt from coalescing and keeps the merge
+      // kernel spread.
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       // primitive two-pointer merge over the sorted hash sets — the
       // per-pair O(|a|+|b|) verify kernel (no boxing, no hash set, no
       // materialized intersection; see SortedIntersectCount)

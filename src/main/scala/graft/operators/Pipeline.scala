@@ -1773,6 +1773,10 @@ object Pipeline {
   def sourceOverlapMatrix(documents: DataFrame, topK: Int = 100): DataFrame = {
     val byCnt = Window.partitionBy(col("source"))
       .orderBy(col("c").desc, col("w").asc)
+    // K-bounded by construction (≤ sources·K rows) and consumed by
+    // THREE subtrees (both pair sides + the size aggregate): an eager
+    // localCheckpoint makes each consumer a block read instead of
+    // re-running the corpus word count per reference.
     val top = documents
       .select(col("source"),
         explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("w"))
@@ -1780,6 +1784,7 @@ object Pipeline {
       .withColumn("rn", row_number().over(byCnt))
       .filter(col("rn") <= topK)
       .select(col("source"), col("w"))
+      .localCheckpoint(true)
     val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     top.as("a").join(top.as("b"),
         col("a.w") === col("b.w") && col("a.source") < col("b.source"))
