@@ -990,6 +990,16 @@ object SparkEntry {
       Analytics.roundPriceClustering(Tables.panel(s, dir))),
     "mixed_lang_docs" -> ((s, dir) =>
       Pipeline.mixedLangDocs(Tables.documents(s, dir))),
+    "resample_weekly" -> ((s, dir) =>
+      Analytics.resampleWeekly(Tables.panel(s, dir))),
+    "price_percentile" -> ((s, dir) =>
+      Analytics.pricePercentile(Tables.panel(s, dir))),
+    "quality_length_matrix" -> ((s, dir) =>
+      Pipeline.qualityLengthMatrix(Tables.documents(s, dir))),
+    "dup_text_mass" -> ((s, dir) =>
+      Pipeline.dupTextMass(Tables.documents(s, dir))),
+    "quantization_error_by_dim" -> ((s, dir) =>
+      Quantize.quantizationErrorByDim(Tables.embeddings(s, dir))),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2084,6 +2094,100 @@ object SparkEntry {
         |  floor((ln(CAST(n_trigrams AS DOUBLE)) - (CAST(s AS DOUBLE) / 1e6) / CAST(n_trigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_tri
         |FROM g2 ORDER BY source""".stripMargin)
 
+  /** r8 operator wave C oracles. */
+  private lazy val waveCOracles: Map[String, String] = Map(
+    "resample_weekly" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |w AS (
+         |  SELECT asset_id, CAST(date_trunc('week', date) AS DATE) AS week_start, date, value
+         |  FROM daily),
+         |r AS (
+         |  SELECT asset_id, week_start, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, week_start ORDER BY date ASC)  AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, week_start ORDER BY date DESC) AS rn_d
+         |  FROM w)
+         |SELECT asset_id, week_start,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n_days
+         |FROM r GROUP BY asset_id, week_start
+         |ORDER BY asset_id, week_start""".stripMargin,
+    "price_percentile" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 251 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily)
+         |SELECT asset_id, date, value,
+         |  CAST(len(arr) AS BIGINT) AS n,
+         |  CAST(len(list_filter(arr, x -> x <= value)) AS BIGINT) AS n_le,
+         |  (1000 * CAST(len(list_filter(arr, x -> x <= value)) AS BIGINT)) // len(arr) AS pctl_pm
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    // quality replayed exactly as in text_quality's oracle, then
+    // integer decile/length bucketing
+    "quality_length_matrix" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    floor((
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      greatest(1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 0.0) * 0.3 +
+        |      least(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are'], t)))
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END * 4, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS q
+        |  FROM documents)
+        |SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS q_decile,
+        |       least(n_chars // 500, 9) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM q GROUP BY 1, 2 ORDER BY q_decile, len_bucket""".stripMargin,
+    "dup_text_mass" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+        |k AS (
+        |  SELECT source, n_chars,
+        |         doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+        |  FROM h),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM k GROUP BY source)
+        |SELECT source, n_docs, n_dup_docs, total_chars, dup_chars,
+        |  CASE WHEN total_chars = 0 THEN NULL
+        |       ELSE (1000 * dup_chars) // total_chars END AS dup_mass_pm
+        |FROM g ORDER BY source""".stripMargin,
+    // int8 codes replayed exactly as embed_quantize; per-term errors
+    // micro-rounded BEFORE the integer sums
+    "quantization_error_by_dim" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+        |         END AS qv
+        |  FROM s),
+        |e AS (
+        |  SELECT unnest(range(0, len(v))) AS dim,
+        |         unnest(list_transform(range(1, len(v) + 1),
+        |           i -> CAST(floor(abs(v[CAST(i AS INTEGER)]
+        |                  - CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * scale / 127.0) * 1000000.0 + 0.5) AS BIGINT))) AS err
+        |  FROM q)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(err) AS BIGINT) // count(*) AS mean_err_micro,
+        |  CAST(max(err) AS BIGINT) AS max_err_micro
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin)
+
   /** r8 operator wave B oracles. */
   private lazy val waveBOracles: Map[String, String] = Map(
     "vol_regime" ->
@@ -2240,7 +2344,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

@@ -276,6 +276,51 @@ object Analytics {
       .orderBy(col("asset_id"), col("month"))
   }
 
+  /** B177 `resample_weekly` — weekly OHLC resample, [[resampleMonthly]]
+    * at ISO-week granularity (date_trunc('week') = Monday start in
+    * both engines): the bar feed a medium-horizon indicator stack
+    * consumes. Same single-shuffle shape.
+    */
+  def resampleWeekly(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("week_start", date_trunc("week", col("date")).cast("date"))
+    val wAsc = Window.partitionBy(col("asset_id"), col("week_start")).orderBy(col("date").asc)
+    val wDesc = Window.partitionBy(col("asset_id"), col("week_start")).orderBy(col("date").desc)
+    daily
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("asset_id"), col("week_start"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("asset_id"), col("week_start"))
+  }
+
+  /** B178 `price_percentile` — where today's value sits in its own
+    * trailing `window`-day distribution, as an exact integer per-mille
+    * ((1000·#{arr ≤ v}) div n — an order statistic, no interpolation,
+    * no float compare beyond double equality on identical parquet
+    * values). The mean-reversion/breakout conditioning variable next
+    * to [[distFromHigh]]'s extreme-distance view.
+    */
+  def pricePercentile(panel: DataFrame, window: Int = 252): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .withColumn("n_le",
+        size(filter(col("arr"), x => x <= col("value"))).cast("long"))
+      .withColumn("pctl_pm", expr("(1000 * n_le) div n"))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("n"), col("n_le"), col("pctl_pm"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B7 `topk_per_group` — rank ≤ k per group with total tie-break. */
   def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))

@@ -1735,6 +1735,49 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C119 `quality_length_matrix` — the filter-design heatmap: doc
+    * counts per (quality decile, length bucket), with per-cell token
+    * mass. A length-quality correlation means a naive quality cutoff
+    * silently becomes a length cutoff — this is the 2-D view that
+    * catches it before a threshold ships. Quality is the C9 kernel
+    * score (oracle replays its exact arithmetic); buckets are integer
+    * floors, counts integer.
+    */
+  def qualityLengthMatrix(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("q", TextFns.qualityScore(col("text")))
+      .withColumn("q_decile",
+        least(floor(col("q") * 10).cast("long"), lit(9L)))
+      .withColumn("len_bucket",
+        least(expr("n_chars div 500"), lit(9L)).cast("long"))
+      .groupBy(col("q_decile"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("q_decile"), col("len_bucket"))
+
+  /** C120 `dup_text_mass` — duplicate CHARACTER mass per source: the
+    * dataset_card's doc-level dup share re-weighted by bytes (one
+    * giant boilerplate doc can dominate a corpus that looks clean by
+    * doc count). Survivor = min doc_id per exact content hash, as in
+    * dedup_exact; mass of everything else is the dup mass.
+    */
+  def dupTextMass(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    documents
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(!col("keep"), col("n_chars")).otherwise(0L)).as("dup_chars"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_mass_pm", when(col("total_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * dup_chars) div total_chars")))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("total_chars"), col("dup_chars"), col("dup_mass_pm"))
+      .orderBy(col("source"))
+  }
+
   /** C117 `mixed_lang_docs` — per-source share of documents whose
     * tokens hit the marker lists of TWO OR MORE languages
     * ([[graft.expressions.TextStats.markers]] — the same lists lang_id

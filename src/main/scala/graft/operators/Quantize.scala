@@ -79,4 +79,29 @@ object Quantize {
         floor(err * 1000000.0 + 0.5).as("max_err_micro"))
       .orderBy(col("vec_id"))
   }
+
+  /** C121 `quantization_error_by_dim` — per-DIMENSION int8
+    * reconstruction error (embed_quantize's per-vector view, cut the
+    * other way): a dimension whose error dwarfs the others is the one
+    * that dominates every vector's scale (heavy-tailed dim) — the
+    * signal that per-dim or per-block scaling would pay before a
+    * corpus-wide code rollout. Per-term errors micro-round BEFORE the
+    * integer sum, so the mean is order-insensitive.
+    */
+  def quantizationErrorByDim(embeddings: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val scale = array_max(transform(v, x => abs(x)))
+    embeddings
+      .select(col("vec_id"), v.as("v"),
+        Kernels.quantizeInt8(v).as("qv"), scale.as("scale"))
+      .select(posexplode(zip_with(col("v"), col("qv"),
+        (x, q) => floor(abs(x - q.cast("double") * col("scale") / 127.0) * 1e6 + 0.5))))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("col").cast("long")).as("sum_err_micro"),
+        max(col("col").cast("long")).as("max_err_micro"))
+      .withColumn("mean_err_micro", expr("sum_err_micro div n_vecs"))
+      .select(col("dim"), col("n_vecs"), col("mean_err_micro"), col("max_err_micro"))
+      .orderBy(col("dim"))
+  }
 }

@@ -281,6 +281,15 @@ class PlanAuditSpec extends SparkSpec {
       s"char_trigram_entropy exceeded trigram agg + source agg + sort: ${shuffles("char_trigram_entropy")}")
     assert(shuffles("source_overlap_matrix") <= 7,
       s"source_overlap_matrix exceeded count + rank + pair join + size joins + sort: ${shuffles("source_overlap_matrix")}")
+    // round-8 wave C
+    for (q <- Seq("price_percentile"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    for (q <- Seq("resample_weekly"))
+      assert(shuffles(q) <= 3, s"$q exceeded panel + week agg + sort: ${shuffles(q)}")
+    for (q <- Seq("quality_length_matrix", "quantization_error_by_dim"))
+      assert(shuffles(q) <= 2, s"$q exceeded scan + bucket agg + sort: ${shuffles(q)}")
+    assert(shuffles("dup_text_mass") <= 3,
+      s"dup_text_mass exceeded hash window + source agg + sort: ${shuffles("dup_text_mass")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -208,6 +208,72 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_pm") === 1000L)
   }
 
+  test("resample_weekly: Monday-start weeks, first open / last close") {
+    // 2024-01-01 is a Monday; days 1..10 span two ISO weeks (1-7, 8-10)
+    val out = Analytics.resampleWeekly(oneTickPanel((1 to 10).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.length === 2)
+    assert(out(0).getDate(1).toString === "2024-01-01")
+    assert(out(0).getAs[Double]("open") === 1.0)
+    assert(out(0).getAs[Double]("close") === 7.0)
+    assert(out(0).getAs[Long]("n_days") === 7L)
+    assert(out(1).getDate(1).toString === "2024-01-08")
+    assert(out(1).getAs[Double]("open") === 8.0)
+    assert(out(1).getAs[Double]("high") === 10.0)
+  }
+
+  test("price_percentile: exact order-statistic per-mille") {
+    val out = Analytics.pricePercentile(oneTickPanel(Seq(10.0, 20.0, 15.0, 5.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out(0).getAs[Long]("pctl_pm") === 1000L)           // 1 of 1
+    assert(out(1).getAs[Long]("pctl_pm") === 1000L)           // max of 2
+    assert(out(2).getAs[Long]("pctl_pm") === 666L)            // 2 of 3
+    assert(out(3).getAs[Long]("pctl_pm") === 250L)            // min of 4
+  }
+
+  test("quality_length_matrix: cells are integer-bucketed doc counts") {
+    val d = docs(
+      (1L, "the cat is on the mat and it is a fine day for all of us", "en", "s"),
+      (2L, "zz", "en", "s"))
+    val out = Pipeline.qualityLengthMatrix(d).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 2L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_decile") >= 0L && r.getAs[Long]("q_decile") <= 9L)
+      assert(r.getAs[Long]("len_bucket") >= 0L && r.getAs[Long]("len_bucket") <= 9L)
+    }
+  }
+
+  test("dup_text_mass: non-survivor chars count as dup mass") {
+    val d = docs(
+      (1L, "identical content here", "en", "s1"),
+      (2L, "identical content here", "en", "s1"),             // dup, 22 chars
+      (3L, "unique text", "en", "s2"))
+    val out = Pipeline.dupTextMass(d).collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_dup_docs") === 1L)
+    assert(s1.getAs[Long]("dup_chars") === 22L)
+    assert(s1.getAs[Long]("dup_mass_pm") === 500L)
+    assert(out.find(_.getString(0) == "s2").get.getAs[Long]("dup_chars") === 0L)
+  }
+
+  test("quantization_error_by_dim: a zero vector has zero error everywhere") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f), "a"),
+      (2L, Array(0.0f, 0.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Quantize.quantizationErrorByDim(emb).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === 2L)
+      // int8 reconstruction error is bounded by scale/254 ≈ 0.004
+      assert(r.getAs[Long]("max_err_micro") <= 4000L)
+    }
+    // dim 0 of vec 1 is the scale carrier → exact code 127 → zero error
+    assert(out.find(_.getAs[Long]("dim") == 0L).get.getAs[Long]("max_err_micro") === 0L)
+  }
+
   test("char_trigram_entropy: uniform distinct trigrams hit ln N; repeats collapse it") {
     // "abcdef" → 4 distinct trigrams, each once → H = ln 4
     val out = Pipeline.charTrigramEntropy(docs((1L, "abcdef", "en", "u"))).collect()
