@@ -1000,6 +1000,16 @@ object SparkEntry {
       Pipeline.dupTextMass(Tables.documents(s, dir))),
     "quantization_error_by_dim" -> ((s, dir) =>
       Quantize.quantizationErrorByDim(Tables.embeddings(s, dir))),
+    "underwater_duration" -> ((s, dir) =>
+      Analytics.underwaterDuration(Tables.panel(s, dir))),
+    "range_expansion" -> ((s, dir) =>
+      Analytics.rangeExpansion(Tables.panel(s, dir))),
+    "ibs" -> ((s, dir) =>
+      Analytics.ibs(Tables.panel(s, dir))),
+    "cross_lang_dups" -> ((s, dir) =>
+      Dedup.crossLangDups(Tables.documents(s, dir))),
+    "near_dup_length_ratio" -> ((s, dir) =>
+      Dedup.nearDupLengthRatio(Tables.documents(s, dir))),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2094,6 +2104,98 @@ object SparkEntry {
         |  floor((ln(CAST(n_trigrams AS DOUBLE)) - (CAST(s AS DOUBLE) / 1e6) / CAST(n_trigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_tri
         |FROM g2 ORDER BY source""".stripMargin)
 
+  /** r8 operator wave D oracles. */
+  private lazy val waveDOracles: Map[String, String] = Map(
+    "underwater_duration" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |m0 AS (
+         |  SELECT asset_id, date, value,
+         |    value < max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uw
+         |  FROM daily),
+         |m AS (
+         |  SELECT asset_id, date, value, uw,
+         |    sum(CASE WHEN uw THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY asset_id ORDER BY date
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+         |  FROM m0),
+         |ep AS (
+         |  SELECT asset_id, streak_id, CAST(count(*) AS BIGINT) AS days, max(date) AS ep_end
+         |  FROM m WHERE uw GROUP BY asset_id, streak_id),
+         |agg AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_episodes,
+         |         CAST(max(days) AS BIGINT) AS max_underwater_days,
+         |         arg_max(days, ep_end) AS last_ep_days, max(ep_end) AS last_ep_end
+         |  FROM ep GROUP BY asset_id),
+         |base AS (
+         |  SELECT asset_id, max(date) AS last_date, CAST(count(*) AS BIGINT) AS n_days
+         |  FROM m GROUP BY asset_id)
+         |SELECT b.asset_id, b.n_days,
+         |  coalesce(a.n_episodes, 0) AS n_episodes,
+         |  coalesce(a.max_underwater_days, 0) AS max_underwater_days,
+         |  CASE WHEN a.last_ep_end = b.last_date THEN a.last_ep_days ELSE 0 END AS current_underwater_days
+         |FROM base b LEFT JOIN agg a ON a.asset_id = b.asset_id
+         |ORDER BY b.asset_id""".stripMargin,
+    "range_expansion" ->
+      s"""$panelCte,
+         |$barsCte,
+         |r AS (
+         |  SELECT asset_id, date, high - low AS rng,
+         |    list(high - low) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS arr
+         |  FROM bars),
+         |f AS (SELECT * FROM r WHERE len(arr) = 6)
+         |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN rng < list_min(arr) THEN 1 ELSE 0 END) AS BIGINT) AS n_contraction,
+         |  CAST(sum(CASE WHEN rng > list_max(arr) THEN 1 ELSE 0 END) AS BIGINT) AS n_expansion
+         |FROM f GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    "ibs" ->
+      s"""$panelCte,
+         |$barsCte,
+         |v AS (
+         |  SELECT asset_id,
+         |    CASE WHEN high = low THEN NULL
+         |         ELSE floor(((close - low) / (high - low)) * 1000000.0 + 0.5) / 1000000.0 END AS v
+         |  FROM bars),
+         |g AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+         |    CAST(count(v) AS BIGINT) AS n_measured,
+         |    CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+         |  FROM v GROUP BY asset_id)
+         |SELECT asset_id, n_days, n_flat, n_measured,
+         |  CASE WHEN n_measured = 0 THEN NULL
+         |       ELSE CAST(sum_micro // n_measured AS DOUBLE) / 1e6 END AS mean_ibs
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "cross_lang_dups" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT least(da.lang, db.lang) AS lang_lo, greatest(da.lang, db.lang) AS lang_hi
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b)
+         |SELECT lang_lo, lang_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       lang_lo <> lang_hi AS cross_lang
+         |FROM p GROUP BY lang_lo, lang_hi ORDER BY lang_lo, lang_hi""".stripMargin,
+    "near_dup_length_ratio" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT CASE WHEN greatest(da.n_chars, db.n_chars) = 0 THEN 0
+         |              ELSE (1000 * least(da.n_chars, db.n_chars)) // greatest(da.n_chars, db.n_chars)
+         |         END AS ratio_pm
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b)
+         |SELECT least(ratio_pm // 100, 9) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY least(ratio_pm // 100, 9) ORDER BY bucket""".stripMargin)
+
   /** r8 operator wave C oracles. */
   private lazy val waveCOracles: Map[String, String] = Map(
     "resample_weekly" ->
@@ -2344,7 +2446,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

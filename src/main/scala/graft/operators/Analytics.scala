@@ -321,6 +321,85 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B179 `underwater_duration` — drawdown DURATION summary per asset
+    * (drawdown_episodes' time axis): longest underwater streak, episode
+    * count, and whether/how long the series ends underwater — classic
+    * gaps-and-islands over the dd < 0 flag, all integer day counts.
+    */
+  def underwaterDuration(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("uw", col("value") < col("peak"))
+      .withColumn("streak_id", sum(when(col("uw"), 0L).otherwise(1L)).over(runW))
+    val episodes = marked.filter(col("uw"))
+      .groupBy(col("asset_id"), col("streak_id"))
+      .agg(count(lit(1)).as("days"), max(col("date")).as("ep_end"))
+    val lastDates = marked.groupBy(col("asset_id"))
+      .agg(max(col("date")).as("last_date"), count(lit(1)).as("n_days"))
+    lastDates.join(
+      episodes.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_episodes"),
+          max(col("days")).as("max_underwater_days"),
+          max_by(col("days"), col("ep_end")).as("last_ep_days"),
+          max(col("ep_end")).as("last_ep_end")),
+      Seq("asset_id"), "left")
+      .withColumn("n_episodes", coalesce(col("n_episodes"), lit(0L)))
+      .withColumn("max_underwater_days", coalesce(col("max_underwater_days"), lit(0L)))
+      .withColumn("current_underwater_days",
+        when(col("last_ep_end") === col("last_date"), col("last_ep_days"))
+          .otherwise(lit(0L)))
+      .select(col("asset_id"), col("n_days"), col("n_episodes"),
+        col("max_underwater_days"), col("current_underwater_days"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B180 `range_expansion` — NR7-style range regime counts: a day is a
+    * CONTRACTION (NR7) when its high-low range is strictly below all
+    * six prior ranges, an EXPANSION when strictly above — the
+    * breakout-setup frequency per asset. Strict comparisons, integer
+    * counts, only full-window days measured.
+    */
+  def rangeExpansion(panel: DataFrame, lookback: Int = 6): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prior = byAsset.rowsBetween(-lookback, -1)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("rng", col("high") - col("low"))
+      .withColumn("arr", collect_list(col("rng")).over(prior))
+      .filter(size(col("arr")) === lookback)
+      .withColumn("nr", col("rng") < array_min(col("arr")))
+      .withColumn("xp", col("rng") > array_max(col("arr")))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("nr"), 1L).otherwise(0L)).as("n_contraction"),
+        sum(when(col("xp"), 1L).otherwise(0L)).as("n_expansion"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B181 `ibs` — internal bar strength: mean of (close − low) /
+    * (high − low) per asset (where the close sits inside the day's
+    * range — a mean-reversion conditioning classic). Per-bar values
+    * u6 then micro-integer summed (order-insensitive exact mean);
+    * flat bars (high = low) are counted but excluded from the mean.
+    */
+  def ibs(panel: DataFrame): DataFrame =
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("v", when(col("high") === col("low"), lit(null))
+        .otherwise(u6((col("close") - col("low")) / (col("high") - col("low")))))
+      .withColumn("v_micro", round(col("v") * 1e6).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_flat"),
+        count(col("v")).as("n_measured"),
+        sum(col("v_micro")).as("sum_micro"))
+      .withColumn("mean_ibs", when(col("n_measured") === 0, lit(null))
+        .otherwise(expr("sum_micro div n_measured").cast("double") / 1e6))
+      .select(col("asset_id"), col("n_days"), col("n_flat"),
+        col("n_measured"), col("mean_ibs"))
+      .orderBy(col("asset_id"))
+
   /** B7 `topk_per_group` — rank ≤ k per group with total tie-break. */
   def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))

@@ -970,6 +970,46 @@ object Dedup {
     out.orderBy(col("doc_id"))
   }
 
+  /** C122 `cross_lang_dups` — near-dup candidate pairs whose two docs
+    * carry DIFFERENT language labels, counted per unordered label pair:
+    * the translation-leak / mislabeled-boilerplate detector (a high
+    * en×fr count means either the lang labels lie or templates cross
+    * locales — both poison per-language mixes). Pairs are the C2 LSH
+    * candidates; the lang lookup joins the pair set (≈ true dups),
+    * never the corpus.
+    */
+  def crossLangDups(documents: DataFrame): DataFrame = {
+    val langs = documents.select(col("doc_id"), col("lang"))
+    minhashLshPairs(documents)
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), Seq("doc_a"))
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), Seq("doc_b"))
+      .select(least(col("la"), col("lb")).as("lang_lo"),
+        greatest(col("la"), col("lb")).as("lang_hi"))
+      .groupBy(col("lang_lo"), col("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_lang", col("lang_lo") =!= col("lang_hi"))
+      .orderBy(col("lang_lo"), col("lang_hi"))
+  }
+
+  /** C123 `near_dup_length_ratio` — length-ratio distribution of the
+    * near-dup candidate pairs (min/max char length per-mille, bucketed
+    * by decile): a mass of LOW-ratio pairs means truncation — one side
+    * of each dup lost its tail (a crawler or pipeline cut), which
+    * jaccard alone hides behind "similar enough". Pair-bounded work.
+    */
+  def nearDupLengthRatio(documents: DataFrame): DataFrame = {
+    val lens = documents.select(col("doc_id"), col("n_chars"))
+    minhashLshPairs(documents)
+      .join(lens.select(col("doc_id").as("doc_a"), col("n_chars").as("ca")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("n_chars").as("cb")), Seq("doc_b"))
+      .withColumn("ratio_pm", when(greatest(col("ca"), col("cb")) === 0, lit(0L))
+        .otherwise(expr("(1000 * least(ca, cb)) div greatest(ca, cb)")))
+      .withColumn("bucket", least(expr("ratio_pm div 100"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   /** C99 `line_dups` — C4-style line-level duplication per document:
     * trimmed lines of `minLen`+ chars counted across the WHOLE corpus,
     * each doc reporting how many of its lines occur more than once

@@ -462,6 +462,52 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("round-8 panel operators return empty/sane on degenerate panels") {
+    val panelOps: Seq[DataFrame => DataFrame] = Seq(
+      Analytics.kama(_), Analytics.rollingMoments(_), Analytics.distFromHigh(_),
+      Analytics.dowSeasonality(_), Analytics.gapStats(_), Analytics.volRegime(_),
+      Analytics.fractalPivots(_), Analytics.turnOfMonth(_),
+      Analytics.volumeSeasonality(_), Analytics.roundPriceClustering(_),
+      Analytics.resampleWeekly(_), Analytics.pricePercentile(_))
+    panelOps.foreach(op => assert(op(emptyPanel).count() === 0))
+    // single-tick panel: per-date ops emit ≤1 row, per-asset aggregates
+    // exactly one; nothing throws (lag/return gates drop cleanly)
+    val p = Seq((1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 5.0, 1L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    panelOps.foreach(op => assert(op(p).count() <= 1))
+    // a zero-value tick never divides: kama/percentile/dist guard paths
+    val z = Seq(
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1000L), 0.0, 1L),
+      (1L, Date.valueOf("2024-01-02"), new Timestamp(2000L), 5.0, 2L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    assert(Analytics.distFromHigh(z).count() === 2)
+    assert(Analytics.kama(z).count() === 2)
+    // day-2's gap divides by the zero prior close → NULL → filtered:
+    // the asset has NO measurable gaps, so no aggregate row (never NaN)
+    assert(Analytics.gapStats(z).count() === 0)
+  }
+
+  test("round-8 corpus operators are sane on empty and degenerate docs") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((0L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars").schema)
+    assert(Pipeline.wordLengthProfile(emptyDocs).count() === 0)
+    assert(Pipeline.stopwordProfile(emptyDocs).count() === 0)
+    assert(Pipeline.charTrigramEntropy(emptyDocs).count() === 0)
+    assert(Pipeline.mixedLangDocs(emptyDocs).count() === 0)
+    assert(Pipeline.sourceOverlapMatrix(emptyDocs).count() === 0)
+    assert(Pipeline.qualityLengthMatrix(emptyDocs).count() === 0)
+    assert(Pipeline.dupTextMass(emptyDocs).count() === 0)
+    // blank/whitespace docs flow through the token explodes without
+    // dividing or throwing
+    val weird = Seq((1L, "", "en", "s", 0L), (2L, "   \n  ", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Pipeline.stopwordProfile(weird).collect()
+      .forall(_.getAs[Any]("stop_pm") == null))       // zero tokens → NULL pm
+    assert(Pipeline.charTrigramEntropy(weird).count() === 1)
+    assert(Pipeline.mixedLangDocs(weird).collect().head.getAs[Long]("n_unmarked") === 2L)
+  }
+
   // r7 VERDICT #6: the two remaining exp EMITTERS guard the bound by
   // construction — an argument beyond |21| nulls out instead of
   // shipping a value one exp-ulp could flap cross-engine.

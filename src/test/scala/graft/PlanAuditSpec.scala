@@ -290,6 +290,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(q) <= 2, s"$q exceeded scan + bucket agg + sort: ${shuffles(q)}")
     assert(shuffles("dup_text_mass") <= 3,
       s"dup_text_mass exceeded hash window + source agg + sort: ${shuffles("dup_text_mass")}")
+    // round-8 wave D
+    for (q <- Seq("range_expansion", "ibs"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("underwater_duration") <= 4,
+      s"underwater_duration exceeded panel + episode agg + join + sort: ${shuffles("underwater_duration")}")
+    for (q <- Seq("cross_lang_dups", "near_dup_length_ratio"))
+      assert(shuffles(q) <= 7,
+        s"$q exceeded banding join + pair distinct + lookups + agg + sort: ${shuffles(q)}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
-import graft.operators.{Analytics, Pipeline}
+import graft.operators.{Analytics, Dedup, Pipeline}
 
 /** Hand-computed fixtures for the round-8 additions: kama,
   * rolling_moments, dist_from_high, dow_seasonality, gap_stats,
@@ -272,6 +272,65 @@ class Round8OpsSpec extends SparkSpec {
     }
     // dim 0 of vec 1 is the scale carrier → exact code 127 → zero error
     assert(out.find(_.getAs[Long]("dim") == 0L).get.getAs[Long]("max_err_micro") === 0L)
+  }
+
+  test("underwater_duration: islands over the running-peak flag, end-state aware") {
+    // peak 10 → underwater days 2-3 → new peak day 4 → underwater to end
+    val out = Analytics.underwaterDuration(oneTickPanel(
+      Seq(10.0, 8.0, 9.0, 12.0, 11.0, 10.0))).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_episodes") === 2L)
+    assert(r.getAs[Long]("max_underwater_days") === 2L)
+    assert(r.getAs[Long]("current_underwater_days") === 2L)   // days 5-6
+    // a series ending ON its peak has zero current underwater days
+    val dry = Analytics.underwaterDuration(oneTickPanel(Seq(1.0, 2.0, 3.0))).collect().head
+    assert(dry.getAs[Long]("n_episodes") === 0L)
+    assert(dry.getAs[Long]("current_underwater_days") === 0L)
+  }
+
+  test("range_expansion: strict NR7 and expansion counts on a designed tape") {
+    // 6 warmup bars with ranges 2..7 (two ticks per day), then a 1-range
+    // day (contraction) and a 10-range day (expansion)
+    val bars = Seq((10.0, 12.0), (10.0, 13.0), (10.0, 14.0), (10.0, 15.0),
+      (10.0, 16.0), (10.0, 17.0), (10.0, 11.0), (10.0, 20.0))
+    val p = bars.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      Seq((1L, d(f"2024-01-${i + 1}%02d"), ts(2 * i + 1), lo, 2L * i),
+        (1L, d(f"2024-01-${i + 1}%02d"), ts(2 * i + 2), hi, 2L * i + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.rangeExpansion(p).collect().head
+    assert(out.getAs[Long]("n_days") === 2L)                  // only days 7,8 have full windows
+    assert(out.getAs[Long]("n_contraction") === 1L)
+    assert(out.getAs[Long]("n_expansion") === 1L)
+  }
+
+  test("ibs: close position in range, flat bars excluded from the mean") {
+    // day 1: close at the high (ibs 1); day 2: close at the low (ibs 0);
+    // day 3: flat bar → excluded
+    val p = Seq(
+      (1L, d("2024-01-01"), ts(1), 5.0, 1L), (1L, d("2024-01-01"), ts(2), 10.0, 2L),
+      (1L, d("2024-01-02"), ts(3), 10.0, 3L), (1L, d("2024-01-02"), ts(4), 5.0, 4L),
+      (1L, d("2024-01-03"), ts(5), 7.0, 5L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.ibs(p).collect().head
+    assert(out.getAs[Long]("n_flat") === 1L)
+    assert(out.getAs[Long]("n_measured") === 2L)
+    assert(out.getAs[Double]("mean_ibs") === 0.5)
+  }
+
+  test("cross_lang_dups and near_dup_length_ratio ride the candidate pair set") {
+    val t = "this exact duplicated content block is long enough to shingle well " * 3
+    val dcs = docs(
+      (1L, t, "en", "s"), (2L, t, "fr", "s"),                 // cross-lang dup
+      (3L, t + " extra tail", "en", "s"),                     // same-lang near dup
+      (4L, "completely different text about nothing in particular", "de", "s"))
+    val cl = Dedup.crossLangDups(dcs).collect()
+    val enfr = cl.find(r => r.getString(0) == "en" && r.getString(1) == "fr")
+    assert(enfr.nonEmpty && enfr.get.getAs[Long]("n_pairs") >= 1L)
+    assert(enfr.get.getAs[Boolean]("cross_lang"))
+    val lr = Dedup.nearDupLengthRatio(dcs).collect()
+    assert(lr.map(_.getAs[Long]("n_pairs")).sum >= 2L)
+    // the identical pair lands in the top ratio bucket
+    assert(lr.exists(r => r.getAs[Long]("bucket") == 9L && r.getAs[Long]("n_pairs") >= 1L))
   }
 
   test("char_trigram_entropy: uniform distinct trigrams hit ln N; repeats collapse it") {
