@@ -41,6 +41,54 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash-from-hashes equals minhash-from-text on random documents") {
+    // the shared-pass identity the r8 minhash_verified rebuild rests on:
+    // min over the DISTINCT shingle-hash set ≡ min over sliding windows
+    (1 to 30).foreach { _ =>
+      val s = (1 to (2 + rnd.nextInt(20))).map(_ => word()).mkString(" ")
+      val row = Seq(Tuple1(s)).toDF("t").select(
+        graft.expressions.Kernels.minhashSig($"t", 8, 64),
+        graft.expressions.Kernels.minhashFromHashes(
+          graft.expressions.Kernels.shingleHashSet($"t", 8), 64)).collect()(0)
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    }
+    // degenerate texts too: empty, shorter than k, whitespace
+    for (s <- Seq("", "ab", "   ", "exactly8")) {
+      val row = Seq(Tuple1(s)).toDF("t").select(
+        graft.expressions.Kernels.minhashSig($"t", 8, 64),
+        graft.expressions.Kernels.minhashFromHashes(
+          graft.expressions.Kernels.shingleHashSet($"t", 8), 64)).collect()(0)
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1), s"text '$s'")
+    }
+  }
+
+  test("sorted intersect count equals set intersection on random long sets") {
+    (1 to 30).foreach { _ =>
+      val a = Array.fill(1 + rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Array.fill(1 + rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val row = Seq((a, b)).toDF("a", "b").select(
+        graft.expressions.Kernels.sortedIntersectCount($"a", $"b")).collect()(0)
+      assert(row.getLong(0) === a.toSet.intersect(b.toSet).size.toLong)
+    }
+    // empty sides
+    val z = Seq((Array.empty[Long], Array(1L, 2L))).toDF("a", "b").select(
+      graft.expressions.Kernels.sortedIntersectCount($"a", $"b")).collect()(0)
+    assert(z.getLong(0) === 0L)
+  }
+
+  test("shingle hash set is the distinct sorted window hashes") {
+    (1 to 20).foreach { _ =>
+      val s = (1 to (1 + rnd.nextInt(10))).map(_ => word()).mkString(" ")
+      val got = Seq(Tuple1(s)).toDF("t").select(
+        graft.expressions.Kernels.shingleHashSet($"t", 8)).collect()(0).getSeq[Long](0)
+      val n = math.max(s.length - 7, 1)
+      val want = (0 until n)
+        .map(i => graft.expressions.PortableHash.strHash(s, i, math.min(i + 8, s.length)))
+        .distinct.sorted
+      assert(got === want)
+    }
+  }
+
   test("minhash signature agreement estimates jaccard within tolerance (hash-family quality)") {
     import org.apache.spark.sql.functions.col
     // construct pairs with known shingle-set jaccard by shared suffixes
