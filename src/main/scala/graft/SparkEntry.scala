@@ -1010,6 +1010,12 @@ object SparkEntry {
       Dedup.crossLangDups(Tables.documents(s, dir))),
     "near_dup_length_ratio" -> ((s, dir) =>
       Dedup.nearDupLengthRatio(Tables.documents(s, dir))),
+    "shingle_df_histogram" -> ((s, dir) =>
+      Dedup.shingleDfHistogram(Tables.documents(s, dir))),
+    "token_mass_concentration" -> ((s, dir) =>
+      Pipeline.tokenMassConcentration(Tables.documents(s, dir))),
+    "weekly_consistency" -> ((s, dir) =>
+      Analytics.weeklyConsistency(Tables.panel(s, dir))),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2104,6 +2110,92 @@ object SparkEntry {
         |  floor((ln(CAST(n_trigrams AS DOUBLE)) - (CAST(s AS DOUBLE) / 1e6) / CAST(n_trigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS h_tri
         |FROM g2 ORDER BY source""".stripMargin)
 
+  /** r8 operator wave E oracles. */
+  private lazy val waveEOracles: Map[String, String] = Map(
+    "shingle_df_histogram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+        |    FROM documents) z),
+        |df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+        |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket, df FROM df)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(df) AS BIGINT) AS posting_mass
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "token_mass_concentration" ->
+      """WITH lens AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT n_toks, CAST(count(*) AS BIGINT) AS c, n_toks * CAST(count(*) AS BIGINT) AS mass
+        |      FROM lens GROUP BY n_toks),
+        |cum AS (
+        |  SELECT n_toks,
+        |    CAST(sum(c) OVER w AS BIGINT) AS cum_docs,
+        |    CAST(sum(mass) OVER w AS BIGINT) AS cum_mass
+        |  FROM c
+        |  WINDOW w AS (ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(cum_docs) AS n_docs, max(cum_mass) AS total_tokens FROM cum),
+        |cuts AS (
+        |  SELECT t.n_docs, t.total_tokens,
+        |    min(CASE WHEN cum.cum_docs >= greatest((9 * t.n_docs) // 10, 1) THEN cum.n_toks END) AS p90_len,
+        |    min(CASE WHEN cum.cum_docs >= greatest((99 * t.n_docs) // 100, 1) THEN cum.n_toks END) AS p99_len
+        |  FROM cum CROSS JOIN tot t GROUP BY t.n_docs, t.total_tokens)
+        |SELECT k.n_docs, k.total_tokens, k.p90_len, k.p99_len,
+        |  k.total_tokens - max(CASE WHEN cum.n_toks = k.p90_len THEN cum.cum_mass END) AS mass_above_p90,
+        |  k.total_tokens - max(CASE WHEN cum.n_toks = k.p99_len THEN cum.cum_mass END) AS mass_above_p99,
+        |  CASE WHEN k.total_tokens = 0 THEN NULL
+        |       ELSE (1000 * (k.total_tokens - max(CASE WHEN cum.n_toks = k.p90_len THEN cum.cum_mass END))) // k.total_tokens END AS share_p90_pm,
+        |  CASE WHEN k.total_tokens = 0 THEN NULL
+        |       ELSE (1000 * (k.total_tokens - max(CASE WHEN cum.n_toks = k.p99_len THEN cum.cum_mass END))) // k.total_tokens END AS share_p99_pm
+        |FROM cum CROSS JOIN cuts k
+        |GROUP BY k.n_docs, k.total_tokens, k.p90_len, k.p99_len""".stripMargin,
+    "weekly_consistency" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, CAST(date_trunc('week', date) AS DATE) AS week_start, date, value
+         |  FROM daily),
+         |r AS (
+         |  SELECT asset_id, week_start, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id, week_start ORDER BY date DESC) AS rn_d
+         |  FROM w0),
+         |wk AS (
+         |  SELECT asset_id, week_start, max(CASE WHEN rn_d = 1 THEN value END) AS close
+         |  FROM r GROUP BY asset_id, week_start),
+         |sg AS (
+         |  SELECT asset_id, week_start,
+         |    CASE WHEN lag(close) OVER a IS NULL OR lag(close) OVER a = 0 THEN NULL
+         |         ELSE CAST(sign(close - lag(close) OVER a) AS INTEGER) END AS sgn
+         |  FROM wk
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY week_start)),
+         |f AS (SELECT * FROM sg WHERE sgn IS NOT NULL),
+         |g0 AS (
+         |  SELECT asset_id, week_start, sgn,
+         |    CASE WHEN lag(sgn) OVER a IS NULL OR lag(sgn) OVER a <> sgn THEN 1 ELSE 0 END AS chg
+         |  FROM f
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY week_start)),
+         |g1 AS (
+         |  SELECT asset_id, sgn,
+         |    sum(chg) OVER (PARTITION BY asset_id ORDER BY week_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM g0),
+         |runs AS (
+         |  SELECT asset_id, grp, max(sgn) AS sgn, CAST(count(*) AS BIGINT) AS len
+         |  FROM g1 GROUP BY asset_id, grp),
+         |agg AS (
+         |  SELECT asset_id, CAST(sum(len) AS BIGINT) AS n_weeks,
+         |    CAST(sum(CASE WHEN sgn = 1 THEN len ELSE 0 END) AS BIGINT) AS n_pos_weeks,
+         |    coalesce(max(CASE WHEN sgn = 1 THEN len END), 0) AS longest_pos_run,
+         |    coalesce(max(CASE WHEN sgn = -1 THEN len END), 0) AS longest_neg_run
+         |  FROM runs GROUP BY asset_id)
+         |SELECT asset_id, n_weeks, n_pos_weeks,
+         |  (1000 * n_pos_weeks) // n_weeks AS pos_pm,
+         |  longest_pos_run, longest_neg_run
+         |FROM agg ORDER BY asset_id""".stripMargin)
+
   /** r8 operator wave D oracles. */
   private lazy val waveDOracles: Map[String, String] = Map(
     "underwater_duration" ->
@@ -2446,7 +2538,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

@@ -400,6 +400,38 @@ object Analytics {
         col("n_measured"), col("mean_ibs"))
       .orderBy(col("asset_id"))
 
+  /** B182 `weekly_consistency` — sign consistency of ISO-week
+    * close-to-close moves per asset: positive-week share and the
+    * longest positive/negative runs (gaps-and-islands over the sign
+    * series) — the "does it grind or chop" number behind a trend
+    * allocation. All integer; flat weeks form their own runs and are
+    * excluded from both extremes.
+    */
+  def weeklyConsistency(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("week_start"))
+    val runFrame = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("close"), 1).over(byAsset)
+    val signed = resampleWeekly(panel)
+      .withColumn("sgn", when(prev.isNull || prev === 0, lit(null))
+        .otherwise(signum(col("close") - prev).cast("int")))
+      .filter(col("sgn").isNotNull)
+    val runs = signed
+      .withColumn("chg", when(lag(col("sgn"), 1).over(byAsset).isNull ||
+        lag(col("sgn"), 1).over(byAsset) =!= col("sgn"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(runFrame))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(max(col("sgn")).as("sgn"), count(lit(1)).as("len"))
+    runs.groupBy(col("asset_id"))
+      .agg(sum(col("len")).as("n_weeks"),
+        sum(when(col("sgn") === 1, col("len")).otherwise(0L)).as("n_pos_weeks"),
+        coalesce(max(when(col("sgn") === 1, col("len"))), lit(0L)).as("longest_pos_run"),
+        coalesce(max(when(col("sgn") === -1, col("len"))), lit(0L)).as("longest_neg_run"))
+      .withColumn("pos_pm", expr("(1000 * n_pos_weeks) div n_weeks"))
+      .select(col("asset_id"), col("n_weeks"), col("n_pos_weeks"),
+        col("pos_pm"), col("longest_pos_run"), col("longest_neg_run"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B7 `topk_per_group` — rank ≤ k per group with total tie-break. */
   def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))

@@ -1010,6 +1010,24 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** C124 `shingle_df_histogram` — document-frequency histogram of the
+    * 8-char shingles in power-of-two buckets: the distribution behind
+    * [[ngramJaccardPairs]]' df cap (maxDf = 100) — how much posting
+    * mass the cap removes and how heavy the stop-shingle tail is, BEFORE
+    * a 100 TB posting join commits to the knob. One distinct-explode +
+    * two bounded integer aggregates.
+    */
+  def shingleDfHistogram(documents: DataFrame, k: Int = 8): DataFrame =
+    fanOut(documents)
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // floor(log2(df)) via the binary-string length — pure integer,
+      // no cross-engine log2 rounding to reason about
+      .withColumn("bucket", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("posting_mass"))
+      .orderBy(col("bucket"))
+
   /** C99 `line_dups` — C4-style line-level duplication per document:
     * trimmed lines of `minLen`+ chars counted across the WHOLE corpus,
     * each doc reporting how many of its lines occur more than once

@@ -1778,6 +1778,53 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C125 `token_mass_concentration` — how much of the corpus's token
+    * mass lives in its longest documents: exact P90/P99 doc-length
+    * order statistics plus the token share above each — the packing/
+    * truncation planning number (a corpus where 1% of docs carry 30%
+    * of tokens packs and shuffles very differently from a flat one).
+    * One integer aggregate over doc lengths; the cuts are exact order
+    * statistics (no interpolation).
+    */
+  def tokenMassConcentration(documents: DataFrame): DataFrame = {
+    // one row per DISTINCT length (format-bounded, never corpus-bounded
+    // — the ks_drift shape), then cumulative windows over that small
+    // table; the order statistics are exact lower order stats
+    // (position (p·n) div 100, 1-based) read off the cumulative counts.
+    val counts = documents
+      .select(TextFns.wsTokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("n_toks")).agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("n_toks") * col("c"))
+    val w = Window.orderBy(col("n_toks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_docs", sum(col("c")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+    val tot = cum.agg(max(col("cum_docs")).as("n_docs"),
+      max(col("cum_mass")).as("total_tokens"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_docs"), col("total_tokens"))
+      .agg(
+        min(when(col("cum_docs") >= greatest(expr("(9 * n_docs) div 10"), lit(1L)),
+          col("n_toks"))).as("p90_len"),
+        min(when(col("cum_docs") >= greatest(expr("(99 * n_docs) div 100"), lit(1L)),
+          col("n_toks"))).as("p99_len"))
+    cum.crossJoin(broadcast(cuts))
+      .groupBy(col("n_docs"), col("total_tokens"), col("p90_len"), col("p99_len"))
+      .agg(
+        max(when(col("n_toks") === col("p90_len"), col("cum_mass"))).as("cm90"),
+        max(when(col("n_toks") === col("p99_len"), col("cum_mass"))).as("cm99"))
+      .withColumn("mass_above_p90", col("total_tokens") - col("cm90"))
+      .withColumn("mass_above_p99", col("total_tokens") - col("cm99"))
+      .withColumn("share_p90_pm", when(col("total_tokens") === 0, lit(null))
+        .otherwise(expr("(1000 * mass_above_p90) div total_tokens")))
+      .withColumn("share_p99_pm", when(col("total_tokens") === 0, lit(null))
+        .otherwise(expr("(1000 * mass_above_p99) div total_tokens")))
+      .select(col("n_docs"), col("total_tokens"), col("p90_len"), col("p99_len"),
+        col("mass_above_p90"), col("mass_above_p99"),
+        col("share_p90_pm"), col("share_p99_pm"))
+  }
+
   /** C117 `mixed_lang_docs` — per-source share of documents whose
     * tokens hit the marker lists of TWO OR MORE languages
     * ([[graft.expressions.TextStats.markers]] — the same lists lang_id

@@ -333,6 +333,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(lr.exists(r => r.getAs[Long]("bucket") == 9L && r.getAs[Long]("n_pairs") >= 1L))
   }
 
+  test("weekly_consistency: sign runs over weekly closes") {
+    // 3 ISO weeks of one tick each Monday: up, up, down
+    val p = Seq((1L, "2024-01-01", 100.0), (1L, "2024-01-08", 110.0),
+      (1L, "2024-01-15", 120.0), (1L, "2024-01-22", 90.0))
+      .zipWithIndex.map { case ((a, dd, v), i) => (a, d(dd), ts(i + 1), v, i.toLong) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.weeklyConsistency(p).collect().head
+    assert(out.getAs[Long]("n_weeks") === 3L)
+    assert(out.getAs[Long]("n_pos_weeks") === 2L)
+    assert(out.getAs[Long]("longest_pos_run") === 2L)
+    assert(out.getAs[Long]("longest_neg_run") === 1L)
+    assert(out.getAs[Long]("pos_pm") === 666L)
+  }
+
+  test("shingle_df_histogram: power-of-two df buckets with exact masses") {
+    val t = "shared-shingle-content-block!"
+    val out = Dedup.shingleDfHistogram(docs(
+      (1L, t, "en", "s"), (2L, t, "en", "s"),                 // every shingle df=2
+      (3L, "another text entirely okay", "en", "s"))).collect()
+    val byB = out.map(r => r.getAs[Long]("bucket") -> r).toMap
+    // df=2 shingles land in bucket 1 (floor(log2 2)); df=1 in bucket 0
+    assert(byB(1L).getAs[Long]("n_shingles") === t.length - 7L)
+    assert(byB(1L).getAs[Long]("posting_mass") === 2L * (t.length - 7L))
+    assert(byB(0L).getAs[Long]("n_shingles") > 0L)
+  }
+
+  test("token_mass_concentration: exact order-stat cuts and tail masses") {
+    // 10 docs: nine 2-token docs, one 100-token doc
+    val many = (1L to 9L).map(i => (i, "a b", "en", "s"))
+    val out = Pipeline.tokenMassConcentration(
+      docs(many :+ ((10L, ("tok " * 100).trim, "en", "s")): _*)).collect().head
+    assert(out.getAs[Long]("n_docs") === 10L)
+    assert(out.getAs[Long]("total_tokens") === 118L)
+    assert(out.getAs[Long]("p90_len") === 2L)                 // 9th of 10 sorted
+    assert(out.getAs[Long]("mass_above_p90") === 100L)        // the giant doc
+    assert(out.getAs[Long]("share_p90_pm") === 847L)          // 100000 div 118
+  }
+
   test("char_trigram_entropy: uniform distinct trigrams hit ln N; repeats collapse it") {
     // "abcdef" → 4 distinct trigrams, each once → H = ln 4
     val out = Pipeline.charTrigramEntropy(docs((1L, "abcdef", "en", "u"))).collect()
