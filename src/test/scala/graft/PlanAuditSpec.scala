@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "source_jsd",       // top-K vocab ⨝ broadcast(1-row totals + source list)
     "intrinsic_dim",    // bounded sample ⨝ broadcast(1-row sample pool)
     "m2_ratio",         // per-asset rows ⨝ broadcast(1-row market σ)
-    "ngram_coverage")   // cut rows ⨝ broadcast(1-row corpus token total)
+    "ngram_coverage",   // cut rows ⨝ broadcast(1-row corpus token total)
+    "token_mass_concentration") // distinct-length rows ⨝ broadcast(1-row totals/cuts)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
@@ -298,6 +299,13 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("cross_lang_dups", "near_dup_length_ratio"))
       assert(shuffles(q) <= 7,
         s"$q exceeded banding join + pair distinct + lookups + agg + sort: ${shuffles(q)}")
+    // round-8 wave E
+    assert(shuffles("shingle_df_histogram") <= 4,
+      s"shingle_df_histogram exceeded fanout + df agg + bucket agg + sort: ${shuffles("shingle_df_histogram")}")
+    assert(shuffles("token_mass_concentration") <= 6,
+      s"token_mass_concentration exceeded length agg + cum window + cut/mass aggs: ${shuffles("token_mass_concentration")}")
+    assert(shuffles("weekly_consistency") <= 4,
+      s"weekly_consistency exceeded panel + week agg + runs agg + sort: ${shuffles("weekly_consistency")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
