@@ -457,6 +457,16 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   * compact at-rest form of a doc's shingle profile: 8 bytes per
   * distinct shingle instead of a k-char string, intersectable with
   * plain long equality. Output: array<long>, sorted.
+  *
+  * Windowing unit contract: windows advance over UTF-16 CODE UNITS
+  * (`s.length` / char-indexed strHash), deliberately matching
+  * [[MinHashSig]] so `minhash_from_hashes(shingle_hash_set(t))` is
+  * bit-identical to `minhash_sig(t)` — the shared-pass identity the
+  * property spec asserts. The sibling string-shingle kernel
+  * [[ShingleSet]] windows over CODEPOINTS (substring semantics); for
+  * supplementary-plane characters the two families therefore shingle
+  * at different boundaries. Both are internally consistent — never mix
+  * hash-set and string-set shingles of the same doc in one comparison.
   */
 case class ShingleHashSet(child: Expression, k: Int)
   extends UnaryExpression with ExpectsInputTypes {
@@ -547,7 +557,11 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  // containsNull = false documents the no-null-elements precondition in
+  // the type; acceptsType ignores nullability, so eval ALSO guards —
+  // a null element fails loudly instead of silently merging as garbage.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
@@ -557,6 +571,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element (inputs must be " +
+            "sorted duplicate-free non-null longs, e.g. shingle_hash_set output)")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1

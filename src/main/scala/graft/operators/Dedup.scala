@@ -221,6 +221,7 @@ object Dedup {
     val sets = fanOut(documents)
       .select(col("doc_id"),
         graft.expressions.Kernels.shingleHashSet(col("text"), k).as("hs"))
+      .localCheckpoint(true)
     val rows = nHashes / bands
     val banded = sets.select(
       col("doc_id"),
@@ -266,9 +267,11 @@ object Dedup {
       // materialized intersection; see SortedIntersectCount)
       .withColumn("inter",
         graft.expressions.Kernels.sortedIntersectCount(col("ha"), col("hb")).cast("int"))
-      // empty-shingle docs (shorter than k chars) make den 0 → NULL
-      // jaccard → filtered; without the guard 0/0.0 is NaN, which Spark
-      // orders ABOVE every threshold
+      // NaN defense, not a reachable short-doc path: ShingleHashSet has
+      // a 1-window floor (a doc shorter than k chars still yields one
+      // shingle), so den = 0 cannot arise from short docs — but if den
+      // ever WERE 0, 0/0.0 is NaN, which Spark orders ABOVE every
+      // threshold; the guard pins that invariant to NULL → filtered
       .withColumn("jaccard", u6(
         when(den === 0, lit(null)).otherwise(col("inter") / den)))
       .filter(col("jaccard") >= threshold)

@@ -26,62 +26,86 @@ object StreamReplay {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** State-store rows of the finished query's LAST progress event,
+    * summed over stateful operators — asserted against each op's
+    * documented O(keys)/O(keys·window) bound so a watermark-eviction
+    * regression fails loudly (unbounded state is invisible to the hash
+    * check until memory dies).
+    */
+  private def assertStateBound(q: org.apache.spark.sql.streaming.StreamingQuery,
+                               maxStateRows: Long, what: String): Unit = {
+    if (maxStateRows != Long.MaxValue) {
+      val p = q.lastProgress
+      if (p != null) {
+        val rowsTotal = p.stateOperators.map(_.numRowsTotal).sum
+        require(rowsTotal <= maxStateRows,
+          s"$what: state store holds $rowsTotal rows > documented bound $maxStateRows " +
+            "(watermark eviction regressed?)")
+      }
+    }
+  }
+
   /** Run `op` over `rows` split into `nBatches` arrival-ordered
     * micro-batches; return the append-mode sink contents. The memory
     * sink/table is per-call unique and dropped afterwards.
+    *
+    * The streaming query runs on `spark.newSession()` — same
+    * SparkContext + cached state, ISOLATED SQLConf — so pinning the
+    * state-store partition count to 4 (shuffle.partitions is fixed at
+    * query START; 4 keeps the per-batch per-partition state-commit tax
+    * low while still exercising multi-partition state) can never leak
+    * into a query planned concurrently on the caller's session (the
+    * known sbt parallel-suite hazard).
+    *
+    * `maxStateRows`: documented state bound for the op (see
+    * [[assertStateBound]]); MaxValue (default) skips the check for
+    * stateless ops.
     */
   def replay[I, O](spark: SparkSession, rows: Seq[I], nBatches: Int,
-                   mode: OutputMode = OutputMode.Append)(
+                   mode: OutputMode = OutputMode.Append,
+                   maxStateRows: Long = Long.MaxValue)(
       op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx = sub.sqlContext
     val in = MemoryStream[I]
     val name = s"graft_replay_${sinkId.incrementAndGet()}"
-    // The state-store partition count is fixed from shuffle.partitions
-    // at query START; every micro-batch then pays a per-partition state
-    // commit. A bounded replay doesn't need the session's scan-width
-    // setting — 4 partitions keeps per-batch overhead low while still
-    // exercising multi-partition state. Restored immediately after
-    // .start() (the running query keeps its snapshot).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try op(in.toDS()).toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = op(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
     try {
       val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
-      val out = spark.table(name)
+      assertStateBound(q, maxStateRows, name)
+      val out = sub.table(name)
       val collected = out.collect()
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(collected: _*)), out.schema)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      sub.catalog.dropTempView(name)
     }
   }
 
   /** Two-input replay for stream-stream ops: both feeds advance in
     * lockstep micro-batches (chunk i of A and of B land in the same
     * trigger), which is what keeps both sides' watermarks moving
-    * together.
+    * together. Session isolation and `maxStateRows` as in [[replay]].
     */
   def replay2[A, B, O](spark: SparkSession, rowsA: Seq[A], rowsB: Seq[B], nBatches: Int,
-                       mode: OutputMode = OutputMode.Append)(
+                       mode: OutputMode = OutputMode.Append,
+                       maxStateRows: Long = Long.MaxValue)(
       op: (Dataset[A], Dataset[B]) => Dataset[O])(
       implicit ia: Encoder[A], ib: Encoder[B]): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
+    val sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx = sub.sqlContext
     val inA = MemoryStream[A]
     val inB = MemoryStream[B]
     val name = s"graft_replay_${sinkId.incrementAndGet()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try op(inA.toDS(), inB.toDS()).toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = op(inA.toDS(), inB.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
     try {
       val chunkA = math.max(1, (rowsA.length + nBatches - 1) / nBatches)
       val chunkB = math.max(1, (rowsB.length + nBatches - 1) / nBatches)
@@ -92,13 +116,14 @@ object StreamReplay {
         if (i < gb.length) inB.addData(gb(i))
         q.processAllAvailable()
       }
-      val out = spark.table(name)
+      assertStateBound(q, maxStateRows, name)
+      val out = sub.table(name)
       val collected = out.collect()
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(collected: _*)), out.schema)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      sub.catalog.dropTempView(name)
     }
   }
 
@@ -149,7 +174,9 @@ object StreamReplay {
     val maxTs = ticks.map(_.ts.getTime).max
     val sentinel = ReplayTick(ticks.head.asset_id,
       new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
-    replay(s, ticks :+ sentinel, Batches) { in =>
+    // state = in-flight windows ≤ distinct (asset, 5-min bucket) + sentinel's
+    val windowBound = ticks.map(t => (t.asset_id, t.ts.getTime / 300000L)).distinct.size + 1L
+    replay(s, ticks :+ sentinel, Batches, maxStateRows = windowBound) { in =>
       StreamingOps.ohlcStream(in.toDF(), "5 minutes", "0 seconds")
         .select(col("asset_id"),
           unix_timestamp(col("w_start")).as("bucket_s"),
@@ -159,55 +186,82 @@ object StreamReplay {
 
   def streamRollingVol(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.rollingVolStream(_))
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rollingVolStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamDrawdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.drawdownStream(_))
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.drawdownStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamDonchian(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.donchianStream(_))
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.donchianStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamHeikinAshi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, barFeed(s, dir), Batches)(StreamingOps.heikinAshiStream)
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.heikinAshiStream)
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamSupertrend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, barFeed(s, dir), Batches)(StreamingOps.supertrendStream(_))
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.supertrendStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamPsar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, barFeed(s, dir), Batches)(StreamingOps.psarStream)
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.psarStream)
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamSmaCross(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, barFeed(s, dir), Batches)(StreamingOps.smaCrossStream(_))
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.smaCrossStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamEwma(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.ewmaStream(_))
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.ewmaStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamCusum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, dailyFeed(s, dir), Batches)(StreamingOps.cusumStream(_))
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.cusumStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -215,7 +269,9 @@ object StreamReplay {
     import s.implicits._
     val bars = barFeed(s, dir).map(b =>
       StreamingOps.StreamBar(b.asset_id, b.date, b.close, b.n_ticks))
-    replay(s, bars, Batches)(StreamingOps.obvStream)
+    replay(s, bars, Batches,
+      maxStateRows = bars.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.obvStream)
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -225,13 +281,19 @@ object StreamReplay {
 
   def streamAdLine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, fullBarFeed(s, dir), Batches)(StreamingOps.adLineStream)
+    val feed = fullBarFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.adLineStream)
       .orderBy(col("asset_id"), col("date"))
   }
 
   def streamUltimateOsc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, fullBarFeed(s, dir), Batches)(StreamingOps.ultimateOscStream(_))
+    val feed = fullBarFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.ultimateOscStream(_))
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -247,7 +309,10 @@ object StreamReplay {
 
   def streamOvernightGap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, tickFeed(s, dir), Batches)(StreamingOps.gapStream)
+    val feed = tickFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.gapStream)
       .orderBy(col("asset_id"), col("date"))
   }
 
@@ -262,7 +327,9 @@ object StreamReplay {
       .as[StreamingOps.DatedTick]
       .collect().toSeq
       .sortBy(t => (t.date.getTime, t.seq, t.asset_id))
-    val sink = replay(s, ticks, Batches)(StreamingOps.vwapStream)
+    val sink = replay(s, ticks, Batches,
+      maxStateRows = ticks.map(t => (t.asset_id, t.date.getTime)).distinct.size.toLong)(
+      StreamingOps.vwapStream)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id"), col("date")).orderBy(col("volume").desc)
     sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
@@ -279,7 +346,8 @@ object StreamReplay {
       .as[(Long, java.sql.Timestamp)]
       .collect().toSeq
       .sortBy(_._2.getTime)
-    replay(s, evs, Batches, OutputMode.Update) { in =>
+    replay(s, evs, Batches, OutputMode.Update,
+      maxStateRows = evs.map(e => (e._1, e._2.getTime / 86400000L)).distinct.size.toLong) { in =>
       StreamingOps.dauStream(in.toDF("user_id", "ts"))
     }
       .groupBy(col("date")).agg(max(col("dau")).as("dau"))
@@ -291,7 +359,9 @@ object StreamReplay {
     */
   def streamLatest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sink = replay(s, tickFeed(s, dir), Batches, OutputMode.Update)(
+    val feed = tickFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
       StreamingOps.latestPerKey)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id")).orderBy(col("ts").desc, col("seq").desc)
@@ -312,7 +382,8 @@ object StreamReplay {
       .as[(Long, java.sql.Date, java.sql.Timestamp, Double, Long)]
       .collect().toSeq
       .sortBy(t => (t._3.getTime, t._5, t._1))
-    replay(s, ticks, Batches) { in =>
+    replay(s, ticks, Batches,
+      maxStateRows = ticks.map(t => (t._1, t._2.getTime)).distinct.size.toLong) { in =>
       StreamingOps.dedupStream(
         in.toDF("asset_id", "date", "ts", "value", "seq"),
         watermark = "60 days", keyCols = Seq("asset_id", "date"))
@@ -332,7 +403,8 @@ object StreamReplay {
     val maxTs = ticks.map(_.ts.getTime).max
     val sentinel = ReplayTick(ticks.head.asset_id,
       new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
-    replay(s, ticks :+ sentinel, Batches) { in =>
+    val windowBound = ticks.map(t => (t.asset_id, t.ts.getTime / 300000L)).distinct.size + 1L
+    replay(s, ticks :+ sentinel, Batches, maxStateRows = windowBound) { in =>
       StreamingOps.windowedAgg(in.toDF(), "5 minutes", "0 seconds")
         .select(col("asset_id"),
           unix_timestamp(col("w_start")).as("bucket_s"),
@@ -384,7 +456,9 @@ object StreamReplay {
       .as[StreamingOps.SourceDoc]
       .collect().toSeq
       .sortBy(_.doc_id)
-    val sink = replay(s, docs, Batches, OutputMode.Update)(StreamingOps.sourceStatsStream)
+    val sink = replay(s, docs, Batches, OutputMode.Update,
+      maxStateRows = docs.map(d => (d.source, d.lang)).distinct.size.toLong)(
+      StreamingOps.sourceStatsStream)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("lang")).orderBy(col("n_docs").desc)
     sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
@@ -397,7 +471,10 @@ object StreamReplay {
     */
   def streamTickRule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replay(s, tickFeed(s, dir), Batches)(StreamingOps.tickRuleStream)
+    val feed = tickFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.tickRuleStream)
       .filter(col("side") =!= 0)
       .groupBy(col("asset_id"), to_date(col("ts")).as("date"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("buy_ticks"),
@@ -442,7 +519,8 @@ object StreamReplay {
     val maxTs = ticks.map(_.ts.getTime).max
     val sentinel = StreamingOps.Tick(ticks.head.asset_id,
       new java.sql.Timestamp(maxTs + 86400000L), 0.0, Long.MaxValue)
-    val sink = replay(s, ticks :+ sentinel, Batches) { in =>
+    val sink = replay(s, ticks :+ sentinel, Batches,
+      maxStateRows = ticks.map(_.asset_id).distinct.size.toLong) { in =>
       StreamingOps.sessionizeStream(in, gapSec = 1800L, watermark = "0 seconds")
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -466,7 +544,9 @@ object StreamReplay {
       .as[StreamingOps.Tick]
       .collect().toSeq
       .sortBy(t => (t.ts.getTime, t.seq))
-    replay(s, ticks, Batches)(StreamingOps.anomalyStream(_))
+    replay(s, ticks, Batches,
+      maxStateRows = ticks.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.anomalyStream(_))
       .orderBy(col("asset_id"), col("ts"))
   }
 
@@ -482,7 +562,8 @@ object StreamReplay {
       .as[StreamingOps.FunnelEvent]
       .collect().toSeq
       .sortBy(e => (e.ts.getTime, e.event_id))
-    val sink = replay(s, evs, Batches, OutputMode.Update) { in =>
+    val sink = replay(s, evs, Batches, OutputMode.Update,
+      maxStateRows = evs.map(_.user_id).distinct.size.toLong) { in =>
       StreamingOps.funnelStream(in, Seq("view", "click", "purchase"))
     }
     sink.groupBy(col("user_id"))
@@ -502,7 +583,8 @@ object StreamReplay {
       .as[(Long, String)]
       .collect().toSeq
       .sortBy(_._1)
-    replay(s, docRows, Batches) { in =>
+    replay(s, docRows, Batches,
+      maxStateRows = 16L * docRows.size) { in =>
       StreamingOps.nearDupCandidatesStream(
         in.toDF("doc_id", "text"), tsCol = None)
     }.orderBy(col("doc_id"), col("matched_doc_id"), col("band_id"))
@@ -521,7 +603,8 @@ object StreamReplay {
       .as[StreamingOps.PackDoc]
       .collect().toSeq
       .sortBy(_.doc_id)
-    replay(s, docRows, Batches)(StreamingOps.packStream(_, budget = 512L))
+    replay(s, docRows, Batches, maxStateRows = 4L)(
+      StreamingOps.packStream(_, budget = 512L))
       .orderBy(col("shard"), col("doc_id"))
   }
 
@@ -542,7 +625,7 @@ object StreamReplay {
     val fed = ticks :+ sentinel
     // 2 batches (not 4): the chained join+agg state pays TWO stateful
     // stages per trigger; one split still exercises cross-batch state
-    replay2(s, fed, fed, 2) { (l, r) =>
+    replay2(s, fed, fed, 2, maxStateRows = 4L * fed.size) { (l, r) =>
       StreamingOps.streamStreamAsOf(l.toDF(), r.toDF(),
         maxLag = "1 hour", watermark = "0 seconds")
         // strictly before the sentinel (a <= maxTs bound would drop the
@@ -564,7 +647,8 @@ object StreamReplay {
       .as[StreamingOps.TopkEvent]
       .collect().toSeq
       .sortBy(_.event_id)
-    val sink = replay(s, evs, Batches, OutputMode.Update)(
+    val sink = replay(s, evs, Batches, OutputMode.Update,
+      maxStateRows = evs.map(_.event_type).distinct.size.toLong)(
       StreamingOps.topkStream(_, k))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
