@@ -1051,14 +1051,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("asset_id")).as("n_assets"))
         .orderBy(col("date_month"))
     }),
-    // rows-only by design: file counts/bytes are storage-engine facts
-    // DuckDB cannot replay; the driver records row count > 0.
+    // A17 store health, hash-checked in the B14 `sketches` style: the
+    // month set is the relational fact; the FS-metadata facts (file
+    // counts, bytes, integer-div mean, compaction flag arithmetic) are
+    // asserted as literal-TRUE verdict columns — a listing bug flips a
+    // boolean and fails the hash. (Raw counts/bytes themselves have no
+    // relational replay; the verdicts do.)
     "tickstore_stats" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("ts_stats").toString + "/store"
       val shifted = Tables.panel(s, dir)
         .withColumn("date", add_months(col("date"), (col("asset_id") % 6).cast("int")))
       TickStore.write(shifted, path)
-      TickStore.stats(s, path).orderBy(col("date_month"))
+      TickStore.stats(s, path)
+        .select(col("date_month"),
+          (col("n_files") >= 1).as("files_ok"),
+          (col("total_bytes") > 0).as("bytes_ok"),
+          // mean is the integer quotient: 0 ≤ total − mean·files < files
+          (col("total_bytes") - col("mean_file_bytes") * col("n_files"))
+            .between(lit(0), col("n_files") - 1).as("mean_ok"),
+          (col("needs_compaction") ===
+            (col("n_files") > 0 &&
+              col("mean_file_bytes") < lit(32L * 1024 * 1024))).as("flag_ok"))
+        .orderBy(col("date_month"))
+    }),
+    // A9 layout contract as its own driver row (the write_from_iterator
+    // analog, reference file.rs:296): month dirs named by the rows'
+    // real months, ≤ filesPerPartition physical files per month, every
+    // file internally (asset_id, date, ts, seq)-sorted (checked via
+    // input_file_name + read-order ids — the writer's required ordering
+    // is prefix-satisfied so no destabilizing sort runs), and read-back
+    // equality of counts/checksums against the panel relation.
+    "tickstore_layout" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("ts_layout").toString + "/store"
+      val shifted = Tables.panel(s, dir)
+        .withColumn("date", add_months(col("date"), (col("asset_id") % 6).cast("int")))
+      TickStore.write(shifted, path)
+      val rb = TickStore.read(s, path)
+        .withColumn("file", input_file_name())
+        .withColumn("ord", monotonically_increasing_id())
+        .withColumn("key", struct(col("asset_id"), col("date"), col("ts"), col("seq")))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file")).orderBy(col("ord"))
+      rb.withColumn("prev", lag(col("key"), 1).over(wf))
+        .groupBy(col("date_month"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("asset_id")).as("n_assets"),
+          sum(col("seq")).as("seq_sum"),
+          min(col("date")).as("min_date"),
+          max(col("date")).as("max_date"),
+          bool_and(col("prev").isNull || col("prev") <= col("key")).as("sorted_ok"),
+          bool_and(date_format(col("date"), "yyyy-MM") === col("date_month")).as("month_ok"),
+          (countDistinct(col("file")) <= 4).as("files_ok"))
+        .orderBy(col("date_month"))
     }),
     // ── D-family promotions: the streaming ops themselves, replayed
     // through MemoryStream micro-batches (graft.streaming.StreamReplay)
@@ -1091,6 +1136,7 @@ object SparkEntry {
     "stream_stream_asof" -> ((s, dir) => StreamReplay.streamStreamAsOf(s, dir)),
     "stream_topk" -> ((s, dir) => StreamReplay.streamTopk(s, dir)),
     "stream_minhash_index" -> ((s, dir) => StreamReplay.streamMinhashIndex(s, dir)),
+    "stream_semantic_dedup" -> ((s, dir) => StreamReplay.streamSemanticDedup(s, dir)),
     // A10 driven as a driver row: a deterministic 5000-row panel lands
     // in the reference's .db page format (multi-level tree, multi-page
     // partitions) and the DataSource's parallel read must reproduce the
@@ -1298,6 +1344,66 @@ object SparkEntry {
        |FROM ba LEFT JOIN wex ON ba.vec_id = wex.vec_id
        |        LEFT JOIN wb ON ba.vec_id = wb.vec_id
        |ORDER BY ba.vec_id""".stripMargin
+
+  /** D16 `stream_semantic_dedup` chained replay oracle: the C42 oracle
+    * applied batch by batch — batch b (bidx = (vec_id/5) mod nBatches)
+    * is screened against the settled index UNION the survivors of
+    * batches 0..b−1 (the cross-batch greedy) plus lower-id siblings
+    * within batch b. The at-least-once replay of batch `replayed` is
+    * visible only through n_verdicts (2 for its vectors) and the
+    * literal-TRUE replay_ok: replay rows can only flip kept→false and
+    * append nothing, so the first-epoch values the Spark side reduces
+    * to ARE this clean-run chain, and index membership ⇔ kept.
+    */
+  private def semanticDedupStreamOracle(k: Int, iters: Int, eps: Double,
+                                        nBatches: Int, replayed: Int): String = {
+    val chain = (0 until nBatches).map { b =>
+      s"""b$b AS (SELECT * FROM ba WHERE bidx = $b),
+         |wex$b AS (
+         |  SELECT t.vec_id,
+         |         max(floor((list_dot_product(t.nvb, i.nv)) * 1000.0 + 0.5) / 1000.0) AS mce
+         |  FROM b$b t JOIN idx$b i ON i.c = t.c GROUP BY t.vec_id),
+         |wb$b AS (
+         |  SELECT hi.vec_id,
+         |         max(floor((list_dot_product(hi.nvb, lo.nvb)) * 1000.0 + 0.5) / 1000.0) AS mcb
+         |  FROM b$b hi JOIN b$b lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
+         |  GROUP BY hi.vec_id),
+         |v$b AS (
+         |  SELECT t.vec_id, t.c, wex$b.mce, wb$b.mcb,
+         |         ((wex$b.mce IS NULL OR wex$b.mce < $eps) AND
+         |          (wb$b.mcb IS NULL OR wb$b.mcb < $eps)) AS kept
+         |  FROM b$b t LEFT JOIN wex$b ON t.vec_id = wex$b.vec_id
+         |             LEFT JOIN wb$b ON t.vec_id = wb$b.vec_id),
+         |idx${b + 1} AS (
+         |  SELECT c, nv FROM idx$b
+         |  UNION ALL
+         |  SELECT t.c, t.nvb AS nv
+         |  FROM b$b t JOIN v$b ON v$b.vec_id = t.vec_id AND v$b.kept),""".stripMargin
+    }.mkString("\n")
+    val unions = (0 until nBatches).map(b => s"SELECT * FROM v$b").mkString(" UNION ALL ")
+    s"""${ivfTrainCtes(k, iters, "WHERE vec_id % 5 <> 0")},
+       |nv AS (SELECT vec_id, c,
+       |              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |       FROM idx),
+       |bat AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings WHERE vec_id % 5 = 0),
+       |ba AS (
+       |  SELECT vec_id, nvb, c, (vec_id // 5) % $nBatches AS bidx FROM (
+       |    SELECT b.vec_id,
+       |           list_transform(b.v, x -> x / sqrt(list_dot_product(b.v, b.v))) AS nvb,
+       |           n$iters.c,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_dot_product(b.v, n$iters.nc) DESC, n$iters.c) AS rn
+       |    FROM bat b CROSS JOIN n$iters) z WHERE rn = 1),
+       |idx0 AS (SELECT c, nv FROM nv),
+       |$chain
+       |allv AS ($unions)
+       |SELECT vec_id, c AS cluster, mce AS max_cos_existing, mcb AS max_cos_batch_lower,
+       |       kept,
+       |       CAST(CASE WHEN (vec_id // 5) % $nBatches = $replayed THEN 2 ELSE 1 END AS BIGINT) AS n_verdicts,
+       |       kept AS in_index, TRUE AS replay_ok
+       |FROM allv ORDER BY vec_id""".stripMargin
+  }
 
   /** Scala double → DuckDB DOUBLE literal: E-notation forces the
     * float parser (a plain decimal literal parses as DECIMAL, whose
@@ -2510,12 +2616,38 @@ object SparkEntry {
         |ORDER BY px.source_a, px.source_b""".stripMargin)
 
   /** TickStore lifecycle oracles: DuckDB replays the revision batch and
-    * the LWW collapse (compact), and the month-shift + retention filter
-    * (vacuum), relationally. `tickstore_stats` is deliberately absent —
-    * file counts/bytes are storage facts with no relational replay
-    * (rows-only per protocol).
+    * the LWW collapse (compact), the month-shift + retention filter
+    * (vacuum), and the month set + read-back checksums (layout/stats).
+    * FS-metadata facts (file counts, bytes, per-file sortedness) have
+    * no relational replay — they are asserted Spark-side and emitted as
+    * literal-TRUE verdict columns the oracle states as TRUE (the B14
+    * `sketches` pattern): a layout/listing bug flips a boolean and
+    * fails the hash.
     */
   private val tickStoreOracles: Map[String, String] = Map(
+    "tickstore_stats" ->
+      s"""$panelCte,
+         |sh AS (
+         |  SELECT asset_id, date + to_months(CAST(asset_id % 6 AS INTEGER)) AS date
+         |  FROM panel)
+         |SELECT DISTINCT strftime(date, '%Y-%m') AS date_month,
+         |  TRUE AS files_ok, TRUE AS bytes_ok, TRUE AS mean_ok, TRUE AS flag_ok
+         |FROM sh ORDER BY date_month""".stripMargin,
+    "tickstore_layout" ->
+      s"""$panelCte,
+         |sh AS (
+         |  SELECT asset_id, date + to_months(CAST(asset_id % 6 AS INTEGER)) AS date,
+         |         ts, value, seq
+         |  FROM panel)
+         |SELECT strftime(date, '%Y-%m') AS date_month,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT asset_id) AS n_assets,
+         |  CAST(sum(seq) AS BIGINT) AS seq_sum,
+         |  min(date) AS min_date, max(date) AS max_date,
+         |  TRUE AS sorted_ok, TRUE AS month_ok, TRUE AS files_ok
+         |FROM sh GROUP BY date_month ORDER BY date_month""".stripMargin,
+    "stream_semantic_dedup" ->
+      semanticDedupStreamOracle(k = 8, iters = 3, eps = 0.4, nBatches = 3, replayed = 1),
     "tickstore_compact" ->
       s"""$panelCte,
          |rev AS (

@@ -32,7 +32,16 @@ object TickStore {
     panel
       .withColumn("date_month", date_format(col("date"), "yyyy-MM"))
       .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
-      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      // date_month FIRST: the dynamic-partition writer requires its
+      // input ordered by the partition columns and would otherwise
+      // insert its own (stability-unspecified) sort, destroying the
+      // key order inside each month. With the partition column leading,
+      // the child ordering prefix-satisfies the writer's requirement,
+      // no extra sort is inserted, and every physical file is
+      // GUARANTEED (asset_id, date, ts, seq)-sorted — the invariant the
+      // row-group-stats pruning story (and the `tickstore_layout`
+      // driver row) rests on.
+      .sortWithinPartitions(col("date_month"), col("asset_id"), col("date"), col("ts"), col("seq"))
       .write
       .mode("overwrite")
       .partitionBy("date_month")
@@ -127,7 +136,9 @@ object TickStore {
     undeleted
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
-      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      // partition column first — see [[write]] (prevents the writer's
+      // own partition-column sort from destroying the key order)
+      .sortWithinPartitions(col("date_month"), col("asset_id"), col("date"), col("ts"), col("seq"))
       .write
       .mode("overwrite")
       .partitionBy("date_month")
@@ -157,7 +168,8 @@ object TickStore {
     batch
       .withColumn("date_month", date_format(col("date"), "yyyy-MM"))
       .repartition(filesPerPartition, col("date_month"), pmod(col("asset_id"), lit(filesPerPartition)))
-      .sortWithinPartitions(col("asset_id"), col("date"), col("ts"), col("seq"))
+      // partition column first — see [[write]]
+      .sortWithinPartitions(col("date_month"), col("asset_id"), col("date"), col("ts"), col("seq"))
       .write
       .mode("append")
       .partitionBy("date_month")

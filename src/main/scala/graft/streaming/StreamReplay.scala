@@ -714,4 +714,62 @@ object StreamReplay {
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
       .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
   }
+
+  /** `stream_semantic_dedup` — D16 driven end to end: the settled
+    * corpus (vec_id % 5 ≠ 0) is clustered and materialized ONCE under a
+    * frozen quantizer; the batch vectors (vec_id % 5 = 0) then arrive
+    * in three arrival-ordered micro-batches (batch b = (vec_id/5) mod
+    * 3) through the REAL foreachBatch sink, so batch b is screened
+    * against settled ∪ survivors(0..b−1) — the cross-batch greedy the
+    * spec alone used to carry. Batch 1 is then fed a SECOND time, the
+    * at-least-once replay the sink documents: replay rows may only
+    * flip kept→false (a replayed survivor self-matches at cos 1.0) and
+    * append no survivors. The returned reduction is therefore exactly
+    * the documented consumer contract — first-epoch verdict per vec_id,
+    * `n_verdicts` (2 for the replayed batch), `in_index` membership
+    * (⇔ kept: the replay appended nothing), and `replay_ok`
+    * (any(kept) ≡ first kept) — hash-checked against the chained
+    * per-batch CTE oracle (the C42 oracle applied batch by batch).
+    */
+  def streamSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val emb = Tables.embeddings(s, dir)
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    val centroids = graft.operators.Ivf.train(existing, k = 8, iters = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("sem_stream").toString
+    val idxPath = s"$tmp/index"
+    graft.operators.Ivf.writeIndex(existing, centroids, idxPath)
+    val batchRows = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val nBatches = 3
+    val groups = (0 until nBatches).map(b =>
+      batchRows.filter(r => (r._1 / 5) % nBatches == b))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupSink(
+      in.toDS().toDF("vec_id", "embedding"), idxPath, centroids, eps = 0.4,
+      s"$tmp/verdicts", s"$tmp/ckpt")
+    try {
+      (groups :+ groups(1)).foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val verdicts = s.read.parquet(s"$tmp/verdicts")
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("epoch"))
+    val first = verdicts
+      .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("max_cos_existing"),
+        col("max_cos_batch_lower"), col("kept"))
+    val reduced = verdicts.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_verdicts"), bool_or(col("kept")).as("kept_any"))
+    val inIdx = s.read.parquet(idxPath).select(col("vec_id")).distinct()
+      .withColumn("in_index", lit(true))
+    first.join(reduced, Seq("vec_id"))
+      .join(inIdx, Seq("vec_id"), "left")
+      .withColumn("in_index", coalesce(col("in_index"), lit(false)))
+      .withColumn("replay_ok", col("kept_any") === col("kept"))
+      .drop("kept_any")
+      .orderBy(col("vec_id"))
+  }
 }

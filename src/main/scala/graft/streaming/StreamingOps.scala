@@ -348,7 +348,8 @@ object StreamingOps {
     * max(cos, cos) = cos); replayed vectors self-match at cos 1.0 and
     * simply drop. Consequence for the verdict table: a replay writes a
     * SECOND verdict row (kept=false) for vectors it first kept —
-    * consumers reduce by vec_id with `kept = any(kept)`, the exactly-
+    * consumers reduce by vec_id with `kept = any(kept)` (each row
+    * carries its foreachBatch `epoch` for that reduction), the exactly-
     * once view over at-least-once appends. State lives entirely AT REST in the partitioned
     * index — the stream itself is stateless (no state store, no
     * watermark), which is what lets the screen run at ingest rates.
@@ -360,12 +361,18 @@ object StreamingOps {
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val verdicts = graft.operators.Ivf
           .semanticDedupIncremental(spark, indexPath, centroids, batch, eps)
           .localCheckpoint(true) // verdict before the index moves under it
-        verdicts.write.mode("append").parquet(verdictPath)
+        // `epoch` is write provenance: consumers reducing at-least-once
+        // verdicts take the FIRST epoch's row per vec_id (replay rows
+        // can only flip kept→false) — it is what lets the replay
+        // harness hash-check the clean-run chain.
+        verdicts.withColumn("epoch",
+          org.apache.spark.sql.functions.lit(epoch))
+          .write.mode("append").parquet(verdictPath)
         val survivors = batch.join(
           verdicts.filter(org.apache.spark.sql.functions.col("kept"))
             .select("vec_id"), Seq("vec_id"))
