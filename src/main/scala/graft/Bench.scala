@@ -90,6 +90,47 @@ object Bench {
       val median = { val s = times.map(_._1).sorted; s(s.length / 2) }
       (name, median, times.forall(_._2))
     }
+    // ── Drift arbitration protocol ────────────────────────────────────
+    // Round-over-round "drift" on untouched queries (GC storm or
+    // page-cache eviction landing on one suite pass) kept consuming a
+    // manual isolated re-bench every round. Make the arbitration part
+    // of the run itself: compare each suite median against the LAST
+    // FULL RUN at the same SF (bench_ref.json — refreshed only by full
+    // runs below, so single-query profiling never poisons the
+    // reference), and re-bench every >1.5× drifter above the 0.3 s
+    // overhead floor in ISOLATION (3 back-to-back runs, median) at the
+    // end of the suite. The isolated median lands beside the suite
+    // median in the same artifact, so a suite-order artifact can never
+    // read as a regression without its own-run rebuttal attached.
+    val refFile = java.nio.file.Paths.get("bench_ref.json")
+    val prevRef: Map[String, Double] =
+      if (java.nio.file.Files.exists(refFile)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(refFile), "UTF-8")
+        // whitespace-tolerant (a hand-touched or pretty-printed
+        // reference must degrade to "no drift check", not silently
+        // parse to an empty map — which is also why sf mismatch and
+        // absence are handled explicitly)
+        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(m => new java.io.File(m.group(1)).getName == new java.io.File(sfDir).getName)
+        if (sfOk)
+          """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty // reference is for a different SF — no drift check
+      } else Map.empty
+    val suiteMed = results.map { case (n, m, _) => n -> m }.toMap
+    val drifted = results.collect {
+      case (name, med, true) if prevRef.get(name).exists(p => p > 0.3 && med > p * 1.5) => name
+    }
+    val isolated = drifted.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(1)
+    }
     // Failed queries report -1 and are excluded from the total, so a
     // fast failure can never read as a speedup.
     //
@@ -107,12 +148,19 @@ object Bench {
     val failedKeys = results.collect { case (k, _, false) => s"\"" + k + "\"" }
     val failedPart =
       if (failedKeys.isEmpty) "" else failedKeys.mkString(""","failed":[""", ",", "]")
+    // Compact drift record for the capture line: prev-round reference /
+    // this suite's median / the isolated re-bench median per drifter.
+    val driftPart =
+      if (isolated.isEmpty) ""
+      else isolated.map { case (k, iso) =>
+        s"\"" + k + s"\":[${trim(prevRef(k), 2)},${trim(suiteMed(k), 2)},${trim(iso, 2)}]"
+      }.mkString(""","drift_prev_suite_isolated":{""", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     def lineAt(decimals: Int): String = {
       val qs = results
         .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) trim(v, decimals) else "-1") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${trim(total, decimals)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${trim(total, decimals)},"unit":"sec","queries":$qs$failedPart$driftPart,"sf":"$sfName"}"""
     }
     // Adaptive precision: the capture keeps the LAST 2000 chars and sbt
     // appends its "[success] Total time: … (MM:SS), completed <date>"
@@ -130,7 +178,7 @@ object Bench {
       val bySlowest = results.sortBy { case (_, v, ok) => if (ok) -v else 1.0 }
       def assemble(entries: Seq[String], omitted: Int): String = {
         val qs = entries.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"queries_in":"bench_full.json"$failedPart,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"queries_in":"bench_full.json"$failedPart$driftPart,"sf":"$sfName"}"""
       }
       val packed = scala.collection.mutable.ArrayBuffer.empty[String]
       for ((k, v, ok) <- bySlowest) {
@@ -147,11 +195,21 @@ object Bench {
     // exit would make the harness discard the whole line). `runs` is
     // the ACTUAL per-query sample count used for the medians.
     val status = if (failedKeys.isEmpty) "ok" else "partial"
+    val fullDrift =
+      if (isolated.isEmpty) "{}"
+      else isolated.map { case (k, iso) =>
+        s"\"" + k + s"\":{\"prev\":${prevRef(k)},\"suite\":${suiteMed(k)},\"isolated\":$iso}"
+      }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"status":"$status","queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"status":"$status","queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"drift":$fullDrift,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // Refresh the drift reference ONLY on full runs: a filtered
+    // profiling run must never become the round-over-round baseline.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(refFile, (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] bench_ref.json write failed: $e") }
     println(line)
     spark.stop()
   }
