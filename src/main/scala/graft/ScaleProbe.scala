@@ -20,11 +20,24 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe <query> [<query> ...]
   *   SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_PROBE_FACTORS
-  *   (default "1,2,4"), SPARK_GRAFT_PROBE_RUNS (default 3, median).
+  *   (default "1,2,4"), SPARK_GRAFT_PROBE_RUNS (default 3, median),
+  *   SPARK_GRAFT_PROBE_AXIS: "width" (default) or "depth".
+  *
+  * Axes: "width" replicates KEYS (more assets/docs/vectors, constant
+  * per-key history) — the shuffle/partition scaling question. "depth"
+  * replicates per-key HISTORY (same asset ids, each replica's events
+  * shifted past the previous calendar span, fresh event_ids) — the
+  * axis width probes can never see, and the dangerous one for the
+  * recursive-fold family (kama/heikin_ashi/supertrend/psar/
+  * fisher_transform accumulate per-asset arrays, where an O(h²)
+  * copy constant hides from any more-assets probe). In depth mode
+  * only `events` is replicated; the other tables ride at 1×.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val axis = sys.env.getOrElse("SPARK_GRAFT_PROBE_AXIS", "width")
+    require(axis == "width" || axis == "depth", s"unknown probe axis: $axis")
     val factors = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTORS", "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
@@ -48,6 +61,21 @@ object ScaleProbe {
       // branch reads via Tables.events instead, never through this).
       def src = Tables.read(spark, base, table)
       val out = table match {
+        case t if axis == "depth" && t != "events" => null // 1×, copied below
+        case "events" if axis == "depth" =>
+          // History-depth replication: replica i shifts every event
+          // i·(span+1) days forward under the SAME asset ids, so each
+          // asset's series gets `factor`× longer — no new keys, no new
+          // collisions (fresh event_ids; shifted dates never overlap).
+          val ev = Tables.events(spark, base)
+          val span = ev.agg(
+            (datediff(max(col("ts").cast("date")), min(col("ts").cast("date"))) + 1)
+              .as("d")).head.getInt(0)
+          val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            ev.withColumn("ts", col("ts") + expr(s"INTERVAL ${i.toLong * span} DAYS"))
+              .withColumn("event_id", col("event_id") + lit(i * maxE))
+          }.reduce(_ unionByName _)
         case "documents" =>
           val maxId = src.agg(max("doc_id")).head.getLong(0) + 1
           // Replica texts must share NO shingles with the base or each
@@ -134,7 +162,7 @@ object ScaleProbe {
     val allTables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     factors.foreach { f =>
-      val dir = s"/tmp/scaleprobe/f$f"
+      val dir = s"/tmp/scaleprobe/$axis-f$f"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       allTables.foreach(t => replicate(t, f, dir))
     }
@@ -143,7 +171,7 @@ object ScaleProbe {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
       val times = factors.map { f =>
-        val dir = s"/tmp/scaleprobe/f$f"
+        val dir = s"/tmp/scaleprobe/$axis-f$f"
         val samples = (1 to runs).map { _ =>
           // Optional per-stage breakdown (SPARK_GRAFT_PROBE_STAGES=1):
           // stage wall-times + task counts for the slowest stages of the

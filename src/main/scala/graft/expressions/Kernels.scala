@@ -55,6 +55,12 @@ object Kernels {
   def seqFold(arr: Column, op: String, weight: Double = 0.0): Column =
     ExpressionUtils.column(SeqFold(ExpressionUtils.expression(arr), op, weight))
 
+  /** Linear-time recursive-indicator scan over a date-sorted
+    * array<struct> — see [[RecurrenceFold]].
+    */
+  def recurrence(arr: Column, op: String): Column =
+    ExpressionUtils.column(RecurrenceFold(ExpressionUtils.expression(arr), op))
+
   /** Compiled winnowing fingerprints — see [[WinnowFingerprints]]. */
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))

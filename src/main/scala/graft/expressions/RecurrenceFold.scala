@@ -1,0 +1,234 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.operators.Micro.jvm6
+
+/** Linear-time sequential recurrence over a date-sorted
+  * `array<struct<…>>` — the recursive-indicator family's scan
+  * (kama / heikin_ashi / supertrend / psar / fisher_transform), which
+  * the HOF form (`aggregate(bs, array(), (acc, x) => concat(acc,
+  * array(struct(…))))`) computes with an O(h²) copy constant: every
+  * step re-copies the whole accumulator array, so a per-asset history
+  * of h bars costs h²/2 struct copies (plus per-step interpreted
+  * lambda evaluation — `aggregate` is CodegenFallback). Invisible at
+  * h ≈ 4 000; the r9 depth-axis ScaleProbe measured the bend at
+  * h ≈ 1 700 (kama 16×→64× history: ×4 data, ×8.9 time). This
+  * expression runs the IDENTICAL recursion into a PRE-SIZED output
+  * array — one allocation, h steps, O(h) — with each step's IEEE op
+  * sequence copied verbatim from the HOF lambda (same association
+  * order, [[graft.operators.Micro.jvm6]] as the bit-exact JVM twin of
+  * the Column-side u6, `Math.min`/`max` for `least`/`greatest` on the
+  * non-null non-NaN inputs these recursions produce), so results are
+  * bit-for-bit what the HOF produced and every DuckDB recursive-CTE
+  * oracle replays unchanged.
+  *
+  * Null contract mirrors the Column semantics of each lambda: a null
+  * WHEN-condition falls to the otherwise branch (implemented as
+  * null-is-false comparisons), null arithmetic inputs propagate to a
+  * null state value, and a null recursive state poisons the rest of
+  * that asset's series — observationally identical to the HOF.
+  *
+  * Input struct layouts are positional contracts with the call sites
+  * (field names are not consulted):
+  *   - `kama`         in (date, close, er, sc)        out (date, close, er, kama)
+  *   - `heikin_ashi`  in (date, open, high, low, close) out (date, high, low, ho, hc)
+  *   - `supertrend`   in (date, close, bub, blb)      out (date, close, fub, flb, dir)
+  *   - `psar`         in (date, high, low, close)     out (date, high, low, close, sar, ep, af, dir)
+  *   - `fisher`       in (date, close, x)             out (date, close, v, fisher)
+  */
+case class RecurrenceFold(child: Expression, op: String)
+  extends UnaryExpression with CodegenFallback {
+
+  require(RecurrenceFold.Ops.contains(op), s"unknown recurrence op: $op")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == RecurrenceFold.inArity(op) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"recurrence_$op expects array<struct[${RecurrenceFold.inArity(op)}]>, got $other")
+    }
+
+  override def dataType: DataType =
+    ArrayType(RecurrenceFold.outSchema(op), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"recurrence_$op"
+
+  // null-is-false comparisons: a null SQL WHEN-condition selects the
+  // otherwise branch, which is exactly what these yield inside if/else
+  private def lt(a: java.lang.Double, b: java.lang.Double): Boolean =
+    a != null && b != null && a < b
+  private def gt(a: java.lang.Double, b: java.lang.Double): Boolean =
+    a != null && b != null && a > b
+  private def d(r: org.apache.spark.sql.catalyst.InternalRow, i: Int): java.lang.Double =
+    if (r.isNullAt(i)) null else r.getDouble(i)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    op match {
+      case "kama" =>
+        var prevK: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val close = d(r, 1)
+          val sc = d(r, 3)
+          val k: java.lang.Double =
+            if (i == 0) close
+            else if (prevK == null || sc == null || close == null) null
+            else jvm6(prevK + sc * (close - prevK))
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, d(r, 2), k))
+          prevK = k
+          i += 1
+        }
+      case "heikin_ashi" =>
+        var prevHo: java.lang.Double = null
+        var prevHc: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 5)
+          val open = d(r, 1); val high = d(r, 2); val low = d(r, 3); val close = d(r, 4)
+          val hc: java.lang.Double =
+            if (open == null || high == null || low == null || close == null) null
+            else jvm6((open + high + low + close) / 4.0)
+          val ho: java.lang.Double =
+            if (i == 0) { if (open == null || close == null) null else jvm6((open + close) / 2.0) }
+            else if (prevHo == null || prevHc == null) null
+            else jvm6((prevHo + prevHc) / 2.0)
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), high, low, ho, hc))
+          prevHo = ho; prevHc = hc
+          i += 1
+        }
+      case "supertrend" =>
+        var pClose: java.lang.Double = null
+        var pFub: java.lang.Double = null
+        var pFlb: java.lang.Double = null
+        var pDir = 1L
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val close = d(r, 1); val bub = d(r, 2); val blb = d(r, 3)
+          val fub: java.lang.Double =
+            if (i == 0) bub
+            else if (lt(bub, pFub) || gt(pClose, pFub)) bub else pFub
+          val flb: java.lang.Double =
+            if (i == 0) blb
+            else if (gt(blb, pFlb) || lt(pClose, pFlb)) blb else pFlb
+          val dir: Long =
+            if (i == 0) 1L
+            else if (pDir == 1L) { if (lt(close, flb)) -1L else 1L }
+            else { if (gt(close, fub)) 1L else -1L }
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, fub, flb, dir))
+          pClose = close; pFub = fub; pFlb = flb; pDir = dir
+          i += 1
+        }
+      case "psar" =>
+        // state p = previous OUT row (carries the previous bar's
+        // high/low/close alongside sar/ep/af/dir)
+        var pHigh: java.lang.Double = null; var pLow: java.lang.Double = null
+        var pClose: java.lang.Double = null
+        var pSar: java.lang.Double = null; var pEp: java.lang.Double = null
+        var pAf: java.lang.Double = null; var pDir = 0L
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val high = d(r, 1); val low = d(r, 2); val close = d(r, 3)
+          var sar: java.lang.Double = null; var ep: java.lang.Double = null
+          var af: java.lang.Double = null; var dir = 0L
+          if (i == 1) {
+            // init from the seed bar: null close comparison (impossible
+            // from dailyBars) falls to the down-trend branch like SQL
+            val upInit = close != null && pClose != null && close >= pClose
+            if (upInit) {
+              sar = math.min(pLow, low); ep = math.max(pHigh, high); dir = 1L
+            } else {
+              sar = math.max(pHigh, high); ep = math.min(pLow, low); dir = -1L
+            }
+            af = 0.02
+          } else if (i >= 2) {
+            val sarRaw = jvm6(pSar + pAf * (pEp - pSar))
+            val sarClamped =
+              if (pDir == 1L) math.min(sarRaw, pLow) else math.max(sarRaw, pHigh)
+            val flipped =
+              if (pDir == 1L) lt(low, sarClamped) else gt(high, sarClamped)
+            sar = if (flipped) pEp else sarClamped
+            ep =
+              if (flipped) { if (pDir == 1L) low else high }
+              else { if (pDir == 1L) math.max(pEp, high) else math.min(pEp, low) }
+            af =
+              if (flipped) 0.02
+              else if ((pDir == 1L && gt(high, pEp)) || (pDir == -1L && lt(low, pEp)))
+                math.min(jvm6(pAf + 0.02), 0.2)
+              else pAf
+            dir = if (flipped) -pDir else pDir
+          } // i == 0: seed row — all-null state, dir 0
+          out(i) = new GenericInternalRow(
+            Array[Any](r.getInt(0), high, low, close, sar, ep, af, dir))
+          pHigh = high; pLow = low; pClose = close
+          pSar = sar; pEp = ep; pAf = af; pDir = dir
+          i += 1
+        }
+      case "fisher" =>
+        var pv = 0.0
+        var pf = 0.0
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 3)
+          val x = r.getDouble(2) // clamped to ±0.999 upstream, never null
+          val v = jvm6(0.33 * x + 0.67 * pv)
+          val fisher = jvm6(0.5 * math.log((1.0 + v) / (1.0 - v)) + 0.5 * pf)
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), d(r, 1), v, fisher))
+          pv = v; pf = fisher
+          i += 1
+        }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RecurrenceFold {
+  val Ops: Set[String] = Set("kama", "heikin_ashi", "supertrend", "psar", "fisher")
+
+  def inArity(op: String): Int = op match {
+    case "kama" => 4
+    case "heikin_ashi" => 5
+    case "supertrend" => 4
+    case "psar" => 4
+    case "fisher" => 3
+  }
+
+  def outSchema(op: String): StructType = op match {
+    case "kama" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("er", DoubleType),
+      StructField("kama", DoubleType)))
+    case "heikin_ashi" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("high", DoubleType), StructField("low", DoubleType),
+      StructField("ho", DoubleType), StructField("hc", DoubleType)))
+    case "supertrend" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("fub", DoubleType),
+      StructField("flb", DoubleType), StructField("dir", LongType, nullable = false)))
+    case "psar" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("high", DoubleType), StructField("low", DoubleType),
+      StructField("close", DoubleType), StructField("sar", DoubleType),
+      StructField("ep", DoubleType), StructField("af", DoubleType),
+      StructField("dir", LongType, nullable = false)))
+    case "fisher" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("v", DoubleType),
+      StructField("fisher", DoubleType)))
+  }
+}

@@ -4323,23 +4323,13 @@ object Analytics {
     * One asset_id shuffle: the bar build and the groupBy share it.
     */
   def heikinAshi(panel: DataFrame): DataFrame = {
-    val haType = "array<struct<date:date,high:double,low:double,ho:double,hc:double>>"
     dailyBars(panel.repartition(col("asset_id")))
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(struct(
         col("date"), col("open"), col("high"), col("low"), col("close")))).as("bs"))
-      .withColumn("ha", aggregate(
-        col("bs"),
-        expr("array()").cast(haType),
-        (acc, x) => {
-          val prev = element_at(acc, -1)
-          val haClose = u6((x("open") + x("high") + x("low") + x("close")) / 4)
-          val haOpen = when(size(acc) === 0, u6((x("open") + x("close")) / 2))
-            .otherwise(u6((prev("ho") + prev("hc")) / 2))
-          concat(acc, array(struct(
-            x("date").as("date"), x("high").as("high"), x("low").as("low"),
-            haOpen.as("ho"), haClose.as("hc"))))
-        }))
+      // linear-time compiled scan — see RecurrenceFold (same recursion,
+      // pre-sized output instead of per-step accumulator copies)
+      .withColumn("ha", Kernels.recurrence(col("bs"), "heikin_ashi"))
       .select(col("asset_id"), explode(col("ha")).as("h"))
       .select(col("asset_id"), col("h.date").as("date"),
         col("h.ho").as("ha_open"), col("h.hc").as("ha_close"),
@@ -4514,8 +4504,6 @@ object Analytics {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prevClose = lag(col("close"), 1).over(byAsset)
     val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
-    val stType =
-      "array<struct<date:date,close:double,fub:double,flb:double,dir:bigint>>"
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("tr", u6(
         when(prevClose.isNull, col("high") - col("low"))
@@ -4533,24 +4521,8 @@ object Analytics {
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(struct(
         col("date"), col("close"), col("bub"), col("blb")))).as("bs"))
-      .withColumn("st", aggregate(
-        col("bs"),
-        expr("array()").cast(stType),
-        (acc, x) => {
-          val p = element_at(acc, -1)
-          val fub = when(size(acc) === 0, x("bub"))
-            .otherwise(when(x("bub") < p("fub") || p("close") > p("fub"), x("bub"))
-              .otherwise(p("fub")))
-          val flb = when(size(acc) === 0, x("blb"))
-            .otherwise(when(x("blb") > p("flb") || p("close") < p("flb"), x("blb"))
-              .otherwise(p("flb")))
-          val dir = when(size(acc) === 0, lit(1L))
-            .otherwise(when(p("dir") === 1L, when(x("close") < flb, lit(-1L)).otherwise(lit(1L)))
-              .otherwise(when(x("close") > fub, lit(1L)).otherwise(lit(-1L))))
-          concat(acc, array(struct(
-            x("date").as("date"), x("close").as("close"),
-            fub.as("fub"), flb.as("flb"), dir.as("dir"))))
-        }))
+      // linear-time compiled scan — see RecurrenceFold
+      .withColumn("st", Kernels.recurrence(col("bs"), "supertrend"))
       .select(col("asset_id"), explode(col("st")).as("h"))
       .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
         col("h.fub").as("fub"), col("h.flb").as("flb"), col("h.dir").as("dir"),
@@ -4683,56 +4655,15 @@ object Analytics {
     * oracle too).
     */
   def psar(panel: DataFrame): DataFrame = {
-    val psType = "array<struct<date:date,high:double,low:double,close:double," +
-      "sar:double,ep:double,af:double,dir:bigint>>"
     dailyBars(panel.repartition(col("asset_id")))
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(struct(
         col("date"), col("high"), col("low"), col("close")))).as("bs"))
       .filter(size(col("bs")) >= 2)
-      .withColumn("ps", aggregate(
-        col("bs"),
-        expr("array()").cast(psType),
-        (acc, x) => {
-          val p = element_at(acc, -1)
-          val first = size(acc) === 1
-          // state rows: the FIRST array entry is the seed bar (dir 0, no
-          // emission downstream); real SAR state starts at entry 2
-          val seeded = when(size(acc) === 0,
-            struct(x("date").as("date"), x("high").as("high"), x("low").as("low"),
-              x("close").as("close"), lit(null).cast("double").as("sar"),
-              lit(null).cast("double").as("ep"), lit(null).cast("double").as("af"),
-              lit(0L).as("dir")))
-          val upInit = x("close") >= p("close")
-          val initRow = struct(x("date").as("date"), x("high").as("high"),
-            x("low").as("low"), x("close").as("close"),
-            when(upInit, least(p("low"), x("low")))
-              .otherwise(greatest(p("high"), x("high"))).as("sar"),
-            when(upInit, greatest(p("high"), x("high")))
-              .otherwise(least(p("low"), x("low"))).as("ep"),
-            lit(0.02).as("af"),
-            when(upInit, lit(1L)).otherwise(lit(-1L)).as("dir"))
-          // general step from state p
-          val sarRaw = u6(p("sar") + p("af") * (p("ep") - p("sar")))
-          val sarClamped = when(p("dir") === 1L, least(sarRaw, p("low")))
-            .otherwise(greatest(sarRaw, p("high")))
-          val flipped = when(p("dir") === 1L, x("low") < sarClamped)
-            .otherwise(x("high") > sarClamped)
-          val stepRow = struct(x("date").as("date"), x("high").as("high"),
-            x("low").as("low"), x("close").as("close"),
-            when(flipped, p("ep")).otherwise(sarClamped).as("sar"),
-            when(flipped, when(p("dir") === 1L, x("low")).otherwise(x("high")))
-              .otherwise(when(p("dir") === 1L, greatest(p("ep"), x("high")))
-                .otherwise(least(p("ep"), x("low")))).as("ep"),
-            when(flipped, lit(0.02))
-              .otherwise(when(
-                (p("dir") === 1L && x("high") > p("ep")) ||
-                  (p("dir") === -1L && x("low") < p("ep")),
-                least(u6(p("af") + lit(0.02)), lit(0.2)))
-                .otherwise(p("af"))).as("af"),
-            when(flipped, -p("dir")).otherwise(p("dir")).as("dir"))
-          concat(acc, array(coalesce(seeded, when(first, initRow).otherwise(stepRow))))
-        }))
+      // linear-time compiled scan — see RecurrenceFold (seed bar at
+      // entry 0 with dir 0, trend init at entry 1, general SAR step
+      // from entry 2 — the same state machine the HOF lambda encoded)
+      .withColumn("ps", Kernels.recurrence(col("bs"), "psar"))
       .select(col("asset_id"), explode(col("ps")).as("h"))
       .filter(col("h.dir") =!= 0L)
       .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
@@ -4857,7 +4788,6 @@ object Analytics {
   def fisherTransform(panel: DataFrame, span: Int = 10): DataFrame = {
     val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
-    val fiType = "array<struct<date:date,close:double,v:double,fisher:double>>"
     dailyBars(panel.repartition(col("asset_id")))
       .withColumn("lo", min(col("low")).over(frame))
       .withColumn("hi", max(col("high")).over(frame))
@@ -4867,19 +4797,8 @@ object Analytics {
         lit(2.0) * col("pos") - 1, lit(0.999)), lit(-0.999))))
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(struct(col("date"), col("close"), col("x")))).as("bs"))
-      .withColumn("fi", aggregate(
-        col("bs"),
-        expr("array()").cast(fiType),
-        (acc, b) => {
-          val p = element_at(acc, -1)
-          val pv = when(size(acc) === 0, lit(0.0)).otherwise(p("v"))
-          val pf = when(size(acc) === 0, lit(0.0)).otherwise(p("fisher"))
-          val v = u6(lit(0.33) * b("x") + lit(0.67) * pv)
-          val fisher = u6(lit(0.5) * log((lit(1.0) + v) / (lit(1.0) - v)) + lit(0.5) * pf)
-          concat(acc, array(struct(
-            b("date").as("date"), b("close").as("close"),
-            v.as("v"), fisher.as("fisher"))))
-        }))
+      // linear-time compiled scan — see RecurrenceFold
+      .withColumn("fi", Kernels.recurrence(col("bs"), "fisher"))
       .select(col("asset_id"), posexplode(col("fi")))
       .select(col("asset_id"), col("col.date").as("date"), col("col.close").as("close"),
         col("col.fisher").as("fisher"))
@@ -5344,21 +5263,15 @@ object Analytics {
       .withColumn("sc", when(col("er").isNull, lit(null)).otherwise(u6(
         (col("er") * lit(fastSC - slowSC) + lit(slowSC)) *
           (col("er") * lit(fastSC - slowSC) + lit(slowSC)))))
-    val kaType = "array<struct<date:date,close:double,er:double,kama:double>>"
     withSc
       .groupBy(col("asset_id"))
       .agg(array_sort(collect_list(struct(
         col("date"), col("close"), col("er"), col("sc")))).as("bs"))
-      .withColumn("ka", aggregate(
-        col("bs"), expr(s"cast(array() as $kaType)"),
-        (acc, x) => {
-          val last = element_at(acc, -1)
-          val k = when(size(acc) === 0, x("close"))
-            .otherwise(u6(last("kama") + x("sc") * (x("close") - last("kama"))))
-          concat(acc, array(struct(
-            x("date").as("date"), x("close").as("close"),
-            x("er").as("er"), k.as("kama"))))
-        }))
+      // linear-time compiled scan (RecurrenceFold) — the HOF
+      // concat-accumulator form re-copied the array per step (O(h²) in
+      // per-asset history; the r9 depth probe measured the bend), same
+      // recursion bit-for-bit
+      .withColumn("ka", Kernels.recurrence(col("bs"), "kama"))
       .select(col("asset_id"), explode(col("ka")).as("h"))
       .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
         col("h.er").as("er"), col("h.kama").as("kama"))
