@@ -1016,6 +1016,24 @@ object SparkEntry {
       Pipeline.tokenMassConcentration(Tables.documents(s, dir))),
     "weekly_consistency" -> ((s, dir) =>
       Analytics.weeklyConsistency(Tables.panel(s, dir))),
+    // ── wave F (r9) ──────────────────────────────────────────────────
+    "chande_momentum" -> ((s, dir) =>
+      Analytics.chandeMomentum(Tables.panel(s, dir))),
+    "vhf" -> ((s, dir) =>
+      Analytics.vhf(Tables.panel(s, dir))),
+    "imi" -> ((s, dir) =>
+      Analytics.imi(Tables.panel(s, dir))),
+    "disparity" -> ((s, dir) =>
+      Analytics.disparity(Tables.panel(s, dir))),
+    "gap_fill_rate" -> ((s, dir) =>
+      Analytics.gapFillRate(Tables.panel(s, dir))),
+    // cluster provenance: rides the shared pair memo through the same
+    // labeling the dedup_clusters row hash-proves
+    "cluster_source_purity" -> ((s, dir) =>
+      Dedup.clusterSourcePurity(Tables.documents(s, dir),
+        Dedup.nearDupClusters(Tables.documents(s, dir), jaccardPairsShared(s, dir)))),
+    "minhash_estimate_error" -> ((s, dir) =>
+      Dedup.minhashEstimateError(Tables.documents(s, dir))),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2670,7 +2688,158 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles
+
+  private lazy val waveFOracles: Map[String, String] = Map(
+    "chande_momentum" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |dd AS (
+         |  SELECT asset_id, date,
+         |         value - lag(value) OVER (PARTITION BY asset_id ORDER BY date) AS d
+         |  FROM daily),
+         |dn AS (SELECT asset_id, date, d FROM dd WHERE d IS NOT NULL),
+         |fr AS (
+         |  SELECT asset_id, date,
+         |         list(d) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM dn),
+         |s AS (
+         |  SELECT asset_id, date,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(x, 0.0))), (a, x) -> a + x) AS su,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(-x, 0.0))), (a, x) -> a + x) AS sd
+         |  FROM fr)
+         |SELECT asset_id, date,
+         |  CASE WHEN su + sd = 0 THEN NULL
+         |       ELSE floor((100.0 * (su - sd) / (su + sd)) * 1000000.0 + 0.5) / 1000000.0 END AS cmo
+         |FROM s ORDER BY asset_id, date""".stripMargin,
+    "vhf" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |dd AS (
+         |  SELECT asset_id, date, value,
+         |         value - lag(value) OVER (PARTITION BY asset_id ORDER BY date) AS d
+         |  FROM daily),
+         |dn AS (SELECT asset_id, date, value, d FROM dd WHERE d IS NOT NULL),
+         |fr AS (
+         |  SELECT asset_id, date,
+         |    max(value) OVER w AS hi, min(value) OVER w AS lo,
+         |    list(d) OVER w AS arr
+         |  FROM dn
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
+         |s AS (
+         |  SELECT asset_id, date, hi, lo,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> abs(x))), (a, x) -> a + x) AS den
+         |  FROM fr)
+         |SELECT asset_id, date,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE floor(((hi - lo) / den) * 1000000.0 + 0.5) / 1000000.0 END AS vhf
+         |FROM s ORDER BY asset_id, date""".stripMargin,
+    "imi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |fr AS (
+         |  SELECT asset_id, date,
+         |         list(close - open) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM bars),
+         |s AS (
+         |  SELECT asset_id, date,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(x, 0.0))), (a, x) -> a + x) AS g,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(-x, 0.0))), (a, x) -> a + x) AS l
+         |  FROM fr)
+         |SELECT asset_id, date,
+         |  CASE WHEN g + l = 0 THEN NULL
+         |       ELSE floor((100.0 * g / (g + l)) * 1000000.0 + 0.5) / 1000000.0 END AS imi
+         |FROM s ORDER BY asset_id, date""".stripMargin,
+    "disparity" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |fr AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |s AS (
+         |  SELECT asset_id, date, value,
+         |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma
+         |  FROM fr)
+         |SELECT asset_id, date,
+         |  CASE WHEN sma = 0 THEN NULL
+         |       ELSE floor((100.0 * (value - sma) / sma) * 1000000.0 + 0.5) / 1000000.0 END AS disparity
+         |FROM s ORDER BY asset_id, date""".stripMargin,
+    "gap_fill_rate" ->
+      s"""$panelCte,
+         |$barsCte,
+         |g AS (
+         |  SELECT asset_id, date, open, close, low, high,
+         |    lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc,
+         |    min(low)  OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fwd_lo,
+         |    max(high) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fwd_hi
+         |  FROM bars),
+         |gg AS (
+         |  SELECT asset_id, open > pc AS up,
+         |         CASE WHEN open > pc THEN fwd_lo <= pc ELSE fwd_hi >= pc END AS filled
+         |  FROM g WHERE pc IS NOT NULL AND open <> pc),
+         |agg AS (
+         |  SELECT asset_id,
+         |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(sum(CASE WHEN up AND filled THEN 1 ELSE 0 END) AS BIGINT) AS n_up_filled,
+         |    CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |    CAST(sum(CASE WHEN NOT up AND filled THEN 1 ELSE 0 END) AS BIGINT) AS n_down_filled
+         |  FROM gg GROUP BY asset_id)
+         |SELECT asset_id, n_up, n_up_filled,
+         |  CASE WHEN n_up = 0 THEN NULL ELSE (1000 * n_up_filled) // n_up END AS up_fill_pm,
+         |  n_down, n_down_filled,
+         |  CASE WHEN n_down = 0 THEN NULL ELSE (1000 * n_down_filled) // n_down END AS down_fill_pm
+         |FROM agg ORDER BY asset_id""".stripMargin,
+    "cluster_source_purity" ->
+      s"""$clustersCtes,
+         |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |cs AS (
+         |  SELECT lab.cluster_id, d.source, CAST(count(*) AS BIGINT) AS n
+         |  FROM lab JOIN documents d USING (doc_id)
+         |  GROUP BY lab.cluster_id, d.source),
+         |agg AS (
+         |  SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_sources, CAST(max(n) AS BIGINT) AS max_src
+         |  FROM cs GROUP BY cluster_id)
+         |SELECT cluster_id, n_docs, n_sources,
+         |       (1000 * max_src) // n_docs AS majority_pm
+         |FROM agg WHERE n_docs >= 2 ORDER BY cluster_id""".stripMargin,
+    "minhash_estimate_error" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |eqs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS eq
+         |  FROM cand c
+         |  JOIN mins ma ON ma.doc_id = c.doc_a
+         |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+         |  GROUP BY c.doc_a, c.doc_b),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.doc_a
+         |  JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b),
+         |j AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    (e.eq * 1000) // 64 AS est_pm,
+         |    (COALESCE(ix.i, 0) * 1000) // (sa.n + sb.n - COALESCE(ix.i, 0)) AS exact_pm
+         |  FROM eqs e
+         |  LEFT JOIN ix ON ix.doc_a = e.doc_a AND ix.doc_b = e.doc_b
+         |  JOIN sz sa ON sa.doc_id = e.doc_a
+         |  JOIN sz sb ON sb.doc_id = e.doc_b)
+         |SELECT doc_a, doc_b, est_pm, exact_pm, abs(est_pm - exact_pm) AS err_pm
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin)
 
   private lazy val baseOracle: Map[String, String] = Map(
     "bpe_train" -> bpeTrainOracle(8),

@@ -5506,4 +5506,132 @@ object Analytics {
         col("n_gap_down"), col("mean_gap"), col("max_abs_gap"))
       .orderBy(col("asset_id"))
   }
+
+  /** B183 `chande_momentum` — Chande Momentum Oscillator over the LWW
+    * daily value: 100·(Σup − Σdown)/(Σup + Σdown) on the last `n` daily
+    * changes, the unsmoothed cousin of [[rsi]] (same gain/loss split,
+    * plain sums instead of Wilder EW — so it reuses the horner_pos/neg
+    * folds at weight 1). Frame partial at the series head like the rest
+    * of the family; an all-flat frame (denominator 0) emits NULL.
+    */
+  def chandeMomentum(panel: DataFrame, n: Int = 14): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    daily
+      .withColumn("d", col("value") - prev)
+      .filter(col("d").isNotNull)
+      .withColumn("arr", collect_list(col("d")).over(frame))
+      .withColumn("su", Kernels.seqFold(col("arr"), "horner_pos", 1.0))
+      .withColumn("sd", Kernels.seqFold(col("arr"), "horner_neg", 1.0))
+      .withColumn("cmo", when(col("su") + col("sd") === 0, lit(null))
+        .otherwise(u6(lit(100.0) * (col("su") - col("sd")) / (col("su") + col("sd")))))
+      .select(col("asset_id"), col("date"), col("cmo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B184 `vhf` — Vertical Horizontal Filter: trendiness as
+    * (max − min of the last `n` daily values) over Σ|daily change| in
+    * the same frame — high when price travels somewhere, low when it
+    * churns. Numerator from frame max/min (order-free), denominator a
+    * left fold of |d| in date order (double sums are order-sensitive);
+    * a flat frame (denominator 0) emits NULL.
+    */
+  def vhf(panel: DataFrame, n: Int = 28): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    daily
+      .withColumn("d", col("value") - prev)
+      .filter(col("d").isNotNull)
+      .withColumn("hi", max(col("value")).over(frame))
+      .withColumn("lo", min(col("value")).over(frame))
+      .withColumn("den", Kernels.seqFold(
+        transform(collect_list(col("d")).over(frame), x => abs(x)), "sum"))
+      .withColumn("vhf", when(col("den") === 0, lit(null))
+        .otherwise(u6((col("hi") - col("lo")) / col("den"))))
+      .select(col("asset_id"), col("date"), col("vhf"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B185 `imi` — Intraday Momentum Index: RSI arithmetic applied to
+    * the intraday move close − open over the last `n` bars (gains =
+    * up-day bodies, losses = down-day bodies) — candle-body momentum
+    * where [[rsi]] reads close-to-close. Plain-sum folds (weight-1
+    * horner_pos/neg) in date order; a frame of perfect doji bars
+    * (denominator 0) emits NULL.
+    */
+  def imi(panel: DataFrame, n: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("body", col("close") - col("open"))
+      .withColumn("arr", collect_list(col("body")).over(frame))
+      .withColumn("g", Kernels.seqFold(col("arr"), "horner_pos", 1.0))
+      .withColumn("l", Kernels.seqFold(col("arr"), "horner_neg", 1.0))
+      .withColumn("imi", when(col("g") + col("l") === 0, lit(null))
+        .otherwise(u6(lit(100.0) * col("g") / (col("g") + col("l")))))
+      .select(col("asset_id"), col("date"), col("imi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B186 `disparity` — Disparity Index: 100·(value − SMAₙ)/SMAₙ, the
+    * percent stretch from the n-day mean (the mean-reversion distance
+    * [[smaCross]] signals on and [[bollinger]] normalizes by vol).
+    * SMA is the u6 frame fold over available history (partial frames
+    * at the head, the [[smaCross]] convention); SMA 0 emits NULL.
+    */
+  def disparity(panel: DataFrame, n: Int = 13): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("sma", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .withColumn("disparity", when(col("sma") === 0, lit(null))
+        .otherwise(u6(lit(100.0) * (col("value") - col("sma")) / col("sma"))))
+      .select(col("asset_id"), col("date"), col("disparity"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B187 `gap_fill_rate` — per asset: how often an overnight gap
+    * (open ≠ yesterday's close) FILLS within `k` sessions, i.e. price
+    * trades back through the prior close (an up-gap fills when some
+    * low in the gap day's next k sessions — gap day included, gaps
+    * often fill same-day — reaches ≤ prior close; a down-gap
+    * mirror-images on highs). The mean-reversion base rate behind
+    * "gaps fill" lore, and [[gapStats]]' behavioral sequel. Integer
+    * counts and per-mille integer-div rates; a side with zero gaps
+    * emits NULL rates. Forward-looking min/max frames are computed on
+    * the FULL bar series before gap days are filtered, so fill
+    * checks see every session, not just other gap days.
+    */
+  def gapFillRate(panel: DataFrame, k: Int = 5): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val fwd = byAsset.rowsBetween(Window.currentRow, k - 1)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", prevClose)
+      .withColumn("fwd_lo", min(col("low")).over(fwd))
+      .withColumn("fwd_hi", max(col("high")).over(fwd))
+      .filter(col("pc").isNotNull && col("open") =!= col("pc"))
+      .withColumn("up", col("open") > col("pc"))
+      .withColumn("filled", when(col("up"), col("fwd_lo") <= col("pc"))
+        .otherwise(col("fwd_hi") >= col("pc")))
+      .groupBy(col("asset_id"))
+      .agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("up") && col("filled"), 1L).otherwise(0L)).as("n_up_filled"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n_down"),
+        sum(when(!col("up") && col("filled"), 1L).otherwise(0L)).as("n_down_filled"))
+      .withColumn("up_fill_pm",
+        expr("CASE WHEN n_up = 0 THEN NULL ELSE (1000 * n_up_filled) div n_up END"))
+      .withColumn("down_fill_pm",
+        expr("CASE WHEN n_down = 0 THEN NULL ELSE (1000 * n_down_filled) div n_down END"))
+      .select(col("asset_id"), col("n_up"), col("n_up_filled"), col("up_fill_pm"),
+        col("n_down"), col("n_down_filled"), col("down_fill_pm"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -1199,4 +1199,91 @@ object Dedup {
           col("n_pair_slots"), col("n_hot_buckets"))
     }.reduce(_.unionByName(_)).orderBy(col("bands"))
   }
+
+  /** C126 `cluster_source_purity` — provenance composition of each
+    * near-dup cluster (clusters of size ≥ 2 only): how many docs, how
+    * many distinct sources, and the majority source's share as integer
+    * per-mille. Single-source clusters are mirror-crawl noise;
+    * mixed-source clusters are syndication/plagiarism signal and tell
+    * a mixture designer which sources double-count each other — the
+    * provenance view [[clusterSizeHistogram]]'s pure-size view can't
+    * give. Consumes the already-labeled cluster relation (the shared
+    * pair-build memo feeds it), so cost is one join + two aggregates
+    * over O(corpus) rows with integer outputs throughout.
+    */
+  def clusterSourcePurity(documents: DataFrame, clusters: DataFrame): DataFrame =
+    clusters
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("n")).as("max_src"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), col("n_docs"), col("n_sources"),
+        expr("(1000 * max_src) div n_docs").as("majority_pm"))
+      .orderBy(col("cluster_id"))
+
+  /** C127 `minhash_estimate_error` — per-candidate-pair calibration of
+    * the MinHash similarity ESTIMATE against exact Jaccard: matching
+    * signature positions / nHashes vs the two-pointer set
+    * intersection, both as integer per-mille, plus |error|. The
+    * recall/precision harness (C48) judges the BANDING; this judges
+    * the SIGNATURE — the error distribution is what justifies nHashes
+    * before a 100 TB run (64 hashes ⇒ ±125‰ estimator σ at J≈0.5,
+    * visible here empirically). Shares the one-pass shingle-hash-set
+    * memo shape of [[minhashVerifiedPairs]]: signatures derive FROM
+    * the materialized sets, candidates from banded signature slices,
+    * and the verify reads the same blocks — one corpus text pass.
+    */
+  def minhashEstimateError(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                           bands: Int = 16): DataFrame = {
+    val sets = fanOut(documents)
+      .select(col("doc_id"),
+        graft.expressions.Kernels.shingleHashSet(col("text"), k).as("hs"))
+      .localCheckpoint(true)
+    val rows = nHashes / bands
+    val sigs = sets.select(col("doc_id"),
+      graft.expressions.Kernels.minhashFromHashes(col("hs"), nHashes).as("sig"))
+      .localCheckpoint(true) // consumed twice: banding + pair compare
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val cands = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val both = sets.join(sigs, Seq("doc_id"))
+    val melted = cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(both, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("ha"),
+        first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hb"),
+        first(when(col("doc_id") === col("doc_a"), col("sig")), ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("doc_b"), col("sig")), ignoreNulls = true).as("sb"))
+    melted
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b")) // CPU-dense verify stage: pin parallelism
+      .withColumn("eq",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
+      .withColumn("inter",
+        graft.expressions.Kernels.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("uni",
+        size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"(eq * 1000) div $nHashes").as("est_pm"),
+        expr("(inter * 1000) div uni").as("exact_pm"))
+      .withColumn("err_pm", abs(col("est_pm") - col("exact_pm")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -306,6 +306,19 @@ class PlanAuditSpec extends SparkSpec {
       s"token_mass_concentration exceeded length agg + cum window + cut/mass aggs: ${shuffles("token_mass_concentration")}")
     assert(shuffles("weekly_consistency") <= 4,
       s"weekly_consistency exceeded panel + week agg + runs agg + sort: ${shuffles("weekly_consistency")}")
+    // round-9 wave F: the momentum/stretch indicators and the gap-fill
+    // aggregate all ride the single asset_id shuffle (windows, folds
+    // and the per-asset groupBy share the bar/LWW build's
+    // partitioning) + sort; cluster purity joins the broadcast-labeled
+    // corpus and runs two bounded aggregates; estimate error is the
+    // minhash_verified shape (banding self-join + melt + pinned verify
+    // spread) plus the signature compare
+    for (q <- Seq("chande_momentum", "vhf", "imi", "disparity", "gap_fill_rate"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("cluster_source_purity") <= 5,
+      s"cluster_source_purity exceeded label join + 2 aggs + sort: ${shuffles("cluster_source_purity")}")
+    assert(shuffles("minhash_estimate_error") <= 8,
+      s"minhash_estimate_error exceeded banding + pair agg + melt + verify spread + sort: ${shuffles("minhash_estimate_error")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.operators.{Analytics, Dedup}
+
+/** Hand-computed fixtures for the round-9 wave F additions:
+  * chande_momentum, vhf, imi, disparity, gap_fill_rate,
+  * cluster_source_purity, minhash_estimate_error.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = new Timestamp(i * 1000L)
+  private def d(s: String) = Date.valueOf(s)
+
+  private def oneTickPanel(values: Seq[Double], asset: Long = 1L) =
+    values.zipWithIndex.map { case (v, i) =>
+      (asset, d(f"2024-01-${i + 1}%02d"), ts(i + 1), v, asset * 100 + i)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  /** Multi-tick days: each inner Seq is one day's ticks in time order
+    * (first = open, last = close, max/min = high/low).
+    */
+  private def multiTickPanel(days: Seq[Seq[Double]], asset: Long = 1L) =
+    days.zipWithIndex.flatMap { case (ticks, di) =>
+      ticks.zipWithIndex.map { case (v, ti) =>
+        (asset, d(f"2024-01-${di + 1}%02d"), ts(di * 100 + ti + 1), v,
+          asset * 1000 + di * 10 + ti)
+      }
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chande_momentum: pure up-trend pins CMO at 100; flat frame is NULL") {
+    val up = Analytics.chandeMomentum(oneTickPanel((1 to 5).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(up.length === 4) // first day has no change
+    up.foreach(r => assert(r.getAs[Double]("cmo") === 100.0))
+    val flat = Analytics.chandeMomentum(oneTickPanel(Seq.fill(4)(7.0))).collect()
+    flat.foreach(r => assert(r.getAs[Any]("cmo") == null))
+  }
+
+  test("chande_momentum: mixed moves match the hand fold") {
+    // d = +2, -1, +4 → su 6, sd 1 → 100·5/7 = 71.428571 (u6)
+    val out = Analytics.chandeMomentum(oneTickPanel(Seq(10.0, 12.0, 11.0, 15.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.last.getAs[Double]("cmo") === 71.428571)
+  }
+
+  test("vhf: net travel over path length, frame-local extremes") {
+    // change rows: (12,+2), (11,−1), (15,+4); at day 4 the frame holds
+    // values {12,11,15} → hi−lo = 4, path = 7 → 4/7 = 0.571429 (u6)
+    val out = Analytics.vhf(oneTickPanel(Seq(10.0, 12.0, 11.0, 15.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.last.getAs[Double]("vhf") === 0.571429)
+    // monotone series: the frame holds change-rows only (the pre-change
+    // base value is outside it), so row k reads (k−1)/k — 0, 1/2, 2/3…
+    val mono = Analytics.vhf(oneTickPanel((1 to 6).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(mono.map(_.getAs[Double]("vhf")).toSeq ===
+      Seq(0.0, 0.5, 0.666667, 0.75, 0.8))
+  }
+
+  test("imi: candle bodies split into gains/losses; doji-only frame is NULL") {
+    // bodies: +2, −1, +4 → g 6, l 1 → 100·6/7 = 85.714286 (u6)
+    val out = Analytics.imi(multiTickPanel(Seq(
+      Seq(10.0, 12.0), Seq(11.0, 10.0), Seq(10.0, 14.0)))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.last.getAs[Double]("imi") === 85.714286)
+    // single-tick days: open = close → all bodies 0 → NULL
+    val doji = Analytics.imi(oneTickPanel(Seq(5.0, 6.0, 7.0))).collect()
+    doji.foreach(r => assert(r.getAs[Any]("imi") == null))
+  }
+
+  test("disparity: percent stretch from the running SMA") {
+    // day 1: sma 10 → 0; day 2: sma 15 → 100·5/15 = 33.333333 (u6)
+    val out = Analytics.disparity(oneTickPanel(Seq(10.0, 20.0))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.head.getAs[Double]("disparity") === 0.0)
+    assert(out.last.getAs[Double]("disparity") === 33.333333)
+  }
+
+  test("gap_fill_rate: fills judged on forward lows/highs incl. the gap day") {
+    // day1 close 10 | day2 open 12 (up, fills same day: low 9 ≤ 10)
+    // day3 open 11.5 vs close 11 (up, fills via day4 low 10 ≤ 11)
+    // day4 open 10 vs close 11.5 (down, never refills: highs stay < 11.5)
+    // day5 open 10.1 vs close 10.2 (down, fills via day6 high 10.3)
+    // day6 open 10.3 vs close 10.1 (up, no dip ≤ 10.1 remains)
+    val out = Analytics.gapFillRate(multiTickPanel(Seq(
+      Seq(10.0, 10.0),
+      Seq(12.0, 9.0, 11.0),
+      Seq(11.5),
+      Seq(10.0, 10.2),
+      Seq(10.1),
+      Seq(10.3)))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_up") === 3L)
+    assert(r.getAs[Long]("n_up_filled") === 2L)
+    assert(r.getAs[Long]("up_fill_pm") === 666L)
+    assert(r.getAs[Long]("n_down") === 2L)
+    assert(r.getAs[Long]("n_down_filled") === 1L)
+    assert(r.getAs[Long]("down_fill_pm") === 500L)
+  }
+
+  test("cluster_source_purity: majority share and source spread per dup cluster") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "b"),
+      (3L, "completely different text about market microstructure now", "a"),
+      (4L, "completely different text about market microstructure now", "a"),
+      (5L, "completely different text about market microstructure now", "b"),
+      (6L, "a unique document sharing no shingles with any other one", "c"))
+    val pairs = Dedup.ngramJaccardPairs(corpus, k = 8, threshold = 0.3, maxDf = 100L)
+    val clusters = Dedup.nearDupClusters(corpus, pairs)
+    val out = Dedup.clusterSourcePurity(corpus, clusters).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"), r.getAs[Long]("majority_pm")))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 500L)),   // {1,2}: a/b split
+      3L -> ((3L, 2L, 666L)))) // {3,4,5}: a,a,b → majority 2/3
+  }
+
+  test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "b"),
+      (3L, "the quick brown fox jumps over the lazy dog at noon!", "a"),
+      (4L, "completely different text about market microstructure", "c"))
+    val out = Dedup.minhashEstimateError(corpus).collect()
+    val byPair = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      (r.getAs[Long]("est_pm"), r.getAs[Long]("exact_pm"), r.getAs[Long]("err_pm"))).toMap
+    // identical texts: identical shingle sets → identical signatures
+    assert(byPair((1L, 2L)) === ((1000L, 1000L, 0L)))
+    // every recalled pair: estimates within [0,1000], err is the gap
+    out.foreach { r =>
+      val (e, x, err) = (r.getAs[Long]("est_pm"), r.getAs[Long]("exact_pm"),
+        r.getAs[Long]("err_pm"))
+      assert(e >= 0L && e <= 1000L && x >= 0L && x <= 1000L)
+      assert(err === math.abs(e - x))
+    }
+    // the near-dup pair (1,3) shares most shingles: exact well above 0
+    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L)))
+  }
+}
