@@ -1034,6 +1034,19 @@ object SparkEntry {
         Dedup.nearDupClusters(Tables.documents(s, dir), jaccardPairsShared(s, dir)))),
     "minhash_estimate_error" -> ((s, dir) =>
       Dedup.minhashEstimateError(Tables.documents(s, dir))),
+    // ── wave G (r9) ──────────────────────────────────────────────────
+    "rwi" -> ((s, dir) =>
+      Analytics.rwi(Tables.panel(s, dir))),
+    "leverage_effect" -> ((s, dir) =>
+      Analytics.leverageEffect(Tables.panel(s, dir))),
+    "mansfield_rs" -> ((s, dir) =>
+      Analytics.mansfieldRs(Tables.panel(s, dir))),
+    "rare_token_docs" -> ((s, dir) =>
+      Pipeline.rareTokenDocs(Tables.documents(s, dir))),
+    "max_char_run" -> ((s, dir) =>
+      Pipeline.maxCharRun(Tables.documents(s, dir))),
+    "stream_disparity" -> ((s, dir) => StreamReplay.streamDisparity(s, dir)),
+    "stream_cmo" -> ((s, dir) => StreamReplay.streamCmo(s, dir)),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2688,7 +2701,118 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles
+
+  private lazy val waveGOracles: Map[String, String] = {
+    val base = Map(
+      "rwi" ->
+        s"""$panelCte,
+           |$barsCte,
+           |tr AS (
+           |  SELECT asset_id, date, high, low,
+           |    floor((CASE WHEN pc IS NULL THEN high - low
+           |                ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
+           |  FROM (SELECT *, lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc FROM bars) z),
+           |fr AS (
+           |  SELECT asset_id, date, high, low,
+           |    list(tr) OVER (PARTITION BY asset_id ORDER BY date
+           |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr,
+           |    lag(low, 7)  OVER (PARTITION BY asset_id ORDER BY date) AS lo_n,
+           |    lag(high, 7) OVER (PARTITION BY asset_id ORDER BY date) AS hi_n
+           |  FROM tr),
+           |s AS (
+           |  SELECT asset_id, date, high, low, lo_n, hi_n,
+           |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS atr
+           |  FROM fr)
+           |SELECT asset_id, date,
+           |  floor(((high - lo_n) / (CASE WHEN atr = 0 THEN NULL ELSE atr END * sqrt(8.0))) * 1000000.0 + 0.5) / 1000000.0 AS rwi_high,
+           |  floor(((hi_n - low) / (CASE WHEN atr = 0 THEN NULL ELSE atr END * sqrt(8.0))) * 1000000.0 + 0.5) / 1000000.0 AS rwi_low
+           |FROM s ORDER BY asset_id, date""".stripMargin,
+      "leverage_effect" ->
+        s"""$panelCte,
+           |$dailyCte,
+           |$retsCte,
+           |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra, CAST(len(list(ret)) AS INTEGER) AS m
+           |      FROM rets GROUP BY asset_id HAVING len(list(ret)) >= 3),
+           |sl AS (
+           |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+           |         list_slice(ra, 1, m - 1) AS xa,
+           |         list_transform(range(1, m), i -> abs(ra[i + 1]) - abs(ra[i])) AS ya
+           |  FROM p),
+           |g AS (
+           |  SELECT asset_id, n,
+           |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+           |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+           |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+           |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+           |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+           |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+           |  FROM sl)
+           |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs,
+           |  floor(((n * sxy - sx * sy) /
+           |        nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0)) * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS leverage_corr
+           |FROM g ORDER BY asset_id""".stripMargin,
+      "mansfield_rs" ->
+        s"""$panelCte,
+           |$dailyCte,
+           |mkt AS (
+           |  SELECT date,
+           |    floor((list_reduce(list_prepend(0.0, list(value ORDER BY asset_id)), (a, x) -> a + x)
+           |           / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt
+           |  FROM daily GROUP BY date),
+           |rp AS (
+           |  SELECT d.asset_id, d.date,
+           |    floor((d.value / nullif(m.mkt, 0)) * 1000000.0 + 0.5) / 1000000.0 AS rp
+           |  FROM daily d JOIN mkt m USING (date)),
+           |rpn AS (SELECT asset_id, date, rp FROM rp WHERE rp IS NOT NULL),
+           |fr AS (
+           |  SELECT asset_id, date, rp,
+           |    list(rp) OVER (PARTITION BY asset_id ORDER BY date
+           |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+           |  FROM rpn),
+           |s AS (
+           |  SELECT asset_id, date, rp,
+           |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(len(arr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma
+           |  FROM fr)
+           |SELECT asset_id, date,
+           |  floor((100.0 * (rp / nullif(sma, 0) - 1)) * 1000000.0 + 0.5) / 1000000.0 AS mansfield_rs
+           |FROM s ORDER BY asset_id, date""".stripMargin,
+      "rare_token_docs" ->
+        """WITH dt AS (
+          |  SELECT DISTINCT doc_id, t FROM (
+          |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          |    FROM documents) z
+          |  WHERE t <> ''),
+          |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY t)
+          |SELECT dt.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_types,
+          |  CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          |  (1000 * CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS rare_pm
+          |FROM dt JOIN df USING (t)
+          |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+      // gaps-and-islands replay of the one-pass MaxCharRun kernel
+      // (UTF-16 vs codepoint runs coincide on this BMP corpus)
+      "max_char_run" ->
+        """WITH ch AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS c
+          |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents) z),
+          |r AS (
+          |  SELECT doc_id, c,
+          |         i - ROW_NUMBER() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+          |  FROM ch),
+          |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM r GROUP BY doc_id, c, grp),
+          |mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+          |       COALESCE(mx.max_run, 0) AS max_run,
+          |       COALESCE(mx.max_run, 0) >= 8 AS spam_flag
+          |FROM documents d LEFT JOIN mx USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin)
+    base ++ Map(
+      // the streaming twins hash against their batch ops' oracles
+      // (renamed output columns already match: disparity / cmo)
+      "stream_disparity" -> waveFOracles("disparity"),
+      "stream_cmo" -> waveFOracles("chande_momentum"))
+  }
 
   private lazy val waveFOracles: Map[String, String] = Map(
     "chande_momentum" ->

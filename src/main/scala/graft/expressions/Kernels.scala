@@ -61,6 +61,10 @@ object Kernels {
   def recurrence(arr: Column, op: String): Column =
     ExpressionUtils.column(RecurrenceFold(ExpressionUtils.expression(arr), op))
 
+  /** Longest single-character run in a string — see [[MaxCharRun]]. */
+  def maxCharRun(text: Column): Column =
+    ExpressionUtils.column(MaxCharRun(ExpressionUtils.expression(text)))
+
   /** Compiled winnowing fingerprints — see [[WinnowFingerprints]]. */
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
@@ -751,6 +755,47 @@ case class LshBucket(child: Expression, planes: Int)
     val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshBucket].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (Long) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Longest run of one repeated character (UTF-16 code units — the
+  * [[ShingleHashSet]] unit contract; identical to codepoint runs on
+  * BMP text): the template/spam screen's cheapest signal ("aaaaaa",
+  * "-------") in ONE compiled pass per document — no char explode, no
+  * islands shuffle. Empty string → 0. Cost is per ROW, not per
+  * element, so the reference-call codegen (the hash-kernel pattern)
+  * keeps the surrounding projection in whole-stage codegen.
+  */
+case class MaxCharRun(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_char_run"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var max = 0
+    var run = 0
+    var prev = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      run = if (i > 0 && c == prev) run + 1 else 1
+      if (run > max) max = run
+      prev = c
+      i += 1
+    }
+    max
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mcrExpr", this, classOf[MaxCharRun].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Integer) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -5634,4 +5634,112 @@ object Analytics {
         col("n_down"), col("n_down_filled"), col("down_fill_pm"))
       .orderBy(col("asset_id"))
   }
+
+  /** B188 `rwi` — Random Walk Index, fixed-horizon form: how far the
+    * bar's extreme travelled from the opposite extreme n−1 bars back,
+    * in units of the random-walk yardstick ATRₙ·√n — RWI ≳ 1 means
+    * the move outran a random walk. rwi_high = (high − lowₜ₋ₙ₊₁)/
+    * (ATRₙ·√n), rwi_low mirror-imaged. TR is the [[supertrend]]
+    * convention (u6, first bar = high−low), ATR its plain u6 SMA over
+    * the frame; bars without the full n−1 lookback (or a zero ATR)
+    * emit NULL.
+    */
+  def rwi(panel: DataFrame, n: Int = 8): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    val sqrtN = lit(math.sqrt(n.toDouble))
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose)))))
+      .withColumn("arr", collect_list(col("tr")).over(frame))
+      .withColumn("atr", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .withColumn("lo_n", lag(col("low"), n - 1).over(byAsset))
+      .withColumn("hi_n", lag(col("high"), n - 1).over(byAsset))
+      .withColumn("den", when(col("atr") === 0, lit(null)).otherwise(col("atr") * sqrtN))
+      .withColumn("rwi_high", u6((col("high") - col("lo_n")) / col("den")))
+      .withColumn("rwi_low", u6((col("hi_n") - col("low")) / col("den")))
+      .select(col("asset_id"), col("date"), col("rwi_high"), col("rwi_low"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B189 `leverage_effect` — per-asset Pearson correlation between
+    * today's return and TOMORROW'S change in absolute return
+    * (|rₜ₊₁| − |rₜ|): the classic asymmetric-volatility signature —
+    * negative when down moves pump vol harder than up moves (the
+    * missing piece beside [[volClustering]]'s sign-free |r|
+    * autocorrelation). Whole-history, same fold-sum machinery as
+    * [[autocorr]] (arrays sorted per asset, left-assoc sums, compiled
+    * dot), u6 at the emit; assets with < 3 returns drop.
+    */
+  def leverageEffect(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .filter(col("m") >= 3)
+      .withColumn("xa", slice(col("ra"), lit(1), col("m") - 1))
+      .withColumn("ya", zip_with(
+        slice(col("ra"), lit(2), col("m") - 1),
+        slice(col("ra"), lit(1), col("m") - 1),
+        (nxt, cur) => abs(nxt) - abs(cur)))
+      .withColumn("n", (col("m") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("leverage_corr", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), n.cast("long").as("n_pairs"), col("leverage_corr"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B190 `mansfield_rs` — Mansfield Relative Strength vs the
+    * equal-weight market: rp = value/market level per date, and
+    * RS = 100·(rp/SMAₙ(rp) − 1) — outperformance vs the asset's own
+    * relative-performance baseline (the Stage-Analysis screen;
+    * [[momentumXsec]] ranks levels, this tracks each asset's trend
+    * AGAINST the tape). The market level is the per-date mean over
+    * an asset_id-ordered fold (deterministic sum order) broadcast
+    * back — the [[beta]] market-aggregate shape on levels instead of
+    * returns. Partial SMA frames at the head; zero market or SMA
+    * emits NULL.
+    */
+  def mansfieldRs(panel: DataFrame, n: Int = 10): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val mkt = daily
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("value")))),
+        s => s("value")).as("varr"))
+      .select(col("date"),
+        u6(foldSum(col("varr")) / size(col("varr")).cast("double")).as("mkt"))
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    daily
+      .join(broadcast(mkt), Seq("date"))
+      .withColumn("rp", u6(col("value") /
+        when(col("mkt") === 0, lit(null)).otherwise(col("mkt"))))
+      .filter(col("rp").isNotNull)
+      .withColumn("arr", collect_list(col("rp")).over(frame))
+      .withColumn("sma", u6(foldSum(col("arr")) / size(col("arr")).cast("double")))
+      .withColumn("mansfield_rs", u6(lit(100.0) * (col("rp") /
+        when(col("sma") === 0, lit(null)).otherwise(col("sma")) - 1)))
+      .select(col("asset_id"), col("date"), col("mansfield_rs"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -1913,4 +1913,44 @@ object Pipeline {
         (col("s").cast("double") / 1e6) / col("n_trigrams").cast("double")))
       .select(col("source"), col("n_trigrams"), col("h_tri"))
       .orderBy(col("source"))
+
+  /** C128 `rare_token_docs` — per-document tail-rarity screen: the
+    * fraction (‰) of a doc's DISTINCT tokens whose corpus document
+    * frequency is ≤ `maxDf`. [[tokenDfQuality]] scores the MEAN df
+    * (boilerplate detection); this counts the df≤2 TAIL — high
+    * rare_pm flags OCR noise, codes/IDs, and genuinely novel
+    * vocabulary for a human-review queue. Same two-stage scale shape:
+    * one shuffle builds the vocabulary-sized DF table, one join
+    * scores docs; all integer.
+    */
+  def rareTokenDocs(documents: DataFrame, maxDf: Long = 2L): DataFrame = {
+    val docToks = documents
+      .select(col("doc_id"),
+        explode(array_distinct(
+          filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))).as("tok"))
+    val df = docToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    docToks
+      .join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_pm", expr("(1000 * n_rare) div n_types"))
+      .select(col("doc_id"), col("n_types"), col("n_rare"), col("rare_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C129 `max_char_run` — longest single-character run per document
+    * ([[graft.expressions.MaxCharRun]], one compiled pass — no char
+    * explode, no islands shuffle) plus the spam flag at `spamRun`:
+    * the cheapest template/garbage screen ("aaaaaa", "------",
+    * padded whitespace) and a filter the Gopher-style rule set (C77)
+    * doesn't carry. Map-only + presentation sort.
+    */
+  def maxCharRun(documents: DataFrame, spamRun: Int = 8): DataFrame =
+    documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.expressions.Kernels.maxCharRun(col("text")).cast("long").as("max_run"))
+      .withColumn("spam_flag", col("max_run") >= spamRun)
+      .orderBy(col("doc_id"))
 }

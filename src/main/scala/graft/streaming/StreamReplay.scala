@@ -193,6 +193,24 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamDisparity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.disparityStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamCmo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.cmoStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamDrawdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

@@ -712,6 +712,89 @@ object StreamingOps {
       }
   }
 
+  case class DispState(vals: Vector[Double])
+  case class DispPoint(asset_id: Long, date: java.sql.Date, disparity: Option[Double])
+
+  /** D35 `disparityStream` — streaming face of B186 `disparity`: the
+    * percent stretch from the n-day SMA, maintained per asset with a
+    * ring of the last n LWW daily values (O(#assets · n) state, no
+    * TTL). The ring sums left-to-right in date order (≡ the batch
+    * seqFold) and both roundings ride [[graft.operators.Micro.jvm6]],
+    * so in-order feeds emit the batch rows bit-for-bit. SMA 0 emits
+    * NULL like the batch guard. Arrival-ordered contract across
+    * batches, as documented on [[anomalyStream]].
+    */
+  def disparityStream(daily: Dataset[DailyTick], n: Int = 13): Dataset[DispPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DispState, DispPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[DispState]) =>
+          var vals = state.getOption.map(_.vals).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[DispPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            vals = (vals :+ t.value).takeRight(n)
+            var s = 0.0
+            vals.foreach(s += _) // left fold in date order ≡ batch seqFold
+            val sma = graft.operators.Micro.jvm6(s / vals.size)
+            val disp =
+              if (sma == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * (t.value - sma) / sma))
+            out += DispPoint(assetId, t.date, disp)
+          }
+          state.update(DispState(vals))
+          out.result().iterator
+      }
+  }
+
+  case class CmoState(last: Double, ds: Vector[Double])
+  case class CmoPoint(asset_id: Long, date: java.sql.Date, cmo: Option[Double])
+
+  /** D36 `cmoStream` — streaming face of B183 `chande_momentum`: the
+    * unsmoothed gain/loss oscillator over the last n daily changes,
+    * state = last value + a ring of n deltas per asset (O(#assets·n),
+    * no TTL). Plain sums accumulate in date order (the batch weight-1
+    * horner fold multiplies by exactly 1.0 — bit-identical to +=),
+    * u6 via jvm6; an all-flat ring (denominator 0) emits NULL; the
+    * first tick per asset emits nothing (the batch drops the NULL
+    * first delta). Arrival-ordered contract across batches.
+    */
+  def cmoStream(daily: Dataset[DailyTick], n: Int = 14): Dataset[CmoPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CmoState, CmoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[CmoState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[CmoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = CmoState(t.value, Vector.empty)
+            } else {
+              val d = t.value - st.last
+              val ds = (st.ds :+ d).takeRight(n)
+              var su = 0.0
+              var sd = 0.0
+              ds.foreach { x =>
+                su += math.max(x, 0.0)
+                sd += math.max(-x, 0.0)
+              }
+              val cmo =
+                if (su + sd == 0.0) None
+                else Some(graft.operators.Micro.jvm6(100.0 * (su - sd) / (su + sd)))
+              out += CmoPoint(assetId, t.date, cmo)
+              st = CmoState(t.value, ds)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class CusumState(last_value: Double, s_pos: Long, s_neg: Long)
   case class CusumPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                         s_pos: Double, s_neg: Double, alarm: Boolean)

@@ -319,6 +319,18 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster_source_purity exceeded label join + 2 aggs + sort: ${shuffles("cluster_source_purity")}")
     assert(shuffles("minhash_estimate_error") <= 8,
       s"minhash_estimate_error exceeded banding + pair agg + melt + verify spread + sort: ${shuffles("minhash_estimate_error")}")
+    // round-9 wave G: rwi/leverage_effect ride the single asset_id
+    // shuffle; mansfield_rs adds the per-date market aggregate
+    // (broadcast back — the beta shape); rare_token_docs is the
+    // two-stage DF-table shape; max_char_run is one compiled pass
+    for (q <- Seq("rwi", "leverage_effect"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("mansfield_rs") <= 4,
+      s"mansfield_rs exceeded panel + market agg + sort: ${shuffles("mansfield_rs")}")
+    assert(shuffles("rare_token_docs") <= 5,
+      s"rare_token_docs exceeded df agg + join + doc agg + sort: ${shuffles("rare_token_docs")}")
+    assert(shuffles("max_char_run") <= 1,
+      s"max_char_run must stay map-only + sort: ${shuffles("max_char_run")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

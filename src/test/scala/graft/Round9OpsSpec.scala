@@ -2,7 +2,7 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
-import graft.operators.{Analytics, Dedup}
+import graft.operators.{Analytics, Dedup, Pipeline}
 
 /** Hand-computed fixtures for the round-9 wave F additions:
   * chande_momentum, vhf, imi, disparity, gap_fill_rate,
@@ -123,6 +123,77 @@ class Round9OpsSpec extends SparkSpec {
     assert(out === Map(
       1L -> ((2L, 2L, 500L)),   // {1,2}: a/b split
       3L -> ((3L, 2L, 666L)))) // {3,4,5}: a,a,b → majority 2/3
+  }
+
+  test("rwi: warmup rows NULL, flat series NULL; unit ramp matches hand math") {
+    val flat = Analytics.rwi(oneTickPanel(Seq.fill(9)(5.0))).collect()
+    flat.foreach { r =>
+      assert(r.getAs[Any]("rwi_high") == null && r.getAs[Any]("rwi_low") == null)
+    }
+    val ramp = Analytics.rwi(oneTickPanel((1 to 9).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    ramp.take(7).foreach(r => assert(r.getAs[Any]("rwi_high") == null))
+    // day 8: lo_n = 1, ATR = 7/8 (day-1 TR is 0) → 7/(0.875·√8) = 2.828427
+    assert(ramp(7).getAs[Double]("rwi_high") === 2.828427)
+    // day 9: lo_n = 2, ATR = 1 → 7/√8 = 2.474874; low side mirrors
+    assert(ramp(8).getAs[Double]("rwi_high") === 2.474874)
+    assert(ramp(8).getAs[Double]("rwi_low") === -2.474874)
+  }
+
+  test("leverage_effect: symmetric |ret| changes zero out (NULL); |corr| bounded") {
+    // rets +0.1, −0.1, +0.1 → |r| constant → y ≡ 0 → den 0 → NULL
+    val sym = Analytics.leverageEffect(oneTickPanel(Seq(100.0, 110.0, 99.0, 108.9))).collect()
+    assert(sym.length === 1)
+    assert(sym.head.getAs[Long]("n_pairs") === 2L)
+    assert(sym.head.getAs[Any]("leverage_corr") == null)
+    val real = Analytics.leverageEffect(oneTickPanel(
+      Seq(100.0, 80.0, 81.0, 95.0, 90.0, 99.0))).collect()
+    val c = real.head.getAs[Double]("leverage_corr")
+    assert(c >= -1.0 && c <= 1.0)
+  }
+
+  test("mansfield_rs: constant market share reads 0; share shift matches hand math") {
+    val p = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 30.0),
+      (2L, "2024-01-01", 10.0), (2L, "2024-01-02", 10.0))
+      .zipWithIndex.map { case ((a, dt, v), i) => (a, d(dt), ts(i + 1), v, 100L + i) }
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.mansfieldRs(p).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getDate(1).toString) ->
+        r.getAs[Double]("mansfield_rs")).toMap
+    // day 1: rp = SMA → 0 for both
+    assert(out((1L, "2024-01-01")) === 0.0)
+    assert(out((2L, "2024-01-01")) === 0.0)
+    // day 2: mkt 20; rp₁ 1.5 vs SMA 1.25 → +20; rp₂ 0.5 vs 0.75 → −33.333333
+    assert(out((1L, "2024-01-02")) === 20.0)
+    assert(out((2L, "2024-01-02")) === -33.333333)
+  }
+
+  test("rare_token_docs: df<=2 tail fraction over distinct tokens") {
+    val corpus = docs(
+      (1L, "the apple banana apple", "a"),
+      (2L, "the banana cherry", "a"),
+      (3L, "the cherry dates eggs", "b"))
+    val out = Pipeline.rareTokenDocs(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_rare"), r.getAs[Long]("rare_pm"))).toMap
+    // "the" is in all 3 docs (df 3 > 2); everything else df ≤ 2
+    assert(out === Map(
+      1L -> ((3L, 2L, 666L)),
+      2L -> ((3L, 2L, 666L)),
+      3L -> ((4L, 3L, 750L))))
+  }
+
+  test("max_char_run: one-pass kernel matches hand runs; spam flag at 8") {
+    val corpus = docs(
+      (1L, "aaab", "a"), (2L, "abab", "a"), (3L, "aabbbbaa", "a"),
+      (4L, "xxxxxxxxy", "a"), (5L, "", "a"))
+    val out = Pipeline.maxCharRun(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("max_run"), r.getAs[Boolean]("spam_flag"))).toMap
+    assert(out === Map(
+      1L -> ((3L, false)), 2L -> ((1L, false)), 3L -> ((4L, false)),
+      4L -> ((8L, true)), 5L -> ((0L, false))))
   }
 
   test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {

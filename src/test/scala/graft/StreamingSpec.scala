@@ -486,6 +486,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("disparityStream equals the batch disparity operator for in-order feeds") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{DailyTick, DispPoint}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[DailyTick]
+    val q = StreamingOps.disparityStream(input.toDS())
+      .writeStream.format("memory").queryName("disp_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(DailyTick(1L, d("2024-01-01"), 10.0))
+      q.processAllAvailable()
+      input.addData(
+        DailyTick(1L, d("2024-01-02"), 20.0), DailyTick(1L, d("2024-01-03"), 13.0),
+        DailyTick(2L, d("2024-01-01"), 50.0), DailyTick(2L, d("2024-01-02"), 55.0))
+      q.processAllAvailable()
+      val got = spark.table("disp_sink").as[DispPoint].collect()
+        .map(p => (p.asset_id, p.date.toString) -> p.disparity).toMap
+      def tsOf(s: String) = new Timestamp(java.sql.Date.valueOf(s).getTime + 1000L)
+      val panel = Seq(
+        (1L, "2024-01-01", 10.0, 1L), (1L, "2024-01-02", 20.0, 2L),
+        (1L, "2024-01-03", 13.0, 3L),
+        (2L, "2024-01-01", 50.0, 4L), (2L, "2024-01-02", 55.0, 5L))
+        .map { case (a, dt, v, s) => (a, d(dt), tsOf(dt), v, s) }
+        .toDF("asset_id", "date", "ts", "value", "seq")
+      val batch = graft.operators.Analytics.disparity(panel).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString) ->
+          Option(r.getAs[Any]("disparity")).map(_.asInstanceOf[Double])).toMap
+      assert(got === batch)
+      // day-1 sanity: SMA = value → 0 stretch
+      assert(got((1L, "2024-01-01")) === Some(0.0))
+    } finally q.stop()
+  }
+
+  test("cmoStream equals the batch chande_momentum operator for in-order feeds") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CmoPoint, DailyTick}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[DailyTick]
+    val q = StreamingOps.cmoStream(input.toDS())
+      .writeStream.format("memory").queryName("cmo_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(DailyTick(1L, d("2024-01-01"), 10.0), DailyTick(1L, d("2024-01-02"), 12.0))
+      q.processAllAvailable()
+      input.addData(
+        DailyTick(1L, d("2024-01-03"), 11.0), DailyTick(1L, d("2024-01-04"), 15.0),
+        DailyTick(2L, d("2024-01-01"), 7.0), DailyTick(2L, d("2024-01-02"), 7.0))
+      q.processAllAvailable()
+      val got = spark.table("cmo_sink").as[CmoPoint].collect()
+        .map(p => (p.asset_id, p.date.toString) -> p.cmo).toMap
+      def tsOf(s: String) = new Timestamp(java.sql.Date.valueOf(s).getTime + 1000L)
+      val panel = Seq(
+        (1L, "2024-01-01", 10.0, 1L), (1L, "2024-01-02", 12.0, 2L),
+        (1L, "2024-01-03", 11.0, 3L), (1L, "2024-01-04", 15.0, 4L),
+        (2L, "2024-01-01", 7.0, 5L), (2L, "2024-01-02", 7.0, 6L))
+        .map { case (a, dt, v, s) => (a, d(dt), tsOf(dt), v, s) }
+        .toDF("asset_id", "date", "ts", "value", "seq")
+      val batch = graft.operators.Analytics.chandeMomentum(panel).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString) ->
+          Option(r.getAs[Any]("cmo")).map(_.asInstanceOf[Double])).toMap
+      assert(got === batch)
+      // the flat asset-2 delta ring reads NULL (denominator 0), and the
+      // mixed asset-1 window matches the wave-F hand fold
+      assert(got((2L, "2024-01-02")) === None)
+      assert(got((1L, "2024-01-04")) === Some(71.428571))
+    } finally q.stop()
+  }
+
   test("cusumStream equals the batch cusum operator for in-order feeds") {
     val spark0 = spark
     import spark0.implicits._
