@@ -1047,6 +1047,18 @@ object SparkEntry {
       Pipeline.maxCharRun(Tables.documents(s, dir))),
     "stream_disparity" -> ((s, dir) => StreamReplay.streamDisparity(s, dir)),
     "stream_cmo" -> ((s, dir) => StreamReplay.streamCmo(s, dir)),
+    // ── wave H (r9) ──────────────────────────────────────────────────
+    "vol_signature" -> ((s, dir) =>
+      Analytics.volSignature(Tables.panel(s, dir))),
+    "order_flow_autocorr" -> ((s, dir) =>
+      Analytics.orderFlowAutocorr(Tables.panel(s, dir))),
+    "vpt" -> ((s, dir) =>
+      Analytics.vpt(Tables.panel(s, dir))),
+    "semantic_threshold_curve" -> ((s, dir) =>
+      Ivf.semanticThresholdCurve(Tables.embeddings(s, dir))),
+    "decontaminate_words" -> ((s, dir) =>
+      Dedup.decontaminateWords(Tables.documents(s, dir), (0L to 9L).toSeq)),
+    "stream_imi" -> ((s, dir) => StreamReplay.streamImi(s, dir)),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2701,7 +2713,7 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ Map("stream_imi" -> waveFOracles("imi"))
 
   private lazy val waveGOracles: Map[String, String] = {
     val base = Map(
@@ -2812,6 +2824,115 @@ object SparkEntry {
       // (renamed output columns already match: disparity / cmo)
       "stream_disparity" -> waveFOracles("disparity"),
       "stream_cmo" -> waveFOracles("chande_momentum"))
+  }
+
+  private lazy val waveHOracles: Map[String, String] = {
+    def sigFreq(f: Int): String = {
+      val span = f * 60
+      s"""l$f AS (
+         |  SELECT asset_id, bucket, value AS v FROM (
+         |    SELECT asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // $span) AS bucket, value,
+         |      ROW_NUMBER() OVER (PARTITION BY asset_id, (CAST(floor(epoch(ts)) AS BIGINT) // $span)
+         |        ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM panel) z WHERE rn = 1),
+         |r$f AS (
+         |  SELECT asset_id, bucket,
+         |    floor((v / nullif(lag(v) OVER (PARTITION BY asset_id ORDER BY bucket), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+         |  FROM l$f),
+         |a$f AS (
+         |  SELECT asset_id, CAST($f AS BIGINT) AS freq_min, CAST(count(*) AS BIGINT) AS n_rets,
+         |    floor((list_reduce(list_prepend(0.0,
+         |      list_transform(list(ret ORDER BY bucket), x -> x * x)), (a, x) -> a + x)) * 1000000.0 + 0.5) / 1000000.0 AS rv
+         |  FROM r$f WHERE ret IS NOT NULL GROUP BY asset_id)""".stripMargin
+    }
+    val freqs = Seq(1, 5, 15, 30)
+    Map(
+      "vol_signature" ->
+        s"""$panelCte,
+           |${freqs.map(sigFreq).mkString(",\n")}
+           |SELECT asset_id, freq_min, n_rets, rv FROM (
+           |  ${freqs.map(f => s"SELECT * FROM a$f").mkString(" UNION ALL ")})
+           |ORDER BY asset_id, freq_min""".stripMargin,
+      "order_flow_autocorr" ->
+        s"""$panelCte,
+           |t AS (
+           |  SELECT asset_id, ts, seq,
+           |    CASE WHEN lag(value) OVER w IS NULL THEN NULL
+           |         ELSE CAST(sign(value - lag(value) OVER w) AS INTEGER) END AS d
+           |  FROM panel WINDOW w AS (PARTITION BY asset_id ORDER BY ts, seq)),
+           |sides AS (
+           |  SELECT asset_id, ts, seq,
+           |    last_value(CASE WHEN d <> 0 THEN d END IGNORE NULLS) OVER (
+           |      PARTITION BY asset_id ORDER BY ts, seq
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+           |  FROM t),
+           |p AS (
+           |  SELECT asset_id, side,
+           |         lead(side) OVER (PARTITION BY asset_id ORDER BY ts, seq) AS nxt
+           |  FROM sides WHERE side IS NOT NULL),
+           |g AS (
+           |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(side) AS BIGINT) AS sx, CAST(sum(nxt) AS BIGINT) AS sy,
+           |    CAST(sum(side * nxt) AS BIGINT) AS sxy
+           |  FROM p WHERE nxt IS NOT NULL GROUP BY asset_id)
+           |SELECT asset_id, n AS n_pairs,
+           |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |    nullif(sqrt(greatest(CAST(n AS DOUBLE) * n - sx * sx, 0.0)) *
+           |           sqrt(greatest(CAST(n AS DOUBLE) * n - sy * sy, 0.0)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sign_autocorr
+           |FROM g ORDER BY asset_id""".stripMargin,
+      "vpt" ->
+        s"""$panelCte,
+           |$barsCte,
+           |r AS (
+           |  SELECT asset_id, date, n_ticks,
+           |    floor((close / nullif(lag(close) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+           |  FROM bars),
+           |c AS (
+           |  SELECT asset_id, date,
+           |    CASE WHEN ret IS NULL THEN 0
+           |         ELSE CAST(round(ret * 1000000.0) AS BIGINT) * n_ticks END AS contrib_micro
+           |  FROM r)
+           |SELECT asset_id, date, contrib_micro,
+           |  CAST(sum(contrib_micro) OVER (PARTITION BY asset_id ORDER BY date
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS vpt
+           |FROM c ORDER BY asset_id, date""".stripMargin,
+      "semantic_threshold_curve" -> {
+        def cut(pm: Int): String = {
+          val eps = pm / 1000.0
+          s"""SELECT CAST($pm AS BIGINT) AS eps_pm,
+             |  CAST(sum(CASE WHEN max_cos_lower IS NULL OR max_cos_lower < $eps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN max_cos_lower IS NOT NULL AND max_cos_lower >= $eps THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             |FROM base""".stripMargin
+        }
+        s"""${ivfTrainCtes(8, 3)},
+           |nv AS (SELECT vec_id, c,
+           |              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+           |       FROM idx),
+           |w AS (
+           |  SELECT hi.vec_id,
+           |         max(floor((list_dot_product(hi.nv, lo.nv)) * 1000.0 + 0.5) / 1000.0) AS max_cos_lower
+           |  FROM nv hi JOIN nv lo ON hi.c = lo.c AND lo.vec_id < hi.vec_id
+           |  GROUP BY hi.vec_id),
+           |base AS (SELECT nv.vec_id, w.max_cos_lower FROM nv LEFT JOIN w ON nv.vec_id = w.vec_id)
+           |SELECT eps_pm, n_kept, n_dropped FROM (
+           |  ${Seq(300, 400, 500).map(cut).mkString(" UNION ALL ")})
+           |ORDER BY eps_pm""".stripMargin
+      },
+      "decontaminate_words" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(1, greatest(len(toks) - 12, 0) + 1),
+          |           i -> array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 12 AS INTEGER)), ' '))) AS g
+          |  FROM toks),
+          |ev AS (SELECT DISTINCT g FROM g WHERE doc_id BETWEEN 0 AND 9),
+          |tr AS (SELECT doc_id, g FROM g WHERE doc_id NOT BETWEEN 0 AND 9)
+          |SELECT tr.doc_id, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams
+          |FROM tr JOIN ev USING (g)
+          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
   }
 
   private lazy val waveFOracles: Map[String, String] = Map(

@@ -5742,4 +5742,102 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("mansfield_rs"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B191 `vol_signature` — the volatility signature plot: per-asset
+    * realized variance at several intraday sampling frequencies
+    * (1/5/15/30-minute last-price grids). Microstructure noise makes
+    * RV EXPLODE as the grid tightens on noisy ticks and stay flat on
+    * clean ones — the plot is how a desk picks its RV sampling
+    * frequency. Each frequency buckets ticks by µs-epoch div, takes
+    * the LWW last price per bucket, u6 returns over CONSECUTIVE
+    * populated buckets, and folds Σr² in bucket order (doubles — the
+    * order-stable array fold, not a window sum). The frequencies are
+    * independent aggregate chains over one shared asset partitioning,
+    * unioned.
+    */
+  def volSignature(panel: DataFrame, freqMinutes: Seq[Int] = Seq(1, 5, 15, 30)): DataFrame = {
+    val base = panel.repartition(col("asset_id"))
+    freqMinutes.map { f =>
+      val span = f * 60 // integer seconds-epoch buckets, the bars_5min convention
+      val lwwB = Window.partitionBy(col("asset_id"), col("bucket"))
+        .orderBy(col("ts").desc, col("seq").desc)
+      val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("bucket"))
+      val prev = lag(col("v"), 1).over(byAsset)
+      base
+        .withColumn("bucket", expr(s"unix_timestamp(ts) div $span"))
+        .withColumn("rn", row_number().over(lwwB))
+        .filter(col("rn") === 1)
+        .select(col("asset_id"), col("bucket"), col("value").as("v"))
+        .withColumn("ret", u6(col("v") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+        .filter(col("ret").isNotNull)
+        .groupBy(col("asset_id"))
+        .agg(transform(array_sort(collect_list(struct(col("bucket"), col("ret")))),
+          s => s("ret")).as("ra"))
+        .select(col("asset_id"), lit(f.toLong).as("freq_min"),
+          size(col("ra")).cast("long").as("n_rets"),
+          u6(foldSumSq(col("ra"))).as("rv"))
+    }.reduce(_.unionByName(_)).orderBy(col("asset_id"), col("freq_min"))
+  }
+
+  /** B192 `order_flow_autocorr` — lag-1 autocorrelation of the
+    * tick-rule trade signs (the [[tickImbalance]] carry-forward
+    * convention): the order-flow persistence number behind order
+    * splitting and queue models (signs are famously positively
+    * autocorrelated). Signs are ±1, so every Pearson ingredient is an
+    * INTEGER sum (Σx, Σy, Σxy; Σx² = Σy² = n) — order-insensitive,
+    * no folds — and only the final ratio is floated (u6, zero-den
+    * NULL). One asset_id shuffle.
+    */
+  def orderFlowAutocorr(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    val carryW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n").cast("double")
+    panel.repartition(col("asset_id"))
+      .withColumn("d", when(prev.isNull, lit(null))
+        .otherwise(signum(col("value") - prev).cast("int")))
+      .withColumn("side",
+        last(when(col("d") =!= 0, col("d")), ignoreNulls = true).over(carryW))
+      .filter(col("side").isNotNull)
+      .withColumn("nxt", lead(col("side"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("side").cast("long")).as("sx"),
+        sum(col("nxt").cast("long")).as("sy"),
+        sum((col("side") * col("nxt")).cast("long")).as("sxy"))
+      .withColumn("den",
+        sqrt(greatest(n * n - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * n - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("sign_autocorr", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), col("n").as("n_pairs"), col("sign_autocorr"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B193 `vpt` — Volume-Price Trend: running Σ retₜ·volₜ (vol =
+    * n_ticks), [[obv]]'s proportional cousin (OBV moves by the whole
+    * volume on any up-day; VPT scales it by the return). Integer-safe
+    * cumulation: the u6 return is exact on the micro grid, so
+    * ret_micro = round(ret·10⁶) is an exact long, the running sum is
+    * an INTEGER window sum (order-insensitive — no fold needed), and
+    * only the emitted VPT divides back to double. First bar
+    * contributes 0 (the obv convention).
+    */
+  def vpt(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ret", u6(col("close") /
+        when(prevClose === 0, lit(null)).otherwise(prevClose) - 1))
+      .withColumn("contrib_micro",
+        when(col("ret").isNull, lit(0L))
+          .otherwise(round(col("ret") * 1e6).cast("long") * col("n_ticks")))
+      .withColumn("vpt_micro", sum(col("contrib_micro")).over(run))
+      .select(col("asset_id"), col("date"),
+        col("contrib_micro"),
+        (col("vpt_micro").cast("double") / 1e6).as("vpt"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

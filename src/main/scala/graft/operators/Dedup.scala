@@ -673,6 +673,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C131 `decontaminate_words` — word-level 13-gram decontamination,
+    * the published exact-sequence rule (GPT-3's appendix-style
+    * train/test overlap filter): a training doc is flagged when it
+    * shares ANY exact 13-token run with the eval set. Tokens are the
+    * corpus whitespace-lower convention; eval n-grams are the always-
+    * tiny broadcast side. Complements C26 [[decontaminate]] (char
+    * 13-shingles — formatting-invariant overlap) with the named
+    * word-sequence method; same scale shape (train side scanned once,
+    * eval grams broadcast).
+    */
+  def decontaminateWords(documents: DataFrame, evalIds: Seq[Long], n: Int = 13): DataFrame = {
+    def grams(toks: Column): Column =
+      when(size(toks) < n, expr("cast(array() as array<string>)"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val tokCol = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val evalGrams = documents
+      .filter(col("doc_id").isin(evalIds: _*))
+      .select(explode(grams(tokCol)).as("g"))
+      .distinct()
+    fanOut(documents)
+      .filter(!col("doc_id").isin(evalIds: _*))
+      .select(col("doc_id"), explode(grams(tokCol)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C23 `dedup_survivors` — the deduplicated corpus materialization:
     * one representative (the cluster label = min doc_id) per near-dup
     * cluster, with the cluster size kept as the audit column. This is

@@ -232,6 +232,33 @@ object Ivf {
       .orderBy(col("vec_id"))
   }
 
+  /** C130 `semantic_threshold_curve` — kept/dropped counts of
+    * [[semanticDedup]] as a function of the cosine threshold: the
+    * eps-tuning harness for semantic dedup (the embedding-space
+    * sibling of C67 `dedup_threshold_curve`). The expensive part —
+    * per-vector max lower-id cosine under the trained quantizer — is
+    * computed ONCE and checkpointed; each threshold is then one
+    * bounded aggregate over it, so sweeping eps costs aggregates, not
+    * cluster self-joins. Counts integer; thresholds carried as
+    * per-mille integers.
+    */
+  def semanticThresholdCurve(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                             epsPm: Seq[Int] = Seq(300, 400, 500)): DataFrame = {
+    val base = semanticDedup(embeddings, k, iters, eps = 0.0)
+      .select(col("vec_id"), col("max_cos_lower"))
+      .localCheckpoint(true) // one witness build feeds every threshold
+    epsPm.map { pm =>
+      val eps = pm / 1000.0
+      base.agg(
+        lit(pm.toLong).as("eps_pm"),
+        sum(when(col("max_cos_lower").isNull || col("max_cos_lower") < eps, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("max_cos_lower").isNotNull && col("max_cos_lower") >= eps, 1L)
+          .otherwise(0L)).as("n_dropped"))
+        .select(col("eps_pm"), col("n_kept"), col("n_dropped"))
+    }.reduce(_.unionByName(_)).orderBy(col("eps_pm"))
+  }
+
   /** C42 `semantic_dedup_incremental` — incremental-ingestion SemDeDup:
     * a new vector batch is screened against the MATERIALIZED IVF index
     * ([[writeIndex]]) under the FROZEN coarse quantizer — the honest

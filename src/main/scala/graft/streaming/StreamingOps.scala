@@ -795,6 +795,45 @@ object StreamingOps {
       }
   }
 
+  case class ImiState(bodies: Vector[Double])
+  case class ImiPoint(asset_id: Long, date: java.sql.Date, imi: Option[Double])
+
+  /** D37 `imiStream` — streaming face of B185 `imi`: RSI arithmetic on
+    * candle bodies (close − open) over a ring of the last n daily
+    * bars' bodies per asset (O(#assets·n) state, no TTL). Plain sums
+    * in date order (≡ the batch weight-1 horner folds), jvm6 emit; a
+    * doji-only ring (denominator 0) emits NULL. Every bar emits (the
+    * batch frame is partial from the first bar). Arrival-ordered
+    * contract across batches, as documented on [[anomalyStream]].
+    */
+  def imiStream(bars: Dataset[OhlcStreamBar], n: Int = 14): Dataset[ImiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ImiState, ImiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ImiState]) =>
+          var bodies = state.getOption.map(_.bodies).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[ImiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            bodies = (bodies :+ (b.close - b.open)).takeRight(n)
+            var g = 0.0
+            var l = 0.0
+            bodies.foreach { x =>
+              g += math.max(x, 0.0)
+              l += math.max(-x, 0.0)
+            }
+            val imi =
+              if (g + l == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * g / (g + l)))
+            out += ImiPoint(assetId, b.date, imi)
+          }
+          state.update(ImiState(bodies))
+          out.result().iterator
+      }
+  }
+
   case class CusumState(last_value: Double, s_pos: Long, s_neg: Long)
   case class CusumPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                         s_pos: Double, s_neg: Double, alarm: Boolean)

@@ -331,6 +331,19 @@ class PlanAuditSpec extends SparkSpec {
       s"rare_token_docs exceeded df agg + join + doc agg + sort: ${shuffles("rare_token_docs")}")
     assert(shuffles("max_char_run") <= 1,
       s"max_char_run must stay map-only + sort: ${shuffles("max_char_run")}")
+    // round-9 wave H: order-flow/vpt ride the asset shuffle; the
+    // signature plot runs one (asset,bucket)+asset chain per frequency
+    // (4 freqs, unioned); the threshold curve aggregates a
+    // checkpointed witness base 3 times; word decontamination is the
+    // eval-broadcast shape + one doc aggregate
+    for (q <- Seq("order_flow_autocorr", "vpt"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("vol_signature") <= 10,
+      s"vol_signature exceeded 4x(bucket window + asset agg) + sort: ${shuffles("vol_signature")}")
+    assert(shuffles("semantic_threshold_curve") <= 7,
+      s"semantic_threshold_curve exceeded 3 single-row aggs + sort: ${shuffles("semantic_threshold_curve")}")
+    assert(shuffles("decontaminate_words") <= 5,
+      s"decontaminate_words exceeded eval distinct + fanout + doc agg + sort: ${shuffles("decontaminate_words")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -196,6 +196,61 @@ class Round9OpsSpec extends SparkSpec {
       4L -> ((8L, true)), 5L -> ((0L, false))))
   }
 
+  test("vol_signature: per-frequency last-price grids and ordered Σr²") {
+    // ticks at 0s/70s/130s: three 1-min buckets (rets +1.0, −0.5 →
+    // rv 1.25) but ONE 5/15/30-min bucket (no rets → no row)
+    val p = Seq(
+      (1L, d("2024-01-01"), new Timestamp(0L), 10.0, 1L),
+      (1L, d("2024-01-01"), new Timestamp(70000L), 20.0, 2L),
+      (1L, d("2024-01-01"), new Timestamp(130000L), 10.0, 3L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.volSignature(p).collect()
+      .map(r => r.getAs[Long]("freq_min") ->
+        (r.getAs[Long]("n_rets"), r.getAs[Double]("rv"))).toMap
+    assert(out === Map(1L -> ((2L, 1.25))))
+  }
+
+  test("order_flow_autocorr: perfectly alternating signs read −1; flat tape emits nothing") {
+    val alt = Analytics.orderFlowAutocorr(oneTickPanel(
+      Seq(10.0, 11.0, 10.0, 11.0, 10.0))).collect()
+    assert(alt.length === 1)
+    assert(alt.head.getAs[Long]("n_pairs") === 3L)
+    assert(alt.head.getAs[Double]("sign_autocorr") === -1.0)
+    val flat = Analytics.orderFlowAutocorr(oneTickPanel(Seq.fill(5)(7.0))).collect()
+    assert(flat.isEmpty) // no nonzero move ever classifies a side
+  }
+
+  test("vpt: integer micro cumulation matches hand math") {
+    val out = Analytics.vpt(oneTickPanel(Seq(10.0, 11.0, 9.9))).collect()
+      .sortBy(_.getDate(1).toString)
+    assert(out.map(_.getAs[Long]("contrib_micro")).toSeq ===
+      Seq(0L, 100000L, -100000L)) // +10% then 9.9/11−1 = −10%, 1 tick/day
+    assert(out.map(_.getAs[Double]("vpt")).toSeq === Seq(0.0, 0.1, 0.0))
+  }
+
+  test("semantic_threshold_curve: one witness build, per-eps counts") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Ivf.semanticThresholdCurve(emb).collect()
+      .map(r => r.getAs[Long]("eps_pm") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    // vec 1 duplicates vec 0 (cos 1.0 ≥ every threshold); the rest are
+    // orthogonal singletons → kept 3 / dropped 1 at every eps
+    assert(out === Map(300L -> ((3L, 1L)), 400L -> ((3L, 1L)), 500L -> ((3L, 1L))))
+  }
+
+  test("decontaminate_words: exact 13-token runs flag; near misses don't") {
+    val corpus = docs(
+      (0L, "a b c d e f g h i j k l m n", "eval"),
+      (10L, "x a b c d e f g h i j k l m", "train"), // shares a..m
+      (11L, "a b c d e f g h i j k l x y", "train")) // 12-run only
+    val out = Dedup.decontaminateWords(corpus, evalIds = Seq(0L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_ngrams")).toMap
+    assert(out === Map(10L -> 1L))
+  }
+
   test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),

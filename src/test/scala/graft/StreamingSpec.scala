@@ -558,6 +558,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imiStream: candle-body ring matches the batch hand fold") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{ImiPoint, OhlcStreamBar}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[OhlcStreamBar]
+    val q = StreamingOps.imiStream(input.toDS())
+      .writeStream.format("memory").queryName("imi_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(OhlcStreamBar(1L, d("2024-01-01"), 10.0, 12.0, 10.0, 12.0, 2L))
+      q.processAllAvailable()
+      input.addData(
+        OhlcStreamBar(1L, d("2024-01-02"), 11.0, 11.0, 10.0, 10.0, 2L),
+        OhlcStreamBar(1L, d("2024-01-03"), 10.0, 14.0, 10.0, 14.0, 2L))
+      q.processAllAvailable()
+      val got = spark.table("imi_sink").as[ImiPoint].collect()
+        .map(p => p.date.toString -> p.imi).toMap
+      // bodies +2 | +2,−1 | +2,−1,+4 → 100, 200/3, 600/7 (u6)
+      assert(got === Map(
+        "2024-01-01" -> Some(100.0),
+        "2024-01-02" -> Some(66.666667),
+        "2024-01-03" -> Some(85.714286)))
+    } finally q.stop()
+  }
+
   test("cusumStream equals the batch cusum operator for in-order feeds") {
     val spark0 = spark
     import spark0.implicits._
