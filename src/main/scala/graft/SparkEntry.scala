@@ -1059,6 +1059,19 @@ object SparkEntry {
     "decontaminate_words" -> ((s, dir) =>
       Dedup.decontaminateWords(Tables.documents(s, dir), (0L to 9L).toSeq)),
     "stream_imi" -> ((s, dir) => StreamReplay.streamImi(s, dir)),
+    // ── wave I (r9) ──────────────────────────────────────────────────
+    "stc" -> ((s, dir) =>
+      Analytics.stc(Tables.panel(s, dir))),
+    "donchian_breakout" -> ((s, dir) =>
+      Analytics.donchianBreakout(Tables.panel(s, dir))),
+    "dedup_survivors_quality" -> ((s, dir) =>
+      Dedup.dedupSurvivorsQuality(Tables.documents(s, dir), jaccardPairsShared(s, dir))),
+    "token_budget_sample" -> ((s, dir) =>
+      Pipeline.tokenBudgetSample(Tables.documents(s, dir),
+        Map("src0" -> 40000L, "src1" -> 20000L, "src2" -> 10000L, "src3" -> 1000L))),
+    "dedup_method_venn" -> ((s, dir) =>
+      Dedup.dedupMethodVenn(Tables.documents(s, dir))),
+    "stream_vpt" -> ((s, dir) => StreamReplay.streamVpt(s, dir)),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2713,7 +2726,195 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ Map("stream_imi" -> waveFOracles("imi"))
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ Map(
+      "stream_imi" -> waveFOracles("imi"),
+      // the streaming twin emits the batch vpt shape verbatim
+      "stream_vpt" -> waveHOracles("vpt"))
+
+  private lazy val waveIOracles: Map[String, String] = Map(
+    "stc" -> {
+      def ewPair(arr: String, wExpr: String): String =
+        s"""list_reduce(list_prepend(0.0, $arr), (a, x) -> a * ($wExpr) + x) /
+           |      list_reduce(list_prepend(0.0, $arr), (a, x) -> a * ($wExpr) + 1.0)""".stripMargin
+      val wFast = "1.0 - 2.0 / 24.0"
+      val wSlow = "1.0 - 2.0 / 51.0"
+      val wSm = "1.0 - 2.0 / 4.0"
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 119 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |m AS (
+         |  SELECT asset_id, date,
+         |    floor((${ewPair("arr", wFast)}
+         |    - ${ewPair("arr", wSlow)}) * 1000000.0 + 0.5) / 1000000.0 AS macd
+         |  FROM f),
+         |k1s AS (
+         |  SELECT asset_id, date, macd,
+         |    min(macd) OVER wc AS lo, max(macd) OVER wc AS hi
+         |  FROM m
+         |  WINDOW wc AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |k1 AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN hi = lo THEN 50.0
+         |         ELSE floor((100.0 * (macd - lo) / (hi - lo)) * 1000000.0 + 0.5) / 1000000.0 END AS k1
+         |  FROM k1s),
+         |d1s AS (
+         |  SELECT asset_id, date,
+         |    list(k1) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sarr
+         |  FROM k1),
+         |d1 AS (
+         |  SELECT asset_id, date,
+         |    floor((${ewPair("sarr", wSm)}) * 1000000.0 + 0.5) / 1000000.0 AS d1
+         |  FROM d1s),
+         |k2s AS (
+         |  SELECT asset_id, date, d1,
+         |    min(d1) OVER wc AS lo, max(d1) OVER wc AS hi
+         |  FROM d1
+         |  WINDOW wc AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |k2 AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN hi = lo THEN d1
+         |         ELSE floor((100.0 * (d1 - lo) / (hi - lo)) * 1000000.0 + 0.5) / 1000000.0 END AS k2
+         |  FROM k2s),
+         |sts AS (
+         |  SELECT asset_id, date,
+         |    list(k2) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS karr
+         |  FROM k2)
+         |SELECT asset_id, date,
+         |  floor((${ewPair("karr", wSm)}) * 1000000.0 + 0.5) / 1000000.0 AS stc
+         |FROM sts ORDER BY asset_id, date""".stripMargin
+    },
+    "donchian_breakout" ->
+      s"""$panelCte,
+         |$barsCte,
+         |b AS (
+         |  SELECT asset_id, date, close,
+         |    max(high) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS prior_high,
+         |    floor((lead(close, 5) OVER (PARTITION BY asset_id ORDER BY date)
+         |           / nullif(close, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS fwd_ret
+         |  FROM bars),
+         |ev AS (SELECT * FROM b WHERE prior_high IS NOT NULL AND close > prior_high),
+         |agg AS (
+         |  SELECT asset_id,
+         |    CAST(count(*) AS BIGINT) AS n_breakouts,
+         |    CAST(sum(CASE WHEN fwd_ret IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |    CAST(sum(CASE WHEN fwd_ret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+         |    list_reduce(list_prepend(0.0,
+         |      list(fwd_ret ORDER BY date) FILTER (WHERE fwd_ret IS NOT NULL)), (a, x) -> a + x) AS fs
+         |  FROM ev GROUP BY asset_id)
+         |SELECT asset_id, n_breakouts, n_scored,
+         |  CASE WHEN n_scored = 0 THEN NULL
+         |       ELSE floor((fs / CAST(n_scored AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_fwd_ret,
+         |  CASE WHEN n_scored = 0 THEN NULL ELSE (1000 * n_wins) // n_scored END AS win_pm
+         |FROM agg ORDER BY asset_id""".stripMargin,
+    "dedup_survivors_quality" ->
+      s"""$clustersCtes,
+         |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |rk AS (
+         |  SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+         |           ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rk
+         |  FROM lab JOIN documents d USING (doc_id))
+         |SELECT cluster_id,
+         |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+         |  CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "token_budget_sample" -> {
+      val targets = Seq("src0" -> 40000L, "src1" -> 20000L, "src2" -> 10000L, "src3" -> 1000L)
+      val tgtRows = targets
+        .map { case (s, t) => s"SELECT '$s' AS source, CAST($t AS BIGINT) AS target_tokens" }
+        .mkString(" UNION ALL ")
+      s"""WITH tgt AS ($tgtRows),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT c.source, tgt.target_tokens,
+         |         CAST(sum(c.n_toks) AS BIGINT) AS source_tokens
+         |  FROM c JOIN tgt USING (source)
+         |  GROUP BY c.source, tgt.target_tokens),
+         |rr AS (
+         |  SELECT source, target_tokens, source_tokens,
+         |         least(1000000, (target_tokens * 1000000) // source_tokens) AS rate_ppm
+         |  FROM r)
+         |SELECT rr.source, rr.target_tokens, rr.source_tokens, rr.rate_ppm,
+         |  CAST(sum(CASE WHEN (c.doc_id * 2654435761) % 1000000 < rr.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN (c.doc_id * 2654435761) % 1000000 < rr.rate_ppm THEN c.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM c JOIN rr USING (source)
+         |GROUP BY rr.source, rr.target_tokens, rr.source_tokens, rr.rate_ppm
+         |ORDER BY rr.source""".stripMargin
+    },
+    "dedup_method_venn" ->
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+         |vsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.doc_a
+         |  JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b),
+         |mh AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT ix.doc_a, ix.doc_b,
+         |           floor((ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |    FROM ix JOIN vsz sa ON sa.doc_id = ix.doc_a
+         |            JOIN vsz sb ON sb.doc_id = ix.doc_b) t
+         |  WHERE jaccard >= 0.3),
+         |toks2 AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents) z
+         |  WHERE t <> ''),
+         |th2 AS (
+         |  SELECT doc_id, ${shingleHashSql.replace("len(s)", "len(t)").replace("substr(s,", "substr(t,")} AS h
+         |  FROM toks2),
+         |votes2 AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h * (((j + 1) * 2654435761) % 2147483647)
+         |                        + (((j + 1) * 1013904223) % 2147483647)) % 2147483647
+         |                       > 1073741823 THEN 1 ELSE -1 END) AS v
+         |  FROM th2 CROSS JOIN range(64) r(j)
+         |  GROUP BY doc_id, j),
+         |signs2 AS (SELECT doc_id, j, v > 0 AS bit FROM votes2),
+         |sh2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM signs2 a JOIN signs2 b ON a.j = b.j AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b
+         |    ON a.text = b.text AND a.doc_id < b.doc_id),
+         |ne AS (SELECT count(*) AS n_exact FROM ex),
+         |nm AS (SELECT count(*) AS n_minhash FROM mh),
+         |ns AS (SELECT count(*) AS n_simhash FROM sh2),
+         |nem AS (SELECT count(*) AS n_exact_minhash FROM ex JOIN mh USING (doc_a, doc_b)),
+         |nes AS (SELECT count(*) AS n_exact_simhash FROM ex JOIN sh2 USING (doc_a, doc_b)),
+         |nms AS (SELECT count(*) AS n_minhash_simhash FROM mh JOIN sh2 USING (doc_a, doc_b)),
+         |nall AS (SELECT count(*) AS n_all_three
+         |         FROM ex JOIN mh USING (doc_a, doc_b) JOIN sh2 USING (doc_a, doc_b))
+         |SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+         |  CAST(nm.n_minhash AS BIGINT) AS n_minhash,
+         |  CAST(ns.n_simhash AS BIGINT) AS n_simhash,
+         |  CAST(nem.n_exact_minhash AS BIGINT) AS n_exact_minhash,
+         |  CAST(nes.n_exact_simhash AS BIGINT) AS n_exact_simhash,
+         |  CAST(nms.n_minhash_simhash AS BIGINT) AS n_minhash_simhash,
+         |  CAST(nall.n_all_three AS BIGINT) AS n_all_three
+         |FROM ne, nm, ns, nem, nes, nms, nall""".stripMargin)
 
   private lazy val waveGOracles: Map[String, String] = {
     val base = Map(

@@ -5743,6 +5743,82 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B194 `stc` — Schaff Trend Cycle: MACD(23,50) run through TWO
+    * stochastic-normalize → EW(3)-smooth stages (the "double
+    * stochastic" that makes STC cycle between 0 and 100 faster than
+    * MACD turns). Every stage follows the house conventions: EW means
+    * are span-bounded normalized Horner folds ([[macd]]'s recipe),
+    * stochastics are frame min/max with the flat-frame → 50
+    * convention, u6 at every stage boundary so the DuckDB chain
+    * replays stage by stage. One asset_id shuffle carries all six
+    * window passes.
+    */
+  def stc(panel: DataFrame, fast: Int = 23, slow: Int = 50, cycle: Int = 10,
+          smooth: Int = 3, span: Int = 120): DataFrame = {
+    def w(n: Int): Double = 1.0 - 2.0 / (n + 1.0)
+    def ew(arr: Column, weight: Double): Column =
+      Kernels.seqFold(arr, "horner", weight) / Kernels.seqFold(arr, "horner_count", weight)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val cyc = byAsset.rowsBetween(-(cycle - 1), Window.currentRow)
+    val sm = byAsset.rowsBetween(-(smooth * 4 - 1), Window.currentRow)
+    // flat-frame conventions differ by stage: a flat MACD window is
+    // genuinely trendless (→ 50, neutral), but a flat d1 window is a
+    // SATURATED oscillator (d1 is already 0-100 — a steady trend pins
+    // it at 100 for the whole window) and must carry its level, not
+    // collapse to neutral
+    def stoch(c: Column, lo: Column, hi: Column, flat: Column): Column =
+      when(hi === lo, flat)
+        .otherwise(u6(lit(100.0) * (c - lo) / (hi - lo)))
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("macd", u6(ew(col("arr"), w(fast)) - ew(col("arr"), w(slow))))
+      .withColumn("k1", stoch(col("macd"),
+        min(col("macd")).over(cyc), max(col("macd")).over(cyc), lit(50.0)))
+      .withColumn("d1", u6(ew(collect_list(col("k1")).over(sm), w(smooth))))
+      .withColumn("k2", stoch(col("d1"),
+        min(col("d1")).over(cyc), max(col("d1")).over(cyc), col("d1")))
+      .withColumn("stc", u6(ew(collect_list(col("k2")).over(sm), w(smooth))))
+      .select(col("asset_id"), col("date"), col("stc"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B195 `donchian_breakout` — breakout-event statistics per asset:
+    * a breakout day closes above the PRIOR n-day high (strictly
+    * backward-looking channel — today's own high never triggers
+    * itself), and each event is scored by its `fwd`-day forward
+    * return. Event count, scored-event count, mean forward return
+    * (date-ordered fold over the collected event array), and the
+    * per-mille win rate — the base-rate evidence behind
+    * [[donchian]]-style channel systems. Events near the series end
+    * count as breakouts but carry no score.
+    */
+  def donchianBreakout(panel: DataFrame, n: Int = 20, fwd: Int = 5): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val priorFrame = byAsset.rowsBetween(-n, -1)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("prior_high", max(col("high")).over(priorFrame))
+      .withColumn("fwd_ret", u6(lead(col("close"), fwd).over(byAsset) /
+        when(col("close") === 0, lit(null)).otherwise(col("close")) - 1))
+      .filter(col("prior_high").isNotNull && col("close") > col("prior_high"))
+      .groupBy(col("asset_id"))
+      .agg(
+        count(lit(1)).as("n_breakouts"),
+        sum(when(col("fwd_ret").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("fwd_ret") > 0, 1L).otherwise(0L)).as("n_wins"),
+        transform(array_sort(collect_list(
+          when(col("fwd_ret").isNotNull, struct(col("date"), col("fwd_ret"))))),
+          s => s("fwd_ret")).as("fa"))
+      .withColumn("mean_fwd_ret",
+        when(col("n_scored") === 0, lit(null))
+          .otherwise(u6(foldSum(col("fa")) / col("n_scored").cast("double"))))
+      .withColumn("win_pm",
+        expr("CASE WHEN n_scored = 0 THEN NULL ELSE (1000 * n_wins) div n_scored END"))
+      .select(col("asset_id"), col("n_breakouts"), col("n_scored"),
+        col("mean_fwd_ret"), col("win_pm"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B191 `vol_signature` — the volatility signature plot: per-asset
     * realized variance at several intraday sampling frequencies
     * (1/5/15/30-minute last-price grids). Microstructure noise makes

@@ -702,6 +702,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C132 `dedup_survivors_quality` — survivor selection by QUALITY
+    * instead of min-id: each near-dup cluster keeps its longest
+    * member (n_chars, doc_id tie-break) — the policy real pipelines
+    * run (the canonical copy is usually the fullest one; min-id keeps
+    * whatever crawled first). Same shape as C23 [[dedupSurvivors]]
+    * plus one rank window over the cluster-labeled corpus.
+    */
+  def dedupSurvivorsQuality(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    nearDupClusters(documents, pairs)
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("rep_doc_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("rep_chars"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** C134 `dedup_method_venn` — three-way overlap of the exact /
+    * MinHash-verified / SimHash duplicate-pair sets: the
+    * method-agreement report that says which near-dup detector is
+    * finding what (exact ⊂ both in theory; minhash∖simhash = lexical
+    * near-dups with spread-out edits, simhash∖minhash = token-bag
+    * rearrangements). Each set is materialized once (they are
+    * duplicates-sized, not corpus-sized — at 100 TB this harness runs
+    * on a sample, as every pairwise evaluation here does; exact
+    * groups contribute g·(g−1)/2 pairs, acceptable only because dup
+    * GROUPS are small after upstream filtering) and the seven region
+    * counts come from one tagged union — no constant-key joins.
+    */
+  def dedupMethodVenn(documents: DataFrame, threshold: Double = 0.3,
+                      maxHamming: Int = 3): DataFrame = {
+    val exact = documents.as("a")
+      .join(documents.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint(true)
+    val mh = minhashVerifiedPairs(documents, threshold = threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val sh = simhashPairs(documents, maxHamming = maxHamming)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val keys = Seq("doc_a", "doc_b")
+    def tag(df: DataFrame, e: Int, m: Int, s: Int, em: Int, es: Int, ms: Int, ems: Int) =
+      df.select(lit(e.toLong).as("e"), lit(m.toLong).as("m"), lit(s.toLong).as("s"),
+        lit(em.toLong).as("em"), lit(es.toLong).as("es"), lit(ms.toLong).as("ms"),
+        lit(ems.toLong).as("ems"))
+    val em = exact.join(mh, keys)
+    val es = exact.join(sh, keys)
+    val ms = mh.join(sh, keys)
+    val ems = em.join(sh, keys)
+    tag(exact, 1, 0, 0, 0, 0, 0, 0)
+      .union(tag(mh, 0, 1, 0, 0, 0, 0, 0))
+      .union(tag(sh, 0, 0, 1, 0, 0, 0, 0))
+      .union(tag(em, 0, 0, 0, 1, 0, 0, 0))
+      .union(tag(es, 0, 0, 0, 0, 1, 0, 0))
+      .union(tag(ms, 0, 0, 0, 0, 0, 1, 0))
+      .union(tag(ems, 0, 0, 0, 0, 0, 0, 1))
+      .agg(sum(col("e")).as("n_exact"), sum(col("m")).as("n_minhash"),
+        sum(col("s")).as("n_simhash"), sum(col("em")).as("n_exact_minhash"),
+        sum(col("es")).as("n_exact_simhash"), sum(col("ms")).as("n_minhash_simhash"),
+        sum(col("ems")).as("n_all_three"))
+      .na.fill(0L)
+  }
+
   /** C23 `dedup_survivors` — the deduplicated corpus materialization:
     * one representative (the cluster label = min doc_id) per near-dup
     * cluster, with the cluster size kept as the audit column. This is

@@ -1939,6 +1939,43 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** C133 `token_budget_sample` — mixture sampling by TOKEN budget per
+    * source (how pretraining mixes are actually specified — "N tokens
+    * of web, M of code"), vs C39 [[mixtureSample]]'s doc-count shares:
+    * each targeted source gets acceptance rate
+    * `min(10⁶, target_tokens·10⁶ div source_tokens)` applied as the
+    * same Knuth-hash doc_id threshold (deterministic membership —
+    * reshards and re-runs keep identical samples); untargeted sources
+    * drop; over-requested sources cap at keep-everything. Token
+    * counts are the corpus whitespace convention (C125's). Output is
+    * the per-source reconciliation: target vs available vs achieved.
+    */
+  def tokenBudgetSample(documents: DataFrame, targetTokens: Map[String, Long]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val targets = targetTokens.toSeq.toDF("source", "target_tokens")
+    val counted = documents.withColumn("n_toks", toks)
+    val rates = counted
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("source_tokens"))
+      .join(broadcast(targets), Seq("source"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) div source_tokens")))
+    counted
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      .withColumn("kept", col("bucket") < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("target_tokens")).as("target_tokens"),
+        first(col("source_tokens")).as("source_tokens"),
+        first(col("rate_ppm")).as("rate_ppm"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** C129 `max_char_run` — longest single-character run per document
     * ([[graft.expressions.MaxCharRun]], one compiled pass — no char
     * explode, no islands shuffle) plus the spam flag at `spamRun`:

@@ -211,6 +211,15 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamVpt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.vptStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamImi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = barFeed(s, dir)

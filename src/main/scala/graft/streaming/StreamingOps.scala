@@ -834,6 +834,45 @@ object StreamingOps {
       }
   }
 
+  case class VptState(last_close: Double, vpt_micro: Long)
+  case class VptPoint(asset_id: Long, date: java.sql.Date,
+                      contrib_micro: Long, vpt: Double)
+
+  /** D38 `vptStream` — streaming face of B193 `vpt`: per-asset state
+    * is the last close plus the running INTEGER micro sum (two
+    * numbers, O(#assets), no TTL) — integer state means the running
+    * sum is replay/arrival-order stable wherever ordering is
+    * preserved, the cusumStream discipline. First bar (and a zero
+    * prior close, the batch NULL-ret guard) contributes 0.
+    */
+  def vptStream(bars: Dataset[OhlcStreamBar]): Dataset[VptPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VptState, VptPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VptState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[VptPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val contrib =
+              if (st == null || st.last_close == 0.0) 0L
+              else {
+                val ret = graft.operators.Micro.jvm6(b.close / st.last_close - 1.0)
+                // u6 rets are micro-integer-valued; the product is never
+                // near a half, so Math.round == the Column-side round
+                Math.round(ret * 1000000.0) * b.n_ticks
+              }
+            val cum = (if (st == null) 0L else st.vpt_micro) + contrib
+            out += VptPoint(assetId, b.date, contrib, cum.toDouble / 1000000.0)
+            st = VptState(b.close, cum)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class CusumState(last_value: Double, s_pos: Long, s_neg: Long)
   case class CusumPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                         s_pos: Double, s_neg: Double, alarm: Boolean)

@@ -344,6 +344,19 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic_threshold_curve exceeded 3 single-row aggs + sort: ${shuffles("semantic_threshold_curve")}")
     assert(shuffles("decontaminate_words") <= 5,
       s"decontaminate_words exceeded eval distinct + fanout + doc agg + sort: ${shuffles("decontaminate_words")}")
+    // round-9 wave I: stc's six window passes and the breakout
+    // aggregate ride the single asset shuffle; survivor-quality adds
+    // the rank window over the labeled corpus; token budget is two
+    // bounded aggregates around broadcast rate joins; the venn is
+    // joins between checkpointed duplicates-sized pair sets
+    for (q <- Seq("stc", "donchian_breakout"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("dedup_survivors_quality") <= 6,
+      s"dedup_survivors_quality exceeded label join + rank + agg + sort: ${shuffles("dedup_survivors_quality")}")
+    assert(shuffles("token_budget_sample") <= 5,
+      s"token_budget_sample exceeded source agg + doc agg + sort: ${shuffles("token_budget_sample")}")
+    assert(shuffles("dedup_method_venn") <= 10,
+      s"dedup_method_venn exceeded pair-set joins + union agg: ${shuffles("dedup_method_venn")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

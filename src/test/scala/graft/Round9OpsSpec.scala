@@ -251,6 +251,77 @@ class Round9OpsSpec extends SparkSpec {
     assert(out === Map(10L -> 1L))
   }
 
+  test("stc: flat tape reads exactly 50; long ramp saturates high, bounded") {
+    val flat = Analytics.stc(oneTickPanel(Seq.fill(15)(42.0))).collect()
+    flat.foreach(r => assert(r.getAs[Double]("stc") === 50.0))
+    val ramp = Analytics.stc(oneTickPanel((1 to 30).map(_.toDouble))).collect()
+      .sortBy(_.getDate(1).toString)
+    ramp.foreach { r =>
+      val v = r.getAs[Double]("stc")
+      assert(v >= 0.0 && v <= 100.0)
+    }
+    assert(ramp.last.getAs[Double]("stc") > 90.0)
+  }
+
+  test("donchian_breakout: a pure ramp breaks out daily and always wins") {
+    val out = Analytics.donchianBreakout(oneTickPanel((1 to 30).map(_.toDouble))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_breakouts") === 29L) // every day after the first
+    assert(r.getAs[Long]("n_scored") === 24L)    // last 5 lack the forward leg
+    assert(r.getAs[Long]("win_pm") === 1000L)
+    assert(r.getAs[Double]("mean_fwd_ret") > 0.0)
+    val flat = Analytics.donchianBreakout(oneTickPanel(Seq.fill(25)(5.0))).collect()
+    assert(flat.isEmpty) // close == prior high is NOT a breakout
+  }
+
+  test("dedup_survivors_quality: the longest member represents, min-id ties") {
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = docs(
+      (1L, base, "a"),
+      (2L, base + " with extra trailing words", "a"),
+      (3L, base, "b"),
+      (4L, "a unique document sharing no shingles with any other one", "c"))
+    val pairs = Dedup.ngramJaccardPairs(corpus, k = 8, threshold = 0.3, maxDf = 100L)
+    val out = Dedup.dedupSurvivorsQuality(corpus, pairs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("rep_chars"), r.getAs[Long]("n_members")))
+      .toMap
+    assert(out(1L) === ((2L, (base + " with extra trailing words").length.toLong, 3L)))
+    assert(out(4L) === ((4L, out(4L)._2, 1L))) // singleton keeps itself
+  }
+
+  test("token_budget_sample: knuth-hash membership hits the token rate") {
+    val corpus = docs(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "a"),   // bucket 435761 → kept
+      (2L, "u1 u2 u3 u4", "a"),                      // bucket 871522 → dropped
+      (3L, "v1 v2", "b"))                            // untargeted source
+    val out = Pipeline.tokenBudgetSample(corpus, Map("a" -> 7L)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source") === "a")
+    assert(r.getAs[Long]("target_tokens") === 7L)
+    assert(r.getAs[Long]("source_tokens") === 14L)
+    assert(r.getAs[Long]("rate_ppm") === 500000L)
+    assert(r.getAs[Long]("kept_docs") === 1L)
+    assert(r.getAs[Long]("kept_tokens") === 10L)
+  }
+
+  test("dedup_method_venn: identical docs land in every set and the core") {
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val corpus = docs(
+      (1L, base, "a"), (2L, base, "b"),
+      (3L, "completely different text about market microstructure now", "a"),
+      (4L, "yet another unrelated document with its own private words", "b"))
+    val r = Dedup.dedupMethodVenn(corpus).collect().head
+    assert(r.getAs[Long]("n_exact") === 1L)
+    assert(r.getAs[Long]("n_all_three") === 1L)
+    assert(r.getAs[Long]("n_minhash") >= 1L)
+    assert(r.getAs[Long]("n_simhash") >= 1L)
+    assert(r.getAs[Long]("n_exact_minhash") === 1L)
+    assert(r.getAs[Long]("n_exact_simhash") === 1L)
+  }
+
   test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),

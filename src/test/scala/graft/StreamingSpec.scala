@@ -585,6 +585,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vptStream: integer micro cumulation matches the batch hand math") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{OhlcStreamBar, VptPoint}
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val input = MemoryStream[OhlcStreamBar]
+    val q = StreamingOps.vptStream(input.toDS())
+      .writeStream.format("memory").queryName("vpt_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(OhlcStreamBar(1L, d("2024-01-01"), 10.0, 10.0, 10.0, 10.0, 2L))
+      q.processAllAvailable()
+      input.addData(
+        OhlcStreamBar(1L, d("2024-01-02"), 11.0, 11.0, 11.0, 11.0, 2L),
+        OhlcStreamBar(1L, d("2024-01-03"), 9.9, 9.9, 9.9, 9.9, 2L))
+      q.processAllAvailable()
+      val got = spark.table("vpt_sink").as[VptPoint].collect()
+        .map(p => p.date.toString -> (p.contrib_micro, p.vpt)).toMap
+      // +10% then 9.9/11−1 = −10%, 2 ticks/bar
+      assert(got === Map(
+        "2024-01-01" -> ((0L, 0.0)),
+        "2024-01-02" -> ((200000L, 0.2)),
+        "2024-01-03" -> ((-200000L, 0.0))))
+    } finally q.stop()
+  }
+
   test("cusumStream equals the batch cusum operator for in-order feeds") {
     val spark0 = spark
     import spark0.implicits._
