@@ -1072,6 +1072,32 @@ object SparkEntry {
     "dedup_method_venn" -> ((s, dir) =>
       Dedup.dedupMethodVenn(Tables.documents(s, dir))),
     "stream_vpt" -> ((s, dir) => StreamReplay.streamVpt(s, dir)),
+    // ── wave J (r9) ──────────────────────────────────────────────────
+    "tick_bars" -> ((s, dir) =>
+      Analytics.tickBars(Tables.panel(s, dir))),
+    "doc_chunks" -> ((s, dir) =>
+      Pipeline.docChunks(Tables.documents(s, dir))),
+    // Band-index lifecycle, driver-checked like tickstore_compact: a
+    // duplicate append (the at-least-once replay the sink documents)
+    // doubles the store, compaction restores the distinct rows, and
+    // the probe afterwards must equal the clean-index oracle —
+    // FS-level facts land as literal-TRUE verdict columns.
+    "minhash_index_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("mh_compact").toString + "/index"
+      Dedup.writeMinhashIndex(existing, path)
+      Dedup.minhashBanded(existing)
+        .write.mode("append").partitionBy("band_id").parquet(path)
+      val before = s.read.parquet(path).count()
+      Dedup.compactMinhashIndex(s, path)
+      val after = s.read.parquet(path)
+      val afterN = after.count()
+      val afterDistinct = after.distinct().count()
+      Dedup.probeMinhashIndex(s, path, docs.filter(col("doc_id") % 5 === 0))
+        .withColumn("rows_halved", lit(before == 2L * afterN))
+        .withColumn("compact_distinct", lit(afterN == afterDistinct))
+    }),
     "source_overlap_matrix" -> ((s, dir) =>
       Pipeline.sourceOverlapMatrix(Tables.documents(s, dir))),
     // ── TickStore lifecycle, driver-checked: the store's write →
@@ -2726,10 +2752,53 @@ object SparkEntry {
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
   def oracleSql: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ Map(
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
       "stream_vpt" -> waveHOracles("vpt"))
+
+  private lazy val waveJOracles: Map[String, String] = Map(
+    "tick_bars" ->
+      s"""$panelCte,
+         |r AS (
+         |  SELECT asset_id, ts, value,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY ts, seq) AS rn
+         |  FROM panel),
+         |b AS (SELECT asset_id, CAST(rn - 1 AS BIGINT) // 20 AS bar_id, ts, rn, value FROM r)
+         |SELECT asset_id, bar_id, min(ts) AS t_open, max(ts) AS t_close,
+         |  arg_min(value, rn) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, rn) AS close, CAST(count(*) AS BIGINT) AS n_ticks
+         |FROM b GROUP BY asset_id, bar_id ORDER BY asset_id, bar_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+         |       FROM tk WHERE len(toks) >= 1),
+         |ch AS (
+         |  SELECT doc_id, n_toks, toks,
+         |         unnest(range(0, (n_toks - 1) // 96 + 1)) AS chunk_id
+         |  FROM t2),
+         |cc AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(chunk_id * 96 AS BIGINT) AS start_tok,
+         |    CAST(least(128, n_toks - chunk_id * 96) AS BIGINT) AS n_tokens,
+         |    array_to_string(list_slice(toks, CAST(chunk_id * 96 + 1 AS INTEGER),
+         |      CAST(chunk_id * 96 + least(128, n_toks - chunk_id * 96) AS INTEGER)), ' ') AS s
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, start_tok, n_tokens,
+         |       $shingleHashSql AS chunk_hash
+         |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
+    // the post-compaction probe must equal the CLEAN-index probe (the
+    // dedup_incremental oracle) — compaction facts are literal-TRUE
+    "minhash_index_compact" ->
+      s"""$minhashBandCtes
+         |SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS dup_of,
+         |       TRUE AS rows_halved, TRUE AS compact_distinct
+         |FROM banded n JOIN banded e ON n.b = e.b AND n.key = e.key
+         |WHERE n.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+         |ORDER BY new_id, dup_of""".stripMargin)
 
   private lazy val waveIOracles: Map[String, String] = Map(
     "stc" -> {

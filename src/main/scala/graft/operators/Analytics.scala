@@ -5819,6 +5819,33 @@ object Analytics {
       .orderBy(col("asset_id"))
   }
 
+  /** B196 `tick_bars` — event-time sampling: OHLC bars of exactly `n`
+    * ticks each (the tick-clock alternative to wall-clock bars —
+    * activity-normalized sampling, the standard cure for the
+    * microstructure noise [[volSignature]] diagnoses; volume/dollar
+    * clocks are the same construction on other counters). Bar id is
+    * an integer division of the per-asset arrival rank; open/close
+    * ride min/max over (rank, value) structs — order-insensitive
+    * aggregates only, no folds.
+    */
+  def tickBars(panel: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    panel.repartition(col("asset_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bar_id", expr(s"CAST(rn - 1 AS BIGINT) div $n"))
+      .groupBy(col("asset_id"), col("bar_id"))
+      .agg(
+        min(col("ts")).as("t_open"), max(col("ts")).as("t_close"),
+        min(struct(col("rn"), col("value"))).as("o"),
+        max(struct(col("rn"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("asset_id"), col("bar_id"), col("t_open"), col("t_close"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_ticks"))
+      .orderBy(col("asset_id"), col("bar_id"))
+  }
+
   /** B191 `vol_signature` — the volatility signature plot: per-asset
     * realized variance at several intraday sampling frequencies
     * (1/5/15/30-minute last-price grids). Microstructure noise makes

@@ -1976,6 +1976,34 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C136 `doc_chunks` — fixed-token chunking with overlap (the
+    * RAG/packing primitive that SPLITS long documents where C18
+    * doc_pack concatenates short ones): chunk k covers tokens
+    * [k·stride, k·stride + chunkTokens), strides until the doc is
+    * consumed, and each chunk carries its engine-portable content
+    * hash (PortableStrHash of the space-joined tokens — the dedup
+    * join key for chunk-level pipelines, C36). Map-side only: one
+    * explode per doc, no shuffle beyond the presentation sort.
+    */
+  def docChunks(documents: DataFrame, chunkTokens: Int = 128,
+                stride: Int = 96): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= 1)
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), (n_toks - 1) div $stride)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_tokens", least(lit(chunkTokens.toLong), col("n_toks") - col("start_tok")))
+      .withColumn("chunk_hash", graft.expressions.Kernels.strHash(
+        concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), col("n_tokens").cast("int")))))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tokens"), col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** C129 `max_char_run` — longest single-character run per document
     * ([[graft.expressions.MaxCharRun]], one compiled pass — no char
     * explode, no islands shuffle) plus the spam flag at `spamRun`:

@@ -357,6 +357,15 @@ class PlanAuditSpec extends SparkSpec {
       s"token_budget_sample exceeded source agg + doc agg + sort: ${shuffles("token_budget_sample")}")
     assert(shuffles("dedup_method_venn") <= 10,
       s"dedup_method_venn exceeded pair-set joins + union agg: ${shuffles("dedup_method_venn")}")
+    // round-9 wave J: tick_bars re-keys from the asset window to the
+    // (asset, bar) aggregate; doc_chunks is map-only; the compact row
+    // audits as its post-compaction broadcast probe
+    assert(shuffles("tick_bars") <= 3,
+      s"tick_bars exceeded asset window + bar agg + sort: ${shuffles("tick_bars")}")
+    assert(shuffles("doc_chunks") <= 1,
+      s"doc_chunks must stay map-only + sort: ${shuffles("doc_chunks")}")
+    assert(shuffles("minhash_index_compact") <= 5,
+      s"minhash_index_compact exceeded probe distinct + sort: ${shuffles("minhash_index_compact")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -322,6 +322,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_exact_simhash") === 1L)
   }
 
+  test("tick_bars: exact n-tick bars with rank-boundary open/close") {
+    // tick clock ignores the calendar: 45 intraday ticks on one date
+    val intraday = (1 to 45).map(i =>
+      (1L, d("2024-01-01"), ts(i), i.toDouble, 100L + i))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = Analytics.tickBars(intraday).collect()
+      .map(r => r.getAs[Long]("bar_id") ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Long]("n_ticks"))).toMap
+    assert(out === Map(
+      0L -> ((1.0, 20.0, 1.0, 20.0, 20L)),
+      1L -> ((21.0, 40.0, 21.0, 40.0, 20L)),
+      2L -> ((41.0, 45.0, 41.0, 45.0, 5L))))
+  }
+
+  test("doc_chunks: stride-overlap windows, tail chunks, portable hashes") {
+    val words100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val corpus = docs((1L, words100, "a"), (2L, words100, "a"), (3L, "solo", "b"))
+    val out = Pipeline.docChunks(corpus).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // 100 tokens, stride 96: chunk 0 holds all 100, chunk 1 the 4-token tail
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens")))
+    assert(d1.toSeq === Seq((0L, 0L, 100L), (1L, 96L, 4L)))
+    assert(byDoc(3L).map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"))).toSeq
+      === Seq((0L, 1L)))
+    // identical docs chunk to identical content hashes
+    val h1 = byDoc(1L).map(r => r.getAs[Long]("chunk_id") -> r.getAs[Long]("chunk_hash")).toMap
+    val h2 = byDoc(2L).map(r => r.getAs[Long]("chunk_id") -> r.getAs[Long]("chunk_hash")).toMap
+    assert(h1 === h2)
+    assert(h1(0L) !== h1(1L))
+  }
+
+  test("compactMinhashIndex: duplicate appends halve away; probes unchanged") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
+      (2L, "completely different text about market microstructure", "a"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight", "b")) // probe: 5 % 5 == 0
+    val existing = corpus.filter($"doc_id" % 5 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("mh_cspec").toString + "/index"
+    Dedup.writeMinhashIndex(existing, path)
+    Dedup.minhashBanded(existing)
+      .write.mode("append").partitionBy("band_id").parquet(path)
+    val before = spark.read.parquet(path).count()
+    val probeBefore = Dedup.probeMinhashIndex(spark, path, corpus.filter($"doc_id" % 5 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.compactMinhashIndex(spark, path)
+    val after = spark.read.parquet(path).count()
+    assert(before === 2 * after)
+    val probeAfter = Dedup.probeMinhashIndex(spark, path, corpus.filter($"doc_id" % 5 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAfter === probeBefore)
+    assert(probeAfter.contains((5L, 1L))) // the identical doc is recalled
+  }
+
   test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
