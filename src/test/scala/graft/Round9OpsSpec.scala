@@ -377,6 +377,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(probeAfter.contains((5L, 1L))) // the identical doc is recalled
   }
 
+  test("edge cases: single-tick inputs through the r9 wave") {
+    val single = Seq((1L, d("2024-01-01"), ts(1), 10.0, 100L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    // one tick → one price per grid → zero returns → no signature rows
+    assert(Analytics.volSignature(single).collect().isEmpty)
+    // one tick → one 1-tick bar, open = close = high = low
+    val bars = Analytics.tickBars(single).collect()
+    assert(bars.length === 1)
+    assert(bars.head.getAs[Double]("open") === 10.0)
+    assert(bars.head.getAs[Double]("close") === 10.0)
+    assert(bars.head.getAs[Long]("n_ticks") === 1L)
+    // one tick → no sign pairs → no order-flow row
+    assert(Analytics.orderFlowAutocorr(single).collect().isEmpty)
+    // one bar → vpt contributes 0 and cumulates 0
+    val v = Analytics.vpt(single).collect()
+    assert(v.length === 1 && v.head.getAs[Double]("vpt") === 0.0)
+    // series shorter than the RWI lookback → all rows NULL, none dropped
+    val short = Analytics.rwi(oneTickPanel(Seq(1.0, 2.0, 3.0))).collect()
+    assert(short.length === 3)
+    short.foreach(r => assert(r.getAs[Any]("rwi_high") == null))
+  }
+
   test("minhash_estimate_error: identical docs measure 1000/1000/0; bounds hold") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
