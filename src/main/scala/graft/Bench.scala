@@ -110,12 +110,27 @@ object Bench {
         // reference must degrade to "no drift check", not silently
         // parse to an empty map — which is also why sf mismatch and
         // absence are handled explicitly)
-        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        // The full line embeds the sf1 section, which carries its OWN
+        // inner "sf" and "queries" keys (e.g. a /tmp/scaleprobe dir and
+        // 10×-replica timings). Anchor on the LAST "sf" match — the
+        // outer key is written at end-of-line — and scrape numbers only
+        // from the FIRST "queries":{...} object (the outer one; it is a
+        // flat map so the first '}' closes it), so sf1-embedded timings
+        // can never override this SF's baseline medians.
+        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt).toSeq.lastOption
           .exists(m => new java.io.File(m.group(1)).getName == new java.io.File(sfDir).getName)
-        if (sfOk)
-          """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        if (sfOk) {
+          val qStart = txt.indexOf("\"queries\"")
+          val flat =
+            if (qStart < 0) ""
+            else {
+              val open = txt.indexOf('{', qStart)
+              val close = if (open < 0) -1 else txt.indexOf('}', open)
+              if (open < 0 || close < 0) "" else txt.substring(open, close)
+            }
+          """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(flat)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        else Map.empty // reference is for a different SF — no drift check
+        } else Map.empty // reference is for a different SF — no drift check
       } else Map.empty
     val suiteMed = results.map { case (n, m, _) => n -> m }.toMap
     val drifted = results.collect {
@@ -123,13 +138,18 @@ object Bench {
     }
     val isolated = drifted.map { name =>
       val fn = SparkEntry.queries(name)
+      // Track success like the main loop: an isolated run that THREW
+      // must publish -1, not its wall time — otherwise a drifter that
+      // breaks in isolation reads as "suite artifact, not a regression".
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> ts(1)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] isolated $name failed: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = ts.collect { case (t, true) => t }.sorted
+      name -> (if (good.length == ts.length) good(good.length / 2) else -1.0)
     }
     // Failed queries report -1 and are excluded from the total, so a
     // fast failure can never read as a speedup.

@@ -1159,18 +1159,25 @@ object SparkEntry {
     // A9 layout contract as its own driver row (the write_from_iterator
     // analog, reference file.rs:296): month dirs named by the rows'
     // real months, ≤ filesPerPartition physical files per month, every
-    // file internally (asset_id, date, ts, seq)-sorted (checked via
-    // input_file_name + read-order ids — the writer's required ordering
-    // is prefix-satisfied so no destabilizing sort runs), and read-back
-    // equality of counts/checksums against the panel relation.
+    // file internally (asset_id, date, ts, seq)-sorted, and read-back
+    // equality of counts/checksums against the panel relation. In-file
+    // row order comes from the parquet `_metadata.row_index` hidden
+    // column — the PHYSICAL file offset — not monotonically_increasing_id,
+    // whose partition-index prefix follows Spark's size-descending split
+    // packing and need not track file order once one file spans
+    // multiple scan splits (files > maxPartitionBytes).
     "tickstore_layout" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("ts_layout").toString + "/store"
       val shifted = Tables.panel(s, dir)
         .withColumn("date", add_months(col("date"), (col("asset_id") % 6).cast("int")))
       TickStore.write(shifted, path)
-      val rb = TickStore.read(s, path)
-        .withColumn("file", input_file_name())
-        .withColumn("ord", monotonically_increasing_id())
+      val rb = s.read
+        .option(graft.plans.DeriveMonthPartitionFilter.MarkerOption, "true")
+        .parquet(path)
+        .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"),
+          col("date_month"),
+          col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("ord"))
         .withColumn("key", struct(col("asset_id"), col("date"), col("ts"), col("seq")))
       val wf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("file")).orderBy(col("ord"))
@@ -2915,11 +2922,12 @@ object SparkEntry {
          |  GROUP BY c.source, tgt.target_tokens),
          |rr AS (
          |  SELECT source, target_tokens, source_tokens,
-         |         least(1000000, (target_tokens * 1000000) // source_tokens) AS rate_ppm
+         |         CAST(least(1000000, (CAST(target_tokens AS HUGEINT) * 1000000)
+         |                             // source_tokens) AS BIGINT) AS rate_ppm
          |  FROM r)
          |SELECT rr.source, rr.target_tokens, rr.source_tokens, rr.rate_ppm,
-         |  CAST(sum(CASE WHEN (c.doc_id * 2654435761) % 1000000 < rr.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
-         |  CAST(sum(CASE WHEN (c.doc_id * 2654435761) % 1000000 < rr.rate_ppm THEN c.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  CAST(sum(CASE WHEN ((c.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 < rr.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN ((c.doc_id % 1000000) * (2654435761 % 1000000)) % 1000000 < rr.rate_ppm THEN c.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM c JOIN rr USING (source)
          |GROUP BY rr.source, rr.target_tokens, rr.source_tokens, rr.rate_ppm
          |ORDER BY rr.source""".stripMargin
@@ -2965,9 +2973,12 @@ object SparkEntry {
          |  GROUP BY a.doc_id, b.doc_id
          |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
          |ex AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM documents a JOIN documents b
-         |    ON a.text = b.text AND a.doc_id < b.doc_id),
+         |  SELECT r.rep AS doc_a, d.doc_id AS doc_b
+         |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents) d
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS rep,
+         |               arg_min(text, doc_id) AS rep_text
+         |        FROM documents GROUP BY 1) r USING (h)
+         |  WHERE d.doc_id <> r.rep AND d.text = r.rep_text),
          |ne AS (SELECT count(*) AS n_exact FROM ex),
          |nm AS (SELECT count(*) AS n_minhash FROM mh),
          |ns AS (SELECT count(*) AS n_simhash FROM sh2),

@@ -142,7 +142,14 @@ case class RecurrenceFold(child: Expression, op: String)
           val high = d(r, 1); val low = d(r, 2); val close = d(r, 3)
           var sar: java.lang.Double = null; var ep: java.lang.Double = null
           var af: java.lang.Double = null; var dir = 0L
-          if (i == 1) {
+          // Null guard mirroring the replaced HOF's null propagation: a
+          // null high/low (or a state poisoned by one) emits a null
+          // state row for the rest of the series instead of NPE-ing the
+          // task on auto-unboxing into math.min/max and arithmetic.
+          // dir stays 0 (the seed-row convention — the field is
+          // non-nullable) and the pSar==null guard below keeps it from
+          // ever being consulted.
+          if (i == 1 && high != null && low != null && pHigh != null && pLow != null) {
             // init from the seed bar: null close comparison (impossible
             // from dailyBars) falls to the down-trend branch like SQL
             val upInit = close != null && pClose != null && close >= pClose
@@ -152,7 +159,8 @@ case class RecurrenceFold(child: Expression, op: String)
               sar = math.max(pHigh, high); ep = math.min(pLow, low); dir = -1L
             }
             af = 0.02
-          } else if (i >= 2) {
+          } else if (i >= 2 && pSar != null && pAf != null && pEp != null &&
+                     pHigh != null && pLow != null && high != null && low != null) {
             val sarRaw = jvm6(pSar + pAf * (pEp - pSar))
             val sarClamped =
               if (pDir == 1L) math.min(sarRaw, pLow) else math.max(sarRaw, pHigh)
@@ -168,7 +176,7 @@ case class RecurrenceFold(child: Expression, op: String)
                 math.min(jvm6(pAf + 0.02), 0.2)
               else pAf
             dir = if (flipped) -pDir else pDir
-          } // i == 0: seed row — all-null state, dir 0
+          } // i == 0 or null-poisoned: all-null state, dir 0
           out(i) = new GenericInternalRow(
             Array[Any](r.getInt(0), high, low, close, sar, ep, af, dir))
           pHigh = high; pLow = low; pClose = close

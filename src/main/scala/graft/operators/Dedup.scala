@@ -730,17 +730,25 @@ object Dedup {
     * near-dups with spread-out edits, simhash∖minhash = token-bag
     * rearrangements). Each set is materialized once (they are
     * duplicates-sized, not corpus-sized — at 100 TB this harness runs
-    * on a sample, as every pairwise evaluation here does; exact
-    * groups contribute g·(g−1)/2 pairs, acceptable only because dup
-    * GROUPS are small after upstream filtering) and the seven region
-    * counts come from one tagged union — no constant-key joins.
+    * on a sample, as every pairwise evaluation here does) and the
+    * seven region counts come from one tagged union — no constant-key
+    * joins. The exact arm is STAR pairs (group rep = min doc_id →
+    * each other member), joined on md5(text) with a residual text
+    * verify: the shuffle key is 32 hex chars instead of the whole
+    * document, and an exact group of size g emits g−1 pairs instead
+    * of g(g−1)/2 — group-size independent. md5 exists on both
+    * engines, so the oracle replays the identical convention
+    * (including the residual verify, which makes even a hash
+    * collision behave identically on both sides).
     */
   def dedupMethodVenn(documents: DataFrame, threshold: Double = 0.3,
                       maxHamming: Int = 3): DataFrame = {
-    val exact = documents.as("a")
-      .join(documents.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hashed = documents.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val reps = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+    val exact = hashed.join(reps, Seq("h"))
+      .filter(col("doc_id") =!= col("r.doc_id") && col("text") === col("r.text"))
+      .select(col("r.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
       .localCheckpoint(true)
     val mh = minhashVerifiedPairs(documents, threshold = threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)

@@ -1960,11 +1960,22 @@ object Pipeline {
     val rates = counted
       .groupBy(col("source")).agg(sum(col("n_toks")).as("source_tokens"))
       .join(broadcast(targets), Seq("source"))
+      // Widened quotient: target_tokens·10⁶ wraps a BIGINT beyond
+      // ~9.2e12 target tokens — inside the 100 TB envelope this op is
+      // documented for — and Spark wraps silently where DuckDB raises.
+      // decimal(38,0) keeps it exact on both engines at any budget.
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(target_tokens * 1000000) div source_tokens")))
+        least(lit(1000000L),
+          expr("(cast(target_tokens as decimal(38,0)) * 1000000) div source_tokens")))
     counted
       .join(broadcast(rates), Seq("source"))
-      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      // Wrap-stable membership hash: (doc_id·K) mod 10⁶ ≡
+      // ((doc_id mod 10⁶)·(K mod 10⁶)) mod 10⁶ exactly, and the reduced
+      // product never exceeds ~4.4e11 — no silent Long wrap for any
+      // doc_id (the raw product wraps at doc_id ≳ 3.5e9).
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(1000000L)) * lit(2654435761L % 1000000L),
+          lit(1000000L)))
       .withColumn("kept", col("bucket") < col("rate_ppm"))
       .groupBy(col("source"))
       .agg(

@@ -67,6 +67,53 @@ object FindbFormat {
 
   def putF32(buf: Array[Byte], off: Int, v: Float): Unit =
     putU32(buf, off, Integer.toUnsignedLong(java.lang.Float.floatToIntBits(v)))
+
+  /** Builds the inner levels bottom-up over `children0` = (firstKey,
+    * pageNum) per child, emitting pages with consecutive numbers from
+    * `firstPage` through `emit(pageType, numKeys, extraPageNum, fill)`.
+    * Returns (rootPageNum, pagesWritten). Shared by the single-process
+    * and distributed writers — separator key j of an inner node is the
+    * first key of child j+1, and the last child pointer overflows to
+    * extra_page_num exactly when all `cap` key slots are used
+    * (reference file.rs:396-403). A single child emits nothing: it IS
+    * the root. Page numbers in `children0` may be any absolute values —
+    * the builder is numbering-agnostic.
+    */
+  def writeInnerLevels(cap: Int,
+      children0: IndexedSeq[((Long, Int, Long), Long)], firstPage: Long,
+      emit: (Long, Int, Long, Array[Byte] => Unit) => Unit): (Long, Long) = {
+    require(children0.nonEmpty, "writeInnerLevels needs at least one child")
+    var pageNum = firstPage
+    var level = children0
+    while (level.size > 1) {
+      val parents = level.grouped(cap + 1).toIndexedSeq
+      level = parents.map { children =>
+        val myPage = pageNum
+        // Row j of an inner page carries separator key j (= first key
+        // of child j+1) and, in its value slot, the pointer to child j.
+        val nKeys = children.size - 1
+        val extra = if (nKeys == cap) children.last._2 else NoPage
+        emit(InnerType, nKeys, extra, { buf =>
+          var j = 0
+          while (j < nKeys) { // separator keys from children 1..n
+            val ((a, d, t), _) = children(j + 1)
+            val off = PageHeaderSize + j * KeyValueSize
+            putU32(buf, off, a); putU32(buf, off + 4, d.toLong); putU32(buf, off + 8, t)
+            j += 1
+          }
+          val inSlots = if (nKeys == cap) children.size - 1 else children.size
+          j = 0
+          while (j < inSlots) { // child pointers in value slots 0..
+            putU32(buf, PageHeaderSize + j * KeyValueSize + 12, children(j)._2)
+            j += 1
+          }
+        })
+        pageNum += 1
+        (children.head._1, myPage)
+      }
+    }
+    (level.head._2, pageNum - firstPage)
+  }
 }
 
 /** Bulk writer: key-sorted entries → a format-valid B-tree file
@@ -112,50 +159,22 @@ object FindbWriter {
         }
       }
 
-      // inner levels bottom-up: children of level L become entries of L+1
-      var pageCount = leaves.size.toLong
-      // (firstKey, pageNum) per child
-      var level: IndexedSeq[((Long, Int, Long), Long)] =
+      // inner levels bottom-up via the shared builder: children of
+      // level L become entries of L+1 ((firstKey, pageNum) per child)
+      val level0: IndexedSeq[((Long, Int, Long), Long)] =
         leaves.zipWithIndex.map { case (chunk, i) =>
           val (a, d, t, _) = chunk.head
           ((a, d, t), i.toLong)
         }
-      while (level.size > 1) {
-        val parents = level.grouped(cap + 1).toIndexedSeq
-        val next = parents.map { children =>
-          val myPage = pageCount
-          // Row j of an inner page carries separator key j (= first key
-          // of child j+1) and, in its value slot, the pointer to child
-          // j. The last pointer overflows to extra_page_num exactly when
-          // all `cap` rows hold keys (reference file.rs:396-403).
-          val nKeys = children.size - 1
-          val extra = if (nKeys == cap) children.last._2 else NoPage
-          writePage(InnerType, nKeys, extra) { buf =>
-            var j = 0
-            while (j < nKeys) { // separator keys from children 1..n
-              val ((a, d, t), _) = children(j + 1)
-              val off = PageHeaderSize + j * KeyValueSize
-              putU32(buf, off, a); putU32(buf, off + 4, d.toLong); putU32(buf, off + 8, t)
-              j += 1
-            }
-            val inSlots = if (nKeys == cap) children.size - 1 else children.size
-            j = 0
-            while (j < inSlots) { // child pointers in value slots 0..
-              putU32(buf, PageHeaderSize + j * KeyValueSize + 12, children(j)._2)
-              j += 1
-            }
-          }
-          pageCount += 1
-          (children.head._1, myPage)
-        }
-        level = next
-      }
+      val (root, innerPages) = writeInnerLevels(cap, level0, leaves.size.toLong,
+        (pt, nk, ex, fill) => writePage(pt, nk, ex)(fill))
+      val pageCount = leaves.size.toLong + innerPages
       out.flush()
       // patch header with page_count and root
       val raf = new RandomAccessFile(path, "rw")
       try {
         raf.seek(4); raf.writeInt(pageCount.toInt)
-        raf.writeInt((pageCount - 1).toInt)
+        raf.writeInt(root.toInt)
       } finally raf.close()
     } finally out.close()
   }
