@@ -1230,6 +1230,28 @@ object SparkEntry {
     // in the reference's .db page format (multi-level tree, multi-page
     // partitions) and the DataSource's parallel read must reproduce the
     // generator relation the oracle computes from range(5000).
+    // A18 — the DISTRIBUTED .db writer round trip (write_from_iterator
+    // at cluster scale, reference file.rs:296): an sf-sized panel goes
+    // through FindbDistWriter (one range shuffle → parallel
+    // absolute-addressed subtree part files → driver-assembled top
+    // tree), comes back through the A10 connector's parallel scan, and
+    // must equal the relational projection of the panel the oracle
+    // computes. Keys are u32 per the format: date as yyyymmdd,
+    // timestamp as epoch seconds, value as f32.
+    "findb_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("findb_rt").toString + "/panel.db"
+      val panel = Tables.panel(s, dir).select(
+        col("asset_id"),
+        (year(col("date")) * 10000 + month(col("date")) * 100 +
+          dayofmonth(col("date"))).as("date"),
+        col("ts").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      graft.sources.findb.FindbDistWriter.write(panel, path, pageSize = 4096,
+        numPartitions = 8)
+      s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 64).load(path)
+        .orderBy(col("asset_id"), col("date"), col("timestamp"), col("value"))
+    }),
     "findb_read" -> ((s, dir) => {
       val entries = (0 until 5000)
         .map(i => (i.toLong / 50, 20240101 + (i % 28), i.toLong, i.toFloat))
@@ -2103,6 +2125,14 @@ object SparkEntry {
          |ORDER BY p.asset_id, p.ts, p.seq""".stripMargin,
     // the connector's parallel page-range read must reproduce the
     // write-time generator relation
+    "findb_roundtrip" ->
+      s"""$panelCte
+         |SELECT asset_id,
+         |       CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date,
+         |       CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+         |       CAST(value AS FLOAT) AS value
+         |FROM panel
+         |ORDER BY asset_id, date, "timestamp", value""".stripMargin,
     "findb_read" ->
       """SELECT CAST(i // 50 AS BIGINT) AS asset_id,
         |       CAST(20240101 + (i % 28) AS INTEGER) AS date,

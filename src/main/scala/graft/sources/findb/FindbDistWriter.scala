@@ -1,0 +1,251 @@
+package graft.sources.findb
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Distributed bulk writer for the reference's on-disk B-tree format —
+  * the cluster-scale analog of `write_from_iterator` (reference
+  * file.rs:296). [[FindbWriter.write]] re-expresses that bulk load only
+  * at driver-memory scale (it takes a `Seq`); this writer takes a
+  * DataFrame of any size and produces the same single-file format.
+  *
+  * Plan shape:
+  *
+  *  1. ONE range shuffle globally key-sorts the panel
+  *     (`repartitionByRange` + `sortWithinPartitions` on
+  *     (asset_id, date, timestamp)): partition p's keys are strictly
+  *     below partition p+1's.
+  *  2. A metadata pass collects only P row counts to the driver; the
+  *     range shuffle's map output is reused by the write pass, so this
+  *     costs one scan and no second shuffle. Page layout is then PURE
+  *     ARITHMETIC: partition p's subtree — its leaf run plus its local
+  *     inner levels — occupies exactly [[subtreePages]](rows_p) pages,
+  *     so every partition knows its absolute page base and its
+  *     predecessor's last leaf page number before writing a byte.
+  *  3. Each partition streams its leaf pages (backward-chained ACROSS
+  *     partition boundaries through the precomputed predecessor) and
+  *     builds its local inner levels, all with final absolute page
+  *     numbers, into its own part file. Executor memory is O(rows/cap)
+  *     — one first-key per leaf page — never the rows themselves.
+  *  4. The driver byte-concatenates the part files (already
+  *     absolute-addressed: a pure stream copy with zero pointer fixup
+  *     — on HDFS this is `concat`, on S3 multipart compose) and
+  *     appends a small top tree over the P partition roots:
+  *     O(P / cap) pages of driver work regardless of data size. The
+  *     header is computed up front, so the file is written strictly
+  *     front-to-back.
+  *
+  * Partition subtrees may differ in height by one (ragged row counts);
+  * the format encodes page_type per page, not a global height, so
+  * descent (reference file.rs:425-470) and the backward leaf chain
+  * (file.rs:346-348) are unaffected. Every page-count identity the
+  * driver's arithmetic predicts is re-asserted by the executors while
+  * writing — a mismatch fails the job before a corrupt file can be
+  * published.
+  */
+object FindbDistWriter {
+  import FindbFormat._
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** Leaf pages for a partition of `rows` entries. */
+  def leafPages(rows: Long, cap: Int): Long =
+    if (rows <= 0) 0L else ceilDiv(rows, cap)
+
+  /** Total pages in one partition's subtree: its leaves plus its local
+    * inner levels (each level groups cap+1 children per parent).
+    */
+  def subtreePages(rows: Long, cap: Int): Long =
+    if (rows <= 0) 0L
+    else {
+      var n = ceilDiv(rows, cap)
+      var total = n
+      while (n > 1) { n = ceilDiv(n, cap + 1); total += n }
+      total
+    }
+
+  /** Pages in a tree built OVER `children` already-built subtrees
+    * (the driver's top tree).
+    */
+  def topTreePages(children: Long, cap: Int): Long =
+    if (children <= 1) 0L
+    else {
+      var n = children
+      var total = 0L
+      while (n > 1) { n = ceilDiv(n, cap + 1); total += n }
+      total
+    }
+
+  /** Writes `df` as one findb `.db` file at `path`. Columns must be
+    * castable to (asset_id long, date int, timestamp long, value
+    * float); asset_id/date/timestamp must fit u32 (checked per row,
+    * reference file.rs:21-25 keys are u32×3).
+    */
+  def write(df: DataFrame, path: String, pageSize: Int,
+            numPartitions: Int): Unit = {
+    val cap = keyCapacity(pageSize)
+    require(cap >= 2, s"page size $pageSize too small")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(
+        col("asset_id").cast("long").as("asset_id"),
+        col("date").cast("int").as("date"),
+        col("timestamp").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      .repartitionByRange(numPartitions, col("asset_id"), col("date"), col("timestamp"))
+      .sortWithinPartitions(col("asset_id"), col("date"), col("timestamp"))
+      .as[(Long, Int, Long, Float)]
+    // One RDD object for both passes: the second job reuses the first's
+    // shuffle files, so the sort runs once and both passes see the
+    // identical partitioning.
+    val rdd = sorted.rdd
+    val numParts = rdd.getNumPartitions
+
+    // pass 1 — row counts only (P longs to the driver)
+    val counts: Array[Long] = {
+      val byIdx = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, {
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+        })))
+        .collect().toMap
+      Array.tabulate(numParts)(byIdx.getOrElse(_, 0L))
+    }
+    require(counts.sum > 0, "findb distributed write requires a non-empty dataset")
+
+    // absolute layout, from arithmetic alone
+    val pagesPer = counts.map(subtreePages(_, cap))
+    val bases = pagesPer.scanLeft(0L)(_ + _) // base_p = bases(p)
+    val totalDataPages = bases(numParts)
+    // predecessor's last leaf page (the backward-chain target of each
+    // partition's first leaf): nearest preceding non-empty partition
+    val prevLastLeaf = new Array[Long](numParts)
+    var last = NoPage
+    var p = 0
+    while (p < numParts) {
+      prevLastLeaf(p) = last
+      if (counts(p) > 0) last = bases(p) + leafPages(counts(p), cap) - 1
+      p += 1
+    }
+    val meta: Array[(Long, Long, Long)] =
+      Array.tabulate(numParts)(i => (counts(i), bases(i), prevLastLeaf(i)))
+
+    // pass 2 — every partition writes its absolute-addressed subtree
+    val partDir = path.stripSuffix("/") + "__parts"
+    val results: Array[(Int, (Long, Int, Long), Long)] = rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        val (expRows, base, prevLeaf) = meta(idx)
+        if (expRows == 0L) {
+          require(!it.hasNext, s"partition $idx: counted 0 rows but write pass saw data")
+          Iterator.empty
+        } else {
+          val file = new HPath(f"$partDir/part-$idx%05d")
+          val fs = file.getFileSystem(new Configuration())
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(file, true), 1 << 20))
+          try {
+            val pageBuf = new Array[Byte](pageSize)
+            def writePage(pageType: Long, numKeys: Int, extra: Long)(fill: Array[Byte] => Unit): Unit = {
+              java.util.Arrays.fill(pageBuf, 0.toByte)
+              putU32(pageBuf, 0, pageType)
+              putU32(pageBuf, 4, numKeys.toLong)
+              putU32(pageBuf, 8, extra)
+              fill(pageBuf)
+              out.write(pageBuf)
+            }
+            // stream leaves: buffer at most one page of rows
+            val chunk = new Array[(Long, Int, Long, Float)](cap)
+            var inChunk = 0
+            var rows = 0L
+            var leafIdx = 0L
+            val leafKeys = scala.collection.mutable.ArrayBuffer.empty[((Long, Int, Long), Long)]
+            def flushLeaf(): Unit = {
+              val extra = if (leafIdx == 0L) prevLeaf else base + leafIdx - 1
+              val n = inChunk
+              writePage(LeafType, n, extra) { buf =>
+                var j = 0
+                while (j < n) {
+                  val (a, d, t, v) = chunk(j)
+                  val off = PageHeaderSize + j * KeyValueSize
+                  putU32(buf, off, a); putU32(buf, off + 4, d.toLong)
+                  putU32(buf, off + 8, t); putF32(buf, off + 12, v)
+                  j += 1
+                }
+              }
+              val (a, d, t, _) = chunk(0)
+              leafKeys += (((a, d, t), base + leafIdx))
+              leafIdx += 1
+              inChunk = 0
+            }
+            it.foreach { case e @ (a, d, t, _) =>
+              require(a >= 0 && a <= 0xFFFFFFFFL, s"asset_id $a outside u32")
+              require(d >= 0, s"date $d outside u32")
+              require(t >= 0 && t <= 0xFFFFFFFFL, s"timestamp $t outside u32")
+              chunk(inChunk) = e
+              inChunk += 1
+              rows += 1
+              if (inChunk == cap) flushLeaf()
+            }
+            if (inChunk > 0) flushLeaf()
+            require(rows == expRows,
+              s"partition $idx row drift: counted $expRows, write pass saw $rows")
+            val (root, innerPages) = writeInnerLevels(cap, leafKeys.toIndexedSeq,
+              base + leafIdx, (pt, nk, ex, fill) => writePage(pt, nk, ex)(fill))
+            require(leafIdx + innerPages == subtreePages(expRows, cap),
+              s"partition $idx layout drift: wrote ${leafIdx + innerPages} pages, " +
+                s"arithmetic said ${subtreePages(expRows, cap)}")
+            Iterator.single((idx, leafKeys.head._1, root))
+          } finally out.close()
+        }
+      }
+      .collect()
+
+    // driver assembly: header + part-file concatenation + top tree
+    val children: IndexedSeq[((Long, Int, Long), Long)] =
+      results.sortBy(_._1).map { case (_, firstKey, root) => (firstKey, root) }.toIndexedSeq
+    val topPages = topTreePages(children.size.toLong, cap)
+    val totalPages = totalDataPages + topPages
+    require(totalPages <= 0xFFFFFFFFL, s"page count $totalPages outside u32")
+    val root =
+      if (children.size == 1) children.head._2 else totalDataPages + topPages - 1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new HPath(path)
+    val fs = target.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(target, true), 1 << 20))
+    try {
+      out.writeInt(pageSize)
+      out.writeInt((totalPages & 0xFFFFFFFFL).toInt)
+      out.writeInt((root & 0xFFFFFFFFL).toInt)
+      val copyBuf = new Array[Byte](1 << 20)
+      results.sortBy(_._1).foreach { case (idx, _, _) =>
+        val in = fs.open(new HPath(f"$partDir/part-$idx%05d"))
+        try {
+          var copied = 0L
+          var n = in.read(copyBuf)
+          while (n >= 0) {
+            if (n > 0) { out.write(copyBuf, 0, n); copied += n }
+            n = in.read(copyBuf)
+          }
+          require(copied == pagesPer(idx) * pageSize.toLong,
+            s"part $idx byte drift: $copied vs ${pagesPer(idx) * pageSize.toLong}")
+        } finally in.close()
+      }
+      if (children.size > 1) {
+        val pageBuf = new Array[Byte](pageSize)
+        val (topRoot, written) = writeInnerLevels(cap, children, totalDataPages,
+          (pt, nk, ex, fill) => {
+            java.util.Arrays.fill(pageBuf, 0.toByte)
+            putU32(pageBuf, 0, pt); putU32(pageBuf, 4, nk.toLong); putU32(pageBuf, 8, ex)
+            fill(pageBuf)
+            out.write(pageBuf)
+          })
+        require(topRoot == root && written == topPages,
+          s"top tree drift: root $topRoot/$root pages $written/$topPages")
+      }
+    } finally out.close()
+    fs.delete(new HPath(partDir), true)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.io.RandomAccessFile
+
+import graft.operators.Dedup
+import graft.sources.findb.{FindbDistWriter, FindbFormat, FindbWriter}
+
+/** Round-10 hardening: the distributed findb writer and the venn star
+  * convention.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  // page size that holds 4 entries per page — forces multi-level trees
+  // out of tiny fixtures (the findb_read driver row uses the same trick)
+  private val smallPage =
+    FindbFormat.PageHeaderSize + 4 * FindbFormat.KeyValueSize
+
+  private def entries(n: Int): Seq[(Long, Int, Long, Float)] =
+    (0 until n).map(i => (i.toLong / 7, 20240101 + (i % 28), i.toLong, i * 0.5f))
+      .sorted
+
+  private def readBack(path: String): Seq[(Long, Int, Long, Float)] =
+    spark.read.format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", 3).load(path)
+      .as[(Long, Int, Long, Float)].collect().sorted.toSeq
+
+  test("FindbDistWriter: multi-partition write round-trips through the connector") {
+    val es = entries(1000)
+    val path = tmp("fdw_rt") + "/t.db"
+    FindbDistWriter.write(
+      es.toDF("asset_id", "date", "timestamp", "value"),
+      path, smallPage, numPartitions = 7)
+    assert(readBack(path) === es)
+  }
+
+  test("FindbDistWriter: single partition is byte-identical to the Seq writer") {
+    val es = entries(257) // multi-level: 65 leaves -> 13 + 3 + 1 inners
+    val dir = tmp("fdw_bytes")
+    FindbWriter.write(s"$dir/seq.db", smallPage, es)
+    FindbDistWriter.write(
+      es.toDF("asset_id", "date", "timestamp", "value"),
+      s"$dir/dist.db", smallPage, numPartitions = 1)
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/seq.db"))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/dist.db"))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("FindbDistWriter: leaf chain spans partitions and the root descends to every key") {
+    import FindbFormat._
+    val es = entries(300)
+    val path = tmp("fdw_chain") + "/t.db"
+    FindbDistWriter.write(
+      es.toDF("asset_id", "date", "timestamp", "value"),
+      path, smallPage, numPartitions = 5)
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val h = readHeader(raf)
+      val buf = new Array[Byte](h.pageSize)
+      def load(p: Long): Array[Byte] = {
+        raf.seek(pageOffset(p, h.pageSize)); raf.readFully(buf); buf
+      }
+      // rightmost descent from the root reaches the LAST leaf; walking
+      // the backward chain from there must visit every leaf and yield
+      // all rows in reverse key order
+      var page = h.rootPageNum
+      var b = load(page)
+      while (u32(b, 0) == InnerType) {
+        val nKeys = u32(b, 4).toInt
+        val extra = u32(b, 8)
+        page =
+          if (extra != NoPage) extra
+          else u32(b, PageHeaderSize + nKeys * KeyValueSize + 12)
+        b = load(page)
+      }
+      var got = List.empty[(Long, Int, Long, Float)]
+      var leaves = 0
+      while (page != NoPage) {
+        b = load(page)
+        assert(u32(b, 0) == LeafType)
+        val n = u32(b, 4).toInt
+        for (j <- (n - 1) to 0 by -1) {
+          val off = PageHeaderSize + j * KeyValueSize
+          got ::= ((u32(b, off), u32(b, off + 4).toInt, u32(b, off + 8), f32(b, off + 12)))
+        }
+        leaves += 1
+        page = u32(b, 8)
+      }
+      assert(got === es)
+      assert(leaves === got.size / 4 + (if (got.size % 4 == 0) 0 else 1))
+    } finally raf.close()
+  }
+
+  test("FindbDistWriter: more partitions than rows (empty partitions) still round-trips") {
+    val es = entries(5)
+    val path = tmp("fdw_sparse") + "/t.db"
+    FindbDistWriter.write(
+      es.toDF("asset_id", "date", "timestamp", "value"),
+      path, smallPage, numPartitions = 8)
+    assert(readBack(path) === es)
+  }
+
+  test("FindbDistWriter: subtree page arithmetic matches ragged row counts") {
+    // cap = 4, grouping 5 children per parent
+    assert(FindbDistWriter.subtreePages(0, 4) === 0L)
+    assert(FindbDistWriter.subtreePages(1, 4) === 1L)   // 1 leaf, no inner
+    assert(FindbDistWriter.subtreePages(4, 4) === 1L)
+    assert(FindbDistWriter.subtreePages(5, 4) === 3L)   // 2 leaves + root
+    assert(FindbDistWriter.subtreePages(20, 4) === 6L)  // 5 leaves + 1 + ... 5->1 =6
+    assert(FindbDistWriter.subtreePages(21, 4) === 9L)  // 6 leaves + 2 + 1
+    assert(FindbDistWriter.topTreePages(1, 4) === 0L)
+    assert(FindbDistWriter.topTreePages(5, 4) === 1L)
+    assert(FindbDistWriter.topTreePages(6, 4) === 3L)   // 2 + 1
+  }
+
+  test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val corpus = Seq(
+      (1L, base, "a"), (2L, base, "b"), (5L, base, "a"), (9L, base, "c"),
+      (3L, "completely different text about market microstructure now", "a"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val r = Dedup.dedupMethodVenn(corpus).collect().head
+    // star pairs from min-id 1: (1,2), (1,5), (1,9) — not the 6 all-pairs
+    assert(r.getAs[Long]("n_exact") === 3L)
+    assert(r.getAs[Long]("n_all_three") === 3L)
+  }
+}
