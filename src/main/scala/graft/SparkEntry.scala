@@ -18,6 +18,23 @@ import graft.sources.TickStore
 object SparkEntry {
 
   /** The bulk as-of query table used by `asof_bulk` (and `entry`). */
+  /** Deterministic 5000-row .db in the reference's page format
+    * (multi-level tree, multi-page partitions): entry i = (i/50,
+    * 20240101 + i%28, i, i.0f), page capacity 16 — shared by the A10
+    * connector rows (findb_read / findb_read_pruned / findb_bulk_asof),
+    * whose oracles replay the generator relation from range(5000).
+    */
+  private def findbDemoDb(): String = {
+    val entries = (0 until 5000)
+      .map(i => (i.toLong / 50, 20240101 + (i % 28), i.toLong, i.toFloat))
+      .sorted
+    val path = java.nio.file.Files.createTempDirectory("findb_drv").toString + "/panel.db"
+    val pageSize = graft.sources.findb.FindbFormat.PageHeaderSize +
+      16 * graft.sources.findb.FindbFormat.KeyValueSize
+    graft.sources.findb.FindbWriter.write(path, pageSize, entries)
+    path
+  }
+
   private def asofQueries(spark: SparkSession): DataFrame = {
     val rows = Seq(
       (0L, 3L, "2024-01-02", "2024-01-12", "2024-01-10 06:00:00"),
@@ -1253,16 +1270,64 @@ object SparkEntry {
         .orderBy(col("asset_id"), col("date"), col("timestamp"), col("value"))
     }),
     "findb_read" -> ((s, dir) => {
-      val entries = (0 until 5000)
-        .map(i => (i.toLong / 50, 20240101 + (i % 28), i.toLong, i.toFloat))
-        .sorted
-      val path = java.nio.file.Files.createTempDirectory("findb_drv").toString + "/panel.db"
-      val pageSize = graft.sources.findb.FindbFormat.PageHeaderSize +
-        16 * graft.sources.findb.FindbFormat.KeyValueSize
-      graft.sources.findb.FindbWriter.write(path, pageSize, entries)
       s.read.format("graft.sources.findb.FindbDataSource")
-        .option("pagesPerPartition", 7).load(path)
+        .option("pagesPerPartition", 7).load(findbDemoDb())
         .orderBy(col("asset_id"), col("date"), col("timestamp"))
+    }),
+    // A19 — plan-time partition pruning: the same .db read through a
+    // pushed In(asset_id) set. The scan's inner-node descent plans
+    // partitions only for the leaf pages whose separator range can
+    // hold the set (the reference's own descent, file.rs:425-470); the
+    // oracle is the PLAIN filtered relation, proving the pruning is
+    // execution-invisible. Partition-count drop is asserted in
+    // Round10OpsSpec.
+    "findb_read_pruned" -> ((s, dir) => {
+      s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 7).load(findbDemoDb())
+        .where(col("asset_id").isin(3L, 41L, 77L, 96L))
+        .orderBy(col("asset_id"), col("date"), col("timestamp"))
+    }),
+    // A20 — the reference's stubbed bulk_query (file.rs:466) realized
+    // END-TO-END AT THE STORAGE LAYER: the A2b envelope (query-set
+    // assets → In pushdown, max as-of → range pushdown) lands in
+    // FindbScan's planner, and the A2 as-of rank runs on top of the
+    // connector's parallel read. Oracle = the A2 bulk SQL over the
+    // same generated relation.
+    "findb_bulk_asof" -> ((s, dir) => {
+      import s.implicits._
+      val panel = s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 7).load(findbDemoDb())
+      val queries = Seq(
+        (0L, 3L, 20240103, 20240115, 2500L),
+        (1L, 17L, 20240101, 20240128, 4000L),
+        (2L, 42L, 20240105, 20240120, 2135L),
+        (3L, 99L, 20240101, 20240128, 4980L))
+        .toDF("query_id", "q_asset_id", "start_date", "end_date", "asof_ts")
+      // bulk-query envelope → storage pushdown (the A2b shape): the
+      // query side is tiny by definition, so its distinct assets and
+      // max as-of collect driver-side and become scan predicates
+      val env = queries.agg(
+        collect_set(col("q_asset_id")).as("assets"),
+        max(col("asof_ts")).as("max_asof"),
+        min(col("start_date")).as("min_start"),
+        max(col("end_date")).as("max_end")).head()
+      val pruned = panel.filter(
+        col("asset_id").isin(env.getSeq[Long](0): _*) &&
+          col("timestamp") <= env.getLong(1) &&
+          col("date").between(env.getInt(2), env.getInt(3)))
+      val joined = pruned.join(
+        broadcast(queries),
+        pruned("asset_id") === queries("q_asset_id") &&
+          pruned("date").between(queries("start_date"), queries("end_date")) &&
+          pruned("timestamp") <= queries("asof_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("date"))
+        .orderBy(col("timestamp").desc)
+      joined
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("asset_id"), col("date"),
+          col("timestamp"), col("value"))
+        .orderBy(col("query_id"), col("date").desc)
     }),
     "stream_sessionize" -> ((s, dir) => StreamReplay.streamSessionize(s, dir)),
     "stream_anomaly" -> ((s, dir) => StreamReplay.streamAnomaly(s, dir)),
@@ -2140,6 +2205,36 @@ object SparkEntry {
         |       CAST(i AS FLOAT) AS value
         |FROM range(5000) t(i)
         |ORDER BY asset_id, date, "timestamp"""".stripMargin,
+    "findb_read_pruned" ->
+      """SELECT * FROM (
+        |  SELECT CAST(i // 50 AS BIGINT) AS asset_id,
+        |         CAST(20240101 + (i % 28) AS INTEGER) AS date,
+        |         CAST(i AS BIGINT) AS "timestamp",
+        |         CAST(i AS FLOAT) AS value
+        |  FROM range(5000) t(i)) p
+        |WHERE asset_id IN (3, 41, 77, 96)
+        |ORDER BY asset_id, date, "timestamp"""".stripMargin,
+    "findb_bulk_asof" ->
+      """WITH p AS (
+        |  SELECT CAST(i // 50 AS BIGINT) AS asset_id,
+        |         CAST(20240101 + (i % 28) AS INTEGER) AS date,
+        |         CAST(i AS BIGINT) AS ts,
+        |         CAST(i AS FLOAT) AS value
+        |  FROM range(5000) t(i)),
+        |q(query_id, q_asset_id, start_date, end_date, asof_ts) AS (VALUES
+        |  (0, 3, 20240103, 20240115, 2500),
+        |  (1, 17, 20240101, 20240128, 4000),
+        |  (2, 42, 20240105, 20240120, 2135),
+        |  (3, 99, 20240101, 20240128, 4980))
+        |SELECT CAST(query_id AS BIGINT) AS query_id, asset_id, date,
+        |       ts AS "timestamp", value FROM (
+        |  SELECT q.query_id, p.asset_id, p.date, p.ts, p.value,
+        |         ROW_NUMBER() OVER (PARTITION BY q.query_id, p.date
+        |                            ORDER BY p.ts DESC) AS rn
+        |  FROM p JOIN q ON p.asset_id = q.q_asset_id
+        |   AND p.date BETWEEN q.start_date AND q.end_date
+        |   AND p.ts <= q.asof_ts) t
+        |WHERE rn = 1 ORDER BY query_id, date DESC""".stripMargin,
     // true-greedy packing replayed per shard (seed = first doc's tokens;
     // overflow closes the pack, oversized docs ride alone)
     "stream_pack" ->

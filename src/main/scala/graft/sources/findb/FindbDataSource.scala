@@ -58,11 +58,20 @@ class FindbTable(paths: Seq[String], pagesPerPartition: Int) extends Table with 
     new FindbScanBuilder(paths, pagesPerPartition)
 }
 
-/** Pushes `asset_id` bounds down to the page level: leaf pages are
-  * key-sorted, so a page whose [first, last] asset range is disjoint
-  * from the pushed bounds is skipped without emitting a row — the
-  * B-tree's own ordering doing row-group-stats duty. All filters are
-  * still re-applied by Spark above the scan (we push an
+/** Pushes `asset_id` bounds AND `In` sets down two levels:
+  *
+  *  - PLAN time: the driver descends the B-tree's inner nodes (the
+  *    same descent the reference's point query runs, file.rs:425-470)
+  *    and emits input partitions only for the leaf pages whose
+  *    separator-implied asset range can overlap the pushed bounds/set
+  *    — selective queries plan O(matching leaves) partitions instead
+  *    of O(file pages).
+  *  - READ time: a surviving leaf whose actual [first, last] asset
+  *    span is disjoint from the bounds/set is skipped without
+  *    emitting a row — the B-tree's own ordering doing
+  *    row-group-stats duty.
+  *
+  * All filters stay residuals for Spark to re-check (we push an
   * over-approximation, never a replacement).
   */
 class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
@@ -73,8 +82,13 @@ class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
 
   private var assetLo = Long.MinValue
   private var assetHi = Long.MaxValue
+  private var assetSet: Option[Array[Long]] = None
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = FindbFormat.schema
+
+  // A2's bulk_query envelope shape: bounded membership sets push as a
+  // sorted array; unbounded ones stay residual-only.
+  private val MaxPushedSet = 100000
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -91,6 +105,15 @@ class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
         assetHi = math.min(assetHi, v.longValue - 1); true
       case LessThanOrEqual("asset_id", v: Number) =>
         assetHi = math.min(assetHi, v.longValue); true
+      case In("asset_id", vs) if vs.nonEmpty && vs.length <= MaxPushedSet &&
+          vs.forall(_.isInstanceOf[Number]) =>
+        val sorted = vs.map(_.asInstanceOf[Number].longValue).distinct.sorted
+        assetSet = Some(assetSet match {
+          case Some(prev) => // two In filters intersect
+            val p = prev.toSet; sorted.filter(p)
+          case None => sorted
+        })
+        true
       case _ => false
     }
     filters // everything stays a residual for Spark to re-check
@@ -98,29 +121,137 @@ class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new FindbScan(paths, pagesPerPartition, assetLo, assetHi, required)
+  override def build(): Scan = {
+    // fold the set into the range bounds (tightest envelope)
+    val (lo, hi) = assetSet match {
+      case Some(s) if s.isEmpty => (0L, -1L) // contradictory filters: empty scan
+      case Some(s) => (math.max(assetLo, s.head), math.min(assetHi, s.last))
+      case None => (assetLo, assetHi)
+    }
+    new FindbScan(paths, pagesPerPartition, lo, hi, required, assetSet)
+  }
 }
 
 class FindbScan(paths: Seq[String], pagesPerPartition: Int,
                 assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
-                required: StructType = FindbFormat.schema)
+                required: StructType = FindbFormat.schema,
+                assetSet: Option[Array[Long]] = None)
   extends Scan with Batch {
+  import FindbFormat._
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"findb ${paths.mkString(",")} PushedAssetRange: [$assetLo, $assetHi] ReadColumns: ${required.fieldNames.mkString(",")}"
+    s"findb ${paths.mkString(",")} PushedAssetRange: [$assetLo, $assetHi]" +
+      assetSet.map(s => s" PushedAssetSet: ${s.length} values").getOrElse("") +
+      s" ReadColumns: ${required.fieldNames.mkString(",")}"
+
+  private def setOverlaps(lo: Long, hi: Long): Boolean = assetSet match {
+    case None => true
+    case Some(s) =>
+      // lowest set element >= lo, via binary search
+      var a = 0; var b = s.length
+      while (a < b) { val m = (a + b) >>> 1; if (s(m) < lo) a = m + 1 else b = m }
+      a < s.length && s(a) <= hi
+  }
+
+  /** Inner-node descent: collects the leaf pages whose separator-implied
+    * asset range can overlap [assetLo, assetHi] ∩ assetSet, in key
+    * order (= ascending page number for both writers' layouts). Reads
+    * only inner pages in full plus a 16-byte header per surviving
+    * child, so plan-time I/O is O(matching leaves / cap) pages — the
+    * reference's own descent cost (file.rs:425-470). Returns None when
+    * the surviving set is large enough that pruning buys nothing
+    * (caller falls back to full-range partitions; read-time page skip
+    * still applies).
+    */
+  private def candidateLeaves(raf: RandomAccessFile, header: Header): Option[Array[Int]] = {
+    val limit = 1 << 18 // planner pread budget; beyond this, scan everything
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val head = new Array[Byte](PageHeaderSize)
+    val page = new Array[Byte](header.pageSize)
+    def visit(p: Long, lo: Long, hi: Long): Boolean = { // false = budget blown
+      if (lo > assetHi || hi < assetLo || !setOverlaps(lo, hi)) return true
+      if (out.size > limit) return false
+      raf.seek(pageOffset(p, header.pageSize))
+      raf.readFully(head)
+      if (u32(head, 0) == LeafType) { out += p.toInt; true }
+      else {
+        raf.seek(pageOffset(p, header.pageSize))
+        raf.readFully(page)
+        // children j = 0..nChildren-1; child j's keys live in
+        // [sep_{j-1}, sep_j) so its ASSET span is [sepAsset_{j-1},
+        // sepAsset_j] inclusive (asset equality with a smaller
+        // date/ts stays in child j). sep_0 = node lo, sep_n+1 = node hi.
+        // Parse into locals BEFORE recursing — `page` is one shared
+        // buffer, and a child visit overwrites it under the parent loop.
+        val nKeys = u32(page, 4).toInt
+        val extra = u32(page, 8)
+        val nChildren = nKeys + 1
+        val kids = new Array[Long](nChildren)
+        val sepAsset = new Array[Long](nKeys)
+        var j = 0
+        while (j < nChildren) {
+          kids(j) =
+            if (j == nKeys && extra != NoPage) extra
+            else u32(page, PageHeaderSize + j * KeyValueSize + 12)
+          if (j < nKeys) sepAsset(j) = u32(page, PageHeaderSize + j * KeyValueSize)
+          j += 1
+        }
+        j = 0
+        var ok = true
+        while (j < nChildren && ok) {
+          val cLo = if (j == 0) lo else sepAsset(j - 1)
+          val cHi = if (j == nKeys) hi else sepAsset(j)
+          ok = visit(kids(j), cLo, cHi)
+          j += 1
+        }
+        ok
+      }
+    }
+    if (header.pageCount == 0) Some(Array.empty)
+    else if (visit(header.rootPageNum, 0L, 0xFFFFFFFFL)) Some(out.toArray)
+    else None
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // ordinals into the full (asset_id, date, timestamp, value) row
     val ordinals = required.fieldNames.map(FindbFormat.schema.fieldIndex)
+    val pruned = assetLo != Long.MinValue || assetHi != Long.MaxValue || assetSet.isDefined
     paths.flatMap { path =>
       val raf = new RandomAccessFile(path, "r")
-      val header = try FindbFormat.readHeader(raf) finally raf.close()
-      (0 until header.pageCount by pagesPerPartition).map { start =>
-        FindbInputPartition(path, header.pageSize, start,
-          math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
-          ordinals): InputPartition
+      val (header, leaves) =
+        try {
+          val h = FindbFormat.readHeader(raf)
+          (h, if (pruned && assetLo <= assetHi) candidateLeaves(raf, h)
+              else if (pruned) Some(Array.empty[Int]) // contradictory bounds
+              else None)
+        } finally raf.close()
+      leaves match {
+        case Some(pages) =>
+          // compress the (ascending) leaf list into contiguous runs,
+          // then chunk each run to pagesPerPartition
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var i = 0
+          while (i < pages.length) {
+            var j = i
+            while (j + 1 < pages.length && pages(j + 1) == pages(j) + 1) j += 1
+            runs += ((pages(i), pages(j) + 1))
+            i = j + 1
+          }
+          runs.flatMap { case (start, end) =>
+            (start until end by pagesPerPartition).map { s =>
+              FindbInputPartition(path, header.pageSize, s,
+                math.min(s + pagesPerPartition, end), assetLo, assetHi,
+                ordinals, assetSet.orNull): InputPartition
+            }
+          }
+        case None =>
+          (0 until header.pageCount by pagesPerPartition).map { start =>
+            FindbInputPartition(path, header.pageSize, start,
+              math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
+              ordinals, assetSet.orNull): InputPartition
+          }
       }
     }.toArray
   }
@@ -130,7 +261,8 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
 
 case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endPage: Int,
                                assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
-                               ordinals: Array[Int] = Array(0, 1, 2, 3))
+                               ordinals: Array[Int] = Array(0, 1, 2, 3),
+                               assetSet: Array[Long] = null)
   extends InputPartition
 
 class FindbReaderFactory extends PartitionReaderFactory {
@@ -162,11 +294,17 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
     rowIdx = 0
     pageLoaded = true
     // page-level skip: leaf keys are sorted, so the page's asset span is
-    // [first, last]; disjoint from the pushed bounds → emit nothing.
+    // [first, last]; disjoint from the pushed bounds/set → emit nothing.
     if (pageIsLeaf && rowsInPage > 0) {
       val firstAsset = u32(pageBuf, PageHeaderSize)
       val lastAsset = u32(pageBuf, PageHeaderSize + (rowsInPage - 1) * KeyValueSize)
-      if (lastAsset < p.assetLo || firstAsset > p.assetHi) rowsInPage = 0
+      val setHit = p.assetSet == null || {
+        val s = p.assetSet
+        var a = 0; var b = s.length
+        while (a < b) { val m = (a + b) >>> 1; if (s(m) < firstAsset) a = m + 1 else b = m }
+        a < s.length && s(a) <= lastAsset
+      }
+      if (lastAsset < p.assetLo || firstAsset > p.assetHi || !setHit) rowsInPage = 0
       else pagesRead += 1
     }
   }

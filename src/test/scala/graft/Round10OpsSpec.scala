@@ -116,6 +116,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(FindbDistWriter.topTreePages(6, 4) === 3L)   // 2 + 1
   }
 
+  test("findb plan-time pruning: planned partitions drop with selectivity") {
+    val es = entries(1000) // assets 0..142, cap 4 -> 250 leaves + inners
+    val path = tmp("fdb_prune") + "/t.db"
+    FindbWriter.write(path, smallPage, es)
+    def read() = spark.read.format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", 3).load(path)
+    val fullParts = read().rdd.getNumPartitions
+    assert(fullParts >= 80) // 316 pages / 3 per partition, unpruned
+
+    val one = read().where($"asset_id" === 42L)
+    assert(one.rdd.getNumPartitions <= 3,
+      s"point query planned ${one.rdd.getNumPartitions} partitions")
+    assert(one.as[(Long, Int, Long, Float)].collect().sorted.toSeq ===
+      es.filter(_._1 == 42L))
+
+    val set = read().where($"asset_id".isin(3L, 99L, 140L))
+    assert(set.rdd.getNumPartitions <= 9,
+      s"In-set query planned ${set.rdd.getNumPartitions} partitions")
+    assert(set.as[(Long, Int, Long, Float)].collect().sorted.toSeq ===
+      es.filter(e => Set(3L, 99L, 140L)(e._1)))
+
+    val range = read().where($"asset_id" >= 100L && $"asset_id" < 110L)
+    assert(range.rdd.getNumPartitions < fullParts / 4,
+      s"range query planned ${range.rdd.getNumPartitions} of $fullParts")
+    assert(range.as[(Long, Int, Long, Float)].collect().sorted.toSeq ===
+      es.filter(e => e._1 >= 100L && e._1 < 110L))
+
+    // contradictory bounds plan an empty scan, not a crash
+    val none = read().where($"asset_id" === 7L && $"asset_id" === 9L)
+    assert(none.collect().isEmpty)
+  }
+
+  test("findb plan-time pruning: distributed-writer files (ragged subtrees) prune too") {
+    val es = entries(900)
+    val path = tmp("fdb_prune_dist") + "/t.db"
+    FindbDistWriter.write(
+      es.toDF("asset_id", "date", "timestamp", "value"),
+      path, smallPage, numPartitions = 6)
+    val df = spark.read.format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", 3).load(path)
+      .where($"asset_id".isin(5L, 70L, 128L))
+    assert(df.rdd.getNumPartitions <= 9)
+    assert(df.as[(Long, Int, Long, Float)].collect().sorted.toSeq ===
+      es.filter(e => Set(5L, 70L, 128L)(e._1)))
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
