@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -41,7 +41,7 @@ import graft.operators.Micro.jvm6
   *   - `fisher`       in (date, close, x)             out (date, close, v, fisher)
   */
 case class RecurrenceFold(child: Expression, op: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(RecurrenceFold.Ops.contains(op), s"unknown recurrence op: $op")
 
@@ -198,6 +198,18 @@ case class RecurrenceFold(child: Expression, op: String)
         }
     }
     new GenericArrayData(out)
+  }
+
+  /** Reference-call codegen (the [[graft.expressions.MaxCharRun]] hash-kernel
+    * pattern): the scan itself is a per-GROUP O(h) call whose cost
+    * interpretation doesn't change, but emitting it as one compiled
+    * call keeps the SURROUNDING projection inside whole-stage codegen
+    * instead of demoting the whole stage to interpreted eval.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("recurrenceExpr", this, classOf[RecurrenceFold].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -162,6 +162,31 @@ class Round10OpsSpec extends SparkSpec {
       es.filter(e => Set(5L, 70L, 128L)(e._1)))
   }
 
+  test("RecurrenceFold compiles under codegen (no CodegenFallback demotion)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenFallback, GenerateUnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import graft.expressions.RecurrenceFold
+    // the class contract itself: a CodegenFallback expression demotes
+    // every projection that contains it to interpreted eval
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[RecurrenceFold]))
+    // and the generated code must actually compile and run the recursion
+    val inType = StructType(Seq(
+      StructField("date", DateType), StructField("close", DoubleType),
+      StructField("er", DoubleType), StructField("sc", DoubleType)))
+    val arr = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](0, 100.0, null, null)),
+      new GenericInternalRow(Array[Any](1, 101.0, 0.5, 0.3))))
+    val fold = RecurrenceFold(BoundReference(0, ArrayType(inType), nullable = true), "kama")
+    val proj = GenerateUnsafeProjection.generate(Seq(Alias(fold, "out")()))
+    val out = proj(new GenericInternalRow(Array[Any](arr))).getArray(0)
+    assert(out.numElements() === 2)
+    assert(out.getStruct(0, 4).getDouble(3) === 100.0) // seed: kama = close
+    assert(out.getStruct(1, 4).getDouble(3) === 100.3) // 100 + 0.3·(101−100)
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
