@@ -1136,6 +1136,48 @@ object SparkEntry {
         .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"))
         .orderBy(col("asset_id"), col("date"))
     }),
+    // A21 — compaction CRASH SAFETY, both windows of the two-phase
+    // protocol exercised by running the phases separately:
+    //  (a) crash BEFORE the manifest's atomic rename (simulated by
+    //      deleting the manifest — the rename is all-or-nothing, so
+    //      "no manifest" IS that state): the tmp rewrite is inert and
+    //      read() must still see the intact pre-compact view (every
+    //      original + revision row);
+    //  (b) crash AFTER the commit point, before any swap: read() must
+    //      roll the swap forward and see exactly the post-compact LWW
+    //      view. Phase aggregates hash-check against the relational
+    //      twin of each view.
+    "tickstore_compact_atomic" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("ts_atomic").toString + "/store"
+      val panel = Tables.panel(s, dir)
+      TickStore.write(panel, path)
+      val rev = panel.filter(col("asset_id") % 10 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("seq", col("seq") + 1000000000L)
+      TickStore.append(rev, path)
+      def phaseAgg(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("asset_id")).as("n_assets"),
+          sum(col("seq")).as("seq_sum"),
+          sum(expr("cast(cast(value as decimal(18,2))*100 as bigint)")).as("value_c"))
+          .withColumn("phase", lit(phase))
+          .select(col("phase"), col("n_rows"), col("n_assets"),
+            col("seq_sum"), col("value_c"))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // window (a): prepare, then die before the commit point
+      TickStore.compactPrepare(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__compact_manifest.json"), false)
+      val a = phaseAgg(TickStore.read(s, path), "a_crash_before_commit")
+        .localCheckpoint(true) // materialize before phase (b) mutates the store
+      // window (b): prepare commits the manifest, then die before the
+      // swap — the next read() rolls it forward
+      TickStore.compactPrepare(s, path)
+      val b = phaseAgg(TickStore.read(s, path), "b_rolled_forward")
+        .localCheckpoint(true)
+      a.union(b).orderBy(col("phase"))
+    }),
     "tickstore_vacuum" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("ts_vacuum").toString + "/store"
       // spread the one-month panel across 6 months (add_months clamps
@@ -2873,6 +2915,31 @@ object SparkEntry {
          |         ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
          |  FROM a) t
          |WHERE rn = 1 ORDER BY asset_id, date""".stripMargin,
+    "tickstore_compact_atomic" ->
+      s"""$panelCte,
+         |rev AS (
+         |  SELECT asset_id, date, ts, value * 2 AS value, seq + 1000000000 AS seq
+         |  FROM panel WHERE asset_id % 10 = 0),
+         |allr AS (SELECT * FROM panel UNION ALL SELECT * FROM rev),
+         |lww AS (
+         |  SELECT asset_id, date, ts, value, seq FROM (
+         |    SELECT asset_id, date, ts, value, seq,
+         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM allr) t WHERE rn = 1)
+         |SELECT 'a_crash_before_commit' AS phase,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |       CAST(sum(seq) AS BIGINT) AS seq_sum,
+         |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+         |FROM allr
+         |UNION ALL
+         |SELECT 'b_rolled_forward' AS phase,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |       CAST(sum(seq) AS BIGINT) AS seq_sum,
+         |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+         |FROM lww
+         |ORDER BY phase""".stripMargin,
     "tickstore_vacuum" ->
       s"""$panelCte,
          |sh AS (

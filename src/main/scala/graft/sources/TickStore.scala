@@ -53,12 +53,18 @@ object TickStore {
     * carrying it, so non-TickStore tables that coincidentally have
     * `date`/`date_month` columns are never rewritten.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // Roll forward any compaction that crashed after its commit point
+    // (manifest present) before exposing the store: a reader never sees
+    // a half-swapped month. One FS existence probe when no manifest
+    // exists — see [[compactCommit]].
+    compactCommit(spark, path)
     spark.read
       .option(graft.plans.DeriveMonthPartitionFilter.MarkerOption, "true")
       .parquet(path)
       .select(col("asset_id"), col("date"), col("ts"), col("value"), col("seq"),
         col("date_month"))
+  }
 
   /** Bucketed variant: hash-bucket by `asset_id`, sorted within buckets
     * by the composite key. Two tables bucketed the same way are
@@ -102,12 +108,43 @@ object TickStore {
               months: Option[Seq[String]] = None,
               deletes: Option[DataFrame] = None,
               filesPerPartition: Int = 4): Unit = {
-    // Write-new-then-swap, never overwrite-in-place: Spark (rightly)
-    // refuses to overwrite a path it is reading, and a real compactor
-    // must leave readers a consistent view until the swap. Per-month
-    // directory rename is atomic on HDFS-like stores; object stores
-    // would swap a manifest instead.
-    val tmpPath = path.stripSuffix("/") + "__compacting"
+    compactPrepare(spark, path, months, deletes, filesPerPartition)
+    compactCommit(spark, path)
+  }
+
+  private def tmpPathFor(path: String): String =
+    path.stripSuffix("/") + "__compacting"
+
+  /** Manifest location — a SIBLING of the store directory, so the store
+    * itself stays pure parquet partitions for discovery.
+    */
+  private def manifestPathFor(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_manifest.json")
+
+  /** Crash-safe compaction, phase 1 of 2: rewrite the scoped months
+    * into a tmp directory, then ATOMICALLY RENAME a manifest into place
+    * recording the intended swap (months to rename in, months emptied
+    * by deletes to drop). The manifest rename IS the commit point:
+    *
+    *  - crash BEFORE it → the manifest does not exist, the tmp rewrite
+    *    is inert garbage (overwritten by the next prepare), and every
+    *    reader keeps the intact pre-compact view;
+    *  - crash AFTER it (anywhere inside the swap) → [[compactCommit]]
+    *    rolls the swap FORWARD idempotently, and [[read]] runs it
+    *    before exposing the store, so a reader never sees a
+    *    half-swapped month.
+    *
+    * Write-new-then-swap, never overwrite-in-place: Spark (rightly)
+    * refuses to overwrite a path it is reading, and a real compactor
+    * must leave readers a consistent view until the swap. The
+    * `tickstore_compact_atomic` driver row exercises both crash
+    * windows by running the two phases separately.
+    */
+  def compactPrepare(spark: SparkSession, path: String,
+                     months: Option[Seq[String]] = None,
+                     deletes: Option[DataFrame] = None,
+                     filesPerPartition: Int = 4): Unit = {
+    val tmpPath = tmpPathFor(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     // Months in compaction scope, resolved BEFORE the rewrite: the swap
@@ -145,16 +182,69 @@ object TickStore {
       .parquet(tmpPath)
 
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    // Drop EVERY scoped month first (a month fully emptied by deletes has
-    // no tmp dir but must still disappear), then move in the rewrites.
-    scopeMonths.foreach { m =>
-      val target = new org.apache.hadoop.fs.Path(path, s"date_month=$m")
-      if (fs.exists(target)) fs.delete(target, true)
+    // Manifest: scoped months split by intended action. A month with a
+    // tmp rewrite is RENAMED in; a scoped month fully emptied by
+    // deletes (or the LWW collapse) has no tmp dir but must still
+    // DROP — recording the split is what makes recovery unambiguous
+    // (an absent tmp dir means "already renamed" for a rename month,
+    // but "never existed" for a drop month).
+    val rewritten: Set[String] =
+      if (fs.exists(tmp))
+        fs.listStatus(tmp).map(_.getPath.getName)
+          .filter(_.startsWith("date_month="))
+          .map(_.stripPrefix("date_month=")).toSet
+      else Set.empty
+    val renames = scopeMonths.filter(rewritten)
+    val drops = scopeMonths.filterNot(rewritten)
+    def arr(ms: Seq[String]) = ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"tmp":"$tmpPath","renames":${arr(renames)},"drops":${arr(drops)}}"""
+    val mp = manifestPathFor(path)
+    val mpTmp = new org.apache.hadoop.fs.Path(mp.toString + ".tmp")
+    val out = fs.create(mpTmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(mp)) fs.delete(mp, false)
+    require(fs.rename(mpTmp, mp), s"manifest commit rename failed: $mp")
+  }
+
+  /** Crash-safe compaction, phase 2 of 2: execute (or RE-execute after
+    * a crash) the swap the manifest records, idempotently — for each
+    * drop month, delete the live directory if present; for each rename
+    * month, if its tmp directory still exists delete the live one and
+    * rename the rewrite in (an absent tmp dir means that month's swap
+    * already completed). The manifest is deleted last, so a crash at
+    * ANY point re-runs to the same end state. Returns true when a
+    * manifest was found and executed; no-ops (one FS probe) otherwise.
+    */
+  def compactCommit(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val mp = manifestPathFor(path)
+    if (!fs.exists(mp)) return false
+    val in = fs.open(mp)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def strings(field: String): Seq[String] = {
+      val n = node.get(field)
+      (0 until n.size()).map(n.get(_).asText())
     }
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("date_month=")).foreach { st =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, st.getPath.getName))
+    val tmp = new org.apache.hadoop.fs.Path(node.get("tmp").asText())
+    strings("drops").foreach { m =>
+      val live = new org.apache.hadoop.fs.Path(path, s"date_month=$m")
+      if (fs.exists(live)) fs.delete(live, true)
     }
-    fs.delete(tmp, true)
+    strings("renames").foreach { m =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"date_month=$m")
+      if (fs.exists(src)) {
+        val live = new org.apache.hadoop.fs.Path(path, s"date_month=$m")
+        if (fs.exists(live)) fs.delete(live, true)
+        require(fs.rename(src, live), s"compaction swap rename failed: $src")
+      } // else: this month's swap already completed before the crash
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.delete(mp, false)
+    true
   }
 
   /** Append a (small) micro-batch to the store: same layout as
