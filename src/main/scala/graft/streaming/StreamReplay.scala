@@ -61,12 +61,33 @@ object StreamReplay {
     * [[assertStateBound]]); MaxValue (default) skips the check for
     * stateless ops.
     */
+  /** State-store backend toggle: `SPARK_GRAFT_STATE_STORE=rocksdb`
+    * swaps every replayed query onto RocksDBStateStoreProvider (the
+    * production backend for large per-key state — state spills to
+    * local disk instead of living on the executor heap, which is what
+    * a 100 TB stream's key cardinality requires); any other non-empty
+    * value is taken as a provider class name. Results must be
+    * bit-identical across providers on every stream driver row — the
+    * store is a persistence layer, not a semantics layer — and the
+    * round's determinism check runs the full stream surface under both
+    * to prove it.
+    */
+  private def tuneStateStore(sub: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").filter(_.nonEmpty).foreach { v =>
+      val cls =
+        if (v.equalsIgnoreCase("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else v
+      sub.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+
   def replay[I, O](spark: SparkSession, rows: Seq[I], nBatches: Int,
                    mode: OutputMode = OutputMode.Append,
                    maxStateRows: Long = Long.MaxValue)(
       op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
     val sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "4")
+    tuneStateStore(sub)
     implicit val sqlCtx = sub.sqlContext
     val in = MemoryStream[I]
     val name = s"graft_replay_${sinkId.incrementAndGet()}"
@@ -99,6 +120,7 @@ object StreamReplay {
       implicit ia: Encoder[A], ib: Encoder[B]): DataFrame = {
     val sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "4")
+    tuneStateStore(sub)
     implicit val sqlCtx = sub.sqlContext
     val inA = MemoryStream[A]
     val inB = MemoryStream[B]
