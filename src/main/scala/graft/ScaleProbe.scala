@@ -37,7 +37,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val axis = sys.env.getOrElse("SPARK_GRAFT_PROBE_AXIS", "width")
-    require(axis == "width" || axis == "depth", s"unknown probe axis: $axis")
+    require(axis == "width" || axis == "depth" || axis == "zipf",
+      s"unknown probe axis: $axis")
     val factors = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTORS", "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
@@ -61,7 +62,22 @@ object ScaleProbe {
       // branch reads via Tables.events instead, never through this).
       def src = Tables.read(spark, base, table)
       val out = table match {
-        case t if axis == "depth" && t != "events" => null // 1×, copied below
+        case t if (axis == "depth" || axis == "zipf") && t != "events" =>
+          null // 1×, copied below
+        case "events" if axis == "zipf" =>
+          // Hot-key axis: replica i>0 re-lands EVERY event on one user
+          // (user_id = 0) with fresh event_ids, so at factor f the hot
+          // key carries (f−1)/f of all rows — the Zipf shape AQE's
+          // skew split never fixes for window partitions (it only
+          // splits sort-merge joins). Dates/ts unchanged: the skew is
+          // in the KEY, not the calendar.
+          val ev = Tables.events(spark, base)
+          val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+          (0 until factor).map { i =>
+            if (i == 0) ev
+            else ev.withColumn("user_id", lit(0L))
+              .withColumn("event_id", col("event_id") + lit(i * maxE))
+          }.reduce(_ unionByName _)
         case "events" if axis == "depth" =>
           // History-depth replication: replica i shifts every event
           // i·(span+1) days forward under the SAME asset ids, so each

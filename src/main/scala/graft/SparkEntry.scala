@@ -236,6 +236,19 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
         .orderBy(col("event_id"))
     }),
+    // A8h — the hot-key-safe time-sliced variant; the oracle is the
+    // PLAIN asof_join SQL, proving the two-phase decomposition is
+    // semantically invisible.
+    "asof_join_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("seq"), col("value").as("rvalue"))
+      AsOf.asOfJoinSkewSafe(purchases, views, "user_id", Seq("value"))
+        .select(col("seq").as("event_id"), col("user_id"), col("ts"), col("value"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
     "asof_join_inclusive" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -3799,6 +3812,15 @@ object SparkEntry {
         |       value
         |FROM events ORDER BY event_id""".stripMargin,
     "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, v.value AS vv,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, j.vv AS asof_value
+        |FROM p LEFT JOIN (SELECT event_id, vv FROM j WHERE rn = 1) j ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_join_skew" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
         |j AS (SELECT p.event_id, v.value AS vv,

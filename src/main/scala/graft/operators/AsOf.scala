@@ -132,6 +132,77 @@ object AsOf {
       .drop("_side", "_rv")
   }
 
+  /** A8h `asof_join_skew` — [[asOfJoin]] hardened for HOT KEYS, the
+    * realistic skew axis of a 100 TB panel (one index/benchmark asset
+    * carrying orders of magnitude more ticks than the median). The
+    * union-sort plan shuffles on the key alone, so a hot key's entire
+    * series lands on ONE reducer — and AQE's skew splitting only covers
+    * sort-merge joins, never window partitions. Random salting cannot
+    * fix an as-of (a left row must see ALL earlier right rows of its
+    * key); the scalable decomposition is TIME-SLICED two-phase:
+    *
+    *  1. slice the timeline into `slices` contiguous uniform intervals
+    *     (global bounds, one cheap agg) and shuffle on (key, slice) —
+    *     a hot key now spreads over `slices` reducers; the within-slice
+    *     window computes each left row's as-of among same-slice rights
+    *     (tie semantics identical to [[asOfJoin]]: equal-ts rows always
+    *     share a slice);
+    *  2. per (key, slice) carry-outs — the last right value of each
+    *     slice — form a table of at most keys×slices rows; a tiny
+    *     window over it yields each slice's carry-in (latest carry-out
+    *     of any earlier slice), joined back on (key, slice) — the big
+    *     side is already partitioned that way, so only the carry table
+    *     shuffles. A left row with no same-slice right match takes the
+    *     carry-in.
+    *
+    * Semantically invisible: the driver oracle is the PLAIN asof_join
+    * SQL, and the spec proves equality with [[asOfJoin]] on a
+    * deliberately Zipf-skewed panel.
+    */
+  def asOfJoinSkewSafe(left: DataFrame, right: DataFrame, key: String,
+                       leftCols: Seq[String], slices: Int = 8): DataFrame = {
+    val l = left.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(1).as("_side"), lit(null).cast("double").as("_rv")) ++
+        leftCols.map(col)): _*)
+    val r = right.select(
+      (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"), col("rvalue").as("_rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val u = l.unionByName(r)
+    val bounds = u.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    if (bounds.isNullAt(0)) return asOfJoin(left, right, key, leftCols) // empty input
+    val lo = bounds.getLong(0)
+    val span = math.max(1L, (bounds.getLong(1) - lo) / slices + 1)
+    val sliced = u.withColumn("_slice",
+      ((unix_micros(col("ts")) - lit(lo)) / lit(span)).cast("int"))
+    // within-slice backward as-of, the asOfJoin tie order (strict '<':
+    // left rows sort before equal-ts right rows)
+    val w1 = Window
+      .partitionBy(col(key), col("_slice"))
+      .orderBy(col("ts").asc, col("_side").desc, col("seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sliced.withColumn("_local", last(col("_rv"), ignoreNulls = true).over(w1))
+    // carry-outs: last right value per (key, slice) — max by (ts, seq)
+    val carries = sliced.filter(col("_side") === 0)
+      .groupBy(col(key), col("_slice"))
+      .agg(max(struct(col("ts"), col("seq"), col("_rv"))).as("_m"))
+      .select(col(key), col("_slice"), col("_m._rv").as("_cout"))
+    // carry-in per OCCUPIED (key, slice): latest earlier carry-out.
+    // Built over the slice set that actually occurs (a right-empty
+    // slice contributes a null carry-out and still inherits).
+    val wc = Window.partitionBy(col(key)).orderBy(col("_slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = sliced.select(col(key), col("_slice")).distinct()
+      .join(carries, Seq(key, "_slice"), "left")
+      .withColumn("_cin", last(col("_cout"), ignoreNulls = true).over(wc))
+      .select(col(key), col("_slice"), col("_cin"))
+    within
+      .join(carryIn, Seq(key, "_slice"), "left")
+      .filter(col("_side") === 1)
+      .withColumn("asof_value", coalesce(col("_local"), col("_cin")))
+      .drop("_side", "_rv", "_slice", "_local", "_cin")
+  }
+
   /** A8g `asof_join_inclusive` — backward as-of with exact matches
     * allowed (pandas `merge_asof`'s DEFAULT `allow_exact_matches=True`,
     * and the reference's own point-query bound `ts ≤ asof`,

@@ -187,6 +187,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.getStruct(1, 4).getDouble(3) === 100.3) // 100 + 0.3·(101−100)
   }
 
+  test("asof_join_skew: time-sliced two-phase equals the plain union-sort on a Zipf-skewed panel") {
+    import java.sql.Timestamp
+    import graft.operators.AsOf
+    // Zipf-ish skew: key 1 carries ~90% of rows; keys 2..20 the tail.
+    // Rights every 7 ticks, carefully spanning slice boundaries.
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 3000).map { i =>
+      val k = if (i % 10 != 0) 1L else (i / 10 % 19 + 2).toLong
+      (k, new Timestamp(1700000000000L + i * 977L), i.toLong, i * 0.5)
+    }
+    val left = rows.toDF("user_id", "ts", "seq", "value")
+    val right = rows.filter(_._3 % 7 == 0)
+      .map { case (k, t, s, v) => (k, new Timestamp(t.getTime - rng.nextInt(500)), s + 100000L, v * 2) }
+      .toDF("user_id", "ts", "seq", "rvalue")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"seq", $"asof_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val plain = normalize(AsOf.asOfJoin(left, right, "user_id", Seq("value")))
+    for (slices <- Seq(1, 3, 8)) {
+      val sliced = normalize(
+        AsOf.asOfJoinSkewSafe(left, right, "user_id", Seq("value"), slices))
+      assert(sliced === plain, s"slices=$slices diverged")
+    }
+    // degenerate inputs: no right rows, single timestamp
+    val noRight = right.where($"user_id" < 0L)
+    assert(normalize(AsOf.asOfJoinSkewSafe(left, noRight, "user_id", Seq("value")))
+      .forall(_._3.isEmpty))
+    val oneTs = Seq((1L, new Timestamp(1700000000000L), 1L, 5.0))
+      .toDF("user_id", "ts", "seq", "value")
+    val oneTsR = Seq((1L, new Timestamp(1700000000000L), 2L, 9.0))
+      .toDF("user_id", "ts", "seq", "rvalue")
+    // strict '<': the equal-ts right row is invisible
+    assert(normalize(AsOf.asOfJoinSkewSafe(oneTs, oneTsR, "user_id", Seq("value")))
+      === Seq((1L, 1L, None)))
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
