@@ -225,6 +225,42 @@ class Round10OpsSpec extends SparkSpec {
       === Seq((1L, 1L, None)))
   }
 
+  test("compactCommit resumes a swap killed halfway through") {
+    import java.sql.{Date, Timestamp}
+    import graft.sources.TickStore
+    import org.apache.hadoop.fs.Path
+    // 3 months, every asset revised with a later seq
+    def panel = (1 to 300).map { i =>
+      (i % 10 + 1L, Date.valueOf(f"2024-0${i % 3 + 1}%d-${i % 28 + 1}%02d"),
+        new Timestamp(1700000000000L + i * 1000L), i * 1.0, i.toLong)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    def build(dir: String): String = {
+      TickStore.write(panel, dir)
+      TickStore.append(panel.withColumn("value", $"value" * 3)
+        .withColumn("seq", $"seq" + 1000000L), dir)
+      dir
+    }
+    val crashed = build(tmp("ts_mid") + "/store")
+    val clean = build(tmp("ts_clean") + "/store")
+    TickStore.compact(spark, clean) // the uninterrupted end state
+    TickStore.compactPrepare(spark, crashed)
+    // simulate dying halfway through the swap: month 2024-01 already
+    // renamed in, the others untouched, manifest still present
+    val fs = new Path(crashed).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(crashed, "date_month=2024-01")
+    fs.delete(live, true)
+    assert(fs.rename(new Path(crashed + "__compacting", "date_month=2024-01"), live))
+    // read() must roll the remaining months forward and match the clean run
+    def snap(dir: String) = TickStore.read(spark, dir)
+      .select($"asset_id", $"date", $"ts", $"value", $"seq")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(snap(crashed) === snap(clean))
+    // manifest and tmp dir are gone; a second commit is a no-op
+    assert(!fs.exists(new Path(crashed + "__compact_manifest.json")))
+    assert(!fs.exists(new Path(crashed + "__compacting")))
+    assert(!TickStore.compactCommit(spark, crashed))
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
