@@ -366,6 +366,22 @@ class PlanAuditSpec extends SparkSpec {
       s"doc_chunks must stay map-only + sort: ${shuffles("doc_chunks")}")
     assert(shuffles("minhash_index_compact") <= 5,
       s"minhash_index_compact exceeded probe distinct + sort: ${shuffles("minhash_index_compact")}")
+    // round-10 wave: the skew-safe as-of pays (key,slice) window +
+    // carry agg/distinct/window + carry-back join + sort — bounded,
+    // and every stage is hot-key-spread by construction; the findb
+    // rows are connector scans (the distributed WRITE's own shuffle
+    // runs inside the lambda, not in the returned plan) + sort; the
+    // crash-window row returns two checkpointed 1-row aggregates
+    assert(shuffles("asof_join_skew") <= 8,
+      s"asof_join_skew exceeded sliced window + carry chain + sort: ${shuffles("asof_join_skew")}")
+    assert(shuffles("findb_roundtrip") <= 1,
+      s"findb_roundtrip read must stay scan + sort: ${shuffles("findb_roundtrip")}")
+    assert(shuffles("findb_read_pruned") <= 1,
+      s"findb_read_pruned must stay pruned scan + sort: ${shuffles("findb_read_pruned")}")
+    assert(shuffles("findb_bulk_asof") <= 4,
+      s"findb_bulk_asof exceeded broadcast join + rank window + sort: ${shuffles("findb_bulk_asof")}")
+    assert(shuffles("tickstore_compact_atomic") <= 2,
+      s"tickstore_compact_atomic exceeded two checkpointed aggs + sort: ${shuffles("tickstore_compact_atomic")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
@@ -378,7 +394,8 @@ class PlanAuditSpec extends SparkSpec {
     // are planned out of this loop rather than paying a full execution
     // per audit.
     val harness = (n: String) =>
-      n.startsWith("stream_") || n.startsWith("tickstore_") || n == "findb_read"
+      n.startsWith("stream_") || n.startsWith("tickstore_") ||
+        n.startsWith("findb_")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => harness(q._1)).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
