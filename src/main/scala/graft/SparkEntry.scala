@@ -1102,6 +1102,16 @@ object SparkEntry {
     "dedup_method_venn" -> ((s, dir) =>
       Dedup.dedupMethodVenn(Tables.documents(s, dir))),
     "stream_vpt" -> ((s, dir) => StreamReplay.streamVpt(s, dir)),
+    // ── wave K (r10) ─────────────────────────────────────────────────
+    "rolling_corr" -> ((s, dir) =>
+      Analytics.rollingCorr(Tables.panel(s, dir))),
+    "rolling_var" -> ((s, dir) =>
+      Analytics.rollingVar(Tables.panel(s, dir))),
+    "pairs_signal" -> ((s, dir) =>
+      Analytics.pairsSignal(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
+    "corpus_pipeline" -> ((s, dir) =>
+      Pipeline.corpusPipeline(Tables.documents(s, dir))),
+    "stream_rolling_var" -> ((s, dir) => StreamReplay.streamRollingVar(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -1902,6 +1912,69 @@ object SparkEntry {
       |    SELECT asset_id, date,
       |           floor((value / nullif(lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date), 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
       |    FROM daily) t WHERE ret IS NOT NULL)""".stripMargin
+
+  /** Pairs-trading CTEs replaying [[graft.operators.Analytics
+    * .pairsSpread]] (use after `$panelCte,` is NOT needed — this
+    * includes it): ends at `zt` with one row per (id_a, id_b, date)
+    * carrying pa/pb/beta/spread/z — shared by the pairs_spread and
+    * pairs_signal oracles.
+    */
+  private val pairsZCtes =
+    s"""$panelCte,
+       |dailyp AS (
+       |  SELECT asset_id, date, value FROM (
+       |    SELECT asset_id, date, value,
+       |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
+       |    FROM panel WHERE asset_id IN (1, 2, 3, 4, 5, 6)) t WHERE rn = 1),
+       |j AS (
+       |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.date AS date,
+       |         a.value AS pa, b.value AS pb
+       |  FROM dailyp a JOIN dailyp b ON a.date = b.date
+       |  WHERE (a.asset_id = 1 AND b.asset_id = 2)
+       |     OR (a.asset_id = 3 AND b.asset_id = 4)
+       |     OR (a.asset_id = 5 AND b.asset_id = 6)),
+       |p AS (
+       |  SELECT id_a, id_b,
+       |         list(date ORDER BY date) AS dts,
+       |         list(pa ORDER BY date) AS pas,
+       |         list(pb ORDER BY date) AS pbs,
+       |         list(pa * pb ORDER BY date) AS pps
+       |  FROM j GROUP BY id_a, id_b),
+       |g AS (
+       |  SELECT id_a, id_b, dts, pas, pbs, CAST(len(pas) AS DOUBLE) AS n,
+       |         list_reduce(list_prepend(0.0, pas), (a, x) -> a + x) AS sa,
+       |         list_reduce(list_prepend(0.0, pbs), (a, x) -> a + x) AS sb,
+       |         list_reduce(list_prepend(0.0, pps), (a, x) -> a + x) AS sab,
+       |         list_reduce(list_prepend(0.0, list_transform(pbs, x -> x * x)), (a, x) -> a + x) AS sb2
+       |  FROM p WHERE len(pas) >= 3),
+       |b AS (
+       |  SELECT *, (n * sab - sa * sb) / nullif(n * sb2 - sb * sb, 0.0) AS beta FROM g),
+       |a2 AS (
+       |  SELECT *, (sa - beta * sb) / n AS alpha FROM b),
+       |s AS (
+       |  SELECT *, list_transform(range(1, CAST(len(pas) AS INTEGER) + 1),
+       |                           i -> pas[i] - (alpha + beta * pbs[i])) AS sarr
+       |  FROM a2),
+       |m AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x) / n AS ms,
+       |    sqrt(greatest(
+       |      (n * list_reduce(list_prepend(0.0, list_transform(sarr, x -> x * x)), (a, x) -> a + x)
+       |       - list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)
+       |         * list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)) / (n * (n - 1)),
+       |      0.0)) AS sd
+       |  FROM s),
+       |e AS (
+       |  SELECT id_a, id_b, beta, ms, sd, dts, pas, pbs, sarr,
+       |         unnest(range(1, CAST(len(dts) AS INTEGER) + 1)) AS i
+       |  FROM m),
+       |zt AS (
+       |  SELECT id_a, id_b, dts[i] AS date, pas[i] AS pa, pbs[i] AS pb,
+       |    floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       |    floor(sarr[i] * 1000000.0 + 0.5) / 1000000.0 AS spread,
+       |    floor(((sarr[i] - ms) / CASE WHEN sd = 0 THEN NULL ELSE sd END)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS z
+       |  FROM e)""".stripMargin
 
   /** Gopher-rule CTEs replaying [[graft.operators.Pipeline
     * .gopherRulesCore]] (use after `WITH `): ends at `gr` with one row
@@ -2963,7 +3036,14 @@ object SparkEntry {
          |FROM m WHERE date_month >= '2024-04'
          |GROUP BY date_month ORDER BY date_month""".stripMargin)
 
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // streaming twins of late-wave batch ops alias after the full map
+    // is assembled (their batch oracle lives outside baseOracle)
+    m + ("stream_rolling_var" -> m("rolling_var"))
+  }
+
+  private def oracleSqlBase: Map[String, String] =
     baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
@@ -3137,6 +3217,106 @@ object SparkEntry {
          |GROUP BY rr.source, rr.target_tokens, rr.source_tokens, rr.rate_ppm
          |ORDER BY rr.source""".stripMargin
     },
+    "rolling_corr" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |f AS (
+         |  SELECT asset_id, date, ret, mkt_ret,
+         |         list(ret)  OVER fw AS ra,
+         |         list(mkt_ret) OVER fw AS rm,
+         |         list(ret * mkt_ret) OVER fw AS rp
+         |  FROM j
+         |  WINDOW fw AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, ret, mkt_ret, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS sa2,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2
+         |  FROM f WHERE len(ra) >= 2),
+         |v AS (
+         |  SELECT asset_id, date, ret, mkt_ret, n, sa, sm, sp,
+         |         n * sa2 - sa * sa AS vna, n * sm2 - sm * sm AS vnm
+         |  FROM g)
+         |SELECT asset_id, date, ret, mkt_ret,
+         |  floor(((n * sp - sa * sm) /
+         |         CASE WHEN vna <= 0 OR vnm <= 0 THEN NULL ELSE sqrt(vna * vnm) END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS corr
+         |FROM v ORDER BY asset_id, date""".stripMargin,
+    "rolling_var" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list_sort(list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS ra
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ra, len(ra) AS n,
+         |         CAST(ceil(CAST(len(ra) AS DOUBLE) * 0.25) AS INTEGER) AS k
+         |  FROM f WHERE len(ra) >= 8)
+         |SELECT asset_id, date, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
+         |  ra[k] AS var_q,
+         |  floor((list_reduce(list_prepend(0.0, list_slice(ra, 1, k)), (a, x) -> a + x)
+         |         / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cvar
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "pairs_signal" ->
+      s"""$pairsZCtes,
+         |evt AS (
+         |  SELECT id_a, id_b, date, z,
+         |         CASE WHEN z IS NULL THEN NULL
+         |              WHEN abs(z) >= 2.0 THEN CAST(CASE WHEN z > 0 THEN -1 ELSE 1 END AS BIGINT)
+         |              WHEN abs(z) < 0.5 THEN CAST(0 AS BIGINT)
+         |              ELSE NULL END AS ev
+         |  FROM zt),
+         |led AS (
+         |  SELECT *, max(CASE WHEN ev IS NOT NULL THEN date END)
+         |    OVER (PARTITION BY id_a, id_b ORDER BY date ROWS UNBOUNDED PRECEDING) AS ed
+         |  FROM evt)
+         |SELECT l.id_a, l.id_b, l.date, l.z,
+         |  CAST(COALESCE(e2.ev, 0) AS BIGINT) AS pos
+         |FROM led l
+         |LEFT JOIN evt e2 ON e2.id_a = l.id_a AND e2.id_b = l.id_b AND e2.date = l.ed
+         |ORDER BY l.id_a, l.id_b, l.date""".stripMargin,
+    "corpus_pipeline" ->
+      s"""WITH $gopherCtes,
+         |tok AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |base AS (
+         |  SELECT t.doc_id, t.source, t.text, t.n_toks,
+         |         (gr.rule_word_count AND gr.rule_mean_word_len AND gr.rule_symbol_ratio
+         |          AND gr.rule_bullet AND gr.rule_ellipsis AND gr.rule_alpha
+         |          AND gr.rule_stopwords) AS pass_gopher
+         |  FROM tok t JOIN gr ON gr.doc_id = t.doc_id),
+         |q AS (SELECT * FROM base WHERE pass_gopher),
+         |r AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM q GROUP BY 1),
+         |u AS (SELECT q.source, q.n_toks
+         |      FROM q JOIN r ON md5(q.text) = r.h AND q.doc_id = r.rep),
+         |agg1 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |         CAST(sum(n_toks) AS BIGINT) AS tokens_in
+         |  FROM base GROUP BY source),
+         |agg2 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+         |         CAST(sum(n_toks) AS BIGINT) AS tokens_unique
+         |  FROM u GROUP BY source)
+         |SELECT a.source, a.n_docs, a.n_quality, a.tokens_in,
+         |  COALESCE(b.n_unique, 0) AS n_unique,
+         |  COALESCE(b.tokens_unique, 0) AS tokens_unique
+         |FROM agg1 a LEFT JOIN agg2 b USING (source) ORDER BY a.source""".stripMargin,
     "dedup_method_venn" ->
       s"""$minhashBandCtes,
          |cand AS (
@@ -5463,60 +5643,9 @@ object SparkEntry {
          |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(vol_n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cmf
          |FROM f ORDER BY asset_id, date""".stripMargin,
     "pairs_spread" ->
-      s"""$panelCte,
-         |dailyp AS (
-         |  SELECT asset_id, date, value FROM (
-         |    SELECT asset_id, date, value,
-         |           ROW_NUMBER() OVER (PARTITION BY asset_id, date ORDER BY ts DESC, seq DESC) AS rn
-         |    FROM panel WHERE asset_id IN (1, 2, 3, 4, 5, 6)) t WHERE rn = 1),
-         |j AS (
-         |  SELECT a.asset_id AS id_a, b.asset_id AS id_b, a.date AS date,
-         |         a.value AS pa, b.value AS pb
-         |  FROM dailyp a JOIN dailyp b ON a.date = b.date
-         |  WHERE (a.asset_id = 1 AND b.asset_id = 2)
-         |     OR (a.asset_id = 3 AND b.asset_id = 4)
-         |     OR (a.asset_id = 5 AND b.asset_id = 6)),
-         |p AS (
-         |  SELECT id_a, id_b,
-         |         list(date ORDER BY date) AS dts,
-         |         list(pa ORDER BY date) AS pas,
-         |         list(pb ORDER BY date) AS pbs,
-         |         list(pa * pb ORDER BY date) AS pps
-         |  FROM j GROUP BY id_a, id_b),
-         |g AS (
-         |  SELECT id_a, id_b, dts, pas, pbs, CAST(len(pas) AS DOUBLE) AS n,
-         |         list_reduce(list_prepend(0.0, pas), (a, x) -> a + x) AS sa,
-         |         list_reduce(list_prepend(0.0, pbs), (a, x) -> a + x) AS sb,
-         |         list_reduce(list_prepend(0.0, pps), (a, x) -> a + x) AS sab,
-         |         list_reduce(list_prepend(0.0, list_transform(pbs, x -> x * x)), (a, x) -> a + x) AS sb2
-         |  FROM p WHERE len(pas) >= 3),
-         |b AS (
-         |  SELECT *, (n * sab - sa * sb) / nullif(n * sb2 - sb * sb, 0.0) AS beta FROM g),
-         |a2 AS (
-         |  SELECT *, (sa - beta * sb) / n AS alpha FROM b),
-         |s AS (
-         |  SELECT *, list_transform(range(1, CAST(len(pas) AS INTEGER) + 1),
-         |                           i -> pas[i] - (alpha + beta * pbs[i])) AS sarr
-         |  FROM a2),
-         |m AS (
-         |  SELECT *,
-         |    list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x) / n AS ms,
-         |    sqrt(greatest(
-         |      (n * list_reduce(list_prepend(0.0, list_transform(sarr, x -> x * x)), (a, x) -> a + x)
-         |       - list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)
-         |         * list_reduce(list_prepend(0.0, sarr), (a, x) -> a + x)) / (n * (n - 1)),
-         |      0.0)) AS sd
-         |  FROM s),
-         |e AS (
-         |  SELECT id_a, id_b, beta, ms, sd, dts, pas, pbs, sarr,
-         |         unnest(range(1, CAST(len(dts) AS INTEGER) + 1)) AS i
-         |  FROM m)
-         |SELECT id_a, id_b, dts[i] AS date, pas[i] AS pa, pbs[i] AS pb,
-         |  floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
-         |  floor(sarr[i] * 1000000.0 + 0.5) / 1000000.0 AS spread,
-         |  floor(((sarr[i] - ms) / CASE WHEN sd = 0 THEN NULL ELSE sd END)
-         |        * 1000000.0 + 0.5) / 1000000.0 AS z
-         |FROM e ORDER BY id_a, id_b, date""".stripMargin,
+      s"""$pairsZCtes
+         |SELECT id_a, id_b, date, pa, pb, beta, spread, z
+         |FROM zt ORDER BY id_a, id_b, date""".stripMargin,
     "quality_signals" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ltoks

@@ -714,6 +714,84 @@ object Analytics {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** B197 `rolling_corr` — rolling Pearson correlation of each asset's
+    * daily return against the equal-weight market return over a
+    * `window`-day frame: [[rollingBeta]]'s directional companion (beta
+    * scales exposure; correlation measures how RELIABLY the asset
+    * tracks the market — the diversification input). Identical plan
+    * shape: one asset_id shuffle carries the LWW collapse, the return
+    * lag, and the frame arrays; the per-date market mean broadcasts
+    * back. NULL when either frame variance term is ≤ 0 (constant
+    * series), guarded identically on both engines.
+    */
+  def rollingCorr(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val rets = daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+    val mkt = rets
+      .groupBy(col("date"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
+        s => s("ret")).as("marr"))
+      .select(col("date"),
+        u6(foldSum(col("marr")) / size(col("marr")).cast("double")).as("mkt_ret"))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(mkt), Seq("date"))
+      .withColumn("ra", collect_list(col("ret")).over(frame))
+      .withColumn("rm", collect_list(col("mkt_ret")).over(frame))
+      .withColumn("rp", collect_list(col("ret") * col("mkt_ret")).over(frame))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sa2", foldSumSq(col("ra")))
+      .withColumn("sm2", foldSumSq(col("rm")))
+      .withColumn("vna", n * col("sa2") - col("sa") * col("sa"))
+      .withColumn("vnm", n * col("sm2") - col("sm") * col("sm"))
+      .withColumn("corr", u6((n * col("sp") - col("sa") * col("sm")) /
+        when(col("vna") <= 0 || col("vnm") <= 0, lit(null))
+          .otherwise(sqrt(col("vna") * col("vnm")))))
+      .select(col("asset_id"), col("date"), col("ret"), col("mkt_ret"), col("corr"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B199 `rolling_var` — ROLLING historical VaR/CVaR per asset: B33
+    * [[varCvar]] localized to a trailing `window`-day return frame, the
+    * risk number a desk actually marks daily (full-history VaR goes
+    * stale after a regime change). Tail size k = ⌈q·n⌉ over the SORTED
+    * frame (q = 0.25 so small frames still have k ≥ 2 — integer cut,
+    * no interpolation ambiguity); frames shorter than `minN` emit
+    * nothing. Same single asset_id shuffle as the other rolling ops;
+    * the frame sort is per row over ≤ `window` elements.
+    */
+  def rollingVar(panel: DataFrame, window: Int = 20, q: Double = 0.25,
+                 minN: Int = 8): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("ra", array_sort(collect_list(col("ret")).over(frame)))
+      .withColumn("n", size(col("ra")))
+      .filter(col("n") >= minN)
+      .withColumn("k", ceil(col("n").cast("double") * lit(q)).cast("int"))
+      .withColumn("tail", slice(col("ra"), lit(1), col("k")))
+      .withColumn("var_q", element_at(col("ra"), col("k")))
+      .withColumn("cvar", u6(foldSum(col("tail")) / col("k").cast("double")))
+      .select(col("asset_id"), col("date"), col("n").cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"), col("var_q"), col("cvar"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   /** B33 `var_cvar` — historical Value-at-Risk per asset: the worst
     * ⌈q·n⌉ daily returns define the tail; VaR = the best of them (the
     * q-quantile by the "lower" convention — integer cut, no
@@ -1851,6 +1929,40 @@ object Analytics {
         u6(element_at(col("sarr"), col("i") + 1)).as("spread"),
         u6((element_at(col("sarr"), col("i") + 1) - col("ms")) /
           when(col("sd") === 0, lit(null)).otherwise(col("sd"))).as("z"))
+      .orderBy(col("id_a"), col("id_b"), col("date"))
+  }
+
+  /** B198 `pairs_signal` — mean-reversion position track over B54
+    * [[pairsSpread]]'s z-score: enter against the stretch when
+    * |z| ≥ `entry` (z rich → short the spread, −1; z cheap → +1), flat
+    * when |z| < `exit`, CARRY otherwise — the hysteresis loop every
+    * pairs desk runs. The carried state needs no recursion: a
+    * position only depends on the LAST boundary event, so one
+    * `last(ignoreNulls)` window over the sparse event column replays
+    * it exactly (the same idiom the oracle writes as windowed
+    * max-event-date + self-join). Adds a single per-pair window to the
+    * spread's plan; the 6dp z makes every threshold comparison
+    * engine-identical.
+    */
+  def pairsSignal(panel: DataFrame, pairs: Seq[(Long, Long)],
+                  entry: Double = 2.0, exit: Double = 0.5): DataFrame =
+    signalOverZ(pairsSpread(panel, pairs), entry, exit)
+
+  /** The position logic of [[pairsSignal]] over any (id_a, id_b, date,
+    * z) frame — factored for direct spec fixtures.
+    */
+  private[graft] def signalOverZ(zFrame: DataFrame, entry: Double = 2.0,
+                                 exit: Double = 0.5): DataFrame = {
+    val ev = when(col("z").isNull, lit(null).cast("long"))
+      .when(abs(col("z")) >= entry, when(col("z") > 0, lit(-1L)).otherwise(lit(1L)))
+      .when(abs(col("z")) < exit, lit(0L))
+      .otherwise(lit(null).cast("long"))
+    val w = Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zFrame
+      .withColumn("ev", ev)
+      .withColumn("pos", coalesce(last(col("ev"), ignoreNulls = true).over(w), lit(0L)))
+      .select(col("id_a"), col("id_b"), col("date"), col("z"), col("pos"))
       .orderBy(col("id_a"), col("id_b"), col("date"))
   }
 

@@ -1159,6 +1159,45 @@ object Pipeline {
         col("rule_ellipsis"), col("rule_alpha"), col("rule_stopwords"), col("pass_gopher"))
   }
 
+  /** C137 `corpus_pipeline` — the training-corpus funnel END-TO-END in
+    * one query: Gopher quality gate → exact dedup among the survivors
+    * (md5 star-rep, the C134 convention) → per-source reconciliation
+    * of what survives each stage and how many whitespace tokens it
+    * carries (the unit mixture budgets are denominated in). C103
+    * `filter_funnel` reports stage COUNTS for independent predicates;
+    * this is the composed pipeline itself — dedup runs on the
+    * quality-PASSING corpus, the order real pipelines use (filtering
+    * first shrinks the dedup key space). Scale shape: one documents
+    * scan feeds the stateless gate, one md5-keyed shuffle (32 hex
+    * chars, never the document) finds group reps, one source rollup.
+    */
+  def corpusPipeline(documents: DataFrame): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val gated = gopherRulesCore(documents).select(col("doc_id"), col("pass_gopher"))
+    val base = documents
+      .select(col("doc_id"), col("source"), col("text"), toks.as("n_toks"))
+      .join(gated, Seq("doc_id"))
+    val quality = base.filter(col("pass_gopher"))
+    val reps = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep"))
+    val unique = quality.withColumn("h", md5(col("text")))
+      .join(reps, Seq("h"))
+      .filter(col("doc_id") === col("rep"))
+    base.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass_gopher"), 1L).otherwise(0L)).as("n_quality"),
+        sum(col("n_toks")).as("tokens_in"))
+      .join(
+        unique.groupBy(col("source")).agg(
+          count(lit(1)).as("n_unique"),
+          sum(col("n_toks")).as("tokens_unique")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique", "tokens_unique"))
+      .orderBy(col("source"))
+  }
+
   /** C79 `lm_score_buckets` — CCNet-style perplexity bucketing: each
     * source's documents split into head/middle/tail terciles by their
     * [[lmScore]] bigram fluency (rank-based integer cut

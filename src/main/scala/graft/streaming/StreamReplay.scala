@@ -215,6 +215,15 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamRollingVar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rollingVarStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamDisparity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

@@ -712,6 +712,56 @@ object StreamingOps {
       }
   }
 
+  case class RollVarState(last_value: Double, rets: Vector[Double])
+  case class RollVarPoint(asset_id: Long, date: java.sql.Date, n_days: Long,
+                          n_tail: Long, var_q: Double, cvar: Double)
+
+  /** D39 `rollingVarStream` — streaming face of B199 `rolling_var`:
+    * rolling historical VaR/CVaR per asset, maintained with a ring of
+    * the last `window` LWW daily returns (O(#assets · window) state,
+    * no TTL — the panel's asset set is bounded). Each emission sorts
+    * its ≤`window`-element ring and takes the ⌈q·n⌉ tail, bit-matching
+    * the batch twin: same jvm6 return rounding, same ascending
+    * left-to-right tail sum, same integer cut.
+    */
+  def rollingVarStream(daily: Dataset[DailyTick], window: Int = 20,
+                       q: Double = 0.25, minN: Int = 8): Dataset[RollVarPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RollVarState, RollVarPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RollVarState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[RollVarPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = RollVarState(t.value, Vector.empty)
+            } else if (st.last_value != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
+              val rets = (st.rets :+ ret).takeRight(window)
+              if (rets.size >= minN) {
+                val sorted = rets.sorted
+                val k = math.ceil(sorted.size * q).toInt
+                var s = 0.0
+                var i = 0
+                while (i < k) { s += sorted(i); i += 1 }
+                out += RollVarPoint(assetId, t.date, rets.size.toLong, k.toLong,
+                  sorted(k - 1), graft.operators.Micro.jvm6(s / k))
+              }
+              st = RollVarState(t.value, rets)
+            } else {
+              // zero prior value: no return (batch filters the NULL);
+              // the ring carries over unchanged
+              st = RollVarState(t.value, st.rets)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class DispState(vals: Vector[Double])
   case class DispPoint(asset_id: Long, date: java.sql.Date, disparity: Option[Double])
 

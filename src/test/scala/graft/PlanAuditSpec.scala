@@ -382,6 +382,18 @@ class PlanAuditSpec extends SparkSpec {
       s"findb_bulk_asof exceeded broadcast join + rank window + sort: ${shuffles("findb_bulk_asof")}")
     assert(shuffles("tickstore_compact_atomic") <= 2,
       s"tickstore_compact_atomic exceeded two checkpointed aggs + sort: ${shuffles("tickstore_compact_atomic")}")
+    // wave K: the rolling ops ride the single asset shuffle (+ the
+    // per-date market agg broadcast back for corr, the beta shape);
+    // pairs_signal adds ONE pair window to the spread's plan; the
+    // corpus pipeline is gate join + md5 rep shuffle + source rollups
+    assert(shuffles("rolling_corr") <= 5,
+      s"rolling_corr exceeded panel + market agg + sort: ${shuffles("rolling_corr")}")
+    assert(shuffles("rolling_var") <= 2,
+      s"rolling_var grew beyond shuffle+sort: ${shuffles("rolling_var")}")
+    assert(shuffles("pairs_signal") <= 9,
+      s"pairs_signal exceeded spread plan + pair window + sort: ${shuffles("pairs_signal")}")
+    assert(shuffles("corpus_pipeline") <= 7,
+      s"corpus_pipeline exceeded gate join + rep shuffle + rollups: ${shuffles("corpus_pipeline")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

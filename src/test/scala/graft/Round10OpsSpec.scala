@@ -261,6 +261,96 @@ class Round10OpsSpec extends SparkSpec {
     assert(!TickStore.compactCommit(spark, crashed))
   }
 
+  // ── wave K fixtures ────────────────────────────────────────────────
+  import java.sql.{Date, Timestamp}
+  private def panelOf(series: Map[Long, Seq[Double]]) =
+    series.toSeq.flatMap { case (asset, vals) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        (asset, Date.valueOf(f"2024-01-${i + 1}%02d"),
+          new Timestamp(1704000000000L + i * 1000L), v, asset * 100 + i)
+      }
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+
+  test("rolling_corr: identical price paths correlate at exactly 1 with the market") {
+    val vals = Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0)
+    val out = graft.operators.Analytics
+      .rollingCorr(panelOf(Map(1L -> vals, 2L -> vals)), window = 20)
+      .collect()
+    // both assets ARE the equal-weight market; every n>=2 frame has
+    // positive variance, so corr is exactly 1 after u6
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("corr") === 1.0))
+    // constant series: zero variance frames yield NULL, not a crash
+    val flat = graft.operators.Analytics
+      .rollingCorr(panelOf(Map(1L -> Seq(5.0, 5.0, 5.0, 5.0))), window = 20)
+      .collect()
+    assert(flat.forall(_.isNullAt(flat.head.fieldIndex("corr"))))
+  }
+
+  test("rolling_var: sorted-frame tail cut matches a hand computation") {
+    import graft.operators.Micro.jvm6
+    val vals = Seq(100.0, 101.0, 99.5, 103.0, 100.0, 104.0, 102.0, 106.0, 101.0)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1.0) }.toVector
+    val out = graft.operators.Analytics
+      .rollingVar(panelOf(Map(1L -> vals)), window = 20, minN = 8)
+      .collect()
+    assert(out.length === 1) // only day 9 has 8 returns
+    val r = out.head
+    val sorted = rets.sorted
+    val k = math.ceil(sorted.size * 0.25).toInt // 8 * 0.25 = 2
+    assert(r.getAs[Long]("n_days") === 8L)
+    assert(r.getAs[Long]("n_tail") === k.toLong)
+    assert(r.getAs[Double]("var_q") === sorted(k - 1))
+    assert(r.getAs[Double]("cvar") === jvm6(sorted.take(k).sum / k))
+  }
+
+  test("pairs_signal: hysteresis carries positions between entry and exit crossings") {
+    val z = Seq(
+      (1L, 2L, Date.valueOf("2024-01-01"), null.asInstanceOf[java.lang.Double]),
+      (1L, 2L, Date.valueOf("2024-01-02"), java.lang.Double.valueOf(2.5)),
+      (1L, 2L, Date.valueOf("2024-01-03"), java.lang.Double.valueOf(1.0)),
+      (1L, 2L, Date.valueOf("2024-01-04"), java.lang.Double.valueOf(0.4)),
+      (1L, 2L, Date.valueOf("2024-01-05"), java.lang.Double.valueOf(-2.2)),
+      (1L, 2L, Date.valueOf("2024-01-06"), java.lang.Double.valueOf(-1.0)),
+      (1L, 2L, Date.valueOf("2024-01-07"), java.lang.Double.valueOf(0.3)))
+      .toDF("id_a", "id_b", "date", "z")
+    val pos = graft.operators.Analytics.signalOverZ(z)
+      .collect().map(_.getAs[Long]("pos")).toSeq
+    //            null  2.5  1.0(carry)  0.4  -2.2  -1.0(carry)  0.3
+    assert(pos === Seq(0L, -1L, -1L, 0L, 1L, 1L, 0L))
+  }
+
+  test("corpus_pipeline: gate then dedup then per-source token reconciliation") {
+    val good = Seq.fill(10)("the quick brown fox and dog").mkString(" ") // 60 words
+    val corpus = Seq(
+      (1L, good, "a"), (2L, good, "a"), (5L, "short text", "a"),
+      (3L, good + " extra tokens here", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Pipeline.corpusPipeline(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"), r.getAs[Long]("tokens_in"),
+          r.getAs[Long]("n_unique"), r.getAs[Long]("tokens_unique"))).toMap
+    assert(out("a") === ((3L, 2L, 122L, 1L, 60L))) // dup collapses to one rep
+    assert(out("b") === ((1L, 1L, 63L, 1L, 63L)))
+  }
+
+  test("stream_rolling_var equals the batch rolling_var on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 101.0, 99.5, 103.0, 100.0, 104.0, 102.0, 106.0, 101.0, 99.0, 103.5),
+      2L -> Seq(50.0, 51.0, 49.0, 52.5, 50.5, 53.0, 51.5, 54.0, 52.0, 55.5)))
+    val batch = graft.operators.Analytics.rollingVar(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 2L)(StreamingOps.rollingVarStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
