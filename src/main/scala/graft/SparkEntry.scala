@@ -1112,6 +1112,9 @@ object SparkEntry {
     "corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(Tables.documents(s, dir))),
     "stream_rolling_var" -> ((s, dir) => StreamReplay.streamRollingVar(s, dir)),
+    "pairs_adf" -> ((s, dir) =>
+      Analytics.pairsAdf(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
+    "stream_rolling_corr" -> ((s, dir) => StreamReplay.streamRollingCorr(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3040,7 +3043,8 @@ object SparkEntry {
     val m = oracleSqlBase
     // streaming twins of late-wave batch ops alias after the full map
     // is assembled (their batch oracle lives outside baseOracle)
-    m + ("stream_rolling_var" -> m("rolling_var"))
+    m + ("stream_rolling_var" -> m("rolling_var")) +
+      ("stream_rolling_corr" -> m("rolling_corr"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -3287,6 +3291,49 @@ object SparkEntry {
          |FROM led l
          |LEFT JOIN evt e2 ON e2.id_a = l.id_a AND e2.id_b = l.id_b AND e2.date = l.ed
          |ORDER BY l.id_a, l.id_b, l.date""".stripMargin,
+    "pairs_adf" ->
+      s"""$pairsZCtes,
+         |spl AS (SELECT id_a, id_b, list(spread ORDER BY date) AS sp FROM zt GROUP BY id_a, id_b),
+         |ad AS (
+         |  SELECT id_a, id_b, sp, len(sp) AS n0,
+         |         list_slice(sp, 1, len(sp) - 1) AS x,
+         |         list_transform(range(1, CAST(len(sp) AS INTEGER)),
+         |                        i -> sp[i + 1] - sp[i]) AS y
+         |  FROM spl WHERE len(sp) >= 4),
+         |ag AS (
+         |  SELECT id_a, id_b, n0, x, y, CAST(n0 - 1 AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, x), (a, v) -> a + v) AS sx,
+         |         list_reduce(list_prepend(0.0, y), (a, v) -> a + v) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(len(x) AS INTEGER) + 1),
+         |                                                      i -> x[i] * y[i])), (a, v) -> a + v) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(x, v -> v * v)), (a, v) -> a + v) AS sx2
+         |  FROM ad),
+         |ar AS (
+         |  SELECT *, (n * sxy - sx * sy) /
+         |            CASE WHEN n * sx2 - sx * sx <= 0 THEN NULL ELSE n * sx2 - sx * sx END AS rho_raw
+         |  FROM ag),
+         |aa AS (SELECT *, (sy - rho_raw * sx) / n AS a FROM ar),
+         |ss AS (
+         |  SELECT *, list_reduce(list_prepend(0.0,
+         |              list_transform(range(1, CAST(len(x) AS INTEGER) + 1),
+         |                             i -> (y[i] - (a + rho_raw * x[i])) * (y[i] - (a + rho_raw * x[i])))),
+         |            (acc, v) -> acc + v) AS sse,
+         |         sx2 - sx * sx / n AS sden
+         |  FROM aa),
+         |tt AS (
+         |  SELECT id_a, id_b, n0, rho_raw,
+         |         CASE WHEN n <= 2 OR sden <= 0 THEN NULL
+         |              ELSE sqrt((sse / (n - 2)) / sden) END AS se
+         |  FROM ss),
+         |ft AS (
+         |  SELECT id_a, id_b, n0, rho_raw,
+         |         floor((rho_raw / CASE WHEN se = 0 THEN NULL ELSE se END) * 1000000.0 + 0.5)
+         |           / 1000000.0 AS t_stat
+         |  FROM tt)
+         |SELECT id_a, id_b, CAST(n0 AS BIGINT) AS n_obs,
+         |  floor(rho_raw * 1000000.0 + 0.5) / 1000000.0 AS rho,
+         |  t_stat, t_stat < -2.86 AS coint_5pct
+         |FROM ft ORDER BY id_a, id_b""".stripMargin,
     "corpus_pipeline" ->
       s"""WITH $gopherCtes,
          |tok AS (

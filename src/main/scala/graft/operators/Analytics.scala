@@ -724,7 +724,12 @@ object Analytics {
     * back. NULL when either frame variance term is ≤ 0 (constant
     * series), guarded identically on both engines.
     */
-  def rollingCorr(panel: DataFrame, window: Int = 20): DataFrame = {
+  /** Per-asset daily returns joined with the equal-weight market
+    * return of the same date — the (asset_id, date, ret, mkt_ret)
+    * relation [[rollingCorr]] and its streaming feed share (the
+    * rollingBeta shape).
+    */
+  private[graft] def retsWithMarket(panel: DataFrame): DataFrame = {
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
     val prev = lag(col("value"), 1).over(w)
@@ -737,11 +742,15 @@ object Analytics {
         s => s("ret")).as("marr"))
       .select(col("date"),
         u6(foldSum(col("marr")) / size(col("marr")).cast("double")).as("mkt_ret"))
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(mkt), Seq("date"))
+  }
+
+  def rollingCorr(panel: DataFrame, window: Int = 20): DataFrame = {
     val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(-(window - 1), Window.currentRow)
     val n = col("n")
-    rets.select(col("asset_id"), col("date"), col("ret"))
-      .join(broadcast(mkt), Seq("date"))
+    retsWithMarket(panel)
       .withColumn("ra", collect_list(col("ret")).over(frame))
       .withColumn("rm", collect_list(col("mkt_ret")).over(frame))
       .withColumn("rp", collect_list(col("ret") * col("mkt_ret")).over(frame))
@@ -1964,6 +1973,54 @@ object Analytics {
       .withColumn("pos", coalesce(last(col("ev"), ignoreNulls = true).over(w), lit(0L)))
       .select(col("id_a"), col("id_b"), col("date"), col("z"), col("pos"))
       .orderBy(col("id_a"), col("id_b"), col("date"))
+  }
+
+  /** B200 `pairs_adf` — Engle-Granger STEP 2 for the B54 pairs: an
+    * augmented-Dickey-Fuller-style unit-root test (no lag terms, with
+    * constant) on each pair's 6dp spread series — Δs_t = a + ρ·s_{t−1};
+    * t(ρ) < −2.86 (the 5% DF critical value, constant case) rejects
+    * the unit root, i.e. the spread actually mean-reverts and the pair
+    * is tradeable (B54's z-score assumes this; this row TESTS it;
+    * B80's half_life is the per-ASSET AR(1) cousin). Closed-form OLS
+    * over the pair's date-sorted spread array: every sum is the shared
+    * left-to-right fold over 6dp inputs, so ρ, SE and the t-stat are
+    * bit-identical cross-engine and the 6dp t makes the critical-value
+    * comparison exact. O(pairs) rows; rides the spread's plan plus one
+    * per-pair aggregation.
+    */
+  def pairsAdf(panel: DataFrame, pairs: Seq[(Long, Long)]): DataFrame = {
+    val n = col("n")
+    pairsSpread(panel, pairs)
+      .select(col("id_a"), col("id_b"), col("date"), col("spread"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("spread")))),
+        s => s("spread")).as("sp"))
+      .withColumn("n0", size(col("sp")))
+      .filter(col("n0") >= 4) // n−1 obs with n−3 ≥ 1 residual dof
+      .withColumn("x", slice(col("sp"), lit(1), col("n0") - 1))
+      .withColumn("y", zip_with(slice(col("sp"), lit(2), col("n0") - 1), col("x"),
+        (b, a) => b - a))
+      .withColumn("n", (col("n0") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("x")))
+      .withColumn("sy", foldSum(col("y")))
+      .withColumn("sxy", Kernels.dot(col("x"), col("y")))
+      .withColumn("sx2", foldSumSq(col("x")))
+      .withColumn("den", n * col("sx2") - col("sx") * col("sx"))
+      .withColumn("rho_raw", (n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") <= 0, lit(null)).otherwise(col("den")))
+      .withColumn("a", (col("sy") - col("rho_raw") * col("sx")) / n)
+      .withColumn("res", zip_with(col("y"), col("x"),
+        (yy, xx) => yy - (col("a") + col("rho_raw") * xx)))
+      .withColumn("sse", foldSumSq(col("res")))
+      .withColumn("sden", col("sx2") - col("sx") * col("sx") / n)
+      .withColumn("se", when(n <= 2 || col("sden") <= 0, lit(null))
+        .otherwise(sqrt((col("sse") / (n - 2)) / col("sden"))))
+      .withColumn("t_stat", u6(col("rho_raw") /
+        when(col("se") === 0, lit(null)).otherwise(col("se"))))
+      .select(col("id_a"), col("id_b"), col("n0").cast("long").as("n_obs"),
+        u6(col("rho_raw")).as("rho"), col("t_stat"),
+        (col("t_stat") < -2.86).as("coint_5pct"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** B55 `event_study` — classic event-study table: mean abnormal

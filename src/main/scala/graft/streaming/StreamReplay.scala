@@ -215,6 +215,28 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** The (asset, date, ret, mkt_ret) feed for the correlation twin —
+    * the same relation the batch op consumes (the index leg rides the
+    * tick, see [[StreamingOps.rollingCorrStream]]).
+    */
+  private def corrFeed(s: SparkSession, dir: String): Seq[StreamingOps.CorrTick] = {
+    import s.implicits._
+    Analytics.retsWithMarket(Tables.panel(s, dir))
+      .select(col("asset_id"), col("date"), col("ret"), col("mkt_ret"))
+      .as[StreamingOps.CorrTick]
+      .collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+  }
+
+  def streamRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = corrFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rollingCorrStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamRollingVar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

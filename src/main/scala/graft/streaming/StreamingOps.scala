@@ -712,6 +712,53 @@ object StreamingOps {
       }
   }
 
+  case class CorrTick(asset_id: Long, date: java.sql.Date, ret: Double, mkt_ret: Double)
+  case class RollCorrState(pairs: Vector[(Double, Double)])
+  case class RollCorrPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                           mkt_ret: Double, corr: Option[Double])
+
+  /** D40 `rollingCorrStream` — streaming face of B197 `rolling_corr`:
+    * rolling correlation vs the market, maintained per asset with a
+    * ring of the last `window` (ret, mkt_ret) pairs (O(#assets ·
+    * window) state). The market return arrives ON the tick (an
+    * exchange-published index leg — the realistic stream shape; the
+    * replay feed derives it from the same relation the batch op uses),
+    * so no cross-key state is needed. Ring sums run left-to-right in
+    * date order (≡ the batch fold), roundings ride jvm6, and the
+    * zero-variance guard mirrors the batch NULL.
+    */
+  def rollingCorrStream(ticks: Dataset[CorrTick], window: Int = 20): Dataset[RollCorrPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RollCorrState, RollCorrPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[CorrTick], state: GroupState[RollCorrState]) =>
+          var ring = state.getOption.map(_.pairs).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[RollCorrPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ ((t.ret, t.mkt_ret))).takeRight(window)
+            if (ring.size >= 2) {
+              val n = ring.size.toDouble
+              var sa = 0.0; var sm = 0.0; var sp = 0.0; var sa2 = 0.0; var sm2 = 0.0
+              ring.foreach { case (a, m) =>
+                sa += a; sm += m; sp += a * m; sa2 += a * a; sm2 += m * m
+              }
+              val vna = n * sa2 - sa * sa
+              val vnm = n * sm2 - sm * sm
+              val corr =
+                if (vna <= 0 || vnm <= 0) None
+                else Some(graft.operators.Micro.jvm6(
+                  (n * sp - sa * sm) / math.sqrt(vna * vnm)))
+              out += RollCorrPoint(assetId, t.date, t.ret, t.mkt_ret, corr)
+            }
+          }
+          state.update(RollCorrState(ring))
+          out.result().iterator
+      }
+  }
+
   case class RollVarState(last_value: Double, rets: Vector[Double])
   case class RollVarPoint(asset_id: Long, date: java.sql.Date, n_days: Long,
                           n_tail: Long, var_q: Double, cvar: Double)

@@ -394,6 +394,8 @@ class PlanAuditSpec extends SparkSpec {
       s"pairs_signal exceeded spread plan + pair window + sort: ${shuffles("pairs_signal")}")
     assert(shuffles("corpus_pipeline") <= 7,
       s"corpus_pipeline exceeded gate join + rep shuffle + rollups: ${shuffles("corpus_pipeline")}")
+    assert(shuffles("pairs_adf") <= 9,
+      s"pairs_adf exceeded spread plan + pair aggregation + sort: ${shuffles("pairs_adf")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

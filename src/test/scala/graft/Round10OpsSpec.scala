@@ -351,6 +351,45 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("pairs_adf: an oscillating spread rejects the unit root; a trending one does not") {
+    // pair (1,2): pa rides pb plus a strongly mean-reverting oscillation
+    val pb1 = (0 until 12).map(i => 100.0 + 0.5 * i)
+    val pa1 = pb1.zipWithIndex.map { case (v, i) =>
+      v + (if (i % 2 == 0) 1.0 else -1.0) * (1.0 + 0.05 * (i % 3))
+    }
+    // pair (3,4): pa rides a NON-trending pb plus a steadily drifting
+    // residual — OLS on pb cannot absorb the ramp, so the spread walks
+    val pb2 = Seq(50.0, 50.4, 49.8, 50.6, 49.6, 50.2, 50.8, 49.4, 50.0, 50.6, 49.2, 50.4)
+    val ramp = Seq(0.0, 0.3, 0.7, 1.0, 1.4, 1.7, 2.1, 2.4, 2.8, 3.1, 3.5, 3.8)
+    val pa2 = pb2.zip(ramp).map { case (v, r) => 0.5 * v + r }
+    val panel = panelOf(Map(1L -> pa1, 2L -> pb1, 3L -> pa2, 4L -> pb2))
+    val out = graft.operators.Analytics.pairsAdf(panel, Seq((1L, 2L), (3L, 4L)))
+      .collect().map(r => (r.getAs[Long]("id_a"),
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("t_stat"), r.getAs[Boolean]("coint_5pct"))))
+      .toMap
+    assert(out(1L)._1 === 12L)
+    assert(out(1L)._2 < -2.86 && out(1L)._3, s"oscillating pair not cointegrated: ${out(1L)}")
+    assert(!out(3L)._3, s"drifting pair wrongly cointegrated: ${out(3L)}")
+  }
+
+  test("stream_rolling_corr equals the batch rolling_corr on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 51.0, 54.5),
+      3L -> Seq(10.0, 9.8, 10.4, 10.1, 10.9, 10.5, 11.2, 10.8)))
+    val batch = graft.operators.Analytics.rollingCorr(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.Analytics.retsWithMarket(panel)
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.CorrTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 3L)(StreamingOps.rollingCorrStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
+
   test("dedup_method_venn exact arm: a group of 4 identical docs emits 3 star pairs") {
     val base = "the quick brown fox jumps over the lazy dog tonight again"
     val corpus = Seq(
