@@ -1115,6 +1115,23 @@ object SparkEntry {
     "pairs_adf" -> ((s, dir) =>
       Analytics.pairsAdf(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
     "stream_rolling_corr" -> ((s, dir) => StreamReplay.streamRollingCorr(s, dir)),
+    // ── wave M (r10) ─────────────────────────────────────────────────
+    "trin" -> ((s, dir) =>
+      Analytics.trin(Tables.panel(s, dir))),
+    "jarque_bera" -> ((s, dir) =>
+      Analytics.jarqueBera(Tables.panel(s, dir))),
+    "rolling_ols_trend" -> ((s, dir) =>
+      Analytics.rollingOlsTrend(Tables.panel(s, dir))),
+    "ewma_vol" -> ((s, dir) =>
+      Analytics.ewmaVol(Tables.panel(s, dir))),
+    "line_profile" -> ((s, dir) =>
+      Pipeline.lineProfile(Tables.documents(s, dir))),
+    "sentence_stats" -> ((s, dir) =>
+      Pipeline.sentenceStats(Tables.documents(s, dir))),
+    "stream_bollinger" -> ((s, dir) => StreamReplay.streamBollinger(s, dir)),
+    "stream_atr" -> ((s, dir) => StreamReplay.streamAtr(s, dir)),
+    "stream_rsi" -> ((s, dir) => StreamReplay.streamRsi(s, dir)),
+    "stream_stochastic" -> ((s, dir) => StreamReplay.streamStochastic(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3044,7 +3061,11 @@ object SparkEntry {
     // streaming twins of late-wave batch ops alias after the full map
     // is assembled (their batch oracle lives outside baseOracle)
     m + ("stream_rolling_var" -> m("rolling_var")) +
-      ("stream_rolling_corr" -> m("rolling_corr"))
+      ("stream_rolling_corr" -> m("rolling_corr")) +
+      ("stream_bollinger" -> m("bollinger")) +
+      ("stream_atr" -> m("atr")) +
+      ("stream_rsi" -> m("rsi")) +
+      ("stream_stochastic" -> m("stochastic_osc"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -3334,6 +3355,151 @@ object SparkEntry {
          |  floor(rho_raw * 1000000.0 + 0.5) / 1000000.0 AS rho,
          |  t_stat, t_stat < -2.86 AS coint_5pct
          |FROM ft ORDER BY id_a, id_b""".stripMargin,
+    "trin" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |g AS (
+         |  SELECT date,
+         |    CAST(sum(CASE WHEN close > pc THEN 1 ELSE 0 END) AS BIGINT) AS n_adv,
+         |    CAST(sum(CASE WHEN close < pc THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+         |    CAST(sum(CASE WHEN close > pc THEN n_ticks ELSE 0 END) AS BIGINT) AS adv_vol,
+         |    CAST(sum(CASE WHEN close < pc THEN n_ticks ELSE 0 END) AS BIGINT) AS dec_vol
+         |  FROM t WHERE pc IS NOT NULL GROUP BY date)
+         |SELECT date, n_adv, n_dec, adv_vol, dec_vol,
+         |  floor(((CAST(n_adv AS DOUBLE) / CASE WHEN n_dec = 0 THEN NULL ELSE CAST(n_dec AS DOUBLE) END) /
+         |         CASE WHEN dec_vol = 0 OR adv_vol = 0 THEN NULL
+         |              ELSE CAST(adv_vol AS DOUBLE) / CAST(dec_vol AS DOUBLE) END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS trin
+         |FROM g ORDER BY date""".stripMargin,
+    "jarque_bera" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x)), (a, x) -> a + x) AS s3,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x * x)), (a, x) -> a + x) AS s4
+         |  FROM g WHERE len(ra) >= 4),
+         |mm AS (
+         |  SELECT asset_id, n, s1 / n AS m, s2, s3, s4 FROM f),
+         |cm AS (
+         |  SELECT asset_id, n, m,
+         |         s2 / n - m * m AS m2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS m4
+         |  FROM mm),
+         |gg AS (
+         |  SELECT asset_id, n,
+         |         m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END AS g1,
+         |         m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3 AS g2
+         |  FROM cm),
+         |jj AS (
+         |  SELECT asset_id, n, g1, g2,
+         |         floor((n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)) * 1000000.0 + 0.5) / 1000000.0 AS jb
+         |  FROM gg)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(g1 * 1000000.0 + 0.5) / 1000000.0 AS skew,
+         |  floor(g2 * 1000000.0 + 0.5) / 1000000.0 AS ex_kurt,
+         |  jb, jb < 5.991465 AS normal_5pct
+         |FROM jj ORDER BY asset_id""".stripMargin,
+    "rolling_ols_trend" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, arr, CAST(len(arr) AS DOUBLE) AS n
+         |  FROM f WHERE len(arr) >= 5),
+         |h AS (
+         |  SELECT asset_id, date, value, n,
+         |         n * (n + 1) / 2.0 AS sx,
+         |         n * (n + 1) * (2.0 * n + 1) / 6.0 AS sx2,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS sy2,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, CAST(len(arr) AS INTEGER) + 1),
+         |                          i -> arr[i] * CAST(i AS DOUBLE))), (a, x) -> a + x) AS sxy
+         |  FROM g),
+         |o AS (
+         |  SELECT asset_id, date, value, n, sx, sx2, sy, sy2, sxy,
+         |         (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b,
+         |         n * sy2 - sy * sy AS syy
+         |  FROM h)
+         |SELECT asset_id, date, value, CAST(n AS BIGINT) AS n_days,
+         |  floor(b * 1000000.0 + 0.5) / 1000000.0 AS slope,
+         |  floor(((sy - b * sx) / n + b * n) * 1000000.0 + 0.5) / 1000000.0 AS fitted,
+         |  floor(((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+         |         ((n * sx2 - sx * sx) * CASE WHEN syy <= 0 THEN NULL ELSE syy END))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS r2
+         |FROM o ORDER BY asset_id, date""".stripMargin,
+    "ewma_vol" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list_transform(list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 59 PRECEDING AND CURRENT ROW), x -> x * x) AS sq
+         |  FROM rets)
+         |SELECT asset_id, date, ret,
+         |  floor((sqrt(
+         |    list_reduce(list_prepend(0.0, sq), (acc, x) -> acc * 0.94 + x) /
+         |    list_reduce(list_prepend(0.0, sq), (acc, x) -> acc * 0.94 + 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS ewma_vol
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "line_profile" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lines, l -> length(trim(l)) = 0)) AS BIGINT) AS n_blank,
+        |         CAST(list_reduce(list_prepend(0, list_transform(lines, l -> length(l))),
+        |                          (a, x) -> a + x) AS BIGINT) AS sum_len,
+        |         CAST(list_max(list_transform(lines, l -> length(l))) AS BIGINT) AS max_len
+        |  FROM d),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |         CAST(sum(n_blank) AS BIGINT) AS n_blank,
+        |         CAST(sum(sum_len) AS BIGINT) AS sum_len,
+        |         CAST(max(max_len) AS BIGINT) AS max_line_len
+        |  FROM p GROUP BY source)
+        |SELECT source, n_docs, n_lines, n_blank,
+        |  (1000 * n_blank) // n_lines AS blank_pm,
+        |  floor((CAST(sum_len AS DOUBLE) / CAST(n_lines AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_line_len,
+        |  max_line_len
+        |FROM g ORDER BY source""".stripMargin,
+    "sentence_stats" ->
+      """WITH p AS (
+        |  SELECT source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |         greatest(CAST(1 AS BIGINT),
+        |                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_words) AS BIGINT) AS n_words,
+        |         CAST(sum(n_sentences) AS BIGINT) AS n_sentences
+        |  FROM p GROUP BY source)
+        |SELECT source, n_docs, n_words, n_sentences,
+        |  floor((CAST(n_sentences AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sentences_per_doc,
+        |  floor((CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS words_per_sentence
+        |FROM g ORDER BY source""".stripMargin,
     "corpus_pipeline" ->
       s"""WITH $gopherCtes,
          |tok AS (

@@ -6112,4 +6112,152 @@ object Analytics {
         (col("vpt_micro").cast("double") / 1e6).as("vpt"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B201 `trin` — the Arms Index (TRIN) per trading date:
+    * (advancers/decliners) ÷ (advancing volume/declining volume), the
+    * classic breadth-vs-volume divergence gauge ([[advanceDecline]]
+    * counts issues; TRIN weighs whether volume CONFIRMS the count).
+    * Built on the daily bars: an asset advances when close > previous
+    * close, its "volume" is the tick count (the panel's volume proxy,
+    * [[obv]]'s convention). Every aggregate is an INTEGER count/sum —
+    * order-insensitive, exact under any partitioning — and only the
+    * final ratio-of-ratios floats (u6; NULL when any denominator leg
+    * is 0, where the index is undefined). One asset_id shuffle for the
+    * bars + lag, one date shuffle for the market rollup — the date
+    * rollup is #dates rows, trivially broadcast-joinable downstream.
+    */
+  def trin(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", prevClose)
+      .filter(col("pc").isNotNull)
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("close") > col("pc"), 1L).otherwise(0L)).as("n_adv"),
+        sum(when(col("close") < col("pc"), 1L).otherwise(0L)).as("n_dec"),
+        sum(when(col("close") > col("pc"), col("n_ticks")).otherwise(0L)).as("adv_vol"),
+        sum(when(col("close") < col("pc"), col("n_ticks")).otherwise(0L)).as("dec_vol"))
+      .withColumn("trin", u6(
+        (col("n_adv").cast("double") /
+          when(col("n_dec") === 0, lit(null)).otherwise(col("n_dec").cast("double"))) /
+          when(col("dec_vol") === 0 || col("adv_vol") === 0, lit(null))
+            .otherwise(col("adv_vol").cast("double") / col("dec_vol").cast("double"))))
+      .select(col("date"), col("n_adv"), col("n_dec"),
+        col("adv_vol"), col("dec_vol"), col("trin"))
+      .orderBy(col("date"))
+  }
+
+  /** B202 `jarque_bera` — the Jarque–Bera normality test per asset
+    * over its full daily-return history: JB = n/6·(g₁² + g₂²/4) from
+    * [[retMoments]]' skew g₁ and excess kurtosis g₂ (same date-ordered
+    * fold arrays, same raw-moment-to-central-moment algebra, so the
+    * statistic is bit-identical cross-engine). `normal_5pct` compares
+    * the ROUNDED statistic to the χ²(2) 95% critical value 5.991465 —
+    * rounding before the comparison keeps the boolean engine-stable at
+    * the boundary. The fat-tail screen run before any VaR number is
+    * trusted ([[varCvar]] assumes the empirical tail IS the tail;
+    * JB says whether a normal approximation would have lied).
+    */
+  def jarqueBera(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("m", foldSum(col("ra")) / n)
+      .withColumn("m2", Kernels.seqFold(col("ra"), "sumsq") / n - col("m") * col("m"))
+      .withColumn("m3", Kernels.seqFold(col("ra"), "sum3") / n
+        - lit(3.0) * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", Kernels.seqFold(col("ra"), "sum4") / n
+        - lit(4.0) * col("m") * (Kernels.seqFold(col("ra"), "sum3") / n)
+        + lit(6.0) * col("m") * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .withColumn("g1", col("m3") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * sqrt(col("m2"))))
+      .withColumn("g2", col("m4") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * col("m2")) - 3)
+      .withColumn("jb", u6(n / lit(6.0) *
+        (col("g1") * col("g1") + col("g2") * col("g2") / lit(4.0))))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        u6(col("g1")).as("skew"), u6(col("g2")).as("ex_kurt"),
+        col("jb"), (col("jb") < lit(5.991465)).as("normal_5pct"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B203 `rolling_ols_trend` — rolling OLS of the LWW daily close on
+    * the in-frame time index t = 1..n over a `window`-day frame: slope
+    * (trend per day), the fitted value at the frame's last point (the
+    * "linear regression indicator" chartists overlay), and R² (trend
+    * quality — [[trendIntensity]]'s regression-grade cousin). The
+    * x-axis is INTEGRAL, so Σt and Σt² are exact closed forms of n and
+    * the only float folds are the value sums, ridden left-to-right in
+    * date order like every other frame fold. R² NULLs on a flat frame
+    * (Syy ≤ 0); the slope denominator n·Σt²−(Σt)² is exactly
+    * n²(n²−1)/12 > 0 for n ≥ 2, never guarded.
+    */
+  def rollingOlsTrend(panel: DataFrame, window: Int = 20, minN: Int = 5): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    daily
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .filter(n >= minN)
+      .withColumn("sx", n * (n + 1) / lit(2.0))
+      .withColumn("sx2", n * (n + 1) * (lit(2.0) * n + 1) / lit(6.0))
+      .withColumn("sy", foldSum(col("arr")))
+      .withColumn("sy2", foldSumSq(col("arr")))
+      .withColumn("sxy", foldSum(transform(col("arr"),
+        (v, i) => v * (i + 1).cast("double"))))
+      .withColumn("b", (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sx2") - col("sx") * col("sx")))
+      .withColumn("a", (col("sy") - col("b") * col("sx")) / n)
+      .withColumn("syy", n * col("sy2") - col("sy") * col("sy"))
+      .select(col("asset_id"), col("date"), col("value"),
+        n.cast("long").as("n_days"),
+        u6(col("b")).as("slope"),
+        u6(col("a") + col("b") * n).as("fitted"),
+        u6((n * col("sxy") - col("sx") * col("sy")) *
+          (n * col("sxy") - col("sx") * col("sy")) /
+          ((n * col("sx2") - col("sx") * col("sx")) *
+            when(col("syy") <= 0, lit(null)).otherwise(col("syy")))).as("r2"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B204 `ewma_vol` — RiskMetrics exponentially-weighted volatility:
+    * σ²ₜ = (1−λ)·Σ λⁱ·r²ₜ₋ᵢ normalized over a `span`-bounded frame with
+    * λ = 0.94 (the RiskMetrics daily decay), i.e. the [[ewma]] Horner
+    * machinery applied to SQUARED u6 returns — the vol forecast desks
+    * actually mark overnight risk with, where [[rollingVol]]'s
+    * equal-weight window reacts a day late. The fold input r² is the
+    * product of two micro-grid doubles (deterministic IEEE both
+    * engines); normalization divides the weighted sum by the weight
+    * total so the (1−λ) factor cancels. One asset_id shuffle.
+    */
+  def ewmaVol(panel: DataFrame, span: Int = 60, lambda: Double = 0.94): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("sq", transform(collect_list(col("ret")).over(frame), v => v * v))
+      .withColumn("ewma_vol", u6(sqrt(
+        Kernels.seqFold(col("sq"), "horner", lambda) /
+          Kernels.seqFold(col("sq"), "horner_count", lambda))))
+      .select(col("asset_id"), col("date"), col("ret"), col("ewma_vol"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

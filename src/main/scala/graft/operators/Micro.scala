@@ -52,4 +52,7 @@ object Micro {
 
   /** JVM-side twin of [[u3]] (cosine kernels). */
   def jvm3(x: Double): Double = math.floor(x * 1000.0 + 0.5) / 1000.0
+
+  /** JVM-side twin of [[u4]] (the RSI stream twin's contract). */
+  def jvm4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
 }

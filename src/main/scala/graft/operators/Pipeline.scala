@@ -2068,4 +2068,66 @@ object Pipeline {
         graft.expressions.Kernels.maxCharRun(col("text")).cast("long").as("max_run"))
       .withColumn("spam_flag", col("max_run") >= spamRun)
       .orderBy(col("doc_id"))
+
+  /** C138 `line_profile` — per-source LINE-shape profile: line counts,
+    * blank-line share, mean and max line length. The layout screen
+    * that separates prose (few blanks, long lines) from code,
+    * tables and chat logs (dense short lines, rhythmic blanks) —
+    * [[charClassProfile]] sees CHARACTERS, [[Dedup.lineDups]] sees
+    * repeated CONTENT; this sees structure. All per-doc stats ride
+    * array functions over one split (no per-line explode — a 100 TB
+    * corpus would multiply its row count by ~40 through an exploded
+    * shuffle); every aggregate is an integer sum, so the source rollup
+    * is exact under any partitioning and only the final means float.
+    */
+  def lineProfile(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    documents
+      .select(col("source"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => length(trim(l)) === 0)).cast("long").as("n_blank"),
+        aggregate(transform(lines, l => length(l).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        array_max(transform(lines, l => length(l).cast("long"))).as("max_len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_blank")).as("n_blank"),
+        sum(col("sum_len")).as("sum_len"),
+        max(col("max_len")).as("max_line_len"))
+      .withColumn("blank_pm", expr("(1000 * n_blank) div n_lines"))
+      .withColumn("mean_line_len", u6(
+        col("sum_len").cast("double") / col("n_lines").cast("double")))
+      .select(col("source"), col("n_docs"), col("n_lines"), col("n_blank"),
+        col("blank_pm"), col("mean_line_len"), col("max_line_len"))
+      .orderBy(col("source"))
+  }
+
+  /** C139 `sentence_stats` — per-source SENTENCE-shape profile:
+    * sentences per doc and words per sentence, under [[readability]]'s
+    * exact conventions (sentences = [.!?]+ runs floored at 1, words =
+    * whitespace tokens) — readability grades each DOC, this profiles
+    * each SOURCE, the granularity a mixture designer compares crawl
+    * slices at (a 40-words-per-sentence source is parser soup, a
+    * 4-word one is chat). Integer per-doc counts → exact integer
+    * rollup → two u6 ratios; map-only + one #sources-row shuffle.
+    */
+  def sentenceStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+          .as("n_sentences"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sentences")).as("n_sentences"))
+      .withColumn("sentences_per_doc", u6(
+        col("n_sentences").cast("double") / col("n_docs").cast("double")))
+      .withColumn("words_per_sentence", u6(
+        col("n_words").cast("double") / col("n_sentences").cast("double")))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_sentences"),
+        col("sentences_per_doc"), col("words_per_sentence"))
+      .orderBy(col("source"))
 }

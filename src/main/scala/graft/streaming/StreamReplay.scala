@@ -300,6 +300,42 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamBollinger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.bollingerStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamAtr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.atrStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamRsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rsiStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamStochastic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.stochasticStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamHeikinAshi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = barFeed(s, dir)

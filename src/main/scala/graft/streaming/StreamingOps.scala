@@ -1551,4 +1551,176 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  case class BollState(values: Vector[Double])
+  case class BollPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                       mid: Double, upper: Double, lower: Double,
+                       pct_b: Option[Double])
+
+  /** D41 `bollingerStream` — streaming face of B22 `bollinger`: a
+    * per-asset ring of the last `window` LWW daily closes (O(#assets ·
+    * window) state); each emission folds the ring left-to-right in
+    * date order — the exact IEEE op sequence of the batch frame fold —
+    * so mid/bands/%B bit-match the batch twin. 1-row rings emit
+    * nothing (σ undefined, the batch n ≥ 2 filter); a flat ring emits
+    * NULL %B like the batch zero-σ guard.
+    */
+  def bollingerStream(daily: Dataset[DailyTick], window: Int = 20): Dataset[BollPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[BollState, BollPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[BollState]) =>
+          var ring = state.getOption.map(_.values).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[BollPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            if (ring.size >= 2) {
+              val n = ring.size.toDouble
+              var s = 0.0; var s2 = 0.0
+              ring.foreach { x => s += x; s2 += x * x }
+              val mid = s / n
+              val sd = math.sqrt(math.max((n * s2 - s * s) / (n * (n - 1)), 0.0))
+              val pctB =
+                if (sd == 0.0) None
+                else Some(graft.operators.Micro.jvm6(
+                  (t.value - (mid - 2.0 * sd)) / (4.0 * sd)))
+              out += BollPoint(assetId, t.date, t.value,
+                graft.operators.Micro.jvm6(mid),
+                graft.operators.Micro.jvm6(mid + 2.0 * sd),
+                graft.operators.Micro.jvm6(mid - 2.0 * sd), pctB)
+            }
+          }
+          state.update(BollState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class AtrState(lastClose: Double, trs: Vector[Double], seen: Boolean)
+  case class AtrPoint(asset_id: Long, date: java.sql.Date, tr: Double, atr: Double)
+
+  /** D42 `atrStream` — streaming face of B40 `atr`: Wilder's ATR over
+    * the daily bars with a per-asset ring of the last `span` ROUNDED
+    * true ranges plus the previous close (O(#assets · span) state).
+    * TR on the first-ever bar is plain high−low (the batch NULL-lag
+    * branch); the normalized Horner folds run oldest-first over the
+    * ring — bit-identical to the batch frame fold and the oracle's
+    * list_reduce.
+    */
+  def atrStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[AtrPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = (span - 1).toDouble / span
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AtrState, AtrPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AtrState]) =>
+          var st = state.getOption.getOrElse(AtrState(0.0, Vector.empty, seen = false))
+          val out = Vector.newBuilder[AtrPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.lastClose), math.abs(b.low - st.lastClose))))
+            val trs = (st.trs :+ tr).takeRight(span)
+            var num = 0.0; var den = 0.0
+            trs.foreach { x => num = num * w + x; den = den * w + 1.0 }
+            out += AtrPoint(assetId, b.date, tr, graft.operators.Micro.jvm6(num / den))
+            st = AtrState(b.close, trs, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class RsiState(last_value: Double, rets: Vector[Double])
+  case class RsiPoint(asset_id: Long, date: java.sql.Date, ret: Double, rsi: Double)
+
+  /** D43 `rsiStream` — streaming face of B23 `rsi`: span-bounded
+    * Wilder RSI from a per-asset ring of the last `span` u6 returns
+    * (O(#assets · span) state). Gain/loss Horner folds run
+    * oldest-first with w = 13/14 (≡ the batch `horner_pos`/
+    * `horner_neg` kernels); a zero previous close emits no return and
+    * carries the ring (the batch NULL-filter), AL = 0 → RSI 100, and
+    * the output rides the u4 grid like the batch column.
+    */
+  def rsiStream(daily: Dataset[DailyTick], span: Int = 60): Dataset[RsiPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val w = 13.0 / 14.0
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RsiState, RsiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RsiState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[RsiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = RsiState(t.value, Vector.empty)
+            } else if (st.last_value != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
+              val rets = (st.rets :+ ret).takeRight(span)
+              var ag = 0.0; var al = 0.0
+              rets.foreach { x =>
+                ag = ag * w + math.max(x, 0.0)
+                al = al * w + math.max(-x, 0.0)
+              }
+              val rsi =
+                if (al == 0.0) 100.0
+                else graft.operators.Micro.jvm4(100.0 - 100.0 / (1.0 + ag / al))
+              out += RsiPoint(assetId, t.date, ret, rsi)
+              st = RsiState(t.value, rets)
+            } else {
+              st = RsiState(t.value, st.rets)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class StochState(hl: Vector[(Double, Double)], prevKs: Vector[Option[Double]])
+  case class StochPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                        pct_k: Option[Double], pct_d: Option[Double])
+
+  /** D44 `stochasticStream` — streaming face of B41 `stochastic_osc`:
+    * %K from a per-asset ring of the last `span` (high, low) pairs,
+    * %D as the explicit left-assoc 3-bar mean of the ROUNDED %K
+    * values carried in state (two Options — the batch twin's
+    * lag(2)/lag(1), including their NULLs: a flat-channel NULL %K
+    * poisons every %D it touches, and the first two bars have no %D
+    * at all). O(#assets · span) state.
+    */
+  def stochasticStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[StochPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[StochState, StochPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[StochState]) =>
+          var st = state.getOption.getOrElse(StochState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[StochPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val hl = (st.hl :+ ((b.high, b.low))).takeRight(span)
+            val hn = hl.map(_._1).max
+            val ln = hl.map(_._2).min
+            val k =
+              if (hn == ln) None
+              else Some(graft.operators.Micro.jvm6(100.0 * (b.close - ln) / (hn - ln)))
+            val d =
+              if (st.prevKs.size < 2) None
+              else for (k2 <- st.prevKs(0); k1 <- st.prevKs(1); kk <- k)
+                yield graft.operators.Micro.jvm6(((k2 + k1) + kk) / 3.0)
+            out += StochPoint(assetId, b.date, b.close, k, d)
+            st = StochState(hl, (st.prevKs :+ k).takeRight(2))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

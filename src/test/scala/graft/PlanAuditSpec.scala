@@ -396,6 +396,17 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus_pipeline exceeded gate join + rep shuffle + rollups: ${shuffles("corpus_pipeline")}")
     assert(shuffles("pairs_adf") <= 9,
       s"pairs_adf exceeded spread plan + pair aggregation + sort: ${shuffles("pairs_adf")}")
+    // wave M: the panel rollups ride ONE asset shuffle (+ the date
+    // rollup for trin); the document profiles are map-only scans into
+    // a #sources-row aggregate
+    for (q <- Seq("rolling_ols_trend", "ewma_vol"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("jarque_bera") <= 2,
+      s"jarque_bera exceeded asset shuffle + sort: ${shuffles("jarque_bera")}")
+    assert(shuffles("trin") <= 3,
+      s"trin exceeded asset shuffle + date rollup + sort: ${shuffles("trin")}")
+    for (q <- Seq("line_profile", "sentence_stats"))
+      assert(shuffles(q) <= 2, s"$q exceeded source rollup + sort: ${shuffles(q)}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

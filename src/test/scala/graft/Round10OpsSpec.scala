@@ -402,4 +402,189 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_exact") === 3L)
     assert(r.getAs[Long]("n_all_three") === 3L)
   }
+
+  // ── wave M fixtures ────────────────────────────────────────────────
+
+  test("trin: breadth and volume legs reconcile on a hand-built tape") {
+    // day 2: asset 1 advances on 2 ticks, asset 2 declines on 1 tick,
+    // asset 3 flat on 2 ticks → TRIN = (1/1)/(2/1) = 0.5
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1704000000000L), 100.0, 1L),
+      (2L, Date.valueOf("2024-01-01"), new Timestamp(1704000001000L), 50.0, 2L),
+      (3L, Date.valueOf("2024-01-01"), new Timestamp(1704000002000L), 10.0, 3L),
+      (1L, Date.valueOf("2024-01-02"), new Timestamp(1704086400000L), 100.5, 4L),
+      (1L, Date.valueOf("2024-01-02"), new Timestamp(1704086401000L), 101.0, 5L),
+      (2L, Date.valueOf("2024-01-02"), new Timestamp(1704086400000L), 48.0, 6L),
+      (3L, Date.valueOf("2024-01-02"), new Timestamp(1704086400000L), 10.5, 7L),
+      (3L, Date.valueOf("2024-01-02"), new Timestamp(1704086401000L), 10.0, 8L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = graft.operators.Analytics.trin(rows).collect()
+    assert(out.length === 1) // day 1 has no previous close anywhere
+    val r = out.head
+    assert(r.getAs[Long]("n_adv") === 1L)
+    assert(r.getAs[Long]("n_dec") === 1L)
+    assert(r.getAs[Long]("adv_vol") === 2L)
+    assert(r.getAs[Long]("dec_vol") === 1L)
+    assert(r.getAs[Double]("trin") === 0.5)
+  }
+
+  test("jarque_bera matches an imperative recomputation of the folds") {
+    import graft.operators.Micro.jvm6
+    val vals = Seq(100.0, 103.0, 99.0, 104.5, 98.0, 106.0, 101.0, 97.5, 105.0, 100.5)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1.0) }.toVector
+    val n = rets.size.toDouble
+    val s1 = rets.foldLeft(0.0)(_ + _)
+    val s2 = rets.foldLeft(0.0)((a, x) => a + x * x)
+    val s3 = rets.foldLeft(0.0)((a, x) => a + x * x * x)
+    val s4 = rets.foldLeft(0.0)((a, x) => a + x * x * x * x)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+    val g1 = m3 / (m2 * math.sqrt(m2))
+    val g2 = m4 / (m2 * m2) - 3
+    val jb = jvm6(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0))
+    val r = graft.operators.Analytics.jarqueBera(panelOf(Map(1L -> vals))).collect().head
+    assert(r.getAs[Long]("n_days") === 9L)
+    assert(r.getAs[Double]("skew") === jvm6(g1))
+    assert(r.getAs[Double]("ex_kurt") === jvm6(g2))
+    assert(r.getAs[Double]("jb") === jb)
+    assert(r.getAs[Boolean]("normal_5pct") === (jb < 5.991465))
+  }
+
+  test("rolling_ols_trend: a perfect linear ramp recovers slope, fit and r2 = 1") {
+    val vals = (1 to 8).map(t => 2.0 + 3.0 * t)
+    val out = graft.operators.Analytics
+      .rollingOlsTrend(panelOf(Map(1L -> vals)), window = 20, minN = 5)
+      .collect()
+    assert(out.length === 4) // frames of 5..8 points
+    out.foreach { r =>
+      assert(r.getAs[Double]("slope") === 3.0)
+      assert(r.getAs[Double]("fitted") === r.getAs[Double]("value"))
+      assert(r.getAs[Double]("r2") === 1.0)
+    }
+    // flat frame: slope 0 exactly, r2 NULL (Syy = 0)
+    val flat = graft.operators.Analytics
+      .rollingOlsTrend(panelOf(Map(1L -> Seq.fill(6)(5.0))), window = 20, minN = 5)
+      .collect()
+    assert(flat.forall(r => r.getAs[Double]("slope") === 0.0 &&
+      r.isNullAt(r.fieldIndex("r2"))))
+  }
+
+  test("ewma_vol matches an imperative Horner recomputation") {
+    import graft.operators.Micro.jvm6
+    val vals = Seq(100.0, 102.0, 99.5, 103.0, 100.0, 104.0)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1.0) }.toVector
+    val expected = rets.indices.map { i =>
+      val sq = rets.take(i + 1).map(x => x * x)
+      var num = 0.0; var den = 0.0
+      sq.foreach { x => num = num * 0.94 + x; den = den * 0.94 + 1.0 }
+      jvm6(math.sqrt(num / den))
+    }
+    val out = graft.operators.Analytics.ewmaVol(panelOf(Map(1L -> vals)))
+      .collect().map(_.getAs[Double]("ewma_vol")).toSeq
+    assert(out === expected)
+  }
+
+  test("line_profile: blank share, mean and max line length on a hand corpus") {
+    val corpus = Seq(
+      (1L, "alpha\n\nbeta gamma", "a"),   // 3 lines, 1 blank, lens 5/0/10
+      (2L, "one line only", "a"),          // 1 line, len 13
+      (3L, "x\ny\nz", "b"))                // 3 lines, lens 1/1/1
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Pipeline.lineProfile(corpus)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_lines") === 4L && a.getAs[Long]("n_blank") === 1L)
+    assert(a.getAs[Long]("blank_pm") === 250L)
+    assert(a.getAs[Double]("mean_line_len") === 7.0) // (5+0+10+13)/4
+    assert(a.getAs[Long]("max_line_len") === 13L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_lines") === 3L && b.getAs[Long]("n_blank") === 0L)
+    assert(b.getAs[Long]("max_line_len") === 1L)
+  }
+
+  test("sentence_stats: readability's sentence and word conventions roll up per source") {
+    val corpus = Seq(
+      (1L, "Two words. Three more words!", "a"), // 5 words, 2 sentences
+      (2L, "no terminal punctuation here", "a"), // 4 words, floored to 1 sentence
+      (3L, "One. Two?! Three...", "b"))          // 3 words, 3 sentence runs
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Pipeline.sentenceStats(corpus)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_words") === 9L && a.getAs[Long]("n_sentences") === 3L)
+    assert(a.getAs[Double]("sentences_per_doc") === 1.5)
+    assert(a.getAs[Double]("words_per_sentence") === 3.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n_sentences") === 3L && b.getAs[Long]("n_words") === 3L)
+  }
+
+  test("stream_bollinger equals the batch bollinger on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
+      2L -> Seq(50.0, 50.0, 50.0, 50.0, 52.0, 51.0))) // flat prefix → zero-σ NULLs
+    val batch = graft.operators.Analytics.bollinger(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 2L)(StreamingOps.bollingerStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_atr equals the batch atr on a replayed bar feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5)))
+    val batch = graft.operators.Analytics.atr(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 2L)(StreamingOps.atrStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_rsi equals the batch rsi on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 101.0),
+      2L -> Seq(50.0, 51.0, 52.0, 53.0))) // all gains → AL = 0 → RSI 100
+    val batch = graft.operators.Analytics.rsi(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 2L)(StreamingOps.rsiStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
+
+  test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5))) // flat channel → NULL %K poisons %D
+    val batch = graft.operators.Analytics.stochastic(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    import graft.streaming.StreamingOps
+    val feed = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val streamed = graft.streaming.StreamReplay
+      .replay(spark, feed, 3, maxStateRows = 2L)(StreamingOps.stochasticStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed === batch)
+  }
 }
