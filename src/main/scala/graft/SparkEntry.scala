@@ -1132,6 +1132,18 @@ object SparkEntry {
     "stream_atr" -> ((s, dir) => StreamReplay.streamAtr(s, dir)),
     "stream_rsi" -> ((s, dir) => StreamReplay.streamRsi(s, dir)),
     "stream_stochastic" -> ((s, dir) => StreamReplay.streamStochastic(s, dir)),
+    // ── wave N (r10) ─────────────────────────────────────────────────
+    "zweig_breadth" -> ((s, dir) =>
+      Analytics.zweigBreadth(Tables.panel(s, dir))),
+    "upside_potential" -> ((s, dir) =>
+      Analytics.upsidePotential(Tables.panel(s, dir))),
+    "code_detect" -> ((s, dir) =>
+      Pipeline.codeDetect(Tables.documents(s, dir))),
+    "stream_macd" -> ((s, dir) => StreamReplay.streamMacd(s, dir)),
+    "stream_keltner" -> ((s, dir) => StreamReplay.streamKeltner(s, dir)),
+    "stream_williams_r" -> ((s, dir) => StreamReplay.streamWilliamsR(s, dir)),
+    "stream_cci" -> ((s, dir) => StreamReplay.streamCci(s, dir)),
+    "stream_ewma_vol" -> ((s, dir) => StreamReplay.streamEwmaVol(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3065,7 +3077,12 @@ object SparkEntry {
       ("stream_bollinger" -> m("bollinger")) +
       ("stream_atr" -> m("atr")) +
       ("stream_rsi" -> m("rsi")) +
-      ("stream_stochastic" -> m("stochastic_osc"))
+      ("stream_stochastic" -> m("stochastic_osc")) +
+      ("stream_macd" -> m("macd")) +
+      ("stream_keltner" -> m("keltner")) +
+      ("stream_williams_r" -> m("williams_r")) +
+      ("stream_cci" -> m("cci")) +
+      ("stream_ewma_vol" -> m("ewma_vol"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -3355,6 +3372,72 @@ object SparkEntry {
          |  floor(rho_raw * 1000000.0 + 0.5) / 1000000.0 AS rho,
          |  t_stat, t_stat < -2.86 AS coint_5pct
          |FROM ft ORDER BY id_a, id_b""".stripMargin,
+    "zweig_breadth" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT date,
+         |    CAST(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+         |  FROM rets GROUP BY date),
+         |r AS (
+         |  SELECT date, n_up, n_down,
+         |    floor((CAST(n_up AS DOUBLE) / CAST(n_up + n_down AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ratio
+         |  FROM g WHERE n_up + n_down > 0),
+         |f AS (
+         |  SELECT date, n_up, n_down, ratio,
+         |    list(ratio) OVER (ORDER BY date ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM r),
+         |e AS (
+         |  SELECT date, n_up, n_down, ratio,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 11.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (1.0 - 2.0 / 11.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ema
+         |  FROM f)
+         |SELECT date, n_up, n_down, ratio, ema,
+         |  coalesce(ema >= 0.615 AND
+         |    min(ema) OVER (ORDER BY date ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) < 0.40,
+         |    false) AS thrust
+         |FROM e ORDER BY date""".stripMargin,
+    "upside_potential" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> greatest(x, 0.0))),
+         |                     (a, x) -> a + x) AS up1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> least(x, 0.0) * least(x, 0.0))),
+         |                     (a, x) -> a + x) AS dn2
+         |  FROM g WHERE len(ra) >= 4)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor((up1 / n) * 1000000.0 + 0.5) / 1000000.0 AS upside_mean,
+         |  floor((sqrt(dn2 / n)) * 1000000.0 + 0.5) / 1000000.0 AS downside_dev,
+         |  floor(((up1 / n) / CASE WHEN dn2 = 0 THEN NULL ELSE sqrt(dn2 / n) END) * 1000000.0 + 0.5) / 1000000.0 AS upr
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "code_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '[{};]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |                         l -> regexp_matches(l, '^(    |\t)'))) AS BIGINT) AS n_indent,
+        |    CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS BIGINT) AS n_camel
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_chars, n_lines,
+        |    CASE WHEN n_chars = 0 THEN NULL ELSE (1000 * n_punct) // n_chars END AS punct_pm,
+        |    (1000 * n_indent) // n_lines AS indent_pm,
+        |    CASE WHEN n_chars = 0 THEN NULL ELSE (1000 * n_camel) // n_chars END AS camel_pm
+        |  FROM p)
+        |SELECT doc_id, n_chars, n_lines, punct_pm, indent_pm, camel_pm,
+        |  coalesce(punct_pm >= 15 OR indent_pm >= 250 OR camel_pm >= 10, false) AS is_code
+        |FROM q ORDER BY doc_id""".stripMargin,
     "trin" ->
       s"""$panelCte,
          |$barsCte,

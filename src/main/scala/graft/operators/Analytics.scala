@@ -6244,6 +6244,81 @@ object Analytics {
     * engines); normalization divides the weighted sum by the weight
     * total so the (1−λ) factor cancels. One asset_id shuffle.
     */
+  /** B205 `zweig_breadth` — the Zweig Breadth Thrust gauge: per-date
+    * advance ratio adv/(adv+dec) (from the same daily-return counts as
+    * [[advanceDecline]]), its `span`-EW smoothing, and the THRUST flag
+    * — smoothed breadth ≥ 0.615 with a sub-0.40 reading inside the
+    * prior `span` sessions (the classic oversold→overwhelming-demand
+    * transition). The market rollup is #dates rows, so the unkeyed
+    * date windows are trivially single-partition; counts are integers,
+    * the EW rides the [[ewma]] Horner folds over ROUNDED ratios, and
+    * the flag compares ROUNDED values (engine-stable booleans).
+    */
+  def zweigBreadth(panel: DataFrame, span: Int = 10): DataFrame = {
+    val wEma = 1.0 - 2.0 / (span + 1.0)
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val byDate = Window.orderBy(col("date"))
+    val emaFrame = byDate.rowsBetween(-(span * 4 - 1), Window.currentRow)
+    val priorFrame = byDate.rowsBetween(-span, -1)
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("ret") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("ret") < 0, 1L).otherwise(0L)).as("n_down"))
+      .filter(col("n_up") + col("n_down") > 0)
+      .withColumn("ratio", u6(col("n_up").cast("double") /
+        (col("n_up") + col("n_down")).cast("double")))
+      .withColumn("arr", collect_list(col("ratio")).over(emaFrame))
+      .withColumn("ema", u6(
+        Kernels.seqFold(col("arr"), "horner", wEma) /
+          Kernels.seqFold(col("arr"), "horner_count", wEma)))
+      .withColumn("thrust", coalesce(
+        col("ema") >= lit(0.615) && min(col("ema")).over(priorFrame) < lit(0.40),
+        lit(false)))
+      .select(col("date"), col("n_up"), col("n_down"), col("ratio"),
+        col("ema"), col("thrust"))
+      .orderBy(col("date"))
+  }
+
+  /** B206 `upside_potential` — the Upside Potential Ratio per asset:
+    * first-order upside partial moment E[max(r,0)] over the
+    * second-order downside deviation √E[min(r,0)²] (Sortino's
+    * numerator replaced by what the strategy could EARN, not just its
+    * mean — rewards asymmetry that [[sharpe]] and [[sortino]] both
+    * blur). Both partial moments are left-to-right folds over the
+    * date-ordered return array with the clamp applied inside the
+    * transform (`greatest`/`least` — identical per-element IEEE ops
+    * in both engines); all-nonnegative histories NULL the ratio.
+    */
+  def upsidePotential(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("up1", Kernels.seqFold(
+        transform(col("ra"), x => greatest(x, lit(0.0))), "sum"))
+      .withColumn("dn2", Kernels.seqFold(
+        transform(col("ra"), x => least(x, lit(0.0))), "sumsq"))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        u6(col("up1") / n).as("upside_mean"),
+        u6(sqrt(col("dn2") / n)).as("downside_dev"),
+        u6((col("up1") / n) /
+          when(col("dn2") === 0, lit(null)).otherwise(sqrt(col("dn2") / n))).as("upr"))
+      .orderBy(col("asset_id"))
+  }
+
   def ewmaVol(panel: DataFrame, span: Int = 60, lambda: Double = 0.94): DataFrame = {
     val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
     val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))

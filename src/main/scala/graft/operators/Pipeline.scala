@@ -2103,6 +2103,37 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** C140 `code_detect` — per-document code-vs-prose screen from three
+    * cheap structural signals: code-punctuation density (`{};`),
+    * indented-line share (4-space or tab starts), and camelCase
+    * density — the routing signal a corpus build uses to send docs to
+    * a code pipeline (or quarantine markup that would poison prose
+    * stats). Integer per-mille densities (NULL on empty text), one
+    * regex pass each over the map-only scan; the flag ORs the
+    * thresholds under both engines' identical 3VL, coalesced to false.
+    */
+  def codeDetect(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(lines).cast("long").as("n_lines"),
+        regexp_count(col("text"), lit("[{};]")).cast("long").as("n_punct"),
+        size(filter(lines, l => l.rlike("^(    |\\t)"))).cast("long").as("n_indent"),
+        regexp_count(col("text"), lit("[a-z][A-Z]")).cast("long").as("n_camel"))
+      .withColumn("punct_pm", when(col("n_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * n_punct) div n_chars")))
+      .withColumn("indent_pm", expr("(1000 * n_indent) div n_lines"))
+      .withColumn("camel_pm", when(col("n_chars") === 0, lit(null))
+        .otherwise(expr("(1000 * n_camel) div n_chars")))
+      .withColumn("is_code", coalesce(
+        col("punct_pm") >= 15 || col("indent_pm") >= 250 || col("camel_pm") >= 10,
+        lit(false)))
+      .select(col("doc_id"), col("n_chars"), col("n_lines"),
+        col("punct_pm"), col("indent_pm"), col("camel_pm"), col("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C139 `sentence_stats` — per-source SENTENCE-shape profile:
     * sentences per doc and words per sentence, under [[readability]]'s
     * exact conventions (sentences = [.!?]+ runs floored at 1, words =

@@ -300,6 +300,51 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamMacd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.macdStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamKeltner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.keltnerStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamWilliamsR(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.williamsRStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamCci(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.cciStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamEwmaVol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.ewmaVolStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamBollinger(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

@@ -1683,6 +1683,214 @@ object StreamingOps {
       }
   }
 
+  case class MacdState(values: Vector[Double], macds: Vector[Double])
+  case class MacdPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                       macd: Double, signal: Double, hist: Double)
+
+  /** D45 `macdStream` — streaming face of B27 `macd`: per-asset ring
+    * of the last `span` LWW closes plus a ring of the last
+    * `signal·4` ROUNDED MACD values (the batch signal frame). Each
+    * emission runs the normalized Horner folds oldest-first with the
+    * batch EW weights, so line/signal/histogram bit-match the batch
+    * twin. O(#assets · (span + 4·signal)) state.
+    */
+  def macdStream(daily: Dataset[DailyTick], fast: Int = 12, slow: Int = 26,
+                 signal: Int = 9, span: Int = 120): Dataset[MacdPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def w(n: Int): Double = 1.0 - 2.0 / (n + 1.0)
+    val (wf, ws, wsig) = (w(fast), w(slow), w(signal))
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      num / den
+    }
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MacdState, MacdPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MacdState]) =>
+          var st = state.getOption.getOrElse(MacdState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[MacdPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val vals = (st.values :+ t.value).takeRight(span)
+            val macd = graft.operators.Micro.jvm6(ew(vals, wf) - ew(vals, ws))
+            val macds = (st.macds :+ macd).takeRight(signal * 4)
+            val sig = graft.operators.Micro.jvm6(ew(macds, wsig))
+            out += MacdPoint(assetId, t.date, t.value, macd, sig,
+              graft.operators.Micro.jvm6(macd - sig))
+            st = MacdState(vals, macds)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class KeltState(lastClose: Double, seen: Boolean,
+                       tps: Vector[Double], trs: Vector[Double])
+  case class KeltPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                       mid: Double, atr: Double, upper: Double, lower: Double)
+
+  /** D46 `keltnerStream` — streaming face of B46 `keltner`: per-asset
+    * rings of the last `span` ROUNDED typical prices and true ranges
+    * plus the previous close. Middle line = EW mean of the tp ring
+    * (weight 1−2/(span+1)), ATR = Wilder EW of the tr ring — both the
+    * batch Horner folds oldest-first; bands from the ROUNDED mid/atr
+    * exactly as the batch columns compose. O(#assets · 2·span) state.
+    */
+  def keltnerStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[KeltPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val wilder = (span - 1).toDouble / span
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      num / den
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[KeltState, KeltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[KeltState]) =>
+          var st = state.getOption.getOrElse(
+            KeltState(0.0, seen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[KeltPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tp = graft.operators.Micro.jvm6((b.high + b.low + b.close) / 3)
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.lastClose), math.abs(b.low - st.lastClose))))
+            val tps = (st.tps :+ tp).takeRight(span)
+            val trs = (st.trs :+ tr).takeRight(span)
+            val mid = graft.operators.Micro.jvm6(ew(tps, w))
+            val atr = graft.operators.Micro.jvm6(ew(trs, wilder))
+            out += KeltPoint(assetId, b.date, b.close, mid, atr,
+              graft.operators.Micro.jvm6(mid + 2.0 * atr),
+              graft.operators.Micro.jvm6(mid - 2.0 * atr))
+            st = KeltState(b.close, seen = true, tps, trs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class WrState(hl: Vector[(Double, Double)])
+  case class WrPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                     wr: Option[Double])
+
+  /** D47 `williamsRStream` — streaming face of B45 `williams_r`: %R
+    * from a per-asset ring of the last `span` (high, low) pairs —
+    * rolling min/max are order-insensitive, the one division follows
+    * the batch op order and the micro-unit rounding, flat channels
+    * emit NULL. O(#assets · span) state.
+    */
+  def williamsRStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[WrPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[WrState, WrPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[WrState]) =>
+          var ring = state.getOption.map(_.hl).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[WrPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ ((b.high, b.low))).takeRight(span)
+            val hn = ring.map(_._1).max
+            val ln = ring.map(_._2).min
+            val wr =
+              if (hn == ln) None
+              else Some(graft.operators.Micro.jvm6(-100.0 * (hn - b.close) / (hn - ln)))
+            out += WrPoint(assetId, b.date, b.close, wr)
+          }
+          state.update(WrState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class CciState(tps: Vector[Double])
+  case class CciPoint(asset_id: Long, date: java.sql.Date, tp: Double,
+                      sma: Double, mean_dev: Double, cci: Option[Double])
+
+  /** D48 `cciStream` — streaming face of B51 `cci`: per-asset ring of
+    * the last `span` ROUNDED typical prices; SMA and mean absolute
+    * deviation as left-to-right folds over the ring (≡ the batch
+    * aggregate lambdas), CCI from the RAW sma/dev with the batch op
+    * order, zero-deviation NULL. O(#assets · span) state.
+    */
+  def cciStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[CciPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CciState, CciPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[CciState]) =>
+          var ring = state.getOption.map(_.tps).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[CciPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tp = graft.operators.Micro.jvm6((b.high + b.low + b.close) / 3)
+            ring = (ring :+ tp).takeRight(span)
+            val n = ring.size.toDouble
+            val sma = ring.foldLeft(0.0)(_ + _) / n
+            val dev = ring.foldLeft(0.0)((a, x) => a + math.abs(x - sma)) / n
+            val cci =
+              if (dev == 0.0) None
+              else Some(graft.operators.Micro.jvm6((tp - sma) / (0.015 * dev)))
+            out += CciPoint(assetId, b.date, tp,
+              graft.operators.Micro.jvm6(sma), graft.operators.Micro.jvm6(dev), cci)
+          }
+          state.update(CciState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class EwmaVolState(last_value: Double, rets: Vector[Double])
+  case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                          ewma_vol: Double)
+
+  /** D49 `ewmaVolStream` — streaming face of B204 `ewma_vol`:
+    * RiskMetrics EW volatility from a per-asset ring of the last
+    * `span` u6 returns; squares computed inside the oldest-first
+    * Horner pass (≡ the batch transform-then-fold), zero prior close
+    * emits nothing and carries the ring. O(#assets · span) state.
+    */
+  def ewmaVolStream(daily: Dataset[DailyTick], span: Int = 60,
+                    lambda: Double = 0.94): Dataset[EwmaVolPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[EwmaVolState, EwmaVolPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[EwmaVolState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[EwmaVolPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = EwmaVolState(t.value, Vector.empty)
+            } else if (st.last_value != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
+              val rets = (st.rets :+ ret).takeRight(span)
+              var num = 0.0; var den = 0.0
+              rets.foreach { x =>
+                val sq = x * x
+                num = num * lambda + sq; den = den * lambda + 1.0
+              }
+              out += EwmaVolPoint(assetId, t.date, ret,
+                graft.operators.Micro.jvm6(math.sqrt(num / den)))
+              st = EwmaVolState(t.value, rets)
+            } else {
+              st = EwmaVolState(t.value, st.rets)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class StochState(hl: Vector[(Double, Double)], prevKs: Vector[Option[Double]])
   case class StochPoint(asset_id: Long, date: java.sql.Date, close: Double,
                         pct_k: Option[Double], pct_d: Option[Double])

@@ -407,6 +407,15 @@ class PlanAuditSpec extends SparkSpec {
       s"trin exceeded asset shuffle + date rollup + sort: ${shuffles("trin")}")
     for (q <- Seq("line_profile", "sentence_stats"))
       assert(shuffles(q) <= 2, s"$q exceeded source rollup + sort: ${shuffles(q)}")
+    // wave N: upside_potential is the beta-family single-shuffle shape;
+    // zweig_breadth adds the #dates-row date rollup + unkeyed windows;
+    // code_detect is a map-only scan + sort
+    assert(shuffles("upside_potential") <= 2,
+      s"upside_potential grew beyond shuffle+sort: ${shuffles("upside_potential")}")
+    assert(shuffles("zweig_breadth") <= 4,
+      s"zweig_breadth exceeded asset shuffle + date rollup + windows: ${shuffles("zweig_breadth")}")
+    assert(shuffles("code_detect") <= 1,
+      s"code_detect must stay map-only + sort: ${shuffles("code_detect")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {

@@ -571,6 +571,116 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  // ── wave N fixtures ────────────────────────────────────────────────
+
+  test("zweig_breadth: thrust fires only after a sub-0.40 reading inside the window") {
+    // 12 assets: phase 1 (days 2-4) 2 up / 10 down → ratio 1/6 < 0.40;
+    // phase 2 (days 5-8) 12 up / 0 down → ratio 1, EMA climbs through 0.615
+    val series = (1L to 12L).map { a =>
+      val down = a > 2
+      val path = Seq.tabulate(8) { i =>
+        if (i == 0) 100.0
+        else if (i < 4) (if (down) 100.0 - i else 100.0 + i)
+        else 100.0 + i * (if (down) 0.5 else 1.0) // everyone rises in phase 2
+      }
+      a -> path
+    }.toMap
+    val out = graft.operators.Analytics.zweigBreadth(panelOf(series))
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString ->
+        (r.getAs[Double]("ratio"), r.getAs[Boolean]("thrust"))).toMap
+    assert(out("2024-01-02")._1 < 0.40 && !out("2024-01-02")._2)
+    // by late phase 2 the EMA has crossed 0.615 with the sub-0.40
+    // reading still inside the 10-session lookback
+    assert(out("2024-01-08")._2, s"thrust did not fire: $out")
+  }
+
+  test("upside_potential matches an imperative partial-moment recomputation") {
+    import graft.operators.Micro.jvm6
+    val vals = Seq(100.0, 103.0, 99.0, 104.5, 98.0, 106.0, 101.0)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1.0) }.toVector
+    val n = rets.size.toDouble
+    val up1 = rets.foldLeft(0.0)((a, x) => a + math.max(x, 0.0))
+    val dn2 = rets.foldLeft(0.0)((a, x) => { val t = math.min(x, 0.0); a + t * t })
+    val r = graft.operators.Analytics.upsidePotential(panelOf(Map(1L -> vals)))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Double]("upside_mean") === jvm6(up1 / n))
+    assert(r.getAs[Double]("downside_dev") === jvm6(math.sqrt(dn2 / n)))
+    assert(r.getAs[Double]("upr") === jvm6((up1 / n) / math.sqrt(dn2 / n)))
+    // an all-gains series NULLs the ratio instead of dividing by zero
+    val up = graft.operators.Analytics
+      .upsidePotential(panelOf(Map(1L -> Seq(100.0, 101.0, 102.0, 103.0, 104.0))))
+      .collect().head
+    assert(up.isNullAt(up.fieldIndex("upr")))
+  }
+
+  test("code_detect flags braces, indentation and camelCase but not prose") {
+    val code = "def f(x) {\n    return g(x);\n}\n    val myVarName = callSomeFn();"
+    val prose = "The market closed higher today. Breadth was strong and steady."
+    val out = graft.operators.Pipeline.codeDetect(
+      Seq((1L, code, "a"), (2L, prose, "a"), (3L, "", "b"))
+        .toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_code"))
+    assert(!out(2L).getAs[Boolean]("is_code"))
+    // empty text: NULL densities, flag coalesces to false
+    assert(out(3L).isNullAt(out(3L).fieldIndex("punct_pm")))
+    assert(!out(3L).getAs[Boolean]("is_code"))
+  }
+
+  test("stream_macd and stream_keltner equal their batch twins on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val macdBatch = graft.operators.Analytics.macd(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val macdStream = graft.streaming.StreamReplay
+      .replay(spark, daily, 3, maxStateRows = 2L)(StreamingOps.macdStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(macdStream === macdBatch)
+    val keltBatch = graft.operators.Analytics.keltner(panel)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val keltStream = graft.streaming.StreamReplay
+      .replay(spark, bars, 3, maxStateRows = 2L)(StreamingOps.keltnerStream(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(keltStream === keltBatch)
+  }
+
+  test("stream_williams_r, stream_cci and stream_ewma_vol equal their batch twins") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5))) // flat prefix → NULL %R / CCI
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(
+      StreamingOps.williamsRStream(_))) ===
+      norm(graft.operators.Analytics.williamsR(panel)))
+    assert(norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(
+      StreamingOps.cciStream(_))) ===
+      norm(graft.operators.Analytics.cci(panel)))
+    assert(norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(
+      StreamingOps.ewmaVolStream(_))) ===
+      norm(graft.operators.Analytics.ewmaVol(panel)))
+  }
+
   test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
