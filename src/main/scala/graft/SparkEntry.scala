@@ -1144,6 +1144,15 @@ object SparkEntry {
     "stream_williams_r" -> ((s, dir) => StreamReplay.streamWilliamsR(s, dir)),
     "stream_cci" -> ((s, dir) => StreamReplay.streamCci(s, dir)),
     "stream_ewma_vol" -> ((s, dir) => StreamReplay.streamEwmaVol(s, dir)),
+    // ── wave O (r10) ─────────────────────────────────────────────────
+    "stream_mfi" -> ((s, dir) => StreamReplay.streamMfi(s, dir)),
+    "stream_cmf" -> ((s, dir) => StreamReplay.streamCmf(s, dir)),
+    "stream_force_index" -> ((s, dir) => StreamReplay.streamForceIndex(s, dir)),
+    "stream_vortex" -> ((s, dir) => StreamReplay.streamVortex(s, dir)),
+    "stream_eom" -> ((s, dir) => StreamReplay.streamEom(s, dir)),
+    "stream_awesome_osc" -> ((s, dir) => StreamReplay.streamAwesomeOsc(s, dir)),
+    "stream_dpo" -> ((s, dir) => StreamReplay.streamDpo(s, dir)),
+    "stream_chaikin_osc" -> ((s, dir) => StreamReplay.streamChaikinOsc(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3082,7 +3091,15 @@ object SparkEntry {
       ("stream_keltner" -> m("keltner")) +
       ("stream_williams_r" -> m("williams_r")) +
       ("stream_cci" -> m("cci")) +
-      ("stream_ewma_vol" -> m("ewma_vol"))
+      ("stream_ewma_vol" -> m("ewma_vol")) +
+      ("stream_mfi" -> m("mfi")) +
+      ("stream_cmf" -> m("cmf")) +
+      ("stream_force_index" -> m("force_index")) +
+      ("stream_vortex" -> m("vortex")) +
+      ("stream_eom" -> m("eom")) +
+      ("stream_awesome_osc" -> m("awesome_osc")) +
+      ("stream_dpo" -> m("dpo")) +
+      ("stream_chaikin_osc" -> m("chaikin_osc"))
   }
 
   private def oracleSqlBase: Map[String, String] =

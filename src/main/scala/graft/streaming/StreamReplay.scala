@@ -300,6 +300,36 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  /** Bar-fed twin wrappers share one shape: replay the bar feed into
+    * the op, state bounded by the distinct asset count.
+    */
+  private def replayBars[O](s: SparkSession, dir: String)(
+      op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+        org.apache.spark.sql.Dataset[O]): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(op)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamMfi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.mfiStream(_))
+  def streamCmf(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.cmfStream(_))
+  def streamForceIndex(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.forceIndexStream(_))
+  def streamVortex(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.vortexStream(_))
+  def streamEom(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.eomStream(_))
+  def streamAwesomeOsc(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.awesomeOscStream(_))
+  def streamDpo(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.dpoStream(_))
+  def streamChaikinOsc(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.chaikinOscStream)
+
   def streamMacd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

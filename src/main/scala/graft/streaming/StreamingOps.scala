@@ -1847,6 +1847,328 @@ object StreamingOps {
       }
   }
 
+  case class MfiState(prevTp: Option[Double], flows: Vector[(Double, Double)])
+  case class MfiPoint(asset_id: Long, date: java.sql.Date, tp: Double,
+                      mfi: Option[Double])
+
+  /** D50 `mfiStream` — streaming face of B96 `mfi`: previous typical
+    * price + ring of the last `span` (positive, negative) money flows
+    * per asset; directional classification and the 100·pos/(pos+neg)
+    * ratio follow the batch op order, all-flat frames NULL.
+    * O(#assets · span) state.
+    */
+  def mfiStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[MfiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MfiState, MfiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[MfiState]) =>
+          var st = state.getOption.getOrElse(MfiState(None, Vector.empty))
+          val out = Vector.newBuilder[MfiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tp = graft.operators.Micro.jvm6((b.high + b.low + b.close) / 3)
+            val mf = graft.operators.Micro.jvm6(tp * b.n_ticks.toDouble)
+            val pos = if (st.prevTp.exists(tp > _)) mf else 0.0
+            val neg = if (st.prevTp.exists(tp < _)) mf else 0.0
+            val flows = (st.flows :+ ((pos, neg))).takeRight(span)
+            var sp = 0.0; var sn = 0.0
+            flows.foreach { case (p, q) => sp += p; sn += q }
+            val mfi =
+              if (sp + sn == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * sp / (sp + sn)))
+            out += MfiPoint(assetId, b.date, tp, mfi)
+            st = MfiState(Some(tp), flows)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class CmfState(bars: Vector[(Double, Long)])
+  case class CmfPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                      mfv: Double, vol_n: Long, cmf: Double)
+
+  /** D51 `cmfStream` — streaming face of B52 `cmf`: ring of the last
+    * `span` (raw money-flow volume, tick volume) pairs per asset; the
+    * MFV sum is the left-to-right ring fold, the volume sum an exact
+    * integer — both ≡ the batch frame. O(#assets · span) state.
+    */
+  def cmfStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[CmfPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CmfState, CmfPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[CmfState]) =>
+          var ring = state.getOption.map(_.bars).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[CmfPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val mfv =
+              if (b.high == b.low) 0.0
+              else graft.operators.Micro.jvm6(
+                ((b.close - b.low) - (b.high - b.close)) / (b.high - b.low)) *
+                b.n_ticks.toDouble
+            ring = (ring :+ ((mfv, b.n_ticks))).takeRight(span)
+            var s = 0.0; var v = 0L
+            ring.foreach { case (m, n) => s += m; v += n }
+            out += CmfPoint(assetId, b.date, b.close,
+              graft.operators.Micro.jvm6(mfv), v,
+              graft.operators.Micro.jvm6(s / v.toDouble))
+          }
+          state.update(CmfState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class FiState(lastClose: Double, seen: Boolean, fis: Vector[Double])
+  case class FiPoint(asset_id: Long, date: java.sql.Date, fi: Double, fi_ema: Double)
+
+  /** D52 `forceIndexStream` — streaming face of B98 `force_index`:
+    * previous close + ring of the last `span` ROUNDED force values
+    * per asset (Δclose · volume, EW-smoothed); the first-ever bar
+    * emits nothing (the batch NULL-lag filter). O(#assets · span)
+    * state.
+    */
+  def forceIndexStream(bars: Dataset[OhlcStreamBar], span: Int = 13): Dataset[FiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[FiState, FiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[FiState]) =>
+          var st = state.getOption.getOrElse(FiState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[FiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val fi = graft.operators.Micro.jvm6(
+                (b.close - st.lastClose) * b.n_ticks.toDouble)
+              val fis = (st.fis :+ fi).takeRight(span)
+              var num = 0.0; var den = 0.0
+              fis.foreach { x => num = num * w + x; den = den * w + 1.0 }
+              out += FiPoint(assetId, b.date, fi, graft.operators.Micro.jvm6(num / den))
+              st = FiState(b.close, seen = true, fis)
+            } else {
+              st = FiState(b.close, seen = true, st.fis)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class VortexState(ph: Double, pl: Double, pc: Double, seen: Boolean,
+                         vms: Vector[(Double, Double, Double)])
+  case class VortexPoint(asset_id: Long, date: java.sql.Date,
+                         vi_plus: Option[Double], vi_minus: Option[Double])
+
+  /** D53 `vortexStream` — streaming face of B99 `vortex`: previous
+    * bar's high/low/close + ring of the last `span` ROUNDED
+    * (VM⁺, VM⁻, TR) triples per asset; plain ordered sums (≡ the batch
+    * folds), zero-TR frames NULL, first-ever bar emits nothing.
+    * O(#assets · span) state.
+    */
+  def vortexStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[VortexPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VortexState, VortexPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VortexState]) =>
+          var st = state.getOption.getOrElse(
+            VortexState(0.0, 0.0, 0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[VortexPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val vmP = graft.operators.Micro.jvm6(math.abs(b.high - st.pl))
+              val vmM = graft.operators.Micro.jvm6(math.abs(b.low - st.ph))
+              val tr = graft.operators.Micro.jvm6(math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.pc), math.abs(b.low - st.pc))))
+              val vms = (st.vms :+ ((vmP, vmM, tr))).takeRight(span)
+              var sp = 0.0; var sm = 0.0; var str = 0.0
+              vms.foreach { case (p, m, t) => sp += p; sm += m; str += t }
+              val (vip, vim) =
+                if (str == 0.0) (None, None)
+                else (Some(graft.operators.Micro.jvm6(sp / str)),
+                  Some(graft.operators.Micro.jvm6(sm / str)))
+              out += VortexPoint(assetId, b.date, vip, vim)
+              st = VortexState(b.high, b.low, b.close, seen = true, vms)
+            } else {
+              st = VortexState(b.high, b.low, b.close, seen = true, st.vms)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class EomState(prevMid: Option[Double], raws: Vector[Double])
+  case class EomPoint(asset_id: Long, date: java.sql.Date, eom_raw: Double,
+                      eom: Double)
+
+  /** D54 `eomStream` — streaming face of B119 `eom`: previous ROUNDED
+    * midpoint + ring of the last `span` ROUNDED raw EoM values per
+    * asset (midpoint move scaled by range over volume, EW-smoothed);
+    * flat bars contribute 0, the first-ever bar emits nothing.
+    * O(#assets · span) state.
+    */
+  def eomStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[EomPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[EomState, EomPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[EomState]) =>
+          var st = state.getOption.getOrElse(EomState(None, Vector.empty))
+          val out = Vector.newBuilder[EomPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val mid = graft.operators.Micro.jvm6((b.high + b.low) / 2)
+            st.prevMid match {
+              case Some(pm) =>
+                val dist = graft.operators.Micro.jvm6(mid - pm)
+                val raw =
+                  if (b.high == b.low) graft.operators.Micro.jvm6(0.0)
+                  else graft.operators.Micro.jvm6(
+                    dist * (b.high - b.low) / b.n_ticks.toDouble)
+                val raws = (st.raws :+ raw).takeRight(span)
+                var num = 0.0; var den = 0.0
+                raws.foreach { x => num = num * w + x; den = den * w + 1.0 }
+                out += EomPoint(assetId, b.date, raw,
+                  graft.operators.Micro.jvm6(num / den))
+                st = EomState(Some(mid), raws)
+              case None =>
+                st = EomState(Some(mid), st.raws)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AoState(mids: Vector[Double])
+  case class AoPoint(asset_id: Long, date: java.sql.Date, mid: Double, ao: Double)
+
+  /** D55 `awesomeOscStream` — streaming face of B113 `awesome_osc`:
+    * ring of the last `slow` ROUNDED bar midpoints per asset; the
+    * fast SMA folds the ring's tail, the slow SMA the whole ring,
+    * both left-to-right ≡ the batch frame folds. O(#assets · slow)
+    * state.
+    */
+  def awesomeOscStream(bars: Dataset[OhlcStreamBar], fast: Int = 5,
+                       slow: Int = 34): Dataset[AoPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    def sma(arr: Vector[Double]): Double =
+      graft.operators.Micro.jvm6(arr.foldLeft(0.0)(_ + _) / arr.size.toDouble)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AoState, AoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AoState]) =>
+          var ring = state.getOption.map(_.mids).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val mid = graft.operators.Micro.jvm6((b.high + b.low) / 2)
+            ring = (ring :+ mid).takeRight(slow)
+            out += AoPoint(assetId, b.date, mid, graft.operators.Micro.jvm6(
+              sma(ring.takeRight(fast)) - sma(ring)))
+          }
+          state.update(AoState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class DpoState(closes: Vector[Double])
+  case class DpoPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                      sma: Double, dpo: Option[Double])
+
+  /** D56 `dpoStream` — streaming face of B106 `dpo`: ring of the last
+    * `span` raw closes per asset; SMA folds the ring, the reference
+    * close looks `span/2 + 1` bars back INSIDE the same ring (absent →
+    * NULL, the batch lag semantics). O(#assets · span) state.
+    */
+  def dpoStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[DpoPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val shift = span / 2 + 1
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DpoState, DpoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[DpoState]) =>
+          var ring = state.getOption.map(_.closes).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[DpoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ b.close).takeRight(span)
+            val sma = graft.operators.Micro.jvm6(
+              ring.foldLeft(0.0)(_ + _) / ring.size.toDouble)
+            // ring ends at the current bar: the close `shift` bars ago
+            // sits at index size-1-shift (absent on short rings — and
+            // the 20-ring always retains 11 back-bars once warm)
+            val dpo =
+              if (ring.size - 1 - shift < 0) None
+              else Some(graft.operators.Micro.jvm6(
+                ring(ring.size - 1 - shift) - sma))
+            out += DpoPoint(assetId, b.date, b.close, sma, dpo)
+          }
+          state.update(DpoState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class ChaikinState(adMicro: Long, ads: Vector[Double])
+  case class ChaikinPoint(asset_id: Long, date: java.sql.Date, ad: Double,
+                          chaikin: Double)
+
+  /** D57 `chaikinOscStream` — streaming face of B100 `chaikin_osc`:
+    * the A/D line as an exact INTEGER micro running sum (the vpt/cusum
+    * discipline — replay-stable under any batch split) + ring of the
+    * last 10 A/D values; EW(3) folds the ring's tail, EW(10) the whole
+    * ring, ≡ the batch frames. O(#assets · 10) state.
+    */
+  def chaikinOscStream(bars: Dataset[OhlcStreamBar]): Dataset[ChaikinPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w3 = 0.5
+    val w10 = 1.0 - 2.0 / 11.0
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      num / den
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ChaikinState, ChaikinPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ChaikinState]) =>
+          var st = state.getOption.getOrElse(ChaikinState(0L, Vector.empty))
+          val out = Vector.newBuilder[ChaikinPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val clv =
+              if (b.high == b.low) 0.0
+              else graft.operators.Micro.jvm6(
+                ((b.close - b.low) - (b.high - b.close)) / (b.high - b.low))
+            // u6 clvs are micro-integer-valued; Math.round == Column round
+            val adMicro = st.adMicro + Math.round(clv * 1e6) * b.n_ticks
+            val ad = adMicro.toDouble / 1e6
+            val ads = (st.ads :+ ad).takeRight(10)
+            out += ChaikinPoint(assetId, b.date, ad, graft.operators.Micro.jvm6(
+              graft.operators.Micro.jvm6(ew(ads.takeRight(3), w3)) -
+                graft.operators.Micro.jvm6(ew(ads, w10))))
+            st = ChaikinState(adMicro, ads)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EwmaVolState(last_value: Double, rets: Vector[Double])
   case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                           ewma_vol: Double)

@@ -681,6 +681,35 @@ class Round10OpsSpec extends SparkSpec {
       norm(graft.operators.Analytics.ewmaVol(panel)))
   }
 
+  // ── wave O fixtures ────────────────────────────────────────────────
+
+  test("wave-O bar twins equal their batch ops on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0))) // flat prefix edge cases
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamed(StreamingOps.mfiStream(_)) === norm(A.mfi(panel)), "mfi")
+    assert(streamed(StreamingOps.cmfStream(_)) === norm(A.cmf(panel)), "cmf")
+    assert(streamed(StreamingOps.forceIndexStream(_)) === norm(A.forceIndex(panel)), "fi")
+    assert(streamed(StreamingOps.vortexStream(_)) === norm(A.vortex(panel)), "vortex")
+    assert(streamed(StreamingOps.eomStream(_)) === norm(A.eom(panel)), "eom")
+    assert(streamed(StreamingOps.awesomeOscStream(_)) === norm(A.awesomeOsc(panel)), "ao")
+    assert(streamed(StreamingOps.dpoStream(_)) === norm(A.dpo(panel)), "dpo")
+    assert(streamed(StreamingOps.chaikinOscStream) === norm(A.chaikinOsc(panel)), "chaikin")
+  }
+
   test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
