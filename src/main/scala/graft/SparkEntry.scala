@@ -1153,6 +1153,15 @@ object SparkEntry {
     "stream_awesome_osc" -> ((s, dir) => StreamReplay.streamAwesomeOsc(s, dir)),
     "stream_dpo" -> ((s, dir) => StreamReplay.streamDpo(s, dir)),
     "stream_chaikin_osc" -> ((s, dir) => StreamReplay.streamChaikinOsc(s, dir)),
+    // ── wave P (r10) ─────────────────────────────────────────────────
+    "stream_aroon" -> ((s, dir) => StreamReplay.streamAroon(s, dir)),
+    "stream_choppiness" -> ((s, dir) => StreamReplay.streamChoppiness(s, dir)),
+    "stream_balance_of_power" -> ((s, dir) => StreamReplay.streamBalanceOfPower(s, dir)),
+    "stream_qstick" -> ((s, dir) => StreamReplay.streamQstick(s, dir)),
+    "stream_rvi" -> ((s, dir) => StreamReplay.streamRvi(s, dir)),
+    "stream_elder_ray" -> ((s, dir) => StreamReplay.streamElderRay(s, dir)),
+    "stream_trix" -> ((s, dir) => StreamReplay.streamTrix(s, dir)),
+    "stream_rolling_ols_trend" -> ((s, dir) => StreamReplay.streamRollingOlsTrend(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3099,7 +3108,15 @@ object SparkEntry {
       ("stream_eom" -> m("eom")) +
       ("stream_awesome_osc" -> m("awesome_osc")) +
       ("stream_dpo" -> m("dpo")) +
-      ("stream_chaikin_osc" -> m("chaikin_osc"))
+      ("stream_chaikin_osc" -> m("chaikin_osc")) +
+      ("stream_aroon" -> m("aroon")) +
+      ("stream_choppiness" -> m("choppiness")) +
+      ("stream_balance_of_power" -> m("balance_of_power")) +
+      ("stream_qstick" -> m("qstick")) +
+      ("stream_rvi" -> m("rvi")) +
+      ("stream_elder_ray" -> m("elder_ray")) +
+      ("stream_trix" -> m("trix")) +
+      ("stream_rolling_ols_trend" -> m("rolling_ols_trend"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -330,6 +330,30 @@ object StreamReplay {
   def streamChaikinOsc(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.chaikinOscStream)
 
+  def streamAroon(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.aroonStream(_))
+  def streamChoppiness(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.choppinessStream(_))
+  def streamBalanceOfPower(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.balanceOfPowerStream(_))
+  def streamQstick(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.qstickStream(_))
+  def streamRvi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.rviStream(_))
+  def streamElderRay(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.elderRayStream(_))
+  def streamTrix(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.trixStream(_))
+
+  def streamRollingOlsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rollingOlsTrendStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamMacd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

@@ -2169,6 +2169,334 @@ object StreamingOps {
       }
   }
 
+  case class AroonState(hl: Vector[(Double, Double)])
+  case class AroonPoint(asset_id: Long, date: java.sql.Date, d_hi: Long,
+                        d_lo: Long, aroon_up: Double, aroon_dn: Double)
+
+  /** D58 `aroonStream` — streaming face of B95 `aroon`: ring of the
+    * last `span` (high, low) pairs; distance-since-extreme scans the
+    * ring newest-first (≡ the batch reverse + array_position, which
+    * takes the MOST RECENT tie), the 100·(span−d)/span scaling uses
+    * the fixed span exactly as the batch. O(#assets · span) state.
+    */
+  def aroonStream(bars: Dataset[OhlcStreamBar], span: Int = 25): Dataset[AroonPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AroonState, AroonPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AroonState]) =>
+          var ring = state.getOption.map(_.hl).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AroonPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ ((b.high, b.low))).takeRight(span)
+            val rev = ring.reverse
+            val dHi = rev.indexWhere(_._1 == rev.map(_._1).max).toLong
+            val dLo = rev.indexWhere(_._2 == rev.map(_._2).min).toLong
+            out += AroonPoint(assetId, b.date, dHi, dLo,
+              graft.operators.Micro.jvm6(100.0 * (span - dHi) / span.toDouble),
+              graft.operators.Micro.jvm6(100.0 * (span - dLo) / span.toDouble))
+          }
+          state.update(AroonState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class ChopState(lastClose: Double, seen: Boolean,
+                       bars: Vector[(Double, Double, Double)])
+  case class ChopPoint(asset_id: Long, date: java.sql.Date, s_tr: Double,
+                       chop: Option[Double])
+
+  /** D59 `choppinessStream` — streaming face of B118 `choppiness`:
+    * previous close + ring of the last `span` (ROUNDED TR, high, low)
+    * triples; TR sum is the ordered ring fold, channel min/max are
+    * order-insensitive, the log-ratio NULLs exactly where the batch
+    * guards (flat channel, zero TR mass, 1-bar frame).
+    * O(#assets · span) state.
+    */
+  def choppinessStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[ChopPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ChopState, ChopPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ChopState]) =>
+          var st = state.getOption.getOrElse(ChopState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[ChopPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.lastClose), math.abs(b.low - st.lastClose))))
+            val ring = (st.bars :+ ((tr, b.high, b.low))).takeRight(span)
+            var sTr = 0.0
+            ring.foreach { case (t, _, _) => sTr += t }
+            val hh = ring.map(_._2).max
+            val ll = ring.map(_._3).min
+            val n = ring.size.toDouble
+            val chop =
+              if (hh == ll || sTr <= 0 || n < 2) None
+              else Some(graft.operators.Micro.jvm6(
+                100.0 * math.log(sTr / (hh - ll)) / math.log(n)))
+            out += ChopPoint(assetId, b.date, sTr, chop)
+            st = ChopState(b.close, seen = true, ring)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class BopState(bops: Vector[Double])
+  case class BopPoint(asset_id: Long, date: java.sql.Date, bop: Double,
+                      bop_sma: Double)
+
+  /** D60 `balanceOfPowerStream` — streaming face of B133
+    * `balance_of_power`: flat bars (high = low) are DROPPED entirely
+    * (the batch filter runs before the frame, so they enter neither
+    * the output nor the ring); ring of the last `span` ROUNDED BoP
+    * values, SMA = ordered fold / size. O(#assets · span) state.
+    */
+  def balanceOfPowerStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[BopPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[BopState, BopPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[BopState]) =>
+          var ring = state.getOption.map(_.bops).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[BopPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.high > b.low) {
+              val bop = graft.operators.Micro.jvm6((b.close - b.open) / (b.high - b.low))
+              ring = (ring :+ bop).takeRight(span)
+              out += BopPoint(assetId, b.date, bop, graft.operators.Micro.jvm6(
+                ring.foldLeft(0.0)(_ + _) / ring.size.toDouble))
+            }
+          }
+          state.update(BopState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class QstickState(bodies: Vector[Double])
+  case class QstickPoint(asset_id: Long, date: java.sql.Date, body: Double,
+                         qstick: Double)
+
+  /** D61 `qstickStream` — streaming face of B134 `qstick`: ring of the
+    * last `span` ROUNDED candle bodies (close − open), SMA = ordered
+    * fold / size. O(#assets · span) state.
+    */
+  def qstickStream(bars: Dataset[OhlcStreamBar], span: Int = 8): Dataset[QstickPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[QstickState, QstickPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[QstickState]) =>
+          var ring = state.getOption.map(_.bodies).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[QstickPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val body = graft.operators.Micro.jvm6(b.close - b.open)
+            ring = (ring :+ body).takeRight(span)
+            out += QstickPoint(assetId, b.date, body, graft.operators.Micro.jvm6(
+              ring.foldLeft(0.0)(_ + _) / ring.size.toDouble))
+          }
+          state.update(QstickState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class RviState(cos: Vector[Double], hls: Vector[Double],
+                      nds: Vector[(Double, Double)], rvis: Vector[Option[Double]])
+  case class RviPoint(asset_id: Long, date: java.sql.Date,
+                      rvi: Option[Double], sig: Option[Double])
+
+  /** D62 `rviStream` — streaming face of B135 `rvi`: the last 3 raw
+    * (close−open) and (high−low) values feed the symmetric weighted MA
+    * (the batch lag(1..3) — bars without a full SWMA window emit
+    * nothing, the batch num-NULL filter), a ring of the last `span`
+    * (num, den) pairs feeds the vigor ratio (zero den-mass → NULL),
+    * and the last 3 ROUNDED RVI values feed the signal SWMA with NULL
+    * propagation ≡ the batch lags. O(#assets · span) state.
+    */
+  def rviStream(bars: Dataset[OhlcStreamBar], span: Int = 10): Dataset[RviPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    def swma(x0: Double, x1: Double, x2: Double, x3: Double): Double =
+      graft.operators.Micro.jvm6((x0 + 2.0 * x1 + 2.0 * x2 + x3) / 6)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RviState, RviPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[RviState]) =>
+          var st = state.getOption.getOrElse(
+            RviState(Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[RviPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val co = b.close - b.open
+            val hl = b.high - b.low
+            if (st.cos.size >= 3) {
+              // lags 1..3 are the newest-first tail of the carried values
+              val num = swma(co, st.cos(2), st.cos(1), st.cos(0))
+              val den = swma(hl, st.hls(2), st.hls(1), st.hls(0))
+              val nds = (st.nds :+ ((num, den))).takeRight(span)
+              var sn = 0.0; var sd = 0.0
+              nds.foreach { case (a, d) => sn += a; sd += d }
+              val rvi =
+                if (sd == 0.0) None
+                else Some(graft.operators.Micro.jvm6(sn / sd))
+              val sig =
+                if (st.rvis.size < 3) None
+                else for (r0 <- rvi; r1 <- st.rvis(2); r2 <- st.rvis(1); r3 <- st.rvis(0))
+                  yield swma(r0, r1, r2, r3)
+              out += RviPoint(assetId, b.date, rvi, sig)
+              st = RviState((st.cos :+ co).takeRight(3), (st.hls :+ hl).takeRight(3),
+                nds, (st.rvis :+ rvi).takeRight(3))
+            } else {
+              st = RviState((st.cos :+ co).takeRight(3), (st.hls :+ hl).takeRight(3),
+                st.nds, st.rvis)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ElderRayState(closes: Vector[Double])
+  case class ElderRayPoint(asset_id: Long, date: java.sql.Date, ema: Double,
+                           bull_power: Double, bear_power: Double)
+
+  /** D63 `elderRayStream` — streaming face of B97 `elder_ray`: ring of
+    * the last `span` closes, EW consensus fold, bull/bear as exact
+    * differences of the ROUNDED EMA ≡ the batch columns.
+    * O(#assets · span) state.
+    */
+  def elderRayStream(bars: Dataset[OhlcStreamBar], span: Int = 13): Dataset[ElderRayPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ElderRayState, ElderRayPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ElderRayState]) =>
+          var ring = state.getOption.map(_.closes).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[ElderRayPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ b.close).takeRight(span)
+            var num = 0.0; var den = 0.0
+            ring.foreach { x => num = num * w + x; den = den * w + 1.0 }
+            val ema = graft.operators.Micro.jvm6(num / den)
+            out += ElderRayPoint(assetId, b.date, ema,
+              graft.operators.Micro.jvm6(b.high - ema),
+              graft.operators.Micro.jvm6(b.low - ema))
+          }
+          state.update(ElderRayState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class TrixState(closes: Vector[Double], e1s: Vector[Double],
+                       e2s: Vector[Double], prevE3: Option[Double])
+  case class TrixPoint(asset_id: Long, date: java.sql.Date, e3: Double,
+                       trix: Option[Double])
+
+  /** D64 `trixStream` — streaming face of B105 `trix`: three chained
+    * EW stages, each a ring of the previous stage's ROUNDED outputs
+    * (≡ the batch's u6-at-every-stage-boundary discipline), plus the
+    * previous e3 for the rate-of-change (first bar and zero prev →
+    * NULL ≡ the batch lag guard). O(#assets · 3·span) state.
+    */
+  def trixStream(bars: Dataset[OhlcStreamBar], span: Int = 15): Dataset[TrixPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    def ew(arr: Vector[Double]): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * w + x; den = den * w + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TrixState, TrixPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[TrixState]) =>
+          var st = state.getOption.getOrElse(
+            TrixState(Vector.empty, Vector.empty, Vector.empty, None))
+          val out = Vector.newBuilder[TrixPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(span)
+            val e1s = (st.e1s :+ ew(closes)).takeRight(span)
+            val e2s = (st.e2s :+ ew(e1s)).takeRight(span)
+            val e3 = ew(e2s)
+            val trix = st.prevE3 match {
+              case Some(p) if p != 0.0 =>
+                Some(graft.operators.Micro.jvm6(e3 / p - 1.0))
+              case _ => None
+            }
+            out += TrixPoint(assetId, b.date, e3, trix)
+            st = TrixState(closes, e1s, e2s, Some(e3))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class OlsState(values: Vector[Double])
+  case class OlsPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      n_days: Long, slope: Double, fitted: Double,
+                      r2: Option[Double])
+
+  /** D65 `rollingOlsTrendStream` — streaming face of B203
+    * `rolling_ols_trend`: ring of the last `window` LWW closes; the
+    * integral-x sums are closed forms of the ring size, the value sums
+    * fold left-to-right ≡ the batch frame, frames below `minN` emit
+    * nothing and flat frames NULL the R². O(#assets · window) state.
+    */
+  def rollingOlsTrendStream(daily: Dataset[DailyTick], window: Int = 20,
+                            minN: Int = 5): Dataset[OlsPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[OlsState, OlsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[OlsState]) =>
+          var ring = state.getOption.map(_.values).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[OlsPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            if (ring.size >= minN) {
+              val n = ring.size.toDouble
+              val sx = n * (n + 1) / 2.0
+              val sx2 = n * (n + 1) * (2.0 * n + 1) / 6.0
+              var sy = 0.0; var sy2 = 0.0; var sxy = 0.0
+              var i = 0
+              ring.foreach { v =>
+                sy += v; sy2 += v * v; sxy += v * (i + 1).toDouble; i += 1
+              }
+              val b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+              val a = (sy - b * sx) / n
+              val syy = n * sy2 - sy * sy
+              val r2 =
+                if (syy <= 0) None
+                else Some(graft.operators.Micro.jvm6(
+                  (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                    ((n * sx2 - sx * sx) * syy)))
+              out += OlsPoint(assetId, t.date, t.value, ring.size.toLong,
+                graft.operators.Micro.jvm6(b),
+                graft.operators.Micro.jvm6(a + b * n), r2)
+            }
+          }
+          state.update(OlsState(ring))
+          out.result().iterator
+      }
+  }
+
   case class EwmaVolState(last_value: Double, rets: Vector[Double])
   case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                           ewma_vol: Double)
