@@ -1162,6 +1162,15 @@ object SparkEntry {
     "stream_elder_ray" -> ((s, dir) => StreamReplay.streamElderRay(s, dir)),
     "stream_trix" -> ((s, dir) => StreamReplay.streamTrix(s, dir)),
     "stream_rolling_ols_trend" -> ((s, dir) => StreamReplay.streamRollingOlsTrend(s, dir)),
+    // ── wave Q (r10) ─────────────────────────────────────────────────
+    "stream_stoch_rsi" -> ((s, dir) => StreamReplay.streamStochRsi(s, dir)),
+    "stream_tsi" -> ((s, dir) => StreamReplay.streamTsi(s, dir)),
+    "stream_pvo" -> ((s, dir) => StreamReplay.streamPvo(s, dir)),
+    "stream_coppock" -> ((s, dir) => StreamReplay.streamCoppock(s, dir)),
+    "stream_kst" -> ((s, dir) => StreamReplay.streamKst(s, dir)),
+    "stream_mass_index" -> ((s, dir) => StreamReplay.streamMassIndex(s, dir)),
+    "stream_chandelier_exit" -> ((s, dir) => StreamReplay.streamChandelierExit(s, dir)),
+    "stream_adx" -> ((s, dir) => StreamReplay.streamAdx(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3116,7 +3125,15 @@ object SparkEntry {
       ("stream_rvi" -> m("rvi")) +
       ("stream_elder_ray" -> m("elder_ray")) +
       ("stream_trix" -> m("trix")) +
-      ("stream_rolling_ols_trend" -> m("rolling_ols_trend"))
+      ("stream_rolling_ols_trend" -> m("rolling_ols_trend")) +
+      ("stream_stoch_rsi" -> m("stoch_rsi")) +
+      ("stream_tsi" -> m("tsi")) +
+      ("stream_pvo" -> m("pvo")) +
+      ("stream_coppock" -> m("coppock")) +
+      ("stream_kst" -> m("kst")) +
+      ("stream_mass_index" -> m("mass_index")) +
+      ("stream_chandelier_exit" -> m("chandelier_exit")) +
+      ("stream_adx" -> m("adx"))
   }
 
   private def oracleSqlBase: Map[String, String] =

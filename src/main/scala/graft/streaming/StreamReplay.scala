@@ -354,6 +354,30 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  def streamTsi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.tsiStream(_))
+  def streamPvo(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.pvoStream(_))
+  def streamCoppock(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.coppockStream(_))
+  def streamKst(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.kstStream)
+  def streamMassIndex(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.massIndexStream(_))
+  def streamChandelierExit(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.chandelierExitStream(_))
+  def streamAdx(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.adxStream(_))
+
+  def streamStochRsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.stochRsiStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamMacd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

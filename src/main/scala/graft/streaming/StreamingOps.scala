@@ -2497,6 +2497,410 @@ object StreamingOps {
       }
   }
 
+  case class StochRsiState(last_value: Double, rets: Vector[Double],
+                           rsis: Vector[Double])
+  case class StochRsiPoint(asset_id: Long, date: java.sql.Date, rsi: Double,
+                           stoch_rsi: Option[Double])
+
+  /** D66 `stochRsiStream` — streaming face of B115 `stoch_rsi`: the
+    * [[rsiStream]] machinery (ring of 60 u6 returns) feeding a ring of
+    * the last 14 u4 RSI values for the stochastic normalization; a
+    * flat RSI channel NULLs the output ≡ the batch guard.
+    * O(#assets · (rsiSpan + span)) state.
+    */
+  def stochRsiStream(daily: Dataset[DailyTick], rsiSpan: Int = 60,
+                     span: Int = 14): Dataset[StochRsiPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val w = 13.0 / 14.0
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[StochRsiState, StochRsiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[StochRsiState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[StochRsiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = StochRsiState(t.value, Vector.empty, Vector.empty)
+            } else if (st.last_value != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
+              val rets = (st.rets :+ ret).takeRight(rsiSpan)
+              var ag = 0.0; var al = 0.0
+              rets.foreach { x =>
+                ag = ag * w + math.max(x, 0.0); al = al * w + math.max(-x, 0.0)
+              }
+              val rsi =
+                if (al == 0.0) 100.0
+                else graft.operators.Micro.jvm4(100.0 - 100.0 / (1.0 + ag / al))
+              val rsis = (st.rsis :+ rsi).takeRight(span)
+              val lo = rsis.min
+              val hi = rsis.max
+              val sr =
+                if (hi == lo) None
+                else Some(graft.operators.Micro.jvm6((rsi - lo) / (hi - lo)))
+              out += StochRsiPoint(assetId, t.date, rsi, sr)
+              st = StochRsiState(t.value, rets, rsis)
+            } else {
+              st = StochRsiState(t.value, st.rets, st.rsis)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class TsiState(lastClose: Double, seen: Boolean, moms: Vector[Double],
+                      e1s: Vector[Double], a1s: Vector[Double])
+  case class TsiPoint(asset_id: Long, date: java.sql.Date, mom: Double,
+                      tsi: Option[Double])
+
+  /** D67 `tsiStream` — streaming face of B117 `tsi`: ring of 25
+    * ROUNDED momenta feeds the slow EW pair (signed and absolute),
+    * rings of 13 ROUNDED stage-1 outputs feed the fast pair — the
+    * batch u6-at-every-stage discipline; first-ever bar emits nothing.
+    * O(#assets · (slow + 2·fast)) state.
+    */
+  def tsiStream(bars: Dataset[OhlcStreamBar], slow: Int = 25,
+                fast: Int = 13): Dataset[TsiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TsiState, TsiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[TsiState]) =>
+          var st = state.getOption.getOrElse(
+            TsiState(0.0, seen = false, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[TsiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val mom = graft.operators.Micro.jvm6(b.close - st.lastClose)
+              val moms = (st.moms :+ mom).takeRight(slow)
+              val e1 = ew(moms, ws)
+              val a1 = ew(moms.map(math.abs), ws)
+              val e1s = (st.e1s :+ e1).takeRight(fast)
+              val a1s = (st.a1s :+ a1).takeRight(fast)
+              val e2 = ew(e1s, wf)
+              val a2 = ew(a1s, wf)
+              val tsi =
+                if (a2 == 0.0) None
+                else Some(graft.operators.Micro.jvm6(100.0 * e2 / a2))
+              out += TsiPoint(assetId, b.date, mom, tsi)
+              st = TsiState(b.close, seen = true, moms, e1s, a1s)
+            } else {
+              st = TsiState(b.close, seen = true, st.moms, st.e1s, st.a1s)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PvoState(vols: Vector[Double])
+  case class PvoPoint(asset_id: Long, date: java.sql.Date, e_fast: Double,
+                      e_slow: Double, pvo: Option[Double])
+
+  /** D68 `pvoStream` — streaming face of B116 `pvo`: ring of the last
+    * `slow` tick volumes; the fast EW folds the tail, the slow EW the
+    * whole ring, the percentage spread follows the batch op order
+    * (zero slow EW → NULL). O(#assets · slow) state.
+    */
+  def pvoStream(bars: Dataset[OhlcStreamBar], fast: Int = 12,
+                slow: Int = 26): Dataset[PvoPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PvoState, PvoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PvoState]) =>
+          var ring = state.getOption.map(_.vols).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[PvoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ b.n_ticks.toDouble).takeRight(slow)
+            val ef = ew(ring.takeRight(fast), wf)
+            val es = ew(ring, ws)
+            val pvo =
+              if (es == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * (ef - es) / es))
+            out += PvoPoint(assetId, b.date, ef, es, pvo)
+          }
+          state.update(PvoState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class CoppockState(closes: Vector[Double], rcs: Vector[Double])
+  case class CoppockPoint(asset_id: Long, date: java.sql.Date, rc: Double,
+                          coppock: Double)
+
+  /** D69 `coppockStream` — streaming face of B107 `coppock`: ring of
+    * the last 15 closes for the two RoC lags (either missing or a zero
+    * base → the bar emits nothing AND pushes nothing, the batch
+    * rc-NULL filter), ring of 10 ROUNDED rc values for the linearly
+    * front-weighted WMA (1-based weights oldest-first, exact
+    * triangular-number denominator). O(#assets · (15 + wma)) state.
+    */
+  def coppockStream(bars: Dataset[OhlcStreamBar], wma: Int = 10): Dataset[CoppockPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CoppockState, CoppockPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[CoppockState]) =>
+          var st = state.getOption.getOrElse(CoppockState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[CoppockPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(15)
+            def roc(k: Int): Option[Double] = {
+              val i = closes.size - 1 - k
+              if (i < 0 || closes(i) == 0.0) None
+              else Some(graft.operators.Micro.jvm6(b.close / closes(i) - 1.0))
+            }
+            (roc(14), roc(11)) match {
+              case (Some(r14), Some(r11)) =>
+                val rc = graft.operators.Micro.jvm6(r14 + r11)
+                val rcs = (st.rcs :+ rc).takeRight(wma)
+                var wnum = 0.0
+                var i = 0
+                rcs.foreach { x => wnum += x * (i + 1); i += 1 }
+                val n = rcs.size
+                out += CoppockPoint(assetId, b.date, rc,
+                  graft.operators.Micro.jvm6(wnum / (n * (n + 1) / 2).toDouble))
+                st = CoppockState(closes, rcs)
+              case _ =>
+                st = CoppockState(closes, st.rcs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class KstState(closes: Vector[Double], r1s: Vector[Double],
+                      r2s: Vector[Double], r3s: Vector[Double],
+                      r4s: Vector[Double], ksts: Vector[Double])
+  case class KstPoint(asset_id: Long, date: java.sql.Date, kst: Double,
+                      sig: Double)
+
+  /** D70 `kstStream` — streaming face of B139 `kst`: ring of the last
+    * 16 closes for the four RoC lags (any missing or zero-base → the
+    * bar emits nothing and pushes nothing, the batch all-non-NULL
+    * filter), four SMA rings of ROUNDED RoCs, one SMA ring of ROUNDED
+    * KST values for the signal. O(#assets · ~40) state.
+    */
+  def kstStream(bars: Dataset[OhlcStreamBar]): Dataset[KstPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    def sma(arr: Vector[Double]): Double =
+      graft.operators.Micro.jvm6(arr.foldLeft(0.0)(_ + _) / arr.size.toDouble)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[KstState, KstPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[KstState]) =>
+          var st = state.getOption.getOrElse(KstState(Vector.empty, Vector.empty,
+            Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[KstPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(16)
+            def roc(k: Int): Option[Double] = {
+              val i = closes.size - 1 - k
+              if (i < 0 || closes(i) == 0.0) None
+              else Some(graft.operators.Micro.jvm6(b.close / closes(i) - 1.0))
+            }
+            (roc(5), roc(8), roc(11), roc(15)) match {
+              case (Some(r1), Some(r2), Some(r3), Some(r4)) =>
+                val r1s = (st.r1s :+ r1).takeRight(5)
+                val r2s = (st.r2s :+ r2).takeRight(5)
+                val r3s = (st.r3s :+ r3).takeRight(5)
+                val r4s = (st.r4s :+ r4).takeRight(8)
+                val kst = graft.operators.Micro.jvm6(
+                  sma(r1s) + 2.0 * sma(r2s) + 3.0 * sma(r3s) + 4.0 * sma(r4s))
+                val ksts = (st.ksts :+ kst).takeRight(5)
+                out += KstPoint(assetId, b.date, kst, sma(ksts))
+                st = KstState(closes, r1s, r2s, r3s, r4s, ksts)
+              case _ =>
+                st = KstState(closes, st.r1s, st.r2s, st.r3s, st.r4s, st.ksts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class MassState(rs: Vector[Double], e1s: Vector[Double],
+                       ratios: Vector[Double])
+  case class MassPoint(asset_id: Long, date: java.sql.Date, r: Double,
+                       ratio: Double, mass: Double)
+
+  /** D71 `massIndexStream` — streaming face of B111 `mass_index`: two
+    * chained EW rings over the ROUNDED bar range (the trix discipline)
+    * plus a 25-ring of ROUNDED EMA ratios for the mass sum; zero
+    * second-stage EMA → ratio 0 ≡ the batch guard.
+    * O(#assets · (2·ema + window)) state.
+    */
+  def massIndexStream(bars: Dataset[OhlcStreamBar], ema: Int = 9,
+                      window: Int = 25): Dataset[MassPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (ema + 1.0)
+    def ew(arr: Vector[Double]): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * w + x; den = den * w + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MassState, MassPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[MassState]) =>
+          var st = state.getOption.getOrElse(
+            MassState(Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[MassPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val r = graft.operators.Micro.jvm6(b.high - b.low)
+            val rs = (st.rs :+ r).takeRight(ema)
+            val e1 = ew(rs)
+            val e1s = (st.e1s :+ e1).takeRight(ema)
+            val e2 = ew(e1s)
+            val ratio = graft.operators.Micro.jvm6(if (e2 == 0.0) 0.0 else e1 / e2)
+            val ratios = (st.ratios :+ ratio).takeRight(window)
+            out += MassPoint(assetId, b.date, r, ratio,
+              graft.operators.Micro.jvm6(ratios.foldLeft(0.0)(_ + _)))
+            st = MassState(rs, e1s, ratios)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ChandelierState(lastClose: Double, seen: Boolean,
+                             trs: Vector[Double], hl: Vector[(Double, Double)])
+  case class ChandelierPoint(asset_id: Long, date: java.sql.Date, atr: Double,
+                             long_exit: Double, short_exit: Double)
+
+  /** D72 `chandelierExitStream` — streaming face of B114
+    * `chandelier_exit`: prev close + ring of 22 ROUNDED TRs (Wilder
+    * ATR fold) + ring of 22 (high, low) for the channel extremes;
+    * exits composed from the ROUNDED atr ≡ the batch columns.
+    * O(#assets · 2·span) state.
+    */
+  def chandelierExitStream(bars: Dataset[OhlcStreamBar], span: Int = 22,
+                           mult: Double = 3.0): Dataset[ChandelierPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = (span - 1).toDouble / span
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ChandelierState, ChandelierPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ChandelierState]) =>
+          var st = state.getOption.getOrElse(
+            ChandelierState(0.0, seen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[ChandelierPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.lastClose), math.abs(b.low - st.lastClose))))
+            val trs = (st.trs :+ tr).takeRight(span)
+            val hl = (st.hl :+ ((b.high, b.low))).takeRight(span)
+            var num = 0.0; var den = 0.0
+            trs.foreach { x => num = num * w + x; den = den * w + 1.0 }
+            val atr = graft.operators.Micro.jvm6(num / den)
+            out += ChandelierPoint(assetId, b.date, atr,
+              graft.operators.Micro.jvm6(hl.map(_._1).max - mult * atr),
+              graft.operators.Micro.jvm6(hl.map(_._2).min + mult * atr))
+            st = ChandelierState(b.close, seen = true, trs, hl)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AdxState(ph: Double, pl: Double, pc: Double, seen: Boolean,
+                      dmp: Vector[Double], dmm: Vector[Double],
+                      trs: Vector[Double], dxs: Vector[Double])
+  case class AdxPoint(asset_id: Long, date: java.sql.Date, di_plus: Double,
+                      di_minus: Double, dx: Double, adx: Double)
+
+  /** D73 `adxStream` — streaming face of B110 `adx`: prev bar's
+    * high/low/close + rings of 14 ROUNDED ±DM and TR (UNnormalized
+    * Horner sums, the batch ewSum) + ring of 14 ROUNDED DX for the
+    * normalized ADX fold; zero-TR and zero-DI guards ≡ the batch 0
+    * conventions; first-ever bar emits nothing. O(#assets · 4·span)
+    * state.
+    */
+  def adxStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[AdxPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = (span - 1).toDouble / span
+    def hSum(arr: Vector[Double]): Double = {
+      var acc = 0.0
+      arr.foreach { x => acc = acc * w + x }
+      acc
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AdxState, AdxPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AdxState]) =>
+          var st = state.getOption.getOrElse(
+            AdxState(0.0, 0.0, 0.0, seen = false,
+              Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[AdxPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val up = b.high - st.ph
+              val dn = st.pl - b.low
+              val dmP = graft.operators.Micro.jvm6(if (up > dn && up > 0) up else 0.0)
+              val dmM = graft.operators.Micro.jvm6(if (dn > up && dn > 0) dn else 0.0)
+              val tr = graft.operators.Micro.jvm6(math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.pc), math.abs(b.low - st.pc))))
+              val dmp = (st.dmp :+ dmP).takeRight(span)
+              val dmm = (st.dmm :+ dmM).takeRight(span)
+              val trs = (st.trs :+ tr).takeRight(span)
+              val sT = hSum(trs)
+              val diP = graft.operators.Micro.jvm6(
+                if (sT == 0.0) 0.0 else 100.0 * hSum(dmp) / sT)
+              val diM = graft.operators.Micro.jvm6(
+                if (sT == 0.0) 0.0 else 100.0 * hSum(dmm) / sT)
+              val dx = graft.operators.Micro.jvm6(
+                if (diP + diM == 0.0) 0.0
+                else 100.0 * math.abs(diP - diM) / (diP + diM))
+              val dxs = (st.dxs :+ dx).takeRight(span)
+              var num = 0.0; var den = 0.0
+              dxs.foreach { x => num = num * w + x; den = den * w + 1.0 }
+              out += AdxPoint(assetId, b.date, diP, diM, dx,
+                graft.operators.Micro.jvm6(num / den))
+              st = AdxState(b.high, b.low, b.close, seen = true, dmp, dmm, trs, dxs)
+            } else {
+              st = AdxState(b.high, b.low, b.close, seen = true,
+                st.dmp, st.dmm, st.trs, st.dxs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EwmaVolState(last_value: Double, rets: Vector[Double])
   case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                           ewma_vol: Double)

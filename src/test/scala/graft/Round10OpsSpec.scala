@@ -744,6 +744,40 @@ class Round10OpsSpec extends SparkSpec {
       norm(A.rollingOlsTrend(panel)), "ols")
   }
 
+  test("wave-Q twins equal their batch ops on a replayed feed") {
+    // 18 bars so the lag-15 RoC family (kst) has live rows
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0, 114.0, 120.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamed(StreamingOps.tsiStream(_)) === norm(A.tsi(panel)), "tsi")
+    assert(streamed(StreamingOps.pvoStream(_)) === norm(A.pvo(panel)), "pvo")
+    assert(streamed(StreamingOps.coppockStream(_)) === norm(A.coppock(panel)), "coppock")
+    assert(streamed(StreamingOps.kstStream) === norm(A.kst(panel)), "kst")
+    assert(streamed(StreamingOps.massIndexStream(_)) === norm(A.massIndex(panel)), "mass")
+    assert(streamed(StreamingOps.chandelierExitStream(_)) ===
+      norm(A.chandelierExit(panel)), "chandelier")
+    assert(streamed(StreamingOps.adxStream(_)) === norm(A.adx(panel)), "adx")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(
+      StreamingOps.stochRsiStream(_))) === norm(A.stochRsi(panel)), "stoch_rsi")
+  }
+
   test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
