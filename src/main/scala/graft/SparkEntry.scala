@@ -1171,6 +1171,15 @@ object SparkEntry {
     "stream_mass_index" -> ((s, dir) => StreamReplay.streamMassIndex(s, dir)),
     "stream_chandelier_exit" -> ((s, dir) => StreamReplay.streamChandelierExit(s, dir)),
     "stream_adx" -> ((s, dir) => StreamReplay.streamAdx(s, dir)),
+    // ── wave R (r10) ─────────────────────────────────────────────────
+    "stream_kama" -> ((s, dir) => StreamReplay.streamKama(s, dir)),
+    "stream_fisher_transform" -> ((s, dir) => StreamReplay.streamFisherTransform(s, dir)),
+    "stream_connors_rsi" -> ((s, dir) => StreamReplay.streamConnorsRsi(s, dir)),
+    "stream_dema_tema" -> ((s, dir) => StreamReplay.streamDemaTema(s, dir)),
+    "stream_nvi_pvi" -> ((s, dir) => StreamReplay.streamNviPvi(s, dir)),
+    "stream_klinger_osc" -> ((s, dir) => StreamReplay.streamKlingerOsc(s, dir)),
+    "stream_vhf" -> ((s, dir) => StreamReplay.streamVhf(s, dir)),
+    "stream_rwi" -> ((s, dir) => StreamReplay.streamRwi(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3133,7 +3142,15 @@ object SparkEntry {
       ("stream_kst" -> m("kst")) +
       ("stream_mass_index" -> m("mass_index")) +
       ("stream_chandelier_exit" -> m("chandelier_exit")) +
-      ("stream_adx" -> m("adx"))
+      ("stream_adx" -> m("adx")) +
+      ("stream_kama" -> m("kama")) +
+      ("stream_fisher_transform" -> m("fisher_transform")) +
+      ("stream_connors_rsi" -> m("connors_rsi")) +
+      ("stream_dema_tema" -> m("dema_tema")) +
+      ("stream_nvi_pvi" -> m("nvi_pvi")) +
+      ("stream_klinger_osc" -> m("klinger_osc")) +
+      ("stream_vhf" -> m("vhf")) +
+      ("stream_rwi" -> m("rwi"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -369,6 +369,37 @@ object StreamReplay {
   def streamAdx(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.adxStream(_))
 
+  def streamKama(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.kamaStream(_))
+  def streamFisherTransform(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.fisherTransformStream(_))
+  def streamDemaTema(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.demaTemaStream(_))
+  def streamNviPvi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.nviPviStream)
+  def streamKlingerOsc(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.klingerOscStream(_))
+  def streamRwi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.rwiStream(_))
+
+  def streamConnorsRsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.connorsRsiStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamVhf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.vhfStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
   def streamStochRsi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

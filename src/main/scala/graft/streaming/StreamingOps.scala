@@ -2901,6 +2901,400 @@ object StreamingOps {
       }
   }
 
+  case class KamaState(closes: Vector[Double], ds: Vector[Double],
+                       prevKama: Option[Double], seen: Boolean)
+  case class KamaPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                       er: Option[Double], kama: Double)
+
+  /** D74 `kamaStream` — streaming face of B167 `kama`: the
+    * RecurrenceFold recursion carried as live state (prev KAMA + a
+    * ring of n+1 closes for the signal leg and n deltas for the noise
+    * leg — only the first-ever bar has no delta, so the ring is
+    * null-free like the batch collect_list). ER/SC/KAMA follow the
+    * batch op order and constants verbatim; the first bar seeds
+    * KAMA = close with NULL ER. O(#assets · 2n) state.
+    */
+  def kamaStream(bars: Dataset[OhlcStreamBar], n: Int = 10): Dataset[KamaPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val fastSC = 0.666667
+    val slowSC = 0.064516
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[KamaState, KamaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[KamaState]) =>
+          var st = state.getOption.getOrElse(
+            KamaState(Vector.empty, Vector.empty, None, seen = false))
+          val out = Vector.newBuilder[KamaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (!st.seen) {
+              out += KamaPoint(assetId, b.date, b.close, None, b.close)
+              st = KamaState(Vector(b.close), Vector.empty, Some(b.close), seen = true)
+            } else {
+              val closes = (st.closes :+ b.close).takeRight(n + 1)
+              val d = math.abs(b.close - st.closes.last)
+              val ds = (st.ds :+ d).takeRight(n)
+              val noise = ds.foldLeft(0.0)(_ + _)
+              val signal = math.abs(b.close - closes.head)
+              val er =
+                if (noise == 0.0) 0.0
+                else graft.operators.Micro.jvm6(signal / noise)
+              val a = er * (fastSC - slowSC) + slowSC
+              val sc = graft.operators.Micro.jvm6(a * a)
+              val k = graft.operators.Micro.jvm6(
+                st.prevKama.get + sc * (b.close - st.prevKama.get))
+              out += KamaPoint(assetId, b.date, b.close, Some(er), k)
+              st = KamaState(closes, ds, Some(k), seen = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class FisherState(hl: Vector[(Double, Double)], pv: Double, pf: Double,
+                         prevFisher: Option[Double])
+  case class FisherPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                         fisher: Double, trigger: Option[Double])
+
+  /** D75 `fisherTransformStream` — streaming face of B152
+    * `fisher_transform`: ring of 10 (high, low) pairs for the channel
+    * position, the clamped x and the two RecurrenceFold state values
+    * (smoothed v and fisher, both seeded at 0) carried live; trigger
+    * is the previous fisher (NULL on each asset's first bar ≡ the
+    * batch lag). O(#assets · span) state.
+    */
+  def fisherTransformStream(bars: Dataset[OhlcStreamBar],
+                            span: Int = 10): Dataset[FisherPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[FisherState, FisherPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[FisherState]) =>
+          var st = state.getOption.getOrElse(FisherState(Vector.empty, 0.0, 0.0, None))
+          val out = Vector.newBuilder[FisherPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val hl = (st.hl :+ ((b.high, b.low))).takeRight(span)
+            val hi = hl.map(_._1).max
+            val lo = hl.map(_._2).min
+            val pos =
+              if (hi == lo) 0.5
+              else graft.operators.Micro.jvm6((b.close - lo) / (hi - lo))
+            val x = graft.operators.Micro.jvm6(
+              math.max(math.min(2.0 * pos - 1, 0.999), -0.999))
+            val v = graft.operators.Micro.jvm6(0.33 * x + 0.67 * st.pv)
+            val fisher = graft.operators.Micro.jvm6(
+              0.5 * math.log((1.0 + v) / (1.0 - v)) + 0.5 * st.pf)
+            out += FisherPoint(assetId, b.date, b.close, fisher, st.prevFisher)
+            st = FisherState(hl, v, fisher, Some(fisher))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class CrsiState(last_value: Double, seen: Boolean, prevSgn: Long,
+                       runLen: Long, prevStreak: Option[Long],
+                       rets3: Vector[Double], sds2: Vector[Double],
+                       prHist: Vector[Double])
+  case class CrsiPoint(asset_id: Long, date: java.sql.Date, streak: Long,
+                       rsi3: Double, rsi2: Double, pr: Option[Double],
+                       crsi: Option[Double])
+
+  /** D76 `connorsRsiStream` — streaming face of B144 `connors_rsi`:
+    * the sign-run streak carried as (sign, run length), its delta
+    * feeding a 2-ring Wilder RSI beside the 3-ring return RSI, and a
+    * 100-ring of PRIOR returns for the percent-rank leg (strictly
+    * before the current row ≡ the batch −100..−1 frame; empty → NULL
+    * pr and crsi). A row without a streak delta (each asset's first
+    * return) emits nothing and enters no ring ≡ the batch filter.
+    * O(#assets · ~105) state.
+    */
+  def connorsRsiStream(daily: Dataset[DailyTick]): Dataset[CrsiPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def wilderRsi(arr: Vector[Double], span: Int): Double = {
+      val w = (span - 1).toDouble / span
+      var ag = 0.0; var al = 0.0
+      arr.foreach { x => ag = ag * w + math.max(x, 0.0); al = al * w + math.max(-x, 0.0) }
+      if (al == 0.0) 100.0
+      else graft.operators.Micro.jvm4(100.0 - 100.0 / (1.0 + ag / al))
+    }
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CrsiState, CrsiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[CrsiState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[CrsiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = CrsiState(t.value, seen = true, 0L, 0L, None,
+                Vector.empty, Vector.empty, Vector.empty)
+            } else if (st.last_value != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last_value - 1.0)
+              val sgn = math.signum(ret).toLong
+              val runLen = if (sgn == st.prevSgn && sgn != 0L && st.prevStreak.isDefined)
+                st.runLen + 1 else 1L
+              val streak = if (sgn == 0L) 0L else sgn * runLen
+              st.prevStreak match {
+                case Some(ps) =>
+                  val sd = (streak - ps).toDouble
+                  val rets3 = (st.rets3 :+ ret).takeRight(3)
+                  val sds2 = (st.sds2 :+ sd).takeRight(2)
+                  val pr =
+                    if (st.prHist.isEmpty) None
+                    else Some(graft.operators.Micro.jvm6(
+                      100.0 * st.prHist.count(_ < ret).toDouble / st.prHist.size.toDouble))
+                  val rsi3 = wilderRsi(rets3, 3)
+                  val rsi2 = wilderRsi(sds2, 2)
+                  val crsi = pr.map(p =>
+                    graft.operators.Micro.jvm6((rsi3 + rsi2 + p) / 3))
+                  out += CrsiPoint(assetId, t.date, streak, rsi3, rsi2, pr, crsi)
+                  st = CrsiState(t.value, seen = true, sgn, runLen, Some(streak),
+                    rets3, sds2, (st.prHist :+ ret).takeRight(100))
+                case None =>
+                  // first return row: streak exists but its delta does
+                  // not — no emission, no ring entries (the batch filter)
+                  st = CrsiState(t.value, seen = true, sgn, runLen, Some(streak),
+                    st.rets3, st.sds2, st.prHist)
+              }
+            } else {
+              st = CrsiState(t.value, seen = true, st.prevSgn, st.runLen,
+                st.prevStreak, st.rets3, st.sds2, st.prHist)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class DemaState(closes: Vector[Double], e1s: Vector[Double],
+                       e2s: Vector[Double])
+  case class DemaPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                       e1: Double, dema: Double, tema: Double)
+
+  /** D77 `demaTemaStream` — streaming face of B145 `dema_tema`: three
+    * chained EW rings of ROUNDED stage outputs (the trix discipline);
+    * DEMA/TEMA composed from the rounded stages with the batch
+    * association order. O(#assets · 3·span) state.
+    */
+  def demaTemaStream(bars: Dataset[OhlcStreamBar], span: Int = 15): Dataset[DemaPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val w = 1.0 - 2.0 / (span + 1.0)
+    def ew(arr: Vector[Double]): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * w + x; den = den * w + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DemaState, DemaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[DemaState]) =>
+          var st = state.getOption.getOrElse(
+            DemaState(Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[DemaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(span)
+            val e1 = ew(closes)
+            val e1s = (st.e1s :+ e1).takeRight(span)
+            val e2 = ew(e1s)
+            val e2s = (st.e2s :+ e2).takeRight(span)
+            val e3 = ew(e2s)
+            out += DemaPoint(assetId, b.date, b.close, e1,
+              graft.operators.Micro.jvm6(2.0 * e1 - e2),
+              graft.operators.Micro.jvm6(3.0 * e1 - 3.0 * e2 + e3))
+            st = DemaState(closes, e1s, e2s)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class NviState(prevClose: Option[Double], prevVol: Option[Long],
+                      nviMicro: Long, pviMicro: Long)
+  case class NviPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                      nvi_log: Double, pvi_log: Double)
+
+  /** D78 `nviPviStream` — streaming face of B136 `nvi_pvi`: the two
+    * log-index legs as exact INTEGER micro running sums (the
+    * vpt/cusum replay-stable discipline), routed by the volume
+    * comparison against the carried previous bar; undefined log
+    * returns contribute 0 ≡ the batch coalesce. O(#assets) state —
+    * four numbers per key.
+    */
+  def nviPviStream(bars: Dataset[OhlcStreamBar]): Dataset[NviPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[NviState, NviPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[NviState]) =>
+          var st = state.getOption.getOrElse(NviState(None, None, 0L, 0L))
+          val out = Vector.newBuilder[NviPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val lrMicro = st.prevClose match {
+              case Some(pc) if pc > 0 && b.close > 0 =>
+                Math.round(graft.operators.Micro.jvm6(math.log(b.close / pc)) * 1e6)
+              case _ => 0L
+            }
+            val nvi = st.nviMicro +
+              (if (st.prevVol.exists(b.n_ticks < _)) lrMicro else 0L)
+            val pvi = st.pviMicro +
+              (if (st.prevVol.exists(b.n_ticks > _)) lrMicro else 0L)
+            out += NviPoint(assetId, b.date, b.close,
+              nvi.toDouble / 1e6, pvi.toDouble / 1e6)
+            st = NviState(Some(b.close), Some(b.n_ticks), nvi, pvi)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class KlingerState(prevTp: Option[Double], svds: Vector[Double],
+                          kos: Vector[Double])
+  case class KlingerPoint(asset_id: Long, date: java.sql.Date, sv: Long,
+                          ko: Double, signal: Double)
+
+  /** D79 `klingerOscStream` — streaming face of B148 `klinger_osc`:
+    * signed tick volume routed by the typical-price direction (prev tp
+    * carried; first bar contributes 0), a 55-ring of signed volumes
+    * (fast EW on the 34-tail, slow on the ring) and a 13-ring of
+    * ROUNDED KO values for the signal. O(#assets · (slow + sig))
+    * state.
+    */
+  def klingerOscStream(bars: Dataset[OhlcStreamBar], fast: Int = 34,
+                       slow: Int = 55, sig: Int = 13): Dataset[KlingerPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    def ew(arr: Vector[Double], span: Int): Double = {
+      val w = 1.0 - 2.0 / (span + 1.0)
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * w + x; den = den * w + 1.0 }
+      graft.operators.Micro.jvm6(num / den)
+    }
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[KlingerState, KlingerPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[KlingerState]) =>
+          var st = state.getOption.getOrElse(
+            KlingerState(None, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[KlingerPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tp = graft.operators.Micro.jvm6((b.high + b.low + b.close) / 3)
+            val sv = st.prevTp match {
+              case Some(p) if tp > p => b.n_ticks
+              case Some(p) if tp < p => -b.n_ticks
+              case _ => 0L
+            }
+            val svds = (st.svds :+ sv.toDouble).takeRight(slow)
+            val ko = graft.operators.Micro.jvm6(
+              ew(svds.takeRight(fast), fast) - ew(svds, slow))
+            val kos = (st.kos :+ ko).takeRight(sig)
+            out += KlingerPoint(assetId, b.date, sv, ko, ew(kos, sig))
+            st = KlingerState(Some(tp), svds, kos)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class VhfState(last_value: Double, seen: Boolean,
+                      vd: Vector[(Double, Double)])
+  case class VhfPoint(asset_id: Long, date: java.sql.Date, vhf: Option[Double])
+
+  /** D80 `vhfStream` — streaming face of B184 `vhf`: ring of the last
+    * n (value, delta) pairs over the POST-FILTER rows (each asset's
+    * first value has no delta and enters nothing ≡ the batch filter);
+    * channel from the ring's values, denominator = ordered fold of
+    * |delta|, zero mass → NULL. O(#assets · n) state.
+    */
+  def vhfStream(daily: Dataset[DailyTick], n: Int = 28): Dataset[VhfPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VhfState, VhfPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VhfState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[VhfPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st == null) {
+              st = VhfState(t.value, seen = true, Vector.empty)
+            } else {
+              val d = t.value - st.last_value
+              val vd = (st.vd :+ ((t.value, d))).takeRight(n)
+              val hi = vd.map(_._1).max
+              val lo = vd.map(_._1).min
+              val den = vd.foldLeft(0.0)((a, p) => a + math.abs(p._2))
+              val vhf =
+                if (den == 0.0) None
+                else Some(graft.operators.Micro.jvm6((hi - lo) / den))
+              out += VhfPoint(assetId, t.date, vhf)
+              st = VhfState(t.value, seen = true, vd)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class RwiState(lastClose: Double, seen: Boolean, trs: Vector[Double],
+                      hl: Vector[(Double, Double)])
+  case class RwiPoint(asset_id: Long, date: java.sql.Date,
+                      rwi_high: Option[Double], rwi_low: Option[Double])
+
+  /** D81 `rwiStream` — streaming face of B188 `rwi`: prev close +
+    * ring of n ROUNDED TRs (plain-mean ATR) + ring of n (high, low)
+    * pairs whose head supplies the lag(n−1) extremes (absent → NULL ≡
+    * the batch lag); √n is the same Scala constant the batch embeds.
+    * O(#assets · 2n) state.
+    */
+  def rwiStream(bars: Dataset[OhlcStreamBar], n: Int = 8): Dataset[RwiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val sqrtN = math.sqrt(n.toDouble)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RwiState, RwiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[RwiState]) =>
+          var st = state.getOption.getOrElse(
+            RwiState(0.0, seen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[RwiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.lastClose), math.abs(b.low - st.lastClose))))
+            val trs = (st.trs :+ tr).takeRight(n)
+            val hl = (st.hl :+ ((b.high, b.low))).takeRight(n)
+            val atr = graft.operators.Micro.jvm6(
+              trs.foldLeft(0.0)(_ + _) / trs.size.toDouble)
+            val lagIdx = hl.size - 1 - (n - 1)
+            val (rh, rl) =
+              if (lagIdx < 0 || atr == 0.0) (None, None)
+              else {
+                val den = atr * sqrtN
+                (Some(graft.operators.Micro.jvm6((b.high - hl(lagIdx)._2) / den)),
+                  Some(graft.operators.Micro.jvm6((hl(lagIdx)._1 - b.low) / den)))
+              }
+            out += RwiPoint(assetId, b.date, rh, rl)
+            st = RwiState(b.close, seen = true, trs, hl)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EwmaVolState(last_value: Double, rets: Vector[Double])
   case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                           ewma_vol: Double)

@@ -778,6 +778,43 @@ class Round10OpsSpec extends SparkSpec {
       StreamingOps.stochRsiStream(_))) === norm(A.stochRsi(panel)), "stoch_rsi")
   }
 
+  test("wave-R twins equal their batch ops on a replayed feed") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamed(StreamingOps.kamaStream(_)) === norm(A.kama(panel)), "kama")
+    assert(streamed(StreamingOps.fisherTransformStream(_)) ===
+      norm(A.fisherTransform(panel)), "fisher")
+    assert(streamed(StreamingOps.demaTemaStream(_)) === norm(A.demaTema(panel)), "dema")
+    assert(streamed(StreamingOps.nviPviStream) === norm(A.nviPvi(panel)), "nvi")
+    assert(streamed(StreamingOps.klingerOscStream(_)) === norm(A.klingerOsc(panel)), "klinger")
+    assert(streamed(StreamingOps.rwiStream(_)) === norm(A.rwi(panel)), "rwi")
+    assert(streamedDaily(StreamingOps.connorsRsiStream(_)) ===
+      norm(A.connorsRsi(panel)), "crsi")
+    assert(streamedDaily(StreamingOps.vhfStream(_)) === norm(A.vhf(panel)), "vhf")
+  }
+
   test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
