@@ -1180,6 +1180,12 @@ object SparkEntry {
     "stream_klinger_osc" -> ((s, dir) => StreamReplay.streamKlingerOsc(s, dir)),
     "stream_vhf" -> ((s, dir) => StreamReplay.streamVhf(s, dir)),
     "stream_rwi" -> ((s, dir) => StreamReplay.streamRwi(s, dir)),
+    // ── wave S (r10) ─────────────────────────────────────────────────
+    "stream_stc" -> ((s, dir) => StreamReplay.streamStc(s, dir)),
+    "stream_pivot_points" -> ((s, dir) => StreamReplay.streamPivotPoints(s, dir)),
+    "stream_advance_decline" -> ((s, dir) => StreamReplay.streamAdvanceDecline(s, dir)),
+    "stream_mcclellan" -> ((s, dir) => StreamReplay.streamMcclellan(s, dir)),
+    "stream_zweig_breadth" -> ((s, dir) => StreamReplay.streamZweigBreadth(s, dir)),
     // ── wave J (r9) ──────────────────────────────────────────────────
     "tick_bars" -> ((s, dir) =>
       Analytics.tickBars(Tables.panel(s, dir))),
@@ -3150,7 +3156,12 @@ object SparkEntry {
       ("stream_nvi_pvi" -> m("nvi_pvi")) +
       ("stream_klinger_osc" -> m("klinger_osc")) +
       ("stream_vhf" -> m("vhf")) +
-      ("stream_rwi" -> m("rwi"))
+      ("stream_rwi" -> m("rwi")) +
+      ("stream_stc" -> m("stc")) +
+      ("stream_pivot_points" -> m("pivot_points")) +
+      ("stream_advance_decline" -> m("advance_decline")) +
+      ("stream_mcclellan" -> m("mcclellan")) +
+      ("stream_zweig_breadth" -> m("zweig_breadth"))
   }
 
   private def oracleSqlBase: Map[String, String] =

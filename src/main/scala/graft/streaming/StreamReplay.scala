@@ -369,6 +369,52 @@ object StreamReplay {
   def streamAdx(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.adxStream(_))
 
+  /** The replayed market breadth tape: the per-date advance/decline
+    * counts in date order — one key, the index-leg feed shape the
+    * market-wide twins consume.
+    */
+  private def breadthFeed(s: SparkSession, dir: String): Seq[StreamingOps.BreadthTick] = {
+    import s.implicits._
+    graft.operators.Analytics.advanceDecline(Tables.panel(s, dir))
+      .select(col("date"), col("n_up"), col("n_down"), col("n_flat"))
+      .as[StreamingOps.BreadthTick]
+      .collect().toSeq
+      .sortBy(_.date.getTime)
+  }
+
+  def streamAdvanceDecline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, breadthFeed(s, dir), Batches, maxStateRows = 1L)(
+      StreamingOps.advanceDeclineStream)
+      .orderBy(col("date"))
+  }
+
+  def streamMcclellan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, breadthFeed(s, dir), Batches, maxStateRows = 1L)(
+      StreamingOps.mcclellanStream)
+      .orderBy(col("date"))
+  }
+
+  def streamZweigBreadth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replay(s, breadthFeed(s, dir), Batches, maxStateRows = 1L)(
+      StreamingOps.zweigBreadthStream(_))
+      .orderBy(col("date"))
+  }
+
+  def streamStc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.stcStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamPivotPoints(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.pivotPointsStream)
+
   def streamKama(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.kamaStream(_))
   def streamFisherTransform(s: SparkSession, dir: String): DataFrame =

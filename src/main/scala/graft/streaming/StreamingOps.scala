@@ -3295,6 +3295,214 @@ object StreamingOps {
       }
   }
 
+  case class StcState(values: Vector[Double], macds: Vector[Double],
+                      k1s: Vector[Double], d1s: Vector[Double],
+                      k2s: Vector[Double])
+  case class StcPoint(asset_id: Long, date: java.sql.Date, stc: Double)
+
+  /** D82 `stcStream` — streaming face of B194 `stc`: the full Schaff
+    * pipeline as five chained rings (closes → MACD → stoch k1 → EW d1
+    * → stoch k2 → EW stc), every stage boundary ROUNDED like the
+    * batch, with the per-stage flat conventions (trendless MACD
+    * window → 50; saturated d1 window carries its level).
+    * O(#assets · span) state.
+    */
+  def stcStream(daily: Dataset[DailyTick], fast: Int = 23, slow: Int = 50,
+                cycle: Int = 10, smooth: Int = 3, span: Int = 120): Dataset[StcPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def w(n: Int): Double = 1.0 - 2.0 / (n + 1.0)
+    val (wf, ws, wsm) = (w(fast), w(slow), w(smooth))
+    def ew(arr: Vector[Double], weight: Double): Double = {
+      var num = 0.0; var den = 0.0
+      arr.foreach { x => num = num * weight + x; den = den * weight + 1.0 }
+      num / den
+    }
+    def stoch(c: Double, lo: Double, hi: Double, flat: Double): Double =
+      if (hi == lo) flat
+      else graft.operators.Micro.jvm6(100.0 * (c - lo) / (hi - lo))
+    daily
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[StcState, StcPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[StcState]) =>
+          var st = state.getOption.getOrElse(StcState(Vector.empty, Vector.empty,
+            Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[StcPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val values = (st.values :+ t.value).takeRight(span)
+            val macd = graft.operators.Micro.jvm6(ew(values, wf) - ew(values, ws))
+            val macds = (st.macds :+ macd).takeRight(cycle)
+            val k1 = stoch(macd, macds.min, macds.max, 50.0)
+            val k1s = (st.k1s :+ k1).takeRight(smooth * 4)
+            val d1 = graft.operators.Micro.jvm6(ew(k1s, wsm))
+            val d1s = (st.d1s :+ d1).takeRight(cycle)
+            val k2 = stoch(d1, d1s.min, d1s.max, d1)
+            val k2s = (st.k2s :+ k2).takeRight(smooth * 4)
+            out += StcPoint(assetId, t.date, graft.operators.Micro.jvm6(ew(k2s, wsm)))
+            st = StcState(values, macds, k1s, d1s, k2s)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PivotState(ph: Double, pl: Double, pc: Double, seen: Boolean)
+  case class PivotPoint2(asset_id: Long, date: java.sql.Date, close: Double,
+                         p: Option[Double], r1: Option[Double],
+                         s1: Option[Double], r2: Option[Double],
+                         s2: Option[Double])
+
+  /** D83 `pivotPointsStream` — streaming face of B50 `pivot_points`:
+    * the previous bar's high/low/close IS the state (three doubles per
+    * asset); each asset's first bar emits NULL levels ≡ the batch
+    * lag. O(#assets) state.
+    */
+  def pivotPointsStream(bars: Dataset[OhlcStreamBar]): Dataset[PivotPoint2] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PivotState, PivotPoint2](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PivotState]) =>
+          var st = state.getOption.getOrElse(PivotState(0.0, 0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[PivotPoint2]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val p = graft.operators.Micro.jvm6((st.ph + st.pl + st.pc) / 3)
+              out += PivotPoint2(assetId, b.date, b.close, Some(p),
+                Some(graft.operators.Micro.jvm6(2.0 * p - st.pl)),
+                Some(graft.operators.Micro.jvm6(2.0 * p - st.ph)),
+                Some(graft.operators.Micro.jvm6(p + (st.ph - st.pl))),
+                Some(graft.operators.Micro.jvm6(p - (st.ph - st.pl))))
+            } else {
+              out += PivotPoint2(assetId, b.date, b.close, None, None, None, None, None)
+            }
+            st = PivotState(b.high, b.low, b.close, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** The market breadth tape: one row per trading date with the
+    * cross-sectional advance/decline counts — the shape an exchange
+    * publishes as an index leg (the [[rollingCorrStream]] market-feed
+    * precedent). All market-wide twins key on the single tape.
+    */
+  case class BreadthTick(date: java.sql.Date, n_up: Long, n_down: Long,
+                         n_flat: Long)
+
+  case class AdvDecState(ad: Long)
+  case class AdvDecPoint(date: java.sql.Date, n_up: Long, n_down: Long,
+                         n_flat: Long, ad_line: Long)
+
+  /** D84 `advanceDeclineStream` — streaming face of B35
+    * `advance_decline`: the cumulative advance-decline line as one
+    * INTEGER running sum over the breadth tape (exact under any batch
+    * split). O(1) state.
+    */
+  def advanceDeclineStream(ticks: Dataset[BreadthTick]): Dataset[AdvDecPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[AdvDecState, AdvDecPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BreadthTick], state: GroupState[AdvDecState]) =>
+          var run = state.getOption.map(_.ad).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.date.getTime).map { t =>
+            run += t.n_up - t.n_down
+            AdvDecPoint(t.date, t.n_up, t.n_down, t.n_flat, run)
+          }
+          state.update(AdvDecState(run))
+          out.iterator
+      }
+  }
+
+  case class McclellanState(n19: Double, d19: Double, n39: Double, d39: Double,
+                            oscMicro: Long)
+  case class McclellanPoint(date: java.sql.Date, net: Long, e19: Double,
+                            e39: Double, osc: Double, summation: Double)
+
+  /** D85 `mcclellanStream` — streaming face of B146 `mcclellan`: the
+    * batch runs its two EMAs over the UNBOUNDED history frame, and an
+    * unbounded normalized Horner fold is exactly an incremental pair
+    * of accumulators (num·w + x, den·w + 1) — so the stream carries
+    * FOUR doubles instead of any ring and is bit-identical by
+    * construction; the summation index rides the integer-micro
+    * discipline. O(1) state.
+    */
+  def mcclellanStream(ticks: Dataset[BreadthTick]): Dataset[McclellanPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[McclellanState, McclellanPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BreadthTick], state: GroupState[McclellanState]) =>
+          var st = state.getOption.getOrElse(McclellanState(0.0, 0.0, 0.0, 0.0, 0L))
+          val out = Vector.newBuilder[McclellanPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val net = t.n_up - t.n_down
+            val x = net.toDouble
+            val n19 = st.n19 * 0.9 + x; val d19 = st.d19 * 0.9 + 1.0
+            val n39 = st.n39 * 0.95 + x; val d39 = st.d39 * 0.95 + 1.0
+            val e19 = graft.operators.Micro.jvm6(n19 / d19)
+            val e39 = graft.operators.Micro.jvm6(n39 / d39)
+            val osc = graft.operators.Micro.jvm6(e19 - e39)
+            val oscMicro = st.oscMicro + Math.round(osc * 1e6)
+            out += McclellanPoint(t.date, net, e19, e39, osc,
+              graft.operators.Micro.jvm6(oscMicro.toDouble / 1e6))
+            st = McclellanState(n19, d19, n39, d39, oscMicro)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ZweigState(ratios: Vector[Double], emas: Vector[Double])
+  case class ZweigPoint(date: java.sql.Date, n_up: Long, n_down: Long,
+                        ratio: Double, ema: Double, thrust: Boolean)
+
+  /** D86 `zweigBreadthStream` — streaming face of B205
+    * `zweig_breadth`: ring of 4·span ROUNDED advance ratios for the
+    * EW smoothing + ring of the span PRIOR ROUNDED EMAs for the
+    * thrust lookback (strictly-before frame; empty → no-thrust, the
+    * batch coalesce); all-flat dates enter nothing ≡ the batch
+    * filter. O(1)-keyed, O(5·span) state.
+    */
+  def zweigBreadthStream(ticks: Dataset[BreadthTick], span: Int = 10): Dataset[ZweigPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val wEma = 1.0 - 2.0 / (span + 1.0)
+    ticks
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[ZweigState, ZweigPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BreadthTick], state: GroupState[ZweigState]) =>
+          var st = state.getOption.getOrElse(ZweigState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[ZweigPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (t.n_up + t.n_down > 0) {
+              val ratio = graft.operators.Micro.jvm6(
+                t.n_up.toDouble / (t.n_up + t.n_down).toDouble)
+              val ratios = (st.ratios :+ ratio).takeRight(span * 4)
+              var num = 0.0; var den = 0.0
+              ratios.foreach { x => num = num * wEma + x; den = den * wEma + 1.0 }
+              val ema = graft.operators.Micro.jvm6(num / den)
+              val thrust = st.emas.nonEmpty &&
+                ema >= 0.615 && st.emas.takeRight(span).min < 0.40
+              out += ZweigPoint(t.date, t.n_up, t.n_down, ratio, ema, thrust)
+              st = ZweigState(ratios, (st.emas :+ ema).takeRight(span))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EwmaVolState(last_value: Double, rets: Vector[Double])
   case class EwmaVolPoint(asset_id: Long, date: java.sql.Date, ret: Double,
                           ewma_vol: Double)

@@ -815,6 +815,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamedDaily(StreamingOps.vhfStream(_)) === norm(A.vhf(panel)), "vhf")
   }
 
+  test("wave-S twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0, 107.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.5, 54.0, 52.5, 55.0),
+      3L -> Seq(10.0, 9.8, 10.4, 10.1, 10.9, 10.5, 11.2, 10.8, 11.5, 11.0)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val breadth = graft.operators.Analytics.advanceDecline(panel)
+      .select($"date", $"n_up", $"n_down", $"n_flat")
+      .as[StreamingOps.BreadthTick].collect().toSeq
+      .sortBy(_.date.getTime)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val A = graft.operators.Analytics
+    assert(norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 3L)(
+      StreamingOps.stcStream(_))) === norm(A.stc(panel)), "stc")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 3L)(
+      StreamingOps.pivotPointsStream)) === norm(A.pivotPoints(panel)), "pivot")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, breadth, 3, maxStateRows = 1L)(
+      StreamingOps.advanceDeclineStream)) === norm(A.advanceDecline(panel)), "advdec")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, breadth, 3, maxStateRows = 1L)(
+      StreamingOps.mcclellanStream)) === norm(A.mcclellan(panel)), "mcclellan")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, breadth, 3, maxStateRows = 1L)(
+      StreamingOps.zweigBreadthStream(_))) === norm(A.zweigBreadth(panel)), "zweig")
+  }
+
   test("stream_stochastic equals the batch stochastic on a replayed bar feed") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0),
