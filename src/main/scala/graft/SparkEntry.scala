@@ -1115,6 +1115,63 @@ object SparkEntry {
     "pairs_adf" -> ((s, dir) =>
       Analytics.pairsAdf(Tables.panel(s, dir), Seq((1L, 2L), (3L, 4L), (5L, 6L)))),
     "stream_rolling_corr" -> ((s, dir) => StreamReplay.streamRollingCorr(s, dir)),
+    // ── wave T (r10) ─────────────────────────────────────────────────
+    "wma" -> ((s, dir) =>
+      Analytics.wma(Tables.panel(s, dir))),
+    "vwma" -> ((s, dir) =>
+      Analytics.vwma(Tables.panel(s, dir))),
+    "hma" -> ((s, dir) =>
+      Analytics.hma(Tables.panel(s, dir))),
+    "demarker" -> ((s, dir) =>
+      Analytics.demarker(Tables.panel(s, dir))),
+    "cfo" -> ((s, dir) =>
+      Analytics.cfo(Tables.panel(s, dir))),
+    "smi" -> ((s, dir) =>
+      Analytics.smi(Tables.panel(s, dir))),
+    "pgo" -> ((s, dir) =>
+      Analytics.pgo(Tables.panel(s, dir))),
+    "williams_ad" -> ((s, dir) =>
+      Analytics.williamsAd(Tables.panel(s, dir))),
+    // ── wave U (r10) ─────────────────────────────────────────────────
+    "stream_wma" -> ((s, dir) => StreamReplay.streamWma(s, dir)),
+    "stream_vwma" -> ((s, dir) => StreamReplay.streamVwma(s, dir)),
+    "stream_hma" -> ((s, dir) => StreamReplay.streamHma(s, dir)),
+    "stream_demarker" -> ((s, dir) => StreamReplay.streamDemarker(s, dir)),
+    "stream_cfo" -> ((s, dir) => StreamReplay.streamCfo(s, dir)),
+    "stream_smi" -> ((s, dir) => StreamReplay.streamSmi(s, dir)),
+    "stream_pgo" -> ((s, dir) => StreamReplay.streamPgo(s, dir)),
+    "stream_williams_ad" -> ((s, dir) => StreamReplay.streamWilliamsAd(s, dir)),
+    // ── wave X (r10) ─────────────────────────────────────────────────
+    "jensen_alpha" -> ((s, dir) =>
+      Analytics.jensenAlpha(Tables.panel(s, dir))),
+    "burke_ratio" -> ((s, dir) =>
+      Analytics.burkeRatio(Tables.panel(s, dir))),
+    "kappa_three" -> ((s, dir) =>
+      Analytics.kappaThree(Tables.panel(s, dir))),
+    "recovery_time" -> ((s, dir) =>
+      Analytics.recoveryTime(Tables.panel(s, dir))),
+    // ── wave W (r10) ─────────────────────────────────────────────────
+    "stream_parkinson" -> ((s, dir) => StreamReplay.streamParkinson(s, dir)),
+    "stream_garman_klass" -> ((s, dir) => StreamReplay.streamGarmanKlass(s, dir)),
+    "stream_rogers_satchell" -> ((s, dir) => StreamReplay.streamRogersSatchell(s, dir)),
+    "stream_dist_from_high" -> ((s, dir) => StreamReplay.streamDistFromHigh(s, dir)),
+    "stream_relative_volume" -> ((s, dir) => StreamReplay.streamRelativeVolume(s, dir)),
+    "stream_trend_intensity" -> ((s, dir) => StreamReplay.streamTrendIntensity(s, dir)),
+    "stream_acceleration" -> ((s, dir) => StreamReplay.streamAcceleration(s, dir)),
+    "stream_volatility_ratio" -> ((s, dir) => StreamReplay.streamVolatilityRatio(s, dir)),
+    // ── wave V (r10) ─────────────────────────────────────────────────
+    "c4_rules" -> ((s, dir) =>
+      Pipeline.c4Rules(Tables.documents(s, dir))),
+    "soft_dedup_weights" -> ((s, dir) =>
+      Pipeline.softDedupWeights(Tables.documents(s, dir))),
+    "boilerplate_lines" -> ((s, dir) =>
+      Pipeline.boilerplateLines(Tables.documents(s, dir))),
+    "first_line_dups" -> ((s, dir) =>
+      Pipeline.firstLineDups(Tables.documents(s, dir))),
+    "numeric_density" -> ((s, dir) =>
+      Pipeline.numericDensity(Tables.documents(s, dir))),
+    "paragraph_dups" -> ((s, dir) =>
+      Pipeline.paragraphDups(Tables.documents(s, dir))),
     // ── wave M (r10) ─────────────────────────────────────────────────
     "trin" -> ((s, dir) =>
       Analytics.trin(Tables.panel(s, dir))),
@@ -3161,7 +3218,23 @@ object SparkEntry {
       ("stream_pivot_points" -> m("pivot_points")) +
       ("stream_advance_decline" -> m("advance_decline")) +
       ("stream_mcclellan" -> m("mcclellan")) +
-      ("stream_zweig_breadth" -> m("zweig_breadth"))
+      ("stream_zweig_breadth" -> m("zweig_breadth")) +
+      ("stream_wma" -> m("wma")) +
+      ("stream_vwma" -> m("vwma")) +
+      ("stream_hma" -> m("hma")) +
+      ("stream_demarker" -> m("demarker")) +
+      ("stream_cfo" -> m("cfo")) +
+      ("stream_smi" -> m("smi")) +
+      ("stream_pgo" -> m("pgo")) +
+      ("stream_williams_ad" -> m("williams_ad")) +
+      ("stream_parkinson" -> m("parkinson_vol")) +
+      ("stream_garman_klass" -> m("garman_klass")) +
+      ("stream_rogers_satchell" -> m("rogers_satchell")) +
+      ("stream_dist_from_high" -> m("dist_from_high")) +
+      ("stream_relative_volume" -> m("relative_volume")) +
+      ("stream_trend_intensity" -> m("trend_intensity")) +
+      ("stream_acceleration" -> m("acceleration")) +
+      ("stream_volatility_ratio" -> m("volatility_ratio"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -3517,6 +3590,361 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_lines, punct_pm, indent_pm, camel_pm,
         |  coalesce(punct_pm >= 15 OR indent_pm >= 250 OR camel_pm >= 10, false) AS is_code
         |FROM q ORDER BY doc_id""".stripMargin,
+    "jensen_alpha" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm,
+         |         list(ret * mkt_ret ORDER BY date) AS rp
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS sa2
+         |  FROM p WHERE len(ra) >= 3),
+         |f AS (
+         |  SELECT asset_id, n, sa, sm,
+         |         n * sm2 - sm * sm AS sxx,
+         |         n * sp - sm * sa AS sxy,
+         |         n * sa2 - sa * sa AS syy
+         |  FROM g),
+         |h AS (
+         |  SELECT asset_id, n, sa, sm, sxy, syy,
+         |         sxy / (CASE WHEN sxx <= 0 THEN NULL ELSE sxx END) AS b
+         |  FROM f),
+         |i AS (
+         |  SELECT asset_id, n, b,
+         |         sa / n - b * (sm / n) AS a,
+         |         CASE WHEN b IS NULL THEN NULL
+         |              ELSE sqrt(greatest((syy - b * sxy) / n / (n - 2), 0.0)) END AS resid_sd
+         |  FROM h)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(b * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |  floor(a * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+         |  floor(resid_sd * 1000000.0 + 0.5) / 1000000.0 AS resid_sd,
+         |  floor((a / nullif(resid_sd, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS appraisal
+         |FROM i ORDER BY asset_id""".stripMargin,
+    "burke_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |v AS (
+         |  SELECT asset_id, date, value,
+         |    max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |    lag(value) OVER (PARTITION BY asset_id ORDER BY date) AS pv,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |d AS (
+         |  SELECT asset_id, date, rn,
+         |    floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd,
+         |    floor((value / nullif(pv, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS ret
+         |  FROM v),
+         |u AS (
+         |  SELECT asset_id, date, dd,
+         |         rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
+         |  FROM d WHERE dd < 0),
+         |e AS (SELECT asset_id, grp, min(date) AS sd, min(dd) AS depth FROM u GROUP BY 1, 2),
+         |ee AS (SELECT asset_id, list(depth ORDER BY sd) AS da FROM e GROUP BY asset_id),
+         |eps AS (
+         |  SELECT asset_id, CAST(len(da) AS BIGINT) AS n_episodes,
+         |         list_reduce(list_prepend(0.0, list_transform(da, x -> x * x)),
+         |                     (a, x) -> a + x) AS ssq
+         |  FROM ee),
+         |mr AS (SELECT asset_id, list(ret ORDER BY date) AS ra
+         |       FROM d WHERE ret IS NOT NULL GROUP BY asset_id),
+         |m2 AS (
+         |  SELECT asset_id, CAST(len(ra) AS BIGINT) AS n_days,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) / CAST(len(ra) AS DOUBLE) AS mean_ret
+         |  FROM mr)
+         |SELECT m2.asset_id, m2.n_days, coalesce(eps.n_episodes, 0) AS n_episodes,
+         |  floor(mean_ret * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((mean_ret / CASE WHEN eps.ssq IS NULL OR eps.ssq <= 0 THEN NULL
+         |                         ELSE sqrt(eps.ssq) END) * 1000000.0 + 0.5) / 1000000.0 AS burke
+         |FROM m2 LEFT JOIN eps ON m2.asset_id = eps.asset_id
+         |ORDER BY m2.asset_id""".stripMargin,
+    "kappa_three" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (SELECT asset_id, list(ret ORDER BY date) AS ra FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> greatest(-x, 0.0))),
+         |                     (a, x) -> a + x * x * x) AS l3
+         |  FROM g WHERE len(ra) >= 4)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_ret,
+         |  floor((l3 / n) * 1000000.0 + 0.5) / 1000000.0 AS lpm3,
+         |  floor(((s / n) / (CASE WHEN l3 / n <= 0 THEN NULL ELSE cbrt(l3 / n) END))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS kappa3
+         |FROM f ORDER BY asset_id""".stripMargin,
+    "recovery_time" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |v AS (
+         |  SELECT asset_id, date, value,
+         |    max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |d AS (
+         |  SELECT asset_id, date, rn,
+         |    floor((value / nullif(peak, 0) - 1) * 1000000.0 + 0.5) / 1000000.0 AS dd
+         |  FROM v),
+         |ld AS (SELECT asset_id, max(date) AS last_date FROM d GROUP BY asset_id),
+         |u AS (
+         |  SELECT asset_id, date, dd,
+         |         rn - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS grp
+         |  FROM d WHERE dd < 0),
+         |e AS (
+         |  SELECT asset_id, grp, min(date) AS start_date, max(date) AS end_date,
+         |         count(*) AS n_days, min(dd) AS max_drawdown
+         |  FROM u GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT u.asset_id, u.grp, min(u.date) AS trough_date
+         |  FROM u JOIN e ON u.asset_id = e.asset_id AND u.grp = e.grp AND u.dd = e.max_drawdown
+         |  GROUP BY 1, 2)
+         |SELECT e.asset_id, e.start_date, tr.trough_date, e.end_date, e.n_days, e.max_drawdown,
+         |  CAST(date_diff('day', e.start_date, tr.trough_date) + 1 AS BIGINT) AS days_to_trough,
+         |  e.end_date < ld.last_date AS recovered
+         |FROM e JOIN tr ON e.asset_id = tr.asset_id AND e.grp = tr.grp
+         |JOIN ld ON e.asset_id = ld.asset_id
+         |ORDER BY e.asset_id, e.start_date""".stripMargin,
+    "wma" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, CAST(len(arr) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, CAST(len(arr) AS INTEGER) + 1),
+         |                          i -> arr[i] * CAST(i AS DOUBLE))), (a, x) -> a + x) AS sw
+         |  FROM f)
+         |SELECT asset_id, date, value, CAST(n AS BIGINT) AS n_days,
+         |  floor((sw / (n * (n + 1) / 2.0)) * 1000000.0 + 0.5) / 1000000.0 AS wma
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "vwma" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(close * CAST(n_ticks AS DOUBLE)) OVER w AS arr,
+         |         CAST(sum(n_ticks) OVER w AS BIGINT) AS s_v
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, close, s_v AS vol_n,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) / CAST(s_v AS DOUBLE))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS vwma
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "hma" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS af,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ah
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value,
+         |    floor((list_reduce(list_prepend(0.0,
+         |             list_transform(range(1, CAST(len(af) AS INTEGER) + 1),
+         |                            i -> af[i] * CAST(i AS DOUBLE))), (a, x) -> a + x)
+         |           / (CAST(len(af) AS DOUBLE) * (CAST(len(af) AS DOUBLE) + 1) / 2.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS wf,
+         |    floor((list_reduce(list_prepend(0.0,
+         |             list_transform(range(1, CAST(len(ah) AS INTEGER) + 1),
+         |                            i -> ah[i] * CAST(i AS DOUBLE))), (a, x) -> a + x)
+         |           / (CAST(len(ah) AS DOUBLE) * (CAST(len(ah) AS DOUBLE) + 1) / 2.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS wh
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, value,
+         |         floor((2.0 * wh - wf) * 1000000.0 + 0.5) / 1000000.0 AS raw
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, value, raw,
+         |         list(raw) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ar
+         |  FROM h)
+         |SELECT asset_id, date, value, raw,
+         |  floor((list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, CAST(len(ar) AS INTEGER) + 1),
+         |                          i -> ar[i] * CAST(i AS DOUBLE))), (a, x) -> a + x)
+         |         / (CAST(len(ar) AS DOUBLE) * (CAST(len(ar) AS DOUBLE) + 1) / 2.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS hma
+         |FROM i ORDER BY asset_id, date""".stripMargin,
+    "demarker" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |         lag(high) OVER a AS ph, lag(low) OVER a AS pl
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |  QUALIFY lag(high) OVER a IS NOT NULL),
+         |d AS (
+         |  SELECT asset_id, date,
+         |         floor(greatest(high - ph, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dmax,
+         |         floor(greatest(pl - low, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dmin
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date, dmax, dmin,
+         |         list(dmax) OVER w AS ax, list(dmin) OVER w AS an
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, dmax, dmin,
+         |         list_reduce(list_prepend(0.0, ax), (a, x) -> a + x) AS smax,
+         |         list_reduce(list_prepend(0.0, an), (a, x) -> a + x) AS smin
+         |  FROM f)
+         |SELECT asset_id, date, dmax, dmin,
+         |  floor((smax / CASE WHEN smax + smin = 0 THEN NULL ELSE smax + smin END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS dem
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "cfo" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, arr, CAST(len(arr) AS DOUBLE) AS n
+         |  FROM f WHERE len(arr) >= 5),
+         |h AS (
+         |  SELECT asset_id, date, value, n,
+         |         n * (n + 1) / 2.0 AS sx,
+         |         n * (n + 1) * (2.0 * n + 1) / 6.0 AS sx2,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, CAST(len(arr) AS INTEGER) + 1),
+         |                          i -> arr[i] * CAST(i AS DOUBLE))), (a, x) -> a + x) AS sxy
+         |  FROM g),
+         |o AS (
+         |  SELECT asset_id, date, value, n, sx, sy,
+         |         (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS b
+         |  FROM h),
+         |p AS (
+         |  SELECT asset_id, date, value, n,
+         |         floor(((sy - b * sx) / n + b * n) * 1000000.0 + 0.5) / 1000000.0 AS fitted
+         |  FROM o)
+         |SELECT asset_id, date, value, CAST(n AS BIGINT) AS n_days, fitted,
+         |  floor((100.0 * (value - fitted) / CASE WHEN value = 0 THEN NULL ELSE value END)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS cfo
+         |FROM p ORDER BY asset_id, date""".stripMargin,
+    "smi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |q AS (
+         |  SELECT asset_id, date, close,
+         |         max(high) OVER w AS hh, min(low) OVER w AS ll
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |mm AS (
+         |  SELECT asset_id, date,
+         |         floor((close - (hh + ll) / 2) * 1000000.0 + 0.5) / 1000000.0 AS m,
+         |         floor(((hh - ll) / 2) * 1000000.0 + 0.5) / 1000000.0 AS hr
+         |  FROM q),
+         |f1 AS (SELECT asset_id, date, m, list(m) OVER w AS ma, list(hr) OVER w AS ha
+         |  FROM mm
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+         |g1 AS (SELECT asset_id, date, m,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ma), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + x) /
+         |    list_reduce(list_prepend(0.0, ma), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS m1,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ha), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + x) /
+         |    list_reduce(list_prepend(0.0, ha), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS h1
+         |  FROM f1),
+         |f2 AS (SELECT asset_id, date, m, list(m1) OVER w AS ea, list(h1) OVER w AS eb
+         |  FROM g1
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+         |g2 AS (SELECT asset_id, date, m,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, ea), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + x) /
+         |    list_reduce(list_prepend(0.0, ea), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS m2,
+         |  floor((
+         |    list_reduce(list_prepend(0.0, eb), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + x) /
+         |    list_reduce(list_prepend(0.0, eb), (acc, x) -> acc * (1.0 - 2.0 / 4.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS h2
+         |  FROM f2)
+         |SELECT asset_id, date, m,
+         |  floor((100.0 * m2 / nullif(h2, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS smi
+         |FROM g2 ORDER BY asset_id, date""".stripMargin,
+    "pgo" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, high, low,
+         |         lag(close) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, close,
+         |         floor((CASE WHEN pc IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END) * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |         list(close) OVER w AS ca, list(tr) OVER w AS ta,
+         |         CAST(count(*) OVER w AS DOUBLE) AS n
+         |  FROM trs
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, close,
+         |    floor((list_reduce(list_prepend(0.0, ca), (a, x) -> a + x) / n) * 1000000.0 + 0.5) / 1000000.0 AS sma,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, ta), (acc, x) -> acc * (1.0 - 2.0 / 15.0) + x) /
+         |      list_reduce(list_prepend(0.0, ta), (acc, x) -> acc * (1.0 - 2.0 / 15.0) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS ematr
+         |  FROM f)
+         |SELECT asset_id, date, close, sma, ematr,
+         |  floor(((close - sma) / nullif(ematr, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS pgo
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "williams_ad" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low, close,
+         |         lag(close) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |  QUALIFY lag(close) OVER a IS NOT NULL),
+         |c AS (
+         |  SELECT asset_id, date,
+         |    floor((CASE WHEN close > pc THEN close - least(low, pc)
+         |                WHEN close < pc THEN close - greatest(high, pc)
+         |                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS contrib
+         |  FROM t),
+         |m AS (
+         |  SELECT asset_id, date, contrib,
+         |         CAST(round(contrib * 1000000.0) AS BIGINT) AS contrib_micro
+         |  FROM c)
+         |SELECT asset_id, date, contrib,
+         |  CAST(sum(contrib_micro) OVER (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS wad
+         |FROM m ORDER BY asset_id, date""".stripMargin,
     "trin" ->
       s"""$panelCte,
          |$barsCte,
@@ -9094,6 +9522,89 @@ object SparkEntry {
         |  (1000 * n_types) // n_toks AS ttr_pm,
         |  floor((CAST(n_types AS DOUBLE) / sqrt(CAST(n_toks AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS root_ttr
         |FROM c ORDER BY doc_id""".stripMargin,
+    "c4_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |      AND regexp_matches(trim(l), '[.!?"'']$'))) AS BIGINT) AS n_kept,
+        |    has_lorem, has_brace
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+        |         (1000 * n_kept) // n_lines AS kept_pm
+        |  FROM q)
+        |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace, kept_pm,
+        |  kept_pm >= 500 AND NOT has_lorem AND NOT has_brace AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "soft_dedup_weights" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+        |  FROM documents)
+        |SELECT doc_id, dup_count,
+        |  floor((1.0 / CAST(dup_count AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS weight
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "boilerplate_lines" ->
+      """WITH l0 AS (
+        |  SELECT doc_id, trim(ln) AS line
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents) z),
+        |l AS (SELECT doc_id, line FROM l0 WHERE length(line) >= 10),
+        |g AS (
+        |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         count(*) AS n_occ
+        |  FROM l GROUP BY line)
+        |SELECT line, n_docs, n_occ FROM g WHERE n_docs >= 3
+        |ORDER BY n_docs DESC, n_occ DESC, line""".stripMargin,
+    "first_line_dups" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+        |u AS (
+        |  SELECT 'header' AS kind, trim(lines[1]) AS line, doc_id FROM p
+        |  UNION ALL
+        |  SELECT 'footer' AS kind, trim(lines[-1]) AS line, doc_id FROM p),
+        |g AS (
+        |  SELECT kind, line, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |  FROM u WHERE length(line) >= 10 GROUP BY kind, line)
+        |SELECT kind, line, n_docs, min_doc_id FROM g WHERE n_docs >= 2
+        |ORDER BY kind, n_docs DESC, line""".stripMargin,
+    "numeric_density" ->
+      """WITH p AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+([.,][0-9]+)*%?$'))) AS BIGINT) AS n_numeric,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha
+        |  FROM p)
+        |SELECT doc_id, n_tokens, n_numeric, n_alpha,
+        |  (1000 * n_numeric) // n_tokens AS numeric_pm,
+        |  (1000 * n_alpha) // n_tokens AS alpha_pm
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "paragraph_dups" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, trim(pp) AS para
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS pp FROM documents) z),
+        |f AS (SELECT doc_id, para FROM p0 WHERE length(para) >= 30),
+        |dfp AS (SELECT para, count(DISTINCT doc_id) AS nd FROM f GROUP BY para),
+        |g AS (
+        |  SELECT f.doc_id, count(*) AS n_paras,
+        |         CAST(sum(CASE WHEN dfp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+        |  FROM f JOIN dfp USING (para) GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(g.n_paras, 0) AS n_paras,
+        |  coalesce(g.n_dup_paras, 0) AS n_dup_paras,
+        |  CASE WHEN coalesce(g.n_paras, 0) = 0 THEN NULL
+        |       ELSE (1000 * g.n_dup_paras) // g.n_paras END AS dup_pm
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "line_dups" ->
       """WITH l0 AS (
         |  SELECT doc_id, trim(ln) AS line

@@ -6335,4 +6335,390 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("ret"), col("ewma_vol"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** The linearly-weighted mean of a date-ordered frame array: weight
+    * i+1 on the i-th (oldest-first) element, normalized by the exact
+    * integer triangle number n(n+1)/2. The index-weighted transform +
+    * left-to-right fold is [[rollingOlsTrend]]'s Σt·y machinery reused
+    * verbatim, so the IEEE op order matches the oracle's
+    * `range`-indexed list_transform exactly.
+    */
+  private def wmaOfArr(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    Kernels.seqFold(
+      transform(arr, (v, i) => v * (i + 1).cast("double")), "sum") /
+      (n * (n + 1) / lit(2.0))
+  }
+
+  /** B207 `wma` — linearly-weighted moving average of the LWW daily
+    * close over a `window`-day frame: the youngest in-frame value
+    * carries weight n, the oldest weight 1 (the chartist WMA, the lag-
+    * halved sibling of [[windowMovingAvg]]'s equal weights and the
+    * building block [[hma]] composes). Partial leading frames use
+    * their own length (documented convention shared with [[ewma]]).
+    * One asset_id shuffle; the frame fold is O(window) per row.
+    */
+  def wma(panel: DataFrame, window: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .select(col("asset_id"), col("date"), col("value"),
+        size(col("arr")).cast("long").as("n_days"),
+        u6(wmaOfArr(col("arr"))).as("wma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B208 `vwma` — volume-weighted moving average over a `window`-day
+    * bar frame: Σ(close·volume)/Σvolume with tick count as the volume
+    * proxy ([[obv]]'s convention). The numerator folds left-to-right
+    * over per-bar close·n_ticks products (each an exact IEEE multiply
+    * of a micro-grid double by a small integer); the denominator is a
+    * plain integer window sum — order-free. Heavier-traded bars pull
+    * the mean toward where volume actually printed, the difference vs
+    * [[windowMovingAvg]] that volume-confirmation overlays trade on.
+    */
+  def vwma(panel: DataFrame, window: Int = 20): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("cv", col("close") * col("n_ticks").cast("double"))
+      .withColumn("s_cv", Kernels.seqFold(collect_list(col("cv")).over(frame), "sum"))
+      .withColumn("s_v", sum(col("n_ticks")).over(frame))
+      .select(col("asset_id"), col("date"), col("close"), col("s_v").as("vol_n"),
+        u6(col("s_cv") / col("s_v").cast("double")).as("vwma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B209 `hma` — Hull moving average: WMA(2·WMA(n/2) − WMA(n), √n),
+    * the lag-cancelling composition of three [[wma]] stages (the
+    * half-length WMA overshoots by roughly the full-length WMA's lag;
+    * doubling it and subtracting cancels the lag, and the short √n
+    * WMA smooths the residual noise). Each stage's output is
+    * u6-ROUNDED before feeding the next, so the three-deep chain stays
+    * bit-identical cross-engine (the [[tsi]] chained-smoothing
+    * discipline). All three frames share one asset_id partitioning —
+    * a single shuffle for the whole chain.
+    */
+  def hma(panel: DataFrame, window: Int = 16): DataFrame = {
+    val half = math.max(1, window / 2)
+    val smooth = math.max(1, math.sqrt(window.toDouble).toInt)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val fFull = byAsset.rowsBetween(-(window - 1), Window.currentRow)
+    val fHalf = byAsset.rowsBetween(-(half - 1), Window.currentRow)
+    val fSm = byAsset.rowsBetween(-(smooth - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("wf", u6(wmaOfArr(collect_list(col("value")).over(fFull))))
+      .withColumn("wh", u6(wmaOfArr(collect_list(col("value")).over(fHalf))))
+      .withColumn("raw", u6(lit(2.0) * col("wh") - col("wf")))
+      .withColumn("hma", u6(wmaOfArr(collect_list(col("raw")).over(fSm))))
+      .select(col("asset_id"), col("date"), col("value"), col("raw"), col("hma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B210 `demarker` — the DeMarker oscillator over a `span`-bar
+    * frame: DeMMax = max(high − prev_high, 0), DeMMin =
+    * max(prev_low − low, 0), DeM = ΣDeMMax / (ΣDeMMax + ΣDeMMin) —
+    * exhaustion gauge in [0,1] scoring how much of recent range
+    * extension pointed up ([[rsi]]'s shape on range extremes instead
+    * of closes). Per-bar legs are u6-rounded before the frame folds;
+    * a frame with zero extension either way NULLs out. The first bar
+    * per asset (no previous bar) is filtered like every lag-based op.
+    */
+  def demarker(panel: DataFrame, span: Int = 14): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ph", lag(col("high"), 1).over(byAsset))
+      .withColumn("pl", lag(col("low"), 1).over(byAsset))
+      .filter(col("ph").isNotNull)
+      .withColumn("dmax", u6(greatest(col("high") - col("ph"), lit(0.0))))
+      .withColumn("dmin", u6(greatest(col("pl") - col("low"), lit(0.0))))
+      .withColumn("smax", Kernels.seqFold(collect_list(col("dmax")).over(frame), "sum"))
+      .withColumn("smin", Kernels.seqFold(collect_list(col("dmin")).over(frame), "sum"))
+      .select(col("asset_id"), col("date"), col("dmax"), col("dmin"),
+        u6(col("smax") / when(col("smax") + col("smin") === 0, lit(null))
+          .otherwise(col("smax") + col("smin"))).as("dem"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B211 `cfo` — Chande Forecast Oscillator: 100·(close − fitted)/
+    * close where `fitted` is the rolling-OLS forecast at the frame's
+    * last point — [[rollingOlsTrend]]'s integral-x algebra verbatim
+    * (exact closed-form Σt/Σt², value-sum folds), re-expressed as the
+    * oscillator chartists overlay (positive = price above its own
+    * trendline). NULLs on a zero close; frames shorter than `minN`
+    * are filtered like the OLS row.
+    */
+  def cfo(panel: DataFrame, window: Int = 14, minN: Int = 5): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = col("n")
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("n", size(col("arr")).cast("double"))
+      .filter(n >= minN)
+      .withColumn("sx", n * (n + 1) / lit(2.0))
+      .withColumn("sx2", n * (n + 1) * (lit(2.0) * n + 1) / lit(6.0))
+      .withColumn("sy", Kernels.seqFold(col("arr"), "sum"))
+      .withColumn("sxy", Kernels.seqFold(transform(col("arr"),
+        (v, i) => v * (i + 1).cast("double")), "sum"))
+      .withColumn("b", (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sx2") - col("sx") * col("sx")))
+      .withColumn("fitted", u6((col("sy") - col("b") * col("sx")) / n + col("b") * n))
+      .select(col("asset_id"), col("date"), col("value"),
+        n.cast("long").as("n_days"), col("fitted"),
+        u6(lit(100.0) * (col("value") - col("fitted")) /
+          when(col("value") === 0, lit(null)).otherwise(col("value"))).as("cfo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B212 `smi` — Stochastic Momentum Index (10/3/3): the close's
+    * signed distance from the MIDPOINT of the q-bar high/low channel,
+    * double-EW-smoothed, over the equally-smoothed half-range —
+    * [[stochasticOsc]] recentred on the channel middle so the reading
+    * is signed and less jumpy. Both smoothing chains ride the [[tsi]]
+    * discipline: each EW stage is a normalized Horner fold over a
+    * bounded frame with the stage output u6-ROUNDED before the next
+    * consumes it. A flat smoothed channel NULLs the index.
+    */
+  def smi(panel: DataFrame, span: Int = 10, s1: Int = 3, s2: Int = 3): DataFrame = {
+    val w1 = 1.0 - 2.0 / (s1 + 1.0)
+    val w2 = 1.0 - 2.0 / (s2 + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val qframe = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val f1 = byAsset.rowsBetween(-(s1 * 4 - 1), Window.currentRow)
+    val f2 = byAsset.rowsBetween(-(s2 * 4 - 1), Window.currentRow)
+    def ew(c: Column, frame: org.apache.spark.sql.expressions.WindowSpec, w: Double): Column = {
+      val arr = collect_list(c).over(frame)
+      u6(Kernels.seqFold(arr, "horner", w) / Kernels.seqFold(arr, "horner_count", w))
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("hh", max(col("high")).over(qframe))
+      .withColumn("ll", min(col("low")).over(qframe))
+      .withColumn("m", u6(col("close") - (col("hh") + col("ll")) / 2))
+      .withColumn("hr", u6((col("hh") - col("ll")) / 2))
+      .withColumn("m1", ew(col("m"), f1, w1))
+      .withColumn("h1", ew(col("hr"), f1, w1))
+      .withColumn("m2", ew(col("m1"), f2, w2))
+      .withColumn("h2", ew(col("h1"), f2, w2))
+      .withColumn("smi", u6(lit(100.0) * col("m2") /
+        when(col("h2") === 0, lit(null)).otherwise(col("h2"))))
+      .select(col("asset_id"), col("date"), col("m"), col("smi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B213 `pgo` — the Pretty Good Oscillator: (close − SMA_n) over the
+    * EW-smoothed true range — distance from the mean denominated in
+    * typical daily movement, i.e. a z-score whose unit is ATR instead
+    * of σ (breakout screeners threshold it at ±3). TR uses the
+    * [[choppiness]] first-bar convention (plain range when no previous
+    * close); the SMA is a frame fold over closes, the ATR leg the
+    * normalized-Horner EW fold over ROUNDED TRs; a zero smoothed range
+    * NULLs out.
+    */
+  def pgo(panel: DataFrame, span: Int = 14): DataFrame = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val prevClose = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - prevClose),
+            abs(col("low") - prevClose)))))
+      .withColumn("sma", u6(Kernels.seqFold(collect_list(col("close")).over(frame), "sum") /
+        count(lit(1)).over(frame).cast("double")))
+      .withColumn("tra", collect_list(col("tr")).over(frame))
+      .withColumn("ematr", u6(Kernels.seqFold(col("tra"), "horner", w) /
+        Kernels.seqFold(col("tra"), "horner_count", w)))
+      .select(col("asset_id"), col("date"), col("close"), col("sma"), col("ematr"),
+        u6((col("close") - col("sma")) /
+          when(col("ematr") === 0, lit(null)).otherwise(col("ematr"))).as("pgo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B215 `jensen_alpha` — the CAPM decomposition per asset vs the
+    * equal-weight market: OLS beta ([[beta]]'s fold algebra), Jensen's
+    * alpha α = r̄ₐ − β·r̄ₘ (daily, no risk-free leg — the synthetic
+    * panel has none), the residual volatility √(SSE/(n−2)), and the
+    * appraisal ratio α/σ_resid (Treynor–Black: is the alpha worth the
+    * idiosyncratic risk it rides on?). A flat-market window NULLs beta
+    * and everything downstream EXPLICITLY (greatest() ignores NULLs in
+    * both engines, so the clamp alone must not be the null path). One
+    * asset_id shuffle + a broadcast of the #dates market.
+    */
+  def jensenAlpha(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    val n = col("n")
+    rets.join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("ra", transform(col("h"), s => s("ret")))
+      .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
+      .withColumn("rp", transform(col("h"), s => s("ret") * s("mkt_ret")))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sm2", foldSumSq(col("rm")))
+      .withColumn("sa2", foldSumSq(col("ra")))
+      .withColumn("sxx", n * col("sm2") - col("sm") * col("sm"))
+      .withColumn("sxy", n * col("sp") - col("sm") * col("sa"))
+      .withColumn("syy", n * col("sa2") - col("sa") * col("sa"))
+      .withColumn("b", col("sxy") / when(col("sxx") <= 0, lit(null)).otherwise(col("sxx")))
+      .withColumn("a", col("sa") / n - col("b") * (col("sm") / n))
+      .withColumn("resid_sd", when(col("b").isNull, lit(null)).otherwise(
+        sqrt(greatest((col("syy") - col("b") * col("sxy")) / n / (n - 2), lit(0.0)))))
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        u6(col("b")).as("beta"), u6(col("a")).as("alpha"),
+        u6(col("resid_sd")).as("resid_sd"),
+        u6(col("a") / when(col("resid_sd") === 0, lit(null))
+          .otherwise(col("resid_sd"))).as("appraisal"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B216 `burke_ratio` — mean daily return over the root of the sum
+    * of SQUARED drawdown-episode depths: [[sharpe]]'s numerator with
+    * a path-risk denominator that punishes many deep drawdowns where
+    * [[calmar]] sees only the single worst. Episodes are the
+    * [[drawdownEpisodes]] gaps-and-islands; depths fold in
+    * start-date order (deterministic, episodes are few). Zero-episode
+    * histories NULL the ratio (n_episodes reported 0, not absent).
+    */
+  def burkeRatio(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("value"), 1).over(w)
+    val dd = daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .withColumn("rn", row_number().over(w))
+    val eps = dd.filter(col("dd") < 0)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(min(col("date")).as("start_date"), min(col("dd")).as("depth"))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("start_date"), col("depth")))),
+        s => s("depth")).as("da"))
+      .select(col("asset_id"), size(col("da")).cast("long").as("n_episodes"),
+        Kernels.seqFold(col("da"), "sumsq").as("ssq"))
+    dd.filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .select(col("asset_id"), size(col("ra")).cast("long").as("n_days"),
+        (Kernels.seqFold(col("ra"), "sum") / size(col("ra")).cast("double")).as("mean_ret"))
+      .join(eps, Seq("asset_id"), "left")
+      .withColumn("n_episodes", coalesce(col("n_episodes"), lit(0L)))
+      .withColumn("burke", u6(col("mean_ret") /
+        when(col("ssq").isNull || col("ssq") <= 0, lit(null)).otherwise(sqrt(col("ssq")))))
+      .select(col("asset_id"), col("n_days"), col("n_episodes"),
+        u6(col("mean_ret")).as("mean_ret"), col("burke"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B217 `kappa_three` — Kaplan–Knowles κ₃: mean return over the cube
+    * root of the third lower partial moment E[max(−r,0)³] — [[sortino]]
+    * generalized one moment up, so rare deep losses dominate the
+    * denominator the way tail-averse allocators actually feel them.
+    * The LPM folds max(−r,0) cubes left-to-right over the date-ordered
+    * array (clamp inside the transform, the [[upsidePotential]]
+    * discipline); loss-free histories NULL the ratio. cbrt is the one
+    * non-sqrt root in the surface — both engines' cbrt is sub-ulp on
+    * the micro-grid magnitudes here, inside the same tolerance class
+    * as the shared ln/exp surfaces.
+    */
+  def kappaThree(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val prev = lag(col("value"), 1).over(w)
+    val n = col("n")
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("s", foldSum(col("ra")))
+      .withColumn("lpm3", Kernels.seqFold(
+        transform(col("ra"), x => greatest(-x, lit(0.0))), "sum3") / n)
+      .select(col("asset_id"), n.cast("long").as("n_days"),
+        u6(col("s") / n).as("mean_ret"), u6(col("lpm3")).as("lpm3"),
+        u6((col("s") / n) / when(col("lpm3") <= 0, lit(null))
+          .otherwise(cbrt(col("lpm3")))).as("kappa3"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B218 `recovery_time` — the drawdown-episode table with the
+    * RECOVERY geometry [[drawdownEpisodes]] leaves implicit: trough
+    * date (deepest dd, earliest on ties — a struct-min, ≡ the oracle's
+    * min-date-at-min-dd), days peak→trough, and whether the episode
+    * RECOVERED (ended before the series did) — the number that
+    * separates "painful but healed" from "still underwater", which
+    * max-drawdown alone can't. Same single-shuffle islands as the
+    * episode table + a broadcast of per-asset last dates.
+    */
+  def recoveryTime(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("peak", max(col("value")).over(runW))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .withColumn("rn", row_number().over(w))
+    val lastD = dd.groupBy(col("asset_id")).agg(max(col("date")).as("last_date"))
+    dd.filter(col("dd") < 0)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy(col("asset_id"), col("grp"))
+      .agg(min(col("date")).as("start_date"), max(col("date")).as("end_date"),
+        count(lit(1)).as("n_days"),
+        min(struct(col("dd"), col("date"))).as("trough"))
+      .join(broadcast(lastD), Seq("asset_id"))
+      .select(col("asset_id"), col("start_date"),
+        col("trough").getField("date").as("trough_date"),
+        col("end_date"), col("n_days"),
+        col("trough").getField("dd").as("max_drawdown"),
+        (datediff(col("trough").getField("date"), col("start_date")) + 1)
+          .cast("long").as("days_to_trough"),
+        (col("end_date") < col("last_date")).as("recovered"))
+      .orderBy(col("asset_id"), col("start_date"))
+  }
+
+  /** B214 `williams_ad` — Williams Accumulation/Distribution: per-bar
+    * contribution (close − true-range low) on up closes,
+    * (close − true-range high) on down closes, zero on unchanged —
+    * running-summed per asset. Like [[vpt]], the running sum rides the
+    * MICRO-LONG grid: each u6 contribution is scaled to an exact
+    * integer and the unbounded window sum is integer arithmetic —
+    * order-insensitive, exact under any partitioning — floated back
+    * only at the end. First bar per asset filtered (no previous
+    * close). The divergence-vs-price accumulation gauge of the
+    * [[obv]]/[[adLine]] family, keyed on true-range extremes.
+    */
+  def williamsAd(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", lag(col("close"), 1).over(byAsset))
+      .filter(col("pc").isNotNull)
+      .withColumn("contrib", u6(
+        when(col("close") > col("pc"), col("close") - least(col("low"), col("pc")))
+          .when(col("close") < col("pc"), col("close") - greatest(col("high"), col("pc")))
+          .otherwise(lit(0.0))))
+      .withColumn("contrib_micro", round(col("contrib") * 1e6).cast("long"))
+      .withColumn("wad_micro", sum(col("contrib_micro")).over(run))
+      .select(col("asset_id"), col("date"), col("contrib"),
+        (col("wad_micro").cast("double") / 1e6).as("wad"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

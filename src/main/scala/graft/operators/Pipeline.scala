@@ -2161,4 +2161,148 @@ object Pipeline {
       .select(col("source"), col("n_docs"), col("n_words"), col("n_sentences"),
         col("sentences_per_doc"), col("words_per_sentence"))
       .orderBy(col("source"))
+
+  /** C141 `c4_rules` — the C4 (Raffel et al. 2020, arXiv:1910.10683)
+    * line-level cleaning rules as a per-document report: a line is
+    * KEPT when it has ≥3 whitespace tokens and ends in terminal
+    * punctuation; the document-level flags are the "lorem ipsum"
+    * placeholder screen and the curly-brace (code/markup) screen. The
+    * keep verdict = kept-line share ≥ 500‰ and neither flag — the
+    * C4-style gate a web-scrape corpus build runs before dedup (the
+    * quality-rule sibling of [[gopherRules]], which screens token
+    * shape where C4 screens line shape). Map-only scan; integer
+    * per-mille densities; booleans compare integers (engine-stable).
+    */
+  def c4Rules(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= 3 && trim(l).rlike("[.!?\"']$"))
+    documents
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+      .withColumn("kept_pm", expr("(1000 * n_kept) div n_lines"))
+      .withColumn("keep",
+        col("kept_pm") >= 500 && !col("has_lorem") && !col("has_brace"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C142 `soft_dedup_weights` — SoftDeDup-style duplicate
+    * downweighting: instead of DROPPING exact duplicates
+    * ([[Dedup.exact]]'s keep-min-id), every copy survives with weight
+    * 1/count so the group's total mass is one document — the
+    * soft alternative when provenance must be preserved or near-dup
+    * thresholds are untrusted. One shuffle on md5(text) (32-hex key,
+    * never the document); the weight is an exact reciprocal of an
+    * integer, u6-rounded. `eff_docs` sums to the deduped corpus size
+    * by construction.
+    */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .select(col("doc_id"), col("dup_count"),
+        u6(lit(1.0) / col("dup_count").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C143 `boilerplate_lines` — the corpus-level boilerplate table:
+    * trimmed lines ≥ `minLen` chars appearing in ≥ `minDf` DISTINCT
+    * documents, with their document frequency and total occurrence
+    * count — what a cleaning pass subtracts (nav bars, cookie
+    * banners, license headers). [[Dedup.lineDups]] scores documents;
+    * this names the lines. Shuffle key is the line text bounded by
+    * the explode (line-sized, not document-sized); output is the
+    * df-filtered tail only.
+    */
+  def boilerplateLines(documents: DataFrame, minLen: Int = 10, minDf: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) >= minLen)
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("line"))
+
+  /** C144 `first_line_dups` — header/footer boilerplate detection:
+    * documents grouped by their FIRST and LAST trimmed line (the
+    * positions where scrape templates concentrate); groups of ≥2
+    * docs surface as `header`/`footer` rows with the group size and
+    * min doc_id exemplar. Two #docs-row aggregations on short string
+    * keys, unioned. The positional complement of
+    * [[boilerplateLines]]' anywhere-in-doc df.
+    */
+  def firstLineDups(documents: DataFrame, minLen: Int = 10): DataFrame = {
+    val lines = split(col("text"), "\n")
+    def side(kind: String, pick: Column): DataFrame =
+      documents
+        .select(col("doc_id"), trim(pick).as("line"))
+        .filter(length(col("line")) >= minLen)
+        .groupBy(col("line"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .filter(col("n_docs") >= 2)
+        .select(lit(kind).as("kind"), col("line"), col("n_docs"), col("min_doc_id"))
+    side("header", element_at(lines, 1))
+      .unionAll(side("footer", element_at(lines, -1)))
+      .orderBy(col("kind"), col("n_docs").desc, col("line"))
+  }
+
+  /** C145 `numeric_density` — token-CLASS profile per document: the
+    * share of whitespace tokens that are purely numeric
+    * (digits/decimal groups, optional %) vs purely alphabetic —
+    * tables, price lists and scraped spreadsheets score numeric-heavy
+    * and get routed away from prose training mixes
+    * ([[Pipeline.codeDetect]]'s sibling for tabular contamination;
+    * char_class_profile counts characters, this counts tokens).
+    * Map-only, anchored regexes per token, integer per-mille.
+    */
+  def numericDensity(documents: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.rlike("^[0-9]+([.,][0-9]+)*%?$")))
+          .cast("long").as("n_numeric"),
+        size(filter(toks, t => t.rlike("^[A-Za-z]+$")))
+          .cast("long").as("n_alpha"))
+      .withColumn("numeric_pm", expr("(1000 * n_numeric) div n_tokens"))
+      .withColumn("alpha_pm", expr("(1000 * n_alpha) div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C146 `paragraph_dups` — duplicated-paragraph share per document
+    * at PARAGRAPH granularity (blank-line-separated blocks ≥ `minLen`
+    * chars): a paragraph is boilerplate when it appears in ≥2 distinct
+    * documents. The Dolma/CCNet dedup granularity between
+    * [[Dedup.lineDups]]' lines and [[Dedup.exact]]'s whole docs —
+    * catches quoted/syndicated blocks that line stats blur and
+    * whole-doc hashing misses. Same left-join-back discipline as
+    * lineDups: zero-qualifying-paragraph docs report n_paras = 0 with
+    * a NULL share, not absence.
+    */
+  def paragraphDups(documents: DataFrame, minLen: Int = 30): DataFrame = {
+    val paras = documents
+      .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("para"))
+      .filter(length(col("para")) >= minLen)
+    val df = paras.groupBy(col("para"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val perDoc = paras.join(df, Seq("para"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_paras"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"))
+      .withColumn("dup_pm", when(col("n_paras") === 0, lit(null))
+        .otherwise(expr("(1000 * n_dup_paras) div n_paras")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -491,6 +491,50 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"))
   }
 
+  private def replayDaily[O](s: SparkSession, dir: String)(
+      op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+        org.apache.spark.sql.Dataset[O]): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(op)
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamWma(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.wmaStream(_))
+  def streamVwma(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.vwmaStream(_))
+  def streamHma(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.hmaStream(_))
+  def streamDemarker(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.demarkerStream(_))
+  def streamCfo(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.cfoStream(_))
+  def streamSmi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.smiStream(_))
+  def streamPgo(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.pgoStream(_))
+  def streamWilliamsAd(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.williamsAdStream(_))
+
+  def streamParkinson(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.parkinsonStream(_))
+  def streamGarmanKlass(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.garmanKlassStream(_))
+  def streamRogersSatchell(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.rogersSatchellStream(_))
+  def streamDistFromHigh(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.distFromHighStream(_))
+  def streamRelativeVolume(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.relativeVolumeStream(_))
+  def streamTrendIntensity(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.trendIntensityStream(_))
+  def streamAcceleration(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.accelerationStream(_))
+  def streamVolatilityRatio(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.volatilityRatioStream(_))
+
   def streamEwmaVol(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = dailyFeed(s, dir)

@@ -3587,4 +3587,654 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  /** The index-weighted ring mean shared by the WMA-family twins:
+    * weight i+1 on the i-th (oldest-first) ring element over the exact
+    * triangle number — [[graft.operators.Analytics.wma]]'s fold
+    * replayed imperatively, jvm6 ≡ the batch u6.
+    */
+  private def wmaOfRing(a: Vector[Double]): Double = {
+    val n = a.size.toDouble
+    var s = 0.0; var i = 0
+    while (i < a.size) { s += a(i) * (i + 1).toDouble; i += 1 }
+    graft.operators.Micro.jvm6(s / (n * (n + 1) / 2.0))
+  }
+
+  /** Normalized EW Horner fold over a ring — the batch
+    * `seqFold(horner)/seqFold(horner_count)` pair, jvm6-rounded.
+    */
+  private def ewOfRing(a: Vector[Double], w: Double): Double = {
+    var num = 0.0; var den = 0.0
+    a.foreach { x => num = num * w + x; den = den * w + 1.0 }
+    graft.operators.Micro.jvm6(num / den)
+  }
+
+  case class WmaState(ring: Vector[Double])
+  case class WmaPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      n_days: Long, wma: Double)
+
+  /** D87 `wmaStream` — streaming face of B207 `wma`: per-asset ring of
+    * the last `window` LWW daily closes; the index-weighted mean is
+    * the batch fold replayed over the ring. O(#assets · window) state.
+    */
+  def wmaStream(ticks: Dataset[DailyTick], window: Int = 20): Dataset[WmaPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[WmaState, WmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[WmaState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[WmaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            out += WmaPoint(assetId, t.date, t.value, ring.size.toLong, wmaOfRing(ring))
+          }
+          state.update(WmaState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class VwmaState(ring: Vector[(Double, Long)])
+  case class VwmaPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                       vol_n: Long, vwma: Double)
+
+  /** D88 `vwmaStream` — streaming face of B208 `vwma`: ring of the
+    * last `window` (close·volume, volume) pairs per asset; the
+    * numerator is the left-to-right product fold, the denominator an
+    * exact integer sum. O(#assets · window) state.
+    */
+  def vwmaStream(bars: Dataset[OhlcStreamBar], window: Int = 20): Dataset[VwmaPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VwmaState, VwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VwmaState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[VwmaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            ring = (ring :+ ((b.close * b.n_ticks.toDouble, b.n_ticks))).takeRight(window)
+            var s = 0.0; var v = 0L
+            ring.foreach { case (cv, n) => s += cv; v += n }
+            out += VwmaPoint(assetId, b.date, b.close, v,
+              graft.operators.Micro.jvm6(s / v.toDouble))
+          }
+          state.update(VwmaState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class HmaState(vals: Vector[Double], raws: Vector[Double])
+  case class HmaPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      raw: Double, hma: Double)
+
+  /** D89 `hmaStream` — streaming face of B209 `hma`: ring of the last
+    * `window` closes (the half-length WMA reads its tail) + ring of
+    * the last √window ROUNDED raws; each stage rounds before the next
+    * consumes, ≡ the batch chain. O(#assets · window) state.
+    */
+  def hmaStream(ticks: Dataset[DailyTick], window: Int = 16): Dataset[HmaPoint] = {
+    val half = math.max(1, window / 2)
+    val smooth = math.max(1, math.sqrt(window.toDouble).toInt)
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[HmaState, HmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[HmaState]) =>
+          var st = state.getOption.getOrElse(HmaState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[HmaPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val vals = (st.vals :+ t.value).takeRight(window)
+            val wf = wmaOfRing(vals)
+            val wh = wmaOfRing(vals.takeRight(half))
+            val raw = graft.operators.Micro.jvm6(2.0 * wh - wf)
+            val raws = (st.raws :+ raw).takeRight(smooth)
+            out += HmaPoint(assetId, t.date, t.value, raw, wmaOfRing(raws))
+            st = HmaState(vals, raws)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class DemState(ph: Double, pl: Double, seen: Boolean,
+                      maxs: Vector[Double], mins: Vector[Double])
+  case class DemPoint(asset_id: Long, date: java.sql.Date, dmax: Double,
+                      dmin: Double, dem: Option[Double])
+
+  /** D90 `demarkerStream` — streaming face of B210 `demarker`:
+    * previous bar's high/low + rings of the last `span` ROUNDED
+    * DeMMax/DeMMin legs; plain ordered sums, zero-extension frames
+    * NULL, first-ever bar emits nothing. O(#assets · span) state.
+    */
+  def demarkerStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[DemPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DemState, DemPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[DemState]) =>
+          var st = state.getOption.getOrElse(
+            DemState(0.0, 0.0, seen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[DemPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val dmax = graft.operators.Micro.jvm6(math.max(b.high - st.ph, 0.0))
+              val dmin = graft.operators.Micro.jvm6(math.max(st.pl - b.low, 0.0))
+              val maxs = (st.maxs :+ dmax).takeRight(span)
+              val mins = (st.mins :+ dmin).takeRight(span)
+              var sx = 0.0; var sn = 0.0
+              maxs.foreach(sx += _); mins.foreach(sn += _)
+              val dem =
+                if (sx + sn == 0.0) None
+                else Some(graft.operators.Micro.jvm6(sx / (sx + sn)))
+              out += DemPoint(assetId, b.date, dmax, dmin, dem)
+              st = DemState(b.high, b.low, seen = true, maxs, mins)
+            } else {
+              st = DemState(b.high, b.low, seen = true, st.maxs, st.mins)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class CfoState(ring: Vector[Double])
+  case class CfoPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      n_days: Long, fitted: Double, cfo: Option[Double])
+
+  /** D91 `cfoStream` — streaming face of B211 `cfo`: ring of the last
+    * `window` LWW daily closes; the integral-x OLS algebra (exact
+    * closed-form Σt/Σt², left-to-right value folds) replayed per bar,
+    * frames below `minN` emit nothing. O(#assets · window) state.
+    */
+  def cfoStream(ticks: Dataset[DailyTick], window: Int = 14, minN: Int = 5): Dataset[CfoPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CfoState, CfoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[CfoState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[CfoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            if (ring.size >= minN) {
+              val n = ring.size.toDouble
+              val sx = n * (n + 1) / 2.0
+              val sx2 = n * (n + 1) * (2.0 * n + 1) / 6.0
+              var sy = 0.0; var sxy = 0.0
+              var i = 0
+              while (i < ring.size) { sy += ring(i); i += 1 }
+              i = 0
+              while (i < ring.size) { sxy += ring(i) * (i + 1).toDouble; i += 1 }
+              val b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+              val fitted = graft.operators.Micro.jvm6((sy - b * sx) / n + b * n)
+              val cfo =
+                if (t.value == 0.0) None
+                else Some(graft.operators.Micro.jvm6(
+                  100.0 * (t.value - fitted) / t.value))
+              out += CfoPoint(assetId, t.date, t.value, ring.size.toLong, fitted, cfo)
+            }
+          }
+          state.update(CfoState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class SmiState(hl: Vector[(Double, Double)], ms: Vector[Double],
+                      hrs: Vector[Double], m1s: Vector[Double], h1s: Vector[Double])
+  case class SmiPoint(asset_id: Long, date: java.sql.Date, m: Double,
+                      smi: Option[Double])
+
+  /** D92 `smiStream` — streaming face of B212 `smi`: ring of the last
+    * `span` (high, low) pairs for the channel + four 12-rings carrying
+    * the ROUNDED smoothing chain (m, half-range, and their first EW
+    * stages); every stage rounds before the next consumes it, ≡ the
+    * batch tsi discipline. O(#assets · span) state.
+    */
+  def smiStream(bars: Dataset[OhlcStreamBar], span: Int = 10,
+                s1: Int = 3, s2: Int = 3): Dataset[SmiPoint] = {
+    val w1 = 1.0 - 2.0 / (s1 + 1.0)
+    val w2 = 1.0 - 2.0 / (s2 + 1.0)
+    val k1 = s1 * 4
+    val k2 = s2 * 4
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[SmiState, SmiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[SmiState]) =>
+          var st = state.getOption.getOrElse(
+            SmiState(Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[SmiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val hl = (st.hl :+ ((b.high, b.low))).takeRight(span)
+            val hh = hl.map(_._1).max
+            val ll = hl.map(_._2).min
+            val m = graft.operators.Micro.jvm6(b.close - (hh + ll) / 2)
+            val hr = graft.operators.Micro.jvm6((hh - ll) / 2)
+            val ms = (st.ms :+ m).takeRight(k1)
+            val hrs = (st.hrs :+ hr).takeRight(k1)
+            val m1 = ewOfRing(ms, w1)
+            val h1 = ewOfRing(hrs, w1)
+            val m1s = (st.m1s :+ m1).takeRight(k2)
+            val h1s = (st.h1s :+ h1).takeRight(k2)
+            val m2 = ewOfRing(m1s, w2)
+            val h2 = ewOfRing(h1s, w2)
+            val smi =
+              if (h2 == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * m2 / h2))
+            out += SmiPoint(assetId, b.date, m, smi)
+            st = SmiState(hl, ms, hrs, m1s, h1s)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PgoState(pc: Double, seen: Boolean,
+                      closes: Vector[Double], trs: Vector[Double])
+  case class PgoPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                      sma: Double, ematr: Double, pgo: Option[Double])
+
+  /** D93 `pgoStream` — streaming face of B213 `pgo`: previous close +
+    * rings of the last `span` closes and ROUNDED true ranges; the SMA
+    * is the plain ordered sum over the close ring, the ATR leg the
+    * normalized EW Horner fold, zero smoothed range NULLs. The
+    * first-ever bar uses plain range as its TR (the batch choppiness
+    * convention) and EMITS like the batch op. O(#assets · span) state.
+    */
+  def pgoStream(bars: Dataset[OhlcStreamBar], span: Int = 14): Dataset[PgoPoint] = {
+    val w = 1.0 - 2.0 / (span + 1.0)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PgoState, PgoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PgoState]) =>
+          var st = state.getOption.getOrElse(
+            PgoState(0.0, seen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[PgoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val tr = graft.operators.Micro.jvm6(
+              if (!st.seen) b.high - b.low
+              else math.max(b.high - b.low,
+                math.max(math.abs(b.high - st.pc), math.abs(b.low - st.pc))))
+            val closes = (st.closes :+ b.close).takeRight(span)
+            val trs = (st.trs :+ tr).takeRight(span)
+            var s = 0.0
+            closes.foreach(s += _)
+            val sma = graft.operators.Micro.jvm6(s / closes.size.toDouble)
+            val ematr = ewOfRing(trs, w)
+            val pgo =
+              if (ematr == 0.0) None
+              else Some(graft.operators.Micro.jvm6((b.close - sma) / ematr))
+            out += PgoPoint(assetId, b.date, b.close, sma, ematr, pgo)
+            st = PgoState(b.close, seen = true, closes, trs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class VolRingState(ring: Vector[Double])
+  case class ParkinsonPoint(asset_id: Long, date: java.sql.Date, x: Double, pv: Double)
+
+  /** D95 `parkinsonStream` — streaming face of B64 `parkinson_vol`:
+    * ring of the last `window` u6 squared log-ranges per asset;
+    * bars failing the batch `low > 0` filter are skipped entirely
+    * (absent from frames, exactly as the batch pre-window filter).
+    * O(#assets · window) state.
+    */
+  def parkinsonStream(bars: Dataset[OhlcStreamBar], window: Int = 20): Dataset[ParkinsonPoint] = {
+    val fourLn2 = 2.772588722239781
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, ParkinsonPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[ParkinsonPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.low > 0) {
+              val l = math.log(b.high / b.low)
+              val x = graft.operators.Micro.jvm6(l * l)
+              ring = (ring :+ x).takeRight(window)
+              var s = 0.0
+              ring.foreach(s += _)
+              out += ParkinsonPoint(assetId, b.date, x,
+                graft.operators.Micro.jvm6(math.sqrt(s / (fourLn2 * ring.size.toDouble))))
+            }
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class GkPoint(asset_id: Long, date: java.sql.Date, x: Double, gk: Double)
+
+  /** D96 `garmanKlassStream` — streaming face of B82 `garman_klass`:
+    * ring of the last `window` u6 per-bar GK terms (0.5·ln²(h/l) −
+    * (2ln2−1)·ln²(c/o), each leg rounded like the batch columns);
+    * bars failing `low > 0 ∧ open > 0` are skipped. The frame sum is
+    * clamped at 0 before the root, ≡ the batch greatest.
+    */
+  def garmanKlassStream(bars: Dataset[OhlcStreamBar], window: Int = 20): Dataset[GkPoint] = {
+    val twoLn2m1 = 0.3862943611198906
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, GkPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[GkPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.low > 0 && b.open > 0) {
+              val lhl = math.log(b.high / b.low)
+              val lco = math.log(b.close / b.open)
+              val a = graft.operators.Micro.jvm6(lhl * lhl)
+              val c = graft.operators.Micro.jvm6(lco * lco)
+              val x = graft.operators.Micro.jvm6(0.5 * a - twoLn2m1 * c)
+              ring = (ring :+ x).takeRight(window)
+              var s = 0.0
+              ring.foreach(s += _)
+              out += GkPoint(assetId, b.date, x,
+                graft.operators.Micro.jvm6(
+                  math.sqrt(math.max(s, 0.0) / ring.size.toDouble)))
+            }
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class RsPoint(asset_id: Long, date: java.sql.Date, x: Double, rs_vol: Double)
+
+  /** D97 `rogersSatchellStream` — streaming face of B104
+    * `rogers_satchell`: ring of the last `window` u6 per-bar RS terms
+    * (drift-free: ln(h/c)·ln(h/o) + ln(l/c)·ln(l/o)); mean clamped at
+    * 0 before the root. Bars with `low ≤ 0` skipped.
+    */
+  def rogersSatchellStream(bars: Dataset[OhlcStreamBar], window: Int = 20): Dataset[RsPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, RsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[RsPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.low > 0) {
+              val x = graft.operators.Micro.jvm6(
+                math.log(b.high / b.close) * math.log(b.high / b.open) +
+                  math.log(b.low / b.close) * math.log(b.low / b.open))
+              ring = (ring :+ x).takeRight(window)
+              var s = 0.0
+              ring.foreach(s += _)
+              out += RsPoint(assetId, b.date, x,
+                graft.operators.Micro.jvm6(
+                  math.sqrt(math.max(s / ring.size.toDouble, 0.0))))
+            }
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class DfhPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      trailing_high: Double, dist: Option[Double], days_since: Long)
+
+  /** D98 `distFromHighStream` — streaming face of B169
+    * `dist_from_high`: ring of the last `window` LWW daily closes;
+    * the trailing high is the ring max and `days_since` counts back to
+    * its NEWEST occurrence (the batch reverse+array_position
+    * convention). O(#assets · window) state.
+    */
+  def distFromHighStream(ticks: Dataset[DailyTick], window: Int = 252): Dataset[DfhPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, DfhPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[DfhPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            val hi = ring.max
+            var idx = ring.size - 1
+            while (ring(idx) != hi) idx -= 1
+            val dist =
+              if (hi == 0.0) None
+              else Some(graft.operators.Micro.jvm6(t.value / hi - 1))
+            out += DfhPoint(assetId, t.date, t.value, hi, dist,
+              (ring.size - 1 - idx).toLong)
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class RvolState(vols: Vector[Long])
+  case class RvolPoint(asset_id: Long, date: java.sql.Date, n_ticks: Long,
+                       avg_vol: Option[Double], rvol: Option[Double])
+
+  /** D99 `relativeVolumeStream` — streaming face of B150
+    * `relative_volume`: ring of the last `span` PRIOR tick counts
+    * (the batch −span..−1 frame — the current bar joins the ring only
+    * after emitting); integer sum, first bar NULLs. O(#assets · span).
+    */
+  def relativeVolumeStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[RvolPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RvolState, RvolPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[RvolState]) =>
+          var vols = state.getOption.map(_.vols).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[RvolPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val avg =
+              if (vols.isEmpty) None
+              else {
+                var s = 0L
+                vols.foreach(s += _)
+                Some(graft.operators.Micro.jvm6(s.toDouble / vols.size.toDouble))
+              }
+            val rvol = avg.flatMap { a =>
+              if (a == 0.0) None
+              else Some(graft.operators.Micro.jvm6(b.n_ticks.toDouble / a))
+            }
+            out += RvolPoint(assetId, b.date, b.n_ticks, avg, rvol)
+            vols = (vols :+ b.n_ticks).takeRight(span)
+          }
+          state.update(RvolState(vols))
+          out.result().iterator
+      }
+  }
+
+  case class TiState(closes: Vector[Double], above: Vector[Long])
+  case class TiPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                     sma: Double, n_above: Long, n_bars: Long, ti_pm: Long)
+
+  /** D100 `trendIntensityStream` — streaming face of B155
+    * `trend_intensity`: close ring for the SMA + flag ring for the
+    * above-count, both `span`-bounded; the per-mille is exact integer
+    * division. O(#assets · span) state.
+    */
+  def trendIntensityStream(bars: Dataset[OhlcStreamBar], span: Int = 20): Dataset[TiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TiState, TiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[TiState]) =>
+          var st = state.getOption.getOrElse(TiState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[TiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(span)
+            var s = 0.0
+            closes.foreach(s += _)
+            val sma = graft.operators.Micro.jvm6(s / closes.size.toDouble)
+            val flag = if (b.close > sma) 1L else 0L
+            val above = (st.above :+ flag).takeRight(span)
+            var na = 0L
+            above.foreach(na += _)
+            out += TiPoint(assetId, b.date, b.close, sma, na, above.size.toLong,
+              1000L * na / above.size.toLong)
+            st = TiState(closes, above)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AccelState(closes: Vector[Double], prevSma: Option[Double],
+                        prevMom: Option[Double])
+  case class AccelPoint(asset_id: Long, date: java.sql.Date, sma: Double,
+                        mom: Option[Double], accel: Option[Double])
+
+  /** D101 `accelerationStream` — streaming face of B166
+    * `acceleration`: `span`-ring of closes + the previous SMA and
+    * momentum — velocity and acceleration of the smoothed price as
+    * first/second differences, head NULLs ≡ the batch lags.
+    * O(#assets · span) state.
+    */
+  def accelerationStream(bars: Dataset[OhlcStreamBar], span: Int = 5): Dataset[AccelPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AccelState, AccelPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AccelState]) =>
+          var st = state.getOption.getOrElse(AccelState(Vector.empty, None, None))
+          val out = Vector.newBuilder[AccelPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(span)
+            var s = 0.0
+            closes.foreach(s += _)
+            val sma = graft.operators.Micro.jvm6(s / closes.size.toDouble)
+            val mom = st.prevSma.map(p => graft.operators.Micro.jvm6(sma - p))
+            val accel = for (m <- mom; pm <- st.prevMom)
+              yield graft.operators.Micro.jvm6(m - pm)
+            out += AccelPoint(assetId, b.date, sma, mom, accel)
+            st = AccelState(closes, Some(sma), mom)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class VratState(last: Double, seen: Boolean, rets: Vector[Double])
+  case class VratPoint(asset_id: Long, date: java.sql.Date,
+                       sd_short: Option[Double], sd_long: Option[Double],
+                       vr: Option[Double])
+
+  /** D102 `volatilityRatioStream` — streaming face of B165
+    * `volatility_ratio`: previous value + ring of the last `long` u6
+    * returns; both sample SDs read the ring's tail with the batch
+    * (n·Σx² − (Σx)²)/(n(n−1)) clamp, the ratio NULLs until the long
+    * frame is FULL. Zero prior closes emit nothing and carry state,
+    * ≡ the batch ret-null filter. O(#assets · long) state.
+    */
+  def volatilityRatioStream(ticks: Dataset[DailyTick], short: Int = 5,
+                            long: Int = 20): Dataset[VratPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    def sd(a: Vector[Double]): Option[Double] = {
+      val n = a.size.toDouble
+      if (a.size < 2) None
+      else {
+        var s = 0.0; var s2 = 0.0
+        a.foreach { x => s += x }
+        a.foreach { x => s2 += x * x }
+        Some(graft.operators.Micro.jvm6(math.sqrt(
+          math.max((n * s2 - s * s) / (n * (n - 1)), 0.0))))
+      }
+    }
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VratState, VratPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VratState]) =>
+          var st = state.getOption.getOrElse(VratState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[VratPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val rets = (st.rets :+ ret).takeRight(long)
+              val sdS = sd(rets.takeRight(short))
+              val sdL = sd(rets)
+              val vr =
+                if (rets.size < long) None
+                else for (a <- sdS; b <- sdL; if b != 0.0)
+                  yield graft.operators.Micro.jvm6(a / b)
+              out += VratPoint(assetId, t.date, sdS, sdL, vr)
+              st = VratState(t.value, seen = true, rets)
+            } else {
+              st = VratState(t.value, seen = true, st.rets)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class WadState(pc: Double, seen: Boolean, accMicro: Long)
+  case class WadPoint(asset_id: Long, date: java.sql.Date, contrib: Double,
+                      wad: Double)
+
+  /** D94 `williamsAdStream` — streaming face of B214 `williams_ad`:
+    * previous close + ONE micro-long accumulator per asset — the
+    * running sum lives on the exact integer grid like the batch
+    * window, so replay order can never drift it. First-ever bar emits
+    * nothing. O(1) state per asset.
+    */
+  def williamsAdStream(bars: Dataset[OhlcStreamBar]): Dataset[WadPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[WadState, WadPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[WadState]) =>
+          var st = state.getOption.getOrElse(WadState(0.0, seen = false, 0L))
+          val out = Vector.newBuilder[WadPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val contrib = graft.operators.Micro.jvm6(
+                if (b.close > st.pc) b.close - math.min(b.low, st.pc)
+                else if (b.close < st.pc) b.close - math.max(b.high, st.pc)
+                else 0.0)
+              val acc = st.accMicro + math.round(contrib * 1e6)
+              out += WadPoint(assetId, b.date, contrib, acc.toDouble / 1e6)
+              st = WadState(b.close, seen = true, acc)
+            } else {
+              st = WadState(b.close, seen = true, st.accMicro)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -864,4 +864,330 @@ class Round10OpsSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(streamed === batch)
   }
+
+  test("wave-T indicators match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0, 107.0)
+    val panel = panelOf(Map(1L -> vals))
+    val A = graft.operators.Analytics
+    // the index-weighted fold shared by wma/hma (weights 1..n, oldest first)
+    def wmaOf(a: Vector[Double]): Double = {
+      val n = a.size.toDouble
+      jvm6(a.zipWithIndex.foldLeft(0.0) { case (acc, (v, i)) =>
+        acc + v * (i + 1).toDouble } / (n * (n + 1) / 2.0))
+    }
+    def tailFrame(xs: Vector[Double], t: Int, k: Int): Vector[Double] =
+      xs.slice(math.max(0, t - k + 1), t + 1)
+    def ewOf(a: Vector[Double], w: Double): Double =
+      jvm6(a.foldLeft(0.0)((acc, x) => acc * w + x) /
+        a.foldLeft(0.0)((acc, _) => acc * w + 1.0))
+
+    val wmaOut = A.wma(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      assert(wmaOut(t).getAs[Double]("wma") === wmaOf(vals.take(t + 1)), s"wma t=$t")
+    }
+
+    // hma: window 16 → half 8, smooth 4; each stage rounded before the next
+    val wf = vals.indices.map(t => wmaOf(tailFrame(vals, t, 16))).toVector
+    val wh = vals.indices.map(t => wmaOf(tailFrame(vals, t, 8))).toVector
+    val raw = vals.indices.map(t => jvm6(2.0 * wh(t) - wf(t))).toVector
+    val hmaExp = vals.indices.map(t => wmaOf(tailFrame(raw, t, 4))).toVector
+    val hmaOut = A.hma(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      assert(hmaOut(t).getAs[Double]("raw") === raw(t), s"hma raw t=$t")
+      assert(hmaOut(t).getAs[Double]("hma") === hmaExp(t), s"hma t=$t")
+    }
+
+    // demarker on single-tick bars: dmax/dmin collapse to ± daily moves
+    val dmax = vals.sliding(2).map { case Seq(a, b) => jvm6(math.max(b - a, 0.0)) }.toVector
+    val dmin = vals.sliding(2).map { case Seq(a, b) => jvm6(math.max(a - b, 0.0)) }.toVector
+    val demOut = A.demarker(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(demOut.length === vals.size - 1)
+    dmax.indices.foreach { t =>
+      val sx = tailFrame(dmax, t, 14).foldLeft(0.0)(_ + _)
+      val sn = tailFrame(dmin, t, 14).foldLeft(0.0)(_ + _)
+      assert(demOut(t).getAs[Double]("dem") === jvm6(sx / (sx + sn)), s"dem t=$t")
+    }
+
+    // cfo: rolling-OLS forecast at the frame's last point, window 14 minN 5
+    val cfoOut = A.cfo(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(cfoOut.length === vals.size - 4)
+    (4 until vals.size).foreach { t =>
+      val arr = tailFrame(vals, t, 14)
+      val n = arr.size.toDouble
+      val sx = n * (n + 1) / 2.0
+      val sx2 = n * (n + 1) * (2.0 * n + 1) / 6.0
+      val sy = arr.foldLeft(0.0)(_ + _)
+      val sxy = arr.zipWithIndex.foldLeft(0.0) { case (acc, (v, i)) => acc + v * (i + 1).toDouble }
+      val b = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      val fitted = jvm6((sy - b * sx) / n + b * n)
+      val r = cfoOut(t - 4)
+      assert(r.getAs[Double]("fitted") === fitted, s"cfo fitted t=$t")
+      assert(r.getAs[Double]("cfo") === jvm6(100.0 * (vals(t) - fitted) / vals(t)), s"cfo t=$t")
+    }
+
+    // smi: channel midpoint distance, double-EW (10/3/3 → w = 0.5, frames 12)
+    val hh = vals.indices.map(t => tailFrame(vals, t, 10).max).toVector
+    val ll = vals.indices.map(t => tailFrame(vals, t, 10).min).toVector
+    val m = vals.indices.map(t => jvm6(vals(t) - (hh(t) + ll(t)) / 2)).toVector
+    val hr = vals.indices.map(t => jvm6((hh(t) - ll(t)) / 2)).toVector
+    val m1 = vals.indices.map(t => ewOf(tailFrame(m, t, 12), 0.5)).toVector
+    val h1 = vals.indices.map(t => ewOf(tailFrame(hr, t, 12), 0.5)).toVector
+    val m2 = vals.indices.map(t => ewOf(tailFrame(m1, t, 12), 0.5)).toVector
+    val h2 = vals.indices.map(t => ewOf(tailFrame(h1, t, 12), 0.5)).toVector
+    val smiOut = A.smi(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val exp = if (h2(t) == 0.0) null else jvm6(100.0 * m2(t) / h2(t))
+      assert((if (smiOut(t).isNullAt(smiOut(t).fieldIndex("smi"))) null
+              else smiOut(t).getAs[Double]("smi")) === exp, s"smi t=$t")
+    }
+
+    // pgo: (close − SMA) / EW(TR); single-tick TR = |Δclose| (t=0 → 0)
+    val trs = vals.indices.map { t =>
+      if (t == 0) 0.0 else jvm6(math.abs(vals(t) - vals(t - 1))) }.toVector
+    val wTr = 1.0 - 2.0 / 15.0
+    val pgoOut = A.pgo(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val sma = jvm6(tailFrame(vals, t, 14).foldLeft(0.0)(_ + _) / (t + 1).toDouble)
+      val ematr = ewOf(tailFrame(trs, t, 14), wTr)
+      val exp = if (ematr == 0.0) null else jvm6((vals(t) - sma) / ematr)
+      assert((if (pgoOut(t).isNullAt(pgoOut(t).fieldIndex("pgo"))) null
+              else pgoOut(t).getAs[Double]("pgo")) === exp, s"pgo t=$t")
+    }
+
+    // williams_ad on single-tick bars: contrib = Δclose, micro-long running sum
+    val contribs = vals.sliding(2).map { case Seq(a, b) => jvm6(b - a) }.toVector
+    val wadOut = A.williamsAd(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(wadOut.length === vals.size - 1)
+    var acc = 0L
+    contribs.indices.foreach { t =>
+      acc += math.round(contribs(t) * 1e6)
+      assert(wadOut(t).getAs[Double]("contrib") === contribs(t), s"wad contrib t=$t")
+      assert(wadOut(t).getAs[Double]("wad") === acc.toDouble / 1e6, s"wad t=$t")
+    }
+  }
+
+  test("wave-U twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.wmaStream(_)) === norm(A.wma(panel)), "wma")
+    assert(streamed(StreamingOps.vwmaStream(_)) === norm(A.vwma(panel)), "vwma")
+    assert(streamedDaily(StreamingOps.hmaStream(_)) === norm(A.hma(panel)), "hma")
+    assert(streamed(StreamingOps.demarkerStream(_)) === norm(A.demarker(panel)), "dem")
+    assert(streamedDaily(StreamingOps.cfoStream(_)) === norm(A.cfo(panel)), "cfo")
+    assert(streamed(StreamingOps.smiStream(_)) === norm(A.smi(panel)), "smi")
+    assert(streamed(StreamingOps.pgoStream(_)) === norm(A.pgo(panel)), "pgo")
+    assert(streamed(StreamingOps.williamsAdStream) === norm(A.williamsAd(panel)), "wad")
+  }
+
+  test("wave-X risk ratios match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val v1 = Vector(100.0, 103.0, 99.0, 104.5, 98.0, 106.0, 101.0, 97.5, 105.0, 100.5)
+    val v2 = Vector(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.5, 54.0, 52.5, 55.0)
+    val panel = panelOf(Map(1L -> v1, 2L -> v2))
+    val A = graft.operators.Analytics
+    def rets(v: Vector[Double]) =
+      v.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1.0) }.toVector
+    val r1 = rets(v1); val r2 = rets(v2)
+    val mkt = r1.indices.map(t => jvm6((r1(t) + r2(t)) / 2.0)).toVector
+
+    // jensen_alpha for asset 1 vs the equal-weight market
+    val n = r1.size.toDouble
+    val sa = r1.foldLeft(0.0)(_ + _)
+    val sm = mkt.foldLeft(0.0)(_ + _)
+    val sp = r1.zip(mkt).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+    val sm2 = mkt.foldLeft(0.0)((a, x) => a + x * x)
+    val sa2 = r1.foldLeft(0.0)((a, x) => a + x * x)
+    val sxx = n * sm2 - sm * sm
+    val sxy = n * sp - sm * sa
+    val syy = n * sa2 - sa * sa
+    val b = sxy / sxx
+    val a = sa / n - b * (sm / n)
+    val residSd = math.sqrt(math.max((syy - b * sxy) / n / (n - 2), 0.0))
+    val ja = A.jensenAlpha(panel).collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(ja(1L).getAs[Long]("n_days") === 9L)
+    assert(ja(1L).getAs[Double]("beta") === jvm6(b))
+    assert(ja(1L).getAs[Double]("alpha") === jvm6(a))
+    assert(ja(1L).getAs[Double]("resid_sd") === jvm6(residSd))
+    assert(ja(1L).getAs[Double]("appraisal") === jvm6(a / residSd))
+
+    // burke_ratio for asset 1: drawdown episodes from running peaks
+    val peaks = v1.scanLeft(Double.MinValue)(math.max).tail
+    val dds = v1.indices.map(t => jvm6(v1(t) / peaks(t) - 1)).toVector
+    // episodes of consecutive dd<0 days; depth = min dd per episode
+    val depths = {
+      val eps = Vector.newBuilder[Double]
+      var cur: Option[Double] = None
+      dds.foreach { d =>
+        if (d < 0) cur = Some(cur.fold(d)(math.min(_, d)))
+        else { cur.foreach(eps += _); cur = None }
+      }
+      cur.foreach(eps += _)
+      eps.result()
+    }
+    val ssq = depths.foldLeft(0.0)((acc, x) => acc + x * x)
+    val meanRet = sa / n
+    val bk = A.burkeRatio(panel).collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(bk(1L).getAs[Long]("n_episodes") === depths.size.toLong)
+    assert(bk(1L).getAs[Double]("burke") === jvm6(meanRet / math.sqrt(ssq)))
+
+    // kappa_three for asset 1
+    val l3 = r1.map(x => math.max(-x, 0.0)).foldLeft(0.0)((acc, x) => acc + x * x * x)
+    val kp = A.kappaThree(panel).collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(kp(1L).getAs[Double]("lpm3") === jvm6(l3 / n))
+    assert(kp(1L).getAs[Double]("kappa3") === jvm6((sa / n) / math.cbrt(l3 / n)))
+
+    // recovery_time: v1 day2 (99) is underwater vs peak 103, recovers day4;
+    // every episode except a final unrecovered one must end pre-series-end
+    val rt = A.recoveryTime(panel).filter($"asset_id" === 1L)
+      .collect().sortBy(_.getAs[java.sql.Date]("start_date").getTime)
+    assert(rt.nonEmpty)
+    val first = rt.head
+    assert(first.getAs[java.sql.Date]("start_date").toString === "2024-01-03")
+    assert(first.getAs[java.sql.Date]("trough_date").toString === "2024-01-03")
+    assert(first.getAs[Long]("days_to_trough") === 1L)
+    assert(first.getAs[Boolean]("recovered"))
+    // last value 100.5 < running peak 106 → final episode is unrecovered
+    assert(!rt.last.getAs[Boolean]("recovered"))
+  }
+
+  test("wave-W twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0, 114.0, 120.0, 116.0,
+        122.0, 119.0, 125.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamed(StreamingOps.parkinsonStream(_)) === norm(A.parkinsonVol(panel)), "pv")
+    assert(streamed(StreamingOps.garmanKlassStream(_)) === norm(A.garmanKlass(panel)), "gk")
+    assert(streamed(StreamingOps.rogersSatchellStream(_)) ===
+      norm(A.rogersSatchell(panel)), "rs")
+    assert(streamedDaily(StreamingOps.distFromHighStream(_)) ===
+      norm(A.distFromHigh(panel)), "dfh")
+    assert(streamed(StreamingOps.relativeVolumeStream(_)) ===
+      norm(A.relativeVolume(panel)), "rvol")
+    assert(streamed(StreamingOps.trendIntensityStream(_)) ===
+      norm(A.trendIntensity(panel)), "ti")
+    assert(streamed(StreamingOps.accelerationStream(_)) === norm(A.acceleration(panel)), "acc")
+    assert(streamedDaily(StreamingOps.volatilityRatioStream(_)) ===
+      norm(A.volatilityRatio(panel)), "vrat")
+  }
+
+  test("wave-V corpus ops on a hand corpus") {
+    val P = graft.operators.Pipeline
+    val header = "Welcome to Example News dot com"
+    val footer = "Copyright 2024 Example News Inc"
+    val para = "This shared paragraph is long enough to qualify as boilerplate content."
+    val doc1 = s"$header\nThe quick brown fox jumps today.\nshort\n$para\n\n$para\n\n$footer"
+    val doc2 = s"$header\nAnother body line that also ends well.\n$para\n\n$footer"
+    val doc3 = "Totally unique document. It has no boilerplate at all, lorem ipsum aside."
+    val doc4 = "12 34.5 99% alpha beta { code }"
+    val docs = Seq((1L, doc1, "a"), (2L, doc2, "a"), (3L, doc3, "b"), (4L, doc4, "b"),
+      (5L, doc1, "b")) // doc5 = exact copy of doc1
+      .toDF("doc_id", "text", "source")
+
+    // c4_rules: doc3 has lorem → keep false; doc4 has brace → keep false
+    val c4 = P.c4Rules(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(c4(3L).getAs[Boolean]("has_lorem") && !c4(3L).getAs[Boolean]("keep"))
+    assert(c4(4L).getAs[Boolean]("has_brace") && !c4(4L).getAs[Boolean]("keep"))
+    // doc1: 8 lines (two blank separators), kept = the fox line + the two paras
+    assert(c4(1L).getAs[Long]("n_lines") === 8L)
+    assert(c4(1L).getAs[Long]("n_kept") === 3L)
+
+    // soft_dedup_weights: docs 1 and 5 share text → weight 0.5 each
+    val w = P.softDedupWeights(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(w(1L).getAs[Long]("dup_count") === 2L && w(1L).getAs[Double]("weight") === 0.5)
+    assert(w(5L).getAs[Double]("weight") === 0.5)
+    assert(w(2L).getAs[Double]("weight") === 1.0)
+
+    // boilerplate_lines: header/footer/para each hit 3 distinct docs (1,2,5)
+    val bl = P.boilerplateLines(docs).collect().map(r => r.getAs[String]("line") -> r).toMap
+    assert(bl.keySet === Set(header, footer, para))
+    assert(bl(para).getAs[Long]("n_docs") === 3L)
+    assert(bl(para).getAs[Long]("n_occ") === 5L) // 2+1+2 occurrences
+
+    // first_line_dups: header group of 3, footer group of 3
+    val fl = P.firstLineDups(docs).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("line")) -> r).toMap
+    assert(fl(("header", header)).getAs[Long]("n_docs") === 3L)
+    assert(fl(("header", header)).getAs[Long]("min_doc_id") === 1L)
+    assert(fl(("footer", footer)).getAs[Long]("n_docs") === 3L)
+
+    // numeric_density: doc4 = 3 numeric, 3 alpha of 8 tokens ({, } are neither)
+    val nd = P.numericDensity(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(nd(4L).getAs[Long]("n_tokens") === 8L)
+    assert(nd(4L).getAs[Long]("n_numeric") === 3L)
+    assert(nd(4L).getAs[Long]("n_alpha") === 3L)
+    assert(nd(4L).getAs[Long]("numeric_pm") === 375L)
+
+    // paragraph_dups: doc1 has 3 qualifying paras (para ×…) — blocks split
+    // on blank lines: [header+fox+short+para], [para], [footer] — only the
+    // middle block is an exact cross-doc duplicate
+    val pd = P.paragraphDups(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(pd(1L).getAs[Long]("n_paras") === 3L)
+    assert(pd(1L).getAs[Long]("n_dup_paras") >= 1L)
+    assert(pd(3L).getAs[Long]("n_paras") === 1L)
+    assert(pd(3L).getAs[Long]("n_dup_paras") === 0L)
+  }
+
+  test("vwma weighs the mean by tick volume") {
+    import graft.operators.Micro.jvm6
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1704000000000L), 100.0, 1L),
+      (1L, Date.valueOf("2024-01-01"), new Timestamp(1704000001000L), 102.0, 2L),
+      (1L, Date.valueOf("2024-01-02"), new Timestamp(1704086400000L), 101.0, 3L),
+      (1L, Date.valueOf("2024-01-03"), new Timestamp(1704172800000L), 103.0, 4L),
+      (1L, Date.valueOf("2024-01-03"), new Timestamp(1704172801000L), 99.0, 5L))
+      .toDF("asset_id", "date", "ts", "value", "seq")
+    val out = graft.operators.Analytics.vwma(rows)
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    // closes: 102 (2 ticks), 101 (1), 99 (2) — the close×volume folds:
+    assert(out(0).getAs[Long]("vol_n") === 2L)
+    assert(out(0).getAs[Double]("vwma") === jvm6(102.0 * 2 / 2.0))
+    assert(out(1).getAs[Long]("vol_n") === 3L)
+    assert(out(1).getAs[Double]("vwma") === jvm6((102.0 * 2 + 101.0) / 3.0))
+    assert(out(2).getAs[Long]("vol_n") === 5L)
+    assert(out(2).getAs[Double]("vwma") === jvm6((102.0 * 2 + 101.0 + 99.0 * 2) / 5.0))
+  }
 }
