@@ -1141,6 +1141,11 @@ object SparkEntry {
     "stream_smi" -> ((s, dir) => StreamReplay.streamSmi(s, dir)),
     "stream_pgo" -> ((s, dir) => StreamReplay.streamPgo(s, dir)),
     "stream_williams_ad" -> ((s, dir) => StreamReplay.streamWilliamsAd(s, dir)),
+    // ── wave Y (r10) ─────────────────────────────────────────────────
+    "stream_rolling_median" -> ((s, dir) => StreamReplay.streamRollingMedian(s, dir)),
+    "stream_rolling_moments" -> ((s, dir) => StreamReplay.streamRollingMoments(s, dir)),
+    "stream_ppo" -> ((s, dir) => StreamReplay.streamPpo(s, dir)),
+    "stream_elder_impulse" -> ((s, dir) => StreamReplay.streamElderImpulse(s, dir)),
     // ── wave X (r10) ─────────────────────────────────────────────────
     "jensen_alpha" -> ((s, dir) =>
       Analytics.jensenAlpha(Tables.panel(s, dir))),
@@ -3234,7 +3239,11 @@ object SparkEntry {
       ("stream_relative_volume" -> m("relative_volume")) +
       ("stream_trend_intensity" -> m("trend_intensity")) +
       ("stream_acceleration" -> m("acceleration")) +
-      ("stream_volatility_ratio" -> m("volatility_ratio"))
+      ("stream_volatility_ratio" -> m("volatility_ratio")) +
+      ("stream_rolling_median" -> m("rolling_median")) +
+      ("stream_rolling_moments" -> m("rolling_moments")) +
+      ("stream_ppo" -> m("ppo")) +
+      ("stream_elder_impulse" -> m("elder_impulse"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -518,6 +518,15 @@ object StreamReplay {
   def streamWilliamsAd(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.williamsAdStream(_))
 
+  def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
+  def streamRollingMoments(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.rollingMomentsStream(_))
+  def streamPpo(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.ppoStream(_))
+  def streamElderImpulse(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.elderImpulseStream(_))
+
   def streamParkinson(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.parkinsonStream(_))
   def streamGarmanKlass(s: SparkSession, dir: String): DataFrame =

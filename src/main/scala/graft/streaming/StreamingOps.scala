@@ -4200,6 +4200,190 @@ object StreamingOps {
       }
   }
 
+  case class MedPoint(asset_id: Long, date: java.sql.Date, med: Double)
+
+  /** D103 `rollingMedianStream` — streaming face of B37
+    * `rolling_median`: ring of the last `window` LWW daily closes,
+    * sorted per emit; odd frames take the middle element, even frames
+    * the mean of the two middles (≡ the batch element_at arithmetic).
+    * O(#assets · window) state.
+    */
+  def rollingMedianStream(ticks: Dataset[DailyTick], window: Int = 20): Dataset[MedPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, MedPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[MedPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            val fa = ring.sorted
+            val n = fa.size
+            val med =
+              if (n % 2 == 1) fa((n + 1) / 2 - 1)
+              else (fa(n / 2 - 1) + fa(n / 2)) / 2.0
+            out += MedPoint(assetId, t.date, graft.operators.Micro.jvm6(med))
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class MomState(last: Double, seen: Boolean, rets: Vector[Double])
+  case class MomPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                      skew: Option[Double], ex_kurt: Option[Double])
+
+  /** D104 `rollingMomentsStream` — streaming face of B168
+    * `rolling_moments`: previous value + 20-ring of u6 returns; the
+    * central-moment sums fold (x−m)ᵖ with the power built by repeated
+    * multiply exactly like the batch transform, the rounded mean
+    * subtracted per element. Degenerate frames (n<4 or zero variance)
+    * NULL. O(#assets · window) state.
+    */
+  def rollingMomentsStream(ticks: Dataset[DailyTick], window: Int = 20): Dataset[MomPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MomState, MomPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MomState]) =>
+          var st = state.getOption.getOrElse(MomState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[MomPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val ret = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val rets = (st.rets :+ ret).takeRight(window)
+              val n = rets.size.toDouble
+              var s = 0.0
+              rets.foreach(s += _)
+              val m = graft.operators.Micro.jvm6(s / n)
+              def dev(p: Int): Double = {
+                var acc = 0.0
+                rets.foreach { x =>
+                  val d = x - m
+                  var term = d
+                  var i = 1
+                  while (i < p) { term *= d; i += 1 }
+                  acc += term
+                }
+                acc
+              }
+              val s2 = dev(2); val s3 = dev(3); val s4 = dev(4)
+              val skew =
+                if (n < 4 || s2 == 0.0) None
+                else Some(graft.operators.Micro.jvm6(
+                  math.sqrt(n) * s3 / math.sqrt(s2 * s2 * s2)))
+              val kurt =
+                if (n < 4 || s2 == 0.0) None
+                else Some(graft.operators.Micro.jvm6(n * s4 / (s2 * s2) - 3))
+              out += MomPoint(assetId, t.date, ret, skew, kurt)
+              st = MomState(t.value, seen = true, rets)
+            } else {
+              st = MomState(t.value, seen = true, st.rets)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PpoState(closes: Vector[Double], ppos: Vector[Option[Double]])
+  case class PpoPoint(asset_id: Long, date: java.sql.Date, e_fast: Double,
+                      e_slow: Double, ppo: Option[Double], signal: Double)
+
+  /** D105 `ppoStream` — streaming face of B149 `ppo`: 26-ring of
+    * closes (the fast EW reads its 12-tail) + 9-ring of ROUNDED PPO
+    * values for the signal line; NULL PPOs occupy ring slots but drop
+    * out of the signal fold (≡ collect_list's null-skipping over the
+    * row frame). O(#assets · slow) state.
+    */
+  def ppoStream(bars: Dataset[OhlcStreamBar], fast: Int = 12, slow: Int = 26,
+                sig: Int = 9): Dataset[PpoPoint] = {
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val wg = 1.0 - 2.0 / (sig + 1.0)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PpoState, PpoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PpoState]) =>
+          var st = state.getOption.getOrElse(PpoState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[PpoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(slow)
+            val eFast = ewOfRing(closes.takeRight(fast), wf)
+            val eSlow = ewOfRing(closes, ws)
+            val ppo =
+              if (eSlow == 0.0) None
+              else Some(graft.operators.Micro.jvm6(100.0 * (eFast - eSlow) / eSlow))
+            val ppos = (st.ppos :+ ppo).takeRight(sig)
+            val signal = ewOfRing(ppos.flatten, wg)
+            out += PpoPoint(assetId, b.date, eFast, eSlow, ppo, signal)
+            st = PpoState(closes, ppos)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ElderImpState(closes: Vector[Double], macds: Vector[Double],
+                           prevEma: Option[Double], prevHist: Option[Double])
+  case class ElderImpPoint(asset_id: Long, date: java.sql.Date,
+                           d_ema: Option[Double], d_hist: Option[Double],
+                           impulse: Option[String])
+
+  /** D106 `elderImpulseStream` — streaming face of B120
+    * `elder_impulse`: 26-ring of closes feeding the 13-EMA and the
+    * MACD legs + 9-ring of ROUNDED MACDs for the signal, plus the
+    * previous EMA and histogram for the impulse color; head NULLs and
+    * the green/red/blue 3-way ≡ the batch columns.
+    * O(#assets · slow) state.
+    */
+  def elderImpulseStream(bars: Dataset[OhlcStreamBar], emaSpan: Int = 13,
+                         fast: Int = 12, slow: Int = 26,
+                         signal: Int = 9): Dataset[ElderImpPoint] = {
+    val we = 1.0 - 2.0 / (emaSpan + 1.0)
+    val wf = 1.0 - 2.0 / (fast + 1.0)
+    val ws = 1.0 - 2.0 / (slow + 1.0)
+    val wg = 1.0 - 2.0 / (signal + 1.0)
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ElderImpState, ElderImpPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[ElderImpState]) =>
+          var st = state.getOption.getOrElse(
+            ElderImpState(Vector.empty, Vector.empty, None, None))
+          val out = Vector.newBuilder[ElderImpPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            val closes = (st.closes :+ b.close).takeRight(slow)
+            val ema = ewOfRing(closes.takeRight(emaSpan), we)
+            val macd = graft.operators.Micro.jvm6(
+              ewOfRing(closes.takeRight(fast), wf) - ewOfRing(closes, ws))
+            val macds = (st.macds :+ macd).takeRight(signal)
+            val sg = ewOfRing(macds, wg)
+            val hist = graft.operators.Micro.jvm6(macd - sg)
+            val dEma = st.prevEma.map(p => graft.operators.Micro.jvm6(ema - p))
+            val dHist = st.prevHist.map(p => graft.operators.Micro.jvm6(hist - p))
+            val impulse = for (de <- dEma; dh <- dHist) yield
+              if (de > 0 && dh > 0) "green"
+              else if (de < 0 && dh < 0) "red"
+              else "blue"
+            out += ElderImpPoint(assetId, b.date, dEma, dHist, impulse)
+            st = ElderImpState(closes, macds, Some(ema), Some(hist))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class WadState(pc: Double, seen: Boolean, accMicro: Long)
   case class WadPoint(asset_id: Long, date: java.sql.Date, contrib: Double,
                       wad: Double)

@@ -1002,6 +1002,40 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed(StreamingOps.williamsAdStream) === norm(A.williamsAd(panel)), "wad")
   }
 
+  test("wave-Y twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamed[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.rollingMedianStream(_)) ===
+      norm(A.rollingMedian(panel)), "med")
+    assert(streamedDaily(StreamingOps.rollingMomentsStream(_)) ===
+      norm(A.rollingMoments(panel)), "mom")
+    assert(streamed(StreamingOps.ppoStream(_)) === norm(A.ppo(panel)), "ppo")
+    assert(streamed(StreamingOps.elderImpulseStream(_)) ===
+      norm(A.elderImpulse(panel)), "elder")
+  }
+
   test("wave-X risk ratios match imperative recomputations") {
     import graft.operators.Micro.jvm6
     val v1 = Vector(100.0, 103.0, 99.0, 104.5, 98.0, 106.0, 101.0, 97.5, 105.0, 100.5)
