@@ -1141,6 +1141,16 @@ object SparkEntry {
     "stream_smi" -> ((s, dir) => StreamReplay.streamSmi(s, dir)),
     "stream_pgo" -> ((s, dir) => StreamReplay.streamPgo(s, dir)),
     "stream_williams_ad" -> ((s, dir) => StreamReplay.streamWilliamsAd(s, dir)),
+    // ── wave Z (r10) ─────────────────────────────────────────────────
+    "asi" -> ((s, dir) =>
+      Analytics.asi(Tables.panel(s, dir))),
+    "fib_levels" -> ((s, dir) =>
+      Analytics.fibLevels(Tables.panel(s, dir))),
+    "dup_rate_sample" -> ((s, dir) =>
+      Dedup.dupRateSample(Tables.documents(s, dir))),
+    "stream_rolling_beta" -> ((s, dir) => StreamReplay.streamRollingBeta(s, dir)),
+    "stream_asi" -> ((s, dir) => StreamReplay.streamAsi(s, dir)),
+    "stream_fib_levels" -> ((s, dir) => StreamReplay.streamFibLevels(s, dir)),
     // ── wave Y (r10) ─────────────────────────────────────────────────
     "stream_rolling_median" -> ((s, dir) => StreamReplay.streamRollingMedian(s, dir)),
     "stream_rolling_moments" -> ((s, dir) => StreamReplay.streamRollingMoments(s, dir)),
@@ -3243,7 +3253,10 @@ object SparkEntry {
       ("stream_rolling_median" -> m("rolling_median")) +
       ("stream_rolling_moments" -> m("rolling_moments")) +
       ("stream_ppo" -> m("ppo")) +
-      ("stream_elder_impulse" -> m("elder_impulse"))
+      ("stream_elder_impulse" -> m("elder_impulse")) +
+      ("stream_rolling_beta" -> m("rolling_beta")) +
+      ("stream_asi" -> m("asi")) +
+      ("stream_fib_levels" -> m("fib_levels"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -3599,6 +3612,67 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_lines, punct_pm, indent_pm, camel_pm,
         |  coalesce(punct_pm >= 15 OR indent_pm >= 250 OR camel_pm >= 10, false) AS is_code
         |FROM q ORDER BY doc_id""".stripMargin,
+    "asi" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, open, high, low, close,
+         |         lag(open) OVER a AS op, lag(close) OVER a AS cp
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)
+         |  QUALIFY lag(close) OVER a IS NOT NULL),
+         |r AS (
+         |  SELECT asset_id, date, open, close, cp, op,
+         |         abs(high - cp) AS r1, abs(low - cp) AS r2,
+         |         high - low AS r3, abs(cp - op) AS r4
+         |  FROM t),
+         |q AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN r1 >= r2 AND r1 >= r3 THEN r1 - 0.5 * r2 + 0.25 * r4
+         |         WHEN r2 >= r1 AND r2 >= r3 THEN r2 - 0.5 * r1 + 0.25 * r4
+         |         ELSE r3 + 0.25 * r4 END AS rr,
+         |    (close - cp) + 0.5 * (close - open) + 0.25 * (cp - op) AS m
+         |  FROM r),
+         |si AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN rr = 0 THEN 0.0
+         |         ELSE floor((50.0 * m / rr) * 1000000.0 + 0.5) / 1000000.0 END AS si
+         |  FROM q)
+         |SELECT asset_id, date, si,
+         |  CAST(sum(CAST(round(si * 1000000.0) AS BIGINT)) OVER (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS asi
+         |FROM si ORDER BY asset_id, date""".stripMargin,
+    "fib_levels" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         max(value) OVER w AS hh, min(value) OVER w AS ll
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, value, hh AS ch_high, ll AS ch_low,
+         |  floor((hh - 0.236 * (hh - ll)) * 1000000.0 + 0.5) / 1000000.0 AS f236,
+         |  floor((hh - 0.382 * (hh - ll)) * 1000000.0 + 0.5) / 1000000.0 AS f382,
+         |  floor((hh - 0.5 * (hh - ll)) * 1000000.0 + 0.5) / 1000000.0 AS f500,
+         |  floor((hh - 0.618 * (hh - ll)) * 1000000.0 + 0.5) / 1000000.0 AS f618
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "dup_rate_sample" ->
+      s"""WITH s0 AS (SELECT doc_id, text AS s FROM documents),
+         |hh AS (SELECT doc_id, md5(s) AS h, ($shingleHashSql) % 16 AS slice FROM s0),
+         |g AS (SELECT h, slice, count(*) AS n FROM hh GROUP BY 1, 2),
+         |f AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs
+         |      FROM g),
+         |sm AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_sampled,
+         |              CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS dup_sampled
+         |       FROM g WHERE slice = 0)
+         |SELECT n_docs, dup_docs, n_sampled, dup_sampled,
+         |  (1000 * dup_docs) // n_docs AS exact_dup_pm,
+         |  CASE WHEN n_sampled = 0 THEN NULL ELSE (1000 * dup_sampled) // n_sampled END AS est_dup_pm,
+         |  abs((CASE WHEN n_sampled = 0 THEN NULL ELSE (1000 * dup_sampled) // n_sampled END)
+         |      - (1000 * dup_docs) // n_docs) AS err_pm
+         |FROM f CROSS JOIN sm""".stripMargin,
     "jensen_alpha" ->
       s"""$panelCte,
          |$dailyCte,

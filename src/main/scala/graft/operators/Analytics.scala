@@ -3086,7 +3086,7 @@ object Analytics {
     * asset_id order. Broadcast-sized by construction — one row per
     * trading day regardless of corpus width.
     */
-  private def marketReturns(rets: DataFrame): DataFrame =
+  private[graft] def marketReturns(rets: DataFrame): DataFrame =
     rets
       .groupBy(col("date"))
       .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("ret")))),
@@ -6537,6 +6537,69 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("close"), col("sma"), col("ematr"),
         u6((col("close") - col("sma")) /
           when(col("ematr") === 0, lit(null)).otherwise(col("ematr"))).as("pgo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B219 `asi` — Wilder's Accumulative Swing Index: per-bar swing
+    * index SI = 50·M/R where M = (C−Cₚ) + 0.5(C−O) + 0.25(Cₚ−Oₚ) and
+    * R is Wilder's case-based true-range normalizer (largest of
+    * |H−Cₚ|/|L−Cₚ|/H−L picks the branch, ties resolve in that order —
+    * the SQL CASE mirrors the when-chain exactly); the K/T limit-move
+    * factor is identity here (no limit moves on an equity panel, T≡K,
+    * documented). Flat bars (R=0) contribute EXACTLY 0. The ASI line
+    * is the running MICRO-LONG sum of u6 SIs (the [[vpt]]/
+    * [[williamsAd]] integer-grid convention); first bar per asset
+    * filtered.
+    */
+  def asi(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("op", lag(col("open"), 1).over(byAsset))
+      .withColumn("cp", lag(col("close"), 1).over(byAsset))
+      .filter(col("cp").isNotNull)
+      .withColumn("r1", abs(col("high") - col("cp")))
+      .withColumn("r2", abs(col("low") - col("cp")))
+      .withColumn("r3", col("high") - col("low"))
+      .withColumn("r4", abs(col("cp") - col("op")))
+      .withColumn("r",
+        when(col("r1") >= col("r2") && col("r1") >= col("r3"),
+          col("r1") - lit(0.5) * col("r2") + lit(0.25) * col("r4"))
+          .when(col("r2") >= col("r1") && col("r2") >= col("r3"),
+            col("r2") - lit(0.5) * col("r1") + lit(0.25) * col("r4"))
+          .otherwise(col("r3") + lit(0.25) * col("r4")))
+      .withColumn("m",
+        (col("close") - col("cp")) + lit(0.5) * (col("close") - col("open")) +
+          lit(0.25) * (col("cp") - col("op")))
+      .withColumn("si", when(col("r") === 0, lit(0.0))
+        .otherwise(u6(lit(50.0) * col("m") / col("r"))))
+      .withColumn("si_micro", round(col("si") * 1e6).cast("long"))
+      .select(col("asset_id"), col("date"), col("si"),
+        (sum(col("si_micro")).over(run).cast("double") / 1e6).as("asi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B220 `fib_levels` — Fibonacci retracement levels off the
+    * `window`-day [[donchian]] channel: hh − φᵢ·(hh − ll) for
+    * φ ∈ {0.236, 0.382, 0.5, 0.618} — the support grid chartists
+    * project from the recent swing. Channel extremes are order-free
+    * window aggregates; each level is one u6 multiply-subtract; flat
+    * channels collapse every level onto hh (no division anywhere).
+    */
+  def fibLevels(panel: DataFrame, window: Int = 20): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .withColumn("hh", max(col("value")).over(frame))
+      .withColumn("ll", min(col("value")).over(frame))
+      .withColumn("rng", col("hh") - col("ll"))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("hh").as("ch_high"), col("ll").as("ch_low"),
+        u6(col("hh") - lit(0.236) * col("rng")).as("f236"),
+        u6(col("hh") - lit(0.382) * col("rng")).as("f382"),
+        u6(col("hh") - lit(0.5) * col("rng")).as("f500"),
+        u6(col("hh") - lit(0.618) * col("rng")).as("f618"))
       .orderBy(col("asset_id"), col("date"))
   }
 

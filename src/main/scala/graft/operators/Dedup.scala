@@ -1390,4 +1390,34 @@ object Dedup {
       .withColumn("err_pm", abs(col("est_pm") - col("exact_pm")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** C147 `dup_rate_sample` — the exact-duplicate RATE estimated from
+    * a 1/`slices` CONTENT-hash slice, validated against the full
+    * computation. The slice keys on the portable text hash, so an
+    * exact-dup group lands wholly in or wholly out — the estimator is
+    * unbiased over groups, unlike doc-id sampling which breaks pairs.
+    * This is the 100 TB shape: dup-rate dashboards run the slice
+    * (1/16th of the scan + shuffle); the exact leg exists to validate
+    * the estimator wherever both are affordable. One md5-key shuffle
+    * computes both legs (slice is a function of the content, so it
+    * rides the same aggregate); output is a single reconciliation row.
+    */
+  def dupRateSample(documents: DataFrame, slices: Int = 16): DataFrame = {
+    val grouped = documents
+      .select(md5(col("text")).as("h"),
+        pmod(graft.expressions.Kernels.strHash(col("text")), lit(slices.toLong)).as("slice"))
+      .groupBy(col("h"), col("slice"))
+      .agg(count(lit(1)).as("n"))
+    val full = grouped.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_docs"))
+    val samp = grouped.filter(col("slice") === 0).agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_sampled"),
+      coalesce(sum(when(col("n") > 1, col("n")).otherwise(0L)), lit(0L)).as("dup_sampled"))
+    full.crossJoin(samp)
+      .withColumn("exact_dup_pm", expr("(1000 * dup_docs) div n_docs"))
+      .withColumn("est_dup_pm", when(col("n_sampled") === 0, lit(null))
+        .otherwise(expr("(1000 * dup_sampled) div n_sampled")))
+      .withColumn("err_pm", abs(col("est_dup_pm") - col("exact_dup_pm")))
+  }
 }

@@ -518,6 +518,36 @@ object StreamReplay {
   def streamWilliamsAd(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.williamsAdStream(_))
 
+  /** The replayed RETURN TAPE: per-(date, asset) u6 daily return +
+    * equal-weight market return — the joined feed shape a risk
+    * vendor's tape carries (the [[breadthFeed]] convention: the
+    * pre-joined market leg IS the feed, not something the stream
+    * recomputes).
+    */
+  private def retMktFeed(s: SparkSession, dir: String): Seq[StreamingOps.RetMktTick] = {
+    import s.implicits._
+    val rets = graft.operators.Analytics.dailyReturns(Tables.panel(s, dir))
+      .select(col("asset_id"), col("date"), col("ret"))
+    rets.join(broadcast(graft.operators.Analytics.marketReturns(rets)), Seq("date"))
+      .select(col("asset_id"), col("date"), col("ret"), col("mkt_ret"))
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+  }
+
+  def streamRollingBeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = retMktFeed(s, dir)
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.rollingBetaStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamAsi(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.asiStream)
+  def streamFibLevels(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.fibLevelsStream(_))
+
   def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
   def streamRollingMoments(s: SparkSession, dir: String): DataFrame =

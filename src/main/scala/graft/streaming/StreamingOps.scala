@@ -4384,6 +4384,132 @@ object StreamingOps {
       }
   }
 
+  case class RetMktTick(asset_id: Long, date: java.sql.Date, ret: Double,
+                        mkt_ret: Double)
+  case class RbState(ring: Vector[(Double, Double)])
+  case class RbPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                     mkt_ret: Double, beta: Option[Double])
+
+  /** D107 `rollingBetaStream` — streaming face of B36 `rolling_beta`
+    * over the joined RETURN-TAPE feed shape (per-date asset return +
+    * equal-weight market return — what a risk vendor's tape carries):
+    * ring of the last `window` (ret, mkt) pairs per asset; co-moment
+    * folds ≡ the batch frame arrays (per-element products before the
+    * sum), zero-variance frames NULL, 1-row frames silent.
+    * O(#assets · window) state.
+    */
+  def rollingBetaStream(ticks: Dataset[RetMktTick], window: Int = 20): Dataset[RbPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RbState, RbPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[RbState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[RbPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ ((t.ret, t.mkt_ret))).takeRight(window)
+            if (ring.size >= 2) {
+              val n = ring.size.toDouble
+              var sa = 0.0; var sm = 0.0; var sp = 0.0; var sm2 = 0.0
+              ring.foreach { case (a, _) => sa += a }
+              ring.foreach { case (_, m) => sm += m }
+              ring.foreach { case (a, m) => sp += a * m }
+              ring.foreach { case (_, m) => sm2 += m * m }
+              val den = n * sm2 - sm * sm
+              val beta =
+                if (den == 0.0) None
+                else Some(graft.operators.Micro.jvm6((n * sp - sa * sm) / den))
+              out += RbPoint(assetId, t.date, t.ret, t.mkt_ret, beta)
+            }
+          }
+          state.update(RbState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class AsiState(op: Double, cp: Double, seen: Boolean, accMicro: Long)
+  case class AsiPoint(asset_id: Long, date: java.sql.Date, si: Double, asi: Double)
+
+  /** D108 `asiStream` — streaming face of B219 `asi`: previous bar's
+    * open/close + ONE micro-long accumulator per asset (the
+    * [[williamsAdStream]] O(1) shape); Wilder's case-based R, the
+    * identity K/T factor and the R=0 → SI=0 rule replayed per bar,
+    * first-ever bar silent.
+    */
+  def asiStream(bars: Dataset[OhlcStreamBar]): Dataset[AsiPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AsiState, AsiPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AsiState]) =>
+          var st = state.getOption.getOrElse(AsiState(0.0, 0.0, seen = false, 0L))
+          val out = Vector.newBuilder[AsiPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val r1 = math.abs(b.high - st.cp)
+              val r2 = math.abs(b.low - st.cp)
+              val r3 = b.high - b.low
+              val r4 = math.abs(st.cp - st.op)
+              val r =
+                if (r1 >= r2 && r1 >= r3) r1 - 0.5 * r2 + 0.25 * r4
+                else if (r2 >= r1 && r2 >= r3) r2 - 0.5 * r1 + 0.25 * r4
+                else r3 + 0.25 * r4
+              val m = (b.close - st.cp) + 0.5 * (b.close - b.open) +
+                0.25 * (st.cp - st.op)
+              val si =
+                if (r == 0.0) 0.0
+                else graft.operators.Micro.jvm6(50.0 * m / r)
+              val acc = st.accMicro + math.round(si * 1e6)
+              out += AsiPoint(assetId, b.date, si, acc.toDouble / 1e6)
+              st = AsiState(b.open, b.close, seen = true, acc)
+            } else {
+              st = AsiState(b.open, b.close, seen = true, st.accMicro)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class FibPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      ch_high: Double, ch_low: Double, f236: Double,
+                      f382: Double, f500: Double, f618: Double)
+
+  /** D109 `fibLevelsStream` — streaming face of B220 `fib_levels`:
+    * ring of the last `window` LWW daily closes; channel extremes are
+    * ring max/min, each level one jvm6 multiply-subtract.
+    * O(#assets · window) state.
+    */
+  def fibLevelsStream(ticks: Dataset[DailyTick], window: Int = 20): Dataset[FibPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VolRingState, FibPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VolRingState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[FibPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            ring = (ring :+ t.value).takeRight(window)
+            val hh = ring.max
+            val ll = ring.min
+            val rng = hh - ll
+            out += FibPoint(assetId, t.date, t.value, hh, ll,
+              graft.operators.Micro.jvm6(hh - 0.236 * rng),
+              graft.operators.Micro.jvm6(hh - 0.382 * rng),
+              graft.operators.Micro.jvm6(hh - 0.5 * rng),
+              graft.operators.Micro.jvm6(hh - 0.618 * rng))
+          }
+          state.update(VolRingState(ring))
+          out.result().iterator
+      }
+  }
+
   case class WadState(pc: Double, seen: Boolean, accMicro: Long)
   case class WadPoint(asset_id: Long, date: java.sql.Date, contrib: Double,
                       wad: Double)

@@ -1002,6 +1002,70 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed(StreamingOps.williamsAdStream) === norm(A.williamsAd(panel)), "wad")
   }
 
+  test("wave-Z: asi, fib_levels, dup_rate_sample and the three twins") {
+    import graft.operators.Micro.jvm6
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0)))
+    val A = graft.operators.Analytics
+    // asi on single-tick bars: O=H=L=C=v → R1=R2=|Δ|, R3=0, R4=|prev Δ|,
+    // M = Δ + 0.25·(prev Δ... ) — just spot-check the micro running sum
+    val asiOut = A.asi(panel).filter($"asset_id" === 1L)
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(asiOut.length === 7)
+    var acc = 0L
+    asiOut.foreach { r =>
+      acc += math.round(r.getAs[Double]("si") * 1e6)
+      assert(r.getAs[Double]("asi") === acc.toDouble / 1e6)
+    }
+    // day2 for asset 1: v=102, prev v=100 (first emitted row): R1=R2=2, R3=0,
+    // R4=0 → R = 2 − 0.5·2 + 0.25·0 = 1; M = 2 + 0.5·0 + 0.25·0 = 2 → SI = 100
+    assert(asiOut.head.getAs[Double]("si") === 100.0)
+
+    // fib_levels: day 4 of asset 1 → frame {100,102,99,105}: hh=105, ll=99
+    val fib = A.fibLevels(panel).filter($"asset_id" === 1L)
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    val d4 = fib(3)
+    assert(d4.getAs[Double]("ch_high") === 105.0 && d4.getAs[Double]("ch_low") === 99.0)
+    assert(d4.getAs[Double]("f500") === jvm6(105.0 - 0.5 * 6.0))
+    assert(d4.getAs[Double]("f236") === jvm6(105.0 - 0.236 * 6.0))
+
+    // dup_rate_sample: 4 unique + one pair of dups → exact rate 2/6
+    val docs = Seq((1L, "alpha one", "a"), (2L, "beta two", "a"), (3L, "gamma three", "a"),
+      (4L, "delta four", "b"), (5L, "alpha one", "b"), (6L, "epsilon five", "b"))
+      .toDF("doc_id", "text", "source")
+    val dr = graft.operators.Dedup.dupRateSample(docs).collect().head
+    assert(dr.getAs[Long]("n_docs") === 6L)
+    assert(dr.getAs[Long]("dup_docs") === 2L)
+    assert(dr.getAs[Long]("exact_dup_pm") === 333L)
+    // sampled slice is content-determined: dup groups land whole
+    assert(dr.getAs[Long]("dup_sampled") % 2 === 0L)
+
+    // the three twins equal their batch ops on replayed feeds
+    import graft.streaming.StreamingOps
+    val bars = A.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val rets = A.dailyReturns(panel).select($"asset_id", $"date", $"ret")
+    val tape = rets.join(org.apache.spark.sql.functions.broadcast(A.marketReturns(rets)), Seq("date"))
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(
+      StreamingOps.asiStream)) === norm(A.asi(panel)), "asi twin")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(
+      StreamingOps.fibLevelsStream(_))) === norm(A.fibLevels(panel)), "fib twin")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, tape, 3, maxStateRows = 2L)(
+      StreamingOps.rollingBetaStream(_))) === norm(A.rollingBeta(panel)), "beta twin")
+  }
+
   test("wave-Y twins equal their batch ops on replayed feeds") {
     val panel = panelOf(Map(
       1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
