@@ -1141,6 +1141,13 @@ object SparkEntry {
     "stream_smi" -> ((s, dir) => StreamReplay.streamSmi(s, dir)),
     "stream_pgo" -> ((s, dir) => StreamReplay.streamPgo(s, dir)),
     "stream_williams_ad" -> ((s, dir) => StreamReplay.streamWilliamsAd(s, dir)),
+    // ── wave AA (r10) ────────────────────────────────────────────────
+    "stream_sharpe" -> ((s, dir) => StreamReplay.streamSharpe(s, dir)),
+    "stream_sortino" -> ((s, dir) => StreamReplay.streamSortino(s, dir)),
+    "stream_gain_loss" -> ((s, dir) => StreamReplay.streamGainLoss(s, dir)),
+    "stream_omega" -> ((s, dir) => StreamReplay.streamOmega(s, dir)),
+    "stream_kelly" -> ((s, dir) => StreamReplay.streamKelly(s, dir)),
+    "stream_ret_moments" -> ((s, dir) => StreamReplay.streamRetMoments(s, dir)),
     // ── wave Z (r10) ─────────────────────────────────────────────────
     "asi" -> ((s, dir) =>
       Analytics.asi(Tables.panel(s, dir))),
@@ -3256,7 +3263,13 @@ object SparkEntry {
       ("stream_elder_impulse" -> m("elder_impulse")) +
       ("stream_rolling_beta" -> m("rolling_beta")) +
       ("stream_asi" -> m("asi")) +
-      ("stream_fib_levels" -> m("fib_levels"))
+      ("stream_fib_levels" -> m("fib_levels")) +
+      ("stream_sharpe" -> m("sharpe")) +
+      ("stream_sortino" -> m("sortino")) +
+      ("stream_gain_loss" -> m("gain_loss_ratio")) +
+      ("stream_omega" -> m("omega_ratio")) +
+      ("stream_kelly" -> m("kelly_fraction")) +
+      ("stream_ret_moments" -> m("ret_moments"))
   }
 
   private def oracleSqlBase: Map[String, String] =

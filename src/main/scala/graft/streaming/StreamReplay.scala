@@ -548,6 +548,48 @@ object StreamReplay {
   def streamFibLevels(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.fibLevelsStream(_))
 
+  /** Update-mode daily replay + final-emission reduction for the
+    * O(1)-state running-aggregate twins: the sink holds one emission
+    * per (asset, batch); the final (max-`ord`) row per asset is the
+    * whole-history statistic and equals the batch aggregate (ties
+    * across batches carry identical values — a batch with no
+    * qualifying rows re-emits nothing).
+    */
+  private def replayDailyFinal[O](s: SparkSession, dir: String, ord: String)(
+      op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+        org.apache.spark.sql.Dataset[O]): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(op)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col(ord).desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+
+  def streamSharpe(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.sharpeStream)
+  def streamSortino(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.sortinoStream)
+  def streamGainLoss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.gainLossStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy((col("n_wins") + col("n_losses")).desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+  def streamOmega(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.omegaStream)
+  def streamKelly(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.kellyStream)
+  def streamRetMoments(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.retMomentsStream)
+
   def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
   def streamRollingMoments(s: SparkSession, dir: String): DataFrame =

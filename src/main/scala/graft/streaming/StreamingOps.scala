@@ -4510,6 +4510,246 @@ object StreamingOps {
       }
   }
 
+  // ── wave AA: O(1)-state running-aggregate twins (update mode) ─────
+  // Each keeps only the previous close + a handful of running sums per
+  // asset and emits the CURRENT whole-history statistic once per key
+  // per micro-batch; the replay wrapper reduces the update-mode sink
+  // to the final (max-n) emission, which equals the batch aggregate
+  // bit-for-bit because the running sums accumulate in exactly the
+  // batch fold's date order. This is the 100 TB shape for the
+  // full-history stat family: state per key is CONSTANT, not O(days).
+
+  case class RunStatState(last: Double, seen: Boolean, n: Long,
+                          s: Double, s2: Double, d2: Double)
+  case class SharpeUpd(asset_id: Long, n_days: Long, mean_ret: Double,
+                       sharpe: Option[Double])
+
+  /** D110 `sharpeStream` — streaming face of B31 `sharpe`: running
+    * (n, Σr, Σr²) per asset, O(1) state; emits from n ≥ 2 (the batch
+    * filter). */
+  def sharpeStream(ticks: Dataset[DailyTick]): Dataset[SharpeUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RunStatState, SharpeUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RunStatState]) =>
+          var st = state.getOption.getOrElse(RunStatState(0.0, seen = false, 0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              st = RunStatState(t.value, seen = true, st.n + 1,
+                st.s + r, st.s2 + r * r, st.d2)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 2) {
+            val n = st.n.toDouble
+            val sd = math.sqrt(math.max((n * st.s2 - st.s * st.s) / (n * (n - 1)), 0.0))
+            Iterator.single(SharpeUpd(assetId, st.n,
+              graft.operators.Micro.jvm6(st.s / n),
+              if (sd == 0.0) None
+              else Some(graft.operators.Micro.jvm6((st.s / n) / sd))))
+          } else Iterator.empty
+      }
+  }
+
+  case class SortinoUpd(asset_id: Long, n_days: Long, mean_ret: Double,
+                        downside_dev: Double, sortino: Option[Double])
+
+  /** D111 `sortinoStream` — streaming face of B71 `sortino`: running
+    * (n, Σr, Σ min(r,0)²), O(1) state. */
+  def sortinoStream(ticks: Dataset[DailyTick]): Dataset[SortinoUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RunStatState, SortinoUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RunStatState]) =>
+          var st = state.getOption.getOrElse(RunStatState(0.0, seen = false, 0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val x = math.min(r, 0.0)
+              st = RunStatState(t.value, seen = true, st.n + 1,
+                st.s + r, st.s2, st.d2 + x * x)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 2) {
+            val n = st.n.toDouble
+            val dd = math.sqrt(st.d2 / n)
+            Iterator.single(SortinoUpd(assetId, st.n,
+              graft.operators.Micro.jvm6(st.s / n),
+              graft.operators.Micro.jvm6(dd),
+              if (dd == 0.0) None
+              else Some(graft.operators.Micro.jvm6((st.s / n) / dd))))
+          } else Iterator.empty
+      }
+  }
+
+  case class GlState(last: Double, seen: Boolean, nW: Long, nL: Long,
+                     sG: Double, sL: Double)
+  case class GlUpd(asset_id: Long, n_wins: Long, n_losses: Long, win_pm: Long,
+                   avg_gain: Option[Double], avg_loss: Option[Double],
+                   gl_ratio: Option[Double])
+
+  /** D112 `gainLossStream` — streaming face of B131 `gain_loss_ratio`:
+    * running win/loss counts + signed sums over the positive/negative
+    * return subsequences (arrival order = the batch filtered-fold
+    * order), O(1) state. */
+  def gainLossStream(ticks: Dataset[DailyTick]): Dataset[GlUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[GlState, GlUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[GlState]) =>
+          var st = state.getOption.getOrElse(GlState(0.0, seen = false, 0L, 0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              if (r > 0) st = st.copy(last = t.value, nW = st.nW + 1, sG = st.sG + r)
+              else if (r < 0) st = st.copy(last = t.value, nL = st.nL + 1, sL = st.sL + r)
+              else st = st.copy(last = t.value)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.nW + st.nL >= 1) {
+            val avgG = if (st.nW == 0) None else Some(st.sG / st.nW.toDouble)
+            val avgL = if (st.nL == 0) None else Some(-st.sL / st.nL.toDouble)
+            val gl = for (g <- avgG; l <- avgL; if l != 0.0)
+              yield graft.operators.Micro.jvm6(g / l)
+            Iterator.single(GlUpd(assetId, st.nW, st.nL,
+              1000L * st.nW / (st.nW + st.nL),
+              avgG.map(graft.operators.Micro.jvm6),
+              avgL.map(graft.operators.Micro.jvm6), gl))
+          } else Iterator.empty
+      }
+  }
+
+  case class OmegaState(last: Double, seen: Boolean, n: Long,
+                        gains: Long, losses: Long)
+  case class OmegaUpd(asset_id: Long, n_days: Long, gains_micro: Long,
+                      losses_micro: Long, omega_micro: Option[Long])
+
+  /** D113 `omegaStream` — streaming face of B84 `omega_ratio`: running
+    * INTEGER micro gain/loss sums (order-free exact), O(1) state. */
+  def omegaStream(ticks: Dataset[DailyTick]): Dataset[OmegaUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[OmegaState, OmegaUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[OmegaState]) =>
+          var st = state.getOption.getOrElse(OmegaState(0.0, seen = false, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val rm = math.round(
+                graft.operators.Micro.jvm6(t.value / st.last - 1) * 1e6)
+              st = OmegaState(t.value, seen = true, st.n + 1,
+                st.gains + (if (rm > 0) rm else 0L),
+                st.losses + (if (rm < 0) -rm else 0L))
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 1) {
+            val omega =
+              if (st.losses > 0)
+                Some((2L * 1000000L * st.gains + st.losses) / (2L * st.losses))
+              else None
+            Iterator.single(OmegaUpd(assetId, st.n, st.gains, st.losses, omega))
+          } else Iterator.empty
+      }
+  }
+
+  case class KellyUpd(asset_id: Long, n_days: Long, mean_ret: Double,
+                      variance: Double, kelly: Option[Double])
+
+  /** D114 `kellyStream` — streaming face of B101 `kelly_fraction`:
+    * running (n, Σr, Σr²), O(1) state; sample variance and the
+    * mean/variance ratio from the same sums as the batch folds. */
+  def kellyStream(ticks: Dataset[DailyTick]): Dataset[KellyUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RunStatState, KellyUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RunStatState]) =>
+          var st = state.getOption.getOrElse(RunStatState(0.0, seen = false, 0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              st = RunStatState(t.value, seen = true, st.n + 1,
+                st.s + r, st.s2 + r * r, 0.0)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 2) {
+            val n = st.n.toDouble
+            val variance = (n * st.s2 - st.s * st.s) / (n * (n - 1))
+            Iterator.single(KellyUpd(assetId, st.n,
+              graft.operators.Micro.jvm6(st.s / n),
+              graft.operators.Micro.jvm6(variance),
+              if (variance <= 0.0) None
+              else Some(graft.operators.Micro.jvm6((st.s / n) / variance))))
+          } else Iterator.empty
+      }
+  }
+
+  case class MomRunState(last: Double, seen: Boolean, n: Long,
+                         s1: Double, s2: Double, s3: Double, s4: Double)
+  case class MomUpd(asset_id: Long, n_days: Long, mean_ret: Double, sd: Double,
+                    skew: Option[Double], kurt: Option[Double])
+
+  /** D115 `retMomentsStream` — streaming face of B44 `ret_moments`:
+    * running raw-moment sums Σr..Σr⁴ (the batch fold order), central
+    * moments by the same algebra at emit, O(1) state; emits from
+    * n ≥ 4. */
+  def retMomentsStream(ticks: Dataset[DailyTick]): Dataset[MomUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MomRunState, MomUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MomRunState]) =>
+          var st = state.getOption.getOrElse(
+            MomRunState(0.0, seen = false, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              st = MomRunState(t.value, seen = true, st.n + 1,
+                st.s1 + r, st.s2 + r * r, st.s3 + r * r * r, st.s4 + r * r * r * r)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 4) {
+            val n = st.n.toDouble
+            val m = st.s1 / n
+            val m2 = st.s2 / n - m * m
+            val m3 = st.s3 / n - 3.0 * m * (st.s2 / n) + 2.0 * m * m * m
+            val m4 = st.s4 / n - 4.0 * m * (st.s3 / n) +
+              6.0 * m * m * (st.s2 / n) - 3.0 * m * m * m * m
+            val sd = math.sqrt(math.max(m2 * (n / (n - 1)), 0.0))
+            val skew =
+              if (m2 <= 0.0) None
+              else Some(graft.operators.Micro.jvm6(m3 / (m2 * math.sqrt(m2))))
+            val kurt =
+              if (m2 <= 0.0) None
+              else Some(graft.operators.Micro.jvm6(m4 / (m2 * m2) - 3))
+            Iterator.single(MomUpd(assetId, st.n,
+              graft.operators.Micro.jvm6(m), graft.operators.Micro.jvm6(sd),
+              skew, kurt))
+          } else Iterator.empty
+      }
+  }
+
   case class WadState(pc: Double, seen: Boolean, accMicro: Long)
   case class WadPoint(asset_id: Long, date: java.sql.Date, contrib: Double,
                       wad: Double)

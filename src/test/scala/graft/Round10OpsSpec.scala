@@ -1002,6 +1002,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(streamed(StreamingOps.williamsAdStream) === norm(A.williamsAd(panel)), "wad")
   }
 
+  test("wave-AA: O(1)-state running-aggregate twins equal the batch stats") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 103.0, 99.0, 104.5, 98.0, 106.0, 101.0, 97.5, 105.0, 100.5),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def finalOf[O: org.apache.spark.sql.Encoder](ord: Seq[org.apache.spark.sql.Column])(
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy(ord.map(_.desc): _*)
+      norm(sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    val A = graft.operators.Analytics
+    assert(finalOf(Seq($"n_days"))(StreamingOps.sharpeStream) === norm(A.sharpe(panel)), "sharpe")
+    assert(finalOf(Seq($"n_days"))(StreamingOps.sortinoStream) === norm(A.sortino(panel)), "sortino")
+    assert(finalOf(Seq($"n_wins" + $"n_losses"))(StreamingOps.gainLossStream) ===
+      norm(A.gainLossRatio(panel)), "gl")
+    assert(finalOf(Seq($"n_days"))(StreamingOps.omegaStream) === norm(A.omegaRatio(panel)), "omega")
+    assert(finalOf(Seq($"n_days"))(StreamingOps.kellyStream) ===
+      norm(A.kellyFraction(panel)), "kelly")
+    assert(finalOf(Seq($"n_days"))(StreamingOps.retMomentsStream) ===
+      norm(A.retMoments(panel)), "moments")
+  }
+
   test("wave-Z: asi, fib_levels, dup_rate_sample and the three twins") {
     import graft.operators.Micro.jvm6
     val panel = panelOf(Map(
