@@ -1148,6 +1148,73 @@ object SparkEntry {
     "stream_omega" -> ((s, dir) => StreamReplay.streamOmega(s, dir)),
     "stream_kelly" -> ((s, dir) => StreamReplay.streamKelly(s, dir)),
     "stream_ret_moments" -> ((s, dir) => StreamReplay.streamRetMoments(s, dir)),
+    // ── wave AB (r10) ────────────────────────────────────────────────
+    "trima" -> ((s, dir) =>
+      Analytics.trima(Tables.panel(s, dir))),
+    "zlema" -> ((s, dir) =>
+      Analytics.zlema(Tables.panel(s, dir))),
+    "vidya" -> ((s, dir) =>
+      Analytics.vidya(Tables.panel(s, dir))),
+    "mcginley" -> ((s, dir) =>
+      Analytics.mcginley(Tables.panel(s, dir))),
+    "candle_patterns" -> ((s, dir) =>
+      Analytics.candlePatterns(Tables.panel(s, dir))),
+    "fractals" -> ((s, dir) =>
+      Analytics.fractals(Tables.panel(s, dir))),
+    "td_setup" -> ((s, dir) =>
+      Analytics.tdSetup(Tables.panel(s, dir))),
+    "alma" -> ((s, dir) =>
+      Analytics.alma(Tables.panel(s, dir))),
+    // ── wave AC (r10) ────────────────────────────────────────────────
+    "stream_trima" -> ((s, dir) => StreamReplay.streamTrima(s, dir)),
+    "stream_zlema" -> ((s, dir) => StreamReplay.streamZlema(s, dir)),
+    "stream_vidya" -> ((s, dir) => StreamReplay.streamVidya(s, dir)),
+    "stream_mcginley" -> ((s, dir) => StreamReplay.streamMcginley(s, dir)),
+    "stream_alma" -> ((s, dir) => StreamReplay.streamAlma(s, dir)),
+    "stream_td_setup" -> ((s, dir) => StreamReplay.streamTdSetup(s, dir)),
+    "stream_candle_patterns" -> ((s, dir) => StreamReplay.streamCandlePatterns(s, dir)),
+    "stream_fractals" -> ((s, dir) => StreamReplay.streamFractals(s, dir)),
+    // ── wave AD (r10) ────────────────────────────────────────────────
+    "ravi" -> ((s, dir) =>
+      Analytics.ravi(Tables.panel(s, dir))),
+    "vzo" -> ((s, dir) =>
+      Analytics.vzo(Tables.panel(s, dir))),
+    "dollar_bars" -> ((s, dir) =>
+      Analytics.dollarBars(Tables.panel(s, dir))),
+    "durbin_watson" -> ((s, dir) =>
+      Analytics.durbinWatson(Tables.panel(s, dir))),
+    "diversification_ratio" -> ((s, dir) =>
+      Analytics.diversificationRatio(Tables.panel(s, dir))),
+    "rmi" -> ((s, dir) =>
+      Analytics.rmi(Tables.panel(s, dir))),
+    "squeeze" -> ((s, dir) =>
+      Analytics.squeeze(Tables.panel(s, dir))),
+    // ── wave AE (r10) ────────────────────────────────────────────────
+    "stream_ravi" -> ((s, dir) => StreamReplay.streamRavi(s, dir)),
+    "stream_vzo" -> ((s, dir) => StreamReplay.streamVzo(s, dir)),
+    "stream_rmi" -> ((s, dir) => StreamReplay.streamRmi(s, dir)),
+    "stream_squeeze" -> ((s, dir) => StreamReplay.streamSqueeze(s, dir)),
+    "stream_durbin_watson" -> ((s, dir) => StreamReplay.streamDurbinWatson(s, dir)),
+    "stream_dollar_bars" -> ((s, dir) => StreamReplay.streamDollarBars(s, dir)),
+    // ── wave AF (r10) ────────────────────────────────────────────────
+    "cog" -> ((s, dir) =>
+      Analytics.cog(Tables.panel(s, dir))),
+    "camarilla_pivots" -> ((s, dir) =>
+      Analytics.camarillaPivots(Tables.panel(s, dir))),
+    "chande_kroll_stop" -> ((s, dir) =>
+      Analytics.chandeKrollStop(Tables.panel(s, dir))),
+    "intraday_intensity" -> ((s, dir) =>
+      Analytics.intradayIntensity(Tables.panel(s, dir))),
+    "expectancy" -> ((s, dir) =>
+      Analytics.expectancy(Tables.panel(s, dir))),
+    "cdar" -> ((s, dir) =>
+      Analytics.cdar(Tables.panel(s, dir))),
+    // ── wave AG (r10) ────────────────────────────────────────────────
+    "stream_cog" -> ((s, dir) => StreamReplay.streamCog(s, dir)),
+    "stream_camarilla" -> ((s, dir) => StreamReplay.streamCamarilla(s, dir)),
+    "stream_chande_kroll" -> ((s, dir) => StreamReplay.streamChandeKroll(s, dir)),
+    "stream_intraday_intensity" -> ((s, dir) => StreamReplay.streamIntradayIntensity(s, dir)),
+    "stream_expectancy" -> ((s, dir) => StreamReplay.streamExpectancy(s, dir)),
     // ── wave Z (r10) ─────────────────────────────────────────────────
     "asi" -> ((s, dir) =>
       Analytics.asi(Tables.panel(s, dir))),
@@ -3269,14 +3336,572 @@ object SparkEntry {
       ("stream_gain_loss" -> m("gain_loss_ratio")) +
       ("stream_omega" -> m("omega_ratio")) +
       ("stream_kelly" -> m("kelly_fraction")) +
-      ("stream_ret_moments" -> m("ret_moments"))
+      ("stream_ret_moments" -> m("ret_moments")) +
+      ("stream_trima" -> m("trima")) +
+      ("stream_zlema" -> m("zlema")) +
+      ("stream_vidya" -> m("vidya")) +
+      ("stream_mcginley" -> m("mcginley")) +
+      ("stream_alma" -> m("alma")) +
+      ("stream_td_setup" -> m("td_setup")) +
+      ("stream_candle_patterns" -> m("candle_patterns")) +
+      ("stream_fractals" -> m("fractals")) +
+      ("stream_ravi" -> m("ravi")) +
+      ("stream_vzo" -> m("vzo")) +
+      ("stream_rmi" -> m("rmi")) +
+      ("stream_squeeze" -> m("squeeze")) +
+      ("stream_durbin_watson" -> m("durbin_watson")) +
+      ("stream_dollar_bars" -> m("dollar_bars")) +
+      ("stream_cog" -> m("cog")) +
+      ("stream_camarilla" -> m("camarilla_pivots")) +
+      ("stream_chande_kroll" -> m("chande_kroll_stop")) +
+      ("stream_intraday_intensity" -> m("intraday_intensity")) +
+      ("stream_expectancy" -> m("expectancy"))
   }
 
   private def oracleSqlBase: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ Map(
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
       "stream_vpt" -> waveHOracles("vpt"))
+
+  /** r10 wave-AB oracles: adaptive moving averages and bar-pattern
+    * detection. The two recursive lines (vidya/mcginley) replay via
+    * recursive CTEs exactly like the kama oracle; everything else is
+    * the standard window + list_reduce machinery.
+    */
+  private lazy val waveKOracles: Map[String, String] = Map(
+    "trima" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS a1
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value,
+         |    floor((list_reduce(list_prepend(0.0, a1), (a, x) -> a + x)
+         |           / CAST(len(a1) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sma1
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, value, sma1,
+         |         list(sma1) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a2
+         |  FROM g)
+         |SELECT asset_id, date, value, sma1,
+         |  floor((list_reduce(list_prepend(0.0, a2), (a, x) -> a + x)
+         |         / CAST(len(a2) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS trima
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "zlema" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |    floor((2.0 * value - coalesce(lag(value, 9) OVER
+         |      (PARTITION BY asset_id ORDER BY date), value)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS dl
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, dl,
+         |         list(dl) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM f)
+         |SELECT asset_id, date, value, dl,
+         |  floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.904762 + x)
+         |         / list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.904762 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS zlema
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "vidya" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date) AS d
+         |  FROM daily),
+         |w1 AS (
+         |  SELECT asset_id, date, value, d,
+         |    ROW_NUMBER() OVER a AS rn,
+         |    list(d) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM (SELECT * FROM w0 WHERE d IS NOT NULL) t
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |w2 AS (
+         |  SELECT asset_id, date, value, rn,
+         |    list_reduce(list_prepend(0.0, arr), (a, x) -> a + greatest(x, 0.0)) AS su,
+         |    list_reduce(list_prepend(0.0, arr), (a, x) -> a + greatest(-x, 0.0)) AS sd
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT asset_id, date, value, rn,
+         |    CASE WHEN su + sd = 0 THEN 0.0
+         |         ELSE floor((100.0 * (su - sd) / (su + sd)) * 1000000.0 + 0.5) / 1000000.0
+         |    END AS cmo
+         |  FROM w2),
+         |w4 AS (
+         |  SELECT asset_id, date, value, rn, cmo,
+         |    floor((0.2 * abs(cmo) / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS sc
+         |  FROM w3),
+         |va AS (
+         |  SELECT asset_id, rn, date, value, cmo, value AS vidya
+         |  FROM w4 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value, b.cmo,
+         |    floor((va.vidya + b.sc * (b.value - va.vidya)) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM va JOIN w4 b ON b.asset_id = va.asset_id AND b.rn = va.rn + 1)
+         |SELECT asset_id, date, value, cmo, vidya
+         |FROM va ORDER BY asset_id, date""".stripMargin,
+    "mcginley" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |md AS (
+         |  SELECT asset_id, rn, date, value, value AS md FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    CASE WHEN md.md <= 0 OR b.value <= 0 THEN NULL
+         |         ELSE floor((md.md + (b.value - md.md) /
+         |           (6.0 * ((b.value / md.md) * (b.value / md.md)
+         |                   * (b.value / md.md) * (b.value / md.md))))
+         |           * 1000000.0 + 0.5) / 1000000.0
+         |    END
+         |  FROM md JOIN w0 b ON b.asset_id = md.asset_id AND b.rn = md.rn + 1)
+         |SELECT asset_id, date, value, md AS mcginley
+         |FROM md ORDER BY asset_id, date""".stripMargin,
+    "candle_patterns" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, open, high, low, close,
+         |    lag(open, 1) OVER a AS p_open, lag(close, 1) OVER a AS p_close
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id,
+         |    abs(close - open) <= 0.1 * (high - low) AS doji,
+         |    ((least(open, close) - low) >= 2.0 * abs(close - open)
+         |      AND (high - greatest(open, close)) <= abs(close - open)) AS hammer,
+         |    ((high - greatest(open, close)) >= 2.0 * abs(close - open)
+         |      AND (least(open, close) - low) <= abs(close - open)) AS shoot,
+         |    ((close - open) > 0 AND p_close < p_open
+         |      AND open <= p_close AND close >= p_open) AS bull,
+         |    ((close - open) < 0 AND p_close > p_open
+         |      AND open >= p_close AND close <= p_open) AS bear
+         |  FROM f)
+         |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_bars,
+         |  CAST(sum(CASE WHEN doji THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+         |  CAST(sum(CASE WHEN hammer THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+         |  CAST(sum(CASE WHEN shoot THEN 1 ELSE 0 END) AS BIGINT) AS n_shooting_star,
+         |  CAST(sum(CASE WHEN bull THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+         |  CAST(sum(CASE WHEN bear THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+         |FROM g GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    "fractals" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, high, low,
+         |    lag(high, 2) OVER a AS h_b2, lag(high, 1) OVER a AS h_b1,
+         |    lead(high, 1) OVER a AS h_f1, lead(high, 2) OVER a AS h_f2,
+         |    lag(low, 2) OVER a AS l_b2, lag(low, 1) OVER a AS l_b1,
+         |    lead(low, 1) OVER a AS l_f1, lead(low, 2) OVER a AS l_f2
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, high, low,
+         |  ((h_b2 IS NOT NULL AND high > h_b2) AND (h_b1 IS NOT NULL AND high > h_b1)
+         |   AND (h_f1 IS NOT NULL AND high > h_f1) AND (h_f2 IS NOT NULL AND high > h_f2))
+         |    AS fractal_high,
+         |  ((l_b2 IS NOT NULL AND low < l_b2) AND (l_b1 IS NOT NULL AND low < l_b1)
+         |   AND (l_f1 IS NOT NULL AND low < l_f1) AND (l_f2 IS NOT NULL AND low < l_f2))
+         |    AS fractal_low
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "td_setup" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER a AS rn,
+         |    lag(value, 4) OVER a AS c4
+         |  FROM daily
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, date, value, rn,
+         |    (c4 IS NOT NULL AND value < c4) AS dn,
+         |    (c4 IS NOT NULL AND value > c4) AS up
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, value, rn, dn, up,
+         |    max(CASE WHEN NOT dn THEN rn END) OVER r AS last_ndn,
+         |    max(CASE WHEN NOT up THEN rn END) OVER r AS last_nup
+         |  FROM g
+         |  WINDOW r AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, value,
+         |  CAST(CASE WHEN dn THEN rn - coalesce(last_ndn, 0) ELSE 0 END AS BIGINT) AS buy_count,
+         |  CAST(CASE WHEN up THEN rn - coalesce(last_nup, 0) ELSE 0 END AS BIGINT) AS sell_count,
+         |  (CASE WHEN dn THEN rn - coalesce(last_ndn, 0) ELSE 0 END) = 9 AS buy_setup,
+         |  (CASE WHEN up THEN rn - coalesce(last_nup, 0) ELSE 0 END) = 9 AS sell_setup
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "alma" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |         list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, arr,
+         |    0.85 * (CAST(len(arr) AS DOUBLE) - 1) AS m,
+         |    CAST(len(arr) AS DOUBLE) / 6.0 AS s
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, value, arr,
+         |    list_transform(range(0, CAST(len(arr) AS INTEGER)),
+         |      i -> floor(exp(((CAST(i AS DOUBLE) - m) * (CAST(i AS DOUBLE) - m))
+         |                     / (-2.0 * s * s)) * 1000000.0 + 0.5) / 1000000.0) AS ws
+         |  FROM g)
+         |SELECT asset_id, date, value,
+         |  floor((list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, CAST(len(arr) AS INTEGER) + 1),
+         |                          i -> arr[i] * ws[i])), (a, x) -> a + x)
+         |         / list_reduce(list_prepend(0.0, ws), (a, x) -> a + x))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS alma
+         |FROM h ORDER BY asset_id, date""".stripMargin)
+
+  /** r10 wave-AD oracles: trend gates, alternative clocks, and the
+    * serial-correlation / diversification statistics.
+    */
+  private lazy val waveLOracles: Map[String, String] = Map(
+    "ravi" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |    list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS af,
+         |    list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 64 PRECEDING AND CURRENT ROW) AS asl
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date,
+         |    floor((list_reduce(list_prepend(0.0, af), (a, x) -> a + x)
+         |           / CAST(len(af) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS sf,
+         |    floor((list_reduce(list_prepend(0.0, asl), (a, x) -> a + x)
+         |           / CAST(len(asl) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ss
+         |  FROM f)
+         |SELECT asset_id, date, sf, ss,
+         |  CASE WHEN ss = 0 THEN NULL
+         |       ELSE floor((100.0 * abs(sf - ss) / ss) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS ravi
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "vzo" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, n_ticks,
+         |    lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |f AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN close > pc THEN CAST(n_ticks AS DOUBLE)
+         |         WHEN close < pc THEN -CAST(n_ticks AS DOUBLE)
+         |         ELSE 0.0 END AS sv,
+         |    CAST(n_ticks AS DOUBLE) AS v
+         |  FROM t WHERE pc IS NOT NULL),
+         |g AS (
+         |  SELECT asset_id, date, sv,
+         |    list(sv) OVER w AS sa, list(v) OVER w AS va
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, CAST(sv AS BIGINT) AS signed_vol,
+         |  floor((100.0 *
+         |    list_reduce(list_prepend(0.0, sa), (a, x) -> a * (13.0 / 14.0) + x) /
+         |    list_reduce(list_prepend(0.0, va), (a, x) -> a * (13.0 / 14.0) + x))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS vzo
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "dollar_bars" ->
+      s"""$panelCte,
+         |r AS (
+         |  SELECT asset_id, ts, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY ts, seq) AS rn,
+         |    CAST(floor(abs(value) * 1000000.0 + 0.5) AS BIGINT) AS mv
+         |  FROM panel),
+         |c AS (
+         |  SELECT asset_id, rn, ts, value, mv,
+         |    coalesce(sum(mv) OVER (PARTITION BY asset_id ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM r),
+         |b AS (SELECT *, cum_prev // 500000000 AS bar_id FROM c)
+         |SELECT asset_id, CAST(bar_id AS BIGINT) AS bar_id,
+         |  min(ts) AS t_open, max(ts) AS t_close,
+         |  arg_min(value, rn) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, rn) AS close, CAST(count(*) AS BIGINT) AS n_ticks,
+         |  CAST(sum(mv) AS DOUBLE) / 1000000.0 AS notional
+         |FROM b GROUP BY asset_id, bar_id ORDER BY asset_id, bar_id""".stripMargin,
+    "durbin_watson" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |a AS (SELECT asset_id, list(ret ORDER BY date) AS arr FROM rets GROUP BY asset_id),
+         |b AS (SELECT asset_id, arr, CAST(len(arr) AS BIGINT) AS n
+         |      FROM a WHERE len(arr) >= 3),
+         |c AS (
+         |  SELECT asset_id, n,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(2, CAST(len(arr) AS INTEGER) + 1),
+         |                     i -> arr[i] - arr[i-1])), (a2, x) -> a2 + x * x) AS num,
+         |    list_reduce(list_prepend(0.0, arr), (a2, x) -> a2 + x * x) AS den
+         |  FROM b)
+         |SELECT asset_id, n AS n_rets,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE floor((num / den) * 1000000.0 + 0.5) / 1000000.0 END AS dw
+         |FROM c ORDER BY asset_id""".stripMargin,
+    "diversification_ratio" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |pa AS (
+         |  SELECT asset_id, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         |    CAST(sum(CAST(floor(ret * 1000000.0 + 0.5) AS DECIMAL(19,0))
+         |             * CAST(floor(ret * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
+         |      / 1e12 AS s2
+         |  FROM rets GROUP BY asset_id HAVING count(*) >= 2),
+         |sg AS (
+         |  SELECT asset_id,
+         |    floor(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS sigma
+         |  FROM pa),
+         |mv AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_assets,
+         |    floor((CAST(sum(CAST(sigma AS DECIMAL(18,6))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_vol
+         |  FROM sg),
+         |mk AS (
+         |  SELECT date,
+         |    floor((CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mret
+         |  FROM rets GROUP BY date),
+         |pt AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(mret AS DECIMAL(18,6))) AS DOUBLE) AS ms,
+         |    CAST(sum(CAST(floor(mret * 1000000.0 + 0.5) AS DECIMAL(19,0))
+         |             * CAST(floor(mret * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
+         |      / 1e12 AS ms2
+         |  FROM mk),
+         |pv AS (
+         |  SELECT nd,
+         |    floor(sqrt(greatest((nd * ms2 - ms * ms) / (nd * (nd - 1)), 0.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS port_vol
+         |  FROM pt)
+         |SELECT n_assets, CAST(nd AS BIGINT) AS n_dates, mean_vol, port_vol,
+         |  CASE WHEN port_vol = 0 THEN NULL
+         |       ELSE floor((mean_vol / port_vol) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS div_ratio
+         |FROM mv, pv""".stripMargin,
+    "rmi" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date,
+         |    floor((value - lag(value, 5) OVER (PARTITION BY asset_id ORDER BY date))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS d
+         |  FROM daily),
+         |f AS (
+         |  SELECT asset_id, date, d,
+         |    list(d) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM d WHERE d IS NOT NULL),
+         |g AS (
+         |  SELECT asset_id, date, d,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(x, 0.0))),
+         |                (a, x) -> a * (13.0 / 14.0) + x) AS g,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> greatest(-x, 0.0))),
+         |                (a, x) -> a * (13.0 / 14.0) + x) AS l
+         |  FROM f)
+         |SELECT asset_id, date, d,
+         |  floor((CASE WHEN l = 0 THEN 100.0
+         |              ELSE 100.0 - 100.0 / (1.0 + g / l) END) * 10000.0 + 0.5) / 10000.0 AS rmi
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "squeeze" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close, high, low,
+         |    lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, close,
+         |    floor((CASE WHEN pc IS NULL THEN high - low
+         |          ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |    list(close) OVER w AS arr, list(tr) OVER w AS ta
+         |  FROM trs
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, close, CAST(len(arr) AS DOUBLE) AS n,
+         |    list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s,
+         |    list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
+         |                (a, x) -> a + x) AS s2,
+         |    list_reduce(list_prepend(0.0, ta), (a, x) -> a + x) AS ts
+         |  FROM f WHERE len(arr) >= 2),
+         |h AS (
+         |  SELECT asset_id, date, close, n, s,
+         |    floor(sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS sd,
+         |    floor((ts / n) * 1000000.0 + 0.5) / 1000000.0 AS tr_mean,
+         |    floor((s / n) * 1000000.0 + 0.5) / 1000000.0 AS mid
+         |  FROM g)
+         |SELECT asset_id, date, sd, tr_mean,
+         |  (2.0 * sd < 1.5 * tr_mean) AS squeeze_on,
+         |  floor((close - mid) * 1000000.0 + 0.5) / 1000000.0 AS mom
+         |FROM h ORDER BY asset_id, date""".stripMargin,
+    "cog" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date, value,
+         |    list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+         |  FROM daily),
+         |g AS (
+         |  SELECT asset_id, date, value, CAST(len(arr) AS INTEGER) AS n,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, CAST(len(arr) AS INTEGER) + 1),
+         |        i -> arr[i] * CAST(CAST(len(arr) AS INTEGER) - i + 1 AS DOUBLE))),
+         |      (a, x) -> a + x) AS num,
+         |    list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS den
+         |  FROM f)
+         |SELECT asset_id, date, value,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE floor((-num / den) * 1000000.0 + 0.5) / 1000000.0 END AS cog
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "camarilla_pivots" ->
+      s"""$panelCte,
+         |$barsCte,
+         |f AS (
+         |  SELECT asset_id, date, close,
+         |    lag(high, 1) OVER a AS ph, lag(low, 1) OVER a AS pl,
+         |    lag(close, 1) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date, close,
+         |  floor((pc + (ph - pl) * 0.55) * 1000000.0 + 0.5) / 1000000.0 AS r4,
+         |  floor((pc + (ph - pl) * 0.275) * 1000000.0 + 0.5) / 1000000.0 AS r3,
+         |  floor((pc - (ph - pl) * 0.275) * 1000000.0 + 0.5) / 1000000.0 AS s3,
+         |  floor((pc - (ph - pl) * 0.55) * 1000000.0 + 0.5) / 1000000.0 AS s4
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "chande_kroll_stop" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, high, low,
+         |    lag(close, 1) OVER (PARTITION BY asset_id ORDER BY date) AS pc
+         |  FROM bars),
+         |trs AS (
+         |  SELECT asset_id, date, high, low,
+         |    floor((CASE WHEN pc IS NULL THEN high - low
+         |          ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS tr
+         |  FROM t),
+         |f AS (
+         |  SELECT asset_id, date,
+         |    list(tr) OVER w AS arr, max(high) OVER w AS hh, min(low) OVER w AS ll
+         |  FROM trs
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |g AS (
+         |  SELECT asset_id, date, hh, ll,
+         |    floor((
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (9.0 / 10.0) + x) /
+         |      list_reduce(list_prepend(0.0, arr), (a, x) -> a * (9.0 / 10.0) + 1.0))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS atr
+         |  FROM f),
+         |h AS (
+         |  SELECT asset_id, date, atr,
+         |    floor((hh - 1.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS hs0,
+         |    floor((ll + 1.0 * atr) * 1000000.0 + 0.5) / 1000000.0 AS ls0
+         |  FROM g)
+         |SELECT asset_id, date, atr,
+         |  min(ls0) OVER q AS stop_long,
+         |  max(hs0) OVER q AS stop_short
+         |FROM h
+         |WINDOW q AS (PARTITION BY asset_id ORDER BY date
+         |  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+         |ORDER BY asset_id, date""".stripMargin,
+    "intraday_intensity" ->
+      s"""$panelCte,
+         |$barsCte,
+         |c AS (
+         |  SELECT asset_id, date, n_ticks,
+         |    floor((CASE WHEN high = low THEN 0.0
+         |          ELSE (2.0 * close - high - low) / (high - low)
+         |               * CAST(n_ticks AS DOUBLE) END) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS contrib
+         |  FROM bars),
+         |f AS (
+         |  SELECT asset_id, date, contrib,
+         |    list(contrib) OVER w AS arr, sum(n_ticks) OVER w AS v
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, contrib,
+         |  floor((100.0 * list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+         |         / CAST(v AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ii_pct
+         |FROM f ORDER BY asset_id, date""".stripMargin,
+    "expectancy" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+         |    CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_losses,
+         |    CAST(sum(CAST(CASE WHEN ret > 0 THEN ret ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS ws,
+         |    CAST(sum(CAST(CASE WHEN ret < 0 THEN -ret ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS ls
+         |  FROM rets GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, n_days, n_wins, n_losses,
+         |    CASE WHEN n_wins = 0 THEN NULL
+         |         ELSE floor((ws / CAST(n_wins AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |    END AS avg_win,
+         |    CASE WHEN n_losses = 0 THEN NULL
+         |         ELSE floor((ls / CAST(n_losses AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |    END AS avg_loss
+         |  FROM p)
+         |SELECT asset_id, n_days, n_wins, n_losses, avg_win, avg_loss,
+         |  floor((CAST(n_wins AS DOUBLE) / CAST(n_days AS DOUBLE) * avg_win
+         |         - CAST(n_losses AS DOUBLE) / CAST(n_days AS DOUBLE) * avg_loss)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS expectancy
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "cdar" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |d AS (
+         |  SELECT asset_id, date,
+         |    floor((value / nullif(max(value) OVER (PARTITION BY asset_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS dd
+         |  FROM daily),
+         |p AS (SELECT asset_id, list_sort(list(dd)) AS da
+         |      FROM d WHERE dd IS NOT NULL GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, len(da) AS n,
+         |         CAST(ceil(CAST(len(da) AS DOUBLE) * 0.05) AS INTEGER) AS k, da
+         |  FROM p),
+         |t AS (
+         |  SELECT asset_id, n, k, list_slice(da, 1, k) AS tail FROM g WHERE k >= 1)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail,
+         |  tail[k] AS dar,
+         |  floor((list_reduce(list_prepend(0.0, tail), (a, x) -> a + x)
+         |         / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cdar
+         |FROM t ORDER BY asset_id""".stripMargin)
 
   private lazy val waveJOracles: Map[String, String] = Map(
     "tick_bars" ->

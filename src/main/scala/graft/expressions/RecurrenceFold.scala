@@ -35,6 +35,7 @@ import graft.operators.Micro.jvm6
   * Input struct layouts are positional contracts with the call sites
   * (field names are not consulted):
   *   - `kama`         in (date, close, er, sc)        out (date, close, er, kama)
+  *   - `mcginley`     in (date, close, kn)            out (date, close, md)
   *   - `heikin_ashi`  in (date, open, high, low, close) out (date, high, low, ho, hc)
   *   - `supertrend`   in (date, close, bub, blb)      out (date, close, fub, flb, dir)
   *   - `psar`         in (date, high, low, close)     out (date, high, low, close, sar, ep, af, dir)
@@ -86,6 +87,38 @@ case class RecurrenceFold(child: Expression, op: String)
             else jvm6(prevK + sc * (close - prevK))
           out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, d(r, 2), k))
           prevK = k
+          i += 1
+        }
+      case "mcginley" =>
+        // MD_t = MD + (p − MD)/(kn·(p/MD)⁴) — the smoothing factor
+        // depends on the STATE itself (price above the line speeds the
+        // chase, below slows it), so unlike vidya this cannot ride the
+        // kama form with a precomputed sc. kn = k·n arrives per row
+        // (field 2, constant per call). r⁴ is built by explicit
+        // left-assoc multiplies — no libm pow — so the DuckDB
+        // recursive CTE replays the identical IEEE sequence. A null
+        // close (or a state poisoned by one) emits null state for the
+        // rest of the series. The indicator is PRICE-domain: a
+        // non-positive close or state nulls out (r⁴ would hit a
+        // zero/negative divisor and the line diverges to ±inf on the
+        // synthetic signed panel) — the guard keeps every emitted
+        // value finite and both engines agree on the exact poison row.
+        var prevMd: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 3)
+          val close = d(r, 1)
+          val kn = d(r, 2)
+          val md: java.lang.Double =
+            if (i == 0) close
+            else if (prevMd == null || close == null || kn == null ||
+                     prevMd <= 0.0 || close <= 0.0) null
+            else {
+              val ratio = close / prevMd
+              jvm6(prevMd + (close - prevMd) / (kn * (((ratio * ratio) * ratio) * ratio)))
+            }
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, md))
+          prevMd = md
           i += 1
         }
       case "heikin_ashi" =>
@@ -217,10 +250,11 @@ case class RecurrenceFold(child: Expression, op: String)
 }
 
 object RecurrenceFold {
-  val Ops: Set[String] = Set("kama", "heikin_ashi", "supertrend", "psar", "fisher")
+  val Ops: Set[String] = Set("kama", "mcginley", "heikin_ashi", "supertrend", "psar", "fisher")
 
   def inArity(op: String): Int = op match {
     case "kama" => 4
+    case "mcginley" => 3
     case "heikin_ashi" => 5
     case "supertrend" => 4
     case "psar" => 4
@@ -232,6 +266,9 @@ object RecurrenceFold {
       StructField("date", DateType, nullable = false),
       StructField("close", DoubleType), StructField("er", DoubleType),
       StructField("kama", DoubleType)))
+    case "mcginley" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("md", DoubleType)))
     case "heikin_ashi" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("high", DoubleType), StructField("low", DoubleType),

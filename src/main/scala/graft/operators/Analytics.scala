@@ -6784,4 +6784,634 @@ object Analytics {
         (col("wad_micro").cast("double") / 1e6).as("wad"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B221 `trima` — triangular moving average: SMA of an SMA, so the
+    * effective kernel is a centered triangle (mid-frame bars weigh
+    * most — the symmetric cousin of [[wma]]'s front-loaded ramp).
+    * Stage windows follow the chartist convention p = ⌊n/2⌋+1 then
+    * q = ⌈n/2⌉; the first stage's mean is u6-ROUNDED before the second
+    * averages it (the [[hma]] chained-stage discipline), partial
+    * leading frames use their own length. Both frames ride ONE
+    * asset_id partitioning — a single shuffle for the chain.
+    */
+  def trima(panel: DataFrame, window: Int = 20): DataFrame = {
+    val p = window / 2 + 1
+    val q = (window + 1) / 2
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val f1 = byAsset.rowsBetween(-(p - 1), Window.currentRow)
+    val f2 = byAsset.rowsBetween(-(q - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("a1", collect_list(col("value")).over(f1))
+      .withColumn("sma1", u6(foldSum(col("a1")) / size(col("a1")).cast("double")))
+      .withColumn("a2", collect_list(col("sma1")).over(f2))
+      .withColumn("trima", u6(foldSum(col("a2")) / size(col("a2")).cast("double")))
+      .select(col("asset_id"), col("date"), col("value"), col("sma1"), col("trima"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B222 `zlema` — zero-lag EMA (Ehlers/Way): the EMA's ~(n−1)/2-bar
+    * lag is pre-subtracted by feeding the fold the de-lagged series
+    * 2·close − close[k], k = (n−1)/2 — momentum added where the plain
+    * [[ewma]] trails. Series head (no k-bar-old value yet) falls back
+    * to the raw close (documented convention, keeps full row count);
+    * the weighted mean is the same horner pair as [[ewma]] with the
+    * u6-rounded decay 0.904762 (= 1 − 2/(n+1), n = 20) so both engines
+    * fold the identical doubles. One shuffle; O(span) fold per row.
+    */
+  def zlema(panel: DataFrame, span: Int = 20): DataFrame = {
+    val w = 0.904762 // u6(1 − 2/21), embedded in the oracle verbatim
+    val k = (span - 1) / 2
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("dl", u6(lit(2.0) * col("value") -
+        coalesce(lag(col("value"), k).over(byAsset), col("value"))))
+      .withColumn("arr", collect_list(col("dl")).over(frame))
+      .withColumn("zlema", u6(
+        Kernels.seqFold(col("arr"), "horner", w) /
+          Kernels.seqFold(col("arr"), "horner_count", w)))
+      .select(col("asset_id"), col("date"), col("value"), col("dl"), col("zlema"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B223 `vidya` — Chande's Variable Index Dynamic Average: an EMA
+    * whose per-bar smoothing constant is α·|CMO₉|/100 — volatility in
+    * DIRECTION (|CMO| near 1 when moves are one-sided) speeds the
+    * line, churn freezes it. The state recurrence v += sc·(close − v)
+    * is EXACTLY [[kama]]'s form with sc precomputed from the
+    * [[chandeMomentum]] machinery (horner_pos/neg folds over the diff
+    * frame), so it reuses the compiled `kama` [[graft.expressions
+    * .RecurrenceFold]] scan — O(h) per asset, no new recursion kind.
+    * First diff row seeds v = close; an all-flat frame (su+sd = 0)
+    * takes sc = 0 — the line holds still, not a division error.
+    */
+  def vidya(panel: DataFrame, n: Int = 9, alpha: Double = 0.2): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    val prev = lag(col("value"), 1).over(byAsset)
+    val withSc = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("d", col("value") - prev)
+      .filter(col("d").isNotNull)
+      .withColumn("arr", collect_list(col("d")).over(frame))
+      .withColumn("su", Kernels.seqFold(col("arr"), "horner_pos", 1.0))
+      .withColumn("sd", Kernels.seqFold(col("arr"), "horner_neg", 1.0))
+      .withColumn("cmo", when(col("su") + col("sd") === 0, lit(0.0))
+        .otherwise(u6(lit(100.0) * (col("su") - col("sd")) / (col("su") + col("sd")))))
+      .withColumn("sc", u6(lit(alpha) * abs(col("cmo")) / lit(100.0)))
+    withSc
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("value"), col("cmo"), col("sc")))).as("bs"))
+      .withColumn("va", Kernels.recurrence(col("bs"), "kama"))
+      .select(col("asset_id"), explode(col("va")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("value"),
+        col("h.er").as("cmo"), col("h.kama").as("vidya"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B224 `mcginley` — the McGinley Dynamic: MD += (p − MD)/(k·n·
+    * (p/MD)⁴), the self-adjusting moving average whose chase speed
+    * depends on how far price sits from the LINE ITSELF (quartic in
+    * the ratio: accelerates hard below runaway price, barely moves in
+    * churn). The state-dependent divisor puts it outside [[kama]]'s
+    * precomputed-sc form — it runs its own `mcginley` [[graft
+    * .expressions.RecurrenceFold]] kind (O(h) compiled scan, r⁴ by
+    * explicit multiplies — no libm pow — u6 per step, seeded MD₁ =
+    * close). k·n rides each row as the exact double k·n = 6.0 so the
+    * DuckDB recursive CTE multiplies the identical constant. PRICE
+    * domain: a non-positive close (or state) null-poisons the rest of
+    * the series — the quartic divisor diverges off it — and both
+    * engines agree on the exact poison row.
+    */
+  def mcginley(panel: DataFrame, n: Int = 10, k: Double = 0.6): DataFrame = {
+    val kn = k * n
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(
+        col("date"), col("value"), lit(kn).as("kn")))).as("bs"))
+      .withColumn("ms", Kernels.recurrence(col("bs"), "mcginley"))
+      .select(col("asset_id"), explode(col("ms")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.md").as("mcginley"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B225 `candle_patterns` — classic single/two-bar candlestick
+    * detection over the daily bars, aggregated to a per-asset pattern
+    * census: doji (body ≤ 10% of range), hammer (lower shadow ≥ 2×
+    * body, upper ≤ body), shooting star (the mirror), and bullish/
+    * bearish engulfing (body wraps the previous bar's opposite-sign
+    * body). Every flag is a COMPARISON of exact IEEE products of the
+    * same bar doubles — no rounding anywhere, so cross-engine equality
+    * is structural. Zero-range bars can still doji (0 ≤ 0); first bar
+    * per asset can't engulf. One shuffle: the lag window and the
+    * per-asset census share the asset_id partitioning.
+    */
+  def candlePatterns(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val body = col("close") - col("open")
+    val absBody = abs(body)
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("p_open", lag(col("open"), 1).over(byAsset))
+      .withColumn("p_close", lag(col("close"), 1).over(byAsset))
+      .withColumn("doji", absBody <= lit(0.1) * (col("high") - col("low")))
+      .withColumn("hammer", lower >= lit(2.0) * absBody && upper <= absBody)
+      .withColumn("shoot", upper >= lit(2.0) * absBody && lower <= absBody)
+      .withColumn("bull_engulf",
+        body > 0 && col("p_close") < col("p_open") &&
+          col("open") <= col("p_close") && col("close") >= col("p_open"))
+      .withColumn("bear_engulf",
+        body < 0 && col("p_close") > col("p_open") &&
+          col("open") >= col("p_close") && col("close") <= col("p_open"))
+      .groupBy(col("asset_id"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum(when(col("doji"), 1L).otherwise(0L)).as("n_doji"),
+        sum(when(col("hammer"), 1L).otherwise(0L)).as("n_hammer"),
+        sum(when(col("shoot"), 1L).otherwise(0L)).as("n_shooting_star"),
+        sum(when(col("bull_engulf"), 1L).otherwise(0L)).as("n_bull_engulf"),
+        sum(when(col("bear_engulf"), 1L).otherwise(0L)).as("n_bear_engulf"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B226 `fractals` — Bill Williams fractals with wing 2: a bar is a
+    * fractal HIGH when its high strictly exceeds the highs of the two
+    * bars either side (fractal LOW mirrored on lows) — the swing-point
+    * primitive breakout and S/R systems consume. Pure lead/lag
+    * comparisons on the bar doubles (no arithmetic at all), edges
+    * (missing wings) are definitionally false. Confirmation is two
+    * bars LATE by construction — the streaming face must buffer two
+    * future bars, which is exactly what [[graft.streaming.StreamingOps
+    * .fractalsStream]] does.
+    */
+  def fractals(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    def stricter(c: String, cmp: (Column, Column) => Column): Column = {
+      val x = col(c)
+      Seq(-2, -1, 1, 2).map { o =>
+        val nb = if (o < 0) lag(col(c), -o).over(byAsset) else lead(col(c), o).over(byAsset)
+        nb.isNotNull && cmp(x, nb)
+      }.reduce(_ && _)
+    }
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("fractal_high", stricter("high", _ > _))
+      .withColumn("fractal_low", stricter("low", _ < _))
+      .select(col("asset_id"), col("date"), col("high"), col("low"),
+        col("fractal_high"), col("fractal_low"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B227 `td_setup` — TD Sequential setup counts: the running length
+    * of the current streak of closes below (buy setup) or above (sell
+    * setup) the close four bars earlier, with the classic 9-bar
+    * completion flagged. Integer gaps-and-islands — streak = rn minus
+    * the last non-qualifying rn (running max of a masked rn), zero
+    * when the bar itself doesn't qualify — so the whole op is exact
+    * integer arithmetic over one asset_id shuffle. Bars 1-4 (no
+    * 4-bar-old close) count in neither direction, matching the
+    * chartist convention that setups start after the lookback exists.
+    */
+  def tdSetup(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val run = byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c4 = lag(col("value"), 4).over(byAsset)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("rn", row_number().over(byAsset))
+      .withColumn("dn", c4.isNotNull && col("value") < c4)
+      .withColumn("up", c4.isNotNull && col("value") > c4)
+      .withColumn("buy_count", when(col("dn"),
+        col("rn") - coalesce(max(when(!col("dn"), col("rn"))).over(run), lit(0L)))
+        .otherwise(lit(0L)).cast("long"))
+      .withColumn("sell_count", when(col("up"),
+        col("rn") - coalesce(max(when(!col("up"), col("rn"))).over(run), lit(0L)))
+        .otherwise(lit(0L)).cast("long"))
+      .select(col("asset_id"), col("date"), col("value"),
+        col("buy_count"), col("sell_count"),
+        (col("buy_count") === 9).as("buy_setup"),
+        (col("sell_count") === 9).as("sell_setup"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B228 `alma` — Arnaud Legoux moving average: a Gaussian-kernel
+    * weighted mean whose peak sits `offset` of the way to the NEWEST
+    * bar (0.85 → smooth like an EMA but with far less lag) and whose
+    * width is len/σ. Weights depend only on (frame length, position) —
+    * wᵢ = exp(−(i−m)²/2s²), m = offset·(len−1), s = len/σ — and each
+    * is u6-ROUNDED before use, so the single libm call (exp, which JVM
+    * and C agree on to ≪1e-7 relative) can never shift a weight across
+    * the micro grid; numerator and denominator are then the standard
+    * left-assoc folds. Partial leading frames rescale m and s to their
+    * own length (documented convention shared with [[ewma]]'s head).
+    */
+  def alma(panel: DataFrame, window: Int = 9, offset: Double = 0.85,
+           sigma: Double = 6.0): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    def weights(arr: Column): Column = {
+      val len = size(arr).cast("double")
+      val m = lit(offset) * (len - 1)
+      val s = len / lit(sigma)
+      transform(arr, (_, i) =>
+        u6(exp((i.cast("double") - m) * (i.cast("double") - m) /
+          (lit(-2.0) * s * s))))
+    }
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("ws", weights(col("arr")))
+      .withColumn("num", Kernels.seqFold(
+        zip_with(col("arr"), col("ws"), (v, w) => v * w), "sum"))
+      .withColumn("den", Kernels.seqFold(col("ws"), "sum"))
+      .withColumn("alma", u6(col("num") / col("den")))
+      .select(col("asset_id"), col("date"), col("value"), col("alma"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B229 `ravi` — Range Action Verification Index: 100·|SMA_fast −
+    * SMA_slow|/SMA_slow, the percentage spread between a week and a
+    * quarter of smoothing — Chande's trend/chop gate (RAVI above ~0.3%
+    * = trending, below = ranging; the [[vhf]] question answered with
+    * two means instead of a range ratio). Both SMAs are u6'd fold
+    * means over ONE asset_id shuffle; a zero slow mean NULLs out.
+    */
+  def ravi(panel: DataFrame, fast: Int = 7, slow: Int = 65): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val fF = byAsset.rowsBetween(-(fast - 1), Window.currentRow)
+    val fS = byAsset.rowsBetween(-(slow - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("af", collect_list(col("value")).over(fF))
+      .withColumn("as_", collect_list(col("value")).over(fS))
+      .withColumn("sf", u6(foldSum(col("af")) / size(col("af")).cast("double")))
+      .withColumn("ss", u6(foldSum(col("as_")) / size(col("as_")).cast("double")))
+      .withColumn("ravi", u6(lit(100.0) * abs(col("sf") - col("ss")) /
+        when(col("ss") === 0, lit(null)).otherwise(col("ss"))))
+      .select(col("asset_id"), col("date"), col("sf"), col("ss"), col("ravi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B230 `vzo` — Volume Zone Oscillator: 100·EW(signed volume)/
+    * EW(volume) over a `span`-bar frame, sign = the close-to-close
+    * direction (tick count as the volume proxy, the [[obv]]
+    * convention; unchanged closes contribute zero). The EW
+    * normalization cancels in the ratio, so both legs are the
+    * UNnormalized horner folds ([[rsi]]'s trick) over exact small
+    * integers — deterministic everywhere. Total frame volume is ≥ 1
+    * whenever a bar exists, so the ratio never divides by zero. First
+    * bar per asset (no direction) is dropped.
+    */
+  def vzo(panel: DataFrame, span: Int = 14): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    val pc = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("pc", pc)
+      .filter(col("pc").isNotNull)
+      .withColumn("sv",
+        when(col("close") > col("pc"), col("n_ticks").cast("double"))
+          .when(col("close") < col("pc"), -col("n_ticks").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("num", Kernels.seqFold(collect_list(col("sv")).over(frame), "horner", w))
+      .withColumn("den", Kernels.seqFold(
+        collect_list(col("n_ticks").cast("double")).over(frame), "horner", w))
+      .select(col("asset_id"), col("date"), col("sv").cast("long").as("signed_vol"),
+        u6(lit(100.0) * col("num") / col("den")).as("vzo"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B231 `dollar_bars` — notional-clock sampling: bars close when
+    * cumulative traded notional (|value| per tick, price as the
+    * single-unit notional proxy) crosses `threshold` — the
+    * dollar-volume sibling of [[tickBars]]' event clock (information
+    * arrival tracks value traded, not tick count; López de Prado's
+    * standard bars family). The running notional rides the EXACT
+    * micro-long grid (round(value·1e6) summed as integers — no float
+    * drift under any partitioning), bar id = integer division of the
+    * PRE-tick cumulative, so a tick that crosses the line closes the
+    * OLD bar (notional bars overshoot by at most one tick, the
+    * standard convention). Same min/max-struct OHLC as tick bars.
+    */
+  def dollarBars(panel: DataFrame, threshold: Double = 500.0): DataFrame = {
+    val thrMicro = math.round(threshold * 1e6)
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    val run = w.rowsBetween(Window.unboundedPreceding, -1)
+    panel.repartition(col("asset_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", floor(abs(col("value")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("cum_prev", coalesce(sum(col("m")).over(run), lit(0L)))
+      .withColumn("bar_id", expr(s"cum_prev div ${thrMicro}L"))
+      .groupBy(col("asset_id"), col("bar_id"))
+      .agg(
+        min(col("ts")).as("t_open"), max(col("ts")).as("t_close"),
+        min(struct(col("rn"), col("value"))).as("o"),
+        max(struct(col("rn"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("m")).as("notional_micro"))
+      .select(col("asset_id"), col("bar_id"), col("t_open"), col("t_close"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_ticks"),
+        (col("notional_micro").cast("double") / 1e6).as("notional"))
+      .orderBy(col("asset_id"), col("bar_id"))
+  }
+
+  /** B232 `durbin_watson` — the Durbin–Watson serial-correlation
+    * statistic of each asset's full daily-return history:
+    * Σ(rₜ−rₜ₋₁)²/Σrₜ² — near 2 when returns are white, toward 0 on
+    * positive autocorrelation, toward 4 on negative (the regression-
+    * residual test applied where [[autocorr]] reports the raw lag-1
+    * coefficient). Both sums fold left-assoc over the date-sorted
+    * per-asset array (the successive-difference array is built by
+    * index arithmetic, identical 0-based in Spark / 1-based in
+    * DuckDB); assets with fewer than 3 returns (or a zero
+    * denominator) NULL out.
+    */
+  def durbinWatson(panel: DataFrame): DataFrame = {
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret")))).as("bs"))
+      .withColumn("arr", expr("transform(bs, s -> s.ret)"))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .filter(col("n") >= 3)
+      .withColumn("num", Kernels.seqFold(
+        expr("transform(sequence(1, size(arr) - 1), i -> arr[i] - arr[i-1])"), "sumsq"))
+      .withColumn("den", Kernels.seqFold(col("arr"), "sumsq"))
+      .select(col("asset_id"), col("n").as("n_rets"),
+        u6(col("num") / when(col("den") === 0, lit(null)).otherwise(col("den")))
+          .as("dw"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B233 `diversification_ratio` — Choueifaty's portfolio-level
+    * diversification gauge for the equal-weight panel portfolio:
+    * mean(σᵢ)/σ_p — how much asset-level volatility the portfolio
+    * diversifies away (1 = none, higher = more independent bets).
+    * Every sum is an EXACT decimal sum of u6-grid values ([[dsum]] —
+    * returns scale 6, squares scale 12), so the whole statistic is
+    * aggregation-order-free: per-asset σ from (n, Σr, Σr²), the
+    * market leg from per-date equal-weight mean returns over the
+    * assets PRESENT that date (the breadth-tape convention), σ_p by
+    * the same algebra over dates. One reconciliation row out; two
+    * keyed shuffles (asset, date) over one scan of the return tape.
+    */
+  def diversificationRatio(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    def sd(n: Column, s: Column, s2: Column): Column =
+      sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), lit(0.0)))
+    // Exact square sum of a u6-grid column WITHOUT casting a double
+    // PRODUCT to decimal (engine-dependent midpoint rounding — see the
+    // header note): recover the exact micro integer by the same
+    // floor(+0.5) that minted the grid value, square and sum in
+    // decimal (exact, order-free), rescale once at the end.
+    def dsumSq(c: Column): Column = {
+      val rm = floor(c * lit(1e6) + lit(0.5)).cast(DecimalType(19, 0))
+      sum(rm * rm).cast("double") / lit(1e12)
+    }
+    val perAsset = rets.groupBy(col("asset_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("ret"), 6).as("s"),
+        dsumSq(col("ret")).as("s2"))
+      .filter(col("n") >= 2)
+      .withColumn("sigma", u6(sd(col("n"), col("s"), col("s2"))))
+      .agg(count(lit(1)).as("n_assets"),
+        dsum(col("sigma"), 6).as("sig_sum"))
+      .withColumn("mean_vol", u6(col("sig_sum") / col("n_assets").cast("double")))
+    val mkt = rets.groupBy(col("date"))
+      .agg(u6(dsum(col("ret"), 6) / count(lit(1)).cast("double")).as("mret"))
+    val port = mkt
+      .agg(count(lit(1)).cast("double").as("nd"),
+        dsum(col("mret"), 6).as("ms"),
+        dsumSq(col("mret")).as("ms2"))
+      .withColumn("port_vol", u6(sd(col("nd"), col("ms"), col("ms2"))))
+    perAsset.crossJoin(port)
+      .select(col("n_assets"), col("nd").cast("long").as("n_dates"),
+        col("mean_vol"), col("port_vol"),
+        u6(col("mean_vol") /
+          when(col("port_vol") === 0, lit(null)).otherwise(col("port_vol")))
+          .as("div_ratio"))
+  }
+
+  /** B234 `rmi` — Relative Momentum Index: [[rsi]]'s EW gain/loss
+    * ratio computed on `m`-day momentum differences value − value[m]
+    * instead of 1-day changes (Altman's generalization — smoother,
+    * earlier at turning points; m = 1 recovers RSI exactly). Same
+    * unnormalized horner pair, same AL=0 → 100 convention; the first
+    * m rows per asset (no m-day-old value) drop.
+    */
+  def rmi(panel: DataFrame, m: Int = 5, span: Int = 14): DataFrame = {
+    val w = (span - 1).toDouble / span
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(span - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("d", u6(col("value") - lag(col("value"), m).over(byAsset)))
+      .filter(col("d").isNotNull)
+      .withColumn("arr", collect_list(col("d")).over(frame))
+      .withColumn("g", Kernels.seqFold(col("arr"), "horner_pos", w))
+      .withColumn("l", Kernels.seqFold(col("arr"), "horner_neg", w))
+      .withColumn("rmi", u4(
+        when(col("l") === 0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("g") / col("l")))))
+      .select(col("asset_id"), col("date"), col("d"), col("rmi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B235 `squeeze` — the TTM Squeeze gate: Bollinger(2σ) inside
+    * Keltner(1.5·SMA-of-TR) collapses to the band-free comparison
+    * 2·sd < 1.5·tr_mean (both u6'd, so the verdict compares identical
+    * doubles cross-engine). `mom` is the close's distance from the
+    * mid — the direction the squeeze fires toward. Volatility
+    * compression is WHERE breakout systems arm themselves; the flag
+    * is the arming state. Bars before the second (no variance) drop;
+    * the TR seed follows [[atr]] (first bar = high − low).
+    */
+  def squeeze(panel: DataFrame, window: Int = 20): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(window - 1), Window.currentRow)
+    val pc = lag(col("close"), 1).over(byAsset)
+    val n = col("nn")
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(pc.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - pc),
+            abs(col("low") - pc)))))
+      .withColumn("arr", collect_list(col("close")).over(frame))
+      .withColumn("ta", collect_list(col("tr")).over(frame))
+      .withColumn("nn", size(col("arr")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("s", foldSum(col("arr")))
+      .withColumn("s2", foldSumSq(col("arr")))
+      .withColumn("sd", u6(sqrt(greatest(
+        (n * col("s2") - col("s") * col("s")) / (n * (n - 1)), lit(0.0)))))
+      .withColumn("tr_mean", u6(foldSum(col("ta")) / n))
+      .withColumn("mid", u6(col("s") / n))
+      .select(col("asset_id"), col("date"), col("sd"), col("tr_mean"),
+        (lit(2.0) * col("sd") < lit(1.5) * col("tr_mean")).as("squeeze_on"),
+        u6(col("close") - col("mid")).as("mom"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B236 `cog` — Ehlers' Center of Gravity oscillator: the weighted
+    * mean POSITION of price inside an n-bar frame, newest bar weight 1
+    * and oldest weight n, negated (COG = −Σ(n−j)·xⱼ/Σxⱼ over the
+    * oldest-first frame) — a zero-lag cycle oscillator ([[wma]]'s
+    * triangle fold with the weights mirrored and repurposed as a
+    * position). Both legs are left-assoc folds; a zero value sum (the
+    * synthetic panel can cross zero in aggregate) NULLs out.
+    */
+  def cog(panel: DataFrame, window: Int = 10): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("arr", collect_list(col("value")).over(frame))
+      .withColumn("n", size(col("arr")))
+      .withColumn("num", Kernels.seqFold(
+        transform(col("arr"), (v, j) => v * (col("n") - j).cast("double")), "sum"))
+      .withColumn("den", Kernels.seqFold(col("arr"), "sum"))
+      .select(col("asset_id"), col("date"), col("value"),
+        u6(-col("num") / when(col("den") === 0, lit(null)).otherwise(col("den")))
+          .as("cog"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B237 `camarilla_pivots` — Camarilla day-trader levels off the
+    * previous bar: inner reversal band C ± range·0.275 (R3/S3) and
+    * breakout band C ± range·0.55 (R4/S4) — the mean-reversion
+    * counterpart of [[pivotPoints]]' floor levels (same lag-only
+    * shape: no frames, no folds; first bar per asset nulls out).
+    */
+  def camarillaPivots(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    val pc = lag(col("close"), 1).over(byAsset)
+    val range = ph - pl
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("r4", u6(pc + range * lit(0.55)))
+      .withColumn("r3", u6(pc + range * lit(0.275)))
+      .withColumn("s3", u6(pc - range * lit(0.275)))
+      .withColumn("s4", u6(pc - range * lit(0.55)))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("r4"), col("r3"), col("s3"), col("s4"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B238 `chande_kroll_stop` — volatility trailing stops: the
+    * preliminary stops (p-bar channel extreme ∓ x·ATR_p, Wilder EW
+    * ATR from [[atr]]'s machinery) re-extremed over a q-bar frame —
+    * the stop only ratchets with the trend. Channel and ratchet
+    * extremes are order-free min/max over u6'd inputs; the only fold
+    * is the ATR horner pair. One asset_id shuffle carries all five
+    * windows.
+    */
+  def chandeKrollStop(panel: DataFrame, p: Int = 10, x: Double = 1.0,
+                      q: Int = 9): DataFrame = {
+    val w = (p - 1).toDouble / p
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val fP = byAsset.rowsBetween(-(p - 1), Window.currentRow)
+    val fQ = byAsset.rowsBetween(-(q - 1), Window.currentRow)
+    val pc = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("tr", u6(
+        when(pc.isNull, col("high") - col("low"))
+          .otherwise(greatest(
+            col("high") - col("low"),
+            abs(col("high") - pc),
+            abs(col("low") - pc)))))
+      .withColumn("atr", u6(
+        Kernels.seqFold(collect_list(col("tr")).over(fP), "horner", w) /
+          Kernels.seqFold(collect_list(col("tr")).over(fP), "horner_count", w)))
+      .withColumn("hs0", u6(max(col("high")).over(fP) - lit(x) * col("atr")))
+      .withColumn("ls0", u6(min(col("low")).over(fP) + lit(x) * col("atr")))
+      .withColumn("stop_short", max(col("hs0")).over(fQ))
+      .withColumn("stop_long", min(col("ls0")).over(fQ))
+      .select(col("asset_id"), col("date"), col("atr"),
+        col("stop_long"), col("stop_short"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B239 `intraday_intensity` — Bollinger's Intraday Intensity
+    * percentage: per-bar close position in the range, volume-weighted
+    * — contrib = (2c−h−l)/(h−l)·ticks (flat bars contribute 0), II% =
+    * 100·Σcontrib/Σticks over a 21-bar frame. Numerator folds u6'd
+    * per-bar contribs left-assoc; the denominator is an exact integer
+    * window sum (≥ 1 whenever a bar exists). The institutional
+    * accumulation gauge of the [[cmf]] family, keyed on the close's
+    * position instead of money flow.
+    */
+  def intradayIntensity(panel: DataFrame, window: Int = 21): DataFrame = {
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("contrib", u6(
+        when(col("high") === col("low"), lit(0.0))
+          .otherwise((lit(2.0) * col("close") - col("high") - col("low")) /
+            (col("high") - col("low")) * col("n_ticks").cast("double"))))
+      .withColumn("s", Kernels.seqFold(collect_list(col("contrib")).over(frame), "sum"))
+      .withColumn("v", sum(col("n_ticks")).over(frame))
+      .select(col("asset_id"), col("date"), col("contrib"),
+        u6(lit(100.0) * col("s") / col("v").cast("double")).as("ii_pct"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B240 `expectancy` — trade-expectancy profile of each asset's
+    * daily returns: win rate, exact-decimal mean win and mean |loss|,
+    * and E = p_win·avg_win − p_loss·avg_loss — the single number a
+    * systematic desk quotes a strategy by. All sums are [[dsum]]
+    * decimal sums of u6-grid returns (order-free exact); zero-return
+    * days count in n but in neither tail (documented). Assets with no
+    * wins or no losses leave that leg NULL and E NULL with it.
+    */
+  def expectancy(panel: DataFrame): DataFrame = {
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret") > 0, 1L).otherwise(0L)).as("n_wins"),
+        sum(when(col("ret") < 0, 1L).otherwise(0L)).as("n_losses"),
+        dsum(when(col("ret") > 0, col("ret")).otherwise(lit(0.0)), 6).as("ws"),
+        dsum(when(col("ret") < 0, -col("ret")).otherwise(lit(0.0)), 6).as("ls"))
+      .withColumn("avg_win", u6(col("ws") /
+        when(col("n_wins") === 0, lit(null)).otherwise(col("n_wins").cast("double"))))
+      .withColumn("avg_loss", u6(col("ls") /
+        when(col("n_losses") === 0, lit(null)).otherwise(col("n_losses").cast("double"))))
+      .withColumn("expectancy", u6(
+        col("n_wins").cast("double") / col("n_days").cast("double") * col("avg_win") -
+          col("n_losses").cast("double") / col("n_days").cast("double") * col("avg_loss")))
+      .select(col("asset_id"), col("n_days"), col("n_wins"), col("n_losses"),
+        col("avg_win"), col("avg_loss"), col("expectancy"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B241 `cdar` — Conditional Drawdown at Risk: [[varCvar]]'s
+    * tail-selection machinery applied to the DRAWDOWN series (running-
+    * peak relative, u6 like [[drawdown]]): DaR = the ⌈n·q⌉-th worst
+    * drawdown, CDaR = the mean of that worst tail — the
+    * path-dependent risk number portfolio mandates cap
+    * (Chekhlov/Uryasev/Zabarankin). Sorting + index selection is
+    * order-free; the tail mean folds left-assoc over the sorted
+    * prefix.
+    */
+  def cdar(panel: DataFrame, q: Double = 0.05): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val run = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = ceil(size(col("da")).cast("double") * q).cast("int")
+    daily
+      .withColumn("peak", max(col("value")).over(run))
+      .withColumn("dd", u6(col("value") /
+        when(col("peak") === 0, lit(null)).otherwise(col("peak")) - 1))
+      .filter(col("dd").isNotNull)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(col("dd"))).as("da"))
+      .withColumn("k", k)
+      .filter(col("k") >= 1)
+      .withColumn("tail", slice(col("da"), lit(1), col("k")))
+      .select(col("asset_id"), size(col("da")).cast("long").as("n_days"),
+        col("k").cast("long").as("n_tail"),
+        element_at(col("tail"), col("k")).as("dar"),
+        u6(foldSum(col("tail")) / col("k").cast("double")).as("cdar"))
+      .orderBy(col("asset_id"))
+  }
 }

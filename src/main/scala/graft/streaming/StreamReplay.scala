@@ -590,6 +590,108 @@ object StreamReplay {
   def streamRetMoments(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.retMomentsStream)
 
+  // ── wave AC twins ───────────────────────────────────────────────────
+  def streamTrima(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.trimaStream(_))
+  def streamZlema(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.zlemaStream(_))
+  def streamVidya(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.vidyaStream(_))
+  def streamMcginley(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.mcginleyStream(_))
+  def streamAlma(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.almaStream(_))
+  def streamTdSetup(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.tdSetupStream(_))
+
+  /** `stream_candle_patterns` — the update-mode census reduced to the
+    * final (max-n_bars) emission per asset, = the batch census.
+    */
+  def streamCandlePatterns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.candlePatternsStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("n_bars").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+
+  /** `stream_fractals` — the bar feed plus TWO per-asset close-of-
+    * stream sentinels (NaN extremes, dated past the series end) that
+    * flush the final two bars' wing-2 verdicts; see
+    * [[StreamingOps.fractalsStream]].
+    */
+  def streamFractals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bars = barFeed(s, dir)
+    val real = bars.map(b => StreamingOps.FractalTick(
+      b.asset_id, b.date, b.high, b.low, real = true))
+    val sentinels = bars.groupBy(_.asset_id).toSeq.flatMap { case (a, bs) =>
+      val last = bs.map(_.date.getTime).max
+      Seq(1, 2).map(i => StreamingOps.FractalTick(
+        a, new java.sql.Date(last + i * 86400000L),
+        Double.NaN, Double.NaN, real = false))
+    }.sortBy(t => (t.date.getTime, t.asset_id))
+    val feed = real ++ sentinels
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.fractalsStream(_))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  // ── wave AE twins ───────────────────────────────────────────────────
+  def streamRavi(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.raviStream(_))
+  def streamVzo(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.vzoStream(_))
+  def streamRmi(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.rmiStream(_))
+  def streamSqueeze(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.squeezeStream(_))
+  def streamDurbinWatson(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_rets")(StreamingOps.durbinWatsonStream)
+
+  /** `stream_dollar_bars` — the raw tick feed (batch arrival order:
+    * ts, seq) plus ONE per-asset close-of-stream sentinel that flushes
+    * the final partial bar; see [[StreamingOps.dollarBarsStream]].
+    */
+  def streamDollarBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val real = Tables.panel(s, dir)
+      .select(col("asset_id"), col("ts"), col("value"), col("seq"),
+        org.apache.spark.sql.functions.lit(true).as("real"))
+      .as[StreamingOps.NotionalTick]
+      .collect().toSeq
+      .sortBy(t => (micros(t.ts), t.seq, t.asset_id))
+    val sentinels = real.groupBy(_.asset_id).toSeq.map { case (a, ts) =>
+      StreamingOps.NotionalTick(a,
+        new java.sql.Timestamp(ts.map(_.ts.getTime).max + 86400000L),
+        0.0, Long.MaxValue, real = false)
+    }.sortBy(_.asset_id)
+    val feed = real ++ sentinels
+    replay(s, feed, Batches,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.dollarBarsStream(_))
+      .orderBy(col("asset_id"), col("bar_id"))
+  }
+
+  // ── wave AG twins ───────────────────────────────────────────────────
+  def streamCog(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.cogStream(_))
+  def streamCamarilla(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.camarillaStream(_))
+  def streamChandeKroll(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.chandeKrollStream(_))
+  def streamIntradayIntensity(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.intradayIntensityStream(_))
+  def streamExpectancy(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.expectancyStream)
+
   def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
   def streamRollingMoments(s: SparkSession, dir: String): DataFrame =

@@ -11,7 +11,9 @@ class EntrySmokeSpec extends SparkSpec {
 
   // candidate-pair queries may legitimately be empty at tiny SF
   private val mayBeEmpty = Set("dedup_minhash", "dedup_simhash", "ngram_jaccard",
-    "dedup_embedding")
+    "dedup_embedding",
+    // corpus line-df tables: sf0.001's 60 docs share no repeated lines
+    "boilerplate_lines", "first_line_dups")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "knn_classify",     // corpus ⨝ broadcast(20 probe vectors)
     "domain_mix",       // per-source rows ⨝ broadcast(1-row corpus totals)
     "dsir_weights",     // vocab rows ⨝ broadcast(1-row model totals)
+    "dup_rate_sample",  // 1-row full leg ⨯ broadcast(1-row sampled leg)
+    "diversification_ratio", // 1-row asset leg ⨯ broadcast(1-row portfolio leg)
     "dataset_card",     // 1-row summary ⨝ broadcast(1-row dup stats)
     "source_jsd",       // top-K vocab ⨝ broadcast(1-row totals + source list)
     "intrinsic_dim",    // bounded sample ⨝ broadcast(1-row sample pool)

@@ -1321,4 +1321,488 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("vol_n") === 5L)
     assert(out(2).getAs[Double]("vwma") === jvm6((102.0 * 2 + 101.0 + 99.0 * 2) / 5.0))
   }
+
+  test("wave-AB moving averages match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0,
+      101.0, 107.0, 103.0, 112.0)
+    val panel = panelOf(Map(1L -> vals))
+    val A = graft.operators.Analytics
+    def tailFrame(xs: Vector[Double], t: Int, k: Int): Vector[Double] =
+      xs.slice(math.max(0, t - k + 1), t + 1)
+    def smaOf(a: Vector[Double]): Double =
+      jvm6(a.foldLeft(0.0)(_ + _) / a.size.toDouble)
+
+    // trima (window 20): SMA(11) u6'd, then SMA(10) of that
+    val sma1 = vals.indices.map(t => smaOf(tailFrame(vals, t, 11))).toVector
+    val triExp = vals.indices.map(t => smaOf(tailFrame(sma1, t, 10))).toVector
+    val triOut = A.trima(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      assert(triOut(t).getAs[Double]("sma1") === sma1(t), s"trima sma1 t=$t")
+      assert(triOut(t).getAs[Double]("trima") === triExp(t), s"trima t=$t")
+    }
+
+    // zlema (span 20, k=9, w=0.904762): head falls back to raw close
+    val dl = vals.indices.map { t =>
+      val old = if (t >= 9) vals(t - 9) else vals(t)
+      jvm6(2.0 * vals(t) - old)
+    }.toVector
+    val zlOut = A.zlema(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val a = tailFrame(dl, t, 20)
+      val exp = jvm6(a.foldLeft(0.0)((acc, x) => acc * 0.904762 + x) /
+        a.foldLeft(0.0)((acc, _) => acc * 0.904762 + 1.0))
+      assert(zlOut(t).getAs[Double]("dl") === dl(t), s"zlema dl t=$t")
+      assert(zlOut(t).getAs[Double]("zlema") === exp, s"zlema t=$t")
+    }
+
+    // vidya (n=9, α=0.2): diffs drop the first row; v seeds at the
+    // first REMAINING row and steps by the kama form
+    val diffs = vals.sliding(2).map { case Seq(a, b) => b - a }.toVector
+    val dvals = vals.drop(1)
+    var v = dvals.head
+    val vidOut = A.vidya(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(vidOut.length === dvals.size)
+    dvals.indices.foreach { t =>
+      val arr = tailFrame(diffs, t, 9)
+      val su = arr.foldLeft(0.0)((a, x) => a + math.max(x, 0.0))
+      val sd = arr.foldLeft(0.0)((a, x) => a + math.max(-x, 0.0))
+      val cmo = if (su + sd == 0) 0.0 else jvm6(100.0 * (su - sd) / (su + sd))
+      val sc = jvm6(0.2 * math.abs(cmo) / 100.0)
+      if (t > 0) v = jvm6(v + sc * (dvals(t) - v))
+      assert(vidOut(t).getAs[Double]("cmo") === cmo, s"vidya cmo t=$t")
+      assert(vidOut(t).getAs[Double]("vidya") === v, s"vidya t=$t")
+    }
+
+    // mcginley (n=10, k=0.6 → kn=6): state-dependent quartic chase
+    var md = vals.head
+    val mcOut = A.mcginley(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      if (t > 0) {
+        val r = vals(t) / md
+        md = jvm6(md + (vals(t) - md) / (6.0 * (((r * r) * r) * r)))
+      }
+      assert(mcOut(t).getAs[Double]("mcginley") === md, s"mcginley t=$t")
+    }
+    // flat series: the line never moves
+    val flatOut = A.mcginley(panelOf(Map(2L -> Seq(5.0, 5.0, 5.0))))
+      .collect()
+    assert(flatOut.forall(_.getAs[Double]("mcginley") === 5.0))
+
+    // alma (window 9, offset .85, σ 6): u6-rounded Gaussian weights
+    val alOut = A.alma(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val a = tailFrame(vals, t, 9)
+      val len = a.size.toDouble
+      val m = 0.85 * (len - 1)
+      val s = len / 6.0
+      val ws = a.indices.map(i =>
+        jvm6(math.exp((i - m) * (i - m) / (-2.0 * s * s)))).toVector
+      val num = a.zip(ws).foldLeft(0.0) { case (acc, (x, w)) => acc + x * w }
+      val den = ws.foldLeft(0.0)(_ + _)
+      assert(alOut(t).getAs[Double]("alma") === jvm6(num / den), s"alma t=$t")
+    }
+  }
+
+  test("wave-AB pattern detectors: candles, fractals, td_setup") {
+    import java.sql.{Date, Timestamp}
+    val A = graft.operators.Analytics
+    // hand-built OHLC days via in-day tick paths (open=first, close=last)
+    def day(asset: Long, d: Int, ticks: Seq[Double]) =
+      ticks.zipWithIndex.map { case (v, i) =>
+        (asset, Date.valueOf(f"2024-02-$d%02d"),
+          new Timestamp(1706745600000L + d * 86400000L + i * 1000L), v,
+          d * 100L + i)
+      }
+    // day 1: big red bar (o=110 h=111 l=99 c=100); day 2: bullish engulf
+    // (o=99 c=112 wraps it); day 3: doji+hammer (o=c=106, low wick to 100);
+    // day 4: shooting star (o=c=106, high wick to 112)
+    val rows = (
+      day(1L, 1, Seq(110.0, 111.0, 99.0, 100.0)) ++
+      day(1L, 2, Seq(99.0, 98.0, 113.0, 112.0)) ++
+      day(1L, 3, Seq(106.0, 100.0, 106.0)) ++
+      day(1L, 4, Seq(106.0, 112.0, 106.0))
+    ).toDF("asset_id", "date", "ts", "value", "seq")
+    val cp = A.candlePatterns(rows).collect()
+    assert(cp.length === 1)
+    val r = cp.head
+    assert(r.getAs[Long]("n_bars") === 4L)
+    assert(r.getAs[Long]("n_doji") === 2L)          // days 3 and 4 (zero body)
+    assert(r.getAs[Long]("n_hammer") === 1L)        // day 3
+    assert(r.getAs[Long]("n_shooting_star") === 1L) // day 4
+    assert(r.getAs[Long]("n_bull_engulf") === 1L)   // day 2 wraps day 1
+    assert(r.getAs[Long]("n_bear_engulf") === 0L)
+
+    // fractals on single-tick bars (high=low=close): strict local
+    // extremum vs ±2 neighbors; edges are definitionally false
+    val vals = Vector(100.0, 101.0, 105.0, 102.0, 101.5, 95.0, 99.0, 100.0, 98.0)
+    val fr = A.fractals(panelOf(Map(1L -> vals)))
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    val expHigh = vals.indices.map(t =>
+      t >= 2 && t < vals.size - 2 &&
+        Seq(t - 2, t - 1, t + 1, t + 2).forall(j => vals(t) > vals(j)))
+    val expLow = vals.indices.map(t =>
+      t >= 2 && t < vals.size - 2 &&
+        Seq(t - 2, t - 1, t + 1, t + 2).forall(j => vals(t) < vals(j)))
+    vals.indices.foreach { t =>
+      assert(fr(t).getAs[Boolean]("fractal_high") === expHigh(t), s"fh t=$t")
+      assert(fr(t).getAs[Boolean]("fractal_low") === expLow(t), s"fl t=$t")
+    }
+    assert(expHigh(2) && expLow(5)) // the fixture actually exercises both
+
+    // td_setup: 9 straight closes below close[4] completes a buy setup
+    val down = Vector.tabulate(14)(i => 100.0 - i) // strictly falling
+    val td = A.tdSetup(panelOf(Map(1L -> down)))
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    down.indices.foreach { t =>
+      val exp = math.max(0, t - 3) // qualifies from bar 4 (0-based), streak grows
+      assert(td(t).getAs[Long]("buy_count") === exp.toLong, s"td buy t=$t")
+      assert(td(t).getAs[Long]("sell_count") === 0L, s"td sell t=$t")
+      assert(td(t).getAs[Boolean]("buy_setup") === (exp == 9), s"td setup t=$t")
+    }
+    // direction flips reset the streak
+    val zig = Vector(100.0, 101.0, 102.0, 103.0, 104.0, 103.0, 102.0, 105.0, 106.0, 107.0)
+    val tdz = A.tdSetup(panelOf(Map(1L -> zig)))
+      .collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    // bars 4..6: vs zig(t-4) → 104>100 up, 103>101 up, 102=102 neither;
+    // bars 7..9: 105>103 up, 106>104 up, 107>103 up — streak restarts at 1
+    assert(tdz(4).getAs[Long]("sell_count") === 1L)
+    assert(tdz(5).getAs[Long]("sell_count") === 2L)
+    assert(tdz(6).getAs[Long]("sell_count") === 0L)
+    assert(tdz(7).getAs[Long]("sell_count") === 1L)
+    assert(tdz(9).getAs[Long]("sell_count") === 3L)
+  }
+
+  test("wave-AC twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.trimaStream(_)) === norm(A.trima(panel)), "trima")
+    assert(streamedDaily(StreamingOps.zlemaStream(_)) === norm(A.zlema(panel)), "zlema")
+    assert(streamedDaily(StreamingOps.vidyaStream(_)) === norm(A.vidya(panel)), "vidya")
+    assert(streamedDaily(StreamingOps.mcginleyStream(_)) === norm(A.mcginley(panel)), "mcg")
+    assert(streamedDaily(StreamingOps.almaStream(_)) === norm(A.alma(panel)), "alma")
+    assert(streamedDaily(StreamingOps.tdSetupStream(_)) === norm(A.tdSetup(panel)), "td")
+
+    // census twin: update-mode final emission per asset = the batch census
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val sink = graft.streaming.StreamReplay.replay(spark, bars, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.candlePatternsStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_bars".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.candlePatterns(panel)), "candles")
+
+    // fractal twin: sentinel-flushed delayed emission = the batch rows
+    val fracFeed = bars.map(b => StreamingOps.FractalTick(
+      b.asset_id, b.date, b.high, b.low, real = true)) ++
+      bars.groupBy(_.asset_id).toSeq.flatMap { case (a, bs) =>
+        val last = bs.map(_.date.getTime).max
+        Seq(1, 2).map(i => StreamingOps.FractalTick(
+          a, new java.sql.Date(last + i * 86400000L),
+          Double.NaN, Double.NaN, real = false))
+      }.sortBy(t => (t.date.getTime, t.asset_id))
+    val frOut = graft.streaming.StreamReplay.replay(spark, fracFeed, 3,
+      maxStateRows = 2L)(StreamingOps.fractalsStream(_))
+    assert(norm(frOut) === norm(A.fractals(panel)), "fractals")
+  }
+
+  test("wave-AD gates and clocks match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0,
+      101.0, 107.0)
+    val panel = panelOf(Map(1L -> vals))
+    def tailFrame(xs: Vector[Double], t: Int, k: Int): Vector[Double] =
+      xs.slice(math.max(0, t - k + 1), t + 1)
+    def smaOf(a: Vector[Double]): Double =
+      jvm6(a.foldLeft(0.0)(_ + _) / a.size.toDouble)
+
+    // ravi: two fold means, pct spread
+    val rOut = A.ravi(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val sf = smaOf(tailFrame(vals, t, 7))
+      val ss = smaOf(tailFrame(vals, t, 65))
+      assert(rOut(t).getAs[Double]("ravi") === jvm6(100.0 * math.abs(sf - ss) / ss), s"ravi t=$t")
+    }
+
+    // rmi: 5-day momentum diffs through the rsi horner pair
+    val rmiOut = A.rmi(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(rmiOut.length === vals.size - 5)
+    val ds = (5 until vals.size).map(t => jvm6(vals(t) - vals(t - 5))).toVector
+    val w14 = 13.0 / 14.0
+    ds.indices.foreach { t =>
+      val arr = tailFrame(ds, t, 14)
+      val g = arr.foldLeft(0.0)((a, x) => a * w14 + math.max(x, 0.0))
+      val l = arr.foldLeft(0.0)((a, x) => a * w14 + math.max(-x, 0.0))
+      val exp = if (l == 0) 100.0
+        else math.floor((100.0 - 100.0 / (1.0 + g / l)) * 10000.0 + 0.5) / 10000.0
+      assert(rmiOut(t).getAs[Double]("rmi") === exp, s"rmi t=$t")
+    }
+
+    // durbin_watson on a strictly alternating series: returns alternate
+    // sign so DW sits far above 2
+    val dwOut = A.durbinWatson(panel).collect()
+    assert(dwOut.length === 1)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    val num = rets.sliding(2).map { case Seq(a, b) => b - a }
+      .foldLeft(0.0)((acc, d) => acc + d * d)
+    val den = rets.foldLeft(0.0)((acc, r) => acc + r * r)
+    assert(dwOut.head.getAs[Long]("n_rets") === rets.size.toLong)
+    assert(dwOut.head.getAs[Double]("dw") === jvm6(num / den))
+
+    // dollar_bars: 500-notional clock on the micro grid — hand fixture
+    val db = A.dollarBars(panelOf(Map(1L -> Vector(200.0, 200.0, 150.0, 400.0, 100.0))))
+      .collect().sortBy(_.getAs[Long]("bar_id"))
+    // cum_prev: 0, 200, 400, 550, 950 → bar ids 0,0,0,1,1
+    assert(db.length === 2)
+    assert(db(0).getAs[Long]("n_ticks") === 3L)
+    assert(db(0).getAs[Double]("open") === 200.0)
+    assert(db(0).getAs[Double]("close") === 150.0)
+    assert(db(0).getAs[Double]("notional") === 550.0)
+    assert(db(1).getAs[Long]("n_ticks") === 2L)
+    assert(db(1).getAs[Double]("notional") === 500.0)
+
+    // squeeze: constant closes with nonzero range never squeeze (sd=0 <
+    // 1.5·tr_mean is TRUE → squeeze_on), trending series compute both legs
+    val sqOut = A.squeeze(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(sqOut.length === vals.size - 1)
+    (1 until vals.size).foreach { t =>
+      val arr = tailFrame(vals, t, 20)
+      val n = arr.size.toDouble
+      val s = arr.foldLeft(0.0)(_ + _)
+      val s2 = arr.foldLeft(0.0)((a, x) => a + x * x)
+      val sd = jvm6(math.sqrt(math.max((n * s2 - s * s) / (n * (n - 1)), 0.0)))
+      // single-tick bars: tr = |Δclose| (first bar high−low = 0)
+      val trs = (0 to t).map(i =>
+        if (i == 0) 0.0 else jvm6(math.abs(vals(i) - vals(i - 1)))).toVector
+      val trMean = jvm6(tailFrame(trs, t, 20).foldLeft(0.0)(_ + _) / n)
+      val r = sqOut(t - 1)
+      assert(r.getAs[Double]("sd") === sd, s"squeeze sd t=$t")
+      assert(r.getAs[Double]("tr_mean") === trMean, s"squeeze tr t=$t")
+      assert(r.getAs[Boolean]("squeeze_on") === (2.0 * sd < 1.5 * trMean), s"squeeze t=$t")
+    }
+
+    // vzo: single-tick bars → |signed_vol| = 1, sign = close direction
+    val vzOut = A.vzo(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(vzOut.length === vals.size - 1)
+    val svs = vals.sliding(2).map { case Seq(a, b) =>
+      if (b > a) 1.0 else if (b < a) -1.0 else 0.0 }.toVector
+    svs.indices.foreach { t =>
+      val sa = tailFrame(svs, t, 14)
+      val num = sa.foldLeft(0.0)((a, x) => a * w14 + x)
+      val den = sa.foldLeft(0.0)((a, _) => a * w14 + 1.0)
+      assert(vzOut(t).getAs[Double]("vzo") === jvm6(100.0 * num / den), s"vzo t=$t")
+    }
+
+    // diversification_ratio: two identical assets → market = each asset,
+    // mean_vol = port_vol, DR = 1
+    val dr = A.diversificationRatio(panelOf(Map(
+      1L -> Vector(100.0, 102.0, 99.0, 105.0, 103.0),
+      2L -> Vector(100.0, 102.0, 99.0, 105.0, 103.0)))).collect()
+    assert(dr.length === 1)
+    assert(dr.head.getAs[Long]("n_assets") === 2L)
+    assert(dr.head.getAs[Long]("n_dates") === 4L)
+    assert(dr.head.getAs[Double]("div_ratio") === 1.0)
+  }
+
+  test("wave-AE twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    def streamedBars[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.raviStream(_)) === norm(A.ravi(panel)), "ravi")
+    assert(streamedBars(StreamingOps.vzoStream(_)) === norm(A.vzo(panel)), "vzo")
+    assert(streamedDaily(StreamingOps.rmiStream(_)) === norm(A.rmi(panel)), "rmi")
+    assert(streamedBars(StreamingOps.squeezeStream(_)) === norm(A.squeeze(panel)), "sq")
+
+    // update-mode DW: final emission per asset = the batch row
+    val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.durbinWatsonStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_rets".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.durbinWatson(panel)), "dw")
+
+    // dollar bars: sentinel-flushed notional clock = the batch bars
+    val ticks = panel
+      .select($"asset_id", $"ts", $"value", $"seq".cast("long").as("seq"),
+        org.apache.spark.sql.functions.lit(true).as("real"))
+      .as[StreamingOps.NotionalTick].collect().toSeq
+      .sortBy(t => (t.ts.getTime, t.seq, t.asset_id))
+    val sentinels = ticks.groupBy(_.asset_id).toSeq.map { case (a, ts) =>
+      StreamingOps.NotionalTick(a,
+        new java.sql.Timestamp(ts.map(_.ts.getTime).max + 86400000L),
+        0.0, Long.MaxValue, real = false)
+    }.sortBy(_.asset_id)
+    val dbOut = graft.streaming.StreamReplay.replay(spark, ticks ++ sentinels, 3,
+      maxStateRows = 2L)(StreamingOps.dollarBarsStream(_))
+    assert(norm(dbOut) === norm(A.dollarBars(panel)), "dollar_bars")
+  }
+
+  test("wave-AF oscillators and risk stats match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0,
+      101.0, 107.0, 103.0, 112.0)
+    val panel = panelOf(Map(1L -> vals))
+    def tailFrame(xs: Vector[Double], t: Int, k: Int): Vector[Double] =
+      xs.slice(math.max(0, t - k + 1), t + 1)
+
+    // cog: mirrored triangle weights, newest weight 1
+    val cogOut = A.cog(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val a = tailFrame(vals, t, 10)
+      val n = a.size
+      val num = a.zipWithIndex.foldLeft(0.0) { case (acc, (v, j)) =>
+        acc + v * (n - j).toDouble }
+      val den = a.foldLeft(0.0)(_ + _)
+      assert(cogOut(t).getAs[Double]("cog") === jvm6(-num / den), s"cog t=$t")
+    }
+
+    // camarilla: lag-only band arithmetic; first bar NULL
+    val camOut = A.camarillaPivots(panel).collect()
+      .sortBy(_.getAs[java.sql.Date]("date").getTime)
+    assert(camOut.head.isNullAt(camOut.head.fieldIndex("r4")))
+    (1 until vals.size).foreach { t =>
+      val (ph, pl, pc) = (vals(t - 1), vals(t - 1), vals(t - 1)) // single-tick bars
+      val rng = ph - pl
+      assert(camOut(t).getAs[Double]("r4") === jvm6(pc + rng * 0.55), s"cam r4 t=$t")
+      assert(camOut(t).getAs[Double]("s3") === jvm6(pc - rng * 0.275), s"cam s3 t=$t")
+    }
+
+    // chande_kroll: single-tick bars → TR = |Δclose|, channel = price extremes
+    val cksOut = A.chandeKrollStop(panel).collect()
+      .sortBy(_.getAs[java.sql.Date]("date").getTime)
+    val trs = vals.indices.map(t =>
+      if (t == 0) 0.0 else jvm6(math.abs(vals(t) - vals(t - 1)))).toVector
+    val hs0s = vals.indices.map { t =>
+      val fr = tailFrame(trs, t, 10)
+      val atr = jvm6(fr.foldLeft(0.0)((a, v) => a * 0.9 + v) /
+        fr.foldLeft(0.0)((a, _) => a * 0.9 + 1.0))
+      jvm6(tailFrame(vals, t, 10).max - 1.0 * atr)
+    }.toVector
+    val ls0s = vals.indices.map { t =>
+      val fr = tailFrame(trs, t, 10)
+      val atr = jvm6(fr.foldLeft(0.0)((a, v) => a * 0.9 + v) /
+        fr.foldLeft(0.0)((a, _) => a * 0.9 + 1.0))
+      jvm6(tailFrame(vals, t, 10).min + 1.0 * atr)
+    }.toVector
+    vals.indices.foreach { t =>
+      assert(cksOut(t).getAs[Double]("stop_short") === tailFrame(hs0s, t, 9).max, s"cks ss t=$t")
+      assert(cksOut(t).getAs[Double]("stop_long") === tailFrame(ls0s, t, 9).min, s"cks sl t=$t")
+    }
+
+    // intraday_intensity: single-tick bars are flat → contrib 0, ii 0
+    val iiOut = A.intradayIntensity(panel).collect()
+    assert(iiOut.forall(_.getAs[Double]("ii_pct") === 0.0))
+
+    // expectancy: hand panel with known win/loss split
+    val expOut = A.expectancy(panelOf(Map(1L -> Vector(100.0, 110.0, 99.0, 99.0, 108.9)))).collect()
+    assert(expOut.length === 1)
+    val r = expOut.head
+    // rets: +0.1, -0.1, 0, +0.1 → 2 wins, 1 loss, 1 flat
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_wins") === 2L)
+    assert(r.getAs[Long]("n_losses") === 1L)
+    assert(r.getAs[Double]("avg_win") === 0.1)
+    assert(r.getAs[Double]("avg_loss") === 0.1)
+    assert(r.getAs[Double]("expectancy") === jvm6(2.0 / 4.0 * 0.1 - 1.0 / 4.0 * 0.1))
+
+    // cdar: k = ceil(n·0.05) worst drawdowns
+    val cdarOut = A.cdar(panel).collect()
+    assert(cdarOut.length === 1)
+    val dds = {
+      var peak = Double.MinValue
+      vals.map { v => peak = math.max(peak, v); jvm6(v / peak - 1) }
+    }
+    val sorted = dds.sorted
+    val k = math.ceil(vals.size * 0.05).toInt
+    assert(cdarOut.head.getAs[Long]("n_tail") === k.toLong)
+    assert(cdarOut.head.getAs[Double]("dar") === sorted(k - 1))
+    assert(cdarOut.head.getAs[Double]("cdar") ===
+      jvm6(sorted.take(k).foldLeft(0.0)(_ + _) / k.toDouble))
+  }
+
+  test("wave-AG twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val bars = graft.operators.Analytics.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    def streamedBars[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.cogStream(_)) === norm(A.cog(panel)), "cog")
+    assert(streamedBars(StreamingOps.camarillaStream(_)) ===
+      norm(A.camarillaPivots(panel)), "cam")
+    assert(streamedBars(StreamingOps.chandeKrollStream(_)) ===
+      norm(A.chandeKrollStop(panel)), "cks")
+    assert(streamedBars(StreamingOps.intradayIntensityStream(_)) ===
+      norm(A.intradayIntensity(panel)), "ii")
+    val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.expectancyStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_days".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.expectancy(panel)), "expectancy")
+  }
 }
