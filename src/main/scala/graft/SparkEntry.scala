@@ -1210,6 +1210,37 @@ object SparkEntry {
     "cdar" -> ((s, dir) =>
       Analytics.cdar(Tables.panel(s, dir))),
     // ── wave AG (r10) ────────────────────────────────────────────────
+    // ── wave AH (r10) ────────────────────────────────────────────────
+    "laguerre_rsi" -> ((s, dir) =>
+      Analytics.laguerreRsi(Tables.panel(s, dir))),
+    "super_smoother" -> ((s, dir) =>
+      Analytics.superSmoother(Tables.panel(s, dir))),
+    "t3" -> ((s, dir) =>
+      Analytics.t3(Tables.panel(s, dir))),
+    "arch_test" -> ((s, dir) =>
+      Analytics.archTest(Tables.panel(s, dir))),
+    "cdc_chunks" -> ((s, dir) =>
+      Pipeline.cdcChunks(Tables.documents(s, dir))),
+    // ── wave AJ (r10) ────────────────────────────────────────────────
+    "ehlers_decycler" -> ((s, dir) =>
+      Analytics.ehlersDecycler(Tables.panel(s, dir))),
+    "zigzag" -> ((s, dir) =>
+      Analytics.zigzag(Tables.panel(s, dir))),
+    "adf_test" -> ((s, dir) =>
+      Analytics.adfTest(Tables.panel(s, dir))),
+    "kpss_test" -> ((s, dir) =>
+      Analytics.kpssTest(Tables.panel(s, dir))),
+    "cdc_dedup" -> ((s, dir) =>
+      Pipeline.cdcDedup(Tables.documents(s, dir))),
+    // ── wave AI (r10) ────────────────────────────────────────────────
+    "stream_laguerre_rsi" -> ((s, dir) => StreamReplay.streamLaguerreRsi(s, dir)),
+    "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
+    "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
+    "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AK (r10) ────────────────────────────────────────────────
+    "stream_decycler" -> ((s, dir) => StreamReplay.streamDecycler(s, dir)),
+    "stream_zigzag" -> ((s, dir) => StreamReplay.streamZigzag(s, dir)),
+    "stream_adf_test" -> ((s, dir) => StreamReplay.streamAdfTest(s, dir)),
     "stream_cog" -> ((s, dir) => StreamReplay.streamCog(s, dir)),
     "stream_camarilla" -> ((s, dir) => StreamReplay.streamCamarilla(s, dir)),
     "stream_chande_kroll" -> ((s, dir) => StreamReplay.streamChandeKroll(s, dir)),
@@ -3355,11 +3386,18 @@ object SparkEntry {
       ("stream_camarilla" -> m("camarilla_pivots")) +
       ("stream_chande_kroll" -> m("chande_kroll_stop")) +
       ("stream_intraday_intensity" -> m("intraday_intensity")) +
-      ("stream_expectancy" -> m("expectancy"))
+      ("stream_expectancy" -> m("expectancy")) +
+      ("stream_laguerre_rsi" -> m("laguerre_rsi")) +
+      ("stream_super_smoother" -> m("super_smoother")) +
+      ("stream_t3" -> m("t3")) +
+      ("stream_arch_test" -> m("arch_test")) +
+      ("stream_decycler" -> m("ehlers_decycler")) +
+      ("stream_zigzag" -> m("zigzag")) +
+      ("stream_adf_test" -> m("adf_test"))
   }
 
   private def oracleSqlBase: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ Map(
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ waveMOracles ++ waveNOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
       "stream_vpt" -> waveHOracles("vpt"))
@@ -3902,6 +3940,387 @@ object SparkEntry {
          |  floor((list_reduce(list_prepend(0.0, tail), (a, x) -> a + x)
          |         / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cdar
          |FROM t ORDER BY asset_id""".stripMargin)
+
+  /** r10 wave-AH oracles: the Ehlers recursive filters (Laguerre
+    * cascade and two-pole super smoother as recursive CTEs — the
+    * Laguerre stage chain is inlined programmatically since each
+    * stage references the previous NEW stage), the T3 chain, the
+    * ARCH-LM test, and content-defined chunking.
+    */
+  private lazy val waveMOracles: Map[String, String] = {
+    // per-step Laguerre stages (γ = 0.5): each references the previous
+    // NEW stage, so the SQL inlines them (linear nesting)
+    val f0 = "floor((0.5 * b.value + 0.5 * r.l0) * 1000000.0 + 0.5) / 1000000.0"
+    val f1 = s"floor((-0.5 * ($f0) + r.l0 + 0.5 * r.l1) * 1000000.0 + 0.5) / 1000000.0"
+    val f2 = s"floor((-0.5 * ($f1) + r.l1 + 0.5 * r.l2) * 1000000.0 + 0.5) / 1000000.0"
+    val f3 = s"floor((-0.5 * ($f2) + r.l2 + 0.5 * r.l3) * 1000000.0 + 0.5) / 1000000.0"
+    val cu = s"(greatest(($f0) - ($f1), 0.0) + greatest(($f1) - ($f2), 0.0) + greatest(($f2) - ($f3), 0.0))"
+    val cd = s"(greatest(($f1) - ($f0), 0.0) + greatest(($f2) - ($f1), 0.0) + greatest(($f3) - ($f2), 0.0))"
+    val (c1, c2, c3) = graft.operators.Analytics.superSmootherCoeffs(10)
+    val strHashOf = (e: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len($e) + 1),
+         |        j -> CAST(unicode(substr($e, CAST(j AS INTEGER), 1)) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    Map(
+    "laguerre_rsi" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value,
+         |    value AS l0, value AS l1, value AS l2, value AS l3,
+         |    CAST(NULL AS DOUBLE) AS lrsi
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    $f0, $f1, $f2, $f3,
+         |    CASE WHEN ($cu) + ($cd) = 0 THEN NULL
+         |         ELSE floor((($cu) / (($cu) + ($cd))) * 1000000.0 + 0.5) / 1000000.0
+         |    END
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, lrsi
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "super_smoother" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value, value AS ss, CAST(NULL AS DOUBLE) AS ssp
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    CASE WHEN b.rn = 2 THEN b.value
+         |         ELSE floor(($c1 * ((b.value + r.value) / 2.0)
+         |                     + $c2 * r.ss + $c3 * r.ssp) * 1000000.0 + 0.5) / 1000000.0
+         |    END,
+         |    r.ss
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, ss
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "t3" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |e1 AS (
+         |  SELECT asset_id, date, value,
+         |    floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e1
+         |  FROM (SELECT asset_id, date, value,
+         |          list(value) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |        FROM daily) z1),
+         |e2 AS (
+         |  SELECT *, floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e2
+         |  FROM (SELECT asset_id, date, value, e1,
+         |          list(e1) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+         |        FROM e1) z2),
+         |e3 AS (
+         |  SELECT *, floor((list_reduce(list_prepend(0.0, arr2), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr2), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e3
+         |  FROM (SELECT asset_id, date, value, e2,
+         |          list(e2) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr2
+         |        FROM e2) z3),
+         |e4 AS (
+         |  SELECT *, floor((list_reduce(list_prepend(0.0, arr3), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr3), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e4
+         |  FROM (SELECT asset_id, date, value, e3,
+         |          list(e3) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr3
+         |        FROM e3) z4),
+         |e5 AS (
+         |  SELECT *, floor((list_reduce(list_prepend(0.0, arr4), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr4), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e5
+         |  FROM (SELECT asset_id, date, value, e3, e4,
+         |          list(e4) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr4
+         |        FROM e4) z5),
+         |e6 AS (
+         |  SELECT *, floor((list_reduce(list_prepend(0.0, arr5), (a, x) -> a * 0.666667 + x)
+         |         / list_reduce(list_prepend(0.0, arr5), (a, x) -> a * 0.666667 + 1.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS e6
+         |  FROM (SELECT asset_id, date, value, e3, e4, e5,
+         |          list(e5) OVER (PARTITION BY asset_id ORDER BY date
+         |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr5
+         |        FROM e5) z6)
+         |SELECT asset_id, date, value, e3, e6,
+         |  floor(((-0.343) * e6 + 2.499 * e5 + (-6.069) * e4 + 4.913 * e3)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS t3
+         |FROM e6 ORDER BY asset_id, date""".stripMargin,
+    "arch_test" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |x AS (SELECT asset_id, date,
+         |        floor((ret * ret) * 1000000.0 + 0.5) / 1000000.0 AS x
+         |      FROM rets),
+         |p AS (SELECT asset_id, list(x ORDER BY date) AS ra,
+         |        CAST(len(list(x)) AS INTEGER) AS m
+         |      FROM x GROUP BY asset_id HAVING len(list(x)) >= 3),
+         |sl AS (
+         |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+         |         list_slice(ra, 1, m - 1) AS xa, list_slice(ra, 2, m) AS ya
+         |  FROM p),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2
+         |  FROM sl),
+         |h AS (
+         |  SELECT asset_id, n,
+         |    floor(((n * sxy - sx * sy) /
+         |          nullif(sqrt(greatest(n * sx2 - sx * sx, 0.0))
+         |                 * sqrt(greatest(n * sy2 - sy * sy, 0.0)), 0.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS rho
+         |  FROM g)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_pairs, rho,
+         |  floor((n * rho * rho) * 1000000.0 + 0.5) / 1000000.0 AS lm
+         |FROM h ORDER BY asset_id""".stripMargin,
+    "cdc_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, toks,
+         |    CAST(unnest(range(1, CAST(len(toks) AS INTEGER) + 1)) AS INTEGER) AS i
+         |  FROM tk WHERE len(toks) >= 1),
+         |t2 AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok,
+         |    CASE WHEN ${strHashOf("toks[i]")} % 16 = 0 THEN 1 ELSE 0 END AS cut
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM t2),
+         |g AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(min(pos) AS BIGINT) AS start_tok,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS s
+         |  FROM c GROUP BY doc_id, chunk_id)
+         |SELECT doc_id, chunk_id, start_tok, n_tokens,
+         |  ${strHashOf("s")} AS chunk_hash
+         |FROM g ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  /** r10 wave-AJ oracles: Ehlers decycler + zigzag recursive CTEs,
+    * the ADF/KPSS unit-root pair, and CDC chunk-level dedup.
+    */
+  private lazy val waveNOracles: Map[String, String] = {
+    val (k0, c2, c3) = graft.operators.Analytics.highpassCoeffs(20)
+    val strHashOf = (e: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len($e) + 1),
+         |        j -> CAST(unicode(substr($e, CAST(j AS INTEGER), 1)) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+    // the cdc_chunks chunk table (doc_id, chunk_hash), shared with C149
+    val cdcChunkCtes =
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, toks,
+         |    CAST(unnest(range(1, CAST(len(toks) AS INTEGER) + 1)) AS INTEGER) AS i
+         |  FROM tk WHERE len(toks) >= 1),
+         |t2 AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok,
+         |    CASE WHEN ${strHashOf("toks[i]")} % 16 = 0 THEN 1 ELSE 0 END AS cut
+         |  FROM tok),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM t2),
+         |g AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    string_agg(tok, ' ' ORDER BY pos) AS s
+         |  FROM c GROUP BY doc_id, chunk_id),
+         |gg AS (
+         |  SELECT doc_id, chunk_id, ${strHashOf("s")} AS chunk_hash FROM g)""".stripMargin
+    Map(
+    "ehlers_decycler" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value, CAST(0.0 AS DOUBLE) AS hp,
+         |    CAST(NULL AS DOUBLE) AS hpp, CAST(NULL AS DOUBLE) AS pv
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    CASE WHEN b.rn = 2 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE floor(($k0 * ((b.value - 2.0 * r.value) + r.pv)
+         |                     + $c2 * r.hp + $c3 * r.hpp) * 1000000.0 + 0.5) / 1000000.0
+         |    END,
+         |    r.hp, r.value
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, hp,
+         |  floor((value - hp) * 1000000.0 + 0.5) / 1000000.0 AS decycler
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "zigzag" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value, CAST(0 AS BIGINT) AS dir,
+         |    value AS hi, value AS lo,
+         |    CAST(NULL AS DOUBLE) AS "pivot", CAST(0 AS BIGINT) AS kind
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    CAST(CASE WHEN r.dir = 0 THEN
+         |           CASE WHEN b.value >= r.lo * (1.0 + 0.05) THEN 1
+         |                WHEN b.value <= r.hi * (1.0 - 0.05) THEN -1
+         |                ELSE 0 END
+         |         WHEN r.dir = 1 THEN
+         |           CASE WHEN b.value > r.hi THEN 1
+         |                WHEN b.value <= r.hi * (1.0 - 0.05) THEN -1
+         |                ELSE 1 END
+         |         ELSE
+         |           CASE WHEN b.value < r.lo THEN -1
+         |                WHEN b.value >= r.lo * (1.0 + 0.05) THEN 1
+         |                ELSE -1 END
+         |    END AS BIGINT),
+         |    CASE WHEN r.dir = 0 THEN
+         |           CASE WHEN b.value >= r.lo * (1.0 + 0.05) THEN b.value
+         |                WHEN b.value <= r.hi * (1.0 - 0.05) THEN r.hi
+         |                WHEN b.value > r.hi THEN b.value ELSE r.hi END
+         |         WHEN r.dir = 1 THEN
+         |           CASE WHEN b.value > r.hi THEN b.value ELSE r.hi END
+         |         ELSE
+         |           CASE WHEN b.value < r.lo THEN r.hi
+         |                WHEN b.value >= r.lo * (1.0 + 0.05) THEN b.value
+         |                ELSE r.hi END
+         |    END,
+         |    CASE WHEN r.dir = 0 THEN
+         |           CASE WHEN b.value >= r.lo * (1.0 + 0.05) THEN r.lo
+         |                WHEN b.value <= r.hi * (1.0 - 0.05) THEN b.value
+         |                WHEN b.value < r.lo THEN b.value ELSE r.lo END
+         |         WHEN r.dir = 1 THEN
+         |           CASE WHEN b.value > r.hi THEN r.lo
+         |                WHEN b.value <= r.hi * (1.0 - 0.05) THEN b.value
+         |                ELSE r.lo END
+         |         ELSE
+         |           CASE WHEN b.value < r.lo THEN b.value ELSE r.lo END
+         |    END,
+         |    CASE WHEN r.dir = 0 AND b.value >= r.lo * (1.0 + 0.05) THEN r.lo
+         |         WHEN r.dir = 0 AND b.value <= r.hi * (1.0 - 0.05) THEN r.hi
+         |         WHEN r.dir = 1 AND NOT b.value > r.hi
+         |              AND b.value <= r.hi * (1.0 - 0.05) THEN r.hi
+         |         WHEN r.dir = -1 AND NOT b.value < r.lo
+         |              AND b.value >= r.lo * (1.0 + 0.05) THEN r.lo
+         |         ELSE NULL END,
+         |    CAST(CASE WHEN r.dir = 0 AND b.value >= r.lo * (1.0 + 0.05) THEN -1
+         |         WHEN r.dir = 0 AND b.value <= r.hi * (1.0 - 0.05) THEN 1
+         |         WHEN r.dir = 1 AND NOT b.value > r.hi
+         |              AND b.value <= r.hi * (1.0 - 0.05) THEN 1
+         |         WHEN r.dir = -1 AND NOT b.value < r.lo
+         |              AND b.value >= r.lo * (1.0 + 0.05) THEN -1
+         |         ELSE 0 END AS BIGINT)
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, dir,
+         |  CASE WHEN dir = -1 THEN lo ELSE hi END AS ext, "pivot",
+         |  kind AS pivot_kind
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "adf_test" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |p AS (SELECT asset_id, list(value ORDER BY date) AS pa,
+         |        CAST(len(list(value)) AS INTEGER) AS m
+         |      FROM daily GROUP BY asset_id HAVING len(list(value)) >= 4),
+         |sl AS (
+         |  SELECT asset_id, CAST(m - 1 AS DOUBLE) AS n,
+         |         list_slice(pa, 1, m - 1) AS xa,
+         |         list_transform(range(2, m + 1), i -> pa[i] - pa[i-1]) AS ya
+         |  FROM p),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x * x) AS sx2,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x * x) AS sy2
+         |  FROM sl),
+         |h1 AS (
+         |  SELECT asset_id, n, sx, sy, sxy, sy2,
+         |    n * sx2 - sx * sx AS den,
+         |    (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0) AS beta
+         |  FROM g),
+         |h2 AS (
+         |  SELECT asset_id, n, sxy, sy2, sy, den, beta,
+         |    (sy - beta * sx) / n AS alpha
+         |  FROM h1),
+         |h3 AS (
+         |  SELECT asset_id, n, den, beta,
+         |    sqrt(greatest(sy2 - alpha * sy - beta * sxy, 0.0) / (n - 2) * n / den) AS se
+         |  FROM h2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_obs,
+         |  floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |  floor((beta / nullif(se, 0)) * 1000000.0 + 0.5) / 1000000.0 AS adf_t
+         |FROM h3 ORDER BY asset_id""".stripMargin,
+    "kpss_test" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p AS (SELECT asset_id, list(ret ORDER BY date) AS ra
+         |      FROM rets GROUP BY asset_id HAVING len(list(ret)) >= 2),
+         |g AS (
+         |  SELECT asset_id, ra, CAST(len(ra) AS DOUBLE) AS n,
+         |    floor((list_reduce(list_prepend(0.0, ra), (a, x) -> a + x)
+         |           / CAST(len(ra) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mu
+         |  FROM p),
+         |e AS (SELECT asset_id, n, list_transform(ra, x -> x - mu) AS ea FROM g),
+         |s AS (
+         |  SELECT asset_id, n,
+         |    list_reduce(list_prepend(0.0, ea), (a, x) -> a + x * x) / n AS s2hat,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |        k -> list_reduce(list_prepend(0.0, list_slice(ea, 1, k)),
+         |               (a, x) -> a + x))),
+         |      (a, x) -> a + x * x) AS ssum
+         |  FROM e)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_rets,
+         |  floor((ssum / (n * n * nullif(s2hat, 0))) * 1000000.0 + 0.5) / 1000000.0 AS kpss
+         |FROM s ORDER BY asset_id""".stripMargin,
+    "cdc_dedup" ->
+      s"""$cdcChunkCtes,
+         |df AS (
+         |  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+         |  FROM gg GROUP BY chunk_hash)
+         |SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  (1000 * CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS shared_pm
+         |FROM gg JOIN df USING (chunk_hash)
+         |GROUP BY gg.doc_id ORDER BY gg.doc_id""".stripMargin)
+  }
 
   private lazy val waveJOracles: Map[String, String] = Map(
     "tick_bars" ->

@@ -36,6 +36,10 @@ import graft.operators.Micro.jvm6
   * (field names are not consulted):
   *   - `kama`         in (date, close, er, sc)        out (date, close, er, kama)
   *   - `mcginley`     in (date, close, kn)            out (date, close, md)
+  *   - `laguerre`     in (date, close)                out (date, close, lrsi)
+  *   - `super_smoother` in (date, close, c1, c2, c3)  out (date, close, ss)
+  *   - `highpass2`    in (date, close, k0, c2, c3)    out (date, close, hp)
+  *   - `zigzag`       in (date, close, th)            out (date, close, dir, ext, pivot, kind)
   *   - `heikin_ashi`  in (date, open, high, low, close) out (date, high, low, ho, hc)
   *   - `supertrend`   in (date, close, bub, blb)      out (date, close, fub, flb, dir)
   *   - `psar`         in (date, high, low, close)     out (date, high, low, close, sar, ep, af, dir)
@@ -119,6 +123,134 @@ case class RecurrenceFold(child: Expression, op: String)
             }
           out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, md))
           prevMd = md
+          i += 1
+        }
+      case "laguerre" =>
+        // Ehlers' 4-stage Laguerre filter with γ = 0.5 (exact binary,
+        // so every step is a fixed IEEE op sequence): the cascade
+        // L0..L3 updates per bar, LRSI = CU/(CU+CD) over the three
+        // stage gaps. Seed bar fills every stage with the close (all
+        // gaps 0 → denominator 0 → null LRSI). Null close (or a state
+        // poisoned by one) emits null state for the rest of the series.
+        var p0: java.lang.Double = null; var p1: java.lang.Double = null
+        var p2: java.lang.Double = null; var p3: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 2)
+          val close = d(r, 1)
+          var lrsi: java.lang.Double = null
+          if (i == 0) {
+            p0 = close; p1 = close; p2 = close; p3 = close
+            // all gaps zero at the seed → denominator 0 → null
+          } else if (close == null || p0 == null || p1 == null ||
+                     p2 == null || p3 == null) {
+            p0 = null; p1 = null; p2 = null; p3 = null
+          } else {
+            val l0 = jvm6(0.5 * close + 0.5 * p0)
+            val l1 = jvm6(-0.5 * l0 + p0 + 0.5 * p1)
+            val l2 = jvm6(-0.5 * l1 + p1 + 0.5 * p2)
+            val l3 = jvm6(-0.5 * l2 + p2 + 0.5 * p3)
+            val cu = math.max(l0 - l1, 0.0) + math.max(l1 - l2, 0.0) +
+              math.max(l2 - l3, 0.0)
+            val cd = math.max(l1 - l0, 0.0) + math.max(l2 - l1, 0.0) +
+              math.max(l3 - l2, 0.0)
+            lrsi = if (cu + cd == 0.0) null else jvm6(cu / (cu + cd))
+            p0 = l0; p1 = l1; p2 = l2; p3 = l3
+          }
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, lrsi))
+          i += 1
+        }
+      case "super_smoother" =>
+        // Ehlers' two-pole super smoother: ss = c1·(p + p₋₁)/2 +
+        // c2·ss₋₁ + c3·ss₋₂, seeded ss₁ = p₁, ss₂ = p₂. The
+        // coefficients arrive per row as u6-rounded doubles (computed
+        // once driver-side — the single libm exp/cos calls never run
+        // per-bar), so both engines multiply identical constants.
+        var pClose: java.lang.Double = null
+        var s1: java.lang.Double = null // ss_{t-1}
+        var s2: java.lang.Double = null // ss_{t-2}
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 5)
+          val close = d(r, 1)
+          val c1 = d(r, 2); val c2 = d(r, 3); val c3 = d(r, 4)
+          val ss: java.lang.Double =
+            if (i <= 1) close
+            else if (close == null || pClose == null || s1 == null || s2 == null ||
+                     c1 == null || c2 == null || c3 == null) null
+            else jvm6(c1 * ((close + pClose) / 2.0) + c2 * s1 + c3 * s2)
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, ss))
+          pClose = close; s2 = s1; s1 = ss
+          i += 1
+        }
+      case "highpass2" =>
+        // Two-pole high-pass: hp = k0·(p − 2p₋₁ + p₋₂) + c2·hp₋₁ +
+        // c3·hp₋₂, seeded hp₁ = hp₂ = 0 (the standard Ehlers seeding —
+        // the filter settles within ~2 periods). Coefficients arrive
+        // per row as u6-rounded driver constants. Input poly needs TWO
+        // previous closes, so bars 1-2 emit the zero seed.
+        var pc1: java.lang.Double = null // p_{t-1}
+        var pc2: java.lang.Double = null // p_{t-2}
+        var h1: java.lang.Double = null
+        var h2: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 5)
+          val close = d(r, 1)
+          val k0 = d(r, 2); val c2 = d(r, 3); val c3 = d(r, 4)
+          val hp: java.lang.Double =
+            if (i <= 1) 0.0
+            else if (close == null || pc1 == null || pc2 == null ||
+                     h1 == null || h2 == null ||
+                     k0 == null || c2 == null || c3 == null) null
+            else jvm6(k0 * ((close - 2.0 * pc1) + pc2) + c2 * h1 + c3 * h2)
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, hp))
+          pc2 = pc1; pc1 = close; h2 = h1; h1 = hp
+          i += 1
+        }
+      case "zigzag" =>
+        // Threshold-reversal pivots: while trending up the running
+        // extreme ratchets with new highs; a close at or below
+        // ext·(1−th) CONFIRMS the extreme as a swing HIGH and flips
+        // the leg (mirrored for downtrends). Before the first
+        // reversal (dir 0) both extremes are tracked and the first
+        // threshold breach picks the initial leg. All comparisons are
+        // raw IEEE products of u6-grid closes with the exact decimal
+        // 1±th — identical verdicts cross-engine. Contract:
+        // positive closes, non-null (the LWW daily panel).
+        var dir = 0L
+        var hi = 0.0; var lo = 0.0
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 3)
+          val close = r.getDouble(1)
+          val th = r.getDouble(2)
+          var pivot: java.lang.Double = null
+          var kind = 0L
+          if (i == 0) { hi = close; lo = close }
+          else if (dir == 0L) {
+            if (close >= lo * (1.0 + th)) {
+              pivot = lo; kind = -1L; dir = 1L; hi = close
+            } else if (close <= hi * (1.0 - th)) {
+              pivot = hi; kind = 1L; dir = -1L; lo = close
+            } else {
+              if (close > hi) hi = close
+              if (close < lo) lo = close
+            }
+          } else if (dir == 1L) {
+            if (close > hi) hi = close
+            else if (close <= hi * (1.0 - th)) {
+              pivot = hi; kind = 1L; dir = -1L; lo = close
+            }
+          } else {
+            if (close < lo) lo = close
+            else if (close >= lo * (1.0 + th)) {
+              pivot = lo; kind = -1L; dir = 1L; hi = close
+            }
+          }
+          val ext = if (dir == -1L) lo else hi
+          out(i) = new GenericInternalRow(
+            Array[Any](r.getInt(0), close, dir, ext, pivot, kind))
           i += 1
         }
       case "heikin_ashi" =>
@@ -250,11 +382,16 @@ case class RecurrenceFold(child: Expression, op: String)
 }
 
 object RecurrenceFold {
-  val Ops: Set[String] = Set("kama", "mcginley", "heikin_ashi", "supertrend", "psar", "fisher")
+  val Ops: Set[String] = Set("kama", "mcginley", "laguerre", "super_smoother",
+    "highpass2", "zigzag", "heikin_ashi", "supertrend", "psar", "fisher")
 
   def inArity(op: String): Int = op match {
     case "kama" => 4
     case "mcginley" => 3
+    case "laguerre" => 2
+    case "super_smoother" => 5
+    case "highpass2" => 5
+    case "zigzag" => 3
     case "heikin_ashi" => 5
     case "supertrend" => 4
     case "psar" => 4
@@ -269,6 +406,22 @@ object RecurrenceFold {
     case "mcginley" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("close", DoubleType), StructField("md", DoubleType)))
+    case "laguerre" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("lrsi", DoubleType)))
+    case "super_smoother" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("ss", DoubleType)))
+    case "highpass2" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("hp", DoubleType)))
+    case "zigzag" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType),
+      StructField("dir", LongType, nullable = false),
+      StructField("ext", DoubleType),
+      StructField("pivot", DoubleType),
+      StructField("kind", LongType, nullable = false)))
     case "heikin_ashi" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("high", DoubleType), StructField("low", DoubleType),

@@ -7414,4 +7414,257 @@ object Analytics {
         u6(foldSum(col("tail")) / col("k").cast("double")).as("cdar"))
       .orderBy(col("asset_id"))
   }
+
+  /** B242 `laguerre_rsi` — Ehlers' Laguerre RSI: a 4-stage Laguerre
+    * filter cascade (γ = 0.5 — EXACT in binary, so every step is a
+    * fixed IEEE sequence with no rounding hazard) whose stage gaps
+    * feed an RSI-style up/down ratio — near-zero-lag momentum from
+    * four recursive state values. Runs as its own `laguerre`
+    * [[graft.expressions.RecurrenceFold]] kind (O(h) compiled scan,
+    * u6 per stage per step); the seed bar fills all stages with the
+    * close (denominator 0 → NULL), and the DuckDB recursive CTE
+    * replays the cascade column-for-column.
+    */
+  def laguerreRsi(panel: DataFrame): DataFrame = {
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value")))).as("bs"))
+      .withColumn("lg", Kernels.recurrence(col("bs"), "laguerre"))
+      .select(col("asset_id"), explode(col("lg")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.lrsi").as("lrsi"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** The u6-rounded two-pole super-smoother coefficients for period
+    * `n` — computed ONCE driver-side (the only libm exp/cos calls in
+    * the operator) and embedded as identical literals in both engines.
+    */
+  private[graft] def superSmootherCoeffs(n: Int): (Double, Double, Double) = {
+    val arg = 1.414 * math.Pi / n
+    val a1 = math.exp(-arg)
+    val c2 = graft.operators.Micro.jvm6(2.0 * a1 * math.cos(arg))
+    val c3 = graft.operators.Micro.jvm6(-a1 * a1)
+    val c1 = graft.operators.Micro.jvm6(1.0 - c2 - c3)
+    (c1, c2, c3)
+  }
+
+  /** B243 `super_smoother` — Ehlers' two-pole super smoother: a
+    * Butterworth-derived IIR filter (ss = c1·(p+p₋₁)/2 + c2·ss₋₁ +
+    * c3·ss₋₂) that kills high-frequency noise with roughly half an
+    * SMA's lag — the DSP-grade smoothing primitive his oscillator
+    * family builds on. Coefficients are u6-rounded driver-side
+    * constants ([[superSmootherCoeffs]]); the two-deep recurrence
+    * runs as the `super_smoother` [[graft.expressions
+    * .RecurrenceFold]] kind, seeded ss₁ = p₁, ss₂ = p₂, u6 per step.
+    */
+  def superSmoother(panel: DataFrame, n: Int = 10): DataFrame = {
+    val (c1, c2, c3) = superSmootherCoeffs(n)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"),
+        lit(c1).as("c1"), lit(c2).as("c2"), lit(c3).as("c3")))).as("bs"))
+      .withColumn("sm", Kernels.recurrence(col("bs"), "super_smoother"))
+      .select(col("asset_id"), explode(col("sm")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.ss").as("ss"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B244 `t3` — Tillson's T3 moving average: six chained EW stages
+    * (each the [[ewma]] horner pair, u6-ROUNDED before feeding the
+    * next — the [[hma]]/[[tsi]] chain discipline) combined with the
+    * volume-factor polynomial c1·e6 + c2·e5 + c3·e4 + c4·e3
+    * (v = 0.7 → the EXACT 3-decimal coefficients −0.343, 2.499,
+    * −6.069, 4.913). Smoother than a triple EMA at similar lag. All
+    * six frames ride ONE asset_id shuffle; the decay 0.666667 is
+    * kama's u6 constant.
+    */
+  def t3(panel: DataFrame, span: Int = 20): DataFrame = {
+    val w = 0.666667 // u6(1 − 2/(n+1)), n = 5 — kama's fast-SC constant
+    val frame = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    def ew(c: Column): Column = {
+      val arr = collect_list(c).over(frame)
+      u6(Kernels.seqFold(arr, "horner", w) /
+        Kernels.seqFold(arr, "horner_count", w))
+    }
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("e1", ew(col("value")))
+      .withColumn("e2", ew(col("e1")))
+      .withColumn("e3", ew(col("e2")))
+      .withColumn("e4", ew(col("e3")))
+      .withColumn("e5", ew(col("e4")))
+      .withColumn("e6", ew(col("e5")))
+      .select(col("asset_id"), col("date"), col("value"), col("e3"), col("e6"),
+        u6(lit(-0.343) * col("e6") + lit(2.499) * col("e5") +
+          lit(-6.069) * col("e4") + lit(4.913) * col("e3")).as("t3"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B245 `arch_test` — Engle's ARCH-LM test at lag 1: [[autocorr]]'s
+    * machinery applied to SQUARED returns (volatility clustering shows
+    * up as serial correlation in r², not r), plus the LM statistic
+    * n·ρ² (χ²₁ under the no-ARCH null — above ~3.84 rejects at 5%).
+    * Same fold-based exact correlation (date-ordered arrays, compiled
+    * dot product), x = u6(ret²) so both engines square the identical
+    * grid values.
+    */
+  def archTest(panel: DataFrame): DataFrame = {
+    val n = col("n")
+    dailyReturnsCore(panel)
+      .withColumn("x", u6(col("ret") * col("ret")))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("x")))),
+        s => s("x")).as("ra"))
+      .withColumn("m", size(col("ra")))
+      .filter(col("m") >= 3)
+      .withColumn("xa", slice(col("ra"), lit(1), col("m") - 1))
+      .withColumn("ya", slice(col("ra"), lit(2), col("m") - 1))
+      .withColumn("n", (col("m") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den",
+        sqrt(greatest(n * col("sx2") - col("sx") * col("sx"), lit(0.0))) *
+          sqrt(greatest(n * col("sy2") - col("sy") * col("sy"), lit(0.0))))
+      .withColumn("rho", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), n.cast("long").as("n_pairs"), col("rho"),
+        u6(n * col("rho") * col("rho")).as("lm"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** The u6-rounded two-pole high-pass coefficients for period `n`
+    * (α from the Ehlers cosine form) — libm runs ONCE driver-side.
+    */
+  private[graft] def highpassCoeffs(n: Int): (Double, Double, Double) = {
+    val arg = 2.0 * math.Pi / n
+    val alpha = (math.cos(arg) + math.sin(arg) - 1.0) / math.cos(arg)
+    val k0 = graft.operators.Micro.jvm6((1.0 - alpha / 2.0) * (1.0 - alpha / 2.0))
+    val c2 = graft.operators.Micro.jvm6(2.0 * (1.0 - alpha))
+    val c3 = graft.operators.Micro.jvm6(-(1.0 - alpha) * (1.0 - alpha))
+    (k0, c2, c3)
+  }
+
+  /** B246 `ehlers_decycler` — Ehlers' decycler: price minus its
+    * two-pole HIGH-PASS component (hp = k0·(p − 2p₋₁ + p₋₂) + c2·hp₋₁
+    * + c3·hp₋₂, zero-seeded) — what's left is the trend with the
+    * cycle amplitude surgically removed, at near-zero lag (the
+    * subtraction trick that beats low-pass smoothing on lag). Runs as
+    * the generic `highpass2` [[graft.expressions.RecurrenceFold]]
+    * kind with u6 driver-side coefficients ([[highpassCoeffs]]).
+    */
+  def ehlersDecycler(panel: DataFrame, n: Int = 20): DataFrame = {
+    val (k0, c2, c3) = highpassCoeffs(n)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"),
+        lit(k0).as("k0"), lit(c2).as("c2"), lit(c3).as("c3")))).as("bs"))
+      .withColumn("hh", Kernels.recurrence(col("bs"), "highpass2"))
+      .select(col("asset_id"), explode(col("hh")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.hp").as("hp"),
+        u6(col("h.close") - col("h.hp")).as("decycler"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B247 `zigzag` — threshold-reversal swing pivots: an uptrend leg's
+    * running high ratchets until price closes `th` below it, which
+    * CONFIRMS the high as a pivot and flips the leg (mirrored down) —
+    * the swing-structure primitive Elliott/harmonic tooling consumes,
+    * and inherently sequential (each pivot depends on every bar since
+    * the last). Runs as the `zigzag` [[graft.expressions
+    * .RecurrenceFold]] kind — O(h) compiled scan, state = (leg
+    * direction, running extreme); per-bar output carries the leg, the
+    * ratcheting extreme, and the confirmed pivot (price + side) on
+    * flip bars. Comparisons are raw IEEE products of u6 closes with
+    * exact-decimal 1 ± th.
+    */
+  def zigzag(panel: DataFrame, th: Double = 0.05): DataFrame = {
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"),
+        lit(th).as("th")))).as("bs"))
+      .withColumn("zz", Kernels.recurrence(col("bs"), "zigzag"))
+      .select(col("asset_id"), explode(col("zz")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.dir").as("dir"),
+        col("h.ext").as("ext"), col("h.pivot").as("pivot"),
+        col("h.kind").as("pivot_kind"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B248 `adf_test` — Dickey–Fuller unit-root test per asset (lag 0,
+    * with intercept): regress Δpₜ on pₜ₋₁; the t-statistic of the
+    * slope is the ADF stat (strongly negative rejects the unit root —
+    * mean-reversion; near 0 looks like a random walk). The
+    * single-series sibling of the pairs-trading `pairs_adf` residual
+    * test. OLS from the five date-ordered fold sums, then a FIXED
+    * IEEE sequence for β, α, SSE and the t-stat (se² = σ̂²·n/den —
+    * both engines run the identical ops); n < 4, a flat regressor or
+    * zero residual variance NULL out.
+    */
+  def adfTest(panel: DataFrame): DataFrame = {
+    val n = col("n")
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("value")))),
+        s => s("value")).as("pa"))
+      .withColumn("m", size(col("pa")))
+      .filter(col("m") >= 4)
+      .withColumn("xa", slice(col("pa"), lit(1), col("m") - 1))
+      .withColumn("ya", expr(
+        "transform(sequence(1, size(pa) - 1), i -> pa[i] - pa[i-1])"))
+      .withColumn("n", (col("m") - 1).cast("double"))
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("sy2", foldSumSq(col("ya")))
+      .withColumn("den", n * col("sx2") - col("sx") * col("sx"))
+      .withColumn("beta", (n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / n)
+      .withColumn("sse", greatest(
+        col("sy2") - col("alpha") * col("sy") - col("beta") * col("sxy"), lit(0.0)))
+      .withColumn("se", sqrt(col("sse") / (n - 2) * n / col("den")))
+      .select(col("asset_id"), n.cast("long").as("n_obs"),
+        u6(col("beta")).as("beta"),
+        u6(col("beta") / when(col("se") === 0, lit(null)).otherwise(col("se")))
+          .as("adf_t"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B249 `kpss_test` — KPSS level-stationarity statistic per asset on
+    * the u6 daily returns (the null is the OPPOSITE of [[adfTest]]'s:
+    * stationary under H₀, so the two screens bracket a series):
+    * Σ Sₜ²/(n²·σ̂²) with Sₜ the running sum of demeaned returns and
+    * σ̂² the plain variance (Bartlett bandwidth 0 — exact, no kernel
+    * weights). Prefix sums rebuild per position from the date-sorted
+    * array (the [[portfolioNav]] bounded-O(days²) convention — per
+    * asset history is calendar-bounded), every fold left-assoc.
+    */
+  def kpssTest(panel: DataFrame): DataFrame = {
+    val n = col("n")
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 2)
+      .withColumn("mu", u6(foldSum(col("ra")) / n))
+      .withColumn("ea", transform(col("ra"), x => x - col("mu")))
+      .withColumn("s2hat", Kernels.seqFold(col("ea"), "sumsq") / n)
+      .withColumn("ssum", Kernels.seqFold(
+        expr("transform(sequence(1, size(ea)), " +
+          "k -> aggregate(slice(ea, 1, k), 0.0D, (a, x) -> a + x))"), "sumsq"))
+      .select(col("asset_id"), n.cast("long").as("n_rets"),
+        u6(col("ssum") / (n * n *
+          when(col("s2hat") === 0, lit(null)).otherwise(col("s2hat"))))
+          .as("kpss"))
+      .orderBy(col("asset_id"))
+  }
 }

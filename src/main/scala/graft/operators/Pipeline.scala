@@ -2054,6 +2054,64 @@ object Pipeline {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** C148 `cdc_chunks` — content-defined chunking at token
+    * granularity: a token whose engine-portable hash ≡ 0 (mod
+    * `divisor`) ENDS its chunk, so boundaries depend only on LOCAL
+    * content — an insertion shifts one chunk, not every chunk after
+    * it (the property that makes CDC the dedup-stable splitter, vs
+    * C136 [[docChunks]]' fixed windows where one inserted token
+    * re-hashes the whole tail). Expected chunk length = `divisor`
+    * tokens. All-integer (PortableStrHash per token and per chunk —
+    * exact DuckDB replay); one explode + one doc_id-keyed window, the
+    * same scale shape as every line/token-level corpus op here.
+    */
+  def cdcChunks(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("cut",
+        when(pmod(graft.expressions.Kernels.strHash(col("tok")),
+          lit(divisor.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).cast("long").as("start_tok"),
+        graft.expressions.Kernels.strHash(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s("tok")))).as("chunk_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tokens"), col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** C149 `cdc_dedup` — chunk-level duplication via [[cdcChunks]]'
+    * content-defined boundaries: a chunk hash seen in MORE THAN ONE
+    * document marks shared content, and each doc reports how much of
+    * it is shared (boilerplate headers, licence blocks, quoted
+    * passages — the sub-document duplication exact dedup can't see
+    * and fixed windows mis-align on). This is WHY the chunker is
+    * content-defined: an edited copy still shares every untouched
+    * chunk verbatim. One chunk_hash-keyed shuffle over the chunk
+    * table (integer counts), then a doc_id rollup — no pairs, no
+    * joins, the 100 TB-safe shape.
+    */
+  def cdcDedup(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    val chunks = cdcChunks(documents, divisor)
+      .select(col("doc_id"), col("chunk_hash"))
+    val df = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks
+      .join(df, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_pm", expr("(1000 * n_shared) div n_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"), col("shared_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C129 `max_char_run` — longest single-character run per document
     * ([[graft.expressions.MaxCharRun]], one compiled pass — no char
     * explode, no islands shuffle) plus the spam flag at `spamRun`:

@@ -692,6 +692,24 @@ object StreamReplay {
   def streamExpectancy(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.expectancyStream)
 
+  // ── wave AI twins ───────────────────────────────────────────────────
+  def streamLaguerreRsi(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.laguerreRsiStream(_))
+  def streamSuperSmoother(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.superSmootherStream(_))
+  def streamT3(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.t3Stream(_))
+  def streamArchTest(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_pairs")(StreamingOps.archTestStream)
+
+  // ── wave AK twins ───────────────────────────────────────────────────
+  def streamDecycler(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.decyclerStream(_))
+  def streamZigzag(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.zigzagStream(_))
+  def streamAdfTest(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_obs")(StreamingOps.adfTestStream)
+
   def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
   def streamRollingMoments(s: SparkSession, dir: String): DataFrame =

@@ -5602,4 +5602,325 @@ object StreamingOps {
           } else Iterator.empty
       }
   }
+
+  // ── wave AI: Ehlers-filter and ARCH twins ──────────────────────────
+
+  case class LagState(l0: Double, l1: Double, l2: Double, l3: Double,
+                      seen: Boolean, poisoned: Boolean)
+  case class LagPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      lrsi: Option[Double])
+
+  /** D135 `laguerreRsiStream` — streaming face of B242 `laguerre_rsi`:
+    * the four Laguerre stages ARE the state (O(1) per asset); each
+    * arrival replays the γ = 0.5 cascade step bit-exactly. Seed bar
+    * emits NULL (all gaps zero).
+    */
+  def laguerreRsiStream(ticks: Dataset[DailyTick]): Dataset[LagPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[LagState, LagPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[LagState]) =>
+          var st = state.getOption.getOrElse(
+            LagState(0.0, 0.0, 0.0, 0.0, seen = false, poisoned = false))
+          val out = Vector.newBuilder[LagPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (!st.seen) {
+              st = LagState(t.value, t.value, t.value, t.value,
+                seen = true, poisoned = false)
+              out += LagPoint(assetId, t.date, t.value, None)
+            } else if (st.poisoned) {
+              out += LagPoint(assetId, t.date, t.value, None)
+            } else {
+              val l0 = graft.operators.Micro.jvm6(0.5 * t.value + 0.5 * st.l0)
+              val l1 = graft.operators.Micro.jvm6(-0.5 * l0 + st.l0 + 0.5 * st.l1)
+              val l2 = graft.operators.Micro.jvm6(-0.5 * l1 + st.l1 + 0.5 * st.l2)
+              val l3 = graft.operators.Micro.jvm6(-0.5 * l2 + st.l2 + 0.5 * st.l3)
+              val cu = math.max(l0 - l1, 0.0) + math.max(l1 - l2, 0.0) +
+                math.max(l2 - l3, 0.0)
+              val cd = math.max(l1 - l0, 0.0) + math.max(l2 - l1, 0.0) +
+                math.max(l3 - l2, 0.0)
+              st = LagState(l0, l1, l2, l3, seen = true, poisoned = false)
+              out += LagPoint(assetId, t.date, t.value,
+                if (cu + cd == 0.0) None
+                else Some(graft.operators.Micro.jvm6(cu / (cu + cd))))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class SsState(pc: Double, s1: Double, s2: Double, n: Long)
+  case class SsPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                     ss: Double)
+
+  /** D136 `superSmootherStream` — streaming face of B243
+    * `super_smoother`: previous close + the two previous filter values
+    * — O(1) state for the two-pole IIR; coefficients are the same
+    * u6-rounded driver constants.
+    */
+  def superSmootherStream(ticks: Dataset[DailyTick], n: Int = 10): Dataset[SsPoint] = {
+    val (c1, c2, c3) = graft.operators.Analytics.superSmootherCoeffs(n)
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[SsState, SsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[SsState]) =>
+          var st = state.getOption.getOrElse(SsState(0.0, 0.0, 0.0, 0L))
+          val out = Vector.newBuilder[SsPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val ss =
+              if (st.n <= 1) t.value
+              else graft.operators.Micro.jvm6(
+                c1 * ((t.value + st.pc) / 2.0) + c2 * st.s1 + c3 * st.s2)
+            st = SsState(t.value, ss, st.s1, st.n + 1)
+            out += SsPoint(assetId, t.date, t.value, ss)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class T3State(raw: Vector[Double], r1: Vector[Double], r2: Vector[Double],
+                     r3: Vector[Double], r4: Vector[Double], r5: Vector[Double])
+  case class T3Point(asset_id: Long, date: java.sql.Date, value: Double,
+                     e3: Double, e6: Double, t3: Double)
+
+  /** D137 `t3Stream` — streaming face of B244 `t3`: six 20-rings, one
+    * per EW stage, each fed the previous stage's u6'd output — the
+    * chained horner pairs replayed bit-exactly. O(6·span) state.
+    */
+  def t3Stream(ticks: Dataset[DailyTick], span: Int = 20): Dataset[T3Point] = {
+    val w = 0.666667
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    def ew(ring: Vector[Double]): Double = graft.operators.Micro.jvm6(
+      ring.foldLeft(0.0)((a, x) => a * w + x) /
+        ring.foldLeft(0.0)((a, _) => a * w + 1.0))
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[T3State, T3Point](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[T3State]) =>
+          var st = state.getOption.getOrElse(T3State(Vector.empty, Vector.empty,
+            Vector.empty, Vector.empty, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[T3Point]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val raw = (st.raw :+ t.value).takeRight(span)
+            val e1 = ew(raw)
+            val r1 = (st.r1 :+ e1).takeRight(span)
+            val e2 = ew(r1)
+            val r2 = (st.r2 :+ e2).takeRight(span)
+            val e3 = ew(r2)
+            val r3 = (st.r3 :+ e3).takeRight(span)
+            val e4 = ew(r3)
+            val r4 = (st.r4 :+ e4).takeRight(span)
+            val e5 = ew(r4)
+            val r5 = (st.r5 :+ e5).takeRight(span)
+            val e6 = ew(r5)
+            st = T3State(raw, r1, r2, r3, r4, r5)
+            out += T3Point(assetId, t.date, t.value, e3, e6,
+              graft.operators.Micro.jvm6(
+                -0.343 * e6 + 2.499 * e5 + -6.069 * e4 + 4.913 * e3))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ArchState(last: Double, seen: Boolean, prevX: Double,
+                       hasX: Boolean, n: Long, sx: Double, sy: Double,
+                       sxy: Double, sx2: Double, sy2: Double)
+  case class ArchUpd(asset_id: Long, n_pairs: Long, rho: Option[Double],
+                     lm: Option[Double])
+
+  /** D138 `archTestStream` — streaming face of B245 `arch_test`,
+    * UPDATE mode: previous close + previous squared return + five
+    * running sums — O(1) state; each (x₋₁, x) pair accumulates into
+    * the five sums in exactly the batch fold's date order (sx/sx2
+    * over the lagged leg, sy/sy2 over the current leg, sxy the dot),
+    * so the final emission is bit-exact against the fold arrays.
+    */
+  def archTestStream(ticks: Dataset[DailyTick]): Dataset[ArchUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ArchState, ArchUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[ArchState]) =>
+          var st = state.getOption.getOrElse(ArchState(0.0, seen = false, 0.0,
+            hasX = false, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val x = graft.operators.Micro.jvm6(r * r)
+              if (st.hasX)
+                st = ArchState(t.value, seen = true, x, hasX = true, st.n + 1,
+                  st.sx + st.prevX, st.sy + x, st.sxy + st.prevX * x,
+                  st.sx2 + st.prevX * st.prevX, st.sy2 + x * x)
+              else
+                st = st.copy(last = t.value, prevX = x, hasX = true)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n >= 2) {
+            val n = st.n.toDouble
+            val den = math.sqrt(math.max(n * st.sx2 - st.sx * st.sx, 0.0)) *
+              math.sqrt(math.max(n * st.sy2 - st.sy * st.sy, 0.0))
+            val rho =
+              if (den == 0.0) None
+              else Some(graft.operators.Micro.jvm6(
+                (n * st.sxy - st.sx * st.sy) / den))
+            Iterator.single(ArchUpd(assetId, st.n, rho,
+              rho.map(r => graft.operators.Micro.jvm6(n * r * r))))
+          } else Iterator.empty
+      }
+  }
+
+  // ── wave AK: decycler / zigzag / ADF twins ─────────────────────────
+
+  case class HpState(pc1: Double, pc2: Double, h1: Double, h2: Double, n: Long)
+  case class HpPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                     hp: Double, decycler: Double)
+
+  /** D139 `decyclerStream` — streaming face of B246 `ehlers_decycler`:
+    * two previous closes + two previous high-pass values — O(1) state
+    * for the two-pole IIR, same u6 driver coefficients.
+    */
+  def decyclerStream(ticks: Dataset[DailyTick], n: Int = 20): Dataset[HpPoint] = {
+    val (k0, c2, c3) = graft.operators.Analytics.highpassCoeffs(n)
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[HpState, HpPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[HpState]) =>
+          var st = state.getOption.getOrElse(HpState(0.0, 0.0, 0.0, 0.0, 0L))
+          val out = Vector.newBuilder[HpPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val hp =
+              if (st.n <= 1) 0.0
+              else graft.operators.Micro.jvm6(
+                k0 * ((t.value - 2.0 * st.pc1) + st.pc2) + c2 * st.h1 + c3 * st.h2)
+            st = HpState(t.value, st.pc1, hp, st.h1, st.n + 1)
+            out += HpPoint(assetId, t.date, t.value, hp,
+              graft.operators.Micro.jvm6(t.value - hp))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ZzState(dir: Long, hi: Double, lo: Double, seen: Boolean)
+  case class ZzPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                     dir: Long, ext: Double, pivot: Option[Double],
+                     pivot_kind: Long)
+
+  /** D140 `zigzagStream` — streaming face of B247 `zigzag`: the leg
+    * direction and running extremes ARE the state (O(1)); pivots
+    * confirm exactly when the batch scan confirms them — zigzag is
+    * the canonical "repaints in chart tools, honest on a stream"
+    * indicator, and this face emits only CONFIRMED pivots.
+    */
+  def zigzagStream(ticks: Dataset[DailyTick], th: Double = 0.05): Dataset[ZzPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[ZzState, ZzPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[ZzState]) =>
+          var st = state.getOption.getOrElse(ZzState(0L, 0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[ZzPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val close = t.value
+            var pivot: Option[Double] = None
+            var kind = 0L
+            if (!st.seen) st = ZzState(0L, close, close, seen = true)
+            else if (st.dir == 0L) {
+              if (close >= st.lo * (1.0 + th)) {
+                pivot = Some(st.lo); kind = -1L
+                st = ZzState(1L, close, st.lo, seen = true)
+              } else if (close <= st.hi * (1.0 - th)) {
+                pivot = Some(st.hi); kind = 1L
+                st = ZzState(-1L, st.hi, close, seen = true)
+              } else st = ZzState(0L,
+                if (close > st.hi) close else st.hi,
+                if (close < st.lo) close else st.lo, seen = true)
+            } else if (st.dir == 1L) {
+              if (close > st.hi) st = st.copy(hi = close)
+              else if (close <= st.hi * (1.0 - th)) {
+                pivot = Some(st.hi); kind = 1L
+                st = ZzState(-1L, st.hi, close, seen = true)
+              }
+            } else {
+              if (close < st.lo) st = st.copy(lo = close)
+              else if (close >= st.lo * (1.0 + th)) {
+                pivot = Some(st.lo); kind = -1L
+                st = ZzState(1L, close, st.lo, seen = true)
+              }
+            }
+            out += ZzPoint(assetId, t.date, close, st.dir,
+              if (st.dir == -1L) st.lo else st.hi, pivot, kind)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AdfState(last: Double, hasLast: Boolean, n: Long, sx: Double,
+                      sy: Double, sxy: Double, sx2: Double, sy2: Double)
+  case class AdfUpd(asset_id: Long, n_obs: Long, beta: Option[Double],
+                    adf_t: Option[Double])
+
+  /** D141 `adfTestStream` — streaming face of B248 `adf_test`, UPDATE
+    * mode: previous close + five running OLS sums — O(1) state; each
+    * (pₜ₋₁, Δpₜ) pair accumulates in the batch fold's date order and
+    * the final emission replays the identical β/α/SSE/t sequence.
+    */
+  def adfTestStream(ticks: Dataset[DailyTick]): Dataset[AdfUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AdfState, AdfUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[AdfState]) =>
+          var st = state.getOption.getOrElse(
+            AdfState(0.0, hasLast = false, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.hasLast) {
+              val x = st.last
+              val y = t.value - st.last
+              st = AdfState(t.value, hasLast = true, st.n + 1,
+                st.sx + x, st.sy + y, st.sxy + x * y,
+                st.sx2 + x * x, st.sy2 + y * y)
+            } else st = st.copy(last = t.value, hasLast = true)
+          }
+          state.update(st)
+          if (st.n >= 3) {
+            val n = st.n.toDouble
+            val den = n * st.sx2 - st.sx * st.sx
+            if (den == 0.0)
+              Iterator.single(AdfUpd(assetId, st.n, None, None))
+            else {
+              val beta = (n * st.sxy - st.sx * st.sy) / den
+              val alpha = (st.sy - beta * st.sx) / n
+              val sse = math.max(st.sy2 - alpha * st.sy - beta * st.sxy, 0.0)
+              val se = math.sqrt(sse / (n - 2) * n / den)
+              Iterator.single(AdfUpd(assetId, st.n,
+                Some(graft.operators.Micro.jvm6(beta)),
+                if (se == 0.0) None
+                else Some(graft.operators.Micro.jvm6(beta / se))))
+            }
+          } else Iterator.empty
+      }
+  }
 }

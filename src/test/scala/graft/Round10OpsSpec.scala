@@ -1805,4 +1805,243 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.expectancy(panel)), "expectancy")
   }
+
+  test("wave-AH filters match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0,
+      101.0, 107.0, 103.0, 112.0)
+    val panel = panelOf(Map(1L -> vals))
+    def tailFrame(xs: Vector[Double], t: Int, k: Int): Vector[Double] =
+      xs.slice(math.max(0, t - k + 1), t + 1)
+
+    // laguerre_rsi: replay the γ=0.5 cascade by hand
+    val lrOut = A.laguerreRsi(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    var (p0, p1, p2, p3) = (vals.head, vals.head, vals.head, vals.head)
+    assert(lrOut.head.isNullAt(lrOut.head.fieldIndex("lrsi")))
+    (1 until vals.size).foreach { t =>
+      val l0 = jvm6(0.5 * vals(t) + 0.5 * p0)
+      val l1 = jvm6(-0.5 * l0 + p0 + 0.5 * p1)
+      val l2 = jvm6(-0.5 * l1 + p1 + 0.5 * p2)
+      val l3 = jvm6(-0.5 * l2 + p2 + 0.5 * p3)
+      val cu = math.max(l0 - l1, 0.0) + math.max(l1 - l2, 0.0) + math.max(l2 - l3, 0.0)
+      val cd = math.max(l1 - l0, 0.0) + math.max(l2 - l1, 0.0) + math.max(l3 - l2, 0.0)
+      val exp = if (cu + cd == 0) null else jvm6(cu / (cu + cd))
+      assert((if (lrOut(t).isNullAt(lrOut(t).fieldIndex("lrsi"))) null
+              else lrOut(t).getAs[Double]("lrsi")) === exp, s"lrsi t=$t")
+      p0 = l0; p1 = l1; p2 = l2; p3 = l3
+    }
+
+    // super_smoother: two-pole IIR with the u6 driver coefficients
+    val (c1, c2, c3) = A.superSmootherCoeffs(10)
+    val ssOut = A.superSmoother(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    var (s1, s2) = (vals(1), vals(0))
+    assert(ssOut(0).getAs[Double]("ss") === vals(0))
+    assert(ssOut(1).getAs[Double]("ss") === vals(1))
+    (2 until vals.size).foreach { t =>
+      val ss = jvm6(c1 * ((vals(t) + vals(t - 1)) / 2.0) + c2 * s1 + c3 * s2)
+      assert(ssOut(t).getAs[Double]("ss") === ss, s"ss t=$t")
+      s2 = s1; s1 = ss
+    }
+
+    // t3: six chained EW stages + the exact v=0.7 polynomial
+    def ewOf(a: Vector[Double]): Double =
+      jvm6(a.foldLeft(0.0)((acc, x) => acc * 0.666667 + x) /
+        a.foldLeft(0.0)((acc, _) => acc * 0.666667 + 1.0))
+    def stage(xs: Vector[Double]): Vector[Double] =
+      xs.indices.map(t => ewOf(tailFrame(xs, t, 20))).toVector
+    val e1 = stage(vals); val e2 = stage(e1); val e3 = stage(e2)
+    val e4 = stage(e3); val e5 = stage(e4); val e6 = stage(e5)
+    val t3Out = A.t3(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    vals.indices.foreach { t =>
+      val exp = jvm6(-0.343 * e6(t) + 2.499 * e5(t) + -6.069 * e4(t) + 4.913 * e3(t))
+      assert(t3Out(t).getAs[Double]("t3") === exp, s"t3 t=$t")
+    }
+
+    // arch_test: autocorr of squared returns + LM = n·ρ²
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    val xs = rets.map(r => jvm6(r * r))
+    val xa = xs.dropRight(1); val ya = xs.drop(1)
+    val n = xa.size.toDouble
+    val sx = xa.foldLeft(0.0)(_ + _); val sy = ya.foldLeft(0.0)(_ + _)
+    val sxy = xa.zip(ya).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+    val sx2 = xa.foldLeft(0.0)((a, x) => a + x * x)
+    val sy2 = ya.foldLeft(0.0)((a, x) => a + x * x)
+    val den = math.sqrt(math.max(n * sx2 - sx * sx, 0.0)) *
+      math.sqrt(math.max(n * sy2 - sy * sy, 0.0))
+    val rho = jvm6((n * sxy - sx * sy) / den)
+    val atOut = A.archTest(panel).collect()
+    assert(atOut.length === 1)
+    assert(atOut.head.getAs[Long]("n_pairs") === xa.size.toLong)
+    assert(atOut.head.getAs[Double]("rho") === rho)
+    assert(atOut.head.getAs[Double]("lm") === jvm6(n * rho * rho))
+
+    // cdc_chunks: boundaries are content-local — inserting a token
+    // early shifts only its own chunk's hash, not the tail chunks'
+    val P = graft.expressions.PortableHash
+    def hashOf(s: String) = P.strHash(s, 0, s.length)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "zzz " + base
+    val docs = Seq((1L, "web", base), (2L, "web", edited))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Pipeline.cdcChunks(docs).collect()
+    val h1 = out.filter(_.getLong(0) == 1L).map(_.getAs[Long]("chunk_hash")).toSet
+    val h2 = out.filter(_.getLong(0) == 2L).map(_.getAs[Long]("chunk_hash")).toSet
+    // every chunk after the first boundary is shared verbatim
+    assert((h1 intersect h2).nonEmpty, "CDC must preserve tail chunks across a head edit")
+    // hand-check chunk 0 of doc 1: tokens up to (and incl.) the first boundary
+    val toks = base.split("\\s+").toVector
+    val cutIdx = toks.indexWhere(tk => hashOf(tk) % 16 == 0)
+    val expN = if (cutIdx < 0) toks.size else cutIdx + 1
+    val c0 = out.filter(r => r.getLong(0) == 1L && r.getAs[Long]("chunk_id") == 0L).head
+    assert(c0.getAs[Long]("n_tokens") === expN.toLong)
+    assert(c0.getAs[Long]("chunk_hash") === hashOf(toks.take(expN).mkString(" ")))
+  }
+
+  test("wave-AI twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 109.0, 115.0, 111.0, 118.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.laguerreRsiStream(_)) ===
+      norm(A.laguerreRsi(panel)), "lrsi")
+    assert(streamedDaily(StreamingOps.superSmootherStream(_)) ===
+      norm(A.superSmoother(panel)), "ss")
+    assert(streamedDaily(StreamingOps.t3Stream(_)) === norm(A.t3(panel)), "t3")
+    val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.archTestStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_pairs".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.archTest(panel)), "arch")
+  }
+
+  test("wave-AJ unit-root pair, decycler, zigzag, cdc_dedup") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0,
+      101.0, 107.0, 103.0, 112.0)
+    val panel = panelOf(Map(1L -> vals))
+
+    // decycler: replay the zero-seeded high-pass by hand
+    val (k0, c2, c3) = A.highpassCoeffs(20)
+    val dcOut = A.ehlersDecycler(panel).collect()
+      .sortBy(_.getAs[java.sql.Date]("date").getTime)
+    var (h1, h2) = (0.0, 0.0)
+    vals.indices.foreach { t =>
+      val hp =
+        if (t <= 1) 0.0
+        else jvm6(k0 * ((vals(t) - 2.0 * vals(t - 1)) + vals(t - 2)) + c2 * h1 + c3 * h2)
+      assert(dcOut(t).getAs[Double]("hp") === hp, s"hp t=$t")
+      assert(dcOut(t).getAs[Double]("decycler") === jvm6(vals(t) - hp), s"dc t=$t")
+      h2 = h1; h1 = hp
+    }
+
+    // zigzag on a crafted two-swing path (th 5%)
+    val zz = Vector(100.0, 103.0, 106.0, 100.0, 96.0, 101.0, 104.0)
+    val zzOut = A.zigzag(panelOf(Map(1L -> zz))).collect()
+      .sortBy(_.getAs[java.sql.Date]("date").getTime)
+    // bar 2: 106 ≥ 100·1.05 → the FIRST breach picks the up leg and
+    // confirms the initial LOW at 100
+    assert(zzOut(2).getAs[Long]("pivot_kind") === -1L)
+    assert(zzOut(2).getAs[Double]("pivot") === 100.0)
+    assert(zzOut(2).getAs[Long]("dir") === 1L)
+    assert(zzOut(2).getAs[Double]("ext") === 106.0)
+    // bar 3: 100 ≤ 106·0.95=100.7 → confirms HIGH at 106, leg flips down
+    assert(zzOut(3).getAs[Long]("pivot_kind") === 1L)
+    assert(zzOut(3).getAs[Double]("pivot") === 106.0)
+    assert(zzOut(3).getAs[Long]("dir") === -1L)
+    // bar 4: 96 just ratchets the down leg — no pivot
+    assert(zzOut(4).isNullAt(zzOut(4).fieldIndex("pivot")))
+    assert(zzOut(4).getAs[Double]("ext") === 96.0)
+    // bar 5: 101 ≥ 96·1.05=100.8 → confirms LOW at 96, leg flips up
+    assert(zzOut(5).getAs[Long]("pivot_kind") === -1L)
+    assert(zzOut(5).getAs[Double]("pivot") === 96.0)
+    assert(zzOut(5).getAs[Long]("dir") === 1L)
+
+    // adf_test: OLS of Δp on p₋₁, fixed IEEE sequence
+    val xa = vals.dropRight(1)
+    val ya = vals.sliding(2).map { case Seq(a, b) => b - a }.toVector
+    val n = xa.size.toDouble
+    val sx = xa.foldLeft(0.0)(_ + _); val sy = ya.foldLeft(0.0)(_ + _)
+    val sxy = xa.zip(ya).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+    val sx2 = xa.foldLeft(0.0)((a, x) => a + x * x)
+    val sy2 = ya.foldLeft(0.0)((a, x) => a + x * x)
+    val den = n * sx2 - sx * sx
+    val beta = (n * sxy - sx * sy) / den
+    val alpha = (sy - beta * sx) / n
+    val sse = math.max(sy2 - alpha * sy - beta * sxy, 0.0)
+    val se = math.sqrt(sse / (n - 2) * n / den)
+    val adfOut = A.adfTest(panel).collect()
+    assert(adfOut.length === 1)
+    assert(adfOut.head.getAs[Long]("n_obs") === xa.size.toLong)
+    assert(adfOut.head.getAs[Double]("beta") === jvm6(beta))
+    assert(adfOut.head.getAs[Double]("adf_t") === jvm6(beta / se))
+
+    // kpss_test: prefix-sum statistic over demeaned returns
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    val mu = jvm6(rets.foldLeft(0.0)(_ + _) / rets.size)
+    val ea = rets.map(_ - mu)
+    val s2hat = ea.foldLeft(0.0)((a, x) => a + x * x) / rets.size
+    val ssum = (1 to ea.size).map(k => ea.take(k).foldLeft(0.0)(_ + _))
+      .foldLeft(0.0)((a, s) => a + s * s)
+    val kOut = A.kpssTest(panel).collect()
+    assert(kOut.length === 1)
+    assert(kOut.head.getAs[Double]("kpss") ===
+      jvm6(ssum / (rets.size.toDouble * rets.size * s2hat)))
+
+    // cdc_dedup: two docs sharing their tail chunks report shared mass
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, "web", base), (2L, "web", "zzz " + base),
+      (3L, "web", "entirely different words only here"))
+      .toDF("doc_id", "source", "text")
+    val dd = graft.operators.Pipeline.cdcDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(dd(1L) > 0L, "doc 1 shares tail chunks with its edited copy")
+    assert(dd(3L) === 0L, "unrelated doc shares nothing")
+  }
+
+  test("wave-AK twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 103.0, 106.0, 100.0, 96.0, 101.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.decyclerStream(_)) ===
+      norm(A.ehlersDecycler(panel)), "decycler")
+    assert(streamedDaily(StreamingOps.zigzagStream(_)) === norm(A.zigzag(panel)), "zz")
+    val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.adfTestStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_obs".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.adfTest(panel)), "adf")
+  }
 }
