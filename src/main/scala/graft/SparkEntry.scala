@@ -1237,6 +1237,21 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AL (r10) ────────────────────────────────────────────────
+    "kalman_trend" -> ((s, dir) =>
+      Analytics.kalmanTrend(Tables.panel(s, dir))),
+    "holt_winters" -> ((s, dir) =>
+      Analytics.holtWinters(Tables.panel(s, dir))),
+    "theil_sen" -> ((s, dir) =>
+      Analytics.theilSen(Tables.panel(s, dir))),
+    "mann_kendall" -> ((s, dir) =>
+      Analytics.mannKendall(Tables.panel(s, dir))),
+    "psych_line" -> ((s, dir) =>
+      Analytics.psychLine(Tables.panel(s, dir))),
+    // ── wave AM (r10) ────────────────────────────────────────────────
+    "stream_kalman" -> ((s, dir) => StreamReplay.streamKalman(s, dir)),
+    "stream_holt" -> ((s, dir) => StreamReplay.streamHolt(s, dir)),
+    "stream_psych_line" -> ((s, dir) => StreamReplay.streamPsychLine(s, dir)),
     // ── wave AK (r10) ────────────────────────────────────────────────
     "stream_decycler" -> ((s, dir) => StreamReplay.streamDecycler(s, dir)),
     "stream_zigzag" -> ((s, dir) => StreamReplay.streamZigzag(s, dir)),
@@ -3393,11 +3408,14 @@ object SparkEntry {
       ("stream_arch_test" -> m("arch_test")) +
       ("stream_decycler" -> m("ehlers_decycler")) +
       ("stream_zigzag" -> m("zigzag")) +
-      ("stream_adf_test" -> m("adf_test"))
+      ("stream_adf_test" -> m("adf_test")) +
+      ("stream_kalman" -> m("kalman_trend")) +
+      ("stream_holt" -> m("holt_winters")) +
+      ("stream_psych_line" -> m("psych_line"))
   }
 
   private def oracleSqlBase: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ waveMOracles ++ waveNOracles ++ Map(
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ waveMOracles ++ waveNOracles ++ waveOOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
       "stream_vpt" -> waveHOracles("vpt"))
@@ -4320,6 +4338,127 @@ object SparkEntry {
          |    // CAST(count(*) AS BIGINT) AS shared_pm
          |FROM gg JOIN df USING (chunk_hash)
          |GROUP BY gg.doc_id ORDER BY gg.doc_id""".stripMargin)
+  }
+
+  /** r10 wave-AL oracles: Kalman/Holt recursions (gain and new-level
+    * expressions inlined programmatically — a recursive CTE can't
+    * reference its own computed columns), the robust-trend pair, and
+    * the psychological line.
+    */
+  private lazy val waveOOracles: Map[String, String] = {
+    // Kalman gain at this step (references only the carried state)
+    val kg = "floor(((r.p + 0.01) / ((r.p + 0.01) + 1.0)) * 1000000.0 + 0.5) / 1000000.0"
+    // Holt new level (α = 0.3), then the new trend referencing it
+    val hl = "floor((0.3 * b.value + (1.0 - 0.3) * (r.level + r.trend)) * 1000000.0 + 0.5) / 1000000.0"
+    val ht = s"floor((0.1 * (($hl) - r.level) + (1.0 - 0.1) * r.trend) * 1000000.0 + 0.5) / 1000000.0"
+    Map(
+    "kalman_trend" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value, value AS level,
+         |    CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS gain
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    floor((r.level + ($kg) * (b.value - r.level)) * 1000000.0 + 0.5) / 1000000.0,
+         |    floor(((1.0 - ($kg)) * (r.p + 0.01)) * 1000000.0 + 0.5) / 1000000.0,
+         |    $kg
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, level, gain
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "holt_winters" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |w0 AS (
+         |  SELECT asset_id, date, value,
+         |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT asset_id, rn, date, value, value AS level,
+         |    CAST(0.0 AS DOUBLE) AS trend,
+         |    floor((value + 0.0) * 1000000.0 + 0.5) / 1000000.0 AS forecast
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |    $hl,
+         |    $ht,
+         |    floor((($hl) + ($ht)) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, value, level, trend, forecast
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "theil_sen" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |p AS (SELECT asset_id, list(value ORDER BY date) AS pa,
+         |        CAST(len(list(value)) AS INTEGER) AS m
+         |      FROM daily GROUP BY asset_id HAVING len(list(value)) >= 2),
+         |s AS (
+         |  SELECT asset_id, CAST(m AS BIGINT) AS n_obs,
+         |    list_sort(flatten(list_transform(range(2, m + 1),
+         |      j -> list_transform(range(1, CAST(j AS INTEGER)),
+         |        i -> floor((pa[j] - pa[i]) / CAST(j - i AS DOUBLE)
+         |                   * 1000000.0 + 0.5) / 1000000.0)))) AS slopes
+         |  FROM p)
+         |SELECT asset_id, n_obs, CAST(len(slopes) AS BIGINT) AS n_pairs,
+         |  slopes[CAST((len(slopes) + 1) // 2 AS INTEGER)] AS ts_slope
+         |FROM s ORDER BY asset_id""".stripMargin,
+    "mann_kendall" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |p AS (SELECT asset_id, list(value ORDER BY date) AS pa,
+         |        CAST(len(list(value)) AS INTEGER) AS m
+         |      FROM daily GROUP BY asset_id HAVING len(list(value)) >= 3),
+         |s AS (
+         |  SELECT asset_id, CAST(m AS BIGINT) AS mm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(2, m + 1),
+         |        j -> CAST(len(list_filter(list_slice(pa, 1, CAST(j AS INTEGER) - 1),
+         |                     x -> x < pa[j])) AS BIGINT)
+         |           - CAST(len(list_filter(list_slice(pa, 1, CAST(j AS INTEGER) - 1),
+         |                     x -> x > pa[j])) AS BIGINT))),
+         |      (a, x) -> a + x) AS s_stat
+         |  FROM p),
+         |t AS (SELECT asset_id, value, count(*) AS t FROM daily GROUP BY asset_id, value),
+         |tt AS (SELECT asset_id,
+         |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |       FROM t GROUP BY asset_id),
+         |v AS (
+         |  SELECT s.asset_id, mm, s_stat,
+         |    CAST(mm * (mm - 1) * (2 * mm + 5) - tie_term AS DOUBLE) / 18.0 AS var_s
+         |  FROM s JOIN tt USING (asset_id))
+         |SELECT asset_id, mm AS n_obs, s_stat,
+         |  CASE WHEN var_s <= 0 THEN NULL
+         |       WHEN s_stat > 0 THEN
+         |         floor((CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)) * 1000000.0 + 0.5) / 1000000.0
+         |       WHEN s_stat < 0 THEN
+         |         floor((CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)) * 1000000.0 + 0.5) / 1000000.0
+         |       ELSE 0.0 END AS z
+         |FROM v ORDER BY asset_id""".stripMargin,
+    "psych_line" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |f AS (
+         |  SELECT asset_id, date,
+         |    CASE WHEN lag(value, 1) OVER a IS NULL THEN NULL
+         |         WHEN value > lag(value, 1) OVER a THEN 1 ELSE 0 END AS up
+         |  FROM daily
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (SELECT asset_id, date, up FROM f WHERE up IS NOT NULL),
+         |h AS (
+         |  SELECT asset_id, date,
+         |    CAST(sum(up) OVER w AS BIGINT) AS n_up,
+         |    CAST(count(*) OVER w AS BIGINT) AS n_days
+         |  FROM g
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+         |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, n_up, n_days,
+         |  (1000 * n_up) // n_days AS psych_pm
+         |FROM h ORDER BY asset_id, date""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

@@ -40,6 +40,8 @@ import graft.operators.Micro.jvm6
   *   - `super_smoother` in (date, close, c1, c2, c3)  out (date, close, ss)
   *   - `highpass2`    in (date, close, k0, c2, c3)    out (date, close, hp)
   *   - `zigzag`       in (date, close, th)            out (date, close, dir, ext, pivot, kind)
+  *   - `kalman1d`     in (date, close, q, r)          out (date, close, level, gain)
+  *   - `holt`         in (date, close, a, b)          out (date, close, level, trend, forecast)
   *   - `heikin_ashi`  in (date, open, high, low, close) out (date, high, low, ho, hc)
   *   - `supertrend`   in (date, close, bub, blb)      out (date, close, fub, flb, dir)
   *   - `psar`         in (date, high, low, close)     out (date, high, low, close, sar, ep, af, dir)
@@ -253,6 +255,59 @@ case class RecurrenceFold(child: Expression, op: String)
             Array[Any](r.getInt(0), close, dir, ext, pivot, kind))
           i += 1
         }
+      case "kalman1d" =>
+        // 1-D local-level Kalman filter: predict P += Q, gain
+        // K = P/(P+R), correct level += K·(p − level), P = (1−K)·P.
+        // The gain SELF-TUNES from the covariance recursion (converges
+        // toward the steady-state Riccati gain) — unlike a fixed-α
+        // EMA. u6 at gain/level/covariance each step keeps both
+        // engines on the identical doubles. Seed: level = p, P = 1.
+        var lvl: java.lang.Double = null
+        var p: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val close = d(r, 1)
+          val q = d(r, 2); val rr = d(r, 3)
+          var gain: java.lang.Double = null
+          if (i == 0) { lvl = close; p = 1.0 }
+          else if (close == null || lvl == null || p == null || q == null || rr == null) {
+            lvl = null; p = null
+          } else {
+            val pp = p + q
+            gain = jvm6(pp / (pp + rr))
+            lvl = jvm6(lvl + gain * (close - lvl))
+            p = jvm6((1.0 - gain) * pp)
+          }
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), close, lvl, gain))
+          i += 1
+        }
+      case "holt" =>
+        // Holt's linear (double-exponential) smoothing: level tracks
+        // the series, trend tracks the level's drift, forecast = level
+        // + trend — the one-step-ahead forecasting primitive. Seeds:
+        // level = p₁, trend = 0.
+        var lvl: java.lang.Double = null
+        var tr: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val close = d(r, 1)
+          val a = d(r, 2); val b = d(r, 3)
+          if (i == 0) { lvl = close; tr = 0.0 }
+          else if (close == null || lvl == null || tr == null || a == null || b == null) {
+            lvl = null; tr = null
+          } else {
+            val lNew = jvm6(a * close + (1.0 - a) * (lvl + tr))
+            tr = jvm6(b * (lNew - lvl) + (1.0 - b) * tr)
+            lvl = lNew
+          }
+          val fc: java.lang.Double =
+            if (lvl == null || tr == null) null else jvm6(lvl + tr)
+          out(i) = new GenericInternalRow(
+            Array[Any](r.getInt(0), close, lvl, tr, fc))
+          i += 1
+        }
       case "heikin_ashi" =>
         var prevHo: java.lang.Double = null
         var prevHc: java.lang.Double = null
@@ -383,7 +438,8 @@ case class RecurrenceFold(child: Expression, op: String)
 
 object RecurrenceFold {
   val Ops: Set[String] = Set("kama", "mcginley", "laguerre", "super_smoother",
-    "highpass2", "zigzag", "heikin_ashi", "supertrend", "psar", "fisher")
+    "highpass2", "zigzag", "kalman1d", "holt",
+    "heikin_ashi", "supertrend", "psar", "fisher")
 
   def inArity(op: String): Int = op match {
     case "kama" => 4
@@ -392,6 +448,8 @@ object RecurrenceFold {
     case "super_smoother" => 5
     case "highpass2" => 5
     case "zigzag" => 3
+    case "kalman1d" => 4
+    case "holt" => 4
     case "heikin_ashi" => 5
     case "supertrend" => 4
     case "psar" => 4
@@ -415,6 +473,14 @@ object RecurrenceFold {
     case "highpass2" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("close", DoubleType), StructField("hp", DoubleType)))
+    case "kalman1d" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("level", DoubleType),
+      StructField("gain", DoubleType)))
+    case "holt" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType), StructField("level", DoubleType),
+      StructField("trend", DoubleType), StructField("forecast", DoubleType)))
     case "zigzag" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("close", DoubleType),

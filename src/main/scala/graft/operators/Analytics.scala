@@ -7667,4 +7667,141 @@ object Analytics {
           .as("kpss"))
       .orderBy(col("asset_id"))
   }
+
+  /** B250 `kalman_trend` — 1-D local-level Kalman filter over the LWW
+    * daily close: predict P += Q, gain K = P/(P+R), correct. Unlike a
+    * fixed-α EMA the gain SELF-TUNES from the covariance recursion
+    * (starts high while the estimate is uncertain, converges to the
+    * steady-state Riccati gain) — the optimal-filtering primitive the
+    * smoothing family approximates. Runs as the `kalman1d`
+    * [[graft.expressions.RecurrenceFold]] kind; Q/R are exact-decimal
+    * constants shipped per row so both engines step identical doubles.
+    */
+  def kalmanTrend(panel: DataFrame, q: Double = 0.01, r: Double = 1.0): DataFrame = {
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"),
+        lit(q).as("q"), lit(r).as("r")))).as("bs"))
+      .withColumn("ka", Kernels.recurrence(col("bs"), "kalman1d"))
+      .select(col("asset_id"), explode(col("ka")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.level").as("level"),
+        col("h.gain").as("gain"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B251 `holt_winters` — Holt's linear (double-exponential)
+    * smoothing: level tracks the series, trend tracks the level's
+    * drift, forecast = level + trend — the one-step-ahead forecasting
+    * primitive ([[ewma]] can't follow a drifting series; the trend
+    * term is what fixes that). `holt` [[graft.expressions
+    * .RecurrenceFold]] kind, seeds level = p₁ / trend = 0, u6 per
+    * component per step; 1−α / 1−β are COMPUTED in both engines
+    * (never parsed literals).
+    */
+  def holtWinters(panel: DataFrame, alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"),
+        lit(alpha).as("a"), lit(beta).as("b")))).as("bs"))
+      .withColumn("hw", Kernels.recurrence(col("bs"), "holt"))
+      .select(col("asset_id"), explode(col("hw")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"),
+        col("h.close").as("value"), col("h.level").as("level"),
+        col("h.trend").as("trend"), col("h.forecast").as("forecast"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B252 `theil_sen` — the Theil–Sen robust trend: the MEDIAN of all
+    * pairwise slopes (pⱼ−pᵢ)/(j−i) over each asset's date-ordered
+    * history — a 29%-breakdown estimator OLS can't match (one flash
+    * crash drags a least-squares slope; the median shrugs). Slopes
+    * are u6'd, the median is the LOWER middle of the sorted slope
+    * array (deterministic, no interpolation). O(days²) pairs per
+    * asset — calendar-bounded like [[portfolioNav]]'s prefix rebuild;
+    * the windowed variant would bound it harder if panels ever grow
+    * past daily grain.
+    */
+  def theilSen(panel: DataFrame): DataFrame = {
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("value")))),
+        s => s("value")).as("pa"))
+      .withColumn("m", size(col("pa")))
+      .filter(col("m") >= 2)
+      // D-suffixed literals: inside expr() a bare 1000000.0 parses as
+      // DECIMAL and silently retypes the whole slope column
+      .withColumn("slopes", array_sort(expr(
+        """flatten(transform(sequence(1, size(pa) - 1),
+          |  j -> transform(sequence(0, j - 1),
+          |    i -> floor((pa[j] - pa[i]) / CAST(j - i AS DOUBLE)
+          |               * 1000000.0D + 0.5D) / 1000000.0D)))""".stripMargin)))
+      .withColumn("np", size(col("slopes")))
+      .select(col("asset_id"), col("m").cast("long").as("n_obs"),
+        col("np").cast("long").as("n_pairs"),
+        element_at(col("slopes"), ((col("np") + 1) / 2).cast("int")).as("ts_slope"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B253 `mann_kendall` — the Mann–Kendall trend test: S = Σ
+    * sign(pⱼ−pᵢ) over all history pairs (PURE INTEGER — no rounding
+    * anywhere in the statistic), tie-corrected variance from the
+    * per-value tie groups, and the continuity-corrected Z. The
+    * non-parametric companion to [[theilSen]] (MK says WHETHER a
+    * monotone trend exists, Theil–Sen says how steep). Pair counting
+    * is the bounded O(days²) array pass; tie groups are one exact
+    * relational aggregate.
+    */
+  def mannKendall(panel: DataFrame): DataFrame = {
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val sArr = daily
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("value")))),
+        s => s("value")).as("pa"))
+      .withColumn("m", size(col("pa")))
+      .filter(col("m") >= 3)
+      .withColumn("s_stat", expr(
+        """aggregate(transform(sequence(1, size(pa) - 1),
+          |  j -> size(filter(slice(pa, 1, j), x -> x < pa[j]))
+          |       - size(filter(slice(pa, 1, j), x -> x > pa[j]))),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+    val ties = daily
+      .groupBy(col("asset_id"), col("value"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("asset_id"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    sArr.join(ties, Seq("asset_id"))
+      .withColumn("mm", col("m").cast("long"))
+      .withColumn("var_s",
+        (col("mm") * (col("mm") - 1) * (lit(2) * col("mm") + 5) - col("tie_term"))
+          .cast("double") / lit(18.0))
+      .withColumn("z", when(col("var_s") <= 0, lit(null))
+        .when(col("s_stat") > 0,
+          u6((col("s_stat") - 1).cast("double") / sqrt(col("var_s"))))
+        .when(col("s_stat") < 0,
+          u6((col("s_stat") + 1).cast("double") / sqrt(col("var_s"))))
+        .otherwise(lit(0.0)))
+      .select(col("asset_id"), col("mm").as("n_obs"), col("s_stat"), col("z"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B254 `psych_line` — the psychological line: the share of up days
+    * in the last `n` (per mille, INTEGER — counts over a frame, no
+    * floats at all): crowd-sentiment overbought/oversold at 750/250‰.
+    * The cheapest sentiment gauge there is; one lag + one window sum.
+    */
+  def psychLine(panel: DataFrame, n: Int = 12): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = byAsset.rowsBetween(-(n - 1), Window.currentRow)
+    val prev = lag(col("value"), 1).over(byAsset)
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("up", when(col("value") > prev, 1L)
+        .when(prev.isNull, lit(null)).otherwise(0L))
+      .filter(col("up").isNotNull)
+      .withColumn("n_up", sum(col("up")).over(frame))
+      .withColumn("n_days", count(lit(1)).over(frame))
+      .select(col("asset_id"), col("date"), col("n_up"), col("n_days"),
+        expr("(1000 * n_up) div n_days").as("psych_pm"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

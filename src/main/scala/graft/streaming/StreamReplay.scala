@@ -710,6 +710,14 @@ object StreamReplay {
   def streamAdfTest(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_obs")(StreamingOps.adfTestStream)
 
+  // ── wave AM twins ───────────────────────────────────────────────────
+  def streamKalman(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.kalmanStream(_))
+  def streamHolt(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.holtStream(_))
+  def streamPsychLine(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.psychLineStream(_))
+
   def streamRollingMedian(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.rollingMedianStream(_))
   def streamRollingMoments(s: SparkSession, dir: String): DataFrame =

@@ -5923,4 +5923,112 @@ object StreamingOps {
           } else Iterator.empty
       }
   }
+
+  // ── wave AM: filter-state twins ────────────────────────────────────
+
+  case class KalState(lvl: Double, p: Double, seen: Boolean)
+  case class KalPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                      level: Double, gain: Option[Double])
+
+  /** D142 `kalmanStream` — streaming face of B250 `kalman_trend`: the
+    * filter state (level, covariance) IS the stream state — the
+    * textbook O(1) online estimator; every arrival runs one
+    * predict/correct step identical to the batch scan.
+    */
+  def kalmanStream(ticks: Dataset[DailyTick], q: Double = 0.01,
+                   r: Double = 1.0): Dataset[KalPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[KalState, KalPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[KalState]) =>
+          var st = state.getOption.getOrElse(KalState(0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[KalPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (!st.seen) {
+              st = KalState(t.value, 1.0, seen = true)
+              out += KalPoint(assetId, t.date, t.value, t.value, None)
+            } else {
+              val pp = st.p + q
+              val g = graft.operators.Micro.jvm6(pp / (pp + r))
+              val lvl = graft.operators.Micro.jvm6(st.lvl + g * (t.value - st.lvl))
+              st = KalState(lvl, graft.operators.Micro.jvm6((1.0 - g) * pp), seen = true)
+              out += KalPoint(assetId, t.date, t.value, lvl, Some(g))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class HoltState(lvl: Double, tr: Double, seen: Boolean)
+  case class HoltPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                       level: Double, trend: Double, forecast: Double)
+
+  /** D143 `holtStream` — streaming face of B251 `holt_winters`: the
+    * (level, trend) pair IS the state — O(1) online forecasting, one
+    * smoothing step per arrival.
+    */
+  def holtStream(ticks: Dataset[DailyTick], alpha: Double = 0.3,
+                 beta: Double = 0.1): Dataset[HoltPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[HoltPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (!st.seen) st = HoltState(t.value, 0.0, seen = true)
+            else {
+              val lNew = graft.operators.Micro.jvm6(
+                alpha * t.value + (1.0 - alpha) * (st.lvl + st.tr))
+              val tNew = graft.operators.Micro.jvm6(
+                beta * (lNew - st.lvl) + (1.0 - beta) * st.tr)
+              st = HoltState(lNew, tNew, seen = true)
+            }
+            out += HoltPoint(assetId, t.date, t.value, st.lvl, st.tr,
+              graft.operators.Micro.jvm6(st.lvl + st.tr))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PsychState(last: Double, seen: Boolean, ring: Vector[Long])
+  case class PsychPoint(asset_id: Long, date: java.sql.Date, n_up: Long,
+                        n_days: Long, psych_pm: Long)
+
+  /** D144 `psychLineStream` — streaming face of B254 `psych_line`:
+    * previous close + a 12-slot up/down ring of INTEGERS — sentiment
+    * with zero float ops anywhere. First-ever tick emits nothing.
+    */
+  def psychLineStream(ticks: Dataset[DailyTick], n: Int = 12): Dataset[PsychPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PsychState, PsychPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PsychState]) =>
+          var st = state.getOption.getOrElse(PsychState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[PsychPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen) {
+              val up = if (t.value > st.last) 1L else 0L
+              val ring = (st.ring :+ up).takeRight(n)
+              st = PsychState(t.value, seen = true, ring)
+              val nUp = ring.sum
+              out += PsychPoint(assetId, t.date, nUp, ring.size.toLong,
+                1000L * nUp / ring.size)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -2044,4 +2044,96 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.adfTest(panel)), "adf")
   }
+
+  test("wave-AL filters and robust-trend stats match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0)
+    val panel = panelOf(Map(1L -> vals))
+
+    // kalman: replay predict/correct; the gain decays toward steady state
+    val kOut = A.kalmanTrend(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    var (lvl, p) = (vals.head, 1.0)
+    assert(kOut.head.getAs[Double]("level") === vals.head)
+    assert(kOut.head.isNullAt(kOut.head.fieldIndex("gain")))
+    (1 until vals.size).foreach { t =>
+      val pp = p + 0.01
+      val g = jvm6(pp / (pp + 1.0))
+      lvl = jvm6(lvl + g * (vals(t) - lvl))
+      p = jvm6((1.0 - g) * pp)
+      assert(kOut(t).getAs[Double]("gain") === g, s"kal gain t=$t")
+      assert(kOut(t).getAs[Double]("level") === lvl, s"kal level t=$t")
+    }
+    // gain strictly decreases toward the Riccati fixed point
+    val gains = (1 until vals.size).map(t => kOut(t).getAs[Double]("gain"))
+    assert(gains.sliding(2).forall { case Seq(a, b) => b <= a })
+
+    // holt: (level, trend) recursion + forecast
+    val hOut = A.holtWinters(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    var (hl, htr) = (vals.head, 0.0)
+    assert(hOut.head.getAs[Double]("forecast") === jvm6(vals.head + 0.0))
+    (1 until vals.size).foreach { t =>
+      val lNew = jvm6(0.3 * vals(t) + (1.0 - 0.3) * (hl + htr))
+      htr = jvm6(0.1 * (lNew - hl) + (1.0 - 0.1) * htr)
+      hl = lNew
+      assert(hOut(t).getAs[Double]("level") === hl, s"holt l t=$t")
+      assert(hOut(t).getAs[Double]("trend") === htr, s"holt b t=$t")
+      assert(hOut(t).getAs[Double]("forecast") === jvm6(hl + htr), s"holt f t=$t")
+    }
+
+    // theil_sen: median of pairwise slopes, lower middle on even counts
+    val slopes = (for {
+      j <- vals.indices; i <- 0 until j
+    } yield jvm6((vals(j) - vals(i)) / (j - i).toDouble)).sorted
+    val tsOut = A.theilSen(panel).collect()
+    assert(tsOut.head.getAs[Long]("n_pairs") === slopes.size.toLong)
+    assert(tsOut.head.getAs[Double]("ts_slope") === slopes((slopes.size + 1) / 2 - 1))
+
+    // mann_kendall: monotone series → S = n(n-1)/2, Z > 0
+    val mono = Vector.tabulate(10)(i => 100.0 + i)
+    val mkOut = A.mannKendall(panelOf(Map(1L -> mono))).collect()
+    val m = mono.size
+    val expS = m * (m - 1) / 2
+    assert(mkOut.head.getAs[Long]("s_stat") === expS.toLong)
+    val varS = (m.toLong * (m - 1) * (2 * m + 5)).toDouble / 18.0
+    assert(mkOut.head.getAs[Double]("z") === jvm6((expS - 1).toDouble / math.sqrt(varS)))
+
+    // psych_line: all-up series pins at 1000‰
+    val plOut = A.psychLine(panelOf(Map(1L -> mono))).collect()
+    assert(plOut.length === m - 1)
+    assert(plOut.forall(_.getAs[Long]("psych_pm") === 1000L))
+    // mixed series: hand-count the 12-frame
+    val plv = A.psychLine(panel).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    val ups = vals.sliding(2).map { case Seq(a, b) => if (b > a) 1L else 0L }.toVector
+    ups.indices.foreach { t =>
+      val fr = ups.slice(math.max(0, t - 11), t + 1)
+      assert(plv(t).getAs[Long]("n_up") === fr.sum, s"pl t=$t")
+      assert(plv(t).getAs[Long]("psych_pm") === 1000L * fr.sum / fr.size, s"pl pm t=$t")
+    }
+  }
+
+  test("wave-AM twins equal their batch ops on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.0, 50.0, 51.0, 49.5, 52.0, 50.5)))
+    import graft.streaming.StreamingOps
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def streamedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, daily, 3, maxStateRows = 2L)(op))
+    val A = graft.operators.Analytics
+    assert(streamedDaily(StreamingOps.kalmanStream(_)) ===
+      norm(A.kalmanTrend(panel)), "kalman")
+    assert(streamedDaily(StreamingOps.holtStream(_)) ===
+      norm(A.holtWinters(panel)), "holt")
+    assert(streamedDaily(StreamingOps.psychLineStream(_)) ===
+      norm(A.psychLine(panel)), "psych")
+  }
 }
