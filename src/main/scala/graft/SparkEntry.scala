@@ -1237,6 +1237,37 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AP (r10) ────────────────────────────────────────────────
+    "woodie_pivots" -> ((s, dir) =>
+      Analytics.woodiePivots(Tables.panel(s, dir))),
+    "demark_pivots" -> ((s, dir) =>
+      Analytics.demarkPivots(Tables.panel(s, dir))),
+    "anchored_vwap" -> ((s, dir) =>
+      Analytics.anchoredVwap(Tables.panel(s, dir))),
+    "pacf" -> ((s, dir) =>
+      Analytics.pacf(Tables.panel(s, dir))),
+    "es_backtest" -> ((s, dir) =>
+      Analytics.esBacktest(Tables.panel(s, dir))),
+    "stream_woodie" -> ((s, dir) => StreamReplay.streamWoodie(s, dir)),
+    "stream_demark" -> ((s, dir) => StreamReplay.streamDemark(s, dir)),
+    "stream_anchored_vwap" -> ((s, dir) => StreamReplay.streamAnchoredVwap(s, dir)),
+    // ── wave AN (r10) ────────────────────────────────────────────────
+    "renko" -> ((s, dir) =>
+      Analytics.renko(Tables.panel(s, dir))),
+    "garch_filter" -> ((s, dir) =>
+      Analytics.garchFilter(Tables.panel(s, dir))),
+    "fama_macbeth" -> ((s, dir) =>
+      Analytics.famaMacbeth(Tables.panel(s, dir))),
+    "quintile_spread" -> ((s, dir) =>
+      Analytics.quintileSpread(Tables.panel(s, dir))),
+    "info_discreteness" -> ((s, dir) =>
+      Analytics.infoDiscreteness(Tables.panel(s, dir))),
+    "hasbrouck_lambda" -> ((s, dir) =>
+      Analytics.hasbrouckLambda(Tables.panel(s, dir))),
+    // ── wave AO (r10) ────────────────────────────────────────────────
+    "stream_renko" -> ((s, dir) => StreamReplay.streamRenko(s, dir)),
+    "stream_garch" -> ((s, dir) => StreamReplay.streamGarch(s, dir)),
+    "stream_ibs" -> ((s, dir) => StreamReplay.streamIbs(s, dir)),
     // ── wave AL (r10) ────────────────────────────────────────────────
     "kalman_trend" -> ((s, dir) =>
       Analytics.kalmanTrend(Tables.panel(s, dir))),
@@ -3411,11 +3442,17 @@ object SparkEntry {
       ("stream_adf_test" -> m("adf_test")) +
       ("stream_kalman" -> m("kalman_trend")) +
       ("stream_holt" -> m("holt_winters")) +
-      ("stream_psych_line" -> m("psych_line"))
+      ("stream_psych_line" -> m("psych_line")) +
+      ("stream_renko" -> m("renko")) +
+      ("stream_garch" -> m("garch_filter")) +
+      ("stream_ibs" -> m("ibs")) +
+      ("stream_woodie" -> m("woodie_pivots")) +
+      ("stream_demark" -> m("demark_pivots")) +
+      ("stream_anchored_vwap" -> m("anchored_vwap"))
   }
 
   private def oracleSqlBase: Map[String, String] =
-    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ waveMOracles ++ waveNOracles ++ waveOOracles ++ Map(
+    baseOracle ++ streamOracleAliases(baseOracle) ++ tickStoreOracles ++ waveAOracles ++ waveBOracles ++ waveCOracles ++ waveDOracles ++ waveEOracles ++ waveFOracles ++ waveGOracles ++ waveHOracles ++ waveIOracles ++ waveJOracles ++ waveKOracles ++ waveLOracles ++ waveMOracles ++ waveNOracles ++ waveOOracles ++ wavePOracles ++ waveQOracles ++ Map(
       "stream_imi" -> waveFOracles("imi"),
       // the streaming twin emits the batch vpt shape verbatim
       "stream_vpt" -> waveHOracles("vpt"))
@@ -4459,6 +4496,375 @@ object SparkEntry {
          |SELECT asset_id, date, n_up, n_days,
          |  (1000 * n_up) // n_days AS psych_pm
          |FROM h ORDER BY asset_id, date""".stripMargin)
+  }
+
+  /** r10 wave-AN oracles: renko (pure-BIGINT recursive CTE — the
+    * brick recursion has no float op on either engine), the GARCH
+    * variance filter (1e-12-grid recursion, constant causal seed),
+    * the Fama–MacBeth / quintile-spread factor pair (exact HUGEINT
+    * cross-sectional sums), information discreteness (integer counts)
+    * and the Hasbrouck √-impact regression (the kyle_lambda fold
+    * machinery with a √-dollar flow leg).
+    */
+  private lazy val wavePOracles: Map[String, String] = {
+    // renko step delta (references only carried state r and the new
+    // close b.m; s.size is the per-asset brick) — inlined everywhere
+    // the way the kalman gain is, because a recursive CTE cannot
+    // reference its own computed columns.
+    val delta =
+      """CASE WHEN b.m >= r.anchor + (CASE WHEN r.dir = -1 THEN 2 * s.size ELSE s.size END)
+        |       THEN (b.m - r.anchor) // s.size
+        |     WHEN b.m <= r.anchor - (CASE WHEN r.dir = 1 THEN 2 * s.size ELSE s.size END)
+        |       THEN -((r.anchor - b.m) // s.size)
+        |     ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")
+    // GARCH step: σ²′ from the carried (sigma2, ret) pair, 1e-12 grid
+    val gs = "floor((0.000001 + 0.05 * r.ret * r.ret + 0.90 * r.sigma2) * 1000000000000.0 + 0.5) / 1000000000000.0"
+    Map(
+    "renko" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |md AS (
+         |  SELECT asset_id, date, value,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM daily),
+         |sz AS (SELECT asset_id, greatest(CAST(1 AS BIGINT), (abs(m) * 2) // 100) AS size
+         |       FROM md WHERE rn = 1),
+         |rec AS (
+         |  SELECT d.asset_id, d.rn, d.date, d.value AS close,
+         |         CAST(0 AS BIGINT) AS n_bricks, CAST(0 AS BIGINT) AS cum_bricks,
+         |         CAST(0 AS BIGINT) AS dir, d.m AS anchor
+         |  FROM md d WHERE d.rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.value,
+         |         $delta,
+         |         r.cum_bricks + ($delta),
+         |         CASE WHEN ($delta) > 0 THEN CAST(1 AS BIGINT)
+         |              WHEN ($delta) < 0 THEN CAST(-1 AS BIGINT)
+         |              ELSE r.dir END,
+         |         r.anchor + ($delta) * s.size
+         |  FROM rec r
+         |  JOIN md b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1
+         |  JOIN sz s ON s.asset_id = r.asset_id)
+         |SELECT r.asset_id, r.date, r.close, s.size AS size_micro,
+         |       r.n_bricks, r.cum_bricks, r.dir,
+         |       CAST(r.anchor AS DOUBLE) / 1000000.0 AS anchor
+         |FROM rec r JOIN sz s ON s.asset_id = r.asset_id
+         |ORDER BY r.asset_id, r.date""".stripMargin,
+    "garch_filter" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |$retsCte,
+         |w0 AS (
+         |  SELECT asset_id, date, ret,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn,
+         |         count(*) OVER (PARTITION BY asset_id) AS nr
+         |  FROM rets),
+         |rec AS (
+         |  SELECT asset_id, rn, date, ret, CAST(2e-5 AS DOUBLE) AS sigma2
+         |  FROM w0 WHERE rn = 1 AND nr >= 2
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.ret, $gs
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, ret, sigma2,
+         |       floor(sqrt(sigma2) * 1000000.0 + 0.5) / 1000000.0 AS vol
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "fama_macbeth" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |x AS (
+         |  SELECT asset_id, date, ret,
+         |         lag(ret) OVER (PARTITION BY asset_id ORDER BY date) AS xr
+         |  FROM rets),
+         |m AS (
+         |  SELECT date,
+         |         CAST(CAST(floor(xr * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS xm,
+         |         CAST(CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS ym
+         |  FROM x WHERE xr IS NOT NULL),
+         |g AS (
+         |  SELECT date, count(*) AS n, sum(xm) AS sx, sum(ym) AS sy,
+         |         sum(xm * ym) AS sxy, sum(xm * xm) AS sx2
+         |  FROM m GROUP BY date HAVING count(*) >= 3),
+         |sl AS (
+         |  SELECT date, n AS n_assets,
+         |         floor((CAST(n * sxy - sx * sy AS DOUBLE)
+         |                / nullif(CAST(n * sx2 - sx * sx AS DOUBLE), 0.0))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS slope
+         |  FROM g),
+         |sl2 AS (SELECT date, n_assets, slope FROM sl WHERE slope IS NOT NULL),
+         |su AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |         list_reduce(list_prepend(0.0, list(slope ORDER BY date)), (a, x) -> a + x) AS sg,
+         |         list_reduce(list_prepend(0.0, list_transform(list(slope ORDER BY date), x -> x * x)), (a, x) -> a + x) AS sg2
+         |  FROM sl2 HAVING count(*) >= 2),
+         |su2 AS (
+         |  SELECT nd, floor((sg / nd) * 1000000.0 + 0.5) / 1000000.0 AS mean_slope,
+         |         sqrt((sg2 - sg * sg / nd) / (nd - 1.0)) AS sd
+         |  FROM su)
+         |SELECT s.date, s.n_assets, s.slope, CAST(f.nd AS BIGINT) AS n_dates,
+         |       f.mean_slope,
+         |       floor((f.mean_slope / (CASE WHEN f.sd = 0 THEN NULL
+         |                                   ELSE f.sd / sqrt(f.nd) END))
+         |             * 1000000.0 + 0.5) / 1000000.0 AS t_stat
+         |FROM sl2 s CROSS JOIN su2 f ORDER BY s.date""".stripMargin,
+    "quintile_spread" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |x AS (
+         |  SELECT asset_id, date, ret,
+         |         lag(ret) OVER (PARTITION BY asset_id ORDER BY date) AS xr
+         |  FROM rets),
+         |m AS (
+         |  SELECT date, asset_id,
+         |         CAST(floor(xr * 1000000.0 + 0.5) AS BIGINT) AS xm,
+         |         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS ym
+         |  FROM x WHERE xr IS NOT NULL),
+         |c AS (SELECT date, asset_id, xm, ym,
+         |             count(*) OVER (PARTITION BY date) AS n
+         |      FROM m),
+         |c2 AS (
+         |  SELECT date, ym, n,
+         |         ((ROW_NUMBER() OVER (PARTITION BY date ORDER BY xm, asset_id) - 1) * 5) // n AS q
+         |  FROM c WHERE n >= 5),
+         |g AS (
+         |  SELECT date, max(n) AS n_assets,
+         |         sum(CASE WHEN q = 4 THEN ym END) AS top_sum,
+         |         count(CASE WHEN q = 4 THEN 1 END) AS top_n,
+         |         sum(CASE WHEN q = 0 THEN ym END) AS bot_sum,
+         |         count(CASE WHEN q = 0 THEN 1 END) AS bot_n
+         |  FROM c2 GROUP BY date),
+         |g2 AS (
+         |  SELECT date, n_assets,
+         |         floor((CAST(top_sum AS DOUBLE) / (CAST(top_n AS DOUBLE) * 1000000.0))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS top_mean,
+         |         floor((CAST(bot_sum AS DOUBLE) / (CAST(bot_n AS DOUBLE) * 1000000.0))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS bot_mean
+         |  FROM g)
+         |SELECT date, n_assets, top_mean, bot_mean,
+         |       floor((top_mean - bot_mean) * 1000000.0 + 0.5) / 1000000.0 AS spread
+         |FROM g2 ORDER BY date""".stripMargin,
+    "info_discreteness" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |m AS (SELECT asset_id, CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rm
+         |      FROM rets),
+         |g AS (
+         |  SELECT asset_id, count(*) AS n_rets,
+         |         CAST(sum(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN rm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |         CAST(sum(rm) AS BIGINT) AS sum_rm
+         |  FROM m GROUP BY asset_id HAVING count(*) >= 3)
+         |SELECT asset_id, n_rets, n_pos, n_neg,
+         |       CAST(CASE WHEN sum_rm > 0 THEN 1 WHEN sum_rm < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
+         |       floor((CAST(CASE WHEN sum_rm > 0 THEN 1 WHEN sum_rm < 0 THEN -1 ELSE 0 END AS DOUBLE)
+         |              * CAST(n_neg - n_pos AS DOUBLE) / CAST(n_rets AS DOUBLE))
+         |             * 1000000.0 + 0.5) / 1000000.0 AS id
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "hasbrouck_lambda" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |t AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         lag(value) OVER (PARTITION BY asset_id ORDER BY ts, seq) AS prev
+         |  FROM panel),
+         |s AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         CASE WHEN prev IS NULL THEN NULL
+         |              WHEN value > prev THEN 1
+         |              WHEN value < prev THEN -1 ELSE 0 END AS d
+         |  FROM t),
+         |c AS (
+         |  SELECT asset_id, date, ts, seq, value,
+         |         last_value(CASE WHEN d <> 0 THEN d END IGNORE NULLS)
+         |           OVER (PARTITION BY asset_id ORDER BY ts, seq
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+         |  FROM s),
+         |f AS (
+         |  SELECT asset_id, date,
+         |         list_reduce(list_prepend(0.0,
+         |           list(CAST(side AS DOUBLE) * sqrt(abs(value)) ORDER BY ts, seq)),
+         |           (a, x) -> a + x) AS s_flow
+         |  FROM c WHERE side IS NOT NULL GROUP BY asset_id, date),
+         |d2 AS (
+         |  SELECT asset_id, date, dp FROM (
+         |    SELECT asset_id, date,
+         |           floor((value - lag(value, 1) OVER (PARTITION BY asset_id ORDER BY date)) * 1000000.0 + 0.5) / 1000000.0 AS dp
+         |    FROM daily) t2 WHERE dp IS NOT NULL),
+         |j AS (
+         |  SELECT d2.asset_id AS asset_id, d2.date AS date, d2.dp AS dp,
+         |         f.s_flow AS q
+         |  FROM d2 JOIN f ON d2.asset_id = f.asset_id AND d2.date = f.date),
+         |p AS (
+         |  SELECT asset_id, list(q ORDER BY date) AS xa, list(dp ORDER BY date) AS ya,
+         |         CAST(count(*) AS DOUBLE) AS n
+         |  FROM j GROUP BY asset_id HAVING count(*) >= 3),
+         |g AS (
+         |  SELECT asset_id, n,
+         |         list_reduce(list_prepend(0.0, xa), (a, x) -> a + x) AS sx,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, CAST(n AS INTEGER) + 1),
+         |             i -> xa[i] * ya[i])), (a, x) -> a + x) AS sxy,
+         |         list_reduce(list_prepend(0.0, list_transform(xa, x -> x * x)), (a, x) -> a + x) AS sx2
+         |  FROM p)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS hasbrouck_lambda
+         |FROM g ORDER BY asset_id""".stripMargin)
+  }
+
+  /** r10 wave-AP oracles: the pivot-variant pair, the anchored VWAP
+    * (integer cents, one floor division), PACF (ACF folds + the
+    * [[graft.operators.Analytics.pacfFormulas]] Durbin–Levinson chain
+    * evaluated VERBATIM — the same strings Spark runs through expr(),
+    * so the two engines cannot diverge by transcription), and the ES
+    * backtest.
+    */
+  private lazy val waveQOracles: Map[String, String] = {
+    val phiChain = graft.operators.Analytics.pacfFormulas.zipWithIndex.map {
+      case ((name, f), i) =>
+        val src = if (i == 0) "p5" else s"q$i"
+        s"q${i + 1} AS (SELECT *, $f AS $name FROM $src)"
+    }.mkString(",\n")
+    val nPhi = graft.operators.Analytics.pacfFormulas.size
+    val cks = (1 to 5).map { k =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(${k + 1}, len(da) + 1),
+         |  i -> da[i] * da[i - $k])), (a, x) -> a + x) AS c$k""".stripMargin
+    }.mkString(",\n")
+    val rks = (1 to 5).map { k =>
+      s"floor((c$k / nullif(c0, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS r$k"
+    }.mkString(",\n")
+    Map(
+    "woodie_pivots" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close,
+         |    lag(high)  OVER a AS ph,
+         |    lag(low)   OVER a AS pl,
+         |    lag(close) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, date, close, ph, pl,
+         |         floor(((ph + pl + 2.0 * pc) / 4) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM t)
+         |SELECT asset_id, date, close, p,
+         |  floor((2.0 * p - pl) * 1000000.0 + 0.5) / 1000000.0 AS r1,
+         |  floor((2.0 * p - ph) * 1000000.0 + 0.5) / 1000000.0 AS s1,
+         |  floor((p + (ph - pl)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+         |  floor((p - (ph - pl)) * 1000000.0 + 0.5) / 1000000.0 AS s2
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "demark_pivots" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, close,
+         |    lag(open)  OVER a AS po,
+         |    lag(high)  OVER a AS ph,
+         |    lag(low)   OVER a AS pl,
+         |    lag(close) OVER a AS pc
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date)),
+         |g AS (
+         |  SELECT asset_id, date, close, ph, pl,
+         |         CASE WHEN pc < po THEN ph + 2.0 * pl + pc
+         |              WHEN pc > po THEN 2.0 * ph + pl + pc
+         |              ELSE ph + pl + 2.0 * pc END AS x
+         |  FROM t)
+         |SELECT asset_id, date, close,
+         |  floor((x / 4) * 1000000.0 + 0.5) / 1000000.0 AS p,
+         |  floor((x / 2 - pl) * 1000000.0 + 0.5) / 1000000.0 AS r1,
+         |  floor((x / 2 - ph) * 1000000.0 + 0.5) / 1000000.0 AS s1
+         |FROM g ORDER BY asset_id, date""".stripMargin,
+    "anchored_vwap" ->
+      s"""$panelCte,
+         |d AS (
+         |  SELECT asset_id, date,
+         |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS day_cents,
+         |         count(*) AS day_ticks
+         |  FROM panel GROUP BY asset_id, date),
+         |m AS (SELECT asset_id, date, date_trunc('month', date) AS month,
+         |             day_cents, day_ticks FROM d),
+         |c AS (
+         |  SELECT asset_id, date, month,
+         |         sum(day_cents) OVER w AS cum_cents,
+         |         sum(day_ticks) OVER w AS cum_ticks
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY asset_id, month ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT asset_id, date, month, CAST(cum_ticks AS BIGINT) AS n_ticks_mtd,
+         |       CAST(cum_cents // cum_ticks AS DOUBLE) / 100.0 AS avwap
+         |FROM c ORDER BY asset_id, date""".stripMargin,
+    "pacf" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |p0 AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS arr, count(*) AS n
+         |  FROM rets GROUP BY asset_id HAVING count(*) >= 10),
+         |p1 AS (
+         |  SELECT asset_id, n, arr,
+         |         floor((list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+         |                / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mu
+         |  FROM p0),
+         |p2 AS (SELECT asset_id, n, list_transform(arr, x -> x - mu) AS da FROM p1),
+         |p3 AS (
+         |  SELECT asset_id, n, da,
+         |         list_reduce(list_prepend(0.0, list_transform(da, x -> x * x)),
+         |           (a, x) -> a + x) AS c0
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT asset_id, n, c0,
+         |$cks
+         |  FROM p3),
+         |p5 AS (
+         |  SELECT asset_id, n,
+         |$rks
+         |  FROM p4),
+         |$phiChain
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_rets, r1, r2, r3, r4, r5,
+         |       phi11 AS pacf1, phi22 AS pacf2, phi33 AS pacf3,
+         |       phi44 AS pacf4, phi55 AS pacf5
+         |FROM q$nPhi ORDER BY asset_id""".stripMargin,
+    "es_backtest" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret, list_sort(arr) AS sorted
+         |  FROM f WHERE len(arr) = 20),
+         |h AS (
+         |  SELECT asset_id, date, ret, sorted[2] AS var_q,
+         |         floor((list_reduce(list_prepend(0.0, sorted[1:2]), (a, x) -> a + x)
+         |                / 2.0) * 1000000.0 + 0.5) / 1000000.0 AS es_pred
+         |  FROM g),
+         |agg AS (
+         |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_days,
+         |         list(struct_pack(r := ret, e := es_pred) ORDER BY date)
+         |           FILTER (WHERE ret < var_q) AS viol
+         |  FROM h GROUP BY asset_id),
+         |a2 AS (SELECT asset_id, n_days,
+         |              CAST(coalesce(len(viol), 0) AS BIGINT) AS n_viol, viol
+         |       FROM agg),
+         |a3 AS (
+         |  SELECT asset_id, n_days, n_viol,
+         |    CASE WHEN n_viol = 0 THEN NULL
+         |         ELSE floor((list_reduce(list_prepend(0.0, list_transform(viol, s -> s.r)),
+         |                (a, x) -> a + x) / CAST(n_viol AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_viol_ret,
+         |    CASE WHEN n_viol = 0 THEN NULL
+         |         ELSE floor((list_reduce(list_prepend(0.0, list_transform(viol, s -> s.e)),
+         |                (a, x) -> a + x) / CAST(n_viol AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_pred_es
+         |  FROM a2)
+         |SELECT asset_id, n_days, n_viol, mean_viol_ret, mean_pred_es,
+         |  floor((mean_viol_ret / nullif(mean_pred_es, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS es_ratio
+         |FROM a3 ORDER BY asset_id""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

@@ -46,6 +46,8 @@ import graft.operators.Micro.jvm6
   *   - `supertrend`   in (date, close, bub, blb)      out (date, close, fub, flb, dir)
   *   - `psar`         in (date, high, low, close)     out (date, high, low, close, sar, ep, af, dir)
   *   - `fisher`       in (date, close, x)             out (date, close, v, fisher)
+  *   - `renko`        in (date, close, m: long, size: long) out (date, close, n_bricks, cum_bricks, dir, anchor)
+  *   - `garch`        in (date, ret)                  out (date, ret, sigma2, vol)
   */
 case class RecurrenceFold(child: Expression, op: String)
   extends UnaryExpression {
@@ -416,6 +418,77 @@ case class RecurrenceFold(child: Expression, op: String)
           pv = v; pf = fisher
           i += 1
         }
+      case "renko" =>
+        // Fixed-brick renko over MICRO-integer closes: ALL state is
+        // integral (anchor/size in 1e-6 units), so there is no float
+        // op anywhere in the recursion — the DuckDB CTE replays it
+        // with BIGINT arithmetic bit-for-bit. Convention (documented,
+        // both engines): continuation threshold 1 brick, reversal
+        // threshold 2 bricks, and a move of k full bricks prints k
+        // bricks from the CURRENT anchor (no 2-brick reversal
+        // discount). A null close passes through as a zero-brick row
+        // with state unchanged (the panel's closes are non-null; the
+        // guard keeps a poisoned tick from NPE-ing the series — the
+        // r9 ADVICE lesson from psar).
+        var anchor = 0L
+        var dir = 0L
+        var cum = 0L
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 4)
+          val close = d(r, 1)
+          if (i == 0) {
+            anchor = r.getLong(2); dir = 0L; cum = 0L
+            out(i) = new GenericInternalRow(
+              Array[Any](r.getInt(0), close, 0L, 0L, 0L, anchor / 1e6))
+          } else if (close == null) {
+            out(i) = new GenericInternalRow(
+              Array[Any](r.getInt(0), close, 0L, cum, dir, anchor / 1e6))
+          } else {
+            val m = r.getLong(2); val size = r.getLong(3)
+            val upThr = if (dir == -1L) 2L * size else size
+            val dnThr = if (dir == 1L) 2L * size else size
+            var delta = 0L
+            if (m >= anchor + upThr) {
+              val k = (m - anchor) / size
+              anchor += k * size; dir = 1L; delta = k
+            } else if (m <= anchor - dnThr) {
+              val k = (anchor - m) / size
+              anchor -= k * size; dir = -1L; delta = -k
+            }
+            cum += delta
+            out(i) = new GenericInternalRow(
+              Array[Any](r.getInt(0), close, delta, cum, dir, anchor / 1e6))
+          }
+          i += 1
+        }
+      case "garch" =>
+        // GARCH(1,1) variance FILTER with fixed textbook parameters
+        // ω=1e-6, α=0.05, β=0.90 (estimation is MLE and out of scope;
+        // the filter is what a risk engine runs online): σ²_t = ω +
+        // α·r²_{t-1} + β·σ²_{t-1}, seeded with the CONSTANT σ²₁ =
+        // 2e-5 (≈ the 0.45%-daily-vol unconditional variance ω/(1−α−β)
+        // written as an exact literal) — a CAUSAL seed, so the O(1)
+        // streaming twin reproduces the batch series bit-for-bit from
+        // its first arrival. jvm12 per step — σ² lives near 1e-4 where
+        // the u6 grid is blind. vol = √σ²: sqrt is correctly rounded
+        // in IEEE 754, so both engines see the same double.
+        var s: java.lang.Double = null
+        var prevRet: java.lang.Double = null
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 2)
+          val ret = d(r, 1)
+          if (i == 0) s = 2.0e-5
+          else if (s == null || prevRet == null) s = null
+          else s = graft.operators.Micro.jvm12(
+            1.0e-6 + 0.05 * prevRet * prevRet + 0.90 * s)
+          val vol: java.lang.Double =
+            if (s == null) null else jvm6(math.sqrt(s))
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), ret, s, vol))
+          prevRet = ret
+          i += 1
+        }
     }
     new GenericArrayData(out)
   }
@@ -439,7 +512,7 @@ case class RecurrenceFold(child: Expression, op: String)
 object RecurrenceFold {
   val Ops: Set[String] = Set("kama", "mcginley", "laguerre", "super_smoother",
     "highpass2", "zigzag", "kalman1d", "holt",
-    "heikin_ashi", "supertrend", "psar", "fisher")
+    "heikin_ashi", "supertrend", "psar", "fisher", "renko", "garch")
 
   def inArity(op: String): Int = op match {
     case "kama" => 4
@@ -454,6 +527,8 @@ object RecurrenceFold {
     case "supertrend" => 4
     case "psar" => 4
     case "fisher" => 3
+    case "renko" => 4
+    case "garch" => 2
   }
 
   def outSchema(op: String): StructType = op match {
@@ -506,5 +581,16 @@ object RecurrenceFold {
       StructField("date", DateType, nullable = false),
       StructField("close", DoubleType), StructField("v", DoubleType),
       StructField("fisher", DoubleType)))
+    case "renko" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("close", DoubleType),
+      StructField("n_bricks", LongType, nullable = false),
+      StructField("cum_bricks", LongType, nullable = false),
+      StructField("dir", LongType, nullable = false),
+      StructField("anchor", DoubleType, nullable = false)))
+    case "garch" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("ret", DoubleType), StructField("sigma2", DoubleType),
+      StructField("vol", DoubleType)))
   }
 }

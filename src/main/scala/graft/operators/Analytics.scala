@@ -7804,4 +7804,397 @@ object Analytics {
         expr("(1000 * n_up) div n_days").as("psych_pm"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B255 `renko` — fixed-brick renko state per asset over the LWW
+    * daily closes: brick size = 2% of the first close (≥1 micro),
+    * continuation at 1 brick, reversal at 2; a k-brick move prints k
+    * bricks from the current anchor (graft convention — classic renko
+    * leaves the reversal print count vendor-defined). The entire
+    * recursion is MICRO-INTEGER (`renko` RecurrenceFold kind): anchor,
+    * size, thresholds and brick counts are BIGINT 1e-6 units, so the
+    * DuckDB CTE replays it with zero float ops. One shuffle on
+    * asset_id; O(h) per asset via the pre-sized fold.
+    */
+  def renko(panel: DataFrame): DataFrame =
+    KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("m", floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("value"), col("m")))).as("bs"))
+      .withColumn("size", greatest(lit(1L), expr("(abs(bs[0].m) * 2) div 100")))
+      .withColumn("in", expr("transform(bs, s -> struct(s.date, s.value, s.m, size))"))
+      .withColumn("rk", Kernels.recurrence(col("in"), "renko"))
+      .select(col("asset_id"), col("size").as("size_micro"), explode(col("rk")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"), col("h.close").as("close"),
+        col("size_micro"), col("h.n_bricks").as("n_bricks"),
+        col("h.cum_bricks").as("cum_bricks"), col("h.dir").as("dir"),
+        col("h.anchor").as("anchor"))
+      .orderBy(col("asset_id"), col("date"))
+
+  /** B256 `garch_filter` — the GARCH(1,1) variance filter with fixed
+    * textbook parameters (ω=1e-6, α=0.05, β=0.90) over the daily
+    * return series: σ²_t = ω + α·r²_{t-1} + β·σ²_{t-1}, seeded with
+    * the EXACT integer mean of squared micro-returns (Σm² div n — both
+    * engines land the identical double). Parameter ESTIMATION is MLE
+    * and out of scope; the filter is the online path a risk engine
+    * actually runs, and the [[ewmaVol]] (RiskMetrics β-only) special
+    * case generalized with mean reversion toward ω/(1−α−β). σ² rides
+    * the 1e-12 grid (`jvm12` — u6 is blind at variance scale); vol =
+    * √σ² is IEEE-correctly-rounded in both engines. The seed is the
+    * CONSTANT σ²₁ = 2e-5 (the unconditional ω/(1−α−β) as an exact
+    * literal) — causal by construction, so the O(1) streaming twin
+    * ([[graft.streaming.StreamingOps.garchStream]]) reproduces this
+    * series bit-for-bit online.
+    */
+  def garchFilter(panel: DataFrame): DataFrame =
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret")))).as("bs"),
+        count(lit(1)).as("nr"))
+      .filter(col("nr") >= 2)
+      .withColumn("in", expr("transform(bs, s -> struct(s.date, s.ret))"))
+      .withColumn("g", Kernels.recurrence(col("in"), "garch"))
+      .select(col("asset_id"), explode(col("g")).as("h"))
+      .select(col("asset_id"), col("h.date").as("date"), col("h.ret").as("ret"),
+        col("h.sigma2").as("sigma2"), col("h.vol").as("vol"))
+      .orderBy(col("asset_id"), col("date"))
+
+  /** B257 `fama_macbeth` — the Fama–MacBeth two-pass regression on the
+    * short-term-reversal factor (x = yesterday's return): pass 1 runs
+    * one cross-sectional OLS PER DATE (slope from EXACT integer micro
+    * sums — Σx, Σy, Σxy, Σx² as decimals so no scale overflows them),
+    * pass 2 summarizes the date series of slopes into the mean premium
+    * and its t-statistic via a date-ordered compiled fold. Output is
+    * the per-date gamma series (the strong hash surface) with the
+    * pass-2 summary broadcast onto every row. Two shuffles: one on
+    * asset (returns), one on date (the cross-section).
+    */
+  def famaMacbeth(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val xy = dailyReturnsCore(panel)
+      .withColumn("x", lag(col("ret"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .withColumn("xm", floor(col("x") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+      .withColumn("ym", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+    val slopes = xy
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm") * col("ym")).as("sxy"), sum(col("xm") * col("xm")).as("sx2"))
+      .filter(col("n") >= 3)
+      .withColumn("den", (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"))
+      .withColumn("slope", u6(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .filter(col("slope").isNotNull)
+      .select(col("date"), col("n").as("n_assets"), col("slope"))
+    val summary = slopes
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("slope")))),
+        s => s("slope")).as("ga"))
+      .withColumn("nd", size(col("ga")).cast("double"))
+      .filter(col("nd") >= 2)
+      .withColumn("sg", foldSum(col("ga")))
+      .withColumn("sg2", foldSumSq(col("ga")))
+      .withColumn("mean_slope", u6(col("sg") / col("nd")))
+      .withColumn("sd", sqrt((col("sg2") - col("sg") * col("sg") / col("nd")) /
+        (col("nd") - 1)))
+      .withColumn("t_stat", u6(col("mean_slope") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd") / sqrt(col("nd")))))
+      .select(col("nd").cast("long").as("n_dates"), col("mean_slope"), col("t_stat"))
+    slopes.crossJoin(broadcast(summary))
+      .orderBy(col("date"))
+  }
+
+  /** B258 `quintile_spread` — the factor-backtest primitive behind
+    * every long/short momentum/reversal table: per date, rank assets
+    * by yesterday's return (ties broken by asset_id so the quintile
+    * assignment is TOTAL), bucket into quintiles by the integer rule
+    * q = ((rank−1)·5) div n, and report top-minus-bottom mean return.
+    * Means are exact-integer sums divided as doubles (int→double is
+    * exact below 2⁵³, the division is one IEEE op) then u6-rounded.
+    * One shuffle on date; the rank window and the aggregation share it.
+    */
+  def quintileSpread(panel: DataFrame): DataFrame = {
+    val wAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val wDate = Window.partitionBy(col("date")).orderBy(col("xm"), col("asset_id"))
+    val nW = Window.partitionBy(col("date"))
+    dailyReturnsCore(panel)
+      .withColumn("x", lag(col("ret"), 1).over(wAsset))
+      .filter(col("x").isNotNull)
+      .withColumn("xm", floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("ym", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("n", count(lit(1)).over(nW))
+      .filter(col("n") >= 5)
+      .withColumn("q", expr("((row_number() OVER (PARTITION BY date ORDER BY xm, asset_id) - 1) * 5) div n"))
+      .groupBy(col("date"))
+      .agg(max(col("n")).as("n_assets"),
+        sum(when(col("q") === 4, col("ym"))).as("top_sum"),
+        count(when(col("q") === 4, lit(1))).as("top_n"),
+        sum(when(col("q") === 0, col("ym"))).as("bot_sum"),
+        count(when(col("q") === 0, lit(1))).as("bot_n"))
+      .withColumn("top_mean", u6(col("top_sum").cast("double") /
+        (col("top_n").cast("double") * lit(1000000.0))))
+      .withColumn("bot_mean", u6(col("bot_sum").cast("double") /
+        (col("bot_n").cast("double") * lit(1000000.0))))
+      .withColumn("spread", u6(col("top_mean") - col("bot_mean")))
+      .select(col("date"), col("n_assets"), col("top_mean"), col("bot_mean"),
+        col("spread"))
+      .orderBy(col("date"))
+  }
+
+  /** B259 `info_discreteness` — Da–Gurun–Warachka "frog in the pan"
+    * information discreteness per asset: ID = sign(total move) ×
+    * (%down days − %up days). High ID = the move arrived in jumps
+    * (news), low/negative = it dribbled in continuously — continuous-
+    * information momentum is the one that persists. Counts and the
+    * sign are PURE INTEGER (sign from the exact Σ of micro returns);
+    * the only float is the final percentage division, u6-rounded.
+    */
+  def infoDiscreteness(panel: DataFrame): DataFrame =
+    dailyReturnsCore(panel)
+      .withColumn("rm", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(when(col("rm") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("rm") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("rm")).as("sum_rm"))
+      .filter(col("n_rets") >= 3)
+      .withColumn("sign", signum(col("sum_rm")).cast("long"))
+      .withColumn("id", u6(col("sign").cast("double") *
+        (col("n_neg") - col("n_pos")).cast("double") / col("n_rets").cast("double")))
+      .select(col("asset_id"), col("n_rets"), col("n_pos"), col("n_neg"),
+        col("sign"), col("id"))
+      .orderBy(col("asset_id"))
+
+  /** B260 `hasbrouck_lambda` — Hasbrouck's square-root price-impact
+    * coefficient per asset: daily signed order flow S_d = Σ_ticks
+    * side·√|value| (tick-rule sides with last-nonzero carry, the
+    * [[kyleLambda]] convention; √ is IEEE-correctly-rounded so both
+    * engines fold the same doubles in the same ts,seq order), then the
+    * OLS slope of daily price changes on S_d. The concave-impact twin
+    * of [[kyleLambda]] (impact ∝ √volume is the empirical regularity;
+    * linear λ overstates large-trade cost). Per-day flows fold over
+    * date-ordered arrays — no unordered float sums anywhere.
+    */
+  def hasbrouckLambda(panel: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("asset_id")).orderBy(col("ts"), col("seq"))
+    val carryW = tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTick = lag(col("value"), 1).over(tw)
+    val flow = panel.repartition(col("asset_id"))
+      .withColumn("d", when(prevTick.isNull, lit(null))
+        .otherwise(signum(col("value") - prevTick).cast("int")))
+      .withColumn("side",
+        last(when(col("d") =!= 0, col("d")), ignoreNulls = true).over(carryW))
+      .filter(col("side").isNotNull)
+      .withColumn("sv", col("side").cast("double") * sqrt(abs(col("value"))))
+      .groupBy(col("asset_id"), col("date"))
+      .agg(Kernels.seqFold(transform(array_sort(collect_list(
+        struct(col("ts"), col("seq"), col("sv")))), s => s("sv")), "sum").as("s_flow"))
+    val dw = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val dprev = lag(col("value"), 1).over(dw)
+    val dp = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+      .withColumn("dp", u6(col("value") - dprev))
+      .filter(col("dp").isNotNull)
+    val n = col("n")
+    dp.join(flow, Seq("asset_id", "date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("dp"),
+        col("s_flow").as("q")))).as("h"))
+      .withColumn("xa", transform(col("h"), s => s("q")))
+      .withColumn("ya", transform(col("h"), s => s("dp")))
+      .withColumn("n", size(col("h")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("sx", foldSum(col("xa")))
+      .withColumn("sy", foldSum(col("ya")))
+      .withColumn("sxy", Kernels.dot(col("xa"), col("ya")))
+      .withColumn("sx2", foldSumSq(col("xa")))
+      .withColumn("den", n * col("sx2") - col("sx") * col("sx"))
+      .withColumn("hasbrouck_lambda", u6((n * col("sxy") - col("sx") * col("sy")) /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("hasbrouck_lambda"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B261 `woodie_pivots` — Woodie's pivot set from yesterday's bar
+    * with the close double-weighted: P = (H+L+2C)/4, the classic
+    * R1/S1/R2/S2 ladder. [[pivotPoints]]' plan shape exactly (one
+    * asset shuffle shared by the lags); only the P formula differs.
+    */
+  def woodiePivots(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    val pc = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("p", u6((ph + pl + lit(2.0) * pc) / 4))
+      .withColumn("r1", u6(lit(2.0) * col("p") - pl))
+      .withColumn("s1", u6(lit(2.0) * col("p") - ph))
+      .withColumn("r2", u6(col("p") + (ph - pl)))
+      .withColumn("s2", u6(col("p") - (ph - pl)))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("p"), col("r1"), col("s1"), col("r2"), col("s2"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B262 `demark_pivots` — DeMark's conditional pivot: X keys off
+    * yesterday's open/close relation (down day weights the low, up day
+    * the high, flat the close), then P = X/4, R1 = X/2 − L,
+    * S1 = X/2 − H. The branch is exact (raw-double comparisons both
+    * engines share); arithmetic is u6 at the three outputs only.
+    */
+  def demarkPivots(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val po = lag(col("open"), 1).over(byAsset)
+    val ph = lag(col("high"), 1).over(byAsset)
+    val pl = lag(col("low"), 1).over(byAsset)
+    val pc = lag(col("close"), 1).over(byAsset)
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("x",
+        when(pc < po, ph + lit(2.0) * pl + pc)
+          .when(pc > po, lit(2.0) * ph + pl + pc)
+          .otherwise(ph + pl + lit(2.0) * pc))
+      .withColumn("p", u6(col("x") / 4))
+      .withColumn("r1", u6(col("x") / 2 - pl))
+      .withColumn("s1", u6(col("x") / 2 - ph))
+      .select(col("asset_id"), col("date"), col("close"),
+        col("p"), col("r1"), col("s1"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** B263 `anchored_vwap` — month-anchored VWAP per asset at daily
+    * grain: cumulative integer-cent notional / cumulative tick count
+    * month-to-date, reported at CENT precision via one integer floor
+    * division (`cum_cents div cum_ticks` — exact at any scale an
+    * int64 tick count reaches; the [[graft.streaming.StreamingOps
+    * .vwapStream]] integer-cents convention applied to the anchored
+    * window every execution desk actually quotes). Day sums are exact
+    * integer aggregates, so the running sums are order-free; ONE
+    * shuffle on asset_id serves the day aggregate and the
+    * month-partitioned cumulative window (month is a coarsening of
+    * the asset partition's date order).
+    */
+  def anchoredVwap(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id"), col("month")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    panel.repartition(col("asset_id"))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("asset_id"), col("date"))
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("day_ticks"))
+      .withColumn("month", trunc(col("date"), "month"))
+      .withColumn("cum_cents", sum(col("day_cents")).over(w))
+      .withColumn("cum_ticks", sum(col("day_ticks")).over(w))
+      .withColumn("avwap",
+        expr("CAST(cum_cents div cum_ticks AS DOUBLE) / 100.0D"))
+      .select(col("asset_id"), col("date"), col("month"),
+        col("cum_ticks").as("n_ticks_mtd"), col("avwap"))
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  /** The Durbin–Levinson unroll to lag 5, as SQL-dialect-neutral
+    * formula strings evaluated VERBATIM by both engines (Spark
+    * `expr()` column-by-column, DuckDB as a generated CTE chain) — a
+    * shared source of truth instead of two hand-transcribed copies of
+    * 11 recurrence lines. Each formula references only earlier names;
+    * every stored φ is u6-rounded; zero denominators null out.
+    */
+  private[graft] val pacfFormulas: Seq[(String, String)] = {
+    def u6s(x: String) =
+      s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
+    def dl(num: String, den: String) =
+      u6s(s"($num) / (CASE WHEN ($den) = 0 THEN NULL ELSE ($den) END)")
+    Seq(
+      "phi11" -> "r1",
+      "phi22" -> dl("r2 - phi11 * r1", "1 - phi11 * r1"),
+      "phi21" -> u6s("phi11 - phi22 * phi11"),
+      "phi33" -> dl("r3 - phi21 * r2 - phi22 * r1",
+        "1 - phi21 * r1 - phi22 * r2"),
+      "phi31" -> u6s("phi21 - phi33 * phi22"),
+      "phi32" -> u6s("phi22 - phi33 * phi21"),
+      "phi44" -> dl("r4 - phi31 * r3 - phi32 * r2 - phi33 * r1",
+        "1 - phi31 * r1 - phi32 * r2 - phi33 * r3"),
+      "phi41" -> u6s("phi31 - phi44 * phi33"),
+      "phi42" -> u6s("phi32 - phi44 * phi32"),
+      "phi43" -> u6s("phi33 - phi44 * phi31"),
+      "phi55" -> dl("r5 - phi41 * r4 - phi42 * r3 - phi43 * r2 - phi44 * r1",
+        "1 - phi41 * r1 - phi42 * r2 - phi43 * r3 - phi44 * r4"))
+  }
+
+  /** B264 `pacf` — partial autocorrelation of each asset's daily
+    * returns to lag 5 via the Durbin–Levinson recursion: ACF lags from
+    * date-ordered compiled folds over the demeaned series (c_k pairs
+    * in ascending index order on BOTH engines — 0-based `transform`
+    * here, 1-based `range` in the oracle, same pair sequence), then
+    * the [[pacfFormulas]] unroll. The AR-order fingerprint the raw ACF
+    * smears (an AR(1) has pacf2..5 ≈ 0 while acf decays slowly).
+    * Assets with <10 returns are skipped — below that the lag-5
+    * denominators are noise around zero.
+    */
+  def pacf(panel: DataFrame): DataFrame = {
+    val base = dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .filter(col("n") >= 10)
+      .withColumn("mu", u6(Kernels.seqFold(col("arr"), "sum") / col("n").cast("double")))
+      .withColumn("da", expr("transform(arr, x -> x - mu)"))
+      .withColumn("c0", Kernels.seqFold(col("da"), "sumsq"))
+    val withR = (1 to 5).foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", Kernels.seqFold(
+          expr(s"transform(sequence($k, size(da) - 1), i -> da[i] * da[i - $k])"), "sum"))
+        .withColumn(s"r$k", u6(col(s"c$k") /
+          when(col("c0") === 0, lit(null)).otherwise(col("c0"))))
+    }
+    val withPhi = pacfFormulas.foldLeft(withR) {
+      case (df, (name, f)) => df.withColumn(name, expr(f))
+    }
+    withPhi.select(col("asset_id"), col("n").as("n_rets"),
+      col("r1"), col("r2"), col("r3"), col("r4"), col("r5"),
+      col("phi11").as("pacf1"), col("phi22").as("pacf2"),
+      col("phi33").as("pacf3"), col("phi44").as("pacf4"),
+      col("phi55").as("pacf5"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B265 `es_backtest` — the Expected-Shortfall companion to
+    * [[varBacktest]]: same rolling historical window (k-th order
+    * statistic = VaR, mean of the k worst = predicted ES, both from
+    * the PRIOR `window` days only — no lookahead), then on violation
+    * days compares realized tail loss to the model's promise:
+    * es_ratio = mean(realized violation return)/mean(predicted ES)
+    * (≈1 calibrated, >1 the model under-promises tail depth). All
+    * violation-day means fold over date-ordered arrays — no unordered
+    * float sums.
+    */
+  def esBacktest(panel: DataFrame, window: Int = 20, q: Double = 0.1): DataFrame = {
+    val k = math.ceil(window * q).toInt
+    val daily = KeyValue.lwwDaily(panel.repartition(col("asset_id")))
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = w.rowsBetween(-window, -1)
+    val prev = lag(col("value"), 1).over(w)
+    daily
+      .withColumn("ret", u6(col("value") / when(prev === 0, lit(null)).otherwise(prev) - 1))
+      .filter(col("ret").isNotNull)
+      .withColumn("arr", collect_list(col("ret")).over(frame))
+      .filter(size(col("arr")) === window)
+      .withColumn("sorted", array_sort(col("arr")))
+      .withColumn("var_q", element_at(col("sorted"), k))
+      .withColumn("es_pred", u6(Kernels.seqFold(slice(col("sorted"), 1, k), "sum") /
+        lit(k.toDouble)))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(when(col("ret") < col("var_q"),
+          struct(col("date"), col("ret"), col("es_pred"))))).as("viol"))
+      .withColumn("n_viol", size(col("viol")).cast("long"))
+      .withColumn("mean_viol_ret", when(col("n_viol") === 0, lit(null)).otherwise(
+        u6(Kernels.seqFold(expr("transform(viol, s -> s.ret)"), "sum") /
+          col("n_viol").cast("double"))))
+      .withColumn("mean_pred_es", when(col("n_viol") === 0, lit(null)).otherwise(
+        u6(Kernels.seqFold(expr("transform(viol, s -> s.es_pred)"), "sum") /
+          col("n_viol").cast("double"))))
+      .withColumn("es_ratio", u6(col("mean_viol_ret") /
+        when(col("mean_pred_es") === 0, lit(null)).otherwise(col("mean_pred_es"))))
+      .select(col("asset_id"), col("n_days"), col("n_viol"),
+        col("mean_viol_ret"), col("mean_pred_es"), col("es_ratio"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -53,6 +53,13 @@ object Micro {
   /** JVM-side twin of [[u3]] (cosine kernels). */
   def jvm3(x: Double): Double = math.floor(x * 1000.0 + 0.5) / 1000.0
 
+  /** Scale-12 JVM rounding for variance-scale recursions (GARCH σ²
+    * lives near 1e-4 — the u6 grid would destroy it; x·1e12 stays
+    * ≪ 2⁵³ for every |x| < 9e3, far above any variance this filter
+    * sees).
+    */
+  def jvm12(x: Double): Double = math.floor(x * 1.0e12 + 0.5) / 1.0e12
+
   /** JVM-side twin of [[u4]] (the RSI stream twin's contract). */
   def jvm4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
 }

@@ -711,6 +711,51 @@ object StreamReplay {
     replayDailyFinal(s, dir, "n_obs")(StreamingOps.adfTestStream)
 
   // ── wave AM twins ───────────────────────────────────────────────────
+  def streamWoodie(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.woodieStream(_))
+  def streamDemark(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.demarkStream(_))
+
+  /** `stream_anchored_vwap` — the per-tick month-to-date emissions
+    * collapsed to each (asset, day)'s FINAL point (max ticks-so-far =
+    * last tick of the day), which the batch daily row describes.
+    */
+  def streamAnchoredVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.panel(s, dir)
+      .select(col("asset_id"), col("date"), col("value"), col("seq"))
+      .as[StreamingOps.DatedTick]
+      .collect().toSeq
+      .sortBy(t => (t.date.getTime, t.seq, t.asset_id))
+    val sink = replay(s, ticks, Batches,
+      maxStateRows = ticks.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.anchoredVwapStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("date")).orderBy(col("n_ticks_mtd").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"), col("date"))
+  }
+
+  def streamRenko(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.renkoStream(_))
+  def streamGarch(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.garchStream(_))
+
+  /** `stream_ibs` — the update-mode running IBS census reduced to the
+    * final (max-n_days) emission per asset, = the batch aggregate.
+    */
+  def streamIbs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.ibsStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("n_days").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+
   def streamKalman(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.kalmanStream(_))
   def streamHolt(s: SparkSession, dir: String): DataFrame =

@@ -6031,4 +6031,243 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  case class RenkoState(anchor: Long, dir: Long, cum: Long, size: Long,
+                        seen: Boolean)
+  case class RenkoPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                        size_micro: Long, n_bricks: Long, cum_bricks: Long,
+                        dir: Long, anchor: Double)
+
+  /** D145 `renkoStream` — streaming face of B255 `renko`: the
+    * (anchor, dir, cum, size) quadruple of BIGINTs IS the state — the
+    * brick size locks on the first arrival (2% of first close, the
+    * batch rule, which is causal by construction) and every later step
+    * is pure integer compare/divide. O(1) state, zero float ops in the
+    * recursion.
+    */
+  def renkoStream(ticks: Dataset[DailyTick]): Dataset[RenkoPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RenkoState, RenkoPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RenkoState]) =>
+          var st = state.getOption.getOrElse(RenkoState(0L, 0L, 0L, 1L, seen = false))
+          val out = Vector.newBuilder[RenkoPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val m = math.floor(t.value * 1000000.0 + 0.5).toLong
+            if (!st.seen) {
+              val size = math.max(1L, math.abs(m) * 2L / 100L)
+              st = RenkoState(m, 0L, 0L, size, seen = true)
+              out += RenkoPoint(assetId, t.date, t.value, size, 0L, 0L, 0L,
+                st.anchor / 1e6)
+            } else {
+              val upThr = if (st.dir == -1L) 2L * st.size else st.size
+              val dnThr = if (st.dir == 1L) 2L * st.size else st.size
+              var anchor = st.anchor; var dir = st.dir; var delta = 0L
+              if (m >= anchor + upThr) {
+                val k = (m - anchor) / st.size
+                anchor += k * st.size; dir = 1L; delta = k
+              } else if (m <= anchor - dnThr) {
+                val k = (anchor - m) / st.size
+                anchor -= k * st.size; dir = -1L; delta = -k
+              }
+              st = RenkoState(anchor, dir, st.cum + delta, st.size, seen = true)
+              out += RenkoPoint(assetId, t.date, t.value, st.size, delta, st.cum,
+                dir, anchor / 1e6)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class GarchState(s: Double, prevRet: Double, last: Double,
+                        seen: Boolean, retSeen: Boolean)
+  case class GarchPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                        sigma2: Double, vol: Double)
+
+  /** D146 `garchStream` — streaming face of B256 `garch_filter`: the
+    * (σ², r_prev) pair IS the state — the textbook O(1) online
+    * variance filter. The constant σ²₁ = 2e-5 seed is what makes the
+    * batch/stream pair bit-identical (a full-history seed could never
+    * be known at the first arrival). Emits from the second tick (the
+    * first return), exactly the batch row set.
+    */
+  def garchStream(ticks: Dataset[DailyTick]): Dataset[GarchPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[GarchState, GarchPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[GarchState]) =>
+          var st = state.getOption.getOrElse(
+            GarchState(0.0, 0.0, 0.0, seen = false, retSeen = false))
+          val out = Vector.newBuilder[GarchPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (!st.seen) st = st.copy(last = t.value, seen = true)
+            else if (st.last == 0.0) st = st.copy(last = t.value)
+            else {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val s =
+                if (!st.retSeen) 2.0e-5
+                else graft.operators.Micro.jvm12(
+                  1.0e-6 + 0.05 * st.prevRet * st.prevRet + 0.90 * st.s)
+              st = GarchState(s, r, t.value, seen = true, retSeen = true)
+              out += GarchPoint(assetId, t.date, r, s,
+                graft.operators.Micro.jvm6(math.sqrt(s)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class IbsRunState(nDays: Long, nFlat: Long, nMeasured: Long,
+                         sumMicro: Long)
+  case class IbsUpd(asset_id: Long, n_days: Long, n_flat: Long,
+                    n_measured: Long, mean_ibs: Option[Double])
+
+  /** D147 `ibsStream` — streaming face of B161 `ibs`: running
+    * (n_days, n_flat, n_measured, Σv_micro) — four BIGINTs of state,
+    * each day's IBS u6-rounded THEN micro-scaled exactly as the batch
+    * aggregate folds it, so the final update equals the batch row
+    * bit-for-bit (the integer-mean `div` convention included).
+    */
+  def ibsStream(bars: Dataset[OhlcStreamBar]): Dataset[IbsUpd] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[IbsRunState, IbsUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[IbsRunState]) =>
+          var st = state.getOption.getOrElse(IbsRunState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.high == b.low) st = st.copy(nDays = st.nDays + 1, nFlat = st.nFlat + 1)
+            else {
+              val v = graft.operators.Micro.jvm6((b.close - b.low) / (b.high - b.low))
+              val vm = math.rint(v * 1e6).toLong
+              st = IbsRunState(st.nDays + 1, st.nFlat, st.nMeasured + 1,
+                st.sumMicro + vm)
+            }
+          }
+          state.update(st)
+          if (st.nDays == 0) Iterator.empty
+          else Iterator.single(IbsUpd(assetId, st.nDays, st.nFlat, st.nMeasured,
+            if (st.nMeasured == 0) None
+            else Some(math.floorDiv(st.sumMicro, st.nMeasured).toDouble / 1e6)))
+      }
+  }
+
+  case class PrevBarState(po: Double, ph: Double, pl: Double, pc: Double,
+                          seen: Boolean)
+  case class WoodiePoint(asset_id: Long, date: java.sql.Date, close: Double,
+                         p: Option[Double], r1: Option[Double], s1: Option[Double],
+                         r2: Option[Double], s2: Option[Double])
+
+  /** D148 `woodieStream` — streaming face of B261 `woodie_pivots`:
+    * yesterday's bar IS the state (the [[pivotPointsStream]] shape,
+    * close double-weighted).
+    */
+  def woodieStream(bars: Dataset[OhlcStreamBar]): Dataset[WoodiePoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PrevBarState, WoodiePoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PrevBarState]) =>
+          var st = state.getOption.getOrElse(PrevBarState(0.0, 0.0, 0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[WoodiePoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val p = graft.operators.Micro.jvm6((st.ph + st.pl + 2.0 * st.pc) / 4)
+              out += WoodiePoint(assetId, b.date, b.close, Some(p),
+                Some(graft.operators.Micro.jvm6(2.0 * p - st.pl)),
+                Some(graft.operators.Micro.jvm6(2.0 * p - st.ph)),
+                Some(graft.operators.Micro.jvm6(p + (st.ph - st.pl))),
+                Some(graft.operators.Micro.jvm6(p - (st.ph - st.pl))))
+            } else out += WoodiePoint(assetId, b.date, b.close, None, None, None, None, None)
+            st = PrevBarState(b.open, b.high, b.low, b.close, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class DemarkPoint(asset_id: Long, date: java.sql.Date, close: Double,
+                         p: Option[Double], r1: Option[Double], s1: Option[Double])
+
+  /** D149 `demarkStream` — streaming face of B262 `demark_pivots`:
+    * yesterday's FULL bar (the open participates in the branch) IS
+    * the state.
+    */
+  def demarkStream(bars: Dataset[OhlcStreamBar]): Dataset[DemarkPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PrevBarState, DemarkPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[PrevBarState]) =>
+          var st = state.getOption.getOrElse(PrevBarState(0.0, 0.0, 0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[DemarkPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen) {
+              val x =
+                if (st.pc < st.po) st.ph + 2.0 * st.pl + st.pc
+                else if (st.pc > st.po) 2.0 * st.ph + st.pl + st.pc
+                else st.ph + st.pl + 2.0 * st.pc
+              out += DemarkPoint(assetId, b.date, b.close,
+                Some(graft.operators.Micro.jvm6(x / 4)),
+                Some(graft.operators.Micro.jvm6(x / 2 - st.pl)),
+                Some(graft.operators.Micro.jvm6(x / 2 - st.ph)))
+            } else out += DemarkPoint(assetId, b.date, b.close, None, None, None)
+            st = PrevBarState(b.open, b.high, b.low, b.close, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AvwapState(month_ms: Long, cum_cents: Long, cum_ticks: Long)
+  case class AvwapPoint(asset_id: Long, date: java.sql.Date,
+                        month: java.sql.Date, n_ticks_mtd: Long, avwap: Double)
+
+  /** D150 `anchoredVwapStream` — streaming face of B263
+    * `anchored_vwap`: (month, Σcents, Σticks) — three BIGINTs of
+    * state, reset when the month rolls. Emits the month-to-date VWAP
+    * on every tick; the replay reduces to the last emission per
+    * (asset, date) = the batch daily row. Cent precision by ONE
+    * integer division — no scaled product anywhere, so nothing can
+    * wrap (the r9 token-budget lesson applied by construction).
+    */
+  def anchoredVwapStream(ticks: Dataset[DatedTick]): Dataset[AvwapPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AvwapState, AvwapPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DatedTick], state: GroupState[AvwapState]) =>
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[AvwapPoint]
+          rows.toSeq.sortBy(t => (t.date.getTime, t.seq)).foreach { t =>
+            val ld = t.date.toLocalDate.withDayOfMonth(1)
+            val monthMs = java.sql.Date.valueOf(ld).getTime
+            val cents = BigDecimal(t.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toLongExact
+            st =
+              if (st == null || st.month_ms != monthMs) AvwapState(monthMs, cents, 1L)
+              else AvwapState(monthMs, st.cum_cents + cents, st.cum_ticks + 1L)
+            out += AvwapPoint(assetId, t.date, new java.sql.Date(monthMs),
+              st.cum_ticks, (st.cum_cents / st.cum_ticks).toDouble / 100.0)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }
