@@ -1237,6 +1237,14 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AQ (r10) ────────────────────────────────────────────────
+    "stream_beta" -> ((s, dir) => StreamReplay.streamBeta(s, dir)),
+    "stream_treynor" -> ((s, dir) => StreamReplay.streamTreynor(s, dir)),
+    "stream_jensen_alpha" -> ((s, dir) => StreamReplay.streamJensenAlpha(s, dir)),
+    "stream_information_ratio" -> ((s, dir) => StreamReplay.streamInformationRatio(s, dir)),
+    "stream_info_discreteness" -> ((s, dir) => StreamReplay.streamInfoDiscreteness(s, dir)),
+    "stream_var_backtest" -> ((s, dir) => StreamReplay.streamVarBacktest(s, dir)),
+    "stream_es_backtest" -> ((s, dir) => StreamReplay.streamEsBacktest(s, dir)),
     // ── wave AP (r10) ────────────────────────────────────────────────
     "woodie_pivots" -> ((s, dir) =>
       Analytics.woodiePivots(Tables.panel(s, dir))),
@@ -3448,7 +3456,14 @@ object SparkEntry {
       ("stream_ibs" -> m("ibs")) +
       ("stream_woodie" -> m("woodie_pivots")) +
       ("stream_demark" -> m("demark_pivots")) +
-      ("stream_anchored_vwap" -> m("anchored_vwap"))
+      ("stream_anchored_vwap" -> m("anchored_vwap")) +
+      ("stream_beta" -> m("beta")) +
+      ("stream_treynor" -> m("treynor")) +
+      ("stream_jensen_alpha" -> m("jensen_alpha")) +
+      ("stream_information_ratio" -> m("information_ratio")) +
+      ("stream_info_discreteness" -> m("info_discreteness")) +
+      ("stream_var_backtest" -> m("var_backtest")) +
+      ("stream_es_backtest" -> m("es_backtest"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -711,6 +711,38 @@ object StreamReplay {
     replayDailyFinal(s, dir, "n_obs")(StreamingOps.adfTestStream)
 
   // ── wave AM twins ───────────────────────────────────────────────────
+  /** Update-mode replay over the return+market tape + final-emission
+    * reduction — the [[replayDailyFinal]] shape for the market-model
+    * running twins (beta / treynor / jensen / information ratio).
+    */
+  private def replayRetMktFinal[O](s: SparkSession, dir: String, ord: String)(
+      op: org.apache.spark.sql.Dataset[StreamingOps.RetMktTick] =>
+        org.apache.spark.sql.Dataset[O]): DataFrame = {
+    import s.implicits._
+    val feed = retMktFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(op)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col(ord).desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+
+  def streamBeta(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_days")(StreamingOps.betaStream)
+  def streamTreynor(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_days")(StreamingOps.treynorStream)
+  def streamJensenAlpha(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_days")(StreamingOps.jensenAlphaStream)
+  def streamInformationRatio(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_days")(StreamingOps.informationRatioStream)
+  def streamInfoDiscreteness(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_rets")(StreamingOps.infoDiscretenessStream)
+  def streamVarBacktest(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.varBacktestStream(_))
+  def streamEsBacktest(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.esBacktestStream(_))
+
   def streamWoodie(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.woodieStream(_))
   def streamDemark(s: SparkSession, dir: String): DataFrame =

@@ -6233,6 +6233,283 @@ object StreamingOps {
       }
   }
 
+  // ── wave AQ: running market-model / tail-risk twins ────────────────
+
+  case class RegSumState(n: Long, sa: Double, sm: Double, sp: Double,
+                         sm2: Double, sa2: Double)
+  case class BetaUpd(asset_id: Long, n_days: Long, beta: Option[Double],
+                     alpha: Option[Double])
+
+  /** D151 `betaStream` — streaming face of B25 `beta`: the running
+    * (n, Σr, Σm, Σrm, Σm²) quintuple IS the state. Each partial sum
+    * accumulates in date order — exactly the batch's left-assoc fold
+    * over the date-sorted array, so the final update is bit-identical
+    * including the coalesce(slope, 0) convention inside alpha.
+    */
+  def betaStream(ticks: Dataset[RetMktTick]): Dataset[BetaUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RegSumState, BetaUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[RegSumState]) =>
+          var st = state.getOption.getOrElse(RegSumState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            st = RegSumState(st.n + 1, st.sa + t.ret, st.sm + t.mkt_ret,
+              st.sp + t.ret * t.mkt_ret, st.sm2 + t.mkt_ret * t.mkt_ret, st.sa2)
+          }
+          state.update(st)
+          if (st.n == 0) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val den = n * st.sm2 - st.sm * st.sm
+            val raw = if (den == 0.0) None else Some((n * st.sp - st.sa * st.sm) / den)
+            Iterator.single(BetaUpd(assetId, st.n,
+              raw.map(graft.operators.Micro.jvm6),
+              Some(graft.operators.Micro.jvm6(
+                (st.sa - raw.getOrElse(0.0) * st.sm) / n))))
+          }
+      }
+  }
+
+  case class TreynorUpd(asset_id: Long, n_days: Long, beta: Option[Double],
+                        treynor: Option[Double])
+
+  /** D152 `treynorStream` — streaming face of B88 `treynor`: same
+    * running sums as [[betaStream]]; the |β|<0.01 degeneracy guard
+    * applies to the u6-ROUNDED beta exactly as the batch column does.
+    */
+  def treynorStream(ticks: Dataset[RetMktTick]): Dataset[TreynorUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RegSumState, TreynorUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[RegSumState]) =>
+          var st = state.getOption.getOrElse(RegSumState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            st = RegSumState(st.n + 1, st.sa + t.ret, st.sm + t.mkt_ret,
+              st.sp + t.ret * t.mkt_ret, st.sm2 + t.mkt_ret * t.mkt_ret, st.sa2)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val den = n * st.sm2 - st.sm * st.sm
+            val beta = if (den == 0.0) None
+              else Some(graft.operators.Micro.jvm6((n * st.sp - st.sa * st.sm) / den))
+            val trey = beta.filter(b => math.abs(b) >= 0.01)
+              .map(b => graft.operators.Micro.jvm6((st.sa / n) / b))
+            Iterator.single(TreynorUpd(assetId, st.n, beta, trey))
+          }
+      }
+  }
+
+  case class JensenUpd(asset_id: Long, n_days: Long, beta: Option[Double],
+                       alpha: Option[Double], resid_sd: Option[Double],
+                       appraisal: Option[Double])
+
+  /** D153 `jensenAlphaStream` — streaming face of B220 `jensen_alpha`:
+    * the six running sums (adds Σr² for the residual sd) — O(1) state
+    * online appraisal. Raw (unrounded) slope feeds alpha/resid exactly
+    * as the batch columns compose.
+    */
+  def jensenAlphaStream(ticks: Dataset[RetMktTick]): Dataset[JensenUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RegSumState, JensenUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[RegSumState]) =>
+          var st = state.getOption.getOrElse(RegSumState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            st = RegSumState(st.n + 1, st.sa + t.ret, st.sm + t.mkt_ret,
+              st.sp + t.ret * t.mkt_ret, st.sm2 + t.mkt_ret * t.mkt_ret,
+              st.sa2 + t.ret * t.ret)
+          }
+          state.update(st)
+          if (st.n < 3) Iterator.empty
+          else {
+            import graft.operators.Micro.jvm6
+            val n = st.n.toDouble
+            val sxx = n * st.sm2 - st.sm * st.sm
+            val sxy = n * st.sp - st.sm * st.sa
+            val syy = n * st.sa2 - st.sa * st.sa
+            val b = if (sxx <= 0.0) None else Some(sxy / sxx)
+            val a = b.map(bb => st.sa / n - bb * (st.sm / n))
+            val rs = b.map(bb =>
+              math.sqrt(math.max((syy - bb * sxy) / n / (n - 2), 0.0)))
+            Iterator.single(JensenUpd(assetId, st.n,
+              b.map(jvm6), a.map(jvm6), rs.map(jvm6),
+              (a, rs) match {
+                case (Some(av), Some(r)) if r != 0.0 => Some(jvm6(av / r))
+                case _ => None
+              }))
+          }
+      }
+  }
+
+  case class IrState(n: Long, s: Double, s2: Double)
+  case class IrUpd(asset_id: Long, n_days: Long, mean_active: Double,
+                   ir: Option[Double])
+
+  /** D154 `informationRatioStream` — streaming face of B86
+    * `information_ratio`: running (n, Σa, Σa²) over the u6 ACTIVE
+    * return (r − m rounded exactly as the batch column is). */
+  def informationRatioStream(ticks: Dataset[RetMktTick]): Dataset[IrUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[IrState, IrUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[IrState]) =>
+          var st = state.getOption.getOrElse(IrState(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val a = graft.operators.Micro.jvm6(t.ret - t.mkt_ret)
+            st = IrState(st.n + 1, st.s + a, st.s2 + a * a)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            import graft.operators.Micro.jvm6
+            val n = st.n.toDouble
+            val te = math.sqrt(math.max((n * st.s2 - st.s * st.s) / (n * (n - 1)), 0.0))
+            Iterator.single(IrUpd(assetId, st.n, jvm6(st.s / n),
+              if (te == 0.0) None else Some(jvm6((st.s / n) / te))))
+          }
+      }
+  }
+
+  case class IdState(last: Double, seen: Boolean, n: Long, nPos: Long,
+                     nNeg: Long, sumRm: Long)
+  case class IdUpd(asset_id: Long, n_rets: Long, n_pos: Long, n_neg: Long,
+                   sign: Long, id: Double)
+
+  /** D155 `infoDiscretenessStream` — streaming face of B259
+    * `info_discreteness`: four integers + the exact micro-return sum
+    * — the sign can never drift because nothing is floating. */
+  def infoDiscretenessStream(ticks: Dataset[DailyTick]): Dataset[IdUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[IdState, IdUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[IdState]) =>
+          var st = state.getOption.getOrElse(IdState(0.0, seen = false, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val rm = math.floor(r * 1000000.0 + 0.5).toLong
+              st = IdState(t.value, seen = true, st.n + 1,
+                st.nPos + (if (rm > 0) 1L else 0L),
+                st.nNeg + (if (rm < 0) 1L else 0L), st.sumRm + rm)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 3) Iterator.empty
+          else {
+            val sign = if (st.sumRm > 0) 1L else if (st.sumRm < 0) -1L else 0L
+            Iterator.single(IdUpd(assetId, st.n, st.nPos, st.nNeg, sign,
+              graft.operators.Micro.jvm6(
+                sign.toDouble * (st.nNeg - st.nPos).toDouble / st.n.toDouble)))
+          }
+      }
+  }
+
+  case class TailRingState(last: Double, seen: Boolean, ring: Vector[Double],
+                           nDays: Long, nViol: Long, sumR: Double, sumE: Double)
+  case class VarBtUpd(asset_id: Long, n_days: Long, n_viol: Long,
+                      viol_pm: Long, nominal_pm: Long)
+
+  /** D156 `varBacktestStream` — streaming face of B75 `var_backtest`:
+    * the 20-slot prior-return ring IS the state (O(window), bounded);
+    * each arrival tests against the ring's 2nd-smallest BEFORE
+    * entering it — exactly the batch's (-20,-1) frame. */
+  def varBacktestStream(ticks: Dataset[DailyTick], window: Int = 20,
+                        k: Int = 2): Dataset[VarBtUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TailRingState, VarBtUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[TailRingState]) =>
+          var st = state.getOption.getOrElse(
+            TailRingState(0.0, seen = false, Vector.empty, 0L, 0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              var (nD, nV) = (st.nDays, st.nViol)
+              if (st.ring.size == window) {
+                nD += 1
+                if (r < st.ring.sorted.apply(k - 1)) nV += 1
+              }
+              st = TailRingState(t.value, seen = true,
+                (st.ring :+ r).takeRight(window), nD, nV, 0.0, 0.0)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.nDays == 0) Iterator.empty
+          else Iterator.single(VarBtUpd(assetId, st.nDays, st.nViol,
+            st.nViol * 1000L / st.nDays, k.toLong * 1000 / window))
+      }
+  }
+
+  case class EsBtUpd(asset_id: Long, n_days: Long, n_viol: Long,
+                     mean_viol_ret: Option[Double], mean_pred_es: Option[Double],
+                     es_ratio: Option[Double])
+
+  /** D157 `esBacktestStream` — streaming face of B265 `es_backtest`:
+    * the same prior-return ring plus the running violation sums
+    * (date-ordered accumulation ≡ the batch's ordered fold over the
+    * violation array). */
+  def esBacktestStream(ticks: Dataset[DailyTick], window: Int = 20,
+                       k: Int = 2): Dataset[EsBtUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TailRingState, EsBtUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[TailRingState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            TailRingState(0.0, seen = false, Vector.empty, 0L, 0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              var (nD, nV, sR, sE) = (st.nDays, st.nViol, st.sumR, st.sumE)
+              if (st.ring.size == window) {
+                nD += 1
+                val sorted = st.ring.sorted
+                if (r < sorted(k - 1)) {
+                  nV += 1
+                  sR += r
+                  sE += jvm6(sorted.take(k).foldLeft(0.0)(_ + _) / k.toDouble)
+                }
+              }
+              st = TailRingState(t.value, seen = true,
+                (st.ring :+ r).takeRight(window), nD, nV, sR, sE)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.nDays == 0) Iterator.empty
+          else if (st.nViol == 0)
+            Iterator.single(EsBtUpd(assetId, st.nDays, 0L, None, None, None))
+          else {
+            val mvr = jvm6(st.sumR / st.nViol.toDouble)
+            val mpe = jvm6(st.sumE / st.nViol.toDouble)
+            Iterator.single(EsBtUpd(assetId, st.nDays, st.nViol, Some(mvr),
+              Some(mpe), if (mpe == 0.0) None else Some(jvm6(mvr / mpe))))
+          }
+      }
+  }
+
   case class AvwapState(month_ms: Long, cum_cents: Long, cum_ticks: Long)
   case class AvwapPoint(asset_id: Long, date: java.sql.Date,
                         month: java.sql.Date, n_ticks_mtd: Long, avwap: Double)

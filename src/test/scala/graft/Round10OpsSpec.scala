@@ -2402,4 +2402,89 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.anchoredVwap(panel)), "avwap")
   }
+
+  test("wave-AQ running twins equal their batch aggregates on replayed feeds") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0, 54.0, 52.5, 55.0,
+        53.5, 56.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    // return + market tape (the retMktFeed shape)
+    val rets = A.dailyReturns(panel).select($"asset_id", $"date", $"ret")
+    val feed = rets
+      .join(org.apache.spark.sql.functions.broadcast(A.marketReturns(rets)), Seq("date"))
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalized[O: org.apache.spark.sql.Encoder](ord: String)(
+        op: org.apache.spark.sql.Dataset[StreamingOps.RetMktTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, feed, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy(org.apache.spark.sql.functions.col(ord).desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalized("n_days")(StreamingOps.betaStream) === norm(A.beta(panel)), "beta")
+    assert(finalized("n_days")(StreamingOps.treynorStream) ===
+      norm(A.treynor(panel)), "treynor")
+    assert(finalized("n_days")(StreamingOps.jensenAlphaStream) ===
+      norm(A.jensenAlpha(panel)), "jensen")
+    assert(finalized("n_days")(StreamingOps.informationRatioStream) ===
+      norm(A.informationRatio(panel)), "ir")
+
+    // daily-tick twins
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedDaily[O: org.apache.spark.sql.Encoder](ord: String)(
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy(org.apache.spark.sql.functions.col(ord).desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedDaily("n_rets")(StreamingOps.infoDiscretenessStream) ===
+      norm(A.infoDiscreteness(panel)), "id")
+    // tail-risk rings need > window returns: widen with a longer panel
+    val longVals = Vector.tabulate(30)(i => 100.0 + (i % 7) - 0.5 * (i % 3))
+    val lp = (0 until 30).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (1L, java.sql.Date.valueOf(d),
+        new java.sql.Timestamp(1704000000000L + i * 1000L), longVals(i), 100L + i)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val lpDaily = graft.operators.KeyValue.lwwDaily(lp)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedLp[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, lpDaily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 1L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy($"n_days".desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedLp(StreamingOps.varBacktestStream(_)) ===
+      norm(A.varBacktest(lp)), "varbt")
+    assert(finalizedLp(StreamingOps.esBacktestStream(_)) ===
+      norm(A.esBacktest(lp)), "esbt")
+    // and the violation path actually fires on this panel
+    assert(A.varBacktest(lp).collect().head.getAs[Long]("n_viol") > 0L)
+  }
 }
