@@ -1237,6 +1237,12 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AR (r10) ────────────────────────────────────────────────
+    "keyness_terms" -> ((s, dir) =>
+      Pipeline.keynessTerms(Tables.documents(s, dir))),
+    "island_reversals" -> ((s, dir) =>
+      Analytics.islandReversals(Tables.panel(s, dir))),
+    "stream_island_reversal" -> ((s, dir) => StreamReplay.streamIslandReversal(s, dir)),
     // ── wave AQ (r10) ────────────────────────────────────────────────
     "stream_beta" -> ((s, dir) => StreamReplay.streamBeta(s, dir)),
     "stream_treynor" -> ((s, dir) => StreamReplay.streamTreynor(s, dir)),
@@ -3463,7 +3469,8 @@ object SparkEntry {
       ("stream_information_ratio" -> m("information_ratio")) +
       ("stream_info_discreteness" -> m("info_discreteness")) +
       ("stream_var_backtest" -> m("var_backtest")) +
-      ("stream_es_backtest" -> m("es_backtest"))
+      ("stream_es_backtest" -> m("es_backtest")) +
+      ("stream_island_reversal" -> m("island_reversals"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -4879,7 +4886,50 @@ object SparkEntry {
          |  FROM a2)
          |SELECT asset_id, n_days, n_viol, mean_viol_ret, mean_pred_es,
          |  floor((mean_viol_ret / nullif(mean_pred_es, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS es_ratio
-         |FROM a3 ORDER BY asset_id""".stripMargin)
+         |FROM a3 ORDER BY asset_id""".stripMargin,
+    "island_reversals" ->
+      s"""$panelCte,
+         |$barsCte,
+         |t AS (
+         |  SELECT asset_id, date, low, high,
+         |    lag(high)  OVER a AS ph, lag(low)  OVER a AS pl,
+         |    lead(high) OVER a AS nh, lead(low) OVER a AS nl
+         |  FROM bars
+         |  WINDOW a AS (PARTITION BY asset_id ORDER BY date))
+         |SELECT asset_id, date,
+         |  CASE WHEN low > ph AND nh < low THEN 'top' ELSE 'bottom' END AS kind,
+         |  low, high
+         |FROM t
+         |WHERE (low > ph AND nh < low) OR (high < pl AND nl > high)
+         |ORDER BY asset_id, date""".stripMargin,
+    "keyness_terms" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                t -> t <> '')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |st AS (SELECT source, tok, count(*) AS a FROM toks GROUP BY source, tok),
+        |tt AS (SELECT tok, count(*) AS tot_tok FROM toks GROUP BY tok),
+        |ts AS (SELECT source, count(*) AS tot_src FROM toks GROUP BY source),
+        |ta AS (SELECT count(*) AS nn FROM toks),
+        |j AS (SELECT st.source, st.tok, st.a, tt.tot_tok, ts.tot_src, ta.nn
+        |      FROM st JOIN tt USING (tok) JOIN ts USING (source) CROSS JOIN ta),
+        |x AS (SELECT source, tok, a,
+        |        CAST(tot_tok - a AS DOUBLE) AS b, CAST(tot_src - a AS DOUBLE) AS c,
+        |        CAST(nn - tot_tok - tot_src + a AS DOUBLE) AS d,
+        |        CAST(a AS DOUBLE) AS ad, CAST(nn AS DOUBLE) AS nd
+        |      FROM j),
+        |y AS (SELECT source, tok, a,
+        |        floor((nd * (ad * d - b * c) * (ad * d - b * c)
+        |               / nullif((ad + b) * (c + d) * (ad + c) * (b + d), 0.0))
+        |              * 1000000.0 + 0.5) / 1000000.0 AS chi2
+        |      FROM x),
+        |z AS (SELECT source, tok, a, chi2,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY chi2 DESC, tok) AS rank
+        |      FROM y WHERE chi2 IS NOT NULL)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
+        |       CAST(a AS BIGINT) AS n_in_source, chi2
+        |FROM z WHERE rank <= 10 ORDER BY source, rank""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

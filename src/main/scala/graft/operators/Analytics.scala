@@ -8197,4 +8197,28 @@ object Analytics {
         col("mean_viol_ret"), col("mean_pred_es"), col("es_ratio"))
       .orderBy(col("asset_id"))
   }
+
+  /** B266 `island_reversals` — the island-reversal bar pattern: a day
+    * whose whole range gapped ABOVE both neighbors' (top: entered on a
+    * gap up, abandoned on a gap down) or BELOW both (bottom) — the
+    * exhaustion signature gap-and-go scanners flag. Pure raw-double
+    * comparisons on the daily bars (both engines read identical
+    * parquet doubles — no arithmetic at all), one lag + one lead on
+    * the single asset_id shuffle. First/last bars can't qualify (a
+    * null neighbor fails the null-is-false comparison).
+    */
+  def islandReversals(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    dailyBars(panel.repartition(col("asset_id")))
+      .withColumn("ph", lag(col("high"), 1).over(w))
+      .withColumn("pl", lag(col("low"), 1).over(w))
+      .withColumn("nh", lead(col("high"), 1).over(w))
+      .withColumn("nl", lead(col("low"), 1).over(w))
+      .withColumn("kind",
+        when(col("low") > col("ph") && col("nh") < col("low"), lit("top"))
+          .when(col("high") < col("pl") && col("nl") > col("high"), lit("bottom")))
+      .filter(col("kind").isNotNull)
+      .select(col("asset_id"), col("date"), col("kind"), col("low"), col("high"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -2363,4 +2363,47 @@ object Pipeline {
         .otherwise(expr("(1000 * n_dup_paras) div n_paras")))
       .orderBy(col("doc_id"))
   }
+
+  /** C150 `keyness_terms` — chi-square keyness: the top-k terms most
+    * DISTINCTIVE of each source against the rest of the corpus (the
+    * corpus-linguistics contrast [[tfidfTopk]]'s within-doc weighting
+    * can't see — a term can have middling tf-idf yet be the single
+    * strongest source marker). 2×2 contingency per (source, token)
+    * from exact integer counts; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    * computed in doubles with one fixed op order (int→double exact
+    * below 2⁵³, both engines run the identical multiply chain), ties
+    * broken by token so the top-k set is total. Three combinable
+    * count aggregates + one broadcast of the corpus total — no
+    * all-pairs anything, safe at any corpus size.
+    */
+  def keynessTerms(documents: DataFrame, k: Int = 10): DataFrame = {
+    val toks = documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    val st = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+    val totTok = toks.groupBy(col("tok")).agg(sum(lit(1L)).as("tot_tok"))
+    val totSrc = toks.groupBy(col("source")).agg(sum(lit(1L)).as("tot_src"))
+    val totAll = toks.groupBy().agg(count(lit(1)).as("nn"))
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("tok"))
+    st.join(totTok, Seq("tok"))
+      .join(broadcast(totSrc), Seq("source"))
+      .crossJoin(broadcast(totAll))
+      .withColumn("b", (col("tot_tok") - col("a")).cast("double"))
+      .withColumn("c", (col("tot_src") - col("a")).cast("double"))
+      .withColumn("d", (col("nn") - col("tot_tok") - col("tot_src") + col("a")).cast("double"))
+      .withColumn("ad", col("a").cast("double"))
+      .withColumn("diff", col("ad") * col("d") - col("b") * col("c"))
+      .withColumn("den", (col("ad") + col("b")) * (col("c") + col("d")) *
+        (col("ad") + col("c")) * (col("b") + col("d")))
+      .withColumn("chi2", u6(col("nn").cast("double") * col("diff") * col("diff") /
+        when(col("den") === 0, lit(null)).otherwise(col("den"))))
+      .filter(col("chi2").isNotNull)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("tok"),
+        col("a").as("n_in_source"), col("chi2"))
+      .orderBy(col("source"), col("rank"))
+  }
 }

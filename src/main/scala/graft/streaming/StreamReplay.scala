@@ -743,6 +743,10 @@ object StreamReplay {
   def streamEsBacktest(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.esBacktestStream(_))
 
+  def streamIslandReversal(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.islandReversalStream(_))
+      .orderBy(col("asset_id"), col("date"))
+
   def streamWoodie(s: SparkSession, dir: String): DataFrame =
     replayBars(s, dir)(StreamingOps.woodieStream(_))
   def streamDemark(s: SparkSession, dir: String): DataFrame =

@@ -6510,6 +6510,45 @@ object StreamingOps {
       }
   }
 
+  case class TwoBarState(h1: Double, l1: Double, h2: Double, l2: Double,
+                         d2_ms: Long, nBars: Long)
+  case class IslandPoint(asset_id: Long, date: java.sql.Date, kind: String,
+                         low: Double, high: Double)
+
+  /** D158 `islandReversalStream` — streaming face of B266
+    * `island_reversals`: the last TWO bars are the state; bar t's
+    * verdict emits when bar t+1 arrives (the pattern needs the exit
+    * gap, so one bar of latency is intrinsic, not an implementation
+    * artifact). First/last bars never emit — exactly the batch's
+    * null-neighbor rows.
+    */
+  def islandReversalStream(bars: Dataset[OhlcStreamBar]): Dataset[IslandPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[TwoBarState, IslandPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[TwoBarState]) =>
+          var st = state.getOption.getOrElse(TwoBarState(0.0, 0.0, 0.0, 0.0, 0L, 0L))
+          val out = Vector.newBuilder[IslandPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.nBars >= 2) {
+              if (st.l2 > st.h1 && b.high < st.l2)
+                out += IslandPoint(assetId, new java.sql.Date(st.d2_ms), "top",
+                  st.l2, st.h2)
+              else if (st.h2 < st.l1 && b.low > st.h2)
+                out += IslandPoint(assetId, new java.sql.Date(st.d2_ms), "bottom",
+                  st.l2, st.h2)
+            }
+            st = TwoBarState(st.h2, st.l2, b.high, b.low, b.date.getTime,
+              math.min(st.nBars + 1, 3L))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class AvwapState(month_ms: Long, cum_cents: Long, cum_ticks: Long)
   case class AvwapPoint(asset_id: Long, date: java.sql.Date,
                         month: java.sql.Date, n_ticks_mtd: Long, avwap: Double)

@@ -2487,4 +2487,63 @@ class Round10OpsSpec extends SparkSpec {
     // and the violation path actually fires on this panel
     assert(A.varBacktest(lp).collect().head.getAs[Long]("n_viol") > 0L)
   }
+
+  test("wave-AR keyness and island reversals match hand constructions") {
+    val A = graft.operators.Analytics
+
+    // island: engineered gaps — day idx2 range [110,112] sits above
+    // day1 high 101 and day3 high 103 → top island at day 2
+    val ticks = Seq(
+      (1L, "2024-03-01", 100.0, 101.0), (1L, "2024-03-02", 110.0, 112.0),
+      (1L, "2024-03-03", 102.0, 103.0), (1L, "2024-03-04", 101.0, 102.5),
+      // bottom island at day 3 of asset 2: [40,41] below 45 and 46
+      (2L, "2024-03-01", 50.0, 52.0), (2L, "2024-03-02", 45.0, 48.0),
+      (2L, "2024-03-03", 40.0, 41.0), (2L, "2024-03-04", 46.0, 47.0)
+    ).flatMap { case (a, d, lo, hi) =>
+      Seq((a, java.sql.Date.valueOf(d),
+        java.sql.Timestamp.valueOf(d + " 10:00:00"), lo, a * 1000),
+        (a, java.sql.Date.valueOf(d),
+          java.sql.Timestamp.valueOf(d + " 11:00:00"), hi, a * 1000 + 1))
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val isl = A.islandReversals(ticks).collect()
+    assert(isl.length === 2)
+    val top = isl.find(_.getLong(0) == 1L).get
+    assert(top.getAs[String]("kind") === "top")
+    assert(top.getAs[java.sql.Date]("date").toString === "2024-03-02")
+    val bot = isl.find(_.getLong(0) == 2L).get
+    assert(bot.getAs[String]("kind") === "bottom")
+    assert(bot.getAs[java.sql.Date]("date").toString === "2024-03-03")
+
+    // island stream twin: same rows, one bar of intrinsic latency
+    import graft.streaming.StreamingOps
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val bars = A.dailyBars(ticks)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val streamed = norm(graft.streaming.StreamReplay
+      .replay(spark, bars, 3, maxStateRows = 2L)(StreamingOps.islandReversalStream(_)))
+    assert(streamed === norm(A.islandReversals(ticks)), "island twin")
+
+    // keyness: a token appearing ONLY in one source dominates its top-k
+    val docs = Seq(
+      (1L, "web", "alpha alpha beta gamma"),
+      (2L, "web", "alpha beta beta delta"),
+      (3L, "book", "omega omega omega beta"),
+      (4L, "book", "omega gamma delta beta")
+    ).toDF("doc_id", "source", "text")
+    val kt = graft.operators.Pipeline.keynessTerms(docs, k = 3).collect()
+    val bookTop = kt.filter(_.getAs[String]("source") == "book")
+      .minBy(_.getAs[Long]("rank"))
+    assert(bookTop.getAs[String]("tok") === "omega")
+    assert(bookTop.getAs[Long]("n_in_source") === 4L)
+    val webTop = kt.filter(_.getAs[String]("source") == "web")
+      .minBy(_.getAs[Long]("rank"))
+    assert(webTop.getAs[String]("tok") === "alpha")
+    // ranks are dense 1..k per source
+    kt.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted === (1L to rows.length).toSeq)
+    }
+  }
 }
