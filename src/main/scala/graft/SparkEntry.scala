@@ -1237,6 +1237,15 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AS (r10) ────────────────────────────────────────────────
+    "rebalance_nav" -> ((s, dir) =>
+      Analytics.rebalanceNav(Tables.panel(s, dir))),
+    "variance_decomposition" -> ((s, dir) =>
+      Analytics.varianceDecomposition(Tables.panel(s, dir))),
+    "vol_target_nav" -> ((s, dir) =>
+      Analytics.volTargetNav(Tables.panel(s, dir))),
+    "stream_variance_decomposition" -> ((s, dir) =>
+      StreamReplay.streamVarianceDecomposition(s, dir)),
     // ── wave AR (r10) ────────────────────────────────────────────────
     "keyness_terms" -> ((s, dir) =>
       Pipeline.keynessTerms(Tables.documents(s, dir))),
@@ -3470,7 +3479,8 @@ object SparkEntry {
       ("stream_info_discreteness" -> m("info_discreteness")) +
       ("stream_var_backtest" -> m("var_backtest")) +
       ("stream_es_backtest" -> m("es_backtest")) +
-      ("stream_island_reversal" -> m("island_reversals"))
+      ("stream_island_reversal" -> m("island_reversals")) +
+      ("stream_variance_decomposition" -> m("variance_decomposition"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -4929,7 +4939,125 @@ object SparkEntry {
         |      FROM y WHERE chi2 IS NOT NULL)
         |SELECT source, CAST(rank AS BIGINT) AS rank, tok,
         |       CAST(a AS BIGINT) AS n_in_source, chi2
-        |FROM z WHERE rank <= 10 ORDER BY source, rank""".stripMargin)
+        |FROM z WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    "rebalance_nav" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mg AS (
+         |  SELECT asset_id, CAST(date_trunc('week', date) AS DATE) AS week,
+         |         list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id, CAST(date_trunc('week', date) AS DATE)),
+         |g1 AS (
+         |  SELECT asset_id, week,
+         |         floor(list_reduce(list_prepend(1.0, ra), (a, x) -> a * (1.0 + x))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS gross
+         |  FROM mg),
+         |g2 AS (SELECT week, list(gross ORDER BY asset_id) AS ga,
+         |              CAST(count(*) AS BIGINT) AS n_assets
+         |       FROM g1 GROUP BY week),
+         |g3 AS (
+         |  SELECT week, n_assets,
+         |         floor((list_reduce(list_prepend(0.0, ga), (a, x) -> a + x)
+         |                / CAST(n_assets AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS week_gross
+         |  FROM g2),
+         |g4 AS (
+         |  SELECT week, n_assets, week_gross,
+         |         list(week_gross - 1) OVER (ORDER BY week
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS navarr
+         |  FROM g3)
+         |SELECT week, n_assets, week_gross,
+         |  floor(list_reduce(list_prepend(1.0, navarr), (a, x) -> a * (1.0 + x))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS nav
+         |FROM g4 ORDER BY week""".stripMargin,
+    "variance_decomposition" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(ret ORDER BY date) AS ra,
+         |         list(mkt_ret ORDER BY date) AS rm,
+         |         list(ret * mkt_ret ORDER BY date) AS rp
+         |  FROM j GROUP BY asset_id),
+         |g AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS sa,
+         |         list_reduce(list_prepend(0.0, rm), (a, x) -> a + x) AS sm,
+         |         list_reduce(list_prepend(0.0, rp), (a, x) -> a + x) AS sp,
+         |         list_reduce(list_prepend(0.0, list_transform(rm, x -> x * x)), (a, x) -> a + x) AS sm2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS sa2
+         |  FROM p WHERE len(ra) >= 3),
+         |f AS (
+         |  SELECT asset_id, n, sa, sm, sp, sa2,
+         |         n * sm2 - sm * sm AS sxx
+         |  FROM g),
+         |h AS (
+         |  SELECT asset_id, n,
+         |         (n * sp - sm * sa) / (CASE WHEN sxx <= 0 THEN NULL ELSE sxx END) AS b,
+         |         (n * sa2 - sa * sa) / (n * (n - 1)) AS var_total,
+         |         sxx / (n * (n - 1)) AS var_mkt
+         |  FROM f),
+         |i2 AS (SELECT asset_id, n, b, var_total, b * b * var_mkt AS var_sys FROM h),
+         |i3 AS (SELECT asset_id, n, b, var_total, var_sys,
+         |         CASE WHEN var_sys IS NULL THEN NULL
+         |              ELSE greatest(var_total - var_sys, 0.0) END AS var_idio
+         |       FROM i2)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days,
+         |  floor(b * 1000000.0 + 0.5) / 1000000.0 AS beta,
+         |  floor((var_total * 10000.0) * 1000000.0 + 0.5) / 1000000.0 AS var_total_bp,
+         |  floor((var_sys * 10000.0) * 1000000.0 + 0.5) / 1000000.0 AS var_sys_bp,
+         |  floor((var_idio * 10000.0) * 1000000.0 + 0.5) / 1000000.0 AS var_idio_bp,
+         |  floor((var_sys / nullif(var_total, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS sys_share
+         |FROM i3 ORDER BY asset_id""".stripMargin,
+    "vol_target_nav" ->
+      s"""${panelCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$dailyCte,
+         |$retsCte,
+         |f AS (
+         |  SELECT asset_id, date, ret,
+         |         list(ret) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS arr
+         |  FROM rets),
+         |g AS (
+         |  SELECT asset_id, date, ret,
+         |         list_reduce(list_prepend(0.0, arr), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)), (a, x) -> a + x) AS s2
+         |  FROM f WHERE len(arr) = 20),
+         |h AS (
+         |  SELECT asset_id, date, ret,
+         |         floor(sqrt(greatest((20.0 * s2 - s1 * s1) / (20.0 * (20.0 - 1)), 0.0))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS vol
+         |  FROM g),
+         |i AS (
+         |  SELECT asset_id, date, ret, vol,
+         |         CASE WHEN vol = 0 THEN 3.0
+         |              ELSE floor(least(3.0, 0.01 / vol) * 1000000.0 + 0.5) / 1000000.0 END AS lev
+         |  FROM h),
+         |jj AS (
+         |  SELECT asset_id, date, vol, lev,
+         |         floor((lev * ret) * 1000000.0 + 0.5) / 1000000.0 AS sret
+         |  FROM i),
+         |w0 AS (
+         |  SELECT asset_id, date, vol, lev, sret,
+         |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date) AS rn
+         |  FROM jj),
+         |rec AS (
+         |  SELECT asset_id, rn, date, vol, lev, sret,
+         |         floor((1.0 * (1.0 + sret)) * 1000000.0 + 0.5) / 1000000.0 AS nav
+         |  FROM w0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.asset_id, b.rn, b.date, b.vol, b.lev, b.sret,
+         |         floor((r.nav * (1.0 + b.sret)) * 1000000.0 + 0.5) / 1000000.0
+         |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
+         |SELECT asset_id, date, vol, lev, sret AS strat_ret, nav
+         |FROM rec ORDER BY asset_id, date""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

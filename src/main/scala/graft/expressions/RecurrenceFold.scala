@@ -48,6 +48,7 @@ import graft.operators.Micro.jvm6
   *   - `fisher`       in (date, close, x)             out (date, close, v, fisher)
   *   - `renko`        in (date, close, m: long, size: long) out (date, close, n_bricks, cum_bricks, dir, anchor)
   *   - `garch`        in (date, ret)                  out (date, ret, sigma2, vol)
+  *   - `cumprod1p`    in (date, x)                    out (date, x, acc)
   */
 case class RecurrenceFold(child: Expression, op: String)
   extends UnaryExpression {
@@ -462,6 +463,20 @@ case class RecurrenceFold(child: Expression, op: String)
           }
           i += 1
         }
+      case "cumprod1p" =>
+        // Running NAV compounding: acc ← u6(acc·(1+x)) per step, acc₀=1.
+        // The per-asset prefix-product [[graft.expressions.SeqFold]]'s
+        // one-shot `prod1p` can't emit without collecting an O(h²)
+        // prefix array per row — this is the linear-time form.
+        var acc: java.lang.Double = 1.0
+        var i = 0
+        while (i < n) {
+          val r = arr.getStruct(i, 2)
+          val x = d(r, 1)
+          acc = if (acc == null || x == null) null else jvm6(acc * (1.0 + x))
+          out(i) = new GenericInternalRow(Array[Any](r.getInt(0), x, acc))
+          i += 1
+        }
       case "garch" =>
         // GARCH(1,1) variance FILTER with fixed textbook parameters
         // ω=1e-6, α=0.05, β=0.90 (estimation is MLE and out of scope;
@@ -512,7 +527,8 @@ case class RecurrenceFold(child: Expression, op: String)
 object RecurrenceFold {
   val Ops: Set[String] = Set("kama", "mcginley", "laguerre", "super_smoother",
     "highpass2", "zigzag", "kalman1d", "holt",
-    "heikin_ashi", "supertrend", "psar", "fisher", "renko", "garch")
+    "heikin_ashi", "supertrend", "psar", "fisher", "renko", "garch",
+    "cumprod1p")
 
   def inArity(op: String): Int = op match {
     case "kama" => 4
@@ -529,6 +545,7 @@ object RecurrenceFold {
     case "fisher" => 3
     case "renko" => 4
     case "garch" => 2
+    case "cumprod1p" => 2
   }
 
   def outSchema(op: String): StructType = op match {
@@ -592,5 +609,8 @@ object RecurrenceFold {
       StructField("date", DateType, nullable = false),
       StructField("ret", DoubleType), StructField("sigma2", DoubleType),
       StructField("vol", DoubleType)))
+    case "cumprod1p" => StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("x", DoubleType), StructField("acc", DoubleType)))
   }
 }

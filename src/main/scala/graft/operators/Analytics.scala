@@ -8221,4 +8221,123 @@ object Analytics {
       .select(col("asset_id"), col("date"), col("kind"), col("low"), col("high"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B267 `rebalance_nav` — the weekly-rebalanced equal-weight
+    * portfolio NAV (vs [[portfolioNav]]'s fixed weights): within each
+    * ISO week every asset compounds its own daily returns
+    * (date-ordered `prod1p` fold per (asset, week)), the week's growth
+    * factor is the equal-weight mean of those gross factors over the
+    * assets PRESENT that week (the weights reset — that IS the
+    * rebalance), and the NAV chains the week factors in calendar
+    * order. Three exact stages, each a deterministic fold; the week
+    * count is tiny so the final single-partition chain is O(weeks),
+    * not O(days). Both engines truncate weeks to Monday.
+    */
+  def rebalanceNav(panel: DataFrame): DataFrame = {
+    val weekGross = dailyReturnsCore(panel)
+      .withColumn("week", trunc(col("date"), "week"))
+      .groupBy(col("asset_id"), col("week"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("gross", u6(Kernels.seqFold(col("ra"), "prod1p")))
+    val byWeek = weekGross
+      .groupBy(col("week"))
+      .agg(transform(array_sort(collect_list(struct(col("asset_id"), col("gross")))),
+        s => s("gross")).as("ga"))
+      .withColumn("n_assets", size(col("ga")).cast("long"))
+      .withColumn("week_gross", u6(Kernels.seqFold(col("ga"), "sum") /
+        col("n_assets").cast("double")))
+    val navFrame = Window.orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byWeek
+      .withColumn("navarr", collect_list(col("week_gross") - 1).over(navFrame))
+      .withColumn("nav", u6(Kernels.seqFold(col("navarr"), "prod1p")))
+      .select(col("week"), col("n_assets"), col("week_gross"), col("nav"))
+      .orderBy(col("week"))
+  }
+
+  /** B268 `variance_decomposition` — the CAPM variance split per
+    * asset: total return variance into systematic (β²·σ²_m) and
+    * idiosyncratic (the residual, floored at 0) legs, plus the
+    * systematic share. Exactly the [[jensenAlpha]] running-sum
+    * machinery with two sample variances at the end; the number that
+    * says whether an asset's risk is market exposure (hedgeable) or
+    * its own (diversifiable).
+    */
+  def varianceDecomposition(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    val n = col("n")
+    rets.join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("ra", transform(col("h"), s => s("ret")))
+      .withColumn("rm", transform(col("h"), s => s("mkt_ret")))
+      .withColumn("rp", transform(col("h"), s => s("ret") * s("mkt_ret")))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("sa", foldSum(col("ra")))
+      .withColumn("sm", foldSum(col("rm")))
+      .withColumn("sp", foldSum(col("rp")))
+      .withColumn("sm2", foldSumSq(col("rm")))
+      .withColumn("sa2", foldSumSq(col("ra")))
+      .withColumn("sxx", n * col("sm2") - col("sm") * col("sm"))
+      .withColumn("b", (n * col("sp") - col("sm") * col("sa")) /
+        when(col("sxx") <= 0, lit(null)).otherwise(col("sxx")))
+      .withColumn("var_total", (n * col("sa2") - col("sa") * col("sa")) / (n * (n - 1)))
+      .withColumn("var_mkt", col("sxx") / (n * (n - 1)))
+      .withColumn("var_sys", col("b") * col("b") * col("var_mkt"))
+      // explicit null gate: Spark's greatest() SKIPS nulls, so a null
+      // var_sys would otherwise silently collapse to 0.0 here while
+      // the streaming twin and DuckDB (whose greatest may differ on
+      // null handling) say null — make all three agree by construction
+      .withColumn("var_idio", when(col("var_sys").isNull, lit(null))
+        .otherwise(greatest(col("var_total") - col("var_sys"), lit(0.0))))
+      .withColumn("sys_share", u6(col("var_sys") /
+        when(col("var_total") === 0, lit(null)).otherwise(col("var_total"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"), u6(col("b")).as("beta"),
+        u6(col("var_total") * 1e4).as("var_total_bp"),
+        u6(col("var_sys") * 1e4).as("var_sys_bp"),
+        u6(col("var_idio") * 1e4).as("var_idio_bp"),
+        col("sys_share"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B269 `vol_target_nav` — the volatility-targeted overlay every
+    * risk-parity book runs: leverage_t = min(cap, target/σ_t) from the
+    * PRIOR-window realized vol (no lookahead), strategy return =
+    * leverage·return, NAV compounded per asset by the linear-time
+    * `cumprod1p` recurrence (the O(h²) prefix-collect this op would
+    * otherwise need is exactly the r9 depth-hazard class). Zero-vol
+    * windows take the cap (the 1/σ limit), u6 at every stored stage.
+    */
+  def volTargetNav(panel: DataFrame, window: Int = 20, target: Double = 0.01,
+                   cap: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val frame = w.rowsBetween(-window, -1)
+    val nD = lit(window.toDouble)
+    val rets = dailyReturnsCore(panel)
+      .withColumn("arr", collect_list(col("ret")).over(frame))
+      .filter(size(col("arr")) === window)
+      .withColumn("s1", Kernels.seqFold(col("arr"), "sum"))
+      .withColumn("s2", Kernels.seqFold(col("arr"), "sumsq"))
+      .withColumn("vol", u6(sqrt(greatest(
+        (nD * col("s2") - col("s1") * col("s1")) / (nD * (nD - 1)), lit(0.0)))))
+      .withColumn("lev", when(col("vol") === 0, lit(cap))
+        .otherwise(u6(least(lit(cap), lit(target) / col("vol")))))
+      .withColumn("sret", u6(col("lev") * col("ret")))
+    rets
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("sret"),
+        col("vol"), col("lev")))).as("bs"))
+      .withColumn("in", expr("transform(bs, s -> struct(s.date, s.sret))"))
+      .withColumn("cp", Kernels.recurrence(col("in"), "cumprod1p"))
+      .select(col("asset_id"), col("bs"), posexplode(col("cp")))
+      .select(col("asset_id"),
+        col("col.date").as("date"),
+        expr("bs[pos].vol").as("vol"),
+        expr("bs[pos].lev").as("lev"),
+        col("col.x").as("strat_ret"),
+        col("col.acc").as("nav"))
+      .orderBy(col("asset_id"), col("date"))
+  }
 }

@@ -736,6 +736,8 @@ object StreamReplay {
     replayRetMktFinal(s, dir, "n_days")(StreamingOps.jensenAlphaStream)
   def streamInformationRatio(s: SparkSession, dir: String): DataFrame =
     replayRetMktFinal(s, dir, "n_days")(StreamingOps.informationRatioStream)
+  def streamVarianceDecomposition(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_days")(StreamingOps.varianceDecompositionStream)
   def streamInfoDiscreteness(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_rets")(StreamingOps.infoDiscretenessStream)
   def streamVarBacktest(s: SparkSession, dir: String): DataFrame =

@@ -6352,6 +6352,49 @@ object StreamingOps {
       }
   }
 
+  case class VarDecompUpd(asset_id: Long, n_days: Long, beta: Option[Double],
+                          var_total_bp: Double, var_sys_bp: Option[Double],
+                          var_idio_bp: Option[Double], sys_share: Option[Double])
+
+  /** D159 `varianceDecompositionStream` — streaming face of B268
+    * `variance_decomposition`: the same six running sums as
+    * [[jensenAlphaStream]], with the CAPM variance split recomputed
+    * on every update. */
+  def varianceDecompositionStream(ticks: Dataset[RetMktTick]): Dataset[VarDecompUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RegSumState, VarDecompUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[RegSumState]) =>
+          var st = state.getOption.getOrElse(RegSumState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            st = RegSumState(st.n + 1, st.sa + t.ret, st.sm + t.mkt_ret,
+              st.sp + t.ret * t.mkt_ret, st.sm2 + t.mkt_ret * t.mkt_ret,
+              st.sa2 + t.ret * t.ret)
+          }
+          state.update(st)
+          if (st.n < 3) Iterator.empty
+          else {
+            import graft.operators.Micro.jvm6
+            val n = st.n.toDouble
+            val sxx = n * st.sm2 - st.sm * st.sm
+            val b = if (sxx <= 0.0) None
+              else Some((n * st.sp - st.sm * st.sa) / sxx)
+            val varTotal = (n * st.sa2 - st.sa * st.sa) / (n * (n - 1))
+            val varMkt = sxx / (n * (n - 1))
+            val varSys = b.map(bb => bb * bb * varMkt)
+            val varIdio = varSys.map(vs => math.max(varTotal - vs, 0.0))
+            Iterator.single(VarDecompUpd(assetId, st.n, b.map(jvm6),
+              jvm6(varTotal * 1e4), varSys.map(v => jvm6(v * 1e4)),
+              varIdio.map(v => jvm6(v * 1e4)),
+              varSys.flatMap(vs =>
+                if (varTotal == 0.0) None else Some(jvm6(vs / varTotal)))))
+          }
+      }
+  }
+
   case class IrState(n: Long, s: Double, s2: Double)
   case class IrUpd(asset_id: Long, n_days: Long, mean_active: Double,
                    ir: Option[Double])

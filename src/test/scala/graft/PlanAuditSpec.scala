@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "intrinsic_dim",    // bounded sample ⨝ broadcast(1-row sample pool)
     "m2_ratio",         // per-asset rows ⨝ broadcast(1-row market σ)
     "ngram_coverage",   // cut rows ⨝ broadcast(1-row corpus token total)
-    "token_mass_concentration") // distinct-length rows ⨝ broadcast(1-row totals/cuts)
+    "token_mass_concentration", // distinct-length rows ⨝ broadcast(1-row totals/cuts)
+    "fama_macbeth",     // gamma series ⨯ broadcast(1-row pass-2 summary)
+    "keyness_terms")    // (source, token) counts ⨯ broadcast(1-row corpus total)
 
   test("key predicates reach the parquet scan as PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"

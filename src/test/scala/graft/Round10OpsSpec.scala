@@ -2546,4 +2546,107 @@ class Round10OpsSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("rank")).sorted === (1L to rows.length).toSeq)
     }
   }
+
+  test("wave-AS nav/variance ops match imperative recomputations") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+
+    // rebalance_nav: two months, two assets with constant drifts
+    val lp = (for {
+      (a, drift) <- Seq((1L, 0.01), (2L, 0.02))
+      i <- 0 until 40
+    } yield {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (a, java.sql.Date.valueOf(d),
+        new java.sql.Timestamp(1704000000000L + i * 1000L),
+        100.0 * math.pow(1.0 + drift, i), a * 1000 + i)
+    }).toDF("asset_id", "date", "ts", "value", "seq")
+    val rn = A.rebalanceNav(lp).collect().sortBy(_.getAs[java.sql.Date]("week").getTime)
+    // replay: group return days into Monday-truncated weeks, per-asset
+    // prod1p gross (ONE rounding at the end — the seqFold contract),
+    // equal-weight mean per week, chain the factors (one rounding at
+    // the end of the chain fold)
+    val weekOf = (i: Int) => {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      d.`with`(java.time.DayOfWeek.MONDAY)
+    }
+    val weeks = (1 until 40).groupBy(weekOf).toSeq.sortBy(_._1.toEpochDay)
+    assert(rn.length === weeks.length)
+    assert(rn.forall(_.getAs[Long]("n_assets") === 2L))
+    val wg = weeks.map { case (_, days) =>
+      val gs = Seq(0.01, 0.02).map(dr =>
+        jvm6(days.foldLeft(1.0)((acc, _) => acc * (1.0 + dr))))
+      jvm6(gs.foldLeft(0.0)(_ + _) / 2.0)
+    }
+    rn.zip(wg).zipWithIndex.foreach { case ((row, g), i) =>
+      assert(row.getAs[Double]("week_gross") === g, s"week gross $i")
+    }
+    val navs = wg.scanLeft(1.0)((acc, g) => acc * (1.0 + (g - 1))).drop(1).map(jvm6)
+    // NOTE: the navarr fold rounds once per ROW (each row folds its own
+    // prefix array fully unrounded) — replay each prefix independently
+    rn.zipWithIndex.foreach { case (row, i) =>
+      val nav = jvm6(wg.take(i + 1).foldLeft(1.0)((acc, g) => acc * (1.0 + (g - 1))))
+      assert(row.getAs[Double]("nav") === nav, s"nav $i")
+    }
+    assert(navs.nonEmpty)
+
+    // variance_decomposition: identical assets → beta 1, idio 0
+    val vals = Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0)
+    val panel = panelOf(Map(1L -> vals, 2L -> vals))
+    val vd = A.varianceDecomposition(panel).collect()
+    assert(vd.length === 2)
+    vd.foreach { r =>
+      assert(r.getAs[Double]("beta") === 1.0)
+      assert(r.getAs[Double]("var_idio_bp") === 0.0)
+      assert(r.getAs[Double]("sys_share") === 1.0)
+      assert(r.getAs[Double]("var_total_bp") === r.getAs[Double]("var_sys_bp"))
+    }
+
+    // vol_target_nav: replay the overlay imperatively on one asset
+    val hv = Vector.tabulate(30)(i => 100.0 + (i % 7) - 0.5 * (i % 3))
+    val vp = (0 until 30).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (1L, java.sql.Date.valueOf(d),
+        new java.sql.Timestamp(1704000000000L + i * 1000L), hv(i), 100L + i)
+    }.toDF("asset_id", "date", "ts", "value", "seq")
+    val vt = A.volTargetNav(vp).collect().sortBy(_.getAs[java.sql.Date]("date").getTime)
+    val rets = hv.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    var nav = 1.0
+    val expRows = rets.indices.collect { case t if t >= 20 =>
+      val arr = rets.slice(t - 20, t)
+      val s1 = arr.foldLeft(0.0)(_ + _)
+      val s2 = arr.foldLeft(0.0)((a, x) => a + x * x)
+      val vol = jvm6(math.sqrt(math.max((20.0 * s2 - s1 * s1) / (20.0 * (20.0 - 1)), 0.0)))
+      val lev = if (vol == 0.0) 3.0 else jvm6(math.min(3.0, 0.01 / vol))
+      val sret = jvm6(lev * rets(t))
+      nav = jvm6(nav * (1.0 + sret))
+      (vol, lev, sret, nav)
+    }
+    assert(vt.length === expRows.size)
+    vt.zip(expRows).zipWithIndex.foreach { case ((row, (vol, lev, sret, nv)), i) =>
+      assert(row.getAs[Double]("vol") === vol, s"vol $i")
+      assert(row.getAs[Double]("lev") === lev, s"lev $i")
+      assert(row.getAs[Double]("strat_ret") === sret, s"sret $i")
+      assert(row.getAs[Double]("nav") === nv, s"nav $i")
+    }
+
+    // variance decomposition stream twin
+    import graft.streaming.StreamingOps
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val rets2 = A.dailyReturns(panel).select($"asset_id", $"date", $"ret")
+    val feed = rets2
+      .join(org.apache.spark.sql.functions.broadcast(A.marketReturns(rets2)), Seq("date"))
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val sink = graft.streaming.StreamReplay.replay(spark, feed, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.varianceDecompositionStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_days".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.varianceDecomposition(panel)), "vd twin")
+  }
 }
