@@ -1237,6 +1237,12 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AT (r10) ────────────────────────────────────────────────
+    "tail_dependence" -> ((s, dir) =>
+      Analytics.tailDependence(Tables.panel(s, dir))),
+    "pattern_entropy" -> ((s, dir) =>
+      Analytics.patternEntropy(Tables.panel(s, dir))),
+    "stream_pattern_entropy" -> ((s, dir) => StreamReplay.streamPatternEntropy(s, dir)),
     // ── wave AS (r10) ────────────────────────────────────────────────
     "rebalance_nav" -> ((s, dir) =>
       Analytics.rebalanceNav(Tables.panel(s, dir))),
@@ -3480,7 +3486,8 @@ object SparkEntry {
       ("stream_var_backtest" -> m("var_backtest")) +
       ("stream_es_backtest" -> m("es_backtest")) +
       ("stream_island_reversal" -> m("island_reversals")) +
-      ("stream_variance_decomposition" -> m("variance_decomposition"))
+      ("stream_variance_decomposition" -> m("variance_decomposition")) +
+      ("stream_pattern_entropy" -> m("pattern_entropy"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -5057,7 +5064,75 @@ object SparkEntry {
          |         floor((r.nav * (1.0 + b.sret)) * 1000000.0 + 0.5) / 1000000.0
          |  FROM rec r JOIN w0 b ON b.asset_id = r.asset_id AND b.rn = r.rn + 1)
          |SELECT asset_id, date, vol, lev, sret AS strat_ret, nav
-         |FROM rec ORDER BY asset_id, date""".stripMargin)
+         |FROM rec ORDER BY asset_id, date""".stripMargin,
+    "tail_dependence" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |         list(struct_pack(r := ret, m := mkt_ret) ORDER BY date) AS h,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY asset_id HAVING count(*) >= 10),
+         |q AS (
+         |  SELECT asset_id, n,
+         |         CAST(ceil(CAST(n AS DOUBLE) * 0.1) AS INTEGER) AS k,
+         |         list_sort(list_transform(h, s -> s.r)) AS ra,
+         |         list_sort(list_transform(h, s -> s.m)) AS ma, h
+         |  FROM p),
+         |r2 AS (
+         |  SELECT asset_id, n, k, h,
+         |         ra[k] AS thr_a_lo, ma[k] AS thr_m_lo,
+         |         ra[CAST(n AS INTEGER) - k + 1] AS thr_a_hi,
+         |         ma[CAST(n AS INTEGER) - k + 1] AS thr_m_hi
+         |  FROM q),
+         |c AS (
+         |  SELECT asset_id, n, CAST(k AS BIGINT) AS k,
+         |    CAST(len(list_filter(h, s -> s.m <= thr_m_lo)) AS BIGINT) AS n_mkt_lo,
+         |    CAST(len(list_filter(h, s -> s.r <= thr_a_lo AND s.m <= thr_m_lo)) AS BIGINT) AS n_joint_lo,
+         |    CAST(len(list_filter(h, s -> s.m >= thr_m_hi)) AS BIGINT) AS n_mkt_hi,
+         |    CAST(len(list_filter(h, s -> s.r >= thr_a_hi AND s.m >= thr_m_hi)) AS BIGINT) AS n_joint_hi
+         |  FROM r2)
+         |SELECT asset_id, n AS n_days, k, n_mkt_lo, n_joint_lo,
+         |  floor((CAST(n_joint_lo AS DOUBLE) / nullif(CAST(n_mkt_lo AS DOUBLE), 0.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS lambda_lower,
+         |  n_mkt_hi, n_joint_hi,
+         |  floor((CAST(n_joint_hi AS DOUBLE) / nullif(CAST(n_mkt_hi AS DOUBLE), 0.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS lambda_upper
+         |FROM c ORDER BY asset_id""".stripMargin,
+    "pattern_entropy" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |s AS (
+         |  SELECT asset_id, date,
+         |         CASE WHEN ret > 0 THEN 1 ELSE 0 END AS sg
+         |  FROM rets),
+         |t AS (
+         |  SELECT asset_id,
+         |         lag(sg, 2) OVER w * 4 + lag(sg, 1) OVER w * 2 + sg AS code
+         |  FROM s
+         |  WINDOW w AS (PARTITION BY asset_id ORDER BY date)),
+         |cc AS (SELECT asset_id, code, CAST(count(*) AS BIGINT) AS c
+         |       FROM t WHERE code IS NOT NULL GROUP BY asset_id, code),
+         |g AS (
+         |  SELECT asset_id, list(c ORDER BY code) AS ca,
+         |         CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_patterns
+         |  FROM cc GROUP BY asset_id HAVING sum(c) >= 8)
+         |SELECT asset_id, n AS n_triplets, n_patterns,
+         |  floor((ln(CAST(n AS DOUBLE))
+         |         - list_reduce(list_prepend(0.0,
+         |             list_transform(ca, x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+         |             (a, x) -> a + x) / CAST(n AS DOUBLE))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS entropy
+         |FROM g ORDER BY asset_id""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

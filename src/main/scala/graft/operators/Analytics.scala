@@ -8340,4 +8340,77 @@ object Analytics {
         col("col.acc").as("nav"))
       .orderBy(col("asset_id"), col("date"))
   }
+
+  /** B270 `tail_dependence` — empirical tail-dependence of each asset
+    * against the equal-weight market: λ_L = P(asset in its lower
+    * q-tail | market in its lower q-tail), λ_U symmetric — the copula
+    * corner the Pearson-correlation family is blind to (two assets
+    * can correlate 0.3 overall yet crash together every time).
+    * Thresholds are k-th order statistics of each leg's OWN history
+    * (k = ⌈qn⌉), counts are pure integers over u6 values, one u6
+    * division per tail. Single asset shuffle + broadcast market leg.
+    */
+  def tailDependence(panel: DataFrame, q: Double = 0.1): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("n", size(col("h")).cast("long"))
+      .filter(col("n") >= 10)
+      .withColumn("k", expr(s"CAST(ceil(CAST(n AS DOUBLE) * $q) AS INT)"))
+      .withColumn("ra", expr("array_sort(transform(h, s -> s.ret))"))
+      .withColumn("ma", expr("array_sort(transform(h, s -> s.mkt_ret))"))
+      .withColumn("thr_a_lo", expr("ra[k - 1]"))
+      .withColumn("thr_m_lo", expr("ma[k - 1]"))
+      .withColumn("thr_a_hi", expr("ra[CAST(n AS INT) - k]"))
+      .withColumn("thr_m_hi", expr("ma[CAST(n AS INT) - k]"))
+      .withColumn("n_mkt_lo",
+        expr("size(filter(h, s -> s.mkt_ret <= thr_m_lo))").cast("long"))
+      .withColumn("n_joint_lo",
+        expr("size(filter(h, s -> s.ret <= thr_a_lo AND s.mkt_ret <= thr_m_lo))").cast("long"))
+      .withColumn("n_mkt_hi",
+        expr("size(filter(h, s -> s.mkt_ret >= thr_m_hi))").cast("long"))
+      .withColumn("n_joint_hi",
+        expr("size(filter(h, s -> s.ret >= thr_a_hi AND s.mkt_ret >= thr_m_hi))").cast("long"))
+      .withColumn("lambda_lower", u6(col("n_joint_lo").cast("double") /
+        when(col("n_mkt_lo") === 0, lit(null)).otherwise(col("n_mkt_lo").cast("double"))))
+      .withColumn("lambda_upper", u6(col("n_joint_hi").cast("double") /
+        when(col("n_mkt_hi") === 0, lit(null)).otherwise(col("n_mkt_hi").cast("double"))))
+      .select(col("asset_id"), col("n").as("n_days"), col("k").cast("long").as("k"),
+        col("n_mkt_lo"), col("n_joint_lo"), col("lambda_lower"),
+        col("n_mkt_hi"), col("n_joint_hi"), col("lambda_upper"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B271 `pattern_entropy` — Shannon entropy of the 3-day up/down
+    * sign patterns per asset (8 bins): a random walk fills all 8 bins
+    * near-uniformly (H → ln 8 ≈ 2.079), momentum/reversal regimes
+    * hollow it out — the predictability census behind [[runsTest]]'s
+    * single statistic. Counts are exact integers; Σc·ln c folds in
+    * ascending pattern-code order (the [[graft.expressions
+    * .CharEntropyMicro]] determinism convention), one u6 at the end.
+    */
+  def patternEntropy(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    dailyReturnsCore(panel)
+      .withColumn("s", when(col("ret") > 0, 1L).otherwise(0L))
+      .withColumn("s1", lag(col("s"), 1).over(w))
+      .withColumn("s2", lag(col("s"), 2).over(w))
+      .filter(col("s2").isNotNull)
+      .withColumn("code", col("s2") * 4 + col("s1") * 2 + col("s"))
+      .groupBy(col("asset_id"), col("code"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("code"), col("c")))).as("h"),
+        sum(col("c")).as("n"))
+      .filter(col("n") >= 8)
+      .withColumn("sumclnc", Kernels.seqFold(
+        expr("transform(h, s -> CAST(s.c AS DOUBLE) * ln(CAST(s.c AS DOUBLE)))"), "sum"))
+      .withColumn("entropy", u6(log(col("n").cast("double")) -
+        col("sumclnc") / col("n").cast("double")))
+      .select(col("asset_id"), col("n").as("n_triplets"),
+        size(col("h")).cast("long").as("n_patterns"), col("entropy"))
+      .orderBy(col("asset_id"))
+  }
 }

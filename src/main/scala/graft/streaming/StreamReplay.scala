@@ -740,6 +740,8 @@ object StreamReplay {
     replayRetMktFinal(s, dir, "n_days")(StreamingOps.varianceDecompositionStream)
   def streamInfoDiscreteness(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_rets")(StreamingOps.infoDiscretenessStream)
+  def streamPatternEntropy(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_triplets")(StreamingOps.patternEntropyStream(_))
   def streamVarBacktest(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.varBacktestStream(_))
   def streamEsBacktest(s: SparkSession, dir: String): DataFrame =

@@ -6464,6 +6464,57 @@ object StreamingOps {
       }
   }
 
+  case class PatEntState(last: Double, seen: Boolean, s1: Long, s2: Long,
+                         nSigns: Long, counts: Vector[Long])
+  case class PatEntUpd(asset_id: Long, n_triplets: Long, n_patterns: Long,
+                       entropy: Double)
+
+  /** D160 `patternEntropyStream` — streaming face of B271
+    * `pattern_entropy`: the last two signs + eight integer bins ARE
+    * the state; the entropy recomputes per update with the Σc·ln c
+    * fold in ascending code order (bins iterate 0..7, zero bins
+    * skipped — exactly the batch's present-codes-ascending fold). */
+  def patternEntropyStream(ticks: Dataset[DailyTick]): Dataset[PatEntUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PatEntState, PatEntUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PatEntState]) =>
+          var st = state.getOption.getOrElse(
+            PatEntState(0.0, seen = false, 0L, 0L, 0L, Vector.fill(8)(0L)))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              val s = if (r > 0) 1L else 0L
+              val counts =
+                if (st.nSigns >= 2) {
+                  val code = (st.s2 * 4 + st.s1 * 2 + s).toInt
+                  st.counts.updated(code, st.counts(code) + 1)
+                } else st.counts
+              st = PatEntState(t.value, seen = true, s, st.s1,
+                st.nSigns + 1, counts)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          val n = st.counts.sum
+          if (n < 8) Iterator.empty
+          else {
+            var sumclnc = 0.0
+            var nPat = 0L
+            var i = 0
+            while (i < 8) {
+              val c = st.counts(i)
+              if (c > 0) { sumclnc += c.toDouble * math.log(c.toDouble); nPat += 1 }
+              i += 1
+            }
+            Iterator.single(PatEntUpd(assetId, n, nPat,
+              graft.operators.Micro.jvm6(math.log(n.toDouble) - sumclnc / n.toDouble)))
+          }
+      }
+  }
+
   case class TailRingState(last: Double, seen: Boolean, ring: Vector[Double],
                            nDays: Long, nViol: Long, sumR: Double, sumE: Double)
   case class VarBtUpd(asset_id: Long, n_days: Long, n_viol: Long,

@@ -2649,4 +2649,56 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.varianceDecomposition(panel)), "vd twin")
   }
+
+  test("wave-AT tail dependence and pattern entropy match hand constructions") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+
+    // tail_dependence: a market of two mirrored assets — the asset that
+    // IS the market's down leg has lambda_lower = 1 against it
+    val vals = Vector.tabulate(21)(i => 100.0 + (i % 5) * 2 - (i % 3) * 3)
+    val panel = panelOf(Map(1L -> vals, 2L -> vals))
+    val td = A.tailDependence(panel).collect()
+    assert(td.length === 2)
+    td.foreach { r =>
+      // identical assets: the market equals each asset's return series,
+      // so joint tail = market tail exactly on both sides
+      assert(r.getAs[Double]("lambda_lower") === 1.0, r.toString)
+      assert(r.getAs[Double]("lambda_upper") === 1.0, r.toString)
+      assert(r.getAs[Long]("n_joint_lo") === r.getAs[Long]("n_mkt_lo"))
+      assert(r.getAs[Long]("k") === math.ceil(r.getAs[Long]("n_days") * 0.1).toLong)
+    }
+
+    // pattern_entropy: strictly alternating up/down → only 2 of 8
+    // patterns appear (010 and 101), each with ~half the mass
+    val alt = Vector.tabulate(20)(i => if (i % 2 == 0) 100.0 else 102.0)
+    val pe = A.patternEntropy(panelOf(Map(1L -> alt))).collect()
+    assert(pe.length === 1)
+    assert(pe.head.getAs[Long]("n_patterns") === 2L)
+    val n = pe.head.getAs[Long]("n_triplets")
+    val c1 = n / 2 + n % 2 // codes alternate; counts split by parity
+    val c2 = n / 2
+    val expected = jvm6(math.log(n.toDouble) -
+      (c2.toDouble * math.log(c2.toDouble) + c1.toDouble * math.log(c1.toDouble)) / n.toDouble)
+    // fold order is ascending code; verify against both orderings being
+    // equal here (two terms, addition of two products — same sum)
+    assert(math.abs(pe.head.getAs[Double]("entropy") - expected) < 2e-6)
+
+    // stream twin
+    import graft.streaming.StreamingOps
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.patternEntropyStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_triplets".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.patternEntropy(panel)), "pe twin")
+  }
 }
