@@ -1237,6 +1237,9 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AU (r10) ────────────────────────────────────────────────
+    "hurst_dfa" -> ((s, dir) =>
+      Analytics.hurstDfa(Tables.panel(s, dir))),
     // ── wave AT (r10) ────────────────────────────────────────────────
     "tail_dependence" -> ((s, dir) =>
       Analytics.tailDependence(Tables.panel(s, dir))),
@@ -5132,7 +5135,35 @@ object SparkEntry {
          |             list_transform(ca, x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
          |             (a, x) -> a + x) / CAST(n AS DOUBLE))
          |        * 1000000.0 + 0.5) / 1000000.0 AS entropy
-         |FROM g ORDER BY asset_id""".stripMargin)
+         |FROM g ORDER BY asset_id""".stripMargin,
+    "hurst_dfa" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |a1 AS (SELECT asset_id, date,
+         |         CAST(floor(ret * 1000000.0 + 0.5) AS BIGINT) AS rm FROM rets),
+         |a2 AS (SELECT asset_id, date, rm,
+         |         sum(rm) OVER (PARTITION BY asset_id) AS sum_rm,
+         |         count(*) OVER (PARTITION BY asset_id) AS n_all
+         |       FROM a1),
+         |a3 AS (SELECT asset_id, date, rm,
+         |         CAST(floor(CAST(sum_rm AS DOUBLE) / CAST(n_all AS DOUBLE)) AS BIGINT) AS mu
+         |       FROM a2),
+         |a4 AS (SELECT asset_id, date,
+         |         CAST(sum(rm - mu) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |           / 1000000.0 AS y
+         |       FROM a3),
+         |p AS (SELECT asset_id, list(y ORDER BY date) AS ya,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM a4 GROUP BY asset_id HAVING count(*) >= 16),
+         |q AS (SELECT asset_id, n, ya,
+         |        ${graft.operators.Analytics.dfaFExpr(sparkDialect = false, 4)} AS f4,
+         |        ${graft.operators.Analytics.dfaFExpr(sparkDialect = false, 8)} AS f8
+         |      FROM p)
+         |SELECT asset_id, n AS n_rets, f4, f8,
+         |       ${graft.operators.Analytics.dfaAlphaExpr} AS dfa_alpha
+         |FROM q ORDER BY asset_id""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

@@ -8413,4 +8413,89 @@ object Analytics {
         size(col("h")).cast("long").as("n_patterns"), col("entropy"))
       .orderBy(col("asset_id"))
   }
+
+  /** Shared dual-dialect DFA fluctuation expression (B272 `hurst_dfa`):
+    * emits the SAME formula once for Spark `expr()` and once for the
+    * DuckDB oracle (the [[pacfFormulas]] shared-source-of-truth
+    * discipline — per-box Σy/Σy²/Σiy folds, closed-form OLS detrend
+    * residual, deterministic box order). `ya` is the profile array;
+    * 0-based indexing on the Spark side, 1-based on DuckDB's.
+    */
+  private[graft] def dfaFExpr(sparkDialect: Boolean, s: Int): String = {
+    val sxx = s.toDouble * (s.toDouble * s - 1) / 12.0 // integer-valued for s ∈ {4,8}
+    val xbar = (s + 1) / 2.0
+    def agg(body: String): String =
+      if (sparkDialect)
+        s"aggregate(sequence(1, $s), CAST(0.0 AS DOUBLE), (a, i) -> a + ($body))"
+      else
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${s + 1}), i -> ($body))), (a, x) -> a + x)"
+    val idx = if (sparkDialect) s"ya[j * $s + i - 1]" else s"ya[j * $s + i]"
+    val sy = agg(idx)
+    val syy = agg(s"($idx) * ($idx)")
+    val siy = agg(s"CAST(i AS DOUBLE) * ($idx)")
+    val boxes =
+      if (sparkDialect)
+        s"transform(sequence(0, CAST(size(ya) div $s AS INT) - 1), j -> named_struct('sy', $sy, 'syy', $syy, 'siy', $siy))"
+      else
+        s"list_transform(range(0, CAST(len(ya) // $s AS INTEGER)), j -> struct_pack(sy := $sy, syy := $syy, siy := $siy))"
+    val rss = s"(t.syy - (t.sy * t.sy) / CAST($s.0 AS DOUBLE)) - " +
+      s"((t.siy - CAST($xbar AS DOUBLE) * t.sy) * (t.siy - CAST($xbar AS DOUBLE) * t.sy)) / CAST($sxx AS DOUBLE)"
+    val rssArr =
+      if (sparkDialect) s"transform($boxes, t -> $rss)"
+      else s"list_transform($boxes, t -> $rss)"
+    val fsum =
+      if (sparkDialect) s"aggregate($rssArr, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+      else s"list_reduce(list_prepend(0.0, $rssArr), (a, x) -> a + x)"
+    val b =
+      if (sparkDialect) s"CAST((size(ya) div $s) AS DOUBLE)"
+      else s"CAST((len(ya) // $s) AS DOUBLE)"
+    s"floor(sqrt(greatest($fsum, CAST(0.0 AS DOUBLE)) / ($b * CAST($s.0 AS DOUBLE))) " +
+      "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
+  }
+
+  /** Two-point log-log slope for the DFA exponent — dialect-neutral
+    * (ln / CASE / floor parse identically in Spark SQL and DuckDB).
+    */
+  private[graft] val dfaAlphaExpr: String =
+    "CASE WHEN f4 IS NULL OR f8 IS NULL OR f4 <= 0 OR f8 <= 0 THEN NULL ELSE " +
+      "floor(((ln(f8) - ln(f4)) / (ln(CAST(8.0 AS DOUBLE)) - ln(CAST(4.0 AS DOUBLE)))) " +
+      "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) END"
+
+  /** B272 `hurst_dfa` — detrended fluctuation analysis: the DFA-1
+    * exponent α per asset from the integrated (EXACT integer micro)
+    * return profile, box sizes 4 and 8, per-box linear detrend via the
+    * closed-form OLS residual (no matrix anything), α = the two-point
+    * log-log slope. The estimator that agrees with [[hurst]]'s R/S on
+    * clean fractional noise but stays unbiased under polynomial
+    * trends. The profile is a running INTEGER sum (order-free,
+    * mean-centering uses an explicit cross-engine floor so negative
+    * sums can't split `div`-vs-`//` semantics); every float fold runs
+    * through the shared [[dfaFExpr]] strings, so the two engines
+    * evaluate the identical IEEE sequence by construction.
+    */
+  def hurstDfa(panel: DataFrame): DataFrame = {
+    val byAsset = Window.partitionBy(col("asset_id"))
+    val runW = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = dailyReturnsCore(panel)
+      .withColumn("rm", floor(col("ret") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("sum_rm", sum(col("rm")).over(byAsset))
+      .withColumn("n_all", count(lit(1)).over(byAsset))
+      .withColumn("mu_m",
+        floor(col("sum_rm").cast("double") / col("n_all").cast("double")).cast("long"))
+      .withColumn("y", (sum(col("rm") - col("mu_m")).over(runW)).cast("double") /
+        lit(1000000.0))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("y")))),
+        s => s("y")).as("ya"))
+      .withColumn("n", size(col("ya")).cast("long"))
+      .filter(col("n") >= 16)
+    Seq(4, 8).foldLeft(base) { (df, s) =>
+      df.withColumn(s"f$s", expr(dfaFExpr(sparkDialect = true, s)))
+    }
+      .withColumn("dfa_alpha", expr(dfaAlphaExpr))
+      .select(col("asset_id"), col("n").as("n_rets"), col("f4"), col("f8"),
+        col("dfa_alpha"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -2701,4 +2701,41 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.patternEntropy(panel)), "pe twin")
   }
+
+  test("wave-AU hurst_dfa matches an imperative DFA replay") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector.tabulate(25)(i => 100.0 + 3 * math.sin(i * 1.7) + (i % 5))
+    val out = A.hurstDfa(panelOf(Map(1L -> vals))).collect()
+    assert(out.length === 1)
+
+    // imperative replay of the exact pipeline
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    val rm = rets.map(r => math.floor(r * 1e6 + 0.5).toLong)
+    val mu = math.floor(rm.sum.toDouble / rm.size.toDouble).toLong
+    val ya = rm.scanLeft(0L)((acc, m) => acc + (m - mu)).drop(1)
+      .map(_.toDouble / 1e6)
+    def fOf(s: Int): Double = {
+      val b = ya.size / s
+      val xbar = (s + 1) / 2.0
+      val sxx = s.toDouble * (s.toDouble * s - 1) / 12.0
+      val total = (0 until b).foldLeft(0.0) { (acc, j) =>
+        val sy = (1 to s).foldLeft(0.0)((a, i) => a + ya(j * s + i - 1))
+        val syy = (1 to s).foldLeft(0.0)((a, i) => a + ya(j * s + i - 1) * ya(j * s + i - 1))
+        val siy = (1 to s).foldLeft(0.0)((a, i) => a + i.toDouble * ya(j * s + i - 1))
+        acc + ((syy - (sy * sy) / s.toDouble) -
+          ((siy - xbar * sy) * (siy - xbar * sy)) / sxx)
+      }
+      jvm6(math.sqrt(math.max(total, 0.0) / (b.toDouble * s.toDouble)))
+    }
+    assert(out.head.getAs[Long]("n_rets") === rets.size.toLong)
+    assert(out.head.getAs[Double]("f4") === fOf(4))
+    assert(out.head.getAs[Double]("f8") === fOf(8))
+    val alpha = jvm6((math.log(fOf(8)) - math.log(fOf(4))) /
+      (math.log(8.0) - math.log(4.0)))
+    assert(math.abs(out.head.getAs[Double]("dfa_alpha") - alpha) < 2e-6)
+
+    // histories below 16 returns are skipped, not fabricated
+    assert(A.hurstDfa(panelOf(Map(1L -> vals.take(10)))).collect().isEmpty)
+  }
 }
