@@ -1237,6 +1237,35 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AV (r10) ────────────────────────────────────────────────
+    // A22 — distributed merge-compaction of reference stores: base
+    // store = the whole panel (timestamp = the unique event seq);
+    // correction store = every 3rd asset restated +1000; merge with
+    // input-priority LWW and read back through the A10 connector.
+    "findb_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("findb_mg").toString
+      val base = Tables.panel(s, dir).select(
+        col("asset_id"),
+        (year(col("date")) * 10000 + month(col("date")) * 100 +
+          dayofmonth(col("date"))).as("date"),
+        col("seq").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      val restate = base.filter(col("asset_id") % 3 === 0)
+        .withColumn("value", (col("value") + lit(1000.0)).cast("float"))
+      graft.sources.findb.FindbDistWriter.write(base, s"$tmp/a.db",
+        pageSize = 4096, numPartitions = 8)
+      graft.sources.findb.FindbDistWriter.write(restate, s"$tmp/b.db",
+        pageSize = 4096, numPartitions = 4)
+      graft.sources.findb.FindbDistWriter.merge(s,
+        Seq(s"$tmp/a.db", s"$tmp/b.db"), s"$tmp/m.db",
+        pageSize = 4096, numPartitions = 8)
+      s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 64).load(s"$tmp/m.db")
+        .orderBy(col("asset_id"), col("date"), col("timestamp"))
+    }),
+    "stream_dow_seasonality" -> ((s, dir) => StreamReplay.streamDowSeasonality(s, dir)),
+    "stream_monthly_seasonality" -> ((s, dir) => StreamReplay.streamMonthlySeasonality(s, dir)),
+    "stream_streaks" -> ((s, dir) => StreamReplay.streamStreaks(s, dir)),
     // ── wave AU (r10) ────────────────────────────────────────────────
     "hurst_dfa" -> ((s, dir) =>
       Analytics.hurstDfa(Tables.panel(s, dir))),
@@ -3490,7 +3519,10 @@ object SparkEntry {
       ("stream_es_backtest" -> m("es_backtest")) +
       ("stream_island_reversal" -> m("island_reversals")) +
       ("stream_variance_decomposition" -> m("variance_decomposition")) +
-      ("stream_pattern_entropy" -> m("pattern_entropy"))
+      ("stream_pattern_entropy" -> m("pattern_entropy")) +
+      ("stream_dow_seasonality" -> m("dow_seasonality")) +
+      ("stream_monthly_seasonality" -> m("monthly_seasonality")) +
+      ("stream_streaks" -> m("streaks"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -5163,7 +5195,17 @@ object SparkEntry {
          |      FROM p)
          |SELECT asset_id, n AS n_rets, f4, f8,
          |       ${graft.operators.Analytics.dfaAlphaExpr} AS dfa_alpha
-         |FROM q ORDER BY asset_id""".stripMargin)
+         |FROM q ORDER BY asset_id""".stripMargin,
+    "findb_merge" ->
+      s"""$panelCte
+         |SELECT asset_id,
+         |       CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date,
+         |       CAST(seq AS BIGINT) AS "timestamp",
+         |       CASE WHEN asset_id % 3 = 0
+         |            THEN CAST(CAST(value AS FLOAT) + 1000.0 AS FLOAT)
+         |            ELSE CAST(value AS FLOAT) END AS value
+         |FROM panel
+         |ORDER BY asset_id, date, "timestamp"""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

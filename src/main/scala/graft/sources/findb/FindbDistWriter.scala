@@ -248,4 +248,31 @@ object FindbDistWriter {
     } finally out.close()
     fs.delete(new HPath(partDir), true)
   }
+
+  /** A22 `findb_merge` — distributed merge-compaction of reference
+    * stores: union N `.db` files read through the A10 connector,
+    * resolve composite-key collisions by INPUT PRIORITY (later input
+    * wins — the restatement-store convention: inputs(1) is "the
+    * correction file"), and bulk-rewrite through [[write]]. The
+    * reference can only rebuild a store through its single-process
+    * iterator (file.rs:296); this is the same maintenance operation
+    * as one shuffle + one range-sorted rewrite at cluster scale.
+    * Within-input duplicate keys are the caller's contract to avoid
+    * (the reference's B-tree key is unique by construction).
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, inputs: Seq[String],
+            out: String, pageSize: Int, numPartitions: Int): Unit = {
+    require(inputs.nonEmpty, "merge needs at least one input store")
+    import org.apache.spark.sql.functions.{lit, row_number}
+    val u = inputs.zipWithIndex.map { case (p, i) =>
+      spark.read.format("graft.sources.findb.FindbDataSource").load(p)
+        .withColumn("pri", lit(i))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("date"), col("timestamp"))
+      .orderBy(col("pri").desc)
+    val merged = u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "pri")
+    write(merged, out, pageSize, numPartitions)
+  }
 }

@@ -740,6 +740,35 @@ object StreamReplay {
     replayRetMktFinal(s, dir, "n_days")(StreamingOps.varianceDecompositionStream)
   def streamInfoDiscreteness(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_rets")(StreamingOps.infoDiscretenessStream)
+  /** `stream_dow_seasonality` / `stream_monthly_seasonality` — the
+    * update-mode calendar-bin emissions reduced to the final
+    * (max-n_days) row per (asset, bin) = the batch aggregate.
+    */
+  def streamDowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.dowSeasonalityStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("dow")).orderBy(col("n_days").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"), col("dow"))
+  }
+  def streamMonthlySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.monthlySeasonalityStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id"), col("month")).orderBy(col("n_days").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"), col("month"))
+  }
+  def streamStreaks(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_up_days")(StreamingOps.streaksStream(_))
+
   def streamPatternEntropy(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_triplets")(StreamingOps.patternEntropyStream(_))
   def streamVarBacktest(s: SparkSession, dir: String): DataFrame =

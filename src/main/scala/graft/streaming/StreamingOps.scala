@@ -6464,6 +6464,122 @@ object StreamingOps {
       }
   }
 
+  case class CalBinState(last: Double, seen: Boolean, n: Vector[Long],
+                         sum: Vector[Long], nUp: Vector[Long])
+  case class DowSeasUpd(asset_id: Long, dow: Long, n_days: Long,
+                        mean_ret: Double, n_up: Long)
+
+  /** D161 `dowSeasonalityStream` — streaming face of B170
+    * `dow_seasonality`: seven integer (n, Σmicro, n_up) bins ARE the
+    * state; each update emits the present bins, the final emission
+    * per (asset, dow) ≡ the batch row (Long `/` = Spark `div`
+    * truncation — sums can be negative, so this is the contract that
+    * matters). Spark's dayofweek (1=Sunday) replayed from the ISO
+    * day-of-week.
+    */
+  def dowSeasonalityStream(ticks: Dataset[DailyTick]): Dataset[DowSeasUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CalBinState, DowSeasUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[CalBinState]) =>
+          var st = state.getOption.getOrElse(CalBinState(0.0, seen = false,
+            Vector.fill(7)(0L), Vector.fill(7)(0L), Vector.fill(7)(0L)))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val rm = math.round(
+                graft.operators.Micro.jvm6(t.value / st.last - 1) * 1e6)
+              val dow = t.date.toLocalDate.getDayOfWeek.getValue % 7 // Sun=0
+              st = CalBinState(t.value, seen = true,
+                st.n.updated(dow, st.n(dow) + 1),
+                st.sum.updated(dow, st.sum(dow) + rm),
+                st.nUp.updated(dow, st.nUp(dow) + (if (rm > 0) 1L else 0L)))
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          (0 until 7).iterator.filter(st.n(_) > 0).map { d =>
+            DowSeasUpd(assetId, d + 1L, st.n(d),
+              (st.sum(d) / st.n(d)).toDouble / 1e6, st.nUp(d))
+          }
+      }
+  }
+
+  case class MonthBinState(last: Double, seen: Boolean, n: Vector[Long],
+                           sum: Vector[Long])
+  case class MonthSeasUpd(asset_id: Long, month: Long, n_days: Long,
+                          mean_ret: Double)
+
+  /** D162 `monthlySeasonalityStream` — streaming face of B34
+    * `monthly_seasonality`: twelve integer (n, Σmicro) bins; the mean
+    * replays the batch's round(sum/n) double rounding exactly. */
+  def monthlySeasonalityStream(ticks: Dataset[DailyTick]): Dataset[MonthSeasUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MonthBinState, MonthSeasUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MonthBinState]) =>
+          var st = state.getOption.getOrElse(MonthBinState(0.0, seen = false,
+            Vector.fill(12)(0L), Vector.fill(12)(0L)))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val rm = math.round(
+                graft.operators.Micro.jvm6(t.value / st.last - 1) * 1e6)
+              val m = t.date.toLocalDate.getMonthValue - 1
+              st = MonthBinState(t.value, seen = true,
+                st.n.updated(m, st.n(m) + 1), st.sum.updated(m, st.sum(m) + rm))
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          (0 until 12).iterator.filter(st.n(_) > 0).map { m =>
+            // HALF-AWAY-FROM-ZERO, not math.round (half-toward-+inf):
+            // Spark's round() and DuckDB's round() both round -1.5 to
+            // -2, and negative-mean months are common
+            val q = st.sum(m).toDouble / st.n(m).toDouble
+            val r = if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)
+            MonthSeasUpd(assetId, m + 1L, st.n(m), r / 1e6)
+          }
+      }
+  }
+
+  case class StreakState(last: Double, seen: Boolean, cur: Long,
+                         nStreaks: Long, nUpDays: Long, longest: Long)
+  case class StreakUpd(asset_id: Long, n_streaks: Long, n_up_days: Long,
+                       longest_streak: Long)
+
+  /** D163 `streaksStream` — streaming face of B173 `streaks`: the
+    * current up-run plus three integer counters ARE the state — the
+    * gaps-and-islands aggregate maintained online. */
+  def streaksStream(ticks: Dataset[DailyTick]): Dataset[StreakUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[StreakState, StreakUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[StreakState]) =>
+          var st = state.getOption.getOrElse(
+            StreakState(0.0, seen = false, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              if (r > 0) {
+                val cur = st.cur + 1
+                st = StreakState(t.value, seen = true, cur,
+                  st.nStreaks + (if (cur == 1) 1L else 0L),
+                  st.nUpDays + 1, math.max(st.longest, cur))
+              } else st = st.copy(last = t.value, cur = 0L)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.nStreaks == 0) Iterator.empty
+          else Iterator.single(StreakUpd(assetId, st.nStreaks, st.nUpDays, st.longest))
+      }
+  }
+
   case class PatEntState(last: Double, seen: Boolean, s1: Long, s2: Long,
                          nSigns: Long, counts: Vector[Long])
   case class PatEntUpd(asset_id: Long, n_triplets: Long, n_patterns: Long,

@@ -2738,4 +2738,56 @@ class Round10OpsSpec extends SparkSpec {
     // histories below 16 returns are skipped, not fabricated
     assert(A.hurstDfa(panelOf(Map(1L -> vals.take(10)))).collect().isEmpty)
   }
+
+  test("wave-AV findb merge resolves collisions by input priority") {
+    import spark.implicits._
+    val dir = tmp("fdb_merge")
+    val a = Seq((1L, 20240101, 10L, 1.0f), (1L, 20240101, 11L, 2.0f),
+      (2L, 20240102, 12L, 3.0f))
+    val b = Seq((1L, 20240101, 11L, 20.0f), (3L, 20240103, 13L, 30.0f))
+    FindbDistWriter.write(a.toDF("asset_id", "date", "timestamp", "value"),
+      s"$dir/a.db", smallPage, numPartitions = 2)
+    FindbDistWriter.write(b.toDF("asset_id", "date", "timestamp", "value"),
+      s"$dir/b.db", smallPage, numPartitions = 1)
+    FindbDistWriter.merge(spark, Seq(s"$dir/a.db", s"$dir/b.db"),
+      s"$dir/m.db", smallPage, numPartitions = 2)
+    val got = readBack(s"$dir/m.db")
+    // the (1, 20240101, 11) collision takes b's value; everything else unions
+    assert(got === Seq((1L, 20240101, 10L, 1.0f), (1L, 20240101, 11L, 20.0f),
+      (2L, 20240102, 12L, 3.0f), (3L, 20240103, 13L, 30.0f)))
+  }
+
+  test("wave-AV calendar/streak twins equal their batch aggregates") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0, 113.0, 111.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalized[O: org.apache.spark.sql.Encoder](keys: Seq[String], ord: String)(
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(org.apache.spark.sql.functions.col(ord).desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalized(Seq("asset_id", "dow"), "n_days")(
+      StreamingOps.dowSeasonalityStream(_)) === norm(A.dowSeasonality(panel)), "dow")
+    assert(finalized(Seq("asset_id", "month"), "n_days")(
+      StreamingOps.monthlySeasonalityStream(_)) ===
+      norm(A.monthlySeasonality(panel)), "month")
+    assert(finalized(Seq("asset_id"), "n_up_days")(
+      StreamingOps.streaksStream(_)) === norm(A.streaks(panel)), "streaks")
+  }
 }
