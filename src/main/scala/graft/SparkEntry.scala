@@ -1237,6 +1237,12 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AW (r10) ────────────────────────────────────────────────
+    "stream_amihud" -> ((s, dir) => StreamReplay.streamAmihud(s, dir)),
+    "stream_corwin_schultz" -> ((s, dir) => StreamReplay.streamCorwinSchultz(s, dir)),
+    "stream_roll_spread" -> ((s, dir) => StreamReplay.streamRollSpread(s, dir)),
+    "stream_autocorr" -> ((s, dir) => StreamReplay.streamAutocorr(s, dir)),
+    "stream_jarque_bera" -> ((s, dir) => StreamReplay.streamJarqueBera(s, dir)),
     // ── wave AV (r10) ────────────────────────────────────────────────
     // A22 — distributed merge-compaction of reference stores: base
     // store = the whole panel (timestamp = the unique event seq);
@@ -3522,7 +3528,12 @@ object SparkEntry {
       ("stream_pattern_entropy" -> m("pattern_entropy")) +
       ("stream_dow_seasonality" -> m("dow_seasonality")) +
       ("stream_monthly_seasonality" -> m("monthly_seasonality")) +
-      ("stream_streaks" -> m("streaks"))
+      ("stream_streaks" -> m("streaks")) +
+      ("stream_amihud" -> m("amihud")) +
+      ("stream_corwin_schultz" -> m("corwin_schultz")) +
+      ("stream_roll_spread" -> m("roll_spread")) +
+      ("stream_autocorr" -> m("autocorr")) +
+      ("stream_jarque_bera" -> m("jarque_bera"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -740,6 +740,17 @@ object StreamReplay {
     replayRetMktFinal(s, dir, "n_days")(StreamingOps.varianceDecompositionStream)
   def streamInfoDiscreteness(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_rets")(StreamingOps.infoDiscretenessStream)
+  def streamAmihud(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.amihudStream(_))
+  def streamCorwinSchultz(s: SparkSession, dir: String): DataFrame =
+    replayBars(s, dir)(StreamingOps.corwinSchultzStream(_))
+  def streamRollSpread(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_pairs")(StreamingOps.rollSpreadStream(_))
+  def streamAutocorr(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_pairs")(StreamingOps.autocorrStream(_))
+  def streamJarqueBera(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.jarqueBeraStream(_))
+
   /** `stream_dow_seasonality` / `stream_monthly_seasonality` — the
     * update-mode calendar-bin emissions reduced to the final
     * (max-n_days) row per (asset, bin) = the batch aggregate.

@@ -6464,6 +6464,221 @@ object StreamingOps {
       }
   }
 
+  // ── wave AW: microstructure / distribution running twins ──────────
+
+  case class AmihudState(prevClose: Double, seen: Boolean, ring: Vector[Long])
+  case class AmihudPoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                         n_ticks: Long, illiq: Double)
+
+  /** D164 `amihudStream` — streaming face of B204 `amihud`: the
+    * 20-slot integer xim ring IS the state; every step is integer
+    * (the batch's rounding-division `div` chain verbatim). */
+  def amihudStream(bars: Dataset[OhlcStreamBar], window: Int = 20): Dataset[AmihudPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[AmihudState, AmihudPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[AmihudState]) =>
+          var st = state.getOption.getOrElse(AmihudState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[AmihudPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen && st.prevClose != 0.0) {
+              val r = graft.operators.Micro.jvm6(b.close / st.prevClose - 1)
+              val rm = math.round(r * 1e6)
+              val xim = (math.abs(rm) * 2 + b.n_ticks) / (2 * b.n_ticks)
+              val ring = (st.ring :+ xim).takeRight(window)
+              val sm = ring.sum
+              val cnt = ring.size.toLong
+              out += AmihudPoint(assetId, b.date, r, b.n_ticks,
+                ((2 * sm + cnt) / (2 * cnt)).toDouble / 1e6)
+              st = AmihudState(b.close, seen = true, ring)
+            } else st = st.copy(prevClose = b.close, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class PairSumState(last: Double, seen: Boolean, prevRet: Double,
+                          hasPrev: Boolean, n: Long, sx: Double, sy: Double,
+                          sxy: Double, sx2: Double, sy2: Double)
+  case class RollSpreadUpd(asset_id: Long, n_pairs: Long,
+                           roll_spread: Option[Double])
+
+  /** D165 `rollSpreadStream` — streaming face of B205 `roll_spread`:
+    * running consecutive-Δp pair sums; each partial sum accumulates in
+    * date order = the batch's slice folds. */
+  def rollSpreadStream(ticks: Dataset[DailyTick]): Dataset[RollSpreadUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PairSumState, RollSpreadUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PairSumState]) =>
+          var st = state.getOption.getOrElse(
+            PairSumState(0.0, seen = false, 0.0, hasPrev = false, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen) {
+              val dp = graft.operators.Micro.jvm6(t.value - st.last)
+              if (st.hasPrev)
+                st = PairSumState(t.value, seen = true, dp, hasPrev = true,
+                  st.n + 1, st.sx + st.prevRet, st.sy + dp,
+                  st.sxy + st.prevRet * dp, st.sx2, st.sy2)
+              else st = PairSumState(t.value, seen = true, dp, hasPrev = true,
+                st.n, st.sx, st.sy, st.sxy, st.sx2, st.sy2)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val cov = (n * st.sxy - st.sx * st.sy) / (n * (n - 1))
+            Iterator.single(RollSpreadUpd(assetId, st.n,
+              if (cov < 0) Some(graft.operators.Micro.jvm6(2.0 * math.sqrt(-cov)))
+              else None))
+          }
+      }
+  }
+
+  case class CsState(ph: Double, pl: Double, px: Double, seen: Boolean)
+  case class CsPoint(asset_id: Long, date: java.sql.Date, beta: Double,
+                     gamma: Double, spread: Option[Double],
+                     spread_pos: Option[Double])
+
+  /** D166 `corwinSchultzStream` — streaming face of B206
+    * `corwin_schultz`: yesterday's (high, low, log-range) triple IS
+    * the state; bars with low ≤ 0 are skipped entirely (the batch
+    * filters BEFORE the lag, so the previous valid bar carries). */
+  def corwinSchultzStream(bars: Dataset[OhlcStreamBar]): Dataset[CsPoint] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val d = 3.0 - 2.0 * math.sqrt(2.0)
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[CsState, CsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[CsState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(CsState(0.0, 0.0, 0.0, seen = false))
+          val out = Vector.newBuilder[CsPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (b.low > 0) {
+              val x = jvm6(math.log(b.high / b.low))
+              if (st.seen) {
+                val hh = math.max(b.high, st.ph)
+                val ll = math.min(b.low, st.pl)
+                if (ll > 0) {
+                  val beta = jvm6(x * x + st.px * st.px)
+                  val gamma = jvm6(math.log(hh / ll) * math.log(hh / ll))
+                  val alpha = jvm6((math.sqrt(2.0 * beta) - math.sqrt(beta)) / d -
+                    math.sqrt(gamma / d))
+                  val spread =
+                    if (math.abs(alpha) > graft.operators.Analytics.ExpSafeArg) None
+                    else Some(jvm6(2.0 * (math.exp(alpha) - 1) / (1.0 + math.exp(alpha))))
+                  out += CsPoint(assetId, b.date, beta, gamma, spread,
+                    spread.map(s => math.max(s, 0.0)))
+                }
+              }
+              st = CsState(b.high, b.low, x, seen = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AcUpd(asset_id: Long, n_pairs: Long, autocorr: Option[Double])
+
+  /** D167 `autocorrStream` — streaming face of B32 `autocorr`: running
+    * lag-1 Pearson sums (adds Σx², Σy² beside the roll pair sums). */
+  def autocorrStream(ticks: Dataset[DailyTick]): Dataset[AcUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PairSumState, AcUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PairSumState]) =>
+          var st = state.getOption.getOrElse(
+            PairSumState(0.0, seen = false, 0.0, hasPrev = false, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = graft.operators.Micro.jvm6(t.value / st.last - 1)
+              if (st.hasPrev)
+                st = PairSumState(t.value, seen = true, r, hasPrev = true,
+                  st.n + 1, st.sx + st.prevRet, st.sy + r,
+                  st.sxy + st.prevRet * r,
+                  st.sx2 + st.prevRet * st.prevRet, st.sy2 + r * r)
+              else st = PairSumState(t.value, seen = true, r, hasPrev = true,
+                st.n, st.sx, st.sy, st.sxy, st.sx2, st.sy2)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val den = math.sqrt(math.max(n * st.sx2 - st.sx * st.sx, 0.0)) *
+              math.sqrt(math.max(n * st.sy2 - st.sy * st.sy, 0.0))
+            Iterator.single(AcUpd(assetId, st.n,
+              if (den == 0.0) None
+              else Some(graft.operators.Micro.jvm6((n * st.sxy - st.sx * st.sy) / den))))
+          }
+      }
+  }
+
+  case class MomSumState(last: Double, seen: Boolean, n: Long, s1: Double,
+                         s2: Double, s3: Double, s4: Double)
+  case class JbUpd(asset_id: Long, n_days: Long, skew: Option[Double],
+                   ex_kurt: Option[Double], jb: Option[Double],
+                   normal_5pct: Option[Boolean])
+
+  /** D168 `jarqueBeraStream` — streaming face of B91 `jarque_bera`:
+    * running raw-moment sums (each term's association copied from the
+    * SeqFold kinds: (x·x)·x, ((x·x)·x)·x). */
+  def jarqueBeraStream(ticks: Dataset[DailyTick]): Dataset[JbUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MomSumState, JbUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MomSumState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            MomSumState(0.0, seen = false, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              st = MomSumState(t.value, seen = true, st.n + 1,
+                st.s1 + r, st.s2 + r * r, st.s3 + (r * r) * r,
+                st.s4 + ((r * r) * r) * r)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 4) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val m = st.s1 / n
+            val m2 = st.s2 / n - m * m
+            val m3 = st.s3 / n - 3.0 * m * (st.s2 / n) + 2.0 * m * m * m
+            val m4 = st.s4 / n - 4.0 * m * (st.s3 / n) +
+              6.0 * m * m * (st.s2 / n) - 3.0 * m * m * m * m
+            if (m2 <= 0.0)
+              Iterator.single(JbUpd(assetId, st.n, None, None, None, None))
+            else {
+              val g1 = m3 / (m2 * math.sqrt(m2))
+              val g2 = m4 / (m2 * m2) - 3
+              val jb = jvm6(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0))
+              Iterator.single(JbUpd(assetId, st.n, Some(jvm6(g1)), Some(jvm6(g2)),
+                Some(jb), Some(jb < 5.991465)))
+            }
+          }
+      }
+  }
+
   case class CalBinState(last: Double, seen: Boolean, n: Vector[Long],
                          sum: Vector[Long], nUp: Vector[Long])
   case class DowSeasUpd(asset_id: Long, dow: Long, n_days: Long,

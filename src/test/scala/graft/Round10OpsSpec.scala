@@ -2790,4 +2790,48 @@ class Round10OpsSpec extends SparkSpec {
     assert(finalized(Seq("asset_id"), "n_up_days")(
       StreamingOps.streaksStream(_)) === norm(A.streaks(panel)), "streaks")
   }
+
+  test("wave-AW microstructure/distribution twins equal their batch ops") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val bars = A.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    def streamedBars[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.OhlcStreamBar] =>
+          org.apache.spark.sql.Dataset[O]) =
+      norm(graft.streaming.StreamReplay.replay(spark, bars, 3, maxStateRows = 2L)(op))
+    assert(streamedBars(StreamingOps.amihudStream(_)) === norm(A.amihud(panel)), "amihud")
+    assert(streamedBars(StreamingOps.corwinSchultzStream(_)) ===
+      norm(A.corwinSchultz(panel)), "cs")
+
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedDaily[O: org.apache.spark.sql.Encoder](ord: String)(
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy(org.apache.spark.sql.functions.col(ord).desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedDaily("n_pairs")(StreamingOps.rollSpreadStream(_)) ===
+      norm(A.rollSpread(panel)), "roll")
+    assert(finalizedDaily("n_pairs")(StreamingOps.autocorrStream(_)) ===
+      norm(A.autocorr(panel)), "ac")
+    assert(finalizedDaily("n_days")(StreamingOps.jarqueBeraStream(_)) ===
+      norm(A.jarqueBera(panel)), "jb")
+  }
 }
