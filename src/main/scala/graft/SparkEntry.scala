@@ -1237,6 +1237,10 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AX (r10) ────────────────────────────────────────────────
+    "stream_gap_stats" -> ((s, dir) => StreamReplay.streamGapStats(s, dir)),
+    "stream_vol_of_vol" -> ((s, dir) => StreamReplay.streamVolOfVol(s, dir)),
+    "stream_ulcer" -> ((s, dir) => StreamReplay.streamUlcer(s, dir)),
     // ── wave AW (r10) ────────────────────────────────────────────────
     "stream_amihud" -> ((s, dir) => StreamReplay.streamAmihud(s, dir)),
     "stream_corwin_schultz" -> ((s, dir) => StreamReplay.streamCorwinSchultz(s, dir)),
@@ -3533,7 +3537,10 @@ object SparkEntry {
       ("stream_corwin_schultz" -> m("corwin_schultz")) +
       ("stream_roll_spread" -> m("roll_spread")) +
       ("stream_autocorr" -> m("autocorr")) +
-      ("stream_jarque_bera" -> m("jarque_bera"))
+      ("stream_jarque_bera" -> m("jarque_bera")) +
+      ("stream_gap_stats" -> m("gap_stats")) +
+      ("stream_vol_of_vol" -> m("vol_of_vol")) +
+      ("stream_ulcer" -> m("ulcer_index"))
   }
 
   private def oracleSqlBase: Map[String, String] =

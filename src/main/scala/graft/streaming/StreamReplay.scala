@@ -750,6 +750,21 @@ object StreamReplay {
     replayDailyFinal(s, dir, "n_pairs")(StreamingOps.autocorrStream(_))
   def streamJarqueBera(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.jarqueBeraStream(_))
+  def streamGapStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = barFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.gapStatsStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("n_days").desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+  def streamVolOfVol(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.volOfVolStream(_))
+  def streamUlcer(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.ulcerStream(_))
 
   /** `stream_dow_seasonality` / `stream_monthly_seasonality` — the
     * update-mode calendar-bin emissions reduced to the final

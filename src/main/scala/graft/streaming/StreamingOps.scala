@@ -6679,6 +6679,126 @@ object StreamingOps {
       }
   }
 
+  case class GapStatState(prevClose: Double, seen: Boolean, n: Long,
+                          nUp: Long, nDown: Long, sumMicro: Long, maxAbs: Long)
+  case class GapStatUpd(asset_id: Long, n_days: Long, n_gap_up: Long,
+                        n_gap_down: Long, mean_gap: Double, max_abs_gap: Double)
+
+  /** D169 `gapStatsStream` — streaming face of B171 `gap_stats`:
+    * yesterday's close + five integers of state; mean via Long `/`
+    * (= Spark `div` truncation — gap sums go negative). */
+  def gapStatsStream(bars: Dataset[OhlcStreamBar],
+                     thresholdMicro: Long = 10000L): Dataset[GapStatUpd] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[GapStatState, GapStatUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[OhlcStreamBar], state: GroupState[GapStatState]) =>
+          var st = state.getOption.getOrElse(
+            GapStatState(0.0, seen = false, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { b =>
+            if (st.seen && st.prevClose != 0.0) {
+              val g = graft.operators.Micro.jvm6(b.open / st.prevClose - 1)
+              val gm = math.round(g * 1e6)
+              st = GapStatState(b.close, seen = true, st.n + 1,
+                st.nUp + (if (gm > thresholdMicro) 1L else 0L),
+                st.nDown + (if (gm < -thresholdMicro) 1L else 0L),
+                st.sumMicro + gm, math.max(st.maxAbs, math.abs(gm)))
+            } else st = st.copy(prevClose = b.close, seen = true)
+          }
+          state.update(st)
+          if (st.n == 0) Iterator.empty
+          else Iterator.single(GapStatUpd(assetId, st.n, st.nUp, st.nDown,
+            (st.sumMicro / st.n).toDouble / 1e6, st.maxAbs.toDouble / 1e6))
+      }
+  }
+
+  case class VovState(last: Double, seen: Boolean, ring: Vector[Double],
+                      n: Long, s: Double, s2: Double)
+  case class VovUpd(asset_id: Long, n_days: Long, mean_vol: Double,
+                    vol_of_vol: Double)
+
+  /** D170 `volOfVolStream` — streaming face of B90 `vol_of_vol`: the
+    * 20-slot return ring regenerates each day's rolling vol exactly as
+    * the batch frame fold does; the vol-of-vol sums then accumulate in
+    * date order ≡ the batch's va array folds. */
+  def volOfVolStream(ticks: Dataset[DailyTick], window: Int = 20): Dataset[VovUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[VovState, VovUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[VovState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            VovState(0.0, seen = false, Vector.empty, 0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              val ring = (st.ring :+ r).takeRight(window)
+              if (ring.size >= 2) {
+                val n = ring.size.toDouble
+                val s1 = ring.foldLeft(0.0)(_ + _)
+                val s2 = ring.foldLeft(0.0)((a, x) => a + x * x)
+                val vol = jvm6(math.sqrt(math.max(
+                  (n * s2 - s1 * s1) / (n * (n - 1)), 0.0)))
+                st = VovState(t.value, seen = true, ring, st.n + 1,
+                  st.s + vol, st.s2 + vol * vol)
+              } else st = st.copy(last = t.value, ring = ring)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 2) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            Iterator.single(VovUpd(assetId, st.n, jvm6(st.s / n),
+              jvm6(math.sqrt(math.max((n * st.s2 - st.s * st.s) / (n * (n - 1)), 0.0)))))
+          }
+      }
+  }
+
+  case class UlcerState(ring: Vector[Double], dds: Vector[Option[Double]])
+  case class UlcerPoint(asset_id: Long, date: java.sql.Date, value: Double,
+                        dd: Option[Double], ulcer: Option[Double])
+
+  /** D171 `ulcerStream` — streaming face of B93 `ulcer_index`: the
+    * 14-slot value ring + its drawdown ring ARE the state; a null dd
+    * (zero frame max — unreachable on positive prices) is simply
+    * absent from the fold, exactly as batch `collect_list` skips
+    * nulls from the frame array. */
+  def ulcerStream(ticks: Dataset[DailyTick], window: Int = 14): Dataset[UlcerPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[UlcerState, UlcerPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[UlcerState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(UlcerState(Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[UlcerPoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val ring = (st.ring :+ t.value).takeRight(window)
+            val rmax = ring.max
+            val dd = if (rmax == 0.0) None
+              else Some(jvm6(100.0 * (t.value - rmax) / rmax))
+            val dds = (st.dds :+ dd).takeRight(window)
+            val present = dds.flatten
+            val ulcer =
+              if (present.isEmpty) None
+              else Some(jvm6(math.sqrt(
+                present.foldLeft(0.0)((a, x) => a + x * x) / present.size)))
+            out += UlcerPoint(assetId, t.date, t.value, dd, ulcer)
+            st = UlcerState(ring, dds)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class CalBinState(last: Double, seen: Boolean, n: Vector[Long],
                          sum: Vector[Long], nUp: Vector[Long])
   case class DowSeasUpd(asset_id: Long, dow: Long, n_days: Long,

@@ -2834,4 +2834,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(finalizedDaily("n_days")(StreamingOps.jarqueBeraStream(_)) ===
       norm(A.jarqueBera(panel)), "jb")
   }
+
+  test("wave-AX gap/vol-of-vol/ulcer twins equal their batch ops") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val bars = A.dailyBars(panel)
+      .select($"asset_id", $"date", $"open", $"high", $"low", $"close", $"n_ticks")
+      .as[StreamingOps.OhlcStreamBar].collect().toSeq
+      .sortBy(b => (b.date.getTime, b.asset_id))
+    val gapSink = graft.streaming.StreamReplay.replay(spark, bars, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.gapStatsStream(_))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_days".desc)
+    val gapFin = gapSink.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(gw))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(gapFin) === norm(A.gapStats(panel)), "gap")
+
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val vovSink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.volOfVolStream(_))
+    val vovFin = vovSink.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(gw))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(vovFin) === norm(A.volOfVol(panel)), "vov")
+
+    val streamedUlcer = norm(graft.streaming.StreamReplay
+      .replay(spark, daily, 3, maxStateRows = 2L)(StreamingOps.ulcerStream(_)))
+    assert(streamedUlcer === norm(A.ulcerIndex(panel)), "ulcer")
+  }
 }
