@@ -1237,6 +1237,10 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave AY (r10) ────────────────────────────────────────────────
+    "stream_half_life" -> ((s, dir) => StreamReplay.streamHalfLife(s, dir)),
+    "stream_runs_test" -> ((s, dir) => StreamReplay.streamRunsTest(s, dir)),
+    "stream_underwater" -> ((s, dir) => StreamReplay.streamUnderwaterDuration(s, dir)),
     // ── wave AX (r10) ────────────────────────────────────────────────
     "stream_gap_stats" -> ((s, dir) => StreamReplay.streamGapStats(s, dir)),
     "stream_vol_of_vol" -> ((s, dir) => StreamReplay.streamVolOfVol(s, dir)),
@@ -3540,7 +3544,10 @@ object SparkEntry {
       ("stream_jarque_bera" -> m("jarque_bera")) +
       ("stream_gap_stats" -> m("gap_stats")) +
       ("stream_vol_of_vol" -> m("vol_of_vol")) +
-      ("stream_ulcer" -> m("ulcer_index"))
+      ("stream_ulcer" -> m("ulcer_index")) +
+      ("stream_half_life" -> m("half_life")) +
+      ("stream_runs_test" -> m("runs_test")) +
+      ("stream_underwater" -> m("underwater_duration"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -763,6 +763,21 @@ object StreamReplay {
   }
   def streamVolOfVol(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.volOfVolStream(_))
+  def streamHalfLife(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_obs")(StreamingOps.halfLifeStream(_))
+  def streamRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = dailyFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.runsTestStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy((col("n_pos") + col("n_neg")).desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
+  def streamUnderwaterDuration(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.underwaterDurationStream(_))
   def streamUlcer(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.ulcerStream(_))
 

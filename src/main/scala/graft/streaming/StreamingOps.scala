@@ -6679,6 +6679,135 @@ object StreamingOps {
       }
   }
 
+  case class HalfLifeState(last: Double, seen: Boolean, n: Long,
+                           sx: String, sy: String, sxy: String, sx2: String)
+  case class HalfLifeUpd(asset_id: Long, n_obs: Long, phi: Option[Double],
+                         half_life: Option[Double])
+
+  /** D172 `halfLifeStream` — streaming face of B80 `half_life`: the
+    * OU regression sums carried as STRING-encoded BigInts (the batch
+    * runs DECIMAL(38,0) — x·y products overflow int64 inside the
+    * 100 TB envelope, and a wrapped sum is the r9 token-budget bug
+    * class; BigInt parse/format per update is O(digits), constant in
+    * practice). num/den convert to double exactly like the batch's
+    * decimal→double cast.
+    */
+  def halfLifeStream(ticks: Dataset[DailyTick]): Dataset[HalfLifeUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[HalfLifeState, HalfLifeUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[HalfLifeState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            HalfLifeState(0.0, seen = false, 0L, "0", "0", "0", "0"))
+          var (sx, sy, sxy, sx2) =
+            (BigInt(st.sx), BigInt(st.sy), BigInt(st.sxy), BigInt(st.sx2))
+          var n = st.n
+          var last = st.last
+          var seen = st.seen
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (seen) {
+              val dp = jvm6(t.value - last)
+              val x = BigInt(math.floor(last * 1000000.0 + 0.5).toLong)
+              val y = BigInt(math.floor(dp * 1000000.0 + 0.5).toLong)
+              n += 1; sx += x; sy += y; sxy += x * y; sx2 += x * x
+            }
+            last = t.value; seen = true
+          }
+          state.update(HalfLifeState(last, seen, n, sx.toString, sy.toString,
+            sxy.toString, sx2.toString))
+          if (n < 3) Iterator.empty
+          else {
+            val num = (BigInt(n) * sxy - sx * sy).toDouble
+            val den = (BigInt(n) * sx2 - sx * sx).toDouble
+            val phi = if (den == 0.0) None else Some(jvm6(num / den))
+            Iterator.single(HalfLifeUpd(assetId, n, phi,
+              phi.filter(p => p > -1 && p < 0)
+                .map(p => jvm6(-0.693147 / math.log(1.0 + p)))))
+          }
+      }
+  }
+
+  case class RunsState(last: Double, seen: Boolean, prevSign: Long,
+                       hasSign: Boolean, nPos: Long, nNeg: Long, runs: Long)
+  case class RunsUpd(asset_id: Long, n_pos: Long, n_neg: Long, runs: Long,
+                     e_runs: Double, z: Option[Double])
+
+  /** D173 `runsTestStream` — streaming face of B82 `runs_test`: the
+    * previous sign + three integer counters; zero returns are skipped
+    * exactly as the batch filter drops them. */
+  def runsTestStream(ticks: Dataset[DailyTick]): Dataset[RunsUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RunsState, RunsUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RunsState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            RunsState(0.0, seen = false, 0L, hasSign = false, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              if (r != 0.0) {
+                val s = if (r > 0) 1L else 0L
+                st = RunsState(t.value, seen = true, s, hasSign = true,
+                  st.nPos + s, st.nNeg + (1L - s),
+                  st.runs + (if (!st.hasSign || s != st.prevSign) 1L else 0L))
+              } else st = st.copy(last = t.value)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.nPos < 1 || st.nNeg < 1) Iterator.empty
+          else {
+            val n = (st.nPos + st.nNeg).toDouble
+            val p2 = 2.0 * st.nPos * st.nNeg
+            val eRuns = 1.0 + p2 / n
+            val v = p2 * (p2 - n) / (n * n * (n - 1))
+            Iterator.single(RunsUpd(assetId, st.nPos, st.nNeg, st.runs,
+              jvm6(eRuns),
+              if (v <= 0.0) None else Some(jvm6((st.runs - eRuns) / math.sqrt(v)))))
+          }
+      }
+  }
+
+  case class UwState(peak: Double, nDays: Long, cur: Long, nEpisodes: Long,
+                     maxUnder: Long)
+  case class UwUpd(asset_id: Long, n_days: Long, n_episodes: Long,
+                   max_underwater_days: Long, current_underwater_days: Long)
+
+  /** D174 `underwaterDurationStream` — streaming face of B217
+    * `underwater_duration`: (peak, current-run, episode counters) —
+    * the gaps-and-islands drawdown calendar as O(1) state. */
+  def underwaterDurationStream(ticks: Dataset[DailyTick]): Dataset[UwUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[UwState, UwUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[UwState]) =>
+          var st = state.getOption.getOrElse(UwState(Double.MinValue, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val peak = math.max(st.peak, t.value)
+            if (t.value < peak) {
+              val cur = st.cur + 1
+              st = UwState(peak, st.nDays + 1, cur,
+                st.nEpisodes + (if (cur == 1) 1L else 0L),
+                math.max(st.maxUnder, cur))
+            } else st = UwState(peak, st.nDays + 1, 0L, st.nEpisodes, st.maxUnder)
+          }
+          state.update(st)
+          if (st.nDays == 0) Iterator.empty
+          else Iterator.single(UwUpd(assetId, st.nDays, st.nEpisodes,
+            st.maxUnder, st.cur))
+      }
+  }
+
   case class GapStatState(prevClose: Double, seen: Boolean, n: Long,
                           nUp: Long, nDown: Long, sumMicro: Long, maxAbs: Long)
   case class GapStatUpd(asset_id: Long, n_days: Long, n_gap_up: Long,
