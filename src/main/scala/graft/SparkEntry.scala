@@ -1237,6 +1237,19 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave BA (r10) ────────────────────────────────────────────────
+    "adjusted_sharpe" -> ((s, dir) =>
+      Analytics.adjustedSharpe(Tables.panel(s, dir))),
+    "equity_curve_r2" -> ((s, dir) =>
+      Analytics.equityCurveR2(Tables.panel(s, dir))),
+    "stream_adjusted_sharpe" -> ((s, dir) => StreamReplay.streamAdjustedSharpe(s, dir)),
+    "stream_equity_curve_r2" -> ((s, dir) => StreamReplay.streamEquityCurveR2(s, dir)),
+    // ── wave AZ (r10) ────────────────────────────────────────────────
+    "stream_calmar" -> ((s, dir) => StreamReplay.streamCalmar(s, dir)),
+    "stream_martin_ratio" -> ((s, dir) => StreamReplay.streamMartinRatio(s, dir)),
+    "stream_pain_index" -> ((s, dir) => StreamReplay.streamPainIndex(s, dir)),
+    "stream_rolling_sharpe" -> ((s, dir) => StreamReplay.streamRollingSharpe(s, dir)),
+    "stream_beta_stability" -> ((s, dir) => StreamReplay.streamBetaStability(s, dir)),
     // ── wave AY (r10) ────────────────────────────────────────────────
     "stream_half_life" -> ((s, dir) => StreamReplay.streamHalfLife(s, dir)),
     "stream_runs_test" -> ((s, dir) => StreamReplay.streamRunsTest(s, dir)),
@@ -3547,7 +3560,14 @@ object SparkEntry {
       ("stream_ulcer" -> m("ulcer_index")) +
       ("stream_half_life" -> m("half_life")) +
       ("stream_runs_test" -> m("runs_test")) +
-      ("stream_underwater" -> m("underwater_duration"))
+      ("stream_underwater" -> m("underwater_duration")) +
+      ("stream_calmar" -> m("calmar")) +
+      ("stream_martin_ratio" -> m("martin_ratio")) +
+      ("stream_pain_index" -> m("pain_index")) +
+      ("stream_rolling_sharpe" -> m("rolling_sharpe")) +
+      ("stream_beta_stability" -> m("beta_stability")) +
+      ("stream_adjusted_sharpe" -> m("adjusted_sharpe")) +
+      ("stream_equity_curve_r2" -> m("equity_curve_r2"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -5230,7 +5250,86 @@ object SparkEntry {
          |            THEN CAST(CAST(value AS FLOAT) + 1000.0 AS FLOAT)
          |            ELSE CAST(value AS FLOAT) END AS value
          |FROM panel
-         |ORDER BY asset_id, date, "timestamp"""".stripMargin)
+         |ORDER BY asset_id, date, "timestamp"""".stripMargin,
+    "adjusted_sharpe" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |g AS (
+         |  SELECT asset_id, list(ret ORDER BY date) AS ra
+         |  FROM rets GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ra) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ra), (a, x) -> a + x) AS s1,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x)), (a, x) -> a + x) AS s2,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x)), (a, x) -> a + x) AS s3,
+         |         list_reduce(list_prepend(0.0, list_transform(ra, x -> x * x * x * x)), (a, x) -> a + x) AS s4
+         |  FROM g WHERE len(ra) >= 4),
+         |mm AS (SELECT asset_id, n, s1 / n AS m, s2, s3, s4 FROM f),
+         |cm AS (
+         |  SELECT asset_id, n, m,
+         |         s2 / n - m * m AS m2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS m3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS m4
+         |  FROM mm),
+         |gg AS (
+         |  SELECT asset_id, n,
+         |    floor((m / nullif(sqrt(greatest(m2 * n / (n - 1), 0.0)), 0.0))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS sr,
+         |    floor((m3 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * sqrt(m2) END)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS g1,
+         |    floor((m4 / CASE WHEN m2 <= 0 THEN NULL ELSE m2 * m2 END - 3)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS g2
+         |  FROM cm)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, sr, g1 AS skew,
+         |  g2 AS ex_kurt,
+         |  floor((sr * (1.0 + g1 / 6 * sr - g2 / 24 * sr * sr))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS asr
+         |FROM gg ORDER BY asset_id""".stripMargin,
+    "equity_curve_r2" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |l AS (
+         |  SELECT asset_id, date,
+         |         CAST(floor(ln(1.0 + ret) * 1000000.0 + 0.5) AS BIGINT) AS lm
+         |  FROM rets WHERE ret > -1),
+         |c AS (
+         |  SELECT asset_id, date,
+         |         CAST(sum(lm) OVER (PARTITION BY asset_id ORDER BY date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |           / 1000000.0 AS y
+         |  FROM l),
+         |p AS (SELECT asset_id, list(y ORDER BY date) AS ya FROM c GROUP BY asset_id),
+         |f AS (
+         |  SELECT asset_id, CAST(len(ya) AS DOUBLE) AS n,
+         |         list_reduce(list_prepend(0.0, ya), (a, x) -> a + x) AS sy,
+         |         list_reduce(list_prepend(0.0, list_transform(ya, x -> x * x)), (a, x) -> a + x) AS sy2,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, len(ya) + 1),
+         |             i -> CAST(i AS DOUBLE) * ya[i])), (a, x) -> a + x) AS sty
+         |  FROM p WHERE len(ya) >= 3),
+         |q AS (
+         |  SELECT asset_id, n,
+         |         n * (n + 1) / 2 AS st, n * (n + 1) * (2.0 * n + 1) / 6 AS st2,
+         |         sy, sy2, sty
+         |  FROM f),
+         |r2c AS (
+         |  SELECT asset_id, n,
+         |         n * st2 - st * st AS sxx,
+         |         n * sty - st * sy AS sxy,
+         |         n * sy2 - sy * sy AS syy
+         |  FROM q),
+         |o AS (
+         |  SELECT asset_id, n, sxx, sxy, syy,
+         |         floor((sxy / sxx) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+         |         greatest((syy - sxy * sxy / sxx) / (n * (n - 2)), 0.0) AS resid_var
+         |  FROM r2c)
+         |SELECT asset_id, CAST(n AS BIGINT) AS n_days, slope,
+         |  CASE WHEN syy <= 0 THEN NULL
+         |       ELSE floor((sxy * sxy / (sxx * syy)) * 1000000.0 + 0.5) / 1000000.0 END AS r2,
+         |  floor((slope / nullif(sqrt(resid_var / (sxx / n)), 0.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS k_ratio
+         |FROM o ORDER BY asset_id""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

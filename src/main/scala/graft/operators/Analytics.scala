@@ -8461,6 +8461,94 @@ object Analytics {
       "floor(((ln(f8) - ln(f4)) / (ln(CAST(8.0 AS DOUBLE)) - ln(CAST(4.0 AS DOUBLE)))) " +
       "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) END"
 
+  /** B273 `adjusted_sharpe` — Pezier's skew/kurtosis-adjusted Sharpe:
+    * ASR = SR·(1 + (S/6)·SR − ((K−3)/24)·SR²) — the Sharpe a
+    * non-normal return stream actually deserves (positive skew buys
+    * credit, fat tails pay for themselves). Raw-moment folds over the
+    * date-ordered return array ([[jarqueBera]]'s algebra verbatim:
+    * same m2/m3/m4 expressions, same guards), SR from the SAMPLE sd;
+    * every stored stat u6. One asset shuffle.
+    */
+  def adjustedSharpe(panel: DataFrame): DataFrame = {
+    val n = col("n")
+    dailyReturnsCore(panel)
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("ret")))),
+        s => s("ret")).as("ra"))
+      .withColumn("n", size(col("ra")).cast("double"))
+      .filter(n >= 4)
+      .withColumn("m", foldSum(col("ra")) / n)
+      .withColumn("m2", Kernels.seqFold(col("ra"), "sumsq") / n - col("m") * col("m"))
+      .withColumn("m3", Kernels.seqFold(col("ra"), "sum3") / n
+        - lit(3.0) * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", Kernels.seqFold(col("ra"), "sum4") / n
+        - lit(4.0) * col("m") * (Kernels.seqFold(col("ra"), "sum3") / n)
+        + lit(6.0) * col("m") * col("m") * (Kernels.seqFold(col("ra"), "sumsq") / n)
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .withColumn("sd", sqrt(greatest(col("m2") * n / (n - 1), lit(0.0))))
+      .withColumn("sr", u6(col("m") /
+        when(col("sd") === 0, lit(null)).otherwise(col("sd"))))
+      .withColumn("g1", u6(col("m3") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * sqrt(col("m2")))))
+      .withColumn("g2", u6(col("m4") /
+        when(col("m2") <= 0, lit(null)).otherwise(col("m2") * col("m2")) - 3))
+      .withColumn("asr", u6(col("sr") * (lit(1.0) + col("g1") / 6 * col("sr") -
+        col("g2") / 24 * col("sr") * col("sr"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("sr"),
+        col("g1").as("skew"), col("g2").as("ex_kurt"), col("asr"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** B274 `equity_curve_r2` — the K-ratio family: OLS of the
+    * cumulative log-equity curve on the time index per asset — slope
+    * (log-drift/day), R² (how straight the ride was) and the K-ratio
+    * (slope / its standard error — return per unit of PATH
+    * deviation, where Sharpe charges only for dispersion of returns).
+    * y is an EXACT integer cumsum of u6(ln(1+r)) micro-steps
+    * (order-free); the OLS sums fold over the date-ordered (t, y)
+    * arrays (Σt/Σt² closed-form integers, the float legs sequential —
+    * engine-exact by order).
+    */
+  def equityCurveR2(panel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("date"))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("n")
+    dailyReturnsCore(panel)
+      .filter(col("ret") > -1)
+      .withColumn("lm", floor(log(lit(1.0) + col("ret")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .withColumn("ym", sum(col("lm")).over(runW))
+      .withColumn("y", col("ym").cast("double") / lit(1000000.0))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("date"), col("y")))),
+        s => s("y")).as("ya"))
+      .withColumn("n", size(col("ya")).cast("double"))
+      .filter(n >= 3)
+      .withColumn("st", n * (n + 1) / 2)
+      .withColumn("st2", n * (n + 1) * (lit(2.0) * n + 1) / 6)
+      .withColumn("sy", Kernels.seqFold(col("ya"), "sum"))
+      .withColumn("sy2", Kernels.seqFold(col("ya"), "sumsq"))
+      .withColumn("sty", Kernels.seqFold(
+        expr("zip_with(sequence(1, size(ya)), ya, (i, v) -> CAST(i AS DOUBLE) * v)"),
+        "sum"))
+      .withColumn("sxx", n * col("st2") - col("st") * col("st"))
+      .withColumn("sxy", n * col("sty") - col("st") * col("sy"))
+      .withColumn("syy", n * col("sy2") - col("sy") * col("sy"))
+      .withColumn("slope", u6(col("sxy") / col("sxx")))
+      .withColumn("r2", when(col("syy") <= 0, lit(null)).otherwise(
+        u6(col("sxy") * col("sxy") / (col("sxx") * col("syy")))))
+      .withColumn("resid_var",
+        greatest((col("syy") - col("sxy") * col("sxy") / col("sxx")) / (n * (n - 2)),
+          lit(0.0)))
+      .withColumn("se", sqrt(col("resid_var") / (col("sxx") / n)))
+      .withColumn("k_ratio", u6(col("slope") /
+        when(col("se") === 0, lit(null)).otherwise(col("se"))))
+      .select(col("asset_id"), n.cast("long").as("n_days"), col("slope"),
+        col("r2"), col("k_ratio"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B272 `hurst_dfa` — detrended fluctuation analysis: the DFA-1
     * exponent α per asset from the integrated (EXACT integer micro)
     * return profile, box sizes 4 and 8, per-box linear detrend via the

@@ -778,6 +778,20 @@ object StreamReplay {
   }
   def streamUnderwaterDuration(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.underwaterDurationStream(_))
+  def streamCalmar(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.calmarStream(_))
+  def streamMartinRatio(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.martinRatioStream(_))
+  def streamPainIndex(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.painIndexStream(_))
+  def streamRollingSharpe(s: SparkSession, dir: String): DataFrame =
+    replayDaily(s, dir)(StreamingOps.rollingSharpeStream(_))
+  def streamBetaStability(s: SparkSession, dir: String): DataFrame =
+    replayRetMktFinal(s, dir, "n_betas")(StreamingOps.betaStabilityStream(_))
+  def streamAdjustedSharpe(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.adjustedSharpeStream(_))
+  def streamEquityCurveR2(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.equityCurveR2Stream(_))
   def streamUlcer(s: SparkSession, dir: String): DataFrame =
     replayDaily(s, dir)(StreamingOps.ulcerStream(_))
 

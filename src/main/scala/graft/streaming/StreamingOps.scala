@@ -6679,6 +6679,309 @@ object StreamingOps {
       }
   }
 
+  case class AdjSharpeUpd(asset_id: Long, n_days: Long, sr: Option[Double],
+                          skew: Option[Double], ex_kurt: Option[Double],
+                          asr: Option[Double])
+
+  /** D180 `adjustedSharpeStream` — streaming face of B273
+    * `adjusted_sharpe`: the [[jarqueBeraStream]] raw-moment sums with
+    * Pezier's correction computed per update (u6 at every stored
+    * stat, exactly the batch column chain). */
+  def adjustedSharpeStream(ticks: Dataset[DailyTick]): Dataset[AdjSharpeUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[MomSumState, AdjSharpeUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[MomSumState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            MomSumState(0.0, seen = false, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              st = MomSumState(t.value, seen = true, st.n + 1,
+                st.s1 + r, st.s2 + r * r, st.s3 + (r * r) * r,
+                st.s4 + ((r * r) * r) * r)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 4) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val m = st.s1 / n
+            val m2 = st.s2 / n - m * m
+            val m3 = st.s3 / n - 3.0 * m * (st.s2 / n) + 2.0 * m * m * m
+            val m4 = st.s4 / n - 4.0 * m * (st.s3 / n) +
+              6.0 * m * m * (st.s2 / n) - 3.0 * m * m * m * m
+            val sd = math.sqrt(math.max(m2 * n / (n - 1), 0.0))
+            val sr = if (sd == 0.0) None else Some(jvm6(m / sd))
+            val g1 = if (m2 <= 0.0) None else Some(jvm6(m3 / (m2 * math.sqrt(m2))))
+            val g2 = if (m2 <= 0.0) None else Some(jvm6(m4 / (m2 * m2) - 3))
+            val asr = (sr, g1, g2) match {
+              case (Some(s), Some(a), Some(k)) =>
+                Some(jvm6(s * (1.0 + a / 6 * s - k / 24 * s * s)))
+              case _ => None
+            }
+            Iterator.single(AdjSharpeUpd(assetId, st.n, sr, g1, g2, asr))
+          }
+      }
+  }
+
+  case class EqCurveState(last: Double, seen: Boolean, n: Long, ym: Long,
+                          sy: Double, sy2: Double, sty: Double)
+  case class EqCurveUpd(asset_id: Long, n_days: Long, slope: Double,
+                        r2: Option[Double], k_ratio: Option[Double])
+
+  /** D181 `equityCurveR2Stream` — streaming face of B274
+    * `equity_curve_r2`: the log-equity level as one EXACT micro
+    * integer plus three date-ordered float sums (each running
+    * accumulation ≡ the batch array fold, t ascending). */
+  def equityCurveR2Stream(ticks: Dataset[DailyTick]): Dataset[EqCurveUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[EqCurveState, EqCurveUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[EqCurveState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            EqCurveState(0.0, seen = false, 0L, 0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              if (r > -1) {
+                val lm = math.floor(math.log(1.0 + r) * 1000000.0 + 0.5).toLong
+                val ym = st.ym + lm
+                val y = ym.toDouble / 1000000.0
+                val tIdx = (st.n + 1).toDouble
+                st = EqCurveState(t.value, seen = true, st.n + 1, ym,
+                  st.sy + y, st.sy2 + y * y, st.sty + tIdx * y)
+              } else st = st.copy(last = t.value)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 3) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val stSum = n * (n + 1) / 2
+            val st2 = n * (n + 1) * (2.0 * n + 1) / 6
+            val sxx = n * st2 - stSum * stSum
+            val sxy = n * st.sty - stSum * st.sy
+            val syy = n * st.sy2 - st.sy * st.sy
+            val slope = jvm6(sxy / sxx)
+            val r2 = if (syy <= 0.0) None else Some(jvm6(sxy * sxy / (sxx * syy)))
+            val residVar = math.max((syy - sxy * sxy / sxx) / (n * (n - 2)), 0.0)
+            val se = math.sqrt(residVar / (sxx / n))
+            Iterator.single(EqCurveUpd(assetId, st.n, slope, r2,
+              if (se == 0.0) None else Some(jvm6(slope / se))))
+          }
+      }
+  }
+
+  case class PathRiskState(last: Double, seen: Boolean, peak: Double,
+                           nDays: Long, minDd: Double, sumDd: Double,
+                           sumDdSq: Double, nRets: Long, sumRet: Double)
+  case class CalmarUpd(asset_id: Long, n_days: Long, mean_ret: Double,
+                       max_dd: Double, calmar: Option[Double])
+  case class MartinUpd(asset_id: Long, n_days: Long, ulcer: Double,
+                       mean_ret: Double, martin: Option[Double])
+  case class PainUpd(asset_id: Long, n_days: Long, pain_index: Double,
+                     mean_ret: Double, pain_ratio: Option[Double])
+
+  private def pathRiskStep(st: PathRiskState, v: Double): PathRiskState = {
+    import graft.operators.Micro.jvm6
+    val peak = if (st.nDays == 0) v else math.max(st.peak, v)
+    val (nR, sR) =
+      if (st.seen && st.last != 0.0) {
+        val r = jvm6(v / st.last - 1)
+        (st.nRets + 1, st.sumRet + r)
+      } else (st.nRets, st.sumRet)
+    if (peak == 0.0)
+      // unreachable on positive prices: a null dd is skipped by the
+      // batch min() and would poison the batch folds — keep the state
+      // untouched on that axis rather than invent a number
+      PathRiskState(v, seen = true, peak, st.nDays + 1,
+        st.minDd, st.sumDd, st.sumDdSq, nR, sR)
+    else {
+      // TWO dd spellings, copied from the two batch ops: calmar's
+      // min-tracker uses u6((v−peak)/peak); martin/pain fold
+      // u6(v/peak − 1). Same real number, different IEEE op order —
+      // only u6 keeps them equal, so we do NOT share one value here.
+      val ddCal = jvm6((v - peak) / peak)
+      val ddRatio = jvm6(v / peak - 1)
+      PathRiskState(v, seen = true, peak, st.nDays + 1,
+        math.min(st.minDd, ddCal), st.sumDd + ddRatio,
+        st.sumDdSq + ddRatio * ddRatio, nR, sR)
+    }
+  }
+
+  /** D175 `calmarStream` — streaming face of B72 `calmar`: running
+    * peak + min drawdown + return sum, all O(1); the min tracks the
+    * batch's own u6((v−peak)/peak) spelling (see [[pathRiskStep]]). */
+  def calmarStream(ticks: Dataset[DailyTick]): Dataset[CalmarUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PathRiskState, CalmarUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PathRiskState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(PathRiskState(0.0, seen = false,
+            0.0, 0L, Double.MaxValue, 0.0, 0.0, 0L, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach(t => st = pathRiskStep(st, t.value))
+          state.update(st)
+          if (st.nRets < 2) Iterator.empty
+          else {
+            val n = st.nRets.toDouble
+            val meanRet = jvm6(st.sumRet / n)
+            val maxDd = st.minDd
+            Iterator.single(CalmarUpd(assetId, st.nRets, meanRet, maxDd,
+              if (math.abs(maxDd) == 0.0) None
+              else Some(jvm6(meanRet * 252.0 / math.abs(maxDd)))))
+          }
+      }
+  }
+
+  /** D176 `martinRatioStream` — streaming face of B218 `martin_ratio`:
+    * running Σdd² over ALL days (first day's dd = 0 included). */
+  def martinRatioStream(ticks: Dataset[DailyTick]): Dataset[MartinUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PathRiskState, MartinUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PathRiskState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(PathRiskState(0.0, seen = false,
+            0.0, 0L, Double.MaxValue, 0.0, 0.0, 0L, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach(t => st = pathRiskStep(st, t.value))
+          state.update(st)
+          if (st.nRets < 1) Iterator.empty
+          else {
+            val ulcer = jvm6(math.sqrt(st.sumDdSq / st.nDays.toDouble))
+            val meanRet = jvm6(st.sumRet / st.nRets.toDouble)
+            Iterator.single(MartinUpd(assetId, st.nDays, ulcer, meanRet,
+              if (ulcer == 0.0) None else Some(jvm6(meanRet / ulcer))))
+          }
+      }
+  }
+
+  /** D177 `painIndexStream` — streaming face of B219-family
+    * `pain_index`: running Σdd beside the same peak machinery. */
+  def painIndexStream(ticks: Dataset[DailyTick]): Dataset[PainUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[PathRiskState, PainUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[PathRiskState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(PathRiskState(0.0, seen = false,
+            0.0, 0L, Double.MaxValue, 0.0, 0.0, 0L, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach(t => st = pathRiskStep(st, t.value))
+          state.update(st)
+          if (st.nRets < 1) Iterator.empty
+          else {
+            val pain = jvm6(-st.sumDd / st.nDays.toDouble)
+            val meanRet = jvm6(st.sumRet / st.nRets.toDouble)
+            Iterator.single(PainUpd(assetId, st.nDays, pain, meanRet,
+              if (pain == 0.0) None else Some(jvm6(meanRet / pain))))
+          }
+      }
+  }
+
+  case class RetRingState(last: Double, seen: Boolean, ring: Vector[Double])
+  case class RollSharpePoint(asset_id: Long, date: java.sql.Date, ret: Double,
+                             roll_sharpe: Option[Double])
+
+  /** D178 `rollingSharpeStream` — streaming face of B70
+    * `rolling_sharpe`: the 20-slot return ring, per-date emission. */
+  def rollingSharpeStream(ticks: Dataset[DailyTick],
+                          window: Int = 20): Dataset[RollSharpePoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[RetRingState, RollSharpePoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[RetRingState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(RetRingState(0.0, seen = false, Vector.empty))
+          val out = Vector.newBuilder[RollSharpePoint]
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              val ring = (st.ring :+ r).takeRight(window)
+              if (ring.size >= 2) {
+                val n = ring.size.toDouble
+                val s = ring.foldLeft(0.0)(_ + _)
+                val s2 = ring.foldLeft(0.0)((a, x) => a + x * x)
+                val sd = math.sqrt(math.max((n * s2 - s * s) / (n * (n - 1)), 0.0))
+                out += RollSharpePoint(assetId, t.date, r,
+                  if (sd == 0.0) None else Some(jvm6((s / n) / sd)))
+              }
+              st = RetRingState(t.value, seen = true, ring)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class BetaStabState(ring: Vector[(Double, Double)], nB: Long,
+                           s: Double, s2: Double)
+  case class BetaStabUpd(asset_id: Long, n_betas: Long, mean_beta: Double,
+                         beta_sd: Double)
+
+  /** D179 `betaStabilityStream` — streaming face of B119
+    * `beta_stability`: the rollingBetaStream ring regenerates each
+    * day's windowed beta, then running (n, Σβ, Σβ²) summarize it —
+    * only non-null betas count, exactly the batch filter. */
+  def betaStabilityStream(ticks: Dataset[RetMktTick],
+                          window: Int = 20): Dataset[BetaStabUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[BetaStabState, BetaStabUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[BetaStabState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(BetaStabState(Vector.empty, 0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val ring = (st.ring :+ ((t.ret, t.mkt_ret))).takeRight(window)
+            var (nB, s, s2) = (st.nB, st.s, st.s2)
+            if (ring.size >= 2) {
+              val n = ring.size.toDouble
+              var sa = 0.0; var sm = 0.0; var sp = 0.0; var sm2 = 0.0
+              ring.foreach { case (a, _) => sa += a }
+              ring.foreach { case (_, m) => sm += m }
+              ring.foreach { case (a, m) => sp += a * m }
+              ring.foreach { case (_, m) => sm2 += m * m }
+              val den = n * sm2 - sm * sm
+              if (den != 0.0) {
+                val beta = jvm6((n * sp - sa * sm) / den)
+                nB += 1; s += beta; s2 += beta * beta
+              }
+            }
+            st = BetaStabState(ring, nB, s, s2)
+          }
+          state.update(st)
+          if (st.nB < 2) Iterator.empty
+          else {
+            val n = st.nB.toDouble
+            Iterator.single(BetaStabUpd(assetId, st.nB, jvm6(st.s / n),
+              jvm6(math.sqrt(math.max((n * st.s2 - st.s * st.s) / (n * (n - 1)), 0.0)))))
+          }
+      }
+  }
+
   case class HalfLifeState(last: Double, seen: Boolean, n: Long,
                            sx: String, sy: String, sxy: String, sx2: String)
   case class HalfLifeUpd(asset_id: Long, n_obs: Long, phi: Option[Double],

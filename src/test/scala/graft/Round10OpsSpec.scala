@@ -2906,4 +2906,115 @@ class Round10OpsSpec extends SparkSpec {
     assert(finalizedDaily($"n_days")(StreamingOps.underwaterDurationStream(_)) ===
       norm(A.underwaterDuration(panel)), "uw")
   }
+
+  test("wave-AZ path-risk and windowed-ring twins equal their batch ops") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedDaily[O: org.apache.spark.sql.Encoder](ord: String)(
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy(org.apache.spark.sql.functions.col(ord).desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedDaily("n_days")(StreamingOps.calmarStream(_)) ===
+      norm(A.calmar(panel)), "calmar")
+    assert(finalizedDaily("n_days")(StreamingOps.martinRatioStream(_)) ===
+      norm(A.martinRatio(panel)), "martin")
+    assert(finalizedDaily("n_days")(StreamingOps.painIndexStream(_)) ===
+      norm(A.painIndex(panel)), "pain")
+    assert(norm(graft.streaming.StreamReplay.replay(spark, daily, 3,
+      maxStateRows = 2L)(StreamingOps.rollingSharpeStream(_))) ===
+      norm(A.rollingSharpe(panel)), "rsharpe")
+
+    val rets = A.dailyReturns(panel).select($"asset_id", $"date", $"ret")
+    val feed = rets
+      .join(org.apache.spark.sql.functions.broadcast(A.marketReturns(rets)), Seq("date"))
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val sink = graft.streaming.StreamReplay.replay(spark, feed, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.betaStabilityStream(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy($"n_betas".desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.betaStability(panel)), "bstab")
+  }
+
+  test("wave-BA adjusted sharpe and equity-curve R2 match hand constructions") {
+    import graft.operators.Micro.jvm6
+    val A = graft.operators.Analytics
+    val vals = Vector(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0)
+    val panel = panelOf(Map(1L -> vals))
+
+    // adjusted sharpe: replay the moment algebra imperatively
+    val out = A.adjustedSharpe(panel).collect()
+    assert(out.length === 1)
+    val rets = vals.sliding(2).map { case Seq(a, b) => jvm6(b / a - 1) }.toVector
+    val n = rets.size.toDouble
+    val s1 = rets.foldLeft(0.0)(_ + _)
+    val s2 = rets.foldLeft(0.0)((a, x) => a + x * x)
+    val s3 = rets.foldLeft(0.0)((a, x) => a + (x * x) * x)
+    val s4 = rets.foldLeft(0.0)((a, x) => a + ((x * x) * x) * x)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+    val sd = math.sqrt(math.max(m2 * n / (n - 1), 0.0))
+    val sr = jvm6(m / sd)
+    val g1 = jvm6(m3 / (m2 * math.sqrt(m2)))
+    val g2 = jvm6(m4 / (m2 * m2) - 3)
+    assert(out.head.getAs[Double]("sr") === sr)
+    assert(out.head.getAs[Double]("asr") ===
+      jvm6(sr * (1.0 + g1 / 6 * sr - g2 / 24 * sr * sr)))
+
+    // equity curve: a perfectly exponential path has r2 = 1
+    val expo = Vector.tabulate(10)(i => 100.0 * math.pow(1.02, i))
+    val ec = A.equityCurveR2(panelOf(Map(1L -> expo))).collect()
+    assert(ec.length === 1)
+    assert(math.abs(ec.head.getAs[Double]("r2") - 1.0) < 2e-6)
+    // log-slope ≈ ln(1.02) per day on the u6 grid
+    assert(math.abs(ec.head.getAs[Double]("slope") - math.log(1.02)) < 2e-5)
+
+    // twins equal batch
+    import graft.streaming.StreamingOps
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val panel2 = panelOf(Map(1L -> vals, 2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0)))
+    val daily = graft.operators.KeyValue.lwwDaily(panel2)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy($"n_days".desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedDaily(StreamingOps.adjustedSharpeStream(_)) ===
+      norm(A.adjustedSharpe(panel2)), "asr twin")
+    assert(finalizedDaily(StreamingOps.equityCurveR2Stream(_)) ===
+      norm(A.equityCurveR2(panel2)), "ec twin")
+  }
 }
