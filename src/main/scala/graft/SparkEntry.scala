@@ -1237,6 +1237,10 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave BB (r10) ────────────────────────────────────────────────
+    "dual_beta" -> ((s, dir) =>
+      Analytics.dualBeta(Tables.panel(s, dir))),
+    "stream_dual_beta" -> ((s, dir) => StreamReplay.streamDualBeta(s, dir)),
     // ── wave BA (r10) ────────────────────────────────────────────────
     "adjusted_sharpe" -> ((s, dir) =>
       Analytics.adjustedSharpe(Tables.panel(s, dir))),
@@ -3567,7 +3571,8 @@ object SparkEntry {
       ("stream_rolling_sharpe" -> m("rolling_sharpe")) +
       ("stream_beta_stability" -> m("beta_stability")) +
       ("stream_adjusted_sharpe" -> m("adjusted_sharpe")) +
-      ("stream_equity_curve_r2" -> m("equity_curve_r2"))
+      ("stream_equity_curve_r2" -> m("equity_curve_r2")) +
+      ("stream_dual_beta" -> m("dual_beta"))
   }
 
   private def oracleSqlBase: Map[String, String] =
@@ -5329,7 +5334,52 @@ object SparkEntry {
          |       ELSE floor((sxy * sxy / (sxx * syy)) * 1000000.0 + 0.5) / 1000000.0 END AS r2,
          |  floor((slope / nullif(sqrt(resid_var / (sxx / n)), 0.0))
          |        * 1000000.0 + 0.5) / 1000000.0 AS k_ratio
-         |FROM o ORDER BY asset_id""".stripMargin)
+         |FROM o ORDER BY asset_id""".stripMargin,
+    "dual_beta" ->
+      s"""$panelCte,
+         |$dailyCte,
+         |$retsCte,
+         |mkt AS (
+         |  SELECT date,
+         |         floor((list_reduce(list_prepend(0.0, marr), (a, x) -> a + x)
+         |               / CAST(len(marr) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_ret
+         |  FROM (SELECT date, list(ret ORDER BY asset_id) AS marr FROM rets GROUP BY date) t),
+         |j AS (SELECT r.asset_id, r.date, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (date)),
+         |p AS (
+         |  SELECT asset_id,
+         |    coalesce(list(struct_pack(r := ret, m := mkt_ret) ORDER BY date)
+         |             FILTER (WHERE mkt_ret > 0), []) AS hu,
+         |    coalesce(list(struct_pack(r := ret, m := mkt_ret) ORDER BY date)
+         |             FILTER (WHERE mkt_ret < 0), []) AS hd
+         |  FROM j GROUP BY asset_id),
+         |p2 AS (SELECT * FROM p WHERE len(hu) + len(hd) >= 2),
+         |g AS (
+         |  SELECT asset_id,
+         |    CAST(len(hu) AS DOUBLE) AS nu, CAST(len(hd) AS DOUBLE) AS nd,
+         |    list_reduce(list_prepend(0.0, list_transform(hu, s -> s.r)), (a, x) -> a + x) AS sau,
+         |    list_reduce(list_prepend(0.0, list_transform(hu, s -> s.m)), (a, x) -> a + x) AS smu,
+         |    list_reduce(list_prepend(0.0, list_transform(hu, s -> s.r * s.m)), (a, x) -> a + x) AS spu,
+         |    list_reduce(list_prepend(0.0, list_transform(hu, s -> s.m * s.m)), (a, x) -> a + x) AS sm2u,
+         |    list_reduce(list_prepend(0.0, list_transform(hd, s -> s.r)), (a, x) -> a + x) AS sad,
+         |    list_reduce(list_prepend(0.0, list_transform(hd, s -> s.m)), (a, x) -> a + x) AS smd,
+         |    list_reduce(list_prepend(0.0, list_transform(hd, s -> s.r * s.m)), (a, x) -> a + x) AS spd,
+         |    list_reduce(list_prepend(0.0, list_transform(hd, s -> s.m * s.m)), (a, x) -> a + x) AS sm2d
+         |  FROM p2),
+         |b AS (
+         |  SELECT asset_id, nu, nd,
+         |    CASE WHEN nu < 2 THEN NULL
+         |         ELSE floor(((nu * spu - sau * smu)
+         |                     / nullif(nu * sm2u - smu * smu, 0.0))
+         |                    * 1000000.0 + 0.5) / 1000000.0 END AS bull_beta,
+         |    CASE WHEN nd < 2 THEN NULL
+         |         ELSE floor(((nd * spd - sad * smd)
+         |                     / nullif(nd * sm2d - smd * smd, 0.0))
+         |                    * 1000000.0 + 0.5) / 1000000.0 END AS bear_beta
+         |  FROM g)
+         |SELECT asset_id, CAST(nu AS BIGINT) AS n_up, CAST(nd AS BIGINT) AS n_down,
+         |  bull_beta, bear_beta,
+         |  floor((bull_beta - bear_beta) * 1000000.0 + 0.5) / 1000000.0 AS beta_convexity
+         |FROM b ORDER BY asset_id""".stripMargin)
   }
 
   private lazy val waveJOracles: Map[String, String] = Map(

@@ -8461,6 +8461,47 @@ object Analytics {
       "floor(((ln(f8) - ln(f4)) / (ln(CAST(8.0 AS DOUBLE)) - ln(CAST(4.0 AS DOUBLE)))) " +
       "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) END"
 
+  /** B275 `dual_beta` — bull/bear beta split by the SIGN of the
+    * market return (up-market days vs down-market days, zero-market
+    * days in neither): the asymmetry read as two raw OLS slopes plus
+    * their difference (beta_convexity > 0 = rises faster than it
+    * falls — the profile everyone wants and few assets have).
+    * [[downsideBeta]] demeans then clips; this splits the SAMPLE, the
+    * practitioner's dual-beta convention. Each side's sums fold over
+    * the date-ordered side array; sides with < 2 observations or a
+    * degenerate denominator null out, convexity nulls with either.
+    */
+  def dualBeta(panel: DataFrame): DataFrame = {
+    val rets = dailyReturnsCore(panel)
+    def sideCols(df: DataFrame, side: String): DataFrame = {
+      val arr = col(s"h$side")
+      df.withColumn(s"n$side", size(arr).cast("double"))
+        .withColumn(s"sa$side", foldSum(expr(s"transform(h$side, s -> s.ret)")))
+        .withColumn(s"sm$side", foldSum(expr(s"transform(h$side, s -> s.mkt_ret)")))
+        .withColumn(s"sp$side", foldSum(expr(s"transform(h$side, s -> s.ret * s.mkt_ret)")))
+        .withColumn(s"sm2$side", foldSum(expr(s"transform(h$side, s -> s.mkt_ret * s.mkt_ret)")))
+        .withColumn(s"den$side", col(s"n$side") * col(s"sm2$side") - col(s"sm$side") * col(s"sm$side"))
+        .withColumn(s"beta$side", when(col(s"n$side") < 2, lit(null)).otherwise(
+          u6((col(s"n$side") * col(s"sp$side") - col(s"sa$side") * col(s"sm$side")) /
+            when(col(s"den$side") === 0, lit(null)).otherwise(col(s"den$side")))))
+    }
+    val base = rets.select(col("asset_id"), col("date"), col("ret"))
+      .join(broadcast(marketReturns(rets)), Seq("date"))
+      .groupBy(col("asset_id"))
+      .agg(array_sort(collect_list(struct(col("date"), col("ret"), col("mkt_ret")))).as("h"))
+      .withColumn("hu", expr("filter(h, s -> s.mkt_ret > 0)"))
+      .withColumn("hd", expr("filter(h, s -> s.mkt_ret < 0)"))
+      .filter(size(col("hu")) + size(col("hd")) >= 2)
+    sideCols(sideCols(base, "u"), "d")
+      .withColumn("beta_convexity", u6(col("betau") - col("betad")))
+      .select(col("asset_id"),
+        size(col("hu")).cast("long").as("n_up"),
+        size(col("hd")).cast("long").as("n_down"),
+        col("betau").as("bull_beta"), col("betad").as("bear_beta"),
+        col("beta_convexity"))
+      .orderBy(col("asset_id"))
+  }
+
   /** B273 `adjusted_sharpe` — Pezier's skew/kurtosis-adjusted Sharpe:
     * ASR = SR·(1 + (S/6)·SR − ((K−3)/24)·SR²) — the Sharpe a
     * non-normal return stream actually deserves (positive skew buys

@@ -788,6 +788,17 @@ object StreamReplay {
     replayDaily(s, dir)(StreamingOps.rollingSharpeStream(_))
   def streamBetaStability(s: SparkSession, dir: String): DataFrame =
     replayRetMktFinal(s, dir, "n_betas")(StreamingOps.betaStabilityStream(_))
+  def streamDualBeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = retMktFeed(s, dir)
+    val sink = replay(s, feed, Batches, OutputMode.Update,
+      maxStateRows = feed.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.dualBetaStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy((col("n_up") + col("n_down")).desc)
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("asset_id"))
+  }
   def streamAdjustedSharpe(s: SparkSession, dir: String): DataFrame =
     replayDailyFinal(s, dir, "n_days")(StreamingOps.adjustedSharpeStream(_))
   def streamEquityCurveR2(s: SparkSession, dir: String): DataFrame =

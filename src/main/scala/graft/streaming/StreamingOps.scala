@@ -6679,6 +6679,59 @@ object StreamingOps {
       }
   }
 
+  case class DualBetaState(nU: Long, saU: Double, smU: Double, spU: Double,
+                           sm2U: Double, nD: Long, saD: Double, smD: Double,
+                           spD: Double, sm2D: Double)
+  case class DualBetaUpd(asset_id: Long, n_up: Long, n_down: Long,
+                         bull_beta: Option[Double], bear_beta: Option[Double],
+                         beta_convexity: Option[Double])
+
+  /** D182 `dualBetaStream` — streaming face of B275 `dual_beta`: two
+    * independent running OLS quintuples, routed by the sign of the
+    * market return on arrival (zero-market days touch neither). */
+  def dualBetaStream(ticks: Dataset[RetMktTick]): Dataset[DualBetaUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[DualBetaState, DualBetaUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[RetMktTick], state: GroupState[DualBetaState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            DualBetaState(0L, 0.0, 0.0, 0.0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (t.mkt_ret > 0)
+              st = st.copy(nU = st.nU + 1, saU = st.saU + t.ret,
+                smU = st.smU + t.mkt_ret, spU = st.spU + t.ret * t.mkt_ret,
+                sm2U = st.sm2U + t.mkt_ret * t.mkt_ret)
+            else if (t.mkt_ret < 0)
+              st = st.copy(nD = st.nD + 1, saD = st.saD + t.ret,
+                smD = st.smD + t.mkt_ret, spD = st.spD + t.ret * t.mkt_ret,
+                sm2D = st.sm2D + t.mkt_ret * t.mkt_ret)
+          }
+          state.update(st)
+          if (st.nU + st.nD < 2) Iterator.empty
+          else {
+            def beta(n: Long, sa: Double, sm: Double, sp: Double,
+                     sm2: Double): Option[Double] =
+              if (n < 2) None
+              else {
+                val nd = n.toDouble
+                val den = nd * sm2 - sm * sm
+                if (den == 0.0) None else Some(jvm6((nd * sp - sa * sm) / den))
+              }
+            val bu = beta(st.nU, st.saU, st.smU, st.spU, st.sm2U)
+            val bd = beta(st.nD, st.saD, st.smD, st.spD, st.sm2D)
+            Iterator.single(DualBetaUpd(assetId, st.nU, st.nD, bu, bd,
+              (bu, bd) match {
+                case (Some(a), Some(b)) => Some(jvm6(a - b))
+                case _ => None
+              }))
+          }
+      }
+  }
+
   case class AdjSharpeUpd(asset_id: Long, n_days: Long, sr: Option[Double],
                           skew: Option[Double], ex_kurt: Option[Double],
                           asr: Option[Double])

@@ -3017,4 +3017,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(finalizedDaily(StreamingOps.equityCurveR2Stream(_)) ===
       norm(A.equityCurveR2(panel2)), "ec twin")
   }
+
+  test("wave-BB dual beta splits the sample by market sign") {
+    val A = graft.operators.Analytics
+    // asset 2 mirrors the market 1:1; the market (equal-weight of both)
+    // moves with asset 1's bigger swings
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 104.0, 98.0, 106.0, 100.0, 108.0, 102.0, 110.0),
+      2L -> Seq(50.0, 51.0, 49.5, 51.5, 50.0, 52.0, 50.5, 52.5)))
+    val out = A.dualBeta(panel).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_up") >= 2L)
+      assert(r.getAs[Long]("n_down") >= 2L)
+      assert(!r.isNullAt(r.fieldIndex("bull_beta")))
+      assert(!r.isNullAt(r.fieldIndex("bear_beta")))
+      assert(!r.isNullAt(r.fieldIndex("beta_convexity")))
+    }
+
+    // twin equals batch
+    import graft.streaming.StreamingOps
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val rets = A.dailyReturns(panel).select($"asset_id", $"date", $"ret")
+    val feed = rets
+      .join(org.apache.spark.sql.functions.broadcast(A.marketReturns(rets)), Seq("date"))
+      .select($"asset_id", $"date", $"ret", $"mkt_ret")
+      .as[StreamingOps.RetMktTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    val sink = graft.streaming.StreamReplay.replay(spark, feed, 3,
+      org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(
+      StreamingOps.dualBetaStream)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"asset_id").orderBy(($"n_up" + $"n_down").desc)
+    val fin = sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(norm(fin) === norm(A.dualBeta(panel)), "dual twin")
+  }
 }
