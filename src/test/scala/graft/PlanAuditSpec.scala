@@ -420,6 +420,31 @@ class PlanAuditSpec extends SparkSpec {
       s"zweig_breadth exceeded asset shuffle + date rollup + windows: ${shuffles("zweig_breadth")}")
     assert(shuffles("code_detect") <= 1,
       s"code_detect must stay map-only + sort: ${shuffles("code_detect")}")
+    // r10 session waves AN-BB: the recursive/ring panel ops ride ONE
+    // asset shuffle + the presentation sort; the cross-sectional pair
+    // adds the date stage; keyness is three count aggregates + a
+    // token join + the per-source rank
+    for (q <- Seq("renko", "garch_filter", "hurst_dfa", "es_backtest",
+        "vol_target_nav", "woodie_pivots", "demark_pivots", "anchored_vwap",
+        "island_reversals", "info_discreteness", "adjusted_sharpe",
+        "equity_curve_r2", "ibs"))
+      assert(shuffles(q) <= 2, s"$q grew beyond shuffle+sort: ${shuffles(q)}")
+    assert(shuffles("pacf") <= 2,
+      s"pacf grew beyond shuffle+sort: ${shuffles("pacf")}")
+    assert(shuffles("pattern_entropy") <= 4,
+      s"pattern_entropy exceeded asset window + code agg + asset agg + sort: ${shuffles("pattern_entropy")}")
+    for (q <- Seq("tail_dependence", "variance_decomposition", "dual_beta"))
+      assert(shuffles(q) <= 5, s"$q exceeded the beta-family budget: ${shuffles(q)}")
+    assert(shuffles("fama_macbeth") <= 6,
+      s"fama_macbeth exceeded asset + date agg + summary + sort: ${shuffles("fama_macbeth")}")
+    assert(shuffles("quintile_spread") <= 5,
+      s"quintile_spread exceeded asset + date rank/agg + sort: ${shuffles("quintile_spread")}")
+    assert(shuffles("rebalance_nav") <= 5,
+      s"rebalance_nav exceeded asset + week aggs + chain + sort: ${shuffles("rebalance_nav")}")
+    assert(shuffles("hasbrouck_lambda") <= 6,
+      s"hasbrouck_lambda exceeded the kyle_lambda family budget: ${shuffles("hasbrouck_lambda")}")
+    assert(shuffles("keyness_terms") <= 9,
+      s"keyness_terms exceeded count aggs + token join + rank + sort: ${shuffles("keyness_terms")}")
   }
 
   test("no query plan contains a cartesian product or unplanned BNL join") {
