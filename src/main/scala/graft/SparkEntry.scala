@@ -1237,6 +1237,10 @@ object SparkEntry {
     "stream_super_smoother" -> ((s, dir) => StreamReplay.streamSuperSmoother(s, dir)),
     "stream_t3" -> ((s, dir) => StreamReplay.streamT3(s, dir)),
     "stream_arch_test" -> ((s, dir) => StreamReplay.streamArchTest(s, dir)),
+    // ── wave BC (r10) ────────────────────────────────────────────────
+    "stream_burke_ratio" -> ((s, dir) => StreamReplay.streamBurkeRatio(s, dir)),
+    "stream_kappa_three" -> ((s, dir) => StreamReplay.streamKappaThree(s, dir)),
+    "stream_upside_potential" -> ((s, dir) => StreamReplay.streamUpsidePotential(s, dir)),
     // ── wave BB (r10) ────────────────────────────────────────────────
     "dual_beta" -> ((s, dir) =>
       Analytics.dualBeta(Tables.panel(s, dir))),
@@ -3572,7 +3576,10 @@ object SparkEntry {
       ("stream_beta_stability" -> m("beta_stability")) +
       ("stream_adjusted_sharpe" -> m("adjusted_sharpe")) +
       ("stream_equity_curve_r2" -> m("equity_curve_r2")) +
-      ("stream_dual_beta" -> m("dual_beta"))
+      ("stream_dual_beta" -> m("dual_beta")) +
+      ("stream_burke_ratio" -> m("burke_ratio")) +
+      ("stream_kappa_three" -> m("kappa_three")) +
+      ("stream_upside_potential" -> m("upside_potential"))
   }
 
   private def oracleSqlBase: Map[String, String] =

@@ -788,6 +788,13 @@ object StreamReplay {
     replayDaily(s, dir)(StreamingOps.rollingSharpeStream(_))
   def streamBetaStability(s: SparkSession, dir: String): DataFrame =
     replayRetMktFinal(s, dir, "n_betas")(StreamingOps.betaStabilityStream(_))
+  def streamBurkeRatio(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.burkeRatioStream(_))
+  def streamKappaThree(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.kappaThreeStream(_))
+  def streamUpsidePotential(s: SparkSession, dir: String): DataFrame =
+    replayDailyFinal(s, dir, "n_days")(StreamingOps.upsidePotentialStream(_))
+
   def streamDualBeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feed = retMktFeed(s, dir)

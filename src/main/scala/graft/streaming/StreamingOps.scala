@@ -6679,6 +6679,138 @@ object StreamingOps {
       }
   }
 
+  case class BurkeState(last: Double, seen: Boolean, peak: Double,
+                        inEpisode: Boolean, curDepth: Double, ssqClosed: Double,
+                        nEpClosed: Long, nRets: Long, sumRet: Double)
+  case class BurkeUpd(asset_id: Long, n_days: Long, n_episodes: Long,
+                      mean_ret: Double, burke: Option[Double])
+
+  /** D183 `burkeRatioStream` — streaming face of B216 `burke_ratio`:
+    * episodes close in start order, so the running Σdepth² over
+    * closed episodes plus the OPEN episode's current depth replays
+    * the batch's start-date-ordered fold exactly (the open episode is
+    * always last by start date). */
+  def burkeRatioStream(ticks: Dataset[DailyTick]): Dataset[BurkeUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[BurkeState, BurkeUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[BurkeState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(BurkeState(0.0, seen = false, 0.0,
+            inEpisode = false, 0.0, 0.0, 0L, 0L, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            val peak = if (st.seen) math.max(st.peak, t.value) else t.value
+            val dd = if (peak == 0.0) 0.0 else jvm6(t.value / peak - 1)
+            val (nR, sR) =
+              if (st.seen && st.last != 0.0)
+                (st.nRets + 1, st.sumRet + jvm6(t.value / st.last - 1))
+              else (st.nRets, st.sumRet)
+            st =
+              if (dd < 0) {
+                if (st.inEpisode)
+                  st.copy(last = t.value, seen = true, peak = peak,
+                    curDepth = math.min(st.curDepth, dd), nRets = nR, sumRet = sR)
+                else st.copy(last = t.value, seen = true, peak = peak,
+                  inEpisode = true, curDepth = dd, nRets = nR, sumRet = sR)
+              } else if (st.inEpisode)
+                st.copy(last = t.value, seen = true, peak = peak,
+                  inEpisode = false,
+                  ssqClosed = st.ssqClosed + st.curDepth * st.curDepth,
+                  nEpClosed = st.nEpClosed + 1, nRets = nR, sumRet = sR)
+              else st.copy(last = t.value, seen = true, peak = peak,
+                nRets = nR, sumRet = sR)
+          }
+          state.update(st)
+          if (st.nRets < 1) Iterator.empty
+          else {
+            val nEp = st.nEpClosed + (if (st.inEpisode) 1L else 0L)
+            val ssq = st.ssqClosed +
+              (if (st.inEpisode) st.curDepth * st.curDepth else 0.0)
+            val meanRet = st.sumRet / st.nRets.toDouble
+            Iterator.single(BurkeUpd(assetId, st.nRets, nEp, jvm6(meanRet),
+              if (nEp == 0 || ssq <= 0.0) None
+              else Some(jvm6(meanRet / math.sqrt(ssq)))))
+          }
+      }
+  }
+
+  case class LpmState(last: Double, seen: Boolean, n: Long, s: Double,
+                      up1: Double, dn2: Double, lpm3: Double)
+  case class Kappa3Upd(asset_id: Long, n_days: Long, mean_ret: Double,
+                       lpm3: Double, kappa3: Option[Double])
+  case class UpsideUpd(asset_id: Long, n_days: Long, upside_mean: Double,
+                       downside_dev: Double, upr: Option[Double])
+
+  /** D184 `kappaThreeStream` — streaming face of B217 `kappa_three`:
+    * running Σr and Σmax(−r,0)³ (the sum3 association (x·x)·x). */
+  def kappaThreeStream(ticks: Dataset[DailyTick]): Dataset[Kappa3Upd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[LpmState, Kappa3Upd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[LpmState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            LpmState(0.0, seen = false, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              val x = math.max(-r, 0.0)
+              st = LpmState(t.value, seen = true, st.n + 1, st.s + r,
+                st.up1, st.dn2, st.lpm3 + (x * x) * x)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 4) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            val lpm3 = st.lpm3 / n
+            Iterator.single(Kappa3Upd(assetId, st.n, jvm6(st.s / n), jvm6(lpm3),
+              if (lpm3 <= 0.0) None
+              else Some(jvm6((st.s / n) / math.cbrt(lpm3)))))
+          }
+      }
+  }
+
+  /** D185 `upsidePotentialStream` — streaming face of B206-family
+    * `upside_potential`: running Σmax(r,0) and Σmin(r,0)². */
+  def upsidePotentialStream(ticks: Dataset[DailyTick]): Dataset[UpsideUpd] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[LpmState, UpsideUpd](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[DailyTick], state: GroupState[LpmState]) =>
+          import graft.operators.Micro.jvm6
+          var st = state.getOption.getOrElse(
+            LpmState(0.0, seen = false, 0L, 0.0, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.date.getTime).foreach { t =>
+            if (st.seen && st.last != 0.0) {
+              val r = jvm6(t.value / st.last - 1)
+              val up = math.max(r, 0.0)
+              val dn = math.min(r, 0.0)
+              st = LpmState(t.value, seen = true, st.n + 1, st.s + r,
+                st.up1 + up, st.dn2 + dn * dn, st.lpm3)
+            } else st = st.copy(last = t.value, seen = true)
+          }
+          state.update(st)
+          if (st.n < 4) Iterator.empty
+          else {
+            val n = st.n.toDouble
+            Iterator.single(UpsideUpd(assetId, st.n, jvm6(st.up1 / n),
+              jvm6(math.sqrt(st.dn2 / n)),
+              if (st.dn2 == 0.0) None
+              else Some(jvm6((st.up1 / n) / math.sqrt(st.dn2 / n)))))
+          }
+      }
+  }
+
   case class DualBetaState(nU: Long, saU: Double, smU: Double, spU: Double,
                            sm2U: Double, nD: Long, saD: Double, smD: Double,
                            spD: Double, sm2D: Double)

@@ -3054,4 +3054,36 @@ class Round10OpsSpec extends SparkSpec {
       .filter($"rn" === 1).drop("rn")
     assert(norm(fin) === norm(A.dualBeta(panel)), "dual twin")
   }
+
+  test("wave-BC burke/kappa/upside twins equal their batch ops") {
+    val panel = panelOf(Map(
+      1L -> Seq(100.0, 102.0, 99.0, 105.0, 103.0, 108.0, 104.0, 110.0, 101.0,
+        107.0, 103.0, 112.0),
+      2L -> Seq(50.0, 50.5, 49.0, 52.0, 51.5, 53.0, 50.0)))
+    import graft.streaming.StreamingOps
+    val A = graft.operators.Analytics
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val daily = graft.operators.KeyValue.lwwDaily(panel)
+      .select($"asset_id", $"date", $"value")
+      .as[StreamingOps.DailyTick].collect().toSeq
+      .sortBy(t => (t.date.getTime, t.asset_id))
+    def finalizedDaily[O: org.apache.spark.sql.Encoder](
+        op: org.apache.spark.sql.Dataset[StreamingOps.DailyTick] =>
+          org.apache.spark.sql.Dataset[O]) = {
+      val sink = graft.streaming.StreamReplay.replay(spark, daily, 3,
+        org.apache.spark.sql.streaming.OutputMode.Update, maxStateRows = 2L)(op)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"asset_id").orderBy($"n_days".desc)
+      norm(sink.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1).drop("rn"))
+    }
+    assert(finalizedDaily(StreamingOps.burkeRatioStream(_)) ===
+      norm(A.burkeRatio(panel)), "burke")
+    assert(finalizedDaily(StreamingOps.kappaThreeStream(_)) ===
+      norm(A.kappaThree(panel)), "kappa3")
+    assert(finalizedDaily(StreamingOps.upsidePotentialStream(_)) ===
+      norm(A.upsidePotential(panel)), "upr")
+  }
 }
