@@ -1277,6 +1277,11 @@ object SparkEntry {
     // store = the whole panel (timestamp = the unique event seq);
     // correction store = every 3rd asset restated +1000; merge with
     // input-priority LWW and read back through the A10 connector.
+    // Since r11 the merge read is ONE planned scan over all inputs
+    // (the opt-in `pri` column replaces the N-way union), the base
+    // store is a single-file `.db` while the correction store is a
+    // DIRECTORY store, and the merged output is a directory store —
+    // exercising mixed layouts end to end under the unchanged oracle.
     "findb_merge" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("findb_mg").toString
       val base = Tables.panel(s, dir).select(
@@ -1289,13 +1294,13 @@ object SparkEntry {
         .withColumn("value", (col("value") + lit(1000.0)).cast("float"))
       graft.sources.findb.FindbDistWriter.write(base, s"$tmp/a.db",
         pageSize = 4096, numPartitions = 8)
-      graft.sources.findb.FindbDistWriter.write(restate, s"$tmp/b.db",
-        pageSize = 4096, numPartitions = 4)
+      graft.sources.findb.FindbDistWriter.write(restate, s"$tmp/b.dbd",
+        pageSize = 4096, numPartitions = 4, directoryParts = true)
       graft.sources.findb.FindbDistWriter.merge(s,
-        Seq(s"$tmp/a.db", s"$tmp/b.db"), s"$tmp/m.db",
-        pageSize = 4096, numPartitions = 8)
+        Seq(s"$tmp/a.db", s"$tmp/b.dbd"), s"$tmp/m.dbd",
+        pageSize = 4096, numPartitions = 8, directoryParts = true)
       s.read.format("graft.sources.findb.FindbDataSource")
-        .option("pagesPerPartition", 64).load(s"$tmp/m.db")
+        .option("pagesPerPartition", 64).load(s"$tmp/m.dbd")
         .orderBy(col("asset_id"), col("date"), col("timestamp"))
     }),
     "stream_dow_seasonality" -> ((s, dir) => StreamReplay.streamDowSeasonality(s, dir)),
@@ -1727,6 +1732,28 @@ object SparkEntry {
         .option("pagesPerPartition", 64).load(path)
         .orderBy(col("asset_id"), col("date"), col("timestamp"), col("value"))
     }),
+    // A23 — DIRECTORY store round trip with pruning: the same panel
+    // written with metadata-only assembly (directoryParts = true; the
+    // executors' part files ARE the store, the driver adds only the
+    // `top` tree + 12-byte `_header` — the 100 TB writer shape), read
+    // back through a pushed In(asset_id) set so the planner's
+    // inner-node descent walks pages ACROSS part/top file boundaries.
+    // Oracle = the plain filtered relation: layout is invisible.
+    "findb_dir_store" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("findb_ds").toString + "/panel.dbd"
+      val panel = Tables.panel(s, dir).select(
+        col("asset_id"),
+        (year(col("date")) * 10000 + month(col("date")) * 100 +
+          dayofmonth(col("date"))).as("date"),
+        col("ts").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      graft.sources.findb.FindbDistWriter.write(panel, path, pageSize = 4096,
+        numPartitions = 8, directoryParts = true)
+      s.read.format("graft.sources.findb.FindbDataSource")
+        .option("pagesPerPartition", 64).load(path)
+        .where(col("asset_id").isin(1L, 7L, 13L, 19L, 25L))
+        .orderBy(col("asset_id"), col("date"), col("timestamp"), col("value"))
+    }),
     "findb_read" -> ((s, dir) => {
       s.read.format("graft.sources.findb.FindbDataSource")
         .option("pagesPerPartition", 7).load(findbDemoDb())
@@ -1789,6 +1816,10 @@ object SparkEntry {
     }),
     "stream_sessionize" -> ((s, dir) => StreamReplay.streamSessionize(s, dir)),
     "stream_anomaly" -> ((s, dir) => StreamReplay.streamAnomaly(s, dir)),
+    // D186 — late-data observability over a deliberately shuffled
+    // replay (batches split by seq % 3): the per-key high-water-mark
+    // monitor every arrival-ordered twin composes with.
+    "stream_late_audit" -> ((s, dir) => StreamReplay.streamLateAudit(s, dir)),
     "stream_funnel" -> ((s, dir) => StreamReplay.streamFunnel(s, dir)),
     "stream_near_dup" -> ((s, dir) => StreamReplay.streamNearDup(s, dir)),
     "stream_pack" -> ((s, dir) => StreamReplay.streamPack(s, dir)),
@@ -2667,6 +2698,29 @@ object SparkEntry {
         |  FROM w JOIN t b ON b.asset_id = w.asset_id AND b.rn = w.rn + 1)
         |SELECT asset_id, ts, value, z, n_seen
         |FROM w WHERE z IS NOT NULL ORDER BY asset_id, ts""".stripMargin,
+    // the late monitor's processing order = batch (seq % 3), then the
+    // twins' (µs, seq) in-batch sort; `late` = the combined (µs, seq)
+    // key regressed behind the per-asset running max. The HUGEINT
+    // composite (µs · 1e9 + seq) is the stream_stream_asof convention.
+    "stream_late_audit" ->
+      """WITH o AS (
+        |  SELECT user_id AS asset_id, ts, event_id AS seq, value,
+        |         event_id % 3 AS b,
+        |         CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS k
+        |  FROM events),
+        |m AS (
+        |  SELECT asset_id, ts, seq, value, b, k,
+        |         max(k) OVER (PARTITION BY asset_id ORDER BY b, k
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pk,
+        |         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY b, k) AS rn
+        |  FROM o)
+        |SELECT asset_id, ts, seq, value,
+        |       (pk IS NOT NULL AND k < pk) AS late,
+        |       CAST(rn AS BIGINT) AS events_so_far,
+        |       CAST(sum(CASE WHEN pk IS NOT NULL AND k < pk THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY asset_id ORDER BY b, k) AS BIGINT)
+        |         AS regressed_so_far
+        |FROM m ORDER BY asset_id, seq""".stripMargin,
     // greedy stage matcher replayed sequentially; users never matching
     // stage 0 never emitted
     "stream_funnel" ->
@@ -2718,6 +2772,16 @@ object SparkEntry {
          |       CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
          |       CAST(value AS FLOAT) AS value
          |FROM panel
+         |ORDER BY asset_id, date, "timestamp", value""".stripMargin,
+    "findb_dir_store" ->
+      s"""$panelCte
+         |SELECT * FROM (
+         |  SELECT asset_id,
+         |         CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
+         |         CAST(value AS FLOAT) AS value
+         |  FROM panel) p
+         |WHERE asset_id IN (1, 7, 13, 19, 25)
          |ORDER BY asset_id, date, "timestamp", value""".stripMargin,
     "findb_read" ->
       """SELECT CAST(i // 50 AS BIGINT) AS asset_id,
@@ -4731,7 +4795,7 @@ object SparkEntry {
          |  FROM sl2 HAVING count(*) >= 2),
          |su2 AS (
          |  SELECT nd, floor((sg / nd) * 1000000.0 + 0.5) / 1000000.0 AS mean_slope,
-         |         sqrt((sg2 - sg * sg / nd) / (nd - 1.0)) AS sd
+         |         sqrt(greatest((sg2 - sg * sg / nd) / (nd - 1.0), 0.0)) AS sd
          |  FROM su)
          |SELECT s.date, s.n_assets, s.slope, CAST(f.nd AS BIGINT) AS n_dates,
          |       f.mean_slope,

@@ -430,21 +430,26 @@ case class RecurrenceFold(child: Expression, op: String)
         // discount). A null close passes through as a zero-brick row
         // with state unchanged (the panel's closes are non-null; the
         // guard keeps a poisoned tick from NPE-ing the series — the
-        // r9 ADVICE lesson from psar).
+        // r9 ADVICE lesson from psar). The anchor seeds from the FIRST
+        // NON-NULL close (a leading null emits a null anchor, it does
+        // not read the struct's integral field — which would be an
+        // undefined 0 — into the state).
         var anchor = 0L
         var dir = 0L
         var cum = 0L
+        var seeded = false
         var i = 0
         while (i < n) {
           val r = arr.getStruct(i, 4)
           val close = d(r, 1)
-          if (i == 0) {
-            anchor = r.getLong(2); dir = 0L; cum = 0L
+          if (close == null) {
+            val a: Any = if (seeded) anchor / 1e6 else null
+            out(i) = new GenericInternalRow(
+              Array[Any](r.getInt(0), close, 0L, cum, dir, a))
+          } else if (!seeded) {
+            anchor = r.getLong(2); dir = 0L; cum = 0L; seeded = true
             out(i) = new GenericInternalRow(
               Array[Any](r.getInt(0), close, 0L, 0L, 0L, anchor / 1e6))
-          } else if (close == null) {
-            out(i) = new GenericInternalRow(
-              Array[Any](r.getInt(0), close, 0L, cum, dir, anchor / 1e6))
           } else {
             val m = r.getLong(2); val size = r.getLong(3)
             val upThr = if (dir == -1L) 2L * size else size
@@ -604,7 +609,8 @@ object RecurrenceFold {
       StructField("n_bricks", LongType, nullable = false),
       StructField("cum_bricks", LongType, nullable = false),
       StructField("dir", LongType, nullable = false),
-      StructField("anchor", DoubleType, nullable = false)))
+      // nullable: rows before the first non-null close have no anchor
+      StructField("anchor", DoubleType)))
     case "garch" => StructType(Seq(
       StructField("date", DateType, nullable = false),
       StructField("ret", DoubleType), StructField("sigma2", DoubleType),

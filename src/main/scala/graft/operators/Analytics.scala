@@ -7832,9 +7832,8 @@ object Analytics {
 
   /** B256 `garch_filter` — the GARCH(1,1) variance filter with fixed
     * textbook parameters (ω=1e-6, α=0.05, β=0.90) over the daily
-    * return series: σ²_t = ω + α·r²_{t-1} + β·σ²_{t-1}, seeded with
-    * the EXACT integer mean of squared micro-returns (Σm² div n — both
-    * engines land the identical double). Parameter ESTIMATION is MLE
+    * return series: σ²_t = ω + α·r²_{t-1} + β·σ²_{t-1}. Parameter
+    * ESTIMATION is MLE
     * and out of scope; the filter is the online path a risk engine
     * actually runs, and the [[ewmaVol]] (RiskMetrics β-only) special
     * case generalized with mean reversion toward ω/(1−α−β). σ² rides
@@ -7895,8 +7894,8 @@ object Analytics {
       .withColumn("sg", foldSum(col("ga")))
       .withColumn("sg2", foldSumSq(col("ga")))
       .withColumn("mean_slope", u6(col("sg") / col("nd")))
-      .withColumn("sd", sqrt((col("sg2") - col("sg") * col("sg") / col("nd")) /
-        (col("nd") - 1)))
+      .withColumn("sd", sqrt(greatest((col("sg2") - col("sg") * col("sg") / col("nd")) /
+        (col("nd") - 1), lit(0.0))))
       .withColumn("t_stat", u6(col("mean_slope") /
         when(col("sd") === 0, lit(null)).otherwise(col("sd") / sqrt(col("nd")))))
       .select(col("nd").cast("long").as("n_dates"), col("mean_slope"), col("t_stat"))
@@ -7915,7 +7914,6 @@ object Analytics {
     */
   def quintileSpread(panel: DataFrame): DataFrame = {
     val wAsset = Window.partitionBy(col("asset_id")).orderBy(col("date"))
-    val wDate = Window.partitionBy(col("date")).orderBy(col("xm"), col("asset_id"))
     val nW = Window.partitionBy(col("date"))
     dailyReturnsCore(panel)
       .withColumn("x", lag(col("ret"), 1).over(wAsset))

@@ -141,12 +141,18 @@ object AsOf {
     * fix an as-of (a left row must see ALL earlier right rows of its
     * key); the scalable decomposition is TIME-SLICED two-phase:
     *
-    *  1. slice the timeline into `slices` contiguous uniform intervals
-    *     (global bounds, one cheap agg) and shuffle on (key, slice) —
-    *     a hot key now spreads over `slices` reducers; the within-slice
-    *     window computes each left row's as-of among same-slice rights
-    *     (tie semantics identical to [[asOfJoin]]: equal-ts rows always
-    *     share a slice);
+    *  1. slice the timeline into `slices` contiguous OCCUPANCY-BALANCED
+    *     intervals — cut points are the approximate ts quantiles of the
+    *     union (one cheap agg; `percentile_approx` is a distributed
+    *     KLL-style sketch), so each slice carries ~1/`slices` of the
+    *     ROWS even when a hot key's ticks cluster in a narrow window
+    *     (an index asset on a volatile day — where a uniform [lo, hi]
+    *     split would put the whole burst back on one reducer). Shuffle
+    *     on (key, slice); the within-slice window computes each left
+    *     row's as-of among same-slice rights. The slice rule depends
+    *     only on the ts VALUE (count of cut points strictly below), so
+    *     tie semantics are identical to [[asOfJoin]]: equal-ts rows
+    *     always share a slice;
     *  2. per (key, slice) carry-outs — the last right value of each
     *     slice — form a table of at most keys×slices rows; a tiny
     *     window over it yields each slice's carry-in (latest carry-out
@@ -159,6 +165,25 @@ object AsOf {
     * SQL, and the spec proves equality with [[asOfJoin]] on a
     * deliberately Zipf-skewed panel.
     */
+  /** Occupancy-balanced slice cut points for [[asOfJoinSkewSafe]]:
+    * the distinct approximate row-count quantiles (i/`slices`,
+    * 0 < i < `slices`) of `ts` micros over the union `u` — one
+    * distributed sketch agg, no sort. `None` on empty input (caller
+    * falls back to the plain join). Package-visible so the spec can
+    * probe per-slice occupancy with the operator's own cuts.
+    */
+  private[graft] def sliceCuts(u: DataFrame, slices: Int): Option[Seq[Long]] = {
+    val tsm = unix_micros(col("ts"))
+    val probs = (1 until slices).map(_.toDouble / slices)
+    val aggs = min(tsm).as("lo") +: (if (probs.nonEmpty)
+      Seq(percentile_approx(tsm, array(probs.map(lit): _*), lit(10000)).as("qs"))
+    else Seq.empty)
+    val bounds = u.agg(aggs.head, aggs.tail: _*).head()
+    if (bounds.isNullAt(0)) None
+    else Some(
+      if (probs.nonEmpty) bounds.getSeq[Long](1).distinct.sorted else Seq.empty)
+  }
+
   def asOfJoinSkewSafe(left: DataFrame, right: DataFrame, key: String,
                        leftCols: Seq[String], slices: Int = 8): DataFrame = {
     val l = left.select(
@@ -168,13 +193,18 @@ object AsOf {
       (Seq(col(key), col("ts"), col("seq"), lit(0).as("_side"), col("rvalue").as("_rv")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val u = l.unionByName(r)
-    val bounds = u.agg(
-      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
-    if (bounds.isNullAt(0)) return asOfJoin(left, right, key, leftCols) // empty input
-    val lo = bounds.getLong(0)
-    val span = math.max(1L, (bounds.getLong(1) - lo) / slices + 1)
-    val sliced = u.withColumn("_slice",
-      ((unix_micros(col("ts")) - lit(lo)) / lit(span)).cast("int"))
+    val cuts = sliceCuts(u, slices) match {
+      case None    => return asOfJoin(left, right, key, leftCols) // empty input
+      case Some(c) => c
+    }
+    // Slice = #cuts strictly below ts — a pure function of the ts
+    // value, so equal-ts rows share a slice and the slice index is
+    // monotone in ts (the carry recursion's invariant).
+    val tsm = unix_micros(col("ts"))
+    val sliceCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(tsm > lit(c), lit(1)).otherwise(lit(0))
+    }
+    val sliced = u.withColumn("_slice", sliceCol.cast("int"))
     // within-slice backward as-of, the asOfJoin tie order (strict '<':
     // left rows sort before equal-ts right rows)
     val w1 = Window

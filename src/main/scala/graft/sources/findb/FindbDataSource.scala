@@ -25,7 +25,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactly what the reference's own full-panel extraction does.
   */
 class FindbDataSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FindbFormat.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("withpriority", false)) FindbFormat.schemaWithPriority
+    else FindbFormat.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -43,19 +45,22 @@ class FindbDataSource extends TableProvider {
         throw new IllegalArgumentException("findb source requires a path")))
     }
     val pagesPerPartition = Option(opts.get("pagesperpartition")).map(_.toInt).getOrElse(4096)
-    new FindbTable(paths, pagesPerPartition)
+    val withPriority = opts.getBoolean("withpriority", false)
+    new FindbTable(paths, pagesPerPartition, withPriority)
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class FindbTable(paths: Seq[String], pagesPerPartition: Int) extends Table with SupportsRead {
+class FindbTable(paths: Seq[String], pagesPerPartition: Int,
+                 withPriority: Boolean = false) extends Table with SupportsRead {
   override def name(): String = s"findb:${paths.mkString(",")}"
-  override def schema(): StructType = FindbFormat.schema
+  override def schema(): StructType =
+    if (withPriority) FindbFormat.schemaWithPriority else FindbFormat.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FindbScanBuilder(paths, pagesPerPartition)
+    new FindbScanBuilder(paths, pagesPerPartition, withPriority)
 }
 
 /** Pushes `asset_id` bounds AND `In` sets down two levels:
@@ -74,7 +79,8 @@ class FindbTable(paths: Seq[String], pagesPerPartition: Int) extends Table with 
   * All filters stay residuals for Spark to re-check (we push an
   * over-approximation, never a replacement).
   */
-class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
+class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int,
+                       withPriority: Boolean = false)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -84,7 +90,8 @@ class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int)
   private var assetHi = Long.MaxValue
   private var assetSet: Option[Array[Long]] = None
   private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = FindbFormat.schema
+  private var required: StructType =
+    if (withPriority) FindbFormat.schemaWithPriority else FindbFormat.schema
 
   // A2's bulk_query envelope shape: bounded membership sets push as a
   // sorted array; unbounded ones stay residual-only.
@@ -165,20 +172,18 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
     * (caller falls back to full-range partitions; read-time page skip
     * still applies).
     */
-  private def candidateLeaves(raf: RandomAccessFile, header: Header): Option[Array[Int]] = {
+  private def candidateLeaves(pages: StorePages, lay: StoreLayout): Option[Array[Int]] = {
     val limit = 1 << 18 // planner pread budget; beyond this, scan everything
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     val head = new Array[Byte](PageHeaderSize)
-    val page = new Array[Byte](header.pageSize)
+    val page = new Array[Byte](lay.pageSize)
     def visit(p: Long, lo: Long, hi: Long): Boolean = { // false = budget blown
       if (lo > assetHi || hi < assetLo || !setOverlaps(lo, hi)) return true
       if (out.size > limit) return false
-      raf.seek(pageOffset(p, header.pageSize))
-      raf.readFully(head)
+      pages.read(p, head, PageHeaderSize)
       if (u32(head, 0) == LeafType) { out += p.toInt; true }
       else {
-        raf.seek(pageOffset(p, header.pageSize))
-        raf.readFully(page)
+        pages.read(p, page, lay.pageSize)
         // children j = 0..nChildren-1; child j's keys live in
         // [sep_{j-1}, sep_j) so its ASSET span is [sepAsset_{j-1},
         // sepAsset_j] inclusive (asset equality with a smaller
@@ -209,24 +214,44 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
         ok
       }
     }
-    if (header.pageCount == 0) Some(Array.empty)
-    else if (visit(header.rootPageNum, 0L, 0xFFFFFFFFL)) Some(out.toArray)
+    if (lay.pageCount == 0) Some(Array.empty)
+    else if (visit(lay.rootPageNum, 0L, 0xFFFFFFFFL)) Some(out.toArray)
     else None
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // ordinals into the full (asset_id, date, timestamp, value) row
-    val ordinals = required.fieldNames.map(FindbFormat.schema.fieldIndex)
+    // ordinals into the full (asset_id, date, timestamp, value[, pri]) row
+    val ordinals = required.fieldNames.map {
+      case "pri" => 4
+      case n     => FindbFormat.schema.fieldIndex(n)
+    }
     val pruned = assetLo != Long.MinValue || assetHi != Long.MaxValue || assetSet.isDefined
-    paths.flatMap { path =>
-      val raf = new RandomAccessFile(path, "r")
-      val (header, leaves) =
-        try {
-          val h = FindbFormat.readHeader(raf)
-          (h, if (pruned && assetLo <= assetHi) candidateLeaves(raf, h)
-              else if (pruned) Some(Array.empty[Int]) // contradictory bounds
-              else None)
-        } finally raf.close()
+    paths.zipWithIndex.flatMap { case (path, pri) =>
+      val lay = FindbFormat.layout(path)
+      val leaves: Option[Array[Int]] =
+        if (pruned && assetLo <= assetHi) {
+          val pg = new StorePages(lay)
+          try candidateLeaves(pg, lay) finally pg.close()
+        } else if (pruned) Some(Array.empty[Int]) // contradictory bounds
+        else None
+      // chunk an ABSOLUTE page run into per-file partitions with LOCAL
+      // page ranges (a run may span part-file boundaries in a
+      // directory store; a partition never does)
+      def chunkRun(start: Long, end: Long): Seq[InputPartition] =
+        lay.files.flatMap { sf =>
+          val s = math.max(start, sf.basePage)
+          val e = math.min(end, sf.basePage + sf.nPages)
+          if (s >= e) Nil
+          else {
+            val ls = (s - sf.basePage).toInt
+            val le = (e - sf.basePage).toInt
+            (ls until le by pagesPerPartition).map { x =>
+              FindbInputPartition(sf.path, lay.pageSize, x,
+                math.min(x + pagesPerPartition, le), assetLo, assetHi,
+                ordinals, assetSet.orNull, sf.byteOffset, pri): InputPartition
+            }
+          }
+        }
       leaves match {
         case Some(pages) =>
           // compress the (ascending) leaf list into contiguous runs,
@@ -239,19 +264,9 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
             runs += ((pages(i), pages(j) + 1))
             i = j + 1
           }
-          runs.flatMap { case (start, end) =>
-            (start until end by pagesPerPartition).map { s =>
-              FindbInputPartition(path, header.pageSize, s,
-                math.min(s + pagesPerPartition, end), assetLo, assetHi,
-                ordinals, assetSet.orNull): InputPartition
-            }
-          }
+          runs.flatMap { case (start, end) => chunkRun(start.toLong, end.toLong) }
         case None =>
-          (0 until header.pageCount by pagesPerPartition).map { start =>
-            FindbInputPartition(path, header.pageSize, start,
-              math.min(start + pagesPerPartition, header.pageCount), assetLo, assetHi,
-              ordinals, assetSet.orNull): InputPartition
-          }
+          chunkRun(0L, lay.pageCount.toLong)
       }
     }.toArray
   }
@@ -259,10 +274,17 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
   override def createReaderFactory(): PartitionReaderFactory = new FindbReaderFactory
 }
 
+/** One reader split: LOCAL pages [startPage, endPage) of the file at
+  * `path`, whose page 0 starts `byteOffset` bytes in (12 for the
+  * single-file store's header, 0 for a directory store's part files).
+  * `pri` is the store's index in the scan's path list (ordinal 4).
+  */
 case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endPage: Int,
                                assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
                                ordinals: Array[Int] = Array(0, 1, 2, 3),
-                               assetSet: Array[Long] = null)
+                               assetSet: Array[Long] = null,
+                               byteOffset: Long = FindbFormat.FileHeaderSize.toLong,
+                               pri: Int = 0)
   extends InputPartition
 
 class FindbReaderFactory extends PartitionReaderFactory {
@@ -287,7 +309,7 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
   var pagesRead: Int = 0
 
   private def loadPage(): Unit = {
-    raf.seek(pageOffset(pageNum.toLong, p.pageSize))
+    raf.seek(p.byteOffset + pageNum.toLong * p.pageSize)
     raf.readFully(pageBuf)
     pageIsLeaf = u32(pageBuf, 0) == LeafType
     rowsInPage = u32(pageBuf, 4).toInt
@@ -329,6 +351,7 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
         case 1 => u32(pageBuf, off + 4).toInt
         case 2 => u32(pageBuf, off + 8)
         case 3 => f32(pageBuf, off + 12)
+        case 4 => p.pri
       }
       i += 1
     }

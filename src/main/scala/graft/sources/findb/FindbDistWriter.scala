@@ -29,13 +29,15 @@ import org.apache.spark.sql.functions.col
   *     builds its local inner levels, all with final absolute page
   *     numbers, into its own part file. Executor memory is O(rows/cap)
   *     — one first-key per leaf page — never the rows themselves.
-  *  4. The driver byte-concatenates the part files (already
-  *     absolute-addressed: a pure stream copy with zero pointer fixup
-  *     — on HDFS this is `concat`, on S3 multipart compose) and
-  *     appends a small top tree over the P partition roots:
-  *     O(P / cap) pages of driver work regardless of data size. The
-  *     header is computed up front, so the file is written strictly
-  *     front-to-back.
+  *  4. Assembly. Single-file mode byte-concatenates the part files
+  *     (already absolute-addressed: a pure stream copy with zero
+  *     pointer fixup) and appends a small top tree over the P
+  *     partition roots — kept for byte-level interop with reference
+  *     readers, but O(store bytes) through the driver. DIRECTORY mode
+  *     (`directoryParts = true`) skips the copy entirely: parts stay
+  *     in place, the driver adds only the `top` tree file
+  *     (O(P / cap) pages) and the 12-byte `_header` — metadata-only
+  *     assembly on every filesystem, the shape that holds at 100 TB.
   *
   * Partition subtrees may differ in height by one (ragged row counts);
   * the format encodes page_type per page, not a global height, so
@@ -78,13 +80,23 @@ object FindbDistWriter {
       total
     }
 
-  /** Writes `df` as one findb `.db` file at `path`. Columns must be
+  /** Writes `df` as a findb store at `path`. Columns must be
     * castable to (asset_id long, date int, timestamp long, value
     * float); asset_id/date/timestamp must fit u32 (checked per row,
     * reference file.rs:21-25 keys are u32×3).
+    *
+    * `directoryParts = false` (default) produces the reference's
+    * single `.db` file — assembly streams every part's bytes through
+    * the driver, an O(store bytes) step kept only for byte-level
+    * interop with reference readers. `directoryParts = true` produces
+    * a DIRECTORY store ([[FindbFormat.layout]]): the executors' part
+    * files stay where they were written and the driver adds only the
+    * 12-byte `_header` and the O(P/cap)-page `top` tree — assembly is
+    * METADATA-ONLY on every filesystem, independent of store bytes.
+    * This is the 100 TB shape; the A10 reader accepts both.
     */
   def write(df: DataFrame, path: String, pageSize: Int,
-            numPartitions: Int): Unit = {
+            numPartitions: Int, directoryParts: Boolean = false): Unit = {
     val cap = keyCapacity(pageSize)
     require(cap >= 2, s"page size $pageSize too small")
     val spark = df.sparkSession
@@ -132,8 +144,18 @@ object FindbDistWriter {
     val meta: Array[(Long, Long, Long)] =
       Array.tabulate(numParts)(i => (counts(i), bases(i), prevLastLeaf(i)))
 
-    // pass 2 — every partition writes its absolute-addressed subtree
-    val partDir = path.stripSuffix("/") + "__parts"
+    // pass 2 — every partition writes its absolute-addressed subtree.
+    // Directory mode: parts land directly in the final store directory.
+    val partDir =
+      if (directoryParts) path.stripSuffix("/")
+      else path.stripSuffix("/") + "__parts"
+    if (directoryParts) {
+      val conf0 = spark.sparkContext.hadoopConfiguration
+      val dir = new HPath(partDir)
+      val fs0 = dir.getFileSystem(conf0)
+      fs0.delete(dir, true)
+      fs0.mkdirs(dir)
+    }
     val results: Array[(Int, (Long, Int, Long), Long)] = rdd
       .mapPartitionsWithIndex { (idx, it) =>
         val (expRows, base, prevLeaf) = meta(idx)
@@ -213,6 +235,34 @@ object FindbDistWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new HPath(path)
     val fs = target.getFileSystem(conf)
+    if (directoryParts) {
+      // metadata-only assembly: the part files ARE the store. Driver
+      // writes the O(P/cap)-page top tree and the 12-byte header —
+      // cost independent of store bytes on every filesystem.
+      if (children.size > 1) {
+        val tout = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          fs.create(new HPath(s"$partDir/$DirTopFile"), true), 1 << 20))
+        try {
+          val pageBuf = new Array[Byte](pageSize)
+          val (topRoot, written) = writeInnerLevels(cap, children, totalDataPages,
+            (pt, nk, ex, fill) => {
+              java.util.Arrays.fill(pageBuf, 0.toByte)
+              putU32(pageBuf, 0, pt); putU32(pageBuf, 4, nk.toLong); putU32(pageBuf, 8, ex)
+              fill(pageBuf)
+              tout.write(pageBuf)
+            })
+          require(topRoot == root && written == topPages,
+            s"top tree drift: root $topRoot/$root pages $written/$topPages")
+        } finally tout.close()
+      }
+      val hout = fs.create(new HPath(s"$partDir/$DirHeaderFile"), true)
+      try {
+        hout.writeInt(pageSize)
+        hout.writeInt((totalPages & 0xFFFFFFFFL).toInt)
+        hout.writeInt((root & 0xFFFFFFFFL).toInt)
+      } finally hout.close()
+      return
+    }
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(target, true), 1 << 20))
     try {
@@ -261,18 +311,28 @@ object FindbDistWriter {
     * (the reference's B-tree key is unique by construction).
     */
   def merge(spark: org.apache.spark.sql.SparkSession, inputs: Seq[String],
-            out: String, pageSize: Int, numPartitions: Int): Unit = {
+            out: String, pageSize: Int, numPartitions: Int,
+            directoryParts: Boolean = false): Unit =
+    write(mergedView(spark, inputs), out, pageSize, numPartitions, directoryParts)
+
+  /** The merge read: ALL input stores through ONE planned scan (the
+    * connector's path list becomes one [[FindbScan]] whose partition
+    * set is the union of per-store leaf partitions) with the opt-in
+    * `pri` column carrying each row's store index, so input-priority
+    * LWW needs no per-store sub-plans and no N-way union node.
+    * Exposed for the plan-audit spec.
+    */
+  private[graft] def mergedView(spark: org.apache.spark.sql.SparkSession,
+                                inputs: Seq[String]): DataFrame = {
     require(inputs.nonEmpty, "merge needs at least one input store")
-    import org.apache.spark.sql.functions.{lit, row_number}
-    val u = inputs.zipWithIndex.map { case (p, i) =>
-      spark.read.format("graft.sources.findb.FindbDataSource").load(p)
-        .withColumn("pri", lit(i))
-    }.reduce(_.unionByName(_))
+    import org.apache.spark.sql.functions.row_number
+    val u = spark.read.format("graft.sources.findb.FindbDataSource")
+      .option("withPriority", "true")
+      .load(inputs: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id"), col("date"), col("timestamp"))
       .orderBy(col("pri").desc)
-    val merged = u.withColumn("rn", row_number().over(w))
+    u.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "pri")
-    write(merged, out, pageSize, numPartitions)
   }
 }

@@ -36,6 +36,14 @@ object FindbFormat {
     StructField("timestamp", LongType, nullable = false),
     StructField("value", FloatType, nullable = false)))
 
+  /** [[schema]] plus a trailing `pri` column = the index of the store
+    * in the reader's path list. Opt-in (`.option("withPriority",
+    * true)`): it lets a multi-store merge read N stores through ONE
+    * planned scan and still resolve key collisions by input priority.
+    */
+  val schemaWithPriority: StructType =
+    schema.add(StructField("pri", IntegerType, nullable = false))
+
   case class Header(pageSize: Int, pageCount: Int, rootPageNum: Long)
 
   def readHeader(raf: RandomAccessFile): Header = {
@@ -48,6 +56,84 @@ object FindbFormat {
 
   def pageOffset(pageNum: Long, pageSize: Int): Long =
     FileHeaderSize + pageNum * pageSize.toLong
+
+  // ── directory-of-parts store layout ────────────────────────────────
+  // A single-file store concatenates every page behind a 12-byte
+  // header. A DIRECTORY store keeps the distributed writer's part
+  // files as-is — assembly is then PURE METADATA on every filesystem
+  // (no HDFS `concat` capability needed, no O(store bytes) driver
+  // copy): `part-NNNNN` files in name order carry the data pages, an
+  // optional `top` file carries the driver's top-tree pages, and
+  // `_header` is the same 12-byte header on its own. Pages are
+  // absolute-addressed across the whole directory, so the file a page
+  // lives in falls out of cumulative file lengths alone.
+  val DirHeaderFile = "_header"
+  val DirTopFile = "top"
+  val DirPartPrefix = "part-"
+
+  /** One physical file of a store: absolute pages [basePage,
+    * basePage+nPages) live at byteOffset + (p − basePage)·pageSize.
+    */
+  case class StoreFile(path: String, basePage: Long, nPages: Long, byteOffset: Long)
+
+  /** Resolved physical layout of a store (single-file or directory). */
+  case class StoreLayout(pageSize: Int, pageCount: Int, rootPageNum: Long,
+                         files: IndexedSeq[StoreFile])
+
+  /** Resolves `path` into a [[StoreLayout]]: a directory is a
+    * directory-of-parts store, anything else the single-file format.
+    * Metadata-only: reads the 12-byte header plus a file listing.
+    */
+  def layout(path: String): StoreLayout = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val hraf = new RandomAccessFile(new java.io.File(f, DirHeaderFile), "r")
+      val h = try readHeader(hraf) finally hraf.close()
+      val parts = f.listFiles.filter(_.getName.startsWith(DirPartPrefix)).sortBy(_.getName)
+      val files = IndexedSeq.newBuilder[StoreFile]
+      var base = 0L
+      (parts.toSeq :+ new java.io.File(f, DirTopFile)).filter(_.exists).foreach { pf =>
+        require(pf.length % h.pageSize == 0,
+          s"store file ${pf.getName} length ${pf.length} not page-aligned")
+        val n = pf.length / h.pageSize
+        if (n > 0) { files += StoreFile(pf.getPath, base, n, 0L); base += n }
+      }
+      require(base == h.pageCount.toLong,
+        s"directory store $path: files carry $base pages, header says ${h.pageCount}")
+      StoreLayout(h.pageSize, h.pageCount, h.rootPageNum, files.result())
+    } else {
+      val raf = new RandomAccessFile(path, "r")
+      val h = try readHeader(raf) finally raf.close()
+      StoreLayout(h.pageSize, h.pageCount, h.rootPageNum,
+        IndexedSeq(StoreFile(path, 0L, h.pageCount.toLong, FileHeaderSize.toLong)))
+    }
+  }
+
+  /** Random page access over a [[StoreLayout]] (the planner's
+    * inner-node descent walks pages across part files). Opens each
+    * underlying file lazily, once.
+    */
+  final class StorePages(l: StoreLayout) extends AutoCloseable {
+    private val rafs = new Array[RandomAccessFile](l.files.size)
+    private def fileIdx(p: Long): Int = {
+      var a = 0; var b = l.files.size
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (l.files(m).basePage + l.files(m).nPages <= p) a = m + 1 else b = m
+      }
+      require(a < l.files.size && l.files(a).basePage <= p,
+        s"page $p outside store layout")
+      a
+    }
+    def read(p: Long, buf: Array[Byte], len: Int): Unit = {
+      val i = fileIdx(p)
+      val sf = l.files(i)
+      if (rafs(i) == null) rafs(i) = new RandomAccessFile(sf.path, "r")
+      rafs(i).seek(sf.byteOffset + (p - sf.basePage) * l.pageSize.toLong)
+      rafs(i).readFully(buf, 0, len)
+    }
+    override def close(): Unit = rafs.foreach(r => if (r != null) r.close())
+  }
 
   def keyCapacity(pageSize: Int): Int = (pageSize - PageHeaderSize) / KeyValueSize
 

@@ -85,6 +85,20 @@ object StreamReplay {
                    mode: OutputMode = OutputMode.Append,
                    maxStateRows: Long = Long.MaxValue)(
       op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
+    val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
+    replayGrouped(spark, rows.grouped(chunk).toSeq, mode, maxStateRows)(op)
+  }
+
+  /** [[replay]] with EXPLICIT micro-batch contents — the adversarial
+    * variant: callers pick which rows share a trigger, so a
+    * deliberately out-of-event-time-order feed (late data crossing
+    * batch boundaries) is one grouped list away instead of impossible
+    * to express through even chunking of an ordered feed.
+    */
+  def replayGrouped[I, O](spark: SparkSession, batches: Seq[Seq[I]],
+                          mode: OutputMode = OutputMode.Append,
+                          maxStateRows: Long = Long.MaxValue)(
+      op: Dataset[I] => Dataset[O])(implicit ie: Encoder[I]): DataFrame = {
     val sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "4")
     tuneStateStore(sub)
@@ -95,8 +109,7 @@ object StreamReplay {
       .writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try {
-      val chunk = math.max(1, (rows.length + nBatches - 1) / nBatches)
-      rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+      batches.filter(_.nonEmpty).foreach { g => in.addData(g); q.processAllAvailable() }
       assertStateBound(q, maxStateRows, name)
       val out = sub.table(name)
       val collected = out.collect()
@@ -1295,6 +1308,34 @@ object StreamReplay {
       .select(col("asset_id").as("user_id"), col("session_id"),
         col("session_start"), col("session_end"), col("n_events"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** `stream_late_audit` — D186's late-data monitor over a
+    * DELIBERATELY SHUFFLED replay: the tick feed is split into three
+    * micro-batches by `seq % 3`, so roughly two thirds of every
+    * asset's rows arrive with event times BEHIND the per-key
+    * high-water mark — the cross-batch late-data case the
+    * arrival-ordered indicator twins fold silently. The monitor flags
+    * each such row (`late`) and carries running events/regressed
+    * counters; the oracle replays the identical processing order
+    * (batch, then the twins' (µs, seq) in-batch sort) in SQL, proving
+    * the flags are the declared arrival-order semantics, not an
+    * artifact. The spec additionally asserts the counter actually
+    * fires on this feed.
+    */
+  def streamLateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = Tables.events(s, dir)
+      .select(col("user_id").as("asset_id"), col("ts"), col("value"),
+        col("event_id").as("seq"))
+      .as[StreamingOps.Tick]
+      .collect().toSeq
+    val batches = (0 until 3).map(b =>
+      ticks.filter(_.seq % 3 == b).sortBy(t => (t.ts.getTime, t.seq)))
+    replayGrouped(s, batches,
+      maxStateRows = ticks.map(_.asset_id).distinct.size.toLong)(
+      StreamingOps.lateArrivalAudit(_))
+      .orderBy(col("asset_id"), col("seq"))
   }
 
   /** `stream_anomaly` — D18's causal Welford z-score alerts over the

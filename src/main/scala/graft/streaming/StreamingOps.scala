@@ -630,6 +630,55 @@ object StreamingOps {
       }
   }
 
+  case class LateAuditState(max_micros: Long, max_seq: Long,
+                            events: Long, regressed: Long)
+  case class LateAuditPoint(asset_id: Long, ts: Timestamp, seq: Long, value: Double,
+                            late: Boolean, events_so_far: Long, regressed_so_far: Long)
+
+  /** D186 `lateArrivalAudit` — late-data OBSERVABILITY for the
+    * arrival-ordered indicator twins. Every twin in this file shares
+    * the same ordering contract: rows within a micro-batch apply in
+    * (µs ts, seq) order, a cross-batch regressed-event-time row folds
+    * in ARRIVAL order. That contract is honest but — without this op —
+    * silently violated by a production feed that delivers late data:
+    * nothing in any twin's output says "this point was computed out of
+    * event-time order". This monitor is the shared observability
+    * stage: run it on the same keyed feed (same groupByKey shuffle,
+    * O(#keys) state — four fields) and every tick comes back annotated
+    * with `late` (its (ts, seq) regressed behind the per-key
+    * high-water mark) plus running events/regressed counters, so a
+    * contract violation is a metric, not a silent skew. In-batch
+    * ordering and the high-water comparison use the exact (µs, seq)
+    * key the twins sort by, so `late` = "some twin folded this row
+    * against state that already saw a later event".
+    */
+  def lateArrivalAudit(ticks: Dataset[Tick]): Dataset[LateAuditPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[LateAuditState, LateAuditPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (assetId: Long, rows: Iterator[Tick], state: GroupState[LateAuditState]) =>
+          var st = state.getOption.getOrElse(
+            LateAuditState(Long.MinValue, Long.MinValue, 0L, 0L))
+          val out = Vector.newBuilder[LateAuditPoint]
+          rows.toSeq.sortBy(t => (micros(t.ts), t.seq)).foreach { t =>
+            val m = micros(t.ts)
+            val late = m < st.max_micros || (m == st.max_micros && t.seq < st.max_seq)
+            st = LateAuditState(
+              if (late) st.max_micros else m,
+              if (late) st.max_seq else t.seq,
+              st.events + 1,
+              st.regressed + (if (late) 1L else 0L))
+            out += LateAuditPoint(assetId, t.ts, t.seq, t.value, late,
+              st.events, st.regressed)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class DrawdownState(peak: Double)
   case class DrawdownPoint(asset_id: Long, date: java.sql.Date, value: Double,
                            peak: Double, drawdown: Option[Double])
