@@ -1,6 +1,5 @@
 package graft.sources.findb
 
-import java.io.RandomAccessFile
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -297,7 +296,13 @@ class FindbReaderFactory extends PartitionReaderFactory {
 class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[InternalRow] {
   import FindbFormat._
 
-  private val raf = new RandomAccessFile(p.path, "r")
+  // Hadoop FS open (not java.io): partitions read wherever the store
+  // lives — HDFS/S3 on a cluster, LocalFileSystem in tests — through
+  // positioned readFully preads.
+  private val in = {
+    val hp = new org.apache.hadoop.fs.Path(p.path)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+  }
   private val pageBuf = new Array[Byte](p.pageSize)
   private var pageNum = p.startPage
   private var pageLoaded = false
@@ -309,8 +314,7 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
   var pagesRead: Int = 0
 
   private def loadPage(): Unit = {
-    raf.seek(p.byteOffset + pageNum.toLong * p.pageSize)
-    raf.readFully(pageBuf)
+    in.readFully(p.byteOffset + pageNum.toLong * p.pageSize, pageBuf, 0, p.pageSize)
     pageIsLeaf = u32(pageBuf, 0) == LeafType
     rowsInPage = u32(pageBuf, 4).toInt
     rowIdx = 0
@@ -359,5 +363,5 @@ class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[Inter
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = raf.close()
+  override def close(): Unit = in.close()
 }

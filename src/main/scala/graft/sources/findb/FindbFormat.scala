@@ -48,9 +48,16 @@ object FindbFormat {
 
   def readHeader(raf: RandomAccessFile): Header = {
     raf.seek(0)
-    val pageSize = raf.readInt()
-    val pageCount = raf.readInt()
-    val root = Integer.toUnsignedLong(raf.readInt())
+    readHeaderFrom(raf)
+  }
+
+  /** 12-byte header off any positioned DataInput (RandomAccessFile for
+    * local tests/patching, FSDataInputStream for cluster reads).
+    */
+  private def readHeaderFrom(in: java.io.DataInput): Header = {
+    val pageSize = in.readInt()
+    val pageCount = in.readInt()
+    val root = Integer.toUnsignedLong(in.readInt())
     Header(pageSize, pageCount, root)
   }
 
@@ -83,27 +90,35 @@ object FindbFormat {
   /** Resolves `path` into a [[StoreLayout]]: a directory is a
     * directory-of-parts store, anything else the single-file format.
     * Metadata-only: reads the 12-byte header plus a file listing.
+    * Goes through the Hadoop FileSystem API (like the distributed
+    * writer), so a store on HDFS/S3 resolves exactly like a local one
+    * — java.io would chain the whole connector to the driver's disk.
     */
   def layout(path: String): StoreLayout = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      val hraf = new RandomAccessFile(new java.io.File(f, DirHeaderFile), "r")
-      val h = try readHeader(hraf) finally hraf.close()
-      val parts = f.listFiles.filter(_.getName.startsWith(DirPartPrefix)).sortBy(_.getName)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.getFileStatus(p).isDirectory) {
+      val hin = fs.open(new org.apache.hadoop.fs.Path(p, DirHeaderFile))
+      val h = try readHeaderFrom(hin) finally hin.close()
+      val parts = fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith(DirPartPrefix))
+        .sortBy(_.getPath.getName)
+      val topPath = new org.apache.hadoop.fs.Path(p, DirTopFile)
+      val top = if (fs.exists(topPath)) Seq(fs.getFileStatus(topPath)) else Seq.empty
       val files = IndexedSeq.newBuilder[StoreFile]
       var base = 0L
-      (parts.toSeq :+ new java.io.File(f, DirTopFile)).filter(_.exists).foreach { pf =>
-        require(pf.length % h.pageSize == 0,
-          s"store file ${pf.getName} length ${pf.length} not page-aligned")
-        val n = pf.length / h.pageSize
-        if (n > 0) { files += StoreFile(pf.getPath, base, n, 0L); base += n }
+      (parts.toSeq ++ top).foreach { st =>
+        require(st.getLen % h.pageSize == 0,
+          s"store file ${st.getPath.getName} length ${st.getLen} not page-aligned")
+        val n = st.getLen / h.pageSize
+        if (n > 0) { files += StoreFile(st.getPath.toString, base, n, 0L); base += n }
       }
       require(base == h.pageCount.toLong,
         s"directory store $path: files carry $base pages, header says ${h.pageCount}")
       StoreLayout(h.pageSize, h.pageCount, h.rootPageNum, files.result())
     } else {
-      val raf = new RandomAccessFile(path, "r")
-      val h = try readHeader(raf) finally raf.close()
+      val in = fs.open(p)
+      val h = try readHeaderFrom(in) finally in.close()
       StoreLayout(h.pageSize, h.pageCount, h.rootPageNum,
         IndexedSeq(StoreFile(path, 0L, h.pageCount.toLong, FileHeaderSize.toLong)))
     }
@@ -111,10 +126,12 @@ object FindbFormat {
 
   /** Random page access over a [[StoreLayout]] (the planner's
     * inner-node descent walks pages across part files). Opens each
-    * underlying file lazily, once.
+    * underlying file lazily, once; positioned `readFully` preads, so
+    * the same object works against HDFS/S3 streams.
     */
   final class StorePages(l: StoreLayout) extends AutoCloseable {
-    private val rafs = new Array[RandomAccessFile](l.files.size)
+    private val conf = new org.apache.hadoop.conf.Configuration()
+    private val ins = new Array[org.apache.hadoop.fs.FSDataInputStream](l.files.size)
     private def fileIdx(p: Long): Int = {
       var a = 0; var b = l.files.size
       while (a < b) {
@@ -128,11 +145,13 @@ object FindbFormat {
     def read(p: Long, buf: Array[Byte], len: Int): Unit = {
       val i = fileIdx(p)
       val sf = l.files(i)
-      if (rafs(i) == null) rafs(i) = new RandomAccessFile(sf.path, "r")
-      rafs(i).seek(sf.byteOffset + (p - sf.basePage) * l.pageSize.toLong)
-      rafs(i).readFully(buf, 0, len)
+      if (ins(i) == null) {
+        val hp = new org.apache.hadoop.fs.Path(sf.path)
+        ins(i) = hp.getFileSystem(conf).open(hp)
+      }
+      ins(i).readFully(sf.byteOffset + (p - sf.basePage) * l.pageSize.toLong, buf, 0, len)
     }
-    override def close(): Unit = rafs.foreach(r => if (r != null) r.close())
+    override def close(): Unit = ins.foreach(r => if (r != null) r.close())
   }
 
   def keyCapacity(pageSize: Int): Int = (pageSize - PageHeaderSize) / KeyValueSize

@@ -168,6 +168,37 @@ class Round11OpsSpec extends SparkSpec {
     assert(readBack(s"$dir/m.dbd") === expect)
   }
 
+  test("findb merge: x4 stores stay one scan and resolve a 4-deep priority chain") {
+    val dir = tmp("fdb_merge4")
+    val base = entries(600)
+    // four stores, alternating layouts; store i restates assets ≡ i-1
+    // (mod 3) with +1000·i, so several keys collide across 3 stores
+    // and the HIGHEST store index must win every time
+    val stores = (0 until 4).map { i =>
+      val rows =
+        if (i == 0) base
+        else base.filter(_._1 % 3 == (i - 1) % 3)
+          .map { case (a, d, t, v) => (a, d, t, v + 1000f * i) }
+      val p = if (i % 2 == 0) s"$dir/s$i.db" else s"$dir/s$i.dbd"
+      FindbDistWriter.write(rows.toDF("asset_id", "date", "timestamp", "value"),
+        p, smallPage, numPartitions = 2 + i, directoryParts = i % 2 == 1)
+      (p, rows)
+    }
+    val view = FindbDistWriter.mergedView(spark, stores.map(_._1))
+    val scans = view.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.size === 1, s"x4 merge planned ${scans.size} scan nodes")
+    FindbDistWriter.merge(spark, stores.map(_._1), s"$dir/m4.dbd",
+      smallPage, numPartitions = 4, directoryParts = true)
+    val expect = stores.map(_._2)
+      .foldLeft(Map.empty[(Long, Int, Long), Float]) { (acc, rows) =>
+        acc ++ rows.map(e => ((e._1, e._2, e._3), e._4)).toMap
+      }
+      .map { case ((a, d, t), v) => (a, d, t, v) }.toSeq.sorted
+    assert(readBack(s"$dir/m4.dbd") === expect)
+  }
+
   // ── renko leading-null seed guard ──────────────────────────────────
 
   test("RecurrenceFold renko: a leading null close passes through without poisoning the anchor") {
