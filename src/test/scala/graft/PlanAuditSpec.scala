@@ -382,6 +382,10 @@ class PlanAuditSpec extends SparkSpec {
       s"findb_roundtrip read must stay scan + sort: ${shuffles("findb_roundtrip")}")
     assert(shuffles("findb_read_pruned") <= 1,
       s"findb_read_pruned must stay pruned scan + sort: ${shuffles("findb_read_pruned")}")
+    // r11: the directory store reads like any other store — pruned
+    // single scan + sort; metadata-only assembly must not add plan cost
+    assert(shuffles("findb_dir_store") <= 1,
+      s"findb_dir_store must stay pruned scan + sort: ${shuffles("findb_dir_store")}")
     assert(shuffles("findb_bulk_asof") <= 4,
       s"findb_bulk_asof exceeded broadcast join + rank window + sort: ${shuffles("findb_bulk_asof")}")
     assert(shuffles("tickstore_compact_atomic") <= 2,
