@@ -1701,6 +1701,10 @@ object SparkEntry {
     "stream_source_stats" -> ((s, dir) => StreamReplay.streamSourceStats(s, dir)),
     "stream_tick_rule" -> ((s, dir) => StreamReplay.streamTickRule(s, dir)),
     "stream_tickstore_sink" -> ((s, dir) => StreamReplay.streamTickStoreSink(s, dir)),
+    // D187 — streaming ingestion into the reference's own .db format:
+    // per-epoch directory stores + single-scan epoch-priority
+    // merge-compaction; final batch restates keys so LWW is exercised.
+    "stream_findb_sink" -> ((s, dir) => StreamReplay.streamFindbSink(s, dir)),
     "stream_quality_gate" -> ((s, dir) => StreamReplay.streamQualityGate(s, dir)),
     "stream_stream_asof" -> ((s, dir) => StreamReplay.streamStreamAsOf(s, dir)),
     "stream_topk" -> ((s, dir) => StreamReplay.streamTopk(s, dir)),
@@ -5318,6 +5322,19 @@ object SparkEntry {
          |       ${graft.operators.Analytics.dfaAlphaExpr} AS dfa_alpha
          |FROM q ORDER BY asset_id""".stripMargin,
     "findb_merge" ->
+      s"""$panelCte
+         |SELECT asset_id,
+         |       CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date,
+         |       CAST(seq AS BIGINT) AS "timestamp",
+         |       CASE WHEN asset_id % 3 = 0
+         |            THEN CAST(CAST(value AS FLOAT) + 1000.0 AS FLOAT)
+         |            ELSE CAST(value AS FLOAT) END AS value
+         |FROM panel
+         |ORDER BY asset_id, date, "timestamp"""".stripMargin,
+    // the same CASE-restated relation, arrived at through the
+    // streaming sink lifecycle (per-epoch stores + LWW compaction)
+    // instead of two offline writes
+    "stream_findb_sink" ->
       s"""$panelCte
          |SELECT asset_id,
          |       CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date,

@@ -315,6 +315,54 @@ object FindbDistWriter {
             directoryParts: Boolean = false): Unit =
     write(mergedView(spark, inputs), out, pageSize, numPartitions, directoryParts)
 
+  /** D187 `stream_findb_sink` — STREAMING ingestion into the
+    * reference's own storage format, which the reference cannot do at
+    * all (`write_from_iterator`, file.rs:296, is offline bulk). Each
+    * micro-batch bulk-writes ONE epoch-keyed directory store
+    * `batch-%06d.dbd` under `path` through [[write]] — one range
+    * shuffle + metadata-only assembly per trigger, and idempotent
+    * under foreachBatch's at-least-once replay because the epoch's
+    * store is overwritten whole (same epoch → same path → same
+    * bytes). [[compactSink]] is the maintenance loop: every batch
+    * store through the single-scan [[merge]] with EPOCH ORDER as
+    * input priority, so a later batch's restatement of a composite
+    * key wins — streaming last-write-wins materialized at rest in
+    * `.db` page format.
+    */
+  def streamingSink(rows: DataFrame, path: String, checkpoint: String,
+                    pageSize: Int, numPartitions: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty)
+          write(batch, f"${path.stripSuffix("/")}/batch-$epoch%06d.dbd",
+            pageSize, numPartitions, directoryParts = true)
+      }
+      .start()
+
+  /** The sink's batch stores in epoch order (= [[merge]] input
+    * priority order). Metadata-only listing.
+    */
+  def batchStores(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Compacts every batch store the sink has landed into one merged
+    * store at `out` (epoch-priority LWW). Returns the inputs merged.
+    */
+  def compactSink(spark: org.apache.spark.sql.SparkSession, path: String,
+                  out: String, pageSize: Int, numPartitions: Int): Seq[String] = {
+    val stores = batchStores(spark, path)
+    merge(spark, stores, out, pageSize, numPartitions, directoryParts = true)
+    stores
+  }
+
   /** The merge read: ALL input stores through ONE planned scan (the
     * connector's path list becomes one [[FindbScan]] whose partition
     * set is the union of per-store leaf partitions) with the opt-in

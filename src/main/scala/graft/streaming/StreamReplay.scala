@@ -1521,6 +1521,51 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"), col("ts"), col("seq"))
   }
 
+  /** `stream_findb_sink` — D187 driven end to end: the panel arrives
+    * in arrival (seq) order through the REAL writeStream →
+    * foreachBatch sink, each trigger bulk-writing one epoch-keyed
+    * directory store in the reference's `.db` page format; a FINAL
+    * batch then RESTATES every 3rd asset (+1000 on the same composite
+    * keys), so the compaction's epoch-priority LWW is load-bearing,
+    * not incidental. compactSink merges every batch store through ONE
+    * planned scan into a single store, and the connector read-back
+    * must equal the CASE-restated panel relation — the findb_merge
+    * oracle, arrived at through the streaming lifecycle instead of
+    * two offline writes.
+    */
+  def streamFindbSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.panel(s, dir)
+      .select(
+        col("asset_id"),
+        (year(col("date")) * 10000 + month(col("date")) * 100 +
+          dayofmonth(col("date"))).as("date"),
+        col("seq").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      .as[(Long, Int, Long, Float)]
+      .collect().toSeq
+      .sortBy(_._3)
+    val restates = rows.filter(_._1 % 3 == 0)
+      .map { case (a, d, t, v) => (a, d, t, v + 1000f) }
+    val root = java.nio.file.Files.createTempDirectory("findb_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("findb_sink_ckpt").toString
+    val in = MemoryStream[(Long, Int, Long, Float)]
+    val q = graft.sources.findb.FindbDistWriter.streamingSink(
+      in.toDS().toDF("asset_id", "date", "timestamp", "value"),
+      s"$root/ingest", ckpt, pageSize = 4096, numPartitions = 4)
+    try {
+      val chunk = math.max(1, (rows.length + Batches - 1) / Batches)
+      rows.grouped(chunk).foreach { g => in.addData(g); q.processAllAvailable() }
+      in.addData(restates); q.processAllAvailable()
+    } finally q.stop()
+    graft.sources.findb.FindbDistWriter.compactSink(
+      s, s"$root/ingest", s"$root/store.dbd", pageSize = 4096, numPartitions = 8)
+    s.read.format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", 64).load(s"$root/store.dbd")
+      .orderBy(col("asset_id"), col("date"), col("timestamp"))
+  }
+
   /** `stream_semantic_dedup` — D16 driven end to end: the settled
     * corpus (vec_id % 5 ≠ 0) is clustered and materialized ONCE under a
     * frozen quantizer; the batch vectors (vec_id % 5 = 0) then arrive

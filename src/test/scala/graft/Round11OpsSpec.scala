@@ -199,6 +199,40 @@ class Round11OpsSpec extends SparkSpec {
     assert(readBack(s"$dir/m4.dbd") === expect)
   }
 
+  test("findb streaming sink: epoch stores accumulate, compaction applies epoch-priority LWW") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = entries(400)
+    val restate = base.filter(_._1 % 2 == 0).map { case (a, d, t, v) => (a, d, t, v + 500f) }
+    val root = tmp("fdb_sink")
+    val ckpt = tmp("fdb_sink_ck")
+    val in = MemoryStream[(Long, Int, Long, Float)]
+    val q = FindbDistWriter.streamingSink(
+      in.toDS().toDF("asset_id", "date", "timestamp", "value"),
+      s"$root/ingest", ckpt, smallPage, numPartitions = 3)
+    try {
+      base.grouped(150).foreach { g => in.addData(g); q.processAllAvailable() }
+      in.addData(restate); q.processAllAvailable()
+    } finally q.stop()
+    val stores = FindbDistWriter.batchStores(spark, s"$root/ingest")
+    assert(stores.size === 4) // 3 base chunks + the restatement epoch
+    assert(stores === stores.sorted) // epoch order IS priority order
+    // each epoch store is a valid directory store on its own
+    assert(readBack(stores.head).nonEmpty)
+    FindbDistWriter.compactSink(spark, s"$root/ingest", s"$root/store.dbd",
+      smallPage, numPartitions = 4)
+    val expect = (base.map(e => ((e._1, e._2, e._3), e._4)).toMap ++
+      restate.map(e => ((e._1, e._2, e._3), e._4)).toMap)
+      .map { case ((a, d, t), v) => (a, d, t, v) }.toSeq.sorted
+    assert(readBack(s"$root/store.dbd") === expect)
+    // at-least-once idempotency: re-writing an epoch's store whole
+    // (what a foreachBatch replay does) leaves identical content
+    val replayed = base.take(150)
+    FindbDistWriter.write(replayed.toDF("asset_id", "date", "timestamp", "value"),
+      stores.head, smallPage, numPartitions = 3, directoryParts = true)
+    assert(readBack(stores.head) === replayed.sorted)
+  }
+
   // ── renko leading-null seed guard ──────────────────────────────────
 
   test("RecurrenceFold renko: a leading null close passes through without poisoning the anchor") {
