@@ -328,6 +328,15 @@ object FindbDistWriter {
     * input priority, so a later batch's restatement of a composite
     * key wins — streaming last-write-wins materialized at rest in
     * `.db` page format.
+    *
+    * Crash safety rides [[write]]'s ordering: `_header` lands LAST,
+    * so it is the epoch store's commit record — a write killed
+    * mid-epoch leaves a store that FAILS to resolve
+    * ([[FindbFormat.layout]] can't open `_header`) instead of one
+    * that silently reads partial pages; the checkpoint replays the
+    * epoch and the rewrite overwrites the torn store whole. Epochs
+    * are zero-padded to 12 digits so lexicographic listing order
+    * stays epoch order for any realistic stream lifetime.
     */
   def streamingSink(rows: DataFrame, path: String, checkpoint: String,
                     pageSize: Int, numPartitions: Int)
@@ -337,7 +346,7 @@ object FindbDistWriter {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (!batch.isEmpty)
-          write(batch, f"${path.stripSuffix("/")}/batch-$epoch%06d.dbd",
+          write(batch, f"${path.stripSuffix("/")}/batch-$epoch%012d.dbd",
             pageSize, numPartitions, directoryParts = true)
       }
       .start()

@@ -231,6 +231,12 @@ class Round11OpsSpec extends SparkSpec {
     FindbDistWriter.write(replayed.toDF("asset_id", "date", "timestamp", "value"),
       stores.head, smallPage, numPartitions = 3, directoryParts = true)
     assert(readBack(stores.head) === replayed.sorted)
+    // crash window: _header is written LAST (the commit record) — a
+    // torn epoch store must fail to RESOLVE, never read partial pages
+    val torn = new java.io.File(new java.net.URI(stores.head).getPath,
+      FindbFormat.DirHeaderFile)
+    assert(torn.delete(), s"fixture: could not remove ${torn.getPath}")
+    intercept[Exception] { FindbFormat.layout(stores.head) }
   }
 
   // ── renko leading-null seed guard ──────────────────────────────────
