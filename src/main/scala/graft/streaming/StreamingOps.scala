@@ -651,6 +651,13 @@ object StreamingOps {
     * ordering and the high-water comparison use the exact (µs, seq)
     * key the twins sort by, so `late` = "some twin folded this row
     * against state that already saw a later event".
+    *
+    * Cost of composing: ONE extra hash-partition exchange of the raw
+    * feed (the monitor is its own stateful operator, and streaming
+    * stateful ops don't share exchanges) with 4 longs of state per
+    * key and zero row amplification — the audit branch is strictly
+    * cheaper than any indicator twin it monitors, so it rides along
+    * at whatever rate the pipeline already sustains.
     */
   def lateArrivalAudit(ticks: Dataset[Tick]): Dataset[LateAuditPoint] = {
     val spark = ticks.sparkSession
