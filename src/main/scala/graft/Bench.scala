@@ -133,9 +133,15 @@ object Bench {
         } else Map.empty // reference is for a different SF — no drift check
       } else Map.empty
     val suiteMed = results.map { case (n, m, _) => n -> m }.toMap
-    val drifted = results.collect {
+    // SPARK_GRAFT_BENCH_ISOLATE=a,b,c forces an end-of-suite isolated
+    // re-bench of those queries even without a drift flag — the knob
+    // that turns "the sf1 tail is probably a suite-order artifact"
+    // into recorded own-run evidence (r11 VERDICT item 2).
+    val forced = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val drifted = (results.collect {
       case (name, med, true) if prevRef.get(name).exists(p => p > 0.3 && med > p * 1.5) => name
-    }
+    } ++ results.collect { case (n, _, true) if forced(n) => n }).distinct
     val isolated = drifted.map { name =>
       val fn = SparkEntry.queries(name)
       // Track success like the main loop: an isolated run that THREW
@@ -173,7 +179,8 @@ object Bench {
     val driftPart =
       if (isolated.isEmpty) ""
       else isolated.map { case (k, iso) =>
-        s"\"" + k + s"\":[${trim(prevRef(k), 2)},${trim(suiteMed(k), 2)},${trim(iso, 2)}]"
+        // forced-isolation rows may have no reference entry: -1 = n/a
+        s"\"" + k + s"\":[${trim(prevRef.getOrElse(k, -1.0), 2)},${trim(suiteMed(k), 2)},${trim(iso, 2)}]"
       }.mkString(""","drift_prev_suite_isolated":{""", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     // compact pointer for the capture line (full sf1 map rides in
@@ -242,10 +249,36 @@ object Bench {
     val fullDrift =
       if (isolated.isEmpty) "{}"
       else isolated.map { case (k, iso) =>
-        s"\"" + k + s"\":{\"prev\":${prevRef(k)},\"suite\":${suiteMed(k)},\"isolated\":$iso}"
+        s"\"" + k + s"\":{\"prev\":${prevRef.getOrElse(k, -1.0)},\"suite\":${suiteMed(k)},\"isolated\":$iso}"
       }.mkString("{", ",", "}")
+    // Pair-growth observability (r11 VERDICT item 5): the
+    // pair-evaluation family's wall time is pair-count-bound, so the
+    // pair mass itself is recorded per SF beside the timings — growth
+    // exponents across SFs become measurable instead of inferred (the
+    // no-silent-caps rule applied to pair counts). One extra
+    // evaluation per op, full runs only (count() prunes to the scan).
+    val pairOps = Seq("dedup_minhash", "minhash_verified", "ngram_jaccard",
+      "containment", "edit_similarity", "simhash_hamming_histogram",
+      "minhash_estimate_error", "lsh_verified_pairs", "dup_by_source")
+    val pairRows =
+      if (args.nonEmpty) Seq.empty
+      else pairOps.filter(wanted).map { name =>
+        val n = try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+        name -> n
+      }
+    val pairPart =
+      if (pairRows.isEmpty) ""
+      else pairRows.map { case (k, n) => s"\"" + k + s"\":$n" }
+        .mkString(""","pair_rows":{""", ",", "}")
+    // Provenance: this artifact (and bench_ref.json, refreshed from it
+    // on full runs) is a SELF-snapshot — same engine, same machine —
+    // used as the round-over-round drift reference. It is NOT
+    // reference-engine timing (BASELINE publishes none).
+    val sourcePart =
+      s""","source":"self-snapshot: graft full suite, runs=$runs, $sfName, drift reference for same-SF re-runs""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"status":"$status","queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"drift":$fullDrift$sf1Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"status":"$status","queries":$fullQs,"failed":${failedKeys.mkString("[", ",", "]")},"drift":$fullDrift$pairPart$sourcePart$sf1Part,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }

@@ -557,7 +557,8 @@ object SparkEntry {
     "tick_imbalance" -> ((s, dir) =>
       Analytics.tickImbalance(Tables.panel(s, dir))),
     "dup_by_source" -> ((s, dir) =>
-      Dedup.dupBySource(Tables.documents(s, dir), k = 8, threshold = 0.3, maxDf = 100L)),
+      Dedup.dupBySource(Tables.documents(s, dir), k = 8, nHashes = 64,
+        bands = 16, threshold = 0.3)),
     "bpe_pairs" -> ((s, dir) =>
       Pipeline.bpePairs(Tables.documents(s, dir))),
     "var_backtest" -> ((s, dir) =>
@@ -1705,6 +1706,10 @@ object SparkEntry {
     // per-epoch directory stores + single-scan epoch-priority
     // merge-compaction; final batch restates keys so LWW is exercised.
     "stream_findb_sink" -> ((s, dir) => StreamReplay.streamFindbSink(s, dir)),
+    // A24 — the sink lifecycle soaked: 12 epochs, rolling compact+prune
+    // mid-stream, layered restatements, final compact over a base store;
+    // flat post-compaction layout pinned as oracle constants.
+    "findb_sink_soak" -> ((s, dir) => StreamReplay.streamFindbSinkSoak(s, dir)),
     "stream_quality_gate" -> ((s, dir) => StreamReplay.streamQualityGate(s, dir)),
     "stream_stream_asof" -> ((s, dir) => StreamReplay.streamStreamAsOf(s, dir)),
     "stream_topk" -> ((s, dir) => StreamReplay.streamTopk(s, dir)),
@@ -5344,6 +5349,29 @@ object SparkEntry {
          |            ELSE CAST(value AS FLOAT) END AS value
          |FROM panel
          |ORDER BY asset_id, date, "timestamp"""".stripMargin,
+    // the 12-epoch layered-LWW relation (epoch 11's %5 restatement
+    // beats epoch 10's %3 on the %15 overlap) aggregated per asset;
+    // the lifecycle scalars are CONSTANTS the soak must reproduce —
+    // 12 epochs seen by the health scan, 4 part files per epoch
+    // store, 8 part files in the final compacted store regardless of
+    // epoch count.
+    "findb_sink_soak" ->
+      s"""$panelCte,
+         |restated AS (
+         |  SELECT asset_id,
+         |         CASE WHEN asset_id % 5 = 0
+         |              THEN CAST(CAST(value AS FLOAT) + 2000.0 AS FLOAT)
+         |              WHEN asset_id % 3 = 0
+         |              THEN CAST(CAST(value AS FLOAT) + 1000.0 AS FLOAT)
+         |              ELSE CAST(value AS FLOAT) END AS value
+         |  FROM panel)
+         |SELECT asset_id, count(*) AS n_rows,
+         |       CAST(min(value) AS DOUBLE) AS min_v,
+         |       CAST(max(value) AS DOUBLE) AS max_v,
+         |       CAST(12 AS INTEGER) AS n_epochs,
+         |       CAST(4 AS INTEGER) AS max_epoch_parts,
+         |       CAST(8 AS INTEGER) AS compacted_parts
+         |FROM restated GROUP BY asset_id ORDER BY asset_id""".stripMargin,
     "adjusted_sharpe" ->
       s"""$panelCte,
          |$dailyCte,
@@ -9051,32 +9079,37 @@ object SparkEntry {
         |         floor((c / CAST(least(sa.n, sb.n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS containment
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // banding + exact-jaccard verify replayed in SQL (the
+    // minhash_verified oracle), then attributed to source pairs —
+    // the oracle proves the BANDED path's matrix, not the exhaustive
+    // posting build's (retired in r12: ×20.5 at ×10 data).
     "dup_by_source" ->
-      """WITH sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
-        |                               i -> substr(text, CAST(i AS INTEGER), 8))) AS s
-        |  FROM documents),
-        |good AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN good USING (s)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |           floor((c / CAST(sa.n + sb.n - c AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-        |    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) t
-        |  WHERE jaccard >= 0.3)
-        |SELECT least(da.source, db.source) AS src_lo,
-        |       greatest(da.source, db.source) AS src_hi,
-        |       count(*) AS n_pairs
-        |FROM pairs
-        |JOIN documents da ON da.doc_id = doc_a
-        |JOIN documents db ON db.doc_id = doc_b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""$minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN dsh a ON a.doc_id = c.doc_a
+         |  JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT ix.doc_a, ix.doc_b,
+         |           floor((ix.i / CAST(sa.n + sb.n - ix.i AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |    FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+         |            JOIN sz sb ON sb.doc_id = ix.doc_b) t
+         |  WHERE jaccard >= 0.3)
+         |SELECT least(da.source, db.source) AS src_lo,
+         |       greatest(da.source, db.source) AS src_hi,
+         |       count(*) AS n_pairs
+         |FROM ver
+         |JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word

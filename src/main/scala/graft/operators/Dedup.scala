@@ -861,19 +861,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** C54 `dup_by_source` — cross-source duplication matrix: near-dup
-    * pairs ([[ngramJaccardPairs]]) attributed to their source pair —
-    * WHICH corpora duplicate WHICH (mirror sites, scrape overlap,
-    * wholesale copying) and how much of the duplication is
-    * within-source. The provenance table a corpus audit reads before
-    * deciding which source to drop. Source pairs are unordered
-    * (least/greatest): doc_a < doc_b orders ids, not sources. The
-    * source lookup joins the PAIR set (duplicates-sized, never the
-    * corpus) twice on doc_id — broadcast-sized at any corpus scale.
+    * pairs attributed to their source pair — WHICH corpora duplicate
+    * WHICH (mirror sites, scrape overlap, wholesale copying) and how
+    * much of the duplication is within-source. The provenance table a
+    * corpus audit reads before deciding which source to drop. Source
+    * pairs are unordered (least/greatest): doc_a < doc_b orders ids,
+    * not sources. The source lookup joins the PAIR set
+    * (duplicates-sized, never the corpus) twice on doc_id —
+    * broadcast-sized at any corpus scale.
+    *
+    * Pairs come from [[minhashVerifiedPairs]] — the BANDED two-stage
+    * production path (LSH candidates, exact-jaccard verify per
+    * candidate only), NOT the exhaustive [[ngramJaccardPairs]] posting
+    * build this op rode through r11: pair mass is quadratic in
+    * duplicate density, and the exhaustive build measured ×20.5 at
+    * ×10 data (the one super-linear batch plan in the r11 audit).
+    * Work is now bounded by the bands' S-curve — candidates ≈ true
+    * dups, never corpus². Recall is the banding's (the C5b argument);
+    * the driver oracle replays the bands + verify in SQL, so the
+    * matrix is still hash-exact.
     */
-  def dupBySource(documents: DataFrame, k: Int = 8, threshold: Double = 0.3,
-                  maxDf: Long = Long.MaxValue): DataFrame = {
+  def dupBySource(documents: DataFrame, k: Int = 8, nHashes: Int = 64,
+                  bands: Int = 16, threshold: Double = 0.3): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(documents, k, threshold, maxDf)
+    minhashVerifiedPairs(documents, k, nHashes, bands, threshold)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
       .withColumn("src_lo", least(col("source_a"), col("source_b")))

@@ -138,6 +138,21 @@ class FindbScanBuilder(paths: Seq[String], pagesPerPartition: Int,
   }
 }
 
+/** The one Hadoop conf the whole connector plans and reads under: the
+  * ACTIVE session's (`sessionState.newHadoopConf()`), which carries
+  * `spark.hadoop.*` overrides — S3A credentials, fs.defaultFS, custom
+  * fs.<scheme>.impl bindings. A bare `new Configuration()` silently
+  * drops all of those, so on non-local filesystems the reader would
+  * authenticate (or resolve scheme-less paths) against a DIFFERENT
+  * filesystem than the writer published to. Executors get the same
+  * conf via a broadcast [[org.apache.spark.util.SerializableConfiguration]]
+  * built once per scan in [[FindbScan.createReaderFactory]].
+  */
+private[findb] object FindbConf {
+  def session(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+}
+
 class FindbScan(paths: Seq[String], pagesPerPartition: Int,
                 assetLo: Long = Long.MinValue, assetHi: Long = Long.MaxValue,
                 required: StructType = FindbFormat.schema,
@@ -224,12 +239,14 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
       case "pri" => 4
       case n     => FindbFormat.schema.fieldIndex(n)
     }
+    // Plan-time layout + descent under the SESSION conf (driver side).
+    val conf = FindbConf.session()
     val pruned = assetLo != Long.MinValue || assetHi != Long.MaxValue || assetSet.isDefined
     paths.zipWithIndex.flatMap { case (path, pri) =>
-      val lay = FindbFormat.layout(path)
+      val lay = FindbFormat.layout(path, conf)
       val leaves: Option[Array[Int]] =
         if (pruned && assetLo <= assetHi) {
-          val pg = new StorePages(lay)
+          val pg = new StorePages(lay, conf)
           try candidateLeaves(pg, lay) finally pg.close()
         } else if (pruned) Some(Array.empty[Int]) // contradictory bounds
         else None
@@ -265,12 +282,21 @@ class FindbScan(paths: Seq[String], pagesPerPartition: Int,
           }
           runs.flatMap { case (start, end) => chunkRun(start.toLong, end.toLong) }
         case None =>
-          chunkRun(0L, lay.pageCount.toLong)
+          chunkRun(0L, lay.pageCount)
       }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new FindbReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ONE broadcast session conf per scan: every partition reader opens
+    // its file under the same spark.hadoop.* view the planner used
+    // (serializing the conf into each InputPartition would ship ~100 KB
+    // per partition; the broadcast ships it once per executor).
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(FindbConf.session()))
+    new FindbReaderFactory(bc)
+  }
 }
 
 /** One reader split: LOCAL pages [startPage, endPage) of the file at
@@ -286,22 +312,27 @@ case class FindbInputPartition(path: String, pageSize: Int, startPage: Int, endP
                                pri: Int = 0)
   extends InputPartition
 
-class FindbReaderFactory extends PartitionReaderFactory {
+class FindbReaderFactory(
+    bc: org.apache.spark.broadcast.Broadcast[graft.sources.SerializableHadoopConf])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FindbInputPartition]
-    new FindbPartitionReader(p)
+    new FindbPartitionReader(p, bc.value.value)
   }
 }
 
-class FindbPartitionReader(p: FindbInputPartition) extends PartitionReader[InternalRow] {
+class FindbPartitionReader(p: FindbInputPartition,
+    conf: org.apache.hadoop.conf.Configuration) extends PartitionReader[InternalRow] {
   import FindbFormat._
 
   // Hadoop FS open (not java.io): partitions read wherever the store
   // lives — HDFS/S3 on a cluster, LocalFileSystem in tests — through
-  // positioned readFully preads.
+  // positioned readFully preads, under the broadcast SESSION conf (a
+  // fresh Configuration() would drop spark.hadoop.* credentials and
+  // scheme bindings and could resolve against the wrong filesystem).
   private val in = {
     val hp = new org.apache.hadoop.fs.Path(p.path)
-    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    hp.getFileSystem(conf).open(hp)
   }
   private val pageBuf = new Array[Byte](p.pageSize)
   private var pageNum = p.startPage

@@ -149,10 +149,18 @@ object FindbDistWriter {
     val partDir =
       if (directoryParts) path.stripSuffix("/")
       else path.stripSuffix("/") + "__parts"
+    // SESSION Hadoop conf everywhere (driver assembly AND the executor
+    // part writers, via one broadcast): spark.hadoop.* credentials and
+    // fs.<scheme>.impl bindings must see the same filesystem on every
+    // side — a bare `new Configuration()` in the write closure would
+    // land part files on a different FS view than the driver publishes
+    // the header to.
+    val sessionConf = spark.sessionState.newHadoopConf()
+    val bcConf = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(sessionConf))
     if (directoryParts) {
-      val conf0 = spark.sparkContext.hadoopConfiguration
       val dir = new HPath(partDir)
-      val fs0 = dir.getFileSystem(conf0)
+      val fs0 = dir.getFileSystem(sessionConf)
       fs0.delete(dir, true)
       fs0.mkdirs(dir)
     }
@@ -164,7 +172,7 @@ object FindbDistWriter {
           Iterator.empty
         } else {
           val file = new HPath(f"$partDir/part-$idx%05d")
-          val fs = file.getFileSystem(new Configuration())
+          val fs = file.getFileSystem(bcConf.value.value)
           val out = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(fs.create(file, true), 1 << 20))
           try {
@@ -232,9 +240,8 @@ object FindbDistWriter {
     require(totalPages <= 0xFFFFFFFFL, s"page count $totalPages outside u32")
     val root =
       if (children.size == 1) children.head._2 else totalDataPages + topPages - 1
-    val conf = spark.sparkContext.hadoopConfiguration
     val target = new HPath(path)
-    val fs = target.getFileSystem(conf)
+    val fs = target.getFileSystem(sessionConf)
     if (directoryParts) {
       // metadata-only assembly: the part files ARE the store. Driver
       // writes the O(P/cap)-page top tree and the 12-byte header —
@@ -356,19 +363,64 @@ object FindbDistWriter {
     */
   def batchStores(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
       .map(_.getPath.toString).sorted.toSeq
   }
 
+  /** A24 `findb_sink_soak` health view — per-epoch store vitals over
+    * the sink's ingest directory, the `tickstore_stats` analog for the
+    * findb sink: epoch, part-file count, data/top pages (from
+    * `_header`), and bytes. METADATA-ONLY (one listing per store plus
+    * its 12-byte header) — no data pages are read, so the health scan
+    * costs O(epochs) regardless of store bytes. The maintenance signal
+    * is the row count itself: epochs accrete one store each, and read
+    * amplification grows with store count until [[compactSink]] folds
+    * them — flat post-compaction cost is asserted by the soak spec.
+    */
+  def sinkStats(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = batchStores(spark, path).map { store =>
+      val name = new HPath(store).getName
+      val epoch = name.stripPrefix("batch-").stripSuffix(".dbd").toLong
+      val lay = FindbFormat.layout(store, conf)
+      val fs = new HPath(store).getFileSystem(conf)
+      val sts = fs.listStatus(new HPath(store))
+      val partFiles = sts.count(_.getPath.getName.startsWith(FindbFormat.DirPartPrefix))
+      val bytes = sts.map(_.getLen).sum
+      (epoch, partFiles, lay.pageCount, bytes)
+    }
+    spark.createDataFrame(rows)
+      .toDF("epoch", "n_parts", "n_pages", "n_bytes")
+  }
+
   /** Compacts every batch store the sink has landed into one merged
     * store at `out` (epoch-priority LWW). Returns the inputs merged.
+    *
+    * `base`: an earlier compaction's output to fold in at the LOWEST
+    * priority — the rolling-compaction loop shape: compact, `prune`
+    * the folded epoch stores, keep ingesting, compact again with the
+    * previous output as base. Store count (and so read cost) stays
+    * O(epochs since last compaction) instead of O(stream lifetime).
+    * `prune = true` deletes the merged batch stores (never `base`)
+    * after the new store is fully published — crash before the delete
+    * re-merges the same rows, and LWW keeps that idempotent.
     */
   def compactSink(spark: org.apache.spark.sql.SparkSession, path: String,
-                  out: String, pageSize: Int, numPartitions: Int): Seq[String] = {
+                  out: String, pageSize: Int, numPartitions: Int,
+                  base: Option[String] = None, prune: Boolean = false): Seq[String] = {
+    require(!base.contains(out),
+      "compactSink: base must differ from out (the write clears out " +
+        "before the merge scan reads base)")
     val stores = batchStores(spark, path)
-    merge(spark, stores, out, pageSize, numPartitions, directoryParts = true)
+    merge(spark, base.toSeq ++ stores, out, pageSize, numPartitions,
+      directoryParts = true)
+    if (prune) {
+      val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+      stores.foreach(s => fs.delete(new HPath(s), true))
+    }
     stores
   }
 

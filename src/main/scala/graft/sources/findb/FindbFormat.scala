@@ -44,7 +44,7 @@ object FindbFormat {
   val schemaWithPriority: StructType =
     schema.add(StructField("pri", IntegerType, nullable = false))
 
-  case class Header(pageSize: Int, pageCount: Int, rootPageNum: Long)
+  case class Header(pageSize: Int, pageCount: Long, rootPageNum: Long)
 
   def readHeader(raf: RandomAccessFile): Header = {
     raf.seek(0)
@@ -53,10 +53,14 @@ object FindbFormat {
 
   /** 12-byte header off any positioned DataInput (RandomAccessFile for
     * local tests/patching, FSDataInputStream for cluster reads).
+    * page_count and root_page_num are u32 on disk (reference
+    * file.rs:53-59) and surface as Long — a signed readInt turned a
+    * ≥2³¹-page store into a negative count that planned zero
+    * partitions and returned an empty result instead of failing.
     */
   private def readHeaderFrom(in: java.io.DataInput): Header = {
     val pageSize = in.readInt()
-    val pageCount = in.readInt()
+    val pageCount = Integer.toUnsignedLong(in.readInt())
     val root = Integer.toUnsignedLong(in.readInt())
     Header(pageSize, pageCount, root)
   }
@@ -84,7 +88,7 @@ object FindbFormat {
   case class StoreFile(path: String, basePage: Long, nPages: Long, byteOffset: Long)
 
   /** Resolved physical layout of a store (single-file or directory). */
-  case class StoreLayout(pageSize: Int, pageCount: Int, rootPageNum: Long,
+  case class StoreLayout(pageSize: Int, pageCount: Long, rootPageNum: Long,
                          files: IndexedSeq[StoreFile])
 
   /** Resolves `path` into a [[StoreLayout]]: a directory is a
@@ -93,16 +97,31 @@ object FindbFormat {
     * Goes through the Hadoop FileSystem API (like the distributed
     * writer), so a store on HDFS/S3 resolves exactly like a local one
     * — java.io would chain the whole connector to the driver's disk.
+    * `conf` must be the SESSION'S Hadoop conf (`spark.sessionState
+    * .newHadoopConf()`), not a bare `new Configuration()`: the
+    * session conf carries `spark.hadoop.*` (S3A credentials,
+    * fs.defaultFS, custom fs.<scheme>.impl bindings) without which a
+    * non-local store fails to authenticate or resolve its scheme.
     */
-  def layout(path: String): StoreLayout = {
+  def layout(path: String, conf: org.apache.hadoop.conf.Configuration): StoreLayout = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isDirectory) {
       val hin = fs.open(new org.apache.hadoop.fs.Path(p, DirHeaderFile))
       val h = try readHeaderFrom(hin) finally hin.close()
+      // NUMERIC order on the part suffix, not name order: the writer
+      // names parts part-%05d, and at >99999 partitions lexicographic
+      // order puts part-100000 before part-99999 — base pages would
+      // silently mis-assign and pruned descents would read the wrong
+      // pages. Non-numeric part-* names are a corrupt store: fail.
       val parts = fs.listStatus(p)
         .filter(_.getPath.getName.startsWith(DirPartPrefix))
-        .sortBy(_.getPath.getName)
+        .sortBy { st =>
+          val sfx = st.getPath.getName.drop(DirPartPrefix.length)
+          require(sfx.nonEmpty && sfx.forall(_.isDigit),
+            s"store part file ${st.getPath.getName}: non-numeric suffix")
+          sfx.toLong
+        }
       val topPath = new org.apache.hadoop.fs.Path(p, DirTopFile)
       val top = if (fs.exists(topPath)) Seq(fs.getFileStatus(topPath)) else Seq.empty
       val files = IndexedSeq.newBuilder[StoreFile]
@@ -113,24 +132,30 @@ object FindbFormat {
         val n = st.getLen / h.pageSize
         if (n > 0) { files += StoreFile(st.getPath.toString, base, n, 0L); base += n }
       }
-      require(base == h.pageCount.toLong,
+      require(base == h.pageCount,
         s"directory store $path: files carry $base pages, header says ${h.pageCount}")
       StoreLayout(h.pageSize, h.pageCount, h.rootPageNum, files.result())
     } else {
       val in = fs.open(p)
       val h = try readHeaderFrom(in) finally in.close()
       StoreLayout(h.pageSize, h.pageCount, h.rootPageNum,
-        IndexedSeq(StoreFile(path, 0L, h.pageCount.toLong, FileHeaderSize.toLong)))
+        IndexedSeq(StoreFile(path, 0L, h.pageCount, FileHeaderSize.toLong)))
     }
   }
+
+  /** Driver-side convenience: layout under the ACTIVE session's Hadoop
+    * conf (tests and tools; the connector threads its own conf).
+    */
+  def layout(path: String): StoreLayout =
+    layout(path, org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** Random page access over a [[StoreLayout]] (the planner's
     * inner-node descent walks pages across part files). Opens each
     * underlying file lazily, once; positioned `readFully` preads, so
     * the same object works against HDFS/S3 streams.
     */
-  final class StorePages(l: StoreLayout) extends AutoCloseable {
-    private val conf = new org.apache.hadoop.conf.Configuration()
+  final class StorePages(l: StoreLayout,
+      conf: org.apache.hadoop.conf.Configuration) extends AutoCloseable {
     private val ins = new Array[org.apache.hadoop.fs.FSDataInputStream](l.files.size)
     private def fileIdx(p: Long): Int = {
       var a = 0; var b = l.files.size
@@ -274,6 +299,7 @@ object FindbWriter {
       val (root, innerPages) = writeInnerLevels(cap, level0, leaves.size.toLong,
         (pt, nk, ex, fill) => writePage(pt, nk, ex)(fill))
       val pageCount = leaves.size.toLong + innerPages
+      require(pageCount <= 0xFFFFFFFFL, s"page count $pageCount outside u32")
       out.flush()
       // patch header with page_count and root
       val raf = new RandomAccessFile(path, "rw")

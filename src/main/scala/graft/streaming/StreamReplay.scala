@@ -1566,6 +1566,92 @@ object StreamReplay {
       .orderBy(col("asset_id"), col("date"), col("timestamp"))
   }
 
+  /** A24 `findb_sink_soak` — the D187 sink lifecycle SOAKED: 12 epochs
+    * (≫ the 4 the D187 row proves) through the real writeStream →
+    * foreachBatch sink with the ROLLING maintenance loop a production
+    * deployment runs — accrete 6 epoch stores, health-scan them
+    * ([[graft.sources.findb.FindbDistWriter.sinkStats]], the A17
+    * analog), compact-and-PRUNE into a rolling store, accrete 6 more
+    * (the last two RESTATE keys across the whole history: epoch 10
+    * re-lands every asset%3 row at +1000, epoch 11 every asset%5 row
+    * at +2000, so the final LWW must override rows living in the
+    * already-compacted base AND in unmerged epoch stores, with epoch
+    * 11 beating epoch 10 on the %15 overlap), then compact again with
+    * the rolling store as lowest-priority base.
+    *
+    * The returned row is the soak's own evidence: per-asset
+    * count/min/max over the final store read back through the A10
+    * connector (data equality — the layered-LWW relation), plus the
+    * lifecycle scalars the oracle pins as CONSTANTS — `n_epochs` 12,
+    * `max_epoch_parts` 4 (every epoch store is numPartitions=4),
+    * `compacted_parts` 8 (the final store is numPartitions=8
+    * part files REGARDLESS of epoch count: compaction collapsing
+    * store count is exactly the claim; if it stopped, this column
+    * grows with epochs and the row goes red).
+    */
+  def streamFindbSinkSoak(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.panel(s, dir)
+      .select(
+        col("asset_id"),
+        (year(col("date")) * 10000 + month(col("date")) * 100 +
+          dayofmonth(col("date"))).as("date"),
+        col("seq").cast("long").as("timestamp"),
+        col("value").cast("float").as("value"))
+      .as[(Long, Int, Long, Float)]
+      .collect().toSeq
+      .sortBy(_._3)
+    val restate1 = rows.filter(_._1 % 3 == 0)
+      .map { case (a, d, t, v) => (a, d, t, v + 1000f) }
+    val restate2 = rows.filter(_._1 % 5 == 0)
+      .map { case (a, d, t, v) => (a, d, t, v + 2000f) }
+    val root = java.nio.file.Files.createTempDirectory("findb_soak").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("findb_soak_ckpt").toString
+    val ingest = s"$root/ingest"
+    val in = MemoryStream[(Long, Int, Long, Float)]
+    val q = graft.sources.findb.FindbDistWriter.streamingSink(
+      in.toDS().toDF("asset_id", "date", "timestamp", "value"),
+      ingest, ckpt, pageSize = 4096, numPartitions = 4)
+    var nEpochs = 0
+    var maxEpochParts = 0
+    def drainHealth(): Unit = {
+      val st = graft.sources.findb.FindbDistWriter.sinkStats(s, ingest).collect()
+      nEpochs += st.length
+      maxEpochParts = math.max(maxEpochParts,
+        st.map(_.getAs[Int]("n_parts")).max)
+    }
+    try {
+      val chunk = math.max(1, (rows.length + 9) / 10)
+      val groups = rows.grouped(chunk).toSeq // 10 chronological epochs
+      groups.take(6).foreach { g => in.addData(g); q.processAllAvailable() }
+      drainHealth()
+      graft.sources.findb.FindbDistWriter.compactSink(
+        s, ingest, s"$root/rolling.dbd", pageSize = 4096, numPartitions = 8,
+        prune = true)
+      (groups.drop(6) :+ restate1 :+ restate2)
+        .foreach { g => in.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    drainHealth()
+    graft.sources.findb.FindbDistWriter.compactSink(
+      s, ingest, s"$root/final.dbd", pageSize = 4096, numPartitions = 8,
+      base = Some(s"$root/rolling.dbd"), prune = true)
+    val fs = new org.apache.hadoop.fs.Path(s"$root/final.dbd")
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val compactedParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/final.dbd"))
+      .count(_.getPath.getName.startsWith(graft.sources.findb.FindbFormat.DirPartPrefix))
+    val compacted = s.read.format("graft.sources.findb.FindbDataSource")
+      .option("pagesPerPartition", 64).load(s"$root/final.dbd")
+    compacted.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).cast("double").as("min_v"),
+        max(col("value")).cast("double").as("max_v"))
+      .withColumn("n_epochs", lit(nEpochs))
+      .withColumn("max_epoch_parts", lit(maxEpochParts))
+      .withColumn("compacted_parts", lit(compactedParts))
+      .orderBy(col("asset_id"))
+  }
+
   /** `stream_semantic_dedup` — D16 driven end to end: the settled
     * corpus (vec_id % 5 ≠ 0) is clustered and materialized ONCE under a
     * frozen quantizer; the batch vectors (vec_id % 5 = 0) then arrive

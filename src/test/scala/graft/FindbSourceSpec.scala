@@ -73,7 +73,9 @@ class FindbSourceSpec extends SparkSpec {
     val header = graft.sources.findb.FindbFormat.readHeader(raf); raf.close()
     def pagesRead(lo: Long, hi: Long): Int = {
       val rd = new graft.sources.findb.FindbPartitionReader(
-        graft.sources.findb.FindbInputPartition(path, header.pageSize, 0, header.pageCount, lo, hi))
+        graft.sources.findb.FindbInputPartition(
+          path, header.pageSize, 0, header.pageCount.toInt, lo, hi),
+        spark.sessionState.newHadoopConf())
       try { while (rd.next()) rd.get(); rd.pagesRead } finally rd.close()
     }
     val all = pagesRead(Long.MinValue, Long.MaxValue)
