@@ -257,7 +257,7 @@ object Bench {
     // exponents across SFs become measurable instead of inferred (the
     // no-silent-caps rule applied to pair counts). One extra
     // evaluation per op, full runs only (count() prunes to the scan).
-    val pairOps = Seq("dedup_minhash", "minhash_verified", "ngram_jaccard",
+    val pairOps = Seq("dedup_minhash", "dedup_minhash_scaled", "minhash_verified", "ngram_jaccard",
       "containment", "edit_similarity", "simhash_hamming_histogram",
       "minhash_estimate_error", "lsh_verified_pairs", "dup_by_source")
     val pairRows =

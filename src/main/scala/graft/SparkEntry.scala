@@ -502,6 +502,11 @@ object SparkEntry {
       Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    // C151 — the corpus-adaptive operating point (rows-per-band from
+    // the corpus count; candidate-stage answer to the r12 pair
+    // ledger's exp-1.47 finding on fixed banding)
+    "dedup_minhash_scaled" -> ((s, dir) =>
+      Dedup.minhashLshPairsScaled(Tables.documents(s, dir))),
     "minhash_verified" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(Tables.documents(s, dir))),
     // Exact-truth arm rides the shared checkpointed pair build (same
@@ -1587,7 +1592,7 @@ object SparkEntry {
           .select(col("phase"), col("n_rows"), col("n_assets"),
             col("seq_sum"), col("value_c"))
       val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileSystem(s.sessionState.newHadoopConf())
       // window (a): prepare, then die before the commit point
       TickStore.compactPrepare(s, path)
       fs.delete(new org.apache.hadoop.fs.Path(path + "__compact_manifest.json"), false)
@@ -9939,6 +9944,41 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""$minhashBandCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the oracle re-derives rows-per-band from ITS OWN count() —
+    // integer bit-length via floor(log2)+1, exact below ~2^40 (the
+    // deriveBandWidth replay argument) — then replays the banding at
+    // that operating point
+    "dedup_minhash_scaled" ->
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |p AS (
+         |  SELECT r, CAST(64 // r AS INTEGER) AS b FROM (
+         |    SELECT CAST(least(8, greatest(4,
+         |      CAST(floor(log2(greatest((c - 1) // 125, 1))) AS INTEGER) + 1))
+         |      AS INTEGER) AS r FROM n) t),
+         |sh AS (
+         |  SELECT doc_id, $shingleHashSql AS h
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+         |                                 i -> substr(text, CAST(i AS INTEGER), 8))) AS s
+         |    FROM documents) z),
+         |mins AS (
+         |  SELECT doc_id, j,
+         |         min((h * (((j + 1) * 2654435761) % 2147483647)
+         |              + (((j + 1) * 1013904223) % 2147483647)) % 2147483647) AS m
+         |  FROM sh CROSS JOIN range(64) rr(j) CROSS JOIN p
+         |  WHERE j < p.b * p.r
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, bb AS b,
+         |         list_slice(sig, CAST(bb * p.r + 1 AS INTEGER),
+         |                         CAST(bb * p.r + p.r AS INTEGER)) AS key
+         |  FROM sig CROSS JOIN p CROSS JOIN range(16) q(bb)
+         |  WHERE bb < p.b)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,

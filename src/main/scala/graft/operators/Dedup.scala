@@ -187,6 +187,42 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus-adaptive rows-per-band for the minhash banding:
+    * `r = clamp(bitlen((n−1) div 125), 4, 8)` — one more hash per band
+    * roughly every ×4 of corpus, so the bands' collision selectivity
+    * RISES as the corpus grows instead of letting bucket occupancy
+    * (and with it candidate-pair mass) re-densify. The r12 pair
+    * ledger measured the FIXED 16×4 banding's candidate mass at
+    * exp 1.47 (×29 at ×10 data) while the verified set stayed exp
+    * 1.00 — this is the candidate-stage knob that keeps the ×100 step
+    * from going quadratic, the text-side analog of the embedding
+    * LSH's [[graft.operators.Similarity.deriveBandWidth]]. Integer
+    * bit-length so the DuckDB oracle's `floor(log2(x))+1` replays
+    * exactly (same argument as deriveBandWidth). The honest trade:
+    * with the 64-hash budget fixed, the S-curve midpoint drifts up
+    * ((1/16)^(1/4)≈0.50 → (1/8)^(1/8)≈0.77 at the cap) — the
+    * operating point a fixed-compute dedup runs at scale, with exact
+    * dups (jaccard 1) recalled at every point and
+    * [[minhashVerifiedPairs]]-style verification keeping precision
+    * exact wherever the curve sits.
+    */
+  def deriveBandRows(n: Long, nHashes: Int = 64): Int = {
+    val x = math.max(1L, (n - 1) / 125)
+    math.min(8, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(x)))
+  }
+
+  /** C151 `dedup_minhash_scaled` — [[minhashLshPairs]] at the
+    * corpus-derived operating point: rows-per-band from
+    * [[deriveBandRows]] (one cheap count() action), bands = budget/r.
+    * 500 docs → 16×4 (the fixed default), 5 000 → 10×6, ≥50 000 → 8×8.
+    */
+  def minhashLshPairsScaled(documents: DataFrame, k: Int = 8,
+                            nHashes: Int = 64): DataFrame = {
+    val r = deriveBandRows(documents.count(), nHashes)
+    val bands = nHashes / r
+    minhashLshPairs(documents, k, bands * r, bands)
+  }
+
   /** C43 `minhash_verified` — the text-side two-stage 100 TB near-dup
     * path (mirror of the embedding side's `lsh_verified_pairs`): LSH
     * candidates (C2) verified with the EXACT shingle jaccard, computed
@@ -467,7 +503,9 @@ object Dedup {
       .repartition(filesPerBand, col("band_id"), pmod(col("bucket"), lit(filesPerBand)))
       .sortWithinPartitions(col("band_id"), col("bucket"), col("doc_id"))
       .write.mode("overwrite").partitionBy("band_id").parquet(tmpPath)
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf: runtime fs.* overrides reach the swap like the
+    // write above does (it goes through the session-configured writer)
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(indexPath)
     fs.delete(dst, true)

@@ -145,7 +145,9 @@ object TickStore {
                      deletes: Option[DataFrame] = None,
                      filesPerPartition: Int = 4): Unit = {
     val tmpPath = tmpPathFor(path)
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf (not sparkContext.hadoopConfiguration): runtime
+    // fs.* overrides must reach metadata ops like the data path does
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     // Months in compaction scope, resolved BEFORE the rewrite: the swap
     // below must delete every scoped month directory even when deletes
@@ -217,7 +219,9 @@ object TickStore {
     * manifest was found and executed; no-ops (one FS probe) otherwise.
     */
   def compactCommit(spark: SparkSession, path: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf (not sparkContext.hadoopConfiguration): runtime
+    // fs.* overrides must reach metadata ops like the data path does
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val mp = manifestPathFor(path)
     if (!fs.exists(mp)) return false
@@ -292,7 +296,9 @@ object TickStore {
                       maxFiles: Int = 16,
                       deletes: Option[DataFrame] = None,
                       filesPerPartition: Int = 4): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf (not sparkContext.hadoopConfiguration): runtime
+    // fs.* overrides must reach metadata ops like the data path does
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val months = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))
@@ -318,7 +324,9 @@ object TickStore {
     */
   def vacuum(spark: SparkSession, path: String, keepFromMonth: String): Seq[String] = {
     require(keepFromMonth.matches("\\d{4}-\\d{2}"), s"expected yyyy-MM, got $keepFromMonth")
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf (not sparkContext.hadoopConfiguration): runtime
+    // fs.* overrides must reach metadata ops like the data path does
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dropped = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))
@@ -354,7 +362,9 @@ object TickStore {
     */
   def stats(spark: SparkSession, path: String,
             smallFileBytes: Long = 32L * 1024 * 1024): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // SESSION conf (not sparkContext.hadoopConfiguration): runtime
+    // fs.* overrides must reach metadata ops like the data path does
+    val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val rows = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date_month="))

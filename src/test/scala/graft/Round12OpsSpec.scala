@@ -129,6 +129,65 @@ class Round12OpsSpec extends SparkSpec {
     new java.io.File(store).listFiles()
       .map(_.getName).filter(_.startsWith(FindbFormat.DirPartPrefix)).sorted.toSeq
 
+  test("compactSink prune is crash-safe: re-merge after a crash-before-prune is identical") {
+    // crash window: the merged store is fully published but the prune
+    // of the folded epoch stores never ran. The recovery contract is
+    // simply "run the compaction again": LWW over (base ∪ the same
+    // epoch stores) is idempotent, so the re-merge reproduces the
+    // store byte-for-byte at the row level.
+    val root = Files.createTempDirectory("soak_crash").toString
+    val ingest = s"$root/ingest"
+    (0 until 3).foreach { e =>
+      val df = (0 until 200).map { i =>
+        (i.toLong % 5, 20240101 + (i % 28), i.toLong, e.toFloat)
+      }.toDF("asset_id", "date", "timestamp", "value")
+      FindbDistWriter.write(df, f"$ingest/batch-$e%012d.dbd",
+        pageSize = 256, numPartitions = 2, directoryParts = true)
+    }
+    // "crashed" compaction: published, epochs NOT pruned
+    FindbDistWriter.compactSink(spark, ingest, s"$root/c.dbd",
+      pageSize = 256, numPartitions = 4, prune = false)
+    val crashed = rows(readStore(s"$root/c.dbd"))
+    // recovery: the same compaction again, this time completing prune
+    FindbDistWriter.compactSink(spark, ingest, s"$root/c2.dbd",
+      pageSize = 256, numPartitions = 4, prune = true)
+    assert(rows(readStore(s"$root/c2.dbd")) === crashed)
+    assert(FindbDistWriter.batchStores(spark, ingest).isEmpty)
+    assert(crashed.forall(_._4 === 2f)) // last epoch wins
+  }
+
+  // ── corpus-adaptive minhash banding (C151) ─────────────────────────
+
+  test("deriveBandRows breakpoints and the scaled banding's recall floor") {
+    import graft.operators.Dedup
+    // one more hash per band roughly every ×4 of corpus, clamped [4, 8]
+    assert(Dedup.deriveBandRows(1) === 4)
+    assert(Dedup.deriveBandRows(500) === 4)     // 16 bands × 4 — the fixed default
+    assert(Dedup.deriveBandRows(5000) === 6)    // 10 × 6
+    assert(Dedup.deriveBandRows(50000) === 8)   // 8 × 8 (cap)
+    assert(Dedup.deriveBandRows(1000000000L) === 8)
+    // monotone non-decreasing across the whole range (a regression here
+    // silently re-densifies candidates at some corpus size)
+    val pts = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L).map(Dedup.deriveBandRows(_))
+    assert(pts === pts.sorted)
+    // recall floor at the MOST selective operating point (8×8): exact
+    // duplicates have identical signatures and always collide
+    val docs = ((0 until 6).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) ++
+      (6 until 12).map(i => (i.toLong, s"unique filler text number $i with no twin anywhere")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, k = 8, nHashes = 64, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupPairs = for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)
+    assert(dupPairs.forall(pairs.contains))
+    // the scaled entry point delegates to the derived operating point
+    val viaScaled = Dedup.minhashLshPairsScaled(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r = Dedup.deriveBandRows(12)
+    val viaDirect = Dedup.minhashLshPairs(docs, k = 8, nHashes = (64 / r) * r, bands = 64 / r)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSeq
+    assert(viaScaled === viaDirect)
+  }
+
   test("post-compaction layout is independent of epoch count; rolling loop ≡ one-shot") {
     val c4 = soak(4, rolling = false)
     val c12 = soak(12, rolling = true)
