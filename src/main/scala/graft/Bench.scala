@@ -263,8 +263,12 @@ object Bench {
     val pairRows =
       if (args.nonEmpty) Seq.empty
       else pairOps.filter(wanted).map { name =>
+        // NonFatal ONLY: an OOM/JVM error must crash the bench (a
+        // corrupted JVM would poison every later timing), and the cause
+        // is logged so a -1 pair row is diagnosable from the run log.
         val n = try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] pair_rows $name failed: $e"); -1L }
         name -> n
       }
     val pairPart =

@@ -3998,23 +3998,32 @@ object Analytics {
   /** B121 `ad_line` — Chaikin Accumulation/Distribution line: the
     * running total of [[cmf]]'s per-bar money-flow volume
     * MFV = MFM · n_ticks (flat bars contribute 0 flow — same
-    * documented convention as cmf). The cumulative sum is a compiled
-    * left-assoc fold over the unbounded-preceding frame array, NOT a
-    * window float sum — running float sums let each engine pick its
-    * own summation tree.
+    * documented convention as cmf). The cumulative sum runs on the
+    * EXACT INTEGER micro-grid (the B100/vpt/williams_ad discipline —
+    * the same A/D series): MFM's u6 rounding already lands every bar
+    * on an integer number of micro-units, so `round(mfm·1e6)·n_ticks`
+    * is an exact BIGINT and the running sum is a plain O(days) window
+    * sum — order-insensitive, engine-exact — instead of the previous
+    * O(days²) `collect_list` prefix arrays + compiled float fold
+    * (r12 VERDICT "What's wrong" #3). Value-identical to the fold by
+    * construction: the fold's float error (≲1e-9 absolute) was 5+
+    * orders of magnitude inside u6's rounding quantum, and the final
+    * u6 lands both forms on micro_sum/1e6 exactly. Magnitude bound:
+    * |Σ mfm6·n_ticks| stays < 2^53 for any per-asset history below
+    * ~9e9 cumulative ticks — far above a 25-year daily panel.
     */
   def adLine(panel: DataFrame): DataFrame = {
     val run = Window.partitionBy(col("asset_id")).orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dailyBars(panel.repartition(col("asset_id")))
-      .withColumn("mfv", coalesce(
-        u6(((col("close") - col("low")) - (col("high") - col("close"))) /
+      .withColumn("mfv6", coalesce(
+        (floor((((col("close") - col("low")) - (col("high") - col("close"))) /
           when(col("high") === col("low"), lit(null)).otherwise(col("high") - col("low")))
-          * col("n_ticks").cast("double"),
-        lit(0.0)))
-      .withColumn("ad", u6(Kernels.seqFold(collect_list(col("mfv")).over(run), "sum")))
+          * lit(1000000.0) + lit(0.5)) * col("n_ticks").cast("double")).cast("long"),
+        lit(0L)))
+      .withColumn("ad", u6(sum(col("mfv6")).over(run).cast("double") / lit(1000000.0)))
       .select(col("asset_id"), col("date"), col("close"),
-        u6(col("mfv")).as("mfv"), col("ad"))
+        u6(col("mfv6").cast("double") / lit(1000000.0)).as("mfv"), col("ad"))
       .orderBy(col("asset_id"), col("date"))
   }
 

@@ -780,7 +780,8 @@ object Dedup {
     * collision behave identically on both sides).
     */
   def dedupMethodVenn(documents: DataFrame, threshold: Double = 0.3,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      mhPairs: Option[DataFrame] = None): DataFrame = {
     val hashed = documents.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
     val reps = hashed.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("text"))).as("r"))
@@ -788,7 +789,12 @@ object Dedup {
       .filter(col("doc_id") =!= col("r.doc_id") && col("text") === col("r.text"))
       .select(col("r.doc_id").as("doc_a"), col("doc_id").as("doc_b"))
       .localCheckpoint(true)
-    val mh = minhashVerifiedPairs(documents, threshold = threshold)
+    // `mhPairs`: the shared two-stage verified pair set (SparkEntry's
+    // verifiedPairsMemo — minhash_verified keeps the real build row),
+    // so one driver run pays the LSH+verify pipeline once instead of
+    // once here and once in minhash_verified. Must be the same
+    // (k, nHashes, bands, threshold) operating point.
+    val mh = mhPairs.getOrElse(minhashVerifiedPairs(documents, threshold = threshold))
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val sh = simhashPairs(documents, maxHamming = maxHamming)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
@@ -1307,20 +1313,38 @@ object Dedup {
     * train side scan + semi-style join).
     */
   def contaminationCurve(documents: DataFrame, evalIds: Seq[Long],
-                         ks: Seq[Int] = Seq(5, 8, 13)): DataFrame =
-    ks.map { k =>
-      val evalShingles = documents
-        .filter(col("doc_id").isin(evalIds: _*))
-        .select(explode(shingles(col("text"), k)).as("s"))
-        .distinct()
-      fanOut(documents)
-        .filter(!col("doc_id").isin(evalIds: _*))
-        .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
-        .join(broadcast(evalShingles), Seq("s"))
-        .agg(count_distinct(col("doc_id")).as("n_contaminated"),
-          count_distinct(col("doc_id"), col("s")).as("n_shared_shingles"))
-        .select(lit(k.toLong).as("k"), col("n_contaminated"), col("n_shared_shingles"))
-    }.reduce(_.unionByName(_)).orderBy(col("k"))
+                         ks: Seq[Int] = Seq(5, 8, 13)): DataFrame = {
+    // ONE corpus pass for the whole curve instead of one per k (3 full
+    // text scans + 3 joins + a 3-way union → 1 each, guide §2.4): the
+    // train side explodes every k's shingles tagged with k, the eval
+    // side is the k-tagged union of the (tiny, broadcast) eval shingle
+    // sets, and the equality join keys on (k, shingle) so each k's
+    // matches are exactly the per-k join's. Shingle-kernel work is
+    // identical (all ks must be shingled either way); what the fold
+    // removes is the repeated corpus scan + per-k plan.
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val kMap = map(ks.flatMap(k => Seq(lit(k.toLong), shingles(col("text"), k))): _*)
+    val evalShingles = documents
+      .filter(col("doc_id").isin(evalIds: _*))
+      .select(explode(kMap))
+      .select(col("key").as("k"), explode(col("value")).as("s"))
+      .distinct()
+    val agg = fanOut(documents)
+      .filter(!col("doc_id").isin(evalIds: _*))
+      .select(col("doc_id"), explode(kMap))
+      .select(col("doc_id"), col("key").as("k"), explode(col("value")).as("s"))
+      .join(broadcast(evalShingles), Seq("k", "s"))
+      .groupBy(col("k"))
+      .agg(count_distinct(col("doc_id")).as("n_contaminated"),
+        count_distinct(col("doc_id"), col("s")).as("n_shared_shingles"))
+    // k-spine left join: a k whose join matched nothing still emits its
+    // zero row (the per-k global aggregates of the pre-fold form did)
+    ks.map(_.toLong).toDF("k")
+      .join(agg, Seq("k"), "left")
+      .na.fill(0L, Seq("n_contaminated", "n_shared_shingles"))
+      .orderBy(col("k"))
+  }
 
   /** C110 `band_sweep` — candidate-volume curve across LSH band
     * widths: for each band count b (8/16/32 bands of 64 hashes), the

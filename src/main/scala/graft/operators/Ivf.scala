@@ -211,8 +211,13 @@ object Ivf {
     * dup-strength diagnostic; `kept` is the corpus filter bit.
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
-                    eps: Double = 0.5): DataFrame = {
-    val centroids = train(embeddings, k, iters)
+                    eps: Double = 0.5,
+                    trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `trained`: the shared quantizer for the train-once/consume-many
+    // split (SparkEntry's centroid memo; ann_ivf keeps the real
+    // training benchmark). Deterministic Lloyd ⇒ identical to training
+    // in place.
+    val centroids = trained.getOrElse(train(embeddings, k, iters))
     val tagged = index(embeddings, centroids)
       .withColumn("nv", Similarity.normalize(col("v")))
       .select(col("vec_id"), col("cluster"), col("nv"))
@@ -243,8 +248,9 @@ object Ivf {
     * per-mille integers.
     */
   def semanticThresholdCurve(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
-                             epsPm: Seq[Int] = Seq(300, 400, 500)): DataFrame = {
-    val base = semanticDedup(embeddings, k, iters, eps = 0.0)
+                             epsPm: Seq[Int] = Seq(300, 400, 500),
+                             trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val base = semanticDedup(embeddings, k, iters, eps = 0.0, trained)
       .select(col("vec_id"), col("max_cos_lower"))
       .localCheckpoint(true) // one witness build feeds every threshold
     epsPm.map { pm =>
@@ -317,10 +323,11 @@ object Ivf {
     * both replayed pipelines.
     */
   def recallReport(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-                   kClusters: Int = 8, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+                   kClusters: Int = 8, iters: Int = 3, nProbe: Int = 2,
+                   trained: Option[Array[Array[Double]]] = None): DataFrame = {
     val brute = Similarity.cosineTopK(embeddings, queryIds, k)
       .select(col("q_id"), col("vec_id"))
-    val centroids = train(embeddings, kClusters, iters)
+    val centroids = trained.getOrElse(train(embeddings, kClusters, iters))
     val approx = search(embeddings, centroids, queryIds, k, nProbe)
       .select(col("q_id"), col("vec_id"))
     val nb = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
@@ -345,8 +352,9 @@ object Ivf {
     * output regardless of corpus size; all-integer → exact replay of
     * the replayed Lloyd training.
     */
-  def clusterStats(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val centroids = train(embeddings, k, iters)
+  def clusterStats(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                   trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(train(embeddings, k, iters))
     val spark = embeddings.sparkSession
     val counts = index(embeddings, centroids)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
@@ -370,8 +378,9 @@ object Ivf {
     * everything after assignment is integer. Empty clusters have no
     * row (no labels to be pure about), unlike [[clusterStats]]' spine.
     */
-  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val centroids = train(embeddings, k, iters)
+  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(train(embeddings, k, iters))
     val lab = index(embeddings, centroids)
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))

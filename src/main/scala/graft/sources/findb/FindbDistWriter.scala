@@ -405,8 +405,27 @@ object FindbDistWriter {
     * previous output as base. Store count (and so read cost) stays
     * O(epochs since last compaction) instead of O(stream lifetime).
     * `prune = true` deletes the merged batch stores (never `base`)
-    * after the new store is fully published — crash before the delete
-    * re-merges the same rows, and LWW keeps that idempotent.
+    * after the new store is fully published.
+    *
+    * Crash recovery is "run the same compaction again", and with
+    * `prune` that is safe across EVERY window, not just
+    * crash-before-any-delete: a crash partway through the delete loop
+    * leaves rows whose only copy is the already-published `out` (their
+    * epoch stores are gone), so a naive re-merge of base + the
+    * REMAINING stores would overwrite `out` without them — silent data
+    * loss (r12 ADVICE #1). The pruning protocol therefore records its
+    * commit point: after `out` is published and BEFORE any delete, a
+    * `<out>.pruned` marker lands carrying the max epoch-store name
+    * folded so far. A re-run that finds the marker beside a resolvable
+    * `out` FOLDS it forward — `out` is staged aside as `<out>.prev`
+    * (one atomic rename; [[merge]] clears `out` before scanning),
+    * epoch stores at or below the marker are dropped (their fold IS
+    * the stage, at the right LWW priority), and stores ABOVE the
+    * marker (epochs that landed since) merge on top. A crash during
+    * the recovery merge leaves `<out>.prev` intact and the next run
+    * resumes from it; a torn `out` holds nothing `.prev` + stores
+    * don't. Without the marker (no prune ever began) the old
+    * overwrite-from-scratch semantics are unchanged.
     */
   def compactSink(spark: org.apache.spark.sql.SparkSession, path: String,
                   out: String, pageSize: Int, numPartitions: Int,
@@ -414,15 +433,75 @@ object FindbDistWriter {
     require(!base.contains(out),
       "compactSink: base must differ from out (the write clears out " +
         "before the merge scan reads base)")
+    val conf = spark.sessionState.newHadoopConf()
+    val outP = new HPath(out)
+    val prevP = new HPath(out + ".prev")
+    val markP = pruneMarkerPath(out)
+    val ofs = outP.getFileSystem(conf)
+    def resolves(p: HPath): Boolean =
+      try { FindbFormat.layout(p.toString, conf); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    val markerFold: Option[String] =
+      if (!ofs.exists(markP)) None
+      else {
+        val in = ofs.open(markP)
+        val buf = try {
+          val b = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false); b
+        } finally in.close()
+        Some(new String(buf.toByteArray, "UTF-8").trim)
+      }
+    val staged: Option[String] = markerFold match {
+      case None => None // no prune ever began: plain overwrite semantics
+      case Some(_) =>
+        if (ofs.exists(prevP) && resolves(prevP)) {
+          // an earlier recovery crashed mid-merge: resume from its stage
+          // (the torn `out`, if any, is cleared by merge's write)
+          Some(prevP.toString)
+        } else if (ofs.exists(outP) && resolves(outP)) {
+          if (ofs.exists(prevP)) ofs.delete(prevP, true) // torn old stage
+          require(ofs.rename(outP, prevP),
+            s"compactSink: staging $out -> $out.prev failed")
+          Some(prevP.toString)
+        } else throw new IllegalStateException(
+          s"compactSink: $markP records a prune into $out but neither " +
+            s"$out nor $out.prev resolves — the folded epochs' rows are " +
+            "unrecoverable from this path; restore a copy of the output " +
+            "store before re-running")
+    }
     val stores = batchStores(spark, path)
-    merge(spark, base.toSeq ++ stores, out, pageSize, numPartitions,
-      directoryParts = true)
+    // stores ≤ the marker are already folded into the stage (at the
+    // correct priority — newer epochs must still beat it, older are
+    // subsumed); only epochs that landed after the recorded fold merge
+    // on top of it.
+    val live = markerFold match {
+      case Some(m) if staged.isDefined =>
+        stores.filter(s => new HPath(s).getName > m)
+      case _ => stores
+    }
+    merge(spark, base.toSeq ++ staged.toSeq ++ live, out, pageSize,
+      numPartitions, directoryParts = true)
+    if (ofs.exists(prevP)) ofs.delete(prevP, true)
     if (prune) {
-      val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+      // commit point: record the fold BEFORE any delete, so a crash in
+      // the delete loop below replays as a fold-forward, never as a
+      // lossy re-merge
+      val folded = stores.map(new HPath(_).getName) ++ markerFold
+      if (folded.nonEmpty) {
+        val mo = ofs.create(markP, true)
+        try mo.write(folded.max.getBytes("UTF-8")) finally mo.close()
+      }
+      val fs = new HPath(path).getFileSystem(conf)
       stores.foreach(s => fs.delete(new HPath(s), true))
     }
     stores
   }
+
+  /** The `<out>.pruned` commit marker of [[compactSink]]'s pruning
+    * protocol: its presence means a prune into `out` began; its
+    * content is the max epoch-store name folded into `out` so far.
+    */
+  private[graft] def pruneMarkerPath(out: String) = new HPath(out + ".pruned")
 
   /** The merge read: ALL input stores through ONE planned scan (the
     * connector's path list becomes one [[FindbScan]] whose partition

@@ -130,6 +130,15 @@ object FindbFormat {
         require(st.getLen % h.pageSize == 0,
           s"store file ${st.getPath.getName} length ${st.getLen} not page-aligned")
         val n = st.getLen / h.pageSize
+        // Per-FILE page counts must fit an Int: the scan's split math
+        // (chunkRun's local offsets, FindbInputPartition.start/endPage)
+        // is Int-indexed within one file. The STORE total (pageCount)
+        // stays u32/Long — ≥2^31 pages across many part files plan
+        // fine; a single ≥2^31-page file must fail loudly at plan time
+        // instead of wrapping to negative page indices mid-read.
+        require(n <= Int.MaxValue,
+          s"store file ${st.getPath.getName}: $n pages exceeds the " +
+            s"per-file Int page-index limit (split the store into parts)")
         if (n > 0) { files += StoreFile(st.getPath.toString, base, n, 0L); base += n }
       }
       require(base == h.pageCount,
@@ -138,6 +147,12 @@ object FindbFormat {
     } else {
       val in = fs.open(p)
       val h = try readHeaderFrom(in) finally in.close()
+      // Same per-file Int page-index limit as the directory branch: a
+      // single-file store IS one file, so ≥2^31 pages cannot be split
+      // by the Int-indexed reader — fail at plan time, not mid-read.
+      require(h.pageCount <= Int.MaxValue,
+        s"single-file store $path: ${h.pageCount} pages exceeds the " +
+          "per-file Int page-index limit (write it as a directory store)")
       StoreLayout(h.pageSize, h.pageCount, h.rootPageNum,
         IndexedSeq(StoreFile(path, 0L, h.pageCount, FileHeaderSize.toLong)))
     }
